@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the text/vector expressions. One static call per
+  * row from generated code — stays inside WholeStageCodegen, avoids a
+  * deep generic array-expression tree (which allocates per element).
+  */
+object Kernels {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over UTF-8 bytes — stable token hash (engine-neutral,
+    * unlike Spark's Murmur3 seed choices). */
+  def fnv64(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over token FNV hashes (majority vote per bit). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** k-permutation MinHash signature over token FNV hashes using the
+    * standard (a*h + b) mod p universal family; deterministic params
+    * from a splitmix64 stream so every executor agrees without
+    * broadcasting state. */
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+    val p = 2305843009213693951L // 2^61 - 1 Mersenne prime
+    val n = tokens.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = fnv64(tokens.getUTF8String(i)) & Long.MaxValue; i += 1 }
+    val sig = new Array[Long](k)
+    var s = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < k) {
+      s += 0x9e3779b97f4a7c15L; val a = mix(s) | 1L
+      s += 0x9e3779b97f4a7c15L; val b = mix(s)
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < n) {
+        // (a*h+b) mod p via Mersenne fold keeps it branch-light
+        val x = java.lang.Math.floorMod(a * hs(t) + b, p)
+        if (x < mn) mn = x
+        t += 1
+      }
+      sig(j) = if (n == 0) 0L else mn
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Polynomial rolling hash over UTF-8 bytes: h = h*31 + b (mod 2^61-1).
+    * Oracle-parity-friendly (pure integer recurrence). */
+  def rollingHash(s: UTF8String): Long = {
+    val p = 1000000007L
+    val b = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (h * 31 + (b(i) & 0xff)) % p; i += 1 }
+    h
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val av = a.toDoubleArray(); val bv = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    val n = math.min(av.length, bv.length)
+    while (i < n) { s += av(i) * bv(i); i += 1 }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val av = a.toDoubleArray(); val bv = b.toDoubleArray()
+    var s = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(av.length, bv.length)
+    while (i < n) { s += av(i) * bv(i); na += av(i) * av(i); nb += bv(i) * bv(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
+  }
+
+  /** Sign bits against k pseudo-random hyperplanes (splitmix64-derived,
+    * component weights in [-1,1)) — random-hyperplane LSH bucket id. */
+  def hyperplaneLsh(a: ArrayData, k: Int): Long = {
+    val av = a.toDoubleArray()
+    var out = 0L
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < av.length) {
+        val w = mix(0x5851f42d4c957f2dL * (j * 8192 + i + 1))
+        acc += av(i) * (w.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (acc >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any = Kernels.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any = Kernels.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(v: Any): Any = Kernels.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+case class HyperplaneLsh(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneLsh(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneLsh($c, $k)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public column-function surface of the engine (the analog of
+  * `org.apache.spark.sql.functions` for graft-specific operations).
+  * Everything here is either a composition of codegen'd built-ins or a
+  * native Catalyst Expression from [[graft.functions]] — no Scala UDFs
+  * anywhere, so every operator stays inside WholeStageCodegen.
+  */
+package object functions {
+  import org.apache.spark.sql.graft.Bridge.{column => col2, expression => ex}
+
+  // ---- codecs (reference Codec.scala) ----
+  def gzip_compress(c: Column): Column = col2(GzipCompress(ex(c)))
+  def gzip_decompress(c: Column): Column = col2(GzipDecompress(ex(c)))
+
+  // ---- hashing / sketches ----
+  def simhash64(tokens: Column): Column = col2(SimHash64(ex(tokens)))
+  def minhash_sig(tokens: Column, k: Int): Column = col2(MinHashSig(ex(tokens), k))
+  def rolling_hash(text: Column): Column = col2(RollingHash(ex(text)))
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- vectors ----
+  def cosine_sim(a: Column, b: Column): Column = col2(CosineSim(ex(a), ex(b)))
+  def dot_product(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
+  def hyperplane_lsh(v: Column, bits: Int): Column = col2(HyperplaneLsh(ex(v), bits))
+  def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def as_double_array(v: Column): Column = transform(v, _.cast("double"))
+
+  // ---- tokenization (oracle-parity-safe: simple split semantics) ----
+  /** Whitespace tokens, empties removed. */
+  def tokenize_ws(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
+    * non-space chars (the GPT-2 pre-tokenizer shape, RE2/Java-safe). */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def tokenize_bpe(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def token_count(text: Column): Column = size(tokenize_ws(text))
+
+  /** Word w-shingles (space-joined n-grams of whitespace tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokenize_ws(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  // ---- text quality (reference-free LLM-pipeline scoring) ----
+  def punct_count(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def stopword_count(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokenize_ws(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Deterministic [0,1] quality score: balanced length, low punct
+    * density, moderate stopword ratio, reasonable mean word length. */
+  def quality_score(text: Column): Column = {
+    val toks = token_count(text)
+    val lenScore = least(toks.cast("double") / lit(64.0), lit(1.0))
+    val punctRatio = punct_count(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val stopRatio = stopword_count(text, EnglishStopwords).cast("double") /
+      greatest(toks, lit(1)).cast("double")
+    val meanWordLen = length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(toks, lit(1)).cast("double")
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lit(0.4) * lenScore + lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
+      lit(0.2) * least(stopRatio * 5, lit(1.0)) + lit(0.2) * wordLenScore, 4)
+  }
+
+  /** Marker-stopword language scorer: hits of each language's marker
+    * set; argmax with deterministic tie-break on language code. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"),
+    "es" -> Seq("el", "la", "los", "es", "con"),
+    "fr" -> Seq("le", "la", "les", "est", "avec"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def lang_scores(text: Column): Column = {
+    val toks = tokenize_ws(text)
+    struct(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).as(lang)
+    }: _*)
+  }
+}

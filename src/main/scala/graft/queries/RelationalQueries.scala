@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational engine surface (SURVEY.md §2 R1-R19). Every query has a
+  * DuckDB oracle; see §5 for the determinism rules used throughout:
+  * per-row double arithmetic is left raw (IEEE ops are bit-exact across
+  * engines for identical expression shape), aggregate sums go through
+  * decimal(38,4) and come back as double, every result has a total
+  * ORDER BY.
+  */
+object RelationalQueries {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal-accumulated sum surfaced as double. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(38,4)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1: scan + filter + project; filter and pruning reach the parquet
+    // scan (PushedFilters in explain).
+    "q_filter_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // R2: TPC-H Q1-style pricing summary (map-side partial agg).
+    "q_agg_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1995-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // R3: exact distinct counting.
+    "q_count_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // R4: fact-dim join; orders side is the smaller one → broadcast.
+    "q_join_broadcast" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "orders")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // R5: star multi-join (region-nation-customer-orders-lineitem);
+    // all dims broadcast, single shuffle on the fact agg.
+    "q_join_multi" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // R6a: semi join (EXISTS).
+    "q_semi_join" -> { (s, dir) =>
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // R6b: anti join (NOT EXISTS) — parts never shipped in bulk.
+    "q_anti_join" -> { (s, dir) =>
+      val bulk = t(s, dir, "lineitem").filter(col("l_quantity") >= 48.0)
+      t(s, dir, "part")
+        .join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // R7: global top-k — TakeOrderedAndProject, no full sort.
+    "q_topk" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    },
+
+    // R8: distinct.
+    "q_distinct" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // R9: ranked window, top-3 per partition.
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // R10: running aggregate over an event journal (decimal-exact).
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(38,4)")).over(w).cast("double"))
+        .select("user_id", "event_id", "value", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+
+    // R11: rollup hierarchy totals.
+    "q_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // R12: conditional aggregation.
+    "q_case_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+            .as("purchase_value"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // R13: HAVING.
+    "q_having" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .filter(col("n_cust") >= 3)
+        .orderBy("c_nationkey")
+    },
+
+    // R14: union all of heterogeneous sources.
+    "q_union" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(lit("customer").as("kind"), col("c_custkey").as("key"),
+          col("c_acctbal").as("balance"))
+      val su = t(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_suppkey").as("key"),
+          col("s_acctbal").as("balance"))
+      c.unionAll(su).orderBy("kind", "key")
+    },
+
+    // R15: JSON extraction from the event payload.
+    "q_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    },
+
+    // R16: time bucketing of the event stream (ts is Long nanos — see
+    // GraftSession nanosAsLong; integer div keeps full precision).
+    "q_date_trunc" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    },
+
+    // R17: exact percentiles.
+    "q_percentile" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy("event_type")
+    },
+
+    // R18: string functions.
+    "q_string_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    // R19: correlated-EXISTS aggregate (semi join + agg).
+    "q_exists_agg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_active_cust"))
+        .orderBy("c_nationkey")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 48.0)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS purchase_value,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS kind, c_custkey AS key, c_acctbal AS balance FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, s_suppkey AS key, s_acctbal AS balance FROM supplier)
+        |ORDER BY kind, key""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_date_trunc" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+        |  ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_uc,
+        |  SUBSTRING(p_name, 1, 8) AS name_pfx,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
+        |  LENGTH(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_exists_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n_active_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+}

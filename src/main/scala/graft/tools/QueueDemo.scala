@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.queue.ParquetQueue
+import graft.schema.{GraftSchema, GraftType, IncompatibleSchemaException}
+
+/** Example: the reference's README walkthrough (push / pop / latest /
+  * TTL / capacity / reopen) on the Spark-native queue. Run with
+  * `sbt "runMain graft.tools.QueueDemo"`.
+  */
+object QueueDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("4", "queue-demo")
+    import spark.implicits._
+    val dir = if (args.nonEmpty) args(0)
+      else java.nio.file.Files.createTempDirectory("graft-queue").toString
+
+    val schema = GraftSchema(("id", GraftType.INTEGER), ("text", GraftType.TEXT))
+    val q = new ParquetQueue(spark, dir, schema, capacity = 10)
+
+    println("push1=" + q.push(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")))
+    println("push2=" + q.push(Seq((4L, "d"), (5L, "e")).toDF("id", "text")))
+    println("size=" + q.size())
+    println("pop2=" + q.pop(2).mkString(";"))
+    println("pop9=" + q.pop(9).mkString(";"))
+    println("size_after=" + q.size())
+    println("latest=" + q.latest)
+    println("empty_pop=" + q.pop(1).mkString(";"))
+    println("diskSpace>0=" + (q.diskSpace > 0))
+    println("tryPush_overcap=" + q.tryPush(Seq.fill(11)((9L, "z")).toDF("id", "text")))
+
+    // expired entry is skipped by pop
+    q.push(Seq((6L, "expired")).toDF("id", "text"), lifetimeMs = 1,
+      nowMs = System.currentTimeMillis() - 10000)
+    q.push(Seq((7L, "alive")).toDF("id", "text"))
+    println("ttl_pop=" + q.pop(5).mkString(";"))
+
+    try { q.push(Seq(("x", 1)).toDF("a", "b")); println("schema-reject=MISSED") }
+    catch { case e: IncompatibleSchemaException => println("schema-reject=ok: " + e.getMessage) }
+
+    val q2 = new ParquetQueue(spark, dir, schema)
+    println("reopen_latest=" + q2.latest)
+    println("reopen_highwater=" + q2.highwater)
+
+    q.dispose()
+    println("disposed_diskSpace=" + q.diskSpace)
+    spark.stop()
+  }
+}
