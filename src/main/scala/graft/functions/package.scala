@@ -29,6 +29,14 @@ package object functions {
   def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
   def as_double_array(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Engine-portable half-up rounding: floor(x*10^s+0.5)/10^s is the
+    * same double in every engine, unlike round() (Spark rounds the
+    * decimal string, DuckDB the raw double — they differ on ties). */
+  def round_portable(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
   // ---- tokenization (oracle-parity-safe: simple split semantics) ----
   /** Whitespace tokens, empties removed. */
   def tokenize_ws(text: Column): Column =
@@ -39,7 +47,7 @@ package object functions {
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def tokenize_bpe(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
 
-  def token_count(text: Column): Column = size(tokenize_ws(text))
+  def token_count(text: Column): Column = size(tokenize_ws(text)).cast("long")
 
   /** Word w-shingles (space-joined n-grams of whitespace tokens). */
   def shingles(text: Column, n: Int): Column = {
@@ -70,7 +78,7 @@ package object functions {
     val meanWordLen = length(regexp_replace(text, " ", "")).cast("double") /
       greatest(toks, lit(1)).cast("double")
     val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
-    round(lit(0.4) * lenScore + lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
+    round_portable(lit(0.4) * lenScore + lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
       lit(0.2) * least(stopRatio * 5, lit(1.0)) + lit(0.2) * wordLenScore, 4)
   }
 

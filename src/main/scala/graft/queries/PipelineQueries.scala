@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{Ann, Dedup, Multimodal}
+import RelationalQueries.t
+
+/** LLM-training-data pipeline queries (SURVEY.md §2 L1-L12) over the
+  * `documents` and `embeddings` tables. LSH-based near-dup queries
+  * (minhash/simhash/embed) have no SQL oracle — the hash families are
+  * engine-native — so they get rows-only checks here and recall
+  * verification against exact baselines in DedupSpec/AnnSpec.
+  */
+object PipelineQueries {
+
+  private def mediaMeta(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Multimodal.decodeMeta(
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[Multimodal.MediaRow])
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1: exact dedup via content hash.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")
+    },
+
+    // L2: word-set Jaccard near-dup, blocked by language.
+    "q_dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          Seq("lang"), minJaccard = 0.9)
+        .orderBy("doc_id1", "doc_id2")
+    },
+
+    // L3: MinHash-LSH candidates verified at Jaccard ≥ 0.9 (rows-only).
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 32, bands = 8, minJaccard = 0.9)
+        .orderBy("doc_id1", "doc_id2")
+    },
+
+    // L4: SimHash hamming ≤ 3 near-dup (rows-only).
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("doc_id1", "doc_id2")
+    },
+
+    // L5: embedding-cosine near-dup via banded hyperplane LSH
+    // (rows-only; threshold tuned to this corpus's similarity range).
+    "q_dedup_embed" -> { (s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          bands = 8, bitsPerBand = 4, minCosine = 0.4)
+        .orderBy("id1", "id2")
+    },
+
+    // L6: exact brute-force cosine top-5 for a small query set.
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // L7: LSH-bucketed ANN — the scale path (rows-only; recall vs L6
+    // measured in AnnSpec).
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, bits = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // L8: language ID by marker-stopword scoring, argmax with
+    // alphabetical tie-break.
+    "q_lang_id" -> { (s, dir) =>
+      val scores = LangMarkers.toSeq.sortBy(_._1)
+      val withCounts = scores.foldLeft(t(s, dir, "documents")) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"c_$lang",
+            size(filter(tokenize_ws(col("text")),
+              x => x.isin(markers.map(lit(_)): _*))).cast("long"))
+      }
+      val m = greatest(scores.map { case (l, _) => col(s"c_$l") }: _*)
+      val pred = scores.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"c_$lang") === m, lit(lang)).otherwise(acc)
+      }
+      // foldRight gives priority to the alphabetically-first max
+      withCounts
+        .select(col("doc_id") +: col("lang").as("actual_lang") +:
+          scores.map { case (l, _) => col(s"c_$l") } :+ pred.as("pred_lang"): _*)
+        .orderBy("doc_id")
+    },
+
+    // L9: quality scoring + keep decision.
+    "q_text_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), token_count(col("text")).as("n_tokens"),
+          quality_score(col("text")).as("quality"))
+        .withColumn("keep", col("quality") >= 0.5)
+        .orderBy("doc_id")
+    },
+
+    // L10: token counting — whitespace and BPE-ish pre-tokenizer.
+    "q_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          token_count(col("text")).as("n_ws_tokens"),
+          size(tokenize_bpe(col("text"))).cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // L11: document fingerprint (polynomial rolling hash, codegen'd).
+    "q_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // L12a: multimodal metadata decode via per-partition stub codec.
+    "q_multimodal_meta" -> { (s, dir) =>
+      mediaMeta(s, dir).toDF().orderBy("doc_id")
+    },
+
+    // L12b: frame-sampling explosion (every 4th frame).
+    "q_multimodal_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(mediaMeta(s, dir), stride = 4)
+        .orderBy("doc_id", "frame_idx")
+    })
+
+  private val jaccardSqlBase =
+    """WITH toksets AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |  FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 AS jac
+      |FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9
+      |ORDER BY doc_id1, doc_id2""".stripMargin
+
+  private val langMarkerSql: String = {
+    val counts = LangMarkers.toSeq.sortBy(_._1).map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x))) AS c_$l"
+    }.mkString(",\n    ")
+    val langs = LangMarkers.keys.toSeq.sorted
+    val m = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
+    val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN c_$l = $m THEN '$l' ELSE $acc END"
+    }
+    s"""WITH toksets AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id, actual_lang,
+       |    $counts
+       |  FROM toksets)
+       |SELECT doc_id, actual_lang, ${langs.map(l => s"c_$l").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardSqlBase,
+
+    "q_ann_bruteforce" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, vec_id AS nn_id,
+        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
+        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
+        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, nn_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_id" -> langMarkerSql,
+
+    "q_text_quality" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
+        |    LENGTH(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, tok AS n_tokens,
+        |  FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
+        |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
+        |    + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
+        |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
+        |    * 10000 + 0.5) / 10000 AS quality,
+        |  (FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
+        |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
+        |    + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
+        |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
+        |    * 10000 + 0.5) / 10000 >= 0.5) AS keep
+        |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+        |  LENGTH(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH base AS (
+        |  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n,
+        |    CASE WHEN LENGTH(text) = 0 THEN 0
+        |         ELSE unicode(SUBSTRING(text, 1, 1)) + OCTET_LENGTH(ENCODE(text))
+        |    END AS seed
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  16 + seed % 625 AS width,
+        |  16 + (seed * 7) % 465 AS height,
+        |  1 + n % 24 AS n_frames,
+        |  CAST(16 + seed % 625 AS BIGINT) * (16 + (seed * 7) % 465) * 3
+        |    * (1 + n % 24) AS est_raw_bytes
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, 1 + OCTET_LENGTH(ENCODE(text)) % 24 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames, UNNEST(generate_series(0, n_frames - 1, 4)) AS frame_idx
+        |FROM base ORDER BY doc_id, frame_idx""".stripMargin)
+}

@@ -68,7 +68,7 @@ object QueueQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           octet_length(gzip_decompress(gzip_compress(encode(col("text"), "UTF-8"))))
-            .as("n_bytes"))
+            .cast("long").as("n_bytes"))
         .orderBy("doc_id")
     },
 
@@ -87,7 +87,7 @@ object QueueQueries {
     // norm (decimal-free: per-element fold is order-identical).
     "q_tensor_ops" -> { (s, dir) =>
       t(s, dir, "embeddings")
-        .select(col("vec_id"), size(col("embedding")).as("dim"),
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
           round(l2_norm(as_double_array(col("embedding"))), 4).as("norm"))
         .orderBy("vec_id")
     })
@@ -111,7 +111,7 @@ object QueueQueries {
 
     "q_queue_size" ->
       """SELECT event_type, COUNT(*) AS n_items,
-        |  SUM(LENGTH(props)) AS payload_bytes, MAX(event_id) AS highwater
+        |  CAST(SUM(LENGTH(props)) AS BIGINT) AS payload_bytes, MAX(event_id) AS highwater
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_codec_roundtrip" ->

@@ -218,7 +218,7 @@ object RelationalQueries {
           upper(col("p_brand")).as("brand_uc"),
           substring(col("p_name"), 1, 8).as("name_pfx"),
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
-          length(col("p_name")).as("name_len"))
+          length(col("p_name")).cast("long").as("name_len"))
         .orderBy("p_partkey")
     },
 
@@ -318,7 +318,7 @@ object RelationalQueries {
       """SELECT user_id,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
         |      AS DECIMAL(38,4))) AS DOUBLE) AS purchase_value,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -354,7 +354,7 @@ object RelationalQueries {
       """SELECT p_partkey, UPPER(p_brand) AS brand_uc,
         |  SUBSTRING(p_name, 1, 8) AS name_pfx,
         |  CONCAT_WS('-', p_brand, p_type) AS brand_type,
-        |  LENGTH(p_name) AS name_len
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_exists_agg" ->

@@ -61,6 +61,16 @@ def main():
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_ok = n_bad = 0
+    # rows-only checks for queries without an oracle
+    for p in sorted(Path(out_dir).iterdir()):
+        if p.is_dir() and p.name not in oracle:
+            n = pq.read_table(p).num_rows
+            if n > 0:
+                print(f"OK   {p.name}: {n} rows (rows-only)")
+                n_ok += 1
+            else:
+                print(f"FAIL {p.name}: 0 rows (rows-only)")
+                n_bad += 1
     for name in sorted(oracle):
         spark_path = Path(out_dir) / name
         if not spark_path.exists():
