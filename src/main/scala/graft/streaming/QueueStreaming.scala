@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming consumption — the reference's Subscriber pop-loop
+  * (Queue.scala:258-297: poll, block, process) re-expressed as
+  * Structured Streaming over the queue's segment layout or any event
+  * stream (SURVEY.md §2 C13).
+  *
+  * The reference's consumer is an imperative `while (true) pop()`;
+  * here the same semantics are declarative: the file source tails new
+  * segments, watermarks bound state, and `flatMapGroupsWithState`
+  * holds the per-key custom state the reference kept in application
+  * code. Exactly-once per sink via checkpointing replaces the
+  * reference's offset-in-file recovery.
+  */
+object QueueStreaming {
+
+  /** Tumbling-window counts/sums with a watermark — the canonical
+    * "process the queue in time buckets" consumer. `tsCol` must be a
+    * TimestampType column. */
+  def windowedStats(events: DataFrame, tsCol: String, keyCol: String,
+                    valCol: String, windowDur: String,
+                    watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(38,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(nEvents: Long, sumValue: Double, startMs: Long, lastMs: Long)
+  case class Session(user_id: Long, n_events: Long, sum_value: Double,
+                     duration_ms: Long)
+
+  /** Gap-based sessionization with custom state — the reference
+    * pattern "remember where processing got to per key" generalized:
+    * a session closes after `gapMs` of event-time silence (emitted when
+    * the next event arrives past the gap) or, with `wallClockTimeout`,
+    * after `gapMs` of processing-time silence. Tests use the
+    * data-driven mode: processing-time timeouts re-trigger batches
+    * continuously, which is correct in production but never lets
+    * `processAllAvailable()` settle. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 wallClockTimeout: Boolean = true): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    val timeoutConf = if (wallClockTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_id)
+            val prev = state.getOption
+            val (emitted, next) = sorted.foldLeft(
+              (Vector.empty[Session], prev)) { case ((out, st), e) =>
+              st match {
+                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  (out, Some(s.copy(nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value, lastMs = e.ts_ms)))
+                case Some(s) =>
+                  (out :+ Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs),
+                    Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
+                case None =>
+                  (out, Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
+              }
+            }
+            next.foreach { s =>
+              state.update(s)
+              if (wallClockTimeout) state.setTimeoutDuration(gapMs)
+            }
+            emitted.iterator
+          }
+      }
+  }
+
+  /** Deduplicating consumer: drop re-deliveries by id within the
+    * watermark horizon — the streaming analog of exact dedup. */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+                  watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+}

@@ -42,6 +42,19 @@ object QueueDemo {
     println("reopen_latest=" + q2.latest)
     println("reopen_highwater=" + q2.highwater)
 
+    // streaming subscriber: consume the queue via Structured Streaming
+    val ckpt = java.nio.file.Files.createTempDirectory("demo-ckpt").toString
+    val stream = q.readStream()
+      .writeStream.format("memory").queryName("demo_sub")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination(120000)
+    val consumed = spark.sql(
+      "SELECT seq, id, text FROM demo_sub ORDER BY seq").collect()
+    println("stream_consumed=" + consumed.map(r =>
+      s"${r.getLong(1)}:${r.getString(2)}").mkString(";"))
+
     q.dispose()
     println("disposed_diskSpace=" + q.diskSpace)
     spark.stop()

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (4L, "completely different content about spark engines", "en"),
+    (5L, "der schnelle braune fuchs springt", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 1&3 merged
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccard pairs finds near-dups within blocks only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L }) // de block alone
+  }
+
+  test("minhash-LSH recovers the exact-jaccard pair set on real data") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9)
+      .select("doc_id1", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(d, "doc_id", "text", k = 32, bands = 8,
+        minJaccard = 0.9)
+      .select("doc_id1", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash is unblocked so it may find extra (cross-lang) true pairs;
+    // within-block recall must be high and all pairs are exact-verified.
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"minhash recall $recall too low")
+  }
+
+  test("simhash finds exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("embedding LSH pairs are verified by exact cosine") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Dedup.embeddingPairs(e, "vec_id", "embedding",
+      bands = 8, bitsPerBand = 4, minCosine = 0.4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("cos") >= 0.4))
+  }
+}

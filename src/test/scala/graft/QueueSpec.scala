@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queue.ParquetQueue
+import graft.schema.{GraftSchema, GraftType}
+
+class QueueSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = GraftSchema(("id", GraftType.INTEGER), ("text", GraftType.TEXT))
+
+  private def fresh(capacity: Long = Long.MaxValue) = new ParquetQueue(
+    spark, Files.createTempDirectory("qspec").toString, schema, capacity)
+
+  test("FIFO across push batches (double-stack semantics)") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.push(Seq((3L, "c")).toDF("id", "text"))
+    assert(q.size() == 3 && !q.isEmpty())
+    assert(q.pop(2).map(_.getLong(0)) == Seq(1L, 2L))
+    assert(q.pop(5).map(_.getLong(0)) == Seq(3L))
+    assert(q.pop(1).isEmpty && q.isEmpty())
+    q.dispose()
+  }
+
+  test("latest survives full consumption (Publisher.latest)") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.pop(10)
+    assert(q.latest.map(_.getString(1)) == Some("b"))
+    q.dispose()
+  }
+
+  test("expired entries are skipped by pop (lifetime)") {
+    val q = fresh()
+    q.push(Seq((1L, "dead")).toDF("id", "text"), lifetimeMs = 1,
+      nowMs = System.currentTimeMillis() - 60000)
+    q.push(Seq((2L, "alive")).toDF("id", "text"))
+    assert(q.pop(10).map(_.getString(1)) == Seq("alive"))
+    q.dispose()
+  }
+
+  test("capacity bounds tryPush including batch size") {
+    val q = fresh(capacity = 3)
+    assert(q.tryPush(Seq((1L, "a"), (2L, "b")).toDF("id", "text")))
+    assert(!q.tryPush(Seq((3L, "c"), (4L, "d")).toDF("id", "text")))
+    assert(q.tryPush(Seq((3L, "c")).toDF("id", "text")))
+    q.dispose()
+  }
+
+  test("independent consumers have independent offsets") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    assert(q.pop(1, consumer = "x").map(_.getLong(0)) == Seq(1L))
+    assert(q.pop(2, consumer = "y").map(_.getLong(0)) == Seq(1L, 2L))
+    assert(q.pop(1, consumer = "x").map(_.getLong(0)) == Seq(2L))
+    q.dispose()
+  }
+
+  test("state persists across reopen (journaling)") {
+    val q = fresh()
+    val root = q.root
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.pop(1)
+    val q2 = new ParquetQueue(spark, root, schema)
+    assert(q2.highwater == 2 && q2.size() == 1)
+    assert(q2.pop(1).map(_.getLong(0)) == Seq(2L))
+    q2.dispose()
+  }
+
+  test("streaming subscriber sees pushed batches in order") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.push(Seq((3L, "c")).toDF("id", "text"))
+    val out = Files.createTempDirectory("qstream")
+    val query = q.readStream()
+      .writeStream.format("memory").queryName("qsub")
+      .option("checkpointLocation", out.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+    val seen = spark.sql("SELECT id FROM qsub ORDER BY seq").as[Long].collect()
+    assert(seen.toSeq == Seq(1L, 2L, 3L))
+    q.dispose()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.QueueStreaming
+import graft.streaming.QueueStreaming.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed stats with watermark aggregate the stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "key", "value")
+    val out = QueueStreaming.windowedStats(df, "ts", "key", "value",
+      "10 minutes", "5 minutes")
+    val ckpt = Files.createTempDirectory("wstats").toString
+    val q = out.writeStream.format("memory").queryName("wstats")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(11), "b", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData((t(40), "a", 9.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT key, n_events, sum_value FROM wstats ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.contains(("a", 2L, 3.0)))
+    assert(rows.contains(("b", 1L, 5.0)))
+  }
+
+  test("sessionize closes sessions after the gap and keeps state within it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = QueueStreaming.sessionize(mem.toDS(), gapMs = 1000L,
+      wallClockTimeout = false)
+    val ckpt = Files.createTempDirectory("sess").toString
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    // one user, two bursts separated by > gap
+    mem.addData(Event(7L, 1L, 0L, 1.0), Event(7L, 2L, 500L, 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(7L, 3L, 10000L, 5.0)) // 9.5s later: closes burst 1
+    q.processAllAvailable()
+    val sessions = spark.sql("SELECT * FROM sessions").as[Session].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    assert(sessions.head == Session(7L, 2L, 3.0, 500L))
+  }
+
+  test("dedup stream drops redelivered ids") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "id")
+    val out = QueueStreaming.dedupStream(df, "ts", "id", "10 seconds")
+    val ckpt = Files.createTempDirectory("dedup").toString
+    val q = out.writeStream.format("memory").queryName("dedupst")
+      .option("checkpointLocation", ckpt).start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((t0, 1L), (t0, 2L), (t0, 1L))
+    q.processAllAvailable()
+    mem.addData((t0, 2L), (t0, 3L))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT count(DISTINCT id) c, count(*) n FROM dedupst").collect().head
+    q.stop()
+    assert(n.getLong(0) == 3 && n.getLong(1) == 3)
+  }
+}
