@@ -20,6 +20,13 @@ package object functions {
   def simhash64(tokens: Column): Column = col2(SimHash64(ex(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column = col2(MinHashSig(ex(tokens), k))
   def rolling_hash(text: Column): Column = col2(RollingHash(ex(text)))
+  def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
+  def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))
+
+  /** Distinct sorted FNV-64 token-id set — the cheap join/verify
+    * representation of a document's word set. */
+  def token_id_set(tokens: Column): Column =
+    array_sort(array_distinct(transform(tokens, t => fnv64(t))))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---- vectors ----

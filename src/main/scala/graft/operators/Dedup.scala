@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2
-  * L1-L5). Scale contract: nothing here is O(n²) — every near-dup
-  * variant blocks candidates first (LSH bands / simhash bands /
-  * explicit block columns) so the self-join shuffles on a
-  * high-cardinality key and each bucket stays small at 100 TB.
+  * L1-L5). Scale contract:
+  *  - candidate generation never materializes O(n²): banded LSH keys
+  *    (minhash/simhash/hyperplane) or salted block joins bound every
+  *    shuffle partition;
+  *  - candidate pairs travel as NARROW (id1, id2) rows — token sets /
+  *    vectors are joined back only after pair-level dedup, so wide
+  *    payloads never pass through the exploded join or the distinct;
+  *  - verification (exact jaccard / cosine / hamming) runs once per
+  *    distinct pair, codegen'd.
   */
 object Dedup {
 
@@ -23,54 +28,85 @@ object Dedup {
   private def tokenSet(textCol: String): Column =
     array_distinct(tokenize_ws(col(textCol)))
 
-  /** L2: exact word-set Jaccard over candidate pairs within explicit
-    * blocks (e.g. language): join key = block columns, so the shuffle
-    * partitions by block and never materializes cross-block pairs. */
+  /** Sorted FNV-64 token-id set: set size and intersections are
+    * identical to the string set (collisions negligible), but the
+    * verify kernel is a codegen'd merge pass instead of generic
+    * string-array intersect/union (~100x cheaper per pair). */
+  private def tokenIdSet(textCol: String): Column =
+    token_id_set(tokenize_ws(col(textCol)))
+
+  private val jacCol: Column =
+    round_portable(jaccard_sorted(col("ids1"), col("ids2")), 4)
+
+  /** Join narrow (id1, id2) candidate pairs back to a feature table and
+    * keep both sides' features. Two hash-partitioned joins on ids —
+    * the only place wide payloads move, once per distinct pair. */
+  private def attachFeatures(pairs: DataFrame, features: DataFrame,
+                             feat: String): DataFrame =
+    pairs
+      .join(features.select(col("id").as("id1"), col(feat).as(s"${feat}1")), "id1")
+      .join(features.select(col("id").as("id2"), col(feat).as(s"${feat}2")), "id2")
+
+  /** L2: exact word-set Jaccard within explicit blocks (e.g. language).
+    * Low-cardinality blocks would serialize the self-join, so each
+    * block is salted into `parallelBuckets` id-buckets and pairs are
+    * generated per bucket-pair cell: parallelism = |blocks| ×
+    * B(B+1)/2 regardless of block count, result set unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], minJaccard: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id") +: tokenSet(textCol).as("toks") +:
+                   blockCols: Seq[String], minJaccard: Double,
+                   parallelBuckets: Int = 16): DataFrame = {
+    val B = parallelBuckets
+    val toks = df.select(col(idCol).as("id") +: tokenIdSet(textCol).as("ids") +:
       blockCols.map(col): _*)
-    val a = toks.as("a")
-    val b = toks.as("b")
+      .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
+    // role by bucket: the smaller-bucket doc is "a"; ties broken by id
+    val a = toks.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))
+      .withColumnRenamed("bkt", "bu").as("a")
+    val b = toks.withColumn("bu", explode(sequence(lit(0), col("bkt"))))
+      .withColumnRenamed("bkt", "bv").as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    a.join(b, blockEq && col("a.id") < col("b.id"))
-      .withColumn("jac",
-        round_portable(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double"), 4))
+    a.join(b, blockEq && col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
+        (col("a.bu") < col("a.bv") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("doc_id1"),
+        greatest(col("a.id"), col("b.id")).as("doc_id2"),
+        col("a.ids").as("ids1"), col("b.ids").as("ids2"))
+      .withColumn("jac", jacCol)
       .filter(col("jac") >= minJaccard)
-      .select(col("a.id").as("doc_id1"), col("b.id").as("doc_id2"), col("jac"))
+      .select("doc_id1", "doc_id2", "jac")
   }
 
-  /** L3: MinHash-LSH near-dup. k-perm signature → `bands` band keys →
-    * candidates share a band bucket (the only shuffle key) → verified
-    * with exact Jaccard. Classic Broder/LSH construction; candidate
-    * count scales with true-duplicate density, not n². */
+  /** L3: MinHash-LSH near-dup. k-perm signature → `bands` band-bucket
+    * keys → narrow candidate pairs → distinct → exact-Jaccard verify.
+    * rows-per-band = k/bands sets selectivity: p(candidate) =
+    * 1-(1-j^rows)^bands — k=64, bands=8 keeps jac≈0.7 collisions ~5%
+    * per band while catching jac≥0.9 with p≈0.99. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 32, bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+                   k: Int = 64, bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"))
+    val docs = df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
+      tokenIdSet(textCol).as("ids"))
+    val banded = docs
       .withColumn("sig", minhash_sig(col("toks"), k))
-    val banded = sigs.select(col("id"), col("toks"),
-      posexplode(array((0 until bands).map(bi =>
+      .select(col("id"), posexplode(array((0 until bands).map(bi =>
         xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_id1"), col("b.id").as("doc_id2"),
-        col("a.toks").as("toks1"), col("b.toks").as("toks2"))
-      .distinct() // a pair may collide in several bands
-      .withColumn("jac",
-        round_portable(size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
-          size(array_union(col("toks1"), col("toks2"))).cast("double"), 4))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    attachFeatures(cand, docs, "ids")
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"),
+        col("ids1"), col("ids2"))
+      .withColumn("jac", jacCol)
       .filter(col("jac") >= minJaccard)
       .select("doc_id1", "doc_id2", "jac")
   }
 
   /** L4: SimHash near-dup. 64-bit fingerprint split into 4 16-bit
     * bands; hamming ≤ 3 pigeonholes into at least one equal band, so
-    * the band join is a complete candidate generator for that radius. */
+    * the band join is a complete candidate generator for that radius.
+    * The fingerprint is 8 bytes — carried through the join directly. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
@@ -79,10 +115,9 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_id1"), col("b.id").as("doc_id2"),
         col("a.fp").as("fp1"), col("b.fp").as("fp2"))
       .distinct()
@@ -93,29 +128,25 @@ object Dedup {
 
   /** L5: embedding near-dup — random-hyperplane cosine LSH in an
     * OR-of-ANDs construction (`bands` bands of `bitsPerBand` sign
-    * bits): candidates collide in ≥1 band, then exact cosine ≥
-    * threshold verifies. Recall at angle θ ≈ 1-(1-(1-θ/π)^r)^b; tune
-    * (bands, bitsPerBand) per similarity target. One shuffle on the
-    * (band, bucket) key — never n². */
+    * bits): narrow candidates collide in ≥1 band, vectors join back
+    * once per distinct pair for exact cosine ≥ threshold. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      bands: Int = 8, bitsPerBand: Int = 4,
                      minCosine: Double = 0.95): DataFrame = {
     val mask = (1L << bitsPerBand) - 1
-    val v = df.select(col(idCol).as("id"),
-      as_double_array(col(vecCol)).as("vec"))
+    val v = df.select(col(idCol).as("id"), as_double_array(col(vecCol)).as("vec"))
+    val banded = v
       .withColumn("sig", hyperplane_lsh(col("vec"), bands * bitsPerBand))
-    val banded = v.select(col("id"), col("vec"),
-      posexplode(array((0 until bands).map(i =>
+      .select(col("id"), posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * bitsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.vec").as("vec1"), col("b.vec").as("vec2"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .withColumn("cos", round(cosine_sim(col("vec1"), col("vec2")), 4))
+    attachFeatures(cand, v, "vec")
+      .withColumn("cos", round_portable(cosine_sim(col("vec1"), col("vec2")), 4))
       .filter(col("cos") >= minCosine)
       .select("id1", "id2", "cos")
   }

@@ -40,7 +40,7 @@ object PipelineQueries {
     // L3: MinHash-LSH candidates verified at Jaccard ≥ 0.9 (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          k = 32, bands = 8, minJaccard = 0.9)
+          k = 64, bands = 8, minJaccard = 0.9)
         .orderBy("doc_id1", "doc_id2")
     },
 

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions._
+
+/** Scratch profiling harness for operator stage costs. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "profile")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val B = 16
+    val toks = d.select(col("doc_id").as("id"),
+        array_distinct(tokenize_ws(col("text"))).as("toks"), col("lang"))
+      .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
+    val a = toks.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))
+      .withColumnRenamed("bkt", "bu").as("a")
+    val b = toks.withColumn("bu", explode(sequence(lit(0), col("bkt"))))
+      .withColumnRenamed("bkt", "bv").as("b")
+    val joined = a.join(b, col("a.lang") === col("b.lang") &&
+      col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
+      (col("a.bu") < col("a.bv") || col("a.id") < col("b.id")))
+
+    time("tokenize only")(toks.count())
+    time("pair join, no arrays")(joined.select(col("a.id"), col("b.id")).count())
+    time("pair join + jac")(joined
+      .withColumn("jac", size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+        size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+      .filter(col("jac") >= 0.9).count())
+
+    spark.stop()
+  }
+}

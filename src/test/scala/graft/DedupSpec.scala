@@ -34,7 +34,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9)
       .select("doc_id1", "doc_id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mh = Dedup.minhashPairs(d, "doc_id", "text", k = 32, bands = 8,
+    val mh = Dedup.minhashPairs(d, "doc_id", "text", k = 64, bands = 8,
         minJaccard = 0.9)
       .select("doc_id1", "doc_id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
