@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SQL-side registration of the engine's native expressions, so
+  * `spark.sql("SELECT simhash64(...) ...")` works next to the Column
+  * API. Install with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *   // or, on a live session: GraftExtensions.install(spark)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("gzip_compress", "gzip_compress(bin) - gzip-compress a binary column") {
+      args => GzipCompress(args.head)
+    },
+    fn("gzip_decompress", "gzip_decompress(bin) - gzip-decompress a binary column") {
+      args => GzipDecompress(args.head)
+    },
+    fn("simhash64", "simhash64(tokens) - 64-bit simhash of a string array") {
+      args => SimHash64(args.head)
+    },
+    fn("minhash_sig", "minhash_sig(tokens, k) - k-perm minhash signature") {
+      args => MinHashSig(args.head, intArg(args(1), "minhash_sig"))
+    },
+    fn("rolling_hash", "rolling_hash(text) - polynomial fingerprint") {
+      args => RollingHash(args.head)
+    },
+    fn("fnv64", "fnv64(text) - FNV-1a 64 hash") {
+      args => Fnv64(args.head)
+    },
+    fn("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted long arrays") {
+      args => JaccardSorted(args.head, args(1))
+    },
+    fn("cosine_sim", "cosine_sim(a, b) - cosine of two double arrays") {
+      args => CosineSim(args.head, args(1))
+    },
+    fn("dot_product", "dot_product(a, b) - dot product of two double arrays") {
+      args => DotProduct(args.head, args(1))
+    },
+    fn("hyperplane_lsh", "hyperplane_lsh(vec, bits) - cosine-LSH bucket id") {
+      args => HyperplaneLsh(args.head, intArg(args(1), "hyperplane_lsh"))
+    })
+
+  /** Register every graft function into a live session's registry —
+    * equivalent to building the session with `withExtensions`. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -33,6 +33,19 @@ object Profile {
 
     time("tokenize only")(toks.count())
     time("pair join, no arrays")(joined.select(col("a.id"), col("b.id")).count())
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    time("agg double sum")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(rev)).count())
+    time("agg decimal38 sum")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(rev.cast("decimal(38,4)"))).count())
+    time("agg decimal18 sum")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(rev.cast("decimal(18,4)"))).count())
+    time("agg long-scaled sum")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(round(rev * 10000).cast("long"))).count())
+    time("agg double sum 2nd")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(rev)).count())
+
     time("pair join + jac")(joined
       .withColumn("jac", size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
         size(array_union(col("a.toks"), col("b.toks"))).cast("double"))

@@ -1,0 +1,45 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("SQL surface: simhash64 / fnv64 / cosine_sim / jaccard_sorted / codecs") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val r = s.sql(
+      """SELECT
+        |  simhash64(array('a','b')) AS sh,
+        |  fnv64('a') AS f,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS js,
+        |  cast(gzip_decompress(gzip_compress(encode('hi', 'UTF-8'))) AS STRING) AS rt,
+        |  hyperplane_lsh(array(1.0d, 2.0d), 8) AS hp,
+        |  minhash_sig(array('a','b'), 4) AS ms,
+        |  rolling_hash('ab') AS rh
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("cs") == 1.0)
+    assert(r.getAs[Double]("js") == 0.5)
+    assert(r.getAs[String]("rt") == "hi")
+    assert(r.getAs[scala.collection.Seq[Long]]("ms").length == 4)
+    // h("ab") = (97*31 + 98) mod 1e9+7
+    assert(r.getAs[Long]("rh") == 97L * 31 + 98)
+    assert(r.getAs[Long]("f") == graft.functions.Kernels.fnv64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+  }
+
+  test("a full dedup query runs in pure SQL") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    s.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .createOrReplaceTempView("docs_ext")
+    val n = s.sql(
+      """SELECT a.doc_id, b.doc_id,
+        |  jaccard_sorted(a.ids, b.ids) AS jac
+        |FROM (SELECT doc_id, array_sort(array_distinct(transform(
+        |        split(text, ' '), t -> fnv64(t)))) AS ids FROM docs_ext) a
+        |JOIN (SELECT doc_id, array_sort(array_distinct(transform(
+        |        split(text, ' '), t -> fnv64(t)))) AS ids FROM docs_ext) b
+        |  ON a.doc_id < b.doc_id
+        |WHERE jaccard_sorted(a.ids, b.ids) >= 0.8""".stripMargin).count()
+    assert(n >= 0) // deterministic; just has to execute end to end
+  }
+}
