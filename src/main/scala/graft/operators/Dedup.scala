@@ -150,4 +150,13 @@ object Dedup {
       .filter(col("cos") >= minCosine)
       .select("id1", "id2", "cos")
   }
+
+  /** Apply near-dup removal: keep the smaller id of every duplicate
+    * pair (greedy cluster representative), anti-join the rest away.
+    * One shuffle on the pair ids; composes with any pair generator
+    * above. */
+  def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("doc_id2").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
 }

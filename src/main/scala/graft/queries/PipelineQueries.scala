@@ -59,6 +59,16 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L2b: apply the dedup - survivors after dropping the larger id of
+    // every jaccard>=0.9 pair (greedy representative selection).
+    "q_dedup_apply" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.removeNearDups(d, "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), minJaccard = 0.9))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // L6: exact brute-force cosine top-5 for a small query set.
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -177,6 +187,20 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    "q_dedup_apply" ->
+      """WITH toksets AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |drops AS (
+        |  SELECT DISTINCT b.doc_id AS drop_id
+        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH v AS (

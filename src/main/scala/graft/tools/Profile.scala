@@ -33,6 +33,17 @@ object Profile {
 
     time("tokenize only")(toks.count())
     time("pair join, no arrays")(joined.select(col("a.id"), col("b.id")).count())
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    time("string_funcs noop")({
+      graft.SparkEntry.queries("q_string_funcs")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(); 0L})
+    time("string_funcs noop 2nd")({
+      graft.SparkEntry.queries("q_string_funcs")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(); 0L})
+    time("string funcs no sort")({part.selectExpr("p_partkey",
+      "upper(p_brand)", "substring(p_name,1,8)", "length(p_name)")
+      .write.format("noop").mode("overwrite").save(); 0L})
+
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     time("agg double sum")(li.groupBy("l_returnflag", "l_linestatus")
