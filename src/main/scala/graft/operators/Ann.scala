@@ -52,4 +52,57 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
   }
+
+  /** L7b: IVF (inverted-file) ANN — the other scale path. A coarse
+    * k-means quantizer is trained with a few DataFrame-only Lloyd
+    * iterations (assignment = broadcast-centroid argmax, update =
+    * exploded per-dimension mean — both shuffle O(n·C) narrow rows).
+    * Each query probes its `nProbe` nearest cells, so per-query cost
+    * is ~nProbe/nClusters of the corpus. Centroids are reusable: at
+    * 100 TB you train once, store the centroid table, and every
+    * search reuses it (a real IVF index).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 2,
+              iters: Int = 2): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+
+    // deterministic seed centroids: the nClusters lowest-id vectors
+    var centroids = v.orderBy("nn_id").limit(nClusters)
+      .select(col("nn_id").cast("int").as("cluster"), col("vec").as("cvec"))
+    // row_number over sim gives each point its best cell(s)
+    def assign(points: DataFrame, cent: DataFrame, n: Int, idC: String): DataFrame = {
+      val w = Window.partitionBy(idC)
+        .orderBy(col("csim").desc, col("cluster").asc)
+      points.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine_sim(col("vec"), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("csim", "crank", "cvec")
+    }
+    (1 to iters).foreach { _ =>
+      centroids = assign(v, centroids, 1, "nn_id")
+        .select(col("cluster"), posexplode(col("vec")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+    }
+
+    val indexed = assign(v, centroids, 1, "nn_id") // (nn_id, vec, cluster)
+    val q = queries.select(col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val probes = assign(q, centroids, nProbe, "query_id")
+      .select(col("query_id"), col("vec").as("q_vec"), col("cluster"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), "cluster")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
 }

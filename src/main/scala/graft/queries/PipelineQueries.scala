@@ -86,6 +86,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L7b: IVF-indexed ANN (k-means coarse quantizer, rows-only;
+    // recall vs brute force measured in AnnSpec).
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, nClusters = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // L8: language ID by marker-stopword scoring, argmax with
     // alphabetical tie-break.
     "q_lang_id" -> { (s, dir) =>

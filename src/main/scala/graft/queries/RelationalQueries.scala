@@ -140,6 +140,36 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // R10b: lag/lead navigation over the event journal.
+    "q_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // R20: batch sessionization (gaps-and-islands) - the oracled twin
+    // of QueueStreaming.sessionize: a 60s event-time silence starts a
+    // new session. ts is Long nanos (see GraftSession).
+    "q_sessionize" -> { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(col("ts") - lag("ts", 1).over(byTime) > 60000000000L, 1L)
+            .when(lag("ts", 1).over(byTime).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          floor((max("ts") - min("ts")) / 1000000.0).as("duration_ms"))
+        .orderBy("user_id", "sess_id")
+    },
+
     // R11: rollup hierarchy totals.
     "q_rollup" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -220,6 +250,19 @@ object RelationalQueries {
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
           length(col("p_name")).cast("long").as("name_len"))
         .orderBy("p_partkey")
+    },
+
+    // R3b/R17b: sketch-based approximations (HLL count-distinct,
+    // quantile sketch) - the constant-memory path for 100 TB aggs
+    // (rows-only: sketch internals are engine-specific; error bounds
+    // asserted in SketchSpec).
+    "q_approx_sketch" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
     },
 
     // R19: correlated-EXISTS aggregate (semi join + agg).
@@ -306,6 +349,35 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  value - LAG(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
+        |           THEN 1
+        |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, value, tns,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+        |  CAST(FLOOR((MAX(tns) - MIN(tns)) / 1000000.0) AS BIGINT) AS duration_ms
+        |FROM sessions GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,

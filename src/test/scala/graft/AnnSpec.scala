@@ -38,4 +38,17 @@ class AnnSpec extends SparkSpec {
     val hit = lsh.count { case (q, n, _) => bfMap.contains((q, n)) }
     assert(hit > 0)
   }
+
+  test("ivf probes beat or match single-bucket lsh recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nClusters = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.3, s"ivf recall $recall unexpectedly low")
+  }
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  test("HLL count-distinct is within its error bound of exact") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val joined = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e <= 0.10, s"HLL off by ${math.abs(a - e) / e}")
+    }
+  }
+
+  test("approx percentile is within 5% of exact at accuracy 1000") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val r = ev.agg(
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"),
+      expr("percentile(value, 0.5)").as("exact")).collect().head
+    val (a, e) = (r.getAs[Double]("approx"), r.getAs[Double]("exact"))
+    assert(math.abs(a - e) / math.max(e, 1e-9) <= 0.05)
+  }
+}
