@@ -46,7 +46,8 @@ class ParquetQueue(
     spark: SparkSession,
     val root: String,
     val schema: GraftSchema,
-    val capacity: Long = Long.MaxValue) {
+    val capacity: Long = Long.MaxValue,
+    val codec: String = "snappy") {
 
   private val dataDir = s"$root/data"
   private val metaDir = Paths.get(root, "_meta")
@@ -87,7 +88,10 @@ class ParquetQueue(
     val out = spark.createDataFrame(rdd, envelope)
     val n = out.count() // rdd is cheap to recompute; count before commit
     if (n > 0) {
-      out.write.mode("errorifexists").parquet(s"$dataDir/batch=$first")
+      // per-segment codec = the reference's per-entry Codec (PLAIN/GZIP)
+      // generalized: parquet page compression (snappy/gzip/zstd/none)
+      out.write.mode("errorifexists").option("compression", codec)
+        .parquet(s"$dataDir/batch=$first")
       commitHighwater(first + n)
     }
     n

@@ -57,6 +57,27 @@ object QueueDemo {
 
     q.dispose()
     println("disposed_diskSpace=" + q.diskSpace)
+
+    // torn write: segment on disk without a highwater commit is invisible
+    val tornDir = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val qt = new ParquetQueue(spark, tornDir, schema)
+    qt.push(Seq((1L, "committed")).toDF("id", "text"))
+    Seq((99L, "torn")).toDF("id", "text")
+      .selectExpr("CAST(1 AS BIGINT) seq", "CAST(0 AS BIGINT) enq_ts",
+        "CAST(-1 AS BIGINT) lifetime_ms", "id", "text")
+      .write.parquet(tornDir + "/data/batch=1")
+    println("torn_size=" + qt.size() + " torn_pop=" + qt.pop(10).mkString(";"))
+    qt.dispose()
+
+    // per-segment codec: gzip queue round-trips, files carry .gz marker
+    val gzDir = java.nio.file.Files.createTempDirectory("graft-gz").toString
+    val qz = new ParquetQueue(spark, gzDir, schema, codec = "gzip")
+    qz.push(Seq((1L, "x" * 500)).toDF("id", "text"))
+    val gzFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(gzDir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    println("gzip_pop_len=" + qz.pop(1).map(_.getString(1).length).mkString +
+      " gzip_files=" + gzFiles.count(_.contains(".gz.")) + "/" + gzFiles.length)
+    qz.dispose()
     spark.stop()
   }
 }
