@@ -106,6 +106,21 @@ class ParquetQueue(
     else { push(df, lifetimeMs); true }
   }
 
+  /** pushAll semantics (reference Queue.scala:216): accept as many
+    * entries as capacity permits, in `orderCols` order, and report how
+    * many were accepted — the caller retries the remainder. */
+  def pushAll(df: DataFrame, orderCols: Seq[String],
+              consumer: String = "default", lifetimeMs: Long = -1L): Long = {
+    val room = capacity - (highwater - offsetOf(consumer))
+    if (room <= 0) 0L
+    else {
+      val permitted =
+        if (room >= df.count()) df
+        else df.orderBy(orderCols.map(col): _*).limit(room.toInt)
+      push(permitted, lifetimeMs)
+    }
+  }
+
   private def offsetFile(consumer: String): Path = metaDir.resolve(s"offset-$consumer")
 
   def offsetOf(consumer: String): Long = {

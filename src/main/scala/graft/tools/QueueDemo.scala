@@ -69,6 +69,18 @@ object QueueDemo {
     println("torn_size=" + qt.size() + " torn_pop=" + qt.pop(10).mkString(";"))
     qt.dispose()
 
+    // pushAll: capacity-limited ordered accept, caller retries the rest
+    val paDir = java.nio.file.Files.createTempDirectory("graft-pa").toString
+    val qp = new ParquetQueue(spark, paDir, schema, capacity = 3)
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+    println("pushAll_1=" + qp.pushAll(batch, orderCols = Seq("id")))
+    println("pushAll_drained=" + qp.pop(10).map(_.getLong(0)).mkString(","))
+    println("pushAll_2=" + qp.pushAll(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "text"), Seq("id")))
+    println("pushAll_full=" + qp.pushAll(batch.limit(0), Seq("id")))
+    qp.dispose()
+
     // per-segment codec: gzip queue round-trips, files carry .gz marker
     val gzDir = java.nio.file.Files.createTempDirectory("graft-gz").toString
     val qz = new ParquetQueue(spark, gzDir, schema, codec = "gzip")

@@ -115,4 +115,16 @@ class QueueSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(".gz.")))
     q.dispose()
   }
+
+  test("pushAll accepts up to capacity in order, reports the count") {
+    val q = fresh(capacity = 3)
+    val n1 = q.pushAll(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text"), orderCols = Seq("id"))
+    assert(n1 == 3)
+    assert(q.pop(1).map(_.getLong(0)) == Seq(1L)) // frees one slot
+    val n2 = q.pushAll(Seq((4L, "d"), (5L, "e")).toDF("id", "text"), Seq("id"))
+    assert(n2 == 1)
+    assert(q.pop(10).map(_.getLong(0)) == Seq(2L, 3L, 4L))
+    q.dispose()
+  }
 }
