@@ -64,6 +64,12 @@ package object functions {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
+  // ---- scrubbing (PII-style masking; RE2/Java-portable patterns) ----
+  def redact_numbers(text: Column): Column =
+    regexp_replace(text, "[0-9]+", "<NUM>")
+  def mask_emails(text: Column): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>")
+
   // ---- text quality (reference-free LLM-pipeline scoring) ----
   def punct_count(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

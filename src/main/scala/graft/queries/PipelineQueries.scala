@@ -135,6 +135,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L13: scrubbing - digit-run redaction over the event payloads
+    // (the PII-masking shape: pattern rewrite + grouped accounting).
+    "q_text_redact" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(redact_numbers(col("props")).as("redacted"))
+        .groupBy("redacted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("redacted")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -256,6 +266,16 @@ object PipelineQueries {
         |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
         |    * 10000 + 0.5) / 10000 >= 0.5) AS keep
         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

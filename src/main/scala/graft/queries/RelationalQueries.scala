@@ -181,6 +181,17 @@ object RelationalQueries {
         .orderBy("rf", "ls")
     },
 
+    // R11b: cube - all grouping-set combinations.
+    "q_cube" -> { (s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_mod0"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("user_mod0"), lit(-1L)).as("user_mod"),
+          col("cnt"), col("sum_value"))
+        .orderBy("etype", "user_mod")
+    },
+
     // R12: conditional aggregation.
     "q_case_agg" -> { (s, dir) =>
       t(s, dir, "events")
@@ -385,6 +396,22 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |  COALESCE(user_id % 10, -1) AS user_mod,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY etype, user_mod""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |  COALESCE(user_id % 10, -1) AS user_mod,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY etype, user_mod""".stripMargin,
 
     "q_case_agg" ->
       """SELECT user_id,
