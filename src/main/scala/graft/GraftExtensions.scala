@@ -61,6 +61,15 @@ object GraftExtensions {
     },
     fn("hyperplane_lsh", "hyperplane_lsh(vec, bits) - cosine-LSH bucket id") {
       args => HyperplaneLsh(args.head, intArg(args(1), "hyperplane_lsh"))
+    },
+    fn("nearest_centroid", "nearest_centroid(vec, centroids) - argmax-cosine cell id") {
+      args => NearestCentroid(args.head, args(1))
+    },
+    fn("top_centroids", "top_centroids(vec, centroids, n) - top-n cell ids by cosine") {
+      args => TopCentroids(args.head, args(1), intArg(args(2), "top_centroids"))
+    },
+    fn("vector_sum", "vector_sum(vec) - elementwise sum aggregate of double arrays") {
+      args => VectorSum(args.head).toAggregateExpression()
     })
 
   /** Register every graft function into a live session's registry —

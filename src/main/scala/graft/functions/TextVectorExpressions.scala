@@ -124,6 +124,48 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
   }
 
+  /** Index of the max-cosine centroid (ties → lowest index) — the
+    * map-side IVF cell assignment: one call per row against a small
+    * literal centroid table, zero shuffle. */
+  def nearestCentroid(vec: ArrayData, cents: ArrayData): Int = {
+    val n = cents.numElements()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val s = cosine(vec, cents.getArray(i))
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Top-n centroid indices by cosine (desc, index-asc ties) — the
+    * query-side nProbe cell selection. Selection scan: C is small. */
+  def topCentroids(vec: ArrayData, cents: ArrayData, nProbe: Int): ArrayData = {
+    val n = cents.numElements()
+    val sims = new Array[Double](n)
+    var i = 0
+    while (i < n) { sims(i) = cosine(vec, cents.getArray(i)); i += 1 }
+    val k = math.min(nProbe, n)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign bits against k pseudo-random hyperplanes (splitmix64-derived,
     * component weights in [-1,1)) — random-hyperplane LSH bucket id. */
   def hyperplaneLsh(a: ArrayData, k: Int): Long = {
@@ -203,6 +245,34 @@ case class HyperplaneLsh(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneLsh($c, $k)")
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** Map-side IVF cell assignment: argmax-cosine centroid index of `left`
+  * (array<double>) against `right`, a small literal/broadcast
+  * array<array<double>> centroid table. */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.nearestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.nearestCentroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+}
+
+/** Query-side nProbe cell selection: top-`nProbe` centroid indices of
+  * `left` against the centroid table `right`, by cosine desc. */
+case class TopCentroids(left: Expression, right: Expression, nProbe: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.topCentroids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroids($a, $b, $nProbe)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroids =
+    copy(left = l, right = r)
 }
 
 case class Fnv64(child: Expression) extends UnaryExpression {

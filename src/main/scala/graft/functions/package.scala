@@ -33,6 +33,12 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column = col2(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
   def hyperplane_lsh(v: Column, bits: Int): Column = col2(HyperplaneLsh(ex(v), bits))
+  def nearest_centroid(v: Column, cents: Column): Column =
+    col2(NearestCentroid(ex(v), ex(cents)))
+  def top_centroids(v: Column, cents: Column, nProbe: Int): Column =
+    col2(TopCentroids(ex(v), ex(cents), nProbe))
+  /** Elementwise vector-sum aggregate (map-side partial agg). */
+  def vector_sum(v: Column): Column = col2(VectorSum(ex(v)).toAggregateExpression())
   def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
   def as_double_array(v: Column): Column = transform(v, _.cast("double"))
 

@@ -53,48 +53,59 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
-  /** L7b: IVF (inverted-file) ANN — the other scale path. A coarse
-    * k-means quantizer is trained with a few DataFrame-only Lloyd
-    * iterations (assignment = broadcast-centroid argmax, update =
-    * exploded per-dimension mean — both shuffle O(n·C) narrow rows).
-    * Each query probes its `nProbe` nearest cells, so per-query cost
-    * is ~nProbe/nClusters of the corpus. Centroids are reusable: at
-    * 100 TB you train once, store the centroid table, and every
-    * search reuses it (a real IVF index).
+  /** L7b: IVF (inverted-file) ANN — the other scale path. The coarse
+    * k-means quantizer is trained on a deterministic hash-sample of the
+    * corpus (bounded training work at any corpus size — the faiss
+    * recipe). Each Lloyd iteration is: map-side cell assignment via the
+    * codegen'd `nearest_centroid` against a literal centroid table
+    * (zero shuffle), then a `vector_sum` native aggregate whose partial
+    * aggregation ships one partial sum per (partition, cluster) — C
+    * rows through the shuffle, never n·C or n·d. The trained centroid
+    * table is driver-resident (C·d doubles, tiny) and would be a
+    * persisted index table at 100 TB: train once, reuse every search.
+    * Each query probes its `nProbe` nearest cells, so per-query scan
+    * cost is ~nProbe/nClusters of the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 2,
-              iters: Int = 2): DataFrame = {
+              iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {
     val v = corpus.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("vec"))
 
-    // deterministic seed centroids: the nClusters lowest-id vectors
-    var centroids = v.orderBy("nn_id").limit(nClusters)
-      .select(col("nn_id").cast("int").as("cluster"), col("vec").as("cvec"))
-    // row_number over sim gives each point its best cell(s)
-    def assign(points: DataFrame, cent: DataFrame, n: Int, idC: String): DataFrame = {
-      val w = Window.partitionBy(idC)
-        .orderBy(col("csim").desc, col("cluster").asc)
-      points.crossJoin(broadcast(cent))
-        .withColumn("csim", cosine_sim(col("vec"), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("csim", "crank", "cvec")
-    }
+    // deterministic hash-sample for training (scan-prunable, no RNG
+    // state to coordinate); falls back to the full corpus when tiny
+    val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
+    val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
+
+    // seed centroids: lowest-id sampled vectors (deterministic)
+    var seed = train.orderBy("nn_id").limit(nClusters).select("vec").collect()
+    if (seed.length < nClusters)
+      seed = v.orderBy("nn_id").limit(nClusters).select("vec").collect()
+    var cents: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+
     (1 to iters).foreach { _ =>
-      centroids = assign(v, centroids, 1, "nn_id")
-        .select(col("cluster"), posexplode(col("vec")))
-        .groupBy("cluster", "pos").agg(avg("col").as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cvec"))
+      val sums = train
+        .groupBy(nearest_centroid(col("vec"), centsLit).as("cluster"))
+        .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(c) = s.map(_ / n).toArray
+      }
+      cents = next
     }
 
-    val indexed = assign(v, centroids, 1, "nn_id") // (nn_id, vec, cluster)
+    // index build: map-only cell assignment (reusable, like the
+    // centroids — at scale this is a write-once partitioned table)
+    val indexed = v.withColumn("cluster", nearest_centroid(col("vec"), centsLit))
     val q = queries.select(col(idCol).as("query_id"),
-      as_double_array(col(vecCol)).as("vec"))
-    val probes = assign(q, centroids, nProbe, "query_id")
-      .select(col("query_id"), col("vec").as("q_vec"), col("cluster"))
+      as_double_array(col(vecCol)).as("q_vec"))
+    val probes = q.withColumn("cluster",
+      explode(top_centroids(col("q_vec"), centsLit, nProbe)))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)

@@ -272,11 +272,6 @@ object PipelineQueries {
         |  COUNT(*) AS n
         |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
 
-    "q_text_redact" ->
-      """SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
-        |  COUNT(*) AS n
-        |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
-
     "q_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_ws_tokens,

@@ -38,16 +38,15 @@ object QueueQueries {
     },
 
     // C9: Publisher.latest per key — the newest entry survives even
-    // after full consumption; argmax via broadcast self-join.
+    // after full consumption. Single map-side-combinable aggregation
+    // (max_by on the unique seq): one shuffle, no join, no broadcast
+    // of a table that grows with key cardinality.
     "q_queue_latest" -> { (s, dir) =>
-      val ev = t(s, dir, "events").as("e")
-      val last = t(s, dir, "events").groupBy("user_id")
-        .agg(max("event_id").as("last_seq")).as("s")
-      ev.join(broadcast(last),
-          col("e.event_id") === col("s.last_seq") &&
-            col("e.user_id") === col("s.user_id"))
-        .select(col("e.user_id"), col("s.last_seq"),
-          col("e.event_type").as("last_type"), col("e.value").as("last_value"))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max("event_id").as("last_seq"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max_by(col("value"), col("event_id")).as("last_value"))
         .orderBy("user_id")
     },
 

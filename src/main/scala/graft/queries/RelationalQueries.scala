@@ -55,10 +55,13 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
-    // R4: fact-dim join; orders side is the smaller one → broadcast.
+    // R4: fact-fact join on the order key. Orders grows with the data, so
+    // it must NOT be broadcast (driver/executor OOM at scale); AQE picks a
+    // shuffled hash/sort-merge join on l_orderkey. Explicit broadcast is
+    // reserved for true fixed-size dims (see q_join_multi).
     "q_join_broadcast" -> { (s, dir) =>
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "orders")),
+        .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
@@ -381,8 +384,8 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
         |sessions AS (
         |  SELECT user_id, event_id, value, tns,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
@@ -396,14 +399,6 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
-
-    "q_cube" ->
-      """SELECT COALESCE(event_type, 'ALL') AS etype,
-        |  COALESCE(user_id % 10, -1) AS user_mod,
-        |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY CUBE(event_type, user_id % 10)
-        |ORDER BY etype, user_mod""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(event_type, 'ALL') AS etype,

@@ -44,11 +44,13 @@ class AnnSpec extends SparkSpec {
     val q = e.filter(col("vec_id") < 20)
     val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    // tiny corpus: train on all of it (trainFraction=1 exercises the
+    // same sampled-training path with pct=100)
     val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 5,
-        nClusters = 8, nProbe = 4).collect()
+        nClusters = 8, nProbe = 4, iters = 3, trainFraction = 1.0).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(ivf.nonEmpty)
-    assert(recall >= 0.3, s"ivf recall $recall unexpectedly low")
+    assert(recall >= 0.8, s"ivf recall $recall below gate")
   }
 }
