@@ -7,6 +7,7 @@ import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.schema.GraftSchema
 
@@ -55,6 +56,18 @@ class ParquetQueue(
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(dataDir))
 
+  /** Closed flag (reference Queue.scala:139-146): close() is
+    * idempotent; data operations on a closed queue throw. Data is left
+    * durable on disk — reopen by constructing a new ParquetQueue. */
+  @volatile private var closed = false
+
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException(s"queue $root is closed")
+
+  def isClosed: Boolean = closed
+
+  def close(): Unit = { closed = true }
+
   private val envelope: StructType = StructType(
     StructField("seq", LongType, nullable = false) ::
     StructField("enq_ts", LongType, nullable = false) ::
@@ -74,36 +87,72 @@ class ParquetQueue(
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append a batch. Sequence numbers are assigned per-partition from a
-    * counted offset table (classic zipWithIndex two-pass) — no global
-    * shuffle, scales to any batch size. Returns the number pushed.
+  /** Append a batch (the journal-append primitive, unbounded like the
+    * reference's `JournaledFile.push`; the capacity-honoring publisher
+    * API is [[tryPush]]/[[pushWait]]). Sequence numbers are assigned
+    * per-partition from a counted offset table (classic zipWithIndex
+    * two-pass) — no global shuffle, scales to any batch size. The
+    * validated payload is persisted for the duration of the push so the
+    * source is computed exactly once (a non-deterministic source can't
+    * disagree between the count and the written rows). Returns the
+    * number pushed.
     */
   def push(df: DataFrame, lifetimeMs: Long = -1L,
            nowMs: Long = System.currentTimeMillis()): Long = {
-    val payload = schema.validate(df)
-    val first = highwater
-    val rdd = payload.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq((first + i) +: nowMs +: lifetimeMs +: row.toSeq)
-    }
-    val out = spark.createDataFrame(rdd, envelope)
-    val n = out.count() // rdd is cheap to recompute; count before commit
-    if (n > 0) {
-      // per-segment codec = the reference's per-entry Codec (PLAIN/GZIP)
-      // generalized: parquet page compression (snappy/gzip/zstd/none)
-      out.write.mode("errorifexists").option("compression", codec)
-        .parquet(s"$dataDir/batch=$first")
-      commitHighwater(first + n)
-    }
-    n
+    ensureOpen()
+    val payload = schema.validate(df).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = highwater
+      val n = payload.count() // materializes the cache; one source pass
+      if (n > 0) {
+        val rdd = payload.rdd.zipWithIndex().map { case (row, i) =>
+          Row.fromSeq((first + i) +: nowMs +: lifetimeMs +: row.toSeq)
+        }
+        // per-segment codec = the reference's per-entry Codec (PLAIN/GZIP)
+        // generalized: parquet page compression (snappy/gzip/zstd/none)
+        spark.createDataFrame(rdd, envelope)
+          .write.mode("errorifexists").option("compression", codec)
+          .parquet(s"$dataDir/batch=$first")
+        commitHighwater(first + n)
+      }
+      n
+    } finally payload.unpersist()
   }
 
   /** tryPush semantics (reference Queue.scala:152): refuse when the
     * unconsumed backlog for `consumer` has reached capacity. */
   def tryPush(df: DataFrame, consumer: String = "default",
               lifetimeMs: Long = -1L): Boolean = {
+    ensureOpen()
     val n = df.count()
     if (highwater - offsetOf(consumer) + n > capacity) false
     else { push(df, lifetimeMs); true }
+  }
+
+  /** Blocking publisher push (reference Queue.scala:186-206): when the
+    * unconsumed backlog is at capacity, poll until room frees up (the
+    * capacity check is a metadata read — no Spark job per poll) or
+    * `timeoutMs` elapses. Negative timeout waits forever. Returns
+    * whether the batch was accepted. */
+  def pushWait(df: DataFrame, timeoutMs: Long = -1L,
+               consumer: String = "default", lifetimeMs: Long = -1L,
+               pollMs: Long = 200L): Boolean = {
+    val t0 = System.nanoTime()
+    val payload = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = payload.count()
+      while (true) {
+        ensureOpen()
+        if (highwater - offsetOf(consumer) + n <= capacity) {
+          push(payload, lifetimeMs)
+          return true
+        }
+        if (timeoutMs >= 0 && (System.nanoTime() - t0) / 1000000L >= timeoutMs)
+          return false
+        Thread.sleep(pollMs)
+      }
+      false
+    } finally payload.unpersist()
   }
 
   /** pushAll semantics (reference Queue.scala:216): accept as many
@@ -111,6 +160,7 @@ class ParquetQueue(
     * many were accepted — the caller retries the remainder. */
   def pushAll(df: DataFrame, orderCols: Seq[String],
               consumer: String = "default", lifetimeMs: Long = -1L): Long = {
+    ensureOpen()
     val room = capacity - (highwater - offsetOf(consumer))
     if (room <= 0) 0L
     else {
@@ -179,6 +229,7 @@ class ParquetQueue(
     * expired), returns payload rows in seq order. */
   def pop(n: Int, consumer: String = "default",
           nowMs: Long = System.currentTimeMillis()): Seq[Row] = {
+    ensureOpen()
     val off = offsetOf(consumer)
     if (off >= highwater) return Seq.empty
     val taken = journal
@@ -197,10 +248,85 @@ class ParquetQueue(
       .map(r => Row.fromSeq(r.toSeq.drop(3).dropRight(1))) // strip envelope+batch
   }
 
+  /** Blocking subscriber pop (reference Queue.scala:266-293): when the
+    * queue is empty, poll the highwater metadata (cheap file read — no
+    * Spark job fires until data actually arrives) until entries show up
+    * or `timeoutMs` elapses. Negative timeout waits forever; timeout
+    * yields an empty batch (the reference's `None`). */
+  def popWait(n: Int, timeoutMs: Long = -1L, consumer: String = "default",
+              pollMs: Long = 200L): Seq[Row] = {
+    val t0 = System.nanoTime()
+    while (true) {
+      ensureOpen()
+      if (size(consumer) > 0) return pop(n, consumer)
+      if (timeoutMs >= 0 && (System.nanoTime() - t0) / 1000000L >= timeoutMs)
+        return Seq.empty
+      Thread.sleep(pollMs)
+    }
+    Seq.empty
+  }
+
+  /** Consume-with-error-permits (reference JournaledFile.scala:182-229,
+    * `pop(errorPermitCount)`): feed up to `n` pending entries one at a
+    * time through `f` in seq order, committing the offset after each, so
+    * a crash re-delivers only the in-flight entry (at-least-once). An
+    * entry that still throws after `errorPermit` attempts is quarantined
+    * — its seq is appended to `_meta/quarantine-<consumer>` for audit —
+    * and the queue advances past it instead of wedging. Expired entries
+    * are skipped. Returns the results of the successful applications. */
+  def consume[T](n: Int, consumer: String = "default", errorPermit: Int = 3,
+                 nowMs: Long = System.currentTimeMillis())(f: Row => T): Seq[T] = {
+    ensureOpen()
+    val off = offsetOf(consumer)
+    if (off >= highwater) return Seq.empty
+    val taken = journal
+      .filter(col("seq") >= off)
+      .orderBy("seq")
+      .limit(n)
+      .collect()
+      .toSeq
+    val out = Seq.newBuilder[T]
+    taken.foreach { r =>
+      val seq = r.getAs[Long]("seq")
+      val lt = r.getAs[Long]("lifetime_ms")
+      val live = lt < 0 || r.getAs[Long]("enq_ts") + lt > nowMs
+      if (live) {
+        val payload = Row.fromSeq(r.toSeq.drop(3).dropRight(1))
+        var attempts = 0
+        var done = false
+        var lastErr: Throwable = null
+        while (!done && attempts < math.max(1, errorPermit)) {
+          try { out += f(payload); done = true }
+          catch { case e: Exception => lastErr = e; attempts += 1 }
+        }
+        if (!done) quarantine(consumer, seq, lastErr)
+      }
+      commitOffset(consumer, seq + 1)
+    }
+    out.result()
+  }
+
+  private def quarantine(consumer: String, seq: Long, err: Throwable): Unit = {
+    val line = s"$seq\t${Option(err).map(_.toString).getOrElse("")}\n"
+    Files.write(metaDir.resolve(s"quarantine-$consumer"),
+      line.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Seqs quarantined for `consumer` by [[consume]]. */
+  def quarantined(consumer: String = "default"): Seq[Long] = {
+    val f = metaDir.resolve(s"quarantine-$consumer")
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map(_.split("\t")(0).toLong).toSeq
+  }
+
   /** The most recently pushed entry — survives full consumption, like
     * the reference's `Publisher.latest` (Queue.scala:248): offsets
     * advance but segments are retained. Prunes to the last batch. */
   def latest: Option[Row] = {
+    ensureOpen()
     if (!hasData) return None
     val hw = highwater
     journal.filter(col("seq") === (hw - 1)).collect().headOption
@@ -217,8 +343,10 @@ class ParquetQueue(
       .option("maxFilesPerTrigger", maxBatchesPerTrigger)
       .parquet(dataDir)
 
-  /** Drop everything (reference dispose, Queue.scala:134). */
+  /** Drop everything; implicitly closes first (reference dispose,
+    * Queue.scala:148-156). */
   def dispose(): Unit = {
+    close()
     val p = Paths.get(root)
     if (Files.exists(p)) {
       val s = Files.walk(p)

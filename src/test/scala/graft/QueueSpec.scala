@@ -116,6 +116,97 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("popWait blocks until a concurrent push arrives") {
+    val q = fresh()
+    val pusher = new Thread(() => {
+      Thread.sleep(400)
+      q.push(Seq((1L, "late")).toDF("id", "text"))
+    })
+    pusher.start()
+    val t0 = System.nanoTime()
+    val got = q.popWait(10, timeoutMs = 30000, pollMs = 50)
+    pusher.join()
+    assert(got.map(_.getString(1)) == Seq("late"))
+    assert((System.nanoTime() - t0) / 1000000L >= 300, "pop returned before data existed")
+    // empty queue + short timeout -> empty result after the wait
+    val t1 = System.nanoTime()
+    assert(q.popWait(1, timeoutMs = 200, pollMs = 50).isEmpty)
+    assert((System.nanoTime() - t1) / 1000000L >= 200)
+    q.dispose()
+  }
+
+  test("pushWait times out at capacity, succeeds once a pop frees room") {
+    val q = fresh(capacity = 2)
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    // full: bounded wait fails without overfilling
+    assert(!q.pushWait(Seq((3L, "c")).toDF("id", "text"), timeoutMs = 300, pollMs = 50))
+    assert(q.size() == 2)
+    // a concurrent consumer frees a slot mid-wait
+    val popper = new Thread(() => { Thread.sleep(400); q.pop(1) })
+    popper.start()
+    assert(q.pushWait(Seq((3L, "c")).toDF("id", "text"), timeoutMs = 30000, pollMs = 50))
+    popper.join()
+    assert(q.pop(10).map(_.getLong(0)) == Seq(2L, 3L))
+    q.dispose()
+  }
+
+  test("operations after close throw; close is idempotent") {
+    val q = fresh()
+    q.push(Seq((1L, "a")).toDF("id", "text"))
+    q.close()
+    q.close()
+    assert(q.isClosed)
+    intercept[IllegalStateException](q.push(Seq((2L, "b")).toDF("id", "text")))
+    intercept[IllegalStateException](q.pop(1))
+    intercept[IllegalStateException](q.latest)
+    intercept[IllegalStateException](q.popWait(1, timeoutMs = 100))
+    // data remains durable: a reopened handle serves it
+    val q2 = new ParquetQueue(spark, q.root, schema)
+    assert(q2.pop(1).map(_.getString(1)) == Seq("a"))
+    q2.dispose()
+  }
+
+  test("consume quarantines a poison entry after errorPermit attempts and drains") {
+    val q = fresh()
+    q.push(Seq((1L, "ok1"), (2L, "poison"), (3L, "ok2")).toDF("id", "text"))
+    var poisonAttempts = 0
+    val got = q.consume[Long](10, errorPermit = 3) { row =>
+      if (row.getString(1) == "poison") {
+        poisonAttempts += 1
+        throw new RuntimeException("boom")
+      }
+      row.getLong(0)
+    }
+    assert(got == Seq(1L, 3L), "healthy entries processed in order")
+    assert(poisonAttempts == 3, "poison entry retried exactly errorPermit times")
+    assert(q.quarantined() == Seq(1L), "poison seq recorded") // seq 1 = second row
+    assert(q.isEmpty(), "offset advanced past the poison entry")
+    // a later consume doesn't re-serve the quarantined entry
+    assert(q.consume[Long](10)(_.getLong(0)).isEmpty)
+    q.dispose()
+  }
+
+  test("consume commits per entry: a crash mid-batch re-delivers only the tail") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"))
+    // a hard crash (Error, not Exception) escapes the permit loop and
+    // aborts the batch before the in-flight entry's offset commit
+    class Crash extends Error("process died")
+    val seen = scala.collection.mutable.Buffer[Long]()
+    intercept[Crash] {
+      q.consume[Unit](10) { row =>
+        if (row.getLong(0) == 2L) throw new Crash
+        seen += row.getLong(0)
+      }
+    }
+    assert(seen.toSeq == Seq(1L), "only the first entry completed")
+    assert(q.size() == 2, "offset committed past entry 1 only")
+    // the restarted consumer re-delivers the in-flight entry and the tail
+    assert(q.consume[Long](10)(_.getLong(0)) == Seq(2L, 3L))
+    assert(q.isEmpty())
+    q.dispose()
+  }
+
   test("pushAll accepts up to capacity in order, reports the count") {
     val q = fresh(capacity = 3)
     val n1 = q.pushAll(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
