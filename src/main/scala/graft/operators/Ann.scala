@@ -73,31 +73,37 @@ object Ann {
       as_double_array(col(vecCol)).as("vec"))
 
     // deterministic hash-sample for training (scan-prunable, no RNG
-    // state to coordinate); falls back to the full corpus when tiny
+    // state to coordinate); falls back to the full corpus when tiny.
+    // The sample is bounded by design, so it's persisted for the Lloyd
+    // loop — training touches the full corpus parquet exactly once.
     val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
     val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // seed centroids: lowest-id sampled vectors (deterministic)
-    var seed = train.orderBy("nn_id").limit(nClusters).select("vec").collect()
-    if (seed.length < nClusters)
-      seed = v.orderBy("nn_id").limit(nClusters).select("vec").collect()
-    var cents: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
+    val cents: Array[Array[Double]] =
+      try {
+        // seed centroids: lowest-id sampled vectors (deterministic)
+        var seed = train.orderBy("nn_id").limit(nClusters).select("vec").collect()
+        if (seed.length < nClusters)
+          seed = v.orderBy("nn_id").limit(nClusters).select("vec").collect()
+        var cs: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
+        (1 to iters).foreach { _ =>
+          val sums = train
+            .groupBy(nearest_centroid(col("vec"), typedLit(cs.map(_.toSeq).toSeq)).as("cluster"))
+            .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
+            .collect()
+          val next = cs.map(_.clone()) // empty cells keep their centroid
+          sums.foreach { r =>
+            val c = r.getInt(0)
+            val s = r.getSeq[Double](1)
+            val n = r.getLong(2).toDouble
+            next(c) = s.map(_ / n).toArray
+          }
+          cs = next
+        }
+        cs
+      } finally train.unpersist()
     def centsLit = typedLit(cents.map(_.toSeq).toSeq)
-
-    (1 to iters).foreach { _ =>
-      val sums = train
-        .groupBy(nearest_centroid(col("vec"), centsLit).as("cluster"))
-        .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
-        .collect()
-      val next = cents.map(_.clone()) // empty cells keep their centroid
-      sums.foreach { r =>
-        val c = r.getInt(0)
-        val s = r.getSeq[Double](1)
-        val n = r.getLong(2).toDouble
-        next(c) = s.map(_ / n).toArray
-      }
-      cents = next
-    }
 
     // index build: map-only cell assignment (reusable, like the
     // centroids — at scale this is a write-once partitioned table)

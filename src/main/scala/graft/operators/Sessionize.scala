@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gaps-and-islands sessionization (SURVEY.md §2 R20), in two shapes:
+  *
+  *  - [[plain]]: the textbook two-window formulation. Correct, but a
+  *    window partitioned by user alone serializes a hot key: one user
+  *    with 50% of the events means one task sorts half the table.
+  *  - [[salted]]: the skew-resistant formulation. Events are windowed
+  *    inside `(user, timeBucket)` partitions — a hot user's events
+  *    spread across buckets, so no task ever sees more than one
+  *    bucket's worth. Cross-bucket session stitching happens on a
+  *    per-(user, bucket) summary table (one narrow row per non-empty
+  *    bucket), which is joined back by `(user, bucket)` — a key that
+  *    stays well-distributed even when `user` alone is hot.
+  *
+  * Both produce identical session ids (verified by a shared DuckDB
+  * oracle and SessionizeSpec), so the salted plan is a drop-in.
+  */
+object Sessionize {
+
+  /** Per-session aggregate rows `(user, sess_id, n_events, sum_value,
+    * duration_ms)` — the shared output contract of both shapes.
+    * `tsCol` is event-time in nanos (Long). */
+  private def finish(withSess: DataFrame, userCol: String): DataFrame = {
+    import graft.queries.RelationalQueries.dsum
+    withSess
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        floor((max("ts") - min("ts")) / 1000000.0).as("duration_ms"))
+      .orderBy(userCol, "sess_id")
+  }
+
+  /** Textbook formulation: lag + running sum over a per-user window. */
+  def plain(events: DataFrame, userCol: String, gapNs: Long): DataFrame = {
+    val byTime = Window.partitionBy(userCol).orderBy("ts", "event_id")
+    val run = Window.partitionBy(userCol).orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = events
+      .withColumn("new_sess",
+        when(col("ts") - lag("ts", 1).over(byTime) > gapNs, 1L)
+          .when(lag("ts", 1).over(byTime).isNull, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(run))
+    finish(withSess, userCol)
+  }
+
+  /** Skew-resistant formulation. `bucketNs` bounds the widest window
+    * partition; sessions spanning buckets are stitched through the
+    * per-bucket summary:
+    *   1. window inside (user, bucket): within-bucket lag flags;
+    *   2. per-bucket summary (first_ts, last_ts, inner session starts);
+    *   3. tiny per-user window over bucket summaries decides whether
+    *      each bucket's first event starts a session and how many
+    *      sessions started before the bucket;
+    *   4. join the summary back on (user, bucket) and emit
+    *      sess_id = starts_before_bucket + running starts within.
+    */
+  def salted(events: DataFrame, userCol: String, gapNs: Long,
+             bucketNs: Long): DataFrame = {
+    val u = col(userCol)
+    val ev = events.withColumn("bkt", expr(s"ts div ${bucketNs}L"))
+
+    val inBkt = Window.partitionBy(u, col("bkt")).orderBy("ts", "event_id")
+    val flagged = ev.withColumn("prev_ts", lag("ts", 1).over(inBkt))
+      // within-bucket starts; the bucket's first event is decided later
+      .withColumn("inner_new",
+        when(col("prev_ts").isNotNull && col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+
+    val perBkt = flagged.groupBy(u, col("bkt"))
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+        sum("inner_new").as("inner_starts"))
+
+    val byBkt = Window.partitionBy(u).orderBy("bkt")
+    val ctx = perBkt
+      .withColumn("prev_last_ts", lag("last_ts", 1).over(byBkt))
+      .withColumn("first_is_new",
+        when(col("prev_last_ts").isNull ||
+          col("first_ts") - col("prev_last_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("starts_before",
+        coalesce(sum(col("inner_starts") + col("first_is_new"))
+          .over(byBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(u, col("bkt"), col("first_is_new"), col("starts_before"))
+
+    val runInBkt = Window.partitionBy(u, col("bkt")).orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = flagged
+      .join(ctx, Seq(userCol, "bkt")) // (user, bkt) key: skew-free
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, col("first_is_new")).otherwise(col("inner_new")))
+      .withColumn("sess_id", col("starts_before") + sum("new_sess").over(runInBkt))
+    finish(withSess, userCol)
+  }
+
+  /** Remap that manufactures a hot key for the skew demo: all even
+    * user ids collapse onto user 0 (~50% of events on one key). */
+  def hotKeyed(events: DataFrame, userCol: String): DataFrame =
+    events.withColumn(userCol,
+      when(col(userCol) % 2 === 0, 0L).otherwise(col(userCol)))
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.operators.Sessionize
+
 /** Relational engine surface (SURVEY.md §2 R1-R19). Every query has a
   * DuckDB oracle; see §5 for the determinism rules used throughout:
   * per-row double arithmetic is left raw (IEEE ops are bit-exact across
@@ -18,6 +20,10 @@ object RelationalQueries {
 
   /** Exact decimal-accumulated sum surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,4)")).cast("double")
+
+  /** 60 s session gap / 1 h salt bucket (both in event-time nanos). */
+  val GapNs = 60000000000L
+  val BucketNs = 3600000000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: scan + filter + project; filter and pruning reach the parquet
@@ -158,19 +164,29 @@ object RelationalQueries {
     // of QueueStreaming.sessionize: a 60s event-time silence starts a
     // new session. ts is Long nanos (see GraftSession).
     "q_sessionize" -> { (s, dir) =>
-      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("new_sess",
-          when(col("ts") - lag("ts", 1).over(byTime) > 60000000000L, 1L)
-            .when(lag("ts", 1).over(byTime).isNull, 1L).otherwise(0L))
-        .withColumn("sess_id", sum("new_sess").over(run))
-        .groupBy("user_id", "sess_id")
-        .agg(count(lit(1)).as("n_events"),
-          dsum(col("value")).as("sum_value"),
-          floor((max("ts") - min("ts")) / 1000000.0).as("duration_ms"))
-        .orderBy("user_id", "sess_id")
+      Sessionize.plain(t(s, dir, "events"), "user_id", GapNs)
+    },
+
+    // R20b: the skew-resistant sessionize — identical output (same
+    // oracle SQL as q_sessionize; hash-match proves the plans agree),
+    // but windows are bounded to (user, 1h bucket) so a hot user can't
+    // serialize a whole partition.
+    "q_sessionize_salted" -> { (s, dir) =>
+      Sessionize.salted(t(s, dir, "events"), "user_id", GapNs, BucketNs)
+    },
+
+    // R20c/R20d: the skew before/after pair. The hot-key remap puts
+    // ~50% of events on user 0; _hot runs the textbook plan (one task
+    // sorts half the table), _hot_salted the bucketed plan. Same
+    // oracle SQL shape, so both are hash-gated; the bench delta is the
+    // skew evidence.
+    "q_sessionize_hot" -> { (s, dir) =>
+      Sessionize.plain(Sessionize.hotKeyed(t(s, dir, "events"), "user_id"),
+        "user_id", GapNs)
+    },
+    "q_sessionize_hot_salted" -> { (s, dir) =>
+      Sessionize.salted(Sessionize.hotKeyed(t(s, dir, "events"), "user_id"),
+        "user_id", GapNs, BucketNs)
     },
 
     // R11: rollup hierarchy totals.
@@ -288,6 +304,32 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     })
 
+  /** Hot-key remap source (matches Sessionize.hotKeyed). */
+  private val HotRemapSql =
+    """(SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+      |        event_id, value, ts FROM events)""".stripMargin
+
+  /** Shared sessionize oracle over any `events`-shaped source. */
+  private def sessionizeSql(src: String): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+       |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
+       |           THEN 1
+       |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM $src
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_id, value, tns,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+       |  CAST(FLOOR((MAX(tns) - MIN(tns)) / 1000000.0) AS BIGINT) AS duration_ms
+       |FROM sessions GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
@@ -373,25 +415,11 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY user_id, event_id""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
-        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
-        |           THEN 1
-        |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
-        |         ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
-        |sessions AS (
-        |  SELECT user_id, event_id, value, tns,
-        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-        |  FROM flagged)
-        |SELECT user_id, sess_id, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
-        |  CAST(FLOOR((MAX(tns) - MIN(tns)) / 1000000.0) AS BIGINT) AS duration_ms
-        |FROM sessions GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_id""".stripMargin,
+    "q_sessionize" -> sessionizeSql("events"),
+    // identical oracle: the salted plan must reproduce the plain result
+    "q_sessionize_salted" -> sessionizeSql("events"),
+    "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
+    "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
