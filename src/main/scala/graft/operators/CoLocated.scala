@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located (bucketed) joins — the pre-shuffle strategy for keys that
+  * are joined repeatedly at scale. Writing both sides `bucketBy(n, key)
+  * .sortBy(key)` pays the shuffle ONCE at write time; every subsequent
+  * join on that key is exchange-free AND sort-free (SortMergeJoin reads
+  * bucket files already hash-partitioned and sorted). At 100 TB this is
+  * the difference between re-shuffling the fact table per query and
+  * never shuffling it again — the bucket count is chosen once for the
+  * cluster (e.g. 4096) and both sides must agree on it.
+  */
+object CoLocated {
+
+  /** Persist `df` as a bucketed+sorted catalog table on `key`. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys. When both were
+    * written with the same bucket count, the plan contains no Exchange
+    * and no Sort — verify with `explain("formatted")` (BucketingSpec
+    * asserts it). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}

@@ -145,6 +145,36 @@ object PipelineQueries {
         .orderBy("redacted")
     },
 
+    // L14: bigram-LM scoring ("perplexity-ish"): score each document by
+    // the mean conditional probability p(cur|prev) of its bigrams under
+    // a model trained on the corpus itself. Rare/garbled word sequences
+    // score low. Uses probabilities, not log-probs, so all arithmetic
+    // is IEEE-exact across engines (libm log differs in the last ulp);
+    // each p is quantized to an int before the order-insensitive
+    // integer SUM. Scale shape: the model tables are vocabulary-bounded
+    // aggregates; the per-bigram joins shuffle on well-distributed
+    // token keys.
+    "q_lm_score" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("prev"),
+              element_at(col("t"), i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+      pairs.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+        .withColumn("q",
+          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor(sum(col("q")).cast("double") / count(lit(1)) / 100.0 + 0.5) / 1e6)
+            .as("lm_score"))
+        .orderBy("doc_id")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -278,6 +308,25 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         |  LENGTH(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
+        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(FLOOR(CAST(bc.cpc AS DOUBLE) / pc.cp * 100000000 + 0.5) AS BIGINT) AS q
+        |  FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 100.0 + 0.5) / 1000000 AS lm_score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

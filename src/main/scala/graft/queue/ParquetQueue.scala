@@ -1,7 +1,8 @@
 package graft.queue
 
+import java.nio.channels.{FileChannel, FileLock, OverlappingFileLockException}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -48,13 +49,36 @@ class ParquetQueue(
     val root: String,
     val schema: GraftSchema,
     val capacity: Long = Long.MaxValue,
-    val codec: String = "snappy") {
+    val codec: String = "snappy",
+    exclusiveWriter: Boolean = false) {
 
   private val dataDir = s"$root/data"
   private val metaDir = Paths.get(root, "_meta")
   private val highwaterFile = metaDir.resolve("highwater")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(dataDir))
+
+  /** 1:1 writer lock (reference holds `FileLock`s on the journal,
+    * JournaledFile.scala): an OS-level lock on `_meta/writer.lock`,
+    * auto-released on process death, so a crashed writer never wedges
+    * the queue. Readers stay lock-free (snapshot scans of committed
+    * batches). Opt-in via `exclusiveWriter=true`; acquisition failure
+    * throws immediately rather than silently sharing the seq space. */
+  private val writerLock: Option[(FileChannel, FileLock)] =
+    if (!exclusiveWriter) None
+    else {
+      val ch = FileChannel.open(metaDir.resolve("writer.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock =
+        try ch.tryLock()
+        catch { case _: OverlappingFileLockException => null }
+      if (lock == null) {
+        ch.close()
+        throw new IllegalStateException(
+          s"queue $root already has an exclusive writer")
+      }
+      Some((ch, lock))
+    }
 
   /** Closed flag (reference Queue.scala:139-146): close() is
     * idempotent; data operations on a closed queue throw. Data is left
@@ -66,7 +90,10 @@ class ParquetQueue(
 
   def isClosed: Boolean = closed
 
-  def close(): Unit = { closed = true }
+  def close(): Unit = {
+    closed = true
+    writerLock.foreach { case (ch, lock) => lock.release(); ch.close() }
+  }
 
   private val envelope: StructType = StructType(
     StructField("seq", LongType, nullable = false) ::

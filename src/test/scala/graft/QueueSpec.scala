@@ -207,6 +207,22 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("exclusive writer lock is 1:1 and released on close") {
+    val root = Files.createTempDirectory("qlock").toString
+    val q1 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
+    q1.push(Seq((1L, "a")).toDF("id", "text"))
+    // second exclusive writer on the same queue is refused
+    intercept[IllegalStateException](
+      new ParquetQueue(spark, root, schema, exclusiveWriter = true))
+    // non-exclusive readers are lock-free
+    val reader = new ParquetQueue(spark, root, schema)
+    assert(reader.pop(1).map(_.getString(1)) == Seq("a"))
+    q1.close()
+    // lock released: a successor writer can take over
+    val q2 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
+    q2.dispose()
+  }
+
   test("pushAll accepts up to capacity in order, reports the count") {
     val q = fresh(capacity = 3)
     val n1 = q.pushAll(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
