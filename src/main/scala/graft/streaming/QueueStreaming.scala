@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming consumption — the reference's Subscriber pop-loop
   * (Queue.scala:258-297: poll, block, process) re-expressed as
@@ -82,6 +84,68 @@ object QueueStreaming {
             emitted.iterator
           }
       }
+  }
+
+  /** [[sessionize]] on the Spark 4 `transformWithState` API — the
+    * successor of `flatMapGroupsWithState`: typed state handles
+    * (`ValueState`) instead of one opaque state value, first-class
+    * timers instead of a single timeout, and RocksDB-backed state
+    * (set `spark.sql.streaming.stateStore.providerClass` to the
+    * RocksDBStateStoreProvider). Same session semantics as
+    * [[sessionize]]; with `useTimers` a session also closes after
+    * `gapMs` of processing-time silence. */
+  class SessionProcessor(gapMs: Long, useTimers: Boolean)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.event_id)
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (emitted, next) = sorted.foldLeft(
+        (Vector.empty[Session], prev)) { case ((out, st), e) =>
+        st match {
+          case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+            (out, Some(s.copy(nEvents = s.nEvents + 1,
+              sumValue = s.sumValue + e.value, lastMs = e.ts_ms)))
+          case Some(s) =>
+            (out :+ Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs),
+              Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
+          case None =>
+            (out, Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
+        }
+      }
+      next.foreach { s =>
+        state.update(s)
+        if (useTimers)
+          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + gapMs)
+      }
+      emitted.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator(Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs))
+      } else Iterator.empty
+  }
+
+  /** Gap sessionization via `transformWithState` (see
+    * [[SessionProcessor]]). `useTimers=false` is the data-driven mode
+    * the specs use (sessions close when a late-enough event arrives). */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long,
+                    useTimers: Boolean = true): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs, useTimers),
+        if (useTimers) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Deduplicating consumer: drop re-deliveries by id within the

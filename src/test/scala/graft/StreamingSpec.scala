@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head == Session(7L, 2L, 3.0, 500L))
   }
 
+  test("transformWithState sessionize matches the flatMapGroups version") {
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val out = QueueStreaming.sessionizeTws(mem.toDS(), gapMs = 1000L,
+        useTimers = false)
+      val ckpt = Files.createTempDirectory("sesstws").toString
+      val q = out.writeStream.format("memory").queryName("sessions_tws")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+      mem.addData(Event(7L, 1L, 0L, 1.0), Event(7L, 2L, 500L, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(7L, 3L, 10000L, 5.0)) // 9.5s later: closes burst 1
+      q.processAllAvailable()
+      mem.addData(Event(7L, 4L, 30000L, 1.0)) // closes burst 2 (the single event)
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sessions_tws ORDER BY duration_ms")
+        .as[Session].collect()
+      q.stop()
+      assert(sessions.toSeq == Seq(Session(7L, 1L, 5.0, 0L), Session(7L, 2L, 3.0, 500L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
