@@ -66,43 +66,48 @@ object Ann {
     * Each query probes its `nProbe` nearest cells, so per-query scan
     * cost is ~nProbe/nClusters of the corpus.
     */
+  /** Train the coarse k-means quantizer on a deterministic hash-sample
+    * of the corpus (bounded work at any corpus size). Each Lloyd
+    * iteration: map-side `nearest_centroid` assignment against a
+    * literal centroid table (zero shuffle) + a `vector_sum` native
+    * aggregate (C rows through the shuffle). The sample is persisted
+    * for the loop, so training touches the corpus parquet exactly
+    * once. Returns the C·d centroid table (driver-resident, tiny). */
+  def trainCentroids(v: DataFrame, nClusters: Int, iters: Int,
+                     trainFraction: Double): Array[Array[Double]] = {
+    val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
+    val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed centroids: lowest-id sampled vectors (deterministic)
+      var seed = train.orderBy("nn_id").limit(nClusters).select("vec").collect()
+      if (seed.length < nClusters)
+        seed = v.orderBy("nn_id").limit(nClusters).select("vec").collect()
+      var cs: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
+      (1 to iters).foreach { _ =>
+        val sums = train
+          .groupBy(nearest_centroid(col("vec"), typedLit(cs.map(_.toSeq).toSeq)).as("cluster"))
+          .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cs.map(_.clone()) // empty cells keep their centroid
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          next(c) = s.map(_ / n).toArray
+        }
+        cs = next
+      }
+      cs
+    } finally train.unpersist()
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 2,
               iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {
     val v = corpus.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("vec"))
-
-    // deterministic hash-sample for training (scan-prunable, no RNG
-    // state to coordinate); falls back to the full corpus when tiny.
-    // The sample is bounded by design, so it's persisted for the Lloyd
-    // loop — training touches the full corpus parquet exactly once.
-    val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
-    val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val cents: Array[Array[Double]] =
-      try {
-        // seed centroids: lowest-id sampled vectors (deterministic)
-        var seed = train.orderBy("nn_id").limit(nClusters).select("vec").collect()
-        if (seed.length < nClusters)
-          seed = v.orderBy("nn_id").limit(nClusters).select("vec").collect()
-        var cs: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
-        (1 to iters).foreach { _ =>
-          val sums = train
-            .groupBy(nearest_centroid(col("vec"), typedLit(cs.map(_.toSeq).toSeq)).as("cluster"))
-            .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
-            .collect()
-          val next = cs.map(_.clone()) // empty cells keep their centroid
-          sums.foreach { r =>
-            val c = r.getInt(0)
-            val s = r.getSeq[Double](1)
-            val n = r.getLong(2).toDouble
-            next(c) = s.map(_ / n).toArray
-          }
-          cs = next
-        }
-        cs
-      } finally train.unpersist()
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
     def centsLit = typedLit(cents.map(_.toSeq).toSeq)
 
     // index build: map-only cell assignment (reusable, like the
@@ -113,6 +118,57 @@ object Ann {
     val probes = q.withColumn("cluster",
       explode(top_centroids(col("q_vec"), centsLit, nProbe)))
 
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), "cluster")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
+  /** Persist an IVF index: `<path>/centroids` (cluster, cvec) and
+    * `<path>/assignments` written `partitionBy(cluster)` — the
+    * train-once / search-many contract. At 100 TB the build is one
+    * training pass plus one map-only assignment write; every
+    * subsequent search reads ONLY the probed cells (static partition
+    * pruning on the `cluster=` directories, ~nProbe/nClusters of the
+    * bytes). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nClusters: Int = 16, iters: Int = 2,
+                    trainFraction: Double = 0.25): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    v.withColumn("cluster",
+        nearest_centroid(col("vec"), typedLit(cents.map(_.toSeq).toSeq)))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Search a persisted IVF index. The probed cell ids are computed
+    * driver-side from the (tiny) centroid table and pushed as an
+    * `isin` filter on the partition column, so the scan lists and
+    * reads only those `cluster=` directories. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nProbe: Int = 2): DataFrame = {
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val probes = queries
+      .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
+      .withColumn("cluster", explode(top_centroids(col("q_vec"), centsLit, nProbe)))
+    val cells = probes.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read.parquet(s"$path/assignments")
+      .where(col("cluster").isin(cells: _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), "cluster")

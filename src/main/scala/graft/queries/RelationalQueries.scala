@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.Sessionize
+import graft.operators.{AsOf, Sessionize}
 
 /** Relational engine surface (SURVEY.md §2 R1-R19). Every query has a
   * DuckDB oracle; see §5 for the determinism rules used throughout:
@@ -187,6 +187,22 @@ object RelationalQueries {
     "q_sessionize_hot_salted" -> { (s, dir) =>
       Sessionize.salted(Sessionize.hotKeyed(t(s, dir, "events"), "user_id"),
         "user_id", GapNs, BucketNs)
+    },
+
+    // R22: as-of join — each purchase matched to the user's most
+    // recent click at or before it (union+window plan: one shuffle on
+    // user_id, no range cross-join).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts", "value")
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", "event_id",
+          Seq("event_id", "value"), outPrefix = "match_")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("match_event_id"), col("match_value"))
+        .orderBy("user_id", "event_id")
     },
 
     // R11: rollup hierarchy totals.
@@ -420,6 +436,25 @@ object RelationalQueries {
     "q_sessionize_salted" -> sessionizeSql("events"),
     "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
     "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 0 AS side,
+        |         event_id AS r_event_id, value AS r_value
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT user_id, event_id, value, side,
+        |    LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS match_event_id,
+        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS match_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, match_event_id, match_value
+        |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,

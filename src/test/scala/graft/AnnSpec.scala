@@ -53,4 +53,28 @@ class AnnSpec extends SparkSpec {
     assert(ivf.nonEmpty)
     assert(recall >= 0.8, s"ivf recall $recall below gate")
   }
+
+  test("persisted ivf index prunes to probed cells and keeps recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Ann.buildIvfIndex(e, "vec_id", "embedding", path,
+      nClusters = 8, iters = 3, trainFraction = 1.0)
+    // index layout: one cluster= partition dir per non-empty cell
+    val cellDirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSeq
+    assert(cellDirs.nonEmpty && cellDirs.size <= 8)
+    val res = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    // probed-cell filter reaches the scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected partition pruning on cluster:\n$plan")
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val got = res.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"persisted-index recall $recall below gate")
+  }
 }
