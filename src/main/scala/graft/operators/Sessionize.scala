@@ -35,18 +35,23 @@ object Sessionize {
       .orderBy(userCol, "sess_id")
   }
 
-  /** Textbook formulation: lag + running sum over a per-user window. */
-  def plain(events: DataFrame, userCol: String, gapNs: Long): DataFrame = {
+  /** Events + assigned `sess_id` (textbook lag + running-sum shape) —
+    * the reusable core of [[plain]]; also feeds interval derivations
+    * like per-session bounds (see q_range_join). */
+  def withSessionIds(events: DataFrame, userCol: String, gapNs: Long): DataFrame = {
     val byTime = Window.partitionBy(userCol).orderBy("ts", "event_id")
     val run = Window.partitionBy(userCol).orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withSess = events
+    events
       .withColumn("new_sess",
         when(col("ts") - lag("ts", 1).over(byTime) > gapNs, 1L)
           .when(lag("ts", 1).over(byTime).isNull, 1L).otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(run))
-    finish(withSess, userCol)
   }
+
+  /** Textbook formulation: lag + running sum over a per-user window. */
+  def plain(events: DataFrame, userCol: String, gapNs: Long): DataFrame =
+    finish(withSessionIds(events, userCol, gapNs), userCol)
 
   /** Skew-resistant formulation. `bucketNs` bounds the widest window
     * partition; sessions spanning buckets are stitched through the

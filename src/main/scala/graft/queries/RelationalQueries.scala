@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, RangeJoin, Sessionize}
 
 /** Relational engine surface (SURVEY.md §2 R1-R19). Every query has a
   * DuckDB oracle; see §5 for the determinism rules used throughout:
@@ -202,6 +202,23 @@ object RelationalQueries {
           Seq("event_id", "value"), outPrefix = "match_")
         .select(col("user_id"), col("event_id"), col("value"),
           col("match_event_id"), col("match_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // R23: bucketed range join — each error event matched into its
+    // containing session interval. Intervals explode per 1h bucket;
+    // the join is a pure equi-join on (user, bucket) + residual
+    // between (no key-only skew join, no cross join).
+    "q_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = Sessionize.withSessionIds(ev, "user_id", GapNs)
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "ts")
+      RangeJoin.byBucket(errors, bounds, Seq("user_id"),
+          "ts", "start_ts", "end_ts", BucketNs)
+        .select(col("user_id"), col("event_id"), col("sess_id"))
         .orderBy("user_id", "event_id")
     },
 
@@ -436,6 +453,31 @@ object RelationalQueries {
     "q_sessionize_salted" -> sessionizeSql("events"),
     "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
     "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
+
+    "q_range_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
+        |           THEN 1
+        |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, tns,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged),
+        |bounds AS (
+        |  SELECT user_id, sess_id, MIN(tns) AS start_tns, MAX(tns) AS end_tns
+        |  FROM sessions GROUP BY user_id, sess_id),
+        |errors AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |  WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, b.sess_id
+        |FROM errors e JOIN bounds b
+        |  ON e.user_id = b.user_id AND e.tns BETWEEN b.start_tns AND b.end_tns
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (
