@@ -328,6 +328,23 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // R17c: mergeable-sketch rollup — the 100 TB pattern: per-day
+    // DataSketches HLL tables are tiny and union to ANY coarser grain
+    // without rescanning raw data (a re-aggregable distinct-count,
+    // which plain approx_count_distinct output is not). Rows-only
+    // gate (sketch bytes are engine-specific); error bound asserted
+    // in SketchSpec.
+    "q_sketch_rollup" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum("n_events").as("n_events"),
+        count(lit(1)).as("n_days"))
+    },
+
     // R19: correlated-EXISTS aggregate (semi join + agg).
     "q_exists_agg" -> { (s, dir) =>
       t(s, dir, "customer")

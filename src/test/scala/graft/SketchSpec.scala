@@ -16,6 +16,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("per-day HLL sketches union to the exact-grain answer") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val daily = ev
+      .groupBy(timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      .collect().head.getAs[Long]("approx").toDouble
+    val exact = ev.agg(countDistinct(col("user_id"))).collect().head
+      .getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"merged-sketch estimate $merged vs exact $exact")
+  }
+
   test("approx percentile is within 5% of exact at accuracy 1000") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val r = ev.agg(
