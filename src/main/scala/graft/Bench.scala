@@ -10,14 +10,21 @@ object Bench {
     // absorb JVM warmup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // Two timed passes per query, min reported: BENCH_r01 vs _r02 ran
+    // identical code and differed 3.5x (cold page cache / JIT), so a
+    // single sample mostly measures the environment. min-of-2 is the
+    // steady-state number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces evaluation of every output column (count()
-      // would let Catalyst prune the projections being measured)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces evaluation of every output column (count()
+        // would let Catalyst prune the projections being measured)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val dt = dts.min
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  (runs: ${dts.map(d => f"$d%.2f").mkString(", ")})")
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -95,6 +95,26 @@ class ParquetQueue(
     writerLock.foreach { case (ch, lock) => lock.release(); ch.close() }
   }
 
+  // Persisted schema contract (reference Schema.toByteArray header in
+  // every journal file): the first handle writes the schema descriptor;
+  // any later handle with a different schema is refused up front, the
+  // analog of the reference's IncompatibleSchemaException at read time.
+  locally {
+    val schemaFile = metaDir.resolve("schema")
+    val desc = schema.toString
+    if (Files.exists(schemaFile)) {
+      val stored = new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8)
+      if (stored != desc)
+        throw new graft.schema.IncompatibleSchemaException(
+          s"queue $root was created with schema $stored, not $desc")
+    } else {
+      val tmp = metaDir.resolve("schema.tmp")
+      Files.write(tmp, desc.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, schemaFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private val envelope: StructType = StructType(
     StructField("seq", LongType, nullable = false) ::
     StructField("enq_ts", LongType, nullable = false) ::

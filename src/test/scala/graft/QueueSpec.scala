@@ -207,6 +207,18 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("reopening with a different schema is refused") {
+    val q = fresh()
+    q.push(Seq((1L, "a")).toDF("id", "text"))
+    val other = GraftSchema(("id", GraftType.INTEGER), ("score", GraftType.REAL))
+    intercept[graft.schema.IncompatibleSchemaException](
+      new ParquetQueue(spark, q.root, other))
+    // the matching schema still opens fine
+    val q2 = new ParquetQueue(spark, q.root, schema)
+    assert(q2.pop(1).map(_.getString(1)) == Seq("a"))
+    q2.dispose()
+  }
+
   test("exclusive writer lock is 1:1 and released on close") {
     val root = Files.createTempDirectory("qlock").toString
     val q1 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
