@@ -295,6 +295,11 @@ class ParquetQueue(
       .map(r => Row.fromSeq(r.toSeq.drop(3).dropRight(1))) // strip envelope+batch
   }
 
+  /** Non-blocking single-entry pop (reference Subscriber.tryPop,
+    * Queue.scala:252-264): `Some(payload)` or `None` immediately. */
+  def tryPop(consumer: String = "default"): Option[Row] =
+    pop(1, consumer).headOption
+
   /** Blocking subscriber pop (reference Queue.scala:266-293): when the
     * queue is empty, poll the highwater metadata (cheap file read — no
     * Spark job fires until data actually arrives) until entries show up

@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("queue subscriber is exactly-once across stream restarts") {
+    import graft.queue.ParquetQueue
+    import graft.schema.{GraftSchema, GraftType}
+    val schema = GraftSchema(("id", GraftType.INTEGER), ("text", GraftType.TEXT))
+    val q = new ParquetQueue(spark,
+      Files.createTempDirectory("qeo").toString, schema)
+    val outDir = Files.createTempDirectory("qeo_out").toString
+    val ckpt = Files.createTempDirectory("qeo_ckpt").toString
+    def drain(): Unit = {
+      val s = q.readStream(1).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      s.awaitTermination(120000)
+    }
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    drain()
+    q.push(Seq((3L, "c")).toDF("id", "text"))
+    drain() // restarted from the same checkpoint: only the new batch lands
+    val got = spark.read.parquet(outDir).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L), "each entry delivered exactly once")
+    q.dispose()
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
