@@ -175,6 +175,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L15: deterministic content sampling — the reproducible-subsets
+    // primitive for training pipelines: membership is a pure function
+    // of the content hash (md5 prefix < threshold ⇒ ~12.5% sample), so
+    // re-runs, engines, and partitionings all agree; per-stratum
+    // accounting shows the realized rate. Scan-parallel, no RNG state.
+    "q_sample_det" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("in_sample", substring(md5(col("text")), 1, 2) < "20")
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -308,6 +322,12 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         |  LENGTH(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN SUBSTRING(md5(text), 1, 2) < '20' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_lm_score" ->
       """WITH toks AS (
