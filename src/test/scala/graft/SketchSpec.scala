@@ -30,6 +30,24 @@ class SketchSpec extends SparkSpec {
       s"merged-sketch estimate $merged vs exact $exact")
   }
 
+  test("theta sketch set-difference: user-days with clicks but no purchase") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("k", concat_ws("#", col("user_id"),
+        timestamp_micros(expr("ts div 1000")).cast("date")))
+    val sk = ev.agg(
+      theta_sketch_agg(when(col("event_type") === "click", col("k"))).as("clicks"),
+      theta_sketch_agg(when(col("event_type") === "purchase", col("k"))).as("purch"))
+      .select(theta_sketch_estimate(
+        theta_difference(col("clicks"), col("purch"))).as("est"))
+      .collect().head.getAs[Long]("est").toDouble
+    val clicks = ev.filter(col("event_type") === "click").select("k")
+    val purch = ev.filter(col("event_type") === "purchase").select("k")
+    val exact = clicks.except(purch).count().toDouble
+    assert(exact > 0)
+    assert(math.abs(sk - exact) / exact <= 0.10,
+      s"theta difference estimate $sk vs exact $exact")
+  }
+
   test("approx percentile is within 5% of exact at accuracy 1000") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val r = ev.agg(
