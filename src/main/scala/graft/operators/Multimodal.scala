@@ -54,4 +54,42 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
     meta.toDF().select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize plan: longest side capped at `maxDim`, aspect preserved,
+    * never upscaled. Integer-exact arithmetic (floor((w*maxDim)/side))
+    * so the plan is engine-portable; a real impl would hand (payload,
+    * out_w, out_h) to the native scaler in the same mapPartitions
+    * batch as [[decodeMeta]]. */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    val side = greatest(col("width"), col("height"))
+    val outW = when(side <= maxDim, col("width"))
+      .otherwise(floor(col("width") * maxDim / side).cast("long"))
+    val outH = when(side <= maxDim, col("height"))
+      .otherwise(floor(col("height") * maxDim / side).cast("long"))
+    meta.toDF().select(col("doc_id"), col("width"), col("height"),
+      outW.as("out_w"), outH.as("out_h"),
+      (outW * outH * 3L).as("out_bytes"))
+  }
+
+  case class MediaFeatures(doc_id: Long, histogram: Array[Double], mean_byte: Double)
+
+  /** Feature extraction stub: 8-bin byte-value histogram (normalized)
+    * + mean byte — the per-partition batch shape of a real embedding
+    * model (load weights once per partition, run the batch through). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    media.mapPartitions { rows =>
+      // real impl: load the model/native context once per partition here
+      rows.map { r =>
+        val counts = new Array[Double](8)
+        var sum = 0.0
+        r.payload.foreach { b =>
+          val v = b & 0xFF
+          counts(v % 8) += 1
+          sum += v
+        }
+        val n = math.max(1, r.payload.length)
+        MediaFeatures(r.doc_id, counts.map(_ / n), sum / n)
+      }
+    }(Encoders.product[MediaFeatures])
+  }
 }

@@ -205,6 +205,24 @@ object PipelineQueries {
     "q_multimodal_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(mediaMeta(s, dir), stride = 4)
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // L12c: resize plan — aspect-preserving cap at 256px, integer-exact.
+    "q_multimodal_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(mediaMeta(s, dir), maxDim = 256)
+        .orderBy("doc_id")
+    },
+
+    // L12d: feature extraction (8-bin byte histogram per partition
+    // batch; rows-only — byte iteration isn't SQL-expressible in the
+    // oracle; determinism asserted in MultimodalSpec).
+    "q_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.extractFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[Multimodal.MediaRow])
+        .toDF().orderBy("doc_id")
     })
 
   private val jaccardSqlBase =
@@ -377,5 +395,28 @@ object PipelineQueries {
         |  SELECT doc_id, 1 + OCTET_LENGTH(ENCODE(text)) % 24 AS n_frames
         |  FROM documents)
         |SELECT doc_id, n_frames, UNNEST(generate_series(0, n_frames - 1, 4)) AS frame_idx
-        |FROM base ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM base ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n,
+        |    CASE WHEN LENGTH(text) = 0 THEN 0
+        |         ELSE unicode(SUBSTRING(text, 1, 1)) + OCTET_LENGTH(ENCODE(text))
+        |    END AS seed
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, CAST(16 + seed % 625 AS BIGINT) AS width,
+        |         CAST(16 + (seed * 7) % 465 AS BIGINT) AS height
+        |  FROM base),
+        |scaled AS (
+        |  SELECT doc_id, width, height,
+        |    CASE WHEN GREATEST(width, height) <= 256 THEN width
+        |         ELSE CAST(FLOOR(width * 256 / GREATEST(width, height)) AS BIGINT)
+        |    END AS out_w,
+        |    CASE WHEN GREATEST(width, height) <= 256 THEN height
+        |         ELSE CAST(FLOOR(height * 256 / GREATEST(width, height)) AS BIGINT)
+        |    END AS out_h
+        |  FROM dims)
+        |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
+        |FROM scaled ORDER BY doc_id""".stripMargin)
 }
