@@ -47,17 +47,23 @@ object Dedup {
       .join(features.select(col("id").as("id1"), col(feat).as(s"${feat}1")), "id1")
       .join(features.select(col("id").as("id2"), col(feat).as(s"${feat}2")), "id2")
 
-  /** L2: exact word-set Jaccard within explicit blocks (e.g. language).
-    * Low-cardinality blocks would serialize the self-join, so each
-    * block is salted into `parallelBuckets` id-buckets and pairs are
-    * generated per bucket-pair cell: parallelism = |blocks| ×
-    * B(B+1)/2 regardless of block count, result set unchanged. */
+  /** L2: exact set-Jaccard within explicit blocks (e.g. language),
+    * over word sets (`shingleN=1`) or word n-gram shingle sets
+    * (`shingleN>=2` — the n-gram Jaccard variant: order-sensitive, so
+    * reordered text stops matching). Low-cardinality blocks would
+    * serialize the self-join, so each block is salted into
+    * `parallelBuckets` id-buckets and pairs are generated per
+    * bucket-pair cell: parallelism = |blocks| × B(B+1)/2 regardless of
+    * block count, result set unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
-                   parallelBuckets: Int = 16): DataFrame = {
+                   parallelBuckets: Int = 16, shingleN: Int = 1): DataFrame = {
     val B = parallelBuckets
-    val toks = df.select(col(idCol).as("id") +: tokenIdSet(textCol).as("ids") +:
-      blockCols.map(col): _*)
+    val units =
+      if (shingleN <= 1) tokenize_ws(col(textCol))
+      else shingles(col(textCol), shingleN)
+    val toks = df.select(col(idCol).as("id") +:
+      token_id_set(units).as("ids") +: blockCols.map(col): _*)
       .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
     // role by bucket: the smaller-bucket doc is "a"; ties broken by id
     val a = toks.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))

@@ -37,6 +37,14 @@ object PipelineQueries {
         .orderBy("doc_id1", "doc_id2")
     },
 
+    // L2c: n-gram (3-shingle) Jaccard near-dup — order-sensitive
+    // variant of q_dedup_jaccard (reordered text stops matching).
+    "q_dedup_ngram" -> { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          Seq("lang"), minJaccard = 0.8, shingleN = 3)
+        .orderBy("doc_id1", "doc_id2")
+    },
+
     // L3: MinHash-LSH candidates verified at Jaccard ≥ 0.9 (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -268,6 +276,25 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS toks
+        |  FROM toks)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 AS jac
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.8
+        |ORDER BY doc_id1, doc_id2""".stripMargin,
 
     "q_dedup_apply" ->
       """WITH toksets AS (
