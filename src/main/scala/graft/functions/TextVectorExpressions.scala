@@ -124,6 +124,44 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
   }
 
+  /** Sorted distinct n-gram shingle ids straight from token hashes:
+    * each window of n token FNVs folds into one id (order-sensitive
+    * xor-multiply chain), so no shingle string is ever materialized.
+    * Distinctness matches string shingles w.h.p. (same collision
+    * assumption as every FNV set here). Mirrors `shingles()`: fewer
+    * than n tokens → one whole-text shingle. */
+  def shingleIdSet(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = fnv64(tokens.getUTF8String(i)); i += 1 }
+    val count = if (m < n) 1 else m - n + 1
+    val sh = new Array[Long](count)
+    if (m < n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < m) { h = (h ^ th(j)) * FnvPrime; j += 1 }
+      sh(0) = h
+    } else {
+      var s = 0
+      while (s < count) {
+        var h = FnvOffset
+        var j = 0
+        while (j < n) { h = (h ^ th(s + j)) * FnvPrime; j += 1 }
+        sh(s) = h
+        s += 1
+      }
+    }
+    java.util.Arrays.sort(sh)
+    var w = 0
+    var r = 0
+    while (r < sh.length) {
+      if (w == 0 || sh(w - 1) != sh(r)) { sh(w) = sh(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sh, w))
+  }
+
   /** Index of the max-cosine centroid (ties → lowest index) — the
     * map-side IVF cell assignment: one call per row against a small
     * literal centroid table, zero shuffle. */
@@ -245,6 +283,18 @@ case class HyperplaneLsh(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneLsh($c, $k)")
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** Sorted distinct n-gram shingle ids from a token array — see
+  * Kernels.shingleIdSet. */
+case class ShingleIdSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_id_set"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingleIdSet(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleIdSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleIdSet = copy(child = c)
 }
 
 /** Map-side IVF cell assignment: argmax-cosine centroid index of `left`

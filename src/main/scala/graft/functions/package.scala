@@ -27,6 +27,11 @@ package object functions {
     * representation of a document's word set. */
   def token_id_set(tokens: Column): Column =
     array_sort(array_distinct(transform(tokens, t => fnv64(t))))
+
+  /** Sorted distinct n-gram shingle ids straight from token hashes —
+    * no shingle strings materialized (codegen kernel). */
+  def shingle_id_set(tokens: Column, n: Int): Column =
+    col2(ShingleIdSet(ex(tokens), n))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---- vectors ----

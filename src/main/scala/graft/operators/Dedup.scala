@@ -59,19 +59,32 @@ object Dedup {
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1): DataFrame = {
     val B = parallelBuckets
-    val units =
-      if (shingleN <= 1) tokenize_ws(col(textCol))
-      else shingles(col(textCol), shingleN)
+    val idSet =
+      if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
+      else shingle_id_set(tokenize_ws(col(textCol)), shingleN)
+    // PPJoin-style length filter: jac >= t needs a size ratio >= t, so
+    // docs carry a log-band of their set size (base 1/(t-0.001)); a
+    // pair whose bands differ by >= 2 has ratio < t-0.001 and cannot
+    // round up past the final jac filter — exactness preserved while
+    // most cross-size candidate pairs never match the band key.
+    val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
     val toks = df.select(col(idCol).as("id") +:
-      token_id_set(units).as("ids") +: blockCols.map(col): _*)
+      idSet.as("ids") +: blockCols.map(col): _*)
       .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
+      .withColumn("band",
+        floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR).cast("int"))
     // role by bucket: the smaller-bucket doc is "a"; ties broken by id
     val a = toks.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))
       .withColumnRenamed("bkt", "bu").as("a")
-    val b = toks.withColumn("bu", explode(sequence(lit(0), col("bkt"))))
-      .withColumnRenamed("bkt", "bv").as("b")
+    val b = toks
+      .withColumn("bu", explode(sequence(lit(0), col("bkt"))))
+      .withColumnRenamed("bkt", "bv")
+      .withColumn("bandm",
+        explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockEq && col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
+        col("a.band") === col("b.bandm") &&
         (col("a.bu") < col("a.bv") || col("a.id") < col("b.id")))
       .select(least(col("a.id"), col("b.id")).as("doc_id1"),
         greatest(col("a.id"), col("b.id")).as("doc_id2"),

@@ -39,9 +39,13 @@ object PipelineQueries {
 
     // L2c: n-gram (3-shingle) Jaccard near-dup — order-sensitive
     // variant of q_dedup_jaccard (reordered text stops matching).
+    // parallelBuckets=8: shingle id arrays are ~3x word sets, so halving
+    // the salted explode duplication beats extra cells at local[32]
+    // (5 langs x 36 cells still saturates 32 cores; raise B on a
+    // cluster).
     "q_dedup_ngram" -> { (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          Seq("lang"), minJaccard = 0.8, shingleN = 3)
+          Seq("lang"), minJaccard = 0.8, parallelBuckets = 8, shingleN = 3)
         .orderBy("doc_id1", "doc_id2")
     },
 
