@@ -98,20 +98,28 @@ object Dedup {
     * keys → narrow candidate pairs → distinct → exact-Jaccard verify.
     * rows-per-band = k/bands sets selectivity: p(candidate) =
     * 1-(1-j^rows)^bands — k=64, bands=8 keeps jac≈0.7 collisions ~5%
-    * per band while catching jac≥0.9 with p≈0.99. */
+    * per band while catching jac≥0.9 with p≈0.99. Each banded row also
+    * carries its set SIZE (one int): jac ≥ t forces a size ratio ≥ t,
+    * so size-incompatible collisions are dropped BEFORE the distinct
+    * shuffle and the feature joins — exactness preserved (the dropped
+    * pairs cannot round up past the final jac filter). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
+    val rt = math.round(math.max(0.0, minJaccard - 0.001) * 10000)
     val docs = df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
       tokenIdSet(textCol).as("ids"))
     val banded = docs
       .withColumn("sig", minhash_sig(col("toks"), k))
-      .select(col("id"), posexplode(array((0 until bands).map(bi =>
-        xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
+      .select(col("id"), size(col("ids")).as("sz"),
+        posexplode(array((0 until bands).map(bi =>
+          xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+        least(col("a.sz"), col("b.sz")) * 10000 >=
+          greatest(col("a.sz"), col("b.sz")) * rt)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     attachFeatures(cand, docs, "ids")
