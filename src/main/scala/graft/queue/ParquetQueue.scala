@@ -219,12 +219,22 @@ class ParquetQueue(
   }
 
   private def offsetFile(consumer: String): Path = metaDir.resolve(s"offset-$consumer")
+  private val floorFile = metaDir.resolve("floor")
+
+  /** Compaction floor: seqs below it have been physically reclaimed;
+    * new consumers start here instead of 0. */
+  def floor: Long =
+    if (Files.exists(floorFile))
+      new String(Files.readAllBytes(floorFile), StandardCharsets.UTF_8).trim.toLong
+    else 0L
 
   def offsetOf(consumer: String): Long = {
     val f = offsetFile(consumer)
-    if (Files.exists(f))
-      new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    val stored =
+      if (Files.exists(f))
+        new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    math.max(stored, floor)
   }
 
   private def commitOffset(consumer: String, v: Long): Unit = {
@@ -372,6 +382,48 @@ class ParquetQueue(
     if (!Files.exists(f)) Seq.empty
     else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map(_.split("\t")(0).toLong).toSeq
+  }
+
+  /** Reclaim segments every registered consumer has moved past (the
+    * reference reclaims space implicitly at journal→queue migration;
+    * here retention is explicit because retained segments are what
+    * make `latest`, replay, and late consumers work). A batch is
+    * deleted only when its LAST seq is below every consumer offset,
+    * and the newest batch is always retained so `latest` survives.
+    * New consumers start at the compaction floor. Returns bytes
+    * freed — metadata-only work, no Spark job. */
+  def compact(): Long = {
+    ensureOpen()
+    val dirs = Files.list(Paths.get(dataDir)).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("batch="))
+      .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
+    if (dirs.length <= 1) return 0L
+    val offs = Files.list(metaDir).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("offset-"))
+      .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
+    if (offs.isEmpty) return 0L
+    val minOff = offs.min
+    // batch i covers [first_i, first_{i+1}); the last batch never goes
+    val firsts = dirs.map(_.getFileName.toString.stripPrefix("batch=").toLong)
+    var freed = 0L
+    dirs.zipWithIndex.dropRight(1).foreach { case (dir, i) =>
+      if (firsts(i + 1) <= minOff) {
+        val s = Files.walk(dir)
+        val files = try s.sorted(Comparator.reverseOrder[Path]()).toArray
+          .map(_.asInstanceOf[Path]) finally s.close()
+        files.foreach { f =>
+          if (Files.isRegularFile(f)) freed += Files.size(f)
+          Files.delete(f)
+        }
+        if (firsts(i + 1) > floor) {
+          val tmp = metaDir.resolve("floor.tmp")
+          Files.write(tmp, firsts(i + 1).toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, floorFile, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    freed
   }
 
   /** The most recently pushed entry — survives full consumption, like

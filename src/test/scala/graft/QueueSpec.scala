@@ -219,6 +219,33 @@ class QueueSpec extends SparkSpec {
     q2.dispose()
   }
 
+  test("compact reclaims fully-consumed segments, keeps latest and floor") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text")) // batch=0: seq 0-1
+    q.push(Seq((3L, "c")).toDF("id", "text"))            // batch=2: seq 2
+    q.push(Seq((4L, "d")).toDF("id", "text"))            // batch=3: seq 3
+    q.pop(10) // default consumer drains everything
+    val before = q.diskSpace
+    val freed = q.compact()
+    assert(freed > 0 && q.diskSpace < before, "space reclaimed")
+    assert(q.latest.map(_.getLong(0)) == Some(4L), "newest batch retained")
+    // a brand-new consumer starts at the compaction floor, not 0
+    assert(q.pop(10, consumer = "newbie").map(_.getLong(0)) == Seq(4L))
+    q.dispose()
+  }
+
+  test("compact is held back by the slowest consumer") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.push(Seq((3L, "c")).toDF("id", "text"))
+    q.pop(10, consumer = "fast")
+    q.pop(1, consumer = "slow") // offset 1: still inside the first batch
+    assert(q.compact() == 0L, "nothing below the slowest offset")
+    assert(q.pop(10, consumer = "slow").map(_.getLong(0)) == Seq(2L, 3L))
+    assert(q.compact() > 0L, "first batch reclaimable once slow catches up")
+    q.dispose()
+  }
+
   test("exclusive writer lock is 1:1 and released on close") {
     val root = Files.createTempDirectory("qlock").toString
     val q1 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
