@@ -201,6 +201,38 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // L14b: broadcast-model LM scoring — the production shape: the
+    // model is pruned to the top-K bigrams (deterministic tie-break)
+    // and BROADCAST, unseen bigrams take a backoff probability. The
+    // scoring pass is then map-side (no shuffle of the corpus against
+    // the model), which is the only shape that works when the corpus
+    // is 100 TB and the model is megabytes.
+    "q_lm_score_topk" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("prev"),
+              element_at(col("t"), i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val model = bc.join(pc, "prev")
+        .withColumn("q",
+          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+        .orderBy(col("cpc").desc, col("prev").asc, col("cur").asc)
+        .limit(1000)
+        .select("prev", "cur", "q")
+      pairs.join(broadcast(model), Seq("prev", "cur"), "left")
+        .withColumn("qq", coalesce(col("q"), lit(100L))) // backoff p=1e-6
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor(sum(col("qq")).cast("double") / count(lit(1)) / 100.0 + 0.5) / 1e6)
+            .as("lm_score"))
+        .orderBy("doc_id")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -394,6 +426,29 @@ object PipelineQueries {
         |  FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev))
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 100.0 + 0.5) / 1000000 AS lm_score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
+        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
+        |model AS (
+        |  SELECT prev, cur,
+        |    CAST(FLOOR(CAST(cpc AS DOUBLE) / cp * 100000000 + 0.5) AS BIGINT) AS q
+        |  FROM bc JOIN pc USING (prev)
+        |  ORDER BY cpc DESC, prev ASC, cur ASC LIMIT 1000),
+        |scored AS (
+        |  SELECT p.doc_id, COALESCE(m.q, 100) AS qq
+        |  FROM pairs p LEFT JOIN model m USING (prev, cur))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(CAST(SUM(qq) AS DOUBLE) / COUNT(*) / 100.0 + 0.5) / 1000000 AS lm_score
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
