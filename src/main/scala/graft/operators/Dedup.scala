@@ -130,17 +130,28 @@ object Dedup {
       .select("doc_id1", "doc_id2", "jac")
   }
 
-  /** L4: SimHash near-dup. 64-bit fingerprint split into 4 16-bit
-    * bands; hamming ≤ 3 pigeonholes into at least one equal band, so
-    * the band join is a complete candidate generator for that radius.
-    * The fingerprint is 8 bytes — carried through the join directly. */
+  /** L4: SimHash near-dup. The 64-bit fingerprint splits into
+    * `maxHamming + 1` bands (pigeonhole: ≤ maxHamming differing bits
+    * leave at least one band untouched), so the band join is a
+    * COMPLETE candidate generator for the radius — for any radius,
+    * not just the default 3. The fingerprint is 8 bytes — carried
+    * through the join directly. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 64, s"maxHamming $maxHamming leaves empty bands")
+    // nearly-equal band widths summing to 64 (first `rem` get +1 bit)
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val offsets = (0 until nBands).map(i => i * base + math.min(i, rem))
+    val widths = (0 until nBands).map(i => base + (if (i < rem) 1 else 0))
     val fp = df.select(col(idCol).as("id"),
       simhash64(tokenize_ws(col(textCol))).as("fp"))
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nBands).map(i =>
+        shiftright(col("fp"), offsets(i))
+          .bitwiseAND(lit(mask(widths(i))))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&

@@ -50,6 +50,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("simhash banding is complete at a wide radius (hamming <= 7)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // brute-force truth over all pairs, driver-side (spec-scale corpus)
+    val fps = d.select(col("doc_id"), simhash64(tokenize_ws(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+      if java.lang.Long.bitCount(f1 ^ f2) <= 7
+    } yield (i1, i2)).toSet
+    val banded = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(banded == truth,
+      s"missed=${(truth -- banded).take(5)} extra=${(banded -- truth).take(5)}")
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",
