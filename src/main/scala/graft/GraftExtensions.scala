@@ -70,6 +70,9 @@ object GraftExtensions {
     },
     fn("vector_sum", "vector_sum(vec) - elementwise sum aggregate of double arrays") {
       args => VectorSum(args.head).toAggregateExpression()
+    },
+    fn("shingle_id_set", "shingle_id_set(tokens, n) - sorted distinct n-gram shingle ids") {
+      args => ShingleIdSet(args.head, intArg(args(1), "shingle_id_set"))
     })
 
   /** Register every graft function into a live session's registry —
