@@ -80,6 +80,14 @@ class ParquetQueue(
       Some((ch, lock))
     }
 
+  /** Intra-process mutation lock (the reference synchronizes every
+    * journal/queue operation, Queue.scala:80-100): pushes serialize so
+    * seq assignment is atomic, pops/consumes serialize so one entry is
+    * delivered to exactly one caller per consumer. Cross-process
+    * exclusion is the `exclusiveWriter` file lock; readers of
+    * committed history stay lock-free. */
+  private val mutex = new Object
+
   /** Closed flag (reference Queue.scala:139-146): close() is
     * idempotent; data operations on a closed queue throw. Data is left
     * durable on disk — reopen by constructing a new ParquetQueue. */
@@ -145,7 +153,7 @@ class ParquetQueue(
     * number pushed.
     */
   def push(df: DataFrame, lifetimeMs: Long = -1L,
-           nowMs: Long = System.currentTimeMillis()): Long = {
+           nowMs: Long = System.currentTimeMillis()): Long = mutex.synchronized {
     ensureOpen()
     val payload = schema.validate(df).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -171,9 +179,11 @@ class ParquetQueue(
   def tryPush(df: DataFrame, consumer: String = "default",
               lifetimeMs: Long = -1L): Boolean = {
     ensureOpen()
-    val n = df.count()
-    if (highwater - offsetOf(consumer) + n > capacity) false
-    else { push(df, lifetimeMs); true }
+    val n = df.count() // Spark job outside the monitor
+    mutex.synchronized {
+      if (highwater - offsetOf(consumer) + n > capacity) false
+      else { push(df, lifetimeMs); true } // reentrant
+    }
   }
 
   /** Blocking publisher push (reference Queue.scala:186-206): when the
@@ -190,10 +200,13 @@ class ParquetQueue(
       val n = payload.count()
       while (true) {
         ensureOpen()
-        if (highwater - offsetOf(consumer) + n <= capacity) {
-          push(payload, lifetimeMs)
-          return true
+        // capacity check + push atomic; the wait happens lock-free
+        val accepted = mutex.synchronized {
+          if (highwater - offsetOf(consumer) + n <= capacity) {
+            push(payload, lifetimeMs); true
+          } else false
         }
+        if (accepted) return true
         if (timeoutMs >= 0 && (System.nanoTime() - t0) / 1000000L >= timeoutMs)
           return false
         Thread.sleep(pollMs)
@@ -206,7 +219,7 @@ class ParquetQueue(
     * entries as capacity permits, in `orderCols` order, and report how
     * many were accepted — the caller retries the remainder. */
   def pushAll(df: DataFrame, orderCols: Seq[String],
-              consumer: String = "default", lifetimeMs: Long = -1L): Long = {
+              consumer: String = "default", lifetimeMs: Long = -1L): Long = mutex.synchronized {
     ensureOpen()
     val room = capacity - (highwater - offsetOf(consumer))
     if (room <= 0) 0L
@@ -285,7 +298,7 @@ class ParquetQueue(
     * advances the checkpoint past everything seen (consumed or
     * expired), returns payload rows in seq order. */
   def pop(n: Int, consumer: String = "default",
-          nowMs: Long = System.currentTimeMillis()): Seq[Row] = {
+          nowMs: Long = System.currentTimeMillis()): Seq[Row] = mutex.synchronized {
     ensureOpen()
     val off = offsetOf(consumer)
     if (off >= highwater) return Seq.empty
@@ -337,7 +350,7 @@ class ParquetQueue(
     * and the queue advances past it instead of wedging. Expired entries
     * are skipped. Returns the results of the successful applications. */
   def consume[T](n: Int, consumer: String = "default", errorPermit: Int = 3,
-                 nowMs: Long = System.currentTimeMillis())(f: Row => T): Seq[T] = {
+                 nowMs: Long = System.currentTimeMillis())(f: Row => T): Seq[T] = mutex.synchronized {
     ensureOpen()
     val off = offsetOf(consumer)
     if (off >= highwater) return Seq.empty
@@ -392,7 +405,7 @@ class ParquetQueue(
     * and the newest batch is always retained so `latest` survives.
     * New consumers start at the compaction floor. Returns bytes
     * freed — metadata-only work, no Spark job. */
-  def compact(): Long = {
+  def compact(): Long = mutex.synchronized {
     ensureOpen()
     val dirs = Files.list(Paths.get(dataDir)).toArray.map(_.asInstanceOf[Path])
       .filter(_.getFileName.toString.startsWith("batch="))

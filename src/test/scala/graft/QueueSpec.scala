@@ -219,6 +219,36 @@ class QueueSpec extends SparkSpec {
     q2.dispose()
   }
 
+  test("multi-threaded pushers and poppers deliver every entry exactly once") {
+    val q = fresh()
+    val perPusher = 15 // 3 batches x 5 rows
+    val pushers = (0 until 3).map { p =>
+      new Thread(() => (0 until 3).foreach { b =>
+        val base = p * perPusher + b * 5
+        q.push((base until base + 5).map(i => (i.toLong, s"v$i"))
+          .toDF("id", "text"))
+      })
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val poppers = (0 until 3).map { _ =>
+      new Thread(() => {
+        var idle = false
+        while (!idle) {
+          val got = q.popWait(7, timeoutMs = 5000, pollMs = 20)
+          if (got.isEmpty) idle = true
+          got.foreach(r => seen.add(r.getLong(0)))
+        }
+      })
+    }
+    (pushers ++ poppers).foreach(_.start())
+    pushers.foreach(_.join())
+    poppers.foreach(_.join())
+    val ids = seen.toArray.map(_.asInstanceOf[Long]).toSeq.sorted
+    assert(ids == (0L until 45L).toSeq,
+      s"expected each of 45 entries exactly once, got ${ids.size}")
+    q.dispose()
+  }
+
   test("compact reclaims fully-consumed segments, keeps latest and floor") {
     val q = fresh()
     q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text")) // batch=0: seq 0-1
