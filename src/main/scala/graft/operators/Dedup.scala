@@ -197,4 +197,47 @@ object Dedup {
     val drop = pairs.select(col("doc_id2").as("__drop_id")).distinct()
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** Dedup-at-ingest, exact: drop incoming docs whose content already
+    * exists in the corpus (anti join on the content hash — at scale
+    * the corpus side is a persisted hash TABLE, not a rescan), then
+    * drop within-batch copies (keep min id). Two shuffles on the
+    * 16-byte hash, both sides narrow. */
+  def incrementalExact(incoming: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("__seen_hash")).distinct()
+    val fresh = incoming.withColumn("__hash", md5(col(textCol)))
+      .join(seen, col("__hash") === col("__seen_hash"), "left_anti")
+    val keep = fresh.groupBy("__hash").agg(min(col(idCol)).as("__keep_id"))
+    fresh.join(keep, col(idCol) === col("__keep_id"))
+      .drop("__hash", "__keep_id")
+  }
+
+  /** Dedup-at-ingest, near-dup: MinHash-banded join of the incoming
+    * batch AGAINST the existing corpus only (no corpus self-pairs —
+    * at scale the corpus side is a precomputed banded signature
+    * table). Returns incoming ids with at least one verified
+    * near-duplicate in the corpus. */
+  def minhashAgainst(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int = 64, bands: Int = 8,
+                     minJaccard: Double = 0.9): DataFrame = {
+    val rows = k / bands
+    def banded(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
+          tokenIdSet(textCol).as("ids"))
+        .withColumn("sig", minhash_sig(col("toks"), k))
+        .select(col("id"), col("ids"), posexplode(array((0 until bands).map(bi =>
+          xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded(incoming).as("a")
+      .join(banded(existing).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("incoming_id"), col("b.id").as("corpus_id"),
+        col("a.ids").as("ids1"), col("b.ids").as("ids2"))
+      .withColumn("jac", jacCol)
+      .filter(col("jac") >= minJaccard)
+      .select("incoming_id", "corpus_id", "jac")
+      .distinct()
+  }
 }

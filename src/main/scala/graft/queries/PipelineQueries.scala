@@ -49,6 +49,29 @@ object PipelineQueries {
         .orderBy("doc_id1", "doc_id2")
     },
 
+    // L16: dedup-at-ingest — the incoming slice (doc_id % 5 = 0)
+    // deduped against the already-ingested corpus plus within-batch
+    // (exact; oracled).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.incrementalExact(
+          d.filter(col("doc_id") % 5 === 0),
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // L16b: near-dup at ingest — incoming batch MinHash-probed against
+    // the corpus only, no corpus self-pairs (rows-only; recall gated
+    // in DedupSpec).
+    "q_dedup_against" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.minhashAgainst(
+          d.filter(col("doc_id") % 5 === 0),
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .orderBy("incoming_id", "corpus_id")
+    },
+
     // L3: MinHash-LSH candidates verified at Jaccard ≥ 0.9 (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -312,6 +335,17 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    "q_dedup_incremental" ->
+      """WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |fresh AS (
+        |  SELECT i.*, md5(i.text) AS h FROM inc i
+        |  WHERE md5(i.text) NOT IN (SELECT h FROM ex)),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM fresh GROUP BY h)
+        |SELECT f.doc_id, f.lang, f.source
+        |FROM fresh f JOIN keep k ON f.doc_id = k.keep_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH toks AS (

@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpec {
       s"missed=${(truth -- banded).take(5)} extra=${(banded -- truth).take(5)}")
   }
 
+  test("minhashAgainst recovers cross-set near-dups with high recall") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inc = d.filter(col("doc_id") % 5 === 0)
+    val ex = d.filter(col("doc_id") % 5 =!= 0)
+    // exact asymmetric truth, driver-side (spec-scale corpus)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val truth = (for {
+      (i1, s1) <- sets(inc); (i2, s2) <- sets(ex)
+      j = (s1 & s2).size.toDouble / (s1 | s2).size
+      if j >= 0.9
+    } yield (i1, i2)).toSet
+    val got = Dedup.minhashAgainst(inc, ex, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.95, s"cross-set recall $recall too low")
+    // and everything returned is a verified near-dup (no false accepts
+    // beyond the 4-decimal rounding at the 0.9 boundary)
+    assert(got.forall { case (i1, i2) => truth.contains((i1, i2)) ||
+      { val s1 = sets(inc).toMap.apply(i1); val s2 = sets(ex).toMap.apply(i2)
+        (s1 & s2).size.toDouble / (s1 | s2).size >= 0.8999 } })
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",
