@@ -256,6 +256,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L15b: balanced stratified resample — every language downsampled
+    // to the smallest stratum, membership decided by a deterministic
+    // content-hash order (re-runs/engines agree). One window shuffle +
+    // a broadcast scalar; the mix-rebalancing primitive for training
+    // data.
+    "q_sample_balanced" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val mn = d.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("mn"))
+      val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(mn))
+        .filter(col("rn") <= col("mn"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -437,6 +454,16 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         |  LENGTH(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_balanced" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n) AS mn FROM counts),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked, mn WHERE rn <= mn
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_docs,
