@@ -213,25 +213,36 @@ object Dedup {
       .drop("__hash", "__keep_id")
   }
 
+  /** Banded MinHash signature rows (id, ids, band, bucket) — the
+    * probe-side representation shared by [[minhashAgainst]] and the
+    * persisted signature table. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
+        tokenIdSet(textCol).as("ids"))
+      .withColumn("sig", minhash_sig(col("toks"), k))
+      .select(col("id"), col("ids"), posexplode(array((0 until bands).map(bi =>
+        xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** Dedup-at-ingest, near-dup: MinHash-banded join of the incoming
     * batch AGAINST the existing corpus only (no corpus self-pairs —
-    * at scale the corpus side is a precomputed banded signature
-    * table). Returns incoming ids with at least one verified
-    * near-duplicate in the corpus. */
+    * at scale use [[buildSignatureTable]] + [[minhashAgainstTable]] so
+    * the corpus side is read, not recomputed). Returns incoming ids
+    * with at least one verified near-duplicate in the corpus. */
   def minhashAgainst(incoming: DataFrame, existing: DataFrame,
                      idCol: String, textCol: String,
                      k: Int = 64, bands: Int = 8,
-                     minJaccard: Double = 0.9): DataFrame = {
-    val rows = k / bands
-    def banded(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
-          tokenIdSet(textCol).as("ids"))
-        .withColumn("sig", minhash_sig(col("toks"), k))
-        .select(col("id"), col("ids"), posexplode(array((0 until bands).map(bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded(incoming).as("a")
-      .join(banded(existing).as("b"),
+                     minJaccard: Double = 0.9): DataFrame =
+    probeJoin(bandedSignatures(incoming, idCol, textCol, k, bands),
+      bandedSignatures(existing, idCol, textCol, k, bands), minJaccard)
+
+  private def probeJoin(incoming: DataFrame, corpus: DataFrame,
+                        minJaccard: Double): DataFrame =
+    incoming.as("a")
+      .join(corpus.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("incoming_id"), col("b.id").as("corpus_id"),
         col("a.ids").as("ids1"), col("b.ids").as("ids2"))
@@ -239,5 +250,28 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
       .select("incoming_id", "corpus_id", "jac")
       .distinct()
+
+  /** Persist the corpus's banded signature table, bucketed by the
+    * (band, bucket) probe key: build once per corpus, then every
+    * ingest batch probes it with zero recompute of corpus signatures
+    * AND no shuffle of the corpus side (the bucketed layout already
+    * matches the join key). The incremental-ingest twin of
+    * `Ann.buildIvfIndex`. */
+  def buildSignatureTable(corpus: DataFrame, idCol: String, textCol: String,
+                          table: String, k: Int = 64, bands: Int = 8,
+                          buckets: Int = 32): Unit =
+    bandedSignatures(corpus, idCol, textCol, k, bands)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Probe a persisted signature table with an incoming batch. */
+  def minhashAgainstTable(incoming: DataFrame, idCol: String, textCol: String,
+                          table: String, k: Int = 64, bands: Int = 8,
+                          minJaccard: Double = 0.9): DataFrame = {
+    val corpus = incoming.sparkSession.table(table)
+    probeJoin(bandedSignatures(incoming, idCol, textCol, k, bands),
+      corpus, minJaccard)
   }
 }

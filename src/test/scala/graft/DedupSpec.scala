@@ -94,6 +94,21 @@ class DedupSpec extends SparkSpec {
         (s1 & s2).size.toDouble / (s1 | s2).size >= 0.8999 } })
   }
 
+  test("persisted signature table probe equals direct minhashAgainst") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inc = d.filter(col("doc_id") % 5 === 0)
+    val ex = d.filter(col("doc_id") % 5 =!= 0)
+    try {
+      Dedup.buildSignatureTable(ex, "doc_id", "text", "sigtab")
+      val direct = Dedup.minhashAgainst(inc, ex, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaTable = Dedup.minhashAgainstTable(inc, "doc_id", "text", "sigtab")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(direct.nonEmpty && viaTable == direct)
+    } finally spark.sql("DROP TABLE IF EXISTS sigtab")
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",
