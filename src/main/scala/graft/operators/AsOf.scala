@@ -45,7 +45,7 @@ object AsOf {
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col(s"__m.$c").as(s"$outPrefix$c")): _*)
   }
 }
