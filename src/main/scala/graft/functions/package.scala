@@ -67,6 +67,26 @@ package object functions {
 
   def token_count(text: Column): Column = size(tokenize_ws(text)).cast("long")
 
+  /** Overlapping token-window chunks: windows of `chunkTokens` tokens
+    * every `chunkTokens - overlap` tokens (the embedding/training
+    * chunking shape). Returns array<struct<chunk_idx, chunk_text,
+    * n_chunk_tokens>>; explode it for one row per chunk. Integer-exact
+    * index math — engine-portable. */
+  def chunk_windows(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokenize_ws(text)
+    val n = size(toks)
+    val nChunks = greatest(lit(1L),
+      floor((n - overlap + stride - 1).cast("double") / stride).cast("long"))
+    transform(sequence(lit(0L), nChunks - 1), i => {
+      val piece = slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens))
+      struct(i.as("chunk_idx"),
+        concat_ws(" ", piece).as("chunk_text"),
+        size(piece).cast("long").as("n_chunk_tokens"))
+    })
+  }
+
   /** Word w-shingles (space-joined n-grams of whitespace tokens). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokenize_ws(text)

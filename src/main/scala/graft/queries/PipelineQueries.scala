@@ -273,6 +273,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L17: document chunking — 32-token windows, 8-token overlap
+    // (the embedding/training chunk shape); one row per chunk.
+    "q_text_chunk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(chunk_windows(col("text"), chunkTokens = 32, overlap = 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"),
+          col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -512,6 +523,21 @@ object PipelineQueries {
         |  FLOOR(CAST(SUM(qq) AS DOUBLE) / COUNT(*) / 100.0 + 0.5) / 1000000 AS lm_score
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    UNNEST(range(0, GREATEST(1, (len(t) - 8 + 23) // 24))) AS chunk_idx, t
+        |  FROM toks)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+        |    AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
