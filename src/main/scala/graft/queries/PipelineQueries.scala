@@ -31,9 +31,11 @@ object PipelineQueries {
     },
 
     // L2: word-set Jaccard near-dup, blocked by language.
+    // parallelBuckets=8 halves the salted explode duplication; 5 langs
+    // x 36 cells still saturates local[32] (raise B on a cluster).
     "q_dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          Seq("lang"), minJaccard = 0.9)
+          Seq("lang"), minJaccard = 0.9, parallelBuckets = 8)
         .orderBy("doc_id1", "doc_id2")
     },
 
@@ -99,7 +101,8 @@ object PipelineQueries {
     "q_dedup_apply" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       Dedup.removeNearDups(d, "doc_id",
-          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), minJaccard = 0.9))
+          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"),
+            minJaccard = 0.9, parallelBuckets = 8))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },

@@ -112,6 +112,53 @@ class StreamingSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("queue feeds the transformWithState sessionizer end-to-end") {
+    import graft.queue.ParquetQueue
+    import graft.schema.{GraftSchema, GraftType}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = GraftSchema(("user_id", GraftType.INTEGER),
+        ("event_id", GraftType.INTEGER), ("ts_ms", GraftType.INTEGER),
+        ("value", GraftType.REAL))
+      val q = new ParquetQueue(spark,
+        Files.createTempDirectory("qsess").toString, schema)
+      val ckpt = Files.createTempDirectory("qsess_ckpt").toString
+      val outDir = Files.createTempDirectory("qsess_out").toString
+      def drain(): Unit = {
+        val events = q.readStream(1)
+          .selectExpr("user_id", "event_id", "ts_ms", "value")
+          .as[Event]
+        val s = QueueStreaming.sessionizeTws(events, gapMs = 1000L,
+            useTimers = false)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        s.awaitTermination(120000)
+        ()
+      }
+      // burst 1, then a late event that closes it — via the queue,
+      // with a stream restart (checkpointed state survives) in between
+      q.push(Seq((7L, 1L, 0L, 1.0), (7L, 2L, 500L, 2.0))
+        .toDF("user_id", "event_id", "ts_ms", "value"))
+      drain()
+      q.push(Seq((7L, 3L, 10000L, 5.0)).toDF("user_id", "event_id", "ts_ms", "value"))
+      drain()
+      val sessions = spark.read.parquet(outDir).as[Session].collect()
+      assert(sessions.toSeq == Seq(Session(7L, 2L, 3.0, 500L)))
+      q.dispose()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
