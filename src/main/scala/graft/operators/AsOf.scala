@@ -27,25 +27,35 @@ object AsOf {
     * @param tieCol      deterministic tiebreaker present on both sides
     * @param payloadCols right columns to carry onto matched left rows
     * @param outPrefix   prefix for the attached payload columns
+    * @param tolerance   max age `leftTs - rightTs` of a match (same
+    *                    unit as the ts columns, numeric); older
+    *                    matches become nulls (pandas merge_asof
+    *                    tolerance). Negative = unbounded.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, tieCol: String,
-           payloadCols: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+           payloadCols: Seq[String], outPrefix: String = "asof_",
+           tolerance: Long = -1L): DataFrame = {
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", col(tieCol))
+    // the right payload carries its own ts so tolerance can be
+    // evaluated on the matched row
     val r2 = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"), col(tieCol).as("__tie"),
-        struct(payloadCols.map(col): _*).as("__p")): _*)
+        struct((payloadCols.map(col) :+ col(rightTs).as("__rts")): _*).as("__p")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val matched = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m0", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m",
+        if (tolerance < 0) col("__m0")
+        else when(col("__ts") - col("__m0.__rts") <= tolerance, col("__m0")))
       .filter(col("__side") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++
-        payloadCols.map(c => col(s"__m.$c").as(s"$outPrefix$c")): _*)
+    matched.select(left.columns.toIndexedSeq.map(col) ++
+      payloadCols.map(c => col(s"__m.$c").as(s"$outPrefix$c")): _*)
   }
 }

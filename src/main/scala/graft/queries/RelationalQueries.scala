@@ -254,6 +254,22 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // R22b: as-of join with a 1h tolerance — stale matches expire
+    // (pandas merge_asof tolerance semantics).
+    "q_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts", "value")
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", "event_id",
+          Seq("event_id", "value"), outPrefix = "match_",
+          tolerance = 3600000000000L)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("match_event_id"), col("match_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // R11: rollup hierarchy totals.
     "q_rollup" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -565,6 +581,29 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, value, match_event_id, match_value
+        |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value,
+        |         CAST(NULL AS BIGINT) AS r_tns
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 0 AS side,
+        |         event_id AS r_event_id, value AS r_value, epoch_ns(ts) AS r_tns
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT user_id, event_id, tns, value, side,
+        |    LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS m_event_id,
+        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS m_value,
+        |    LAST_VALUE(r_tns IGNORE NULLS) OVER w AS m_tns
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value,
+        |  CASE WHEN tns - m_tns <= 3600000000000 THEN m_event_id END AS match_event_id,
+        |  CASE WHEN tns - m_tns <= 3600000000000 THEN m_value END AS match_value
         |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "q_rollup" ->

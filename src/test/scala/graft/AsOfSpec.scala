@@ -21,4 +21,18 @@ class AsOfSpec extends SparkSpec {
       (11L, Some(1L), Some(9.0)), // strictly-before match
       (12L, None, None)))         // no right rows for k=2
   }
+
+  test("asof tolerance expires matches older than the bound") {
+    val left = Seq((1L, 10L, 100L, 1.0), (1L, 11L, 50L, 2.0))
+      .toDF("k", "event_id", "ts", "v")
+    val right = Seq((1L, 1L, 40L, 9.0), (1L, 2L, 98L, 8.0))
+      .toDF("k", "event_id", "ts", "v")
+    val out = AsOf.join(left, right, Seq("k"), "ts", "ts", "event_id",
+        Seq("event_id"), outPrefix = "m_", tolerance = 5L)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), Option(r.get(4)))).toSeq
+    assert(out == Seq(
+      (10L, Some(2L)), // ts 100 - 98 = 2 <= 5: kept
+      (11L, None)))    // ts 50 - 40 = 10 > 5: expired
+  }
 }
