@@ -333,6 +333,19 @@ object RelationalQueries {
         .orderBy("k")
     },
 
+    // R15b: semi-structured access via Spark 4's VariantType —
+    // parse_json once, typed variant_get extraction (the modern
+    // engine-native path for schemaless props; shredded at the parquet
+    // layer at scale).
+    "q_variant_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(parse_json(col("props")).as("v"))
+        .select(variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    },
+
     // R16: time bucketing of the event stream (ts is Long nanos — see
     // GraftSession nanosAsLong; integer div keeps full precision).
     "q_date_trunc" -> { (s, dir) =>
@@ -643,6 +656,10 @@ object RelationalQueries {
         |ORDER BY kind, key""".stripMargin,
 
     "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_variant_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
