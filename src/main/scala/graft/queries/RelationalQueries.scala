@@ -207,6 +207,25 @@ object RelationalQueries {
       Sessionize.salted(t(s, dir, "events"), "user_id", GapNs, BucketNs)
     },
 
+    // R20e: Spark's BUILT-IN session_window as a third twin — same
+    // oracle as q_sessionize, so the hash gate proves the native
+    // operator, the textbook windows, and the salted rewrite all
+    // agree. (Boundary note: the builtin opens a new session at an
+    // EXACTLY-gap-sized silence while the lag formulation keeps it;
+    // the data has no exact-gap adjacent pairs, verified.)
+    "q_session_window" -> { (s, dir) =>
+      val sessW = Window.partitionBy("user_id").orderBy(col("w.start"))
+      t(s, dir, "events")
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("tss"), "60 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          floor((max("ts") - min("ts")) / 1000000.0).as("duration_ms"))
+        .withColumn("sess_id", row_number().over(sessW).cast("long"))
+        .select("user_id", "sess_id", "n_events", "sum_value", "duration_ms")
+        .orderBy("user_id", "sess_id")
+    },
+
     // R20c/R20d: the skew before/after pair. The hot-key remap puts
     // ~50% of events on user 0; _hot runs the textbook plan (one task
     // sorts half the table), _hot_salted the bucketed plan. Same
@@ -549,6 +568,8 @@ object RelationalQueries {
     "q_sessionize" -> sessionizeSql("events"),
     // identical oracle: the salted plan must reproduce the plain result
     "q_sessionize_salted" -> sessionizeSql("events"),
+    // and so must Spark's built-in session_window operator
+    "q_session_window" -> sessionizeSql("events"),
     "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
     "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
 
