@@ -28,6 +28,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join equals driver-side brute force on random events") {
+    import graft.operators.AsOf
+    val rnd = new Random(11)
+    (1 to 5).foreach { round =>
+      val mkRows = (n: Int, idBase: Int) => (0 until n).map { i =>
+        (rnd.nextInt(3).toLong, (idBase + i).toLong, rnd.nextInt(300).toLong,
+          rnd.nextInt(50).toDouble)
+      }
+      val lRows = mkRows(1 + rnd.nextInt(20), 1000)
+      val rRows = mkRows(1 + rnd.nextInt(20), 2000)
+      val tol = if (rnd.nextBoolean()) rnd.nextInt(100).toLong else -1L
+      val out = AsOf.join(
+          lRows.toDF("k", "event_id", "ts", "v"),
+          rRows.toDF("k", "event_id", "ts", "v"),
+          Seq("k"), "ts", "ts", "event_id", Seq("event_id"), "m_", tol)
+        .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+        .toMap
+      val truth = lRows.map { case (k, id, ts, _) =>
+        val cands = rRows.filter(r => r._1 == k && r._3 <= ts &&
+          (tol < 0 || ts - r._3 <= tol))
+        // latest rightTs, largest tie id
+        id -> cands.sortBy(r => (r._3, r._2)).lastOption.map(_._2)
+      }.toMap
+      assert(out == truth, s"round $round (tol=$tol)")
+    }
+  }
+
+  test("bucketed range join equals brute force on random intervals") {
+    import graft.operators.RangeJoin
+    val rnd = new Random(13)
+    (1 to 5).foreach { round =>
+      val pts = (0 until 1 + rnd.nextInt(15)).map { i =>
+        (rnd.nextInt(3).toLong, (100 + i).toLong, rnd.nextInt(500).toLong)
+      }
+      val ivs = (0 until 1 + rnd.nextInt(10)).map { i =>
+        val s = rnd.nextInt(500).toLong
+        (rnd.nextInt(3).toLong, (900 + i).toLong, s, s + rnd.nextInt(200).toLong)
+      }
+      val bucket = 1L + rnd.nextInt(100)
+      val got = RangeJoin.byBucket(
+          pts.toDF("k", "pt_id", "ts"),
+          ivs.toDF("k", "iv_id", "start_ts", "end_ts"),
+          Seq("k"), "ts", "start_ts", "end_ts", bucket)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val truth = (for {
+        (pk, pid, ts) <- pts; (ik, iid, s, e) <- ivs
+        if pk == ik && ts >= s && ts <= e
+      } yield (pid, iid)).sorted
+      assert(got == truth, s"round $round (bucket=$bucket)")
+    }
+  }
+
   test("banded jaccard equals unbanded brute force on random docs") {
     val words = Array("alpha", "beta", "gamma", "delta", "eps")
     val rnd = new Random(7)
