@@ -133,6 +133,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L18: end-to-end retrieval — ANN top-k joined back to document
+    // metadata (the search-pipeline composition: embed -> search ->
+    // hydrate). Neighbor side joins on its id; at scale the hydrate
+    // join shuffles only k rows per query.
+    "q_retrieval" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val hits = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      hits.join(t(s, dir, "documents"), col("nn_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("nn_id"), col("sim"),
+          col("lang"), col("source"))
+        .orderBy("query_id", "rank")
+    },
+
     // L8: language ID by marker-stopword scoring, argmax with
     // alphabetical tie-break.
     "q_lang_id" -> { (s, dir) =>
@@ -429,6 +443,27 @@ object PipelineQueries {
         |  FROM sims)
         |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_retrieval" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, vec_id AS nn_id,
+        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
+        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
+        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, nn_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM sims)
+        |SELECT r.query_id, r.rank, r.nn_id, r.sim, d.lang, d.source
+        |FROM ranked r JOIN documents d ON r.nn_id = d.doc_id
+        |WHERE r.rank <= 3
+        |ORDER BY r.query_id, r.rank""".stripMargin,
 
     "q_lang_id" -> langMarkerSql,
 
