@@ -301,6 +301,21 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // L15c: weighted mixture sampling — per-source keep rates (the
+    // data-mixing primitive: upweight curated sources, downsample
+    // web), content-hash deterministic.
+    "q_sample_weighted" -> { (s, dir) =>
+      val weights =
+        (0 until 5).map(i => s"src$i" -> 1.0).toMap ++
+          (5 until 10).map(i => s"src$i" -> 0.5).toMap
+      graft.operators.Mix.weightedSample(
+          t(s, dir, "documents"), "source", "text", weights,
+          defaultWeight = 0.25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -513,6 +528,14 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, lang FROM ranked, mn WHERE rn <= mn
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT source, COUNT(*) AS n_kept FROM documents
+        |WHERE SUBSTRING(md5(text), 1, 2) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'g0'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
+        |       ELSE '40' END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_docs,
