@@ -1,0 +1,34 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mix
+
+class MixSpec extends SparkSpec {
+
+  private def md5hex2(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+
+  test("weighted sample keeps exactly the hash-thresholded rows per source") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val kept = Mix.weightedSample(d, "source", "text", weights, defaultWeight = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent truth via java MessageDigest
+    val truth = d.select("doc_id", "source", "text").collect().filter { r =>
+      val w = weights.getOrElse(r.getString(1), 0.25)
+      val k = math.round(w * 256).toInt
+      val t = if (k >= 256) "g0" else f"$k%02x"
+      md5hex2(r.getString(2)) < t
+    }.map(_.getLong(0)).toSet
+    assert(kept == truth)
+    // weight 1.0 keeps everything from src0; weight 0 keeps nothing from src2
+    val bySrc = d.select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).map { case (s, rs) => s -> rs.map(_.getLong(0)).toSet }
+    assert(bySrc("src0").subsetOf(kept))
+    assert((bySrc("src2") & kept).isEmpty)
+  }
+}
