@@ -12,5 +12,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = GraftSession.local("4", "graft-test")
+  lazy val session: SparkSession = {
+    val s = GraftSession.local("4", "graft-test")
+    // suites run concurrently in one JVM; per-test conf toggling races,
+    // so the RocksDB provider (required by transformWithState, fine
+    // for every other stateful op) is set once for the whole session
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
 }

@@ -58,35 +58,23 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState sessionize matches the flatMapGroups version") {
     implicit val sq = spark.sqlContext
-    // transformWithState requires the RocksDB state store provider
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val mem = MemoryStream[Event]
-      val out = QueueStreaming.sessionizeTws(mem.toDS(), gapMs = 1000L,
-        useTimers = false)
-      val ckpt = Files.createTempDirectory("sesstws").toString
-      val q = out.writeStream.format("memory").queryName("sessions_tws")
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt).start()
-      mem.addData(Event(7L, 1L, 0L, 1.0), Event(7L, 2L, 500L, 2.0))
-      q.processAllAvailable()
-      mem.addData(Event(7L, 3L, 10000L, 5.0)) // 9.5s later: closes burst 1
-      q.processAllAvailable()
-      mem.addData(Event(7L, 4L, 30000L, 1.0)) // closes burst 2 (the single event)
-      q.processAllAvailable()
-      val sessions = spark.sql("SELECT * FROM sessions_tws ORDER BY duration_ms")
-        .as[Session].collect()
-      q.stop()
-      assert(sessions.toSeq == Seq(Session(7L, 1L, 5.0, 0L), Session(7L, 2L, 3.0, 500L)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
+    val mem = MemoryStream[Event]
+    val out = QueueStreaming.sessionizeTws(mem.toDS(), gapMs = 1000L,
+      useTimers = false)
+    val ckpt = Files.createTempDirectory("sesstws").toString
+    val q = out.writeStream.format("memory").queryName("sessions_tws")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Event(7L, 1L, 0L, 1.0), Event(7L, 2L, 500L, 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(7L, 3L, 10000L, 5.0)) // 9.5s later: closes burst 1
+    q.processAllAvailable()
+    mem.addData(Event(7L, 4L, 30000L, 1.0)) // closes burst 2 (the single event)
+    q.processAllAvailable()
+    val sessions = spark.sql("SELECT * FROM sessions_tws ORDER BY duration_ms")
+      .as[Session].collect()
+    q.stop()
+    assert(sessions.toSeq == Seq(Session(7L, 1L, 5.0, 0L), Session(7L, 2L, 3.0, 500L)))
   }
 
   test("queue subscriber is exactly-once across stream restarts") {
@@ -115,48 +103,37 @@ class StreamingSpec extends SparkSpec {
   test("queue feeds the transformWithState sessionizer end-to-end") {
     import graft.queue.ParquetQueue
     import graft.schema.{GraftSchema, GraftType}
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val schema = GraftSchema(("user_id", GraftType.INTEGER),
-        ("event_id", GraftType.INTEGER), ("ts_ms", GraftType.INTEGER),
-        ("value", GraftType.REAL))
-      val q = new ParquetQueue(spark,
-        Files.createTempDirectory("qsess").toString, schema)
-      val ckpt = Files.createTempDirectory("qsess_ckpt").toString
-      val outDir = Files.createTempDirectory("qsess_out").toString
-      def drain(): Unit = {
-        val events = q.readStream(1)
-          .selectExpr("user_id", "event_id", "ts_ms", "value")
-          .as[Event]
-        val s = QueueStreaming.sessionizeTws(events, gapMs = 1000L,
-            useTimers = false)
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt).start()
-        s.awaitTermination(120000)
-        ()
-      }
-      // burst 1, then a late event that closes it — via the queue,
-      // with a stream restart (checkpointed state survives) in between
-      q.push(Seq((7L, 1L, 0L, 1.0), (7L, 2L, 500L, 2.0))
-        .toDF("user_id", "event_id", "ts_ms", "value"))
-      drain()
-      q.push(Seq((7L, 3L, 10000L, 5.0)).toDF("user_id", "event_id", "ts_ms", "value"))
-      drain()
-      val sessions = spark.read.parquet(outDir).as[Session].collect()
-      assert(sessions.toSeq == Seq(Session(7L, 2L, 3.0, 500L)))
-      q.dispose()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    val schema = GraftSchema(("user_id", GraftType.INTEGER),
+      ("event_id", GraftType.INTEGER), ("ts_ms", GraftType.INTEGER),
+      ("value", GraftType.REAL))
+    val q = new ParquetQueue(spark,
+      Files.createTempDirectory("qsess").toString, schema)
+    val ckpt = Files.createTempDirectory("qsess_ckpt").toString
+    val outDir = Files.createTempDirectory("qsess_out").toString
+    def drain(): Unit = {
+      val events = q.readStream(1)
+        .selectExpr("user_id", "event_id", "ts_ms", "value")
+        .as[Event]
+      val s = QueueStreaming.sessionizeTws(events, gapMs = 1000L,
+          useTimers = false)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      s.awaitTermination(120000)
+      ()
     }
+    // burst 1, then a late event that closes it — via the queue,
+    // with a stream restart (checkpointed state survives) in between
+    q.push(Seq((7L, 1L, 0L, 1.0), (7L, 2L, 500L, 2.0))
+      .toDF("user_id", "event_id", "ts_ms", "value"))
+    drain()
+    q.push(Seq((7L, 3L, 10000L, 5.0)).toDF("user_id", "event_id", "ts_ms", "value"))
+    drain()
+    val sessions = spark.read.parquet(outDir).as[Session].collect()
+    assert(sessions.toSeq == Seq(Session(7L, 2L, 3.0, 500L)))
+    q.dispose()
   }
 
   test("dedup stream drops redelivered ids") {
