@@ -68,8 +68,12 @@ object QueueStreaming {
               (Vector.empty[Session], prev)) { case ((out, st), e) =>
               st match {
                 case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  // min/max bounds: an out-of-order event inside the
+                  // gap extends the session, never shrinks it
                   (out, Some(s.copy(nEvents = s.nEvents + 1,
-                    sumValue = s.sumValue + e.value, lastMs = e.ts_ms)))
+                    sumValue = s.sumValue + e.value,
+                    startMs = math.min(s.startMs, e.ts_ms),
+                    lastMs = math.max(s.lastMs, e.ts_ms))))
                 case Some(s) =>
                   (out :+ Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs),
                     Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
@@ -110,8 +114,12 @@ object QueueStreaming {
         (Vector.empty[Session], prev)) { case ((out, st), e) =>
         st match {
           case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+            // min/max bounds: out-of-order events inside the gap extend
+            // the session, never shrink it
             (out, Some(s.copy(nEvents = s.nEvents + 1,
-              sumValue = s.sumValue + e.value, lastMs = e.ts_ms)))
+              sumValue = s.sumValue + e.value,
+              startMs = math.min(s.startMs, e.ts_ms),
+              lastMs = math.max(s.lastMs, e.ts_ms))))
           case Some(s) =>
             (out :+ Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs),
               Some(SessionState(1, e.value, e.ts_ms, e.ts_ms)))
@@ -147,6 +155,24 @@ object QueueStreaming {
         if (useTimers) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Streaming sessionization on the BUILT-IN `session_window`
+    * operator: watermark-bounded state, sessions emitted when the
+    * watermark passes their close. The third streaming shape next to
+    * [[sessionize]] (flatMapGroupsWithState) and [[sessionizeTws]]
+    * (transformWithState); prefer this one when plain windowed
+    * aggregates are all the session needs. `tsCol` must be a
+    * TimestampType column. */
+  def sessionWindowStats(events: DataFrame, tsCol: String, keyCol: String,
+                         valCol: String, gapDur: String,
+                         watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDur).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(38,4)")).cast("double").as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
   /** Deduplicating consumer: drop re-deliveries by id within the
     * watermark horizon — the streaming analog of exact dedup. */

@@ -136,6 +136,29 @@ class StreamingSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("session_window streaming stats close sessions past the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user", "value")
+    val out = QueueStreaming.sessionWindowStats(df, "ts", "user", "value",
+      gapDur = "1 minute", watermarkDelay = "1 minute")
+    val ckpt = Files.createTempDirectory("swstats").toString
+    val q = out.writeStream.format("memory").queryName("swstats")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // one burst (2 events 30s apart), then silence past gap + watermark
+    mem.addData((t(0, 0), 9L, 1.0), (t(0, 30), 9L, 2.0))
+    q.processAllAvailable()
+    mem.addData((t(10, 0), 9L, 5.0)) // advances watermark; closes burst 1
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT user, n_events, sum_value FROM swstats")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(rows == Seq((9L, 2L, 3.0)))
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
