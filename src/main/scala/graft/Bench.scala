@@ -14,23 +14,37 @@ object Bench {
     // identical code and differed 3.5x (cold page cache / JIT), so a
     // single sample mostly measures the environment. min-of-2 is the
     // steady-state number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dts = (1 to 2).map { _ =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failed run must not enter the min (its fast failure time would
+      // masquerade as the query's benchmark number) — keep only the
+      // durations of runs that completed
+      val dts = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink forces evaluation of every output column (count()
         // would let Catalyst prune the projections being measured)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); None
+        }
       }
-      val dt = dts.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s  (runs: ${dts.map(d => f"$d%.2f").mkString(", ")})")
+      val dt = if (dts.nonEmpty) Some(dts.min) else None
+      System.err.println(f"[bench] $name%-24s ${dt.fold("FAILED")(d => f"$d%8.2f s")}  (runs: ${dts.map(d => f"$d%.2f").mkString(", ")})")
       name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val ok = timed.collect { case (k, Some(v)) => k -> v }
+    val failed = timed.collect { case (k, None) => k }
+    // one compact JSON line: 3-decimal values keep the whole line inside
+    // the driver's bounded stdout-tail capture (full-precision doubles
+    // pushed it past the window in r1-r3 → "parsed": null every round)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

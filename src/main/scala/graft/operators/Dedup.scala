@@ -58,16 +58,21 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
     val B = parallelBuckets
     val idSet =
       if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
       else shingle_id_set(tokenize_ws(col(textCol)), shingleN)
     // PPJoin-style length filter: jac >= t needs a size ratio >= t, so
-    // docs carry a log-band of their set size (base 1/(t-0.001)); a
-    // pair whose bands differ by >= 2 has ratio < t-0.001 and cannot
-    // round up past the final jac filter — exactness preserved while
-    // most cross-size candidate pairs never match the band key.
+    // docs carry a log-band of their set size (base 1/(t-0.001)) and
+    // probe ±D neighboring bands. A valid pair's log-size gap is at
+    // most log(1/t), so its band indices (floors) differ by at most
+    // floor(log(1/t)/logR) + 1 = D — exactness preserved for ANY t,
+    // including t below the 0.05 clamp where one band width no longer
+    // covers the ratio bound (D grows instead of pairs being dropped).
     val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
+    val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
     val toks = df.select(col(idCol).as("id") +:
       idSet.as("ids") +: blockCols.map(col): _*)
       .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
@@ -80,7 +85,7 @@ object Dedup {
       .withColumn("bu", explode(sequence(lit(0), col("bkt"))))
       .withColumnRenamed("bkt", "bv")
       .withColumn("bandm",
-        explode(array(col("band") - 1, col("band"), col("band") + 1)))
+        explode(sequence(col("band") - bandDelta, col("band") + bandDelta)))
       .as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockEq && col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
@@ -118,8 +123,10 @@ object Dedup {
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
-        least(col("a.sz"), col("b.sz")) * 10000 >=
-          greatest(col("a.sz"), col("b.sz")) * rt)
+        // sz is a 32-bit size(); widen before scaling or >214k-token
+        // docs wrap the multiply negative and drop true pairs
+        least(col("a.sz"), col("b.sz")).cast("long") * 10000L >=
+          greatest(col("a.sz"), col("b.sz")).cast("long") * rt)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     attachFeatures(cand, docs, "ids")

@@ -342,14 +342,21 @@ object PipelineQueries {
 
     // L12d: feature extraction (8-bin byte histogram per partition
     // batch; rows-only — byte iteration isn't SQL-expressible in the
-    // oracle; determinism asserted in MultimodalSpec).
+    // oracle; determinism asserted in MultimodalSpec). The histogram
+    // vector is flattened to scalar columns for the driver's rows-only
+    // dump: its comparator sorts with pandas, which cannot order
+    // array-typed cells (this was the one red row in r3).
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
-      Multimodal.extractFeatures(
+      val feats = Multimodal.extractFeatures(
         t(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
           .as[Multimodal.MediaRow])
-        .toDF().orderBy("doc_id")
+        .toDF()
+      val bins = (0 until 8).map(i =>
+        element_at(col("histogram"), i + 1).as(s"h$i"))
+      feats.select(col("doc_id") +: bins :+ col("mean_byte"): _*)
+        .orderBy("doc_id")
     })
 
   private val jaccardSqlBase =

@@ -283,6 +283,14 @@ class ParquetQueue(
 
   def isEmpty(consumer: String = "default"): Boolean = size(consumer) == 0
 
+  /** Directory listing that closes the underlying stream (Files.list
+    * leaks a directory fd per call otherwise). */
+  private def listDir(dir: Path): Array[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path])
+    finally s.close()
+  }
+
   /** Bytes on disk across segment + meta files (reference diskSpace). */
   def diskSpace: Long = {
     val p = Paths.get(root)
@@ -333,7 +341,13 @@ class ParquetQueue(
     val t0 = System.nanoTime()
     while (true) {
       ensureOpen()
-      if (size(consumer) > 0) return pop(n, consumer)
+      if (size(consumer) > 0) {
+        // the size check and the pop are not one atomic step: a
+        // concurrent consumer may drain the queue in between, so an
+        // empty pop means "keep waiting", not "return early"
+        val got = pop(n, consumer)
+        if (got.nonEmpty) return got
+      }
       if (timeoutMs >= 0 && (System.nanoTime() - t0) / 1000000L >= timeoutMs)
         return Seq.empty
       Thread.sleep(pollMs)
@@ -407,11 +421,11 @@ class ParquetQueue(
     * freed — metadata-only work, no Spark job. */
   def compact(): Long = mutex.synchronized {
     ensureOpen()
-    val dirs = Files.list(Paths.get(dataDir)).toArray.map(_.asInstanceOf[Path])
+    val dirs = listDir(Paths.get(dataDir))
       .filter(_.getFileName.toString.startsWith("batch="))
       .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
     if (dirs.length <= 1) return 0L
-    val offs = Files.list(metaDir).toArray.map(_.asInstanceOf[Path])
+    val offs = listDir(metaDir)
       .filter(_.getFileName.toString.startsWith("offset-"))
       .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
     if (offs.isEmpty) return 0L
