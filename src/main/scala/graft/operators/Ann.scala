@@ -31,6 +31,30 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** L6b: grouped (per-tenant / per-label) exact top-k — the
+    * multi-tenant search shape. The cross join becomes an equi-join on
+    * the group column, so each query's scan is bounded by its OWN
+    * group's rows, not the corpus: per-group work is |group|·|group
+    * queries|, groups search in parallel, and a new tenant's queries
+    * never touch another tenant's vectors. Queries stay broadcast
+    * (small by contract); ranking is per (group, query). */
+  def groupedTopK(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    val c = corpus.select(col(groupCol).as("grp"), col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("nn_vec"))
+    val q = queries.select(col(groupCol).as("grp"), col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("q_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    c.join(broadcast(q), "grp")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "grp", "rank", "nn_id", "sim")
+  }
+
   /** L7: the scale path — hyperplane-LSH bucketed search. Corpus is
     * bucketed once (reusable, like an IVF index); each query probes
     * its own bucket only, so per-query cost is |corpus|/2^bits. Recall

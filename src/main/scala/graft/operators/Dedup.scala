@@ -205,6 +205,61 @@ object Dedup {
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** L19: connected-components clustering of near-dup pairs — the
+    * transitive-closure step greedy pair-removal lacks (a ~ b ~ c must
+    * collapse to ONE survivor even when (a, c) never met a pair
+    * threshold). Cluster id = minimum member id, computed by iterative
+    * min-label propagation: each round is one join + one groupBy (both
+    * map-side-combining on well-spread ids); rounds needed = component
+    * diameter, which for near-dup graphs is small (dup clusters are
+    * near-cliques). Each round's labels are eagerly localCheckpoint'ed
+    * so the plan stays constant-size across iterations and the pair
+    * generator upstream (often an O(m²)-ish verify) is evaluated
+    * exactly once. Returns (id, cluster) for every id in `pairs`;
+    * the result is materialized small (one row per clustered doc). */
+  def clusters(pairs: DataFrame, id1Col: String = "doc_id1",
+               id2Col: String = "doc_id2", maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+    val edges = e.union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // label(v) starts at min(v, neighbors(v)) — one hop for free
+      var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        iter += 1
+        // pull the smallest label visible through one edge hop
+        val pulled = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy("src").agg(min(col("lbl")).as("plbl"))
+        val next = labels.join(pulled, labels("id") === pulled("src"), "left")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        val changed = next.as("n")
+          .join(labels.withColumnRenamed("lbl", "olbl"), "id")
+          .filter(col("lbl") < col("olbl")).count()
+        labels = next
+        converged = changed == 0
+      }
+      labels.select(col("id"), col("lbl").as("cluster"))
+    } finally edges.unpersist()
+  }
+
+  /** Clustered near-dup removal: one survivor per connected component
+    * (the minimum id), everything else anti-joined away. Strictly
+    * stronger than [[removeNearDups]]: transitive duplicates collapse
+    * even when their direct pair never passed the threshold. */
+  def removeNearDupsClustered(df: DataFrame, idCol: String,
+                              pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Dedup-at-ingest, exact: drop incoming docs whose content already
     * exists in the corpus (anti join on the content hash — at scale
     * the corpus side is a persisted hash TABLE, not a rescan), then

@@ -107,6 +107,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L19: connected-components clustering of the jaccard≥0.9 pair
+    // graph — cluster id = min member id (oracled via a DuckDB
+    // recursive CTE: min-label propagation equals transitive closure).
+    "q_dedup_cluster" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.clusters(
+          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"),
+            minJaccard = 0.9, parallelBuckets = 8))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
+    // L19b: clustered dedup apply — exactly one survivor per connected
+    // component (transitive dups collapse even when their direct pair
+    // missed the threshold; contrast with greedy q_dedup_apply).
+    "q_dedup_cluster_apply" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.removeNearDupsClustered(d, "doc_id",
+          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"),
+            minJaccard = 0.9, parallelBuckets = 8))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // L6: exact brute-force cosine top-5 for a small query set.
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -130,6 +154,15 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
           "embedding", k = 5, nClusters = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // L6b: grouped (per-label) exact top-k — multi-tenant search: each
+    // query scans only its own group's vectors (oracled).
+    "q_ann_grouped" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.groupedTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
     },
 
@@ -446,6 +479,69 @@ object PipelineQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toksets AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM p
+        |  UNION
+        |  SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster_apply" ->
+      """WITH RECURSIVE toksets AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM p
+        |  UNION
+        |  SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ann_grouped" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS grp, vec AS qv FROM v WHERE vec_id < 50),
+        |sims AS (
+        |  SELECT query_id, grp, vec_id AS nn_id,
+        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
+        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
+        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |  FROM v JOIN q ON v.label = q.grp WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, grp, nn_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM sims)
+        |SELECT query_id, grp, rank, nn_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH v AS (

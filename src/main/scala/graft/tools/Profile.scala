@@ -44,6 +44,21 @@ object Profile {
       "upper(p_brand)", "substring(p_name,1,8)", "length(p_name)")
       .write.format("noop").mode("overwrite").save(); 0L})
 
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    time("get_json_object")(ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1))).count())
+    time("get_json_object 2nd")(ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1))).count())
+    time("from_json")(ev
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .groupBy("k").agg(count(lit(1))).count())
+    time("variant_get")(ev
+      .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("k").agg(count(lit(1))).count())
+
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     time("agg double sum")(li.groupBy("l_returnflag", "l_linestatus")

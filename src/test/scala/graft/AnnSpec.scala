@@ -39,6 +39,32 @@ class AnnSpec extends SparkSpec {
     assert(hit > 0)
   }
 
+  test("grouped top-k searches only the query's own group, exactly") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val got = Ann.groupedTopK(e, q, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    assert(got.nonEmpty)
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every neighbor shares the query's label
+    got.foreach { r =>
+      assert(labelOf(r.getAs[Long]("nn_id")) == r.getAs[Int]("grp"))
+      assert(labelOf(r.getAs[Long]("query_id")) == r.getAs[Int]("grp"))
+    }
+    // and per group the result equals brute force restricted to it
+    val grp = got.head.getAs[Int]("grp")
+    val sub = e.filter(col("label") === grp)
+    val bf = Ann.bruteForceTopK(sub, q.filter(col("label") === grp),
+        "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"))).toSet
+    val gotGrp = got.filter(_.getAs[Int]("grp") == grp)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"))).toSet
+    assert(gotGrp == bf)
+  }
+
   test("ivf probes beat or match single-bucket lsh recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -109,6 +109,47 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sigtab")
   }
 
+  test("clusters computes connected components (multi-hop chains)") {
+    // 1-2-3-4-5 is a path: min-label needs several propagation rounds;
+    // {10,11} and {20,21,22} (a triangle via 20-21, 21-22, 22-20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_id1", "doc_id2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusters equals driver-side union-find on real pair data") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9)
+    val edges = pairs.select("doc_id1", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent truth: union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.nonEmpty && got == truth)
+  }
+
+  test("clustered removal keeps exactly one survivor per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id1", "doc_id2")
+    val kept = Dedup.removeNearDupsClustered(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // component {1,2,3} -> survivor 1; 4 and 5 untouched
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",
