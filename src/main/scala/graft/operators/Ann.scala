@@ -152,6 +152,82 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** Per-group k-means training for [[groupedIvfTopK]]. One persisted
+    * hash-sample pass; per Lloyd round a SINGLE (grp, cluster)
+    * `vector_sum` shuffle covers every group's update (G·C rows), and
+    * the per-group centroid tables live in one small (grp, cents)
+    * frame — never collected per group, localCheckpoint'ed per round
+    * so the loop's plan stays constant-size. Groups smaller than
+    * `nClusters` simply train fewer cells (cents length varies per
+    * group; the argmax kernels take the array length as truth). */
+  def trainGroupedCentroids(v: DataFrame, nClusters: Int, iters: Int,
+                            trainFraction: Double): DataFrame = {
+    val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
+    val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: each group's nClusters lowest-id sampled vectors
+      val wSeed = Window.partitionBy("grp").orderBy("nn_id")
+      var cents = train.withColumn("rn", row_number().over(wSeed) - 1)
+        .filter(col("rn") < nClusters)
+        .groupBy("grp")
+        .agg(array_sort(collect_list(struct(col("rn"), col("vec")))).as("s"))
+        .select(col("grp"), transform(col("s"), x => x("vec")).as("cents"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val updated = train.join(broadcast(cents), "grp")
+          .withColumn("cluster", nearest_centroid(col("vec"), col("cents")))
+          .groupBy("grp", "cluster")
+          .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
+          .select(col("grp"), col("cluster"),
+            transform(col("vsum"), x => x / col("cnt")).as("newc"))
+        // empty cells keep their previous centroid
+        val old = cents.select(col("grp"),
+          posexplode(col("cents")).as(Seq("cluster", "oldc")))
+        cents = old.join(updated, Seq("grp", "cluster"), "left")
+          .select(col("grp"), col("cluster"),
+            coalesce(col("newc"), col("oldc")).as("c"))
+          .groupBy("grp")
+          .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("s"))
+          .select(col("grp"), transform(col("s"), x => x("c")).as("cents"))
+          .localCheckpoint(true)
+      }
+      cents
+    } finally train.unpersist()
+  }
+
+  /** L7c: per-group (tenant) IVF — one coarse quantizer per group, the
+    * scale path for multi-tenant similarity search: assignment and
+    * probing are map-side against a broadcast (grp, cents) table, the
+    * cell join is an equi-join on (grp, cluster), and a query never
+    * scans outside its own group's probed cells. */
+  def groupedIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, groupCol: String, k: Int,
+                     nClusters: Int = 8, nProbe: Int = 2, iters: Int = 2,
+                     trainFraction: Double = 0.25): DataFrame = {
+    val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val cents = trainGroupedCentroids(v, nClusters, iters, trainFraction)
+    val indexed = v.join(broadcast(cents), "grp")
+      .withColumn("cluster", nearest_centroid(col("vec"), col("cents")))
+      .drop("cents")
+    val probes = queries
+      .select(col(groupCol).as("grp"), col(idCol).as("query_id"),
+        as_double_array(col(vecCol)).as("q_vec"))
+      .join(broadcast(cents), "grp")
+      .withColumn("cluster",
+        explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
+      .drop("cents")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), Seq("grp", "cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "grp", "rank", "nn_id", "sim")
+  }
+
   /** Persist an IVF index: `<path>/centroids` (cluster, cvec) and
     * `<path>/assignments` written `partitionBy(cluster)` — the
     * train-once / search-many contract. At 100 TB the build is one

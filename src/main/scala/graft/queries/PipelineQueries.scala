@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Multimodal, Pack}
 import RelationalQueries.t
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 L1-L12) over the
@@ -164,6 +164,25 @@ object PipelineQueries {
       Ann.groupedTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
           "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // L7c: per-group IVF — one coarse quantizer per tenant (rows-only;
+    // recall vs grouped exact search gated in AnnSpec).
+    "q_ann_grouped_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.groupedIvfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", "label", k = 5, nClusters = 8, nProbe = 4,
+          iters = 2, trainFraction = 1.0)
+        .orderBy("query_id", "rank")
+    },
+
+    // L20: sequence-packing shard assignment — distributed prefix sum
+    // (per-bucket window + broadcast offsets), provably equal to the
+    // oracle's single ORDER BY cumsum.
+    "q_pack_shards" -> { (s, dir) =>
+      Pack.assignShards(t(s, dir, "documents"), "doc_id",
+          token_count(col("text")), budgetTokens = 4096, buckets = 32)
+        .orderBy("doc_id")
     },
 
     // L18: end-to-end retrieval — ANN top-k joined back to document
@@ -479,6 +498,21 @@ object PipelineQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksets AS (

@@ -65,6 +65,27 @@ class AnnSpec extends SparkSpec {
     assert(gotGrp == bf)
   }
 
+  test("grouped ivf keeps high recall vs grouped exact search") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Ann.groupedTopK(e, q, "vec_id", "embedding", "label", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = Ann.groupedIvfTopK(e, q, "vec_id", "embedding", "label",
+        k = 5, nClusters = 8, nProbe = 4, iters = 2, trainFraction = 1.0)
+      .collect()
+    assert(ivf.nonEmpty)
+    // neighbors never leave the query's group
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach(r =>
+      assert(labelOf(r.getAs[Long]("nn_id")) == r.getAs[Int]("grp")))
+    val got = ivf
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"grouped-ivf recall $recall below gate")
+  }
+
   test("ivf probes beat or match single-bucket lsh recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pack
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shards follow the global token prefix, small case by hand") {
+    // tokens: 3,3,3,3 with budget 6 -> prefixes 0,3,6,9 -> shards 0,0,1,1
+    val d = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)).toDF("id", "tok")
+    val got = Pack.assignShards(d, "id", col("tok"), budgetTokens = 6,
+        buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("a document larger than the budget spans shards") {
+    // prefixes 0,10,11 with budget 4 -> shards 0,2,2
+    val d = Seq((1L, 10L), (2L, 1L), (3L, 5L)).toDF("id", "tok")
+    val got = Pack.assignShards(d, "id", col("tok"), budgetTokens = 4,
+        buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("distributed prefix sum equals the single global cumsum on real data") {
+    import graft.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Pack.assignShards(d, "doc_id", token_count(col("text")),
+        budgetTokens = 4096, buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // truth: driver-side sequential scan in id order
+    val toks = d.select(col("doc_id"), token_count(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val truth = toks.map { case (id, n) =>
+      val shard = acc / 4096; acc += n; (id, n, shard)
+    }
+    assert(got.nonEmpty && got.sameElements(truth))
+  }
+
+  test("bucket count larger than the row count still packs correctly") {
+    val d = Seq((10L, 2L), (20L, 2L), (30L, 2L)).toDF("id", "tok")
+    val got = Pack.assignShards(d, "id", col("tok"), budgetTokens = 4,
+        buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(10L -> 0L, 20L -> 0L, 30L -> 1L))
+  }
+}
