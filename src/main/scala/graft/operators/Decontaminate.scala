@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Benchmark decontamination (SURVEY.md §2 L21): remove training
+  * documents that share n-gram shingles with an evaluation set — the
+  * step that keeps test data out of a training corpus. Distinct from
+  * near-dup removal: contamination is ASYMMETRIC overlap (a training
+  * doc quoting 5 eval shingles is contaminated even at jaccard ≈ 0),
+  * so the signal is the matched-shingle count, not a similarity ratio.
+  *
+  * Scale shape: the eval inventory (distinct shingle ids of the
+  * benchmark suite) is small by contract and broadcast; the training
+  * side streams through an explode + broadcast-hash join + count-up —
+  * one shuffle on doc id for the per-doc match count, nothing ever
+  * pairs documents against documents.
+  */
+object Decontaminate {
+
+  /** Distinct shingle-id inventory of the eval set (narrow long rows). */
+  private def inventory(eval: DataFrame, textCol: String, shingleN: Int): DataFrame =
+    eval.select(explode(
+      shingle_id_set(tokenize_ws(col(textCol)), shingleN)).as("sid")).distinct()
+
+  /** Flag contaminated training docs: (id, n_shingles, n_matched) for
+    * every training doc with at least `minMatched` distinct shingles
+    * present in the eval set. */
+  def contaminated(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int = 3,
+                   minMatched: Long = 5): DataFrame = {
+    val tr = train.select(col(idCol).as("id"),
+      shingle_id_set(tokenize_ws(col(textCol)), shingleN).as("sids"))
+    // sids is a distinct set, so count(1) after the join is the
+    // distinct matched-shingle count
+    tr.select(col("id"), size(col("sids")).cast("long").as("n_shingles"),
+        explode(col("sids")).as("sid"))
+      .join(broadcast(inventory(eval, textCol, shingleN)), "sid")
+      .groupBy("id", "n_shingles")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+  }
+
+  /** Remove contaminated docs from the training set (anti join on the
+    * flagged ids). */
+  def removeContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3,
+                         minMatched: Long = 5): DataFrame = {
+    val bad = contaminated(train, eval, idCol, textCol, shingleN, minMatched)
+      .select(col("id").as("__bad_id"))
+    train.join(bad, col(idCol) === col("__bad_id"), "left_anti")
+  }
+}

@@ -228,8 +228,15 @@ object Dedup {
       var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
         .localCheckpoint(true)
+      // labels only ever decrease, so the (exact, decimal) label sum is
+      // a joinless fixpoint detector: unchanged sum == no label moved
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
+      var prevSum = labelSum(labels)
       var iter = 0
-      var converged = false
+      var converged = labels.isEmpty
       while (!converged && iter < maxIter) {
         iter += 1
         // pull the smallest label visible through one edge hop
@@ -239,11 +246,10 @@ object Dedup {
           .select(labels("id"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
           .localCheckpoint(true)
-        val changed = next.as("n")
-          .join(labels.withColumnRenamed("lbl", "olbl"), "id")
-          .filter(col("lbl") < col("olbl")).count()
+        val s = labelSum(next)
         labels = next
-        converged = changed == 0
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
       }
       labels.select(col("id"), col("lbl").as("cluster"))
     } finally edges.unpersist()

@@ -57,4 +57,36 @@ object Pack {
           lit(budgetTokens.toDouble)).cast("long"))
       .select(col("id").as(idCol), col("n_tokens"), col("shard"))
   }
+
+  /** Epoch-shuffle packing: [[assignShards]] under a deterministic
+    * PSEUDO-RANDOM global order — order key = (md5(content), id), so
+    * every engine/re-run/partitioning agrees on the permutation (the
+    * reproducible "shuffle the corpus, then cut training batches"
+    * step). Buckets are the key's first two hex chars: 256
+    * order-aligned ranges, uniform by construction, so the distributed
+    * prefix sum needs no range statistics at all. */
+  def assignShardsShuffled(df: DataFrame, idCol: String, tokensCol: Column,
+                           contentCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.select(col(idCol).as("id"),
+        tokensCol.cast("long").as("n_tokens"), md5(contentCol).as("shuffle_key"))
+      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+    val w = Window.partitionBy("bucket").orderBy("shuffle_key", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.withColumn("cum_in", sum(col("n_tokens")).over(w))
+    val tots = b.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
+      .collect().sortBy(_.getString(0))
+    var acc = 0L
+    val offs = tots.map { r =>
+      val pair = (r.getString(0), acc); acc += r.getLong(1); pair
+    }.toSeq.toDF("bucket", "off")
+    cum.join(broadcast(offs), "bucket")
+      .withColumn("shard",
+        floor((col("off") + col("cum_in") - col("n_tokens")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .select(col("id").as(idCol), col("shuffle_key"), col("n_tokens"),
+        col("shard"))
+  }
 }

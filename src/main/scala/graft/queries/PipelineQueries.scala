@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Ann, Dedup, Multimodal, Pack}
+import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Pack}
 import RelationalQueries.t
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 L1-L12) over the
@@ -182,6 +182,27 @@ object PipelineQueries {
     "q_pack_shards" -> { (s, dir) =>
       Pack.assignShards(t(s, dir, "documents"), "doc_id",
           token_count(col("text")), budgetTokens = 4096, buckets = 32)
+        .orderBy("doc_id")
+    },
+
+    // L21: benchmark decontamination — training docs sharing >= 5
+    // distinct 3-gram shingles with the eval slice (doc_id % 23 = 0)
+    // are flagged (oracled).
+    "q_decontaminate" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Decontaminate.contaminated(
+          d.filter(col("doc_id") % 23 =!= 0),
+          d.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", shingleN = 3, minMatched = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // L20b: epoch-shuffle packing — deterministic md5 permutation of
+    // the corpus, then budget-token batch cuts (oracled).
+    "q_pack_shuffled" -> { (s, dir) =>
+      Pack.assignShardsShuffled(t(s, dir, "documents"), "doc_id",
+          token_count(col("text")), col("text"), budgetTokens = 4096)
         .orderBy("doc_id")
     },
 
@@ -511,6 +532,41 @@ object PipelineQueries {
         |      AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT UNNEST(s) AS es FROM sh WHERE doc_id % 23 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),
+        |m AS (
+        |  SELECT tr.doc_id, CAST(len(tr.s) AS BIGINT) AS n_shingles,
+        |    COUNT(*) AS n_matched
+        |  FROM tr, UNNEST(tr.s) AS u(x) JOIN ev ON u.x = ev.es
+        |  GROUP BY tr.doc_id, len(tr.s))
+        |SELECT doc_id, n_shingles, CAST(n_matched AS BIGINT) AS n_matched
+        |FROM m WHERE n_matched >= 5 ORDER BY doc_id""".stripMargin,
+
+    "q_pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS shuffle_key,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shuffle_key, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, shuffle_key, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
 

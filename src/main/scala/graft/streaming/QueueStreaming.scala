@@ -180,4 +180,31 @@ object QueueStreaming {
                   watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Streaming near-dup ingest: every micro-batch is MinHash-probed
+    * against a persisted corpus signature table
+    * ([[graft.operators.Dedup.buildSignatureTable]]) and rows with a
+    * verified near-duplicate in the corpus are dropped before the
+    * parquet sink. `foreachBatch` is the right shape here: the probe
+    * needs a batch-side distinct + join-back, which the pure
+    * stream-static join API can't express — and it mirrors the
+    * reference's consume-loop (pop batch, process, commit) exactly.
+    * The corpus side is bucketed on the probe key, so each trigger
+    * pays one shuffle of the (small) incoming batch only. */
+  def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
+                    sigTable: String, outPath: String, checkpoint: String,
+                    minJaccard: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dups = graft.operators.Dedup
+          .minhashAgainstTable(batch.toDF(), idCol, textCol, sigTable,
+            minJaccard = minJaccard)
+          .select(col("incoming_id").as("__dup_id")).distinct()
+        batch.join(dups, batch(idCol) === col("__dup_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

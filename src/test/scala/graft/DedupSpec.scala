@@ -150,6 +150,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("decontamination flags asymmetric overlap and removal drops it") {
+    import graft.operators.Decontaminate
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa plus extra eval material"))
+      .toDF("doc_id", "text")
+    val flagged = Decontaminate.contaminated(train, ev, "doc_id", "text",
+        shingleN = 3, minMatched = 5).collect()
+    // doc 1 quotes the eval text: all 6 of its 3-gram shingles match
+    assert(flagged.map(_.getLong(0)).toSet == Set(1L))
+    assert(flagged.head.getAs[Long]("n_matched") == 6L)
+    val kept = Decontaminate.removeContaminated(train, ev, "doc_id", "text",
+        shingleN = 3, minMatched = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",

@@ -42,6 +42,24 @@ class PackSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(truth))
   }
 
+  test("shuffled packing equals sequential truth under the md5 order") {
+    import graft.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Pack.assignShardsShuffled(d, "doc_id",
+        token_count(col("text")), col("text"), budgetTokens = 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1)
+    val rows = d.select(col("doc_id"), md5(col("text")),
+        token_count(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1)) // the shuffle order
+    var acc = 0L
+    val truth = rows.map { case (id, key, n) =>
+      val shard = acc / 4096; acc += n; (id, key, shard)
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got.sameElements(truth))
+  }
+
   test("bucket count larger than the row count still packs correctly") {
     val d = Seq((10L, 2L), (20L, 2L), (30L, 2L)).toDF("id", "tok")
     val got = Pack.assignShards(d, "id", col("tok"), budgetTokens = 4,

@@ -159,6 +159,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((9L, 2L, 3.0)))
   }
 
+  test("near-dup ingest drops stream rows duplicating the corpus") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different corpus document about spark engines"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildSignatureTable(corpus, "doc_id", "text", "ingest_sigs")
+      val mem = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("ingest_out").toString
+      val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+      val q = QueueStreaming.nearDupIngest(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "ingest_sigs", outDir, ckpt)
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "completely fresh content that matches nothing in the corpus"))
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L), "corpus near-dup dropped, fresh doc kept")
+    } finally spark.sql("DROP TABLE IF EXISTS ingest_sigs")
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
