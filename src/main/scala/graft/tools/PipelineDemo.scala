@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftSession
 import graft.functions._
-import graft.operators.{Dedup, Layout}
+import graft.operators.{Decontaminate, Dedup, Layout, Pack}
 
 /** End-to-end training-data pipeline over the library surface:
-  * read → quality gate → language gate → exact dedup → near-dup
-  * removal → chunk → deterministic sample → sized partitioned write.
+  * read → quality gate → language gate → exact dedup → clustered
+  * near-dup removal → decontamination vs an eval slice → chunk →
+  * deterministic sample → shard packing → sized partitioned write.
   * Prints one line per stage (rows surviving).
   * `sbt "runMain graft.tools.PipelineDemo [sfDir]"`
   */
@@ -36,11 +37,15 @@ object PipelineDemo {
     stage("exact dedup", afterExact.count())
 
     val pairs = Dedup.minhashPairs(afterExact, "doc_id", "text", minJaccard = 0.9)
-    val afterNear = Dedup.removeNearDups(afterExact, "doc_id",
-      pairs.withColumnRenamed("id2", "doc_id2"))
-    stage("near-dup removal", afterNear.count())
+    val afterNear = Dedup.removeNearDupsClustered(afterExact, "doc_id", pairs)
+    stage("near-dup clusters", afterNear.count())
 
-    val chunks = afterNear.select(col("doc_id"), col("lang"),
+    val evalSlice = docs.filter(col("doc_id") % 23 === 0)
+    val clean = Decontaminate.removeContaminated(afterNear, evalSlice,
+      "doc_id", "text", shingleN = 3, minMatched = 5)
+    stage("decontaminated", clean.count())
+
+    val chunks = clean.select(col("doc_id"), col("lang"),
         explode(chunk_windows(col("text"), 32, 8)).as("c"))
       .select(col("doc_id"), col("lang"), col("c.chunk_idx"),
         col("c.chunk_text"), col("c.n_chunk_tokens"))
@@ -48,6 +53,12 @@ object PipelineDemo {
 
     val sampled = chunks.filter(substring(md5(col("chunk_text")), 1, 2) < "c0")
     stage("sampled (~75%)", sampled.count())
+
+    val shards = Pack.assignShardsShuffled(
+      sampled.withColumn("cid",
+        col("doc_id") * 100000 + col("chunk_idx")),
+      "cid", col("n_chunk_tokens"), col("chunk_text"), budgetTokens = 4096)
+    stage("packed shards", shards.select("shard").distinct().count())
 
     val out = Files.createTempDirectory("pipeline_out").toString
     Layout.writeSized(sampled, out, Seq("lang"), filesPerPartition = 2,

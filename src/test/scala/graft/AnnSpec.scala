@@ -63,6 +63,11 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("nn_id"))).toSet
     assert(gotGrp == bf)
+    // scale shape: broadcast equi-join on the group, never a cartesian
+    val plan = Ann.groupedTopK(e, q, "vec_id", "embedding", "label", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("grouped ivf keeps high recall vs grouped exact search") {

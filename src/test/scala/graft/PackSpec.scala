@@ -60,6 +60,20 @@ class PackSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(truth))
   }
 
+  test("packing plan never uses a single-partition global window") {
+    import graft.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plain = Pack.assignShards(d, "doc_id", token_count(col("text")),
+      budgetTokens = 4096, buckets = 32)
+    val shuffled = Pack.assignShardsShuffled(d, "doc_id",
+      token_count(col("text")), col("text"), budgetTokens = 4096)
+    for (df <- Seq(plain, shuffled)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"global single-partition exchange in packing plan:\n$plan")
+    }
+  }
+
   test("bucket count larger than the row count still packs correctly") {
     val d = Seq((10L, 2L), (20L, 2L), (30L, 2L)).toDF("id", "tok")
     val got = Pack.assignShards(d, "id", col("tok"), budgetTokens = 4,
