@@ -45,7 +45,8 @@ object Ann {
       as_double_array(col(vecCol)).as("nn_vec"))
     val q = queries.select(col(groupCol).as("grp"), col(idCol).as("query_id"),
       as_double_array(col(vecCol)).as("q_vec"))
-    val w = Window.partitionBy("query_id")
+    // rank within (grp, query_id): query ids may collide across tenants
+    val w = Window.partitionBy("grp", "query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(broadcast(q), "grp")
       .filter(col("nn_id") =!= col("query_id"))
@@ -166,7 +167,9 @@ object Ann {
     val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // seed: each group's nClusters lowest-id sampled vectors
+      // seed: each group's nClusters lowest-id sampled vectors.
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner when the driver reference drops (weak-ref GC)
       val wSeed = Window.partitionBy("grp").orderBy("nn_id")
       var cents = train.withColumn("rn", row_number().over(wSeed) - 1)
         .filter(col("rn") < nClusters)
@@ -192,7 +195,13 @@ object Ann {
           .select(col("grp"), transform(col("s"), x => x("c")).as("cents"))
           .localCheckpoint(true)
       }
-      cents
+      // a group can miss the hash-sample entirely (tiny tenants):
+      // give it its lowest-id corpus vector as a 1-cell quantizer so
+      // the inner joins downstream never silently drop the tenant
+      val missing = v.join(cents.select("grp"), Seq("grp"), "left_anti")
+        .groupBy("grp").agg(min_by(col("vec"), col("nn_id")).as("c0"))
+        .select(col("grp"), array(col("c0")).as("cents"))
+      cents.union(missing)
     } finally train.unpersist()
   }
 
@@ -218,7 +227,8 @@ object Ann {
       .withColumn("cluster",
         explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
       .drop("cents")
-    val w = Window.partitionBy("query_id")
+    // rank within (grp, query_id): query ids may collide across tenants
+    val w = Window.partitionBy("grp", "query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), Seq("grp", "cluster"))
       .filter(col("nn_id") =!= col("query_id"))

@@ -237,6 +237,9 @@ object Dedup {
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = labels.isEmpty
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the driver reference drops (weak-ref GC);
+      // only the final (small) label table stays resident
       while (!converged && iter < maxIter) {
         iter += 1
         // pull the smallest label visible through one edge hop
@@ -251,6 +254,12 @@ object Dedup {
         converged = s.compareTo(prevSum) == 0
         prevSum = s
       }
+      // an iteration-capped exit means labels are mid-propagation —
+      // returning them would split components silently
+      if (!converged)
+        throw new IllegalStateException(
+          s"clusters() did not converge in $maxIter rounds; a component's " +
+            s"diameter exceeds maxIter — raise maxIter")
       labels.select(col("id"), col("lbl").as("cluster"))
     } finally edges.unpersist()
   }
@@ -330,6 +339,18 @@ object Dedup {
                           buckets: Int = 32): Unit =
     bandedSignatures(corpus, idCol, textCol, k, bands)
       .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Append a batch's banded signatures to an existing signature table
+    * (same bucket layout), so subsequent probes also see these docs —
+    * the "accepted rows extend the corpus" half of dedup-at-ingest. */
+  def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       table: String, k: Int = 64, bands: Int = 8,
+                       buckets: Int = 32): Unit =
+    bandedSignatures(docs, idCol, textCol, k, bands)
+      .write.mode("append")
       .bucketBy(buckets, "band", "bucket")
       .format("parquet")
       .saveAsTable(table)

@@ -31,7 +31,9 @@ object Pack {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).as("id"), tokensCol.cast("long").as("n_tokens"))
+    // ids normalized to long so the min/max read below is type-safe
+    val base = df.select(col(idCol).cast("long").as("id"),
+      tokensCol.cast("long").as("n_tokens"))
     val mm = base.agg(min("id").as("lo"), max("id").as("hi")).head()
     if (mm.isNullAt(0))
       return base.withColumn("shard", lit(0L))
@@ -70,8 +72,10 @@ object Pack {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val spark = df.sparkSession
     import spark.implicits._
-    val b = df.select(col(idCol).as("id"),
-        tokensCol.cast("long").as("n_tokens"), md5(contentCol).as("shuffle_key"))
+    // null content hashes as empty string: total order, no null buckets
+    val b = df.select(col(idCol).cast("long").as("id"),
+        tokensCol.cast("long").as("n_tokens"),
+        md5(coalesce(contentCol.cast("string"), lit(""))).as("shuffle_key"))
       .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
     val w = Window.partitionBy("bucket").orderBy("shuffle_key", "id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

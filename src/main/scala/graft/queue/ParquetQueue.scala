@@ -338,6 +338,9 @@ class ParquetQueue(
     * yields an empty batch (the reference's `None`). */
   def popWait(n: Int, timeoutMs: Long = -1L, consumer: String = "default",
               pollMs: Long = 200L): Seq[Row] = {
+    // a zero-row request can never produce a non-empty pop — without
+    // this guard the wait loop below would poll forever
+    if (n <= 0) return Seq.empty
     val t0 = System.nanoTime()
     while (true) {
       ensureOpen()

@@ -181,29 +181,46 @@ object QueueStreaming {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Streaming near-dup ingest: every micro-batch is MinHash-probed
+  /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
-    * ([[graft.operators.Dedup.buildSignatureTable]]) and rows with a
-    * verified near-duplicate in the corpus are dropped before the
-    * parquet sink. `foreachBatch` is the right shape here: the probe
-    * needs a batch-side distinct + join-back, which the pure
+    * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped
+    * within itself, and the surviving rows (3) land in a PER-BATCH
+    * output directory and (4) extend the signature table — so dups are
+    * caught whether they pair with the original corpus, the same
+    * trigger, or an earlier trigger. `foreachBatch` is the right shape:
+    * the probe needs batch-side distinct + join-back, which the pure
     * stream-static join API can't express — and it mirrors the
     * reference's consume-loop (pop batch, process, commit) exactly.
-    * The corpus side is bucketed on the probe key, so each trigger
-    * pays one shuffle of the (small) incoming batch only. */
+    * The corpus side stays bucketed on the probe key, so each trigger
+    * shuffles only the (small) incoming batch.
+    *
+    * Exactly-once output: the parquet for batch N goes to
+    * `outPath/batch=N` with overwrite, so a replayed batch after a
+    * crash rewrites the same directory instead of appending twice
+    * (foreachBatch itself is at-least-once). The signature-table append
+    * is NOT idempotent under replay; redundant signatures only cause
+    * re-flagging, never data loss. */
   def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
                     sigTable: String, outPath: String, checkpoint: String,
                     minJaccard: Double = 0.9)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val dups = graft.operators.Dedup
-          .minhashAgainstTable(batch.toDF(), idCol, textCol, sigTable,
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Dedup
+        val b = batch.toDF()
+        val corpusDups = Dedup
+          .minhashAgainstTable(b, idCol, textCol, sigTable,
             minJaccard = minJaccard)
           .select(col("incoming_id").as("__dup_id")).distinct()
-        batch.join(dups, batch(idCol) === col("__dup_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        ()
+        val fresh = b.join(corpusDups, b(idCol) === col("__dup_id"), "left_anti")
+        val withinPairs = Dedup.minhashPairs(fresh, idCol, textCol,
+          minJaccard = minJaccard)
+        val kept = Dedup.removeNearDups(fresh, idCol, withinPairs)
+          .persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          Dedup.appendSignatures(kept, idCol, textCol, sigTable)
+        } finally { kept.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -70,6 +70,25 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("grouped top-k isolates tenants whose query ids collide") {
+    import spark.implicits._
+    // two tenants, SAME vec_ids; tenant 0 vectors near (1,0), tenant 1
+    // near (0,1) — a shared ranking window would starve one tenant
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)), (3L, 0, Seq(0.8f, 0.2f)),
+      (1L, 1, Seq(0.0f, 1.0f)), (2L, 1, Seq(0.1f, 0.9f)), (3L, 1, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "label", "embedding")
+    val q = rows.filter(col("vec_id") === 1L)
+    val got = Ann.groupedTopK(rows, q, "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("grp"), r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("nn_id")))
+    // each tenant's query 1 gets its own full top-2 within its group
+    assert(got.count(_._1 == 0) == 2 && got.count(_._1 == 1) == 2)
+    assert(got.filter(_._1 == 0).map(_._4).toSet == Set(2L, 3L))
+    assert(got.filter(_._1 == 1).map(_._4).toSet == Set(2L, 3L))
+  }
+
   test("grouped ivf keeps high recall vs grouped exact search") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -176,12 +176,22 @@ class StreamingSpec extends SparkSpec {
         "ingest_sigs", outDir, ckpt)
       mem.addData(
         (10L, "the quick brown fox jumps over the lazy dog again and again"),
-        (11L, "completely fresh content that matches nothing in the corpus"))
+        (11L, "completely fresh content that matches nothing in the corpus"),
+        (12L, "completely fresh content that matches nothing in the corpus"))
+      q.processAllAvailable()
+      // a later trigger redelivers content accepted at trigger 1: the
+      // appended signatures must now flag it
+      mem.addData(
+        (13L, "completely fresh content that matches nothing in the corpus"),
+        (14L, "some genuinely new material arriving in the second batch"))
       q.processAllAvailable()
       q.stop()
       val kept = spark.read.parquet(outDir)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(kept == Set(11L), "corpus near-dup dropped, fresh doc kept")
+      // 10 dups the corpus; 12 dups 11 within the batch; 13 dups the
+      // trigger-1 acceptance of 11
+      assert(kept == Set(11L, 14L),
+        s"corpus/within-batch/cross-trigger dups dropped, got $kept")
     } finally spark.sql("DROP TABLE IF EXISTS ingest_sigs")
   }
 
