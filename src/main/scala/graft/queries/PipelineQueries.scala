@@ -185,6 +185,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L22: corpus accounting — the bookkeeping view a pipeline run
+    // reports per (lang, source): volume, distinct contents, token
+    // mass, mean quality. Mean quality uses the quantize-then-int-sum
+    // trick so the aggregate is order-insensitive across engines.
+    "q_corpus_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          sum(token_count(col("text"))).as("sum_tokens"),
+          (floor(sum(floor(quality_score(col("text")) * 10000 + 0.5)
+              .cast("long")).cast("double") / count(lit(1)) + 0.5) / 10000)
+            .as("avg_quality"))
+        .orderBy("lang", "source")
+    },
+
     // L21: benchmark decontamination — training docs sharing >= 5
     // distinct 3-gram shingles with the eval slice (doc_id % 23 = 0)
     // are flagged (oracled).
@@ -534,6 +550,32 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH stats AS (
+        |  SELECT lang, source, text,
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
+        |    LENGTH(text) AS n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang, source, text,
+        |    CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
+        |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
+        |      + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
+        |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
+        |      * 10000 + 0.5) AS BIGINT) AS q1e4,
+        |    CAST(tok AS BIGINT) AS tok
+        |  FROM stats)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  FLOOR(CAST(SUM(q1e4) AS DOUBLE) / COUNT(*) + 0.5) / 10000 AS avg_quality
+        |FROM q GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (
