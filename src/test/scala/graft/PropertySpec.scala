@@ -81,6 +81,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusters equals union-find on random graphs") {
+    val rnd = new Random(17)
+    (1 to 5).foreach { round =>
+      val nNodes = 2 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(40)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = Dedup.clusters(edges.toDF("doc_id1", "doc_id2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val truth = parent.keys.map(k => k -> find(k)).toMap
+        assert(got == truth, s"round $round diverged for edges=$edges")
+      }
+    }
+  }
+
+  test("distributed shard packing equals sequential scan on random docs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Pack
+    val rnd = new Random(29)
+    (1 to 5).foreach { round =>
+      val n = 1 + rnd.nextInt(60)
+      // sparse, shuffled ids; token counts include 0 and > budget
+      val rows = rnd.shuffle((0 until n).map { i =>
+        (i.toLong * (1 + rnd.nextInt(50)), rnd.nextInt(40).toLong)
+      }.toList).distinctBy(_._1)
+      val budget = 1L + rnd.nextInt(100)
+      val buckets = 1 + rnd.nextInt(10)
+      val got = Pack.assignShards(rows.toDF("id", "tok"), "id", col("tok"),
+          budget, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      var acc = 0L
+      val truth = rows.sortBy(_._1).map { case (id, t) =>
+        val shard = acc / budget; acc += t; (id, shard)
+      }.toMap
+      assert(got == truth, s"round $round (budget=$budget, buckets=$buckets)")
+    }
+  }
+
   test("banded jaccard equals unbanded brute force on random docs") {
     val words = Array("alpha", "beta", "gamma", "delta", "eps")
     val rnd = new Random(7)
