@@ -185,6 +185,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L23: vocabulary induction + coverage — build the top-V token
+    // vocabulary (frequency desc, token asc tie-break: deterministic
+    // at the cut) and report each language's out-of-vocabulary rate,
+    // the tokenizer-prep step of a training pipeline. The vocab is
+    // driver-bounded and broadcast; the corpus side is one explode +
+    // broadcast join + lang-keyed aggregate.
+    "q_vocab_coverage" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          floor(col("n_oov").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000)
+        .orderBy("lang")
+    },
+
     // L22: corpus accounting — the bookkeeping view a pipeline run
     // reports per (lang, source): volume, distinct contents, token
     // mass, mean quality. Mean quality uses the quantize-then-int-sum
@@ -550,6 +571,23 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang, UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok ASC LIMIT 1000)),
+        |j AS (
+        |  SELECT t.lang, v.tok AS vt
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  FLOOR(CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) * 10000 + 0.5) / 10000 AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH stats AS (
