@@ -222,6 +222,18 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // L20c: curriculum packing — shards cut along descending quality
+    // (order key = 10000 - quantized score, ascending), so early
+    // shards hold the cleanest documents. Same distributed prefix sum.
+    "q_pack_curriculum" -> { (s, dir) =>
+      Pack.assignShardsOrdered(t(s, dir, "documents"), "doc_id",
+          token_count(col("text")),
+          lit(10000L) - floor(quality_score(col("text")) * 10000 + 0.5)
+            .cast("long"),
+          budgetTokens = 4096, buckets = 32)
+        .orderBy("doc_id")
+    },
+
     // L21: benchmark decontamination — training docs sharing >= 5
     // distinct 3-gram shingles with the eval slice (doc_id % 23 = 0)
     // are flagged (oracled).
@@ -569,6 +581,34 @@ object PipelineQueries {
         |      AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_curriculum" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |    len(list_filter(string_split(text, ' '), x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
+        |    LENGTH(text) AS n_chars
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
+        |    10000 - CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
+        |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
+        |      + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
+        |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
+        |      * 10000 + 0.5) AS BIGINT) AS order_key
+        |  FROM stats),
+        |c AS (
+        |  SELECT doc_id, order_key, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY order_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM keyed)
+        |SELECT doc_id, order_key, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
 
