@@ -181,6 +181,46 @@ object QueueStreaming {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  case class Doc(source: String, doc_id: Long, n_tokens: Long)
+  case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
+                       shard: Long)
+
+  /** Streaming twin of [[graft.operators.Pack]]: per-source running
+    * token prefix in typed `ValueState`, so arriving documents are cut
+    * into ~budget-token shards continuously — shard numbering survives
+    * triggers AND restarts (state checkpoint). Within a trigger, rows
+    * are processed in doc_id order for determinism; across triggers,
+    * order is arrival order (the streaming contract). */
+  class PackProcessor(budgetTokens: Long)
+      extends StatefulProcessor[String, Doc, PackedDoc] {
+    @transient private var prefix: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prefix = getHandle.getValueState[Long]("prefix",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[Doc],
+                                 tv: TimerValues): Iterator[PackedDoc] = {
+      var acc = if (prefix.exists()) prefix.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val shard = acc / budgetTokens
+        acc += d.n_tokens
+        PackedDoc(d.source, d.doc_id, d.n_tokens, shard)
+      }
+      prefix.update(acc)
+      out.iterator
+    }
+  }
+
+  /** Continuous shard packing per source key (see [[PackProcessor]]). */
+  def packStream(docs: Dataset[Doc], budgetTokens: Long): Dataset[PackedDoc] = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    implicit val enc = Encoders.product[PackedDoc]
+    docs.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new PackProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

@@ -195,6 +195,30 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_sigs")
   }
 
+  test("streaming pack cuts budget shards that persist across triggers") {
+    import graft.streaming.QueueStreaming.{Doc, PackedDoc}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = QueueStreaming.packStream(mem.toDS(), budgetTokens = 6)
+    val ckpt = Files.createTempDirectory("packst").toString
+    val q = out.writeStream.format("memory").queryName("packst")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    // source a: 3-token docs, budget 6 -> two docs per shard;
+    // source b gets its own independent numbering
+    mem.addData(Doc("a", 1L, 3L), Doc("a", 2L, 3L), Doc("b", 1L, 6L))
+    q.processAllAvailable()
+    // the next trigger continues the prefix: doc 3 starts shard 1
+    mem.addData(Doc("a", 3L, 3L), Doc("a", 4L, 3L), Doc("b", 2L, 5L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM packst").as[PackedDoc].collect()
+      .map(p => (p.source, p.doc_id) -> p.shard).toMap
+    q.stop()
+    assert(rows == Map(
+      ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L, ("a", 4L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 1L))
+  }
+
   test("dedup stream drops redelivered ids") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
