@@ -238,6 +238,59 @@ object Ann {
       .select("query_id", "grp", "rank", "nn_id", "sim")
   }
 
+  /** Persist a GROUPED (per-tenant) IVF index: `<path>/centroids`
+    * holds one (grp, cents) row per tenant; `<path>/assignments` is
+    * written `partitionBy(grp, cluster)` so a search reads only the
+    * probed `grp=.../cluster=...` directories — tenant isolation AND
+    * cell pruning from the same layout. Build = one training pass +
+    * one map-only assignment write, same as the ungrouped index. */
+  def buildGroupedIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                           groupCol: String, path: String,
+                           nClusters: Int = 8, iters: Int = 2,
+                           trainFraction: Double = 0.25): Unit = {
+    val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val cents = trainGroupedCentroids(v, nClusters, iters, trainFraction)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    v.join(broadcast(cents), "grp")
+      .withColumn("cluster", nearest_centroid(col("vec"), col("cents")))
+      .drop("cents")
+      .write.mode("overwrite").partitionBy("grp", "cluster")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Search a persisted grouped IVF index. Probed (grp, cluster)
+    * cells are computed driver-side from the (tiny) centroid table
+    * and pushed as partition filters, so the scan lists and reads
+    * only those tenants' probed cell directories. */
+  def searchGroupedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame, idCol: String,
+                            vecCol: String, groupCol: String, k: Int,
+                            nProbe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = queries
+      .select(col(groupCol).as("grp"), col(idCol).as("query_id"),
+        as_double_array(col(vecCol)).as("q_vec"))
+      .join(broadcast(cents), "grp")
+      .withColumn("cluster",
+        explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
+      .drop("cents")
+    val cells = probes.select("grp", "cluster").distinct().collect()
+    require(cells.nonEmpty, "no queries matched any indexed group")
+    val prune = cells.map(r =>
+      col("grp") === lit(r.get(0)) && col("cluster") === lit(r.getInt(1)))
+      .reduce(_ || _)
+    val indexed = spark.read.parquet(s"$path/assignments").where(prune)
+    val w = Window.partitionBy("grp", "query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), Seq("grp", "cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "grp", "rank", "nn_id", "sim")
+  }
+
   /** Persist an IVF index: `<path>/centroids` (cluster, cvec) and
     * `<path>/assignments` written `partitionBy(cluster)` — the
     * train-once / search-many contract. At 100 TB the build is one

@@ -125,6 +125,36 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf recall $recall below gate")
   }
 
+  test("persisted grouped ivf index prunes per tenant and keeps recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("givfidx").toString
+    Ann.buildGroupedIvfIndex(e, "vec_id", "embedding", "label", path,
+      nClusters = 8, iters = 2, trainFraction = 1.0)
+    // layout: grp=<label>/cluster=<cell> directories
+    val grpDirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.getName.startsWith("grp="))
+    assert(grpDirs.nonEmpty)
+    assert(grpDirs.forall(_.listFiles().exists(_.getName.startsWith("cluster="))))
+    val res = Ann.searchGroupedIvfIndex(spark, path, q, "vec_id",
+      "embedding", "label", k = 5, nProbe = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"expected partition pruning on (grp, cluster):\n$plan")
+    val exact = Ann.groupedTopK(e, q, "vec_id", "embedding", "label", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val got = res.collect()
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r =>
+      assert(labelOf(r.getAs[Long]("nn_id")) == r.getAs[Int]("grp")))
+    val gotSet = got
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"grouped persisted-index recall $recall below gate")
+  }
+
   test("persisted ivf index prunes to probed cells and keeps recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
