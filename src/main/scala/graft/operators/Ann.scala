@@ -267,7 +267,12 @@ object Ann {
                             path: String, queries: DataFrame, idCol: String,
                             vecCol: String, groupCol: String, k: Int,
                             nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types._
     val cents = spark.read.parquet(s"$path/centroids")
+    // probes are persisted: the cell collect below and the final join
+    // must see the SAME probe rows (a nondeterministic query frame
+    // could otherwise probe cells the prune filter excluded). Bounded:
+    // |queries| x nProbe narrow rows.
     val probes = queries
       .select(col(groupCol).as("grp"), col(idCol).as("query_id"),
         as_double_array(col(vecCol)).as("q_vec"))
@@ -275,12 +280,25 @@ object Ann {
       .withColumn("cluster",
         explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
       .drop("cents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = probes.select("grp", "cluster").distinct().collect()
     require(cells.nonEmpty, "no queries matched any indexed group")
-    val prune = cells.map(r =>
-      col("grp") === lit(r.get(0)) && col("cluster") === lit(r.getInt(1)))
-      .reduce(_ || _)
-    val indexed = spark.read.parquet(s"$path/assignments").where(prune)
+    // one predicate per TENANT (grp = g && cluster IN (...)), so the
+    // prune expression grows with tenants, not tenants x probes
+    val prune = cells.groupBy(_.get(0)).map { case (g, rs) =>
+      col("grp") === lit(g) &&
+        col("cluster").isin(rs.map(_.getInt(1)).distinct: _*)
+    }.reduce(_ || _)
+    // explicit schema: partition-directory type inference would
+    // collapse numeric-looking string tenant ids ("007" -> 7) and
+    // break tenant isolation; grp keeps the centroid table's type
+    val schema = StructType(Seq(
+      StructField("nn_id", LongType),
+      StructField("vec", ArrayType(DoubleType)),
+      StructField("grp", cents.schema("grp").dataType),
+      StructField("cluster", IntegerType)))
+    val indexed = spark.read.schema(schema).parquet(s"$path/assignments")
+      .where(prune)
     val w = Window.partitionBy("grp", "query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), Seq("grp", "cluster"))
@@ -326,9 +344,12 @@ object Ann {
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // persisted so the cell collect and the final join see the same
+    // probe rows (nondeterministic query frames) — |queries| x nProbe
     val probes = queries
       .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
       .withColumn("cluster", explode(top_centroids(col("q_vec"), centsLit, nProbe)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = probes.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     val indexed = spark.read.parquet(s"$path/assignments")
       .where(col("cluster").isin(cells: _*))

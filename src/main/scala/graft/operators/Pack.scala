@@ -55,15 +55,22 @@ object Pack {
   }
 
   /** Range-bucket a long column into ~`buckets` order-aligned cells
-    * from one min/max agg; None when the frame is empty. */
+    * from one min/max agg; None when the frame is empty. The bucket
+    * arithmetic runs in decimal so hash-scale keys spanning the full
+    * long range (hi - lo overflowing) still bucket order-aligned. */
   private def rangeBucket(base: DataFrame, keyCol: String,
                           buckets: Int): Option[Column] = {
-    val mm = base.agg(min(keyCol).as("lo"), max(keyCol).as("hi")).head()
+    val mm = base.agg(min(keyCol).as("lo"), max(keyCol).as("hi"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
     if (mm.isNullAt(0)) None
     else {
-      val lo = mm.getLong(0)
-      val width = math.max(1L, (mm.getLong(1) - lo) / buckets + 1)
-      Some(((col(keyCol) - lit(lo)) / lit(width)).cast("long"))
+      require(mm.getLong(2) == 0L,
+        s"packing requires non-null $keyCol values (they would be " +
+          "silently dropped by the offsets join)")
+      val lo = BigInt(mm.getLong(0))
+      val width = (BigInt(mm.getLong(1)) - lo) / buckets + 1
+      Some(floor((col(keyCol).cast("decimal(38,0)") - lit(BigDecimal(lo))) /
+        lit(BigDecimal(width))).cast("long"))
     }
   }
 
@@ -74,6 +81,7 @@ object Pack {
     * min/max agg and a B-row totals collect. */
   def assignShards(df: DataFrame, idCol: String, tokensCol: Column,
                    budgetTokens: Long, buckets: Int = 64): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     // ids normalized to long so the range math is type-safe
     val base = df.select(col(idCol).cast("long").as("id"),
       tokensCol.cast("long").as("n_tokens"))
@@ -95,6 +103,7 @@ object Pack {
     * needs no range statistics at all. */
   def assignShardsShuffled(df: DataFrame, idCol: String, tokensCol: Column,
                            contentCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     // null content hashes as empty string: total order, no null buckets
     val b = df.select(col(idCol).cast("long").as("id"),
         tokensCol.cast("long").as("n_tokens"),
@@ -112,6 +121,7 @@ object Pack {
   def assignShardsOrdered(df: DataFrame, idCol: String, tokensCol: Column,
                           keyCol: Column, budgetTokens: Long,
                           buckets: Int = 64): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val base = df.select(col(idCol).cast("long").as("id"),
       tokensCol.cast("long").as("n_tokens"),
       coalesce(keyCol.cast("long"), lit(0L)).as("order_key"))

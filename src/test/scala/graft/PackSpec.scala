@@ -60,6 +60,18 @@ class PackSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(truth))
   }
 
+  test("ordered packing survives keys spanning the full long range") {
+    // hi - lo overflows a long here; the decimal bucket math must keep
+    // buckets order-aligned
+    val d = Seq((1L, 5L, Long.MinValue), (2L, 5L, 0L), (3L, 5L, Long.MaxValue))
+      .toDF("id", "tok", "key")
+    val got = Pack.assignShardsOrdered(d, "id", col("tok"), col("key"),
+        budgetTokens = 5, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // key order = id order; prefixes 0,5,10 with budget 5 -> shards 0,1,2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("curriculum packing orders shards by the key, sequential-truth parity") {
     import graft.functions._
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
