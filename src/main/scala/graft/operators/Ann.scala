@@ -197,11 +197,13 @@ object Ann {
       }
       // a group can miss the hash-sample entirely (tiny tenants):
       // give it its lowest-id corpus vector as a 1-cell quantizer so
-      // the inner joins downstream never silently drop the tenant
+      // the inner joins downstream never silently drop the tenant.
+      // The union is checkpointed: callers use cents several times
+      // (index + probes) and must not re-run the fallback corpus scan
       val missing = v.join(cents.select("grp"), Seq("grp"), "left_anti")
         .groupBy("grp").agg(min_by(col("vec"), col("nn_id")).as("c0"))
         .select(col("grp"), array(col("c0")).as("cents"))
-      cents.union(missing)
+      cents.union(missing).localCheckpoint(true)
     } finally train.unpersist()
   }
 
@@ -269,10 +271,11 @@ object Ann {
                             nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.types._
     val cents = spark.read.parquet(s"$path/centroids")
-    // probes are persisted: the cell collect below and the final join
-    // must see the SAME probe rows (a nondeterministic query frame
-    // could otherwise probe cells the prune filter excluded). Bounded:
-    // |queries| x nProbe narrow rows.
+    // probes are checkpointed (blocks GC-reclaimed, no CacheManager
+    // pin): the cell collect below and the final join must see the
+    // SAME probe rows (a nondeterministic query frame could otherwise
+    // probe cells the prune filter excluded). Bounded: |queries| x
+    // nProbe narrow rows.
     val probes = queries
       .select(col(groupCol).as("grp"), col(idCol).as("query_id"),
         as_double_array(col(vecCol)).as("q_vec"))
@@ -280,9 +283,13 @@ object Ann {
       .withColumn("cluster",
         explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
       .drop("cents")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cells = probes.select("grp", "cluster").distinct().collect()
-    require(cells.nonEmpty, "no queries matched any indexed group")
+    // empty query frame (or none of its groups indexed) is a normal
+    // empty result, matching searchIvfIndex
+    if (cells.isEmpty)
+      return probes.select(col("query_id"), col("grp"), lit(0).as("rank"),
+        col("query_id").as("nn_id"), lit(0.0).as("sim")).limit(0)
     // one predicate per TENANT (grp = g && cluster IN (...)), so the
     // prune expression grows with tenants, not tenants x probes
     val prune = cells.groupBy(_.get(0)).map { case (g, rs) =>
@@ -291,12 +298,14 @@ object Ann {
     }.reduce(_ || _)
     // explicit schema: partition-directory type inference would
     // collapse numeric-looking string tenant ids ("007" -> 7) and
-    // break tenant isolation; grp keeps the centroid table's type
-    val schema = StructType(Seq(
-      StructField("nn_id", LongType),
-      StructField("vec", ArrayType(DoubleType)),
-      StructField("grp", cents.schema("grp").dataType),
-      StructField("cluster", IntegerType)))
+    // break tenant isolation. Data-column types (nn_id in the
+    // caller's id type, vec) come from the parquet footers; only grp
+    // is pinned to the centroid table's type.
+    val fileSchema = spark.read.parquet(s"$path/assignments").schema
+    val schema = StructType(fileSchema.map {
+      case f if f.name == "grp" => f.copy(dataType = cents.schema("grp").dataType)
+      case f => f
+    })
     val indexed = spark.read.schema(schema).parquet(s"$path/assignments")
       .where(prune)
     val w = Window.partitionBy("grp", "query_id")
@@ -344,12 +353,13 @@ object Ann {
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    // persisted so the cell collect and the final join see the same
-    // probe rows (nondeterministic query frames) — |queries| x nProbe
+    // checkpointed so the cell collect and the final join see the same
+    // probe rows (nondeterministic query frames), without pinning a
+    // cache entry per search call — |queries| x nProbe
     val probes = queries
       .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
       .withColumn("cluster", explode(top_centroids(col("q_vec"), centsLit, nProbe)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cells = probes.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     val indexed = spark.read.parquet(s"$path/assignments")
       .where(col("cluster").isin(cells: _*))

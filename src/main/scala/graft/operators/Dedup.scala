@@ -328,32 +328,36 @@ object Dedup {
       .select("incoming_id", "corpus_id", "jac")
       .distinct()
 
+  private def writeSignatures(docs: DataFrame, idCol: String, textCol: String,
+                              table: String, k: Int, bands: Int,
+                              buckets: Int, mode: String): Unit =
+    bandedSignatures(docs, idCol, textCol, k, bands)
+      .write.mode(mode)
+      .bucketBy(buckets, "band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Persist the corpus's banded signature table, bucketed by the
     * (band, bucket) probe key: build once per corpus, then every
     * ingest batch probes it with zero recompute of corpus signatures
     * AND no shuffle of the corpus side (the bucketed layout already
     * matches the join key). The incremental-ingest twin of
-    * `Ann.buildIvfIndex`. */
+    * `Ann.buildIvfIndex`. Probes and appends must use the SAME
+    * k/bands/buckets the table was built with. */
   def buildSignatureTable(corpus: DataFrame, idCol: String, textCol: String,
                           table: String, k: Int = 64, bands: Int = 8,
                           buckets: Int = 32): Unit =
-    bandedSignatures(corpus, idCol, textCol, k, bands)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bucket")
-      .format("parquet")
-      .saveAsTable(table)
+    writeSignatures(corpus, idCol, textCol, table, k, bands, buckets,
+      "overwrite")
 
   /** Append a batch's banded signatures to an existing signature table
-    * (same bucket layout), so subsequent probes also see these docs —
-    * the "accepted rows extend the corpus" half of dedup-at-ingest. */
+    * (same bucket layout AND same k/bands/buckets as the build), so
+    * subsequent probes also see these docs — the "accepted rows extend
+    * the corpus" half of dedup-at-ingest. */
   def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
                        table: String, k: Int = 64, bands: Int = 8,
                        buckets: Int = 32): Unit =
-    bandedSignatures(docs, idCol, textCol, k, bands)
-      .write.mode("append")
-      .bucketBy(buckets, "band", "bucket")
-      .format("parquet")
-      .saveAsTable(table)
+    writeSignatures(docs, idCol, textCol, table, k, bands, buckets, "append")
 
   /** Probe a persisted signature table with an incoming batch. */
   def minhashAgainstTable(incoming: DataFrame, idCol: String, textCol: String,

@@ -237,12 +237,19 @@ object QueueStreaming {
     * Exactly-once output: the parquet for batch N goes to
     * `outPath/batch=N` with overwrite, so a replayed batch after a
     * crash rewrites the same directory instead of appending twice
-    * (foreachBatch itself is at-least-once). The signature-table append
-    * is NOT idempotent under replay; redundant signatures only cause
-    * re-flagging, never data loss. */
+    * (foreachBatch itself is at-least-once). Replay is also safe
+    * against the batch's OWN appended signatures: document ids are
+    * unique across the stream and corpus (queue-seq contract), so a
+    * probe hit with `corpus_id == incoming_id` is the row's own
+    * earlier append and is excluded — without this, a batch replayed
+    * after its signature append would flag every one of its rows and
+    * overwrite its output directory with nothing.
+    * `k`/`bands`/`buckets` MUST match the values `sigTable` was built
+    * with (mismatched banding probes silently match nothing). */
   def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
                     sigTable: String, outPath: String, checkpoint: String,
-                    minJaccard: Double = 0.9)
+                    minJaccard: Double = 0.9, k: Int = 64, bands: Int = 8,
+                    buckets: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -250,16 +257,18 @@ object QueueStreaming {
         val b = batch.toDF()
         val corpusDups = Dedup
           .minhashAgainstTable(b, idCol, textCol, sigTable,
-            minJaccard = minJaccard)
+            k = k, bands = bands, minJaccard = minJaccard)
+          .filter(col("incoming_id") =!= col("corpus_id"))
           .select(col("incoming_id").as("__dup_id")).distinct()
         val fresh = b.join(corpusDups, b(idCol) === col("__dup_id"), "left_anti")
         val withinPairs = Dedup.minhashPairs(fresh, idCol, textCol,
-          minJaccard = minJaccard)
+          k = k, bands = bands, minJaccard = minJaccard)
         val kept = Dedup.removeNearDups(fresh, idCol, withinPairs)
           .persist()
         try {
           kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          Dedup.appendSignatures(kept, idCol, textCol, sigTable)
+          Dedup.appendSignatures(kept, idCol, textCol, sigTable,
+            k = k, bands = bands, buckets = buckets)
         } finally { kept.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
