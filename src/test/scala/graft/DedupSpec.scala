@@ -142,6 +142,16 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty && got == truth)
   }
 
+  test("clusters refuses to return mid-propagation labels at the iter cap") {
+    // a 6-node path needs more than 1 propagation round; maxIter=1
+    // must throw, not return a silently split component
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_id1", "doc_id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("clustered removal keeps exactly one survivor per component") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id1", "doc_id2")
     val kept = Dedup.removeNearDupsClustered(docs, "doc_id", pairs)
