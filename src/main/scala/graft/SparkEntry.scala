@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, QueueQueries, RelationalQueries}
+import graft.queries.{AnalyticsQueries, PipelineQueries, QueueQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
   * each entry maps to. */
@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ QueueQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ QueueQueries.queries ++
+      PipelineQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ QueueQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ QueueQueries.oracles ++
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles
 }

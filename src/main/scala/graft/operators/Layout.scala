@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Output-layout control — the small-files/giant-files problem that
@@ -27,5 +27,41 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(partCols: _*)
       .parquet(path)
+  }
+
+  /** Morton/Z-value of two bucketized dimensions: bit i of `x` lands at
+    * z-bit 2i, bit i of `y` at 2i+1. Inputs must already be in
+    * [0, 2^bits). Pure long bit ops — whole-stage codegen'd. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order clustered write. A linear sort on one column gives tight
+    * per-file min/max stats for that column only; interleaving the bits
+    * of BOTH columns (scaled into 2^bits range buckets from
+    * driver-collected min/max — two scalar aggregates, no sample RNG)
+    * and sorting by the Morton key bounds the per-file range of *each*
+    * dimension by ~2^-floor(log4 files), so parquet row-group pruning
+    * works for predicates on either column. This is the standard
+    * data-layout move for multi-dimensional scan pruning at 100 TB
+    * (one shuffle: the range partition on the z-key). */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val Seq(xLo, xHi, yLo, yHi) =
+      df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+          min(col(yCol)).cast("double"), max(col(yCol)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double])
+    val n = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(n), floor((col(c).cast("double") - lo) / span * (n + 1)).cast("long"))
+    }
+    df.withColumn("__z", zValue(scaled(xCol, xLo, xHi), scaled(yCol, yLo, yHi), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 additions to the relational + pipeline surface
+  * (SURVEY.md §2 R25-R31, L24-L27). Same determinism rules as
+  * [[RelationalQueries]]: decimal-accumulated sums surfaced as double,
+  * quantize-then-int-sum for order-insensitive score aggregates, total
+  * ORDER BY with a unique tiebreaker everywhere.
+  */
+object AnalyticsQueries {
+
+  import RelationalQueries.{t, dsum}
+
+  /** BM25-style relevance with a *rational* idf — `(N-df+0.5)/(df+0.5)`
+    * instead of its log: libm log differs in the last ulp across
+    * engines, while IEEE div/add are correctly rounded everywhere, so
+    * the rational form oracles bit-exact (same monotone ordering in df,
+    * which is what the ranking needs). Per-term contributions are
+    * quantized to integers BEFORE the per-doc sum so the aggregate is
+    * order-insensitive. */
+  private val Bm25Terms = Seq("spark", "join", "merge", "vector", "stream")
+
+  /** Shared Spark/DuckDB SQL fragment computing the z-value (Morton
+    * interleave) of two non-negative integer expressions via arithmetic
+    * only — `//2^i % 2` bit probes, no engine-specific bit operators.
+    * Bit i of x lands at z-bit 2i, bit i of y at 2i+1. */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(CAST(FLOOR(($x) / $p) AS BIGINT) % 2) * ${1L << (2 * i)}" +
+        s" + (CAST(FLOOR(($y) / $p) AS BIGINT) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R25: pivot (crosstab) — status columns per priority. One shuffle,
+    // map-side partial agg; the pivoted statuses are an explicit small
+    // list (never collected from data → single pass, deterministic cols).
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("total_f"),
+          col("O").as("total_o"), col("P").as("total_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    // R26: INTERSECT — parts that were both returned (R) and
+    // accepted (A) somewhere. Set-distinct semantics in both engines.
+    "q_intersect" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .intersect(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+        .orderBy("l_partkey")
+    },
+
+    // R26b: EXCEPT — parts returned but never accepted.
+    "q_except" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .except(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+        .orderBy("l_partkey")
+    },
+
+    // R27: distribution window functions (ntile / percent_rank /
+    // cume_dist). The window order carries a unique tiebreaker
+    // (c_custkey) — without it ntile assignment is nondeterministic.
+    // percent_rank/cume_dist are integer-ratio doubles: bit-exact.
+    "q_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // R28: fixed-width histogram via integer bin math (floor-div by a
+    // constant — no width_bucket dialect corners). Single map-side agg.
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bin")
+    },
+
+    // R29: rolling event-time window (RANGE frame over epoch days) —
+    // trailing-90-day spend per customer. RANGE (not ROWS) makes
+    // same-day ties frame-inclusive, so the result is deterministic
+    // without ordering within a day.
+    "q_rolling_range" -> { (s, dir) =>
+      val d = datediff(col("o_orderdate"),
+        lit("1990-01-01").cast("timestamp")).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-90, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("d", d)
+        .select(col("o_custkey"), col("o_orderkey"), col("d"),
+          sum(col("o_totalprice").cast("decimal(38,4)")).over(w)
+            .cast("double").as("roll_sum"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R30: snapshot diff (CDC view) — full outer join of two snapshot
+    // states on the key, rows classified added/removed/changed by
+    // comparing non-key attributes. The scale shape: one key-hash
+    // shuffle regardless of how many columns changed; at 100 TB the
+    // snapshots join on their (bucketable) primary key.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val snapA = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("key_a"), col("o_orderstatus").as("status_a"),
+          col("o_totalprice").as("price_a"))
+      val snapB = o.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp") &&
+          !(col("o_orderstatus") === "F" && col("o_totalprice") < 30000))
+        .select(col("o_orderkey").as("key_b"), col("o_orderstatus").as("status_b"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")).as("price_b"))
+      snapA.join(snapB, col("key_a") === col("key_b"), "full_outer")
+        .filter(col("key_a").isNull || col("key_b").isNull ||
+          col("price_a") =!= col("price_b") || col("status_a") =!= col("status_b"))
+        .select(
+          when(col("key_a").isNull, "added")
+            .when(col("key_b").isNull, "removed")
+            .otherwise("changed").as("change_type"),
+          coalesce(col("key_a"), col("key_b")).as("o_orderkey"),
+          col("price_a").as("old_price"), col("price_b").as("new_price"))
+        .orderBy("change_type", "o_orderkey")
+    },
+
+    // R31: data-quality audit (expectations) — one summary row of
+    // constraint counters: volume, distribution flags, referential
+    // orphans, key-uniqueness violations. Each counter is an
+    // independent aggregate; the 1-row frames combine via crossJoin
+    // (1x1x1 — no data movement beyond the three scans).
+    "q_data_audit" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val liStats = li.agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("l_discount") > 0.07, 1L).otherwise(0L)).as("n_high_discount"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("n_qty_out_of_range"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n_null_shipdate"))
+      val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_lines"))
+      val dups = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_dup_line_keys"))
+      val oStats = o.agg(
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos_price"))
+      liStats.crossJoin(orphans).crossJoin(dups).crossJoin(oStats)
+    },
+
+    // L24: BM25-style retrieval scoring with rational idf (see
+    // Bm25Terms note). The term list is a literal (broadcast-trivial);
+    // tf rows are narrow (doc_id, term, count); the df table is at most
+    // |terms| rows and broadcast; corpus-wide stats ride a 1-row
+    // crossJoin. No shuffle ever carries text.
+    "q_bm25" -> { (s, dir) =>
+      import graft.functions.tokenize_ws
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokenize_ws(col("text")).as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfT), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        .withColumn("tfn",
+          col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        .withColumn("contrib",
+          floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
+        .groupBy("doc_id").agg(sum(col("contrib")).as("score_q"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // L25: text normalization — lowercase, strip non-alphanumerics,
+    // collapse runs of spaces, trim. Patterns stay inside the
+    // RE2-and-Java-compatible subset (no \s, no lookaround).
+    "q_text_normalize" -> { (s, dir) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm"))
+        .withColumn("norm_len", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // L26: deterministic k-fold split — fold is a pure function of
+    // content (md5 first hex nibble mod k), so the assignment is
+    // identical across engines, re-runs, and partitionings; the query
+    // audits fold balance per language.
+    "q_folds" -> { (s, dir) =>
+      import graft.functions.token_count
+      t(s, dir, "documents")
+        .withColumn("fold",
+          ((expr("locate(substring(md5(text), 1, 1), '0123456789abcdef')") - 1)
+            % 4).cast("long"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(token_count(col("text"))).as("sum_tokens"))
+        .orderBy("fold", "lang")
+    },
+
+    // L27: per-language heavy hitters — exact top-10 bigrams. The
+    // rank-filter sits directly on the window so Spark's
+    // WindowGroupLimit pushes the top-k below the shuffle.
+    "q_heavy_hitters" -> { (s, dir) =>
+      import graft.functions.tokenize_ws
+      val bigrams = t(s, dir, "documents")
+        .select(col("lang"), tokenize_ws(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bg").asc)
+      bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy("lang", "rn")
+    },
+
+    // R24b: z-value (Morton) computation — the ordering key behind
+    // Layout.writeZOrdered. Interleaving bits of two dimensions makes
+    // one sorted write cluster BOTH columns, so min/max file pruning
+    // works for either predicate at scan time (see LayoutSpec for the
+    // file-stats assertion).
+    "q_zorder" -> { (s, dir) =>
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy",
+          s"CAST(${zValueSql(x, y, 8)} AS BIGINT) AS zval")
+        .orderBy("zval", "o_orderkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  NTILE(4) OVER w AS tile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_rolling_range" ->
+      """SELECT o_custkey, o_orderkey, d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS roll_sum,
+        |  COUNT(*) OVER w AS roll_n
+        |FROM (SELECT *, DATEDIFF('day', TIMESTAMP '1990-01-01', o_orderdate) AS d
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT o_orderkey AS key_a, o_orderstatus AS status_a,
+        |    o_totalprice AS price_a
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |snap_b AS (
+        |  SELECT o_orderkey AS key_b, o_orderstatus AS status_b,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.05
+        |         ELSE o_totalprice END AS price_b
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |    AND NOT (o_orderstatus = 'F' AND o_totalprice < 30000))
+        |SELECT
+        |  CASE WHEN key_a IS NULL THEN 'added'
+        |       WHEN key_b IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  COALESCE(key_a, key_b) AS o_orderkey,
+        |  price_a AS old_price, price_b AS new_price
+        |FROM snap_a FULL OUTER JOIN snap_b ON key_a = key_b
+        |WHERE key_a IS NULL OR key_b IS NULL
+        |   OR price_a <> price_b OR status_a <> status_b
+        |ORDER BY change_type, o_orderkey""".stripMargin,
+
+    "q_data_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM lineitem) AS n_lines,
+        |  (SELECT CAST(SUM(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM lineitem) AS n_high_discount,
+        |  (SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM lineitem) AS n_qty_out_of_range,
+        |  (SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM lineitem) AS n_null_shipdate,
+        |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphan_lines,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT l_orderkey, l_linenumber FROM lineitem
+        |     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS n_dup_line_keys,
+        |  (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM orders) AS n_nonpos_price""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+        |  WHERE tok IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(FLOOR(
+        |      ((n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |      * 1e6 + 0.5) AS BIGINT) AS contrib
+        |  FROM tf JOIN dft ON tf.tok = dft.tok
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q, COUNT(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm,
+        |  CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_folds" ->
+      """SELECT CAST((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 4 AS BIGINT) AS fold,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |bigrams AS (
+        |  SELECT lang, ts[i] || ' ' || ts[i + 1] AS bg
+        |  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |counted AS (SELECT lang, bg, COUNT(*) AS cnt FROM bigrams GROUP BY lang, bg)
+        |SELECT lang, bg, cnt, rn FROM (
+        |  SELECT lang, bg, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bg ASC) AS rn
+        |  FROM counted)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "q_zorder" -> {
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      s"""SELECT o_orderkey, $x AS zx, $y AS zy,
+        |  CAST(${zValueSql(x, y, 8)} AS BIGINT) AS zval
+        |FROM orders ORDER BY zval, o_orderkey""".stripMargin
+    }
+  )
+}

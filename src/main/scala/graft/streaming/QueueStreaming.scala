@@ -181,6 +181,27 @@ object QueueStreaming {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream event-time interval join (the impression→click
+    * attribution shape): a right row matches a left row with the same
+    * key when it lands in `[leftTs, leftTs + withinMs]`. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions — that's what lets Spark expire join state (a
+    * stream-stream join without the time bound buffers both streams
+    * forever; with it, state is O(withinMs + delay) per key). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   withinMs: Long, delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).as("l")
+    val r = right.withWatermark(rightTs, delay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") +
+          expr(s"INTERVAL $withinMs MILLISECONDS"))
+      .select(col(s"l.$key").as(key), col(s"l.$leftTs").as(leftTs),
+        col(s"r.$rightTs").as(rightTs))
+  }
+
   case class Doc(source: String, doc_id: Long, n_tokens: Long)
   case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
                        shard: Long)

@@ -22,4 +22,42 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == d.count())
     assert(back.columns.sorted.toSeq == d.columns.sorted.toSeq)
   }
+
+  test("writeZOrdered clusters both dimensions better than a linear sort") {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_custkey")
+    val files = 8
+    val zDir = Files.createTempDirectory("zorder").toString
+    val linDir = Files.createTempDirectory("linsort").toString
+    Layout.writeZOrdered(o, zDir, "o_totalprice", "o_custkey", files)
+    // baseline: same file count, linear sort on x only
+    o.repartitionByRange(files, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file min/max width of each dimension, normalized by the
+    // global range — the quantity parquet row-group pruning depends on
+    def avgWidths(dir: String): (Double, Double) = {
+      val Seq(xLo, xHi, yLo, yHi) =
+        o.agg(min("o_totalprice"), max("o_totalprice"),
+            min("o_custkey").cast("double"), max("o_custkey").cast("double"))
+          .head().toSeq.map(_.toString.toDouble)
+      val w = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("o_totalprice") - min("o_totalprice")) / (xHi - xLo)).as("wx"),
+          ((max("o_custkey") - min("o_custkey")).cast("double") / (yHi - yLo)).as("wy"))
+        .agg(avg("wx"), avg("wy")).head()
+      (w.getDouble(0), w.getDouble(1))
+    }
+    val (zx, zy) = avgWidths(zDir)
+    val (lx, ly) = avgWidths(linDir)
+    // the x-only sort leaves y unclustered (every file spans ~full y
+    // range); z-order must cluster y materially while keeping x far
+    // better than unclustered
+    assert(zy < ly * 0.8, s"z-order y width $zy not better than linear $ly")
+    assert(zx < 0.8, s"z-order x width $zx ~ unclustered")
+    assert(zx + zy < lx + ly, s"combined widths: z ${zx + zy} vs linear ${lx + ly}")
+    assert(spark.read.parquet(zDir).count() == o.count())
+  }
 }

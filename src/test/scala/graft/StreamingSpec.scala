@@ -236,4 +236,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(n.getLong(0) == 3 && n.getLong(1) == 3)
   }
+
+  test("stream-stream interval join attributes clicks within the window") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val out = QueueStreaming.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"),
+      clicks.toDF().toDF("click_ts", "ad_id"),
+      "ad_id", "imp_ts", "click_ts", withinMs = 5000L, delay = "2 seconds")
+    val ckpt = Files.createTempDirectory("ssjoin").toString
+    val q = out.writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${s}%02d")
+    imps.addData((t(0), 1L), (t(0), 2L), (t(10), 3L))
+    // ad 1 clicked in-window (3s), ad 2 clicked out-of-window (8s),
+    // ad 3 clicked in-window, wrong key 9 never impressed
+    clicks.addData((t(3), 1L), (t(8), 2L), (t(12), 3L), (t(3), 9L))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ad_id FROM attributed ORDER BY ad_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(1L, 3L), s"expected ads 1 and 3 attributed, got $got")
+  }
 }
