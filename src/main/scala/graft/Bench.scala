@@ -35,16 +35,29 @@ object Bench {
     }
     val ok = timed.collect { case (k, Some(v)) => k -> v }
     val failed = timed.collect { case (k, None) => k }
-    // one compact JSON line: 3-decimal values keep the whole line inside
-    // the driver's bounded stdout-tail capture (full-precision doubles
-    // pushed it past the window in r1-r3 → "parsed": null every round)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line it finds there (sbt's trailing "[success] ..." line
+    // eats ~80 of those) — with 93 queries a full per-query map is ~2.4 kB
+    // and the line's head falls outside the window ("parsed": null in
+    // r1-r5). So the stdout line carries the slowest queries only, as
+    // many as fit a hard character budget; the full per-query map goes to
+    // a sidecar file + stderr where size doesn't matter.
+    val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+    val budget = 1500 // chars for the queries map; total line stays < 1.7 kB
+    val bySlowest = ok.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    for (e <- bySlowest if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val omitted = ok.size - kept.size
+    val qs = kept.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"omitted_fastest":$omitted,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
