@@ -36,9 +36,13 @@ object Bench {
     val ok = timed.collect { case (k, Some(v)) => k -> v }
     val failed = timed.collect { case (k, None) => k }
     val total = ok.map(_._2).sum
+    // cap the failed list (names are diagnostic, the count is the signal):
+    // an unbounded list on a mass-failure round would blow the stdout-tail
+    // window exactly when diagnostics matter most
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else failed.take(12).map("\"" + _ + "\"").mkString(
+        s""","n_failed":${failed.size},"failed":[""", ",", "]")
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the JSON line it finds there (sbt's trailing "[success] ..." line
     // eats ~80 of those) — with 93 queries a full per-query map is ~2.4 kB
@@ -47,14 +51,25 @@ object Bench {
     // many as fit a hard character budget; the full per-query map goes to
     // a sidecar file + stderr where size doesn't matter.
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-    java.nio.file.Files.write(
+    // sidecar write must never abort the run: the stdout metric line below
+    // is the primary artifact and has to print even if the cwd is read-only
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
-    val budget = 1500 // chars for the queries map; total line stays < 1.7 kB
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    // failed list shares the line's character budget with the queries map;
+    // cap it so a mass-failure round can't push the JSON head out of the
+    // driver's ~2000-char stdout-tail window
+    val budget = 1500 - failedJson.length // chars for the queries map; total line stays < 1.7 kB
     val bySlowest = ok.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // strict take-while: stop at the first entry that doesn't fit, so the
+    // kept set is exactly the slowest prefix and "omitted_fastest" is honest
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
-    for (e <- bySlowest if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    var fits = true
+    for (e <- bySlowest if fits) {
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 } else fits = false
+    }
     val omitted = ok.size - kept.size
     val qs = kept.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"omitted_fastest":$omitted,"queries":$qs$failedJson,"sf":"$sfDir"}""")
