@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, PipelineQueries, QueueQueries, RelationalQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, PipelineQueries, QueueQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
   * each entry maps to. */
@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ QueueQueries.queries ++
-      PipelineQueries.queries ++ AnalyticsQueries.queries
+      PipelineQueries.queries ++ AnalyticsQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ QueueQueries.oracles ++
-      PipelineQueries.oracles ++ AnalyticsQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++
+      CurationQueries.oracles
 }

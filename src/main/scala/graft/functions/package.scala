@@ -67,6 +67,11 @@ package object functions {
 
   def token_count(text: Column): Column = size(tokenize_ws(text)).cast("long")
 
+  /** Map-side BPE apply under a driver-trained merge table (see
+    * [[graft.operators.Bpe]]): token array -> subword token array. */
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    col2(BpeEncode(ex(tokens), merges))
+
   /** Overlapping token-window chunks: windows of `chunkTokens` tokens
     * every `chunkTokens - overlap` tokens (the embedding/training
     * chunking shape). Returns array<struct<chunk_idx, chunk_text,

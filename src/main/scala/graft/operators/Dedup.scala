@@ -196,6 +196,51 @@ object Dedup {
       .select("id1", "id2", "cos")
   }
 
+  /** L5b: SemDeDup-style semantic dedup — k-means-cluster the embedding
+    * space (bounded sample training, map-side assignment: the
+    * `Ann.trainCentroids` machinery), then verify exact cosine only
+    * WITHIN clusters. The cluster join is the blocking step: per-cell
+    * all-pairs is the SemDeDup contract, with cell sizes ~n/C bounded
+    * by the centroid count, so no O(n^2) global pair set ever forms.
+    * Vectors ride the cell join inline (all-pairs verify inline is
+    * cheaper than attach-after-distinct when every in-cell pair is
+    * verified — the same measured exception as the exact-Jaccard twin).
+    * Recall vs exact all-pairs is traded via nClusters and gated in
+    * DedupSpec. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int = 16, minCosine: Double = 0.95,
+                    iters: Int = 2, trainFraction: Double = 0.25,
+                    nAssign: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"), as_double_array(col(vecCol)).as("vec"))
+    val cents = Ann.trainCentroids(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // multi-assignment (top-nAssign cells per vector) is the recall
+    // lever: pairs straddling a cell boundary still co-occur in one of
+    // the overlapping assignments. Work scales by ~nAssign^2 within
+    // cells; the distinct below dedups pairs caught in several cells
+    // (narrow rows: two ids + the verified cosine).
+    val indexed = v.withColumn("cluster",
+      explode(top_centroids(col("vec"), centsLit, nAssign)))
+    indexed.as("a").join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.nn_id") < col("b.nn_id"))
+      .withColumn("cos", round_portable(cosine_sim(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.nn_id").as("id1"), col("b.nn_id").as("id2"), col("cos"))
+      .distinct()
+  }
+
+  /** Apply semantic dedup: drop the larger id of every within-cluster
+    * cosine duplicate (greedy representative, same policy as
+    * [[removeNearDups]]). */
+  def semanticRemove(df: DataFrame, idCol: String, vecCol: String,
+                     nClusters: Int = 16, minCosine: Double = 0.95,
+                     iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {
+    val drop = semanticPairs(df, idCol, vecCol, nClusters, minCosine,
+        iters, trainFraction)
+      .select(col("id2").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Apply near-dup removal: keep the smaller id of every duplicate
     * pair (greedy cluster representative), anti-join the rest away.
     * One shuffle on the pair ids; composes with any pair generator

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{Bpe, Dedup}
+import RelationalQueries.t
+
+/** Round-7 additions: corpus-curation operators a 100 TB training-data
+  * pipeline runs between ingest and packing (SURVEY.md §2 L28-L33) —
+  * repetition quality filters (Gopher-style), corpus-boilerplate
+  * flagging, per-language calibrated quality cuts, TF-IDF keyword
+  * induction, target-mix resampling, BPE tokenization, semantic dedup.
+  * Same determinism rules as the rest of the surface: quantized
+  * fractions via `round_portable`, integer rank medians (no
+  * interpolated percentiles), rational idf (no libm log), content-hash
+  * sampling, total ORDER BY with unique tiebreakers.
+  */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L29: Gopher-style repetition signals — the within-document
+    // repetition quality filter: duplicate-token fraction, most-frequent
+    // -bigram mass, duplicate-trigram fraction, and the keep decision.
+    // Everything is per-row array math: map-side, codegen'd, no shuffle
+    // at any corpus size. Thresholds chosen non-vacuous on the test
+    // corpus (~29% of sf0.01 docs flagged).
+    "q_repetition" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
+        .withColumn("bgs", when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("tris", when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(array(concat_ws(" ", col("t")))))
+      d.select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          round_portable((size(col("t")) - size(array_distinct(col("t"))))
+            .cast("double") / greatest(size(col("t")), lit(1)), 4)
+            .as("dup_token_frac"),
+          when(size(col("bgs")) === 0, lit(0.0)).otherwise(
+            round_portable(array_max(transform(array_distinct(col("bgs")),
+              x => size(filter(col("bgs"), y => y === x)))).cast("double") /
+              size(col("bgs")), 4)).as("top_bigram_frac"),
+          round_portable((size(col("tris")) - size(array_distinct(col("tris"))))
+            .cast("double") / greatest(size(col("tris")), lit(1)), 4)
+            .as("dup_trigram_frac"))
+        .withColumn("keep", col("dup_token_frac") <= 0.65 &&
+          col("top_bigram_frac") <= 0.08 && col("dup_trigram_frac") <= 0.0)
+        .orderBy("doc_id")
+    },
+
+    // L30: corpus-boilerplate flagging — 3-shingles shared by >= 5
+    // distinct documents form the boilerplate inventory (headers,
+    // licence blocks, navigation chrome); each doc reports how much of
+    // it is boilerplate. The inventory is Zipf-small relative to the
+    // corpus (broadcast it at scale); the per-doc side is one explode +
+    // join + doc-keyed aggregate — the same asymmetric shape as
+    // decontamination, pointed at the corpus itself.
+    "q_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inventory = ex.groupBy("g").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 5).select("g")
+      val per = ex.join(inventory, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(per, Seq("doc_id"), "left")
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+        .withColumn("boiler_frac", round_portable(
+          col("n_boiler").cast("double") / greatest(col("n_shingles"), lit(1L)), 4))
+        .withColumn("flag", col("n_boiler") >= 5)
+        .orderBy("doc_id")
+    },
+
+    // L31: calibrated quality cut — keep docs at or above their OWN
+    // language's median quality (adaptive thresholds: a fixed global
+    // cut over- or under-prunes whole languages). The median is the
+    // exact rank-(n+1)/2 element of the quantized score (integer rank
+    // on integer values: no interpolation, engine-exact); the 5-row
+    // median table broadcasts back. One window shuffle on lang.
+    "q_quality_calibrated" -> { (s, dir) =>
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          floor(quality_score(col("text")) * 10000 + 0.5).cast("long").as("q1e4"))
+      val w = Window.partitionBy("lang").orderBy("q1e4", "doc_id")
+      val r = q.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      val med = r.filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("int"))
+        .select(col("lang"), col("q1e4").as("med_q1e4"))
+      q.join(broadcast(med), "lang")
+        .withColumn("keep", col("q1e4") >= col("med_q1e4"))
+        .select("doc_id", "lang", "q1e4", "med_q1e4", "keep")
+        .orderBy("doc_id")
+    },
+
+    // L32: per-language TF-IDF keywords — the corpus-characterization
+    // step (what distinguishes each language/source slice). Rational
+    // idf (N-df+0.5)/(df+0.5) instead of its log: same monotone
+    // ordering, bit-exact across engines. Two token-keyed aggregates +
+    // a broadcast scalar; the per-lang top-10 rank is WindowGroupLimit-
+    // pushed (top-k applied map-side before the lang shuffle).
+    "q_tfidf_keywords" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+      val tot = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("lang").orderBy(col("score_q").desc, col("tok").asc)
+      tf.join(dfreq, "tok").crossJoin(broadcast(tot))
+        .withColumn("score_q", floor(col("tf").cast("double") *
+          ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 100 + 0.5)
+          .cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("lang", "rank", "tok", "tf", "df", "score_q")
+        .orderBy("lang", "rank")
+    },
+
+    // L33: target-mix resampling — downsample each language to hit a
+    // target output share (en 40%, others 15%), the mix-shaping
+    // primitive. Keep rates derive from the realized counts (5-row
+    // aggregate, broadcast); membership is the deterministic md5-prefix
+    // order against a rate-derived hex threshold, so the sample is a
+    // pure function of content at any parallelism. Languages whose
+    // rate clamps at 1.0 keep everything ('zz' sorts above every hex
+    // digit pair).
+    "q_mix_target" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rates = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("tt"))))
+        .withColumn("rate", least(lit(1.0),
+          when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)) *
+            col("tt") / col("nl")))
+        .withColumn("thr", when(col("rate") >= 1.0, lit("zz"))
+          .otherwise(lpad(lower(hex(floor(col("rate") * 256).cast("int"))), 2, "0")))
+        .select("lang", "thr")
+      d.join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(max(col("thr")).as("thr_hex"),
+          count(lit(1)).as("n_docs"),
+          sum(when(substring(md5(col("text")), 1, 2) < col("thr"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // L28: BPE tokenization — merges learned on the corpus's word-
+    // frequency head (driver-bounded by Zipf; deterministic tie-break),
+    // applied map-side by the codegen'd kernel. Rows-only: merge
+    // learning is iterative and not SQL-expressible; determinism,
+    // reference parity, and the roundtrip property are gated in
+    // BpeSpec. Output flattened to scalars for the rows-only dump.
+    "q_bpe_tokenize" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val merges = Bpe.train(d, "text", nMerges = 100, maxWords = 10000)
+      d.select(col("doc_id"), token_count(col("text")).as("n_words"),
+          bpe_encode(tokenize_ws(col("text")), merges).as("bpe"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("bpe")).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", slice(col("bpe"), 1, 12)).as("head_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
+    // embedding space. Rows-only (the k-means quantizer is engine-
+    // native); precision is exact by construction (every pair is
+    // cosine-verified), recall vs exact all-pairs gated in DedupSpec.
+    "q_semantic_dedup" -> { (s, dir) =>
+      Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+        .orderBy("id1", "id2")
+    })
+
+  /** Shared quality-score SQL fragment (DuckDB side of
+    * `quality_score`), parameterized on the stats CTE's column names. */
+  private val qualityExprSql =
+    """CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
+      |  + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
+      |  + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+      |  + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
+      |                     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
+      |  * 10000 + 0.5) AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE [] END AS bgs,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END AS tris
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    FLOOR(CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+        |      / GREATEST(len(t), 1) * 10000 + 0.5) / 10000 AS dup_token_frac,
+        |    CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
+        |      FLOOR(CAST(list_max(list_transform(list_distinct(bgs),
+        |        x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
+        |        / len(bgs) * 10000 + 0.5) / 10000 END AS top_bigram_frac,
+        |    FLOOR(CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE)
+        |      / GREATEST(len(tris), 1) * 10000 + 0.5) / 10000 AS dup_trigram_frac
+        |  FROM bg)
+        |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+        |  (dup_token_frac <= 0.65 AND top_bigram_frac <= 0.08
+        |    AND dup_trigram_frac <= 0.0) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+        |inv AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) >= 5),
+        |per AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_boiler
+        |  FROM ex e JOIN inv ON e.g = inv.g GROUP BY e.doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  FLOOR(CAST(COALESCE(per.n_boiler, 0) AS DOUBLE)
+        |    / GREATEST(len(sh.s), 1) * 10000 + 0.5) / 10000 AS boiler_frac,
+        |  COALESCE(per.n_boiler, 0) >= 5 AS flag
+        |FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
+
+    "q_quality_calibrated" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+         |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         |    len(list_filter(string_split(text, ' '), x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+         |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
+         |    LENGTH(text) AS n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, $qualityExprSql AS q1e4
+         |  FROM stats),
+         |r AS (
+         |  SELECT doc_id, lang, q1e4,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q1e4, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM q),
+         |m AS (SELECT lang, q1e4 AS med_q1e4 FROM r
+         |      WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT))
+         |SELECT q.doc_id, q.lang, q.q1e4, m.med_q1e4,
+         |  q.q1e4 >= m.med_q1e4 AS keep
+         |FROM q JOIN m ON q.lang = m.lang
+         |ORDER BY q.doc_id""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |dfreq AS (
+        |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        |  GROUP BY tok),
+        |tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY lang, tok),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.lang, tf.tok, tf.tf, dfreq.df,
+        |    CAST(FLOOR(CAST(tf.tf AS DOUBLE) *
+        |      ((tot.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * 100 + 0.5)
+        |      AS BIGINT) AS score_q
+        |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT lang, tok, tf, df, score_q,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY score_q DESC, tok ASC) AS rank
+        |  FROM scored)
+        |SELECT lang, rank, tok, tf, df, score_q FROM ranked WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q_mix_target" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS tt FROM documents),
+        |rates AS (
+        |  SELECT lang,
+        |    LEAST(1.0, (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) * tt / nl)
+        |      AS rate
+        |  FROM n, tot),
+        |thr AS (
+        |  SELECT lang,
+        |    CASE WHEN rate >= 1.0 THEN 'zz'
+        |         ELSE printf('%02x', CAST(FLOOR(rate * 256) AS INT)) END AS h
+        |  FROM rates)
+        |SELECT d.lang, MAX(thr.h) AS thr_hex, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN SUBSTRING(md5(d.text), 1, 2) < thr.h
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationQueries
+
+/** Structural invariants of the curation queries (the value-level gate
+  * is the driver's DuckDB hash compare; these pin the properties that
+  * a hash can't express: flag consistency, rank shapes, rate bounds).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String) =
+    CurationQueries.queries(name)(spark, sfDir)
+
+  test("repetition keep flag is exactly the threshold conjunction") {
+    val out = run("q_repetition").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val expect = r.getAs[Double]("dup_token_frac") <= 0.65 &&
+        r.getAs[Double]("top_bigram_frac") <= 0.08 &&
+        r.getAs[Double]("dup_trigram_frac") <= 0.0
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+    // fractions are fractions
+    out.foreach { r =>
+      assert(r.getAs[Double]("dup_token_frac") >= 0.0 &&
+        r.getAs[Double]("dup_token_frac") <= 1.0)
+      assert(r.getAs[Double]("top_bigram_frac") >= 0.0 &&
+        r.getAs[Double]("top_bigram_frac") <= 1.0)
+    }
+  }
+
+  test("boilerplate flag tracks n_boiler and frac stays in [0,1]") {
+    val out = run("q_boilerplate").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("flag") == (r.getAs[Long]("n_boiler") >= 5))
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("calibrated cut keeps about half of every language") {
+    val out = run("q_quality_calibrated")
+    val byLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect()
+    byLang.foreach { r =>
+      val frac = r.getAs[Long]("kept").toDouble / r.getAs[Long]("n")
+      // a median cut keeps [1/2, ~all-ties]; require a sane band
+      assert(frac >= 0.4 && frac <= 0.75,
+        s"${r.getAs[String]("lang")} kept $frac")
+    }
+  }
+
+  test("tfidf emits exactly ranks 1..10 per language, scores descend") {
+    val out = run("q_tfidf_keywords").collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10),
+        s"ranks wrong for $lang")
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_q"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mix target never keeps more than it saw; clamped langs keep all") {
+    val out = run("q_mix_target").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      if (r.getAs[String]("thr_hex") == "zz")
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+    }
+  }
+}

@@ -187,4 +187,42 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Double]("cos") >= 0.4))
   }
+
+  test("semantic dedup: pairs exact-verified, recall vs all-pairs gated") {
+    import graft.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sem = Dedup.semanticPairs(e, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+      .collect()
+    assert(sem.nonEmpty)
+    // precision is exact by construction: every emitted pair carries a
+    // verified cosine >= threshold
+    assert(sem.forall(_.getAs[Double]("cos") >= 0.4))
+    // recall vs brute-force all-pairs truth (spec-scale corpus):
+    // clustering may split true pairs across cells; the quantizer must
+    // still catch most of them
+    val v = e.select(col("vec_id").as("id"),
+      as_double_array(col("embedding")).as("vec"))
+    val truth = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", round_portable(cosine_sim(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = sem.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "semantic pairs must be true pairs")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.5, s"semantic-dedup recall $recall too low")
+  }
+
+  test("semantic removal drops exactly the larger ids of semantic pairs") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+      .collect().map(_.getLong(1)).toSet
+    val kept = Dedup.semanticRemove(e, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- pairs)
+  }
 }
