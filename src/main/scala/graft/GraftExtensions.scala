@@ -73,6 +73,15 @@ object GraftExtensions {
     },
     fn("shingle_id_set", "shingle_id_set(tokens, n) - sorted distinct n-gram shingle ids") {
       args => ShingleIdSet(args.head, intArg(args(1), "shingle_id_set"))
+    },
+    fn("max_adjacent_pair_count",
+      "max_adjacent_pair_count(tokens) - count of the most frequent bigram") {
+      args => MaxAdjacentPairCount(args.head)
+    },
+    fn("approx_top_k",
+      "approx_top_k(term, k, capacity) - mergeable Space-Saving heavy hitters") {
+      args => ApproxTopK(args.head, intArg(args(1), "approx_top_k"),
+        intArg(args(2), "approx_top_k")).toAggregateExpression()
     })
 
   /** Register every graft function into a live session's registry —

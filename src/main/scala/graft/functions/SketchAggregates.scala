@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-Saving (Metwally et al.) summary: at most `capacity` counters;
+  * an unseen item evicts the smallest counter and inherits its count as
+  * error. Invariants (the heavy-hitter contract):
+  *  - est(x) >= true(x)            (never undercounts)
+  *  - est(x) - err(x) <= true(x)   (the error is tracked per item)
+  *  - any x with true(x) > n/capacity is in the summary
+  *  - capacity >= |distinct|  =>  est is EXACT and err = 0
+  * Merging two summaries (Agarwal et al., "Mergeable Summaries") adds
+  * counts, charging an absent item the other summary's worst-case
+  * undercount (its min counter — 0 if that summary never evicted),
+  * then trims back to capacity; all invariants survive the merge, so
+  * partial aggregation is safe at any parallelism.
+  */
+object SpaceSaving {
+  /** counters: item -> (est, err). `full` tracks whether an eviction
+    * floor exists (minEst of a FULL summary bounds absent items). */
+  final class Summary(val capacity: Int) {
+    val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+    var evicted: Boolean = false
+
+    /** worst-case count of an item ABSENT from this summary */
+    def absentBound: Long =
+      if (!evicted && counters.size < capacity) 0L
+      else if (counters.isEmpty) 0L
+      else counters.valuesIterator.map(_._1).min
+
+    def add(item: String, by: Long, errBy: Long): Unit =
+      counters.get(item) match {
+        case Some((e, r)) => counters.update(item, (e + by, r + errBy))
+        case None =>
+          if (counters.size < capacity) counters.update(item, (by, errBy))
+          else {
+            // evict the smallest counter (deterministic: min est, then
+            // key order); the newcomer inherits its count as error.
+            // O(capacity) scan — fine for the thousands-of-counters
+            // regime; a min-heap is the upgrade path for huge capacities
+            var minKey: String = null
+            var minEst = Long.MaxValue
+            counters.foreach { case (k, (e, _)) =>
+              if (e < minEst || (e == minEst && (minKey == null || k < minKey))) {
+                minEst = e; minKey = k
+              }
+            }
+            counters.remove(minKey)
+            counters.update(item, (minEst + by, minEst + errBy))
+            evicted = true
+          }
+      }
+
+    /** Merge `other` into this (summary addition + trim). */
+    def merge(other: Summary): Summary = {
+      val aBound = absentBound
+      val bBound = other.absentBound
+      val keys = counters.keySet ++ other.counters.keySet
+      val merged = keys.toSeq.map { k =>
+        val (ae, ar) = counters.getOrElse(k, (aBound, aBound))
+        val (be, br) = other.counters.getOrElse(k, (bBound, bBound))
+        (k, ae + be, ar + br)
+      }
+      val out = new Summary(capacity)
+      out.evicted = evicted || other.evicted || merged.size > capacity
+      // keep the top-capacity by (est desc, key asc) — deterministic
+      merged.sortBy { case (k, e, _) => (-e, k) }.take(capacity).foreach {
+        case (k, e, r) => out.counters.update(k, (e, r))
+      }
+      out
+    }
+  }
+}
+
+/** `approx_top_k(expr, k, capacity)`: mergeable Space-Saving top-k over
+  * a string column — the fixed-memory heavy-hitters aggregate for
+  * cardinalities where exact groupBy(term) is too wide. Partial
+  * aggregation ships one `capacity`-bounded summary per partition
+  * (map-side combine), never the raw terms. Returns
+  * array<struct<term,est,err>> sorted (est desc, term asc), truncated
+  * to k; explode it for one row per hitter. With capacity >= |distinct|
+  * the result is exact (err 0) — which is how the oracle gate
+  * hash-proves the merge plumbing.
+  */
+case class ApproxTopK(
+    child: Expression,
+    k: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving.Summary] with UnaryLike[Expression] {
+
+  require(k > 0 && capacity >= k, s"need capacity >= k > 0, got k=$k capacity=$capacity")
+
+  override def createAggregationBuffer(): SpaceSaving.Summary =
+    new SpaceSaving.Summary(capacity)
+
+  override def update(buffer: SpaceSaving.Summary, input: InternalRow): SpaceSaving.Summary = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString, 1L, 0L)
+    buffer
+  }
+
+  override def merge(b1: SpaceSaving.Summary, b2: SpaceSaving.Summary): SpaceSaving.Summary =
+    b1.merge(b2)
+
+  override def eval(buffer: SpaceSaving.Summary): Any = {
+    val top = buffer.counters.toSeq
+      .sortBy { case (t, (e, _)) => (-e, t) }
+      .take(k)
+      .map { case (t, (e, r)) =>
+        InternalRow(UTF8String.fromString(t), e, r)
+      }
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buffer: SpaceSaving.Summary): Array[Byte] = {
+    val entries = buffer.counters.toSeq.map { case (t, (e, r)) =>
+      (t.getBytes(StandardCharsets.UTF_8), e, r)
+    }
+    val size = 5 + entries.map(_._1.length + 20).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.put(if (buffer.evicted) 1.toByte else 0.toByte)
+    bb.putInt(entries.size)
+    entries.foreach { case (b, e, r) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(e); bb.putLong(r)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSaving.Summary = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new SpaceSaving.Summary(capacity)
+    out.evicted = bb.get() == 1.toByte
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      val e = bb.getLong
+      val r = bb.getLong
+      out.counters.update(new String(b, StandardCharsets.UTF_8), (e, r))
+      i += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "approx_top_k"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ApproxTopK =
+    copy(child = newChild)
+}

@@ -162,6 +162,29 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(sh, w))
   }
 
+  /** Count of the most frequent ADJACENT token pair (bigram) — the
+    * Gopher-style top-bigram repetition signal, O(tokens) via pair
+    * hashing instead of the O(tokens²) generic array formulation.
+    * Counts match the string-bigram computation w.h.p. (same FNV
+    * collision assumption as every hashed set here). 0 if < 2 tokens. */
+  def maxAdjacentPairCount(tokens: ArrayData): Int = {
+    val n = tokens.numElements()
+    if (n < 2) return 0
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = fnv64(tokens.getUTF8String(i)); i += 1 }
+    val counts = new java.util.HashMap[Long, Int](n * 2)
+    var best = 0
+    i = 0
+    while (i < n - 1) {
+      val pair = (th(i) ^ (th(i + 1) * FnvPrime)) * FnvPrime
+      val c = counts.merge(pair, 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** Index of the max-cosine centroid (ties → lowest index) — the
     * map-side IVF cell assignment: one call per row against a small
     * literal centroid table, zero shuffle. */
@@ -323,6 +346,19 @@ case class TopCentroids(left: Expression, right: Expression, nProbe: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroids($a, $b, $nProbe)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroids =
     copy(left = l, right = r)
+}
+
+/** Count of the most frequent adjacent token pair — see
+  * Kernels.maxAdjacentPairCount. */
+case class MaxAdjacentPairCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_adjacent_pair_count"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.maxAdjacentPairCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.maxAdjacentPairCount($c)")
+  override protected def withNewChildInternal(c: Expression): MaxAdjacentPairCount =
+    copy(c)
 }
 
 case class Fnv64(child: Expression) extends UnaryExpression {

@@ -34,6 +34,11 @@ package object functions {
     col2(ShingleIdSet(ex(tokens), n))
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Count of the most frequent adjacent token pair (top-bigram
+    * repetition signal), O(tokens) via the pair-hash kernel. */
+  def max_adjacent_pair_count(tokens: Column): Column =
+    col2(MaxAdjacentPairCount(ex(tokens)))
+
   // ---- vectors ----
   def cosine_sim(a: Column, b: Column): Column = col2(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
@@ -44,6 +49,12 @@ package object functions {
     col2(TopCentroids(ex(v), ex(cents), nProbe))
   /** Elementwise vector-sum aggregate (map-side partial agg). */
   def vector_sum(v: Column): Column = col2(VectorSum(ex(v)).toAggregateExpression())
+
+  /** Mergeable Space-Saving top-k heavy hitters over a string column:
+    * fixed `capacity`-bounded memory, partial aggregation ships one
+    * summary per partition. Exact when capacity >= |distinct|. */
+  def approx_top_k(c: Column, k: Int, capacity: Int): Column =
+    col2(ApproxTopK(ex(c), k, capacity).toAggregateExpression())
   def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
   def as_double_array(v: Column): Column = transform(v, _.cast("double"))
 

@@ -27,29 +27,29 @@ object CurationQueries {
     // Everything is per-row array math: map-side, codegen'd, no shuffle
     // at any corpus size. Thresholds chosen non-vacuous on the test
     // corpus (~29% of sf0.01 docs flagged).
+    // Counts come from the FNV kernels (token_id_set /
+    // max_adjacent_pair_count / shingle_id_set): O(tokens) per row vs
+    // the O(tokens²) generic array formulation the DuckDB oracle uses —
+    // the hash gate proves the counts agree (3.6 s -> sub-second at
+    // sf0.1).
     "q_repetition" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
-        .withColumn("bgs", when(size(col("t")) >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .otherwise(array().cast("array<string>")))
-        .withColumn("tris", when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i),
-              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-          .otherwise(array(concat_ws(" ", col("t")))))
+        .withColumn("n", size(col("t")))
+        .withColumn("n_bigrams", greatest(col("n") - 1, lit(0)))
+        // mirrors shingles()/the oracle: < 3 tokens => one whole-text
+        // trigram (never duplicated)
+        .withColumn("n_tris", when(col("n") >= 3, col("n") - 2).otherwise(lit(1)))
       d.select(col("doc_id"),
-          size(col("t")).cast("long").as("n_tokens"),
-          round_portable((size(col("t")) - size(array_distinct(col("t"))))
-            .cast("double") / greatest(size(col("t")), lit(1)), 4)
+          col("n").cast("long").as("n_tokens"),
+          round_portable((col("n") - size(token_id_set(col("t"))))
+            .cast("double") / greatest(col("n"), lit(1)), 4)
             .as("dup_token_frac"),
-          when(size(col("bgs")) === 0, lit(0.0)).otherwise(
-            round_portable(array_max(transform(array_distinct(col("bgs")),
-              x => size(filter(col("bgs"), y => y === x)))).cast("double") /
-              size(col("bgs")), 4)).as("top_bigram_frac"),
-          round_portable((size(col("tris")) - size(array_distinct(col("tris"))))
-            .cast("double") / greatest(size(col("tris")), lit(1)), 4)
+          when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+            round_portable(max_adjacent_pair_count(col("t")).cast("double") /
+              col("n_bigrams"), 4)).as("top_bigram_frac"),
+          round_portable((col("n_tris") - size(shingle_id_set(col("t"), 3)))
+            .cast("double") / greatest(col("n_tris"), lit(1)), 4)
             .as("dup_trigram_frac"))
         .withColumn("keep", col("dup_token_frac") <= 0.65 &&
           col("top_bigram_frac") <= 0.08 && col("dup_trigram_frac") <= 0.0)
@@ -63,9 +63,13 @@ object CurationQueries {
     // corpus (broadcast it at scale); the per-doc side is one explode +
     // join + doc-keyed aggregate — the same asymmetric shape as
     // decontamination, pointed at the corpus itself.
+    // Shingles travel as 8-byte FNV ids (shingle_id_set kernel), not
+    // strings: the explode/groupBy/join pipeline moves longs, and the
+    // oracle's string-shingle counts hash-match w.h.p. (13 s -> ~2 s at
+    // sf0.1).
     "q_boilerplate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), shingle_id_set(tokenize_ws(col("text")), 3).as("sh"))
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val inventory = ex.groupBy("g").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 5).select("g")
@@ -167,6 +171,39 @@ object CurationQueries {
           size(col("bpe")).cast("long").as("n_bpe_tokens"),
           concat_ws(" ", slice(col("bpe"), 1, 12)).as("head_tokens"))
         .orderBy("doc_id")
+    },
+
+    // R17d: mergeable Space-Saving heavy hitters — the fixed-memory
+    // approx top-k for cardinalities where exact groupBy(term) is too
+    // wide. Partial aggregation ships one capacity-bounded summary per
+    // partition. Run here in the exact regime (capacity 4096 >> distinct
+    // tokens) so the DuckDB group-count oracle hash-proves the merge
+    // plumbing; the approximate regime's error bounds are gated in
+    // SketchSpec.
+    "q_heavy_hitters_sketch" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(approx_top_k(col("tok"), 5, 4096).as("hh"))
+        .select(col("lang"), posexplode(col("hh")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.term").as("term"), col("col.est").as("est"),
+          col("col.err").as("err"))
+        .orderBy("lang", "rank")
+    },
+
+    // R11b: explicit GROUPING SETS — non-hierarchical grouping combos
+    // ((lang), (source), ()) in one pass, the slice-report shape
+    // rollup/cube can't express. Null ordering pinned via coalesce so
+    // both engines sort identically.
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(token_count(col("text"))).as("sum_tokens"))
+        .orderBy(coalesce(col("lang"), lit("zz")),
+          coalesce(col("source"), lit("zz")))
     },
 
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
@@ -291,6 +328,28 @@ object CurationQueries {
         |  FROM scored)
         |SELECT lang, rank, tok, tf, df, score_q FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_heavy_hitters_sketch" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, COUNT(*) AS est FROM toks GROUP BY lang, term),
+        |r AS (
+        |  SELECT lang, term, est,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY est DESC, term ASC) AS rank
+        |  FROM c)
+        |SELECT lang, rank, term, est, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0)))
+        |    AS BIGINT) AS sum_tokens
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY COALESCE(lang, 'zz'), COALESCE(source, 'zz')""".stripMargin,
 
     "q_mix_target" ->
       """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),

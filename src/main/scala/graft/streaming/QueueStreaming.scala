@@ -34,6 +34,25 @@ object QueueStreaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Per-window trending terms via the mergeable Space-Saving sketch
+    * ([[graft.functions.approx_top_k]]): the streaming state carries one
+    * capacity-bounded summary per open window (the aggregate's buffer
+    * serializes into the state store and merges across triggers), so
+    * the hot-terms feed costs O(open windows x capacity) state
+    * regardless of the stream's vocabulary — the streaming twin of the
+    * batch heavy-hitters sketch. */
+  def trendingTerms(docs: DataFrame, tsCol: String, textCol: String,
+                    k: Int, capacity: Int, windowDur: String,
+                    watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(graft.functions.tokenize_ws(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.approx_top_k(col("term"), k, capacity).as("hh"))
+      .select(col("window.start").as("window_start"), posexplode(col("hh")))
+      .select(col("window_start"), (col("pos") + 1).as("rank"),
+        col("col.term").as("term"), col("col.est").as("est"))
+
   case class Event(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
   case class SessionState(nEvents: Long, sumValue: Double, startMs: Long, lastMs: Long)
   case class Session(user_id: Long, n_events: Long, sum_value: Double,

@@ -9,8 +9,9 @@ import graft.functions._
 import graft.operators.{Decontaminate, Dedup, Layout, Pack}
 
 /** End-to-end training-data pipeline over the library surface:
-  * read → quality gate → language gate → exact dedup → clustered
-  * near-dup removal → decontamination vs an eval slice → chunk →
+  * read → repetition gate → calibrated quality gate → language gate →
+  * exact dedup → clustered near-dup removal → decontamination vs an
+  * eval slice → target-mix resample → BPE tokenize → chunk →
   * deterministic sample → shard packing → sized partitioned write.
   * Prints one line per stage (rows surviving).
   * `sbt "runMain graft.tools.PipelineDemo [sfDir]"`
@@ -25,8 +26,28 @@ object PipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     stage("ingest", docs.count())
 
-    val quality = docs.filter(quality_score(col("text")) >= 0.5)
-    stage("quality>=0.5", quality.count())
+    // Gopher-style repetition gate: kernelized per-row signals
+    val unrepeated = docs.filter(
+      (size(tokenize_ws(col("text"))) - size(token_id_set(tokenize_ws(col("text")))))
+        .cast("double") / greatest(size(tokenize_ws(col("text"))), lit(1)) <= 0.65 &&
+      max_adjacent_pair_count(tokenize_ws(col("text"))).cast("double") /
+        greatest(size(tokenize_ws(col("text"))) - 1, lit(1)) <= 0.08)
+    stage("repetition gate", unrepeated.count())
+
+    // per-language calibrated cut: each lang keeps its upper half
+    val q1e4 = floor(quality_score(col("text")) * 10000 + 0.5).cast("long")
+    val scored = unrepeated.withColumn("q1e4", q1e4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("q1e4", "doc_id")
+    val med = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("int"))
+      .select(col("lang"), col("q1e4").as("med"))
+    val quality = scored.join(broadcast(med), "lang")
+      .filter(col("q1e4") >= col("med")).drop("q1e4", "med")
+    stage("calibrated quality", quality.count())
 
     val langOk = quality.filter(col("lang").isin("en", "de", "es", "fr"))
     stage("lang gate", langOk.count())
@@ -45,7 +66,27 @@ object PipelineDemo {
       "doc_id", "text", shingleN = 3, minMatched = 5)
     stage("decontaminated", clean.count())
 
-    val chunks = clean.select(col("doc_id"), col("lang"),
+    // target-mix resample: en to 40% of output, others 15% each
+    val rates = clean.groupBy("lang").agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("tt"))))
+      .withColumn("rate", least(lit(1.0),
+        when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)) *
+          col("tt") / col("nl")))
+      .withColumn("thr", when(col("rate") >= 1.0, lit("zz"))
+        .otherwise(lpad(lower(hex(floor(col("rate") * 256).cast("int"))), 2, "0")))
+      .select("lang", "thr")
+    val mixed = clean.join(broadcast(rates), "lang")
+      .filter(substring(md5(col("text")), 1, 2) < col("thr")).drop("thr")
+    stage("target mix", mixed.count())
+
+    // BPE tokenize: merges from the word-frequency head, applied map-side
+    val merges = graft.operators.Bpe.train(mixed, "text", nMerges = 100)
+    val bpeTokens = mixed
+      .select(sum(size(bpe_encode(tokenize_ws(col("text")), merges))))
+      .head().getLong(0)
+    println(f"[pipeline] ${"bpe tokens"}%-22s $bpeTokens%7d (merges: ${merges.size})")
+
+    val chunks = mixed.select(col("doc_id"), col("lang"),
         explode(chunk_windows(col("text"), 32, 8)).as("c"))
       .select(col("doc_id"), col("lang"), col("c.chunk_idx"),
         col("c.chunk_text"), col("c.n_chunk_tokens"))

@@ -26,6 +26,20 @@ class ExtensionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("a")))
   }
 
+  test("SQL surface: max_adjacent_pair_count / approx_top_k aggregate") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val m = s.sql(
+      "SELECT max_adjacent_pair_count(array('a','b','a','b','c')) AS m")
+      .collect().head.getAs[Int]("m")
+    assert(m == 2) // 'a b' twice
+    val hh = s.sql(
+      """SELECT approx_top_k(t, 2, 16) AS hh
+        |FROM (SELECT explode(array('x','x','x','y','y','z')) AS t)""".stripMargin)
+      .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 3L), ("y", 2L)))
+  }
+
   test("a full dedup query runs in pure SQL") {
     val s = spark.newSession()
     GraftExtensions.install(s)

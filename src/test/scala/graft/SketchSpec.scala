@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.{approx_top_k, tokenize_ws}
+
 class SketchSpec extends SparkSpec {
 
   test("HLL count-distinct is within its error bound of exact") {
@@ -55,5 +57,54 @@ class SketchSpec extends SparkSpec {
       expr("percentile(value, 0.5)").as("exact")).collect().head
     val (a, e) = (r.getAs[Double]("approx"), r.getAs[Double]("exact"))
     assert(math.abs(a - e) / math.max(e, 1e-9) <= 0.05)
+  }
+
+  // ---- Space-Saving heavy hitters (graft.functions.approx_top_k) ----
+
+  private def tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(explode(tokenize_ws(col("text"))).as("tok"))
+
+  test("space-saving at large capacity equals the exact top-k") {
+    val exact = tokens.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = tokens.agg(approx_top_k(col("tok"), 10, 65536).as("hh"))
+      .select(posexplode(col("hh")))
+      .select(col("col.term"), col("col.est"), col("col.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sketch.map(t => (t._1, t._2)) == exact)
+    assert(sketch.forall(_._3 == 0L), "no evictions => zero error")
+  }
+
+  test("space-saving invariants hold under tight capacity") {
+    val truth = tokens.groupBy("tok").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = truth.values.sum
+    val cap = 16
+    val sketch = tokens.agg(approx_top_k(col("tok"), cap, cap).as("hh"))
+      .select(posexplode(col("hh")))
+      .select(col("col.term"), col("col.est"), col("col.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (t, est, err) =>
+      val tru = truth(t)
+      assert(est >= tru, s"$t undercounted: est $est < true $tru")
+      assert(est - err <= tru, s"$t bound broken: est-err ${est - err} > true $tru")
+    }
+    // every item above the n/capacity mass threshold must be reported
+    val reported = sketch.map(_._1).toSet
+    truth.filter(_._2 > n / cap).keys.foreach { hh =>
+      assert(reported.contains(hh), s"heavy hitter $hh missing")
+    }
+  }
+
+  test("space-saving merge is partitioning-invariant in the exact regime") {
+    def run(parts: Int) =
+      tokens.repartition(parts)
+        .agg(approx_top_k(col("tok"), 10, 65536).as("hh"))
+        .select(posexplode(col("hh")))
+        .select(col("col.term"), col("col.est"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(2) == run(17))
   }
 }

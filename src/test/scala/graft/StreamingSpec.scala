@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("b", 1L, 5.0)))
   }
 
+  test("trending terms: windowed space-saving sketch merges across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val out = QueueStreaming.trendingTerms(df, "ts", "text",
+      k = 2, capacity = 64, windowDur = "10 minutes", watermarkDelay = "5 minutes")
+    val ckpt = Files.createTempDirectory("trending").toString
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // same window, two triggers: the sketch must merge across them
+    mem.addData((t(1), "spark spark join"), (t(2), "spark join scan"))
+    q.processAllAvailable()
+    mem.addData((t(3), "join spark"))
+    q.processAllAvailable()
+    mem.addData((t(40), "late window closer"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT rank, term, est FROM trending WHERE term IN ('spark','join') ORDER BY rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq((1, "spark", 4L), (2, "join", 3L)))
+  }
+
   test("sessionize closes sessions after the gap and keeps state within it") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
