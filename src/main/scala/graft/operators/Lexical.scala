@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** L24b: persisted inverted index for lexical (BM25) retrieval — the
+  * build-once / probe-many twin of `Ann.buildIvfIndex` on the text
+  * side. The index is four tables:
+  *  - `<t>_postings` (term, doc_id, tf), bucketed AND sorted by term:
+  *    a probe for k query terms reads only the buckets those terms
+  *    hash to (bucket pruning) and within them skips row groups by the
+  *    sorted term's min/max — the scan cost follows the query, not the
+  *    corpus;
+  *  - `<t>_doclen` (doc_id, dl), bucketed by doc_id: the candidate
+  *    join shuffles only candidates (the corpus side pre-paid its
+  *    shuffle at build);
+  *  - `<t>_termdf` (term, df): per-term document frequencies;
+  *  - `<t>_stats`: one row (n_docs, sum_dl).
+  * Scoring replicates the rational-idf BM25 of `q_bm25` bit-exactly,
+  * so the from-index search hash-matches the from-scratch oracle.
+  */
+object Lexical {
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 table: String, buckets: Int = 32): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenize_ws(col(textCol)).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    dl.write.mode("overwrite").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${table}_doclen")
+    val spark = docs.sparkSession
+    // df derives from the COMMITTED postings (one row per (term, doc)),
+    // not a recompute of the upstream frame
+    spark.table(s"${table}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 top-k against a persisted index. Postings/termdf scans carry
+    * `term IN (...)` (bucket-pruned + sorted row-group skipping); the
+    * term-df table is broadcast; corpus stats ride a 1-row crossJoin;
+    * the doclen join is bucket-co-located on doc_id. */
+  def searchBm25(spark: SparkSession, table: String, terms: Seq[String],
+                 k: Int): DataFrame = {
+    val postings = spark.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))
+    val dfT = spark.table(s"${table}_termdf")
+      .filter(col("term").isin(terms: _*))
+    val dl = spark.table(s"${table}_doclen")
+    val stats = spark.table(s"${table}_stats")
+    postings.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tfn",
+        col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .withColumn("contrib",
+        floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score_q"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+  }
+}

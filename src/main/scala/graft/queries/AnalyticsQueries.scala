@@ -191,6 +191,18 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // L24b: the same BM25 top-20, served from the persisted inverted
+    // index (build + probe in one query so the gate covers both):
+    // postings bucketed+sorted by term (probe scans only the query
+    // terms' buckets/row groups), doclen bucket-co-located on doc_id.
+    // Reuses q_bm25's oracle verbatim — the hash gate proves the
+    // index path computes exactly what the from-scratch path does.
+    "q_bm25_indexed" -> { (s, dir) =>
+      graft.operators.Lexical.buildIndex(
+        t(s, dir, "documents"), "doc_id", "text", "graft_lexidx")
+      graft.operators.Lexical.searchBm25(s, "graft_lexidx", Bm25Terms, k = 20)
+    },
+
     // L25: text normalization — lowercase, strip non-alphanumerics,
     // collapse runs of spaces, trim. Patterns stay inside the
     // RE2-and-Java-compatible subset (no \s, no lookaround).
@@ -252,7 +264,7 @@ object AnalyticsQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_f,
@@ -399,4 +411,10 @@ object AnalyticsQueries {
         |FROM orders ORDER BY zval, o_orderkey""".stripMargin
     }
   )
+
+  /** q_bm25_indexed shares q_bm25's oracle string on purpose: the hash
+    * gate then proves the persisted-index search path computes exactly
+    * what the from-scratch path does. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_bm25_indexed" -> oraclesBase("q_bm25"))
 }

@@ -33,4 +33,33 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("lexical index: probe scans only the query terms' buckets; " +
+      "search equals from-scratch BM25") {
+    import graft.operators.Lexical
+    import graft.queries.AnalyticsQueries
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_spec", buckets = 16)
+      val terms = Seq("spark", "join", "merge", "vector", "stream")
+      val hits = Lexical.searchBm25(spark, "lexidx_spec", terms, k = 20)
+      // bucket pruning: the postings scan must select a strict subset
+      // of the 16 buckets for a 5-term probe
+      val scan = hits.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 16".r
+        .findFirstMatchIn(scan)
+      assert(sel.isDefined, s"no bucket pruning in plan:\n$scan")
+      assert(sel.get.group(1).toInt <= 5,
+        s"expected <= 5 of 16 buckets, got ${sel.get.group(1)}")
+      // value parity with the from-scratch q_bm25 computation
+      val direct = AnalyticsQueries.queries("q_bm25")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val indexed = hits
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(indexed == direct)
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_spec_$s"))
+    }
+  }
 }
