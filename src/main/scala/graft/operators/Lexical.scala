@@ -23,13 +23,31 @@ import graft.functions._
   */
 object Lexical {
 
+  /** Drop a managed table AND its warehouse directory: a fresh session
+    * (new in-memory catalog) over an old warehouse dir would otherwise
+    * hit LOCATION_ALREADY_EXISTS on the first rebuild. */
+  private def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private val Parts = Seq("postings", "doclen", "termdf", "stats")
+
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  table: String, buckets: Int = 32): Unit = {
+    Parts.foreach(p => dropManaged(docs.sparkSession, s"${table}_$p"))
     val toks = docs.select(col(idCol).as("doc_id"),
       tokenize_ws(col(textCol)).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // positional postings: 1-based token positions per (term, doc) —
+    // tf is their count, phrase search intersects adjacent positions
+    val tf = toks.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("col").as("term"), (col("pos") + 1).as("p"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("positions"))
     tf.write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
     dl.write.mode("overwrite").bucketBy(buckets, "doc_id")
@@ -71,5 +89,29 @@ object Lexical {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Exact phrase search against the positional postings: docs where
+    * the phrase's tokens occur at consecutive positions, with the
+    * occurrence count. One bucket-pruned postings read per phrase term
+    * and |phrase|-1 narrow doc_id joins, each intersecting shifted
+    * position lists — the scan and the joins follow the phrase, not
+    * the corpus. Returns (doc_id, n_matches). */
+  def searchPhrase(spark: SparkSession, table: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p = spark.table(s"${table}_postings")
+    var cur = p.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("pos"))
+    phrase.tail.foreach { t =>
+      val nxt = p.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as("npos"))
+      // positions where the phrase-so-far ends adjacent to the next term
+      cur = cur.join(nxt, Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(transform(col("pos"), x => x + 1), col("npos")).as("pos"))
+        .filter(size(col("pos")) > 0)
+    }
+    cur.select(col("doc_id"), size(col("pos")).cast("long").as("n_matches"))
   }
 }

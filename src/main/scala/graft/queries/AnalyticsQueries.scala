@@ -203,6 +203,19 @@ object AnalyticsQueries {
       graft.operators.Lexical.searchBm25(s, "graft_lexidx", Bm25Terms, k = 20)
     },
 
+    // L24c: exact phrase search from the positional postings — docs
+    // where "table hash" occurs at consecutive token positions, with
+    // occurrence counts. Oracled against a direct token-window scan of
+    // the raw text, so the gate proves the positional index agrees
+    // with the documents.
+    "q_phrase_search" -> { (s, dir) =>
+      graft.operators.Lexical.buildIndex(
+        t(s, dir, "documents"), "doc_id", "text", "graft_lexidx_ph")
+      graft.operators.Lexical.searchPhrase(s, "graft_lexidx_ph",
+          Seq("table", "hash"))
+        .orderBy("doc_id")
+    },
+
     // L25: text normalization — lowercase, strip non-alphanumerics,
     // collapse runs of spaces, trim. Patterns stay inside the
     // RE2-and-Java-compatible subset (no \s, no lookaround).
@@ -402,6 +415,18 @@ object AnalyticsQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bg ASC) AS rn
         |  FROM counted)
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(t)),
+        |      i -> t[i] = 'table' AND t[i+1] = 'hash')) AS BIGINT) AS n_matches
+        |  FROM toks)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_zorder" -> {
       val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"

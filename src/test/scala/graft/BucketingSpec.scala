@@ -62,4 +62,28 @@ class BucketingSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS lexidx_spec_$s"))
     }
   }
+
+  test("phrase search equals a direct token-window scan") {
+    import graft.operators.Lexical
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_ph_spec", buckets = 16)
+      // driver-side truth: count consecutive occurrences in the text
+      def truth(phrase: Seq[String]): Map[Long, Long] =
+        d.select("doc_id", "text").collect().flatMap { r =>
+          val t = r.getString(1).split(" ").filter(_.nonEmpty)
+          val n = t.sliding(phrase.size).count(_.sameElements(phrase))
+          if (n > 0) Some(r.getLong(0) -> n.toLong) else None
+        }.toMap
+      for (phrase <- Seq(Seq("table", "hash"), Seq("the", "data", "table"),
+          Seq("nosuchword", "ever"))) {
+        val got = Lexical.searchPhrase(spark, "lexidx_ph_spec", phrase)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == truth(phrase), s"phrase $phrase mismatch")
+      }
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_ph_spec_$s"))
+    }
+  }
 }

@@ -160,4 +160,36 @@ class PropertySpec extends SparkSpec {
         s"round $round: missed=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
     }
   }
+
+  test("space-saving invariants on random skewed streams, random merges") {
+    import graft.functions.SpaceSaving
+    val rnd = new Random(7)
+    (1 to 20).foreach { round =>
+      val cap = 2 + rnd.nextInt(12)
+      val n = 50 + rnd.nextInt(400)
+      // Zipf-ish skew: item id = floor(40 / (1 + geometric-ish))
+      val stream = (0 until n).map { _ =>
+        s"item${(40 * math.pow(rnd.nextDouble(), 2)).toInt}"
+      }
+      val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // split into 1..4 sub-streams, summarize each, merge in random order
+      val parts = stream.grouped(1 + rnd.nextInt(n)).toSeq
+      val summaries = parts.map { p =>
+        val s = new SpaceSaving.Summary(cap)
+        p.foreach(s.add(_, 1L, 0L))
+        s
+      }
+      val merged = rnd.shuffle(summaries).reduce((a, b) => a.merge(b))
+      merged.counters.foreach { case (t, (est, err)) =>
+        val tru = truth(t)
+        assert(est >= tru, s"round $round: $t est $est < true $tru")
+        assert(est - err <= tru, s"round $round: $t est-err ${est - err} > true $tru")
+      }
+      // heavy-hitter containment: true count > n/cap must be present
+      truth.filter(_._2 > n.toLong / cap).keys.foreach { hh =>
+        assert(merged.counters.contains(hh), s"round $round: $hh missing (cap $cap)")
+      }
+      assert(merged.counters.size <= cap)
+    }
+  }
 }
