@@ -78,6 +78,10 @@ object GraftExtensions {
       "max_adjacent_pair_count(tokens) - count of the most frequent bigram") {
       args => MaxAdjacentPairCount(args.head)
     },
+    fn("hashed_bow",
+      "hashed_bow(tokens, d) - feature-hashed bag-of-words vector") {
+      args => HashedBow(args.head, intArg(args(1), "hashed_bow"))
+    },
     fn("approx_top_k",
       "approx_top_k(term, k, capacity) - mergeable Space-Saving heavy hitters") {
       args => ApproxTopK(args.head, intArg(args(1), "approx_top_k"),

@@ -227,6 +227,27 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Feature-hashed bag of words (Weinberger et al.): each token's
+    * rolling hash picks a bucket in [0, d) and a +/-1 sign; the vector
+    * is the signed count per bucket. Uses rollingHash (not FNV) so the
+    * per-bucket integer weights are reproducible in the SQL oracle via
+    * the same list_reduce recurrence as the fingerprint query. Returns
+    * UNNORMALIZED weights — exact integers, engine-portable; normalize
+    * downstream where cosine needs it (cosine is scale-invariant). */
+  def hashedBow(tokens: ArrayData, d: Int): ArrayData = {
+    val acc = new Array[Double](d)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = rollingHash(tokens.getUTF8String(i))
+      val b = (h % d).toInt
+      val sign = if ((h / d) % 2 == 0) 1.0 else -1.0
+      acc(b) += sign
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
   /** Sign bits against k pseudo-random hyperplanes (splitmix64-derived,
     * component weights in [-1,1)) — random-hyperplane LSH bucket id. */
   def hyperplaneLsh(a: ArrayData, k: Int): Long = {
@@ -346,6 +367,17 @@ case class TopCentroids(left: Expression, right: Expression, nProbe: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroids($a, $b, $nProbe)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroids =
     copy(left = l, right = r)
+}
+
+/** Feature-hashed bag-of-words vector — see Kernels.hashedBow. */
+case class HashedBow(child: Expression, d: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_bow"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hashedBow(v.asInstanceOf[ArrayData], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hashedBow($c, $d)")
+  override protected def withNewChildInternal(c: Expression): HashedBow = copy(child = c)
 }
 
 /** Count of the most frequent adjacent token pair — see

@@ -39,6 +39,11 @@ package object functions {
   def max_adjacent_pair_count(tokens: Column): Column =
     col2(MaxAdjacentPairCount(ex(tokens)))
 
+  /** Feature-hashed bag-of-words vector (d signed-count buckets,
+    * unnormalized — exact integer weights). The native text->vector
+    * featurizer feeding the ANN/semantic-dedup stack. */
+  def hashed_bow(tokens: Column, d: Int): Column = col2(HashedBow(ex(tokens), d))
+
   // ---- vectors ----
   def cosine_sim(a: Column, b: Column): Column = col2(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))

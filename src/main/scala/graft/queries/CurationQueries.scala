@@ -156,6 +156,24 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L34: feature hashing (hashed bag-of-words, Weinberger et al.) —
+    // the native text->vector featurizer feeding the ANN/semantic
+    // stack. Emitted as exploded (doc_id, bucket, weight) integer rows
+    // so the oracle is exact: the rolling-hash bucket/sign recurrence
+    // replays in DuckDB via the same list_reduce as q_fingerprint.
+    // Map-side explode + one (doc_id, bucket) shuffle; the array form
+    // (hashed_bow kernel) is spec-proven equal to this grouping.
+    "q_feature_hash" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokenize_ws(col("text"))).as("tok"))
+      toks.withColumn("h", rolling_hash(col("tok")))
+        .select(col("doc_id"), pmod(col("h"), lit(64L)).as("bucket"),
+          when(pmod(expr("h div 64"), lit(2L)) === 0, 1L).otherwise(-1L).as("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sign")).as("weight"))
+        .orderBy("doc_id", "bucket")
+    },
+
     // L28: BPE tokenization — merges learned on the corpus's word-
     // frequency head (driver-bounded by Zipf; deterministic tie-break),
     // applied map-side by the codegen'd kernel. Rows-only: merge
@@ -328,6 +346,25 @@ object CurationQueries {
         |  FROM scored)
         |SELECT lang, rank, tok, tf, df, score_q FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(tok, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM toks)
+        |SELECT doc_id, h % 64 AS bucket,
+        |  CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+        |    AS weight
+        |FROM hashed GROUP BY doc_id, h % 64
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q_heavy_hitters_sketch" ->
       """WITH toks AS (

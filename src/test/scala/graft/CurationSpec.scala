@@ -67,6 +67,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hashed_bow kernel equals the exploded-grouping formulation") {
+    import graft.functions._
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fromKernel = d
+      .select(col("doc_id"), hashed_bow(tokenize_ws(col("text")), 64).as("v"))
+      .select(col("doc_id"), posexplode(col("v")))
+      .filter(col("col") =!= 0.0)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").cast("long").as("weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromRows = CurationQueries.queries("q_feature_hash")(spark, sfDir)
+      .filter(col("weight") =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromKernel == fromRows)
+  }
+
+  test("hashed_bow: near-identical texts have high cosine, unrelated low") {
+    import graft.functions._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (3L, "completely unrelated words about spark shuffle partitions exchange"))
+      .toDF("id", "text")
+    val v = docs.select(col("id"), hashed_bow(tokenize_ws(col("text")), 64).as("v"))
+    val sims = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 2L)) > 0.8, s"near-dup cosine ${sims((1L, 2L))}")
+    assert(sims((1L, 3L)) < 0.5, s"unrelated cosine ${sims((1L, 3L))}")
+  }
+
   test("mix target never keeps more than it saw; clamped langs keep all") {
     val out = run("q_mix_target").collect()
     assert(out.nonEmpty)
