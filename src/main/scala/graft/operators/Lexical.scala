@@ -62,6 +62,42 @@ object Lexical {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /** Incremental index maintenance: append a batch's postings and doc
+    * lengths (same bucket layout the build used — appends land in the
+    * matching buckets), then rebuild the derived term-df and stats
+    * tables FROM the committed postings/doclen (aggregates over the
+    * index, never a corpus rescan). After the append, searches see the
+    * union corpus exactly as a full rebuild would. */
+  def appendDocs(docs: DataFrame, idCol: String, textCol: String,
+                 table: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokenize_ws(col(textCol)).as("toks"))
+    toks.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("col").as("term"), (col("pos") + 1).as("p"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("positions"))
+      .write.mode("append").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("append").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${table}_doclen")
+    // derived tables rebuild from the committed index. Materialize the
+    // aggregate BEFORE dropping its target (never read-while-overwrite);
+    // a crash between drop and write loses only derived data that the
+    // next appendDocs/buildIndex recomputes from the postings
+    val df2 = spark.table(s"${table}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    dropManaged(spark, s"${table}_termdf")
+    df2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
+    val st2 = spark.table(s"${table}_doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .localCheckpoint(true)
+    dropManaged(spark, s"${table}_stats")
+    st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
   /** BM25 top-k against a persisted index. Postings/termdf scans carry
     * `term IN (...)` (bucket-pruned + sorted row-group skipping); the
     * term-df table is broadcast; corpus stats ride a 1-row crossJoin;

@@ -232,6 +232,20 @@ object CurationQueries {
       Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
         .orderBy("id1", "id2")
+    },
+
+    // L5c: embedding-FREE semantic dedup — the full native chain
+    // text -> hashed_bow vector -> k-means cells -> verified cosine
+    // pairs, no external embedding model anywhere (rows-only; the
+    // featurizer and the cluster machinery carry their own gates).
+    "q_semantic_dedup_text" -> { (s, dir) =>
+      Dedup.semanticPairs(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              hashed_bow(tokenize_ws(col("text")), 64).as("v")),
+          "doc_id", "v",
+          nClusters = 8, minCosine = 0.9, iters = 2, trainFraction = 1.0)
+        .orderBy("id1", "id2")
     })
 
   /** Shared quality-score SQL fragment (DuckDB side of

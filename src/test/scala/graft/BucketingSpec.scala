@@ -63,6 +63,30 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: build(half) + append(half) equals build(all)") {
+    import graft.operators.Lexical
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("spark", "join", "merge", "vector", "stream")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_full", buckets = 8)
+      Lexical.buildIndex(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lexidx_inc", buckets = 8)
+      Lexical.appendDocs(d.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", "lexidx_inc", buckets = 8)
+      def top(table: String) =
+        Lexical.searchBm25(spark, table, terms, k = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(top("lexidx_inc") == top("lexidx_full"))
+      def phrase(table: String) =
+        Lexical.searchPhrase(spark, table, Seq("table", "hash"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(phrase("lexidx_inc") == phrase("lexidx_full"))
+    } finally {
+      for (t <- Seq("lexidx_full", "lexidx_inc"); s <- Seq("postings", "doclen", "termdf", "stats"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")
+    }
+  }
+
   test("phrase search equals a direct token-window scan") {
     import graft.operators.Lexical
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
