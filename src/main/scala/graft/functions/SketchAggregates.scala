@@ -170,3 +170,82 @@ case class ApproxTopK(
   override protected def withNewChildInternal(newChild: Expression): ApproxTopK =
     copy(child = newChild)
 }
+
+/** `count_min_agg(expr, depth, width)`: mergeable count-min sketch
+  * (Cormode & Muthukrishnan) over a string column — `depth` hash rows
+  * of `width` counters; est(x) = min over rows of the x-cell, so
+  * est(x) >= true(x) always and est(x) <= true(x) + eps*N with
+  * eps = e/width at probability 1 - e^-depth. Partial aggregation
+  * ships one depth*width long array per partition; merging is
+  * elementwise addition, so sketches also roll up AFTER the aggregate
+  * via the existing `vector_sum` (store per-day sketches, merge to any
+  * grain without rescanning raw data — same contract as the HLL
+  * rollup).
+  *
+  * Cell hashing is Spark's own `xxhash64(value, row_i)` seed chain
+  * (replicated via XxHash64Function), which is what lets
+  * [[graft.functions.count_min_estimate]] probe the sketch with
+  * composed BUILT-INS — the estimate stays in WholeStageCodegen, no
+  * custom scalar expression.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+  require(width >= 2, s"need width >= 2, got $width")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // xxhash64(value, i) = hash(i, hash(value, 42)) — the SQL
+      // expression's left-to-right seed chain
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L)
+      var i = 0
+      while (i < depth) {
+        val hi = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(i, IntegerType, h0)
+        val cell = ((hi % width) + width) % width
+        buffer(i * width + cell.toInt) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}

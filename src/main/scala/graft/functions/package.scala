@@ -60,6 +60,23 @@ package object functions {
     * summary per partition. Exact when capacity >= |distinct|. */
   def approx_top_k(c: Column, k: Int, capacity: Int): Column =
     col2(ApproxTopK(ex(c), k, capacity).toAggregateExpression())
+
+  /** Mergeable count-min sketch aggregate: depth*width long cells as a
+    * flat array. Merge finished sketches with [[vector_sum]] (store
+    * per-day, roll up to any grain). Probe with
+    * [[count_min_estimate]]. */
+  def count_min_agg(c: Column, depth: Int, width: Int): Column =
+    col2(CountMinAgg(ex(c), depth, width).toAggregateExpression())
+
+  /** Point-frequency estimate from a [[count_min_agg]] sketch — min
+    * over the depth rows of the probed cells. Pure composed built-ins
+    * unrolled over depth (the cell hash is Spark's own seeded
+    * xxhash64), so probing stays inside WholeStageCodegen. */
+  def count_min_estimate(sketch: Column, term: Column, depth: Int, width: Int): Column =
+    (0 until depth).map { i =>
+      val cell = pmod(xxhash64(term, lit(i)), lit(width.toLong))
+      element_at(sketch, (lit(i.toLong * width) + cell + 1L).cast("int"))
+    }.reduce(least(_, _))
   def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
   def as_double_array(v: Column): Column = transform(v, _.cast("double"))
 

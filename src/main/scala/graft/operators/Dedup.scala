@@ -241,6 +241,53 @@ object Dedup {
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** L35: block-level exact dedup (the within-corpus repeated-span
+    * remover of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", at fixed block granularity): split every
+    * document into consecutive `blockTokens`-token blocks, drop every
+    * block whose exact content already occurred earlier in the corpus
+    * (first occurrence by (doc_id, block_idx) survives), and reassemble
+    * each document from its surviving blocks in order. Catches the
+    * boilerplate/quote mass that document-level dedup can't touch.
+    *
+    * Shape at scale: one md5-keyed groupBy (map-side partial min) to
+    * elect each block's first occurrence, one hash-keyed join back —
+    * block payloads move once; a corpus-wide hot block (a license
+    * header in millions of docs) is absorbed by the partial aggregate,
+    * never a single reducer's row list. Returns one row per input doc:
+    * (doc_id, n_blocks, n_kept, kept_frac, dedup_md5) where dedup_md5
+    * fingerprints the reassembled text (md5("") for fully-deduped
+    * docs). */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+                  blockTokens: Int = 16): DataFrame = {
+    val bt = blockTokens
+    val toks = tokenize_ws(col(textCol))
+    val nBlocks = greatest(lit(1L),
+      ceil(size(toks).cast("double") / bt).cast("long"))
+    val blocks = df
+      .select(col(idCol).as("id"), toks.as("t"), nBlocks.as("nb"))
+      .select(col("id"), col("nb"), posexplode(transform(
+        sequence(lit(0L), col("nb") - 1),
+        i => concat_ws(" ", slice(col("t"), (i * bt + 1).cast("int"), lit(bt))))))
+      .select(col("id"), col("nb"), col("pos").as("bidx"), md5(col("col")).as("h"),
+        col("col").as("btext"))
+    val first = blocks.groupBy("h")
+      .agg(min(struct(col("id"), col("bidx"))).as("k"))
+    val kept = blocks.join(first, "h")
+      .filter(col("id") === col("k.id") && col("bidx") === col("k.bidx"))
+    kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("bidx"), col("btext")))),
+          s => s.getField("btext")))).as("dedup_md5"))
+      .join(df.select(col(idCol).as("id"), nBlocks.as("n_blocks")), Seq("id"), "right")
+      .select(col("id").as("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round_portable(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_blocks"), 4).as("kept_frac"),
+        coalesce(col("dedup_md5"), md5(lit(""))).as("dedup_md5"))
+  }
+
   /** Apply near-dup removal: keep the smaller id of every duplicate
     * pair (greedy cluster representative), anti-join the rest away.
     * One shuffle on the pair ids; composes with any pair generator

@@ -274,6 +274,54 @@ object AnalyticsQueries {
         .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy",
           s"CAST(${zValueSql(x, y, 8)} AS BIGINT) AS zval")
         .orderBy("zval", "o_orderkey")
+    },
+
+    // R32: SCD type-2 history build — collapse each user's event-type
+    // stream into versioned validity intervals (valid_from/valid_to/
+    // is_current), the slowly-changing-dimension shape every warehouse
+    // maintains. Gaps-and-islands run detection (one user shuffle, two
+    // windows sharing its sort) + a partial-agg run collapse. Validity
+    // bounds are emitted as epoch MICROS: DuckDB truncates parquet
+    // TIMESTAMP(NANOS) to micros on read, so raw nanos can't hash-match
+    // across engines. The windowed run-id SUM is cast to BIGINT in the
+    // oracle (DuckDB windowed SUM yields HUGEINT).
+    "q_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("chg", when(lag("event_type", 1).over(w).isNull ||
+          col("event_type") =!= lag("event_type", 1).over(w), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(w))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("event_type"),
+          min(expr("ts div 1000")).as("valid_from"), count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      runs
+        .withColumn("valid_to", lead("valid_from", 1).over(wv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "version", "event_type", "valid_from", "valid_to",
+          "is_current", "n_events")
+        .orderBy("user_id", "version")
+    },
+
+    // R33: bloom-pruned join — a selective dim (p_size = 1, ~2% of
+    // parts) joins the lineitem fact; the fact side is prefiltered
+    // MAP-SIDE by a bloom filter of the dim keys before paying the join
+    // shuffle (Trino-style dynamic filtering, built from codegen'd
+    // xxhash64 bit probes + a bit_or word aggregate). The oracle runs
+    // the PLAIN join: bloom false positives die in the real join, false
+    // negatives are impossible, so the hash gate proves the pruned plan
+    // computes exactly the unpruned result. PruneSpec asserts the
+    // prefilter really runs below the fact-side Exchange.
+    "q_bloom_join" -> { (s, dir) =>
+      import graft.operators.Prune
+      val dim = t(s, dir, "part").filter(col("p_size") === 1)
+        .select("p_partkey", "p_brand")
+      Prune.bloomJoin(t(s, dir, "lineitem"), "l_partkey", dim, "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
     }
   )
 
@@ -284,6 +332,40 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, tns,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |              OR event_type <> LAG(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, tns,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |      AS BIGINT) AS version
+        |  FROM m),
+        |runs AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |    MIN(tns // 1000) AS valid_from, COUNT(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  LEAD(valid_from) OVER wv AS valid_to,
+        |  LEAD(valid_from) OVER wv IS NULL AS is_current,
+        |  n_events
+        |FROM runs
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size = 1) p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
 
     "q_intersect" ->
       """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'

@@ -224,6 +224,79 @@ object CurationQueries {
           coalesce(col("source"), lit("zz")))
     },
 
+    // L35: block-level exact dedup (Lee et al. repeated-span removal at
+    // 16-token block granularity) — drop every block whose exact
+    // content occurred earlier in the corpus, reassemble docs from the
+    // survivors. One md5-keyed groupBy (partial-agg absorbs corpus-wide
+    // hot blocks) + one hash join; the oracle replays the whole
+    // explode/elect/reassemble chain and hash-checks the reassembled
+    // text's fingerprint.
+    "q_block_dedup" -> { (s, dir) =>
+      Dedup.dedupBlocks(t(s, dir, "documents"), "doc_id", "text", blockTokens = 16)
+        .orderBy("doc_id")
+    },
+
+    // L36: linear classifier inference over hashed features — the
+    // fastText-shaped quality/domain-classifier step: a class-centroid
+    // discriminant w_b = n_other * S_en(b) - n_en * S_other(b) trained
+    // in one bucket-keyed aggregate (64 rows, broadcast back), scored
+    // map-side as an integer dot product. All-integer arithmetic makes
+    // the margin engine-exact; at corpus scale the weights would be
+    // quantized ratios instead (same plan shape: tiny model broadcast,
+    // corpus never shuffles against it).
+    "q_classifier_margin" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val feats = d
+        .select(col("doc_id"), col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+        .withColumn("h", rolling_hash(col("tok")))
+        .select(col("doc_id"), col("lang"), pmod(col("h"), lit(64L)).as("bucket"),
+          when(pmod(expr("h div 64"), lit(2L)) === 0, 1L).otherwise(-1L).as("sign"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(sum(col("sign")).as("x"))
+      val counts = d.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_other"))
+      val weights = feats.groupBy("bucket")
+        .agg(sum(when(col("lang") === "en", col("x")).otherwise(0L)).as("s_en"),
+          sum(col("x")).as("s_all"))
+        .crossJoin(broadcast(counts))
+        .select(col("bucket"),
+          (col("n_other") * col("s_en") -
+            col("n_en") * (col("s_all") - col("s_en"))).as("wgt"))
+      feats.join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("x") * col("wgt")).as("margin"))
+        .select(col("doc_id"), col("lang"), col("margin"),
+          (col("margin") > 0).as("pred_en"))
+        .orderBy("doc_id")
+    },
+
+    // R17e: mergeable count-min sketch — the fixed-memory point-
+    // frequency estimator complementing Space-Saving's top-k (ask "how
+    // often did X occur", not "what are the top terms"). One
+    // depth*width array per partition through the shuffle; finished
+    // per-lang sketches additionally roll up to the global grain via
+    // vector_sum WITHOUT rescanning tokens (counts < 2^53, so the
+    // double round-trip is exact). Rows-only: estimates are
+    // sketch-defined (est >= true); bounds + merge invariance gated in
+    // SketchSpec.
+    "q_count_min" -> { (s, dir) =>
+      val probes = Seq("spark", "join", "merge", "vector", "stream")
+      val perLang = t(s, dir, "documents")
+        .select(col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(count_min_agg(col("tok"), 4, 1024).as("cm"))
+      val global = perLang
+        .agg(vector_sum(transform(col("cm"), _.cast("double"))).as("cmd"))
+        .select(lit("*").as("lang"), transform(col("cmd"), _.cast("long")).as("cm"))
+      def probed(df: DataFrame): DataFrame = df
+        .select(col("lang"), col("cm"),
+          explode(array(probes.map(lit(_)): _*)).as("term"))
+        .select(col("lang"), col("term"),
+          count_min_estimate(col("cm"), col("term"), 4, 1024).as("est"))
+      probed(perLang).union(probed(global)).orderBy("lang", "term")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -401,6 +474,73 @@ object CurationQueries {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY COALESCE(lang, 'zz'), COALESCE(source, 'zz')""".stripMargin,
+
+    "q_block_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |nb AS (
+        |  SELECT doc_id, t,
+        |    GREATEST(1, CAST(CEIL(len(t) / 16.0) AS BIGINT)) AS n_blocks
+        |  FROM toks),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    UNNEST(range(n_blocks)) AS bidx,
+        |    UNNEST(list_transform(range(n_blocks),
+        |      i -> array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ')))
+        |      AS btext
+        |  FROM nb),
+        |ranked AS (
+        |  SELECT doc_id, bidx, btext,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(btext)
+        |                       ORDER BY doc_id, bidx) AS rn
+        |  FROM blocks),
+        |kept AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(btext, ' ' ORDER BY bidx)) AS dedup_md5
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_blocks,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  FLOOR(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / n.n_blocks * 10000 + 0.5)
+        |    / 10000 AS kept_frac,
+        |  COALESCE(k.dedup_md5, md5('')) AS dedup_md5
+        |FROM nb n LEFT JOIN kept k ON n.doc_id = k.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "q_classifier_margin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(tok, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM toks),
+        |feats AS (
+        |  SELECT doc_id, lang, h % 64 AS bucket,
+        |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
+        |  FROM hashed GROUP BY doc_id, lang, h % 64),
+        |counts AS (
+        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        |  FROM documents),
+        |bw AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN x ELSE 0 END) AS BIGINT) AS s_en,
+        |    CAST(SUM(x) AS BIGINT) AS s_all
+        |  FROM feats GROUP BY bucket),
+        |w AS (
+        |  SELECT bucket, n_other * s_en - n_en * (s_all - s_en) AS wgt
+        |  FROM bw, counts),
+        |m AS (
+        |  SELECT f.doc_id, f.lang, CAST(SUM(f.x * w.wgt) AS BIGINT) AS margin
+        |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id, f.lang)
+        |SELECT doc_id, lang, margin, margin > 0 AS pred_en
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_mix_target" ->
       """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),

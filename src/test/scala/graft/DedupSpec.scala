@@ -225,4 +225,36 @@ class DedupSpec extends SparkSpec {
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == all -- pairs)
   }
+
+  test("block dedup drops repeated blocks, keeps first occurrence, reassembles") {
+    import spark.implicits._
+    val block1 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val block2 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block1 $block2"),   // both blocks first-seen: all kept
+      (2L, s"$block1 $tail"),     // block1 repeated, short tail unique
+      (3L, s"$block1 $block2")    // exact copy of doc 1: fully deduped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 16)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    // doc 2 reassembles to just its unique tail block
+    val md5Tail = java.security.MessageDigest.getInstance("MD5")
+      .digest(tail.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getString(4) === md5Tail)
+    // fully-deduped doc fingerprints the empty string
+    val md5Empty = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(out(2).getString(4) === md5Empty)
+  }
+
+  test("block dedup is invariant to input partitioning") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Dedup.dedupBlocks(d, "doc_id", "text").orderBy("doc_id").collect()
+    val b = Dedup.dedupBlocks(d.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{approx_top_k, tokenize_ws}
+import graft.functions.{approx_top_k, count_min_agg, count_min_estimate, tokenize_ws, vector_sum}
 
 class SketchSpec extends SparkSpec {
 
@@ -106,5 +106,45 @@ class SketchSpec extends SparkSpec {
         .select(col("col.term"), col("col.est"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(run(2) == run(17))
+  }
+
+  test("count-min never undercounts and stays within the eps*N bound") {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.tokenize_ws(col("text"))).as("tok"))
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val (depth, width) = (4, 1024)
+    val sketch = toks.agg(count_min_agg(col("tok"), depth, width).as("cm"))
+    val probes = truth.keys.toSeq.sorted.take(50)
+    val ests = sketch
+      .select(explode(array(probes.map(lit(_)): _*)).as("term"), col("cm"))
+      .select(col("term"), count_min_estimate(col("cm"), col("term"), depth, width).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = math.ceil(math.E * n / width).toLong
+    probes.foreach { t =>
+      assert(ests(t) >= truth(t), s"count-min undercounted '$t'")
+      assert(ests(t) <= truth(t) + bound,
+        s"'$t': est ${ests(t)} vs true ${truth(t)} exceeds +$bound")
+    }
+  }
+
+  test("count-min merge: partitioning-invariant, and vector_sum rollup = one-pass sketch") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (depth, width) = (4, 256)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), explode(graft.functions.tokenize_ws(col("text"))).as("tok"))
+    def onePass(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      toks(df).agg(count_min_agg(col("tok"), depth, width).as("cm"))
+        .collect()(0).getSeq[Long](0)
+    assert(onePass(docs) == onePass(docs.repartition(13)),
+      "count-min result changed under repartitioning")
+    // per-lang sketches merged via vector_sum equal the global sketch
+    val rolled = toks(docs).groupBy("lang")
+      .agg(count_min_agg(col("tok"), depth, width).as("cm"))
+      .agg(vector_sum(transform(col("cm"), _.cast("double"))).as("cmd"))
+      .select(transform(col("cmd"), _.cast("long")).as("cm"))
+      .collect()(0).getSeq[Long](0)
+    assert(rolled == onePass(docs), "vector_sum rollup diverged from one-pass sketch")
   }
 }
