@@ -276,6 +276,59 @@ object AnalyticsQueries {
         .orderBy("zval", "o_orderkey")
     },
 
+    // R34: salted join on a manufactured hot key — the same 50%-hot
+    // user remap as q_sessionize_hot, joined against the customer dim.
+    // Skew.saltedJoin spreads the hot key over 8 (key, salt) reducers
+    // (deterministic salt from event_id), dim replicated 8x; the oracle
+    // runs the PLAIN join — each fact row meets its dim row in exactly
+    // one bucket, so the hash gate proves the salted plan changes
+    // nothing but the partitioning.
+    "q_salted_join" -> { (s, dir) =>
+      import graft.operators.{Sessionize, Skew}
+      val fact = Sessionize.hotKeyed(t(s, dir, "events"), "user_id")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(fact, dim, "user_id", saltBy = "event_id", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R30b: CDC merge-on-read view — latest-wins upsert over a change
+    // stream with tombstone semantics (a key whose LATEST change is an
+    // 'error' is deleted from the view). Join-free single aggregation:
+    // max_by under the (ts, event_id) change order, partial-agg safe at
+    // any key skew — the scale shape VERDICT r2 demanded for
+    // q_queue_latest, extended with deletes and change counts.
+    "q_cdc_upsert" -> { (s, dir) =>
+      val ord = struct(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), ord).as("last_type"),
+          max_by(col("value"), ord).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last_type") =!= "error")
+        .select(col("user_id"), col("last_type"), col("last_value"),
+          expr("last_ts div 1000").as("updated_us"), col("n_changes"))
+        .orderBy("user_id")
+    },
+
+    // L37: per-source document cap — domain balancing (no single
+    // source may contribute more than N docs), membership decided by
+    // the deterministic md5(text) order so the kept set is a pure
+    // function of content. The rank<=N filter is WindowGroupLimit-
+    // pushed: each map task keeps at most N rows per source BEFORE the
+    // shuffle, so a 10^9-doc hot domain never crosses the wire.
+    "q_source_cap" -> { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    },
+
     // R32: SCD type-2 history build — collapse each user's event-type
     // stream into versioned validity intervals (valid_from/valid_to/
     // is_current), the slowly-changing-dimension shape every warehouse
@@ -332,6 +385,35 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+        |             value FROM events) e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q_cdc_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, epoch_ns(ts) AS tns, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  tns // 1000 AS updated_us, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (
