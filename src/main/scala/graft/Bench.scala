@@ -14,7 +14,13 @@ object Bench {
     // identical code and differed 3.5x (cold page cache / JIT), so a
     // single sample mostly measures the environment. min-of-2 is the
     // steady-state number.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); driver runs always leave it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run must not enter the min (its fast failure time would
       // masquerade as the query's benchmark number) — keep only the
       // durations of runs that completed

@@ -301,9 +301,16 @@ object CurationQueries {
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
     // cosine-verified), recall vs exact all-pairs gated in DedupSpec.
+    // The cell count scales with the corpus (target ~512 vectors/cell):
+    // per-cell all-pairs is the SemDeDup contract, so FIXED C would be
+    // O(n²/C) — quadratic again at 100× the data. Adaptive C keeps the
+    // per-cell work constant (one cheap count job to size it).
     "q_semantic_dedup" -> { (s, dir) =>
-      Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      Dedup.semanticPairs(e, "vec_id", "embedding",
+          nClusters = math.max(8L, n / 512).toInt, minCosine = 0.4, iters = 2,
+          trainFraction = math.min(1.0, 65536.0 / n))
         .orderBy("id1", "id2")
     },
 
@@ -312,12 +319,14 @@ object CurationQueries {
     // pairs, no external embedding model anywhere (rows-only; the
     // featurizer and the cluster machinery carry their own gates).
     "q_semantic_dedup_text" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val n = d.count()
       Dedup.semanticPairs(
-          t(s, dir, "documents")
-            .select(col("doc_id"),
-              hashed_bow(tokenize_ws(col("text")), 64).as("v")),
+          d.select(col("doc_id"),
+            hashed_bow(tokenize_ws(col("text")), 64).as("v")),
           "doc_id", "v",
-          nClusters = 8, minCosine = 0.9, iters = 2, trainFraction = 1.0)
+          nClusters = math.max(8L, n / 512).toInt, minCosine = 0.9, iters = 2,
+          trainFraction = math.min(1.0, 65536.0 / n))
         .orderBy("id1", "id2")
     })
 
