@@ -261,6 +261,54 @@ object QueueStreaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class Change(user_id: Long, seq: Long, change_type: String, value: Double)
+  case class Upserted(user_id: Long, last_type: String, last_value: Double,
+                      last_seq: Long, n_changes: Long, deleted: Boolean)
+
+  /** C13f: continuously-maintained CDC merge-on-read view — the
+    * streaming twin of the batch `q_cdc_upsert`: per-key latest-wins
+    * state in `transformWithState`, tombstone type marks the key
+    * deleted. Each trigger emits the key's UPDATED view row (an
+    * update changelog — downstreams apply rows keyed by user_id).
+    * Out-of-order changes within the state's seq horizon are absorbed:
+    * a stale seq bumps n_changes but never regresses the view. State
+    * is one row per live key — O(keys), trigger-count-independent. */
+  class UpsertProcessor(tombstone: String)
+      extends StatefulProcessor[Long, Change, Upserted] {
+    @transient private var view: ValueState[Upserted] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      view = getHandle.getValueState[Upserted]("view",
+        Encoders.product[Upserted], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+                                 tv: TimerValues): Iterator[Upserted] = {
+      var cur = if (view.exists()) view.get()
+        else Upserted(key, "", 0.0, Long.MinValue, 0L, deleted = false)
+      // deterministic within-trigger order; cross-trigger order is
+      // arrival order with stale-seq protection
+      rows.toSeq.sortBy(_.seq).foreach { c =>
+        cur =
+          if (c.seq >= cur.last_seq)
+            cur.copy(last_type = c.change_type, last_value = c.value,
+              last_seq = c.seq, n_changes = cur.n_changes + 1)
+          else cur.copy(n_changes = cur.n_changes + 1)
+      }
+      cur = cur.copy(deleted = cur.last_type == tombstone)
+      view.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Continuously-maintained latest-wins upsert view (see
+    * [[UpsertProcessor]]). */
+  def upsertStream(changes: Dataset[Change], tombstone: String): Dataset[Upserted] = {
+    implicit val enc = Encoders.product[Upserted]
+    changes.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new UpsertProcessor(tombstone),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

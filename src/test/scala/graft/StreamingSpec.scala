@@ -262,6 +262,33 @@ class StreamingSpec extends SparkSpec {
     assert(n.getLong(0) == 3 && n.getLong(1) == 3)
   }
 
+  test("streaming upsert view: latest wins, tombstones delete, state survives triggers") {
+    import graft.streaming.QueueStreaming.{Change, Upserted}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val out = QueueStreaming.upsertStream(mem.toDS(), tombstone = "error")
+    val ckpt = Files.createTempDirectory("upsertst").toString
+    val q = out.writeStream.format("memory").queryName("upsertst")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Change(1L, 1L, "signup", 1.0), Change(2L, 1L, "view", 2.0))
+    q.processAllAvailable()
+    // trigger 2: user 1 tombstoned (latest seq), user 2 updated; a
+    // stale seq-0 change counts but must not regress user 2's view
+    mem.addData(Change(1L, 3L, "error", 0.0),
+      Change(2L, 2L, "purchase", 9.5), Change(2L, 0L, "click", 7.0))
+    q.processAllAvailable()
+    // the changelog's LAST row per key is the current view
+    val rows = spark.sql(
+      "SELECT * FROM upsertst ORDER BY n_changes").collect()
+      .map(r => r.getLong(0) ->
+        Upserted(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toMap
+    q.stop()
+    assert(rows(1L) == Upserted(1L, "error", 0.0, 3L, 2L, deleted = true))
+    assert(rows(2L) == Upserted(2L, "purchase", 9.5, 2L, 3L, deleted = false))
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     implicit val sq = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
