@@ -372,4 +372,33 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
   }
+
+  /** L38: approximate kNN GRAPH — every corpus row's k nearest
+    * neighbors (the all-pairs analog of top-k search; feeds diversity
+    * sampling, hard-negative mining, graph-based dedup). Brute force is
+    * O(n²) at any k; here candidates come from shared top-`nAssign`
+    * quantizer cells (the SemDeDup blocking), so work is
+    * O(n · cellSize · nAssign²) — size `nClusters` ∝ n to hold
+    * cellSize constant. Per-id ranking is WindowGroupLimit-pushed
+    * (each map task keeps ≤ k candidates per id before the shuffle).
+    * Approximate: a true neighbor sharing no cell is missed — recall
+    * vs brute force is gated in AnnSpec. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nClusters: Int = 16, iters: Int = 2,
+               trainFraction: Double = 0.25, nAssign: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"), as_double_array(col(vecCol)).as("vec"))
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v.withColumn("cluster",
+      explode(top_centroids(col("vec"), centsLit, nAssign)))
+    val cand = indexed.as("a").join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.nn_id") =!= col("b.nn_id"))
+      .select(col("a.nn_id").as("id"), col("b.nn_id").as("nb"),
+        round_portable(cosine_sim(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nb").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk").cast("long").as("rk"), col("nb"), col("cos"))
+  }
 }

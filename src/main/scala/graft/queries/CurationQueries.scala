@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Bpe, Dedup}
+import graft.operators.{Ann, Bpe, Dedup}
 import RelationalQueries.t
 
 /** Round-7 additions: corpus-curation operators a 100 TB training-data
@@ -271,6 +271,50 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L38b: CCNet-style perplexity bucketing — split each language into
+    // LM-score terciles (head/middle/tail quality strata), the mix
+    // decision CCNet/RedPajama make before sampling. Per-doc score is
+    // the integer bigram-LM mass of q_lm_score (quantized conditional
+    // probs, integer division — engine-exact); ntile under a unique
+    // total order. One token shuffle for the model, one lang window.
+    "q_ccnet_buckets" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val pairs = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("prev"),
+              element_at(col("t"), i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val docScore = pairs.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+        .withColumn("q",
+          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(expr("sum(q) div count(1)").as("score_q"))
+      val w = Window.partitionBy("lang").orderBy(col("score_q"), col("doc_id"))
+      docScore.join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_q").as("min_q"), max("score_q").as("max_q"))
+        .orderBy("lang", "bucket")
+    },
+
+    // L38: approximate kNN graph — every vector's k nearest neighbors
+    // via shared quantizer cells (rows-only; recall vs brute force and
+    // degree/self-edge contracts gated in AnnSpec). Cell count scales
+    // with n like the semantic-dedup queries.
+    "q_knn_graph" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      Ann.knnGraph(e, "vec_id", "embedding", k = 5,
+          nClusters = math.max(8L, n / 512).toInt, iters = 2,
+          trainFraction = math.min(1.0, 65536.0 / n))
+        .orderBy("id", "rk")
+    },
+
     // R17e: mergeable count-min sketch — the fixed-memory point-
     // frequency estimator complementing Space-Saving's top-k (ask "how
     // often did X occur", not "what are the top terms"). One
@@ -483,6 +527,32 @@ object CurationQueries {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY COALESCE(lang, 'zz'), COALESCE(source, 'zz')""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
+        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(FLOOR(CAST(bc.cpc AS DOUBLE) / pc.cp * 100000000 + 0.5) AS BIGINT) AS q
+        |  FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev)),
+        |docscore AS (
+        |  SELECT doc_id, CAST(SUM(q) AS BIGINT) // COUNT(*) AS score_q
+        |  FROM scored GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.lang, s.doc_id, s.score_q,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY s.score_q, s.doc_id) AS bucket
+        |  FROM docscore s JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |  MIN(score_q) AS min_q, MAX(score_q) AS max_q
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "q_block_dedup" ->
       """WITH toks AS (

@@ -178,4 +178,27 @@ class AnnSpec extends SparkSpec {
     val recall = (bf & got).size.toDouble / bf.size
     assert(recall >= 0.8, s"persisted-index recall $recall below gate")
   }
+
+  test("knn graph: bounded degree, no self edges, recall vs brute force") {
+    import graft.functions.{as_double_array, cosine_sim, round_portable}
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val g = Ann.knnGraph(e, "vec_id", "embedding", k = 5,
+      nClusters = 8, iters = 2, trainFraction = 1.0)
+    val rows = g.collect()
+    assert(rows.forall(_.getLong(1) <= 5), "degree exceeded k")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self edge")
+    val edges = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exact kNN via all-pairs (500 vecs -> 250k cosines, fine in-spec)
+    val v = e.select(col("vec_id"), as_double_array(col("embedding")).as("vec"))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nb").asc)
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id"), col("b.vec_id").as("nb"),
+        round_portable(cosine_sim(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (edges & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"knn-graph recall $recall below gate")
+  }
 }
