@@ -86,6 +86,11 @@ object GraftExtensions {
       "approx_top_k(term, k, capacity) - mergeable Space-Saving heavy hitters") {
       args => ApproxTopK(args.head, intArg(args(1), "approx_top_k"),
         intArg(args(2), "approx_top_k")).toAggregateExpression()
+    },
+    fn("count_min_agg",
+      "count_min_agg(term, depth, width) - mergeable count-min sketch cells") {
+      args => CountMinAgg(args.head, intArg(args(1), "count_min_agg"),
+        intArg(args(2), "count_min_agg")).toAggregateExpression()
     })
 
   /** Register every graft function into a live session's registry —

@@ -10,9 +10,10 @@ import graft.operators.{Decontaminate, Dedup, Layout, Pack}
 
 /** End-to-end training-data pipeline over the library surface:
   * read → repetition gate → calibrated quality gate → language gate →
-  * exact dedup → clustered near-dup removal → decontamination vs an
-  * eval slice → target-mix resample → BPE tokenize → chunk →
-  * deterministic sample → shard packing → sized partitioned write.
+  * per-source cap → exact dedup → block-level dedup accounting →
+  * clustered near-dup removal → decontamination vs an eval slice →
+  * target-mix resample → BPE tokenize → chunk → deterministic sample →
+  * shard packing → sized partitioned write.
   * Prints one line per stage (rows surviving).
   * `sbt "runMain graft.tools.PipelineDemo [sfDir]"`
   */
@@ -52,10 +53,23 @@ object PipelineDemo {
     val langOk = quality.filter(col("lang").isin("en", "de", "es", "fr"))
     stage("lang gate", langOk.count())
 
-    val exactKept = Dedup.exact(langOk, "doc_id", "text")
+    // domain balancing: no source contributes more than 200 docs
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    val capped = langOk.withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= 200).drop("rk")
+    stage("source cap (200)", capped.count())
+
+    val exactKept = Dedup.exact(capped, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val afterExact = langOk.join(exactKept, "doc_id")
+    val afterExact = capped.join(exactKept, "doc_id")
     stage("exact dedup", afterExact.count())
+
+    // block-level accounting: how much repeated-span mass remains
+    val blockMass = Dedup.dedupBlocks(afterExact, "doc_id", "text")
+      .agg(sum(col("n_blocks")).as("nb"), sum(col("n_kept")).as("nk")).head()
+    println(f"[pipeline] ${"block dedup mass"}%-22s ${blockMass.getLong(1)}%7d" +
+      f" of ${blockMass.getLong(0)}%d blocks unique")
 
     val pairs = Dedup.minhashPairs(afterExact, "doc_id", "text", minJaccard = 0.9)
     val afterNear = Dedup.removeNearDupsClustered(afterExact, "doc_id", pairs)

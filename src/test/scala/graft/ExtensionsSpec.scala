@@ -38,6 +38,12 @@ class ExtensionsSpec extends SparkSpec {
         |FROM (SELECT explode(array('x','x','x','y','y','z')) AS t)""".stripMargin)
       .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hh")
     assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 3L), ("y", 2L)))
+    // count-min cells are SQL-visible too; the total mass equals n
+    val cm = s.sql(
+      """SELECT count_min_agg(t, 2, 8) AS cm
+        |FROM (SELECT explode(array('x','x','y')) AS t)""".stripMargin)
+      .collect().head.getAs[scala.collection.Seq[Long]]("cm")
+    assert(cm.length == 16 && cm.sum == 6L) // 3 rows x 2 depth rows
   }
 
   test("a full dedup query runs in pure SQL") {
