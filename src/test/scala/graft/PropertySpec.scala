@@ -192,4 +192,58 @@ class PropertySpec extends SparkSpec {
       assert(merged.counters.size <= cap)
     }
   }
+
+  test("salted join equals plain join on random skewed facts") {
+    import graft.operators.Skew
+    val rnd = new Random(7)
+    (1 to 4).foreach { round =>
+      val nf = 1 + rnd.nextInt(60)
+      // key 0 hot (~half the rows); dim covers only some keys
+      val fact = (0 until nf).map { i =>
+        (if (rnd.nextBoolean()) 0L else rnd.nextInt(6).toLong, i.toLong)
+      }.toDF("k", "row_id")
+      val dim = (0 until 6).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"v$k")).toDF("k", "attr")
+      val buckets = 2 + rnd.nextInt(6)
+      val s = Skew.saltedJoin(fact, dim, "k", "row_id", buckets)
+        .select("k", "row_id", "attr").collect().map(_.toSeq).sortBy(_.toString)
+      val p = fact.join(dim, "k")
+        .select("k", "row_id", "attr").collect().map(_.toSeq).sortBy(_.toString)
+      assert(s.toSeq == p.toSeq, s"round $round diverged (buckets=$buckets)")
+    }
+  }
+
+  test("block dedup on duplicate-free corpora keeps everything verbatim") {
+    val rnd = new Random(19)
+    (1 to 3).foreach { round =>
+      val n = 1 + rnd.nextInt(20)
+      // globally unique tokens => no block can repeat
+      val docs = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(40)
+        (i.toLong, (0 until len).map(j => s"u${i}_$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = Dedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 16)
+        .collect()
+      assert(out.forall(r => r.getLong(1) == r.getLong(2)),
+        s"round $round: a unique block was dropped")
+      assert(out.forall(_.getDouble(3) == 1.0))
+    }
+  }
+
+  test("bloom prefilter never drops a joining key on random data") {
+    import graft.operators.Prune
+    val rnd = new Random(23)
+    (1 to 4).foreach { round =>
+      val fact = (0 until 1 + rnd.nextInt(300)).map { i =>
+        (rnd.nextInt(50).toLong, i.toLong) }.toDF("k", "row_id")
+      val dim = (0 until 50).filter(_ => rnd.nextInt(4) == 0)
+        .map(_.toLong).toDF("dk")
+      val bits = 64 << rnd.nextInt(4)
+      val k = 1 + rnd.nextInt(6)
+      val kept = Prune.bloomSemiFilter(fact, "k", dim, "dk", bits, k)
+      val exact = fact.join(dim, $"k" === $"dk", "left_semi")
+      assert(exact.except(kept).count() == 0,
+        s"round $round: false negative at bits=$bits k=$k")
+    }
+  }
 }
