@@ -283,6 +283,19 @@ class ParquetQueue(
 
   def isEmpty(consumer: String = "default"): Boolean = size(consumer) == 0
 
+  /** Monitoring view: every consumer that ever committed an offset,
+    * with its committed position and lag behind the highwater — the
+    * ops surface a shared queue needs (who is falling behind; what the
+    * compaction floor is waiting on). Metadata-only, no Spark job. */
+  def consumerLags(): Seq[(String, Long, Long)] = {
+    val hw = highwater
+    listDir(metaDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("offset-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("offset-")).sorted.toSeq
+      .map { c => val off = offsetOf(c); (c, off, hw - off) }
+  }
+
   /** Directory listing that closes the underlying stream (Files.list
     * leaks a directory fd per call otherwise). */
   private def listDir(dir: Path): Array[Path] = {

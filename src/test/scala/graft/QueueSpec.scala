@@ -276,6 +276,17 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("consumerLags reports every committed consumer with its lag") {
+    val q = fresh()
+    q.push(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"))
+    q.pop(10, consumer = "fast")
+    q.pop(1, consumer = "slow")
+    assert(q.consumerLags() == Seq(("fast", 3L, 0L), ("slow", 1L, 2L)))
+    q.push(Seq((4L, "d")).toDF("id", "text"))
+    assert(q.consumerLags() == Seq(("fast", 3L, 1L), ("slow", 1L, 3L)))
+    q.dispose()
+  }
+
   test("exclusive writer lock is 1:1 and released on close") {
     val root = Files.createTempDirectory("qlock").toString
     val q1 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
