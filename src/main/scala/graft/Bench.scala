@@ -58,11 +58,14 @@ object Bench {
     // a sidecar file + stderr where size doesn't matter.
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     // sidecar write must never abort the run: the stdout metric line below
-    // is the primary artifact and has to print even if the cwd is read-only
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
-      (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    // is the primary artifact and has to print even if the cwd is read-only.
+    // Skipped for SPARK_GRAFT_ONLY subset runs — a local iteration must not
+    // clobber the full-run sidecar history.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_queries.json"),
+        (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     // failed list shares the line's character budget with the queries map;
     // cap it so a mass-failure round can't push the JSON head out of the
     // driver's ~2000-char stdout-tail window

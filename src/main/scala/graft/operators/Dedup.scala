@@ -234,9 +234,10 @@ object Dedup {
     * [[removeNearDups]]). */
   def semanticRemove(df: DataFrame, idCol: String, vecCol: String,
                      nClusters: Int = 16, minCosine: Double = 0.95,
-                     iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {
+                     iters: Int = 2, trainFraction: Double = 0.25,
+                     nAssign: Int = 2): DataFrame = {
     val drop = semanticPairs(df, idCol, vecCol, nClusters, minCosine,
-        iters, trainFraction)
+        iters, trainFraction, nAssign)
       .select(col("id2").as("__drop_id")).distinct()
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }

@@ -53,12 +53,14 @@ object Lexical {
     dl.write.mode("overwrite").bucketBy(buckets, "doc_id")
       .format("parquet").saveAsTable(s"${table}_doclen")
     val spark = docs.sparkSession
-    // df derives from the COMMITTED postings (one row per (term, doc)),
-    // not a recompute of the upstream frame
+    // both derived tables aggregate the COMMITTED tables, not the
+    // upstream frame — the corpus is tokenized exactly twice (postings
+    // + doclen writes), never a third time for stats
     spark.table(s"${table}_postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    spark.table(s"${table}_doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 

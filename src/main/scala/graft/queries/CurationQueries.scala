@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Ann, Bpe, Dedup}
+import graft.operators.{Ann, Bpe, Curate, Dedup}
 import RelationalQueries.t
 
 /** Round-7 additions: corpus-curation operators a 100 TB training-data
@@ -94,11 +94,7 @@ object CurationQueries {
       val q = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           floor(quality_score(col("text")) * 10000 + 0.5).cast("long").as("q1e4"))
-      val w = Window.partitionBy("lang").orderBy("q1e4", "doc_id")
-      val r = q.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      val med = r.filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("int"))
-        .select(col("lang"), col("q1e4").as("med_q1e4"))
+      val med = Curate.groupMedian(q, "lang", "q1e4", "doc_id", "med_q1e4")
       q.join(broadcast(med), "lang")
         .withColumn("keep", col("q1e4") >= col("med_q1e4"))
         .select("doc_id", "lang", "q1e4", "med_q1e4", "keep")
@@ -139,14 +135,8 @@ object CurationQueries {
     // digit pair).
     "q_mix_target" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val rates = d.groupBy("lang").agg(count(lit(1)).as("nl"))
-        .crossJoin(broadcast(d.agg(count(lit(1)).as("tt"))))
-        .withColumn("rate", least(lit(1.0),
-          when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)) *
-            col("tt") / col("nl")))
-        .withColumn("thr", when(col("rate") >= 1.0, lit("zz"))
-          .otherwise(lpad(lower(hex(floor(col("rate") * 256).cast("int"))), 2, "0")))
-        .select("lang", "thr")
+      val rates = Curate.mixThresholds(d, "lang",
+        when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)))
       d.join(broadcast(rates), "lang")
         .groupBy("lang")
         .agg(max(col("thr")).as("thr_hex"),

@@ -271,8 +271,14 @@ object QueueStreaming {
     * deleted. Each trigger emits the key's UPDATED view row (an
     * update changelog — downstreams apply rows keyed by user_id).
     * Out-of-order changes within the state's seq horizon are absorbed:
-    * a stale seq bumps n_changes but never regresses the view. State
-    * is one row per live key — O(keys), trigger-count-independent. */
+    * a stale seq bumps n_changes but never regresses the view. A
+    * tombstone CLEARS the key's state (that's what keeps state O(live
+    * keys) on delete-heavy churn, trigger-count-independent); the
+    * documented cost is that a pre-tombstone change arriving AFTER the
+    * tombstone resurrects the key with a fresh change count — the
+    * standard at-least-once CDC tradeoff, resolved upstream by
+    * delivering each key's changes in order (the queue's FIFO
+    * contract). */
   class UpsertProcessor(tombstone: String)
       extends StatefulProcessor[Long, Change, Upserted] {
     @transient private var view: ValueState[Upserted] = _
@@ -295,7 +301,7 @@ object QueueStreaming {
           else cur.copy(n_changes = cur.n_changes + 1)
       }
       cur = cur.copy(deleted = cur.last_type == tombstone)
-      view.update(cur)
+      if (cur.deleted) view.clear() else view.update(cur)
       Iterator.single(cur)
     }
   }

@@ -36,16 +36,10 @@ object PipelineDemo {
     stage("repetition gate", unrepeated.count())
 
     // per-language calibrated cut: each lang keeps its upper half
+    // (shared implementation: operators.Curate, same as q_quality_calibrated)
     val q1e4 = floor(quality_score(col("text")) * 10000 + 0.5).cast("long")
     val scored = unrepeated.withColumn("q1e4", q1e4)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("q1e4", "doc_id")
-    val med = scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-      .filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("int"))
-      .select(col("lang"), col("q1e4").as("med"))
+    val med = graft.operators.Curate.groupMedian(scored, "lang", "q1e4", "doc_id", "med")
     val quality = scored.join(broadcast(med), "lang")
       .filter(col("q1e4") >= col("med")).drop("q1e4", "med")
     stage("calibrated quality", quality.count())
@@ -66,8 +60,10 @@ object PipelineDemo {
     stage("exact dedup", afterExact.count())
 
     // block-level accounting: how much repeated-span mass remains
+    // (coalesce: an emptied pipeline must report 0, not NPE)
     val blockMass = Dedup.dedupBlocks(afterExact, "doc_id", "text")
-      .agg(sum(col("n_blocks")).as("nb"), sum(col("n_kept")).as("nk")).head()
+      .agg(coalesce(sum(col("n_blocks")), lit(0L)).as("nb"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("nk")).head()
     println(f"[pipeline] ${"block dedup mass"}%-22s ${blockMass.getLong(1)}%7d" +
       f" of ${blockMass.getLong(0)}%d blocks unique")
 
@@ -81,14 +77,9 @@ object PipelineDemo {
     stage("decontaminated", clean.count())
 
     // target-mix resample: en to 40% of output, others 15% each
-    val rates = clean.groupBy("lang").agg(count(lit(1)).as("nl"))
-      .crossJoin(broadcast(clean.agg(count(lit(1)).as("tt"))))
-      .withColumn("rate", least(lit(1.0),
-        when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)) *
-          col("tt") / col("nl")))
-      .withColumn("thr", when(col("rate") >= 1.0, lit("zz"))
-        .otherwise(lpad(lower(hex(floor(col("rate") * 256).cast("int"))), 2, "0")))
-      .select("lang", "thr")
+    // (shared implementation: operators.Curate, same as q_mix_target)
+    val rates = graft.operators.Curate.mixThresholds(clean, "lang",
+      when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)))
     val mixed = clean.join(broadcast(rates), "lang")
       .filter(substring(md5(col("text")), 1, 2) < col("thr")).drop("thr")
     stage("target mix", mixed.count())
@@ -96,7 +87,8 @@ object PipelineDemo {
     // BPE tokenize: merges from the word-frequency head, applied map-side
     val merges = graft.operators.Bpe.train(mixed, "text", nMerges = 100)
     val bpeTokens = mixed
-      .select(sum(size(bpe_encode(tokenize_ws(col("text")), merges))))
+      .select(coalesce(sum(size(bpe_encode(tokenize_ws(col("text")), merges))
+        .cast("long")), lit(0L)))
       .head().getLong(0)
     println(f"[pipeline] ${"bpe tokens"}%-22s $bpeTokens%7d (merges: ${merges.size})")
 

@@ -278,14 +278,26 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Change(1L, 3L, "error", 0.0),
       Change(2L, 2L, "purchase", 9.5), Change(2L, 0L, "click", 7.0))
     q.processAllAvailable()
-    // the changelog's LAST row per key is the current view
+    // trigger 3: the tombstoned key revives — its state was CLEARED
+    // (O(live keys) contract), so the new version starts a fresh
+    // change count
+    mem.addData(Change(1L, 4L, "signup", 5.0))
+    q.processAllAvailable()
+    // the changelog's LAST row per key (max last_seq) is the current view
     val rows = spark.sql(
-      "SELECT * FROM upsertst ORDER BY n_changes").collect()
+      """SELECT user_id, last_type, last_value, last_seq, n_changes, deleted
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY last_seq DESC) AS rn
+        |      FROM upsertst) WHERE rn = 1""".stripMargin)
+      .collect()
       .map(r => r.getLong(0) ->
         Upserted(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
           r.getLong(4), r.getBoolean(5))).toMap
+    val tomb = spark.sql(
+      "SELECT * FROM upsertst WHERE user_id = 1 AND last_seq = 3").collect()
     q.stop()
-    assert(rows(1L) == Upserted(1L, "error", 0.0, 3L, 2L, deleted = true))
+    assert(tomb.length == 1 && tomb.head.getBoolean(5), "tombstone row missing")
+    assert(rows(1L) == Upserted(1L, "signup", 5.0, 4L, 1L, deleted = false))
     assert(rows(2L) == Upserted(2L, "purchase", 9.5, 2L, 3L, deleted = false))
   }
 
