@@ -161,6 +161,41 @@ class StreamingSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("queue feeds the streaming CDC upsert view end-to-end") {
+    import graft.queue.ParquetQueue
+    import graft.schema.{GraftSchema, GraftType}
+    import graft.streaming.QueueStreaming.{Change, Upserted}
+    // "cseq": the queue's journal owns the "seq" column name
+    val schema = GraftSchema(("user_id", GraftType.INTEGER),
+      ("cseq", GraftType.INTEGER), ("change_type", GraftType.TEXT),
+      ("value", GraftType.REAL))
+    val q = new ParquetQueue(spark,
+      Files.createTempDirectory("qcdc").toString, schema)
+    val ckpt = Files.createTempDirectory("qcdc_ckpt").toString
+    val outDir = Files.createTempDirectory("qcdc_out").toString
+    def drain(): Unit = {
+      val changes = q.readStream(1)
+        .selectExpr("user_id", "cseq AS seq", "change_type", "value").as[Change]
+      val s = QueueStreaming.upsertStream(changes, tombstone = "error")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      s.awaitTermination(120000)
+      ()
+    }
+    // two pushes with a stream restart between: the view's last_seq
+    // and n_changes must survive via the state checkpoint
+    q.push(Seq((9L, 1L, "signup", 1.0)).toDF("user_id", "cseq", "change_type", "value"))
+    drain()
+    q.push(Seq((9L, 2L, "purchase", 3.5)).toDF("user_id", "cseq", "change_type", "value"))
+    drain()
+    val last = spark.read.parquet(outDir).as[Upserted].collect()
+      .maxBy(_.last_seq)
+    assert(last == Upserted(9L, "purchase", 3.5, 2L, 2L, deleted = false))
+    q.dispose()
+  }
+
   test("session_window streaming stats close sessions past the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
