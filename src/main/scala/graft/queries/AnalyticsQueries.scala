@@ -276,6 +276,26 @@ object AnalyticsQueries {
         .orderBy("zval", "o_orderkey")
     },
 
+    // R35: rolling spike detection — each event vs its own trailing
+    // 5-event mean (ROWS frame on the (ts, event_id) order). The
+    // trailing sum runs over DECIMAL so the result is association-
+    // order-exact in both engines (windowed double sums associate
+    // differently under segment trees); one user shuffle, frame
+    // bounded, no unbounded state.
+    "q_rolling_anomaly" -> { (s, dir) =>
+      import graft.functions.round_portable
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("trail_avg", round_portable(
+          sum(col("value").cast("decimal(38,6)")).over(w).cast("double") /
+            count(lit(1)).over(w), 4))
+        .withColumn("spike", col("value") > col("trail_avg") * 2)
+        .select("user_id", "event_id", "value", "trail_avg", "spike")
+        .orderBy("user_id", "event_id")
+    },
+
     // R34: salted join on a manufactured hot key — the same 50%-hot
     // user remap as q_sessionize_hot, joined against the customer dim.
     // Skew.saltedJoin spreads the hot key over 8 (key, salt) reducers
@@ -385,6 +405,20 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value,
+        |    FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w * 10000 + 0.5) / 10000 AS trail_avg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, trail_avg,
+        |  value > trail_avg * 2 AS spike
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,

@@ -101,6 +101,23 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L39: robust per-language dispersion — median + median absolute
+    // deviation of the quantized quality score, two stacked
+    // Curate.groupMedian passes (all-integer: exact ranks, exact
+    // |x - med| deviations — no stddev float drift anywhere). MAD is
+    // the outlier-robust scale estimate quality monitoring wants when
+    // a crawl slice poisons the mean.
+    "q_quality_mad" -> { (s, dir) =>
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          floor(quality_score(col("text")) * 10000 + 0.5).cast("long").as("q1e4"))
+      val med = Curate.groupMedian(q, "lang", "q1e4", "doc_id", "med")
+      val dev = q.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("q1e4") - col("med")))
+      val mad = Curate.groupMedian(dev, "lang", "adev", "doc_id", "mad")
+      med.join(mad, "lang").select("lang", "med", "mad").orderBy("lang")
+    },
+
     // L32: per-language TF-IDF keywords — the corpus-characterization
     // step (what distinguishes each language/source slice). Rational
     // idf (N-df+0.5)/(df+0.5) instead of its log: same monotone
@@ -452,6 +469,39 @@ object CurationQueries {
          |  q.q1e4 >= m.med_q1e4 AS keep
          |FROM q JOIN m ON q.lang = m.lang
          |ORDER BY q.doc_id""".stripMargin,
+
+    "q_quality_mad" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
+         |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         |    len(list_filter(string_split(text, ' '), x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
+         |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
+         |    LENGTH(text) AS n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, $qualityExprSql AS q1e4
+         |  FROM stats),
+         |r1 AS (
+         |  SELECT doc_id, lang, q1e4,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q1e4, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM q),
+         |m1 AS (SELECT lang, q1e4 AS med FROM r1
+         |       WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)),
+         |d AS (
+         |  SELECT q.doc_id, q.lang, ABS(q.q1e4 - m1.med) AS adev
+         |  FROM q JOIN m1 USING (lang)),
+         |r2 AS (
+         |  SELECT doc_id, lang, adev,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY adev, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM d),
+         |m2 AS (SELECT lang, adev AS mad FROM r2
+         |       WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT))
+         |SELECT m1.lang, m1.med, m2.mad FROM m1 JOIN m2 USING (lang)
+         |ORDER BY m1.lang""".stripMargin,
 
     "q_tfidf_keywords" ->
       """WITH toks AS (
