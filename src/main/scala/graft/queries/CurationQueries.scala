@@ -101,6 +101,23 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L40: compressibility quality signal — gzip bytes / raw bytes, the
+    // classic "too compressible = boilerplate/repetition, near-1 =
+    // random noise" filter (rows-only: DuckDB has no gzip; determinism
+    // and the repetitive-text ordering are gated in CurationSpec).
+    // Map-side per-row codec work via the native GzipCompress
+    // expression — no shuffle at any corpus size.
+    "q_compress_ratio" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          length(gzip_compress(col("text").cast("binary"))).cast("long").as("n_gz"))
+        .withColumn("ratio", round_portable(
+          col("n_gz").cast("double") / greatest(col("n_chars"), lit(1L)), 4))
+        .withColumn("keep", col("ratio") >= 0.3)
+        .orderBy("doc_id")
+    },
+
     // L39: robust per-language dispersion — median + median absolute
     // deviation of the quantized quality score, two stacked
     // Curate.groupMedian passes (all-integer: exact ranks, exact

@@ -111,4 +111,23 @@ class CurationSpec extends SparkSpec {
         assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
     }
   }
+
+  test("compressibility signal: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    import graft.functions.{gzip_compress, round_portable}
+    val docs = Seq(
+      (1L, Seq.fill(200)("spam").mkString(" ")),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def ratios(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), round_portable(
+        length(gzip_compress(col("text").cast("binary"))).cast("double") /
+          length(col("text")), 4).as("ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r = ratios(docs)
+    assert(r(1L) < 0.1, s"repetitive text ratio ${r(1L)} not << 1")
+    assert(r(2L) > r(1L) * 3, s"varied ${r(2L)} vs repetitive ${r(1L)}")
+    // deterministic across partitionings (same bytes per row)
+    assert(ratios(docs.repartition(5)) == r)
+  }
 }
