@@ -48,6 +48,31 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // R25b: UNPIVOT / melt — wide metric columns to long (metric, val)
+    // rows, the report-normalization inverse of pivot. stack() is
+    // codegen'd row expansion, no shuffle; the oracle is the portable
+    // UNION ALL formulation.
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, val)")
+        .orderBy("p_partkey", "metric")
+    },
+
+    // R18b: ordered string aggregation (LISTAGG) — per group, the
+    // member keys joined in deterministic order. Spark has no ordered
+    // string_agg; sort_array(collect_list) + concat_ws is the
+    // deterministic equivalent (partial-agg collect, driver-free).
+    // Filtered to a selective slice so row strings stay bounded.
+    "q_string_agg" -> { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", transform(array_sort(collect_list(col("o_orderkey"))),
+            k => k.cast("string"))).as("keys"))
+        .orderBy("o_orderpriority")
+    },
+
     // R26: INTERSECT — parts that were both returned (R) and
     // accepted (A) somewhere. Set-distinct semantics in both engines.
     "q_intersect" -> { (s, dir) =>
@@ -482,6 +507,18 @@ object AnalyticsQueries {
         |JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size = 1) p
         |  ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_totalprice > 450000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_intersect" ->
       """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
