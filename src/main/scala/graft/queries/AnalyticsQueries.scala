@@ -301,6 +301,28 @@ object AnalyticsQueries {
         .orderBy("zval", "o_orderkey")
     },
 
+    // R36: time-series densification — resample each user's events to
+    // a regular hourly grid between their first and last activity,
+    // zero-filling empty buckets (the regular-grid precondition for
+    // windowed models / charting). The grid explode is bounded per key
+    // by its own span; one (user, bucket) join, no global calendar
+    // table.
+    "q_gap_fill" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("bucket"),
+          col("value"))
+        .groupBy("user_id", "bucket")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      grid.join(hourly, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("user_id", "bucket")
+    },
+
     // R35: rolling spike detection — each event vs its own trailing
     // 5-event mean (ROWS frame on the (ts, event_id) order). The
     // trailing sum runs over DECIMAL so the result is association-
@@ -430,6 +452,25 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, bucket, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY user_id, bucket),
+        |span AS (
+        |  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, UNNEST(range(b0, b1 + 1)) AS bucket FROM span)
+        |SELECT g.user_id, g.bucket,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+        |  COALESCE(h.sv, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "q_rolling_anomaly" ->
       """WITH e AS (
