@@ -323,6 +323,31 @@ object AnalyticsQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // R36b: forward fill (last observation carried forward) on the
+    // densified grid — empty buckets inherit the most recent observed
+    // hourly sum instead of zero (the LOCF resample models expect).
+    // `last(ignoreNulls)` over an UNBOUNDED PRECEDING frame shares the
+    // grid's (user, bucket) sort; the first bucket always has data
+    // (the span starts at each key's first observation), so the fill
+    // is total.
+    "q_gap_fill_locf" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("bucket"),
+          col("value"))
+        .groupBy("user_id", "bucket")
+        .agg(dsum(col("value")).as("sv"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "bucket"), "left")
+        .withColumn("filled_value", last(col("sv"), ignoreNulls = true).over(w))
+        .withColumn("observed", col("sv").isNotNull)
+        .select("user_id", "bucket", "filled_value", "observed")
+        .orderBy("user_id", "bucket")
+    },
+
     // R35: rolling spike detection — each event vs its own trailing
     // 5-event mean (ROWS frame on the (ts, event_id) order). The
     // trailing sum runs over DECIMAL so the result is association-
@@ -469,6 +494,27 @@ object AnalyticsQueries {
         |SELECT g.user_id, g.bucket,
         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
         |  COALESCE(h.sv, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "q_gap_fill_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bucket, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY user_id, bucket),
+        |span AS (
+        |  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, UNNEST(range(b0, b1 + 1)) AS bucket FROM span)
+        |SELECT g.user_id, g.bucket,
+        |  LAST_VALUE(h.sv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  h.sv IS NOT NULL AS observed
         |FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
         |ORDER BY g.user_id, g.bucket""".stripMargin,
 
