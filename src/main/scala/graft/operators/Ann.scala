@@ -373,6 +373,36 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** L38c: BULK cross-corpus kNN — k nearest corpus neighbors for
+    * EVERY row of a large query set (semantic bulk join: RAG pair
+    * mining, cross-corpus linking). Unlike [[ivfTopK]], the query side
+    * is NOT broadcast: corpus rows carry their single quantizer cell,
+    * queries multi-probe their top-`nProbe` cells, and the two meet in
+    * a cluster-keyed equi-join — both sides scale out, shuffle volume
+    * is rows×1 (corpus) + rows×nProbe (queries). Size `nClusters` ∝
+    * corpus so cells stay constant; per-query ranking is
+    * WindowGroupLimit-pushed. Ids live in separate namespaces (no
+    * self-exclusion — queries are a different table). */
+  def bulkTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 2,
+               iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v.withColumn("cluster", nearest_centroid(col("vec"), centsLit))
+    val probes = queries
+      .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
+      .withColumn("cluster", explode(top_centroids(col("q_vec"), centsLit, nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(probes, "cluster")
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   /** L38: approximate kNN GRAPH — every corpus row's k nearest
     * neighbors (the all-pairs analog of top-k search; feeds diversity
     * sampling, hard-negative mining, graph-based dedup). Brute force is

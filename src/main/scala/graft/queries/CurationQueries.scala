@@ -339,6 +339,21 @@ object CurationQueries {
         .orderBy("id", "rk")
     },
 
+    // L38c: bulk cross-corpus kNN (semantic bulk join) — every
+    // label-0 vector finds its k nearest among the rest; neither side
+    // broadcasts (cluster-keyed equi-join). Rows-only; recall vs a
+    // brute-force cross join is gated in AnnSpec.
+    "q_bulk_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("label") === 0)
+      val corpus = e.filter(col("label") =!= 0)
+      val n = corpus.count()
+      Ann.bulkTopK(qs, corpus, "vec_id", "embedding", k = 5,
+          nClusters = math.max(8L, n / 512).toInt, nProbe = 3, iters = 2,
+          trainFraction = math.min(1.0, 65536.0 / n))
+        .orderBy("query_id", "rank")
+    },
+
     // R17e: mergeable count-min sketch — the fixed-memory point-
     // frequency estimator complementing Space-Saving's top-k (ask "how
     // often did X occur", not "what are the top terms"). One

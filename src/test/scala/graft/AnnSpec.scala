@@ -201,4 +201,29 @@ class AnnSpec extends SparkSpec {
     val recall = (edges & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"knn-graph recall $recall below gate")
   }
+
+  test("bulk cross-corpus knn: recall vs brute force, no id bleed") {
+    import graft.functions.{as_double_array, cosine_sim}
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = e.filter(col("label") === 0)
+    val corpus = e.filter(col("label") =!= 0)
+    val got = Ann.bulkTopK(qs, corpus, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 3, iters = 2, trainFraction = 1.0).collect()
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => corpusIds.contains(r.getLong(2))),
+      "a neighbor came from outside the corpus side")
+    val qv = qs.select(col("vec_id").as("query_id"),
+      as_double_array(col("embedding")).as("q_vec"))
+    val cv = corpus.select(col("vec_id").as("nn_id"),
+      as_double_array(col("embedding")).as("vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nn_id").asc)
+    val truth = qv.crossJoin(cv)
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val edges = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (edges & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"bulk-knn recall $recall below gate")
+  }
 }
