@@ -206,7 +206,7 @@ object CurationQueries {
     // BpeSpec. Output flattened to scalars for the rows-only dump.
     "q_bpe_tokenize" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val merges = Bpe.train(d, "text", nMerges = 100, maxWords = 10000)
+      val merges = Bpe.train(d, "text", nMerges = 1000, maxWords = 10000)
       d.select(col("doc_id"), token_count(col("text")).as("n_words"),
           bpe_encode(tokenize_ws(col("text")), merges).as("bpe"))
         .select(col("doc_id"), col("n_words"),

@@ -30,6 +30,21 @@ class BpeSpec extends SparkSpec {
     assert(m1.head == naive.head)
   }
 
+  test("incremental trainer is merge-for-merge equal to the naive recount trainer") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val head = d.select(explode(tokenize_ws(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = Bpe.trainFromCounts(head, 300)
+    val naive = Bpe.trainFromCountsNaive(head, 300)
+    assert(fast == naive)
+    // exhaustion path: ask for more merges than exist in a tiny head
+    val tiny = Seq(("ab", 3L), ("ba", 2L))
+    assert(Bpe.trainFromCounts(tiny, 1000) == Bpe.trainFromCountsNaive(tiny, 1000))
+  }
+
   test("encodeWord parity with a naive reference implementation") {
     val merges = Bpe.train(corpus, "text", nMerges = 30)
     val ranks = BpeKernel.rankMap(merges)
