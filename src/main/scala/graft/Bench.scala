@@ -18,6 +18,12 @@ object Bench {
     // (SPARK_GRAFT_ONLY=q_a,q_b); driver runs always leave it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY names match no registered query " +
+          s"and are ignored: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -27,16 +27,24 @@ object Curate {
 
   /** Per-group md5-prefix keep thresholds hitting a target output
     * share: rate = min(1, share · total/group), threshold = the
-    * two-hex-digit prefix bound (rate 1.0 → 'zz', above every hex
-    * pair). Membership test downstream: `substring(md5(content),1,2) <
+    * four-hex-digit prefix bound (rate 1.0 → 'zzzz', above every hex
+    * quad). Membership test downstream: `substring(md5(content),1,4) <
     * thr` — a pure function of content, identical at any parallelism.
     * `shareExpr` may reference the group column (e.g. en 40%, others
-    * 15%). Returns (groupCol, thr), group-cardinality rows. */
+    * 15%). Returns (groupCol, thr), group-cardinality rows.
+    *
+    * Granularity: realized rates quantize DOWN to 1/65536 steps
+    * (floor keeps the sample at-or-under target, never over), so a
+    * group's effective rate can undershoot by up to 1/65536 — and a
+    * computed rate below 1/65536 rounds to a keep-nothing threshold.
+    * At that point the target share asks for less than one row in
+    * 65536; if that group still matters, raise its share rather than
+    * relying on sub-ulp sampling. */
   def mixThresholds(df: DataFrame, groupCol: String, shareExpr: Column): DataFrame =
     df.groupBy(groupCol).agg(count(lit(1)).as("__nl"))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("__tt"))))
       .withColumn("__rate", least(lit(1.0), shareExpr * col("__tt") / col("__nl")))
-      .withColumn("thr", when(col("__rate") >= 1.0, lit("zz"))
-        .otherwise(lpad(lower(hex(floor(col("__rate") * 256).cast("int"))), 2, "0")))
+      .withColumn("thr", when(col("__rate") >= 1.0, lit("zzzz"))
+        .otherwise(lpad(lower(hex(floor(col("__rate") * 65536).cast("int"))), 4, "0")))
       .select(col(groupCol), col("thr"))
 }

@@ -79,6 +79,14 @@ object Prune {
   def bloomSemiFilter(fact: DataFrame, factKey: String,
                       dim: DataFrame, dimKey: String,
                       numBits: Int = 1 << 18, k: Int = 5): DataFrame = {
+    // xxhash64 is type-sensitive (INT 7 and BIGINT 7 hash differently),
+    // so a type mismatch would silently produce false NEGATIVES and
+    // break the result-equals-plain-join guarantee. Fail loudly instead.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloom key types must match exactly (xxhash64 is type-sensitive): " +
+        s"fact.$factKey is $ft, dim.$dimKey is $dt — cast one side first")
     val words = bloomWords(dim, dimKey, numBits, k)
     fact.filter(col(factKey).isNotNull &&
       mightContain(words, numBits, k)(col(factKey)))

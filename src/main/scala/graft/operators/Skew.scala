@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   * small-dim joins where AQE's skew splitting can't apply (e.g. the
   * dim side must co-group, or deterministic partitioning is required).
   * Result is EXACTLY the plain join (each fact row meets its dim row in
-  * precisely one bucket) — the oracle gate runs the plain join. */
+  * precisely one bucket) — the oracle gate runs the plain join.
+  *
+  * Skew only spreads if `saltBy` has more distinct values than
+  * `buckets` WITHIN the hot key (salt is a hash of that column): a
+  * constant saltBy degrades to the unsalted join. Pick a high-
+  * cardinality fact column (event id, timestamp) that is NOT the join
+  * key. */
 object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBy: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the column name '__salt'; rename or drop the existing one")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(buckets.toLong)).cast("int"))
     val dimR = dim.withColumn("__salt",

@@ -165,8 +165,8 @@ object CurationQueries {
     // aggregate, broadcast); membership is the deterministic md5-prefix
     // order against a rate-derived hex threshold, so the sample is a
     // pure function of content at any parallelism. Languages whose
-    // rate clamps at 1.0 keep everything ('zz' sorts above every hex
-    // digit pair).
+    // rate clamps at 1.0 keep everything ('zzzz' sorts above every hex
+    // quad).
     "q_mix_target" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val rates = Curate.mixThresholds(d, "lang",
@@ -175,7 +175,7 @@ object CurationQueries {
         .groupBy("lang")
         .agg(max(col("thr")).as("thr_hex"),
           count(lit(1)).as("n_docs"),
-          sum(when(substring(md5(col("text")), 1, 2) < col("thr"), 1L)
+          sum(when(substring(md5(col("text")), 1, 4) < col("thr"), 1L)
             .otherwise(0L)).as("n_kept"))
         .orderBy("lang")
     },
@@ -703,11 +703,11 @@ object CurationQueries {
         |  FROM n, tot),
         |thr AS (
         |  SELECT lang,
-        |    CASE WHEN rate >= 1.0 THEN 'zz'
-        |         ELSE printf('%02x', CAST(FLOOR(rate * 256) AS INT)) END AS h
+        |    CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(FLOOR(rate * 65536) AS INT)) END AS h
         |  FROM rates)
         |SELECT d.lang, MAX(thr.h) AS thr_hex, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN SUBSTRING(md5(d.text), 1, 2) < thr.h
+        |  CAST(SUM(CASE WHEN SUBSTRING(md5(d.text), 1, 4) < thr.h
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN thr ON d.lang = thr.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)

@@ -293,7 +293,10 @@ class ParquetQueue(
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("offset-") && !n.endsWith(".tmp"))
       .map(_.stripPrefix("offset-")).sorted.toSeq
-      .map { c => val off = offsetOf(c); (c, off, hw - off) }
+      // hw is snapshotted once; a consumer committing past it between
+      // the two reads (racing a concurrent push) would otherwise show
+      // a negative lag — clamp to 0 (the consumer is caught up).
+      .map { c => val off = offsetOf(c); (c, off, math.max(0L, hw - off)) }
   }
 
   /** Directory listing that closes the underlying stream (Files.list

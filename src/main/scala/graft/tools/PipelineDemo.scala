@@ -81,7 +81,7 @@ object PipelineDemo {
     val rates = graft.operators.Curate.mixThresholds(clean, "lang",
       when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)))
     val mixed = clean.join(broadcast(rates), "lang")
-      .filter(substring(md5(col("text")), 1, 2) < col("thr")).drop("thr")
+      .filter(substring(md5(col("text")), 1, 4) < col("thr")).drop("thr")
     stage("target mix", mixed.count())
 
     // BPE tokenize: merges from the word-frequency head, applied map-side

@@ -107,7 +107,7 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
-      if (r.getAs[String]("thr_hex") == "zz")
+      if (r.getAs[String]("thr_hex") == "zzzz")
         assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
     }
   }
