@@ -360,9 +360,13 @@ object CurationQueries {
     // depth*width array per partition through the shuffle; finished
     // per-lang sketches additionally roll up to the global grain via
     // vector_sum WITHOUT rescanning tokens (counts < 2^53, so the
-    // double round-trip is exact). Rows-only: estimates are
-    // sketch-defined (est >= true); bounds + merge invariance gated in
-    // SketchSpec.
+    // double round-trip is exact). Oracled in the exact regime (same
+    // trick as q_heavy_hitters_sketch): the corpus vocabulary is tiny
+    // vs width 1024, so no probe term shares all 4 rows' cells with
+    // another token and every estimate equals the exact count — a
+    // DuckDB group-count oracle hash-proves the sketch + vector_sum
+    // rollup plumbing. The approximate regime's eps·N bound and
+    // never-undercount invariants stay gated in SketchSpec.
     "q_count_min" -> { (s, dir) =>
       val probes = Seq("spark", "join", "merge", "vector", "stream")
       val perLang = t(s, dir, "documents")
@@ -424,6 +428,23 @@ object CurationQueries {
       |  * 10000 + 0.5) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact-regime count-min oracle: with the corpus's vocabulary far
+    // below the sketch width, estimates are collision-free and equal
+    // exact token counts at both the per-lang and rolled-up grains.
+    "q_count_min" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text,' '), x->len(x)>0)) AS tok
+        |  FROM documents),
+        |all_toks AS (SELECT lang, tok FROM toks UNION ALL SELECT '*' AS lang, tok FROM toks),
+        |grains AS (SELECT DISTINCT lang FROM all_toks),
+        |probes(term) AS (VALUES ('join'),('merge'),('spark'),('stream'),('vector')),
+        |grid AS (SELECT g.lang AS lang, p.term AS term FROM grains g CROSS JOIN probes p),
+        |cnt AS (SELECT lang AS clang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM all_toks GROUP BY 1, 2)
+        |SELECT grid.lang, grid.term, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS est
+        |FROM grid LEFT JOIN cnt ON grid.lang = cnt.clang AND grid.term = cnt.tok
+        |ORDER BY grid.lang, grid.term""".stripMargin,
+
     "q_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t

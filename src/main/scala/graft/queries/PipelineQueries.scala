@@ -81,7 +81,12 @@ object PipelineQueries {
         .orderBy("doc_id1", "doc_id2")
     },
 
-    // L4: SimHash hamming ≤ 3 near-dup (rows-only).
+    // L4: SimHash hamming ≤ 3 near-dup. Oracled in the completeness
+    // regime: at radius ≤ maxHamming the pigeonhole banding generates
+    // EVERY qualifying pair (DedupSpec proves this vs brute force), so
+    // a DuckDB brute-force hamming join over recomputed fingerprints
+    // (FNV-1a in HUGEINT mod-2^64 arithmetic + majority vote) is an
+    // exact oracle, hash-proving the whole banded plan.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
@@ -524,6 +529,36 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // Brute-force SimHash pairs: FNV-1a 64 replayed byte-exactly (the
+    // hex-nibble byte walk; products stay < 2^105, inside HUGEINT),
+    // majority-vote fingerprint rebuilt with bit_or, then an all-pairs
+    // hamming join — valid because the Spark side's pigeonhole banding
+    // is complete at this radius.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x->len(x)>0)) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, CAST(list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(octet_length(encode(tok))),
+        |        i -> (strpos('0123456789ABCDEF', hex(encode(tok))[2*i+1]) * 16
+        |            + strpos('0123456789ABCDEF', hex(encode(tok))[2*i+2]) - 17)::HUGEINT)),
+        |    (acc, b) -> ((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |                * 1099511628211 % 18446744073709551616::HUGEINT) AS UBIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM hashed, range(64) t(j) GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id, bit_or(CASE WHEN c > 0 THEN 1::UBIGINT << j ELSE 0::UBIGINT END) AS fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_id1, doc_id2""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
