@@ -45,7 +45,7 @@ import graft.schema.GraftSchema
   * source over the same layout.
   */
 class ParquetQueue(
-    spark: SparkSession,
+    val spark: SparkSession,
     val root: String,
     val schema: GraftSchema,
     val capacity: Long = Long.MaxValue,

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.queue.ParquetQueue
+import graft.queue.{ParquetQueue, TypedQueue}
 import graft.schema.{GraftSchema, GraftType}
 
 class QueueSpec extends SparkSpec {
@@ -314,4 +314,52 @@ class QueueSpec extends SparkSpec {
     assert(q.pop(10).map(_.getLong(0)) == Seq(2L, 3L, 4L))
     q.dispose()
   }
+
+  test("typed queue round-trips a case class through push/pop/latest/consume") {
+    val root = Files.createTempDirectory("qtyped").toString
+    val tq = TypedQueue.open[QMsg](spark, root)
+    tq.push(Seq(QMsg(1L, "a"), QMsg(2L, "b")))
+    tq.push(spark.createDataset(Seq(QMsg(3L, "c"))))
+    assert(tq.size() == 3)
+    assert(tq.pop(2) == Seq(QMsg(1L, "a"), QMsg(2L, "b")))
+    val processed = tq.consume(5)(m => m.text.toUpperCase)
+    assert(processed == Seq("C"))
+    assert(tq.isEmpty())
+    assert(tq.latest == Some(QMsg(3L, "c"))) // survives full consumption
+    tq.dispose()
+  }
+
+  test("typed queue derives the same contract as the explicit schema") {
+    // a typed handle and an untyped handle interoperate on one queue
+    val root = Files.createTempDirectory("qtypedmix").toString
+    val untyped = new ParquetQueue(spark, root, schema)
+    untyped.push(Seq((1L, "a")).toDF("id", "text"))
+    val typed = new TypedQueue[QMsg](untyped)
+    assert(typed.pop(1) == Seq(QMsg(1L, "a")))
+    untyped.dispose()
+  }
+
+  test("typed queue rejects a mismatched case class with IncompatibleSchemaException") {
+    val root = Files.createTempDirectory("qtypedbad").toString
+    val tq = TypedQueue.open[QMsg](spark, root)
+    tq.push(Seq(QMsg(1L, "a")))
+    // reopening the same queue under a different T is refused by the
+    // persisted contract (extra field)
+    intercept[graft.schema.IncompatibleSchemaException](
+      TypedQueue.open[QMsgExtra](spark, root))
+    // wrapping an open handle with a wrong T is refused at construction
+    // (field type flip), before any pop can mis-decode
+    intercept[graft.schema.IncompatibleSchemaException](
+      new TypedQueue[QMsgFlipped](tq.queue))
+    // a type with no graft mapping is refused at schema derivation
+    intercept[graft.schema.IncompatibleSchemaException](
+      TypedQueue.schemaOf[QMsgUnmappable])
+    tq.dispose()
+  }
 }
+
+// top-level so implicit product encoders derive cleanly
+case class QMsg(id: Long, text: String)
+case class QMsgExtra(id: Long, text: String, extra: Double)
+case class QMsgFlipped(id: Long, text: Double)
+case class QMsgUnmappable(id: Long, tags: Map[String, String])
