@@ -452,6 +452,19 @@ object Dedup {
                        buckets: Int = 32): Unit =
     writeSignatures(docs, idCol, textCol, table, k, bands, buckets, "append")
 
+  /** Persist the exact Jaccard pair graph as a table (build once /
+    * probe many — the graph twin of [[buildSignatureTable]]): graph
+    * consumers like [[clusters]] and [[removeNearDupsClustered]] then
+    * read committed narrow (doc_id1, doc_id2, jac) rows instead of
+    * each re-running the pair verify. */
+  def buildPairTable(df: DataFrame, idCol: String, textCol: String,
+                     blockCols: Seq[String], table: String,
+                     minJaccard: Double, parallelBuckets: Int = 16,
+                     shingleN: Int = 1): Unit =
+    jaccardPairs(df, idCol, textCol, blockCols, minJaccard, parallelBuckets,
+      shingleN)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+
   /** Probe a persisted signature table with an incoming batch. */
   def minhashAgainstTable(incoming: DataFrame, idCol: String, textCol: String,
                           table: String, k: Int = 64, bands: Int = 8,

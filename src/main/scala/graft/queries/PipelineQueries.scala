@@ -15,6 +15,25 @@ import RelationalQueries.t
   */
 object PipelineQueries {
 
+  /** Shared jaccard≥0.9 pair graph for the cluster twins, persisted
+    * build-once/probe-many (`Dedup.buildPairTable`): the exact O(m²)
+    * verify the recursive-CTE oracle requires runs once per (JVM,
+    * corpus dir), and both graph consumers probe the committed narrow
+    * table — the same amortization contract as the BM25 index and the
+    * ingest signature table. Memo keyed by dir so a different SF in
+    * the same JVM rebuilds; a fresh JVM always rebuilds (stale
+    * warehouse tables are never trusted). */
+  private val pairTableMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame = {
+    val table = pairTableMemo.computeIfAbsent(dir, d => {
+      val name = "graft_pairs_" + java.lang.Integer.toHexString(d.hashCode)
+      Dedup.buildPairTable(t(s, d, "documents"), "doc_id", "text",
+        Seq("lang"), name, minJaccard = 0.9, parallelBuckets = 8)
+      name
+    })
+    s.table(table)
+  }
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -115,11 +134,10 @@ object PipelineQueries {
     // L19: connected-components clustering of the jaccard≥0.9 pair
     // graph — cluster id = min member id (oracled via a DuckDB
     // recursive CTE: min-label propagation equals transitive closure).
+    // The pair graph comes from the persisted build-once table shared
+    // with q_dedup_cluster_apply (see jaccardPairGraph).
     "q_dedup_cluster" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      Dedup.clusters(
-          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"),
-            minJaccard = 0.9, parallelBuckets = 8))
+      Dedup.clusters(jaccardPairGraph(s, dir))
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
@@ -128,10 +146,8 @@ object PipelineQueries {
     // component (transitive dups collapse even when their direct pair
     // missed the threshold; contrast with greedy q_dedup_apply).
     "q_dedup_cluster_apply" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      Dedup.removeNearDupsClustered(d, "doc_id",
-          Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"),
-            minJaccard = 0.9, parallelBuckets = 8))
+      Dedup.removeNearDupsClustered(t(s, dir, "documents"), "doc_id",
+          jaccardPairGraph(s, dir))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
