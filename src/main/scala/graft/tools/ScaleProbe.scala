@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scaling probe for the C ∝ n adaptive-cell contracts (SURVEY §4):
+  * derives a ×FACTOR corpus from a base SF and measures the banded /
+  * cluster-blocked near-dup queries at both sizes. The central claim
+  * under test: per-cell work is held constant by scaling the cell
+  * count with n, so wall-clock grows ≲ linearly with rows — NOT
+  * quadratically, which is what a fixed cell count would give.
+  *
+  * Derived corpus construction keeps the workload shape honest at
+  * ×FACTOR: each replica's tokens get a replica-unique suffix (so
+  * replicas mirror the original's internal near-dup structure without
+  * creating cross-replica pairs — true pair count scales ×FACTOR), and
+  * each replica's embeddings are cyclically dimension-shifted (cosine
+  * structure within a replica preserved exactly, cross-replica
+  * similarity decorrelated).
+  *
+  * `sbt "runMain graft.tools.ScaleProbe [baseSfDir] [factor]"` —
+  * writes the derived corpus under spark-warehouse/, prints per-query
+  * times and the time-ratio vs the row-ratio, exits nonzero if any
+  * probe grows faster than 1.5× linear.
+  */
+object ScaleProbe {
+
+  private val ProbeQueries = Seq("q_dedup_minhash", "q_semantic_dedup_text",
+    "q_knn_graph")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "graft-scaleprobe")
+    val derived = s"${System.getProperty("user.dir")}/spark-warehouse/scaleprobe_x$factor"
+
+    buildDerived(spark, base, derived, factor)
+
+    def timeQuery(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      // min of 2: first run absorbs JIT/page-cache noise
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    var worst = 0.0
+    val results = ProbeQueries.map { q =>
+      val tBase = timeQuery(q, base)
+      val tBig = timeQuery(q, derived)
+      val ratio = tBig / tBase
+      worst = math.max(worst, ratio)
+      println(f"[scaleprobe] $q%-24s base $tBase%6.2f s   x$factor ${tBig}%6.2f s   " +
+        f"ratio ${ratio}%5.2f (linear would be <= $factor)")
+      (q, tBase, tBig, ratio)
+    }
+    val entries = results.map { case (q, tb, tg, r) =>
+      f""""$q":{"base_sec":$tb%.3f,"x${factor}_sec":$tg%.3f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scaleprobe","factor":$factor,"base":"$base",""" +
+      s""""limit_ratio":${1.5 * factor},"queries":{$entries}}""")
+    val ok = worst <= 1.5 * factor
+    println(s"[scaleprobe] worst ratio $worst vs limit ${1.5 * factor}: " +
+      (if (ok) "PASS" else "FAIL"))
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Write the ×factor derived corpus (documents + embeddings). */
+  def buildDerived(spark: SparkSession, base: String, out: String,
+                   factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+
+    def replicaDocs(i: Int): DataFrame = {
+      val text =
+        if (i == 0) col("text")
+        // suffix every token: replicas share no vocabulary with the
+        // original, so near-dup pairs never cross replicas
+        else regexp_replace(col("text"), "(\\S+)", s"$$1_r$i")
+      docs.select((col("doc_id") + lit(i.toLong * docStride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    def replicaEmb(i: Int): DataFrame = {
+      val shift = i % dim
+      val vec =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      emb.select((col("vec_id") + lit(i.toLong * vecStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+
+    (0 until factor).map(replicaDocs).reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until factor).map(replicaEmb).reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scaleprobe] derived x$factor corpus at $out " +
+      s"(${docs.count() * factor} docs, ${emb.count() * factor} vectors)")
+  }
+}
