@@ -125,6 +125,40 @@ class StreamingSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("compaction coexists with a mid-stream subscriber: no loss, no reread") {
+    import graft.queue.ParquetQueue
+    import graft.schema.{GraftSchema, GraftType}
+    val schema = GraftSchema(("id", GraftType.INTEGER), ("text", GraftType.TEXT))
+    val root = Files.createTempDirectory("qcompstream").toString
+    val q = new ParquetQueue(spark, root, schema)
+    val outDir = Files.createTempDirectory("qcs_out").toString
+    val ckpt = Files.createTempDirectory("qcs_ckpt").toString
+    def drain(): Unit = {
+      val s = q.readStream(1).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      s.awaitTermination(120000)
+    }
+    q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))
+    q.push(Seq((3L, "c"), (4L, "d")).toDF("id", "text"))
+    drain() // subscriber has committed batches 0 and 2 in its checkpoint
+    // a batch consumer drains too, so every registered offset is past
+    // batch 0 and compact() may reclaim segments the SUBSCRIBER already
+    // processed (the subscriber's progress lives in its checkpoint, not
+    // in a consumer offset file — compaction must not disturb it)
+    assert(q.pop(10).map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L))
+    assert(q.compact() > 0L, "batch 0 should be reclaimed")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "batch=0")),
+      "compacted segment gone from disk")
+    q.push(Seq((5L, "e"), (6L, "f")).toDF("id", "text"))
+    drain() // resumes over a directory missing already-processed files
+    val got = spark.read.parquet(outDir).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "every entry exactly once: nothing lost to compaction, nothing reread")
+    assert(q.latest.map(_.getLong(0)) == Some(6L), "latest survives compaction")
+    q.dispose()
+  }
+
   test("queue feeds the transformWithState sessionizer end-to-end") {
     import graft.queue.ParquetQueue
     import graft.schema.{GraftSchema, GraftType}
