@@ -484,11 +484,12 @@ object PipelineQueries {
     },
 
     // L12d: feature extraction (8-bin byte histogram per partition
-    // batch; rows-only — byte iteration isn't SQL-expressible in the
-    // oracle; determinism asserted in MultimodalSpec). The histogram
-    // vector is flattened to scalar columns for the driver's rows-only
-    // dump: its comparator sorts with pandas, which cannot order
-    // array-typed cells (this was the one red row in r3).
+    // batch). Oracled since r8: the DuckDB side replays the UTF-8 byte
+    // walk via the hex-nibble trick (same as the simhash oracle), and
+    // count/n and sum/n are integer-exact in double on both engines so
+    // the hash gate holds bit-exactly. The histogram vector is
+    // flattened to scalar columns (the comparator sorts with pandas,
+    // which cannot order array-typed cells — the one red row in r3).
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
       val feats = Multimodal.extractFeatures(
@@ -972,6 +973,38 @@ object PipelineQueries {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Byte-walk replay of the stub feature extractor: per-byte rows
+    // from the hex-nibble transform, filtered counts per bin, exact
+    // integer/LEFT-JOIN handling of empty payloads.
+    "q_multimodal_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, unnest(list_transform(range(n),
+        |    i -> strpos('0123456789ABCDEF', h[2*i+1]) * 16
+        |       + strpos('0123456789ABCDEF', h[2*i+2]) - 17)) AS b
+        |  FROM hx),
+        |agg AS (
+        |  SELECT doc_id, ANY_VALUE(n) AS n, SUM(b) AS s,
+        |    COUNT(*) FILTER (b % 8 = 0) AS c0, COUNT(*) FILTER (b % 8 = 1) AS c1,
+        |    COUNT(*) FILTER (b % 8 = 2) AS c2, COUNT(*) FILTER (b % 8 = 3) AS c3,
+        |    COUNT(*) FILTER (b % 8 = 4) AS c4, COUNT(*) FILTER (b % 8 = 5) AS c5,
+        |    COUNT(*) FILTER (b % 8 = 6) AS c6, COUNT(*) FILTER (b % 8 = 7) AS c7
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.c0, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h0,
+        |  CAST(COALESCE(a.c1, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h1,
+        |  CAST(COALESCE(a.c2, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h2,
+        |  CAST(COALESCE(a.c3, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h3,
+        |  CAST(COALESCE(a.c4, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h4,
+        |  CAST(COALESCE(a.c5, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h5,
+        |  CAST(COALESCE(a.c6, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h6,
+        |  CAST(COALESCE(a.c7, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h7,
+        |  CAST(COALESCE(a.s, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS mean_byte
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH base AS (
