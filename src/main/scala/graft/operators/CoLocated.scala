@@ -15,11 +15,15 @@ object CoLocated {
 
   /** Persist `df` as a bucketed+sorted catalog table on `key`. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    key: String): Unit =
+                    key: String): Unit = {
+    // fresh catalog over an old warehouse dir: clear the leftover
+    // managed location or this rebuild trips LOCATION_ALREADY_EXISTS
+    Lexical.dropManaged(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket keys. When both were
     * written with the same bucket count, the plan contains no Exchange

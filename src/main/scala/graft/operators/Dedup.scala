@@ -423,12 +423,14 @@ object Dedup {
 
   private def writeSignatures(docs: DataFrame, idCol: String, textCol: String,
                               table: String, k: Int, bands: Int,
-                              buckets: Int, mode: String): Unit =
+                              buckets: Int, mode: String): Unit = {
+    if (mode == "overwrite") Lexical.dropManaged(docs.sparkSession, table)
     bandedSignatures(docs, idCol, textCol, k, bands)
       .write.mode(mode)
       .bucketBy(buckets, "band", "bucket")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Persist the corpus's banded signature table, bucketed by the
     * (band, bucket) probe key: build once per corpus, then every
@@ -460,10 +462,14 @@ object Dedup {
   def buildPairTable(df: DataFrame, idCol: String, textCol: String,
                      blockCols: Seq[String], table: String,
                      minJaccard: Double, parallelBuckets: Int = 16,
-                     shingleN: Int = 1): Unit =
+                     shingleN: Int = 1): Unit = {
+    // a fresh session over an old warehouse dir must not trip
+    // LOCATION_ALREADY_EXISTS on the leftover managed location
+    Lexical.dropManaged(df.sparkSession, table)
     jaccardPairs(df, idCol, textCol, blockCols, minJaccard, parallelBuckets,
       shingleN)
       .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   /** Probe a persisted signature table with an incoming batch. */
   def minhashAgainstTable(incoming: DataFrame, idCol: String, textCol: String,
