@@ -340,6 +340,34 @@ object QueueStreaming {
     * overwrite its output directory with nothing.
     * `k`/`bands`/`buckets` MUST match the values `sigTable` was built
     * with (mismatched banding probes silently match nothing). */
+  /** C13g: streaming semantic retrieval — a stream of query vectors
+    * probes a PERSISTED IVF index ([[graft.operators.Ann.buildIvfIndex]])
+    * per trigger: the online-serving half of the retrieval stack
+    * (the batch half is `q_retrieval`/`searchIvfIndex`). `foreachBatch`
+    * is the right shape for the same reason as [[nearDupIngest]]: the
+    * probe derives its pruned cell list driver-side from the tiny
+    * centroid table and pushes it as a `cluster=` partition filter,
+    * which a pure streaming plan cannot express. Per-trigger cost
+    * follows the batch (|batch| × nProbe cells read), never the index.
+    *
+    * Exactly-once output: batch N overwrites `outPath/batch=N`, so an
+    * at-least-once replay rewrites the same directory. The index is
+    * read-only here — concurrent `appendToIvfIndex`-style maintenance
+    * belongs to the build side, exactly like the signature table. */
+  def retrievalStream(queries: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String, outPath: String, checkpoint: String,
+                      k: Int = 5, nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Ann
+        Ann.searchIvfIndex(batch.sparkSession, indexPath, batch.toDF(),
+            idCol, vecCol, k = k, nProbe = nProbe)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
                     sigTable: String, outPath: String, checkpoint: String,
                     minJaccard: Double = 0.9, k: Int = 64, bands: Int = 8,

@@ -253,6 +253,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((9L, 2L, 3.0)))
   }
 
+  test("streaming retrieval over the persisted IVF index matches the batch probe") {
+    import graft.operators.Ann
+    implicit val sq = spark.sqlContext
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Files.createTempDirectory("sret_idx").toString
+    Ann.buildIvfIndex(e, "vec_id", "embedding", idx, nClusters = 8)
+    val qvecs = e.select(col("vec_id"), col("embedding")).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = Files.createTempDirectory("sret_out").toString
+    val ckpt = Files.createTempDirectory("sret_ckpt").toString
+    val q = QueueStreaming.retrievalStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, outDir, ckpt, k = 3, nProbe = 2)
+    mem.addData(qvecs.take(5).toSeq) // trigger 1
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(5).toSeq) // trigger 2: separate batch dir
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "nn_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Ann.searchIvfIndex(spark, idx,
+        e.filter(col("vec_id").isin(qvecs.map(_._1).toSeq: _*)),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, "per-trigger probes must equal the batch probe")
+    assert(streamed.map(_._1) == qvecs.map(_._1).toSet, "every query answered")
+  }
+
   test("near-dup ingest drops stream rows duplicating the corpus") {
     import graft.operators.Dedup
     implicit val sq = spark.sqlContext
