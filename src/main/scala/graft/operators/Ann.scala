@@ -343,6 +343,27 @@ object Ann {
       .parquet(s"$path/assignments")
   }
 
+  /** Append a batch of vectors to a persisted IVF index — the faiss
+    * add-after-train contract: centroids stay FIXED (the quantizer was
+    * trained once; retrain only when drift degrades recall), new
+    * vectors are assigned map-side against the broadcast centroid
+    * table and appended into their `cluster=` directories. Cost is one
+    * map-only pass over the batch — the index is never rewritten, and
+    * searches see the union corpus immediately. The vector ingest twin
+    * of [[graft.operators.Dedup.appendSignatures]]. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    batch.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("cluster",
+        nearest_centroid(col("vec"), typedLit(cents.map(_.toSeq).toSeq)))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
   /** Search a persisted IVF index. The probed cell ids are computed
     * driver-side from the (tiny) centroid table and pushed as an
     * `isin` filter on the partition column, so the scan lists and

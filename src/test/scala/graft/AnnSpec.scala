@@ -179,6 +179,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"persisted-index recall $recall below gate")
   }
 
+  test("ivf append: searches see appended vectors and keep recall over the union") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    Ann.buildIvfIndex(seed, "vec_id", "embedding", path,
+      nClusters = 8, iters = 3, trainFraction = 1.0)
+    Ann.appendToIvfIndex(batch, "vec_id", "embedding", path)
+    val q = e.filter(col("vec_id") < 20)
+    val got = Ann.searchIvfIndex(spark, path, q, "vec_id", "embedding",
+        k = 5, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    // appended vectors are reachable as neighbors
+    assert(got.exists(_._2 % 5 == 0), "no appended vector ever surfaced")
+    // recall over the UNION corpus holds — the appended cells serve
+    // searches exactly like build-time cells
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"post-append recall $recall below gate")
+  }
+
   test("knn graph: bounded degree, no self edges, recall vs brute force") {
     import graft.functions.{as_double_array, cosine_sim, round_portable}
     import org.apache.spark.sql.expressions.Window
