@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -128,6 +129,54 @@ object Lexical {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** BM25 top-k for a BATCH of queries — the multi-query serving shape
+    * (and the per-trigger body of streaming lexical retrieval). The
+    * batch's distinct terms are collected driver-side (bounded: the
+    * batch's vocabulary, the same driver-artifact contract as the IVF
+    * probe's cell list) and pushed as `term IN (...)`, so postings and
+    * term-df scans stay bucket-pruned — the read follows the batch's
+    * vocabulary, never the corpus. Each posting row then joins the
+    * broadcast (query_id, term) pairs, so shared terms between queries
+    * are read ONCE and scored per query. Scoring is bit-identical to
+    * [[searchBm25]] (rational idf, integer-quantized contributions);
+    * per-query ranking rides WindowGroupLimit. */
+  def searchBm25Batch(queries: DataFrame, idCol: String, textCol: String,
+                      table: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qTerms = queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(tokenize_ws(col(textCol)))).as("term"))
+    val terms = qTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+        lit(0).as("rank"), lit(0L).as("score_q")).limit(0)
+    val postings = spark.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))
+    val dfT = spark.table(s"${table}_termdf")
+      .filter(col("term").isin(terms: _*))
+    val dl = spark.table(s"${table}_doclen")
+    val stats = spark.table(s"${table}_stats")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    postings.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), Seq("term"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tfn",
+        col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .withColumn("contrib",
+        floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score_q"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q")
   }
 
   /** Exact phrase search against the positional postings: docs where

@@ -368,6 +368,25 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13h: streaming lexical (BM25) retrieval — the text twin of
+    * [[retrievalStream]]: each trigger's query batch probes the
+    * persisted inverted index via [[graft.operators.Lexical.searchBm25Batch]]
+    * (batch vocabulary collected driver-side, pushed as a bucket-pruned
+    * `term IN` — per-trigger reads follow the batch, never the corpus).
+    * Same replay-safe per-batch overwrite contract. */
+  def lexicalRetrievalStream(queries: DataFrame, idCol: String,
+                             textCol: String, table: String, outPath: String,
+                             checkpoint: String, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Lexical
+        Lexical.searchBm25Batch(batch.toDF(), idCol, textCol, table, k)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
                     sigTable: String, outPath: String, checkpoint: String,
                     minJaccard: Double = 0.9, k: Int = 64, bands: Int = 8,

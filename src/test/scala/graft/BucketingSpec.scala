@@ -63,6 +63,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("batched BM25: per-query results equal single-query probes, scan stays pruned") {
+    import graft.operators.Lexical
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_batch", buckets = 16)
+      val queries = Seq((101L, "spark join"), (102L, "merge vector stream"),
+        (103L, "spark stream")).toDF("qid", "qtext")
+      val batch = Lexical.searchBm25Batch(queries, "qid", "qtext",
+        "lexidx_batch", k = 10)
+      // shared-term reads stay bucket-pruned for the whole batch
+      val scan = batch.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(scan)
+      assert(sel.isDefined && sel.get.group(1).toInt <= 5,
+        s"expected <= 5 of 16 buckets for the batch vocabulary:\n$scan")
+      val got = batch.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+      for ((qid, qtext) <- Seq((101L, "spark join"), (102L, "merge vector stream"),
+          (103L, "spark stream"))) {
+        val single = Lexical.searchBm25(spark, "lexidx_batch",
+            qtext.split(" ").toSeq, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got(qid) == single, s"batch result for query $qid diverges")
+      }
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_batch_$s"))
+    }
+  }
+
   test("incremental append: build(half) + append(half) equals build(all)") {
     import graft.operators.Lexical
     val d = spark.read.parquet(s"$sfDir/documents.parquet")

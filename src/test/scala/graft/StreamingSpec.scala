@@ -284,6 +284,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == qvecs.map(_._1).toSet, "every query answered")
   }
 
+  test("streaming BM25 retrieval matches single-query probes per trigger") {
+    import graft.operators.Lexical
+    implicit val sq = spark.sqlContext
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_stream", buckets = 16)
+      val mem = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("lret_out").toString
+      val ckpt = Files.createTempDirectory("lret_ckpt").toString
+      val q = QueueStreaming.lexicalRetrievalStream(
+        mem.toDF().toDF("qid", "qtext"), "qid", "qtext",
+        "lexidx_stream", outDir, ckpt, k = 5)
+      mem.addData((201L, "spark join"))
+      q.processAllAvailable()
+      mem.addData((202L, "merge vector stream")) // second trigger
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rank", "doc_id", "score_q").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+      for ((qid, qtext) <- Seq((201L, "spark join"), (202L, "merge vector stream"))) {
+        val single = Lexical.searchBm25(spark, "lexidx_stream",
+            qtext.split(" ").toSeq, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got(qid) == single, s"streamed result for query $qid diverges")
+      }
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_stream_$s"))
+    }
+  }
+
   test("near-dup ingest drops stream rows duplicating the corpus") {
     import graft.operators.Dedup
     implicit val sq = spark.sqlContext
