@@ -23,6 +23,24 @@ object AnalyticsQueries {
     * order-insensitive. */
   private val Bm25Terms = Seq("spark", "join", "merge", "vector", "stream")
 
+  /** Shared persisted inverted index for the lexical queries, built
+    * once per (JVM, corpus dir) — the same build-once/probe-many
+    * amortization as PipelineQueries' pair graph: q_bm25_indexed,
+    * q_bm25_batch and q_phrase_search all probe one committed index;
+    * a fresh JVM rebuilds, a different SF rebuilds under its own key. */
+  private val lexIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lexIndex(s: SparkSession, dir: String): String =
+    lexIndexMemo.computeIfAbsent(dir, d => {
+      val name = "graft_lexidx_" + java.lang.Integer.toHexString(d.hashCode)
+      graft.operators.Lexical.buildIndex(t(s, d, "documents"), "doc_id", "text", name)
+      name
+    })
+
+  /** The fixed multi-query batch probed by q_bm25_batch (vocabulary
+    * drawn from Bm25Terms so the oracle's term restriction is shared). */
+  private val Bm25Batch = Seq((1L, "spark join"), (2L, "merge vector stream"),
+    (3L, "spark stream"))
+
   /** Shared Spark/DuckDB SQL fragment computing the z-value (Morton
     * interleave) of two non-negative integer expressions via arithmetic
     * only — `//2^i % 2` bit probes, no engine-specific bit operators.
@@ -223,9 +241,21 @@ object AnalyticsQueries {
     // Reuses q_bm25's oracle verbatim — the hash gate proves the
     // index path computes exactly what the from-scratch path does.
     "q_bm25_indexed" -> { (s, dir) =>
-      graft.operators.Lexical.buildIndex(
-        t(s, dir, "documents"), "doc_id", "text", "graft_lexidx")
-      graft.operators.Lexical.searchBm25(s, "graft_lexidx", Bm25Terms, k = 20)
+      graft.operators.Lexical.searchBm25(s, lexIndex(s, dir), Bm25Terms, k = 20)
+    },
+
+    // L24e: BATCHED BM25 — many queries served by one probe of the
+    // shared index: the batch's distinct terms drive one bucket-pruned
+    // postings read, broadcast (query_id, term) pairs attribute shared
+    // terms per query, WindowGroupLimit ranks per query. Oracled
+    // against a per-query from-scratch DuckDB BM25 over a VALUES
+    // queries table — hash-proves batching changes nothing.
+    "q_bm25_batch" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Lexical.searchBm25Batch(
+          Bm25Batch.toDF("query_id", "qtext"), "query_id", "qtext",
+          lexIndex(s, dir), k = 10)
+        .orderBy("query_id", "rank")
     },
 
     // L24c: exact phrase search from the positional postings — docs
@@ -234,9 +264,7 @@ object AnalyticsQueries {
     // the raw text, so the gate proves the positional index agrees
     // with the documents.
     "q_phrase_search" -> { (s, dir) =>
-      graft.operators.Lexical.buildIndex(
-        t(s, dir, "documents"), "doc_id", "text", "graft_lexidx_ph")
-      graft.operators.Lexical.searchPhrase(s, "graft_lexidx_ph",
+      graft.operators.Lexical.searchPhrase(s, lexIndex(s, dir),
           Seq("table", "hash"))
         .orderBy("doc_id")
     },
@@ -708,6 +736,49 @@ object AnalyticsQueries {
         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q, COUNT(*) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Per-query from-scratch BM25 over a VALUES queries table — the
+    // batch path must hash-equal this (same rational idf and integer
+    // quantization as q_bm25).
+    "q_bm25_batch" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |queries(query_id, qtext) AS (VALUES
+        |  (1, 'spark join'), (2, 'merge vector stream'), (3, 'spark stream')),
+        |qterms AS (
+        |  SELECT query_id, UNNEST(list_distinct(
+        |    list_filter(string_split(qtext, ' '), x -> len(x) > 0))) AS tok
+        |  FROM queries),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+        |  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+        |  GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(FLOOR(
+        |      ((n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |      * 1e6 + 0.5) AS BIGINT) AS contrib
+        |  FROM tf JOIN qterms q ON tf.tok = q.tok
+        |    JOIN dft ON tf.tok = dft.tok
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q
+        |  FROM scored GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+        |    doc_id, score_q
+        |  FROM agg)
+        |SELECT query_id, rank, doc_id, score_q FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,
