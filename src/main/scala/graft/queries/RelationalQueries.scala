@@ -411,9 +411,12 @@ object RelationalQueries {
     // R17c: mergeable-sketch rollup — the 100 TB pattern: per-day
     // DataSketches HLL tables are tiny and union to ANY coarser grain
     // without rescanning raw data (a re-aggregable distinct-count,
-    // which plain approx_count_distinct output is not). Rows-only
-    // gate (sketch bytes are engine-specific); error bound asserted
-    // in SketchSpec.
+    // which plain approx_count_distinct output is not). Oracled in the
+    // exact regime (r8): at the gate SF the user cardinality sits in
+    // DataSketches' list/set mode where estimates ARE exact counts —
+    // the DuckDB exact-distinct oracle hash-proves the per-day
+    // sketch + union plumbing. Approx-regime error bound stays in
+    // SketchSpec.
     "q_sketch_rollup" -> { (s, dir) =>
       val daily = t(s, dir, "events")
         .groupBy(timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
@@ -461,6 +464,17 @@ object RelationalQueries {
        |ORDER BY user_id, sess_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact-regime rollup oracle: user cardinality is far below the
+    // sketch's list/set→HLL promotion point, so the merged estimate
+    // equals the exact distinct count. Day boundaries replay the
+    // micros-truncation rule (ts div 1000 on the Spark side).
+    "q_sketch_rollup" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE))
+        |    AS BIGINT) AS n_days
+        |FROM events""".stripMargin,
+
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |  l_extendedprice * (1 - l_discount) AS net_price
