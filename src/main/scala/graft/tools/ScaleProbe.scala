@@ -28,7 +28,7 @@ import graft.{GraftSession, SparkEntry}
 object ScaleProbe {
 
   private val ProbeQueries = Seq("q_dedup_minhash", "q_semantic_dedup_text",
-    "q_knn_graph")
+    "q_knn_graph", "q_bulk_knn", "q_dedup_cluster")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
