@@ -110,6 +110,15 @@ class TypedQueue[T](val queue: ParquetQueue)(implicit enc: Encoder[T]) {
 
   def latest: Option[T] = toTyped(queue.latest.toSeq).headOption
 
+  /** Typed Structured Streaming subscriber: the untyped envelope
+    * stream with the payload decoded through the encoder (same
+    * exactly-once checkpoint semantics as [[ParquetQueue.readStream]]).
+    */
+  def readStream(maxBatchesPerTrigger: Int = 8): Dataset[T] =
+    queue.readStream(maxBatchesPerTrigger)
+      .select(enc.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+      .as[T](enc)
+
   def size(consumer: String = "default"): Long = queue.size(consumer)
   def isEmpty(consumer: String = "default"): Boolean = queue.isEmpty(consumer)
   def close(): Unit = queue.close()

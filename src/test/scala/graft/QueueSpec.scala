@@ -326,6 +326,15 @@ class QueueSpec extends SparkSpec {
     assert(processed == Seq("C"))
     assert(tq.isEmpty())
     assert(tq.latest == Some(QMsg(3L, "c"))) // survives full consumption
+    // typed streaming subscriber decodes the same envelope
+    val ckpt = Files.createTempDirectory("qtyped_ckpt").toString
+    val s = tq.readStream(8).writeStream.format("memory")
+      .queryName("qtyped_stream").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    s.awaitTermination(120000)
+    val streamed = spark.sql("SELECT id, text FROM qtyped_stream")
+      .as[QMsg].collect().sortBy(_.id).toSeq
+    assert(streamed == Seq(QMsg(1L, "a"), QMsg(2L, "b"), QMsg(3L, "c")))
     tq.dispose()
   }
 
