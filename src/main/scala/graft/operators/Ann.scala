@@ -261,6 +261,33 @@ object Ann {
       .parquet(s"$path/assignments")
   }
 
+  /** Append a batch to a persisted GROUPED IVF index — per-tenant
+    * add-after-train: each row is assigned map-side against its own
+    * tenant's fixed quantizer (broadcast (grp, cents) table) and
+    * appended into its `grp=/cluster=` directory. A tenant present in
+    * the batch but absent from the trained centroid table would be
+    * silently dropped by the assignment join, so that case throws:
+    * onboarding a NEW tenant is a (per-tenant) build, not an append. */
+  def appendToGroupedIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                              groupCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val v = batch.select(col(groupCol).as("grp"), col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val newTenants = v.select("grp").distinct()
+      .join(cents.select("grp"), Seq("grp"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(newTenants.isEmpty,
+      s"append batch contains tenants with no trained quantizer " +
+        s"(${newTenants.mkString(", ")}${if (newTenants.length == 5) ", ..." else ""}) " +
+        "— rebuild the index to onboard new tenants")
+    v.join(broadcast(cents), "grp")
+      .withColumn("cluster", nearest_centroid(col("vec"), col("cents")))
+      .drop("cents")
+      .write.mode("append").partitionBy("grp", "cluster")
+      .parquet(s"$path/assignments")
+  }
+
   /** Search a persisted grouped IVF index. Probed (grp, cluster)
     * cells are computed driver-side from the (tiny) centroid table
     * and pushed as partition filters, so the scan lists and reads

@@ -179,6 +179,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"persisted-index recall $recall below gate")
   }
 
+  test("grouped ivf append: per-tenant assignment, new tenants refused") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // seed keeps every tenant (label) so each has a trained quantizer
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("givfapp").toString
+    Ann.buildGroupedIvfIndex(seed, "vec_id", "embedding", "label", path,
+      nClusters = 8, iters = 2, trainFraction = 1.0)
+    Ann.appendToGroupedIvfIndex(batch, "vec_id", "embedding", "label", path)
+    val q = e.filter(col("vec_id") < 20)
+    val got = Ann.searchGroupedIvfIndex(spark, path, q, "vec_id",
+        "embedding", "label", k = 5, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    assert(got.exists(_._2 % 5 == 0), "no appended vector ever surfaced")
+    val exact = Ann.groupedTopK(e, q, "vec_id", "embedding", "label", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-append grouped recall $recall below gate")
+    // a tenant with no trained quantizer is refused, not dropped
+    val alien = batch.withColumn("label", col("label") + 1000)
+    intercept[IllegalArgumentException](
+      Ann.appendToGroupedIvfIndex(alien, "vec_id", "embedding", "label", path))
+  }
+
   test("ivf append: searches see appended vectors and keep recall over the union") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val seed = e.filter(col("vec_id") % 5 =!= 0)
