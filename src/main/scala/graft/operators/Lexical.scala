@@ -102,12 +102,14 @@ object Lexical {
     st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 
-  /** BM25 top-k against a persisted index. Postings/termdf scans carry
-    * `term IN (...)` (bucket-pruned + sorted row-group skipping); the
-    * term-df table is broadcast; corpus stats ride a 1-row crossJoin;
-    * the doclen join is bucket-co-located on doc_id. */
-  def searchBm25(spark: SparkSession, table: String, terms: Seq[String],
-                 k: Int): DataFrame = {
+  /** Shared BM25 contribution pipeline: postings restricted to the
+    * probe terms, joined to df/doclen/stats, scored with the rational
+    * idf and integer-quantized per-term contributions. ONE definition
+    * so the single-query and batched paths cannot drift (the batch ≡
+    * single parity tests and the oracle both depend on bit-equality).
+    */
+  private def scoredContribs(spark: SparkSession, table: String,
+                             terms: Seq[String]): DataFrame = {
     val postings = spark.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*))
     val dfT = spark.table(s"${table}_termdf")
@@ -125,11 +127,19 @@ object Lexical {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
       .withColumn("contrib",
         floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
+  }
+
+  /** BM25 top-k against a persisted index. Postings/termdf scans carry
+    * `term IN (...)` (bucket-pruned + sorted row-group skipping); the
+    * term-df table is broadcast; corpus stats ride a 1-row crossJoin;
+    * the doclen join is bucket-co-located on doc_id. */
+  def searchBm25(spark: SparkSession, table: String, terms: Seq[String],
+                 k: Int): DataFrame =
+    scoredContribs(spark, table, terms)
       .groupBy("doc_id").agg(sum(col("contrib")).as("score_q"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** BM25 top-k for a BATCH of queries — the multi-query serving shape
     * (and the per-trigger body of streaming lexical retrieval). The
@@ -149,29 +159,16 @@ object Lexical {
         explode(array_distinct(tokenize_ws(col(textCol)))).as("term"))
     val terms = qTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty) return spark.emptyDataFrame
-      .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
-        lit(0).as("rank"), lit(0L).as("score_q")).limit(0)
-    val postings = spark.table(s"${table}_postings")
-      .filter(col("term").isin(terms: _*))
-    val dfT = spark.table(s"${table}_termdf")
-      .filter(col("term").isin(terms: _*))
-    val dl = spark.table(s"${table}_doclen")
-    val stats = spark.table(s"${table}_stats")
+    // empty batch vocabulary: same shape (and column order) as the
+    // scored path so callers can union/append either result; query_id
+    // keeps the caller's id type
+    if (terms.isEmpty) return queries.limit(0)
+      .select(col(idCol).as("query_id"), lit(0).as("rank"),
+        lit(0L).as("doc_id"), lit(0L).as("score_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q").desc, col("doc_id"))
-    postings.join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    scoredContribs(spark, table, terms)
       .join(broadcast(qTerms), Seq("term"))
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      .withColumn("tfn",
-        col("tf") * 2.2 /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-      .withColumn("contrib",
-        floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
       .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score_q"),
         count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w))

@@ -31,7 +31,7 @@ object AnalyticsQueries {
   private val lexIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def lexIndex(s: SparkSession, dir: String): String =
     lexIndexMemo.computeIfAbsent(dir, d => {
-      val name = "graft_lexidx_" + java.lang.Integer.toHexString(d.hashCode)
+      val name = "graft_lexidx_" + RelationalQueries.dirKey(d)
       graft.operators.Lexical.buildIndex(t(s, d, "documents"), "doc_id", "text", name)
       name
     })

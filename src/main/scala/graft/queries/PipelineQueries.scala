@@ -26,7 +26,7 @@ object PipelineQueries {
   private val pairTableMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame = {
     val table = pairTableMemo.computeIfAbsent(dir, d => {
-      val name = "graft_pairs_" + java.lang.Integer.toHexString(d.hashCode)
+      val name = "graft_pairs_" + RelationalQueries.dirKey(d)
       Dedup.buildPairTable(t(s, d, "documents"), "doc_id", "text",
         Seq("lang"), name, minJaccard = 0.9, parallelBuckets = 8)
       name

@@ -18,6 +18,14 @@ object RelationalQueries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-proof table-name key for a corpus dir (md5 prefix —
+    * String.hashCode collides across dirs, which would silently serve
+    * one corpus's memoized table to another). */
+  def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+
   /** Exact decimal-accumulated sum surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast("decimal(38,4)")).cast("double")
 

@@ -1,7 +1,5 @@
 package graft.queue
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Dataset, Encoder, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -66,16 +64,17 @@ class TypedQueue[T](val queue: ParquetQueue)(implicit enc: Encoder[T]) {
         s"encoder schema $derived does not match queue contract ${queue.schema}")
   }
 
-  /** Driver-local Row batch → `T`s via the encoder (one local-relation
-    * job per BATCH, not per row — pop batches are small by contract). */
-  private def toTyped(rows: Seq[Row]): Seq[T] =
-    if (rows.isEmpty) Seq.empty
-    else spark.createDataFrame(rows.asJava, queue.schema.sparkSchema)
-      // cast canonical storage types back to the encoder's (e.g. the
-      // contract stores INTEGER as long; an Int field casts back down)
-      .select(enc.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
-      .as[T](enc)
-      .collect().toSeq
+  /** Driver-local Row → `T` decoder: the encoder's deserializer bound
+    * once against the contract schema — plain function application per
+    * row, no Spark job. Resolution uses `as[T]`'s up-cast rules, so a
+    * narrowing field (an Int field against the contract's stored long)
+    * fails LOUDLY at first use instead of silently wrapping
+    * out-of-range values — declare widened fields (Long/Double) in `T`.
+    */
+  @transient private lazy val fromRow: Row => T =
+    org.apache.spark.sql.graft.Bridge.rowDeserializer(enc, queue.schema.sparkSchema)
+
+  private def toTyped(rows: Seq[Row]): Seq[T] = rows.map(fromRow)
 
   def push(ds: Dataset[T], lifetimeMs: Long = -1L): Long =
     queue.push(ds.toDF(), lifetimeMs)
@@ -102,21 +101,23 @@ class TypedQueue[T](val queue: ParquetQueue)(implicit enc: Encoder[T]) {
 
   /** Consume-with-error-permits over typed values (see
     * [[ParquetQueue.consume]] for the at-least-once/quarantine
-    * semantics; conversion happens before `f`, so a conversion failure
-    * consumes an error permit like any other processing failure). */
+    * semantics; conversion happens inside `f`'s attempt, so a
+    * conversion failure consumes an error permit like any other
+    * processing failure). Decode is the bound deserializer — no Spark
+    * job per entry. */
   def consume[R](n: Int, consumer: String = "default", errorPermit: Int = 3)
                 (f: T => R): Seq[R] =
-    queue.consume(n, consumer, errorPermit)(row => f(toTyped(Seq(row)).head))
+    queue.consume(n, consumer, errorPermit)(row => f(fromRow(row)))
 
   def latest: Option[T] = toTyped(queue.latest.toSeq).headOption
 
   /** Typed Structured Streaming subscriber: the untyped envelope
     * stream with the payload decoded through the encoder (same
-    * exactly-once checkpoint semantics as [[ParquetQueue.readStream]]).
-    */
+    * exactly-once checkpoint semantics as [[ParquetQueue.readStream]];
+    * `as[T]`'s up-cast rules — narrowing fields fail loudly). */
   def readStream(maxBatchesPerTrigger: Int = 8): Dataset[T] =
     queue.readStream(maxBatchesPerTrigger)
-      .select(enc.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+      .select(enc.schema.fields.toSeq.map(f => col(f.name)): _*)
       .as[T](enc)
 
   def size(consumer: String = "default"): Long = queue.size(consumer)

@@ -315,31 +315,6 @@ object QueueStreaming {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
-    * against a persisted corpus signature table
-    * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped
-    * within itself, and the surviving rows (3) land in a PER-BATCH
-    * output directory and (4) extend the signature table — so dups are
-    * caught whether they pair with the original corpus, the same
-    * trigger, or an earlier trigger. `foreachBatch` is the right shape:
-    * the probe needs batch-side distinct + join-back, which the pure
-    * stream-static join API can't express — and it mirrors the
-    * reference's consume-loop (pop batch, process, commit) exactly.
-    * The corpus side stays bucketed on the probe key, so each trigger
-    * shuffles only the (small) incoming batch.
-    *
-    * Exactly-once output: the parquet for batch N goes to
-    * `outPath/batch=N` with overwrite, so a replayed batch after a
-    * crash rewrites the same directory instead of appending twice
-    * (foreachBatch itself is at-least-once). Replay is also safe
-    * against the batch's OWN appended signatures: document ids are
-    * unique across the stream and corpus (queue-seq contract), so a
-    * probe hit with `corpus_id == incoming_id` is the row's own
-    * earlier append and is excluded — without this, a batch replayed
-    * after its signature append would flag every one of its rows and
-    * overwrite its output directory with nothing.
-    * `k`/`bands`/`buckets` MUST match the values `sigTable` was built
-    * with (mismatched banding probes silently match nothing). */
   /** C13g: streaming semantic retrieval — a stream of query vectors
     * probes a PERSISTED IVF index ([[graft.operators.Ann.buildIvfIndex]])
     * per trigger: the online-serving half of the retrieval stack
@@ -387,6 +362,31 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
+    * against a persisted corpus signature table
+    * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped
+    * within itself, and the surviving rows (3) land in a PER-BATCH
+    * output directory and (4) extend the signature table — so dups are
+    * caught whether they pair with the original corpus, the same
+    * trigger, or an earlier trigger. `foreachBatch` is the right shape:
+    * the probe needs batch-side distinct + join-back, which the pure
+    * stream-static join API can't express — and it mirrors the
+    * reference's consume-loop (pop batch, process, commit) exactly.
+    * The corpus side stays bucketed on the probe key, so each trigger
+    * shuffles only the (small) incoming batch.
+    *
+    * Exactly-once output: the parquet for batch N goes to
+    * `outPath/batch=N` with overwrite, so a replayed batch after a
+    * crash rewrites the same directory instead of appending twice
+    * (foreachBatch itself is at-least-once). Replay is also safe
+    * against the batch's OWN appended signatures: document ids are
+    * unique across the stream and corpus (queue-seq contract), so a
+    * probe hit with `corpus_id == incoming_id` is the row's own
+    * earlier append and is excluded — without this, a batch replayed
+    * after its signature append would flag every one of its rows and
+    * overwrite its output directory with nothing.
+    * `k`/`bands`/`buckets` MUST match the values `sigTable` was built
+    * with (mismatched banding probes silently match nothing). */
   def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
                     sigTable: String, outPath: String, checkpoint: String,
                     minJaccard: Double = 0.9, k: Int = 64, bands: Int = 8,
