@@ -68,10 +68,10 @@ class TypedQueue[T](val queue: ParquetQueue)(implicit enc: Encoder[T]) {
     * once against the contract schema — plain function application per
     * row, no Spark job. Resolution uses `as[T]`'s up-cast rules, so a
     * narrowing field (an Int field against the contract's stored long)
-    * fails LOUDLY at first use instead of silently wrapping
-    * out-of-range values — declare widened fields (Long/Double) in `T`.
-    */
-  @transient private lazy val fromRow: Row => T =
+    * fails LOUDLY — and it fails HERE at construction, before any pop
+    * could consume (and so lose) an entry it cannot decode. Declare
+    * widened fields (Long/Double) in `T`. */
+  private val fromRow: Row => T =
     org.apache.spark.sql.graft.Bridge.rowDeserializer(enc, queue.schema.sparkSchema)
 
   private def toTyped(rows: Seq[Row]): Seq[T] = rows.map(fromRow)

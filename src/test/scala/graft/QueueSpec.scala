@@ -365,6 +365,22 @@ class QueueSpec extends SparkSpec {
       TypedQueue.schemaOf[QMsgUnmappable])
     tq.dispose()
   }
+
+  test("typed queue narrowing fields fail loudly at open, never wrap") {
+    // Int maps to INTEGER (contract stores long); the decoder refuses
+    // the long->int down-cast AT CONSTRUCTION — before any pop could
+    // consume (and lose) an entry it cannot decode. Widened fields
+    // (Long) read the same queue fine.
+    val root = Files.createTempDirectory("qtypednarrow").toString
+    val untyped = new ParquetQueue(spark, root,
+      GraftSchema(("id", GraftType.INTEGER), ("text", GraftType.TEXT)))
+    untyped.push(Seq((1L, "a")).toDF("id", "text"))
+    intercept[Exception] { new TypedQueue[QMsgInt](untyped) }
+    assert(untyped.size() == 1, "failed open must not consume anything")
+    val wide = new TypedQueue[QMsg](untyped)
+    assert(wide.pop(1) == Seq(QMsg(1L, "a")))
+    untyped.dispose()
+  }
 }
 
 // top-level so implicit product encoders derive cleanly
@@ -372,3 +388,4 @@ case class QMsg(id: Long, text: String)
 case class QMsgExtra(id: Long, text: String, extra: Double)
 case class QMsgFlipped(id: Long, text: Double)
 case class QMsgUnmappable(id: Long, tags: Map[String, String])
+case class QMsgInt(id: Int, text: String)
