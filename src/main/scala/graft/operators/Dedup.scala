@@ -368,6 +368,33 @@ object Dedup {
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware clustered removal: one survivor per connected
+    * component, chosen as the member with the HIGHEST score (ties →
+    * lowest id) instead of the lowest id — the curation pattern where
+    * near-dup clusters keep their best-quality document, not an
+    * arbitrary representative. Cost over [[removeNearDupsClustered]]:
+    * one extra broadcast-sized join of the (small) label table against
+    * the scored rows plus a per-cluster max — the corpus itself still
+    * moves through exactly one anti-join. `scoreCol` must be a column
+    * of `df`. */
+  def removeNearDupsClusteredBest(df: DataFrame, idCol: String,
+                                  scoreCol: String,
+                                  pairs: DataFrame): DataFrame = {
+    val labels = clusters(pairs)
+    // survivor per cluster: max score, ties to the lowest id (struct
+    // ordering: score desc via max_by on (score, -id) is not exprable
+    // with max_by alone — use the (score, negId) struct max)
+    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+      .join(labels, "id")
+    val keep = scored
+      .groupBy("cluster")
+      .agg(max(struct(col("__s"), (-col("id")).as("__negid"))).as("__best"))
+      .select((-col("__best.__negid")).as("__keep_id"))
+    val drop = labels.select(col("id").as("__drop_id"))
+      .join(keep, col("__drop_id") === col("__keep_id"), "left_anti")
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Dedup-at-ingest, exact: drop incoming docs whose content already
     * exists in the corpus (anti join on the content hash — at scale
     * the corpus side is a persisted hash TABLE, not a rescan), then

@@ -152,6 +152,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L19c: quality-aware clustered dedup — each near-dup cluster
+    // keeps its BEST member (longest doc; ties to lowest id) instead
+    // of an arbitrary min-id representative: the curation-grade apply.
+    // Probes the same persisted pair graph as the other cluster twins.
+    "q_dedup_cluster_best" -> { (s, dir) =>
+      Dedup.removeNearDupsClusteredBest(t(s, dir, "documents"), "doc_id",
+          "n_chars", jaccardPairGraph(s, dir))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // L6: exact brute-force cosine top-5 for a small query set.
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -784,6 +795,38 @@ object PipelineQueries {
         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same transitive-closure component oracle as the other cluster
+    // twins, with the survivor chosen by (n_chars desc, doc_id asc)
+    // per component instead of min id.
+    "q_dedup_cluster_best" ->
+      """WITH RECURSIVE toksets AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM p
+        |  UNION
+        |  SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |best AS (
+        |  SELECT cluster,
+        |    first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keep_id
+        |  FROM comp JOIN documents d ON comp.id = d.doc_id
+        |  GROUP BY cluster)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT id FROM comp WHERE id NOT IN (SELECT keep_id FROM best))
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ann_grouped" ->
