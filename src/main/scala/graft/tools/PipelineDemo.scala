@@ -114,6 +114,18 @@ object PipelineDemo {
     stage("written", written.count())
     println(s"[pipeline] layout dirs: " +
       new java.io.File(out).listFiles().count(_.getName.startsWith("lang=")))
+
+    // serving tail: index the curated corpus once, answer a query
+    // batch from the committed index (build-once / probe-many)
+    import graft.operators.Lexical
+    import spark.implicits._
+    Lexical.buildIndex(mixed, "doc_id", "text", "pipeline_demo_idx")
+    val hits = Lexical.searchBm25Batch(
+      Seq((1L, "spark join"), (2L, "vector stream")).toDF("qid", "qtext"),
+      "qid", "qtext", "pipeline_demo_idx", k = 5)
+    println(f"[pipeline] ${"served queries"}%-22s ${hits.count()}%7d hits " +
+      s"(top doc per query: ${hits.filter(col("rank") === 1).orderBy("query_id")
+        .collect().map(r => s"${r.getLong(0)}->${r.getLong(2)}").mkString(", ")})")
     spark.stop()
   }
 }
