@@ -30,7 +30,12 @@ object CoLocated {
     * and no Sort — verify with `explain("formatted")` (BucketingSpec
     * asserts it). */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-                   leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                   leftKey: String, rightKey: String): DataFrame = {
+    // build the condition from the SAME Dataset instances being
+    // joined — fresh spark.table() calls inside the condition are
+    // ambiguous for self-joins (left == right)
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

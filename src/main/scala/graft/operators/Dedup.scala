@@ -75,7 +75,9 @@ object Dedup {
     val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
     val toks = df.select(col(idCol).as("id") +:
       idSet.as("ids") +: blockCols.map(col): _*)
-      .withColumn("bkt", pmod(col("id"), lit(B)).cast("int"))
+      // hash-salt (not pmod on the raw id): works for ANY id type —
+      // pmod on a string id nulls out and silently drops every row
+      .withColumn("bkt", pmod(xxhash64(col("id")), lit(B.toLong)).cast("int"))
       .withColumn("band",
         floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR).cast("int"))
     // role by bucket: the smaller-bucket doc is "a"; ties broken by id
@@ -110,6 +112,9 @@ object Dedup {
     * pairs cannot round up past the final jac filter). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k): a remainder would silently " +
+        "truncate the signature and change the collision curve")
     val rows = k / bands
     val rt = math.round(math.max(0.0, minJaccard - 0.001) * 10000)
     val docs = df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
@@ -321,13 +326,6 @@ object Dedup {
       var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
         .localCheckpoint(true)
-      // labels only ever decrease, so the (exact, decimal) label sum is
-      // a joinless fixpoint detector: unchanged sum == no label moved
-      def labelSum(df: DataFrame): java.math.BigDecimal = {
-        val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-        if (d == null) java.math.BigDecimal.ZERO else d
-      }
-      var prevSum = labelSum(labels)
       var iter = 0
       var converged = labels.isEmpty
       // superseded rounds' checkpoint blocks are reclaimed by the
@@ -338,14 +336,18 @@ object Dedup {
         // pull the smallest label visible through one edge hop
         val pulled = edges.join(labels, edges("dst") === labels("id"))
           .groupBy("src").agg(min(col("lbl")).as("plbl"))
+        // the changed flag rides the round's frame, so the fixpoint
+        // check is an exact count over the checkpointed result — works
+        // for ANY orderable id type (a numeric label-sum detector would
+        // silently mis-converge on string ids)
         val next = labels.join(pulled, labels("id") === pulled("src"), "left")
           .select(labels("id"),
-            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("__moved"))
           .localCheckpoint(true)
-        val s = labelSum(next)
-        labels = next
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
+        val moved = next.filter(col("__moved")).limit(1).count()
+        labels = next.drop("__moved")
+        converged = moved == 0L
       }
       // an iteration-capped exit means labels are mid-propagation —
       // returning them would split components silently
@@ -381,15 +383,17 @@ object Dedup {
                                   scoreCol: String,
                                   pairs: DataFrame): DataFrame = {
     val labels = clusters(pairs)
-    // survivor per cluster: max score, ties to the lowest id (struct
-    // ordering: score desc via max_by on (score, -id) is not exprable
-    // with max_by alone — use the (score, negId) struct max)
+    // survivor per cluster: max score, ties to the lowest id. Two
+    // small aggregations over the label-sized frame — type-agnostic
+    // (negating the id for a struct-max would null out string ids and
+    // overflow Long.MinValue)
     val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
       .join(labels, "id")
-    val keep = scored
-      .groupBy("cluster")
-      .agg(max(struct(col("__s"), (-col("id")).as("__negid"))).as("__best"))
-      .select((-col("__best.__negid")).as("__keep_id"))
+    val smax = scored.groupBy("cluster").agg(max(col("__s")).as("__smax"))
+    val keep = scored.join(smax, "cluster")
+      .filter(col("__s") === col("__smax"))
+      .groupBy("cluster").agg(min(col("id")).as("__keep_id"))
+      .select("__keep_id")
     val drop = labels.select(col("id").as("__drop_id"))
       .join(keep, col("__drop_id") === col("__keep_id"), "left_anti")
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
@@ -415,6 +419,9 @@ object Dedup {
     * persisted signature table. */
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                                k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k): a remainder would silently " +
+        "truncate the signature and change the collision curve")
     val rows = k / bands
     df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
         tokenIdSet(textCol).as("ids"))

@@ -75,6 +75,18 @@ object Lexical {
   def appendDocs(docs: DataFrame, idCol: String, textCol: String,
                  table: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
+    // re-appending an existing doc_id would split its (term, doc_id)
+    // postings across rows — inflating df and double-counting the
+    // nonlinear tfn, silently diverging from a full rebuild. Fail
+    // loudly (same contract as appendToGroupedIvfIndex): dedup or
+    // rebuild instead.
+    val dup = docs.select(col(idCol).as("doc_id"))
+      .join(spark.table(s"${table}_doclen"), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"appendDocs batch contains doc ids already in $table " +
+        s"(${dup.mkString(", ")}${if (dup.length == 5) ", ..." else ""}) " +
+        "— searches would diverge from a rebuild; dedup the batch first")
     val toks = docs.select(col(idCol).as("doc_id"),
       tokenize_ws(col(textCol)).as("toks"))
     toks.select(col("doc_id"), posexplode(col("toks")))
@@ -155,16 +167,23 @@ object Lexical {
   def searchBm25Batch(queries: DataFrame, idCol: String, textCol: String,
                       table: String, k: Int): DataFrame = {
     val spark = queries.sparkSession
+    // checkpointed so the driver-side terms collect and the final join
+    // see the SAME probe rows (a nondeterministic query frame would
+    // otherwise score terms excluded from the postings scan) — the
+    // same hazard Ann.searchIvfIndex guards its probes against
     val qTerms = queries.select(col(idCol).as("query_id"),
         explode(array_distinct(tokenize_ws(col(textCol)))).as("term"))
+      .localCheckpoint(true)
     val terms = qTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
-    // empty batch vocabulary: same shape (and column order) as the
-    // scored path so callers can union/append either result; query_id
-    // keeps the caller's id type
+    // empty batch vocabulary: same shape (column order AND types) as
+    // the scored path so callers can union/append either result;
+    // query_id keeps the caller's id type, doc_id the index's
     if (terms.isEmpty) return queries.limit(0)
       .select(col(idCol).as("query_id"), lit(0).as("rank"),
-        lit(0L).as("doc_id"), lit(0L).as("score_q"))
+        lit(null).cast(spark.table(s"${table}_postings").schema("doc_id").dataType)
+          .as("doc_id"),
+        lit(0L).as("score_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q").desc, col("doc_id"))
     scoredContribs(spark, table, terms)

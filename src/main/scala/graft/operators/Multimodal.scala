@@ -25,9 +25,11 @@ object Multimodal {
   object StubCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
-      val seed = if (n == 0) 0 else (payload(0) & 0xFF) + n
-      val width = 16 + (seed % 625)
-      val height = 16 + ((seed * 7) % 465)
+      // seed math in Long: Int would overflow (seed * 7) past ~306 MB
+      // payloads and emit negative dimensions
+      val seed: Long = if (n == 0) 0L else (payload(0) & 0xFF).toLong + n
+      val width = 16 + (seed % 625).toInt
+      val height = 16 + ((seed * 7) % 465).toInt
       val frames = 1 + (n % 24)
       (width, height, frames)
     }

@@ -48,10 +48,12 @@ object Pack {
       StructField("off", LongType, nullable = false)))
     import scala.jdk.CollectionConverters._
     val offs = spark.createDataFrame(offRows.asJava, schema)
+    // integral floor-division: prefixes are non-negative longs, so
+    // `div` is exact at any scale where a double division would round
+    // near shard boundaries once prefixes pass 2^53
     cum.join(broadcast(offs), "bucket")
       .withColumn("shard",
-        floor((col("off") + col("cum_in") - col("n_tokens")) /
-          lit(budgetTokens.toDouble)).cast("long"))
+        expr(s"(off + cum_in - n_tokens) div ${budgetTokens}L"))
   }
 
   /** Range-bucket a long column into ~`buckets` order-aligned cells
