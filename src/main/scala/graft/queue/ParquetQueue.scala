@@ -31,11 +31,18 @@ import graft.schema.GraftSchema
   *                          `latest` = row at highwater-1.
   *  - lifetime/TTL        → read-side filter `enq_ts + lifetime > now`.
   *  - capacity + tryPush  → highwater - offset bound before append.
-  *  - crash recovery      → segment dirs are committed by atomic rename
-  *                          of the meta highwater file; a torn write
-  *                          leaves an orphan dir that readers ignore
-  *                          (the analog of the reference's magic-number
-  *                          skip, JournaledFile.scala:562).
+  *  - crash recovery      → two-phase segment visibility: data is
+  *                          written under `_staging`, the atomic
+  *                          highwater rename is the commit point, and
+  *                          an atomic dir rename into `data/` publishes
+  *                          the files (so even the streaming file
+  *                          source never sees uncommitted rows). A
+  *                          crash before commit leaves a staging orphan
+  *                          the next push overwrites; a crash after
+  *                          commit is finished by completeStaged() at
+  *                          reopen/next use (the analog of the
+  *                          reference's magic-number skip,
+  *                          JournaledFile.scala:562).
   *  - 1:1 locking         → single-writer protocol; readers are
   *                          lock-free snapshot scans.
   *
@@ -54,9 +61,23 @@ class ParquetQueue(
 
   private val dataDir = s"$root/data"
   private val metaDir = Paths.get(root, "_meta")
+  private val stagingDir = Paths.get(root, "_staging")
   private val highwaterFile = metaDir.resolve("highwater")
   Files.createDirectories(metaDir)
   Files.createDirectories(Paths.get(dataDir))
+  Files.createDirectories(stagingDir)
+
+  // The envelope and the partition column are reserved: a payload
+  // field with one of these names would collide on read (duplicate
+  // column or shadowed partition value) AFTER the push durably
+  // accepted it — refuse at open instead.
+  locally {
+    val reserved = Set("seq", "enq_ts", "lifetime_ms", "batch")
+    val bad = schema.fields.map(_._1).filter(reserved)
+    if (bad.nonEmpty) throw new graft.schema.IncompatibleSchemaException(
+      s"payload field names ${bad.mkString(", ")} collide with the queue " +
+        s"envelope/partition columns (${reserved.mkString(", ")})")
+  }
 
   /** 1:1 writer lock (reference holds `FileLock`s on the journal,
     * JournaledFile.scala): an OS-level lock on `_meta/writer.lock`,
@@ -98,9 +119,14 @@ class ParquetQueue(
 
   def isClosed: Boolean = closed
 
-  def close(): Unit = {
-    closed = true
-    writerLock.foreach { case (ch, lock) => lock.release(); ch.close() }
+  def close(): Unit = synchronized {
+    // release the lock only on the first close — a second close (or a
+    // dispose after close) would hit ClosedChannelException on the
+    // already-closed channel, breaking the documented idempotency
+    if (!closed) {
+      closed = true
+      writerLock.foreach { case (ch, lock) => lock.release(); ch.close() }
+    }
   }
 
   // Persisted schema contract (reference Schema.toByteArray header in
@@ -122,6 +148,10 @@ class ParquetQueue(
         StandardCopyOption.REPLACE_EXISTING)
     }
   }
+
+  // Reopen recovery: finish any predecessor's commit→move window so a
+  // committed-but-unmoved segment becomes visible before first use.
+  completeStaged()
 
   private val envelope: StructType = StructType(
     StructField("seq", LongType, nullable = false) ::
@@ -155,6 +185,7 @@ class ParquetQueue(
   def push(df: DataFrame, lifetimeMs: Long = -1L,
            nowMs: Long = System.currentTimeMillis()): Long = mutex.synchronized {
     ensureOpen()
+    completeStaged()
     val payload = schema.validate(df).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val first = highwater
@@ -163,27 +194,77 @@ class ParquetQueue(
         val rdd = payload.rdd.zipWithIndex().map { case (row, i) =>
           Row.fromSeq((first + i) +: nowMs +: lifetimeMs +: row.toSeq)
         }
+        // Two-phase visibility: the segment is written under _staging
+        // (overwrite clears any orphan of a crashed predecessor at the
+        // same seq — it is uncommitted by definition), the highwater
+        // commit is the transaction point, and only THEN does the
+        // atomic rename make the files visible under data/. Readers —
+        // including the Structured Streaming file source, which tracks
+        // files by path and cannot re-read a path it has already seen —
+        // can therefore never observe uncommitted rows.
         // per-segment codec = the reference's per-entry Codec (PLAIN/GZIP)
         // generalized: parquet page compression (snappy/gzip/zstd/none)
+        val staged = stagingDir.resolve(s"batch=$first")
         spark.createDataFrame(rdd, envelope)
-          .write.mode("errorifexists").option("compression", codec)
-          .parquet(s"$dataDir/batch=$first")
+          .write.mode("overwrite").option("compression", codec)
+          .parquet(staged.toString)
         commitHighwater(first + n)
+        val target = Paths.get(dataDir, s"batch=$first")
+        // a directory already at the target is a pre-staging-era torn
+        // write (its seqs start at the OLD highwater, so it was never
+        // committed) — clear it rather than failing the move
+        if (Files.exists(target)) deleteRecursively(target)
+        Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
       }
       n
     } finally payload.unpersist()
   }
 
+  /** Crash recovery for the commit→move window: a staged segment whose
+    * first seq is below the highwater was committed but never made
+    * visible — finish its move. Uncommitted staged orphans (first >=
+    * highwater) are left for the next push at that seq to overwrite.
+    * Runs at open and before each push; safe under races (a lost
+    * atomic move means someone else completed it). */
+  private def completeStaged(): Unit =
+    if (Files.exists(stagingDir)) {
+      listDir(stagingDir)
+        .filter(_.getFileName.toString.startsWith("batch="))
+        .foreach { d =>
+          val first = d.getFileName.toString.stripPrefix("batch=").toLong
+          if (first < highwater) {
+            val target = Paths.get(dataDir, s"batch=$first")
+            try {
+              if (Files.exists(target)) deleteRecursively(d)
+              else Files.move(d, target, StandardCopyOption.ATOMIC_MOVE)
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
   /** tryPush semantics (reference Queue.scala:152): refuse when the
-    * unconsumed backlog for `consumer` has reached capacity. */
+    * unconsumed backlog for `consumer` has reached capacity. The
+    * payload is persisted across the count AND the push, so the
+    * admission decision and the written rows come from one evaluation
+    * of the source (a non-deterministic source can't sneak past
+    * capacity between the two). */
   def tryPush(df: DataFrame, consumer: String = "default",
               lifetimeMs: Long = -1L): Boolean = {
     ensureOpen()
-    val n = df.count() // Spark job outside the monitor
-    mutex.synchronized {
-      if (highwater - offsetOf(consumer) + n > capacity) false
-      else { push(df, lifetimeMs); true } // reentrant
-    }
+    val payload = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = payload.count() // Spark job outside the monitor
+      mutex.synchronized {
+        if (highwater - offsetOf(consumer) + n > capacity) false
+        else { push(payload, lifetimeMs); true } // reentrant
+      }
+    } finally payload.unpersist()
   }
 
   /** Blocking publisher push (reference Queue.scala:186-206): when the
@@ -267,6 +348,20 @@ class ParquetQueue(
     else spark.read.option("basePath", dataDir).parquet(dataDir)
       .filter(col("seq") < highwater) // ignore torn/uncommitted appends
 
+  /** Largest committed segment first-seq <= `seq` (metadata listing):
+    * the `batch >= coveringBatch` partition filter that makes seq-range
+    * reads actually prune — `seq >= off` alone cannot derive a
+    * partition predicate, so without this every pop would list and
+    * read footers of ALL historical segments. */
+  private def coveringBatch(seq: Long): Long = {
+    val firsts = listDir(Paths.get(dataDir))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ <= seq)
+    if (firsts.isEmpty) 0L else firsts.max
+  }
+
   private def notExpired(nowMs: Long) =
     col("lifetime_ms") < 0 || (col("enq_ts") + col("lifetime_ms")) > nowMs
 
@@ -274,7 +369,8 @@ class ParquetQueue(
   def pending(consumer: String = "default",
               nowMs: Long = System.currentTimeMillis()): DataFrame = {
     val off = offsetOf(consumer)
-    journal.filter(col("seq") >= off && notExpired(nowMs))
+    journal.filter(col("batch") >= coveringBatch(off) &&
+      col("seq") >= off && notExpired(nowMs))
   }
 
   /** Number of unconsumed entries (expired included, as the reference's
@@ -324,10 +420,11 @@ class ParquetQueue(
   def pop(n: Int, consumer: String = "default",
           nowMs: Long = System.currentTimeMillis()): Seq[Row] = mutex.synchronized {
     ensureOpen()
+    completeStaged() // finish a crashed writer's commit→move window
     val off = offsetOf(consumer)
     if (off >= highwater) return Seq.empty
     val taken = journal
-      .filter(col("seq") >= off)
+      .filter(col("batch") >= coveringBatch(off) && col("seq") >= off)
       .orderBy("seq")
       .limit(n + 1) // +1 to learn whether more remain without a count
       .collect()
@@ -385,10 +482,11 @@ class ParquetQueue(
   def consume[T](n: Int, consumer: String = "default", errorPermit: Int = 3,
                  nowMs: Long = System.currentTimeMillis())(f: Row => T): Seq[T] = mutex.synchronized {
     ensureOpen()
+    completeStaged()
     val off = offsetOf(consumer)
     if (off >= highwater) return Seq.empty
     val taken = journal
-      .filter(col("seq") >= off)
+      .filter(col("batch") >= coveringBatch(off) && col("seq") >= off)
       .orderBy("seq")
       .limit(n)
       .collect()
@@ -415,7 +513,12 @@ class ParquetQueue(
   }
 
   private def quarantine(consumer: String, seq: Long, err: Throwable): Unit = {
-    val line = s"$seq\t${Option(err).map(_.toString).getOrElse("")}\n"
+    // the audit file is line/tab framed — a multi-line exception
+    // message (AnalysisException is routinely multi-line) would
+    // corrupt it and break quarantined()'s parse
+    val msg = Option(err).map(_.toString).getOrElse("")
+      .replaceAll("[\\n\\r\\t]", " ")
+    val line = s"$seq\t$msg\n"
     Files.write(metaDir.resolve(s"quarantine-$consumer"),
       line.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
@@ -445,8 +548,13 @@ class ParquetQueue(
       .sortBy(_.getFileName.toString.stripPrefix("batch=").toLong)
     if (dirs.length <= 1) return 0L
     val offs = listDir(metaDir)
-      .filter(_.getFileName.toString.startsWith("offset-"))
-      .map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
+      .map(_.getFileName.toString)
+      // in-flight .tmp files are NOT committed offsets: an empty or
+      // torn one would crash the parse (wedging compaction forever) or
+      // silently pin the floor — same filter consumerLags uses
+      .filter(n => n.startsWith("offset-") && !n.endsWith(".tmp"))
+      .map(n => new String(Files.readAllBytes(metaDir.resolve(n)),
+        StandardCharsets.UTF_8).trim.toLong)
     if (offs.isEmpty) return 0L
     val minOff = offs.min
     // batch i covers [first_i, first_{i+1}); the last batch never goes
@@ -479,7 +587,8 @@ class ParquetQueue(
     ensureOpen()
     if (!hasData) return None
     val hw = highwater
-    journal.filter(col("seq") === (hw - 1)).collect().headOption
+    journal.filter(col("batch") === coveringBatch(hw - 1) &&
+        col("seq") === (hw - 1)).collect().headOption
       .map(r => Row.fromSeq(r.toSeq.drop(3).dropRight(1)))
   }
 

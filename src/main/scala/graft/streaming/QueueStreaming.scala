@@ -86,6 +86,12 @@ object QueueStreaming {
             val (emitted, next) = sorted.foldLeft(
               (Vector.empty[Session], prev)) { case ((out, st), e) =>
               st match {
+                case Some(s) if e.ts_ms < s.startMs - gapMs =>
+                  // straggler older than the session's reach: absorbing
+                  // it would drag startMs back across unbounded silence;
+                  // in batch it forms its own earlier island — emit it
+                  // closed, keep the open session untouched
+                  (out :+ Session(userId, 1, e.value, 0L), st)
                 case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
                   // min/max bounds: an out-of-order event inside the
                   // gap extends the session, never shrinks it
@@ -120,10 +126,18 @@ object QueueStreaming {
   class SessionProcessor(gapMs: Long, useTimers: Boolean)
       extends StatefulProcessor[Long, Event, Session] {
     @transient private var state: ValueState[SessionState] = _
+    // the ONE live timer's expiry: transformWithState keeps every
+    // registered timer, so without deleting the previous one a stale
+    // timer would fire gapMs after the FIRST event and close an
+    // actively-extending session mid-flight
+    @transient private var expiry: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long]("expiry",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[Session] = {
@@ -132,6 +146,10 @@ object QueueStreaming {
       val (emitted, next) = sorted.foldLeft(
         (Vector.empty[Session], prev)) { case ((out, st), e) =>
         st match {
+          case Some(s) if e.ts_ms < s.startMs - gapMs =>
+            // straggler older than the session's reach — own island,
+            // emitted closed (same rule as the flatMapGroups twin)
+            (out :+ Session(userId, 1, e.value, 0L), st)
           case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
             // min/max bounds: out-of-order events inside the gap extend
             // the session, never shrink it
@@ -148,17 +166,25 @@ object QueueStreaming {
       }
       next.foreach { s =>
         state.update(s)
-        if (useTimers)
-          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + gapMs)
+        if (useTimers) {
+          if (expiry.exists()) getHandle.deleteTimer(expiry.get())
+          val exp = tv.getCurrentProcessingTimeInMs() + gapMs
+          getHandle.registerTimer(exp)
+          expiry.update(exp)
+        }
       }
       emitted.iterator
     }
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Session] =
-      if (state.exists()) {
+      // only the CURRENT timer closes the session (a stale one that
+      // raced deletion is ignored)
+      if (state.exists() && expiry.exists() &&
+          info.getExpiryTimeInMs() == expiry.get()) {
         val s = state.get()
         state.clear()
+        expiry.clear()
         Iterator(Session(userId, s.nEvents, s.sumValue, s.lastMs - s.startMs))
       } else Iterator.empty
   }

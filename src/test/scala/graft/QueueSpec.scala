@@ -101,6 +101,46 @@ class QueueSpec extends SparkSpec {
     // a writer recovering the journal re-appends from the committed
     // highwater; the orphan dir is never exposed to readers
     assert(q.latest.map(_.getLong(0)) == Some(2L))
+    // and the recovering push REPLACES the orphan instead of wedging
+    q.push(Seq((3L, "recovered")).toDF("id", "text"))
+    assert(q.pop(10).map(_.getString(1)) == Seq("recovered"))
+    q.dispose()
+  }
+
+  test("staged-but-unmoved committed segment is recovered at reopen") {
+    val root = Files.createTempDirectory("qstage").toString
+    val q = new ParquetQueue(spark, root, schema)
+    q.push(Seq((1L, "a")).toDF("id", "text"))
+    q.push(Seq((2L, "b")).toDF("id", "text"))
+    q.close()
+    // simulate a crash between highwater commit and the visibility
+    // move: batch=1 is committed (highwater=2) but sits under _staging
+    Files.move(
+      java.nio.file.Paths.get(root, "data", "batch=1"),
+      java.nio.file.Paths.get(root, "_staging", "batch=1"))
+    val q2 = new ParquetQueue(spark, root, schema) // reopen recovers
+    assert(q2.pop(10).map(_.getLong(0)) == Seq(1L, 2L), "no committed row lost")
+    q2.dispose()
+  }
+
+  test("reserved payload field names are refused at open") {
+    intercept[graft.schema.IncompatibleSchemaException] {
+      new ParquetQueue(spark, Files.createTempDirectory("qres").toString,
+        GraftSchema(("batch", GraftType.INTEGER), ("v", GraftType.REAL)))
+    }
+    intercept[graft.schema.IncompatibleSchemaException] {
+      new ParquetQueue(spark, Files.createTempDirectory("qres2").toString,
+        GraftSchema(("seq", GraftType.INTEGER), ("text", GraftType.TEXT)))
+    }
+  }
+
+  test("quarantine survives multi-line error messages") {
+    val q = fresh()
+    q.push(Seq((1L, "poison")).toDF("id", "text"))
+    q.consume(1, errorPermit = 1) { _ =>
+      throw new RuntimeException("bad input:\nrow 7\twith tabs")
+    }
+    assert(q.quarantined() == Seq(0L), "audit parse survives the newline")
     q.dispose()
   }
 

@@ -102,6 +102,32 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq == Seq(Session(7L, 1L, 5.0, 0L), Session(7L, 2L, 3.0, 500L)))
   }
 
+  test("far-past straggler becomes its own session, never drags the open one back") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = QueueStreaming.sessionizeTws(mem.toDS(), gapMs = 1000L,
+      useTimers = false)
+    val ckpt = Files.createTempDirectory("sessstrag").toString
+    val q = out.writeStream.format("memory").queryName("sessions_strag")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Event(7L, 1L, 100000L, 1.0), Event(7L, 2L, 100500L, 2.0))
+    q.processAllAvailable()
+    // a straggler 100s older than the open session's reach: absorbing
+    // it would create one 100s session spanning pure silence
+    mem.addData(Event(7L, 3L, 0L, 9.0))
+    q.processAllAvailable()
+    mem.addData(Event(7L, 4L, 300000L, 1.0)) // closes the open session
+    q.processAllAvailable()
+    val sessions = spark.sql(
+        "SELECT * FROM sessions_strag ORDER BY duration_ms, sum_value")
+      .as[Session].collect()
+    q.stop()
+    // straggler emitted alone (duration 0); open session kept its
+    // bounds (500ms, events 1+2)
+    assert(sessions.toSeq == Seq(Session(7L, 1L, 9.0, 0L), Session(7L, 2L, 3.0, 500L)))
+  }
+
   test("queue subscriber is exactly-once across stream restarts") {
     import graft.queue.ParquetQueue
     import graft.schema.{GraftSchema, GraftType}
