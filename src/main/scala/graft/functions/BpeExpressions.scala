@@ -32,14 +32,31 @@ object BpeKernel {
     m
   }
 
-  /** Greedy BPE segmentation of one word: start from characters +
+  /** Split a word into per-CODE-POINT symbols — surrogate pairs stay
+    * whole, so non-BMP input (emoji, CJK extensions) keeps distinct
+    * identities instead of decomposing into lone surrogates that
+    * UTF8String mangles into identical replacement bytes. The trainers
+    * ([[graft.operators.Bpe]]) use the same split for parity. */
+  def initialSymbols(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length) + 1)
+    var i = 0
+    var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val len = Character.charCount(cp)
+      out(k) = word.substring(i, i + len)
+      k += 1
+      i += len
+    }
+    out(k) = EndOfWord
+    out
+  }
+
+  /** Greedy BPE segmentation of one word: start from code points +
     * end-of-word sentinel, repeatedly apply the LOWEST-rank adjacent
     * merge present until none applies. Deterministic for any input. */
   def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    var syms = new Array[String](word.length + 1)
-    var i = 0
-    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
-    syms(word.length) = EndOfWord
+    var syms = initialSymbols(word)
     var done = syms.length <= 1
     while (!done) {
       // find the lowest-rank adjacent pair

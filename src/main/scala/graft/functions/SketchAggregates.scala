@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -99,9 +99,17 @@ case class ApproxTopK(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SpaceSaving.Summary] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[SpaceSaving.Summary]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k > 0 && capacity >= k, s"need capacity >= k > 0, got k=$k capacity=$capacity")
+
+  // Coerce any castable input (ints, dates, ...) to string at analysis
+  // time: SQL callers of the registered function get heavy hitters over
+  // the value's canonical string form instead of an executor-side
+  // ClassCastException.
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(StringType)
 
   override def createAggregationBuffer(): SpaceSaving.Summary =
     new SpaceSaving.Summary(capacity)

@@ -81,7 +81,9 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
-  /** Polynomial rolling hash over UTF-8 bytes: h = h*31 + b (mod 2^61-1).
+  /** Polynomial rolling hash over UTF-8 bytes: h = h*31 + b
+    * (mod 1_000_000_007 — the SQL oracles replicate this exact modulus
+    * in their list_reduce recurrences, so it is load-bearing).
     * Oracle-parity-friendly (pure integer recurrence). */
   def rollingHash(s: UTF8String): Long = {
     val p = 1000000007L
@@ -213,11 +215,14 @@ object Kernels {
     val used = new Array[Boolean](n)
     var j = 0
     while (j < k) {
+      // best == -1 seeds with the first unused index, so an all-NaN
+      // similarity row (NaN beats nothing) still selects
+      // deterministically (lowest indices) instead of writing used(-1).
       var best = -1
       var bestSim = Double.NegativeInfinity
       i = 0
       while (i < n) {
-        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        if (!used(i) && (best == -1 || sims(i) > bestSim)) { bestSim = sims(i); best = i }
         i += 1
       }
       used(best) = true
@@ -249,8 +254,12 @@ object Kernels {
   }
 
   /** Sign bits against k pseudo-random hyperplanes (splitmix64-derived,
-    * component weights in [-1,1)) — random-hyperplane LSH bucket id. */
+    * component weights in [-1,1)) — random-hyperplane LSH bucket id.
+    * Seed packs (plane, component) into disjoint long halves so plane
+    * j's weight stream never re-enters plane j+1's at any embedding
+    * dimension (the old `j*8192+i` scheme aliased beyond d=8192). */
   def hyperplaneLsh(a: ArrayData, k: Int): Long = {
+    require(k >= 1 && k <= 64, s"hyperplane_lsh needs 1 <= bits <= 64, got $k")
     val av = a.toDoubleArray()
     var out = 0L
     var j = 0
@@ -258,7 +267,7 @@ object Kernels {
       var acc = 0.0
       var i = 0
       while (i < av.length) {
-        val w = mix(0x5851f42d4c957f2dL * (j * 8192 + i + 1))
+        val w = mix(0x5851f42d4c957f2dL * ((j.toLong << 32) | (i.toLong + 1L)))
         acc += av(i) * (w.toDouble / Long.MaxValue.toDouble)
         i += 1
       }

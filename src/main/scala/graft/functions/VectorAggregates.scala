@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -14,12 +14,23 @@ import org.apache.spark.sql.types._
   * shuffles one partial sum per (partition, cluster) instead of n·d
   * exploded rows (the scale-killer the exploded-avg formulation had).
   * Ragged inputs are zero-extended to the longest vector seen.
+  *
+  * Input is coerced to `array<double>` at analysis time
+  * (ImplicitCastInputTypes), so `vector_sum` over an `array<long>` /
+  * `array<int>` / `array<float>` column — e.g. a count-min sketch row
+  * from [[CountMinAgg]] — sums the numeric VALUES rather than failing
+  * (GenericArrayData path) or reinterpreting raw long bits as IEEE
+  * doubles (UnsafeArrayData path after a shuffle).
   */
 case class VectorSum(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Double]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(ArrayType(DoubleType))
 
   override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
 

@@ -150,7 +150,11 @@ package object functions {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Deterministic [0,1] quality score: balanced length, low punct
-    * density, moderate stopword ratio, reasonable mean word length. */
+    * density, moderate stopword ratio, reasonable mean word length.
+    * The stopword term is a BAND, not a monotone reward — text in the
+    * prose-like [0.05, 0.5] ratio range scores 1.0, anything outside
+    * (no stopwords at all, or stopword-stuffed spam like "the the the")
+    * scores 0.5, same penalty convention as the word-length term. */
   def quality_score(text: Column): Column = {
     val toks = token_count(text)
     val lenScore = least(toks.cast("double") / lit(64.0), lit(1.0))
@@ -160,8 +164,9 @@ package object functions {
     val meanWordLen = length(regexp_replace(text, " ", "")).cast("double") /
       greatest(toks, lit(1)).cast("double")
     val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val stopScore = when(stopRatio.between(0.05, 0.5), lit(1.0)).otherwise(lit(0.5))
     round_portable(lit(0.4) * lenScore + lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
-      lit(0.2) * least(stopRatio * 5, lit(1.0)) + lit(0.2) * wordLenScore, 4)
+      lit(0.2) * stopScore + lit(0.2) * wordLenScore, 4)
   }
 
   /** Marker-stopword language scorer: hits of each language's marker

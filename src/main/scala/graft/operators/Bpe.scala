@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.functions.BpeKernel.EndOfWord
+import graft.functions.BpeKernel
 
 /** L28: BPE tokenizer training — the tokenizer-prep step of a training
   * pipeline (Sennrich et al. byte-pair encoding, word-internal merges
@@ -55,8 +55,10 @@ object Bpe {
   def trainFromCounts(wordCounts: Seq[(String, Long)],
                       nMerges: Int): Seq[(String, String)] = {
     type Pair = (String, String)
+    // Code-point split (shared with the apply kernel) — surrogate-pair
+    // safe, so training and encoding agree on non-BMP input.
     val words: Array[Array[String]] = wordCounts.toArray.map {
-      case (w, _) => w.map(String.valueOf(_)).toArray :+ EndOfWord
+      case (w, _) => BpeKernel.initialSymbols(w)
     }
     val wCount: Array[Long] = wordCounts.map(_._2).toArray
 
@@ -141,7 +143,7 @@ object Bpe {
   private[graft] def trainFromCountsNaive(wordCounts: Seq[(String, Long)],
                                           nMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = wordCounts.toArray.map {
-      case (w, c) => (w.map(String.valueOf(_)).toArray :+ EndOfWord, c)
+      case (w, c) => (BpeKernel.initialSymbols(w), c)
     }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0

@@ -661,7 +661,8 @@ object PipelineQueries {
         |  SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
         |    10000 - CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
         |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |      + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
+        |                         BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
         |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
         |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
         |      * 10000 + 0.5) AS BIGINT) AS order_key
@@ -706,7 +707,8 @@ object PipelineQueries {
         |  SELECT lang, source, text,
         |    CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
         |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |      + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
+        |                         BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
         |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
         |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
         |      * 10000 + 0.5) AS BIGINT) AS q1e4,
@@ -903,13 +905,15 @@ object PipelineQueries {
         |SELECT doc_id, tok AS n_tokens,
         |  FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
         |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |    + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |    + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
+        |                       BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
         |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
         |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
         |    * 10000 + 0.5) / 10000 AS quality,
         |  (FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
         |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |    + 0.2 * LEAST(CAST(stop AS DOUBLE) / GREATEST(tok, 1) * 5, 1.0)
+        |    + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
+        |                       BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
         |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
         |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
         |    * 10000 + 0.5) / 10000 >= 0.5) AS keep

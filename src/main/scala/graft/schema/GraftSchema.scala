@@ -55,6 +55,13 @@ case class GraftSchema(fields: Seq[(String, GraftType)]) {
   /** Validate that `df`'s columns structurally conform; throws
     * IncompatibleSchemaException like the reference's serialize
     * (Schema.scala:24-37) — but set-at-plan-time instead of per-row.
+    *
+    * Every field of the contract is NON-NULL (`sparkSchema` declares
+    * nullable=false). Type conformance is checked here at plan time;
+    * null VALUES can only be seen at runtime, so the normalized output
+    * carries a codegen'd null guard per field that raises a clear
+    * "non-null contract" error the moment one appears — instead of the
+    * opaque encoder failure a consumer would otherwise hit mid-write.
     */
   def validate(df: DataFrame): DataFrame = {
     val actual = df.schema
@@ -74,9 +81,14 @@ case class GraftSchema(fields: Seq[(String, GraftType)]) {
       if (!ok) throw new IncompatibleSchemaException(
         s"incompatible struct field type: expect ${gt.name}, actual ${af.dataType.simpleString} ($name)")
     }
-    // Normalize to canonical spark types + names (positional contract).
+    // Normalize to canonical spark types + names (positional contract),
+    // with a per-field null guard enforcing the non-null contract.
     df.select(fields.zip(df.columns).map { case ((name, gt), c) =>
-      col(c).cast(gt.sparkType).as(name)
+      val v = col(c).cast(gt.sparkType)
+      when(v.isNotNull, v)
+        .otherwise(raise_error(lit(
+          s"null value for non-null schema field '$name' (${gt.name})")))
+        .as(name)
     }: _*)
   }
 

@@ -273,4 +273,24 @@ class AnnSpec extends SparkSpec {
     val recall = (edges & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"bulk-knn recall $recall below gate")
   }
+
+  test("top_centroids survives NaN similarities; hyperplane_lsh bounds bits") {
+    import spark.implicits._
+    // NaN query vector: every cosine is NaN; selection must still emit
+    // nProbe deterministic indices (lowest-first) instead of crashing
+    val cents = array(
+      array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0)),
+      array(lit(1.0), lit(1.0)))
+    val got = Seq(Tuple1(Seq(Double.NaN, 1.0))).toDF("v")
+      .select(graft.functions.top_centroids(col("v"), cents, 2).as("c"))
+      .head().getSeq[Int](0)
+    assert(got == Seq(0, 1), s"expected deterministic fallback, got $got")
+    // bits outside [1, 64] would silently wrap the bucket-bit shift
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+        .select(graft.functions.hyperplane_lsh(col("v"), 65)).head()
+    }
+    assert(err.getMessage.contains("hyperplane_lsh") ||
+      err.getCause != null, s"unexpected error: ${err.getMessage}")
+  }
 }

@@ -114,4 +114,23 @@ class BpeSpec extends SparkSpec {
     assert(t10 < chars, "10 merges should compress below char count")
     assert(t80 <= t10, "80 merges must compress at least as much as 10")
   }
+
+  test("non-BMP code points keep distinct identities (surrogate-pair safe)") {
+    // two different emoji: one UTF-16 surrogate pair each. A char-level
+    // split would decompose them into lone surrogates that UTF8String
+    // mangles into identical replacement bytes.
+    val grin = new String(Character.toChars(0x1F600))
+    val joy = new String(Character.toChars(0x1F602))
+    assert(BpeKernel.initialSymbols(grin).toSeq == Seq(grin, BpeKernel.EndOfWord))
+    val docs = Seq((1L, s"$grin $grin $joy"), (2L, s"$joy $grin $joy"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 5)
+    val enc = docs.select(col("doc_id"),
+        bpe_encode(tokenize_ws(col("text")), merges).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // rebuilt text must round-trip the original code points exactly
+    assert(enc(1L).mkString.replace(BpeKernel.EndOfWord, "") == grin + grin + joy)
+    // distinct emoji never collide to the same token sequence
+    assert(enc(1L) != enc(2L))
+  }
 }

@@ -130,4 +130,20 @@ class CurationSpec extends SparkSpec {
     // deterministic across partitionings (same bytes per row)
     assert(ratios(docs.repartition(5)) == r)
   }
+
+  test("quality score penalizes stopword-stuffed spam below normal prose") {
+    import spark.implicits._
+    val spam = Array.fill(64)("the").mkString(" ")
+    // >= 64 tokens so both texts saturate the length term — the
+    // comparison isolates the stopword band
+    val prose = ("the quick brown fox jumps over a lazy dog and runs to " +
+      "the river where it drinks in peace before the long night falls " +
+      "on the quiet valley and every bird settles into its warm nest " +
+      "while the moon rises slowly over the sleeping hills far away ") * 2
+    val scores = Seq((1L, spam), (2L, prose)).toDF("id", "text")
+      .select(col("id"), graft.functions.quality_score(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) < scores(2L),
+      s"stopword spam ${scores(1L)} must score below prose ${scores(2L)}")
+  }
 }

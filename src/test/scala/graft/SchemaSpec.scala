@@ -49,4 +49,15 @@ class SchemaSpec extends SparkSpec {
     assert(out(0).get(0) != null) // 2x2 with 4 values: ok
     assert(out(1).get(0) == null) // shape 3 with 1 value: rejected
   }
+
+  test("validate raises a clear non-null-contract error on null values") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("a", "b")
+    val out = GraftSchema(("a", GraftType.INTEGER), ("b", GraftType.TEXT))
+      .validate(df)
+    val err = intercept[Exception] { out.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("non-null schema field 'b'")),
+      s"expected the null-guard message, got: ${messages(err)}")
+  }
 }

@@ -146,5 +146,31 @@ class SketchSpec extends SparkSpec {
       .select(transform(col("cmd"), _.cast("long")).as("cm"))
       .collect()(0).getSeq[Long](0)
     assert(rolled == onePass(docs), "vector_sum rollup diverged from one-pass sketch")
+    // implicit coercion: vector_sum over the raw array<long> sketches
+    // (the documented rollup recipe, no manual cast) gives the same
+    // result — guards against reinterpreting long bits as doubles
+    val direct = toks(docs).groupBy("lang")
+      .agg(count_min_agg(col("tok"), depth, width).as("cm"))
+      .agg(vector_sum(col("cm")).as("cmd"))
+      .select(transform(col("cmd"), _.cast("long")).as("cm"))
+      .collect()(0).getSeq[Long](0)
+    assert(direct == onePass(docs), "uncast vector_sum rollup diverged")
+  }
+
+  test("approx_top_k coerces non-string input instead of failing at runtime") {
+    GraftExtensions.install(spark) // graft's approx_top_k, not Spark 4's builtin
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.createOrReplaceTempView("ev_topk")
+    // user_id is BIGINT; the registered SQL function must coerce it
+    val viaSql = spark.sql(
+      "SELECT explode(approx_top_k(user_id, 3, 100000)) AS hit FROM ev_topk")
+      .select("hit.term", "hit.est")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = ev.groupBy(col("user_id").cast("string").as("term"))
+      .agg(count(lit(1)).as("est"))
+      .orderBy(col("est").desc, col("term").asc)
+      .limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == exact, "coerced approx_top_k diverged from exact top-3")
   }
 }
