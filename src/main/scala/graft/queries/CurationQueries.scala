@@ -302,19 +302,7 @@ object CurationQueries {
     // probs, integer division — engine-exact); ntile under a unique
     // total order. One token shuffle for the model, one lang window.
     "q_ccnet_buckets" -> { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      val pairs = toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("prev"),
-              element_at(col("t"), i + 1).as("cur")))).as("bg"))
-        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
-      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
-      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
-      val docScore = pairs.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
-        .withColumn("q",
-          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+      val docScore = Shared.bigramScored(t(s, dir, "documents"), "doc_id", "text")
         .groupBy("doc_id")
         .agg(expr("sum(q) div count(1)").as("score_q"))
       val w = Window.partitionBy("lang").orderBy(col("score_q"), col("doc_id"))
@@ -417,17 +405,6 @@ object CurationQueries {
         .orderBy("id1", "id2")
     })
 
-  /** Shared quality-score SQL fragment (DuckDB side of
-    * `quality_score`), parameterized on the stats CTE's column names. */
-  private val qualityExprSql =
-    """CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
-      |  + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-      |  + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
-      |                     BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
-      |  + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
-      |                     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
-      |  * 10000 + 0.5) AS BIGINT)""".stripMargin
-
   val oracles: Map[String, String] = Map(
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal
@@ -500,17 +477,9 @@ object CurationQueries {
         |ORDER BY sh.doc_id""".stripMargin,
 
     "q_quality_calibrated" ->
-      s"""WITH stats AS (
-         |  SELECT doc_id, lang,
-         |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
-         |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-         |    len(list_filter(string_split(text, ' '), x -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
-         |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
-         |    LENGTH(text) AS n_chars
-         |  FROM documents),
+      s"""WITH ${Shared.qualityStatsSql("doc_id, lang")},
          |q AS (
-         |  SELECT doc_id, lang, $qualityExprSql AS q1e4
+         |  SELECT doc_id, lang, ${Shared.q1e4Sql} AS q1e4
          |  FROM stats),
          |r AS (
          |  SELECT doc_id, lang, q1e4,
@@ -525,17 +494,9 @@ object CurationQueries {
          |ORDER BY q.doc_id""".stripMargin,
 
     "q_quality_mad" ->
-      s"""WITH stats AS (
-         |  SELECT doc_id, lang,
-         |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
-         |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-         |    len(list_filter(string_split(text, ' '), x -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
-         |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
-         |    LENGTH(text) AS n_chars
-         |  FROM documents),
+      s"""WITH ${Shared.qualityStatsSql("doc_id, lang")},
          |q AS (
-         |  SELECT doc_id, lang, $qualityExprSql AS q1e4
+         |  SELECT doc_id, lang, ${Shared.q1e4Sql} AS q1e4
          |  FROM stats),
          |r1 AS (
          |  SELECT doc_id, lang, q1e4,
@@ -623,19 +584,7 @@ object CurationQueries {
         |ORDER BY COALESCE(lang, 'zz'), COALESCE(source, 'zz')""".stripMargin,
 
     "q_ccnet_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
-        |  WHERE len(t) >= 2),
-        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
-        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    CAST(FLOOR(CAST(bc.cpc AS DOUBLE) / pc.cp * 100000000 + 0.5) AS BIGINT) AS q
-        |  FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev)),
+      s"""WITH ${Shared.bigramScoredCteSql},
         |docscore AS (
         |  SELECT doc_id, CAST(SUM(q) AS BIGINT) // COUNT(*) AS score_q
         |  FROM scored GROUP BY doc_id),

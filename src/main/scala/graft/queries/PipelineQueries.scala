@@ -361,19 +361,7 @@ object PipelineQueries {
     // aggregates; the per-bigram joins shuffle on well-distributed
     // token keys.
     "q_lm_score" -> { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      val pairs = toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("prev"),
-              element_at(col("t"), i + 1).as("cur")))).as("bg"))
-        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
-      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
-      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
-      pairs.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
-        .withColumn("q",
-          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+      Shared.bigramScored(t(s, dir, "documents"), "doc_id", "text")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (floor(sum(col("q")).cast("double") / count(lit(1)) / 100.0 + 0.5) / 1e6)
@@ -402,19 +390,10 @@ object PipelineQueries {
     // the model), which is the only shape that works when the corpus
     // is 100 TB and the model is megabytes.
     "q_lm_score_topk" -> { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), tokenize_ws(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      val pairs = toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("prev"),
-              element_at(col("t"), i + 1).as("cur")))).as("bg"))
-        .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
-      val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
-      val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val pairs = Shared.bigramPairs(t(s, dir, "documents"), "doc_id", "text")
+      val (bc, pc) = Shared.bigramCounts(pairs)
       val model = bc.join(pc, "prev")
-        .withColumn("q",
-          floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+        .withColumn("q", Shared.condProbQ)
         .orderBy(col("cpc").desc, col("prev").asc, col("cur").asc)
         .limit(1000)
         .select("prev", "cur", "q")
@@ -648,24 +627,10 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_pack_curriculum" ->
-      """WITH stats AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
-        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-        |    len(list_filter(string_split(text, ' '), x -> list_contains(
-        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
-        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
-        |    LENGTH(text) AS n_chars
-        |  FROM documents),
+      s"""WITH ${Shared.qualityStatsSql("doc_id")},
         |keyed AS (
         |  SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
-        |    10000 - CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
-        |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |      + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
-        |                         BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
-        |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
-        |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
-        |      * 10000 + 0.5) AS BIGINT) AS order_key
+        |    10000 - ${Shared.q1e4Sql} AS order_key
         |  FROM stats),
         |c AS (
         |  SELECT doc_id, order_key, n_tokens,
@@ -694,24 +659,10 @@ object PipelineQueries {
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_corpus_stats" ->
-      """WITH stats AS (
-        |  SELECT lang, source, text,
-        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
-        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-        |    len(list_filter(string_split(text, ' '), x -> list_contains(
-        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
-        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
-        |    LENGTH(text) AS n_chars
-        |  FROM documents),
+      s"""WITH ${Shared.qualityStatsSql("lang, source, text")},
         |q AS (
         |  SELECT lang, source, text,
-        |    CAST(FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
-        |      + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |      + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
-        |                         BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
-        |      + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
-        |                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
-        |      * 10000 + 0.5) AS BIGINT) AS q1e4,
+        |    ${Shared.q1e4Sql} AS q1e4,
         |    CAST(tok AS BIGINT) AS tok
         |  FROM stats)
         |SELECT lang, source, COUNT(*) AS n_docs,
@@ -756,44 +707,12 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
-      """WITH RECURSIVE toksets AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
-        |edges AS (
-        |  SELECT id1 AS src, id2 AS dst FROM p
-        |  UNION
-        |  SELECT id2 AS src, id1 AS dst FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+      s"""${Shared.clusterReachCteSql}
         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster_apply" ->
-      """WITH RECURSIVE toksets AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
-        |edges AS (
-        |  SELECT id1 AS src, id2 AS dst FROM p
-        |  UNION
-        |  SELECT id2 AS src, id1 AS dst FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+      s"""${Shared.clusterReachCteSql},
         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
@@ -803,23 +722,7 @@ object PipelineQueries {
     // twins, with the survivor chosen by (n_chars desc, doc_id asc)
     // per component instead of min id.
     "q_dedup_cluster_best" ->
-      """WITH RECURSIVE toksets AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
-        |edges AS (
-        |  SELECT id1 AS src, id2 AS dst FROM p
-        |  UNION
-        |  SELECT id2 AS src, id1 AS dst FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+      s"""${Shared.clusterReachCteSql},
         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
         |best AS (
         |  SELECT cluster,
@@ -893,30 +796,10 @@ object PipelineQueries {
     "q_lang_id" -> langMarkerSql,
 
     "q_text_quality" ->
-      """WITH stats AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok,
-        |    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-        |    len(list_filter(string_split(text, ' '), x -> list_contains(
-        |      ['the','a','an','and','or','of','to','in','is','it'], x))) AS stop,
-        |    LENGTH(REPLACE(text, ' ', '')) AS nospace,
-        |    LENGTH(text) AS n_chars
-        |  FROM documents)
+      s"""WITH ${Shared.qualityStatsSql("doc_id")}
         |SELECT doc_id, tok AS n_tokens,
-        |  FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
-        |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |    + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
-        |                       BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
-        |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
-        |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
-        |    * 10000 + 0.5) / 10000 AS quality,
-        |  (FLOOR((0.4 * LEAST(CAST(tok AS DOUBLE) / 64.0, 1.0)
-        |    + 0.2 * (1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) * 10, 1.0))
-        |    + 0.2 * (CASE WHEN CAST(stop AS DOUBLE) / GREATEST(tok, 1)
-        |                       BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.5 END)
-        |    + 0.2 * (CASE WHEN CAST(nospace AS DOUBLE) / GREATEST(tok, 1)
-        |                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END))
-        |    * 10000 + 0.5) / 10000 >= 0.5) AS keep
+        |  ${Shared.qualityDoubleSql} AS quality,
+        |  (${Shared.qualityDoubleSql} >= 0.5) AS keep
         |FROM stats ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
@@ -956,34 +839,14 @@ object PipelineQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_lm_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
-        |  WHERE len(t) >= 2),
-        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
-        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    CAST(FLOOR(CAST(bc.cpc AS DOUBLE) / pc.cp * 100000000 + 0.5) AS BIGINT) AS q
-        |  FROM pairs p JOIN bc USING (prev, cur) JOIN pc USING (prev))
+      s"""WITH ${Shared.bigramScoredCteSql}
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 100.0 + 0.5) / 1000000 AS lm_score
         |FROM scored GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_lm_score_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
-        |  WHERE len(t) >= 2),
-        |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
-        |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
+      s"""WITH ${Shared.bigramCteSql},
         |model AS (
         |  SELECT prev, cur,
         |    CAST(FLOOR(CAST(cpc AS DOUBLE) / cp * 100000000 + 0.5) AS BIGINT) AS q
