@@ -56,6 +56,18 @@ object GraftExtensions {
     fn("cosine_sim", "cosine_sim(a, b) - cosine of two double arrays") {
       args => CosineSim(args.head, args(1))
     },
+    fn("nearest_centroid_l2", "nearest_centroid_l2(v, cents) - argmin-L2 centroid index") {
+      args => NearestCentroidL2(args.head, args(1))
+    },
+    fn("pq_encode", "pq_encode(v, books) - product-quantization code array") {
+      args => PqEncode(args.head, args(1))
+    },
+    fn("pq_dtable", "pq_dtable(q, books) - per-query ADC lookup table") {
+      args => PqDtable(args.head, args(1))
+    },
+    fn("pq_adc", "pq_adc(codes, dtable) - ADC approximate inner product") {
+      args => PqAdc(args.head, args(1))
+    },
     fn("dot_product", "dot_product(a, b) - dot product of two double arrays") {
       args => DotProduct(args.head, args(1))
     },

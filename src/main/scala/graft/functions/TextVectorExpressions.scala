@@ -253,6 +253,101 @@ object Kernels {
     new GenericArrayData(acc)
   }
 
+  /** Index of the min-L2-distance centroid (ties → lowest index) — the
+    * product-quantization sub-cell assignment. PQ approximates INNER
+    * PRODUCTS, so sub-codebooks must minimize L2 reconstruction error
+    * (cosine assignment would ignore subvector magnitude). */
+  def nearestCentroidL2(vec: ArrayData, cents: ArrayData): Int = {
+    val n = cents.numElements()
+    val v = vec.toDoubleArray()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      val c = cents.getArray(i)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) {
+        val x = v(j) - c.getDouble(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** PQ encode: split `vec` into `m = books.numElements()` subspaces of
+    * dsub = len/m dims; emit per subspace the index of the L2-nearest
+    * row of that subspace's codebook block (a flat ksub×dsub array).
+    * The m small codes REPLACE the vector in the scan: at d=64 float64
+    * and m=8 that is a 64× read-volume cut on the candidate scan. */
+  def pqEncode(vec: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val v = vec.toDoubleArray()
+    val dsub = v.length / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val block = books.getArray(s)
+      val ksub = block.numElements() / dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = v(s * dsub + j) - block.getDouble(c * dsub + j)
+          d += x * x; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Query-side ADC distance table: dot(q_sub, centroid) for every
+    * (subspace, code) cell, flattened m×ksub — computed ONCE per query,
+    * then every candidate scores via m lookups in [[pqAdc]]. */
+  def pqDtable(qvec: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val q = qvec.toDoubleArray()
+    val dsub = q.length / m
+    val ksub = if (m == 0) 0 else books.getArray(0).numElements() / dsub
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val block = books.getArray(s)
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          acc += q(s * dsub + j) * block.getDouble(c * dsub + j); j += 1
+        }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: sum over subspaces of dtable[s*ksub + codes[s]] — the
+    * approximate inner product of the query with the RECONSTRUCTED
+    * candidate, m array lookups per candidate, no vector read. */
+  def pqAdc(codes: ArrayData, dtable: ArrayData): Double = {
+    val m = codes.numElements()
+    val ksub = if (m == 0) 0 else dtable.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += dtable.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    acc
+  }
+
   /** Sign bits against k pseudo-random hyperplanes (splitmix64-derived,
     * component weights in [-1,1)) — random-hyperplane LSH bucket id.
     * Seed packs (plane, component) into disjoint long halves so plane
@@ -361,6 +456,58 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.nearestCentroid($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+}
+
+/** PQ sub-cell assignment: argmin-L2 centroid index of `left` against
+  * `right` (small literal/broadcast array<array<double>>). */
+case class NearestCentroidL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_l2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.nearestCentroidL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.nearestCentroidL2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroidL2 =
+    copy(left = l, right = r)
+}
+
+/** Map-side PQ encoding of `left` (array<double>) against `right`, the
+  * m-block codebook table — see Kernels.pqEncode. */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.pqEncode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** Per-query ADC lookup table of `left` (query vector) against `right`
+  * (codebook table) — see Kernels.pqDtable. */
+case class PqDtable(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_dtable"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pqDtable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.pqDtable($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqDtable =
+    copy(left = l, right = r)
+}
+
+/** ADC score of `left` (codes) against `right` (a query's distance
+  * table) — see Kernels.pqAdc. */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
 }
 

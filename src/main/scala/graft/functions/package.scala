@@ -52,6 +52,15 @@ package object functions {
     col2(NearestCentroid(ex(v), ex(cents)))
   def top_centroids(v: Column, cents: Column, nProbe: Int): Column =
     col2(TopCentroids(ex(v), ex(cents), nProbe))
+  def nearest_centroid_l2(v: Column, cents: Column): Column =
+    col2(NearestCentroidL2(ex(v), ex(cents)))
+  /** PQ code array of `v` against an m-block codebook table (each block
+    * a flat ksub×dsub array) — map-side, no shuffle. */
+  def pq_encode(v: Column, books: Column): Column = col2(PqEncode(ex(v), ex(books)))
+  /** Per-query ADC lookup table (flat m×ksub sub-dot-products). */
+  def pq_dtable(q: Column, books: Column): Column = col2(PqDtable(ex(q), ex(books)))
+  /** ADC approximate inner product: m table lookups per candidate. */
+  def pq_adc(codes: Column, dtable: Column): Column = col2(PqAdc(ex(codes), ex(dtable)))
   /** Elementwise vector-sum aggregate (map-side partial agg). */
   def vector_sum(v: Column): Column = col2(VectorSum(ex(v)).toAggregateExpression())
 

@@ -153,6 +153,94 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** Train product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): split each vector into
+    * `m` subspaces of dsub = d/m dims and k-means each subspace to
+    * `ksub` L2 cells. Rides [[trainGroupedCentroids]] with the subspace
+    * index as the group — one explode of the SAMPLE (never the corpus)
+    * and one (sub, cluster) shuffle per Lloyd round covers all m
+    * codebooks. Returns m blocks, each a flat ksub×dsub row-major
+    * array — a driver-bounded artifact (m·ksub·dsub doubles). */
+  def trainPqCodebooks(v: DataFrame, m: Int, ksub: Int, iters: Int,
+                       trainFraction: Double): Array[Array[Double]] = {
+    val d = v.select(size(col("vec"))).head.getInt(0)
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val subv = v.select(col("nn_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.as("grp"),
+            slice(col("vec"), s * dsub + 1, lit(dsub)).as("vec")))).as("e"))
+      .select(col("e.grp"), col("nn_id"), col("e.vec"))
+    val cents = trainGroupedCentroids(subv, ksub, iters, trainFraction,
+      metric = "l2")
+    val blocks = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[scala.collection.Seq[Double]](1)
+        .flatten.toArray))
+      .sortBy(_._1).map(_._2)
+    require(blocks.length == m, s"expected $m codebooks, got ${blocks.length}")
+    // every subspace sees the same training rows, so cell counts agree
+    require(blocks.map(_.length).distinct.length == 1,
+      "ragged codebooks: subspaces trained different cell counts")
+    blocks
+  }
+
+  /** L7d: PQ-compressed ANN — the complement of [[ivfTopK]]: instead of
+    * scanning fewer vectors (coarse cells), scan ALL candidates but
+    * read m small ints each instead of the d-dim vector (d=64 float64,
+    * m=8 ⇒ 64× less scan volume). Query side precomputes an ADC lookup
+    * table once; each candidate scores via m array lookups, map-side
+    * against the broadcast query set. The ADC shortlist (refine·k per
+    * query) is broadcast BACK against the corpus, so only shortlist
+    * rows ever fetch their raw vector for the exact cosine re-rank —
+    * the faiss IVFPQ+refine recipe, minus the coarse cells (compose
+    * with [[ivfTopK]]'s cluster equi-join for both cuts at once).
+    * Vectors are L2-normalized before encoding so the ADC inner
+    * product approximates cosine. Approximate ⇒ rows-only; recall vs
+    * [[bruteForceTopK]] gated in AnnSpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
+             iters: Int = 2, trainFraction: Double = 1.0,
+             refine: Int = 4): DataFrame = {
+    def normalized(vec: org.apache.spark.sql.Column) = {
+      val n = sqrt(dot_product(vec, vec))
+      when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
+    }
+    val v = corpus.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("nvec", normalized(col("vec")))
+    val books = trainPqCodebooks(v.select(col("nn_id"), col("nvec").as("vec")),
+      m, ksub, iters, trainFraction)
+    val booksLit = typedLit(books.map(_.toSeq).toSeq)
+    val q = queries.select(col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("q_vec"))
+    val probes = q.withColumn("dtable",
+      pq_dtable(normalized(col("q_vec")), booksLit))
+
+    // compressed scan: (id, codes) only — at scale this is the
+    // persisted 8-bytes-per-vector index, not a projection of the scan
+    val codes = v.select(col("nn_id"), pq_encode(col("nvec"), booksLit).as("codes"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("nn_id").asc)
+    val shortlist = codes
+      .crossJoin(broadcast(probes.select(col("query_id"), col("dtable"))))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc", pq_adc(col("codes"), col("dtable")))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= math.max(k, refine * k))
+      .select("query_id", "nn_id")
+
+    // exact re-rank: shortlist (Q·refine·k rows) broadcasts against the
+    // corpus, so raw vectors are read map-side for shortlist rows only
+    val wSim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    v.select("nn_id", "vec").join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   /** Per-group k-means training for [[groupedIvfTopK]]. One persisted
     * hash-sample pass; per Lloyd round a SINGLE (grp, cluster)
     * `vector_sum` shuffle covers every group's update (G·C rows), and
@@ -162,7 +250,12 @@ object Ann {
     * `nClusters` simply train fewer cells (cents length varies per
     * group; the argmax kernels take the array length as truth). */
   def trainGroupedCentroids(v: DataFrame, nClusters: Int, iters: Int,
-                            trainFraction: Double): DataFrame = {
+                            trainFraction: Double,
+                            metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
+    def assign(vec: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column) =
+      if (metric == "l2") nearest_centroid_l2(vec, cents)
+      else nearest_centroid(vec, cents)
     val pct = math.max(1, math.min(100, math.round(trainFraction * 100).toInt))
     val train = v.filter(pmod(xxhash64(col("nn_id")), lit(100)) < pct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -179,7 +272,7 @@ object Ann {
         .localCheckpoint(true)
       (1 to iters).foreach { _ =>
         val updated = train.join(broadcast(cents), "grp")
-          .withColumn("cluster", nearest_centroid(col("vec"), col("cents")))
+          .withColumn("cluster", assign(col("vec"), col("cents")))
           .groupBy("grp", "cluster")
           .agg(vector_sum(col("vec")).as("vsum"), count(lit(1)).as("cnt"))
           .select(col("grp"), col("cluster"),

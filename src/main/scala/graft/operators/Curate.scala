@@ -47,4 +47,45 @@ object Curate {
       .withColumn("thr", when(col("__rate") >= 1.0, lit("zzzz"))
         .otherwise(lpad(lower(hex(floor(col("__rate") * 65536).cast("int"))), 4, "0")))
       .select(col(groupCol), col("thr"))
+
+  /** L26b: leakage-safe (cluster-atomic) dataset split — the split
+    * primitive a dedup-aware pipeline actually needs: a plain
+    * hash-of-id split lets two near-duplicate documents land in train
+    * AND test, leaking eval content into training. Here the split key
+    * is the document's near-dup CLUSTER (connected component of
+    * `pairs` via [[Dedup.clusters]]; docs with no pair are their own
+    * singleton cluster), so a whole duplicate family moves as one
+    * unit. Assignment is the md5-prefix-threshold scheme of
+    * [[mixThresholds]] on the cluster key — a pure function of the
+    * key, partitioning-independent and engine-portable (DuckDB-
+    * oracled). `splits` are (name, fraction) with fractions summing to
+    * 1; realized fractions quantize to 1/65536 AT CLUSTER grain (and
+    * sway with cluster sizes — a split fraction is a probability over
+    * clusters, not an exact row count).
+    *
+    * Scale shape: clusters() ships one row per node per round of the
+    * pair graph only; the assignment join broadcasts nothing and
+    * shuffles docs once on the id equi-join. Reserves columns
+    * `cluster` and `split` on the output. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       id1Col: String = "doc_id1",
+                       id2Col: String = "doc_id2"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    require(!docs.columns.contains("cluster") && !docs.columns.contains("split"),
+      "leakageSafeSplit reserves output columns 'cluster' and 'split'")
+    val cl = Dedup.clusters(pairs, id1Col, id2Col)
+    val withCl = docs.join(cl, docs(idCol) === cl("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), docs(idCol)))
+      .drop("id")
+    val bucket = substring(md5(col("cluster").cast("string")), 1, 4)
+    // cumulative upper thresholds; the last split is the `otherwise`
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thr = cum.map(f => f"${math.min(65535L, math.floor(f * 65536).toLong)}%04x")
+    val assign = splits.init.zip(thr.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), t), acc) => when(bucket < t, name).otherwise(acc)
+    }
+    withCl.withColumn("split", assign)
+  }
 }

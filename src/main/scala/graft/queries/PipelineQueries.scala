@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Pack}
+import graft.operators.{Ann, Curate, Decontaminate, Dedup, Multimodal, Pack}
 import RelationalQueries.t
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 L1-L12) over the
@@ -206,6 +206,31 @@ object PipelineQueries {
           "embedding", "label", k = 5, nClusters = 8, nProbe = 4,
           iters = 2, trainFraction = 1.0)
         .orderBy("query_id", "rank")
+    },
+
+    // L7d: PQ-compressed ANN — scan 16 small codes/vector instead of
+    // the 64-double vector, exact re-rank on the ADC shortlist only
+    // (rows-only; recall vs brute force gated in AnnSpec; m=16 because
+    // the synthetic near-random embeddings need fine subspaces —
+    // dsub=4 — for the ADC ranking to separate a tight sim range).
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.pqTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, m = 16, ksub = 32, iters = 3,
+          trainFraction = 1.0, refine = 6)
+        .orderBy("query_id", "rank")
+    },
+
+    // L26b: leakage-safe split — near-dup clusters (the persisted
+    // jaccard≥0.9 pair graph) move into train/val/test as atomic
+    // units, so eval rows never share a near-duplicate with training
+    // rows (oracled: cluster CTE + the same md5-threshold CASE).
+    "q_split_leakage_safe" -> { (s, dir) =>
+      Curate.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
+          jaccardPairGraph(s, dir),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
     },
 
     // L20: sequence-packing shard assignment — distributed prefix sum
@@ -705,6 +730,21 @@ object PipelineQueries {
         |SELECT doc_id, shuffle_key, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same component oracle as the cluster twins; the split CASE
+    // replays Curate.leakageSafeSplit's thresholds (floor(0.8·65536) =
+    // 0xcccc, floor(0.9·65536) = 0xe666) over md5 of the cluster key.
+    "q_split_leakage_safe" ->
+      s"""${Shared.clusterReachCteSql},
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |  CASE WHEN SUBSTRING(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN SUBSTRING(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""${Shared.clusterReachCteSql}

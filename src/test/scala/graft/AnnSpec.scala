@@ -125,6 +125,49 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf recall $recall below gate")
   }
 
+  test("pq: recall vs brute force, code contract, deterministic") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    def run() = Ann.pqTopK(e, q, "vec_id", "embedding", k = 5, m = 16,
+      ksub = 32, iters = 3, trainFraction = 1.0, refine = 6).collect()
+    val pq = run()
+    assert(pq.nonEmpty)
+    val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"pq recall $recall below gate")
+    // exact re-rank: every returned sim equals the brute-force sim for
+    // that pair when brute force kept it
+    val bfSim = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")) ->
+        r.getAs[Double]("sim")).toMap
+    pq.foreach { r =>
+      bfSim.get((r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")))
+        .foreach(exp => assert(exp == r.getAs[Double]("sim")))
+    }
+    // two runs agree bit-for-bit (training, encode, and rank are all
+    // deterministic)
+    assert(run().map(_.toString).sorted.sameElements(pq.map(_.toString).sorted))
+    // codes contract: m entries, each inside its codebook
+    val books = Ann.trainPqCodebooks(
+      e.select(col("vec_id").as("nn_id"),
+        graft.functions.as_double_array(col("embedding")).as("vec")),
+      m = 16, ksub = 32, iters = 1, trainFraction = 1.0)
+    assert(books.length == 16)
+    val dsub = 64 / 16
+    val ksubActual = books.head.length / dsub
+    val codes = e.limit(50)
+      .select(graft.functions.pq_encode(
+        graft.functions.as_double_array(col("embedding")),
+        typedLit(books.map(_.toSeq).toSeq)).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    codes.foreach { cs =>
+      assert(cs.length == 16)
+      cs.foreach(c => assert(c >= 0 && c < ksubActual))
+    }
+  }
+
   test("persisted grouped ivf index prunes per tenant and keeps recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -102,6 +102,44 @@ class CurationSpec extends SparkSpec {
     assert(sims((1L, 3L)) < 0.5, s"unrelated cosine ${sims((1L, 3L))}")
   }
 
+  test("leakage-safe split: clusters move atomically, singletons split too") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {1,2,3}, {4,5}; 6..12 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_id1", "doc_id2")
+    val out = graft.operators.Curate.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))).collect()
+    assert(out.length == 12)
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster"), r.getAs[String]("split"))).toMap
+    // cluster atomicity: the whole component shares cluster AND split
+    assert(Seq(1L, 2L, 3L).map(byId(_)).distinct.size == 1)
+    assert(Seq(4L, 5L).map(byId(_)).distinct.size == 1)
+    assert(byId(1L)._1 == 1L && byId(4L)._1 == 4L)
+    // singletons are their own cluster
+    (6L to 12L).foreach(i => assert(byId(i)._1 == i))
+    // assignment is the pure md5-threshold function of the cluster key
+    val md5Of = docs.sparkSession.range(1)
+      .select((1L to 12L).map(i =>
+        substring(md5(lit(i.toString)), 1, 4).as(s"h$i")): _*).head
+    (6L to 12L).foreach { i =>
+      val h = md5Of.getAs[String](s"h$i")
+      val expect = if (h < "8000") "train" else if (h < "c000") "val" else "test"
+      assert(byId(i)._2 == expect, s"doc $i bucket $h")
+    }
+    // reserved output columns fail loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Curate.leakageSafeSplit(
+        docs.withColumn("split", lit("x")), "doc_id", pairs,
+        Seq(("a", 1.0)))
+    }
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      graft.operators.Curate.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq(("a", 0.5), ("b", 0.2)))
+    }
+  }
+
   test("mix target never keeps more than it saw; clamped langs keep all") {
     val out = run("q_mix_target").collect()
     assert(out.nonEmpty)
