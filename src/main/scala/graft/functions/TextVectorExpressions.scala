@@ -284,6 +284,7 @@ object Kernels {
   def pqEncode(vec: ArrayData, books: ArrayData): ArrayData = {
     val m = books.numElements()
     val v = vec.toDoubleArray()
+    if (m == 0 || v.length < m) return new GenericArrayData(new Array[Int](0))
     val dsub = v.length / m
     val out = new Array[Int](m)
     var s = 0
@@ -315,8 +316,9 @@ object Kernels {
   def pqDtable(qvec: ArrayData, books: ArrayData): ArrayData = {
     val m = books.numElements()
     val q = qvec.toDoubleArray()
+    if (m == 0 || q.length < m) return new GenericArrayData(new Array[Double](0))
     val dsub = q.length / m
-    val ksub = if (m == 0) 0 else books.getArray(0).numElements() / dsub
+    val ksub = books.getArray(0).numElements() / dsub
     val out = new Array[Double](m * ksub)
     var s = 0
     while (s < m) {
@@ -341,7 +343,8 @@ object Kernels {
     * candidate, m array lookups per candidate, no vector read. */
   def pqAdc(codes: ArrayData, dtable: ArrayData): Double = {
     val m = codes.numElements()
-    val ksub = if (m == 0) 0 else dtable.numElements() / m
+    if (m == 0) return 0.0
+    val ksub = dtable.numElements() / m
     var acc = 0.0
     var s = 0
     while (s < m) { acc += dtable.getDouble(s * ksub + codes.getInt(s)); s += 1 }

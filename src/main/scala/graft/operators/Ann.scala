@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,7 +163,10 @@ object Ann {
     * array — a driver-bounded artifact (m·ksub·dsub doubles). */
   def trainPqCodebooks(v: DataFrame, m: Int, ksub: Int, iters: Int,
                        trainFraction: Double): Array[Array[Double]] = {
-    val d = v.select(size(col("vec"))).head.getInt(0)
+    val d = v.select(size(col("vec"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "trainPqCodebooks: empty vector frame"))
     require(d % m == 0, s"vector dim $d must be divisible by m=$m subspaces")
     val dsub = d / m
     val subv = v.select(col("nn_id"),
@@ -197,24 +200,27 @@ object Ann {
     * Vectors are L2-normalized before encoding so the ADC inner
     * product approximates cosine. Approximate ⇒ rows-only; recall vs
     * [[bruteForceTopK]] gated in AnnSpec. */
+  /** L2-normalize an array<double> column (zero vectors pass through),
+    * so inner products downstream equal cosines. */
+  private def normalizedCol(vec: Column): Column = {
+    val n = sqrt(dot_product(vec, vec))
+    when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
              iters: Int = 2, trainFraction: Double = 1.0,
              refine: Int = 4): DataFrame = {
-    def normalized(vec: org.apache.spark.sql.Column) = {
-      val n = sqrt(dot_product(vec, vec))
-      when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
-    }
     val v = corpus.select(col(idCol).as("nn_id"),
         as_double_array(col(vecCol)).as("vec"))
-      .withColumn("nvec", normalized(col("vec")))
+      .withColumn("nvec", normalizedCol(col("vec")))
     val books = trainPqCodebooks(v.select(col("nn_id"), col("nvec").as("vec")),
       m, ksub, iters, trainFraction)
     val booksLit = typedLit(books.map(_.toSeq).toSeq)
     val q = queries.select(col(idCol).as("query_id"),
       as_double_array(col(vecCol)).as("q_vec"))
     val probes = q.withColumn("dtable",
-      pq_dtable(normalized(col("q_vec")), booksLit))
+      pq_dtable(normalizedCol(col("q_vec")), booksLit))
 
     // compressed scan: (id, codes) only — at scale this is the
     // persisted 8-bytes-per-vector index, not a projection of the scan
@@ -510,6 +516,127 @@ object Ann {
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
+  /** Persist an IVF+PQ index — the full faiss IVFPQ recipe: coarse
+    * k-means cells for partition pruning (read ~nProbe/nClusters of
+    * the index) AND PQ codes for scan compression (read m ints per
+    * candidate, not the vector). Vectors are L2-normalized; PQ encodes
+    * the RESIDUAL r = x̂ - c(x̂) against its cell centroid (residuals
+    * are small ⇒ finer quantization at the same ksub), so a
+    * candidate's approximate score decomposes as dot(q̂, c) — exact,
+    * one value per probed cell — plus the ADC residual lookup.
+    * Layout: `centroids` + `codebooks` (driver-bounded artifacts),
+    * `codes` partitioned by `cluster=` (the pruned scan), `vectors`
+    * (id → raw vector, read only for the refine shortlist). */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nClusters: Int = 16, m: Int = 16,
+                      ksub: Int = 32, iters: Int = 2,
+                      trainFraction: Double = 0.25): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("nvec", normalizedCol(col("vec")))
+    val cents = trainCentroids(v.select(col("nn_id"), col("nvec").as("vec")),
+      nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = v
+      .withColumn("cluster", nearest_centroid(col("nvec"), centsLit))
+      .withColumn("resid", zip_with(col("nvec"),
+        element_at(centsLit, col("cluster") + 1), (a, b) => a - b))
+    val books = trainPqCodebooks(
+      assigned.select(col("nn_id"), col("resid").as("vec")),
+      m, ksub, iters, trainFraction)
+    val booksLit = typedLit(books.map(_.toSeq).toSeq)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.map { case (b, s) => (s, b.toSeq) }.toSeq
+      .toDF("sub", "block").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    assigned
+      .select(col("nn_id"), col("cluster"),
+        pq_encode(col("resid"), booksLit).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    v.select("nn_id", "vec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Add-after-train append to a persisted IVF+PQ index: quantizers
+    * stay fixed; the batch is assigned, residual-encoded, and appended
+    * map-side — one pass over the batch, the index never rewrites. */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub").collect().map(_.getSeq[Double](1).toArray)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val booksLit = typedLit(books.map(_.toSeq).toSeq)
+    val v = batch.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("nvec", normalizedCol(col("vec")))
+      .withColumn("cluster", nearest_centroid(col("nvec"), centsLit))
+      .withColumn("resid", zip_with(col("nvec"),
+        element_at(centsLit, col("cluster") + 1), (a, b) => a - b))
+    v.select(col("nn_id"), col("cluster"),
+        pq_encode(col("resid"), booksLit).as("codes"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    v.select("nn_id", "vec").write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Search a persisted IVF+PQ index: probed cell ids push a
+    * `cluster=` partition filter (reads nProbe/nClusters of the codes
+    * bytes); candidates score via `coff + pq_adc` (cell offset + m
+    * residual lookups); the ADC shortlist broadcasts against the
+    * `vectors` table so only refine·k rows/query read a raw vector for
+    * the exact cosine re-rank. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int = 2, refine: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub").collect().map(_.getSeq[Double](1).toArray)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val booksLit = typedLit(books.map(_.toSeq).toSeq)
+    // checkpointed once: the probe explode, the driver cell collect,
+    // and the final hydrate all see the same query rows
+    val q0 = queries
+      .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
+      .withColumn("q_nvec", normalizedCol(col("q_vec")))
+      .localCheckpoint(true)
+    val probes = q0
+      .withColumn("cluster",
+        explode(top_centroids(col("q_nvec"), centsLit, nProbe)))
+      .withColumn("dtable", pq_dtable(col("q_nvec"), booksLit))
+      .withColumn("coff",
+        dot_product(col("q_nvec"), element_at(centsLit, col("cluster") + 1)))
+      .select("query_id", "cluster", "dtable", "coff")
+    val cells = probes.select("cluster").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(cells: _*))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("nn_id").asc)
+    val shortlist = codes.join(broadcast(probes), "cluster")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc", col("coff") + pq_adc(col("codes"), col("dtable")))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= math.max(k, refine * k))
+      .select("query_id", "nn_id")
+    val wSim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q0.select("query_id", "q_vec")), "query_id")
+      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
   }

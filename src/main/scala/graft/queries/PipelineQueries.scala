@@ -34,6 +34,17 @@ object PipelineQueries {
     s.table(table)
   }
 
+  /** Shared persisted IVF+PQ index, built once per (JVM, corpus dir) —
+    * same amortization as the pair graph and the lexical index. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqMemo.computeIfAbsent(dir, d => {
+      val path = "spark-warehouse/graft_ivfpq_" + RelationalQueries.dirKey(d)
+      Ann.buildIvfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding", path,
+        nClusters = 16, m = 16, ksub = 32, iters = 2, trainFraction = 1.0)
+      path
+    })
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -218,6 +229,17 @@ object PipelineQueries {
       Ann.pqTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
           "embedding", k = 5, m = 16, ksub = 32, iters = 3,
           trainFraction = 1.0, refine = 6)
+        .orderBy("query_id", "rank")
+    },
+
+    // L7e: persisted IVF+PQ search — partition pruning (nProbe cells)
+    // AND compressed candidate scan (residual PQ codes) from one index;
+    // build amortized across calls (rows-only; recall + pruning +
+    // append gated in AnnSpec).
+    "q_ann_ivfpq" -> { (s, dir) =>
+      Ann.searchIvfPqIndex(s, ivfPqIndex(s, dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5, nProbe = 6, refine = 6)
         .orderBy("query_id", "rank")
     },
 

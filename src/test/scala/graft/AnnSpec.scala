@@ -198,6 +198,42 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"grouped persisted-index recall $recall below gate")
   }
 
+  test("persisted ivfpq index: pruning + compressed scan + append keep recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    // hold out a slice to append afterwards
+    val base = e.filter(col("vec_id") % 7 =!= 0)
+    val extra = e.filter(col("vec_id") % 7 === 0)
+    Ann.buildIvfPqIndex(base, "vec_id", "embedding", path,
+      nClusters = 8, m = 16, ksub = 32, iters = 3, trainFraction = 1.0)
+    Ann.appendToIvfPqIndex(extra, "vec_id", "embedding", path)
+    val res = Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding",
+      k = 5, nProbe = 6, refine = 6)
+    // probed-cell filter reaches the codes scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected partition pruning on cluster:\n$plan")
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val out = res.collect()
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    // appended vectors are searchable (some appended id should surface
+    // across the 20 queries' top-5s given a 1/7 slice)
+    assert(got.exists { case (_, nn) => nn % 7 == 0 },
+      "appended vectors never surfaced in any top-5")
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"ivfpq recall $recall below gate")
+    // exact re-rank parity: returned sims equal brute-force sims
+    val bfSim = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")) ->
+        r.getAs[Double]("sim")).toMap
+    out.foreach { r =>
+      bfSim.get((r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")))
+        .foreach(exp => assert(exp == r.getAs[Double]("sim")))
+    }
+  }
+
   test("persisted ivf index prunes to probed cells and keeps recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
