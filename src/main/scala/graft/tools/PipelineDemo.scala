@@ -84,6 +84,18 @@ object PipelineDemo {
       .filter(substring(md5(col("text")), 1, 4) < col("thr")).drop("thr")
     stage("target mix", mixed.count())
 
+    // leakage-safe split: dedup removed >=0.9 near-dups above, but
+    // moderately-similar docs remain — split on the 0.7-Jaccard
+    // cluster key so they never straddle train/test (the real-world
+    // recipe: dedup hard at 0.9, split leakage-safe at 0.7)
+    val softPairs = Dedup.minhashPairs(clean, "doc_id", "text",
+      minJaccard = 0.7)
+    val splitDf = graft.operators.Curate.leakageSafeSplit(clean, "doc_id",
+      softPairs, Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val splitCounts = splitDf.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(f"[pipeline] ${"leakage-safe split"}%-22s $splitCounts")
+
     // BPE tokenize: merges from the word-frequency head, applied map-side
     val merges = graft.operators.Bpe.train(mixed, "text", nMerges = 100)
     val bpeTokens = mixed
@@ -126,6 +138,20 @@ object PipelineDemo {
     println(f"[pipeline] ${"served queries"}%-22s ${hits.count()}%7d hits " +
       s"(top doc per query: ${hits.filter(col("rank") === 1).orderBy("query_id")
         .collect().map(r => s"${r.getLong(0)}->${r.getLong(2)}").mkString(", ")})")
+
+    // semantic serving tail: featurize the curated corpus natively
+    // (hashed_bow — no external embedding model) and serve neighbors
+    // from a persisted IVF+PQ index (pruned + compressed probes)
+    val vecs = mixed.select(col("doc_id"),
+      hashed_bow(tokenize_ws(col("text")), 64).as("emb"))
+    val ivfpqDir = Files.createTempDirectory("pipeline_ivfpq").toString
+    graft.operators.Ann.buildIvfPqIndex(vecs, "doc_id", "emb", ivfpqDir,
+      nClusters = 8, m = 16, ksub = 16, iters = 2, trainFraction = 1.0)
+    val qIds = vecs.orderBy("doc_id").limit(2)
+    val semHits = graft.operators.Ann.searchIvfPqIndex(spark, ivfpqDir,
+      qIds, "doc_id", "emb", k = 3, nProbe = 4, refine = 4)
+    println(f"[pipeline] ${"semantic neighbors"}%-22s ${semHits.count()}%7d hits " +
+      s"(ivf+pq index over hashed_bow)")
     spark.stop()
   }
 }
