@@ -48,6 +48,38 @@ object Curate {
         .otherwise(lpad(lower(hex(floor(col("__rate") * 65536).cast("int"))), 4, "0")))
       .select(col(groupCol), col("thr"))
 
+  /** L33b: temperature-flattened source mixing (the multilingual /
+    * multi-source rebalance of XLM-R and mT5): sampling shares follow
+    * n_g^0.5 instead of n_g, lifting low-resource groups toward parity
+    * while keeping high-resource ones dominant. The exponent is FIXED
+    * at 0.5 — sqrt is IEEE-correctly-rounded in every engine, unlike
+    * pow/log whose last-ulp behavior varies across libms, so the
+    * resulting thresholds are engine-portable (DuckDB-oracled).
+    * `targetFraction` caps total output at that share of the corpus.
+    *
+    * Arithmetic contract: group weights quantize to
+    * floor(sqrt(n)·2^20) BIGINTs (summed exactly), the per-group rate
+    * is one fixed-order double expression over those integers, and
+    * thresholds quantize to 1/65536 like [[mixThresholds]] — same
+    * granularity floor, same `substring(md5(content),1,4) < thr`
+    * membership test downstream. One count aggregate + a broadcast
+    * scalar; group-cardinality output. */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+                            targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__nl"))
+      .withColumn("__w",
+        floor(sqrt(col("__nl").cast("double")) * 1048576.0).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__sw"), sum(col("__nl")).as("__tt"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFraction) * col("__tt") / col("__sw") * col("__w") / col("__nl")))
+      .withColumn("thr", when(col("__rate") >= 1.0, lit("zzzz"))
+        .otherwise(lpad(lower(hex(floor(col("__rate") * 65536).cast("int"))), 4, "0")))
+      .select(col(groupCol), col("thr"))
+  }
+
   /** L26b: leakage-safe (cluster-atomic) dataset split — the split
     * primitive a dedup-aware pipeline actually needs: a plain
     * hash-of-id split lets two near-duplicate documents land in train

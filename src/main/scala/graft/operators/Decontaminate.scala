@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -49,6 +50,46 @@ object Decontaminate {
                          textCol: String, shingleN: Int = 3,
                          minMatched: Long = 5): DataFrame = {
     val bad = contaminated(train, eval, idCol, textCol, shingleN, minMatched)
+      .select(col("id").as("__bad_id"))
+    train.join(bad, col(idCol) === col("__bad_id"), "left_anti")
+  }
+
+  /** L21b: semantic (embedding-space) decontamination — flag training
+    * rows whose cosine similarity to ANY eval vector reaches
+    * `minCosine`. The n-gram pass above catches verbatim/quoted
+    * contamination; this one catches paraphrased eval content that
+    * shares no shingle. Returns one row per contaminated training doc:
+    * (id, eval_id, sim) of its best eval match (sim desc, eval id asc;
+    * sim round-quantized to 4 decimals for engine-portable ordering).
+    *
+    * Scale shape: the eval embedding set is small by contract and
+    * BROADCAST; the training corpus streams through |eval| codegen'd
+    * cosines per row with no shuffle — only flagged ids (bounded by
+    * the contamination rate) reach the ranking window. For an eval
+    * suite too large to broadcast, cluster it and probe per-cell the
+    * way [[Ann.searchIvfIndex]] does. */
+  def semanticContaminated(train: DataFrame, eval: DataFrame,
+                           idCol: String, vecCol: String,
+                           minCosine: Double): DataFrame = {
+    val tr = train.select(col(idCol).as("id"),
+      as_double_array(col(vecCol)).as("v"))
+    val ev = eval.select(col(idCol).as("eval_id"),
+      as_double_array(col(vecCol)).as("ev"))
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("eval_id").asc)
+    tr.crossJoin(broadcast(ev))
+      .withColumn("sim", round(cosine_sim(col("v"), col("ev")), 4))
+      .filter(col("sim") >= minCosine)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("id", "eval_id", "sim")
+  }
+
+  /** Remove semantically contaminated docs (anti join on the flagged
+    * ids). */
+  def removeSemanticContaminated(train: DataFrame, eval: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 minCosine: Double): DataFrame = {
+    val bad = semanticContaminated(train, eval, idCol, vecCol, minCosine)
       .select(col("id").as("__bad_id"))
     train.join(bad, col(idCol) === col("__bad_id"), "left_anti")
   }

@@ -36,10 +36,10 @@ object AnalyticsQueries {
       name
     })
 
-  /** The fixed multi-query batch probed by q_bm25_batch (vocabulary
-    * drawn from Bm25Terms so the oracle's term restriction is shared). */
-  private val Bm25Batch = Seq((1L, "spark join"), (2L, "merge vector stream"),
-    (3L, "spark stream"))
+  /** The fixed multi-query batch probed by q_bm25_batch and fused by
+    * q_hybrid_retrieval (single source: [[Shared.Bm25Batch]], which
+    * also feeds the oracles' VALUES table). */
+  private val Bm25Batch = Shared.Bm25Batch
 
   /** Shared Spark/DuckDB SQL fragment computing the z-value (Morton
     * interleave) of two non-negative integer expressions via arithmetic
@@ -255,6 +255,30 @@ object AnalyticsQueries {
       graft.operators.Lexical.searchBm25Batch(
           Bm25Batch.toDF("query_id", "qtext"), "query_id", "qtext",
           lexIndex(s, dir), k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // L41: hybrid retrieval — the BM25 batch (L24e, probing the shared
+    // persisted index) and an exact dense side (cosine over the native
+    // hashed_bow featurizer, L34) fused by reciprocal rank fusion.
+    // Scores never mix — only ranks do (integer-quantized 1/(60+r)
+    // contributions, order-insensitive sum), so the fusion is
+    // engine-exact and the whole three-stage composition is oracled.
+    // Fusion inputs are queries×k rows per side; the corpus-sized work
+    // stays inside the per-side engines.
+    "q_hybrid_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{hashed_bow, tokenize_ws}
+      val qdf = Bm25Batch.toDF("query_id", "qtext")
+      val lex = graft.operators.Lexical.searchBm25Batch(qdf, "query_id",
+        "qtext", lexIndex(s, dir), k = 10)
+      val dvec = t(s, dir, "documents").select(col("doc_id"),
+        hashed_bow(tokenize_ws(col("text")), 64).as("v"))
+      val qvec = qdf.select(col("query_id"),
+        hashed_bow(tokenize_ws(col("qtext")), 64).as("qv"))
+      val sem = graft.operators.Retrieval.denseTopK(dvec, qvec,
+        "doc_id", "query_id", "v", "qv", k = 10)
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
         .orderBy("query_id", "rank")
     },
 
@@ -741,36 +765,7 @@ object AnalyticsQueries {
     // batch path must hash-equal this (same rational idf and integer
     // quantization as q_bm25).
     "q_bm25_batch" ->
-      s"""WITH docs AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-        |queries(query_id, qtext) AS (VALUES
-        |  (1, 'spark join'), (2, 'merge vector stream'), (3, 'spark stream')),
-        |qterms AS (
-        |  SELECT query_id, UNNEST(list_distinct(
-        |    list_filter(string_split(qtext, ' '), x -> len(x) > 0))) AS tok
-        |  FROM queries),
-        |tf AS (
-        |  SELECT doc_id, tok, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
-        |  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
-        |  GROUP BY doc_id, tok),
-        |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    CAST(FLOOR(
-        |      ((n_docs - df + 0.5) / (df + 0.5)) *
-        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
-        |      * 1e6 + 0.5) AS BIGINT) AS contrib
-        |  FROM tf JOIN qterms q ON tf.tok = q.tok
-        |    JOIN dft ON tf.tok = dft.tok
-        |    JOIN dl ON tf.doc_id = dl.doc_id
-        |    CROSS JOIN stats),
-        |agg AS (
-        |  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q
-        |  FROM scored GROUP BY query_id, doc_id),
+      s"""WITH ${Shared.bm25BatchAggCteSql},
         |ranked AS (
         |  SELECT CAST(query_id AS BIGINT) AS query_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -778,6 +773,57 @@ object AnalyticsQueries {
         |    doc_id, score_q
         |  FROM agg)
         |SELECT query_id, rank, doc_id, score_q FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Hybrid fusion replay: the shared BM25-batch CTE ranks the
+    // lexical side; the shared hashed-bow CTE (docs and queries)
+    // yields integer bows whose dot/norms are exact, so the cosine is
+    // one double division + sqrt (bit-identical to the kernel) with
+    // the same ROUND(.,4); RRF contributions are integer floor-divs.
+    "q_hybrid_retrieval" ->
+      s"""WITH ${Shared.bm25BatchAggCteSql},
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM agg QUALIFY rank <= 10),
+        |${Shared.hashedBowCteSql("documents", "doc_id", "text", "d")},
+        |${Shared.hashedBowCteSql("queries", "query_id", "qtext", "q")},
+        |dn AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+        |       FROM dbow GROUP BY doc_id),
+        |qn AS (SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS n2
+        |       FROM qbow GROUP BY query_id),
+        |dots AS (
+        |  SELECT q.query_id, d.doc_id, CAST(SUM(d.w * q.w) AS BIGINT) AS dot
+        |  FROM dbow d JOIN qbow q ON d.bucket = q.bucket
+        |  GROUP BY q.query_id, d.doc_id),
+        |sims AS (
+        |  SELECT qn.query_id, dn.doc_id,
+        |    ROUND(CAST(COALESCE(dots.dot, 0) AS DOUBLE) /
+        |          SQRT(CAST(dn.n2 AS DOUBLE) * qn.n2), 4) AS sim
+        |  FROM dn CROSS JOIN qn
+        |  LEFT JOIN dots ON dots.doc_id = dn.doc_id
+        |    AND dots.query_id = qn.query_id
+        |  WHERE dn.n2 > 0 AND qn.n2 > 0),
+        |sem AS (
+        |  SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, doc_id) AS rank
+        |  FROM sims QUALIFY rank <= 10),
+        |contrib AS (
+        |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+        |    doc_id, rrf_score
+        |  FROM fused)
+        |SELECT query_id, rank, doc_id, rrf_score FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_text_normalize" ->

@@ -180,6 +180,47 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L33b: temperature-flattened mixing (alpha=0.5) — shares follow
+    // sqrt(n_lang), so low-resource languages are upweighted toward
+    // parity (the XLM-R/mT5 rebalance) while 'en' stays dominant.
+    // Thresholds are engine-exact: sqrt is correctly rounded
+    // everywhere (unlike pow), weights quantize to BIGINTs, and the
+    // rate expression has one fixed evaluation order (oracled).
+    "q_mix_temperature" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rates = Curate.temperatureThresholds(d, "lang", targetFraction = 0.5)
+      d.join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(max(col("thr")).as("thr_hex"),
+          count(lit(1)).as("n_docs"),
+          sum(when(substring(md5(col("text")), 1, 4) < col("thr"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // L29b: duplicated n-gram coverage (Gopher/MassiveText dup-ngram
+    // signal, Rae et al.): per doc, the fraction of its distinct
+    // 3-gram shingles that occur in at least one OTHER place in the
+    // corpus — high coverage marks boilerplate/templated text that
+    // per-doc repetition filters (L29) can't see. One explode + one
+    // shingle-keyed shuffle (partial-agg'd df table, equi-joined
+    // back); fraction is integer micro-units (n_dup·1e6 div n), exact.
+    // At 100 TB the join key narrows via shingle_id_set (the FNV ids,
+    // same contract as L2) — strings here keep the oracle replayable.
+    "q_dup_ngram_fraction" -> { (s, dir) =>
+      val docSh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      val dfreq = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      docSh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac_micro",
+          expr("n_dup * 1000000 div n_shingles"))
+        .orderBy("doc_id")
+    },
+
     // L34: feature hashing (hashed bag-of-words, Weinberger et al.) —
     // the native text->vector featurizer feeding the ANN/semantic
     // stack. Emitted as exploded (doc_id, bucket, weight) integer rows
@@ -542,23 +583,11 @@ object CurationQueries {
         |SELECT lang, rank, tok, tf, df, score_q FROM ranked WHERE rank <= 10
         |ORDER BY lang, rank""".stripMargin,
 
+    // The rolling-hash bow recurrence now lives in
+    // Shared.hashedBowCteSql (also the dense side of q_hybrid_retrieval).
     "q_feature_hash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT doc_id,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_extract_all(tok, '.'),
-        |          c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM toks)
-        |SELECT doc_id, h % 64 AS bucket,
-        |  CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
-        |    AS weight
-        |FROM hashed GROUP BY doc_id, h % 64
+      s"""WITH ${Shared.hashedBowCteSql("documents", "doc_id", "text", "d")}
+        |SELECT doc_id, bucket, w AS weight FROM dbow
         |ORDER BY doc_id, bucket""".stripMargin,
 
     "q_heavy_hitters_sketch" ->
@@ -663,6 +692,51 @@ object CurationQueries {
         |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id, f.lang)
         |SELECT doc_id, lang, margin, margin > 0 AS pred_en
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Temperature thresholds replayed with the same quantization:
+    // sqrt correctly rounded in both engines, weights floor-quantized
+    // to BIGINT, rate expression in the identical left-assoc order.
+    "q_mix_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+        |w AS (SELECT lang, nl,
+        |        CAST(FLOOR(SQRT(CAST(nl AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+        |      FROM n),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(nl) AS BIGINT) AS tt
+        |        FROM w),
+        |rates AS (
+        |  SELECT lang, LEAST(1.0, 0.5 * tt / sw * w / nl) AS rate FROM w, tot),
+        |thr AS (
+        |  SELECT lang,
+        |    CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(FLOOR(rate * 65536) AS INT)) END AS h
+        |  FROM rates)
+        |SELECT d.lang, MAX(thr.h) AS thr_hex, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN SUBSTRING(md5(d.text), 1, 4) < thr.h
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Dup-ngram coverage: same 3-gram shingle construction as the
+    // q_dedup_ngram oracle (list_slice windows, whole-text fallback
+    // under 3 tokens), distinct per doc, df >= 2 marks cross-corpus
+    // duplication; the fraction is exact integer floor-division.
+    "q_dup_ngram_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)) AS sh
+        |  FROM toks),
+        |dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS dup_frac_micro
+        |FROM sh s JOIN dfreq ON s.sh = dfreq.sh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_mix_target" ->
       """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),

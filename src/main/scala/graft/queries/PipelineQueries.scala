@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -323,6 +324,41 @@ object PipelineQueries {
           d.filter(col("doc_id") % 23 === 0),
           "doc_id", "text", shingleN = 3, minMatched = 5)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // L21b: semantic decontamination — training vectors within cosine
+    // 0.4 of ANY eval vector are flagged (best match reported). The
+    // n-gram pass (L21) catches verbatim quotes; this catches
+    // paraphrases that share no shingle. Eval side broadcast, corpus
+    // map-side; oracled via exact DuckDB cosine (integer-free double
+    // chain, same ROUND(.,4) contract as q_ann_bruteforce).
+    "q_decontaminate_semantic" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Decontaminate.semanticContaminated(
+          e.filter(col("vec_id") % 23 =!= 0),
+          e.filter(col("vec_id") % 23 === 0),
+          "vec_id", "embedding", minCosine = 0.4)
+        .orderBy("id")
+    },
+
+    // L42: token-budget corpus selection — each source contributes its
+    // highest-quality docs until a per-source token budget is
+    // exhausted (the budget-capped variant of the L37 row cap: caps
+    // follow token mass, not row count, which is what a training run
+    // actually budgets). One window shuffle on source; quality and the
+    // running total are integer-exact.
+    "q_budget_select" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("q1e4",
+          floor(quality_score(col("text")) * 10000 + 0.5).cast("long"))
+        .withColumn("n_tok", token_count(col("text")))
+      val w = Window.partitionBy("source")
+        .orderBy(col("q1e4").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .filter(col("cum_tokens") <= 1000)
+        .select("doc_id", "source", "q1e4", "n_tok", "cum_tokens")
         .orderBy("doc_id")
     },
 
@@ -737,6 +773,47 @@ object PipelineQueries {
         |  GROUP BY tr.doc_id, len(tr.s))
         |SELECT doc_id, n_shingles, CAST(n_matched AS BIGINT) AS n_matched
         |FROM m WHERE n_matched >= 5 ORDER BY doc_id""".stripMargin,
+
+    // Exact-cosine replay of the semantic decontamination flagging:
+    // same left-to-right dot/norm fold and ROUND(.,4) quantization as
+    // the q_ann_bruteforce oracle, threshold on the rounded sim.
+    "q_decontaminate_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |tr AS (SELECT vec_id AS id, vec AS tv FROM v WHERE vec_id % 23 <> 0),
+        |ev AS (SELECT vec_id AS eval_id, vec AS evv FROM v WHERE vec_id % 23 = 0),
+        |sims AS (
+        |  SELECT id, eval_id,
+        |    ROUND(list_sum(list_transform(list_zip(tv, evv), x -> x[1] * x[2])) /
+        |          SQRT(list_sum(list_transform(tv, x -> x * x)) *
+        |               list_sum(list_transform(evv, x -> x * x))), 4) AS sim
+        |  FROM tr CROSS JOIN ev),
+        |hits AS (
+        |  SELECT id, eval_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |                       ORDER BY sim DESC, eval_id ASC) AS rn
+        |  FROM sims WHERE sim >= 0.4)
+        |SELECT id, eval_id, sim FROM hits WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // Budget selection replay: the shared quality CTE, the same
+    // (quality desc, id) per-source order, and a ROWS-framed running
+    // token sum cut at the budget.
+    "q_budget_select" ->
+      s"""WITH ${Shared.qualityStatsSql("doc_id, source")},
+        |sel AS (
+        |  SELECT doc_id, source, ${Shared.q1e4Sql} AS q1e4,
+        |    CAST(tok AS BIGINT) AS n_tok
+        |  FROM stats),
+        |c AS (
+        |  SELECT doc_id, source, q1e4, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY q1e4 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM sel)
+        |SELECT doc_id, source, q1e4, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin,
 
     "q_pack_shuffled" ->
       """WITH t AS (

@@ -128,4 +128,76 @@ private[queries] object Shared {
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
+
+  // ---- batched BM25 scoring (L24e and the hybrid fusion L41) ----
+
+  /** The fixed multi-query batch scored by q_bm25_batch and fused by
+    * q_hybrid_retrieval. Spark sites build it via `.toDF("query_id",
+    * "qtext")`; [[bm25BatchAggCteSql]] embeds it as a VALUES table —
+    * the two MUST stay in lockstep. */
+  val Bm25Batch: Seq[(Long, String)] =
+    Seq((1L, "spark join"), (2L, "merge vector stream"), (3L, "spark stream"))
+
+  /** CTE chain scoring [[Bm25Batch]] against the corpus from scratch
+    * (docs → dl → stats → queries → qterms → tf → dft → scored → agg;
+    * `agg` has (query_id, doc_id, score_q)). Append site CTEs after a
+    * comma. Kept in LOCKSTEP with Lexical.searchBm25* quantization:
+    * rational idf, per-term contributions floor-quantized to 1e6
+    * BEFORE the per-doc sum (order-insensitive integer aggregate). */
+  val bm25BatchAggCteSql: String =
+    s"""docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |queries(query_id, qtext) AS (VALUES
+      |  ${Bm25Batch.map { case (i, q) => s"($i, '$q')" }.mkString(", ")}),
+      |qterms AS (
+      |  SELECT query_id, UNNEST(list_distinct(
+      |    list_filter(string_split(qtext, ' '), x -> len(x) > 0))) AS tok
+      |  FROM queries),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+      |  WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+      |  GROUP BY doc_id, tok),
+      |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(FLOOR(
+      |      ((n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+      |      * 1e6 + 0.5) AS BIGINT) AS contrib
+      |  FROM tf JOIN qterms q ON tf.tok = q.tok
+      |    JOIN dft ON tf.tok = dft.tok
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    CROSS JOIN stats),
+      |agg AS (
+      |  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q
+      |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+
+  // ---- hashed signed bag-of-words (L34 and the dense side of L41) ----
+
+  /** DuckDB twin of `hashed_bow(tokenize_ws(textCol), 64)` exploded to
+    * (id, bucket, w) integer rows, as CTEs `<p>toks/<p>hashed/<p>bow`
+    * over relation `rel` — the same rolling-hash bucket/sign
+    * recurrence as the q_fingerprint oracle. Append after a comma. */
+  def hashedBowCteSql(rel: String, idCol: String, textCol: String,
+                      p: String): String =
+    s"""${p}toks AS (
+      |  SELECT $idCol,
+      |    UNNEST(list_filter(string_split($textCol, ' '), x -> len(x) > 0)) AS tok
+      |  FROM $rel),
+      |${p}hashed AS (
+      |  SELECT $idCol,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(tok, '.'),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM ${p}toks),
+      |${p}bow AS (
+      |  SELECT $idCol, h % 64 AS bucket,
+      |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |  FROM ${p}hashed GROUP BY $idCol, h % 64)""".stripMargin
 }

@@ -150,6 +150,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens shares toward low-resource groups") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // 900 vs 100 rows: plain proportional sampling keeps 9:1; at
+    // alpha=0.5 the weight ratio is sqrt(900):sqrt(100) = 3:1, so the
+    // small group's RATE must exceed the large group's.
+    val df = ((1 to 900).map(i => (s"a$i", "big")) ++
+      (1 to 100).map(i => (s"b$i", "small"))).toDF("txt", "grp")
+    val thr = Curate.temperatureThresholds(df, "grp", targetFraction = 0.5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // replicate the arithmetic exactly
+    def w(n: Long) = math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong
+    val (sw, tt) = (w(900) + w(100), 1000L)
+    def rate(n: Long) = math.min(1.0, 0.5 * tt / sw * w(n) / n)
+    def hx(r: Double) =
+      if (r >= 1.0) "zzzz" else f"${math.floor(r * 65536).toInt}%04x"
+    assert(thr("big") == hx(rate(900)))
+    assert(thr("small") == hx(rate(100)))
+    // flattening: small group sampled at a strictly higher rate
+    assert(rate(100) > rate(900))
+    // and the query's realized counts respect the thresholds
+    val out = run("q_mix_temperature").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+    intercept[IllegalArgumentException] {
+      Curate.temperatureThresholds(df, "grp", targetFraction = 0.0)
+    }
+  }
+
   test("compressibility signal: repetitive text compresses far below varied text") {
     import spark.implicits._
     import graft.functions.{gzip_compress, round_portable}

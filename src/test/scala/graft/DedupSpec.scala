@@ -180,6 +180,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("semantic decontamination flags paraphrase-level vector matches") {
+    import graft.operators.Decontaminate
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // same direction as eval 100
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // cos ~ 0.994 to eval 100
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal to both evals
+      .toDF("vec_id", "embedding")
+    val ev = Seq(
+      (100L, Array(2.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticContaminated(train, ev,
+        "vec_id", "embedding", minCosine = 0.9).collect()
+    assert(flagged.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    // best match reported: both hit eval 100, doc 1 at sim exactly 1
+    val m = flagged.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("eval_id"), r.getAs[Double]("sim"))).toMap
+    assert(m(1L) == (100L, 1.0))
+    assert(m(2L)._1 == 100L && m(2L)._2 > 0.99 && m(2L)._2 < 1.0)
+    val kept = Decontaminate.removeSemanticContaminated(train, ev,
+        "vec_id", "embedding", minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("embedding LSH pairs are verified by exact cosine") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Dedup.embeddingPairs(e, "vec_id", "embedding",

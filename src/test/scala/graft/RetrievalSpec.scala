@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Hybrid-retrieval invariants (SURVEY.md §2 L41). The value-level
+  * gate is q_hybrid_retrieval's DuckDB replay; these pin the algebra a
+  * hash can't express: the RRF contribution formula, cross-side
+  * reinforcement, and denseTopK's no-self-filter contract.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: doc on both sides outranks better-placed single-side docs") {
+    // query 1: doc 10 is rank 3 lexically AND rank 2 semantically;
+    // docs 20/30 are rank 1 on one side only. 1e6/63 + 1e6/62 beats
+    // 1e6/61 by far, so cross-side agreement must win.
+    val lex = Seq((1L, 20L, 1), (1L, 11L, 2), (1L, 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 30L, 1), (1L, 10L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), k = 10).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("doc_id") == 10L)
+    // contribution formula is exactly 1e6 div (60 + rank), summed
+    val expected = 1000000L / 63 + 1000000L / 62
+    assert(out.head.getAs[Long]("rrf_score") == expected)
+    // single-side docs carry exactly their one contribution
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_score")).toMap
+    assert(byDoc(20L) == 1000000L / 61)
+    assert(byDoc(30L) == 1000000L / 61)
+  }
+
+  test("rrfFuse: ties break on doc_id and k caps each query independently") {
+    val a = Seq((1L, 5L, 1), (1L, 3L, 2), (2L, 7L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 3L, 1), (1L, 5L, 2), (2L, 8L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    // q1: docs 3 and 5 each score 1e6/61 + 1e6/62 — tie, doc 3 first
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 1).collect()
+    assert(out.length == 2)
+    val q1 = out.find(_.getAs[Long]("query_id") == 1L).get
+    assert(q1.getAs[Long]("doc_id") == 3L && q1.getAs[Int]("rank") == 1)
+    val q2 = out.find(_.getAs[Long]("query_id") == 2L).get
+    assert(q2.getAs[Long]("doc_id") == 7L)
+  }
+
+  test("denseTopK matches manual cosine order and keeps same-id hits") {
+    // query id 1 collides with corpus id 1 — the hit must NOT be
+    // suppressed (different namespaces), unlike Ann.bruteForceTopK.
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),   // exactly the query direction
+      (2L, Array(1.0, 1.0)),   // cos = 0.7071
+      (3L, Array(0.0, 1.0)))   // orthogonal
+      .toDF("doc_id", "vec")
+    val q = Seq((1L, Array(2.0, 0.0))).toDF("query_id", "vec")
+    val out = Retrieval.denseTopK(corpus, q, "doc_id", "query_id",
+        "vec", "vec", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Double]("sim")).toSeq == Seq(1.0, 0.7071, 0.0))
+  }
+
+  test("hybrid query fuses exactly the per-side top-10 lists") {
+    val out = graft.queries.AnalyticsQueries
+      .queries("q_hybrid_retrieval")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      // ranks are 1..n contiguous and scores non-increasing
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // max possible score is two rank-1 contributions
+      assert(scores.head <= 2 * (1000000L / 61))
+    }
+  }
+}
