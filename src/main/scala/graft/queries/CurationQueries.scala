@@ -202,17 +202,20 @@ object CurationQueries {
     // signal, Rae et al.): per doc, the fraction of its distinct
     // 3-gram shingles that occur in at least one OTHER place in the
     // corpus — high coverage marks boilerplate/templated text that
-    // per-doc repetition filters (L29) can't see. One explode + one
-    // shingle-keyed shuffle (partial-agg'd df table, equi-joined
-    // back); fraction is integer micro-units (n_dup·1e6 div n), exact.
-    // At 100 TB the join key narrows via shingle_id_set (the FNV ids,
-    // same contract as L2) — strings here keep the oracle replayable.
+    // per-doc repetition filters (L29) can't see. The shuffle key is
+    // the FNV shingle ID (narrow longs via the codegen'd
+    // shingle_id_set — no shingle string ever shuffles; the same
+    // collision-free-w.h.p. contract as every Jaccard op), the df
+    // comes from one whole-partition window count, and the fraction is
+    // integer micro-units (n_dup·1e6 div n), exact. Two narrow
+    // shuffles total; the oracle replays string shingles, which agree
+    // with the ids by that contract.
     "q_dup_ngram_fraction" -> { (s, dir) =>
       val docSh = t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(array_distinct(shingles(col("text"), 3))).as("sh"))
-      val dfreq = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
-      docSh.join(dfreq, "sh")
+          explode(shingle_id_set(tokenize_ws(col("text")), 3)).as("sh"))
+      docSh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
