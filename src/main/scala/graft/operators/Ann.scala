@@ -699,4 +699,31 @@ object Ann {
       .filter(col("rk") <= k)
       .select(col("id"), col("rk").cast("long").as("rk"), col("nb"), col("cos"))
   }
+
+  /** L43: kNN classification — label each query vector by MAJORITY
+    * VOTE of its k nearest labeled neighbors (exact cosine; vote ties
+    * break (votes desc, label asc), so the prediction is deterministic
+    * at any parallelism). The label-spreading primitive of a curation
+    * pipeline: propagate a small set of human/classifier labels
+    * (quality tiers, domains, topics) onto unlabeled corpus slices.
+    * Returns (query_id, pred_label, n_votes).
+    *
+    * Scale shape: the query set rides [[bruteForceTopK]]'s broadcast
+    * contract (bounded holdout); only queries×k narrow rows reach the
+    * label join and the vote. To classify a corpus-sized query side,
+    * swap the search for [[bulkTopK]]'s cluster-keyed equi-join and
+    * keep the identical vote tail. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(labeled, queries, idCol, vecCol, k)
+    val lbl = labeled.select(col(idCol).as("nn_id"), col(labelCol).as("nn_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nn_label").asc)
+    nn.join(lbl, "nn_id")
+      .groupBy("query_id", "nn_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("nn_label").as("pred_label"), col("n_votes"))
+  }
 }

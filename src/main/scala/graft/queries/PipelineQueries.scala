@@ -183,6 +183,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L43: kNN classification — a 5% holdout labeled by majority vote
+    // of its 5 nearest labeled neighbors (exact cosine; ties on
+    // (votes desc, label asc)). Reported against the true labels.
+    // The search rides the broadcast-queries contract; corpus-scale
+    // inference swaps in bulkTopK per the operator doc (oracled).
+    "q_knn_classify" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val hold = e.filter(col("vec_id") % 20 === 0)
+      Ann.knnClassify(e.filter(col("vec_id") % 20 =!= 0), hold,
+          "vec_id", "embedding", "label", k = 5)
+        .join(hold.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy("query_id")
+    },
+
     // L7: LSH-bucketed ANN — the scale path (rows-only; recall vs L6
     // measured in AnnSpec).
     "q_ann_lsh" -> { (s, dir) =>
@@ -910,6 +926,42 @@ object PipelineQueries {
         |  FROM sims)
         |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // kNN vote replay: exact cosine ranking (same ROUND(.,4) +
+    // (sim desc, nn_id) order as q_ann_bruteforce), top-5 votes
+    // grouped per query, argmax on (votes desc, label asc).
+    "q_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS true_label, vec AS qv
+        |      FROM v WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS nn_id, label AS nn_label, vec
+        |      FROM v WHERE vec_id % 20 <> 0),
+        |sims AS (
+        |  SELECT query_id, nn_id, nn_label,
+        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
+        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
+        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |  FROM c CROSS JOIN q),
+        |nn AS (
+        |  SELECT query_id, nn_label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM sims QUALIFY rank <= 5),
+        |votes AS (
+        |  SELECT query_id, nn_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        |  FROM nn GROUP BY query_id, nn_label),
+        |best AS (
+        |  SELECT query_id, nn_label AS pred_label, n_votes,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY n_votes DESC, nn_label ASC) AS rn
+        |  FROM votes)
+        |SELECT b.query_id, b.pred_label, b.n_votes, q.true_label,
+        |  b.pred_label = q.true_label AS correct
+        |FROM best b JOIN q USING (query_id) WHERE rn = 1
+        |ORDER BY b.query_id""".stripMargin,
 
     "q_retrieval" ->
       """WITH v AS (

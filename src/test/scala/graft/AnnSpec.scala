@@ -353,6 +353,33 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"bulk-knn recall $recall below gate")
   }
 
+  test("knn classify: planted clusters vote correctly, ties break low-label") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // two tight direction clusters: label 1 along +x, label 2 along +y
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.05f), 1), (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(0.95f, 0.1f), 1),
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.05f, 1.0f), 2),
+      (6L, Array(0.1f, 0.95f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Array(1.0f, 0.1f)),    // x-cluster -> label 1
+      (200L, Array(0.1f, 1.0f)))    // y-cluster -> label 2
+      .toDF("vec_id", "embedding")
+    val out = Ann.knnClassify(labeled, queries, "vec_id", "embedding",
+        "label", k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"))).toMap
+    assert(out(100L) == (1, 3L))
+    assert(out(200L) == (2, 3L))
+    // k=6 uses all neighbors: 3 votes each, tie -> smaller label wins
+    val tied = Ann.knnClassify(labeled, queries, "vec_id", "embedding",
+        "label", k = 6).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("pred_label")).toMap
+    assert(tied(100L) == 1 && tied(200L) == 1)
+  }
+
   test("top_centroids survives NaN similarities; hyperplane_lsh bounds bits") {
     import spark.implicits._
     // NaN query vector: every cosine is NaN; selection must still emit
