@@ -114,6 +114,49 @@ object Lexical {
     st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /** Index-lifecycle deletion: drop a batch of doc ids from the
+    * persisted index (retraction / right-to-erasure). Postings and
+    * doclen are rewritten WITHOUT the deleted ids in their original
+    * bucket layout; the derived term-df and stats tables rebuild from
+    * the committed survivors — so after the delete, searches are
+    * exactly a from-scratch index over the remaining corpus (df drops
+    * when a term's last holder goes, avgdl shifts; spec-gated).
+    *
+    * Scale contract: a delete is a bulk rewrite of both bucketed
+    * tables — BATCH retraction sets and apply them together (the same
+    * amortize-the-rewrite economics as queue compaction). A workload
+    * needing frequent row-level erasure at 100 TB wants a tombstone
+    * table consulted at probe time instead, at the price of an
+    * anti-join on every search. Unknown ids are a no-op. */
+  def deleteDocs(spark: SparkSession, table: String, ids: DataFrame,
+                 idCol: String, buckets: Int = 32): Unit = {
+    val del = ids.select(col(idCol).as("doc_id"))
+    // materialize the survivors BEFORE dropping their source tables
+    // (never read-while-overwrite — same discipline as appendDocs)
+    val p2 = spark.table(s"${table}_postings")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val d2 = spark.table(s"${table}_doclen")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    dropManaged(spark, s"${table}_postings")
+    p2.write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    dropManaged(spark, s"${table}_doclen")
+    d2.write.mode("overwrite").bucketBy(buckets, "doc_id")
+      .format("parquet").saveAsTable(s"${table}_doclen")
+    val df2 = spark.table(s"${table}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    dropManaged(spark, s"${table}_termdf")
+    df2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
+    val st2 = spark.table(s"${table}_doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .localCheckpoint(true)
+    dropManaged(spark, s"${table}_stats")
+    st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
   /** Shared BM25 contribution pipeline: postings restricted to the
     * probe terms, joined to df/doclen/stats, scored with the rational
     * idf and integer-quantized per-term contributions. ONE definition

@@ -118,6 +118,40 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("deletion: build(all) - delete(half) equals build(half), unknown ids no-op") {
+    import spark.implicits._
+    import graft.operators.Lexical
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("spark", "join", "merge", "vector", "stream")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_delfrom", buckets = 8)
+      Lexical.deleteDocs(spark, "lexidx_delfrom",
+        d.filter(col("doc_id") % 2 =!= 0).select("doc_id"), "doc_id",
+        buckets = 8)
+      Lexical.buildIndex(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lexidx_delref", buckets = 8)
+      def top(table: String) =
+        Lexical.searchBm25(spark, table, terms, k = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // scores equal a from-scratch index over the survivors: df and
+      // avgdl both shifted with the deletion, not just the hit list
+      assert(top("lexidx_delfrom") == top("lexidx_delref"))
+      def phrase(table: String) =
+        Lexical.searchPhrase(spark, table, Seq("table", "hash"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(phrase("lexidx_delfrom") == phrase("lexidx_delref"))
+      // unknown ids: a no-op, searches unchanged
+      val before = top("lexidx_delfrom")
+      Lexical.deleteDocs(spark, "lexidx_delfrom",
+        Seq(-1L, -2L).toDF("doc_id"), "doc_id", buckets = 8)
+      assert(top("lexidx_delfrom") == before)
+    } finally {
+      for (t <- Seq("lexidx_delfrom", "lexidx_delref");
+           s <- Seq("postings", "doclen", "termdf", "stats"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")
+    }
+  }
+
   test("phrase search equals a direct token-window scan") {
     import graft.operators.Lexical
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
