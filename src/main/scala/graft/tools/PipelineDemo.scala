@@ -152,6 +152,24 @@ object PipelineDemo {
       qIds, "doc_id", "emb", k = 3, nProbe = 4, refine = 4)
     println(f"[pipeline] ${"semantic neighbors"}%-22s ${semHits.count()}%7d hits " +
       s"(ivf+pq index over hashed_bow)")
+
+    // hybrid serving tail: the SAME text queries answered by BOTH
+    // committed indexes — BM25 over the lexical index, cosine over the
+    // IVF+PQ index (queries featurized with the corpus's hashed_bow) —
+    // fused by reciprocal rank fusion. Query ids live in their own
+    // 9xxx namespace so the index's same-id guard never fires.
+    val hq = Seq((9001L, "spark join"), (9002L, "vector stream"))
+      .toDF("qid", "qtext")
+    val hLex = Lexical.searchBm25Batch(hq, "qid", "qtext",
+      "pipeline_demo_idx", k = 5)
+    val hSem = graft.operators.Ann.searchIvfPqIndex(spark, ivfpqDir,
+        hq.select(col("qid"), hashed_bow(tokenize_ws(col("qtext")), 64).as("emb")),
+        "qid", "emb", k = 5, nProbe = 4, refine = 4)
+      .withColumnRenamed("nn_id", "doc_id")
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(hLex, hSem), k = 5)
+    println(f"[pipeline] ${"hybrid serving"}%-22s ${fused.count()}%7d hits " +
+      s"(top doc per query: ${fused.filter(col("rank") === 1).orderBy("query_id")
+        .collect().map(r => s"${r.getLong(0)}->${r.getLong(2)}").mkString(", ")})")
     spark.stop()
   }
 }
