@@ -490,6 +490,87 @@ object Ann {
       .parquet(s"$path/assignments")
   }
 
+  /** Delete a batch of ids from a persisted IVF index (faiss
+    * remove_ids semantics: centroids stay FIXED — retrain only when
+    * drift degrades recall). Only the `cluster=` partitions that
+    * actually HOLD a deleted id are rewritten (dynamic partition
+    * overwrite — the deletion twin of the search path's partition
+    * pruning); untouched cells stay untouched bytes. Dynamic
+    * overwrite skips partitions with zero surviving rows, so fully
+    * emptied cells are removed explicitly — no stale data can
+    * outlive its delete. Unknown ids are a no-op. Same batching
+    * economics as [[Lexical.deleteDocs]]. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame, idCol: String): Unit = {
+    val del = ids.select(col(idCol).as("nn_id"))
+    val asg = spark.read.parquet(s"$path/assignments")
+    val cells = asg.join(broadcast(del), Seq("nn_id"), "left_semi")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) return
+    // materialize survivors BEFORE overwriting their source partitions
+    val survivors = asg.where(col("cluster").isin(cells: _*))
+      .join(broadcast(del), Seq("nn_id"), "left_anti")
+      .localCheckpoint(true)
+    val kept = survivors.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    withDynamicOverwrite(spark) {
+      survivors.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$path/assignments")
+    }
+    dropCellDirs(spark, s"$path/assignments", cells.filterNot(kept))
+  }
+
+  /** Delete a batch of ids from a persisted IVF+PQ index: `codes`
+    * partitions rewrite cell-pruned exactly like
+    * [[deleteFromIvfIndex]]; the unpartitioned `vectors` (refine)
+    * table rewrites whole. Centroids and codebooks stay fixed. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, ids: DataFrame, idCol: String): Unit = {
+    val del = ids.select(col(idCol).as("nn_id"))
+    val codes = spark.read.parquet(s"$path/codes")
+    val cells = codes.join(broadcast(del), Seq("nn_id"), "left_semi")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) return
+    val survivors = codes.where(col("cluster").isin(cells: _*))
+      .join(broadcast(del), Seq("nn_id"), "left_anti")
+      .localCheckpoint(true)
+    val kept = survivors.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    withDynamicOverwrite(spark) {
+      survivors.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$path/codes")
+    }
+    dropCellDirs(spark, s"$path/codes", cells.filterNot(kept))
+    val v2 = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(del), Seq("nn_id"), "left_anti")
+      .localCheckpoint(true)
+    v2.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  private def withDynamicOverwrite(spark: org.apache.spark.sql.SparkSession)
+                                  (body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def dropCellDirs(spark: org.apache.spark.sql.SparkSession,
+                           base: String, cells: Seq[Int]): Unit = {
+    if (cells.nonEmpty) {
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cells.foreach { c =>
+        val dir = new org.apache.hadoop.fs.Path(basePath, s"cluster=$c")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
+  }
+
   /** Search a persisted IVF index. The probed cell ids are computed
     * driver-side from the (tiny) centroid table and pushed as an
     * `isin` filter on the partition column, so the scan lists and

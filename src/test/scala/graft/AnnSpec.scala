@@ -305,6 +305,67 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"post-append recall $recall below gate")
   }
 
+  test("ivf delete: equals survivor-filtered index, emptied cells leave no bytes") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val ref = java.nio.file.Files.createTempDirectory("ivfdelref").toString
+    Ann.buildIvfIndex(e, "vec_id", "embedding", path,
+      nClusters = 8, iters = 3, trainFraction = 1.0)
+    // delete every 3rd id PLUS one whole cell — build the exact
+    // reference index first: same centroids, survivor assignments
+    val asg = spark.read.parquet(s"$path/assignments").localCheckpoint(true)
+    val someCell = asg.select("cluster").head().getInt(0)
+    val delIds = asg.filter(col("nn_id") % 3 === 0 ||
+        col("cluster") === someCell)
+      .select("nn_id").collect().map(_.getLong(0)).toSet
+    val fs = java.nio.file.Paths.get(ref, "assignments").toString
+    asg.filter(!col("nn_id").isin(delIds.toSeq: _*))
+      .write.partitionBy("cluster").parquet(fs)
+    spark.read.parquet(s"$path/centroids").write.parquet(s"$ref/centroids")
+    Ann.deleteFromIvfIndex(spark, path, delIds.toSeq.toDF("vec_id"), "vec_id")
+    val q = e.filter(col("vec_id") < 20)
+    def res(p: String) = Ann.searchIvfIndex(spark, p, q, "vec_id",
+        "embedding", k = 5, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("sim"))).toSet
+    val got = res(path)
+    assert(got == res(ref), "post-delete search diverges from survivor index")
+    assert(!got.exists(r => delIds.contains(r._3)), "deleted id surfaced")
+    // the emptied cell's directory is physically gone
+    assert(!new java.io.File(s"$path/assignments/cluster=$someCell").exists(),
+      "stale bytes survived a full-cell delete")
+    // unknown ids: a no-op
+    Ann.deleteFromIvfIndex(spark, path, Seq(-5L).toDF("vec_id"), "vec_id")
+    assert(res(path) == got)
+  }
+
+  test("ivfpq delete: codes and refine vectors both forget the ids") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("ivfpqdel").toString
+    Ann.buildIvfPqIndex(e, "vec_id", "embedding", path,
+      nClusters = 8, m = 16, ksub = 16, iters = 2, trainFraction = 1.0)
+    val q = e.filter(col("vec_id") < 10)
+    val before = Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, refine = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")))
+    // delete exactly the ids that were just serving as neighbors
+    val delIds = before.map(_._2).distinct.take(10).toSeq
+    Ann.deleteFromIvfPqIndex(spark, path, delIds.toDF("vec_id"), "vec_id")
+    val after = Ann.searchIvfPqIndex(spark, path, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, refine = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")))
+    assert(after.nonEmpty, "index unusable after delete")
+    assert(!after.exists(r => delIds.contains(r._2)), "deleted id surfaced")
+    // both physical tables forgot the ids
+    val codesIds = spark.read.parquet(s"$path/codes")
+      .select("nn_id").collect().map(_.getLong(0)).toSet
+    val vecIds = spark.read.parquet(s"$path/vectors")
+      .select("nn_id").collect().map(_.getLong(0)).toSet
+    assert(delIds.forall(id => !codesIds.contains(id) && !vecIds.contains(id)))
+  }
+
   test("knn graph: bounded degree, no self edges, recall vs brute force") {
     import graft.functions.{as_double_array, cosine_sim, round_portable}
     import org.apache.spark.sql.expressions.Window
