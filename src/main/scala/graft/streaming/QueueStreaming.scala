@@ -388,6 +388,43 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13i: streaming HYBRID retrieval — each trigger's text-query
+    * batch probes BOTH persisted indexes and the rankings fuse via
+    * integer RRF ([[graft.operators.Retrieval.rrfFuse]]) before
+    * landing replay-safe per batch: the lexical side is the
+    * bucket-pruned BM25 batch probe of [[lexicalRetrievalStream]],
+    * the dense side featurizes the query text with the corpus's
+    * hashed_bow and runs the cell-pruned IVF probe of
+    * [[retrievalStream]]. Fusion moves |batch|×k rows — per-trigger
+    * cost is the two pruned probes, never either index. The IVF index
+    * must be built over `hashed_bow(tokenize_ws(text), dims)` of the
+    * SAME corpus the lexical table indexes, and query ids must live
+    * outside the doc-id namespace (the index probe suppresses
+    * same-id hits). */
+  def hybridRetrievalStream(queries: DataFrame, idCol: String,
+                            textCol: String, lexTable: String,
+                            ivfPath: String, outPath: String,
+                            checkpoint: String, k: Int = 10,
+                            nProbe: Int = 2, dims: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.functions.{hashed_bow, tokenize_ws}
+        import graft.operators.{Ann, Lexical, Retrieval}
+        // both probes must see the same rows
+        val b = batch.toDF().localCheckpoint(true)
+        val lex = Lexical.searchBm25Batch(b, idCol, textCol, lexTable, k)
+        val dense = Ann.searchIvfIndex(b.sparkSession, ivfPath,
+            b.select(col(idCol),
+              hashed_bow(tokenize_ws(col(textCol)), dims).as("__emb")),
+            idCol, "__emb", k = k, nProbe = nProbe)
+          .withColumnRenamed("nn_id", "doc_id")
+        Retrieval.rrfFuse(Seq(lex, dense), k)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

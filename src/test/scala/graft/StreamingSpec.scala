@@ -344,6 +344,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming hybrid retrieval equals batch-side RRF of both probes") {
+    import graft.functions.{hashed_bow, tokenize_ws}
+    import graft.operators.{Ann, Lexical, Retrieval}
+    implicit val sq = spark.sqlContext
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = Files.createTempDirectory("hret_idx").toString
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_hyb", buckets = 16)
+      val vecs = d.select(col("doc_id"),
+        hashed_bow(tokenize_ws(col("text")), 64).as("emb"))
+      Ann.buildIvfIndex(vecs, "doc_id", "emb", idx, nClusters = 8,
+        trainFraction = 1.0)
+      val mem = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("hret_out").toString
+      val ckpt = Files.createTempDirectory("hret_ckpt").toString
+      val q = QueueStreaming.hybridRetrievalStream(
+        mem.toDF().toDF("qid", "qtext"), "qid", "qtext",
+        "lexidx_hyb", idx, outDir, ckpt, k = 5, nProbe = 4)
+      mem.addData((9001L, "spark join"))
+      q.processAllAvailable()
+      mem.addData((9002L, "merge vector stream")) // second trigger
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rank", "doc_id", "rrf_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      // batch-side reference: same two probes + same fusion
+      val qdf = Seq((9001L, "spark join"), (9002L, "merge vector stream"))
+        .toDF("qid", "qtext")
+      val lex = Lexical.searchBm25Batch(qdf, "qid", "qtext", "lexidx_hyb", 5)
+      val dense = Ann.searchIvfIndex(spark, idx,
+          qdf.select(col("qid"),
+            hashed_bow(tokenize_ws(col("qtext")), 64).as("emb")),
+          "qid", "emb", k = 5, nProbe = 4)
+        .withColumnRenamed("nn_id", "doc_id")
+      val ref = Retrieval.rrfFuse(Seq(lex, dense), 5).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == ref, "per-trigger fusion must equal the batch fusion")
+      assert(got.map(_._1) == Set(9001L, 9002L), "every query answered")
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_hyb_$s"))
+    }
+  }
+
   test("near-dup ingest drops stream rows duplicating the corpus") {
     import graft.operators.Dedup
     implicit val sq = spark.sqlContext
