@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** L44: distributed classifier TRAINING (SURVEY.md §2) — full-batch
+  * gradient descent for a logistic-shaped linear model over hashed
+  * features, where every round is ONE aggregation pass and the model
+  * stays a driver-bounded broadcast artifact (dims+1 integer weights
+  * incl. bias). The training-side complement of the closed-form
+  * discriminant (L36) and the inference pass (q_classifier_margin).
+  *
+  * Determinism contract (the reason this trainer can be ORACLED, which
+  * iterative ML training normally can't): the model lives in integer
+  * micro-units (2^-20), per-row gradients are floor-quantized to
+  * integers BEFORE the sum (order-insensitive — partitioning and
+  * engine invariant), the squashing function is the RATIONAL fast
+  * sigmoid σ(m) = 0.5 + m/(2(1+|m|)) (no libm exp/log — IEEE-exact
+  * division only, same bits in every engine), and the weight update is
+  * floor(lrNum·S / (lrDen·n)). Every round's weights are therefore a
+  * pure integer function of the corpus.
+  *
+  * Scale shape: per round one scan + one `vector_sum` aggregate
+  * (map-side partials, a dims-length array through the shuffle);
+  * the corpus never shuffles against the model. Rounds are a driver
+  * loop over broadcast weights — R × one job, like Dedup.clusters.
+  */
+object Train {
+
+  /** Overflow guards: |g| ≤ 2^20 per row, so |S_b| ≤ 2^20 · Σ|x_b| must
+    * stay under 2^53 for the exact-double vector aggregate; margins
+    * Σ x_b·w_b must stay in the same bound. Holds for bow-scale counts
+    * (x ≤ thousands) and corpus rows ≤ ~10^9 per aggregate; beyond
+    * that, shrink the quantization scale. */
+  private val Scale = 1048576.0 // 2^20
+
+  /** Train integer micro-weights (bias at index `dims`) on
+    * (vecCol: numeric array of length `dims`, labelCol: 0/1).
+    * Returns the weight vector after `rounds` full-batch updates. */
+  def logisticGd(feats: DataFrame, vecCol: String, labelCol: String,
+                 dims: Int, rounds: Int, lrNum: Long = 1L,
+                 lrDen: Long = 1L): Array[Long] = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(lrNum >= 1 && lrDen >= 1, s"need a positive rational lr")
+    // bias column appended once; materialized so R rounds scan the
+    // featurized frame, not the upstream plan
+    val x = feats.select(
+        concat(as_double_array(col(vecCol)), array(lit(1.0))).as("x"),
+        col(labelCol).cast("double").as("y"))
+      .localCheckpoint(true)
+    val w = Array.fill(dims + 1)(0L)
+    var r = 0
+    while (r < rounds) {
+      val wLit = typedLit(w.map(_.toDouble).toSeq)
+      // m in natural units; the double chain below is replayed
+      // verbatim by the oracle — keep the op order in LOCKSTEP
+      val m = dot_product(col("x"), wLit) / lit(Scale)
+      val sig = lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))
+      val g = floor((col("y") - sig) * lit(Scale))
+      val row = x.agg(
+          vector_sum(transform(col("x"), e => e * g)).as("s"),
+          count(lit(1)).as("n"))
+        .head()
+      val s = row.getSeq[Double](0)
+      val n = row.getLong(1)
+      var b = 0
+      while (b <= dims) {
+        // exact: lrNum·S and lrDen·n are integers < 2^53; floor of the
+        // same double division the oracle runs
+        w(b) += math.floor(lrNum * s(b) / (lrDen * n.toDouble)).toLong
+        b += 1
+      }
+      r += 1
+    }
+    w
+  }
+
+  /** Margin of the trained model in micro-units (integer): the
+    * inference pass for [[logisticGd]] weights. Predict positive when
+    * the margin is > 0 (σ > 0.5). */
+  def marginMicro(vec: Column, w: Array[Long]): Column =
+    dot_product(concat(as_double_array(vec), array(lit(1.0))),
+      typedLit(w.map(_.toDouble).toSeq)).cast("long")
+}

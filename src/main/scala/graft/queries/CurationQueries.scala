@@ -339,6 +339,25 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L44: distributed classifier TRAINING — 3 rounds of full-batch
+    // gradient descent (one vector_sum aggregate per round, model
+    // broadcast) for an en-vs-rest logistic-shaped model over
+    // hashed_bow features. Oracled — normally impossible for
+    // iterative training — because every round is integer/rational
+    // arithmetic (micro-unit weights, floor-quantized per-row
+    // gradients, rational fast sigmoid, no libm), so the DuckDB
+    // replay unrolls the rounds and lands on bit-identical weights.
+    "q_classifier_train" -> { (s, dir) =>
+      import s.implicits._
+      val feats = t(s, dir, "documents").select(
+        hashed_bow(tokenize_ws(col("text")), 64).as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val w = graft.operators.Train.logisticGd(feats, "x", "y",
+        dims = 64, rounds = 3)
+      w.zipWithIndex.map { case (wm, b) => (b.toLong, wm) }.toSeq
+        .toDF("bucket", "w_micro").orderBy("bucket")
+    },
+
     // L38b: CCNet-style perplexity bucketing — split each language into
     // LM-score terciles (head/middle/tail quality strata), the mix
     // decision CCNet/RedPajama make before sampling. Per-doc score is
@@ -449,7 +468,58 @@ object CurationQueries {
         .orderBy("id1", "id2")
     })
 
+  /** DuckDB replay of [[graft.operators.Train.logisticGd]] with the
+    * rounds UNROLLED into chained CTEs (w0 → m1/g1/s1/w1 → …): legal
+    * as an oracle only because every step is integer or
+    * fixed-order-rational arithmetic — the double chain inside g must
+    * stay in LOCKSTEP with the operator. Sparse (bucket, x) features
+    * from the shared hashed-bow CTE + a bias row per doc. */
+  private def classifierTrainSql(dims: Int, rounds: Int,
+                                 lrNum: Long, lrDen: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${Shared.hashedBowCteSql("documents", "doc_id", "text", "d")},\n"
+    sb ++= s"""feats AS (
+              |  SELECT doc_id, bucket, x FROM (
+              |    SELECT doc_id, bucket, w AS x FROM dbow
+              |    UNION ALL
+              |    SELECT doc_id, $dims AS bucket, CAST(1 AS BIGINT) AS x
+              |    FROM documents)),
+              |lbl AS (SELECT doc_id,
+              |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              |        FROM documents),
+              |nn AS (SELECT COUNT(*) AS n FROM documents),
+              |w0 AS (SELECT UNNEST(range(0, ${dims + 1})) AS bucket,
+              |              CAST(0 AS BIGINT) AS wm),
+              |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s"""m$r AS (
+                |  SELECT f.doc_id, CAST(SUM(f.x * w.wm) AS BIGINT) AS mm
+                |  FROM feats f JOIN w${r - 1} w USING (bucket)
+                |  GROUP BY f.doc_id),
+                |g$r AS (
+                |  SELECT m.doc_id,
+                |    CAST(FLOOR((l.y - (0.5 + (mm / 1048576.0) /
+                |      (2.0 * (1.0 + ABS(mm / 1048576.0))))) * 1048576.0)
+                |      AS BIGINT) AS g
+                |  FROM m$r m JOIN lbl l USING (doc_id)),
+                |s$r AS (
+                |  SELECT f.bucket, CAST(SUM(f.x * g.g) AS BIGINT) AS s
+                |  FROM feats f JOIN g$r g USING (doc_id) GROUP BY f.bucket),
+                |w$r AS (
+                |  SELECT w.bucket,
+                |    w.wm + CAST(FLOOR(CAST($lrNum * COALESCE(s.s, 0) AS DOUBLE)
+                |      / ($lrDen * n.n)) AS BIGINT) AS wm
+                |  FROM w${r - 1} w LEFT JOIN s$r s USING (bucket) CROSS JOIN nn n),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= s"\nSELECT bucket, wm AS w_micro FROM w$rounds ORDER BY bucket"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_classifier_train" -> classifierTrainSql(64, 3, 1L, 1L),
+
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal
     // exact token counts at both the per-lang and rolled-up grains.
