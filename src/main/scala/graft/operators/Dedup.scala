@@ -149,7 +149,18 @@ object Dedup {
     * not just the default 3. The fingerprint is 8 bytes — carried
     * through the join directly. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).as("id"),
+      simhash64(tokenize_ws(col(textCol))).as("fp")), "id", "fp", maxHamming)
+
+  /** Generic pigeonhole-banded Hamming-radius self-join over ANY
+    * 64-bit fingerprint column (SimHash text prints, perceptual image
+    * hashes, …): the fingerprint splits into `maxHamming + 1` bands,
+    * so ≤ maxHamming differing bits leave at least one band equal —
+    * the band join is a COMPLETE candidate generator for the radius.
+    * Fingerprints are 8 bytes and ride the join directly. */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands <= 64, s"maxHamming $maxHamming leaves empty bands")
     // nearly-equal band widths summing to 64 (first `rem` get +1 bit)
@@ -157,8 +168,7 @@ object Dedup {
     val rem = 64 % nBands
     val offsets = (0 until nBands).map(i => i * base + math.min(i, rem))
     val widths = (0 until nBands).map(i => base + (if (i < rem) 1 else 0))
-    val fp = df.select(col(idCol).as("id"),
-      simhash64(tokenize_ws(col(textCol))).as("fp"))
+    val fp = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until nBands).map(i =>

@@ -73,6 +73,44 @@ object Multimodal {
       (outW * outH * 3L).as("out_bytes"))
   }
 
+  case class PHashRow(doc_id: Long, phash: Long)
+
+  /** L12e: perceptual hash over the decoded payload — the image
+    * near-dup fingerprint (pHash shape: 64 block means thresholded
+    * against the global mean; a real impl runs the same comparison
+    * over DCT coefficients of decoded pixels — swap the byte walk for
+    * the decoder, the bit construction is identical). Integer-exact:
+    * bit b = 1 iff sum_b·n > total·n_b (cross-multiplied means, no
+    * division), so the fingerprint is engine-portable and the
+    * downstream Hamming dedup ([[Dedup.hammingPairs]]) is oracled.
+    * Blocks with no bytes (payload < 64 bytes) contribute 0 bits. */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    media.mapPartitions { rows =>
+      // real impl: one native decoder context per partition, as above
+      rows.map { r =>
+        val n = r.payload.length
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val b = (r.payload(i) & 0xFF).toLong
+          val blk = ((i.toLong * 64L) / n).toInt
+          sums(blk) += b; cnts(blk) += 1L; total += b
+          i += 1
+        }
+        var fp = 0L
+        var blk = 0
+        while (blk < 64) {
+          if (cnts(blk) > 0L && sums(blk) * n > total * cnts(blk))
+            fp |= (1L << blk)
+          blk += 1
+        }
+        PHashRow(r.doc_id, fp)
+      }
+    }(Encoders.product[PHashRow])
+  }
+
   case class MediaFeatures(doc_id: Long, histogram: Array[Double], mean_byte: Double)
 
   /** Feature extraction stub: 8-bin byte-value histogram (normalized)

@@ -560,6 +560,26 @@ object PipelineQueries {
       mediaMeta(s, dir).toDF().orderBy("doc_id")
     },
 
+    // L12e: perceptual-hash near-dup over media payloads — the image
+    // dedup pipeline: per-partition stub pHash (block means vs global
+    // mean, integer-exact) + the generic pigeonhole Hamming join
+    // (complete at the radius, so the DuckDB byte-walk replay is an
+    // exact oracle). The corpus is unioned with a re-ingested twin of
+    // every payload (id + 1e6) — the canonical "same file uploaded
+    // twice" case — which the fingerprint catches at hamming 0.
+    "q_multimodal_phash" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val media = d.unionAll(
+          d.select(col("doc_id") + 1000000L, col("payload")))
+        .toDF("doc_id", "payload")
+        .as[Multimodal.MediaRow]
+      Dedup.hammingPairs(Multimodal.perceptualHash(media).toDF(),
+          "doc_id", "phash", maxHamming = 6)
+        .orderBy("doc_id1", "doc_id2")
+    },
+
     // L12b: frame-sampling explosion (every 4th frame).
     "q_multimodal_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(mediaMeta(s, dir), stride = 4)
@@ -664,6 +684,38 @@ object PipelineQueries {
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_id1, doc_id2""".stripMargin,
+
+    // pHash replay: the same UTF-8 byte walk as the simhash oracle
+    // (hex-nibble decode), block = (i·64)//n, bit via the
+    // cross-multiplied mean comparison, then a brute-force hamming
+    // join — valid because the banding is complete at the radius.
+    "q_multimodal_phash" ->
+      """WITH payloads AS (
+        |  SELECT doc_id, encode(text) AS p FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, encode(text) AS p FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, i,
+        |    (strpos('0123456789ABCDEF', hex(p)[2*i+1]) * 16
+        |     + strpos('0123456789ABCDEF', hex(p)[2*i+2]) - 17)::BIGINT AS b,
+        |    octet_length(p)::BIGINT AS n
+        |  FROM payloads, UNNEST(range(octet_length(p))) AS t(i)),
+        |tot AS (SELECT doc_id, SUM(b) AS tb FROM bytes GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, (i * 64) // n AS blk, SUM(b) AS sb, COUNT(*) AS cb,
+        |    ANY_VALUE(n) AS n
+        |  FROM bytes GROUP BY doc_id, (i * 64) // n),
+        |fp AS (
+        |  SELECT b.doc_id,
+        |    bit_or(CASE WHEN b.sb * b.n > t.tb * b.cb
+        |                THEN 1::UBIGINT << CAST(b.blk AS INT)
+        |                ELSE 0::UBIGINT END) AS fp
+        |  FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 6
         |ORDER BY doc_id1, doc_id2""".stripMargin,
 
     "q_dedup_incremental" ->

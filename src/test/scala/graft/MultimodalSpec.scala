@@ -19,6 +19,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == (102L, 256L)) // floor(200*256/500) = 102
   }
 
+  test("perceptual hash: copies collide at 0, distinct payloads separate") {
+    import org.apache.spark.sql.functions.col
+    val base = ("low " * 40 + "HIGH " * 40).getBytes("UTF-8")
+    val other = ("HIGH " * 40 + "low " * 40).getBytes("UTF-8")
+    val rows = Seq(MediaRow(1L, base), MediaRow(2L, base.clone()),
+      MediaRow(3L, other), MediaRow(4L, Array.emptyByteArray)).toDS()
+    val fp = Multimodal.perceptualHash(rows).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(fp(1L) == fp(2L), "identical payloads must collide")
+    assert(fp(1L) != fp(3L), "reordered blocks must differ")
+    assert(fp(4L) == 0L, "empty payload is the zero print")
+    // the generic hamming join surfaces exactly the copy pair at r=0
+    val pairs = graft.operators.Dedup.hammingPairs(
+        Multimodal.perceptualHash(rows).toDF(), "doc_id", "phash",
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head
