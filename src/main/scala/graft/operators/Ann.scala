@@ -11,25 +11,39 @@ import graft.functions._
   */
 object Ann {
 
+  /** Shared exact-cosine ranking core: broadcast query set, one
+    * codegen'd cosine per (query, vector), per-query window top-k.
+    * Inputs pre-shaped to (nn_id, nn_vec) / (query_id, q_vec).
+    * `excludeSameId` suits SELF-search (a corpus row must not match
+    * itself); retrieval over a separate query namespace passes false.
+    * Sim quantizes via round_portable (floor(x·1e4+0.5)/1e4 — the
+    * engine-portable tie rule every oracle replays verbatim). */
+  private[operators] def cosineTopK(c: DataFrame, q: DataFrame, k: Int,
+                                    excludeSameId: Boolean): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    val joined = c.crossJoin(broadcast(q))
+    (if (excludeSameId) joined.filter(col("nn_id") =!= col("query_id"))
+     else joined)
+      .withColumn("sim",
+        round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   /** L6: brute-force cosine top-k — the exact baseline. The query set
     * is broadcast (small by contract), the corpus streams through one
     * codegen'd cosine per (query, vector): O(|corpus|·|queries|) work,
     * zero shuffle on the corpus side, top-k via per-query window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"),
-      as_double_array(col(vecCol)).as("nn_vec"))
-    val q = queries.select(col(idCol).as("query_id"),
-      as_double_array(col(vecCol)).as("q_vec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nn_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("nn_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "sim")
-  }
+                     idCol: String, vecCol: String, k: Int): DataFrame =
+    cosineTopK(
+      corpus.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("nn_vec")),
+      queries.select(col(idCol).as("query_id"),
+        as_double_array(col(vecCol)).as("q_vec")),
+      k, excludeSameId = true)
 
   /** L6b: grouped (per-tenant / per-label) exact top-k — the
     * multi-tenant search shape. The cross join becomes an equi-join on
@@ -50,7 +64,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(broadcast(q), "grp")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "grp", "rank", "nn_id", "sim")
@@ -72,7 +86,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     c.join(broadcast(q), "bucket")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
@@ -147,7 +161,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), "cluster")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
@@ -241,7 +255,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     v.select("nn_id", "vec").join(broadcast(shortlist), "nn_id")
       .join(broadcast(q), "query_id")
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
@@ -333,7 +347,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), Seq("grp", "cluster"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "grp", "rank", "nn_id", "sim")
@@ -438,7 +452,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), Seq("grp", "cluster"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "grp", "rank", "nn_id", "sim")
@@ -507,6 +521,12 @@ object Ann {
     val cells = asg.join(broadcast(del), Seq("nn_id"), "left_semi")
       .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) return
+    // deleting the LAST row would leave an unreadable empty table (the
+    // next read can't infer a schema) — that's an index drop, not a
+    // delete; refuse loudly
+    require(asg.join(broadcast(del), Seq("nn_id"), "left_anti")
+        .limit(1).count() > 0,
+      s"delete batch covers every id in $path — drop the index instead")
     // materialize survivors BEFORE overwriting their source partitions
     val survivors = asg.where(col("cluster").isin(cells: _*))
       .join(broadcast(del), Seq("nn_id"), "left_anti")
@@ -530,21 +550,35 @@ object Ann {
     val codes = spark.read.parquet(s"$path/codes")
     val cells = codes.join(broadcast(del), Seq("nn_id"), "left_semi")
       .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
-    if (cells.isEmpty) return
-    val survivors = codes.where(col("cluster").isin(cells: _*))
-      .join(broadcast(del), Seq("nn_id"), "left_anti")
-      .localCheckpoint(true)
-    val kept = survivors.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSet
-    withDynamicOverwrite(spark) {
-      survivors.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$path/codes")
+    // the `vectors` (refine) side is checked INDEPENDENTLY of codes:
+    // after a crash between the codes overwrite and the vectors
+    // rewrite, a re-run finds no deleted id in codes but must still
+    // finish erasing the raw vectors — an early return keyed on codes
+    // alone would leave right-to-erasure content behind forever
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val vecsHit = vecs.join(broadcast(del), Seq("nn_id"), "left_semi")
+      .limit(1).count() > 0
+    if (cells.isEmpty && !vecsHit) return
+    require(vecs.join(broadcast(del), Seq("nn_id"), "left_anti")
+        .limit(1).count() > 0,
+      s"delete batch covers every id in $path — drop the index instead")
+    if (cells.nonEmpty) {
+      val survivors = codes.where(col("cluster").isin(cells: _*))
+        .join(broadcast(del), Seq("nn_id"), "left_anti")
+        .localCheckpoint(true)
+      val kept = survivors.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSet
+      withDynamicOverwrite(spark) {
+        survivors.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$path/codes")
+      }
+      dropCellDirs(spark, s"$path/codes", cells.filterNot(kept))
     }
-    dropCellDirs(spark, s"$path/codes", cells.filterNot(kept))
-    val v2 = spark.read.parquet(s"$path/vectors")
-      .join(broadcast(del), Seq("nn_id"), "left_anti")
-      .localCheckpoint(true)
-    v2.write.mode("overwrite").parquet(s"$path/vectors")
+    if (vecsHit) {
+      val v2 = vecs.join(broadcast(del), Seq("nn_id"), "left_anti")
+        .localCheckpoint(true)
+      v2.write.mode("overwrite").parquet(s"$path/vectors")
+    }
   }
 
   private def withDynamicOverwrite(spark: org.apache.spark.sql.SparkSession)
@@ -595,7 +629,7 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(broadcast(probes), "cluster")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
@@ -716,7 +750,7 @@ object Ann {
     spark.read.parquet(s"$path/vectors")
       .join(broadcast(shortlist), "nn_id")
       .join(broadcast(q0.select("query_id", "q_vec")), "query_id")
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(wSim))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
@@ -746,7 +780,7 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
     indexed.join(probes, "cluster")
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")

@@ -77,7 +77,7 @@ object Decontaminate {
       as_double_array(col(vecCol)).as("ev"))
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("eval_id").asc)
     tr.crossJoin(broadcast(ev))
-      .withColumn("sim", round(cosine_sim(col("v"), col("ev")), 4))
+      .withColumn("sim", round_portable(cosine_sim(col("v"), col("ev")), 4))
       .filter(col("sim") >= minCosine)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

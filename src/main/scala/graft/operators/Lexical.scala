@@ -127,9 +127,19 @@ object Lexical {
     * amortize-the-rewrite economics as queue compaction). A workload
     * needing frequent row-level erasure at 100 TB wants a tombstone
     * table consulted at probe time instead, at the price of an
-    * anti-join on every search. Unknown ids are a no-op. */
+    * anti-join on every search. Unknown ids are a no-op. The rewrite
+    * reads the bucket count from the CATALOG, not a parameter — a
+    * caller-supplied count that disagreed with the build would
+    * silently re-bucket the index (drop+recreate bypasses the
+    * append-path bucket validation) and break later appendDocs. */
   def deleteDocs(spark: SparkSession, table: String, ids: DataFrame,
-                 idCol: String, buckets: Int = 32): Unit = {
+                 idCol: String): Unit = {
+    def bucketsOf(t: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$t is not bucketed"))
+    val pBuckets = bucketsOf(s"${table}_postings")
+    val dBuckets = bucketsOf(s"${table}_doclen")
     val del = ids.select(col(idCol).as("doc_id"))
     // materialize the survivors BEFORE dropping their source tables
     // (never read-while-overwrite — same discipline as appendDocs)
@@ -140,10 +150,10 @@ object Lexical {
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     dropManaged(spark, s"${table}_postings")
-    p2.write.mode("overwrite").bucketBy(buckets, "term").sortBy("term")
+    p2.write.mode("overwrite").bucketBy(pBuckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
     dropManaged(spark, s"${table}_doclen")
-    d2.write.mode("overwrite").bucketBy(buckets, "doc_id")
+    d2.write.mode("overwrite").bucketBy(dBuckets, "doc_id")
       .format("parquet").saveAsTable(s"${table}_doclen")
     val df2 = spark.table(s"${table}_postings")
       .groupBy("term").agg(count(lit(1)).as("df"))

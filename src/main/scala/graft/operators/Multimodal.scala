@@ -89,6 +89,11 @@ object Multimodal {
       // real impl: one native decoder context per partition, as above
       rows.map { r =>
         val n = r.payload.length
+        // sums(blk)·n ≤ 255n²/64 must stay inside Long — wraps (wrong
+        // bits, silent oracle divergence) past ~1.5e9 bytes; a payload
+        // that size belongs in chunked storage anyway. Fail loudly.
+        require(n <= 1_000_000_000,
+          s"payload of ${r.doc_id} is $n bytes; perceptualHash supports <= 1e9")
         val sums = new Array[Long](64)
         val cnts = new Array[Long](64)
         var total = 0L

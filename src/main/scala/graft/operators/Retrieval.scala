@@ -31,19 +31,14 @@ object Retrieval {
     * break on doc id). */
   def denseTopK(corpus: DataFrame, queries: DataFrame, docIdCol: String,
                 queryIdCol: String, vecCol: String, queryVecCol: String,
-                k: Int): DataFrame = {
-    val c = corpus.select(col(docIdCol).as("doc_id"),
-      as_double_array(col(vecCol)).as("nn_vec"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      as_double_array(col(queryVecCol)).as("q_vec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("doc_id").asc)
-    c.crossJoin(broadcast(q))
-      .withColumn("sim", round(cosine_sim(col("q_vec"), col("nn_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "sim")
-  }
+                k: Int): DataFrame =
+    Ann.cosineTopK(
+        corpus.select(col(docIdCol).as("nn_id"),
+          as_double_array(col(vecCol)).as("nn_vec")),
+        queries.select(col(queryIdCol).as("query_id"),
+          as_double_array(col(queryVecCol)).as("q_vec")),
+        k, excludeSameId = false)
+      .withColumnRenamed("nn_id", "doc_id")
 
   /** Reciprocal rank fusion over N ranked sides. Each input frame
     * carries (query_id, doc_id, rank) — any extra columns are ignored.

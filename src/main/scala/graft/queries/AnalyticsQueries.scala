@@ -779,7 +779,8 @@ object AnalyticsQueries {
     // lexical side; the shared hashed-bow CTE (docs and queries)
     // yields integer bows whose dot/norms are exact, so the cosine is
     // one double division + sqrt (bit-identical to the kernel) with
-    // the same ROUND(.,4); RRF contributions are integer floor-divs.
+    // the same round_portable floor-quantization (zero-norm rows pin
+    // to the kernel's 0.0); RRF contributions are integer floor-divs.
     "q_hybrid_retrieval" ->
       s"""WITH ${Shared.bm25BatchAggCteSql},
         |lex AS (
@@ -799,12 +800,13 @@ object AnalyticsQueries {
         |  GROUP BY q.query_id, d.doc_id),
         |sims AS (
         |  SELECT qn.query_id, dn.doc_id,
-        |    ROUND(CAST(COALESCE(dots.dot, 0) AS DOUBLE) /
-        |          SQRT(CAST(dn.n2 AS DOUBLE) * qn.n2), 4) AS sim
+        |    CASE WHEN dn.n2 = 0 OR qn.n2 = 0 THEN 0.0
+        |         ELSE FLOOR((CAST(COALESCE(dots.dot, 0) AS DOUBLE) /
+        |                SQRT(CAST(dn.n2 AS DOUBLE) * qn.n2)) * 10000 + 0.5)
+        |              / 10000 END AS sim
         |  FROM dn CROSS JOIN qn
         |  LEFT JOIN dots ON dots.doc_id = dn.doc_id
-        |    AND dots.query_id = qn.query_id
-        |  WHERE dn.n2 > 0 AND qn.n2 > 0),
+        |    AND dots.query_id = qn.query_id),
         |sem AS (
         |  SELECT query_id, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -846,16 +846,14 @@ object PipelineQueries {
     // same left-to-right dot/norm fold and ROUND(.,4) quantization as
     // the q_ann_bruteforce oracle, threshold on the rounded sim.
     "q_decontaminate_semantic" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
         |tr AS (SELECT vec_id AS id, vec AS tv FROM v WHERE vec_id % 23 <> 0),
         |ev AS (SELECT vec_id AS eval_id, vec AS evv FROM v WHERE vec_id % 23 = 0),
         |sims AS (
         |  SELECT id, eval_id,
-        |    ROUND(list_sum(list_transform(list_zip(tv, evv), x -> x[1] * x[2])) /
-        |          SQRT(list_sum(list_transform(tv, x -> x * x)) *
-        |               list_sum(list_transform(evv, x -> x * x))), 4) AS sim
+        |    ${Shared.cosineSimSql("tv", "evv")} AS sim
         |  FROM tr CROSS JOIN ev),
         |hits AS (
         |  SELECT id, eval_id, sim,
@@ -942,15 +940,13 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ann_grouped" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, label AS grp, vec AS qv FROM v WHERE vec_id < 50),
         |sims AS (
         |  SELECT query_id, grp, vec_id AS nn_id,
-        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
-        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
-        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
         |  FROM v JOIN q ON v.label = q.grp WHERE vec_id <> query_id),
         |ranked AS (
         |  SELECT query_id, grp, nn_id, sim,
@@ -961,15 +957,13 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_bruteforce" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
         |sims AS (
         |  SELECT query_id, vec_id AS nn_id,
-        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
-        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
-        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
         |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
         |ranked AS (
         |  SELECT query_id, nn_id, sim,
@@ -983,7 +977,7 @@ object PipelineQueries {
     // (sim desc, nn_id) order as q_ann_bruteforce), top-5 votes
     // grouped per query, argmax on (votes desc, label asc).
     "q_knn_classify" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
@@ -993,9 +987,7 @@ object PipelineQueries {
         |      FROM v WHERE vec_id % 20 <> 0),
         |sims AS (
         |  SELECT query_id, nn_id, nn_label,
-        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
-        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
-        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
         |  FROM c CROSS JOIN q),
         |nn AS (
         |  SELECT query_id, nn_label,
@@ -1016,15 +1008,13 @@ object PipelineQueries {
         |ORDER BY b.query_id""".stripMargin,
 
     "q_retrieval" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
         |sims AS (
         |  SELECT query_id, vec_id AS nn_id,
-        |    ROUND(list_sum(list_transform(list_zip(qv, vec), x -> x[1] * x[2])) /
-        |          SQRT(list_sum(list_transform(qv, x -> x * x)) *
-        |               list_sum(list_transform(vec, x -> x * x))), 4) AS sim
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
         |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
         |ranked AS (
         |  SELECT query_id, nn_id, sim,

@@ -176,6 +176,17 @@ private[queries] object Shared {
       |  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q
       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
+  /** DuckDB twin of `round_portable(cosine_sim(a, b), 4)` — the
+    * engine-portable cosine quantization every exact-cosine oracle
+    * replays (floor(x·1e4+0.5)/1e4; never engine ROUND, whose tie
+    * behavior differs). Argument order matters only for staying
+    * textually in lockstep with the kernel call. */
+  def cosineSimSql(a: String, b: String): String =
+    s"""FLOOR((list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |          SQRT(list_sum(list_transform($a, x -> x * x)) *
+       |               list_sum(list_transform($b, x -> x * x)))) * 10000 + 0.5)
+       |      / 10000""".stripMargin
+
   // ---- hashed signed bag-of-words (L34 and the dense side of L41) ----
 
   /** DuckDB twin of `hashed_bow(tokenize_ws(textCol), 64)` exploded to

@@ -156,9 +156,11 @@ object PipelineDemo {
     // hybrid serving tail: the SAME text queries answered by BOTH
     // committed indexes — BM25 over the lexical index, cosine over the
     // IVF+PQ index (queries featurized with the corpus's hashed_bow) —
-    // fused by reciprocal rank fusion. Query ids live in their own
-    // 9xxx namespace so the index's same-id guard never fires.
-    val hq = Seq((9001L, "spark join"), (9002L, "vector stream"))
+    // fused by reciprocal rank fusion. Query ids start past the
+    // corpus's max doc id (not a fixed 9xxx guess, which a larger sf
+    // would collide with) so the index's same-id guard never fires.
+    val qBase = mixed.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val hq = Seq((qBase, "spark join"), (qBase + 1L, "vector stream"))
       .toDF("qid", "qtext")
     val hLex = Lexical.searchBm25Batch(hq, "qid", "qtext",
       "pipeline_demo_idx", k = 5)

@@ -126,8 +126,7 @@ class BucketingSpec extends SparkSpec {
     try {
       Lexical.buildIndex(d, "doc_id", "text", "lexidx_delfrom", buckets = 8)
       Lexical.deleteDocs(spark, "lexidx_delfrom",
-        d.filter(col("doc_id") % 2 =!= 0).select("doc_id"), "doc_id",
-        buckets = 8)
+        d.filter(col("doc_id") % 2 =!= 0).select("doc_id"), "doc_id")
       Lexical.buildIndex(d.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", "lexidx_delref", buckets = 8)
       def top(table: String) =
@@ -143,7 +142,7 @@ class BucketingSpec extends SparkSpec {
       // unknown ids: a no-op, searches unchanged
       val before = top("lexidx_delfrom")
       Lexical.deleteDocs(spark, "lexidx_delfrom",
-        Seq(-1L, -2L).toDF("doc_id"), "doc_id", buckets = 8)
+        Seq(-1L, -2L).toDF("doc_id"), "doc_id")
       assert(top("lexidx_delfrom") == before)
     } finally {
       for (t <- Seq("lexidx_delfrom", "lexidx_delref");
