@@ -28,7 +28,10 @@ import graft.{GraftSession, SparkEntry}
 object ScaleProbe {
 
   private val ProbeQueries = Seq("q_dedup_minhash", "q_semantic_dedup_text",
-    "q_knn_graph", "q_bulk_knn", "q_dedup_cluster")
+    "q_knn_graph", "q_bulk_knn", "q_dedup_cluster",
+    // r8 additions: shingle-df window (linear), one-aggregate-per-round
+    // training (linear), dual pruned-probe fusion (index build + probe)
+    "q_dup_ngram_fraction", "q_classifier_train", "q_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
