@@ -47,6 +47,21 @@ object PipelineDemo {
     val langOk = quality.filter(col("lang").isin("en", "de", "es", "fr"))
     stage("lang gate", langOk.count())
 
+    // label-noise audit: train the en-vs-rest classifier (L44, three
+    // one-aggregate rounds, broadcast integer weights) on the corpus's
+    // OWN lang tags and count docs whose margin disagrees with the
+    // tag — the mislabeled-data check a pipeline runs before trusting
+    // upstream language metadata
+    val wts = graft.operators.Train.logisticGd(
+      docs.select(hashed_bow(tokenize_ws(col("text")), 64).as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+      "x", "y", dims = 64, rounds = 3)
+    val disagree = docs.select(col("lang"),
+        (graft.operators.Train.marginMicro(
+          hashed_bow(tokenize_ws(col("text")), 64), wts) > 0L).as("pred_en"))
+      .filter((col("lang") === "en") =!= col("pred_en")).count()
+    println(f"[pipeline] ${"label-noise audit"}%-22s $disagree%7d docs disagree with lang tag")
+
     // domain balancing: no source contributes more than 200 docs
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
