@@ -230,6 +230,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded hamming pairs equal brute force on random fingerprints") {
+    val rnd = new Random(31)
+    (1 to 4).foreach { round =>
+      val n = 10 + rnd.nextInt(40)
+      // clustered prints: start from a few seeds and flip a few bits,
+      // so pairs actually exist at small radii
+      val seeds = Array.fill(3)(rnd.nextLong())
+      val fps = (0 until n).map { i =>
+        var fp = seeds(rnd.nextInt(3))
+        (0 until rnd.nextInt(6)).foreach(_ => fp ^= 1L << rnd.nextInt(64))
+        (i.toLong, fp)
+      }
+      val radius = 1 + rnd.nextInt(7)
+      val got = Dedup.hammingPairs(fps.toDF("id", "fp"), "id", "fp", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val truth = (for {
+        (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+        h = java.lang.Long.bitCount(f1 ^ f2) if h <= radius
+      } yield (i1, i2, h)).toSet
+      assert(got == truth, s"round $round diverged at radius=$radius")
+    }
+  }
+
+  test("rrf fusion equals a driver-side reference on random ranked lists") {
+    import graft.operators.Retrieval
+    val rnd = new Random(67)
+    (1 to 4).foreach { round =>
+      val nSides = 2 + rnd.nextInt(2)
+      val sides = (0 until nSides).map { _ =>
+        (1 to 3).flatMap { q =>
+          val docs = rnd.shuffle((1 to 30).toList).take(1 + rnd.nextInt(8))
+          docs.zipWithIndex.map { case (d, r) => (q.toLong, d.toLong, r + 1) }
+        }
+      }
+      val k = 1 + rnd.nextInt(5)
+      val got = Retrieval.rrfFuse(sides.map(_.toDF("query_id", "doc_id", "rank")), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val scores = sides.flatten
+        .groupBy(t => (t._1, t._2))
+        .map { case ((q, d), rs) => (q, d, rs.map(t => 1000000L / (60 + t._3)).sum) }
+      val truth = scores.groupBy(_._1).flatMap { case (q, rows) =>
+        rows.toSeq.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+          .map { case ((_, d, s), i) => (q, i + 1, d, s) }
+      }.toSet
+      assert(got == truth, s"round $round diverged")
+    }
+  }
+
   test("bloom prefilter never drops a joining key on random data") {
     import graft.operators.Prune
     val rnd = new Random(23)
