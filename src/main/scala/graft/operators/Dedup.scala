@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -302,6 +303,83 @@ object Dedup {
         round_portable(coalesce(col("n_kept"), lit(0L)).cast("double") /
           col("n_blocks"), 4).as("kept_frac"),
         coalesce(col("dedup_md5"), md5(lit(""))).as("dedup_md5"))
+  }
+
+  /** L35c: exact duplicated-SPAN removal at sliding L-gram granularity
+    * — the ExactSubstr dedup of Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better" §4.1), hash-anchored instead of
+    * suffix-array-built. Pigeonhole completeness: every duplicated span
+    * of ≥ `spanTokens` tokens contains a duplicated `spanTokens`-gram,
+    * and every duplicated gram IS a duplicated span — so the token
+    * positions covered by corpus-duplicated sliding grams, merged into
+    * maximal intervals per doc, are EXACTLY the union of duplicated
+    * spans. Unlike [[dedupBlocks]]' fixed blocks, this catches spans at
+    * ANY alignment, including ones straddling a block boundary. The
+    * globally-first occurrence of each gram (min (doc_id, pos)) is
+    * retained, so one copy of every span survives the corpus.
+    *
+    * Shape at scale: grams never explode as strings — one narrow
+    * (id, pos, xxhash64) row per token position through a single
+    * hash-keyed window shuffle (count + row_number share the shuffle);
+    * only non-first duplicated positions (typically ≪ n) reach the
+    * per-doc interval merge; reassembly filters each doc's token array
+    * in place against its broadcast-size span list (no token explode,
+    * no range join). Gram identity is the hash — id/string agreement is
+    * the standing w.h.p. contract (see L29b); the oracle replays the
+    * chain on gram STRINGS.
+    *
+    * A removal can splice previously-distant tokens together and form
+    * NEW duplicated grams; like the reference algorithm this is a
+    * single pass (iterate to fixpoint externally if required).
+    *
+    * Returns one row per input doc: (doc_id, n_tokens, n_removed,
+    * kept_frac, dedup_md5) where dedup_md5 fingerprints the
+    * single-space rejoined surviving tokens (md5("") when everything
+    * was removed). Docs shorter than `spanTokens` pass through whole. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 spanTokens: Int = 8): DataFrame = {
+    val L = spanTokens
+    require(L >= 2, s"need spanTokens >= 2, got $L")
+    val toks = df
+      .select(col(idCol).as("id"), tokenize_ws(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    // one (id, pos, h) row per sliding window; docs with n < L emit none
+    val grams = toks
+      .select(col("id"), posexplode(when(col("n") >= L,
+        transform(sequence(lit(0L), col("n") - L),
+          i => xxhash64(concat_ws(" ", slice(col("t"), (i + 1).cast("int"), lit(L))))))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val wH = Window.partitionBy("h")
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(wH))
+      .withColumn("rk", row_number().over(wH.orderBy(col("id"), col("pos"))))
+      .filter(col("c") >= 2 && col("rk") > 1)
+      .select("id", "pos")
+    // classic islands merge: a window starts a new span iff it begins
+    // past every earlier duplicated window's end (adjacent merges too)
+    val wD = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + L)
+      .over(wD.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("sNew", when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("sNew")).over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "sid")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+    val docSpans = spans.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        sum(col("e") - col("s")).as("n_removed"))
+    toks.join(docSpans, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        col("n").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        round_portable((col("n") - coalesce(col("n_removed"), lit(0L))).cast("double") /
+          greatest(col("n"), lit(1L)), 4).as("kept_frac"),
+        md5(concat_ws(" ",
+          when(col("spans").isNull, col("t")).otherwise(
+            filter(col("t"), (tok, i) => !exists(col("spans"),
+              sp => i.cast("long") >= sp.getField("s") &&
+                i.cast("long") < sp.getField("e")))))).as("dedup_md5"))
   }
 
   /** Apply near-dup removal: keep the smaller id of every duplicate

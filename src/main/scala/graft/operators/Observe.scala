@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** L44: single-action pipeline observability. A curation funnel needs
+  * per-stage accounting (rows surviving, bytes, nulls) — but a
+  * `count()` per stage re-executes the lineage prefix once per stage:
+  * at 100 TB a 14-stage funnel would read the corpus 14 times for its
+  * metrics alone. `Dataset.observe` attaches named aggregates to a
+  * point IN the plan; they are computed as accumulators DURING the one
+  * terminal action (map-side, no extra shuffle, no extra scan), so the
+  * whole funnel report costs zero additional passes.
+  *
+  * Contract notes: metrics ride the NEXT completed action on the
+  * returned frame — run exactly one terminal action, then read the
+  * observations. Aggregates must be global (no grouping) and
+  * distinct-free (Spark enforces this at `observe` time). Stage names
+  * double as observation names and must be unique within the funnel
+  * (enforced here; Spark would fail the action otherwise).
+  */
+object Observe {
+
+  /** Attach a named observation after `df`. Always records `rows`
+    * (row count at this point in the plan); `extras` are additional
+    * global aggregate columns riding the same pass — alias each
+    * (`sum(length($"text")).as("bytes")`).
+    */
+  def stage(df: DataFrame, name: String, extras: Column*): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    (df.observe(obs, count(lit(1)).as("rows"), extras: _*), obs)
+  }
+
+  /** Thread `input` through named transforms, observing the row count
+    * surviving each. Returns the final frame plus the observations in
+    * stage order; run ONE action on the frame, then [[report]].
+    */
+  def funnel(input: DataFrame,
+             stages: Seq[(String, DataFrame => DataFrame)]): (DataFrame, Seq[(String, Observation)]) = {
+    val names = stages.map(_._1)
+    require(names.distinct == names,
+      s"stage names must be unique, got: ${names.mkString(", ")}")
+    stages.foldLeft((input, Vector.empty[(String, Observation)])) {
+      case ((df, acc), (name, f)) =>
+        val (out, obs) = stage(f(df), name)
+        (out, acc :+ (name -> obs))
+    }
+  }
+
+  /** Post-action funnel report: (stage_idx, stage, rows_out) in stage
+    * order. Call only after the terminal action completed — a metric
+    * that has not been populated (no action ran through its observe
+    * node) fails loudly rather than reporting a silent zero.
+    */
+  def report(spark: org.apache.spark.sql.SparkSession,
+             observed: Seq[(String, Observation)]): DataFrame = {
+    import spark.implicits._
+    observed.zipWithIndex.map { case ((name, obs), i) =>
+      val m = obs.getOrEmpty
+      require(m.contains("rows"),
+        s"observation '$name' was never populated: run the terminal action first")
+      (i.toLong, name, m("rows").asInstanceOf[Long])
+    }.toDF("stage_idx", "stage", "rows_out")
+  }
+}

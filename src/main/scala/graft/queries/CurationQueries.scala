@@ -304,6 +304,19 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L35c: ExactSubstr span dedup (Lee et al. §4.1) — sliding 8-gram
+    // anchors mark every token position inside a corpus-duplicated
+    // span of >= 8 tokens (pigeonhole-complete at any alignment, the
+    // straddling spans fixed blocks miss); maximal merged intervals are
+    // removed with first-occurrence-survives and the doc reassembled.
+    // One narrow hash-window shuffle for gram election; reassembly
+    // filters each doc's token array in place. The oracle replays the
+    // identical chain on gram strings (hash/string agreement w.h.p.).
+    "q_substr_dedup" -> { (s, dir) =>
+      Dedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id")
+    },
+
     // L36: linear classifier inference over hashed features — the
     // fastText-shaped quality/domain-classifier step: a class-centroid
     // discriminant w_b = n_other * S_en(b) - n_en * S_other(b) trained
@@ -730,6 +743,69 @@ object CurationQueries {
         |  COALESCE(k.dedup_md5, md5('')) AS dedup_md5
         |FROM nb n LEFT JOIN kept k ON n.doc_id = k.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // q_substr_dedup oracle: the full ExactSubstr chain replayed on
+    // gram STRINGS — sliding 8-gram windows, corpus-first election by
+    // (doc_id, pos), islands interval merge, coverage-filtered
+    // reassembly, md5 fingerprint. Hash-vs-string identity is the
+    // standing w.h.p. contract.
+    "q_substr_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+        |occ AS (
+        |  SELECT doc_id,
+        |    UNNEST(range(n - 7)) AS pos,
+        |    UNNEST(list_transform(range(n - 7),
+        |      i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS gram
+        |  FROM n0 WHERE n >= 8),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      COUNT(*) OVER (PARTITION BY gram) AS c,
+        |      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |    FROM occ) z
+        |  WHERE c >= 2 AND rk > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS s_new
+        |  FROM dup),
+        |sid0 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(s_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 8 AS e
+        |  FROM sid0 GROUP BY doc_id, sid),
+        |rm AS (
+        |  SELECT doc_id, SUM(e - s) AS n_removed FROM spans GROUP BY doc_id),
+        |tok_pos AS (
+        |  SELECT doc_id, UNNEST(range(len(t))) AS pos, UNNEST(t) AS tok FROM n0),
+        |cov AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok,
+        |    EXISTS (SELECT 1 FROM spans s
+        |            WHERE s.doc_id = tp.doc_id
+        |              AND tp.pos >= s.s AND tp.pos < s.e) AS covered
+        |  FROM tok_pos tp),
+        |kept AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered),
+        |             '') AS kept_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT n0.doc_id, n0.n AS n_tokens,
+        |  CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+        |  FLOOR((n0.n - COALESCE(rm.n_removed, 0)) / GREATEST(n0.n, 1) * 10000 + 0.5)
+        |    / 10000 AS kept_frac,
+        |  md5(COALESCE(k.kept_text, '')) AS dedup_md5
+        |FROM n0
+        |LEFT JOIN rm ON rm.doc_id = n0.doc_id
+        |LEFT JOIN kept k ON k.doc_id = n0.doc_id
+        |ORDER BY n0.doc_id""".stripMargin,
 
     "q_classifier_margin" ->
       """WITH toks AS (

@@ -282,4 +282,47 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  private def md5Hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("span dedup removes duplicated spans at any alignment, first occurrence survives") {
+    import spark.implicits._
+    val common = (1 to 10).map(i => s"x$i").mkString(" ") // 10-token shared span
+    val docs = Seq(
+      (1L, s"u1 u2 $common u3"),   // span at offset 2 — first occurrence, kept whole
+      (2L, s"v1 v2 v3 $common"),   // same span at offset 3: alignment differs, still caught
+      (3L, s"u1 u2 $common u3")    // exact copy of doc 1: fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", spanTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 13L, 0L), (2L, 13L, 10L), (3L, 13L, 13L)))
+    // doc 2's three overlapping dup grams merge into ONE maximal [3,13) interval
+    assert(out(1).getString(4) === md5Hex("v1 v2 v3"))
+    assert(out(2).getString(4) === md5Hex(""))
+  }
+
+  test("span dedup handles within-doc repeats and short-doc passthrough") {
+    import spark.implicits._
+    val g = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$g y $g"),      // same 8-gram twice in one doc: second removed
+      (2L, "a b c")          // shorter than spanTokens: passes through whole
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", spanTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 17L, 8L), (2L, 3L, 0L)))
+    assert(out(0).getString(4) === md5Hex(s"$g y"))
+    assert(out(1).getString(4) === md5Hex("a b c"))
+  }
+
+  test("span dedup is invariant to input partitioning") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Dedup.dedupSpans(d, "doc_id", "text").orderBy("doc_id").collect()
+    val b = Dedup.dedupSpans(d.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
