@@ -48,18 +48,26 @@ object Observe {
   }
 
   /** Post-action funnel report: (stage_idx, stage, rows_out) in stage
-    * order. Call only after the terminal action completed — a metric
-    * that has not been populated (no action ran through its observe
-    * node) fails loudly rather than reporting a silent zero.
+    * order. Call after the terminal action — metric delivery rides an
+    * async QueryExecutionListener, so each observation is awaited up
+    * to `timeout`; when no action ever ran through the observe node
+    * this fails loudly rather than hanging forever or reporting a
+    * silent zero.
     */
   def report(spark: org.apache.spark.sql.SparkSession,
-             observed: Seq[(String, Observation)]): DataFrame = {
+             observed: Seq[(String, Observation)],
+             timeout: scala.concurrent.duration.Duration =
+               scala.concurrent.duration.Duration(60, "s")): DataFrame = {
     import spark.implicits._
-    observed.zipWithIndex.map { case ((name, obs), i) =>
-      val m = obs.getOrEmpty
-      require(m.contains("rows"),
-        s"observation '$name' was never populated: run the terminal action first")
-      (i.toLong, name, m("rows").asInstanceOf[Long])
-    }.toDF("stage_idx", "stage", "rows_out")
+    val rows = observed.zipWithIndex.map { case ((name, obs), i) =>
+      try scala.concurrent.Await.ready(obs.future, timeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalArgumentException(
+            s"observation '$name' was never populated: run the terminal action first")
+      }
+      (i.toLong, name, obs.get("rows").asInstanceOf[Long])
+    }
+    rows.toDF("stage_idx", "stage", "rows_out")
   }
 }

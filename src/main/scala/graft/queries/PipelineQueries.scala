@@ -318,6 +318,28 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // L44: single-action funnel accounting — a four-stage curation
+    // chain (lang gate → length gate → exact dedup) instrumented with
+    // `Dataset.observe`: every stage's surviving-row count is an
+    // accumulator riding the ONE terminal action (map-side, no extra
+    // scan or shuffle), where a count() per stage would re-read the
+    // corpus once per stage. The report frame is built from the
+    // populated observations; the oracle replays each stage's count
+    // declaratively in SQL.
+    "q_pipeline_funnel" -> { (s, dir) =>
+      val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "ingest" -> identity,
+        "lang_en" -> (_.filter(col("lang") === "en")),
+        "min_len" -> (_.filter(length(col("text")) >= 200)),
+        "exact_dedup" -> (df => df
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+          .filter(col("__rk") === 1).drop("__rk")))
+      val (fin, obs) = graft.operators.Observe.funnel(t(s, dir, "documents"), stages)
+      fin.write.format("noop").mode("overwrite").save()
+      graft.operators.Observe.report(s, obs).orderBy("stage_idx")
+    },
+
     // L20c: curriculum packing — shards cut along descending quality
     // (order key = 10000 - quantized score, ascending), so early
     // shards hold the cleanest documents. Same distributed prefix sum.
@@ -808,6 +830,27 @@ object PipelineQueries {
         |  FLOOR(CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) * 10000 + 0.5) / 10000 AS oov_rate
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q_pipeline_funnel oracle: each observe point's count replayed as
+    // a CTE chain — the declarative twin of the accumulator funnel.
+    "q_pipeline_funnel" ->
+      """WITH lang_en AS (SELECT * FROM documents WHERE lang = 'en'),
+        |min_len AS (SELECT * FROM lang_en WHERE len(text) >= 200),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |    FROM min_len) z
+        |  WHERE rk = 1)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(rows_out AS BIGINT) AS rows_out
+        |FROM (VALUES
+        |  (0, 'ingest',      (SELECT COUNT(*) FROM documents)),
+        |  (1, 'lang_en',     (SELECT COUNT(*) FROM lang_en)),
+        |  (2, 'min_len',     (SELECT COUNT(*) FROM min_len)),
+        |  (3, 'exact_dedup', (SELECT COUNT(*) FROM dedup))
+        |) AS v(stage_idx, stage, rows_out)
+        |ORDER BY stage_idx""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH ${Shared.qualityStatsSql("lang, source, text")},
