@@ -102,6 +102,49 @@ object Dedup {
       .select("doc_id1", "doc_id2", "jac")
   }
 
+  /** L3b: LSH parameter auto-tuner — choose (bands, rowsPerBand) for a
+    * k-permutation signature and a target Jaccard threshold t. The
+    * candidate-collision S-curve of a b·r = k split is
+    * P(s) = 1-(1-s^r)^b (MMDS ch.3 banding analysis). A missed TRUE
+    * pair is unrecoverable, while a sub-threshold candidate only costs
+    * shuffle + the exact verify minhashPairs runs anyway — so the
+    * criterion is lexicographic: among splits whose collision
+    * probability AT the threshold clears `recallFloor` (the worst-case
+    * per-pair recall, since P is increasing in s), take the one with
+    * the smallest false-candidate mass ∫₀ᵗ P. If no split clears the
+    * floor (k too small for the threshold), fall back to max P(t).
+    * Driver-side pure math: fixed-grid deterministic integration, no
+    * data touched.
+    */
+  def lshParams(k: Int, minJaccard: Double, recallFloor: Double = 0.95): (Int, Int) = {
+    require(k >= 2, s"need k >= 2 permutations, got $k")
+    require(minJaccard > 0 && minJaccard < 1,
+      s"threshold must be in (0,1), got $minJaccard")
+    val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    def pAt(b: Int, r: Int, s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    def fpMass(b: Int, r: Int): Double = {
+      val n = 2048
+      var fp = 0.0
+      var i = 0
+      while ({ val s = (i + 0.5) / n; s < minJaccard && i < n }) {
+        fp += pAt(b, r, (i + 0.5) / n); i += 1
+      }
+      fp / n
+    }
+    val cleared = splits.filter { case (b, r) => pAt(b, r, minJaccard) >= recallFloor }
+    if (cleared.nonEmpty) cleared.minBy { case (b, r) => fpMass(b, r) }
+    else splits.maxBy { case (b, r) => pAt(b, r, minJaccard) }
+  }
+
+  /** [[minhashPairs]] with [[lshParams]]-chosen banding for the given
+    * threshold — the "just give me near-dups at t" entry point. */
+  def minhashPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 64, minJaccard: Double = 0.5): DataFrame = {
+    val (bands, _) = lshParams(k, minJaccard)
+    minhashPairs(df, idCol, textCol, k, bands, minJaccard)
+  }
+
   /** L3: MinHash-LSH near-dup. k-perm signature → `bands` band-bucket
     * keys → narrow candidate pairs → distinct → exact-Jaccard verify.
     * rows-per-band = k/bands sets selectivity: p(candidate) =

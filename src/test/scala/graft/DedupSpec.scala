@@ -318,6 +318,35 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getString(4) === md5Hex("a b c"))
   }
 
+  test("lsh auto-tuner: recall floor holds, anchors match, bands shrink as threshold rises") {
+    // every returned split divides k and clears the recall floor at t
+    for (k <- Seq(16, 32, 64, 128); t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val (b, r) = Dedup.lshParams(k, t)
+      assert(b * r == k)
+      val pAtT = 1.0 - math.pow(1.0 - math.pow(t, r.toDouble), b.toDouble)
+      assert(pAtT >= 0.95, s"k=$k t=$t chose ($b,$r) with P(t)=$pAtT")
+    }
+    // anchor: the hand-tuned production banding for jac>=0.9 at k=64
+    assert(Dedup.lshParams(64, 0.9) === ((8, 8)))
+    // sharper thresholds get fewer, longer bands (tighter buckets)
+    val bands = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.lshParams(64, t)._1)
+    assert(bands === bands.sorted.reverse)
+  }
+
+  test("auto-tuned minhash recovers the exact-jaccard pair set") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9)
+      .select("doc_id1", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.minhashPairsAuto(d, "doc_id", "text", k = 64, minJaccard = 0.9)
+      .select("doc_id1", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // auto is unblocked so it may find extra (cross-lang) true pairs;
+    // within-block recall must match the hand-tuned banding's bar
+    val recall = (exact & auto).size.toDouble / exact.size
+    assert(recall >= 0.95, s"auto-tuned minhash recall $recall too low")
+  }
+
   test("span dedup is invariant to input partitioning") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Dedup.dedupSpans(d, "doc_id", "text").orderBy("doc_id").collect()
