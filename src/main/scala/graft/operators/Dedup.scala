@@ -393,11 +393,17 @@ object Dedup {
           i => xxhash64(concat_ws(" ", slice(col("t"), (i + 1).cast("int"), lit(L))))))
         .otherwise(array().cast("array<bigint>"))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-    val wH = Window.partitionBy("h")
-    val dup = grams
-      .withColumn("c", count(lit(1)).over(wH))
-      .withColumn("rk", row_number().over(wH.orderBy(col("id"), col("pos"))))
-      .filter(col("c") >= 2 && col("rk") > 1)
+    // first-occurrence election via partial-min aggregate + join back
+    // (the dedupBlocks shape), NOT a window over h: a corpus-hot gram
+    // (boilerplate in millions of docs) is absorbed map-side by the
+    // partial min/count, and the skewed probe side of the join is
+    // AQE-splittable — a window partitioned by h would pin every copy
+    // of the hot gram to one task with no runtime remedy
+    val first = grams.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("k"), count(lit(1)).as("c"))
+    val dup = grams.join(first, "h")
+      .filter(col("c") >= 2 &&
+        !(col("id") === col("k.id") && col("pos") === col("k.pos")))
       .select("id", "pos")
     // classic islands merge: a window starts a new span iff it begins
     // past every earlier duplicated window's end (adjacent merges too)
