@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** L45: link-graph centrality — weighted PageRank, the link-based
+  * source-quality signal of web-corpus curation (Common Crawl ranks
+  * hosts by centrality over the hyperlink graph; quality-weighted
+  * crawl frontiers and per-domain sampling budgets start from the same
+  * score). Given a directed weighted edge list, ranks every node by
+  * the stationary-ish mass after `iters` damped power-iteration
+  * rounds.
+  *
+  * INTEGER-EXACT by construction, like the rest of the surface
+  * (`Train.logisticGd`, the bigram LM): ranks live in fixed-point
+  * `scale` units (longs), each edge ships
+  * `floor(rank(src) * w / outw(src))` (the product widened through
+  * decimal(38,0) so a hot page's rank times a heavy edge weight cannot
+  * overflow), and the damping update is
+  * `base + floor(dampNum * in / dampDen)` with
+  * `base = floor(scale * (dampDen - dampNum) / (dampDen * n))`. Every
+  * step is a floor of a product/ratio of non-negative integers plus an
+  * order-insensitive integer sum, so the result is bit-identical on
+  * any engine, any partitioning, any summation order — which is what
+  * lets an iterative graph algorithm carry a DuckDB hash oracle
+  * (`CurationQueries.linkRankSql` unrolls the rounds into chained
+  * CTEs, the same trick as the classifier trainer).
+  *
+  * Dangling nodes (no out-edges) leak their mass — the "sink loss"
+  * PageRank variant — rather than teleporting it; both sides of the
+  * oracle replay the same rule. Parallel edges are pre-summed into one
+  * weight so edge-list multiplicity cannot change the fixpoint (a
+  * caller whose graph construction already ends in a groupBy(src, dst)
+  * asserts `assumeSummed` and skips the redundant shuffle).
+  *
+  * Shape at scale: the edge list is the big table and it never
+  * re-materializes — `(src, dst, w, outw)` is checkpointed once and
+  * each round is ONE equi-join of the n-row rank frame against it plus
+  * ONE groupBy(dst) integer sum (map-side partial — a page with 10⁸
+  * in-links is absorbed by partial aggregation, never a single
+  * reducer's row list). Rank frames are `localCheckpoint`ed per round
+  * so the plan stays constant-size over any iteration count (the
+  * `Dedup.clusters` discipline). No driver-side state beyond the two
+  * scalars n and base.
+  */
+object LinkRank {
+
+  /** Rank every node of the (pre-summed) weighted digraph. Returns
+    * `(node: string, rank_micro: long)` — fixed-point ranks in
+    * `scale` units, NOT normalized (floor losses and sink leakage make
+    * the column sum slightly under `scale`; relative order is the
+    * signal). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int = 5,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1000000000000L,
+               assumeSummed: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    require(scale >= 1000000L, s"scale too coarse for stable ranks: $scale")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+    // `assumeSummed` lets a caller whose graph construction already
+    // ends in a groupBy(src, dst) skip a redundant full re-shuffle of
+    // the edge list; the fixpoint is identical either way.
+    val e = (if (assumeSummed) raw
+             else raw.groupBy("src", "dst").agg(sum("w").as("w")))
+      // the edge list is the reused big table: materialize it ONCE (the
+      // upstream graph construction — at web scale a multi-TB join —
+      // must not replay under nodes/outw/every round's lineage). It is
+      // the only edge-sized materialization in the operator.
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty edge list")
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    // Size-statistics decisions the planner can't make itself
+    // (checkpointed frames carry no stats, and AQE only rescues a join
+    // after a wasted shuffle of the edge list): on a host/domain-
+    // grained graph (n up to ~10^6) the n-row frames — out-weights,
+    // ranks, inflows — all broadcast, so each round is ONE map-side
+    // pass over the resident edge list plus one narrow partial-agg
+    // shuffle and ZERO edge-row movement. Past that the rounds fall
+    // back to shuffle joins on src/dst, with out-weights attached once
+    // in a materialized (src, dst, w, outw) copy.
+    val small = n <= 1000000L
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val ew: DataFrame =
+      if (small) e.join(broadcast(outw.localCheckpoint()), "src")
+      else e.join(outw, "src").localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(hinted(r), col("src") === r("node"))
+        .select(col("dst"),
+          expr("CAST(rank AS DECIMAL(38,0)) * w div outw").as("c"))
+      val in = contrib.groupBy("dst").agg(sum("c").as("inm"))
+      r = nodes.join(hinted(in), nodes("node") === in("dst"), "left")
+        .select(nodes("node"),
+          (lit(base) +
+            expr(s"${dampNum}L * coalesce(inm, 0L) div ${dampDen}L"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("rank").as("rank_micro"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Ann, Bpe, Curate, Dedup}
+import graft.operators.{Ann, Bpe, Curate, Dedup, LinkRank}
 import RelationalQueries.t
 
 /** Round-7 additions: corpus-curation operators a 100 TB training-data
@@ -448,6 +448,32 @@ object CurationQueries {
       probed(perLang).union(probed(global)).orderBy("lang", "term")
     },
 
+    // L45: link-graph centrality (weighted PageRank) — the link-based
+    // source-quality signal of web curation, demonstrated on the
+    // customer<->supplier purchase graph (edge weight = lineitem
+    // count, both directions so the bipartite walk mixes). Integer-
+    // exact fixed-point arithmetic end to end, so the iterative
+    // algorithm carries a hash oracle: linkRankSql unrolls the same
+    // rounds into chained DuckDB CTEs.
+    "q_link_rank" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select(
+          concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+        .unionByName(pairs.select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
+      // both direction namespaces are disjoint ('c*' vs 's*' sources)
+      // and each is a groupBy product, so (src, dst) is already unique
+      LinkRank.pageRank(edges, "src", "dst", "w", iters = 4,
+          assumeSummed = true)
+        .orderBy(col("rank_micro").desc, col("node").asc)
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -530,8 +556,61 @@ object CurationQueries {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.LinkRank.pageRank]] with the
+    * power-iteration rounds UNROLLED into chained CTEs (r0 -> c1/i1/r1
+    * -> ...): a valid hash oracle because every step is a floor of a
+    * product/ratio of non-negative integers plus an order-insensitive
+    * integer sum — the per-edge product is widened through HUGEINT to
+    * mirror the operator's decimal(38,0) widening. Same sink-loss
+    * dangling rule, same pre-summed parallel edges. */
+  private def linkRankSql(iters: Int, dampNum: Long, dampDen: Long,
+                          scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (
+              |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+              |         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+              |         CAST(COUNT(*) AS BIGINT) AS w
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |edges AS (
+              |  SELECT src, dst, w FROM pairs
+              |  UNION ALL
+              |  SELECT dst AS src, src AS dst, w FROM pairs),
+              |nodes AS (
+              |  SELECT src AS node FROM edges
+              |  UNION
+              |  SELECT dst AS node FROM edges),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+              |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+              |r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS rank
+              |       FROM nodes),
+              |""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s"""c$k AS (
+                |  SELECT e.dst,
+                |    (CAST(r.rank AS HUGEINT) * e.w) // o.outw AS c
+                |  FROM edges e
+                |  JOIN r${k - 1} r ON e.src = r.node
+                |  JOIN outw o ON e.src = o.src),
+                |i$k AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inm
+                |        FROM c$k GROUP BY dst),
+                |r$k AS (
+                |  SELECT n.node,
+                |    (SELECT ($scale * ${dampDen - dampNum}) // ($dampDen * n)
+                |     FROM nn)
+                |    + ($dampNum * COALESCE(i.inm, 0)) // $dampDen AS rank
+                |  FROM nodes n LEFT JOIN i$k i ON n.node = i.dst),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb ++= s"\nSELECT node, CAST(rank AS BIGINT) AS rank_micro FROM r$iters" +
+      " ORDER BY rank_micro DESC, node"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q_classifier_train" -> classifierTrainSql(64, 3, 1L, 1L),
+    "q_link_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L),
 
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal

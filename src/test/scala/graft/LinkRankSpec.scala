@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LinkRank
+
+/** L45 weighted PageRank: parity with a sequential integer reference,
+  * centrality ordering on a known topology, determinism under
+  * repartitioning, parallel-edge pre-summing, and sink-loss dangling
+  * semantics. */
+class LinkRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Sequential replay of the operator's integer arithmetic. */
+  private def refRank(edges: Seq[(String, String, Long)], iters: Int,
+                      dampNum: Long = 85L, dampDen: Long = 100L,
+                      scale: Long = Scale): Map[String, Long] = {
+    val summed = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val nodes = summed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outw = summed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = scale * (dampDen - dampNum) / (dampDen * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = summed
+        .map { case (s, d, w) =>
+          d -> (BigInt(r(s)) * w / outw(s)).toLong }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(nd => nd ->
+        (base + dampNum * in.getOrElse(nd, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  private val diamond = Seq(
+    ("a", "b", 3L), ("a", "c", 1L), ("b", "d", 1L),
+    ("c", "d", 2L), ("d", "a", 1L))
+
+  test("ranks equal the sequential integer reference, bit for bit") {
+    val got = LinkRank.pageRank(
+        diamond.toDF("src", "dst", "w"), "src", "dst", "w", iters = 6)
+      .as[(String, Long)].collect().toMap
+    assert(got === refRank(diamond, 6))
+  }
+
+  test("star hub out-ranks its satellites") {
+    // 5 satellites all point at the hub; hub points back at one.
+    val star = Seq.tabulate(5)(i => (s"s$i", "hub", 1L)) :+ (("hub", "s0", 1L))
+    val r = LinkRank.pageRank(star.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(r("hub") > r("s0"), "hub must out-rank the linked satellite")
+    assert((1 to 4).forall(i => r("s0") > r(s"s$i")),
+      "the satellite receiving the hub's mass must out-rank the others")
+  }
+
+  test("ranks are invariant to input partitioning") {
+    val df = diamond.toDF("src", "dst", "w")
+    val a = LinkRank.pageRank(df, "src", "dst", "w", iters = 4)
+      .as[(String, Long)].collect().toMap
+    val b = LinkRank.pageRank(df.repartition(13, col("dst")),
+        "src", "dst", "w", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("parallel edges pre-sum: split weights equal the summed edge") {
+    val split = diamond.flatMap { case (s, d, w) =>
+      if (w > 1) Seq((s, d, 1L), (s, d, w - 1)) else Seq((s, d, w)) }
+    val a = LinkRank.pageRank(split.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 4)
+      .as[(String, Long)].collect().toMap
+    val b = LinkRank.pageRank(diamond.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+    val c = LinkRank.pageRank(diamond.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 4, assumeSummed = true)
+      .as[(String, Long)].collect().toMap
+    assert(c === b, "assumeSummed fast path must not change the fixpoint")
+  }
+
+  test("dangling node keeps teleport mass only (sink loss)") {
+    // b has no out-edges: after any round its received mass leaks and
+    // it holds base + damped inflow; a holds the teleport floor only.
+    val r = LinkRank.pageRank(Seq(("a", "b", 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val base = Scale * 15L / (100L * 2L)
+    assert(r("a") === base, "source with no inflow sits at the teleport floor")
+    assert(r("b") === base + 85L * base / 100L,
+      "sink holds base + damped inflow from a's floor")
+    assert(r === refRank(Seq(("a", "b", 1L)), 3))
+  }
+}
