@@ -54,7 +54,32 @@ object LinkRank {
                weightCol: String, iters: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L,
-               assumeSummed: Boolean = false): DataFrame = {
+               assumeSummed: Boolean = false): DataFrame =
+    ranked(edges, srcCol, dstCol, weightCol, None, iters,
+      dampNum, dampDen, scale, assumeSummed)
+
+  /** L45b: TrustRank (Gyöngyi et al., "Combating Web Spam with
+    * TrustRank") — PageRank whose teleport mass lands ONLY on a
+    * trusted seed set, so rank measures proximity to vetted sources:
+    * the seed-propagated quality score used to damp spam domains and
+    * boost crawl/sampling budgets near curated allowlists. Seeds not
+    * present in the graph are ignored (teleport renormalizes over the
+    * seeds that exist); same integer-exact arithmetic, broadcast
+    * regime, and sink-loss rule as [[pageRank]], which is exactly
+    * TrustRank with every node a seed. */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                weightCol: String, seeds: DataFrame, seedCol: String,
+                iters: Int = 5,
+                dampNum: Long = 85L, dampDen: Long = 100L,
+                scale: Long = 1000000000000L,
+                assumeSummed: Boolean = false): DataFrame =
+    ranked(edges, srcCol, dstCol, weightCol, Some((seeds, seedCol)), iters,
+      dampNum, dampDen, scale, assumeSummed)
+
+  private def ranked(edges: DataFrame, srcCol: String, dstCol: String,
+                     weightCol: String, seeds: Option[(DataFrame, String)],
+                     iters: Int, dampNum: Long, dampDen: Long,
+                     scale: Long, assumeSummed: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -73,12 +98,24 @@ object LinkRank {
       // must not replay under nodes/outw/every round's lineage). It is
       // the only edge-sized materialization in the operator.
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+    // `seed` rides the checkpointed node frame: 1 = receives teleport
+    // mass (every node for PageRank, the trusted set for TrustRank).
+    val nodes = (seeds match {
+      case None => allNodes.withColumn("seed", lit(1))
+      case Some((sdf, scol)) =>
+        val s = sdf.select(col(scol).cast("string").as("node"))
+          .distinct().withColumn("seed", lit(1))
+        allNodes.join(s, Seq("node"), "left")
+          .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
+    }).localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge list")
+    val nTeleport =
+      if (seeds.isEmpty) n else nodes.filter(col("seed") === 1).count()
+    require(nTeleport > 0, "no seed node present in the graph")
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
     // Size-statistics decisions the planner can't make itself
     // (checkpointed frames carry no stats, and AQE only rescues a join
@@ -94,8 +131,11 @@ object LinkRank {
     val ew: DataFrame =
       if (small) e.join(broadcast(outw.localCheckpoint()), "src")
       else e.join(outw, "src").localCheckpoint()
-    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var r = nodes.withColumn("rank", lit(scale / n))
+    val base = (scale * (dampDen - dampNum)) / (dampDen * nTeleport)
+    def baseCol = when(nodes("seed") === 1, lit(base)).otherwise(lit(0L))
+    var r = nodes.select(col("node"),
+      when(col("seed") === 1, lit(scale / nTeleport)).otherwise(lit(0L))
+        .as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(hinted(r), col("src") === r("node"))
         .select(col("dst"),
@@ -103,7 +143,7 @@ object LinkRank {
       val in = contrib.groupBy("dst").agg(sum("c").as("inm"))
       r = nodes.join(hinted(in), nodes("node") === in("dst"), "left")
         .select(nodes("node"),
-          (lit(base) +
+          (baseCol +
             expr(s"${dampNum}L * coalesce(inm, 0L) div ${dampDen}L"))
             .as("rank"))
         .localCheckpoint()

@@ -456,21 +456,23 @@ object CurationQueries {
     // algorithm carries a hash oracle: linkRankSql unrolls the same
     // rounds into chained DuckDB CTEs.
     "q_link_rank" -> { (s, dir) =>
-      val pairs = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey"), col("l_suppkey"))
-        .agg(count(lit(1)).as("w"))
-      val edges = pairs.select(
-          concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
-        .unionByName(pairs.select(
-          concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
       // both direction namespaces are disjoint ('c*' vs 's*' sources)
       // and each is a groupBy product, so (src, dst) is already unique
-      LinkRank.pageRank(edges, "src", "dst", "w", iters = 4,
-          assumeSummed = true)
+      LinkRank.pageRank(purchaseEdges(s, dir), "src", "dst", "w",
+          iters = 4, assumeSummed = true)
+        .orderBy(col("rank_micro").desc, col("node").asc)
+    },
+
+    // L45b: TrustRank — teleport mass restricted to a trusted seed set
+    // (suppliers from the first five nations stand in for a vetted
+    // domain allowlist); rank becomes proximity-to-trust, the
+    // seed-propagated quality score that damps spam sources.
+    "q_trust_rank" -> { (s, dir) =>
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      LinkRank.trustRank(purchaseEdges(s, dir), "src", "dst", "w",
+          seeds, "node", iters = 4, assumeSummed = true)
         .orderBy(col("rank_micro").desc, col("node").asc)
     },
 
@@ -556,6 +558,24 @@ object CurationQueries {
     sb.toString
   }
 
+  /** Bidirectional customer<->supplier purchase graph: edge weight =
+    * lineitem count for the pair, node namespaces 'c<key>' / 's<key>'.
+    * Both directions are groupBy products over disjoint source
+    * namespaces, so (src, dst) is unique — callers pass
+    * `assumeSummed = true`. */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+      .unionByName(pairs.select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
+  }
+
   /** DuckDB replay of [[graft.operators.LinkRank.pageRank]] with the
     * power-iteration rounds UNROLLED into chained CTEs (r0 -> c1/i1/r1
     * -> ...): a valid hash oracle because every step is a floor of a
@@ -564,7 +584,8 @@ object CurationQueries {
     * mirror the operator's decimal(38,0) widening. Same sink-loss
     * dangling rule, same pre-summed parallel edges. */
   private def linkRankSql(iters: Int, dampNum: Long, dampDen: Long,
-                          scale: Long): String = {
+                          scale: Long,
+                          seedsSql: Option[String] = None): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pairs AS (
               |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -580,10 +601,27 @@ object CurationQueries {
               |  SELECT src AS node FROM edges
               |  UNION
               |  SELECT dst AS node FROM edges),
-              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
               |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
-              |r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS rank
-              |       FROM nodes),
+              |""".stripMargin
+    // gseeds = teleport receivers present in the graph; nt = their
+    // count (uniform PageRank teleports to every node).
+    seedsSql match {
+      case None =>
+        sb ++= """gseeds AS (SELECT node FROM nodes),
+                 |""".stripMargin
+      case Some(ssql) =>
+        sb ++= s"""gseeds AS (
+                  |  SELECT DISTINCT n.node FROM nodes n
+                  |  JOIN ($ssql) s ON n.node = s.node),
+                  |""".stripMargin
+    }
+    sb ++= s"""nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM gseeds),
+              |r0 AS (
+              |  SELECT n.node,
+              |    CASE WHEN g.node IS NOT NULL
+              |      THEN (SELECT $scale // n_t FROM nt)
+              |      ELSE CAST(0 AS BIGINT) END AS rank
+              |  FROM nodes n LEFT JOIN gseeds g ON n.node = g.node),
               |""".stripMargin
     for (k <- 1 to iters) {
       sb ++= s"""c$k AS (
@@ -596,10 +634,14 @@ object CurationQueries {
                 |        FROM c$k GROUP BY dst),
                 |r$k AS (
                 |  SELECT n.node,
-                |    (SELECT ($scale * ${dampDen - dampNum}) // ($dampDen * n)
-                |     FROM nn)
+                |    CASE WHEN g.node IS NOT NULL
+                |      THEN (SELECT ($scale * ${dampDen - dampNum}) // ($dampDen * n_t)
+                |            FROM nt)
+                |      ELSE CAST(0 AS BIGINT) END
                 |    + ($dampNum * COALESCE(i.inm, 0)) // $dampDen AS rank
-                |  FROM nodes n LEFT JOIN i$k i ON n.node = i.dst),
+                |  FROM nodes n
+                |  LEFT JOIN gseeds g ON n.node = g.node
+                |  LEFT JOIN i$k i ON n.node = i.dst),
                 |""".stripMargin
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"
@@ -611,6 +653,9 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q_classifier_train" -> classifierTrainSql(64, 3, 1L, 1L),
     "q_link_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L),
+    "q_trust_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L,
+      Some("SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +
+        "FROM supplier WHERE s_nationkey < 5")),
 
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal

@@ -31,7 +31,10 @@ object ScaleProbe {
     "q_knn_graph", "q_bulk_knn", "q_dedup_cluster",
     // r8 additions: shingle-df window (linear), one-aggregate-per-round
     // training (linear), dual pruned-probe fusion (index build + probe)
-    "q_dup_ngram_fraction", "q_classifier_train", "q_hybrid_retrieval")
+    "q_dup_ngram_fraction", "q_classifier_train", "q_hybrid_retrieval",
+    // r8: power iteration over a x-factor purchase graph (disjoint
+    // replica components — nodes and edges both scale by the factor)
+    "q_link_rank")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -106,6 +109,27 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     (0 until factor).map(replicaEmb).reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // Purchase-graph tables for the link-rank probe: key strides make
+    // each replica a disjoint graph component, so nodes, edges, and
+    // total rank mass all scale exactly by the factor.
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val ordStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val custStride = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    val suppStride = li.agg(max("l_suppkey")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      li.select((col("l_orderkey") + lit(i.toLong * ordStride)).as("l_orderkey"),
+        (col("l_suppkey") + lit(i.toLong * suppStride)).as("l_suppkey"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    (0 until factor).map { i =>
+      ord.select((col("o_orderkey") + lit(i.toLong * ordStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(i.toLong * custStride)).as("o_custkey"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     println(s"[scaleprobe] derived x$factor corpus at $out " +
       s"(${docs.count() * factor} docs, ${emb.count() * factor} vectors)")
   }

@@ -13,24 +13,29 @@ class LinkRankSpec extends SparkSpec {
 
   private val Scale = 1000000000000L
 
-  /** Sequential replay of the operator's integer arithmetic. */
+  /** Sequential replay of the operator's integer arithmetic; `seeds`
+    * None = uniform teleport (PageRank), Some = TrustRank. */
   private def refRank(edges: Seq[(String, String, Long)], iters: Int,
                       dampNum: Long = 85L, dampDen: Long = 100L,
-                      scale: Long = Scale): Map[String, Long] = {
+                      scale: Long = Scale,
+                      seeds: Option[Set[String]] = None): Map[String, Long] = {
     val summed = edges.groupBy(e => (e._1, e._2))
       .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
     val nodes = summed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-    val n = nodes.length.toLong
+    val inGraph = nodes.toSet
+    val seedSet = seeds.fold(inGraph)(_.intersect(inGraph))
+    val nt = seedSet.size.toLong
     val outw = summed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
-    val base = scale * (dampDen - dampNum) / (dampDen * n)
-    var r = nodes.map(_ -> scale / n).toMap
+    val base = scale * (dampDen - dampNum) / (dampDen * nt)
+    def teleport(nd: String, v: Long): Long = if (seedSet(nd)) v else 0L
+    var r = nodes.map(nd => nd -> teleport(nd, scale / nt)).toMap
     for (_ <- 1 to iters) {
       val in = summed
         .map { case (s, d, w) =>
           d -> (BigInt(r(s)) * w / outw(s)).toLong }
         .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
       r = nodes.map(nd => nd ->
-        (base + dampNum * in.getOrElse(nd, 0L) / dampDen)).toMap
+        (teleport(nd, base) + dampNum * in.getOrElse(nd, 0L) / dampDen)).toMap
     }
     r
   }
@@ -81,6 +86,48 @@ class LinkRankSpec extends SparkSpec {
         "src", "dst", "w", iters = 4, assumeSummed = true)
       .as[(String, Long)].collect().toMap
     assert(c === b, "assumeSummed fast path must not change the fixpoint")
+  }
+
+  test("trustRank with every node seeded equals pageRank") {
+    val df = diamond.toDF("src", "dst", "w")
+    val allNodes = diamond.flatMap(e => Seq(e._1, e._2)).distinct
+      .toDF("node")
+    val pr = LinkRank.pageRank(df, "src", "dst", "w", iters = 5)
+      .as[(String, Long)].collect().toMap
+    val tr = LinkRank.trustRank(df, "src", "dst", "w", allNodes, "node",
+        iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(tr === pr)
+  }
+
+  test("trustRank matches the seeded sequential reference and decays with distance") {
+    // ring a -> b -> c -> d -> a, seed {a}: trust decays along the walk
+    val ring = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "a", 1L))
+    val got = LinkRank.trustRank(ring.toDF("src", "dst", "w"),
+        "src", "dst", "w",
+        Seq("a", "ghost").toDF("node"), "node", iters = 3)
+      .as[(String, Long)].collect().toMap
+    // "ghost" is not in the graph: teleport renormalizes over {a} only
+    assert(got === refRank(ring, 3, seeds = Some(Set("a"))))
+    assert(!got.contains("ghost"), "absent seeds must not materialize nodes")
+    // distance decay is a property of the CONVERGED walk (at few
+    // rounds the initial mass pulse is still circulating the ring)
+    val conv = LinkRank.trustRank(ring.toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq("a").toDF("node"), "node", iters = 20)
+      .as[(String, Long)].collect().toMap
+    assert(conv === refRank(ring, 20, seeds = Some(Set("a"))))
+    assert(conv("a") > conv("b") && conv("b") > conv("c") &&
+      conv("c") > conv("d"),
+      s"converged trust must decay with distance from the seed: $conv")
+  }
+
+  test("trustRank refuses a seed set disjoint from the graph") {
+    val ex = intercept[IllegalArgumentException] {
+      LinkRank.trustRank(diamond.toDF("src", "dst", "w"), "src", "dst", "w",
+        Seq("zz").toDF("node"), "node", iters = 2)
+    }
+    assert(ex.getMessage.contains("no seed node present"))
   }
 
   test("dangling node keeps teleport mass only (sink loss)") {
