@@ -48,13 +48,21 @@ object Bench {
     val ok = timed.collect { case (k, Some(v)) => k -> v }
     val failed = timed.collect { case (k, None) => k }
     val total = ok.map(_._2).sum
-    // cap the failed list (names are diagnostic, the count is the signal):
-    // an unbounded list on a mass-failure round would blow the stdout-tail
-    // window exactly when diagnostics matter most
+    // name every failure up to a character budget (~40 names): r8's hard
+    // cap of 12 left the 13th failure nameless and the report not
+    // self-contained, but an unbounded list on a mass-failure round would
+    // still blow the stdout-tail window, so budget rather than count
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.take(12).map("\"" + _ + "\"").mkString(
-        s""","n_failed":${failed.size},"failed":[""", ",", "]")
+      else {
+        val keptF = scala.collection.mutable.ArrayBuffer.empty[String]
+        var usedF = 0
+        for (f <- failed if usedF + f.length + 3 <= 900) {
+          keptF += "\"" + f + "\""; usedF += f.length + 3
+        }
+        keptF.mkString(
+          s""","n_failed":${failed.size},"failed":[""", ",", "]")
+      }
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the JSON line it finds there (sbt's trailing "[success] ..." line
     // eats ~80 of those) — with 93 queries a full per-query map is ~2.4 kB

@@ -15,9 +15,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): Spark 4 has no
-      // nanos timestamp type; read as Long nanoseconds since epoch.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // event time: the canonical in-engine `ts` is Long nanos; the
+      // shared loader (queries.RelationalQueries.t) normalizes whatever
+      // parquet timestamp unit the testdata carries. No legacy configs —
+      // Spark 4.1.2 no longer honors parquet.nanosAsLong.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -15,8 +15,24 @@ import graft.operators.{AsOf, RangeJoin, Sessionize}
   */
 object RelationalQueries {
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Table loader. Normalizes the event-time column to the engine's
+    * canonical representation: `ts` is Long nanoseconds since epoch.
+    * The testdata has carried `ts` as parquet TIMESTAMP(NANOS) (read as
+    * Long under older Sparks' `nanosAsLong`) and as TIMESTAMP(MICROS)
+    * NTZ (Spark 4.1.2+); both resolve here to the same Long-nanos
+    * column, matching the DuckDB oracle's `epoch_ns(ts)`. A `ts` that
+    * already loads as Long passes through untouched.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // session tz is UTC, so NTZ->timestamp is the identity wall clock
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** Collision-proof table-name key for a corpus dir (md5 prefix —
     * String.hashCode collides across dirs, which would silently serve

@@ -41,8 +41,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("salted equals plain on the hot-keyed events table") {
-    val ev = Sessionize.hotKeyed(
-      spark.read.parquet(s"$sfDir/events.parquet"), "user_id")
+    val ev = Sessionize.hotKeyed(table("events"), "user_id")
     val p = rows(Sessionize.plain(ev, "user_id", 60000000000L))
     val s = rows(Sessionize.salted(ev, "user_id", 60000000000L, 3600000000000L))
     assert(p.nonEmpty && p == s)

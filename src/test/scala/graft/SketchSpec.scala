@@ -7,7 +7,7 @@ import graft.functions.{approx_top_k, count_min_agg, count_min_estimate, tokeniz
 class SketchSpec extends SparkSpec {
 
   test("HLL count-distinct is within its error bound of exact") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = table("events")
     val joined = ev.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
         countDistinct(col("user_id")).as("exact"))
@@ -19,7 +19,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("per-day HLL sketches union to the exact-grain answer") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = table("events")
     val daily = ev
       .groupBy(timestamp_micros(expr("ts div 1000")).cast("date").as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -33,7 +33,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("theta sketch set-difference: user-days with clicks but no purchase") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = table("events")
       .withColumn("k", concat_ws("#", col("user_id"),
         timestamp_micros(expr("ts div 1000")).cast("date")))
     val sk = ev.agg(
@@ -51,7 +51,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("approx percentile is within 5% of exact at accuracy 1000") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = table("events")
     val r = ev.agg(
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"),
       expr("percentile(value, 0.5)").as("exact")).collect().head
@@ -61,7 +61,7 @@ class SketchSpec extends SparkSpec {
 
   // ---- Space-Saving heavy hitters (graft.functions.approx_top_k) ----
 
-  private def tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def tokens = table("documents")
     .select(explode(tokenize_ws(col("text"))).as("tok"))
 
   test("space-saving at large capacity equals the exact top-k") {
@@ -109,7 +109,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("count-min never undercounts and stays within the eps*N bound") {
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = table("documents")
       .select(explode(graft.functions.tokenize_ws(col("text"))).as("tok"))
     val truth = toks.groupBy("tok").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -130,7 +130,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("count-min merge: partitioning-invariant, and vector_sum rollup = one-pass sketch") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = table("documents")
     val (depth, width) = (4, 256)
     def toks(df: org.apache.spark.sql.DataFrame) =
       df.select(col("lang"), explode(graft.functions.tokenize_ws(col("text"))).as("tok"))
@@ -159,7 +159,7 @@ class SketchSpec extends SparkSpec {
 
   test("approx_top_k coerces non-string input instead of failing at runtime") {
     GraftExtensions.install(spark) // graft's approx_top_k, not Spark 4's builtin
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = table("events")
     ev.createOrReplaceTempView("ev_topk")
     // user_id is BIGINT; the registered SQL function must coerce it
     val viaSql = spark.sql(

@@ -12,7 +12,7 @@ class SkewSpec extends SparkSpec {
 
   test("salted join equals the plain join on a 50%-hot key") {
     val fact = Sessionize.hotKeyed(
-      spark.read.parquet(s"$sfDir/events.parquet"), "user_id")
+      table("events"), "user_id")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
     val salted = Skew.saltedJoin(fact, dim, "user_id", "event_id", 8)
@@ -25,7 +25,7 @@ class SkewSpec extends SparkSpec {
 
   test("the hot key is spread across all salt buckets") {
     val fact = Sessionize.hotKeyed(
-      spark.read.parquet(s"$sfDir/events.parquet"), "user_id")
+      table("events"), "user_id")
     val buckets = 8
     val spread = fact.filter($"user_id" === 0)
       .select(pmod(xxhash64($"event_id"), lit(buckets.toLong)).as("salt"))

@@ -9,6 +9,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   def sfDir: String = "/root/testdata/sf0.001"
+
+  /** Testdata loader via the engine's canonical table reader, so specs
+    * see the same normalized schema (ts as Long nanos) as the queries.
+    */
+  def table(name: String): org.apache.spark.sql.DataFrame =
+    graft.queries.RelationalQueries.t(spark, sfDir, name)
 }
 
 object SparkSpec {
