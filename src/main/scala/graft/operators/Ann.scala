@@ -147,8 +147,16 @@ object Ann {
     val v = corpus.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("vec"))
     val cents = trainCentroids(v, nClusters, iters, trainFraction)
-    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    ivfSearch(v, queries, idCol, vecCol, k, cents, nProbe)
+  }
 
+  /** IVF probe join against already-trained centroids (shared by
+    * [[ivfTopK]] and [[ivfTopKAuto]] — at scale the centroid table is a
+    * persisted artifact, trained once and searched many times). */
+  private def ivfSearch(v: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
     // index build: map-only cell assignment (reusable, like the
     // centroids — at scale this is a write-once partitioned table)
     val indexed = v.withColumn("cluster", nearest_centroid(col("vec"), centsLit))
@@ -165,6 +173,75 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
+  }
+
+  /** L7h: empirical probe-depth recall curve — the embedding-side
+    * analog of [[Dedup.lshParams]]. Minhash banding has a closed-form
+    * S-curve; IVF recall depends on the trained cell geometry, so the
+    * curve is MEASURED on a held-out sample: take `sampleSize` corpus
+    * rows by deterministic hash order, compute their exact top-k once
+    * (one corpus pass — the cost of one brute-force search over S
+    * queries), and record, for every true neighbor, the rank of its
+    * home cell in the query's full centroid ordering. A neighbor is
+    * reachable at probe depth p iff that rank <= p, so the cumulative
+    * histogram IS recall@p for every p simultaneously — the entire
+    * curve from one pass, no per-depth re-search. Returns a C-entry
+    * driver array (index p-1 = expected recall at nProbe = p; last
+    * entry is 1.0 by construction).
+    */
+  def probeRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, cents: Array[Array[Double]],
+                       sampleSize: Int = 64): Array[Double] = {
+    val nC = cents.length
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val sampleQ = v.orderBy(xxhash64(col("nn_id")), col("nn_id"))
+      .limit(sampleSize)
+      .select(col("nn_id").as("query_id"), col("vec").as("q_vec"))
+    val truth = cosineTopK(v.select(col("nn_id"), col("vec").as("nn_vec")),
+      sampleQ, k, excludeSameId = true)
+    val cellOf = v.select(col("nn_id"),
+      nearest_centroid(col("vec"), centsLit).as("nn_cell"))
+    // S·k narrow rows → C-bucket histogram: driver artifact is C longs
+    val hist = truth.join(cellOf, "nn_id")
+      .join(broadcast(sampleQ), "query_id")
+      .select(array_position(
+        top_centroids(col("q_vec"), centsLit, nC), col("nn_cell"))
+        .as("probe_rank"))
+      .groupBy("probe_rank").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, hist.values.sum).toDouble
+    (1 to nC).map { p =>
+      (1 to p).map(r => hist.getOrElse(r.toLong, 0L)).sum / total
+    }.toArray
+  }
+
+  /** Smallest nProbe whose measured sample recall clears `recallFloor`
+    * (falls back to probing every cell — exhaustive — if none does). */
+  def tuneNProbe(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                 cents: Array[Array[Double]], recallFloor: Double = 0.9,
+                 sampleSize: Int = 64): Int =
+    probeRecallCurve(corpus, idCol, vecCol, k, cents, sampleSize)
+      .indexWhere(_ >= recallFloor) match {
+      case -1 => cents.length
+      case i  => i + 1
+    }
+
+  /** [[ivfTopK]] with the probe depth chosen from a measured recall
+    * floor instead of a hand-picked constant — "give me ≥ floor recall
+    * at minimum scan cost". Trains the quantizer once and reuses it for
+    * both the tuning pass and the search. */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nClusters: Int = 16,
+                  iters: Int = 2, trainFraction: Double = 0.25,
+                  recallFloor: Double = 0.9, sampleSize: Int = 64): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    val nProbe = tuneNProbe(corpus, idCol, vecCol, k, cents,
+      recallFloor, sampleSize)
+    ivfSearch(v, queries, idCol, vecCol, k, cents, nProbe)
   }
 
   /** Train product-quantization codebooks (Jégou et al., "Product
@@ -801,6 +878,11 @@ object Ann {
                trainFraction: Double = 0.25, nAssign: Int = 2): DataFrame = {
     val v = df.select(col(idCol).as("nn_id"), as_double_array(col(vecCol)).as("vec"))
     val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    knnGraphSearch(v, cents, k, nAssign)
+  }
+
+  private def knnGraphSearch(v: DataFrame, cents: Array[Array[Double]],
+                             k: Int, nAssign: Int): DataFrame = {
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val indexed = v.withColumn("cluster",
       explode(top_centroids(col("vec"), centsLit, nAssign)))
@@ -813,6 +895,75 @@ object Ann {
     cand.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("id"), col("rk").cast("long").as("rk"), col("nb"), col("cos"))
+  }
+
+  /** Measured recall curve for [[knnGraph]]'s multi-assignment depth —
+    * the SYMMETRIC analog of [[probeRecallCurve]]. A true neighbor pair
+    * (q, nb) is generated at depth a iff their top-a cell sets
+    * intersect, and the minimal such a is computable from the two FULL
+    * centroid orderings alone: min over ordering position i of
+    * max(i, position of q's i-th cell in nb's ordering). One exact
+    * top-k pass over a hash-held-out sample + an O(C²) array expression
+    * per truth row (S·k rows total) yields recall@a for every a at
+    * once. Returns a C-entry curve (index a-1 = recall at nAssign = a;
+    * last entry 1.0 — full assignment shares every cell).
+    */
+  def assignRecallCurve(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, cents: Array[Array[Double]],
+                        sampleSize: Int = 64): Array[Double] = {
+    val nC = cents.length
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val v = df.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"))
+    val sampleQ = v.orderBy(xxhash64(col("nn_id")), col("nn_id"))
+      .limit(sampleSize)
+      .select(col("nn_id").as("query_id"), col("vec").as("q_vec"))
+    val truth = cosineTopK(v.select(col("nn_id"), col("vec").as("nn_vec")),
+      sampleQ, k, excludeSameId = true)
+    val orderOf = v.select(col("nn_id"),
+      top_centroids(col("vec"), centsLit, nC).as("nb_order"))
+    // min_i max(i, pos_nb(q_order[i])): both arrays are permutations of
+    // the same C cells, so array_position never misses
+    val minDepth = aggregate(
+      transform(sequence(lit(1), lit(nC)),
+        i => greatest(i.cast("long"),
+          array_position(col("nb_order"), element_at(col("q_order"), i)))),
+      lit(nC.toLong), (acc, x) => least(acc, x))
+    val hist = truth.join(orderOf, "nn_id")
+      .join(broadcast(sampleQ.select(col("query_id"),
+        top_centroids(col("q_vec"), centsLit, nC).as("q_order"))), "query_id")
+      .select(minDepth.as("min_depth"))
+      .groupBy("min_depth").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, hist.values.sum).toDouble
+    (1 to nC).map { a =>
+      (1 to a).map(d => hist.getOrElse(d.toLong, 0L)).sum / total
+    }.toArray
+  }
+
+  /** Smallest nAssign whose measured sample recall clears the floor
+    * (falls back to assigning every cell if none does). */
+  def tuneNAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  cents: Array[Array[Double]], recallFloor: Double = 0.9,
+                  sampleSize: Int = 64): Int =
+    assignRecallCurve(df, idCol, vecCol, k, cents, sampleSize)
+      .indexWhere(_ >= recallFloor) match {
+      case -1 => cents.length
+      case i  => i + 1
+    }
+
+  /** [[knnGraph]] with the assignment depth chosen from a measured
+    * recall floor — closes the last hand-picked constant in the ANN
+    * stack (L3b tunes minhash banding, [[tuneNProbe]] the IVF probe,
+    * this the graph multi-assignment). */
+  def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nClusters: Int = 16, iters: Int = 2,
+                   trainFraction: Double = 0.25, recallFloor: Double = 0.9,
+                   sampleSize: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"), as_double_array(col(vecCol)).as("vec"))
+    val cents = trainCentroids(v, nClusters, iters, trainFraction)
+    val nAssign = tuneNAssign(df, idCol, vecCol, k, cents, recallFloor, sampleSize)
+    knnGraphSearch(v, cents, k, nAssign)
   }
 
   /** L43: kNN classification — label each query vector by MAJORITY

@@ -217,6 +217,18 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L7h: IVF with the probe depth chosen from a MEASURED recall floor
+    // (one exact pass over a hash-held-out sample yields the whole
+    // recall-vs-nProbe curve) instead of a hand-picked constant
+    // (rows-only; curve exactness + recall gated in AnnSpec).
+    "q_ann_ivf_auto" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopKAuto(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, nClusters = 16, iters = 2,
+          trainFraction = 0.25, recallFloor = 0.9, sampleSize = 64)
+        .orderBy("query_id", "rank")
+    },
+
     // L6b: grouped (per-label) exact top-k — multi-tenant search: each
     // query scans only its own group's vectors (oracled).
     "q_ann_grouped" -> { (s, dir) =>
