@@ -120,4 +120,72 @@ object Curate {
     }
     withCl.withColumn("split", assign)
   }
+
+  /** L46: DSIR-style importance scoring (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * score every document by how much more likely its hashed n-gram
+    * features are under a TARGET distribution (the rows where
+    * `isTarget` holds — a trusted/high-quality exemplar set) than
+    * under the raw corpus. Features are hashed unigrams AND bigrams
+    * (the paper's hashed n-gram feature space) in `buckets` buckets.
+    *
+    * The target model smooths with a Dirichlet prior centered on the
+    * RAW distribution — p_T(f) = (ct + α·cr/NR)/(NT + α), α = B —
+    * not an add-one prior: under add-one, a feature absent from BOTH
+    * distributions gets ratio ≈ NR/(2·NT) > 1, so off-distribution
+    * garbage ranks as target-like purely from the prior. Centered on
+    * raw, a feature whose target share equals its raw share scores
+    * exactly 10⁶ (neutral), an unseen-in-target feature damps toward
+    * α/(NT+α), and target-enriched features score above 10⁶.
+    *
+    * Arithmetic contract: the paper's log-ratio weight is replaced by
+    * the mean QUANTIZED probability ratio — per feature occurrence
+    *   qf = floor((ct·NR + α·cr)·10⁶ / (cr·(NT + α)))
+    * (a floor of products/ratios of non-negative integers widened
+    * through decimal(38,0); no libm log, whose last ulp varies across
+    * engines), and the document score is the integer-div mean of qf
+    * over its feature occurrences. Bit-identical at any parallelism
+    * and on any engine — which is what lets an importance-model
+    * selection carry a DuckDB hash oracle. Ranking agrees with
+    * log-weights when per-doc ratio spreads are moderate; a heavy-
+    * tailed feature can dominate the mean where the log-sum would
+    * damp it (documented divergence, not a defect). Documents with
+    * zero tokens have no features and drop out.
+    *
+    * Scale shape: both models are B-row aggregates — the qf table
+    * BROADCASTS, so scoring is a map-side join of the corpus feature
+    * stream against B rows plus one groupBy(doc) integer sum; the
+    * corpus never shuffles against the model. Returns
+    * (doc_id, n_feats, score_q); selection on top is a TakeOrdered
+    * (`importance top-k`, the paper's deterministic baseline). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      graft.functions.tokenize_ws(col(textCol)).as("t"))
+    val unis = toks.select(col("doc_id"), col("is_t"), explode(col("t")).as("g"))
+    val bis = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("g"))
+    val feats = unis.union(bis).select(col("doc_id"), col("is_t"),
+      pmod(graft.functions.rolling_hash(col("g")), lit(buckets.toLong)).as("f"))
+    val cnt = feats.groupBy("f").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = feats.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val ratio = cnt.crossJoin(broadcast(tot))
+      .select(col("f"),
+        expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * nr + $buckets * cr) * 1000000" +
+          s" div (CAST(cr AS DECIMAL(38,0)) * (nt + $buckets)) AS BIGINT)")
+          .as("qf"))
+    feats.join(broadcast(ratio), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("CAST(CAST(SUM(qf) AS DECIMAL(38,0)) div COUNT(1) AS BIGINT)")
+          .as("score_q"))
+  }
 }

@@ -476,6 +476,29 @@ object CurationQueries {
         .orderBy(col("rank_micro").desc, col("node").asc)
     },
 
+    // L46: DSIR importance selection — pick the documents whose hashed
+    // n-gram (uni+bi) feature profile is most target-like; here the
+    // target exemplar set is the English slice standing in for a
+    // trusted high-quality corpus. Integer-exact quantized probability
+    // ratios instead of the paper's libm log-weights, so the iterative-
+    // model selection carries a hash oracle; top-k is the paper's
+    // deterministic resample baseline.
+    "q_dsir_select" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val scored = Curate.dsirScores(d, "doc_id", "text",
+        col("lang") === "en", buckets = 1024)
+      // distributed TakeOrdered first; the global rank window then only
+      // ever sees the 200 survivors (never the corpus)
+      val top = scored.orderBy(col("score_q").desc, col("doc_id").asc)
+        .limit(200)
+      val w = Window.orderBy(col("score_q").desc, col("doc_id").asc)
+      top.join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "lang", "n_feats", "score_q")
+        .orderBy("rank")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -656,6 +679,53 @@ object CurationQueries {
     "q_trust_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L,
       Some("SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +
         "FROM supplier WHERE s_nationkey < 5")),
+
+    // DSIR twin: the same hashed uni+bigram features (rolling-hash
+    // recurrence of the q_feature_hash oracle), raw-centered Dirichlet
+    // target smoothing, and the quantized ratio through HUGEINT — in
+    // lockstep with Curate.dsirScores' decimal(38,0).
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_t, UNNEST(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |feats AS (
+        |  SELECT doc_id, is_t,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(g, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS f
+        |  FROM grams),
+        |cnt AS (
+        |  SELECT f, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM feats GROUP BY f),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+        |    COUNT(*) AS nr
+        |  FROM feats),
+        |ratio AS (
+        |  SELECT f, CAST(((CAST(ct AS HUGEINT) * nr + 1024 * cr) * 1000000)
+        |    // (CAST(cr AS HUGEINT) * (nt + 1024)) AS BIGINT) AS qf
+        |  FROM cnt CROSS JOIN tot),
+        |docscore AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |    CAST(CAST(SUM(qf) AS HUGEINT) // COUNT(*) AS BIGINT) AS score_q
+        |  FROM feats JOIN ratio USING (f) GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank,
+        |    doc_id, n_feats, score_q
+        |  FROM docscore)
+        |SELECT rank, r.doc_id, d.lang, n_feats, score_q
+        |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        |WHERE rank <= 200 ORDER BY rank""".stripMargin,
 
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal

@@ -213,4 +213,43 @@ class CurationSpec extends SparkSpec {
     assert(scores(1L) < scores(2L),
       s"stopword spam ${scores(1L)} must score below prose ${scores(2L)}")
   }
+
+  test("dsir: target slice dominates, planted twin ranks by distribution") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = table("documents")
+    val scored = Curate.dsirScores(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 1024)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // the exemplar slice itself must score higher ON AVERAGE than the
+    // rest — the minimum sanity bar for an importance model
+    val means = scored
+      .groupBy(col("lang") === "en").agg(avg(col("score_q")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-target mean ${means(false)}")
+    // partitioning invariance (integer arithmetic end to end)
+    val a = Curate.dsirScores(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Curate.dsirScores(docs.repartition(7), "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b, "dsir scores changed under repartitioning")
+    // planted pair: a doc stitched from target-corpus text must outscore
+    // an off-distribution symbol-soup twin under the en-target model
+    val enText = docs.filter(col("lang") === "en")
+      .orderBy("doc_id").limit(2)
+      .collect().map(_.getAs[String]("text")).mkString(" ")
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(Seq((900001L, enText), (900002L, "qzx9 #!@ vvv kkk 77zz"))
+        .toDF("doc_id", "text"))
+    val enIds = docs.filter(col("lang") === "en").orderBy("doc_id").limit(50)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val p = Curate.dsirScores(planted, "doc_id", "text",
+        col("doc_id").isin(enIds: _*))
+      .filter(col("doc_id") >= 900001L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p(900001L) > p(900002L),
+      s"target-stitched ${p(900001L)} must outscore symbol soup ${p(900002L)}")
+  }
 }
