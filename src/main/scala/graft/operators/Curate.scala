@@ -188,4 +188,71 @@ object Curate {
         expr("CAST(CAST(SUM(qf) AS DECIMAL(38,0)) div COUNT(1) AS BIGINT)")
           .as("score_q"))
   }
+
+  /** L47: Gopher document-quality rules (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, §A1.1) — the published rule battery
+    * that became the de-facto web-corpus pre-filter (reused by
+    * MassiveText, RefinedWeb, Dolma): word-count band, mean-word-length
+    * band, symbol-to-word ratio, bullet/ellipsis line shares, alphabetic
+    * word share, and a minimum stop-word presence. Emits one flag per
+    * rule plus the conjunction, so a pipeline can audit WHICH rule
+    * rejected a document (the flags are the observability surface; the
+    * `keep` column is the filter).
+    *
+    * Every threshold is evaluated as a CROSS-MULTIPLIED integer
+    * comparison (e.g. mean word length in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n),
+    * never a double division — the flags are bit-exact on any engine
+    * and carry a DuckDB hash oracle. Map-side only: one pass, no
+    * shuffle, codegen'd builtins (split/filter/aggregate) end to end.
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  stopWords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    require(stopWords.nonEmpty, "gopherFlags needs a non-empty stop list")
+    val stopArr = array(stopWords.map(lit): _*)
+    docs
+      .withColumn("__w", graft.functions.tokenize_ws(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__sumlen",
+        expr("aggregate(transform(__w, x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)"))
+      .withColumn("__alpha",
+        size(filter(col("__w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("__sym",
+        (size(filter(col("__w"), x => x === "#")) +
+          size(filter(col("__w"), x => x.endsWith("...")))).cast("long"))
+      .withColumn("__stop",
+        size(filter(stopArr, s => array_contains(col("__w"), s))).cast("long"))
+      .withColumn("__nl", size(col("__lines")).cast("long"))
+      .withColumn("__bullet",
+        size(filter(col("__lines"), l =>
+          l.startsWith("-") || l.startsWith("*"))).cast("long"))
+      .withColumn("__ell",
+        size(filter(col("__lines"), l => l.endsWith("..."))).cast("long"))
+      .select(
+        col(idCol).as("doc_id"),
+        col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("long").as("ok_words"),
+        // 3 <= mean word length <= 10, cross-multiplied
+        (col("__sumlen") >= col("n_words") * 3 &&
+          col("__sumlen") <= col("n_words") * 10)
+          .cast("long").as("ok_wordlen"),
+        // symbol-to-word ratio < 0.1
+        (col("__sym") * 10 < col("n_words")).cast("long").as("ok_symbols"),
+        // < 90% bullet lines, < 30% ellipsis lines
+        (col("__bullet") * 10 < col("__nl") * 9 &&
+          col("__ell") * 10 < col("__nl") * 3)
+          .cast("long").as("ok_lines"),
+        // >= 80% of words contain an alphabetic character
+        (col("__alpha") * 5 >= col("n_words") * 4).cast("long").as("ok_alpha"),
+        // at least two distinct stop words present
+        (col("__stop") >= 2).cast("long").as("ok_stopwords"))
+      .withColumn("keep",
+        (col("ok_words") * col("ok_wordlen") * col("ok_symbols") *
+          col("ok_lines") * col("ok_alpha") * col("ok_stopwords") === 1)
+          .cast("long"))
+  }
 }

@@ -499,6 +499,19 @@ object CurationQueries {
         .orderBy("rank")
     },
 
+    // L47: Gopher quality rules — the published web-corpus pre-filter
+    // battery, one audit flag per rule + the keep conjunction; every
+    // threshold a cross-multiplied integer comparison (engine-exact,
+    // hash-oracled). Map-side single pass, zero shuffles.
+    "q_gopher_rules" -> { (s, dir) =>
+      // stop list adapted to the synthetic corpus's vocabulary (of the
+      // published list only 'the' occurs at all); the operator default
+      // stays Gopher's 8-word list
+      Curate.gopherFlags(t(s, dir, "documents"), "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        .orderBy("doc_id")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -726,6 +739,44 @@ object CurationQueries {
         |SELECT rank, r.doc_id, d.lang, n_feats, score_q
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // Gopher-rules twin: identical cross-multiplied integer threshold
+    // tests over the same token/line stats — in LOCKSTEP with
+    // Curate.gopherFlags (thresholds 50..100000 words, wordlen 3..10,
+    // sym<0.1, bullet<90% & ellipsis<30% lines, alpha>=80%, >=2 stops).
+    "q_gopher_rules" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x = '#')) +
+        |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(['the','a'],
+        |         s -> list_contains(w, s))) AS BIGINT) AS stop,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell
+        |  FROM stats)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_words,
+        |  CAST(sumlen >= n_words * 3 AND sumlen <= n_words * 10 AS BIGINT) AS ok_wordlen,
+        |  CAST(sym * 10 < n_words AS BIGINT) AS ok_symbols,
+        |  CAST(bullet * 10 < nl * 9 AND ell * 10 < nl * 3 AS BIGINT) AS ok_lines,
+        |  CAST(alpha * 5 >= n_words * 4 AS BIGINT) AS ok_alpha,
+        |  CAST(stop >= 2 AS BIGINT) AS ok_stopwords,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+        |    AND sym * 10 < n_words
+        |    AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
+        |    AND alpha * 5 >= n_words * 4
+        |    AND stop >= 2 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal

@@ -252,4 +252,32 @@ class CurationSpec extends SparkSpec {
     assert(p(900001L) > p(900002L),
       s"target-stitched ${p(900001L)} must outscore symbol soup ${p(900002L)}")
   }
+
+  test("gopher rules: each pathological doc trips exactly its rule") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val good = (("the quick brown fox jumps over a lazy dog and then " +
+      "runs to the wide river bank where it drinks ") * 3).trim // 60 words
+    val docs = Seq(
+      (1L, good),                                       // passes all
+      (2L, "the a short doc"),                          // too few words
+      (3L, Array.fill(60)("# the a word").mkString(" ")), // symbol-heavy
+      (4L, (1 to 60).map(_ => "zz...").mkString(" ")),  // no stopwords+sym
+      (5L, good.split(' ').map(w => "- " + w).mkString("\n")), // bullets
+      (6L, Array.fill(60)("x").mkString(" "))           // mean wordlen < 3
+    ).toDF("doc_id", "text")
+    val f = Curate.gopherFlags(docs, "doc_id", "text",
+        stopWords = Seq("the", "a"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(1L).getAs[Long]("keep") == 1L, "clean doc must pass")
+    assert(f(2L).getAs[Long]("ok_words") == 0L)
+    assert(f(3L).getAs[Long]("ok_symbols") == 0L,
+      "every 4th token '#' must trip the symbol rule")
+    assert(f(4L).getAs[Long]("ok_stopwords") == 0L)
+    assert(f(5L).getAs[Long]("ok_lines") == 0L,
+      "all-bullet lines must trip the line rule")
+    assert(f(6L).getAs[Long]("ok_wordlen") == 0L)
+    // flags are observability: rejected docs still carry every column
+    assert(f.values.forall(_.schema.fieldNames.contains("ok_alpha")))
+  }
 }
