@@ -93,4 +93,38 @@ object Decontaminate {
       .select(col("id").as("__bad_id"))
     train.join(bad, col(idCol) === col("__bad_id"), "left_anti")
   }
+
+  /** L48: Min-K% membership signal (Shi et al., "Detecting Pretraining
+    * Data from Large Language Models", ICLR 2024): a document's score
+    * is the MEAN probability of its k/kDen least-likely tokens under a
+    * reference LM. Memorized or duplicated text keeps even its rarest
+    * spans high-probability; genuinely novel text has a low tail — so
+    * a HIGH min-k score marks likely training-set membership (the
+    * contamination-audit direction of L21's shingle overlap: no eval
+    * set needed, just the reference model).
+    *
+    * Input is any per-token quantized-probability frame (`idCol`,
+    * `qCol` int rows) — e.g. the L14 corpus bigram LM. Integer-exact:
+    * k = ceil(n·kNum/kDen) as (n·kNum + kDen−1) div kDen, the
+    * bottom-k sum is tie-insensitive (boundary ties all carry the
+    * same q, so any engine's tie order yields the same sum), and the
+    * mean is an integer div — hash-oracle-able like every scoring op
+    * here. One window shuffle on the doc key (rank and count share
+    * the partitioning); output is one row per doc. */
+  def minkScores(scored: DataFrame, idCol: String, qCol: String,
+                 kNum: Int = 1, kDen: Int = 5): DataFrame = {
+    require(kNum >= 1 && kDen >= kNum,
+      s"need 0 < kNum/kDen <= 1, got $kNum/$kDen")
+    val w = Window.partitionBy("doc_id").orderBy(col("q").asc)
+    val wc = Window.partitionBy("doc_id")
+    scored.select(col(idCol).as("doc_id"), col(qCol).as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("k", expr(s"(n * $kNum + ${kDen - 1}) div $kDen"))
+      .filter(col("rn") <= col("k"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), max(col("k")).as("k"),
+        expr("CAST(CAST(SUM(q) AS DECIMAL(38,0)) div COUNT(1) AS BIGINT)")
+          .as("mink_q"))
+  }
 }

@@ -377,6 +377,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L48: Min-K% membership audit — the suspect list: documents whose
+    // k=20% least-likely bigrams still score high under the corpus LM
+    // (memorization/duplication leaves no low-probability tail). Rides
+    // the L14 integer-exact bigram scaffold, so the membership signal
+    // carries a hash oracle; one window shuffle, TakeOrdered top-50.
+    "q_mink_contamination" -> { (s, dir) =>
+      val scored = Shared.bigramScored(t(s, dir, "documents"),
+        "doc_id", "text")
+      Decontaminate.minkScores(scored.select(col("doc_id"), col("q")),
+          "doc_id", "q", kNum = 1, kDen = 5)
+        .orderBy(col("mink_q").desc, col("doc_id").asc)
+        .limit(50)
+    },
+
     // L21b: semantic decontamination — training vectors within cosine
     // 0.4 of ANY eval vector are flagged (best match reported). The
     // n-gram pass (L21) catches verbatim quotes; this catches
@@ -896,6 +910,26 @@ object PipelineQueries {
         |  GROUP BY tr.doc_id, len(tr.s))
         |SELECT doc_id, n_shingles, CAST(n_matched AS BIGINT) AS n_matched
         |FROM m WHERE n_matched >= 5 ORDER BY doc_id""".stripMargin,
+
+    // Min-K% twin over the shared bigram-LM CTE: bottom ceil(n/5)
+    // bigram probabilities per doc (row_number boundary ties are
+    // sum-invariant — tied rows carry the same q), integer-div mean,
+    // top-50 suspects. In LOCKSTEP with Decontaminate.minkScores.
+    "q_mink_contamination" ->
+      s"""WITH ${Shared.bigramScoredCteSql},
+        |r AS (
+        |  SELECT doc_id, q,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY q) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM scored),
+        |m AS (
+        |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |    CAST(MAX((n * 1 + 4) // 5) AS BIGINT) AS k,
+        |    CAST(CAST(SUM(q) AS HUGEINT) // COUNT(*) AS BIGINT) AS mink_q
+        |  FROM r WHERE rn <= (n * 1 + 4) // 5
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, k, mink_q FROM m
+        |ORDER BY mink_q DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     // Exact-cosine replay of the semantic decontamination flagging:
     // same left-to-right dot/norm fold and ROUND(.,4) quantization as

@@ -354,4 +354,51 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("min-k%: duplicated doc outscores a novel-tail doc; invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Decontaminate
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    // A duplicates B verbatim (every bigram seen >= 2x under the corpus
+    // LM — no low-probability tail); C's tail tokens are unique but sit
+    // in the SHARED "the _" context, so its p(cur|prev) genuinely tanks
+    // (a unique prev would score p=1 under a conditional LM — novelty
+    // only reads as low-probability inside a known context)
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "the quick brown fox jumps over the qq7 and the zz9 then the xx3"),
+      (4L, "the lazy dog near the river jumps over the quick brown fox"))
+      .toDF("doc_id", "text")
+    // per-bigram quantized probs under the tiny corpus's own LM — the
+    // same scaffold the query uses (package-private, so rebuild inline)
+    val toks = docs.select(col("doc_id"),
+      graft.functions.tokenize_ws(col("text")).as("t"))
+    val pairs = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS prev, element_at(t, i+1) AS cur))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.prev"), col("bg.cur"))
+    val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+    val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val scored = pairs.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+      .withColumn("q",
+        floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5).cast("long"))
+      .select("doc_id", "q")
+    def mink(df: org.apache.spark.sql.DataFrame) =
+      Decontaminate.minkScores(df, "doc_id", "q", kNum = 1, kDen = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val m = mink(scored)
+    assert(m(1L) > m(3L),
+      s"duplicate tail ${m(1L)} must outscore novel tail ${m(3L)}")
+    assert(m(1L) == m(2L), "verbatim twins must score identically")
+    assert(mink(scored.repartition(7)) == m,
+      "min-k scores changed under repartitioning")
+    // k honors the ceiling: a 5-bigram doc keeps exactly 1
+    val k1 = Decontaminate.minkScores(
+        Seq((9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L), (9L, 50L))
+          .toDF("doc_id", "q"), "doc_id", "q")
+      .collect().head
+    assert(k1.getAs[Long]("k") == 1L && k1.getAs[Long]("mink_q") == 10L)
+  }
 }
