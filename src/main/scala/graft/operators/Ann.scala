@@ -966,6 +966,35 @@ object Ann {
     knnGraphSearch(v, cents, k, nAssign)
   }
 
+  /** L49: hard-negative mining for contrastive training (the
+    * retrieval-training data-prep step of DPR/SimCSE-style pipelines):
+    * for each anchor, the k MOST-similar corpus rows carrying a
+    * DIFFERENT label — the near-miss negatives that actually move a
+    * contrastive loss, where random negatives are trivially separable.
+    * Exact cosine over the broadcast anchor set with the label
+    * exclusion applied before ranking; per-anchor top-k window
+    * (WindowGroupLimit-pushed). For corpus-sized anchor sets, swap
+    * the broadcast for [[bulkTopK]]'s cluster-keyed equi-join and keep
+    * the same exclusion predicate. Returns
+    * (query_id, rank, neg_id, neg_label, sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(labelCol).as("neg_label"),
+      as_double_array(col(vecCol)).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"),
+      as_double_array(col(vecCol)).as("q_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neg_id", "neg_label", "sim")
+  }
+
   /** L43: kNN classification — label each query vector by MAJORITY
     * VOTE of its k nearest labeled neighbors (exact cosine; vote ties
     * break (votes desc, label asc), so the prediction is deterministic

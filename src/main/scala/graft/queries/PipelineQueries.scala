@@ -199,6 +199,17 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // L49: hard-negative mining — per anchor, the 5 most-similar
+    // vectors with a DIFFERENT label (near-miss negatives for a
+    // contrastive loss; random negatives are trivially separable).
+    // Exact cosine, label exclusion before ranking (oracled).
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.hardNegatives(emb, emb.filter(col("vec_id") < 25), "vec_id",
+          "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // L7: LSH-bucketed ANN — the scale path (rows-only; recall vs L6
     // measured in AnnSpec).
     "q_ann_lsh" -> { (s, dir) =>
@@ -1060,6 +1071,28 @@ object PipelineQueries {
         |                       ORDER BY sim DESC, nn_id ASC) AS rank
         |  FROM sims)
         |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Same exact-cosine chain with the label-exclusion predicate in
+    // the cross join — in LOCKSTEP with Ann.hardNegatives.
+    "q_hard_negatives" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, vec AS qv
+        |      FROM v WHERE vec_id < 25),
+        |sims AS (
+        |  SELECT query_id, vec_id AS neg_id, label AS neg_label,
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
+        |  FROM v CROSS JOIN q WHERE label <> q_label),
+        |ranked AS (
+        |  SELECT query_id, neg_id, neg_label, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neg_id ASC) AS rank
+        |  FROM sims)
+        |SELECT query_id, rank, neg_id, neg_label, sim
+        |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // kNN vote replay: exact cosine ranking (same ROUND(.,4) +

@@ -461,6 +461,41 @@ class AnnSpec extends SparkSpec {
       err.getCause != null, s"unexpected error: ${err.getMessage}")
   }
 
+  test("hard negatives: never the anchor's label, ranked by sim, k-bounded") {
+    val e = table("embeddings")
+    val labelOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Ann.hardNegatives(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", "label", k = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neg_id"))
+      assert(labelOf(n) != labelOf(q), s"negative $n shares $q's label")
+      assert(r.getAs[Int]("neg_label") == labelOf(n))
+    }
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 4)
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_.toDouble)), "ranks follow sim desc")
+    }
+    // the mined negatives are HARD: rank-1 negative sim must meet or
+    // beat the anchor's median same-label sim (near-miss property)
+    val bf = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 40).collect()
+    val hardest = byQ.map { case (q, rows) =>
+      q -> rows.filter(_.getAs[Int]("rank") == 1).head.getAs[Double]("sim") }
+    hardest.foreach { case (q, s) =>
+      val sameLabel = bf.filter(r => r.getAs[Long]("query_id") == q &&
+        labelOf(r.getAs[Long]("nn_id")) == labelOf(q)).map(_.getAs[Double]("sim"))
+      if (sameLabel.nonEmpty) {
+        val med = sameLabel.sorted.apply(sameLabel.length / 2)
+        assert(s >= med,
+          s"anchor $q: hardest negative $s below same-label median $med")
+      }
+    }
+  }
+
   // ---- L7h: measured recall curves / parameter auto-tuning ----
 
   test("probe recall curve is monotone, ends at 1.0, and predicts ivf recall") {
