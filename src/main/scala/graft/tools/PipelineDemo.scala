@@ -27,8 +27,18 @@ object PipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     stage("ingest", docs.count())
 
+    // Gopher rule battery first (the published pre-filter order):
+    // word-count/word-length/symbol/line/alpha/stop-word flags, keep
+    // the conjunction; flags stay available for per-rule audits
+    val ruled = docs.join(
+      graft.operators.Curate.gopherFlags(docs, "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        .filter(col("keep") === 1).select("doc_id"),
+      "doc_id")
+    stage("gopher rules", ruled.count())
+
     // Gopher-style repetition gate: kernelized per-row signals
-    val unrepeated = docs.filter(
+    val unrepeated = ruled.filter(
       (size(tokenize_ws(col("text"))) - size(token_id_set(tokenize_ws(col("text")))))
         .cast("double") / greatest(size(tokenize_ws(col("text"))), lit(1)) <= 0.65 &&
       max_adjacent_pair_count(tokenize_ws(col("text"))).cast("double") /
@@ -46,6 +56,23 @@ object PipelineDemo {
 
     val langOk = quality.filter(col("lang").isin("en", "de", "es", "fr"))
     stage("lang gate", langOk.count())
+
+    // DSIR importance gate: keep documents whose hashed n-gram profile
+    // is at least neutral toward the target (en) distribution — the
+    // model is a B-row broadcast, the gate a map-side join
+    val dsirKeep = graft.operators.Curate.dsirScores(langOk, "doc_id",
+        "text", col("lang") === "en")
+      .filter(col("score_q") >= 1000000L).select("doc_id")
+    val targeted = langOk.join(dsirKeep, "doc_id")
+    stage("dsir importance", targeted.count())
+
+    // membership audit (report-only): docs whose bottom-20% bigrams
+    // still average >= 0.5 probability under the corpus LM — the
+    // min-k signature of duplicated/memorized text (rides the
+    // registered suspect-list query)
+    val suspects = graft.SparkEntry.queries("q_mink_contamination")(spark, sfDir)
+      .filter(col("mink_q") >= 50000000L).count()
+    println(f"[pipeline] ${"min-k audit"}%-22s $suspects%7d docs with high-prob tails")
 
     // label-noise audit: train the en-vs-rest classifier (L44, three
     // one-aggregate rounds, broadcast integer weights) on the corpus's
@@ -65,7 +92,7 @@ object PipelineDemo {
     // domain balancing: no source contributes more than 200 docs
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
-    val capped = langOk.withColumn("rk", row_number().over(wc))
+    val capped = targeted.withColumn("rk", row_number().over(wc))
       .filter(col("rk") <= 200).drop("rk")
     stage("source cap (200)", capped.count())
 

@@ -34,7 +34,13 @@ object ScaleProbe {
     "q_dup_ngram_fraction", "q_classifier_train", "q_hybrid_retrieval",
     // r8: power iteration over a x-factor purchase graph (disjoint
     // replica components — nodes and edges both scale by the factor)
-    "q_link_rank")
+    "q_link_rank",
+    // r9 additions: B-row broadcast importance model (linear),
+    // map-side rule battery (linear), bigram-LM bottom-k window
+    // (linear), measured-recall tuning pass + probe join (the tuner's
+    // exact pass is S·n — linear by construction)
+    "q_dsir_select", "q_gopher_rules", "q_mink_contamination",
+    "q_ann_ivf_auto")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
