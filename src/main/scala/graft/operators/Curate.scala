@@ -158,36 +158,67 @@ object Curate {
     * corpus never shuffles against the model. Returns
     * (doc_id, n_feats, score_q); selection on top is a TakeOrdered
     * (`importance top-k`, the paper's deterministic baseline). */
-  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
-                 isTarget: Column, buckets: Int = 1024): DataFrame = {
-    require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
-    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+  /** The hashed uni+bigram feature stream of a document frame:
+    * (doc_id, f) with f in [0, buckets). */
+  private def dsirFeatures(docs: DataFrame, idCol: String, textCol: String,
+                           buckets: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
       graft.functions.tokenize_ws(col(textCol)).as("t"))
-    val unis = toks.select(col("doc_id"), col("is_t"), explode(col("t")).as("g"))
+    val unis = toks.select(col("doc_id"), explode(col("t")).as("g"))
     val bis = toks.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("is_t"),
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - 1),
           i => concat_ws(" ", element_at(col("t"), i),
             element_at(col("t"), i + 1)))).as("g"))
-    val feats = unis.union(bis).select(col("doc_id"), col("is_t"),
+    unis.union(bis).select(col("doc_id"),
       pmod(graft.functions.rolling_hash(col("g")), lit(buckets.toLong)).as("f"))
+  }
+
+  /** Train the importance model only: the B-row (f, qf) quantized
+    * ratio table — the build-once artifact a pipeline persists and
+    * then applies to any number of batches (or a stream) via
+    * [[dsirApply]]. */
+  def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
+    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"))
+      .join(dsirFeatures(docs, idCol, textCol, buckets), Seq("doc_id"))
     val cnt = feats.groupBy("f").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
     val tot = feats.agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
       count(lit(1)).as("nr"))
-    val ratio = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("f"),
         expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * nr + $buckets * cr) * 1000000" +
           s" div (CAST(cr AS DECIMAL(38,0)) * (nt + $buckets)) AS BIGINT)")
           .as("qf"))
-    feats.join(broadcast(ratio), "f")
+  }
+
+  /** Score a document frame against an already-trained (f, qf) model:
+    * broadcast join of the feature stream against B rows + one
+    * groupBy(doc) integer sum — the map-side apply half of DSIR.
+    * Features absent from the model (a bucket the training corpus
+    * never populated) are scored at the unseen-feature floor 0 rather
+    * than dropped, so out-of-vocabulary mass lowers the mean instead
+    * of silently shrinking the denominator. */
+  def dsirApply(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, buckets: Int = 1024): DataFrame =
+    dsirFeatures(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("f"), "left")
+      .withColumn("qf", coalesce(col("qf"), lit(0L)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         expr("CAST(CAST(SUM(qf) AS DECIMAL(38,0)) div COUNT(1) AS BIGINT)")
           .as("score_q"))
-  }
+
+  /** Train on `docs` and score the same corpus — the batch one-shot
+    * ([[dsirModel]] + [[dsirApply]] composed). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirApply(docs, idCol, textCol,
+      dsirModel(docs, idCol, textCol, isTarget, buckets), buckets)
 
   /** L47: Gopher document-quality rules (Rae et al., "Scaling Language
     * Models: ... Gopher", 2021, §A1.1) — the published rule battery

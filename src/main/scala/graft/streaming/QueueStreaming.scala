@@ -425,6 +425,41 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13j: streaming curation gate — each incoming micro-batch of
+    * documents is scored against a FROZEN batch-trained curation
+    * stack: the Gopher rule battery ([[graft.operators.Curate.gopherFlags]],
+    * a stateless map) and a persisted DSIR importance model
+    * ([[graft.operators.Curate.dsirApply]] against the B-row (f, qf)
+    * table — broadcast join, per-batch doc aggregation). This is the
+    * production split of L46/L47: train the model on the curated
+    * corpus once, gate the firehose with it; the model never
+    * recomputes, so per-trigger cost follows the batch, never the
+    * corpus. `foreachBatch` because the per-doc score aggregation has
+    * BATCH semantics — a doc's features all arrive in its own trigger,
+    * and a pure streaming groupBy(doc) would hold every doc's state
+    * forever for no reason. Docs with zero tokens keep their rule
+    * flags with a null score (left join), mirroring the batch
+    * operators. Exactly-once: per-batch overwrite, same contract as
+    * [[nearDupIngest]]. */
+  def curationGateStream(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, outPath: String,
+                         checkpoint: String,
+                         stopWords: Seq[String] =
+                           Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                         buckets: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Curate
+        val b = batch.toDF().localCheckpoint(true)
+        Curate.gopherFlags(b, idCol, textCol, stopWords = stopWords)
+          .join(Curate.dsirApply(b, idCol, textCol, model, buckets),
+            Seq("doc_id"), "left")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

@@ -529,4 +529,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got == Seq(1L, 3L), s"expected ads 1 and 3 attributed, got $got")
   }
+
+  test("streaming curation gate equals the batch operators per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Curate
+    val corpus = table("documents")
+    // frozen model trained batch-side on the corpus
+    val model = Curate.dsirModel(corpus, "doc_id", "text",
+      col("lang") === "en").localCheckpoint(true)
+    val stops = Seq("the", "a")
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("curgate_out").toString
+    val ckpt = Files.createTempDirectory("curgate_ck").toString
+    val q = QueueStreaming.curationGateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+      out, ckpt, stopWords = stops)
+    // two triggers drawn from the corpus (ids are corpus doc_ids)
+    val rows = corpus.select("doc_id", "text").orderBy("doc_id").limit(6)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    mem.addData(rows.take(3).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+    // batch twin over the same 6 docs, same frozen model
+    val six = corpus.select("doc_id", "text").orderBy("doc_id").limit(6)
+    val expected = Curate.gopherFlags(six, "doc_id", "text", stopWords = stops)
+      .join(Curate.dsirApply(six, "doc_id", "text", model),
+        Seq("doc_id"), "left")
+    val key = (r: org.apache.spark.sql.Row) =>
+      expected.columns.map(c => String.valueOf(r.getAs[Any](c))).mkString("|")
+    assert(streamed.count() == 6)
+    assert(streamed.select(expected.columns.map(col): _*).collect().map(key).sorted.toSeq ==
+      expected.collect().map(key).sorted.toSeq,
+      "streamed gate diverged from the batch twin")
+  }
 }
