@@ -374,6 +374,41 @@ object Kernels {
     }
     out
   }
+
+  /** Multi-probe buckets (Lv et al., "Multi-Probe LSH", VLDB 2007,
+    * first-order perturbations): probe 0 is the [[hyperplaneLsh]] home
+    * bucket, probe i flips the bit whose hyperplane margin |acc_j| is
+    * i-th SMALLEST (ties by plane index) — the neighboring buckets a
+    * near-boundary vector's true neighbors most likely landed in.
+    * Same plane weights as hyperplaneLsh, so a multi-probe query is
+    * compatible with a corpus bucketed by the single-probe kernel. */
+  def hyperplaneProbes(a: ArrayData, k: Int, nProbe: Int): ArrayData = {
+    require(k >= 1 && k <= 64, s"hyperplane_probes needs 1 <= bits <= 64, got $k")
+    require(nProbe >= 1 && nProbe <= k + 1,
+      s"hyperplane_probes needs 1 <= nProbe <= bits + 1, got $nProbe")
+    val av = a.toDoubleArray()
+    val margins = new Array[Double](k)
+    var base = 0L
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      var i = 0
+      while (i < av.length) {
+        val w = mix(0x5851f42d4c957f2dL * ((j.toLong << 32) | (i.toLong + 1L)))
+        acc += av(i) * (w.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (acc >= 0) base |= (1L << j)
+      margins(j) = math.abs(acc)
+      j += 1
+    }
+    val order = (0 until k).sortBy(j => (margins(j), j))
+    val out = new Array[Long](nProbe)
+    out(0) = base
+    var p = 1
+    while (p < nProbe) { out(p) = base ^ (1L << order(p - 1)); p += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -434,6 +469,19 @@ case class HyperplaneLsh(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneLsh($c, $k)")
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** Multi-probe bucket list for a query vector — see
+  * Kernels.hyperplaneProbes. */
+case class HyperplaneProbes(child: Expression, k: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_probes"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneProbes(v.asInstanceOf[ArrayData], k, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneProbes($c, $k, $nProbe)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneProbes = copy(child = c)
 }
 
 /** Sorted distinct n-gram shingle ids from a token array — see

@@ -48,6 +48,8 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column = col2(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = col2(DotProduct(ex(a), ex(b)))
   def hyperplane_lsh(v: Column, bits: Int): Column = col2(HyperplaneLsh(ex(v), bits))
+  def hyperplane_probes(v: Column, bits: Int, nProbe: Int): Column =
+    col2(HyperplaneProbes(ex(v), bits, nProbe))
   def nearest_centroid(v: Column, cents: Column): Column =
     col2(NearestCentroid(ex(v), ex(cents)))
   def top_centroids(v: Column, cents: Column, nProbe: Int): Column =

@@ -92,6 +92,36 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** L7f: multi-probe hyperplane LSH (Lv et al., VLDB 2007) — the
+    * recall lever that does NOT require more tables or a re-bucketed
+    * corpus: the corpus keeps its single [[lshTopK]] bucket per row,
+    * and each QUERY additionally probes the nProbe−1 neighboring
+    * buckets across its lowest-margin hyperplanes (where a
+    * near-boundary vector's true neighbors most likely landed).
+    * Per-query scan cost is ~nProbe·|corpus|/2^bits; candidates are
+    * never duplicated (a corpus row lives in exactly one bucket, and
+    * a query's probe buckets are distinct). Recall ≥ single-probe by
+    * construction — gated in AnnSpec. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        bits: Int = 8, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("nn_vec"))
+      .withColumn("bucket", hyperplane_lsh(col("nn_vec"), bits))
+    val q = queries.select(col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("q_vec"))
+      .withColumn("bucket",
+        explode(hyperplane_probes(col("q_vec"), bits, nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   /** L7b: IVF (inverted-file) ANN — the other scale path. The coarse
     * k-means quantizer is trained on a deterministic hash-sample of the
     * corpus (bounded training work at any corpus size — the faiss

@@ -219,6 +219,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L7f: multi-probe LSH — same bucketed corpus as q_ann_lsh, each
+    // query additionally probes its lowest-margin neighbor buckets
+    // (rows-only; recall >= single-probe gated in AnnSpec).
+    "q_ann_lsh_multi" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, bits = 4, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     // L7b: IVF-indexed ANN (k-means coarse quantizer, rows-only;
     // recall vs brute force measured in AnnSpec).
     "q_ann_ivf" -> { (s, dir) =>

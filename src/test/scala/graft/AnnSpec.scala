@@ -461,6 +461,39 @@ class AnnSpec extends SparkSpec {
       err.getCause != null, s"unexpected error: ${err.getMessage}")
   }
 
+  test("multi-probe lsh: superset of single-probe, recall strictly helped") {
+    val e = table("embeddings")
+    val q = e.filter(col("vec_id") < 30)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val single = pairs(Ann.lshTopK(e, q, "vec_id", "embedding", k = 3, bits = 4))
+    val multi = pairs(Ann.lshMultiProbeTopK(e, q, "vec_id", "embedding",
+      k = 3, bits = 4, nProbe = 4))
+    val rs = (bf & single).size.toDouble / bf.size
+    val rm = (bf & multi).size.toDouble / bf.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm > rs, s"4 probes over 16 buckets should strictly improve " +
+      s"recall on this corpus (single $rs, multi $rm)")
+    // probe-list contract: first probe IS the home bucket; the others
+    // differ from it in exactly one bit each, all distinct
+    val probes = e.limit(5)
+      .select(graft.functions.hyperplane_probes(
+        graft.functions.as_double_array(col("embedding")), 4, 4).as("p"),
+        graft.functions.hyperplane_lsh(
+          graft.functions.as_double_array(col("embedding")), 4).as("b"))
+      .collect()
+    probes.foreach { r =>
+      val p = r.getSeq[Long](0)
+      assert(p.head == r.getLong(1), "first probe must be the home bucket")
+      assert(p.toSet.size == p.size, "probe buckets must be distinct")
+      p.tail.foreach(x =>
+        assert(java.lang.Long.bitCount(x ^ p.head) == 1,
+          "first-order probes differ from home in exactly one bit"))
+    }
+  }
+
   test("hard negatives: never the anchor's label, ranked by sim, k-bounded") {
     val e = table("embeddings")
     val labelOf = e.select(col("vec_id"), col("label")).collect()
