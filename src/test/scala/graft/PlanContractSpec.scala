@@ -1,0 +1,87 @@
+package graft
+
+/** Plan contracts (SURVEY §4): the scale properties the operators
+  * argue — pushdown, broadcast strategy, shuffle discipline — pinned
+  * as executable assertions on the pre-execution physical plan, so a
+  * Spark upgrade or refactor that silently degrades a plan (filter no
+  * longer reaching the scan, a broadcast falling back to
+  * sort-merge+shuffle, a cartesian sneaking in) fails here instead of
+  * only showing up as a bench regression at 100× the data.
+  *
+  * Assertions are deliberately coarse (strategy present / node class
+  * absent / bounded exchange count) rather than full plan snapshots —
+  * snapshots break on every Spark version bump without telling you
+  * anything; contracts only break when a property the design relies
+  * on is gone.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?<!Broadcast)Exchange ".r.findAllIn(p).length
+
+  test("q_filter_project pushes both filters and prunes the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushdown section:\n$p")
+    assert(p.contains("l_shipdate") && p.contains("l_discount"),
+      s"filters must reach the parquet scan:\n$p")
+    // column pruning: the untouched wide columns never leave the scan
+    assert(!p.contains("l_returnflag"),
+      s"scan must not read columns the query never uses:\n$p")
+  }
+
+  test("q_join_broadcast broadcasts the dim side, never sort-merges") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join must not SMJ:\n$p")
+  }
+
+  test("q_gopher_rules is map-side: one exchange (the output sort) only") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Join"), s"rule battery must not join:\n$p")
+    assert(exchanges(p) <= 1,
+      s"map-side battery must shuffle at most for the final sort:\n$p")
+  }
+
+  test("q_dsir_select scores via broadcast model, no sort-merge, no cartesian") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-row ratio model must broadcast into the scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in dsir may sort-merge (corpus never shuffles vs model):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast-1-row cross joins allowed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered, not global sort+limit:\n$p")
+  }
+
+  test("q_mink_contamination ranks and counts over one doc-key shuffle") {
+    val p = plan("q_mink_contamination")
+    // the rank window and the count window must share the doc_id
+    // partitioning: two Window operators, no exchange between them
+    val i = p.indexOf("Window")
+    val j = p.indexOf("Window", i + 1)
+    assert(i >= 0 && j > i, s"expected two window operators:\n$p")
+    assert(!p.substring(i, j).contains("Exchange"),
+      s"rank/count windows must share one shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"suspect top-50 must be TakeOrdered:\n$p")
+  }
+
+  test("q_hard_negatives broadcasts anchors; ranking is group-limited") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor set must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-anchor top-k must push a group limit below the shuffle:\n$p")
+  }
+
+  test("q_agg_pricing aggregates with map-side partials") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("partial_"), // partial_sum / partial_count markers
+      s"aggregation must have a map-side partial phase:\n$p")
+    assert(exchanges(p) <= 2,
+      s"one agg shuffle + the output sort at most:\n$p")
+  }
+}
