@@ -163,7 +163,7 @@ object Curate {
   private def dsirFeatures(docs: DataFrame, idCol: String, textCol: String,
                            buckets: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      graft.functions.tokenize_ws(col(textCol)).as("t"))
+      graft.functions.tokenize_ws(coalesce(col(textCol), lit(""))).as("t"))
     val unis = toks.select(col("doc_id"), explode(col("t")).as("g"))
     val bis = toks.filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -186,14 +186,21 @@ object Curate {
     val cnt = feats.groupBy("f").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
+    // totals land driver-side: two scalars become plan literals (no
+    // 1-row cross join in every downstream plan), and an importance
+    // model with an EMPTY target can fail loudly instead of silently
+    // scoring every feature neutral
     val tot = feats.agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr"))
-    cnt.crossJoin(broadcast(tot))
-      .select(col("f"),
-        expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * nr + $buckets * cr) * 1000000" +
-          s" div (CAST(cr AS DECIMAL(38,0)) * (nt + $buckets)) AS BIGINT)")
-          .as("qf"))
+      count(lit(1)).as("nr")).head()
+    val (nt, nr) = (Option(tot.get(0)).fold(0L)(_ => tot.getLong(0)),
+      tot.getLong(1))
+    require(nt > 0, "dsirModel: target set selects no feature mass " +
+      "(isTarget matches no docs, or only empty docs)")
+    cnt.select(col("f"),
+      expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * ${nr}L + $buckets * cr) * 1000000" +
+        s" div (CAST(cr AS DECIMAL(38,0)) * (${nt}L + $buckets)) AS BIGINT)")
+        .as("qf"))
   }
 
   /** Score a document frame against an already-trained (f, qf) model:
@@ -244,8 +251,9 @@ object Curate {
     require(stopWords.nonEmpty, "gopherFlags needs a non-empty stop list")
     val stopArr = array(stopWords.map(lit): _*)
     docs
-      .withColumn("__w", graft.functions.tokenize_ws(col(textCol)))
-      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__w",
+        graft.functions.tokenize_ws(coalesce(col(textCol), lit(""))))
+      .withColumn("__lines", split(coalesce(col(textCol), lit("")), "\n"))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("__sumlen",
         expr("aggregate(transform(__w, x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)"))

@@ -251,6 +251,17 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(p(900001L) > p(900002L),
       s"target-stitched ${p(900001L)} must outscore symbol soup ${p(900002L)}")
+    // an empty target set must fail loudly, not score everything neutral
+    val err = intercept[IllegalArgumentException] {
+      Curate.dsirModel(docs, "doc_id", "text", lit(false))
+    }
+    assert(err.getMessage.contains("target set selects no feature mass"))
+    // null text is featureless, not a crash
+    val withNull = Seq((1L, "the a doc"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nm = Curate.dsirScores(withNull, "doc_id", "text", col("doc_id") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(nm == Set(1L), "null-text docs drop out of scoring without error")
   }
 
   test("gopher rules: each pathological doc trips exactly its rule") {
