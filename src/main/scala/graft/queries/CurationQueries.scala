@@ -599,18 +599,28 @@ object CurationQueries {
     * Both directions are groupBy products over disjoint source
     * namespaces, so (src, dst) is unique — callers pass
     * `assumeSummed = true`. */
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("w"))
-    pairs.select(
-        concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
-      .unionByName(pairs.select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
-  }
+  /** Memoized per (session, dir): q_link_rank and q_trust_rank share
+    * one materialized graph build (the lineitem⋈orders groupBy is the
+    * expensive half of both queries — same build-once amortization as
+    * the lexical index memo). Keyed by session identity too: a frame
+    * from a stopped session must not leak into a new one. */
+  private val purchaseEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    purchaseEdgesMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir", _ => {
+        val pairs = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("w"))
+        pairs.select(
+            concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+          .unionByName(pairs.select(
+            concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
+          .localCheckpoint(true)
+      })
 
   /** DuckDB replay of [[graft.operators.LinkRank.pageRank]] with the
     * power-iteration rounds UNROLLED into chained CTEs (r0 -> c1/i1/r1
