@@ -227,6 +227,56 @@ object Curate {
     dsirApply(docs, idCol, textCol,
       dsirModel(docs, idCol, textCol, isTarget, buckets), buckets)
 
+  /** L46b: GROUPED (multi-tenant) DSIR — one importance model per
+    * group (domain, source, language), all trained in ONE (grp, f)
+    * shuffle over the shared feature stream: the per-tenant model-
+    * training discipline of [[Ann.trainGroupedCentroids]] applied to
+    * importance models. Each group's ratios use ITS OWN target/raw
+    * totals (a G-row aggregate, broadcast back), so a tenant's model
+    * never sees another tenant's distribution; a group whose target
+    * slice is empty fails loudly, listing the groups. Returns the
+    * (grp, f, qf) model table — G·B rows, broadcastable for moderate
+    * G. */
+  def dsirModelGrouped(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, isTarget: Column,
+                       buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("grp"), isTarget.as("is_t"))
+    val feats = base.join(dsirFeatures(docs, idCol, textCol, buckets),
+      Seq("doc_id"))
+    val cnt = feats.groupBy("grp", "f").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = feats.groupBy("grp").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val empty = tot.filter(col("nt") === 0).select("grp")
+      .collect().map(_.get(0).toString).sorted
+    require(empty.isEmpty,
+      s"dsirModelGrouped: groups with no target feature mass: ${empty.mkString(", ")}")
+    cnt.join(broadcast(tot), "grp")
+      .select(col("grp"), col("f"),
+        expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * nr + $buckets * cr) * 1000000" +
+          s" div (CAST(cr AS DECIMAL(38,0)) * (nt + $buckets)) AS BIGINT)")
+          .as("qf"))
+  }
+
+  /** Score docs against their OWN group's model: broadcast (grp, f)
+    * join + one groupBy(doc) integer mean — the grouped twin of
+    * [[dsirApply]] (same unseen-bucket 0 floor). */
+  def dsirApplyGrouped(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, model: DataFrame,
+                       buckets: Int = 1024): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
+      .join(dsirFeatures(docs, idCol, textCol, buckets), Seq("doc_id"))
+      .join(broadcast(model), Seq("grp", "f"), "left")
+      .withColumn("qf", coalesce(col("qf"), lit(0L)))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("CAST(CAST(SUM(qf) AS DECIMAL(38,0)) div COUNT(1) AS BIGINT)")
+          .as("score_q"))
+
   /** L47: Gopher document-quality rules (Rae et al., "Scaling Language
     * Models: ... Gopher", 2021, §A1.1) — the published rule battery
     * that became the de-facto web-corpus pre-filter (reused by

@@ -499,6 +499,25 @@ object CurationQueries {
         .orderBy("rank")
     },
 
+    // L46b: grouped DSIR — one importance model per source, all
+    // trained in one (grp, f) shuffle; each source's docs score
+    // against their OWN model's target/raw totals; top-5 per source
+    // (per-group window, never a global sort). Fully oracled.
+    "q_dsir_grouped" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val model = Curate.dsirModelGrouped(d, "doc_id", "text", "source",
+        col("lang") === "en")
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      Curate.dsirApplyGrouped(d, "doc_id", "text", "source", model)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("grp").as("source"), col("rank"), col("doc_id"),
+          col("n_feats"), col("score_q"))
+        .orderBy("source", "rank")
+    },
+
     // L47: Gopher quality rules — the published web-corpus pre-filter
     // battery, one audit flag per rule + the keep conjunction; every
     // threshold a cross-multiplied integer comparison (engine-exact,
@@ -787,6 +806,57 @@ object CurationQueries {
         |    AND alpha * 5 >= n_words * 4
         |    AND stop >= 2 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Grouped-DSIR twin: the per-source replay of the q_dsir_select
+    // chain (GROUP BY source threaded through counts, totals, ratio,
+    // and the per-group ranking window).
+    "q_dsir_grouped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang = 'en' AS is_t,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, is_t, UNNEST(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, source, is_t, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |feats AS (
+        |  SELECT doc_id, source, is_t,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(g, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS f
+        |  FROM grams),
+        |cnt AS (
+        |  SELECT source, f, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM feats GROUP BY source, f),
+        |tot AS (
+        |  SELECT source, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+        |    COUNT(*) AS nr
+        |  FROM feats GROUP BY source),
+        |ratio AS (
+        |  SELECT cnt.source, f,
+        |    CAST(((CAST(ct AS HUGEINT) * nr + 1024 * cr) * 1000000)
+        |      // (CAST(cr AS HUGEINT) * (nt + 1024)) AS BIGINT) AS qf
+        |  FROM cnt JOIN tot ON cnt.source = tot.source),
+        |docscore AS (
+        |  SELECT feats.doc_id, feats.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |    CAST(CAST(SUM(qf) AS HUGEINT) // COUNT(*) AS BIGINT) AS score_q
+        |  FROM feats JOIN ratio
+        |    ON feats.source = ratio.source AND feats.f = ratio.f
+        |  GROUP BY feats.doc_id, feats.source),
+        |ranked AS (
+        |  SELECT source, doc_id, n_feats, score_q,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY score_q DESC, doc_id ASC) AS rank
+        |  FROM docscore)
+        |SELECT source, rank, doc_id, n_feats, score_q
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // Exact-regime count-min oracle: with the corpus's vocabulary far
     // below the sketch width, estimates are collision-free and equal

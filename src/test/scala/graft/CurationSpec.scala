@@ -264,6 +264,41 @@ class CurationSpec extends SparkSpec {
     assert(nm == Set(1L), "null-text docs drop out of scoring without error")
   }
 
+  test("grouped dsir: each tenant's model equals a solo model on its slice") {
+    import graft.operators.Curate
+    val docs = table("documents")
+    val grouped = Curate.dsirModelGrouped(docs, "doc_id", "text", "source",
+      col("lang") === "en")
+    // tenant isolation: the grouped model's rows for one source must be
+    // EXACTLY the single-tenant model trained on that source alone
+    val src = docs.select("source").orderBy("source").limit(1)
+      .collect().head.getString(0)
+    val solo = Curate.dsirModel(docs.filter(col("source") === src),
+        "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slice = grouped.filter(col("grp") === src)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(slice == solo,
+      s"grouped model for $src diverged from its solo-trained twin")
+    // and the grouped apply reproduces the solo apply on that slice
+    val soloScores = Curate.dsirScores(docs.filter(col("source") === src),
+        "doc_id", "text", col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val groupedScores = Curate.dsirApplyGrouped(docs, "doc_id", "text",
+        "source", grouped)
+      .filter(col("grp") === src).drop("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groupedScores == soloScores,
+      "grouped apply diverged from the solo pipeline on one tenant")
+    // a group with no target docs fails loudly, naming the group
+    val err = intercept[IllegalArgumentException] {
+      Curate.dsirModelGrouped(docs, "doc_id", "text", "source",
+        col("lang") === "en" && col("source") =!= src)
+    }
+    assert(err.getMessage.contains(src),
+      s"error must name the empty group: ${err.getMessage}")
+  }
+
   test("gopher rules: each pathological doc trips exactly its rule") {
     import spark.implicits._
     import graft.operators.Curate
