@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,89 @@ object Curate {
                  isTarget: Column, buckets: Int = 1024): DataFrame =
     dsirApply(docs, idCol, textCol,
       dsirModel(docs, idCol, textCol, isTarget, buckets), buckets)
+
+  /** L46c: INCREMENTAL DSIR model maintenance — the build-once /
+    * append-many discipline (signature table, `Lexical.appendDocs`)
+    * applied to the importance model: persist the raw (f, ct, cr)
+    * bucket counts once, then fold each new corpus batch in with a
+    * B-row merge instead of a from-scratch retrain. Counts are plain
+    * integer sums, so build+appends lands EXACTLY the model a full
+    * rebuild over the union would (spec-gated equality, not
+    * approximate drift). The persisted artifact is two tiny tables —
+    * `<t>_dsir_counts` (f, ct, cr) and `<t>_dsir_totals`
+    * (nt, nr) — and the ratio table derives from them on demand via
+    * [[dsirModelFromCounts]]. Appending a batch costs one aggregation
+    * of THAT batch plus a B-row rewrite; the existing corpus is never
+    * rescanned. */
+  def buildDsirCounts(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, table: String,
+                      buckets: Int = 1024): Unit = {
+    require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
+    val spark = docs.sparkSession
+    Seq("counts", "totals").foreach(p =>
+      Lexical.dropManaged(spark, s"${table}_dsir_$p"))
+    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"))
+      .join(dsirFeatures(docs, idCol, textCol, buckets), Seq("doc_id"))
+    feats.groupBy("f").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_counts")
+    // totals derive from the COMMITTED counts (no second corpus pass)
+    spark.table(s"${table}_dsir_counts")
+      .agg(coalesce(sum("ct"), lit(0L)).as("nt"),
+        coalesce(sum("cr"), lit(0L)).as("nr"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_totals")
+  }
+
+  /** Fold a new batch into the persisted counts: aggregate the BATCH
+    * only, full-outer merge with the committed B rows, rewrite both
+    * tiny tables. After the append, [[dsirModelFromCounts]] equals a
+    * from-scratch [[buildDsirCounts]] over the union exactly. */
+  def appendDsirCounts(batch: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, table: String,
+                       buckets: Int = 1024): Unit = {
+    val spark = batch.sparkSession
+    val feats = batch.select(col(idCol).as("doc_id"), isTarget.as("is_t"))
+      .join(dsirFeatures(batch, idCol, textCol, buckets), Seq("doc_id"))
+    val inc = feats.groupBy("f").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    // materialize BEFORE dropping the source (never read-while-overwrite)
+    val merged = spark.table(s"${table}_dsir_counts")
+      .select(col("f"), col("ct").as("ct0"), col("cr").as("cr0"))
+      .join(inc.select(col("f"), col("ct").as("ct1"), col("cr").as("cr1")),
+        Seq("f"), "full_outer")
+      .select(col("f"),
+        (coalesce(col("ct0"), lit(0L)) + coalesce(col("ct1"), lit(0L))).as("ct"),
+        (coalesce(col("cr0"), lit(0L)) + coalesce(col("cr1"), lit(0L))).as("cr"))
+      .localCheckpoint(true)
+    Lexical.dropManaged(spark, s"${table}_dsir_counts")
+    merged.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_counts")
+    val tot = spark.table(s"${table}_dsir_counts")
+      .agg(coalesce(sum("ct"), lit(0L)).as("nt"),
+        coalesce(sum("cr"), lit(0L)).as("nr"))
+      .localCheckpoint(true)
+    Lexical.dropManaged(spark, s"${table}_dsir_totals")
+    tot.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_totals")
+  }
+
+  /** Derive the (f, qf) ratio model from the persisted counts — same
+    * arithmetic as [[dsirModel]], same loud empty-target contract. */
+  def dsirModelFromCounts(spark: SparkSession, table: String,
+                          buckets: Int = 1024): DataFrame = {
+    val tot = spark.table(s"${table}_dsir_totals").head()
+    val (nt, nr) = (tot.getLong(0), tot.getLong(1))
+    require(nt > 0, s"$table: persisted counts hold no target feature mass")
+    spark.table(s"${table}_dsir_counts")
+      .select(col("f"),
+        expr(s"CAST((CAST(ct AS DECIMAL(38,0)) * ${nr}L + $buckets * cr) * 1000000" +
+          s" div (CAST(cr AS DECIMAL(38,0)) * (${nt}L + $buckets)) AS BIGINT)")
+          .as("qf"))
+  }
 
   /** L46b: GROUPED (multi-tenant) DSIR — one importance model per
     * group (domain, source, language), all trained in ONE (grp, f)

@@ -299,6 +299,32 @@ class CurationSpec extends SparkSpec {
       s"error must name the empty group: ${err.getMessage}")
   }
 
+  test("incremental dsir counts: build+append equals from-scratch exactly") {
+    import graft.operators.Curate
+    val docs = table("documents")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    Curate.buildDsirCounts(a, "doc_id", "text", col("lang") === "en",
+      "dsir_inc_test")
+    Curate.appendDsirCounts(b, "doc_id", "text", col("lang") === "en",
+      "dsir_inc_test")
+    val incremental = Curate.dsirModelFromCounts(spark, "dsir_inc_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Curate.dsirModel(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental == scratch,
+      "appended counts must reproduce the from-scratch model bit-exactly")
+    // and scoring through the persisted model matches the one-shot path
+    val viaCounts = Curate.dsirApply(docs, "doc_id", "text",
+        Curate.dsirModelFromCounts(spark, "dsir_inc_test"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val oneShot = Curate.dsirScores(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(viaCounts == oneShot)
+  }
+
   test("gopher rules: each pathological doc trips exactly its rule") {
     import spark.implicits._
     import graft.operators.Curate
