@@ -40,7 +40,11 @@ object ScaleProbe {
     // (linear), measured-recall tuning pass + probe join (the tuner's
     // exact pass is S·n — linear by construction)
     "q_dsir_select", "q_gopher_rules", "q_mink_contamination",
-    "q_ann_ivf_auto")
+    "q_ann_ivf_auto",
+    // r9 late additions: per-source models in one (grp, f) shuffle
+    // (groups replicate with the corpus — model stays G·B rows);
+    // fixed broadcast anchor set against a ×10 corpus (linear scan)
+    "q_dsir_grouped", "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
