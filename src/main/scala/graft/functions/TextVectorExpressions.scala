@@ -375,6 +375,76 @@ object Kernels {
     out
   }
 
+  /** Fused Gopher-rule statistics in ONE pass over the text — the
+    * codegen replacement for eight interpreted higher-order passes
+    * (filter/transform/aggregate lambdas are CodegenFallback in
+    * Spark). Token semantics replicate `tokenize_ws` (split on ' ',
+    * empties dropped) and line semantics `split(text, "\n")` with
+    * trailing empties kept, so the flags built on these stats are
+    * bit-identical to the builtin composition (spec-gated parity).
+    * Returns [n_words, sum_wordlen(codepoints), n_alpha_words,
+    * n_symbol_words(== "#" or ends "..."), n_distinct_stops_present,
+    * n_lines, n_bullet_lines, n_ellipsis_lines]. */
+  def gopherStats(text: UTF8String, stops: ArrayData): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val nStops = stops.numElements()
+    val stopStrs = new Array[String](nStops)
+    var t = 0
+    while (t < nStops) { stopStrs(t) = stops.getUTF8String(t).toString; t += 1 }
+    val seen = new Array[Boolean](nStops)
+    var nWords = 0L; var sumLen = 0L; var alpha = 0L; var sym = 0L
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        nWords += 1
+        sumLen += s.codePointCount(i, j)
+        var hasAlpha = false
+        var k = i
+        while (k < j && !hasAlpha) {
+          val c = s.charAt(k)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          k += 1
+        }
+        if (hasAlpha) alpha += 1
+        if (j - i == 1 && s.charAt(i) == '#') sym += 1
+        else if (j - i >= 3 && s.charAt(j - 1) == '.' &&
+          s.charAt(j - 2) == '.' && s.charAt(j - 3) == '.') sym += 1
+        var si = 0
+        while (si < nStops) {
+          if (!seen(si) && stopStrs(si).length == j - i &&
+            s.regionMatches(i, stopStrs(si), 0, j - i)) seen(si) = true
+          si += 1
+        }
+      }
+      i = j + 1
+    }
+    var stopsPresent = 0L
+    t = 0
+    while (t < nStops) { if (seen(t)) stopsPresent += 1; t += 1 }
+    // line stats: segments of split(text, "\n") with trailing empties
+    var nl = 0L; var bullet = 0L; var ell = 0L
+    var st = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || s.charAt(p) == '\n') {
+        nl += 1
+        if (p > st) {
+          val c0 = s.charAt(st)
+          if (c0 == '-' || c0 == '*') bullet += 1
+          if (p - st >= 3 && s.charAt(p - 1) == '.' &&
+            s.charAt(p - 2) == '.' && s.charAt(p - 3) == '.') ell += 1
+        }
+        st = p + 1
+      }
+      p += 1
+    }
+    new GenericArrayData(Array(nWords, sumLen, alpha, sym, stopsPresent,
+      nl, bullet, ell))
+  }
+
   /** Multi-probe buckets (Lv et al., "Multi-Probe LSH", VLDB 2007,
     * first-order perturbations): probe 0 is the [[hyperplaneLsh]] home
     * bucket, probe i flips the bit whose hyperplane margin |acc_j| is
@@ -469,6 +539,19 @@ case class HyperplaneLsh(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneLsh($c, $k)")
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+/** Fused one-pass Gopher-rule statistics — see Kernels.gopherStats. */
+case class GopherStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.gopherStats(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.gopherStats($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherStats =
+    copy(left = l, right = r)
 }
 
 /** Multi-probe bucket list for a query vector — see

@@ -50,6 +50,8 @@ package object functions {
   def hyperplane_lsh(v: Column, bits: Int): Column = col2(HyperplaneLsh(ex(v), bits))
   def hyperplane_probes(v: Column, bits: Int, nProbe: Int): Column =
     col2(HyperplaneProbes(ex(v), bits, nProbe))
+  def gopher_stats(text: Column, stops: Column): Column =
+    col2(GopherStats(ex(text), ex(stops)))
   def nearest_centroid(v: Column, cents: Column): Column =
     col2(NearestCentroid(ex(v), ex(cents)))
   def top_centroids(v: Column, cents: Column, nProbe: Int): Column =

@@ -383,26 +383,22 @@ object Curate {
       : DataFrame = {
     require(stopWords.nonEmpty, "gopherFlags needs a non-empty stop list")
     val stopArr = array(stopWords.map(lit): _*)
+    // ONE fused codegen'd pass computes all eight statistics: the
+    // equivalent higher-order builtins (filter/transform/aggregate
+    // lambdas) are CodegenFallback in Spark — eight interpreted walks
+    // over every token array, which is real CPU at corpus scale.
+    // Kernel parity with the builtin composition is spec-gated.
     docs
-      .withColumn("__w",
-        graft.functions.tokenize_ws(coalesce(col(textCol), lit(""))))
-      .withColumn("__lines", split(coalesce(col(textCol), lit("")), "\n"))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("__sumlen",
-        expr("aggregate(transform(__w, x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)"))
-      .withColumn("__alpha",
-        size(filter(col("__w"), x => x.rlike("[A-Za-z]"))).cast("long"))
-      .withColumn("__sym",
-        (size(filter(col("__w"), x => x === "#")) +
-          size(filter(col("__w"), x => x.endsWith("...")))).cast("long"))
-      .withColumn("__stop",
-        size(filter(stopArr, s => array_contains(col("__w"), s))).cast("long"))
-      .withColumn("__nl", size(col("__lines")).cast("long"))
-      .withColumn("__bullet",
-        size(filter(col("__lines"), l =>
-          l.startsWith("-") || l.startsWith("*"))).cast("long"))
-      .withColumn("__ell",
-        size(filter(col("__lines"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("__gs",
+        graft.functions.gopher_stats(coalesce(col(textCol), lit("")), stopArr))
+      .withColumn("n_words", element_at(col("__gs"), 1))
+      .withColumn("__sumlen", element_at(col("__gs"), 2))
+      .withColumn("__alpha", element_at(col("__gs"), 3))
+      .withColumn("__sym", element_at(col("__gs"), 4))
+      .withColumn("__stop", element_at(col("__gs"), 5))
+      .withColumn("__nl", element_at(col("__gs"), 6))
+      .withColumn("__bullet", element_at(col("__gs"), 7))
+      .withColumn("__ell", element_at(col("__gs"), 8))
       .select(
         col(idCol).as("doc_id"),
         col("n_words"),

@@ -325,6 +325,39 @@ class CurationSpec extends SparkSpec {
     assert(viaCounts == oneShot)
   }
 
+  test("gopher_stats kernel matches the higher-order builtin composition") {
+    import spark.implicits._
+    val docs = table("documents").select(col("doc_id"), col("text"))
+      .union(Seq(
+        (800001L, ""), (800002L, "   "), (800003L, "-x\n*y\nz...\n\nplain"),
+        (800004L, "# ... #### a...b the the a"),
+        (800005L, "one\ntwo"))
+        .toDF("doc_id", "text"))
+    val stops = Seq("the", "a")
+    val stopArr = array(stops.map(lit): _*)
+    val viaKernel = docs
+      .select(col("doc_id"),
+        graft.functions.gopher_stats(coalesce(col("text"), lit("")), stopArr).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val w = graft.functions.tokenize_ws(coalesce(col("text"), lit("")))
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    val viaBuiltins = docs.select(col("doc_id"), array(
+        size(w).cast("long"),
+        expr("aggregate(transform(filter(split(coalesce(text, ''), ' '), x -> length(x) > 0), x -> CAST(length(x) AS BIGINT)), 0L, (a, x) -> a + x)"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long"),
+        (size(filter(w, x => x === "#")) +
+          size(filter(w, x => x.endsWith("...")))).cast("long"),
+        size(filter(stopArr, s => array_contains(w, s))).cast("long"),
+        size(lines).cast("long"),
+        size(filter(lines, l => l.startsWith("-") || l.startsWith("*"))).cast("long"),
+        size(filter(lines, l => l.endsWith("..."))).cast("long")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaBuiltins.foreach { case (id, exp) =>
+      assert(viaKernel(id) == exp,
+        s"doc $id: kernel ${viaKernel(id)} != builtins $exp")
+    }
+  }
+
   test("gopher rules: each pathological doc trips exactly its rule") {
     import spark.implicits._
     import graft.operators.Curate

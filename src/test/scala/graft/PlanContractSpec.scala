@@ -77,6 +77,35 @@ class PlanContractSpec extends SparkSpec {
       s"per-anchor top-k must push a group limit below the shuffle:\n$p")
   }
 
+  test("q_dsir_grouped: model broadcasts, ranking stays per-group") {
+    val p = plan("q_dsir_grouped")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the G·B-row grouped model must broadcast into scoring:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the top-5 ranking window carries the group key — a partitionless
+    // (global) window would single-thread the corpus
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
+      s"per-group ranking must keep its partition key:\n$p")
+  }
+
+  test("map-side kernels carry no CodegenFallback expressions") {
+    // the rule battery and the quality scorer are pure per-row maps;
+    // every expression in their plans must be codegen-capable (the
+    // higher-order builtins — filter/transform/aggregate lambdas —
+    // are CodegenFallback: interpreted per-row eval, which is what
+    // the fused gopher_stats kernel exists to avoid)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    Seq("q_gopher_rules", "q_text_quality").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val fallbacks = exec.flatMap(_.expressions)
+        .flatMap(e => e +: e.children.flatMap(_.collect { case x => x }))
+        .collect { case e: CodegenFallback => e.prettyName }.distinct
+      assert(fallbacks.isEmpty,
+        s"$q contains interpreted (CodegenFallback) expressions: " +
+          fallbacks.mkString(", "))
+    }
+  }
+
   test("q_agg_pricing aggregates with map-side partials") {
     val p = plan("q_agg_pricing")
     assert(p.contains("partial_"), // partial_sum / partial_count markers
