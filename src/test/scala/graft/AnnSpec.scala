@@ -461,6 +461,28 @@ class AnnSpec extends SparkSpec {
       err.getCause != null, s"unexpected error: ${err.getMessage}")
   }
 
+  test("hyperplane_probes survives NaN and zero vectors deterministically") {
+    import spark.implicits._
+    // zero vector: every margin is exactly 0 — ties break by plane
+    // index, so the flip order is planes 0,1,2 and the result is
+    // stable at any parallelism
+    def probes(v: Seq[Double]) = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.hyperplane_probes(col("v"), 4, 4).as("p"))
+      .head().getSeq[Long](0)
+    val z = probes(Seq(0.0, 0.0, 0.0))
+    assert(z.size == 4 && z.toSet.size == 4)
+    z.tail.zipWithIndex.foreach { case (b, i) =>
+      assert((b ^ z.head) == (1L << i), "zero margins flip planes in index order")
+    }
+    assert(z == probes(Seq(0.0, 0.0, 0.0)), "deterministic on re-eval")
+    // NaN vector: all margins NaN; must still emit nProbe distinct
+    // one-bit-flip buckets rather than crash or repeat
+    val nan = probes(Seq(Double.NaN, 1.0))
+    assert(nan.size == 4 && nan.toSet.size == 4)
+    nan.tail.foreach(b =>
+      assert(java.lang.Long.bitCount(b ^ nan.head) == 1))
+  }
+
   test("multi-probe lsh: superset of single-probe, recall strictly helped") {
     val e = table("embeddings")
     val q = e.filter(col("vec_id") < 30)
