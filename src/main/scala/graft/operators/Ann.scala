@@ -541,7 +541,7 @@ object Ann {
     // prune expression grows with tenants, not tenants x probes
     val prune = cells.groupBy(_.get(0)).map { case (g, rs) =>
       col("grp") === lit(g) &&
-        col("cluster").isin(rs.map(_.getInt(1)).distinct: _*)
+        col("cluster").isin(rs.map(_.getInt(1)).distinct.toIndexedSeq: _*)
     }.reduce(_ || _)
     // explicit schema: partition-directory type inference would
     // collapse numeric-looking string tenant ids ("007" -> 7) and
