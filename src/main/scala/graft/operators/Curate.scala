@@ -310,6 +310,45 @@ object Curate {
           .as("qf"))
   }
 
+  /** L50: corpus distribution profile — the B-row (f, cnt) hashed
+    * uni+bigram bucket histogram of a document frame: the lightweight
+    * statistical fingerprint for drift monitoring. Mergeable by plain
+    * addition (profiles of shards sum to the profile of the union —
+    * integer counts), tiny (B rows), and shareable across runs. */
+  def corpusProfile(docs: DataFrame, idCol: String, textCol: String,
+                    buckets: Int = 1024): DataFrame =
+    dsirFeatures(docs, idCol, textCol, buckets)
+      .groupBy("f").agg(count(lit(1)).as("cnt"))
+
+  /** L50: distribution drift between two corpus profiles — the total
+    * variation distance TV = ½ Σ_f |p_a(f) − p_b(f)| over the hashed
+    * n-gram buckets, the "did my pipeline change the data" monitor a
+    * 100 TB ingest runs per batch/day. Computed integer-exactly:
+    * each term |ca·NB − cb·NA| is an exact integer (widened through
+    * decimal(38,0)), the sum divides once by 2·NA·NB and quantizes to
+    * 10⁶ units — engine-portable, hash-oracle-able. Missing buckets
+    * count 0 (full-outer join). Returns one row
+    * (n_a, n_b, tv_q ∈ [0, 10⁶]); symmetric by construction. The
+    * inputs are B-row profiles, so the whole comparison is a
+    * broadcast-size job regardless of corpus size — and profiles
+    * merge by addition, so drift-over-time needs one stored B-row
+    * frame per epoch, never a corpus re-read. */
+  def profileDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val na = a.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nb = b.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    require(na > 0 && nb > 0,
+      s"profileDrift needs non-empty profiles, got totals ($na, $nb)")
+    a.select(col("f"), col("cnt").as("ca"))
+      .join(b.select(col("f"), col("cnt").as("cb")), Seq("f"), "full_outer")
+      .select(
+        abs(coalesce(col("ca"), lit(0L)).cast("decimal(38,0)") * nb -
+          coalesce(col("cb"), lit(0L)).cast("decimal(38,0)") * na).as("d"))
+      .agg(expr(s"CAST(CAST(SUM(d) AS DECIMAL(38,0)) * 1000000" +
+        s" div (2 * CAST(${na}L AS DECIMAL(38,0)) * ${nb}L) AS BIGINT)")
+        .as("tv_q"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("tv_q"))
+  }
+
   /** L46b: GROUPED (multi-tenant) DSIR — one importance model per
     * group (domain, source, language), all trained in ONE (grp, f)
     * shuffle over the shared feature stream: the per-tenant model-

@@ -518,6 +518,25 @@ object CurationQueries {
         .orderBy("source", "rank")
     },
 
+    // L50: corpus drift — TV distance between hashed n-gram profiles,
+    // on two natural splits: parity halves (same distribution, small
+    // drift) and en-vs-zh (different languages, large drift). The
+    // magnitude ordering is data, not an assertion (oracled).
+    "q_corpus_drift" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      def prof(f: org.apache.spark.sql.DataFrame) =
+        Curate.corpusProfile(f, "doc_id", "text")
+      val parity = Curate.profileDrift(
+          prof(d.filter(col("doc_id") % 2 === 0)),
+          prof(d.filter(col("doc_id") % 2 =!= 0)))
+        .select(lit("parity").as("split"), col("n_a"), col("n_b"), col("tv_q"))
+      val langs = Curate.profileDrift(
+          prof(d.filter(col("lang") === "en")),
+          prof(d.filter(col("lang") === "zh")))
+        .select(lit("en_vs_zh").as("split"), col("n_a"), col("n_b"), col("tv_q"))
+      parity.unionByName(langs).orderBy("split")
+    },
+
     // L47: Gopher quality rules — the published web-corpus pre-filter
     // battery, one audit flag per rule + the keep conjunction; every
     // threshold a cross-multiplied integer comparison (engine-exact,
@@ -768,6 +787,56 @@ object CurationQueries {
         |SELECT rank, r.doc_id, d.lang, n_feats, score_q
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // Drift twin: same feature stream, per-split bucket counts, exact
+    // |ca·NB − cb·NA| terms through HUGEINT, one division at the end —
+    // in LOCKSTEP with Curate.profileDrift's decimal(38,0).
+    "q_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, UNNEST(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(g, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1024 AS f
+        |  FROM grams),
+        |pa1 AS (SELECT f, COUNT(*) AS ca FROM feats WHERE doc_id % 2 = 0 GROUP BY f),
+        |pb1 AS (SELECT f, COUNT(*) AS cb FROM feats WHERE doc_id % 2 <> 0 GROUP BY f),
+        |t1 AS (SELECT (SELECT COUNT(*) FROM feats WHERE doc_id % 2 = 0) AS na,
+        |              (SELECT COUNT(*) FROM feats WHERE doc_id % 2 <> 0) AS nb),
+        |d1 AS (
+        |  SELECT 'parity' AS split, na AS n_a, nb AS n_b,
+        |    CAST(CAST(SUM(ABS(CAST(COALESCE(ca, 0) AS HUGEINT) * nb -
+        |                      CAST(COALESCE(cb, 0) AS HUGEINT) * na)) AS HUGEINT)
+        |      * 1000000 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS tv_q
+        |  FROM (SELECT COALESCE(pa1.f, pb1.f) AS f, ca, cb
+        |        FROM pa1 FULL OUTER JOIN pb1 ON pa1.f = pb1.f)
+        |  CROSS JOIN t1 GROUP BY na, nb),
+        |pa2 AS (SELECT f, COUNT(*) AS ca FROM feats WHERE lang = 'en' GROUP BY f),
+        |pb2 AS (SELECT f, COUNT(*) AS cb FROM feats WHERE lang = 'zh' GROUP BY f),
+        |t2 AS (SELECT (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS na,
+        |              (SELECT COUNT(*) FROM feats WHERE lang = 'zh') AS nb),
+        |d2 AS (
+        |  SELECT 'en_vs_zh' AS split, na AS n_a, nb AS n_b,
+        |    CAST(CAST(SUM(ABS(CAST(COALESCE(ca, 0) AS HUGEINT) * nb -
+        |                      CAST(COALESCE(cb, 0) AS HUGEINT) * na)) AS HUGEINT)
+        |      * 1000000 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS tv_q
+        |  FROM (SELECT COALESCE(pa2.f, pb2.f) AS f, ca, cb
+        |        FROM pa2 FULL OUTER JOIN pb2 ON pa2.f = pb2.f)
+        |  CROSS JOIN t2 GROUP BY na, nb)
+        |SELECT split, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, tv_q
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY split""".stripMargin,
 
     // Gopher-rules twin: identical cross-multiplied integer threshold
     // tests over the same token/line stats — in LOCKSTEP with

@@ -325,6 +325,34 @@ class CurationSpec extends SparkSpec {
     assert(viaCounts == oneShot)
   }
 
+  test("corpus drift: identity zero, symmetric, profiles merge by addition") {
+    import graft.operators.Curate
+    val docs = table("documents")
+    def prof(f: org.apache.spark.sql.DataFrame) =
+      Curate.corpusProfile(f, "doc_id", "text")
+    val all = prof(docs)
+    // identity: a distribution has zero distance to itself
+    assert(Curate.profileDrift(all, all).head().getAs[Long]("tv_q") == 0L)
+    // symmetry
+    val (even, odd) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val ab = Curate.profileDrift(prof(even), prof(odd)).head().getAs[Long]("tv_q")
+    val ba = Curate.profileDrift(prof(odd), prof(even)).head().getAs[Long]("tv_q")
+    assert(ab == ba, s"TV must be symmetric: $ab vs $ba")
+    // mergeability: shard profiles sum to the union's profile exactly
+    val summed = prof(even).union(prof(odd))
+      .groupBy("f").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = all.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summed == direct, "profiles must merge by plain addition")
+    // a language split must drift more than a random (parity) split
+    val lang = Curate.profileDrift(
+      prof(docs.filter(col("lang") === "en")),
+      prof(docs.filter(col("lang") === "zh"))).head().getAs[Long]("tv_q")
+    assert(lang > ab,
+      s"en-vs-zh drift $lang must exceed the parity noise floor $ab")
+  }
+
   test("gopher_stats kernel matches the higher-order builtin composition") {
     import spark.implicits._
     val docs = table("documents").select(col("doc_id"), col("text"))
