@@ -28,7 +28,7 @@ object Lexical {
     * (new in-memory catalog) over an old warehouse dir would otherwise
     * hit LOCATION_ALREADY_EXISTS on the first rebuild. Shared with the
     * other build-once/probe-many writers (Dedup pair/signature tables). */
-  private[operators] def dropManaged(spark: SparkSession, name: String): Unit = {
+  private[graft] def dropManaged(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)

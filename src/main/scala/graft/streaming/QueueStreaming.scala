@@ -460,6 +460,47 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13k: streaming drift monitor — every micro-batch's hashed
+    * n-gram profile is compared against the RUNNING profile of all
+    * previously-seen data (TV distance, [[graft.operators.Curate.profileDrift]]),
+    * then folded into it — the continuous "is today's data still
+    * yesterday's distribution" alarm. State is ONE B-row parquet
+    * table maintained by the same materialize-then-overwrite
+    * discipline as the DSIR counts (profiles merge by addition, so
+    * the history is never re-read beyond B rows); per-trigger cost is
+    * one profile of the batch + a B-row join. The first batch seeds
+    * the history and reports drift 0 against itself. Output:
+    * `outPath/batch=N` rows (batch_id, n_batch, n_history, tv_q),
+    * overwrite-per-batch exactly-once like the other ingest sinks. */
+  def driftMonitorStream(docs: DataFrame, idCol: String, textCol: String,
+                         profileTable: String, outPath: String,
+                         checkpoint: String, buckets: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{Curate, Lexical}
+        val spark = batch.sparkSession
+        val bp = Curate.corpusProfile(batch.toDF(), idCol, textCol, buckets)
+          .localCheckpoint(true)
+        val exists = spark.catalog.tableExists(profileTable)
+        val hist = if (exists) spark.table(profileTable) else bp
+        val drift = Curate.profileDrift(bp, hist)
+          .select(lit(batchId).as("batch_id"),
+            col("n_a").as("n_batch"), col("n_b").as("n_history"),
+            col("tv_q"))
+        drift.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // fold the batch into the running profile (materialize first —
+        // never read-while-overwrite)
+        val merged =
+          (if (exists) hist.union(bp).groupBy("f").agg(sum("cnt").as("cnt"))
+           else bp).localCheckpoint(true)
+        Lexical.dropManaged(spark, profileTable)
+        merged.write.mode("overwrite").format("parquet")
+          .saveAsTable(profileTable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

@@ -126,6 +126,15 @@ object PipelineDemo {
       .filter(substring(md5(col("text")), 1, 4) < col("thr")).drop("thr")
     stage("target mix", mixed.count())
 
+    // distribution audit: how far did curation move the corpus?
+    // (TV distance between the ingest and post-mix n-gram profiles —
+    // B-row comparison, no corpus re-read beyond the two profiles)
+    val drift = graft.operators.Curate.profileDrift(
+        graft.operators.Curate.corpusProfile(docs, "doc_id", "text"),
+        graft.operators.Curate.corpusProfile(mixed, "doc_id", "text"))
+      .head().getAs[Long]("tv_q")
+    println(f"[pipeline] ${"distribution drift"}%-22s ${drift / 10000.0}%7.2f%% TV vs ingest")
+
     // leakage-safe split: dedup removed >=0.9 near-dups above, but
     // moderately-similar docs remain — split on the 0.7-Jaccard
     // cluster key so they never straddle train/test (the real-world

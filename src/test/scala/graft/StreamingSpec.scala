@@ -530,6 +530,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 3L), s"expected ads 1 and 3 attributed, got $got")
   }
 
+  test("streaming drift monitor: first batch zero, history folds exactly") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Curate
+    val corpus = table("documents")
+    val rows = corpus.select("doc_id", "text").orderBy("doc_id").limit(8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("drift_out").toString
+    val ckpt = Files.createTempDirectory("drift_ck").toString
+    graft.operators.Lexical.dropManaged(spark, "drift_test_profile")
+    val q = QueueStreaming.driftMonitorStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "drift_test_profile", out, ckpt)
+    mem.addData(rows.take(4).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(4).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val b0 = spark.read.parquet(s"$out/batch=0").head()
+    assert(b0.getAs[Long]("tv_q") == 0L,
+      "first batch seeds the history and drifts zero against itself")
+    // batch 1's reported drift equals the batch-side computation
+    // against batch 0's profile
+    import spark.implicits._
+    def df(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+    val expect = Curate.profileDrift(
+        Curate.corpusProfile(df(rows.drop(4).toSeq), "doc_id", "text"),
+        Curate.corpusProfile(df(rows.take(4).toSeq), "doc_id", "text"))
+      .head().getAs[Long]("tv_q")
+    val b1 = spark.read.parquet(s"$out/batch=1").head()
+    assert(b1.getAs[Long]("tv_q") == expect,
+      s"streamed drift ${b1.getAs[Long]("tv_q")} != batch twin $expect")
+    // the running profile now equals the profile of ALL streamed rows
+    val hist = spark.table("drift_test_profile")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Curate.corpusProfile(df(rows.toSeq), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == full, "running profile must equal the union profile")
+  }
+
   test("streaming curation gate equals the batch operators per trigger") {
     implicit val sq = spark.sqlContext
     import graft.operators.Curate
