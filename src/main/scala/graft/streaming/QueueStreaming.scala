@@ -463,40 +463,45 @@ object QueueStreaming {
   /** C13k: streaming drift monitor — every micro-batch's hashed
     * n-gram profile is compared against the RUNNING profile of all
     * previously-seen data (TV distance, [[graft.operators.Curate.profileDrift]]),
-    * then folded into it — the continuous "is today's data still
-    * yesterday's distribution" alarm. State is ONE B-row parquet
-    * table maintained by the same materialize-then-overwrite
-    * discipline as the DSIR counts (profiles merge by addition, so
-    * the history is never re-read beyond B rows); per-trigger cost is
-    * one profile of the batch + a B-row join. The first batch seeds
-    * the history and reports drift 0 against itself. Output:
-    * `outPath/batch=N` rows (batch_id, n_batch, n_history, tv_q),
-    * overwrite-per-batch exactly-once like the other ingest sinks. */
+    * then committed — the continuous "is today's data still
+    * yesterday's distribution" alarm. State is per-batch B-row
+    * profiles under `profilePath/batch=N`, each an idempotent
+    * overwrite: a replayed batch rewrites ITS OWN partition instead
+    * of folding its counts into a running total twice (a mutable
+    * merged table would double-count on foreachBatch's at-least-once
+    * replay — the same hazard nearDupIngest dodges with id
+    * exclusion). The history is the on-demand sum of the partitions
+    * BELOW the current batch id — B·batches narrow rows, partition-
+    * pruned, never a corpus re-read; profiles merge by addition so
+    * the sum IS the union profile, and any past batch's drift can be
+    * recomputed after the fact. The first batch compares against
+    * itself and reports 0. Output: `outPath/batch=N` rows
+    * (batch_id, n_batch, n_history, tv_q), overwrite exactly-once. */
   def driftMonitorStream(docs: DataFrame, idCol: String, textCol: String,
-                         profileTable: String, outPath: String,
+                         profilePath: String, outPath: String,
                          checkpoint: String, buckets: Int = 1024)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.operators.{Curate, Lexical}
+        import graft.operators.Curate
         val spark = batch.sparkSession
         val bp = Curate.corpusProfile(batch.toDF(), idCol, textCol, buckets)
           .localCheckpoint(true)
-        val exists = spark.catalog.tableExists(profileTable)
-        val hist = if (exists) spark.table(profileTable) else bp
-        val drift = Curate.profileDrift(bp, hist)
+        // commit this batch's profile FIRST (idempotent per-partition
+        // overwrite), then derive the history excluding it — a replay
+        // that died between the two writes reconverges on rerun
+        bp.write.mode("overwrite").parquet(s"$profilePath/batch=$batchId")
+        val hist = spark.read.parquet(profilePath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") < batchId)
+          .groupBy("f").agg(sum("cnt").as("cnt"))
+        val histN = hist.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+        val drift = Curate.profileDrift(bp, if (histN > 0) hist else bp)
           .select(lit(batchId).as("batch_id"),
             col("n_a").as("n_batch"), col("n_b").as("n_history"),
             col("tv_q"))
         drift.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        // fold the batch into the running profile (materialize first —
-        // never read-while-overwrite)
-        val merged =
-          (if (exists) hist.union(bp).groupBy("f").agg(sum("cnt").as("cnt"))
-           else bp).localCheckpoint(true)
-        Lexical.dropManaged(spark, profileTable)
-        merged.write.mode("overwrite").format("parquet")
-          .saveAsTable(profileTable)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -539,10 +539,10 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val out = Files.createTempDirectory("drift_out").toString
     val ckpt = Files.createTempDirectory("drift_ck").toString
-    graft.operators.Lexical.dropManaged(spark, "drift_test_profile")
+    val profiles = Files.createTempDirectory("drift_prof").toString
     val q = QueueStreaming.driftMonitorStream(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      "drift_test_profile", out, ckpt)
+      profiles, out, ckpt)
     mem.addData(rows.take(4).toSeq: _*)
     q.processAllAvailable()
     mem.addData(rows.drop(4).toSeq: _*)
@@ -562,12 +562,19 @@ class StreamingSpec extends SparkSpec {
     val b1 = spark.read.parquet(s"$out/batch=1").head()
     assert(b1.getAs[Long]("tv_q") == expect,
       s"streamed drift ${b1.getAs[Long]("tv_q")} != batch twin $expect")
-    // the running profile now equals the profile of ALL streamed rows
-    val hist = spark.table("drift_test_profile")
+    // the per-batch partitions sum to the profile of ALL streamed rows
+    def dirSum() = spark.read.parquet(profiles)
+      .groupBy("f").agg(sum("cnt").as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val full = Curate.corpusProfile(df(rows.toSeq), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hist == full, "running profile must equal the union profile")
+    assert(dirSum() == full, "batch partitions must sum to the union profile")
+    // replay safety: rewriting a batch's own partition (what a
+    // foreachBatch replay does) leaves the running profile unchanged —
+    // a mutable merged table would have double-counted here
+    Curate.corpusProfile(df(rows.drop(4).toSeq), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$profiles/batch=1")
+    assert(dirSum() == full, "a replayed batch must not double-count")
   }
 
   test("streaming curation gate equals the batch operators per trigger") {
