@@ -462,4 +462,40 @@ object Curate {
           col("ok_lines") * col("ok_alpha") * col("ok_stopwords") === 1)
           .cast("long"))
   }
+
+  /** L52: token-blocklist filter — the C4 "bad words" pre-filter
+    * (Raffel et al. 2020 §2.2, the List-of-Dirty-Naughty-Obscene-and-
+    * Otherwise-Bad-Words rule reused by every Common Crawl curation
+    * since): flag every document containing any blocklisted token,
+    * with enough per-doc accounting (total hits, distinct terms hit,
+    * integer hits-per-mille) that downstream policies other than C4's
+    * zero-tolerance `keep` can be derived without a second corpus pass.
+    *
+    * Map-side single pass, zero shuffles: the blocklist rides the plan
+    * as a broadcast literal array, so the corpus never shuffles against
+    * it. Per-token membership is O(|blocklist|) — the published lists
+    * are O(10²–10³) terms, well inside map-task budget; for a
+    * vocabulary-scale list, switch to explode + broadcast hash join +
+    * per-doc count re-agg (one narrow map-side-combined shuffle) — the
+    * decontaminate shape, not this one. All outputs are integers /
+    * integer divisions (hash-oracle-safe on any engine).
+    *
+    * Returns (doc_id, n_tokens, n_hits, n_distinct_hits,
+    * hits_per_mille, keep) with keep = 1 iff no hit (the C4 rule). */
+  def blocklistFlags(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklistFlags needs a non-empty blocklist")
+    val tArr = array(terms.distinct.sorted.map(lit): _*)
+    val toks = graft.functions.tokenize_ws(coalesce(col(textCol), lit("")))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(tArr, t)))
+          .cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(toks), tArr))
+          .cast("long").as("n_distinct_hits"))
+      .withColumn("hits_per_mille",
+        expr("n_hits * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", (col("n_hits") === 0).cast("long"))
+  }
 }

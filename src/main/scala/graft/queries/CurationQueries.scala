@@ -550,6 +550,18 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L52: C4 bad-words blocklist filter — zero-tolerance keep plus
+    // integer hit accounting (total, distinct, hits-per-mille) so other
+    // policies derive without a second pass. The blocklist here is
+    // adapted to the synthetic vocabulary ('slow'/'stream' stand in
+    // for the published list's terms). Map-side, zero shuffles, fully
+    // oracled.
+    "q_blocklist" -> { (s, dir) =>
+      Curate.blocklistFlags(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("slow", "stream"))
+        .orderBy("doc_id")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -874,6 +886,26 @@ object CurationQueries {
         |    AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
         |    AND alpha * 5 >= n_words * 4
         |    AND stop >= 2 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Blocklist twin: identical token membership counts + integer
+    // division, in lockstep with Curate.blocklistFlags' two-term list.
+    "q_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t,
+        |      x -> list_contains(['slow','stream'], x))) AS BIGINT) AS n_hits,
+        |    CAST(len(list_filter(['slow','stream'],
+        |      b -> list_contains(t, b))) AS BIGINT) AS n_distinct_hits
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, n_hits, n_distinct_hits,
+        |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
+        |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // Grouped-DSIR twin: the per-source replay of the q_dsir_select

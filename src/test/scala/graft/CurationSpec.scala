@@ -413,4 +413,37 @@ class CurationSpec extends SparkSpec {
     // flags are observability: rejected docs still carry every column
     assert(f.values.forall(_.schema.fieldNames.contains("ok_alpha")))
   }
+
+  test("blocklist: hit accounting and the C4 zero-tolerance keep") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad apple bad apple"),     // repeated hit, one distinct term
+      (3L, "one bad token and worse"), // two distinct terms
+      (4L, ""),                        // empty doc: keep, no div-by-zero
+      (5L, "worse and worse again")
+    ).toDF("doc_id", "text")
+    val out = Curate.blocklistFlags(docs, "doc_id", "text",
+        Seq("bad", "worse"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") == 0L &&
+      out(1L).getAs[Long]("keep") == 1L)
+    assert(out(2L).getAs[Long]("n_hits") == 2L &&
+      out(2L).getAs[Long]("n_distinct_hits") == 1L &&
+      out(2L).getAs[Long]("keep") == 0L &&
+      out(2L).getAs[Long]("hits_per_mille") == 500L)
+    assert(out(3L).getAs[Long]("n_distinct_hits") == 2L &&
+      out(3L).getAs[Long]("keep") == 0L)
+    assert(out(4L).getAs[Long]("n_tokens") == 0L &&
+      out(4L).getAs[Long]("hits_per_mille") == 0L &&
+      out(4L).getAs[Long]("keep") == 1L)
+    assert(out(5L).getAs[Long]("n_hits") == 2L &&
+      out(5L).getAs[Long]("n_distinct_hits") == 1L)
+    // partitioning invariance: map-side op, any layout agrees
+    val re = Curate.blocklistFlags(docs.repartition(7), "doc_id", "text",
+        Seq("bad", "worse"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(out.keys.forall(k => re(k) == out(k).toSeq))
+  }
 }
