@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R17f: mergeable power-of-2 log-histogram quantile sketch — the
+  * HdrHistogram/DDSketch idea at γ=2, stripped to builtins so it is
+  * integer-exact and hash-oracle-able (which log-γ bucketing, via libm
+  * log, is not). Bucket = bit length of the non-negative long value
+  * (length(bin(v)): 0 → 1, v > 0 → floor(log2 v)+1) — pure
+  * integer/string builtins, bit-identical on any engine.
+  *
+  * The sketch is a ≤ 63-row (bucket, n) frame. Error model: a
+  * quantile's true value lies in the reported [lo, hi] bucket bounds,
+  * so the estimate is within 2× of truth (relative) — the right trade
+  * for monitoring latency/size/price distributions at corpus scale.
+  *
+  * Scale shape: the ONLY corpus-size work is one groupBy over ≤ 63
+  * keys — low cardinality means map-side partial aggregation collapses
+  * every task's output to ≤ 63 rows before the (trivial) shuffle; hot
+  * buckets cannot skew a reducer because partials already absorbed
+  * them. Shard sketches MERGE BY ADDITION ([[merge]]), so per-shard /
+  * per-day sketches roll up without rescanning anything — the same
+  * contract as the count-min and Space-Saving aggregates (R17d/R17e).
+  * Everything after the build touches sketch-sized frames only.
+  */
+object Sketch {
+
+  /** Build the sketch: one (bucket, n) row per occupied bucket.
+    * `valueCol` must be integral (cast upstream; floor-quantize
+    * doubles) and ≥ 0 — negatives raise rather than silently folding
+    * into a sign-bit bucket. */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.select(
+        when(v < 0, raise_error(concat(
+            lit("logHistogram: negative value "), v.cast("string"))))
+          .otherwise(length(bin(v)))
+          .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge shard sketches: counts add (union + re-agg over ≤ 63 keys).
+    * merge(build(A), build(B)) ≡ build(A ∪ B) exactly — hash-proven by
+    * q_quantile_sketch's single-pass oracle. */
+  def merge(hs: DataFrame*): DataFrame = {
+    require(hs.nonEmpty, "merge needs at least one sketch")
+    hs.reduce(_ unionByName _).groupBy("bucket").agg(sum("n").as("n"))
+  }
+
+  /** Probe quantiles at per-mille ranks (500 = median, 999 = p99.9 —
+    * integer ranks, never a double fraction): for each q the smallest
+    * bucket whose cumulative count reaches ceil(q·N/1000), with its
+    * value bounds lo = 2^(b-1) (0 for b = 1) and hi = 2^b − 1. The
+    * input is a sketch (≤ 63 rows), so the unpartitioned windows here
+    * are frame-sized, not corpus-sized. Empty sketch → empty result. */
+  def quantiles(hist: DataFrame, perMille: Seq[Int]): DataFrame = {
+    require(perMille.nonEmpty && perMille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille ranks must be in [1, 1000], got $perMille")
+    val cum = hist
+      .withColumn("cum", sum("n").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("n").over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val probes = hist.sparkSession.range(1)
+      .select(explode(array(perMille.distinct.sorted.map(lit): _*)).as("q"))
+    probes
+      .join(cum, col("cum") >= expr("(q * total + 999L) div 1000L"))
+      .groupBy("q").agg(min("bucket").as("bucket"))
+      .select(col("q").cast("long").as("q"), col("bucket"),
+        when(col("bucket") === 1, 0L)
+          .otherwise(expr("shiftleft(1L, cast(bucket - 1 as int))")).as("lo"),
+        when(col("bucket") >= 63, lit(Long.MaxValue))
+          .otherwise(expr("shiftleft(1L, cast(bucket as int)) - 1L")).as("hi"))
+  }
+}

@@ -132,6 +132,24 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // R17f: mergeable log-histogram quantile sketch — built as TWO
+    // shard sketches (orderkey parity) merged by addition, then probed
+    // at p50/p90/p99/p99.9; the oracle replays it as ONE pass, so the
+    // hash match proves merge(build(A), build(B)) ≡ build(A ∪ B).
+    // Values are floor-quantized cents (floor is IEEE-exact on both
+    // engines; a raw double→bigint cast is not — Spark truncates,
+    // DuckDB rounds).
+    "q_quantile_sketch" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val h = Sketch.merge(
+        Sketch.logHistogram(o.filter(col("o_orderkey") % 2 === 0), "cents"),
+        Sketch.logHistogram(o.filter(col("o_orderkey") % 2 =!= 0), "cents"))
+      Sketch.quantiles(h, Seq(500, 900, 990, 999)).orderBy("q")
+    },
+
     // R29: rolling event-time window (RANGE frame over epoch days) —
     // trailing-90-day spend per customer. RANGE (not ROWS) makes
     // same-day ties frame-inclusive, so the result is deterministic
@@ -685,6 +703,35 @@ object AnalyticsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Quantile-sketch twin: ONE-pass bucket histogram + cumulative
+    // probe — the Spark side built two shard sketches and merged them,
+    // so the hash match is the mergeability proof. Bucket = bit length
+    // via length(bin(v)) on both engines; rank and bounds all integer.
+    "q_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |h AS (
+        |  SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS n
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n,
+        |         SUM(n) OVER (ORDER BY bucket) AS cum,
+        |         SUM(n) OVER () AS total
+        |  FROM h),
+        |q AS (SELECT UNNEST([500, 900, 990, 999]) AS q),
+        |hit AS (
+        |  SELECT q.q AS q, MIN(c.bucket) AS bucket
+        |  FROM q JOIN c ON c.cum >= (q.q * c.total + 999) // 1000
+        |  GROUP BY q.q)
+        |SELECT CAST(q AS BIGINT) AS q, bucket,
+        |  CASE WHEN bucket = 1 THEN 0
+        |       ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER)) END AS lo,
+        |  CASE WHEN bucket >= 63 THEN 9223372036854775807
+        |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
+        |FROM hit ORDER BY q""".stripMargin,
 
     "q_rolling_range" ->
       """SELECT o_custkey, o_orderkey, d,

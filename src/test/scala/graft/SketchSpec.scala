@@ -173,4 +173,53 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaSql == exact, "coerced approx_top_k diverged from exact top-3")
   }
+
+  test("log-histogram quantiles: bounds contain the exact quantile") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(42)
+    val vals = (1 to 5000).map(_ => math.abs(rnd.nextLong()) % 1000000L)
+    val df = vals.toDF("v")
+    val hist = Sketch.logHistogram(df, "v")
+    val qs = Seq(100, 500, 900, 999)
+    val out = Sketch.quantiles(hist, qs)
+      .collect().map(r => r.getAs[Long]("q") ->
+        (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val rank = (q.toLong * vals.size + 999) / 1000 // ceil(q·N/1000)
+      val truth = sorted((rank - 1).toInt)
+      val (lo, hi) = out(q.toLong)
+      assert(truth >= lo && truth <= hi,
+        s"p$q truth $truth outside sketch bucket [$lo, $hi]")
+    }
+  }
+
+  test("log-histogram: shard merge equals one pass, any partitioning") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val vals = (0L until 4000L).map(i => i * i % 777777L)
+    val df = vals.toDF("v")
+    val one = Sketch.logHistogram(df, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val merged = Sketch.merge(
+        Sketch.logHistogram(df.filter(col("v") % 3 === 0), "v"),
+        Sketch.logHistogram(df.filter(col("v") % 3 === 1), "v"),
+        Sketch.logHistogram(df.filter(col("v") % 3 === 2), "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(merged == one, "merge-by-addition diverged from one-pass build")
+    val repart = Sketch.logHistogram(df.repartition(13), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(repart == one, "histogram depends on partitioning")
+  }
+
+  test("log-histogram rejects negative values loudly") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val ex = intercept[Exception] {
+      Sketch.logHistogram(Seq(1L, -2L, 3L).toDF("v"), "v").collect()
+    }
+    assert(ex.getMessage.contains("negative value") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("negative value"))
+  }
 }
