@@ -1051,4 +1051,75 @@ object Ann {
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("nn_label").as("pred_label"), col("n_votes"))
   }
+
+  /** L53: margin-based bitext mining (Artetxe & Schwenk, ACL 2019 —
+    * the LASER/CCMatrix criterion): mine aligned cross-corpus pairs
+    * (translation candidates, parallel data, duplicate articles across
+    * snapshots) by RATIO margin rather than raw cosine — a "hub"
+    * vector is near everything, so absolute similarity over-mines it;
+    * the margin normalizes each candidate by the mean similarity of
+    * BOTH endpoints' k-neighborhoods and keeps only pairs that stand
+    * out of their local density:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgF(x) + avgB(y)) / 2)
+    *               = cos(x,y) · (kF + kB) / (sumF(x) + sumB(y))
+    *
+    * computed entirely in integers from the 1e4-quantized sims (the
+    * quantum cancels in the ratio; µ-unit floor-div through
+    * decimal(38,0)) — no double division, so the mining decision is
+    * engine-exact and carries a hash oracle. Candidates whose
+    * neighborhood sums are ≤ 0 (possible only on adversarial
+    * anti-correlated data) have no meaningful margin and are dropped.
+    *
+    * Output: each source's single BEST candidate (per-source argmax,
+    * the paper's mining rule) with margin_q ≥ `minMarginQ` µ-units —
+    * (src_id, tgt_id, sim, margin_q).
+    *
+    * Scale shape: the two directional top-k frames are k-bounded
+    * (|A|·k + |B|·k narrow rows); neighborhood sums are map-side-
+    * combined groupBys on those frames, and the scoring joins are
+    * id-keyed equi-joins — nothing quadratic survives past the search.
+    * `exact = true` (default) ranks via the broadcast brute-force core
+    * (right when either side fits a broadcast, and for the oracle
+    * twin); at corpus×corpus scale pass false to route both directions
+    * through [[bulkTopK]]'s cluster-keyed equi-join — neither side
+    * broadcasts, margins then score the approximate candidate set. */
+  def marginPairs(a: DataFrame, b: DataFrame, idCol: String,
+                  vecCol: String, k: Int = 4,
+                  minMarginQ: Long = 1000000L,
+                  exact: Boolean = true,
+                  nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    val av = a.select(col(idCol).as("id"), as_double_array(col(vecCol)).as("v"))
+    val bv = b.select(col(idCol).as("id"), as_double_array(col(vecCol)).as("v"))
+    def topk(qs: DataFrame, cs: DataFrame): DataFrame =
+      if (exact) cosineTopK(
+        cs.select(col("id").as("nn_id"), col("v").as("nn_vec")),
+        qs.select(col("id").as("query_id"), col("v").as("q_vec")),
+        k, excludeSameId = false)
+      else bulkTopK(qs, cs, "id", "v", k, nClusters, nProbe)
+    val simQ = floor(col("sim") * 10000 + 0.5).cast("long")
+    val fwd = topk(av, bv) // candidates: every x∈A's k nearest in B
+    val bwd = topk(bv, av) // backward neighborhoods for margin only
+    val sumF = fwd.groupBy(col("query_id").as("__fid"))
+      .agg(sum(simQ).as("sum_f"), count(lit(1)).as("k_f"))
+    val sumB = bwd.groupBy(col("query_id").as("__bid"))
+      .agg(sum(simQ).as("sum_b"), count(lit(1)).as("k_b"))
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("margin_q").desc, col("nn_id").asc)
+    fwd
+      .join(sumF, col("query_id") === col("__fid"))
+      .join(sumB, col("nn_id") === col("__bid"))
+      // sim > 0 keeps the µ-div numerator positive (integral div
+      // truncates in Spark but floors in DuckDB — they only agree on
+      // non-negatives) and is the semantics anyway: an aligned pair
+      // has high positive cosine, anti-correlated candidates are noise
+      .filter(col("sum_f") + col("sum_b") > 0 && col("sim") > 0)
+      .withColumn("margin_q", expr(
+        "CAST(CAST(floor(sim * 10000 + 0.5) AS DECIMAL(38,0)) * (k_f + k_b)" +
+          " * 1000000 div (sum_f + sum_b) AS BIGINT)"))
+      .withColumn("__best", row_number().over(wBest))
+      .filter(col("__best") === 1 && col("margin_q") >= minMarginQ)
+      .select(col("query_id").as("src_id"), col("nn_id").as("tgt_id"),
+        col("sim"), col("margin_q"))
+  }
 }

@@ -210,6 +210,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L53: margin-based bitext mining (Artetxe & Schwenk ratio
+    // margin) — A = even vec_ids, B = odd; exact directional top-4,
+    // integer µ-unit margin, per-source argmax above 1.0. Fully
+    // oracled (the margin arithmetic is all-integer).
+    "q_bitext_margin" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.marginPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", k = 4, minMarginQ = 1000000L)
+        .orderBy("src_id")
+    },
+
     // L7: LSH-bucketed ANN — the scale path (rows-only; recall vs L6
     // measured in AnnSpec).
     "q_ann_lsh" -> { (s, dir) =>
@@ -1104,6 +1117,62 @@ object PipelineQueries {
         |SELECT query_id, rank, neg_id, neg_label, sim
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Bitext-margin replay: both directional exact-cosine top-4
+    // chains, integer 1e4-sim neighborhood sums, HUGEINT µ-margin
+    // floor-div (positive by the sim > 0 guard, so DuckDB's floor //
+    // agrees with Spark's truncating div), per-source argmax — in
+    // LOCKSTEP with Ann.marginPairs.
+    "q_bitext_margin" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |av AS (SELECT vec_id AS id, vec FROM v WHERE vec_id % 2 = 0),
+        |bv AS (SELECT vec_id AS id, vec FROM v WHERE vec_id % 2 <> 0),
+        |fsims AS (
+        |  SELECT av.id AS query_id, bv.id AS nn_id,
+        |    ${Shared.cosineSimSql("av.vec", "bv.vec")} AS sim
+        |  FROM av CROSS JOIN bv),
+        |fk AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, nn_id, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, nn_id ASC) AS rank
+        |    FROM fsims) WHERE rank <= 4),
+        |bsims AS (
+        |  SELECT bv.id AS query_id, av.id AS nn_id,
+        |    ${Shared.cosineSimSql("bv.vec", "av.vec")} AS sim
+        |  FROM bv CROSS JOIN av),
+        |bk AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, nn_id, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY sim DESC, nn_id ASC) AS rank
+        |    FROM bsims) WHERE rank <= 4),
+        |sf AS (SELECT query_id AS fid,
+        |         SUM(CAST(floor(sim * 10000 + 0.5) AS BIGINT)) AS sum_f,
+        |         COUNT(*) AS k_f
+        |       FROM fk GROUP BY 1),
+        |sb AS (SELECT query_id AS bid,
+        |         SUM(CAST(floor(sim * 10000 + 0.5) AS BIGINT)) AS sum_b,
+        |         COUNT(*) AS k_b
+        |       FROM bk GROUP BY 1),
+        |scored AS (
+        |  SELECT fk.query_id, fk.nn_id, fk.sim,
+        |    CAST((CAST(floor(fk.sim * 10000 + 0.5) AS HUGEINT)
+        |          * (k_f + k_b) * 1000000)
+        |      // (sum_f + sum_b) AS BIGINT) AS margin_q
+        |  FROM fk JOIN sf ON fk.query_id = sf.fid
+        |          JOIN sb ON fk.nn_id = sb.bid
+        |  WHERE sum_f + sum_b > 0 AND fk.sim > 0),
+        |best AS (
+        |  SELECT query_id, nn_id, sim, margin_q,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY margin_q DESC, nn_id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id AS src_id, nn_id AS tgt_id, sim, margin_q
+        |FROM best WHERE rn = 1 AND margin_q >= 1000000
+        |ORDER BY src_id""".stripMargin,
 
     // kNN vote replay: exact cosine ranking (same ROUND(.,4) +
     // (sim desc, nn_id) order as q_ann_bruteforce), top-5 votes

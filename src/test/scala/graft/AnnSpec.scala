@@ -627,4 +627,50 @@ class AnnSpec extends SparkSpec {
     val recall = (bf & g).size.toDouble / bf.size
     assert(recall >= 0.8, s"auto-tuned knn-graph recall $recall below gate")
   }
+
+  test("bitext margin mining: twins mined, non-aligned pairs score below") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val base = (0 until 10).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    // A = even ids; B = odd-id noisy twins of each A row, except id 17
+    // (src 16 has no twin), plus a HUB (id 1001) = the mean direction,
+    // moderately similar to everything
+    val aRows = base.zipWithIndex.map { case (v, i) => (i.toLong * 2, unit(v)) }
+    val bRows = base.zipWithIndex.collect {
+      case (v, i) if i != 8 =>
+        (i.toLong * 2 + 1,
+          unit(v.map(x => x + rnd.nextGaussian() * 0.05)))
+    } :+ (1001L, unit(Array.tabulate(dim)(d => base.map(_(d)).sum)))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val mined = Ann.marginPairs(a, b, "vec_id", "embedding", k = 3,
+      minMarginQ = 0L).collect()
+    val pair = mined.map(r =>
+      r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    val marg = mined.map(r =>
+      r.getAs[Long]("src_id") -> r.getAs[Long]("margin_q")).toMap
+    // every twinned source mines exactly its twin
+    base.indices.filter(_ != 8).foreach { i =>
+      assert(pair(i.toLong * 2) == i.toLong * 2 + 1,
+        s"src ${i * 2} mined ${pair(i.toLong * 2)}, expected twin ${i * 2 + 1}")
+    }
+    // the twinless source has only non-aligned candidates (the hub or
+    // stray near-orthogonal vectors) — whatever it mines, the margin
+    // criterion scores it BELOW every true twin pair
+    val twinMargins = base.indices.filter(_ != 8).map(i => marg(i.toLong * 2))
+    assert(twinMargins.min > marg(16L),
+      s"non-aligned margin ${marg(16L)} not below twin margins " +
+        s"(min ${twinMargins.min})")
+    // partitioning invariance (integer margins, deterministic argmax)
+    val re = Ann.marginPairs(a.repartition(5), b.repartition(3),
+        "vec_id", "embedding", k = 3, minMarginQ = 0L)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Long]("margin_q"))).toSet
+    assert(re == mined.map(r => (r.getAs[Long]("src_id"),
+      r.getAs[Long]("tgt_id"), r.getAs[Long]("margin_q"))).toSet)
+  }
 }
