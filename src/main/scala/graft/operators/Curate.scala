@@ -498,4 +498,36 @@ object Curate {
         expr("n_hits * 1000L div greatest(n_tokens, 1L)"))
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
   }
+
+  /** L54: per-group tokenizer fertility / compression diagnostics —
+    * the multilingual tokenizer-equity report (how many subword
+    * pre-tokens a language pays per word, and how many characters each
+    * token carries): fertility = pre-tokens/word, the signal that a
+    * tokenizer under-serves a language (XLM-R/NLLB tokenizer audits);
+    * chars/token = the compression side. Pre-tokens are the GPT-2-shape
+    * pre-tokenizer ([[graft.functions.tokenize_bpe]] — letter runs,
+    * digit runs, single other chars), so the diagnostic needs no
+    * trained merge table and stays engine-replayable; character counts
+    * come from a caller-supplied column (NOT `length()` — Java counts
+    * UTF-16 units where other engines count codepoints, a silent CJK
+    * divergence).
+    *
+    * Ratios are integer µ-units (floor-div) — engine-exact. Map-side
+    * kernels + ONE low-cardinality groupBy (map-side partials absorb
+    * any skew); the corpus is read once. */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+                         groupCol: String, charsCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"),
+        graft.functions.token_count(col(textCol)).as("__ws"),
+        size(graft.functions.tokenize_bpe(col(textCol)))
+          .cast("long").as("__bpe"),
+        col(charsCol).cast("long").as("__ch"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("__ws").as("ws_tokens"),
+        sum("__bpe").as("bpe_tokens"), sum("__ch").as("n_chars"))
+      .withColumn("fertility_q",
+        expr("bpe_tokens * 1000000L div greatest(ws_tokens, 1L)"))
+      .withColumn("chars_per_token_q",
+        expr("n_chars * 1000000L div greatest(bpe_tokens, 1L)"))
 }

@@ -562,6 +562,16 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L54: tokenizer fertility per language — pre-tokens/word and
+    // chars/token in integer µ-units; the tokenizer-equity audit.
+    // Map-side kernels + one 5-key groupBy, fully oracled.
+    "q_tokenizer_fertility" -> { (s, dir) =>
+      Curate.tokenizerFertility(t(s, dir, "documents"), "text", "lang",
+          "n_chars")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -907,6 +917,28 @@ object CurationQueries {
         |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
         |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Fertility twin: same pre-tokenizer regex (RE2-and-Java-safe
+    // alternation), same integer µ-unit floor-divs.
+    "q_tokenizer_fertility" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
+        |    n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
+        |    SUM(bpe) AS bpe_tokens, SUM(n_chars) AS n_chars
+        |  FROM m GROUP BY lang)
+        |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+        |  CAST(bpe_tokens * 1000000 // greatest(ws_tokens, 1) AS BIGINT)
+        |    AS fertility_q,
+        |  CAST(n_chars * 1000000 // greatest(bpe_tokens, 1) AS BIGINT)
+        |    AS chars_per_token_q
+        |FROM g ORDER BY lang""".stripMargin,
 
     // Grouped-DSIR twin: the per-source replay of the q_dsir_select
     // chain (GROUP BY source threaded through counts, totals, ratio,

@@ -446,4 +446,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
     assert(out.keys.forall(k => re(k) == out(k).toSeq))
   }
+
+  test("tokenizer fertility: punctuation-rich group pays more per word") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Seq(
+      ("plain", "four plain words here", 21L),
+      ("plain", "more plain words", 16L),
+      // every word splits into letter-run + punctuation pre-tokens
+      ("punct", "isn't well-formed (really?) end.", 32L),
+      ("punct", "co-ordinate 3.14 x=y", 20L)
+    ).toDF("lang", "text", "n_chars")
+    val out = Curate.tokenizerFertility(docs, "text", "lang", "n_chars")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    // plain prose: 1 pre-token per word exactly
+    assert(out("plain").getAs[Long]("fertility_q") == 1000000L)
+    assert(out("plain").getAs[Long]("ws_tokens") == 7L)
+    // punctuated group: strictly more pre-tokens than words
+    assert(out("punct").getAs[Long]("fertility_q") > 1000000L,
+      s"punct fertility ${out("punct").getAs[Long]("fertility_q")}")
+    assert(out("punct").getAs[Long]("bpe_tokens") >
+      out("punct").getAs[Long]("ws_tokens"))
+    // chars flow from the supplied column, not a recount
+    assert(out("plain").getAs[Long]("n_chars") == 37L)
+  }
 }
