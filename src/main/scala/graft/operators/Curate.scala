@@ -530,4 +530,65 @@ object Curate {
         expr("bpe_tokens * 1000000L div greatest(ws_tokens, 1L)"))
       .withColumn("chars_per_token_q",
         expr("n_chars * 1000000L div greatest(bpe_tokens, 1L)"))
+
+  /** L55: curation scorecard — per-source attrition across the rule
+    * families (Gopher quality battery, repetition, token blocklist) in
+    * ONE corpus pass: every flag is a map-side kernel over the same
+    * row, so the whole report costs one scan plus one low-cardinality
+    * groupBy — never a per-rule corpus re-read (the [[Observe]] 1-vs-14
+    * economics applied to rule attribution) and never a doc-keyed join
+    * between flag frames. This is the "which sources lose mass to
+    * which filter" ops report that drives crawl/source budgeting.
+    *
+    * Keep rules are IN LOCKSTEP with [[gopherFlags]], q_repetition and
+    * [[blocklistFlags]] — the per-row parity is spec-gated in
+    * CurationSpec, so a threshold drifting in one place fails a test
+    * rather than silently skewing the report. */
+  def scorecard(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, stopWords: Seq[String],
+                blocklist: Seq[String],
+                minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    import graft.functions._
+    val textc = coalesce(col(textCol), lit(""))
+    val stopArr = array(stopWords.map(lit): _*)
+    val blockArr = array(blocklist.distinct.sorted.map(lit): _*)
+    val stats = docs
+      .withColumn("__gs", gopher_stats(textc, stopArr))
+      .withColumn("__t", tokenize_ws(textc))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__nb", greatest(col("__n") - 1, lit(0)))
+      .withColumn("__ntri",
+        when(col("__n") >= 3, col("__n") - 2).otherwise(lit(1)))
+    val nW = element_at(col("__gs"), 1)
+    val gopherKeep =
+      nW >= minWords && nW <= maxWords &&
+        element_at(col("__gs"), 2) >= nW * 3 &&
+        element_at(col("__gs"), 2) <= nW * 10 &&
+        element_at(col("__gs"), 4) * 10 < nW &&
+        element_at(col("__gs"), 7) * 10 < element_at(col("__gs"), 6) * 9 &&
+        element_at(col("__gs"), 8) * 10 < element_at(col("__gs"), 6) * 3 &&
+        element_at(col("__gs"), 3) * 5 >= nW * 4 &&
+        element_at(col("__gs"), 5) >= 2
+    val repKeep =
+      round_portable((col("__n") - size(token_id_set(col("__t"))))
+        .cast("double") / greatest(col("__n"), lit(1)), 4) <= 0.65 &&
+        when(col("__nb") === 0, lit(0.0)).otherwise(
+          round_portable(max_adjacent_pair_count(col("__t")).cast("double") /
+            col("__nb"), 4)) <= 0.08 &&
+        round_portable((col("__ntri") - size(shingle_id_set(col("__t"), 3)))
+          .cast("double") / greatest(col("__ntri"), lit(1)), 4) <= 0.0
+    val blockKeep =
+      size(filter(col("__t"), x => array_contains(blockArr, x))) === 0
+    stats
+      .select(col(groupCol).as("grp"),
+        gopherKeep.cast("long").as("__g"),
+        repKeep.cast("long").as("__r"),
+        blockKeep.cast("long").as("__b"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__g").as("pass_gopher"),
+        sum("__r").as("pass_repetition"),
+        sum("__b").as("pass_blocklist"),
+        sum(col("__g") * col("__r") * col("__b")).as("pass_all"))
+  }
 }

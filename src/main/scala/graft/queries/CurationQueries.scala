@@ -572,6 +572,16 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L55: curation scorecard — per-source attrition across gopher /
+    // repetition / blocklist rule families, ONE corpus pass (all flags
+    // map-side on the same row + one 20-key groupBy). Fully oracled.
+    "q_curation_scorecard" -> { (s, dir) =>
+      Curate.scorecard(t(s, dir, "documents"), "doc_id", "text", "source",
+          stopWords = Seq("the", "a"), blocklist = Seq("slow", "stream"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space. Rows-only (the k-means quantizer is engine-
     // native); precision is exact by construction (every pair is
@@ -917,6 +927,61 @@ object CurationQueries {
         |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
         |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Scorecard twin: the gopher + repetition + blocklist per-doc
+    // replays (verbatim fragments of their standalone oracles) rolled
+    // up per source — in LOCKSTEP with Curate.scorecard's thresholds.
+    "q_curation_scorecard" ->
+      """WITH stats AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x = '#')) +
+        |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(['the','a'],
+        |         s -> list_contains(w, s))) AS BIGINT) AS stop,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END AS bgs,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END AS tris
+        |  FROM stats),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+        |     AND sym * 10 < n_words
+        |     AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
+        |     AND alpha * 5 >= n_words * 4
+        |     AND stop >= 2) AS g,
+        |    (FLOOR(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        |        / GREATEST(len(w), 1) * 10000 + 0.5) / 10000 <= 0.65
+        |     AND (CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
+        |       FLOOR(CAST(list_max(list_transform(list_distinct(bgs),
+        |         x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
+        |         / len(bgs) * 10000 + 0.5) / 10000 END) <= 0.08
+        |     AND FLOOR(CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE)
+        |        / GREATEST(len(tris), 1) * 10000 + 0.5) / 10000 <= 0.0) AS r,
+        |    (len(list_filter(w,
+        |       x -> list_contains(['slow','stream'], x))) = 0) AS b
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
+        |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+        |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_blocklist,
+        |  CAST(SUM(CASE WHEN g AND r AND b THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Fertility twin: same pre-tokenizer regex (RE2-and-Java-safe
     // alternation), same integer µ-unit floor-divs.

@@ -470,4 +470,28 @@ class CurationSpec extends SparkSpec {
     // chars flow from the supplied column, not a recount
     assert(out("plain").getAs[Long]("n_chars") == 37L)
   }
+
+  test("scorecard: per-rule counts equal the standalone operators") {
+    import graft.operators.Curate
+    val d = table("documents")
+    val sc = run("q_curation_scorecard").collect()
+    // rebuild the same report from the standalone flag frames — any
+    // threshold drifting between scorecard and its operators fails here
+    val g = Curate.gopherFlags(d, "doc_id", "text",
+        stopWords = Seq("the", "a"))
+      .select(col("doc_id"), col("keep").as("g"))
+    val r = run("q_repetition")
+      .select(col("doc_id"), col("keep").cast("long").as("r"))
+    val b = Curate.blocklistFlags(d, "doc_id", "text", Seq("slow", "stream"))
+      .select(col("doc_id"), col("keep").as("b"))
+    val joined = d.select(col("doc_id"), col("source"))
+      .join(g, "doc_id").join(r, "doc_id").join(b, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("g").as("pass_gopher"),
+        sum("r").as("pass_repetition"), sum("b").as("pass_blocklist"),
+        sum(col("g") * col("r") * col("b")).as("pass_all"))
+      .orderBy("source").collect()
+    assert(sc.map(_.toSeq).toSeq == joined.map(_.toSeq).toSeq,
+      "scorecard diverged from the standalone rule operators")
+  }
 }
