@@ -138,4 +138,42 @@ object Pack {
             col("shard"))
     }
   }
+
+  /** L56: training-sequence construction from event logs — the
+    * behavioral-corpus shape (session-recommendation / user-model
+    * pretraining): each user's events in event-time order, cut into
+    * consecutive fixed-`seqLen` training rows. The [[assignShards]]
+    * family packs DOCUMENTS by token budget; this packs a keyed event
+    * STREAM by position — the two layout steps of an events-to-
+    * training-data pipeline.
+    *
+    * One user-keyed window shuffle orders the stream; the chunk
+    * grouping reuses the same (user, ts, tie) clustering, and each
+    * output row's payload list is bounded by `seqLen` (collect_list
+    * can never accumulate a whole user). Order within a user is made
+    * total by (tsCol, tieCol) — REQUIRED unique per user, or the
+    * sequence fingerprint would be partitioning-dependent. A
+    * pathologically hot user is a data bug to cap upstream
+    * (source-cap semantics), not a plan problem.
+    *
+    * Returns (user_id, chunk_idx, n_events, first_ts, last_ts,
+    * seq_md5) where seq_md5 fingerprints the ordered payload joined
+    * by single spaces. */
+  def eventSequences(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String, payloadCol: String,
+                     seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("chunk_idx", expr(s"(__rn - 1L) div ${seqLen}L"))
+      .groupBy(col(userCol).as("user_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__rn").as("o"),
+            col(payloadCol).cast("string").as("p")))),
+          s => s.getField("p")))).as("seq_md5"))
+  }
 }

@@ -150,6 +150,17 @@ object AnalyticsQueries {
       Sketch.quantiles(h, Seq(500, 900, 990, 999)).orderBy("q")
     },
 
+    // L56: event-log → training-sequence construction — per-user
+    // event-time-ordered streams cut into 32-event training rows with
+    // ordered-payload fingerprints. One user-keyed window shuffle;
+    // fully oracled (incl. the reassembly md5).
+    "q_session_pack" -> { (s, dir) =>
+      import graft.operators.Pack
+      Pack.eventSequences(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", seqLen = 32)
+        .orderBy("user_id", "chunk_idx")
+    },
+
     // R29: rolling event-time window (RANGE frame over epoch days) —
     // trailing-90-day spend per customer. RANGE (not ROWS) makes
     // same-day ties frame-inclusive, so the result is deterministic
@@ -732,6 +743,24 @@ object AnalyticsQueries {
         |  CASE WHEN bucket >= 63 THEN 9223372036854775807
         |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
         |FROM hit ORDER BY q""".stripMargin,
+
+    // Session-pack twin: same (ts, event_id) total order, same
+    // floor-div chunking, ordered string_agg reassembly md5.
+    "q_session_pack" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, CAST((rn - 1) // 32 AS BIGINT) AS chunk_idx,
+        |         tsn, event_type, rn
+        |  FROM e)
+        |SELECT user_id, chunk_idx, COUNT(*) AS n_events,
+        |  MIN(tsn) AS first_ts, MAX(tsn) AS last_ts,
+        |  md5(string_agg(event_type, ' ' ORDER BY rn)) AS seq_md5
+        |FROM c GROUP BY user_id, chunk_idx
+        |ORDER BY user_id, chunk_idx""".stripMargin,
 
     "q_rolling_range" ->
       """SELECT o_custkey, o_orderkey, d,

@@ -119,4 +119,33 @@ class PackSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got == Map(10L -> 0L, 20L -> 0L, 30L -> 1L))
   }
+
+  test("event sequences: fixed chunks, ordered fingerprints, any layout") {
+    import spark.implicits._
+    val ev = (1 to 70).map(i => (7L, i.toLong * 1000, i.toLong, s"e$i")) ++
+      (1 to 5).map(i => (8L, i.toLong * 1000, i.toLong, s"x$i"))
+    val df = ev.toDF("user_id", "ts", "event_id", "event_type")
+    val out = Pack.eventSequences(df, "user_id", "ts", "event_id",
+      "event_type", seqLen = 32).collect()
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+      .sortBy(_.getAs[Long]("chunk_idx"))
+    // 70 events -> 32 + 32 + 6
+    assert(u7.map(_.getAs[Long]("n_events")).toSeq == Seq(32L, 32L, 6L))
+    assert(u7(0).getAs[Long]("first_ts") == 1000L &&
+      u7(0).getAs[Long]("last_ts") == 32000L)
+    assert(u7(2).getAs[Long]("first_ts") == 65000L)
+    // fingerprint is md5 of the space-joined ordered payload
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 32).map(i => s"e$i").mkString(" ").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(u7(0).getAs[String]("seq_md5") == md)
+    // short user: one chunk of 5
+    val u8 = out.filter(_.getAs[Long]("user_id") == 8L)
+    assert(u8.length == 1 && u8.head.getAs[Long]("n_events") == 5L)
+    // partitioning invariance (total order within user is unique)
+    val re = Pack.eventSequences(df.repartition(9), "user_id", "ts",
+        "event_id", "event_type", seqLen = 32)
+      .collect().map(_.toSeq).toSet
+    assert(re == out.map(_.toSeq).toSet)
+  }
 }
