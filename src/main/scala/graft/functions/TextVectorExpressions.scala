@@ -445,6 +445,40 @@ object Kernels {
       nl, bullet, ell))
   }
 
+  /** Fused blocklist statistics in ONE pass over the text:
+    * [n_tokens, n_hits, n_distinct_hits] with O(1) membership against
+    * a prebuilt term set — the codegen replacement for the
+    * higher-order composition, which is CodegenFallback AND
+    * O(tokens · |blocklist|) per row (real CPU once the published
+    * O(10³)-term lists are in play). Token semantics replicate
+    * `tokenize_ws` (split on ' ', empties dropped). The distinct-hit
+    * set allocates only when a hit occurs (the common clean doc
+    * allocates nothing). */
+  def blocklistStats(text: UTF8String,
+                     terms: java.util.HashSet[String]): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    var nTok = 0L; var nHits = 0L
+    var distinct: java.util.HashSet[String] = null
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        nTok += 1
+        val w = s.substring(i, j)
+        if (terms.contains(w)) {
+          nHits += 1
+          if (distinct == null) distinct = new java.util.HashSet[String]()
+          distinct.add(w)
+        }
+      }
+      i = j + 1
+    }
+    val nd = if (distinct == null) 0L else distinct.size.toLong
+    new GenericArrayData(Array(nTok, nHits, nd))
+  }
+
   /** Multi-probe buckets (Lv et al., "Multi-Probe LSH", VLDB 2007,
     * first-order perturbations): probe 0 is the [[hyperplaneLsh]] home
     * bucket, probe i flips the bit whose hyperplane margin |acc_j| is
@@ -552,6 +586,29 @@ case class GopherStats(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.gopherStats($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherStats =
     copy(left = l, right = r)
+}
+
+/** Fused one-pass blocklist statistics with a plan-embedded term set
+  * (built once per executor, O(1) membership) — see
+  * Kernels.blocklistStats. */
+case class BlocklistStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "blocklist_stats"
+  @transient private lazy val termSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    terms.foreach(s.add)
+    s
+  }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.blocklistStats(v.asInstanceOf[UTF8String], termSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: the codegen backend (Janino) does not parse generics
+    val setRef = ctx.addReferenceObj("blockTerms", termSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.blocklistStats($c, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): BlocklistStats =
+    copy(child = c)
 }
 
 /** Multi-probe bucket list for a query vector — see

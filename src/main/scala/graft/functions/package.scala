@@ -52,6 +52,8 @@ package object functions {
     col2(HyperplaneProbes(ex(v), bits, nProbe))
   def gopher_stats(text: Column, stops: Column): Column =
     col2(GopherStats(ex(text), ex(stops)))
+  def blocklist_stats(text: Column, terms: Seq[String]): Column =
+    col2(BlocklistStats(ex(text), terms))
   def nearest_centroid(v: Column, cents: Column): Column =
     col2(NearestCentroid(ex(v), ex(cents)))
   def top_centroids(v: Column, cents: Column, nProbe: Int): Column =

@@ -485,15 +485,17 @@ object Curate {
   def blocklistFlags(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "blocklistFlags needs a non-empty blocklist")
-    val tArr = array(terms.distinct.sorted.map(lit): _*)
-    val toks = graft.functions.tokenize_ws(coalesce(col(textCol), lit("")))
+    // ONE fused codegen'd pass (blocklist_stats): the higher-order
+    // filter/intersect composition is CodegenFallback and
+    // O(tokens·|blocklist|); the kernel probes a per-executor hash set.
+    // Kernel ≡ builtins parity is spec-gated in CurationSpec.
     docs
+      .withColumn("__bs", graft.functions.blocklist_stats(
+        coalesce(col(textCol), lit("")), terms.distinct))
       .select(col(idCol).as("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => array_contains(tArr, t)))
-          .cast("long").as("n_hits"),
-        size(array_intersect(array_distinct(toks), tArr))
-          .cast("long").as("n_distinct_hits"))
+        element_at(col("__bs"), 1).as("n_tokens"),
+        element_at(col("__bs"), 2).as("n_hits"),
+        element_at(col("__bs"), 3).as("n_distinct_hits"))
       .withColumn("hits_per_mille",
         expr("n_hits * 1000L div greatest(n_tokens, 1L)"))
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
@@ -551,7 +553,6 @@ object Curate {
     import graft.functions._
     val textc = coalesce(col(textCol), lit(""))
     val stopArr = array(stopWords.map(lit): _*)
-    val blockArr = array(blocklist.distinct.sorted.map(lit): _*)
     val stats = docs
       .withColumn("__gs", gopher_stats(textc, stopArr))
       .withColumn("__t", tokenize_ws(textc))
@@ -578,7 +579,7 @@ object Curate {
         round_portable((col("__ntri") - size(shingle_id_set(col("__t"), 3)))
           .cast("double") / greatest(col("__ntri"), lit(1)), 4) <= 0.0
     val blockKeep =
-      size(filter(col("__t"), x => array_contains(blockArr, x))) === 0
+      element_at(blocklist_stats(textc, blocklist.distinct), 2) === 0
     stats
       .select(col(groupCol).as("grp"),
         gopherKeep.cast("long").as("__g"),

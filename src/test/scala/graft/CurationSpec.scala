@@ -447,6 +447,33 @@ class CurationSpec extends SparkSpec {
     assert(out.keys.forall(k => re(k) == out(k).toSeq))
   }
 
+  test("blocklist_stats kernel matches the higher-order builtin composition") {
+    import spark.implicits._
+    import graft.functions.{blocklist_stats, tokenize_ws}
+    val terms = Seq("bad", "worse", "naïve") // incl. non-ascii membership
+    val docs = Seq(
+      (1L, "clean words only"),
+      (2L, "bad bad worse  bad"),          // double space -> empty token
+      (3L, ""), (4L, "   "),
+      (5L, "naïve prefix-bad bads"),       // exact-match only, no substrings
+      (6L, "worse")
+    ).toDF("doc_id", "text")
+    val tArr = array(terms.map(lit): _*)
+    val toks = tokenize_ws(col("text"))
+    val both = docs.select(col("doc_id"),
+        blocklist_stats(col("text"), terms).as("k"),
+        array(size(toks).cast("long"),
+          size(filter(toks, t => array_contains(tArr, t))).cast("long"),
+          size(array_intersect(array_distinct(toks), tArr)).cast("long"))
+          .as("b"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: kernel ${r.getSeq[Long](1)} vs " +
+          s"builtins ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("tokenizer fertility: punctuation-rich group pays more per word") {
     import spark.implicits._
     import graft.operators.Curate
