@@ -113,4 +113,55 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges(p) <= 2,
       s"one agg shuffle + the output sort at most:\n$p")
   }
+
+  test("q_blocklist is a pure map (one exchange: the output sort)") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("Join"), s"blocklist must not join:\n$p")
+    assert(exchanges(p) <= 1, s"map-side filter, sort only:\n$p")
+  }
+
+  test("q_curation_scorecard: one pass, no joins, partial agg") {
+    val p = plan("q_curation_scorecard")
+    assert(!p.contains("Join"),
+      s"scorecard must compute all flags on the row, never join frames:\n$p")
+    assert(p.contains("partial_"), s"needs map-side partials:\n$p")
+    assert(exchanges(p) <= 2, s"one 20-key agg shuffle + output sort:\n$p")
+  }
+
+  test("q_tokenizer_fertility: one pass, no joins, partial agg") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("Join"), s"fertility must not join:\n$p")
+    assert(p.contains("partial_"), s"needs map-side partials:\n$p")
+    assert(exchanges(p) <= 2, s"one 5-key agg shuffle + output sort:\n$p")
+  }
+
+  test("q_session_pack: window and chunk agg share the user shuffle") {
+    val p = plan("q_session_pack")
+    // the groupBy(user, chunk) clusters under the window's
+    // HashPartitioning(user) — a second exchange between Window and
+    // HashAggregate would mean the reuse broke
+    val i = p.indexOf("Window")
+    assert(i >= 0, s"expected the ordering window:\n$p")
+    val agg = p.lastIndexOf("HashAggregate", i)
+    assert(agg >= 0, s"expected chunk aggregation above the window:\n$p")
+    assert(!p.substring(agg, i).contains("Exchange"),
+      s"chunk agg must reuse the window's user partitioning:\n$p")
+    assert(exchanges(p) <= 2, s"user shuffle + output sort at most:\n$p")
+  }
+
+  test("q_bitext_margin: scoring joins never sort-merge the k-bounded frames") {
+    val p = plan("q_bitext_margin")
+    assert(p.contains("WindowGroupLimit"),
+      s"directional top-k must push group limits below the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must be broadcast, never cartesian:\n$p")
+  }
+
+  test("q_quantile_sketch: corpus work is one partial-agg'd groupBy") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("partial_"),
+      s"bucket histogram needs map-side partials (hot buckets):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe joins run on sketch-sized frames, never sort-merge:\n$p")
+  }
 }
