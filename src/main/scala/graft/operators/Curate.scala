@@ -296,6 +296,49 @@ object Curate {
       .saveAsTable(s"${table}_dsir_totals")
   }
 
+  /** L46d: remove a batch from the persisted counts — the ERASURE twin
+    * of [[appendDsirCounts]] (GDPR/retraction: the importance model
+    * must forget deleted documents without a corpus rebuild). The
+    * batch's feature counts SUBTRACT through the same B-row full-outer
+    * merge (counts are plain integer sums, so build(all) − remove(X) ≡
+    * build(all \ X) bit-exactly — spec-gated); rows whose counts reach
+    * zero are dropped so no empty-bucket residue accumulates.
+    * Subtracting a batch that was never added fails loudly (a negative
+    * count means the model would be corrupted silently). */
+  def removeDsirCounts(batch: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, table: String,
+                       buckets: Int = 1024): Unit = {
+    val spark = batch.sparkSession
+    val feats = batch.select(col(idCol).as("doc_id"), isTarget.as("is_t"))
+      .join(dsirFeatures(batch, idCol, textCol, buckets), Seq("doc_id"))
+    val dec = feats.groupBy("f").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val merged = spark.table(s"${table}_dsir_counts")
+      .select(col("f"), col("ct").as("ct0"), col("cr").as("cr0"))
+      .join(dec.select(col("f"), col("ct").as("ct1"), col("cr").as("cr1")),
+        Seq("f"), "full_outer")
+      .select(col("f"),
+        (coalesce(col("ct0"), lit(0L)) - coalesce(col("ct1"), lit(0L))).as("ct"),
+        (coalesce(col("cr0"), lit(0L)) - coalesce(col("cr1"), lit(0L))).as("cr"))
+      .localCheckpoint(true)
+    val bad = merged.filter(col("ct") < 0 || col("cr") < 0).count()
+    require(bad == 0,
+      s"$table: removing a batch that exceeds the committed counts " +
+        s"($bad buckets would go negative) — was this batch ever added?")
+    val survivors = merged.filter(col("cr") > 0).localCheckpoint(true)
+    Lexical.dropManaged(spark, s"${table}_dsir_counts")
+    survivors.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_counts")
+    val tot = spark.table(s"${table}_dsir_counts")
+      .agg(coalesce(sum("ct"), lit(0L)).as("nt"),
+        coalesce(sum("cr"), lit(0L)).as("nr"))
+      .localCheckpoint(true)
+    Lexical.dropManaged(spark, s"${table}_dsir_totals")
+    tot.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_dsir_totals")
+  }
+
   /** Derive the (f, qf) ratio model from the persisted counts — same
     * arithmetic as [[dsirModel]], same loud empty-target contract. */
   def dsirModelFromCounts(spark: SparkSession, table: String,

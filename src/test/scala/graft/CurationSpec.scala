@@ -325,6 +325,36 @@ class CurationSpec extends SparkSpec {
     assert(viaCounts == oneShot)
   }
 
+  test("dsir count removal: erasure equals never-having-added, loud misuse") {
+    import graft.operators.Curate
+    val docs = table("documents")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    // build over everything, then erase the odd half
+    Curate.buildDsirCounts(docs, "doc_id", "text", col("lang") === "en",
+      "dsir_rm_test")
+    Curate.removeDsirCounts(b, "doc_id", "text", col("lang") === "en",
+      "dsir_rm_test")
+    val erased = Curate.dsirModelFromCounts(spark, "dsir_rm_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // must equal a model that never saw the erased half — bit-exactly
+    val scratch = Curate.dsirModel(a, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(erased == scratch,
+      "post-erasure model must equal the never-added model bit-exactly")
+    // removing the same batch AGAIN must fail loudly, and leave the
+    // committed counts untouched
+    val ex = intercept[IllegalArgumentException] {
+      Curate.removeDsirCounts(b, "doc_id", "text", col("lang") === "en",
+        "dsir_rm_test")
+    }
+    assert(ex.getMessage.contains("negative"))
+    val after = Curate.dsirModelFromCounts(spark, "dsir_rm_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == erased, "failed removal must not corrupt the counts")
+  }
+
   test("corpus drift: identity zero, symmetric, profiles merge by addition") {
     import graft.operators.Curate
     val docs = table("documents")
