@@ -37,8 +37,20 @@ object PipelineDemo {
       "doc_id")
     stage("gopher rules", ruled.count())
 
+    // C4-style token blocklist, by the DERIVED ratio policy rather
+    // than zero-tolerance (the synthetic vocabulary makes any doc hit
+    // eventually): keep docs whose blocklisted-token rate is <= 2.0%.
+    // One fused codegen pass; the flags would also feed per-source
+    // attrition via Curate.scorecard.
+    val unblocked = ruled.join(
+      graft.operators.Curate.blocklistFlags(ruled, "doc_id", "text",
+          Seq("slow"))
+        .filter(col("hits_per_mille") <= 20).select("doc_id"),
+      "doc_id")
+    stage("blocklist (<=2.0%)", unblocked.count())
+
     // Gopher-style repetition gate: kernelized per-row signals
-    val unrepeated = ruled.filter(
+    val unrepeated = unblocked.filter(
       (size(tokenize_ws(col("text"))) - size(token_id_set(tokenize_ws(col("text")))))
         .cast("double") / greatest(size(tokenize_ws(col("text"))), lit(1)) <= 0.65 &&
       max_adjacent_pair_count(tokenize_ws(col("text"))).cast("double") /
