@@ -54,6 +54,38 @@ object Decontaminate {
     train.join(bad, col(idCol) === col("__bad_id"), "left_anti")
   }
 
+  /** L21c: multi-suite decontamination with per-suite attribution —
+    * production decontaminates against MANY benchmarks at once and
+    * must report WHICH suite each hit came from (a doc clean for one
+    * benchmark may quote another; removal policy and disclosure both
+    * need the attribution). The eval frame carries a suite column;
+    * the inventory becomes broadcast (sid, suite) pairs and the
+    * per-doc count groups by (doc, suite).
+    *
+    * ONE pass over the training side for ANY number of suites: the
+    * explode + broadcast-hash join is shared, never a per-suite
+    * corpus re-read (the scorecard economics applied to
+    * decontamination); a shingle hitting s suites multiplies its one
+    * row by s — bounded by the suite count, not the corpus. Returns
+    * (id, suite, n_shingles, n_matched) for every pair reaching
+    * `minMatched`. */
+  def contaminatedBySuite(train: DataFrame, evals: DataFrame,
+                          idCol: String, textCol: String,
+                          suiteCol: String, shingleN: Int = 3,
+                          minMatched: Long = 5): DataFrame = {
+    val inv = evals.select(col(suiteCol).as("suite"), explode(
+        shingle_id_set(tokenize_ws(col(textCol)), shingleN)).as("sid"))
+      .distinct()
+    val tr = train.select(col(idCol).as("id"),
+      shingle_id_set(tokenize_ws(col(textCol)), shingleN).as("sids"))
+    tr.select(col("id"), size(col("sids")).cast("long").as("n_shingles"),
+        explode(col("sids")).as("sid"))
+      .join(broadcast(inv), "sid")
+      .groupBy("id", "suite", "n_shingles")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+  }
+
   /** L21b: semantic (embedding-space) decontamination — flag training
     * rows whose cosine similarity to ANY eval vector reaches
     * `minCosine`. The n-gram pass above catches verbatim/quoted

@@ -411,6 +411,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L21c: multi-suite decontamination — two synthetic benchmark
+    // slices (id%23 and id%29), one shared training-side pass,
+    // per-(doc, suite) attribution. Fully oracled.
+    "q_decontaminate_suites" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val evals =
+        d.filter(col("doc_id") % 23 === 0)
+          .withColumn("suite", lit("eval_a"))
+          .unionByName(d.filter(col("doc_id") % 29 === 0)
+            .withColumn("suite", lit("eval_b")))
+      Decontaminate.contaminatedBySuite(
+          d.filter(col("doc_id") % 23 =!= 0 && col("doc_id") % 29 =!= 0),
+          evals, "doc_id", "text", "suite", shingleN = 3, minMatched = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "suite")
+    },
+
     // L48: Min-K% membership audit — the suspect list: documents whose
     // k=20% least-likely bigrams still score high under the corpus LM
     // (memorization/duplication leaves no low-probability tail). Rides
@@ -944,6 +961,35 @@ object PipelineQueries {
         |  GROUP BY tr.doc_id, len(tr.s))
         |SELECT doc_id, n_shingles, CAST(n_matched AS BIGINT) AS n_matched
         |FROM m WHERE n_matched >= 5 ORDER BY doc_id""".stripMargin,
+
+    // Multi-suite decontamination twin: (shingle, suite) inventory
+    // from both slices, shared training-side unnest, (doc, suite)
+    // counts — in LOCKSTEP with Decontaminate.contaminatedBySuite.
+    "q_decontaminate_suites" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s
+        |  FROM toks),
+        |inv AS (
+        |  SELECT DISTINCT suite, es FROM (
+        |    SELECT 'eval_a' AS suite, UNNEST(s) AS es FROM sh WHERE doc_id % 23 = 0
+        |    UNION ALL
+        |    SELECT 'eval_b' AS suite, UNNEST(s) AS es FROM sh WHERE doc_id % 29 = 0)),
+        |tr AS (SELECT doc_id, s FROM sh
+        |       WHERE doc_id % 23 <> 0 AND doc_id % 29 <> 0),
+        |m AS (
+        |  SELECT tr.doc_id, inv.suite,
+        |    CAST(len(tr.s) AS BIGINT) AS n_shingles,
+        |    COUNT(*) AS n_matched
+        |  FROM tr, UNNEST(tr.s) AS u(x) JOIN inv ON u.x = inv.es
+        |  GROUP BY tr.doc_id, inv.suite, len(tr.s))
+        |SELECT doc_id, suite, n_shingles, CAST(n_matched AS BIGINT) AS n_matched
+        |FROM m WHERE n_matched >= 5 ORDER BY doc_id, suite""".stripMargin,
 
     // Min-K% twin over the shared bigram-LM CTE: bottom ceil(n/5)
     // bigram probabilities per doc (row_number boundary ties are

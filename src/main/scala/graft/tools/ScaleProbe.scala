@@ -44,7 +44,12 @@ object ScaleProbe {
     // r9 late additions: per-source models in one (grp, f) shuffle
     // (groups replicate with the corpus — model stays G·B rows);
     // fixed broadcast anchor set against a ×10 corpus (linear scan)
-    "q_dsir_grouped", "q_hard_negatives")
+    "q_dsir_grouped", "q_hard_negatives",
+    // r9 second push: three-rule-family single pass + 20-key agg
+    // (linear map); ≤63-key histogram with map-side partials (linear);
+    // user-keyed window + shared-shuffle chunk agg (users scale with
+    // the corpus, per-user window constant)
+    "q_curation_scorecard", "q_quantile_sketch", "q_session_pack")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -126,7 +131,7 @@ object ScaleProbe {
     val li = spark.read.parquet(s"$base/lineitem.parquet")
       .select("l_orderkey", "l_suppkey")
     val ord = spark.read.parquet(s"$base/orders.parquet")
-      .select("o_orderkey", "o_custkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
     val ordStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val custStride = ord.agg(max("o_custkey")).head().getLong(0) + 1
     val suppStride = li.agg(max("l_suppkey")).head().getLong(0) + 1
@@ -137,9 +142,25 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     (0 until factor).map { i =>
       ord.select((col("o_orderkey") + lit(i.toLong * ordStride)).as("o_orderkey"),
-        (col("o_custkey") + lit(i.toLong * custStride)).as("o_custkey"))
+        (col("o_custkey") + lit(i.toLong * custStride)).as("o_custkey"),
+        col("o_totalprice"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // Event stream for the session-pack probe: user and event ids
+    // stride per replica (users scale with the corpus, each user's
+    // stream length stays constant — exactly the shape a 100 TB event
+    // log has), timestamps shared.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val userStride = ev.agg(max("user_id")).head().getLong(0) + 1
+    val evStride = ev.agg(max("event_id")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      ev.select((col("event_id") + lit(i.toLong * evStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"[scaleprobe] derived x$factor corpus at $out " +
       s"(${docs.count() * factor} docs, ${emb.count() * factor} vectors)")
   }

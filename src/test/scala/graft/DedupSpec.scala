@@ -180,6 +180,28 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("multi-suite decontamination attributes each hit to its suite") {
+    import graft.operators.Decontaminate
+    val quoteA = "alpha beta gamma delta epsilon zeta eta theta"
+    val quoteB = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, quoteA),                      // quotes suite A only
+      (2L, quoteB),                      // quotes suite B only
+      (3L, quoteA + " " + quoteB),       // quotes BOTH -> two rows
+      (4L, "totally unrelated words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val evals = Seq(
+      ("sa", quoteA + " iota kappa plus extra eval material"),
+      ("sb", quoteB + " nine ten and some more eval material"))
+      .toDF("suite", "text")
+    val hits = Decontaminate.contaminatedBySuite(train, evals,
+        "doc_id", "text", "suite", shingleN = 3, minMatched = 5)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("suite")))
+      .toSet
+    assert(hits == Set((1L, "sa"), (2L, "sb"), (3L, "sa"), (3L, "sb")),
+      s"got $hits")
+  }
+
   test("semantic decontamination flags paraphrase-level vector matches") {
     import graft.operators.Decontaminate
     val train = Seq(
