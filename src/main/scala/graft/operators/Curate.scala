@@ -544,6 +544,42 @@ object Curate {
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
   }
 
+  /** L51b: per-language blocklists — the C4 practice (the published
+    * bad-words lists ARE per-language: an English list over-flags
+    * romance languages and misses everything else). One fused
+    * [[graft.functions.blocklist_stats]] kernel per language inside a
+    * lazy CASE chain on the group column — only the matching branch
+    * evaluates, so each row pays exactly one kernel pass against ITS
+    * OWN language's set (all sets plan-embedded, built once per
+    * executor). Languages absent from `lists` fall back to `default`
+    * (empty default = clean pass-through with full token accounting).
+    * Same output contract as [[blocklistFlags]] plus the lang column;
+    * map-side, zero shuffles. */
+  def blocklistFlagsByLang(docs: DataFrame, idCol: String, textCol: String,
+                           langCol: String,
+                           lists: Map[String, Seq[String]],
+                           default: Seq[String] = Nil): DataFrame = {
+    require(lists.nonEmpty, "blocklistFlagsByLang needs at least one list")
+    val textc = coalesce(col(textCol), lit(""))
+    val statsCol = lists.toSeq.sortBy(_._1).foldRight(
+        graft.functions.blocklist_stats(textc, default.distinct)) {
+      case ((lang, terms), acc) =>
+        when(col(langCol) === lang,
+          graft.functions.blocklist_stats(textc, terms.distinct))
+          .otherwise(acc)
+    }
+    docs
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        statsCol.as("__bs"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("__bs"), 1).as("n_tokens"),
+        element_at(col("__bs"), 2).as("n_hits"),
+        element_at(col("__bs"), 3).as("n_distinct_hits"))
+      .withColumn("hits_per_mille",
+        expr("n_hits * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", (col("n_hits") === 0).cast("long"))
+  }
+
   /** L54: per-group tokenizer fertility / compression diagnostics —
     * the multilingual tokenizer-equity report (how many subword
     * pre-tokens a language pays per word, and how many characters each

@@ -562,6 +562,20 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L51b: per-language blocklists — en/zh/de carry their own lists,
+    // es/fr fall back to the default. One lazy CASE of fused kernels,
+    // map-side, fully oracled.
+    "q_blocklist_grouped" -> { (s, dir) =>
+      Curate.blocklistFlagsByLang(t(s, dir, "documents"), "doc_id",
+          "text", "lang",
+          lists = Map(
+            "en" -> Seq("slow", "stream"),
+            "zh" -> Seq("slow"),
+            "de" -> Seq("window")),
+          default = Seq("stream"))
+        .orderBy("doc_id")
+    },
+
     // L54: tokenizer fertility per language — pre-tokens/word and
     // chars/token in integer µ-units; the tokenizer-equity audit.
     // Map-side kernels + one 5-key groupBy, fully oracled.
@@ -982,6 +996,33 @@ object CurationQueries {
         |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_blocklist,
         |  CAST(SUM(CASE WHEN g AND r AND b THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // Grouped-blocklist twin: the same per-language CASE over token
+    // membership counts — in LOCKSTEP with blocklistFlagsByLang's map.
+    "q_blocklist_grouped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CASE lang
+        |      WHEN 'en' THEN ['slow','stream']
+        |      WHEN 'zh' THEN ['slow']
+        |      WHEN 'de' THEN ['window']
+        |      ELSE ['stream'] END AS bl,
+        |    t
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(len(list_filter(t, x -> list_contains(bl, x))) AS BIGINT) AS n_hits,
+        |    CAST(len(list_filter(bl, b -> list_contains(t, b))) AS BIGINT) AS n_distinct_hits
+        |  FROM m)
+        |SELECT doc_id, lang, n_tokens, n_hits, n_distinct_hits,
+        |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
+        |  CAST(n_hits = 0 AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Fertility twin: same pre-tokenizer regex (RE2-and-Java-safe
     // alternation), same integer µ-unit floor-divs.

@@ -477,6 +477,36 @@ class CurationSpec extends SparkSpec {
     assert(out.keys.forall(k => re(k) == out(k).toSeq))
   }
 
+  test("per-language blocklists: each row pays only its own list") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Seq(
+      (1L, "en", "slow day"),     // en list hits 'slow'
+      (2L, "de", "slow day"),     // de list is 'window': clean
+      (3L, "de", "window shut"),  // de hits its own list
+      (4L, "fr", "stream flow"),  // unlisted lang -> default hits
+      (5L, "fr", "calm river")    // default clean
+    ).toDF("doc_id", "lang", "text")
+    val out = Curate.blocklistFlagsByLang(docs, "doc_id", "text", "lang",
+        Map("en" -> Seq("slow", "stream"), "de" -> Seq("window")),
+        default = Seq("stream"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("keep") == 0L)
+    assert(out(2L).getAs[Long]("keep") == 1L,
+      "another language's term must not flag a de doc")
+    assert(out(3L).getAs[Long]("keep") == 0L)
+    assert(out(4L).getAs[Long]("keep") == 0L,
+      "unlisted lang must fall back to the default list")
+    assert(out(5L).getAs[Long]("keep") == 1L)
+    // per-slice parity with the solo operator
+    val solo = Curate.blocklistFlags(docs.filter(col("lang") === "de"),
+        "doc_id", "text", Seq("window"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits"))
+      .toMap
+    assert(solo.forall { case (id, h) =>
+      out(id).getAs[Long]("n_hits") == h })
+  }
+
   test("blocklist_stats kernel matches the higher-order builtin composition") {
     import spark.implicits._
     import graft.functions.{blocklist_stats, tokenize_ws}
