@@ -49,6 +49,51 @@ object Sketch {
     hs.reduce(_ unionByName _).groupBy("bucket").agg(sum("n").as("n"))
   }
 
+  /** Grouped build: one (key, bucket, n) row per occupied (key,
+    * bucket) — the per-service-latency / per-type-size monitoring
+    * shape. Same scale contract as [[logHistogram]]: the corpus-size
+    * work is one groupBy over |keys| · ≤ 63 cells with map-side
+    * partials; grouped sketches also merge by addition ([[mergeBy]]).
+    */
+  def logHistogramBy(df: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.select(col(keyCol).as("key"),
+        when(v < 0, raise_error(concat(
+            lit("logHistogramBy: negative value "), v.cast("string"))))
+          .otherwise(length(bin(v)))
+          .cast("long").as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge grouped shard sketches: counts add per (key, bucket). */
+  def mergeBy(hs: DataFrame*): DataFrame = {
+    require(hs.nonEmpty, "mergeBy needs at least one sketch")
+    hs.reduce(_ unionByName _).groupBy("key", "bucket").agg(sum("n").as("n"))
+  }
+
+  /** Per-key quantile probes — [[quantiles]]' integer rank rule inside
+    * each key's own cumulative window. The input is sketch-sized
+    * (|keys| · ≤ 63 rows), so the per-row probe explosion is frame
+    * work, not corpus work. */
+  def quantilesBy(hist: DataFrame, perMille: Seq[Int]): DataFrame = {
+    require(perMille.nonEmpty && perMille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille ranks must be in [1, 1000], got $perMille")
+    hist
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("key").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("n").over(Window.partitionBy("key")))
+      .withColumn("q", explode(array(perMille.distinct.sorted.map(lit): _*)))
+      .filter(col("cum") >= expr("(q * total + 999L) div 1000L"))
+      .groupBy("key", "q").agg(min("bucket").as("bucket"))
+      .select(col("key"), col("q").cast("long").as("q"), col("bucket"),
+        when(col("bucket") === 1, 0L)
+          .otherwise(expr("shiftleft(1L, cast(bucket - 1 as int))")).as("lo"),
+        when(col("bucket") >= 63, lit(Long.MaxValue))
+          .otherwise(expr("shiftleft(1L, cast(bucket as int)) - 1L")).as("hi"))
+  }
+
   /** Probe quantiles at per-mille ranks (500 = median, 999 = p99.9 —
     * integer ranks, never a double fraction): for each q the smallest
     * bucket whose cumulative count reaches ceil(q·N/1000), with its

@@ -161,6 +161,21 @@ object AnalyticsQueries {
         .orderBy("user_id", "chunk_idx")
     },
 
+    // R17g: per-key quantile sketch — per-event-type value p50/p99
+    // from the grouped log-histogram (the per-service-latency
+    // monitoring shape). Values floor-quantized to cents. Oracled.
+    "q_quantile_by" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      Sketch.quantilesBy(
+          Sketch.logHistogramBy(e, "event_type", "cents"),
+          Seq(500, 990))
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "q")
+    },
+
     // R29: rolling event-time window (RANGE frame over epoch days) —
     // trailing-90-day spend per customer. RANGE (not ROWS) makes
     // same-day ties frame-inclusive, so the result is deterministic
@@ -743,6 +758,33 @@ object AnalyticsQueries {
         |  CASE WHEN bucket >= 63 THEN 9223372036854775807
         |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
         |FROM hit ORDER BY q""".stripMargin,
+
+    // Per-key quantile twin: grouped bucket histogram + per-key
+    // cumulative probe, same integer rank and bound arithmetic.
+    "q_quantile_by" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, CAST(length(bin(cents)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, n,
+        |         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |         SUM(n) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |q AS (SELECT UNNEST([500, 990]) AS q),
+        |hit AS (
+        |  SELECT c.event_type, q.q AS q, MIN(c.bucket) AS bucket
+        |  FROM q JOIN c ON c.cum >= (q.q * c.total + 999) // 1000
+        |  GROUP BY c.event_type, q.q)
+        |SELECT event_type, CAST(q AS BIGINT) AS q, bucket,
+        |  CASE WHEN bucket = 1 THEN 0
+        |       ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INTEGER)) END AS lo,
+        |  CASE WHEN bucket >= 63 THEN 9223372036854775807
+        |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
+        |FROM hit ORDER BY event_type, q""".stripMargin,
 
     // Session-pack twin: same (ts, event_id) total order, same
     // floor-div chunking, ordered string_agg reassembly md5.

@@ -213,6 +213,41 @@ class SketchSpec extends SparkSpec {
     assert(repart == one, "histogram depends on partitioning")
   }
 
+  test("grouped log-histogram equals per-key solo sketches and merges") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    val df = (1 to 3000).map(i => (s"k${i % 3}", (i.toLong * i) % 50000L))
+      .toDF("key", "v")
+    val grouped = Sketch.quantilesBy(
+        Sketch.logHistogramBy(df, "key", "v"), Seq(500, 900))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("q")) ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toMap
+    (0 until 3).foreach { k =>
+      val solo = Sketch.quantiles(
+          Sketch.logHistogram(
+            df.filter(col("key") === s"k$k").select("v"), "v"),
+          Seq(500, 900))
+        .collect().map(r => r.getAs[Long]("q") ->
+          (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+        .toMap
+      solo.foreach { case (q, t) =>
+        assert(grouped((s"k$k", q)) == t,
+          s"key k$k q$q: grouped ${grouped((s"k$k", q))} vs solo $t")
+      }
+    }
+    // grouped shard sketches merge by addition too
+    val merged = Sketch.mergeBy(
+        Sketch.logHistogramBy(df.filter(col("v") % 2 === 0), "key", "v"),
+        Sketch.logHistogramBy(df.filter(col("v") % 2 =!= 0), "key", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val one = Sketch.logHistogramBy(df, "key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(merged == one, "grouped merge-by-addition diverged from one pass")
+  }
+
   test("log-histogram rejects negative values loudly") {
     import spark.implicits._
     import graft.operators.Sketch
