@@ -479,6 +479,31 @@ object Kernels {
     new GenericArrayData(Array(nTok, nHits, nd))
   }
 
+  /** Unicode NFC normalization (canonical composition) — the
+    * pre-hashing step every dedup/fingerprint pipeline needs: "é" as
+    * U+00E9 and as e+U+0301 are the same text but different bytes, so
+    * un-normalized corpora under-dedup and double-count vocabulary.
+    * JDK `java.text.Normalizer` (no external lib); ASCII fast-path
+    * skips the normalizer entirely (the overwhelmingly common case
+    * costs one byte scan). DuckDB's `nfc_normalize` implements the
+    * same canonical composition, so the op carries a hash oracle. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val bytes = text.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes) {
+      if ((text.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) text
+    else {
+      val s = text.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   /** Multi-probe buckets (Lv et al., "Multi-Probe LSH", VLDB 2007,
     * first-order perturbations): probe 0 is the [[hyperplaneLsh]] home
     * bucket, probe i flips the bit whose hyperplane margin |acc_j| is
@@ -586,6 +611,18 @@ case class GopherStats(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.gopherStats($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherStats =
     copy(left = l, right = r)
+}
+
+/** Unicode NFC canonical composition — see Kernels.nfcNormalize. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(c)
 }
 
 /** Fused one-pass blocklist statistics with a plan-embedded term set

@@ -54,6 +54,7 @@ package object functions {
     col2(GopherStats(ex(text), ex(stops)))
   def blocklist_stats(text: Column, terms: Seq[String]): Column =
     col2(BlocklistStats(ex(text), terms))
+  def nfc_normalize(text: Column): Column = col2(NfcNormalize(ex(text)))
   def nearest_centroid(v: Column, cents: Column): Column =
     col2(NearestCentroid(ex(v), ex(cents)))
   def top_centroids(v: Column, cents: Column, nProbe: Int): Column =

@@ -349,6 +349,24 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // L25b: Unicode NFC canonical composition — the pre-hashing
+    // normalization every dedup/fingerprint needs (composed vs
+    // decomposed accents are the same text, different bytes). JDK
+    // normalizer kernel with an ASCII fast-path; DuckDB's
+    // nfc_normalize replays it, so the fingerprint is hash-oracled.
+    // The synthetic corpus is ASCII (changed = 0 throughout — the
+    // value rows are the fingerprints); the unicode behavior itself
+    // is spec-gated with real composed/decomposed pairs.
+    "q_unicode_normalize" -> { (s, dir) =>
+      import graft.functions.nfc_normalize
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("text") =!= nfc_normalize(col("text")))
+            .cast("long").as("changed"),
+          md5(nfc_normalize(col("text"))).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+
     // L26: deterministic k-fold split — fold is a pure function of
     // content (md5 first hex nibble mod k), so the assignment is
     // identical across engines, re-runs, and partitionings; the query
@@ -952,6 +970,14 @@ object AnalyticsQueries {
         |       ' +', ' ', 'g')) AS norm,
         |  CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
         |       ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // NFC twin: DuckDB's nfc_normalize implements the same Unicode
+    // canonical composition as the JDK normalizer kernel.
+    "q_unicode_normalize" ->
+      """SELECT doc_id,
+        |  CAST(text <> nfc_normalize(text) AS BIGINT) AS changed,
+        |  md5(nfc_normalize(text)) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_folds" ->

@@ -534,6 +534,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("nfc normalization: composed equals decomposed, ascii untouched") {
+    import spark.implicits._
+    import graft.functions.nfc_normalize
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), nfc_normalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L),
+      "composed and decomposed accents must normalize to equal bytes")
+    assert(out(1L) == composed, "NFC composes, never decomposes")
+    assert(out(3L) == "plain ascii")
+    // idempotence
+    df.select(nfc_normalize(nfc_normalize(col("t"))).as("n2"),
+        nfc_normalize(col("t")).as("n1"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("tokenizer fertility: punctuation-rich group pays more per word") {
     import spark.implicits._
     import graft.operators.Curate
