@@ -544,6 +544,40 @@ object Curate {
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
   }
 
+  /** L51c: blocklist accounting for VOCABULARY-SCALE term tables —
+    * the documented scale path of [[blocklistFlags]] made concrete:
+    * a plan-embedded literal set is right for the published O(10³)
+    * lists, but a derived table of millions of banned
+    * terms/URLs/hashes belongs in a DataFrame. Explode + broadcast
+    * hash join + per-doc re-agg: the corpus's tokens stream through
+    * the broadcast membership probe map-side, and only HIT tokens
+    * (rare by construction) reach the doc-keyed count shuffle —
+    * shuffle volume follows the hits, not the corpus. Output contract
+    * identical to [[blocklistFlags]] (parity spec-gated), clean docs
+    * included via the left join. */
+  def blocklistFlagsJoin(docs: DataFrame, idCol: String, textCol: String,
+                         terms: DataFrame, termCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        graft.functions.tokenize_ws(coalesce(col(textCol), lit("")))
+          .as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+    val hits = toks
+      .select(col("doc_id"), explode(col("__t")).as("__tok"))
+      .join(broadcast(terms.select(col(termCol).as("__tok")).distinct()),
+        Seq("__tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("__tok")).as("n_distinct_hits"))
+    toks.select("doc_id", "n_tokens")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_distinct_hits"), lit(0L)).as("n_distinct_hits"))
+      .withColumn("hits_per_mille",
+        expr("n_hits * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", (col("n_hits") === 0).cast("long"))
+  }
+
   /** L51b: per-language blocklists — the C4 practice (the published
     * bad-words lists ARE per-language: an English list over-flags
     * romance languages and misses everything else). One fused

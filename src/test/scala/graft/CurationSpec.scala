@@ -507,6 +507,27 @@ class CurationSpec extends SparkSpec {
       out(id).getAs[Long]("n_hits") == h })
   }
 
+  test("join-path blocklist equals the kernel path row for row") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = table("documents")
+    val terms = Seq("slow", "stream", "absent_term").toDF("term")
+    val viaJoin = Curate.blocklistFlagsJoin(docs, "doc_id", "text",
+        terms, "term")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val viaKernel = Curate.blocklistFlags(docs, "doc_id", "text",
+        Seq("slow", "stream", "absent_term"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    assert(viaJoin.size == viaKernel.size)
+    assert(viaKernel.forall { case (id, row) => viaJoin(id) == row },
+      "vocabulary-scale join path diverged from the kernel path")
+    // plan contract: the membership probe broadcasts, never sort-merges
+    val plan = Curate.blocklistFlagsJoin(docs, "doc_id", "text",
+        terms, "term")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("blocklist_stats kernel matches the higher-order builtin composition") {
     import spark.implicits._
     import graft.functions.{blocklist_stats, tokenize_ws}
