@@ -506,6 +506,46 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13l: streaming quantile monitor — the continuous per-service
+    * latency / per-type size percentile report. Every micro-batch's
+    * per-key grouped log-histogram
+    * ([[graft.operators.Sketch.logHistogramBy]]) is committed under
+    * `sketchPath/batch=N` (idempotent per-partition overwrite — the
+    * drift monitor's replay discipline: a foreachBatch replay rewrites
+    * ITS OWN partition instead of folding counts into a running total
+    * twice), then the RUNNING per-key quantiles over everything
+    * streamed so far (this batch included) derive from summing the
+    * committed partitions — sketches merge by addition, so the sum IS
+    * the union sketch. State is keys · ≤ 63 narrow rows per batch;
+    * per-trigger cost follows the batch plus the sketch sum, never the
+    * event history; any past batch's quantiles can be recomputed after
+    * the fact. Output: `outPath/batch=N` rows
+    * (batch_id, key, q, bucket, lo, hi), overwrite exactly-once. */
+  def quantileMonitorStream(events: DataFrame, keyCol: String,
+                            valueCol: String, sketchPath: String,
+                            outPath: String, checkpoint: String,
+                            perMille: Seq[Int] = Seq(500, 990))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Sketch
+        val spark = batch.sparkSession
+        val bh = Sketch.logHistogramBy(batch.toDF(), keyCol, valueCol)
+          .localCheckpoint(true)
+        bh.write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
+        val upTo = spark.read.parquet(sketchPath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .groupBy("key", "bucket").agg(sum("n").as("n"))
+        Sketch.quantilesBy(upTo, perMille)
+          .select(lit(batchId).as("batch_id"), col("key"), col("q"),
+            col("bucket"), col("lo"), col("hi"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming near-dup ingest: every micro-batch is (1) MinHash-probed
     * against a persisted corpus signature table
     * ([[graft.operators.Dedup.buildSignatureTable]]), (2) near-deduped

@@ -577,6 +577,51 @@ class StreamingSpec extends SparkSpec {
     assert(dirSum() == full, "a replayed batch must not double-count")
   }
 
+  test("streaming quantile monitor folds batches into running percentiles") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sketch
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val out = Files.createTempDirectory("qmon_out").toString
+    val sk = Files.createTempDirectory("qmon_sk").toString
+    val ckpt = Files.createTempDirectory("qmon_ck").toString
+    val q = QueueStreaming.quantileMonitorStream(
+      mem.toDF().toDF("key", "v"), "key", "v", sk, out, ckpt,
+      perMille = Seq(500, 990))
+    val batch0 = (1 to 400).map(i => ("svc_a", (i.toLong * 17) % 9001))
+    val batch1 = (1 to 400).map(i => ("svc_a", (i.toLong * 31) % 300000)) ++
+      (1 to 100).map(i => ("svc_b", i.toLong))
+    mem.addData(batch0: _*)
+    q.processAllAvailable()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch 1's report equals the batch-side quantiles over the UNION
+    def df(rs: Seq[(String, Long)]) = rs.toDF("key", "v")
+    val expect = Sketch.quantilesBy(
+        Sketch.logHistogramBy(df(batch0 ++ batch1), "key", "v"),
+        Seq(500, 990))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("q")) ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toMap
+    val got = spark.read.parquet(s"$out/batch=1")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("q")) ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toMap
+    assert(got == expect,
+      s"streamed running quantiles diverged from the union batch twin")
+    // replay safety: rewriting batch 1's own sketch partition leaves
+    // the summed state unchanged
+    def stateSum() = spark.read.parquet(sk)
+      .groupBy("key", "bucket").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val before = stateSum()
+    Sketch.logHistogramBy(df(batch1), "key", "v")
+      .write.mode("overwrite").parquet(s"$sk/batch=1")
+    assert(stateSum() == before, "a replayed batch must not double-count")
+  }
+
   test("streaming curation gate equals the batch operators per trigger") {
     implicit val sq = spark.sqlContext
     import graft.operators.Curate
