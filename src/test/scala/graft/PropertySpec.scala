@@ -295,4 +295,66 @@ class PropertySpec extends SparkSpec {
         s"round $round: false negative at bits=$bits k=$k")
     }
   }
+
+  test("log-histogram quantile bounds hold on random distributions") {
+    import graft.operators.Sketch
+    val rnd = new Random(7)
+    (1 to 3).foreach { round =>
+      val n = 200 + rnd.nextInt(2000)
+      // mixed regimes per sample: uniform, zipf-ish tail, constant
+      val vals = (0 until n).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(1000000).toLong
+          case 1 => (1000000.0 / (1 + rnd.nextInt(1000))).toLong
+          case _ => 42L
+        }
+      }
+      val qs = Seq(1, 250, 500, 750, 999, 1000)
+      val out = Sketch.quantiles(
+          Sketch.logHistogram(vals.toDF("v"), "v"), qs)
+        .collect().map(r => r.getAs[Long]("q") ->
+          (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+      val sorted = vals.sorted
+      qs.foreach { q =>
+        val rank = (q.toLong * n + 999) / 1000
+        val truth = sorted((rank - 1).toInt)
+        val (lo, hi) = out(q.toLong)
+        assert(truth >= lo && truth <= hi,
+          s"round $round q=$q: exact $truth outside [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
+  test("blocklist kernel equals a plain-Scala reference on random docs") {
+    import graft.operators.Curate
+    val rnd = new Random(19)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    (1 to 3).foreach { round =>
+      val docs = (1L to 30L).map { id =>
+        // random tokens, random runs of separator spaces (empty-token
+        // stress), occasionally empty docs
+        val n = rnd.nextInt(12)
+        val text = (0 until n)
+          .map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" " * (1 + rnd.nextInt(3)))
+        (id, text)
+      }
+      val terms = (0 until 1 + rnd.nextInt(3))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).distinct
+      val got = Curate.blocklistFlags(docs.toDF("doc_id", "text"),
+          "doc_id", "text", terms)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_hits"),
+            r.getAs[Long]("n_distinct_hits"))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val hits = toks.filter(terms.contains)
+        val expect = (toks.length.toLong, hits.length.toLong,
+          hits.distinct.length.toLong)
+        assert(got(id) == expect,
+          s"round $round doc $id '$text' terms=$terms: " +
+            s"${got(id)} != $expect")
+      }
+    }
+  }
 }
