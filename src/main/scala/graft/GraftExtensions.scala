@@ -27,6 +27,19 @@ object GraftExtensions {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def stringSeqArg(e: Expression, fn: String): Seq[String] = e match {
+    case e2 if e2.foldable =>
+      e2.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"$fn expects a foldable string array argument, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a foldable string array argument, got $other")
+  }
+
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
@@ -103,6 +116,23 @@ object GraftExtensions {
       "count_min_agg(term, depth, width) - mergeable count-min sketch cells") {
       args => CountMinAgg(args.head, intArg(args(1), "count_min_agg"),
         intArg(args(2), "count_min_agg")).toAggregateExpression()
+    },
+    fn("gopher_stats",
+      "gopher_stats(text, stops) - fused one-pass Gopher rule statistics") {
+      args => GopherStats(args.head, args(1))
+    },
+    fn("hyperplane_probes",
+      "hyperplane_probes(vec, bits, nProbe) - multi-probe LSH bucket list") {
+      args => HyperplaneProbes(args.head, intArg(args(1), "hyperplane_probes"),
+        intArg(args(2), "hyperplane_probes"))
+    },
+    fn("blocklist_stats",
+      "blocklist_stats(text, array('bad', ...)) - one-pass blocklist hit counts") {
+      args => BlocklistStats(args.head, stringSeqArg(args(1), "blocklist_stats"))
+    },
+    fn("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition") {
+      args => NfcNormalize(args.head)
     })
 
   /** Register every graft function into a live session's registry —

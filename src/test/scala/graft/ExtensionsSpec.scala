@@ -62,4 +62,26 @@ class ExtensionsSpec extends SparkSpec {
         |WHERE jaccard_sorted(a.ids, b.ids) >= 0.8""".stripMargin).count()
     assert(n >= 0) // deterministic; just has to execute end to end
   }
+
+  test("SQL surface: gopher_stats / blocklist_stats / nfc_normalize / probes") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val r = s.sql(
+      """SELECT
+        |  gopher_stats('the quick fox', array('the')) AS gs,
+        |  blocklist_stats('bad cat bad', array('bad', 'worse')) AS bs,
+        |  nfc_normalize('cafe\u0301') AS nf,
+        |  hyperplane_probes(array(1.0d, 2.0d), 8, 3) AS hp
+        |""".stripMargin).collect().head
+    assert(r.getAs[scala.collection.Seq[Long]]("gs").head == 3L) // n_words
+    assert(r.getAs[scala.collection.Seq[Long]]("bs").toSeq == Seq(3L, 2L, 1L))
+    assert(r.getAs[String]("nf") == "café")
+    assert(r.getAs[scala.collection.Seq[Long]]("hp").length == 3)
+    // non-literal blocklist argument fails loudly, not silently
+    val ex = intercept[Exception] {
+      s.sql("SELECT blocklist_stats('x', array(cast(rand() AS STRING)))")
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("foldable"))
+  }
 }
