@@ -673,4 +673,25 @@ class AnnSpec extends SparkSpec {
     assert(re == mined.map(r => (r.getAs[Long]("src_id"),
       r.getAs[Long]("tgt_id"), r.getAs[Long]("margin_q"))).toSet)
   }
+
+  test("bitext mining scale path recovers the exact path's twin pairs") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val exact = Ann.marginPairs(a, b, "vec_id", "embedding", k = 4,
+        minMarginQ = 1000000L).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    // cluster-keyed candidates instead of the broadcast brute force:
+    // neither corpus broadcasts; the mined pair set must substantially
+    // agree (candidate recall is the only difference)
+    val approx = Ann.marginPairs(a, b, "vec_id", "embedding", k = 4,
+        minMarginQ = 1000000L, exact = false,
+        nClusters = 8, nProbe = 4).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    assert(approx.nonEmpty)
+    val agree = exact.count { case (s, t) => approx.get(s).contains(t) }
+    val recall = agree.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"approx bitext path recovered $agree/${exact.size} exact pairs")
+  }
 }
