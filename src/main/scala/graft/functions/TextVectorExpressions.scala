@@ -48,6 +48,23 @@ object Kernels {
     * standard (a*h + b) mod p universal family; deterministic params
     * from a splitmix64 stream so every executor agrees without
     * broadcasting state. */
+  /** The k (a, b) affine-permutation constants behind [[minhashSig]]
+    * — exposed so the DuckDB oracle builder can embed the EXACT same
+    * constants as literals and replay the signature chain
+    * (splitmix64 seed walk, a forced odd). */
+  private[graft] def minhashParams(k: Int): Array[(Long, Long)] = {
+    val out = new Array[(Long, Long)](k)
+    var s = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < k) {
+      s += 0x9e3779b97f4a7c15L; val a = mix(s) | 1L
+      s += 0x9e3779b97f4a7c15L; val b = mix(s)
+      out(j) = (a, b)
+      j += 1
+    }
+    out
+  }
+
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val p = 2305843009213693951L // 2^61 - 1 Mersenne prime
     val n = tokens.numElements()
@@ -55,11 +72,10 @@ object Kernels {
     var i = 0
     while (i < n) { hs(i) = fnv64(tokens.getUTF8String(i)) & Long.MaxValue; i += 1 }
     val sig = new Array[Long](k)
-    var s = 0x9e3779b97f4a7c15L
+    val params = minhashParams(k)
     var j = 0
     while (j < k) {
-      s += 0x9e3779b97f4a7c15L; val a = mix(s) | 1L
-      s += 0x9e3779b97f4a7c15L; val b = mix(s)
+      val (a, b) = params(j)
       var mn = Long.MaxValue
       var t = 0
       while (t < n) {

@@ -711,6 +711,80 @@ object PipelineQueries {
         .orderBy("doc_id")
     })
 
+  /** Full MinHash-LSH replay: FNV-1a token hashes (the simhash
+    * oracle's HUGEINT byte walk), the EXACT k=64 affine permutations
+    * (constants exported by `Kernels.minhashParams` and embedded as
+    * literals — 64-bit wrap reproduced via mod-2^64, signed
+    * reinterpretation, then floorMod by the Mersenne prime), 8-row
+    * band SLICES joined on list equality (the value-level truth that
+    * the Spark side's xxhash64 bucket keys proxy — w.h.p. identical,
+    * same standing contract as id/string agreement), the same
+    * size-ratio prefilter, and the exact-Jaccard verify over the FNV
+    * id sets. This makes the PROBABILISTIC candidate generator itself
+    * hash-provable: both engines miss the same pairs.
+    */
+  private val minhashOracleSql: String = {
+    val vals = graft.functions.Kernels.minhashParams(64).zipWithIndex
+      .map { case ((a, b), j) =>
+        s"($j, ${java.lang.Long.toUnsignedString(a)}::HUGEINT, " +
+          s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
+      }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_filter(string_split(text,' '), x->len(x)>0))) AS tok
+       |  FROM documents),
+       |hs AS (
+       |  SELECT DISTINCT doc_id, CAST(list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(octet_length(encode(tok))),
+       |        i -> (strpos('0123456789ABCDEF', hex(encode(tok))[2*i+1]) * 16
+       |            + strpos('0123456789ABCDEF', hex(encode(tok))[2*i+2]) - 17)::HUGEINT)),
+       |    (acc, b) -> ((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |                * 1099511628211 % 18446744073709551616::HUGEINT) AS HUGEINT) AS hu
+       |  FROM toks),
+       |hpos AS (SELECT doc_id, hu % 9223372036854775808::HUGEINT AS h FROM hs),
+       |params(j, au, bu) AS (VALUES $vals),
+       |affine AS (
+       |  SELECT doc_id, j,
+       |    (au * h + bu) % 18446744073709551616::HUGEINT AS t
+       |  FROM hpos CROSS JOIN params),
+       |vals AS (
+       |  SELECT doc_id, j,
+       |    (((CASE WHEN t >= 9223372036854775808::HUGEINT
+       |            THEN t - 18446744073709551616::HUGEINT ELSE t END)
+       |       % 2305843009213693951) + 2305843009213693951)
+       |      % 2305843009213693951 AS x
+       |  FROM affine),
+       |sig AS (SELECT doc_id, j, MIN(x) AS m FROM vals GROUP BY doc_id, j),
+       |slices AS (
+       |  SELECT doc_id, j // 8 AS band, list(m ORDER BY j) AS sl
+       |  FROM sig GROUP BY doc_id, j // 8),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hs GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM slices a
+       |  JOIN slices b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+       |  JOIN sz sa ON sa.doc_id = a.doc_id
+       |  JOIN sz sb ON sb.doc_id = b.doc_id
+       |  WHERE LEAST(sa.sz, sb.sz) * 10000 >= GREATEST(sa.sz, sb.sz) * 8990),
+       |inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hs x ON x.doc_id = c.id1
+       |  JOIN hs y ON y.doc_id = c.id2 AND y.hu = x.hu
+       |  GROUP BY c.id1, c.id2),
+       |scored AS (
+       |  SELECT i.id1, i.id2,
+       |    FLOOR(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)
+       |      * 10000 + 0.5) / 10000 AS jac
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.id1
+       |  JOIN sz sb ON sb.doc_id = i.id2)
+       |SELECT id1 AS doc_id1, id2 AS doc_id2, jac
+       |FROM scored WHERE jac >= 0.9
+       |ORDER BY doc_id1, doc_id2""".stripMargin
+  }
+
   private val jaccardSqlBase =
     """WITH toksets AS (
       |  SELECT doc_id, lang,
@@ -754,6 +828,10 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // The banded-MinHash chain replayed end to end — signatures,
+    // slices, size prefilter, verify (see minhashOracleSql).
+    "q_dedup_minhash" -> minhashOracleSql,
 
     // Brute-force SimHash pairs: FNV-1a 64 replayed byte-exactly (the
     // hex-nibble byte walk; products stay < 2^105, inside HUGEINT),
