@@ -372,6 +372,17 @@ object Kernels {
     * Seed packs (plane, component) into disjoint long halves so plane
     * j's weight stream never re-enters plane j+1's at any embedding
     * dimension (the old `j*8192+i` scheme aliased beyond d=8192). */
+  /** The (bits × dim) hyperplane weight matrix behind
+    * [[hyperplaneLsh]]/[[hyperplaneProbes]] — the same per-(j, i)
+    * splitmix weights, exported so the DuckDB oracle builder can embed
+    * them as double literals and replay the bucketing bit-exactly
+    * (shortest-repr doubles round-trip through both parsers). */
+  private[graft] def hyperplaneWeights(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, i) =>
+      mix(0x5851f42d4c957f2dL * ((j.toLong << 32) | (i.toLong + 1L)))
+        .toDouble / Long.MaxValue.toDouble
+    }
+
   def hyperplaneLsh(a: ArrayData, k: Int): Long = {
     require(k >= 1 && k <= 64, s"hyperplane_lsh needs 1 <= bits <= 64, got $k")
     val av = a.toDoubleArray()

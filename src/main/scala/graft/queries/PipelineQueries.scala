@@ -785,6 +785,144 @@ object PipelineQueries {
        |ORDER BY doc_id1, doc_id2""".stripMargin
   }
 
+  /** Hyperplane-LSH replay: the (bits × dim) splitmix weight matrix is
+    * a pure constant of (j, i), so it embeds as shortest-repr double
+    * literals (round-trip exact through both parsers); per-plane
+    * accumulators replay Java's sequential add order via an ordered
+    * list_reduce (IEEE adds are deterministic given the order), bucket
+    * bits re-pack with an integer sum, and the search is a bucket
+    * equi-join + the standard exact-cosine ranking. This makes the
+    * BUCKETING itself hash-provable — both engines drop the same
+    * out-of-bucket true neighbors. */
+  private def hyperplaneWeightRows(bits: Int, dim: Int): String =
+    graft.functions.Kernels.hyperplaneWeights(bits, dim).zipWithIndex
+      .map { case (wl, j) => s"($j, [${wl.map(_.toString).mkString(", ")}])" }
+      .mkString(",\n    ")
+
+  private def lshOracleSql(bits: Int, dim: Int, maxQueryId: Long,
+                           k: Int): String = {
+    val rows = hyperplaneWeightRows(bits, dim)
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |w(j, wl) AS (VALUES
+       |    $rows),
+       |acc AS (
+       |  SELECT v.vec_id, w.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(len(vec)), i -> vec[i+1] * wl[i+1])),
+       |      (a, b) -> a + b) AS acc
+       |  FROM v CROSS JOIN w),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN acc >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM acc GROUP BY vec_id),
+       |c AS (SELECT v.vec_id AS nn_id, vec, bucket
+       |      FROM v JOIN bkt USING (vec_id)),
+       |q AS (SELECT v.vec_id AS query_id, vec AS qv, bucket
+       |      FROM v JOIN bkt USING (vec_id) WHERE vec_id < $maxQueryId),
+       |sims AS (
+       |  SELECT q.query_id, c.nn_id,
+       |    ${Shared.cosineSimSql("qv", "vec")} AS sim
+       |  FROM c JOIN q ON c.bucket = q.bucket AND c.nn_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Embedding-LSH near-dup replay: the same bit-exact 32-plane
+    * signature (8 bands × 4 bits), band buckets via shift+mask, the
+    * OR-of-ANDs band join, and the exact-cosine verify — the whole
+    * probabilistic candidate generator is value-proven, both engines
+    * drop the same cross-bucket pairs. */
+  private val embedOracleSql: String = {
+    val rows = hyperplaneWeightRows(32, 64)
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |w(j, wl) AS (VALUES
+       |    $rows),
+       |acc AS (
+       |  SELECT v.vec_id, w.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(len(vec)), i -> vec[i+1] * wl[i+1])),
+       |      (a, b) -> a + b) AS acc
+       |  FROM v CROSS JOIN w),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN acc >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sig
+       |  FROM acc GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b AS band, (sig >> CAST(b * 4 AS INT)) & 15 AS bucket
+       |  FROM sig, UNNEST(range(8)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.id1, c.id2,
+       |    ${Shared.cosineSimSql("x.vec", "y.vec")} AS cos
+       |  FROM cand c
+       |  JOIN v x ON x.vec_id = c.id1
+       |  JOIN v y ON y.vec_id = c.id2)
+       |SELECT id1, id2, cos FROM scored WHERE cos >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Multi-probe LSH replay: the same bit-exact planes; each query's
+    * probe list = home bucket + one-bit flips of its nProbe−1
+    * lowest-|margin| planes (ties by plane index), exactly the
+    * hyperplane_probes contract. The probe ORDER ITSELF is replayed,
+    * so the hash match proves the perturbation choice too. */
+  private def lshMultiProbeOracleSql(bits: Int, dim: Int, nProbe: Int,
+                                     maxQueryId: Long, k: Int): String = {
+    val rows = hyperplaneWeightRows(bits, dim)
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |w(j, wl) AS (VALUES
+       |    $rows),
+       |acc AS (
+       |  SELECT v.vec_id, w.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(len(vec)), i -> vec[i+1] * wl[i+1])),
+       |      (a, b) -> a + b) AS acc
+       |  FROM v CROSS JOIN w),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN acc >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM acc GROUP BY vec_id),
+       |ord AS (
+       |  SELECT vec_id, j,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(acc), j) AS r
+       |  FROM acc),
+       |qprobes AS (
+       |  SELECT vec_id, bucket AS probe FROM bkt WHERE vec_id < $maxQueryId
+       |  UNION ALL
+       |  SELECT o.vec_id, xor(b.bucket, 1::BIGINT << o.j) AS probe
+       |  FROM ord o JOIN bkt b USING (vec_id)
+       |  WHERE o.vec_id < $maxQueryId AND o.r <= ${nProbe - 1}),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |    ${Shared.cosineSimSql("qv.vec", "c0.vec")} AS sim
+       |  FROM qprobes q
+       |  JOIN bkt c ON c.bucket = q.probe AND c.vec_id <> q.vec_id
+       |  JOIN v qv ON qv.vec_id = q.vec_id
+       |  JOIN v c0 ON c0.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val jaccardSqlBase =
     """WITH toksets AS (
       |  SELECT doc_id, lang,
@@ -832,6 +970,20 @@ object PipelineQueries {
     // The banded-MinHash chain replayed end to end — signatures,
     // slices, size prefilter, verify (see minhashOracleSql).
     "q_dedup_minhash" -> minhashOracleSql,
+
+    // The hyperplane-LSH bucketing replayed bit-exactly (see
+    // lshOracleSql) — bits=4, dim=64, queries vec_id < 50, top-5.
+    "q_ann_lsh" -> lshOracleSql(bits = 4, dim = 64, maxQueryId = 50L, k = 5),
+
+    // The banded embedding-LSH chain replayed bit-exactly (see
+    // embedOracleSql).
+    "q_dedup_embed" -> embedOracleSql,
+
+    // Multi-probe LSH incl. the probe-order choice replayed (see
+    // lshMultiProbeOracleSql).
+    "q_ann_lsh_multi" ->
+      lshMultiProbeOracleSql(bits = 4, dim = 64, nProbe = 4,
+        maxQueryId = 50L, k = 5),
 
     // Brute-force SimHash pairs: FNV-1a 64 replayed byte-exactly (the
     // hex-nibble byte walk; products stay < 2^105, inside HUGEINT),
