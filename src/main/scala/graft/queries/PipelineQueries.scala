@@ -723,12 +723,79 @@ object PipelineQueries {
     * id sets. This makes the PROBABILISTIC candidate generator itself
     * hash-provable: both engines miss the same pairs.
     */
-  private val minhashOracleSql: String = {
-    val vals = graft.functions.Kernels.minhashParams(64).zipWithIndex
+  private def minhashParamValues: String =
+    graft.functions.Kernels.minhashParams(64).zipWithIndex
       .map { case ((a, b), j) =>
         s"($j, ${java.lang.Long.toUnsignedString(a)}::HUGEINT, " +
           s"${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
       }.mkString(", ")
+
+  /** Shared signature CTEs for the MinHash oracles: distinct FNV token
+    * hashes (hs), per-doc 64-value signatures (sig), 8-row band slices
+    * (slices), set sizes (sz). */
+  private def minhashSigCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_filter(string_split(text,' '), x->len(x)>0))) AS tok
+       |  FROM documents),
+       |hs AS (
+       |  SELECT DISTINCT doc_id, CAST(list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(octet_length(encode(tok))),
+       |        i -> (strpos('0123456789ABCDEF', hex(encode(tok))[2*i+1]) * 16
+       |            + strpos('0123456789ABCDEF', hex(encode(tok))[2*i+2]) - 17)::HUGEINT)),
+       |    (acc, b) -> ((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |                * 1099511628211 % 18446744073709551616::HUGEINT) AS HUGEINT) AS hu
+       |  FROM toks),
+       |hpos AS (SELECT doc_id, hu % 9223372036854775808::HUGEINT AS h FROM hs),
+       |params(j, au, bu) AS (VALUES $minhashParamValues),
+       |affine AS (
+       |  SELECT doc_id, j,
+       |    (au * h + bu) % 18446744073709551616::HUGEINT AS t
+       |  FROM hpos CROSS JOIN params),
+       |vals AS (
+       |  SELECT doc_id, j,
+       |    (((CASE WHEN t >= 9223372036854775808::HUGEINT
+       |            THEN t - 18446744073709551616::HUGEINT ELSE t END)
+       |       % 2305843009213693951) + 2305843009213693951)
+       |      % 2305843009213693951 AS x
+       |  FROM affine),
+       |sig AS (SELECT doc_id, j, MIN(x) AS m FROM vals GROUP BY doc_id, j),
+       |slices AS (
+       |  SELECT doc_id, j // 8 AS band, list(m ORDER BY j) AS sl
+       |  FROM sig GROUP BY doc_id, j // 8),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hs GROUP BY doc_id)""".stripMargin
+
+  /** Cross-set (dedup-at-ingest) replay: incoming (id%5=0) band
+    * slices probe the corpus side (id%5≠0) — no self-pairs, no size
+    * prefilter (the operator has none on this path), exact-Jaccard
+    * verify. Same signature machinery as minhashOracleSql. */
+  private val minhashAgainstOracleSql: String =
+    s"""WITH $minhashSigCtes,
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS incoming_id, c.doc_id AS corpus_id
+       |  FROM slices i
+       |  JOIN slices c ON i.band = c.band AND i.sl = c.sl
+       |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+       |inter AS (
+       |  SELECT p.incoming_id, p.corpus_id, COUNT(*) AS n_inter
+       |  FROM cand p
+       |  JOIN hs x ON x.doc_id = p.incoming_id
+       |  JOIN hs y ON y.doc_id = p.corpus_id AND y.hu = x.hu
+       |  GROUP BY p.incoming_id, p.corpus_id),
+       |scored AS (
+       |  SELECT i.incoming_id, i.corpus_id,
+       |    FLOOR(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter)
+       |      * 10000 + 0.5) / 10000 AS jac
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.incoming_id
+       |  JOIN sz sb ON sb.doc_id = i.corpus_id)
+       |SELECT incoming_id, corpus_id, jac
+       |FROM scored WHERE jac >= 0.9
+       |ORDER BY incoming_id, corpus_id""".stripMargin
+
+  private val minhashOracleSql: String = {
+    val vals = minhashParamValues
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    unnest(list_distinct(list_filter(string_split(text,' '), x->len(x)>0))) AS tok
@@ -970,6 +1037,10 @@ object PipelineQueries {
     // The banded-MinHash chain replayed end to end — signatures,
     // slices, size prefilter, verify (see minhashOracleSql).
     "q_dedup_minhash" -> minhashOracleSql,
+
+    // Cross-set minhash probe replayed with the same signature
+    // machinery (see minhashAgainstOracleSql).
+    "q_dedup_against" -> minhashAgainstOracleSql,
 
     // The hyperplane-LSH bucketing replayed bit-exactly (see
     // lshOracleSql) — bits=4, dim=64, queries vec_id < 50, top-5.
