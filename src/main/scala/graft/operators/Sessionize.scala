@@ -106,4 +106,65 @@ object Sessionize {
   def hotKeyed(events: DataFrame, userCol: String): DataFrame =
     events.withColumn(userCol,
       when(col(userCol) % 2 === 0, 0L).otherwise(col(userCol)))
+
+  /** R37: ordered funnel progression — for each user the earliest
+    * event-time at which each stage of `stages` completes IN ORDER
+    * (stage i counts only strictly after stage i−1's completion time:
+    * the classic view→click→purchase conversion question, which a
+    * per-stage count can't answer because it ignores ordering).
+    *
+    * One pass, one user shuffle: per user a single min-aggregate per
+    * stage over a conditional running computation is impossible
+    * declaratively, so the chain is S mins — but all S groupBys
+    * cluster on the SAME user key, so Catalyst reuses one partitioning
+    * (no re-shuffle between stages; narrow (user, ts) frames). Events
+    * whose type is outside `stages` never survive the first filter.
+    * Returns one row per user that completed ≥ 1 stage:
+    * (user, stage_1_ts … stage_n_ts) with nulls from the first
+    * uncompleted stage on. */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct, got $stages")
+    val base = events.select(col(userCol).as("user"),
+      col(tsCol).as("ts"), col(typeCol).as("tp"))
+      .filter(col("tp").isin(stages: _*))
+    val first = base.filter(col("tp") === stages.head)
+      .groupBy("user").agg(min(col("ts")).as("stage_1_ts"))
+    stages.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (stage, i)) =>
+        val prev = s"stage_${i}_ts"
+        val cur = s"stage_${i + 1}_ts"
+        val nxt = base.filter(col("tp") === stage)
+          .join(acc.select(col("user"), col(prev).as("__prev")), "user")
+          .filter(col("ts") > col("__prev"))
+          .groupBy("user").agg(min(col("ts")).as(cur))
+        acc.join(nxt.select(col("user"), col(cur)), Seq("user"), "left")
+    }
+  }
+
+  /** Funnel conversion report over [[funnelTimes]]: per stage the
+    * number of users who completed it in order, plus the integer
+    * per-mille conversion vs the FIRST stage — the one-line funnel
+    * summary (S rows). */
+  def funnelReport(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, stages)
+    val counts = times.agg(
+      count(col("stage_1_ts")).as("n_1"),
+      (2 to stages.size).map(i =>
+        count(col(s"stage_${i}_ts")).as(s"n_$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).cast("long").as("stage_idx"), lit(s).as("stage"),
+          col(s"n_${i + 1}").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
+      .withColumn("n_first", first("n_users").over(
+        org.apache.spark.sql.expressions.Window.orderBy("stage_idx")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("conv_per_mille",
+        expr("n_users * 1000L div greatest(n_first, 1L)"))
+      .drop("n_first")
+  }
 }

@@ -176,6 +176,17 @@ object AnalyticsQueries {
         .orderBy("event_type", "q")
     },
 
+    // R37: ordered funnel conversion (view → click → purchase, each
+    // stage strictly after the previous completion) — the event-log
+    // analytics question a per-stage count can't answer. Fully
+    // oracled; one user-keyed partitioning reused across stages.
+    "q_event_funnel" -> { (s, dir) =>
+      import graft.operators.Sessionize
+      Sessionize.funnelReport(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    },
+
     // R29: rolling event-time window (RANGE frame over epoch days) —
     // trailing-90-day spend per customer. RANGE (not ROWS) makes
     // same-day ties frame-inclusive, so the result is deterministic
@@ -803,6 +814,34 @@ object AnalyticsQueries {
         |  CASE WHEN bucket >= 63 THEN 9223372036854775807
         |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
         |FROM hit ORDER BY event_type, q""".stripMargin,
+
+    // Funnel twin: chained min-after-previous-stage aggregations,
+    // same integer per-mille conversion.
+    "q_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(tsn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(tsn) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tsn > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    n1 AS n_users,
+        |    CAST(n1 * 1000 // greatest(n1, 1) AS BIGINT) AS conv_per_mille
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, CAST(n2 * 1000 // greatest(n1, 1) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
+        |ORDER BY stage_idx""".stripMargin,
 
     // Session-pack twin: same (ts, event_id) total order, same
     // floor-div chunking, ordered string_agg reassembly md5.

@@ -46,4 +46,32 @@ class SessionizeSpec extends SparkSpec {
     val s = rows(Sessionize.salted(ev, "user_id", 60000000000L, 3600000000000L))
     assert(p.nonEmpty && p == s)
   }
+
+  test("funnel: stage order matters, conversions count in-order users only") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 10L, "view"), (2L, 20L, "purchase"), (2L, 30L, "click"), // no s3
+      (3L, 50L, "view"),                                            // s1 only
+      (4L, 10L, "click"), (4L, 20L, "purchase")                     // no view
+    ).toDF("user_id", "ts", "event_type")
+    val times = Sessionize.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user") -> r).toMap
+    assert(times.keySet == Set(1L, 2L, 3L), "no-view users never enter")
+    assert(times(1L).getAs[Long]("stage_3_ts") == 30L)
+    // user 2's purchase precedes its click: stage 2 completes at ts 30
+    // but stage 3 never does (no purchase after 30)
+    assert(times(2L).getAs[Long]("stage_2_ts") == 30L)
+    assert(times(2L).isNullAt(times(2L).fieldIndex("stage_3_ts")),
+      "out-of-order purchase must not complete the funnel")
+    assert(times(3L).isNullAt(times(3L).fieldIndex("stage_2_ts")))
+    val rep = Sessionize.funnelReport(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("stage_idx") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("conv_per_mille"))).toMap
+    assert(rep(1L) == (3L, 1000L))
+    assert(rep(2L) == (2L, 666L))
+    assert(rep(3L) == (1L, 333L))
+  }
 }
