@@ -187,6 +187,26 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R38: cohort retention — users grouped by first-active day, per
+    // (cohort, day-offset) distinct-active counts + integer per-mille
+    // retention vs the cohort size. Two user-keyed aggregations (the
+    // first-day frame re-joins on the same key) + one low-cardinality
+    // rollup. Fully oracled.
+    "q_cohort_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000L").as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val cohortSize = firstDay.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_cohort"))
+      ev.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(cohortSize, "cohort_day")
+        .withColumn("retained_per_mille",
+          expr("n_active * 1000L div greatest(n_cohort, 1L)"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // R29: rolling event-time window (RANGE frame over epoch days) —
     // trailing-90-day spend per customer. RANGE (not ROWS) makes
     // same-day ties frame-inclusive, so the result is deterministic
@@ -814,6 +834,23 @@ object AnalyticsQueries {
         |  CASE WHEN bucket >= 63 THEN 9223372036854775807
         |       ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) - 1 END AS hi
         |FROM hit ORDER BY event_type, q""".stripMargin,
+
+    // Cohort twin: same integer day floor-div, first-day cohorts,
+    // distinct-active rollup, per-mille retention.
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        |cs AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM fd GROUP BY cohort_day),
+        |act AS (
+        |  SELECT fd.cohort_day, e.day - fd.cohort_day AS day_offset,
+        |         COUNT(DISTINCT e.user_id) AS n_active
+        |  FROM e JOIN fd ON e.user_id = fd.user_id
+        |  GROUP BY fd.cohort_day, e.day - fd.cohort_day)
+        |SELECT act.cohort_day AS cohort_day, day_offset, n_active, n_cohort,
+        |  CAST(n_active * 1000 // greatest(n_cohort, 1) AS BIGINT) AS retained_per_mille
+        |FROM act JOIN cs ON act.cohort_day = cs.cohort_day
+        |ORDER BY act.cohort_day, day_offset""".stripMargin,
 
     // Funnel twin: chained min-after-previous-stage aggregations,
     // same integer per-mille conversion.
