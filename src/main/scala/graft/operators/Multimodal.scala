@@ -116,6 +116,35 @@ object Multimodal {
     }(Encoders.product[PHashRow])
   }
 
+  /** L12f: cross-modal alignment scoring — the LAION/DataComp shape
+    * (keep an (image, caption) pair only if the two modalities'
+    * embeddings agree): media-side features and text-side features
+    * meet in a doc-keyed join and score by cosine. HONEST STUB, same
+    * contract as the rest of L12: a real pipeline embeds both sides
+    * with a dual encoder (CLIP) inside [[extractFeatures]]'
+    * per-partition batch loop; here the media embedding is the
+    * deterministic byte histogram and the text embedding the 8-dim
+    * hashed bag-of-words — fake features, REAL plumbing (partition
+    * batch shape, modality join, quantized score, threshold keep),
+    * and the whole chain still carries a hash oracle. Returns
+    * (doc_id, align, keep). */
+  def alignmentScore(media: Dataset[MediaRow],
+                     texts: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     minAlign: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val img = extractFeatures(media).toDF()
+      .select(col("doc_id"), col("histogram").as("img_vec"))
+    val txt = texts.select(col(idCol).as("doc_id"),
+      graft.functions.hashed_bow(
+        graft.functions.tokenize_ws(col(textCol)), 8).as("txt_vec"))
+    img.join(txt, "doc_id")
+      .withColumn("align", graft.functions.round_portable(
+        graft.functions.cosine_sim(col("img_vec"), col("txt_vec")), 4))
+      .withColumn("keep", (col("align") >= minAlign).cast("long"))
+      .select("doc_id", "align", "keep")
+  }
+
   case class MediaFeatures(doc_id: Long, histogram: Array[Double], mean_byte: Double)
 
   /** Feature extraction stub: 8-bin byte-value histogram (normalized)

@@ -698,6 +698,19 @@ object PipelineQueries {
     // the hash gate holds bit-exactly. The histogram vector is
     // flattened to scalar columns (the comparator sorts with pandas,
     // which cannot order array-typed cells — the one red row in r3).
+    // L12f: cross-modal alignment (LAION-style pair filter) — byte
+    // histogram vs 8-dim hashed-bow cosine, threshold keep. Honest
+    // stub features, real plumbing, fully oracled.
+    "q_multimodal_align" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Multimodal.alignmentScore(
+          d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .as[Multimodal.MediaRow],
+          d, "doc_id", "text", minAlign = 0.5)
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_features" -> { (s, dir) =>
       import s.implicits._
       val feats = Multimodal.extractFeatures(
@@ -1668,6 +1681,73 @@ object PipelineQueries {
     // Byte-walk replay of the stub feature extractor: per-byte rows
     // from the hex-nibble transform, filtered counts per bin, exact
     // integer/LEFT-JOIN handling of empty payloads.
+    // Alignment twin: byte-histogram vector (features oracle's walk)
+    // vs dense 8-dim hashed-bow, cosine with the kernel's zero-norm
+    // → 0.0 rule, same ROUND(.,4) quantization, threshold keep.
+    "q_multimodal_align" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, unnest(list_transform(range(n),
+        |    i -> strpos('0123456789ABCDEF', h[2*i+1]) * 16
+        |       + strpos('0123456789ABCDEF', h[2*i+2]) - 17)) AS b
+        |  FROM hx),
+        |agg AS (
+        |  SELECT doc_id, ANY_VALUE(n) AS n,
+        |    COUNT(*) FILTER (b % 8 = 0) AS c0, COUNT(*) FILTER (b % 8 = 1) AS c1,
+        |    COUNT(*) FILTER (b % 8 = 2) AS c2, COUNT(*) FILTER (b % 8 = 3) AS c3,
+        |    COUNT(*) FILTER (b % 8 = 4) AS c4, COUNT(*) FILTER (b % 8 = 5) AS c5,
+        |    COUNT(*) FILTER (b % 8 = 6) AS c6, COUNT(*) FILTER (b % 8 = 7) AS c7
+        |  FROM bytes GROUP BY doc_id),
+        |hist AS (
+        |  SELECT doc_id,
+        |    [CAST(c0 AS DOUBLE) / GREATEST(n, 1), CAST(c1 AS DOUBLE) / GREATEST(n, 1),
+        |     CAST(c2 AS DOUBLE) / GREATEST(n, 1), CAST(c3 AS DOUBLE) / GREATEST(n, 1),
+        |     CAST(c4 AS DOUBLE) / GREATEST(n, 1), CAST(c5 AS DOUBLE) / GREATEST(n, 1),
+        |     CAST(c6 AS DOUBLE) / GREATEST(n, 1), CAST(c7 AS DOUBLE) / GREATEST(n, 1)]
+        |    AS hv
+        |  FROM agg),
+        |ttoks AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |thash AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(tok, '.'),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM ttoks),
+        |tvec AS (
+        |  SELECT doc_id,
+        |    [
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 0 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 1 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 2 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 3 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 4 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 5 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 6 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE),
+        |     CAST(COALESCE(SUM(CASE WHEN h % 8 = 7 THEN CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END END), 0) AS DOUBLE)] AS tv
+        |  FROM thash GROUP BY doc_id),
+        |j AS (
+        |  SELECT h.doc_id AS doc_id, hv, tv
+        |  FROM hist h JOIN tvec t ON h.doc_id = t.doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    FLOOR((CASE
+        |      WHEN list_sum(list_transform(hv, x -> x * x)) = 0
+        |        OR list_sum(list_transform(tv, x -> x * x)) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(hv, tv), x -> x[1] * x[2]))
+        |           / SQRT(list_sum(list_transform(hv, x -> x * x)) *
+        |                  list_sum(list_transform(tv, x -> x * x)))
+        |      END) * 10000 + 0.5) / 10000 AS align
+        |  FROM j)
+        |SELECT doc_id, align, CAST(align >= 0.5 AS BIGINT) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_features" ->
       """WITH hx AS (
         |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
