@@ -164,4 +164,28 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"probe joins run on sketch-sized frames, never sort-merge:\n$p")
   }
+
+  test("q_event_funnel: every stage clusters on the one user key") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // each stage shuffles ITS OWN filtered event slice once (S = 3),
+    // the accumulated user frame reuses its partitioning through the
+    // joins, and the S-row report tail adds its agg/window/sort — so
+    // exchanges stay ~S + 4, not one per operator (9+ here if reuse
+    // broke)
+    assert(exchanges(p) <= 7,
+      s"stage chain must reuse the user partitioning:\n$p")
+  }
+
+  test("q_cohort_retention: user-keyed aggs, low-cardinality rollup") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_"), s"needs map-side partials:\n$p")
+  }
+
+  test("q_multimodal_align: modality join, no cartesian, no fallback scan") {
+    val p = plan("q_multimodal_align")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("Join"), s"the two modalities must meet in a join:\n$p")
+  }
 }
