@@ -612,8 +612,83 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("p_brand")
+    },
+
+    // L57: fuzzy entity matching — token-blocked Levenshtein pairs over
+    // the DISTINCT part-name inventory (the inventory is vocabulary-
+    // bounded, so the match graph never grows with corpus rows; corpus
+    // rows are touched only by the one groupBy that builds it). The
+    // oracle replays the same blocking, so both engines consider the
+    // same candidates.
+    "q_fuzzy_match" -> { (s, dir) =>
+      import graft.operators.Resolve
+      Resolve.fuzzyPairs(Resolve.inventory(t(s, dir, "part"), "p_name"), 2)
+        .orderBy("name_a", "name_b")
+    },
+
+    // L57b: transitive canonicalization of the fuzzy match graph — each
+    // name maps to the lexicographically-smallest member of its fuzzy
+    // cluster (min-label propagation over strings; singletons map to
+    // themselves). Oracled against a recursive-CTE reachability
+    // closure, the same gate shape as q_dedup_cluster.
+    "q_fuzzy_canonical" -> { (s, dir) =>
+      import graft.operators.Resolve
+      Resolve.canonicalMap(t(s, dir, "part"), "p_name", 2)
+        .orderBy("name")
+    },
+
+    // L57c: survivorship rollup — corpus rows re-keyed by canonical
+    // entity via ONE broadcast join of the inventory-sized map, then a
+    // per-entity aggregate (the fragmented-statistics fix the whole
+    // family exists for).
+    "q_fuzzy_rollup" -> { (s, dir) =>
+      import graft.operators.Resolve
+      val part = t(s, dir, "part")
+      Resolve.applyCanonical(part, "p_name",
+          Resolve.canonicalMap(part, "p_name", 2))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("p_name")).as("n_variants"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("canon")
     }
   )
+
+  /** DuckDB twin of Resolve.inventory + Resolve.fuzzyPairs over
+    * part.p_name (no leading WITH): inv / ptok / cand / fpairs CTEs.
+    * Kept in LOCKSTEP with the Scala blocking (shared token, maxDist=2
+    * length band, levenshtein verify). */
+  private val fuzzyPairsCteSql: String =
+    """inv AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY p_name),
+      |ptok AS (
+      |  SELECT name, tk FROM (
+      |    SELECT name, UNNEST(string_split(name, ' ')) AS tk FROM inv)
+      |  WHERE len(tk) > 0),
+      |cand AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM ptok a JOIN ptok b ON a.tk = b.tk AND a.name < b.name
+      |  WHERE abs(len(a.name) - len(b.name)) <= 2),
+      |fpairs AS (
+      |  SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+      |  FROM cand WHERE levenshtein(name_a, name_b) <= 2)""".stripMargin
+
+  /** Recursive canonical-map CTE over [[fuzzyPairsCteSql]] (leading
+    * WITH RECURSIVE included): every inventory name with the minimum
+    * reachable name in its fuzzy cluster as `canon`. */
+  private val fuzzyCanonSql: String =
+    s"""WITH RECURSIVE $fuzzyPairsCteSql,
+      |fedges AS (
+      |  SELECT name_a AS src, name_b AS dst FROM fpairs
+      |  UNION
+      |  SELECT name_b AS src, name_a AS dst FROM fpairs),
+      |freach(name, r) AS (
+      |  SELECT src, src FROM fedges
+      |  UNION
+      |  SELECT e.src, r.r FROM fedges e JOIN freach r ON e.dst = r.name),
+      |fcanon AS (
+      |  SELECT i.name, COALESCE(MIN(r.r), i.name) AS canon
+      |  FROM inv i LEFT JOIN freach r ON r.name = i.name
+      |  GROUP BY i.name)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
     "q_pivot" ->
@@ -1098,9 +1173,31 @@ object AnalyticsQueries {
     }
   )
 
+  private def fuzzyOracles: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      s"""WITH $fuzzyPairsCteSql
+        |SELECT p.name_a, p.name_b, CAST(p.dist AS INT) AS dist,
+        |  ia.n AS n_a, ib.n AS n_b
+        |FROM fpairs p
+        |JOIN inv ia ON ia.name = p.name_a
+        |JOIN inv ib ON ib.name = p.name_b
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_fuzzy_canonical" ->
+      s"""$fuzzyCanonSql
+        |SELECT name, canon FROM fcanon ORDER BY name""".stripMargin,
+
+    "q_fuzzy_rollup" ->
+      s"""$fuzzyCanonSql
+        |SELECT c.canon, COUNT(*) AS n_parts,
+        |  CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_variants,
+        |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        |FROM part p JOIN fcanon c ON c.name = p.p_name
+        |GROUP BY c.canon ORDER BY c.canon""".stripMargin)
+
   /** q_bm25_indexed shares q_bm25's oracle string on purpose: the hash
     * gate then proves the persisted-index search path computes exactly
     * what the from-scratch path does. */
   val oracles: Map[String, String] =
-    oraclesBase + ("q_bm25_indexed" -> oraclesBase("q_bm25"))
+    oraclesBase ++ fuzzyOracles + ("q_bm25_indexed" -> oraclesBase("q_bm25"))
 }
