@@ -101,6 +101,84 @@ object Sessionize {
     finish(withSess, userCol)
   }
 
+  /** Internal mergeable per-session frame `(user, start_ts, end_ts,
+    * n_events, sum_dec)` — the state the incremental path persists.
+    * `sum_dec` stays DECIMAL(38,4) so merging two frames' sums is
+    * exact (double partials would re-associate and break the
+    * ≡-full-recompute hash gate); [[finishFrames]] casts once at the
+    * end, exactly like `dsum`. */
+  def sessionFrames(events: DataFrame, userCol: String, gapNs: Long): DataFrame =
+    withSessionIds(events, userCol, gapNs)
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).as("sum_dec"))
+      .drop("sess_id")
+
+  /** R20f: incremental sessionization — merge a NEW event batch into
+    * previously-built session frames WITHOUT re-sessionizing history.
+    * Contract (the daily-append ingest shape): every batch event's ts
+    * is >= every prior event's ts for the same user. Under it, only
+    * each user's LAST prior session can interact with the batch, and
+    * only with the batch's FIRST new session for that user (prior
+    * sessions are >gap apart; batch-internal cuts are already final) —
+    * so the merge is ONE join between two one-row-per-user slices,
+    * while the full history's frames pass through untouched. At 100 TB
+    * that is the difference between re-shuffling the complete event
+    * log every day and shuffling one day's batch plus a narrow
+    * per-user boundary row.
+    *
+    * A batch session continues the prior session iff the silence at
+    * the seam is NOT > gap — the same rule [[withSessionIds]] applies
+    * between adjacent events, so incremental ≡ full recompute exactly
+    * (hash-gated by q_sessionize_inc against the full-log oracle). */
+  def incremental(priorFrames: DataFrame, batch: DataFrame, userCol: String,
+                  gapNs: Long): DataFrame = {
+    val u = col(userCol)
+    val newF = sessionFrames(batch, userCol, gapNs)
+
+    val lastW = Window.partitionBy(u).orderBy(col("start_ts").desc)
+    val priorT = priorFrames.withColumn("__last", row_number().over(lastW) === 1)
+    val firstW = Window.partitionBy(u).orderBy(col("start_ts"))
+    val newT = newF.withColumn("__first", row_number().over(firstW) === 1)
+
+    def slice(df: DataFrame, flag: String, p: String) = df.filter(col(flag))
+      .select(u, col("start_ts").as(s"${p}start"), col("end_ts").as(s"${p}end"),
+        col("n_events").as(s"${p}n"), col("sum_dec").as(s"${p}sum"))
+    val boundary = slice(priorT, "__last", "p_")
+      .join(slice(newT, "__first", "b_"), Seq(userCol), "full")
+      // null-safe: a user present on only one side never merges
+      .withColumn("__merge", coalesce(
+        col("b_start") - col("p_end") <= gapNs, lit(false)))
+
+    val mergedF = boundary.filter(col("__merge"))
+      .select(u, col("p_start").as("start_ts"), col("b_end").as("end_ts"),
+        (col("p_n") + col("b_n")).as("n_events"),
+        (col("p_sum") + col("b_sum")).cast("decimal(38,4)").as("sum_dec"))
+    def keep(p: String) = boundary
+      .filter(!col("__merge") && col(s"${p}start").isNotNull)
+      .select(u, col(s"${p}start").as("start_ts"), col(s"${p}end").as("end_ts"),
+        col(s"${p}n").as("n_events"), col(s"${p}sum").as("sum_dec"))
+    val untouched = priorT.filter(!col("__last")).drop("__last")
+      .unionByName(newT.filter(!col("__first")).drop("__first"))
+
+    untouched.unionByName(mergedF).unionByName(keep("p_")).unionByName(keep("b_"))
+  }
+
+  /** Session frames → the shared output contract `(user, sess_id,
+    * n_events, sum_value, duration_ms)`: sess_id renumbered per user
+    * by start order (frames are time-disjoint per user, so the order
+    * is total), decimal sum surfaced as double exactly like `dsum`. */
+  def finishFrames(frames: DataFrame, userCol: String): DataFrame = {
+    val byStart = Window.partitionBy(col(userCol)).orderBy("start_ts")
+    frames
+      .withColumn("sess_id", row_number().over(byStart).cast("long"))
+      .select(col(userCol), col("sess_id"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"),
+        floor((col("end_ts") - col("start_ts")) / 1000000.0).as("duration_ms"))
+      .orderBy(userCol, "sess_id")
+  }
+
   /** Remap that manufactures a hot key for the skew demo: all even
     * user ids collapse onto user 0 (~50% of events on one key). */
   def hotKeyed(events: DataFrame, userCol: String): DataFrame =

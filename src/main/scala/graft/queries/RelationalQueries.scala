@@ -250,6 +250,25 @@ object RelationalQueries {
         .orderBy("user_id", "sess_id")
     },
 
+    // R20f: incremental sessionization — the daily-append path. The
+    // log splits at an 80% event-time cutoff: history is sessionized
+    // into mergeable frames ONCE, the tail batch is sessionized alone,
+    // and the two meet in a one-row-per-user boundary join (no history
+    // re-shuffle — the 100 TB daily-ingest economics). Shares
+    // q_sessionize's oracle: the hash gate proves incremental ≡ full
+    // re-sessionization of the complete log.
+    "q_sessionize_inc" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min("ts"), max("ts")).head
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val cutoff = mn + (mx - mn) / 5L * 4L
+      val prior = Sessionize.sessionFrames(
+        ev.filter(col("ts") < cutoff), "user_id", GapNs)
+      Sessionize.finishFrames(
+        Sessionize.incremental(prior, ev.filter(col("ts") >= cutoff),
+          "user_id", GapNs), "user_id")
+    },
+
     // R20c/R20d: the skew before/after pair. The hot-key remap puts
     // ~50% of events on user 0; _hot runs the textbook plan (one task
     // sorts half the table), _hot_salted the bucketed plan. Same
@@ -608,6 +627,8 @@ object RelationalQueries {
     "q_sessionize_salted" -> sessionizeSql("events"),
     // and so must Spark's built-in session_window operator
     "q_session_window" -> sessionizeSql("events"),
+    // Incremental ≡ full recompute: same oracle as q_sessionize.
+    "q_sessionize_inc" -> sessionizeSql("events"),
     "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
     "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
 

@@ -74,4 +74,57 @@ class SessionizeSpec extends SparkSpec {
     assert(rep(2L) == (2L, 666L))
     assert(rep(3L) == (1L, 333L))
   }
+
+  private def incVsFull(ev: DataFrame, cutoff: Long, gap: Long) = {
+    val full = rows(Sessionize.plain(ev, "user_id", gap))
+    val prior = Sessionize.sessionFrames(
+      ev.filter($"ts" < cutoff), "user_id", gap)
+    val inc = rows(Sessionize.finishFrames(
+      Sessionize.incremental(prior, ev.filter($"ts" >= cutoff),
+        "user_id", gap), "user_id"))
+    (full, inc)
+  }
+
+  test("incremental: seam merge, seam split, and one-sided users") {
+    // gap=100. user 1: batch first event 30ns after prior end -> the
+    // seam merges; its later in-batch gap still splits. user 2: seam
+    // silence 500 > gap -> prior session stays closed. user 3 is
+    // prior-only, user 4 batch-only.
+    val ev = Seq(
+      (1L, 1L, 100L, 1.0), (1L, 2L, 150L, 2.0),  // prior
+      (1L, 3L, 180L, 3.0), (1L, 4L, 400L, 4.0),  // batch: merge, then split
+      (2L, 5L, 100L, 5.0), (2L, 6L, 660L, 6.0),  // seam 560 > 100: no merge
+      (3L, 7L, 50L, 7.0),
+      (4L, 8L, 900L, 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val (full, inc) = incVsFull(ev, 160L, 100L)
+    assert(inc == full)
+    assert(inc.filter(_._1 == 1L).map(_._3) == Seq(3L, 1L),
+      "merged seam session has prior 2 + batch 1 events")
+  }
+
+  test("incremental: exact-gap silence at the seam continues the session") {
+    // the continuation rule is diff NOT > gap, so diff == gap merges —
+    // in lockstep with withSessionIds' lag rule
+    val ev = Seq(
+      (9L, 1L, 1000L, 1.0),   // prior
+      (9L, 2L, 1100L, 2.0))   // batch, exactly gap=100 later
+      .toDF("user_id", "event_id", "ts", "value")
+    val (full, inc) = incVsFull(ev, 1050L, 100L)
+    assert(inc == full)
+    assert(inc.map(_._3) == Seq(2L), "one session of 2 events")
+  }
+
+  test("incremental equals full re-sessionization on the events table") {
+    val ev = table("events")
+      .select("user_id", "event_id", "ts", "value")
+    val b = ev.agg(org.apache.spark.sql.functions.min("ts"),
+      org.apache.spark.sql.functions.max("ts")).head
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    for (frac <- Seq(1L, 2L, 4L)) { // 20%, 40%, 80% cutoffs
+      val cutoff = mn + (mx - mn) / 5L * frac
+      val (full, inc) = incVsFull(ev, cutoff, 60000000000L)
+      assert(inc.nonEmpty && inc == full, s"cutoff at $frac/5")
+    }
+  }
 }
