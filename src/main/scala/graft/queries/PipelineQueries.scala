@@ -46,6 +46,16 @@ object PipelineQueries {
       path
     })
 
+  /** Shared gzip-JSONL export of the documents table, written once per
+    * (JVM, corpus dir) — the sink side of the L58 roundtrip gate. */
+  private val jsonlMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlExport(s: SparkSession, dir: String): String =
+    jsonlMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_jsonl_" + RelationalQueries.dirKey(d)
+      graft.sources.Jsonl.write(t(s, d, "documents"), p, "gzip", Some(8))
+      p
+    })
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -316,6 +326,26 @@ object PipelineQueries {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select("doc_id", "cluster", "split")
         .orderBy("doc_id")
+    },
+
+    // L58: JSONL sink/source roundtrip — the corpus is exported as
+    // gzip JSONL shards (the format LLM corpora actually ship in) and
+    // read back with an EXPLICIT schema (no inference pass), then
+    // aggregated per (lang, source) down to md5-exact text bytes. The
+    // oracle computes the same aggregate from the PARQUET table, so
+    // the hash gate proves the JSON encode→gzip→decode path is
+    // byte-lossless end-to-end.
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.sources.Jsonl.read(s, jsonlExport(s, dir), docs.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(md5(col("text"))).as("lo_md5"),
+          max(md5(col("text"))).as("hi_md5"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang", "source")
     },
 
     // L20: sequence-packing shard assignment — distributed prefix sum
@@ -1046,6 +1076,17 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // Computed from the PARQUET table — q_jsonl_roundtrip reads the
+    // gzip-JSONL export, so a hash match proves the sink/source path
+    // is byte-lossless (md5-exact text, id/char sums intact).
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+        |  MIN(md5(text)) AS lo_md5, MAX(md5(text)) AS hi_md5,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     // The banded-MinHash chain replayed end to end — signatures,
     // slices, size prefilter, verify (see minhashOracleSql).
