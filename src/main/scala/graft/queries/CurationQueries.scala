@@ -21,6 +21,38 @@ import RelationalQueries.t
 object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L60: collocation / phrase mining (word2phrase) — adjacent-bigram
+    // association scored with Mikolov's discounted ratio
+    // (c_ab − δ)·N / (c_a·c_b), the phrase-vocabulary induction step
+    // that runs before tokenizer training ("new york" → one token).
+    // Counts are integers; the score is two IEEE multiplies and one
+    // divide in a FIXED shape, floor-quantized — bit-exact across
+    // engines, no libm. The c_a·c_b product runs in DOUBLE (one exact
+    // IEEE multiply) because bigint c_a·c_b overflows at
+    // web-corpus scale. One explode + two token-keyed joins of the
+    // support-filtered (Zipf-small) bigram inventory; the corpus
+    // never self-joins.
+    "q_phrase_mine" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(tokenize_ws(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = toks.agg(sum(size(col("t"))).as("n_tok"))
+      val bc = Shared.bigramPairs(docs, "doc_id", "text")
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      bc.join(uni.select(col("tok").as("prev"), col("c1").as("ca")), "prev")
+        .join(uni.select(col("tok").as("cur"), col("c1").as("cb")), "cur")
+        .crossJoin(broadcast(tot))
+        .withColumn("score_q",
+          floor((col("cab") - lit(5L)).cast("double") * col("n_tok") /
+            (col("ca").cast("double") * col("cb")) * 1e6).cast("long"))
+        .select(col("prev").as("w1"), col("cur").as("w2"),
+          col("cab"), col("ca"), col("cb"), col("score_q"))
+        .orderBy(desc("score_q"), col("w1"), col("w2"))
+        .limit(50)
+    },
+
     // L29: Gopher-style repetition signals — the within-document
     // repetition quality filter: duplicate-token fraction, most-frequent
     // -bigram mass, duplicate-trigram fraction, and the keep decision.
@@ -781,6 +813,31 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // word2phrase replay: same discounted-ratio shape — (cab−5)::d
+    // * n_tok, divided by (ca::d * cb), scaled 1e6, floored.
+    "q_phrase_mine" ->
+      """WITH toksall AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT UNNEST(t) AS tok FROM toksall),
+        |uc AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_tok FROM uni),
+        |prs AS (
+        |  SELECT t[i] AS prev, t[i+1] AS cur
+        |  FROM toksall, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (
+        |  SELECT prev, cur, COUNT(*) AS cab FROM prs
+        |  GROUP BY prev, cur HAVING COUNT(*) >= 5)
+        |SELECT bc.prev AS w1, bc.cur AS w2, bc.cab, a.c1 AS ca, b.c1 AS cb,
+        |  CAST(FLOOR(CAST(bc.cab - 5 AS DOUBLE) * t.n_tok /
+        |    (CAST(a.c1 AS DOUBLE) * b.c1) * 1000000.0) AS BIGINT) AS score_q
+        |FROM bc
+        |JOIN uc a ON a.tok = bc.prev
+        |JOIN uc b ON b.tok = bc.cur
+        |CROSS JOIN tot t
+        |ORDER BY score_q DESC, w1, w2 LIMIT 50""".stripMargin,
+
     "q_classifier_train" -> classifierTrainSql(64, 3, 1L, 1L),
     "q_link_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L),
     "q_trust_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L,

@@ -471,6 +471,48 @@ object RelationalQueries {
         count(lit(1)).as("n_days"))
     },
 
+    // R29b: trailing 3-day distinct users, EXACT — the sliding
+    // distinct-count question (rolling actives). Shape: (day, user)
+    // distinct pairs SCATTER to the ≤3 windows they cover (explode of
+    // a 3-element sequence — linear row growth, no range join), then
+    // one distinct-agg per window day; phantom windows beyond the day
+    // domain are dropped by the day-domain join.
+    "q_rolling_distinct" -> { (s, dir) =>
+      val dayNs = 86400000000000L
+      val du = t(s, dir, "events")
+        .select(expr(s"ts div ${dayNs}L").as("day_idx"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day_idx").as("w_day")).distinct()
+      du.select(explode(sequence(col("day_idx"), col("day_idx") + 2))
+          .as("w_day"), col("user_id"))
+        .join(days, "w_day")
+        .groupBy("w_day")
+        .agg(countDistinct(col("user_id")).as("n_users_3d"))
+        .orderBy("w_day")
+    },
+
+    // R29c: the same trailing window from MERGEABLE per-day HLL
+    // partials — at 100 TB you persist one tiny sketch per (day) and
+    // answer ANY trailing window by merging ≤3 of them, never
+    // re-touching raw events. Shares q_rolling_distinct's oracle: the
+    // user cardinality sits in the sketch's exact regime (same
+    // contract as q_sketch_rollup), so the hash gate proves the
+    // sketch path ≡ the exact path here.
+    "q_rolling_distinct_sketch" -> { (s, dir) =>
+      val dayNs = 86400000000000L
+      val daily = t(s, dir, "events")
+        .withColumn("day_idx", expr(s"ts div ${dayNs}L"))
+        .groupBy("day_idx")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.select(col("day_idx").as("w_day")).distinct()
+      daily.select(explode(sequence(col("day_idx"), col("day_idx") + 2))
+          .as("w_day"), col("sk"))
+        .join(days, "w_day")
+        .groupBy("w_day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_3d"))
+        .orderBy("w_day")
+    },
+
     // R19: correlated-EXISTS aggregate (semi join + agg).
     "q_exists_agg" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -479,6 +521,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_active_cust"))
         .orderBy("c_nationkey")
     })
+
+  /** Trailing 3-day distinct-user oracle (R29b/R29c): the same
+    * scatter-to-covering-windows replay, windows restricted to real
+    * days. */
+  private val rollingDistinctSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day_idx, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day_idx FROM du),
+      |sc AS (
+      |  SELECT du.user_id, du.day_idx + i AS w_day
+      |  FROM du, UNNEST(range(0, 3)) AS u(i))
+      |SELECT d.day_idx AS w_day,
+      |  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users_3d
+      |FROM days d JOIN sc s ON s.w_day = d.day_idx
+      |GROUP BY d.day_idx ORDER BY w_day""".stripMargin
 
   /** Hot-key remap source (matches Sessionize.hotKeyed). */
   private val HotRemapSql =
@@ -629,6 +687,13 @@ object RelationalQueries {
     "q_session_window" -> sessionizeSql("events"),
     // Incremental ≡ full recompute: same oracle as q_sessionize.
     "q_sessionize_inc" -> sessionizeSql("events"),
+
+    // Shared by q_rolling_distinct (exact) and
+    // q_rolling_distinct_sketch (merged per-day HLL partials, exact
+    // regime — same contract as q_sketch_rollup): one oracle, two
+    // plans, hash-equal.
+    "q_rolling_distinct" -> rollingDistinctSql,
+    "q_rolling_distinct_sketch" -> rollingDistinctSql,
     "q_sessionize_hot" -> sessionizeSql(HotRemapSql),
     "q_sessionize_hot_salted" -> sessionizeSql(HotRemapSql),
 

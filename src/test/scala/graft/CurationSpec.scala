@@ -621,4 +621,46 @@ class CurationSpec extends SparkSpec {
     assert(sc.map(_.toSeq).toSeq == joined.map(_.toSeq).toSeq,
       "scorecard diverged from the standalone rule operators")
   }
+
+  test("phrase mining: a bound collocation outranks frequent-but-independent pairs") {
+    import spark.implicits._
+    // "new" and "york" ONLY ever occur together (12 times, above the
+    // δ=5 discount); "the"/"cat" are far more frequent and co-occur
+    // more often in absolute terms — word2phrase's discounted ratio
+    // must still rank the bound collocation on top. The word after
+    // "york" varies per doc so no accidental (york, x) collocation
+    // survives the support floor.
+    val docs = (
+      (0 until 12).map(i => s"new york v$i the cat sat") ++
+      Seq.fill(24)("the cat and the dog and the cat ran")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = docs.select(graft.functions.tokenize_ws(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = toks.agg(sum(size(col("t"))).as("n_tok"))
+    // adjacent bigram pairs (Shared.bigramPairs is private[queries])
+    val bc = docs
+      .select(graft.functions.tokenize_ws(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("prev"),
+          element_at(col("t"), i + 1).as("cur")))).as("bg"))
+      .select(col("bg.prev"), col("bg.cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val scored = bc
+      .join(uni.select(col("tok").as("prev"), col("c1").as("ca")), "prev")
+      .join(uni.select(col("tok").as("cur"), col("c1").as("cb")), "cur")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_q",
+        floor((col("cab") - lit(5L)).cast("double") * col("n_tok") /
+          (col("ca").cast("double") * col("cb")) * 1e6).cast("long"))
+      .collect().map(r => (r.getAs[String]("prev"), r.getAs[String]("cur")) ->
+        r.getAs[Long]("score_q")).toMap
+    assert(scored.contains(("new", "york")))
+    assert(scored.maxBy(_._2)._1 == ("new", "york"),
+      s"the bound collocation must rank first: $scored")
+    assert(scored(("new", "york")) > scored(("the", "cat")) * 3,
+      s"collocation must dominate the frequent pair: $scored")
+  }
 }

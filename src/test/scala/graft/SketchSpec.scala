@@ -257,4 +257,41 @@ class SketchSpec extends SparkSpec {
     assert(ex.getMessage.contains("negative value") ||
       ex.getCause != null && ex.getCause.getMessage.contains("negative value"))
   }
+
+  test("rolling distinct: sketch-merged trailing window equals exact (R29b/R29c)") {
+    import graft.queries.RelationalQueries
+    val exact = RelationalQueries.queries("q_rolling_distinct")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sk = RelationalQueries.queries("q_rolling_distinct_sketch")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty && exact == sk)
+    // trailing windows are supersets of their newest day: monotone vs
+    // the per-day distinct count
+    val perDay = table("events")
+      .select(org.apache.spark.sql.functions.expr("ts div 86400000000000").as("d"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().groupBy("d").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    exact.foreach { case (d, n3) => assert(n3 >= perDay(d)) }
+  }
+
+  test("rolling distinct: hand-computed 3-day windows on a planted log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400000000000L
+    // day 0: users {1,2}; day 1: {2}; day 3: {3} (day 2 has no events)
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, day + 5L), (3L, 3 * day + 1L))
+      .toDF("user_id", "ts")
+    val dayIdx = expr("ts div 86400000000000").as("day_idx")
+    val du = ev.select(dayIdx, col("user_id")).distinct()
+    val days = du.select(col("day_idx").as("w_day")).distinct()
+    val got = du.select(explode(sequence(col("day_idx"), col("day_idx") + 2))
+        .as("w_day"), col("user_id"))
+      .join(days, "w_day")
+      .groupBy("w_day").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // window(0)={1,2}; window(1)=days 0..1={1,2}; window(3)=days 1..3={2,3};
+    // day 2 has no row (not in the day domain)
+    assert(got == Map(0L -> 2L, 1L -> 2L, 3L -> 2L))
+  }
 }
