@@ -614,6 +614,44 @@ object AnalyticsQueries {
         .orderBy("p_brand")
     },
 
+    // R39: concurrent-sessions profile — the interval-overlap question
+    // (peak simultaneous sessions per day, active count at day end)
+    // answered with a DISTRIBUTED sweep line: session frames emit
+    // (start,+1)/(end,-1) deltas, Sweep.runningSum computes the global
+    // event-time running sum via per-day windows + a B-row offset
+    // table (no single-task global sort — the Pack prefix-sum shape
+    // pointed at time). Ties sweep +1 before -1, so touching sessions
+    // count as concurrent, deterministically.
+    "q_concurrency" -> { (s, dir) =>
+      import graft.operators.{Sessionize, Sweep}
+      val frames = Sessionize.sessionFrames(t(s, dir, "events"),
+        "user_id", RelationalQueries.GapNs)
+      Sweep.concurrency(frames, "start_ts", "end_ts", 86400000000000L)
+        .select(col("bucket").as("day_idx"), col("peak"), col("eod_active"))
+        .orderBy("day_idx")
+    },
+
+    // R40: event-type transition matrix — per-user next-event counts
+    // and integer-quantized conditional probabilities (the Markov-
+    // chain view of the event log: what follows a click?). One user
+    // shuffle for the lag, one tiny (T×T)-bounded aggregate; the
+    // probability is the same quantize-then-integer shape as the
+    // bigram LM (no libm).
+    "q_event_transitions" -> { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = t(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(byTime))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("prev_type").agg(sum("n").as("n_from"))
+      trans.join(totals, "prev_type")
+        .withColumn("prob_q",
+          floor(col("n").cast("double") / col("n_from") * 1e8 + 0.5).cast("long"))
+        .select("prev_type", "cur_type", "n", "n_from", "prob_q")
+        .orderBy("prev_type", "cur_type")
+    },
+
     // L57: fuzzy entity matching — token-blocked Levenshtein pairs over
     // the DISTINCT part-name inventory (the inventory is vocabulary-
     // bounded, so the match graph never grows with corpus rows; corpus
@@ -1173,6 +1211,51 @@ object AnalyticsQueries {
     }
   )
 
+  private def eventOracles: Map[String, String] = Map(
+    // R39: sweep-line replay over the shared session-frames CTE —
+    // single ORDER BY running sum (the exact semantics the distributed
+    // prefix sum must reproduce); ties +1-before-(-1) via delta DESC.
+    "q_concurrency" ->
+      s"""WITH ${RelationalQueries.sessionFramesCteSql},
+        |deltas AS (
+        |  SELECT start_ts AS ts, CAST(1 AS BIGINT) AS delta FROM sframes
+        |  UNION ALL
+        |  SELECT end_ts, CAST(-1 AS BIGINT) FROM sframes),
+        |run AS (
+        |  SELECT ts, delta,
+        |    SUM(delta) OVER (ORDER BY ts, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        |  FROM deltas),
+        |daypk AS (
+        |  SELECT ts // 86400000000000 AS day_idx, MAX(r) AS peak
+        |  FROM run GROUP BY 1),
+        |daysum AS (
+        |  SELECT ts // 86400000000000 AS day_idx, SUM(delta) AS ds
+        |  FROM deltas GROUP BY 1)
+        |SELECT d.day_idx, CAST(p.peak AS BIGINT) AS peak,
+        |  CAST(SUM(d.ds) OVER (ORDER BY d.day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS eod_active
+        |FROM daysum d JOIN daypk p USING (day_idx)
+        |ORDER BY day_idx""".stripMargin,
+
+    // R40: lag replay + the bigram-LM quantization shape.
+    "q_event_transitions" ->
+      """WITH tr AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.cur_type, c.n, t.n_from,
+        |  CAST(FLOOR(CAST(c.n AS DOUBLE) / t.n_from * 100000000 + 0.5) AS BIGINT)
+        |    AS prob_q
+        |FROM c JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, cur_type""".stripMargin)
+
   private def fuzzyOracles: Map[String, String] = Map(
     "q_fuzzy_match" ->
       s"""WITH $fuzzyPairsCteSql
@@ -1199,5 +1282,6 @@ object AnalyticsQueries {
     * gate then proves the persisted-index search path computes exactly
     * what the from-scratch path does. */
   val oracles: Map[String, String] =
-    oraclesBase ++ fuzzyOracles + ("q_bm25_indexed" -> oraclesBase("q_bm25"))
+    oraclesBase ++ fuzzyOracles ++ eventOracles +
+      ("q_bm25_indexed" -> oraclesBase("q_bm25"))
 }

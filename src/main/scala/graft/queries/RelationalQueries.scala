@@ -522,6 +522,29 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     })
 
+  /** flagged/sessions/sframes CTE body (no leading WITH) producing the
+    * per-session frames `(user_id, sess_id, start_ts, end_ts)` over
+    * `events` — the oracle twin of `Sessionize.sessionFrames`, kept in
+    * LOCKSTEP with [[sessionizeSql]]'s gap rule. Used by the R39
+    * concurrency oracle in AnalyticsQueries. */
+  private[queries] val sessionFramesCteSql: String =
+    """flagged AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
+      |           THEN 1
+      |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+      |         ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |sessions AS (
+      |  SELECT user_id, tns,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |sframes AS (
+      |  SELECT user_id, sess_id, MIN(tns) AS start_ts, MAX(tns) AS end_ts
+      |  FROM sessions GROUP BY user_id, sess_id)""".stripMargin
+
   /** Trailing 3-day distinct-user oracle (R29b/R29c): the same
     * scatter-to-covering-windows replay, windows restricted to real
     * days. */
