@@ -506,6 +506,25 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13m: late-data accounting — the watermark's operational readout.
+    * Watermarks DROP late rows silently; at 100 TB of daily events an
+    * unmonitored drop rate is how a pipeline loses 1% of its data
+    * without anyone noticing. One row per completed trigger:
+    * (batch_id, watermark ISO-8601 or "" before one exists,
+    * rows_dropped_late summed over stateful operators, state_rows).
+    * Reads the engine's own progress metrics — no extra pass over the
+    * stream, and the numbers are the ones that govern the actual drop
+    * behavior, not a parallel estimate. */
+  def lateDataReport(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[(Long, String, Long, Long)] =
+    q.recentProgress.toSeq.map { p =>
+      val ops = p.stateOperators.toSeq
+      (p.batchId,
+        Option(p.eventTime.get("watermark")).getOrElse(""),
+        ops.map(_.numRowsDroppedByWatermark).sum,
+        ops.map(_.numRowsTotal).sum)
+    }
+
   /** C13l: streaming quantile monitor — the continuous per-service
     * latency / per-type size percentile report. Every micro-batch's
     * per-key grouped log-histogram

@@ -657,4 +657,32 @@ class StreamingSpec extends SparkSpec {
       expected.collect().map(key).sorted.toSeq,
       "streamed gate diverged from the batch twin")
   }
+
+  test("late-data accounting: dropped-late rows surface per trigger") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "key", "value")
+    val out = QueueStreaming.windowedStats(df, "ts", "key", "value",
+      "10 minutes", "5 minutes")
+    val ckpt = Files.createTempDirectory("latedrop").toString
+    val q = out.writeStream.format("memory").queryName("latedrop")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // trigger 1 advances the watermark to 10:55
+    mem.addData((t(1), "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // now a row far below the 10:55 watermark must be counted as dropped
+    mem.addData((t(2), "a", 99.0))
+    q.processAllAvailable()
+    val report = QueueStreaming.lateDataReport(q)
+    q.stop()
+    assert(report.map(_._3).sum == 1L,
+      s"exactly the one late row is dropped: $report")
+    val withWm = report.filter(_._2.nonEmpty)
+    assert(withWm.nonEmpty, "watermark surfaces in the report")
+    assert(report.forall(_._4 >= 0L))
+  }
 }
