@@ -20,6 +20,35 @@ import RelationalQueries.t
   */
 object CurationQueries {
 
+  /** Integer-exact en-vs-rest margin scores `(doc_id, lang, margin)` —
+    * the shared core of q_classifier_margin (L36) and the L44c
+    * calibration audit. Hashed-sign features per doc, class-balanced
+    * integer weights, margin = Σ x·w — every step integer, so the
+    * DuckDB replay is value-exact. */
+  private def classifierMargin(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val feats = d
+      .select(col("doc_id"), col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
+      .withColumn("h", rolling_hash(col("tok")))
+      .select(col("doc_id"), col("lang"), pmod(col("h"), lit(64L)).as("bucket"),
+        when(pmod(expr("h div 64"), lit(2L)) === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(sum(col("sign")).as("x"))
+    val counts = d.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_other"))
+    val weights = feats.groupBy("bucket")
+      .agg(sum(when(col("lang") === "en", col("x")).otherwise(0L)).as("s_en"),
+        sum(col("x")).as("s_all"))
+      .crossJoin(broadcast(counts))
+      .select(col("bucket"),
+        (col("n_other") * col("s_en") -
+          col("n_en") * (col("s_all") - col("s_en"))).as("wgt"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("x") * col("wgt")).as("margin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L60: collocation / phrase mining (word2phrase) — adjacent-bigram
     // association scored with Mikolov's discounted ratio
@@ -358,30 +387,31 @@ object CurationQueries {
     // quantized ratios instead (same plan shape: tiny model broadcast,
     // corpus never shuffles against it).
     "q_classifier_margin" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      val feats = d
-        .select(col("doc_id"), col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
-        .withColumn("h", rolling_hash(col("tok")))
-        .select(col("doc_id"), col("lang"), pmod(col("h"), lit(64L)).as("bucket"),
-          when(pmod(expr("h div 64"), lit(2L)) === 0, 1L).otherwise(-1L).as("sign"))
-        .groupBy("doc_id", "lang", "bucket")
-        .agg(sum(col("sign")).as("x"))
-      val counts = d.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_other"))
-      val weights = feats.groupBy("bucket")
-        .agg(sum(when(col("lang") === "en", col("x")).otherwise(0L)).as("s_en"),
-          sum(col("x")).as("s_all"))
-        .crossJoin(broadcast(counts))
-        .select(col("bucket"),
-          (col("n_other") * col("s_en") -
-            col("n_en") * (col("s_all") - col("s_en"))).as("wgt"))
-      feats.join(broadcast(weights), "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(sum(col("x") * col("wgt")).as("margin"))
+      classifierMargin(s, dir)
         .select(col("doc_id"), col("lang"), col("margin"),
           (col("margin") > 0).as("pred_en"))
         .orderBy("doc_id")
+    },
+
+    // L44c: calibration audit (reliability-diagram data) — the margin
+    // scores binned FIXED-WIDTH between the global min/max (integer
+    // arithmetic off one broadcast 1-row bounds frame — no global-sort
+    // ntile; value bins keep the plan fully distributed), per bin the
+    // observed ground-truth rate in integer per-mille. The audit that
+    // tells you whether a quality/domain classifier's scores can be
+    // thresholded or must be recalibrated before gating a corpus.
+    "q_calibration" -> { (s, dir) =>
+      val m = classifierMargin(s, dir)
+      val bounds = m.agg(min("margin").as("mn"), max("margin").as("mx"))
+      m.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr("(margin - mn) * 10 div (mx - mn + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          min("margin").as("lo_margin"), max("margin").as("hi_margin"))
+        .withColumn("en_per_mille", expr("n_en * 1000 div n"))
+        .select("bin", "n", "n_en", "en_per_mille", "lo_margin", "hi_margin")
+        .orderBy("bin")
     },
 
     // L44: distributed classifier TRAINING — 3 rounds of full-batch
@@ -811,6 +841,41 @@ object CurationQueries {
       " ORDER BY rank_micro DESC, node"
     sb.toString
   }
+
+  /** DuckDB twin of [[classifierMargin]] (leading WITH included, ends
+    * at the `m` CTE): kept in LOCKSTEP with the Scala frame. */
+  private val classifierMarginCteSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(tok, '.'),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id, lang, h % 64 AS bucket,
+      |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
+      |  FROM hashed GROUP BY doc_id, lang, h % 64),
+      |counts AS (
+      |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+      |  FROM documents),
+      |bw AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN x ELSE 0 END) AS BIGINT) AS s_en,
+      |    CAST(SUM(x) AS BIGINT) AS s_all
+      |  FROM feats GROUP BY bucket),
+      |w AS (
+      |  SELECT bucket, n_other * s_en - n_en * (s_all - s_en) AS wgt
+      |  FROM bw, counts),
+      |m AS (
+      |  SELECT f.doc_id, f.lang, CAST(SUM(f.x * w.wgt) AS BIGINT) AS margin
+      |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id, f.lang)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // word2phrase replay: same discounted-ratio shape — (cab−5)::d
@@ -1429,39 +1494,24 @@ object CurationQueries {
         |ORDER BY n0.doc_id""".stripMargin,
 
     "q_classifier_margin" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT doc_id, lang,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_extract_all(tok, '.'),
-        |          c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM toks),
-        |feats AS (
-        |  SELECT doc_id, lang, h % 64 AS bucket,
-        |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
-        |  FROM hashed GROUP BY doc_id, lang, h % 64),
-        |counts AS (
-        |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
-        |  FROM documents),
-        |bw AS (
-        |  SELECT bucket,
-        |    CAST(SUM(CASE WHEN lang = 'en' THEN x ELSE 0 END) AS BIGINT) AS s_en,
-        |    CAST(SUM(x) AS BIGINT) AS s_all
-        |  FROM feats GROUP BY bucket),
-        |w AS (
-        |  SELECT bucket, n_other * s_en - n_en * (s_all - s_en) AS wgt
-        |  FROM bw, counts),
-        |m AS (
-        |  SELECT f.doc_id, f.lang, CAST(SUM(f.x * w.wgt) AS BIGINT) AS margin
-        |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id, f.lang)
+      s"""$classifierMarginCteSql
         |SELECT doc_id, lang, margin, margin > 0 AS pred_en
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // L44c: fixed-width value bins off the global margin bounds —
+    // integer arithmetic in lockstep with the Spark expression.
+    "q_calibration" ->
+      s"""$classifierMarginCteSql,
+        |bounds AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |binned AS (
+        |  SELECT m.lang, m.margin, (m.margin - b.mn) * 10 // (b.mx - b.mn + 1) AS bin
+        |  FROM m, bounds b)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+        |    AS BIGINT) AS en_per_mille,
+        |  MIN(margin) AS lo_margin, MAX(margin) AS hi_margin
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Temperature thresholds replayed with the same quantization:
     // sqrt correctly rounded in both engines, weights floor-quantized

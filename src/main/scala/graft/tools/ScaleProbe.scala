@@ -49,7 +49,15 @@ object ScaleProbe {
     // (linear map); ≤63-key histogram with map-side partials (linear);
     // user-keyed window + shared-shuffle chunk agg (users scale with
     // the corpus, per-user window constant)
-    "q_curation_scorecard", "q_quantile_sketch", "q_session_pack")
+    "q_curation_scorecard", "q_quantile_sketch", "q_session_pack",
+    // r9 third push: vocab-bounded ER inventory (pair graph must stay
+    // CONSTANT as rows grow — the strongest sub-linear claim here);
+    // bucket-partitioned sweep line (linear); incremental sessionize
+    // (linear: boundary join is one row per user); word2phrase counts
+    // (linear explode + Zipf-bounded joins); scatter-window distinct
+    // (linear ×3 row growth)
+    "q_fuzzy_match", "q_concurrency", "q_sessionize_inc", "q_phrase_mine",
+    "q_rolling_distinct")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -161,6 +169,18 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // Part table for the entity-resolution probe: keys stride, NAMES
+    // are shared — the distinct-value inventory stays constant while
+    // rows grow ×factor, which is exactly the L57 scale claim (match
+    // cost is inventory-bounded, only the one corpus groupBy grows).
+    val part = spark.read.parquet(s"$base/part.parquet")
+    val partStride = part.agg(max("p_partkey")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * partStride))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
     println(s"[scaleprobe] derived x$factor corpus at $out " +
       s"(${docs.count() * factor} docs, ${emb.count() * factor} vectors)")
   }

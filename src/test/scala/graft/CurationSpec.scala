@@ -622,6 +622,25 @@ class CurationSpec extends SparkSpec {
       "scorecard diverged from the standalone rule operators")
   }
 
+  test("calibration audit: bins partition the corpus, rates bounded, ordered") {
+    val bins = CurationQueries.queries("q_calibration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nDocs = table("documents").count()
+    assert(bins.map(_._2).sum == nDocs, "every doc lands in exactly one bin")
+    assert(bins.forall { case (_, n, nEn, pm, lo, hi) =>
+      nEn <= n && pm >= 0 && pm <= 1000 && lo <= hi })
+    // value bins are ordered and non-overlapping
+    assert(bins.sliding(2).forall {
+      case Array((_, _, _, _, _, hi1), (_, _, _, _, lo2, _)) => hi1 < lo2
+      case _ => true
+    })
+    // the top bin must be en-dominated and the bottom bin en-sparse —
+    // otherwise the margin carries no calibration signal at all
+    assert(bins.last._4 > bins.head._4,
+      s"en rate must rise from bottom to top bin: ${bins.toSeq}")
+  }
+
   test("phrase mining: a bound collocation outranks frequent-but-independent pairs") {
     import spark.implicits._
     // "new" and "york" ONLY ever occur together (12 times, above the

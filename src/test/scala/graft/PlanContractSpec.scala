@@ -188,4 +188,31 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("Join"), s"the two modalities must meet in a join:\n$p")
   }
+
+  test("q_fuzzy_match: equi-join blocking, broadcast count lookups, no cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct"),
+      s"token blocking must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the inventory-sized count lookups must broadcast:\n$p")
+  }
+
+  test("q_concurrency: the sweep windows are bucket-partitioned, never one global sort") {
+    val p = plan("q_concurrency")
+    assert(p.contains("hashpartitioning(__bkt"),
+      s"the full-size window must partition on the time bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q_phrase_mine: support-filtered inventory joins, partial aggs, no cartesian") {
+    val p = plan("q_phrase_mine")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_"), s"counts need map-side partials:\n$p")
+  }
+
+  test("q_rolling_distinct_sketch: sketch partials combine map-side") {
+    val p = plan("q_rolling_distinct_sketch")
+    assert(p.contains("partial_"), s"per-day sketches must partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
