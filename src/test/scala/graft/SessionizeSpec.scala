@@ -115,6 +115,26 @@ class SessionizeSpec extends SparkSpec {
     assert(inc.map(_._3) == Seq(2L), "one session of 2 events")
   }
 
+  test("incremental through a persisted frame store equals full recompute") {
+    // the production shape: frames live in a parquet table between
+    // daily runs — the merge must survive the write/read round trip
+    // (incl. the DECIMAL sum column's exactness)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val ev = table("events").select("user_id", "event_id", "ts", "value")
+    val b = ev.agg(fmin("ts"), fmax("ts")).head
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_frames").toString + "/frames"
+    Sessionize.sessionFrames(ev.filter($"ts" < cutoff), "user_id", 60000000000L)
+      .write.parquet(store)
+    val prior = spark.read.parquet(store)
+    val inc = rows(Sessionize.finishFrames(
+      Sessionize.incremental(prior, ev.filter($"ts" >= cutoff),
+        "user_id", 60000000000L), "user_id"))
+    val full = rows(Sessionize.plain(ev, "user_id", 60000000000L))
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("incremental equals full re-sessionization on the events table") {
     val ev = table("events")
       .select("user_id", "event_id", "ts", "value")
