@@ -11,6 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** L33c: UniMax water-filling budget allocation (Chung et al. 2023)
+    * over a per-group token-size table `(groupCol, t_tok)`. Each group
+    * is capped at `maxEpochs` passes over its own tokens; the budget
+    * `totalTokens * budNum / budDen` fills small groups to their cap
+    * and splits the remainder equally among the rest. The sequential
+    * water-fill collapses to a closed-form split point (caps sorted
+    * ascending, k = last index whose cap fits when granted to it and
+    * everyone after), so the whole allocation is ONE window pass over
+    * the L-row size table — all integer arithmetic, value-exact in the
+    * DuckDB replay. Returns
+    * `(groupCol, t_tok, cap, alloc, epochs_per_mille)`. */
+  def unimaxAlloc(sizes: DataFrame, groupCol: String, maxEpochs: Long,
+                  budNum: Long, budDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = sizes.withColumn("cap", col("t_tok") * maxEpochs)
+    val w = Window.orderBy("cap", groupCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val idx = caps
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum("cap").over(cum))
+      .withColumn("l", count(lit(1)).over(all))
+      .withColumn("tot", sum("t_tok").over(all))
+      .withColumn("bud", expr(s"tot * ${budNum}L div ${budDen}L"))
+      // group i (and, caps ascending, every smaller one) fits its full
+      // cap iff granting >= cap_i to it and all later groups stays
+      // within budget
+      .withColumn("capped",
+        col("cap") * (col("l") - col("i") + 1) + (col("pfx") - col("cap"))
+          <= col("bud"))
+    val kf = idx.agg(
+      max(when(col("capped"), col("i")).otherwise(0L)).as("k"),
+      max(when(col("capped"), col("pfx")).otherwise(0L)).as("pk"))
+    idx.crossJoin(broadcast(kf))
+      .withColumn("alloc", when(col("i") <= col("k"), col("cap"))
+        .otherwise(expr("(bud - pk) div (l - k)")))
+      .withColumn("epochs_per_mille", expr("alloc * 1000 div t_tok"))
+      .select(groupCol, "t_tok", "cap", "alloc", "epochs_per_mille")
+  }
+
   /** Exact per-group median of an integer score: the rank-(n+1)/2
     * element under (score, tiebreaker) order — integer rank on integer
     * values, no interpolation, engine-exact. One window shuffle on the

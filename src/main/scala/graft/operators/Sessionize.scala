@@ -199,9 +199,16 @@ object Sessionize {
     * whose type is outside `stages` never survive the first filter.
     * Returns one row per user that completed ≥ 1 stage:
     * (user, stage_1_ts … stage_n_ts) with nulls from the first
-    * uncompleted stage on. */
+    * uncompleted stage on.
+    *
+    * With a finite `withinNs` the semantics are GREEDY-EARLIEST (the
+    * convention funnel products use): each stage anchors at the
+    * earliest completion of the previous stage — a user whose only
+    * in-bound chain runs through a LATER stage-k occurrence does not
+    * convert. The oracle replays the same chaining. */
   def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, stages: Seq[String]): DataFrame = {
+                  typeCol: String, stages: Seq[String],
+                  withinNs: Long = Long.MaxValue): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"stages must be non-empty and distinct, got $stages")
     val base = events.select(col(userCol).as("user"),
@@ -213,9 +220,14 @@ object Sessionize {
       case (acc, (stage, i)) =>
         val prev = s"stage_${i}_ts"
         val cur = s"stage_${i + 1}_ts"
+        // withinNs bounds the stage-to-stage delay (R37b: "purchase
+        // within an hour of the click" — the product question an
+        // unbounded funnel over-counts). ts > prev keeps the diff
+        // positive, so the bound never overflows at the default.
         val nxt = base.filter(col("tp") === stage)
           .join(acc.select(col("user"), col(prev).as("__prev")), "user")
-          .filter(col("ts") > col("__prev"))
+          .filter(col("ts") > col("__prev") &&
+            col("ts") - col("__prev") <= withinNs)
           .groupBy("user").agg(min(col("ts")).as(cur))
         acc.join(nxt.select(col("user"), col(cur)), Seq("user"), "left")
     }
@@ -226,8 +238,9 @@ object Sessionize {
     * per-mille conversion vs the FIRST stage — the one-line funnel
     * summary (S rows). */
   def funnelReport(events: DataFrame, userCol: String, tsCol: String,
-                   typeCol: String, stages: Seq[String]): DataFrame = {
-    val times = funnelTimes(events, userCol, tsCol, typeCol, stages)
+                   typeCol: String, stages: Seq[String],
+                   withinNs: Long = Long.MaxValue): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, stages, withinNs)
     val counts = times.agg(
       count(col("stage_1_ts")).as("n_1"),
       (2 to stages.size).map(i =>

@@ -187,6 +187,19 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R37b: time-bounded funnel — each stage must land within 1h of
+    // the previous stage's earliest completion (greedy-earliest, the
+    // funnel-product convention); the unbounded funnel over-counts
+    // conversions that took a week. Same plan shape as R37 (all stages
+    // cluster on the one user key), one extra bound predicate.
+    "q_event_funnel_bounded" -> { (s, dir) =>
+      import graft.operators.Sessionize
+      Sessionize.funnelReport(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          withinNs = 3600000000000L)
+        .orderBy("stage_idx")
+    },
+
     // R38: cohort retention — users grouped by first-active day, per
     // (cohort, day-offset) distinct-active counts + integer per-mille
     // retention vs the cohort size. Two user-keyed aggregations (the
@@ -979,6 +992,36 @@ object AnalyticsQueries {
         |s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e
         |       JOIN s2 ON e.user_id = s2.user_id
         |       WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    n1 AS n_users,
+        |    CAST(n1 * 1000 // greatest(n1, 1) AS BIGINT) AS conv_per_mille
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, CAST(n2 * 1000 // greatest(n1, 1) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
+        |ORDER BY stage_idx""".stripMargin,
+
+    // R37b twin: same chained-min replay with the 1h stage-to-stage
+    // bound added to each hop.
+    "q_event_funnel_bounded" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(tsn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(tsn) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tsn > t1
+        |         AND tsn - t1 <= 3600000000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tsn > t2
+        |         AND tsn - t2 <= 3600000000000 GROUP BY e.user_id),
         |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
         |             (SELECT COUNT(*) FROM s2) AS n2,
         |             (SELECT COUNT(*) FROM s3) AS n3)

@@ -82,6 +82,25 @@ object CurationQueries {
         .limit(50)
     },
 
+    // L33c: UniMax budget allocation (Chung et al. 2023) — given a
+    // token budget (80% of the corpus) and a max-epoch cap (1: sample
+    // without repetition), water-fill the per-language allocations:
+    // languages too small to absorb an equal share get their full cap,
+    // the rest split the remaining budget equally (on this corpus the
+    // four small languages cap out and en takes the remainder — the
+    // split point is genuinely exercised). The closed-form split makes
+    // the sequential water-fill one window pass over the L-row
+    // (language-count-bounded) size table — the corpus contributes
+    // exactly ONE token-count aggregate. All integer arithmetic: caps,
+    // prefix sums, floor-div shares — value-exact in the replay.
+    "q_unimax_alloc" -> { (s, dir) =>
+      val sizes = t(s, dir, "documents")
+        .groupBy("lang").agg(sum(token_count(col("text"))).as("t_tok"))
+      Curate.unimaxAlloc(sizes, "lang", maxEpochs = 1L,
+          budNum = 4L, budDen = 5L)
+        .orderBy("lang")
+    },
+
     // L29: Gopher-style repetition signals — the within-document
     // repetition quality filter: duplicate-token fraction, most-frequent
     // -bigram mass, duplicate-trigram fraction, and the keep decision.
@@ -904,6 +923,42 @@ object CurationQueries {
         |ORDER BY score_q DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_classifier_train" -> classifierTrainSql(64, 3, 1L, 1L),
+
+    // UniMax water-filling replay: same caps, prefix sums, split
+    // point, and floor-div share — all integer.
+    "q_unimax_alloc" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sizes AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t_tok
+        |          FROM toks GROUP BY lang),
+        |caps AS (SELECT lang, t_tok, t_tok * 1 AS cap FROM sizes),
+        |idx AS (
+        |  SELECT lang, t_tok, cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        |    CAST(SUM(cap) OVER (ORDER BY cap, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS l,
+        |    CAST(SUM(t_tok) OVER () * 4 // 5 AS BIGINT) AS bud
+        |  FROM caps),
+        |flag AS (
+        |  SELECT idx.*,
+        |    cap * (l - i + 1) + (pfx - cap) <= bud AS capped
+        |  FROM idx),
+        |kf AS (
+        |  SELECT MAX(CASE WHEN capped THEN i ELSE 0 END) AS k,
+        |         MAX(CASE WHEN capped THEN pfx ELSE 0 END) AS pk
+        |  FROM flag)
+        |SELECT f.lang, f.t_tok, f.cap,
+        |  CAST(CASE WHEN f.i <= kf.k THEN f.cap
+        |            ELSE (f.bud - kf.pk) // (f.l - kf.k) END AS BIGINT) AS alloc,
+        |  CAST((CASE WHEN f.i <= kf.k THEN f.cap
+        |             ELSE (f.bud - kf.pk) // (f.l - kf.k) END) * 1000 // f.t_tok
+        |    AS BIGINT) AS epochs_per_mille
+        |FROM flag f, kf
+        |ORDER BY f.lang""".stripMargin,
     "q_link_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L),
     "q_trust_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L,
       Some("SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +

@@ -622,6 +622,25 @@ class CurationSpec extends SparkSpec {
       "scorecard diverged from the standalone rule operators")
   }
 
+  test("unimax water-fill: caps bind in size order, remainder splits equally") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // sizes 10/20/100, cap 1 epoch, budget (130*4)//5 = 104:
+    // a and b cap out (10+20=30), c gets 104-30 = 74 of its 100
+    val sizes = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "t_tok")
+    val got = Curate.unimaxAlloc(sizes, "g", 1L, 4L, 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc"), r.getAs[Long]("epochs_per_mille"))).toMap
+    assert(got == Map("a" -> (10L, 1000L), "b" -> (20L, 1000L),
+      "c" -> (74L, 740L)))
+    // allocations never exceed the budget and never exceed a cap
+    assert(got.values.map(_._1).sum <= 104L)
+    // budget >= sum of caps: everyone caps out at maxEpochs
+    val all = Curate.unimaxAlloc(sizes, "g", 2L, 2L, 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(all == Map("a" -> 20L, "b" -> 40L, "c" -> 200L))
+  }
+
   test("calibration audit: bins partition the corpus, rates bounded, ordered") {
     val bins = CurationQueries.queries("q_calibration")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -75,6 +75,25 @@ class SessionizeSpec extends SparkSpec {
     assert(rep(3L) == (1L, 333L))
   }
 
+  test("bounded funnel: a conversion outside the window doesn't count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // tight
+      (2L, 10L, "view"), (2L, 500L, "click"),                       // click late
+      (3L, 10L, "view"), (3L, 20L, "click"), (3L, 900L, "purchase") // buy late
+    ).toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val un = Sessionize.funnelReport(ev, "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bd = Sessionize.funnelReport(ev, "user_id", "ts", "event_type", stages,
+        withinNs = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(un == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+    // bounded: user 2's click at +490 and user 3's purchase at +880
+    // fall outside the 100ns window
+    assert(bd == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
   private def incVsFull(ev: DataFrame, cutoff: Long, gap: Long) = {
     val full = rows(Sessionize.plain(ev, "user_id", gap))
     val prior = Sessionize.sessionFrames(
