@@ -51,6 +51,30 @@ object Curate {
       .select(groupCol, "t_tok", "cap", "alloc", "epochs_per_mille")
   }
 
+  /** L33d: MATERIALIZE a UniMax allocation — each group's documents
+    * replicate `alloc div t_tok` times (full epochs) plus one
+    * fractional-epoch copy kept by the deterministic md5-prefix
+    * threshold (the [[Mix]] scheme: content-hash sampling, so re-runs,
+    * engines, and partitionings agree; the fractional keep rate
+    * quantizes to 1/65536). Row growth is exactly the epoch factor —
+    * the explode is bounded by maxEpochs+1, never data-dependent
+    * unbounded. Output = input rows + an `epoch` copy index; a doc
+    * appears full_ep or full_ep+1 times. */
+  def unimaxApply(docs: DataFrame, contentCol: String, groupCol: String,
+                  alloc: DataFrame): DataFrame = {
+    val a = alloc.select(col(groupCol), col("t_tok"), col("alloc"))
+      .withColumn("full_ep", expr("alloc div t_tok"))
+      .withColumn("frac_num", expr("alloc % t_tok"))
+      .withColumn("thr", when(col("frac_num") === 0L, lit("0000"))
+        .otherwise(lpad(lower(hex(expr("frac_num * 65536 div t_tok"))), 4, "0")))
+      .select(groupCol, "full_ep", "thr")
+    docs.join(broadcast(a), groupCol)
+      .withColumn("epoch", explode(sequence(lit(0L), col("full_ep"))))
+      .filter(col("epoch") < col("full_ep") ||
+        substring(md5(col(contentCol)), 1, 4) < col("thr"))
+      .drop("full_ep", "thr")
+  }
+
   /** Exact per-group median of an integer score: the rank-(n+1)/2
     * element under (score, tiebreaker) order — integer rank on integer
     * values, no interpolation, engine-exact. One window shuffle on the

@@ -101,6 +101,27 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L33d: the allocation MATERIALIZED — maxEpochs 3, budget 2× the
+    // corpus: the smallest language replicates to 3 full epochs while
+    // the rest get fractional epochs via the content-hash threshold
+    // (upsample-the-tail, the multilingual-pretraining move UniMax
+    // exists for). The per-lang rollup proves row counts, token mass,
+    // and copy depth all land exactly where the water-fill said.
+    "q_unimax_apply" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val sizes = d.groupBy("lang")
+        .agg(sum(token_count(col("text"))).as("t_tok"))
+      val alloc = Curate.unimaxAlloc(sizes, "lang", maxEpochs = 3L,
+        budNum = 2L, budDen = 1L)
+      Curate.unimaxApply(d, "text", "lang", alloc)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(token_count(col("text"))).as("sum_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          (max("epoch") + lit(1L)).as("max_copies"))
+        .orderBy("lang")
+    },
+
     // L29: Gopher-style repetition signals — the within-document
     // repetition quality filter: duplicate-token fraction, most-frequent
     // -bigram mass, duplicate-trigram fraction, and the keep decision.
@@ -861,6 +882,41 @@ object CurationQueries {
     sb.toString
   }
 
+  /** DuckDB twin of `Curate.unimaxAlloc` over per-lang token sizes
+    * (leading WITH included, ends at the `ua` CTE with
+    * (lang, t_tok, cap, alloc)) — parameterized exactly like the
+    * Scala call sites. */
+  private def unimaxCteSql(maxEpochs: Long, budNum: Long, budDen: Long): String =
+    s"""WITH toks AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |sizes AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t_tok
+      |          FROM toks GROUP BY lang),
+      |caps AS (SELECT lang, t_tok, t_tok * $maxEpochs AS cap FROM sizes),
+      |idx AS (
+      |  SELECT lang, t_tok, cap,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+      |    CAST(SUM(cap) OVER (ORDER BY cap, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS l,
+      |    CAST(SUM(t_tok) OVER () * $budNum // $budDen AS BIGINT) AS bud
+      |  FROM caps),
+      |flag AS (
+      |  SELECT idx.*,
+      |    cap * (l - i + 1) + (pfx - cap) <= bud AS capped
+      |  FROM idx),
+      |kf AS (
+      |  SELECT MAX(CASE WHEN capped THEN i ELSE 0 END) AS k,
+      |         MAX(CASE WHEN capped THEN pfx ELSE 0 END) AS pk
+      |  FROM flag),
+      |ua AS (
+      |  SELECT f.lang, f.t_tok, f.cap,
+      |    CAST(CASE WHEN f.i <= kf.k THEN f.cap
+      |              ELSE (f.bud - kf.pk) // (f.l - kf.k) END AS BIGINT) AS alloc
+      |  FROM flag f, kf)""".stripMargin
+
   /** DuckDB twin of [[classifierMargin]] (leading WITH included, ends
     * at the `m` CTE): kept in LOCKSTEP with the Scala frame. */
   private val classifierMarginCteSql: String =
@@ -927,38 +983,35 @@ object CurationQueries {
     // UniMax water-filling replay: same caps, prefix sums, split
     // point, and floor-div share — all integer.
     "q_unimax_alloc" ->
-      """WITH toks AS (
-        |  SELECT lang,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
-        |      AS BIGINT) AS n_tok
-        |  FROM documents),
-        |sizes AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t_tok
-        |          FROM toks GROUP BY lang),
-        |caps AS (SELECT lang, t_tok, t_tok * 1 AS cap FROM sizes),
-        |idx AS (
-        |  SELECT lang, t_tok, cap,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
-        |    CAST(SUM(cap) OVER (ORDER BY cap, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS l,
-        |    CAST(SUM(t_tok) OVER () * 4 // 5 AS BIGINT) AS bud
-        |  FROM caps),
-        |flag AS (
-        |  SELECT idx.*,
-        |    cap * (l - i + 1) + (pfx - cap) <= bud AS capped
-        |  FROM idx),
-        |kf AS (
-        |  SELECT MAX(CASE WHEN capped THEN i ELSE 0 END) AS k,
-        |         MAX(CASE WHEN capped THEN pfx ELSE 0 END) AS pk
-        |  FROM flag)
-        |SELECT f.lang, f.t_tok, f.cap,
-        |  CAST(CASE WHEN f.i <= kf.k THEN f.cap
-        |            ELSE (f.bud - kf.pk) // (f.l - kf.k) END AS BIGINT) AS alloc,
-        |  CAST((CASE WHEN f.i <= kf.k THEN f.cap
-        |             ELSE (f.bud - kf.pk) // (f.l - kf.k) END) * 1000 // f.t_tok
-        |    AS BIGINT) AS epochs_per_mille
-        |FROM flag f, kf
-        |ORDER BY f.lang""".stripMargin,
+      s"""${unimaxCteSql(1, 4, 5)}
+        |SELECT lang, t_tok, cap, alloc,
+        |  CAST(alloc * 1000 // t_tok AS BIGINT) AS epochs_per_mille
+        |FROM ua ORDER BY lang""".stripMargin,
+
+    // L33d: the materialized allocation — full-epoch replication via
+    // a lateral range, fractional epoch via the same md5-prefix
+    // threshold string compare (to_hex lower-case in both engines).
+    "q_unimax_apply" ->
+      s"""${unimaxCteSql(3, 2, 1)},
+        |ath AS (
+        |  SELECT lang, t_tok, alloc, alloc // t_tok AS full_ep,
+        |    CASE WHEN alloc % t_tok = 0 THEN '0000'
+        |         ELSE lpad(lower(to_hex((alloc % t_tok) * 65536 // t_tok)), 4, '0')
+        |    END AS thr
+        |  FROM ua),
+        |ex AS (
+        |  SELECT d.doc_id, d.lang, e.i AS epoch, a.full_ep, a.thr,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_tok,
+        |    substr(md5(d.text), 1, 4) AS h
+        |  FROM documents d
+        |  JOIN ath a USING (lang), UNNEST(range(0, a.full_ep + 1)) AS e(i)),
+        |kept AS (SELECT * FROM ex WHERE epoch < full_ep OR h < thr)
+        |SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(MAX(epoch) + 1 AS BIGINT) AS max_copies
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q_link_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L),
     "q_trust_rank" -> linkRankSql(4, 85L, 100L, 1000000000000L,
       Some("SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node " +

@@ -641,6 +641,29 @@ class CurationSpec extends SparkSpec {
     assert(all == Map("a" -> 20L, "b" -> 40L, "c" -> 200L))
   }
 
+  test("unimax apply: full epochs replicate exactly, zero fraction adds nothing") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Seq((1L, "aa bb", "x"), (2L, "cc dd", "x"), (3L, "ee", "y"))
+      .toDF("doc_id", "text", "g")
+    // group x: alloc 8 of t_tok 4 -> exactly 2 full epochs, frac 0;
+    // group y: alloc 3 of t_tok 1 -> 3 full epochs
+    val alloc = Seq(("x", 4L, 8L), ("y", 1L, 3L)).toDF("g", "t_tok", "alloc")
+    val out = Curate.unimaxApply(docs, "text", "g", alloc)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 3L),
+      "copies = alloc div t_tok exactly when the fraction is zero")
+    // fractional epoch: alloc 6 of 4 -> 1 full epoch + ~half the docs
+    val half = Seq(("x", 4L, 6L)).toDF("g", "t_tok", "alloc")
+    val got = Curate.unimaxApply(docs.filter($"g" === "x"), "text", "g", half)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(c => c == 1L || c == 2L),
+      "every doc keeps its full epoch; only some get the fractional copy")
+    assert(got.values.sum < 6L, "the fractional copy is a strict subset")
+  }
+
   test("calibration audit: bins partition the corpus, rates bounded, ordered") {
     val bins = CurationQueries.queries("q_calibration")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
