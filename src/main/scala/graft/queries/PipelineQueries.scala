@@ -597,6 +597,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L62: interpolated TRIGRAM LM scoring — the next rung up from the
+    // bigram model (L14): per trigram the interpolation
+    // (2·p(w3|w1w2) + p(w3|w2) + p(w3)) / 4 with each conditional
+    // floor-quantized to an integer BEFORE the combine (the bigram
+    // LM's quantize-then-int rule, so the per-doc mean is an
+    // order-insensitive integer aggregate — no libm, no float sums).
+    // Count tables are vocab-bounded; the corpus pays one trigram
+    // explode + token-keyed joins against them.
+    "q_lm_trigram" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), tokenize_ws(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val nTok = toks.agg(sum(size(col("t"))).as("n_tok"))
+      val bg = Shared.bigramPairs(docs, "doc_id", "text")
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      val tri = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"),
+            element_at(col("t"), i + 2).as("w3")))).as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      val tc = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+      def q(num: org.apache.spark.sql.Column,
+            den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(num.cast("double") / den * 1e8 + 0.5).cast("long")
+      tri
+        .join(tc, Seq("w1", "w2", "w3"))
+        .join(bg.select(col("prev").as("w1"), col("cur").as("w2"),
+          col("cb").as("c12")), Seq("w1", "w2"))
+        .join(bg.select(col("prev").as("w2"), col("cur").as("w3"),
+          col("cb").as("c23")), Seq("w2", "w3"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+        .join(uni.select(col("w").as("w3"), col("cu").as("c3")), "w3")
+        .crossJoin(broadcast(nTok))
+        .withColumn("q3", q(col("ct"), col("c12")))
+        .withColumn("q2", q(col("c23"), col("c2")))
+        .withColumn("q1", q(col("c3"), col("n_tok")))
+        .withColumn("sc", expr("(2 * q3 + q2 + q1) div 4"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          expr("sum(sc) div count(1)").as("lm3_q"))
+        .orderBy("doc_id")
+    },
+
     // L15: deterministic content sampling — the reproducible-subsets
     // primitive for training pipelines: membership is a pure function
     // of the content hash (md5 prefix < threshold ⇒ ~12.5% sample), so
@@ -1076,6 +1122,40 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // L62: same quantize-then-int interpolation — each conditional
+    // floor-quantized to 1e8 before the (2,1,1)/4 integer combine.
+    "q_lm_trigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT UNNEST(t) AS w FROM toks),
+        |uc AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+        |ntok AS (SELECT COUNT(*) AS n_tok FROM uni),
+        |bg AS (
+        |  SELECT t[i] AS prev, t[i+1] AS cur
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        |bc AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur),
+        |tri AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+        |tc AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tri GROUP BY w1, w2, w3),
+        |sc AS (
+        |  SELECT tri.doc_id,
+        |    (2 * CAST(FLOOR(CAST(tc.ct AS DOUBLE) / b12.cb * 100000000 + 0.5) AS BIGINT)
+        |       + CAST(FLOOR(CAST(b23.cb AS DOUBLE) / u2.cu * 100000000 + 0.5) AS BIGINT)
+        |       + CAST(FLOOR(CAST(u3.cu AS DOUBLE) / nt.n_tok * 100000000 + 0.5) AS BIGINT))
+        |      // 4 AS s
+        |  FROM tri
+        |  JOIN tc USING (w1, w2, w3)
+        |  JOIN bc b12 ON b12.prev = tri.w1 AND b12.cur = tri.w2
+        |  JOIN bc b23 ON b23.prev = tri.w2 AND b23.cur = tri.w3
+        |  JOIN uc u2 ON u2.w = tri.w2
+        |  JOIN uc u3 ON u3.w = tri.w3
+        |  CROSS JOIN ntok nt)
+        |SELECT doc_id, COUNT(*) AS n_tri,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm3_q
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Computed from the PARQUET table — q_jsonl_roundtrip reads the
     // gzip-JSONL export, so a hash match proves the sink/source path

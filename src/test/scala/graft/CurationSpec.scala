@@ -622,6 +622,26 @@ class CurationSpec extends SparkSpec {
       "scorecard diverged from the standalone rule operators")
   }
 
+  test("trigram LM: predictable text outscores diverse text") {
+    import spark.implicits._
+    // write the corpus to a temp dir so the registered query (which
+    // reads documents.parquet) can run on planted data
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c", "en", "s", 23L), // fully predictable
+      (2L, "a c b b a c c b a b c a", "en", "s", 23L)) // same vocab, shuffled
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.PipelineQueries.queries("q_lm_trigram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm3_q")).toMap
+    assert(got(1L) > got(2L),
+      s"the repeating pattern must score as more predictable: $got")
+    // a fully deterministic chain: every trigram in doc 1 repeats, so
+    // its interpolated score is bounded below by the trigram term alone
+    assert(got(1L) > 100000000L / 4,
+      s"doc 1's trigram conditionals are near-certain: $got")
+  }
+
   test("unimax water-fill: caps bind in size order, remainder splits equally") {
     import spark.implicits._
     import graft.operators.Curate
