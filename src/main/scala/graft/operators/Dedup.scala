@@ -496,6 +496,56 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** L61: per-node triangle counts and clustering coefficient over an
+    * undirected pair graph (doc_id1 < doc_id2 rows) — the cliquishness
+    * audit of a near-dup graph: coefficient ≈ 1 marks true duplicate
+    * cliques (safe to collapse), low coefficients mark chain-shaped
+    * components where transitive collapse (L19) is merging documents
+    * that never directly matched.
+    *
+    * Scale shape: edges are re-oriented low-degree → high-degree
+    * (ties by id) — the standard compact-forward trick, which bounds
+    * every node's OUT-degree by O(√m) regardless of hub degrees, so
+    * the wedge self-join never explodes on a hub the way an id-ordered
+    * orientation can. Each triangle is found exactly once (at its
+    * unique two-out-edge apex) and credited to all three corners.
+    * Returns (id, deg, n_tri, clus_per_mille) for every node with an
+    * edge; coefficient = 2000·tri div (deg·(deg−1)), 0 for deg < 2. */
+  def triangleStats(pairs: DataFrame, id1Col: String = "doc_id1",
+                    id2Col: String = "doc_id2"): DataFrame = {
+    val e0 = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
+    val deg = e0.select(col("u").as("n"))
+      .unionAll(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("d"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.d") < col("y.d"))
+      .select(col("x.s").as("apex"), col("x.d").as("d1"), col("y.d").as("d2"))
+    // closing edge checked against the CANONICAL (id-ordered) edge set
+    // — orientation of the third edge is unknown at the wedge
+    val tri = wedges.join(e0,
+        least(col("d1"), col("d2")) === col("u") &&
+          greatest(col("d1"), col("d2")) === col("v"))
+      .select("apex", "d1", "d2")
+    val nodeTri = tri
+      .select(explode(array(col("apex"), col("d1"), col("d2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(nodeTri, Seq("n"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("clus_per_mille",
+        when(col("deg") >= 2, expr("n_tri * 2000 div (deg * (deg - 1))"))
+          .otherwise(0L))
+      .select(col("n").as("id"), col("deg"), col("n_tri"), col("clus_per_mille"))
+  }
+
   /** Clustered near-dup removal: one survivor per connected component
     * (the minimum id), everything else anti-joined away. Strictly
     * stronger than [[removeNearDups]]: transitive duplicates collapse

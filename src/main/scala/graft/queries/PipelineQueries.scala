@@ -348,6 +348,19 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // L61: dup-graph triangle audit — per-node triangle counts +
+    // clustering coefficient over the persisted jaccard pair graph
+    // (compact-forward degree orientation: out-degree bounded O(√m),
+    // wedge join hub-safe). Coefficient ≈ 1000 marks true dup cliques;
+    // low values mark chain components where transitive collapse is
+    // merging docs that never directly matched.
+    "q_dup_triangles" -> { (s, dir) =>
+      Dedup.triangleStats(jaccardPairGraph(s, dir))
+        .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
+          col("clus_per_mille"))
+        .orderBy("doc_id")
+    },
+
     // L20: sequence-packing shard assignment — distributed prefix sum
     // (per-bucket window + broadcast offsets), provably equal to the
     // oracle's single ORDER BY cumsum.
@@ -1122,6 +1135,31 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // L61: triangle replay over the exact pair CTE (reach is an unused
+    // CTE here — DuckDB only evaluates referenced CTEs). The closing
+    // edge reads the canonical id-ordered pair set, matching the
+    // Scala wedge check exactly; orientation itself needs no replay
+    // (any orientation finds the same triangle set).
+    "q_dup_triangles" ->
+      s"""${Shared.clusterReachCteSql},
+        |w AS (SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c
+        |      FROM p x JOIN p y ON x.id2 = y.id1),
+        |tr AS (SELECT w.a, w.b, w.c FROM w
+        |       JOIN p z ON z.id1 = w.a AND z.id2 = w.c),
+        |nt AS (SELECT n, COUNT(*) AS n_tri FROM (
+        |         SELECT a AS n FROM tr UNION ALL
+        |         SELECT b FROM tr UNION ALL
+        |         SELECT c FROM tr) GROUP BY n),
+        |dg AS (SELECT n, COUNT(*) AS deg FROM (
+        |         SELECT id1 AS n FROM p UNION ALL
+        |         SELECT id2 FROM p) GROUP BY n)
+        |SELECT dg.n AS doc_id, dg.deg, COALESCE(nt.n_tri, 0) AS n_tri,
+        |  CAST(CASE WHEN dg.deg >= 2
+        |       THEN COALESCE(nt.n_tri, 0) * 2000 // (dg.deg * (dg.deg - 1))
+        |       ELSE 0 END AS BIGINT) AS clus_per_mille
+        |FROM dg LEFT JOIN nt ON nt.n = dg.n
+        |ORDER BY doc_id""".stripMargin,
 
     // L62: same quantize-then-int interpolation — each conditional
     // floor-quantized to 1e8 before the (2,1,1)/4 integer combine.

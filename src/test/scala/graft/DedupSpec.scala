@@ -423,4 +423,29 @@ class DedupSpec extends SparkSpec {
       .collect().head
     assert(k1.getAs[Long]("k") == 1L && k1.getAs[Long]("mink_q") == 10L)
   }
+
+  test("triangle stats: cliques score 1000, chains 0, hubs in between") {
+    // 4-clique {1,2,3,4}: every node deg 3, 3 triangles, coeff 1000.
+    // path 10-11-12: middle node deg 2, no triangle, coeff 0.
+    // hub 20 with spokes 21,22,23 and ONE closed spoke pair (21,22):
+    // hub deg 3, 1 triangle -> 2000/6 = 333.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L))
+      .toDF("doc_id1", "doc_id2")
+    val got = Dedup.triangleStats(pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (n <- Seq(1L, 2L, 3L, 4L))
+      assert(got(n) == (3L, 3L, 1000L), s"clique node $n: ${got(n)}")
+    assert(got(11L) == (2L, 0L, 0L), "chain middle has no triangle")
+    assert(got(10L) == (1L, 0L, 0L), "leaf: deg 1, coefficient 0")
+    assert(got(20L) == (3L, 1L, 333L), "hub with one closed pair")
+    assert(got(21L) == (2L, 1L, 1000L))
+    assert(got(23L) == (1L, 0L, 0L))
+    // triangle mass: 4-clique has 4 triangle-corners*3 = C(4,3)*3 = 12,
+    // hub adds 3 -> total corner count 15
+    assert(got.values.map(_._2).sum == 15L)
+  }
 }
