@@ -200,6 +200,23 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R37c: session-scoped funnel — conversion must complete INSIDE
+    // one session (view→click→purchase with no 60s silence in
+    // between): the composite (user, sess_id) key drops straight into
+    // the R37 chained-min machinery (funnelTimes groups by an opaque
+    // key — a struct works), so "n_users" here counts SESSIONS. The
+    // between-sessions conversions the unbounded funnel counts
+    // disappear; sessionization and funnel share the user shuffle.
+    "q_session_funnel" -> { (s, dir) =>
+      import graft.operators.Sessionize
+      val tagged = Sessionize.withSessionIds(t(s, dir, "events"),
+          "user_id", RelationalQueries.GapNs)
+        .withColumn("__uk", struct(col("user_id"), col("sess_id")))
+      Sessionize.funnelReport(tagged, "__uk", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    },
+
     // R38: cohort retention — users grouped by first-active day, per
     // (cohort, day-offset) distinct-active counts + integer per-mille
     // retention vs the cohort size. Two user-keyed aggregations (the
@@ -992,6 +1009,48 @@ object AnalyticsQueries {
         |s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e
         |       JOIN s2 ON e.user_id = s2.user_id
         |       WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+        |             (SELECT COUNT(*) FROM s2) AS n2,
+        |             (SELECT COUNT(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |    n1 AS n_users,
+        |    CAST(n1 * 1000 // greatest(n1, 1) AS BIGINT) AS conv_per_mille
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, CAST(n2 * 1000 // greatest(n1, 1) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
+        |ORDER BY stage_idx""".stripMargin,
+
+    // R37c twin: the chained-min replay per (user, session) — the
+    // session ids come from the shared gap rule.
+    "q_session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 60000000000
+        |           THEN 1
+        |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_type, tns,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged),
+        |e AS (SELECT user_id, sess_id, tns, event_type FROM sessions
+        |      WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, sess_id, MIN(tns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id, sess_id),
+        |s2 AS (SELECT e.user_id, e.sess_id, MIN(tns) AS t2 FROM e
+        |       JOIN s1 USING (user_id, sess_id)
+        |       WHERE event_type = 'click' AND tns > t1
+        |       GROUP BY e.user_id, e.sess_id),
+        |s3 AS (SELECT e.user_id, e.sess_id, MIN(tns) AS t3 FROM e
+        |       JOIN s2 USING (user_id, sess_id)
+        |       WHERE event_type = 'purchase' AND tns > t2
+        |       GROUP BY e.user_id, e.sess_id),
         |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
         |             (SELECT COUNT(*) FROM s2) AS n2,
         |             (SELECT COUNT(*) FROM s3) AS n3)

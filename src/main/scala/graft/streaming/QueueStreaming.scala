@@ -506,6 +506,56 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13n: continuously-maintained session table — the streaming twin
+    * of R20f's incremental sessionization. Each trigger merges its
+    * batch into the persisted session frames
+    * ([[graft.operators.Sessionize.incremental]]: one-row-per-user
+    * boundary join, history never re-shuffles) and commits the merged
+    * frame set under `storePath/batch=N` (overwrite). Replay safety is
+    * the quantile monitor's versioned-store discipline: a replayed
+    * batch re-reads the latest version BELOW its own id and rewrites
+    * its own directory, so at-least-once foreachBatch never
+    * double-merges. Contract: per-user event-time-ordered batches (the
+    * queue-drain shape R20f assumes). Old versions are retained for
+    * replay; compact by dropping all but the latest K out-of-band. */
+  def sessionStoreStream(events: DataFrame, userCol: String, gapNs: Long,
+                         storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Sessionize
+        val spark = batch.sparkSession
+        val prior =
+          try {
+            // partition discovery surfaces `batch` as a column; select
+            // the frame columns explicitly so the merge's unionByName
+            // never sees it
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select(col(userCol), col("start_ts"), col("end_ts"),
+                col("n_events"), col("sum_dec")))
+          } catch { case _: Exception => None }
+        val merged = prior match {
+          case Some(p) => Sessionize.incremental(p, batch.toDF(), userCol, gapNs)
+          case None => Sessionize.sessionFrames(batch.toDF(), userCol, gapNs)
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Latest committed session-frame version under `storePath` —
+    * the read side of [[sessionStoreStream]]. */
+  def latestSessionFrames(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    val top = all.agg(max(col("batch").cast("long"))).head().getLong(0)
+    all.filter(col("batch").cast("long") === top).drop("batch")
+  }
+
   /** C13m: late-data accounting — the watermark's operational readout.
     * Watermarks DROP late rows silently; at 100 TB of daily events an
     * unmonitored drop rate is how a pipeline loses 1% of its data

@@ -658,6 +658,37 @@ class StreamingSpec extends SparkSpec {
       "streamed gate diverged from the batch twin")
   }
 
+  test("session store stream: per-trigger merge equals one-shot sessionization") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sessionize
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "event_id", "ts", "value")
+    val store = Files.createTempDirectory("sessstore").toString + "/frames"
+    val ckpt = Files.createTempDirectory("sessstore_ck").toString
+    val q = QueueStreaming.sessionStoreStream(df, "user_id", 100L, store, ckpt)
+    // trigger 1: two users, one session each so far
+    mem.addData((1L, 1L, 100L, 1.0), (1L, 2L, 150L, 2.0), (2L, 3L, 50L, 5.0))
+    q.processAllAvailable()
+    // trigger 2: user 1 extends its session across the trigger seam
+    // (180-150 <= gap) then opens a new one; user 3 appears
+    mem.addData((1L, 4L, 180L, 3.0), (1L, 5L, 500L, 4.0), (3L, 6L, 900L, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq((1L, 1L, 100L, 1.0), (1L, 2L, 150L, 2.0), (2L, 3L, 50L, 5.0),
+      (1L, 4L, 180L, 3.0), (1L, 5L, 500L, 4.0), (3L, 6L, 900L, 6.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    def fin(f: org.apache.spark.sql.DataFrame) =
+      Sessionize.finishFrames(f, "user_id").collect().map(_.toSeq).toSeq
+    val streamed = fin(QueueStreaming.latestSessionFrames(spark, store))
+    val batch = fin(Sessionize.sessionFrames(all, "user_id", 100L))
+    assert(streamed.nonEmpty && streamed == batch,
+      "the continuously-merged store must equal one-shot sessionization")
+    // the cross-seam session really merged: user 1 has sessions
+    // {100,150,180} and {500}
+    val u1 = streamed.filter(_.head == 1L)
+    assert(u1.map(r => r(2)) == Seq(3L, 1L), s"seam merge: $u1")
+  }
+
   test("late-data accounting: dropped-late rows surface per trigger") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
