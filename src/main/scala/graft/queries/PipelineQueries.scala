@@ -56,6 +56,15 @@ object PipelineQueries {
       p
     })
 
+  /** Shared gzip-CSV export — the sink side of the L58b roundtrip. */
+  private val csvMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvExport(s: SparkSession, dir: String): String =
+    csvMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_csv_" + RelationalQueries.dirKey(d)
+      graft.sources.Csv.write(t(s, d, "documents"), p, "gzip", Some(8))
+      p
+    })
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -359,6 +368,23 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
           col("clus_per_mille"))
         .orderBy("doc_id")
+    },
+
+    // L58b: CSV sink/source roundtrip — same gate as L58 over the
+    // quoting/escaping-sensitive format (RFC-4180 doubled quotes); the
+    // parquet-side oracle makes a hash match prove the CSV path is
+    // byte-lossless on this corpus.
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.sources.Csv.read(s, csvExport(s, dir), docs.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(md5(col("text"))).as("lo_md5"),
+          max(md5(col("text"))).as("hi_md5"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang", "source")
     },
 
     // L20: sequence-packing shard assignment — distributed prefix sum
@@ -1128,6 +1154,17 @@ object PipelineQueries {
        |FROM counted ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared sink-roundtrip oracle (computed from the PARQUET table —
+    * the roundtrip queries read the JSONL/CSV exports, so a hash
+    * match proves the respective path byte-lossless). */
+  private val roundtripOracleSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+      |  MIN(md5(text)) AS lo_md5, MAX(md5(text)) AS hi_md5,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -1196,15 +1233,10 @@ object PipelineQueries {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Computed from the PARQUET table — q_jsonl_roundtrip reads the
-    // gzip-JSONL export, so a hash match proves the sink/source path
-    // is byte-lossless (md5-exact text, id/char sums intact).
-    "q_jsonl_roundtrip" ->
-      """SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts,
-        |  MIN(md5(text)) AS lo_md5, MAX(md5(text)) AS hi_md5,
-        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // gzip-JSONL export (and q_csv_roundtrip the gzip-CSV export), so
+    // a hash match proves the sink/source path is byte-lossless
+    // (md5-exact text, id/char sums intact).
+    "q_jsonl_roundtrip" -> roundtripOracleSql,
 
     // The banded-MinHash chain replayed end to end — signatures,
     // slices, size prefilter, verify (see minhashOracleSql).
@@ -1979,5 +2011,8 @@ object PipelineQueries {
         |    END AS out_h
         |  FROM dims)
         |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
-        |FROM scaled ORDER BY doc_id""".stripMargin)
+        |FROM scaled ORDER BY doc_id""".stripMargin) ++
+    // the CSV roundtrip proves the same byte-fidelity claim over the
+    // quoting-sensitive format: one oracle, two sink/source paths
+    Map("q_csv_roundtrip" -> roundtripOracleSql)
 }
