@@ -70,6 +70,44 @@ object EventDemo {
     val sq = seqs.agg(count(lit(1)), sum("n_events")).head()
     line("training sequences", s"${sq.getLong(0)} rows " +
       s"covering ${sq.getLong(1)} events")
+
+    // r9 third push: the incremental daily path — last 20% of the log
+    // merges into the persisted session frames (no history re-shuffle),
+    // provably equal to the full recompute
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val cutoff = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 5L * 4L
+    val prior = Sessionize.sessionFrames(
+      ev.filter(col("ts") < cutoff), "user_id", 60000000000L)
+    val inc = Sessionize.finishFrames(
+      Sessionize.incremental(prior, ev.filter(col("ts") >= cutoff),
+        "user_id", 60000000000L), "user_id")
+    line("incremental merge", s"${inc.count()} sessions " +
+      s"(= ${sessions.count()} from full recompute)")
+
+    // concurrency profile: peak simultaneous sessions per day via the
+    // distributed sweep line
+    val conc = graft.operators.Sweep.concurrency(
+        Sessionize.sessionFrames(ev, "user_id", 60000000000L),
+        "start_ts", "end_ts", 86400000000000L)
+      .agg(max("peak")).head().getLong(0)
+    line("peak concurrency", s"$conc simultaneous sessions")
+
+    // bounded funnel: the 1h-window conversion next to the unbounded one
+    val bf = Sessionize.funnelReport(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinNs = 3600000000000L)
+      .orderBy("stage_idx").collect()
+    line("funnel (1h bound)", bf.map(r =>
+      s"${r.getAs[String]("stage")}=${r.getAs[Long]("n_users")}").mkString(" "))
+
+    // event-type transition matrix: the top next-event probability
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val topTrans = ev.withColumn("prev", lag("event_type", 1).over(byTime))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "event_type").count()
+      .orderBy(desc("count")).head()
+    line("top transition", s"${topTrans.getString(0)} -> " +
+      s"${topTrans.getString(1)} (${topTrans.getLong(2)} times)")
     spark.stop()
   }
 }

@@ -235,6 +235,28 @@ object PipelineDemo {
     println(f"[pipeline] ${"hybrid serving"}%-22s ${fused.count()}%7d hits " +
       s"(top doc per query: ${fused.filter(col("rank") === 1).orderBy("query_id")
         .collect().map(r => s"${r.getLong(0)}->${r.getLong(2)}").mkString(", ")})")
+
+    // r9 third push: canonical source accounting + UniMax mixing +
+    // JSONL export — the tail stages that turn a curated corpus into
+    // a training release.
+    val docsAll = graft.queries.RelationalQueries.t(spark, sfDir, "documents")
+    val canon = graft.operators.Resolve.canonicalMap(docsAll, "source", 2)
+    println(f"[pipeline] ${"canonical sources"}%-22s " +
+      f"${canon.select("canon").distinct().count()}%7d entities " +
+      s"from ${canon.count()} raw source spellings")
+    val sizes = docsAll.groupBy("lang")
+      .agg(sum(graft.functions.token_count(col("text"))).as("t_tok"))
+    val alloc = graft.operators.Curate.unimaxAlloc(sizes, "lang", 3L, 2L, 1L)
+    val remixed = graft.operators.Curate.unimaxApply(docsAll, "text", "lang", alloc)
+    println(f"[pipeline] ${"unimax mix (2x, e<=3)"}%-22s " +
+      f"${remixed.count()}%7d rows from ${docsAll.count()} docs")
+    val relDir = java.nio.file.Files
+      .createTempDirectory("graft_release").toString + "/corpus"
+    graft.sources.Jsonl.write(remixed.drop("epoch"), relDir, "gzip", Some(4))
+    val back = graft.sources.Jsonl.read(spark, relDir,
+      remixed.drop("epoch").schema)
+    println(f"[pipeline] ${"jsonl release"}%-22s ${back.count()}%7d rows " +
+      s"re-read from ${relDir.split('/').last}/ (gzip shards)")
     spark.stop()
   }
 }
