@@ -29,6 +29,31 @@ object Layout {
       .parquet(path)
   }
 
+  /** R24c: idempotent partition backfill — recompute ONE partition's
+    * data and splice it into an existing partitioned table without
+    * touching the others (the daily-reprocessing move: a bug fix or
+    * late data invalidates day=X; rewriting the whole table at 100 TB
+    * is a non-starter, and a plain `overwrite` would DELETE every
+    * other day). Uses dynamic partition overwrite: only the partition
+    * values present in `slice` are replaced. The write is idempotent —
+    * re-running the same backfill rewrites the same directories to the
+    * same content. `slice` must carry `partCols`; pass it through
+    * [[writeSized]]-style bucketing upstream if file-count bounds
+    * matter for the backfilled day. */
+  def backfillPartitions(slice: DataFrame, path: String,
+                         partCols: Seq[String],
+                         filesPerPartition: Int, idCol: String): Unit = {
+    val bucketed = slice.withColumn("__file_bucket",
+      pmod(xxhash64(col(idCol)), lit(filesPerPartition)))
+    bucketed
+      .repartition((partCols :+ "__file_bucket").map(col): _*)
+      .drop("__file_bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
   /** Morton/Z-value of two bucketized dimensions: bit i of `x` lands at
     * z-bit 2i, bit i of `y` at 2i+1. Inputs must already be in
     * [0, 2^bits). Pure long bit ops — whole-stage codegen'd. */

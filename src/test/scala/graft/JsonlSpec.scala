@@ -67,6 +67,50 @@ class JsonlSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("manifest: intact release validates clean; tampering is localized") {
+    import graft.sources.{Jsonl, Manifest}
+    val docs = table("documents")
+    val path = tmp("manifest")
+    Jsonl.write(docs, path, "none", Some(4))
+    val published = Manifest.forDir(spark, path, docs.schema, "doc_id", "jsonl")
+      .localCheckpoint(true)
+    assert(published.count() == 4, "one manifest row per shard")
+    // intact: nothing to report
+    val received = Manifest.forDir(spark, path, docs.schema, "doc_id", "jsonl")
+    assert(Manifest.validate(received, published).isEmpty)
+    // the consumer validates their RECEIVED COPY at their own path
+    // (fresh dirs also sidestep Spark's per-path listing cache, which
+    // would serve stale sizes for in-place edits — see Manifest docs)
+    import java.nio.file.{Files => F, Paths => P, StandardOpenOption}
+    def copyDir(to: String): Seq[String] = {
+      F.createDirectories(P.get(to))
+      F.list(P.get(path)).toArray.map(_.toString)
+        .filter(_.endsWith(".json")).sorted.map { f =>
+          val dst = s"$to/${f.split('/').last}"
+          F.copy(P.get(f), P.get(dst)); dst
+        }.toSeq
+    }
+    // copy with one shard tampered: a duplicated line appended
+    val tDir = tmp("manifest_t")
+    val tShards = copyDir(tDir)
+    val line = F.readAllLines(P.get(tShards.head)).get(0)
+    F.writeString(P.get(tShards.head), line + "\n", StandardOpenOption.APPEND)
+    val bad = Manifest.validate(
+      Manifest.forDir(spark, tDir, docs.schema, "doc_id", "jsonl"), published)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bad.length == 1 && bad.head._2 == "mismatch" &&
+      bad.head._1 == tShards.head.split('/').last,
+      s"exactly the tampered shard flags: ${bad.toSeq}")
+    // copy with one shard dropped: reports as missing
+    val mDir = tmp("manifest_m")
+    val mShards = copyDir(mDir)
+    F.delete(P.get(mShards.head))
+    val missing = Manifest.validate(
+      Manifest.forDir(spark, mDir, docs.schema, "doc_id", "jsonl"), published)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(missing.length == 1 && missing.head._2 == "missing_shard")
+  }
+
   test("corrupt lines surface in _corrupt_record instead of failing the read") {
     val path = tmp("bad")
     Jsonl.write(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "txt"), path, "none")

@@ -60,4 +60,37 @@ class LayoutSpec extends SparkSpec {
     assert(zx + zy < lx + ly, s"combined widths: z ${zx + zy} vs linear ${lx + ly}")
     assert(spark.read.parquet(zDir).count() == o.count())
   }
+
+  test("backfillPartitions replaces only the targeted day, byte-stable elsewhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill")
+      .toString + "/t"
+    val base = Seq((1L, 0L, "a"), (2L, 0L, "b"), (3L, 1L, "c"), (4L, 2L, "d"))
+      .toDF("id", "day", "v")
+    graft.operators.Layout.writeSized(base, dir, Seq("day"), 1, "id")
+    def fileSig(day: Long): Set[(String, Long)] = {
+      val d = java.nio.file.Paths.get(dir, s"day=$day")
+      java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(f => (f.split('/').last,
+          java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(f)).toMillis)).toSet
+    }
+    val day0Before = fileSig(0L)
+    val day2Before = fileSig(2L)
+    Thread.sleep(20) // ensure an overwrite would move mtime
+    // backfill day 1 with corrected data
+    val fix = Seq((3L, 1L, "c-fixed"), (30L, 1L, "late")).toDF("id", "day", "v")
+    graft.operators.Layout.backfillPartitions(fix, dir, Seq("day"), 1, "id")
+    assert(fileSig(0L) == day0Before, "day 0 files untouched")
+    assert(fileSig(2L) == day2Before, "day 2 files untouched")
+    val after = spark.read.parquet(dir)
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(after.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c-fixed"),
+      (4L, "d"), (30L, "late")))
+    // idempotence: re-running the same backfill changes nothing logical
+    graft.operators.Layout.backfillPartitions(fix, dir, Seq("day"), 1, "id")
+    assert(spark.read.parquet(dir).count() == 5)
+  }
 }
