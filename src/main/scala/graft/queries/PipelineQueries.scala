@@ -357,6 +357,25 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // L63: cross-source duplication matrix — which sources duplicate
+    // which (mirror/syndication detection, the report that turns
+    // pairwise dedup into crawl policy: a source pair with heavy
+    // cross-duplication gets one of its crawls cut). Probes the
+    // persisted pair graph and joins the narrow (doc, source) metadata
+    // twice — the corpus text never re-reads.
+    "q_dup_source_matrix" -> { (s, dir) =>
+      val meta = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairGraph(s, dir)
+        .join(meta.select(col("doc_id").as("doc_id1"), col("source").as("src1")),
+          "doc_id1")
+        .join(meta.select(col("doc_id").as("doc_id2"), col("source").as("src2")),
+          "doc_id2")
+        .select(least(col("src1"), col("src2")).as("source_a"),
+          greatest(col("src1"), col("src2")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // L61: dup-graph triangle audit — per-node triangle counts +
     // clustering coefficient over the persisted jaccard pair graph
     // (compact-forward degree orientation: out-degree bounded O(√m),
@@ -1172,6 +1191,19 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // L63: the exact pair CTE joined to source metadata twice.
+    "q_dup_source_matrix" ->
+      s"""${Shared.clusterReachCteSql},
+        |sm AS (
+        |  SELECT LEAST(da.source, db.source) AS source_a,
+        |         GREATEST(da.source, db.source) AS source_b
+        |  FROM p
+        |  JOIN documents da ON da.doc_id = p.id1
+        |  JOIN documents db ON db.doc_id = p.id2)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs
+        |FROM sm GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // L61: triangle replay over the exact pair CTE (reach is an unused
     // CTE here — DuckDB only evaluates referenced CTEs). The closing
