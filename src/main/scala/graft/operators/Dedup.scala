@@ -692,6 +692,29 @@ object Dedup {
       .write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Delete ids from a persisted signature table — the dedup-at-ingest
+    * erasure path (an erased document must stop matching future ingest
+    * probes, or its content leaks through dedup decisions). Anti-join
+    * + bucketed rewrite under the SAME (band, bucket) layout read from
+    * the catalog, so probes keep their zero-shuffle plan. Refuses to
+    * empty the table (that's a drop, not a delete). */
+  def removeSignatures(spark: org.apache.spark.sql.SparkSession,
+                       table: String, ids: DataFrame, idCol: String): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$table is not bucketed"))
+    val del = ids.select(col(idCol).as("id"))
+    val survivors = spark.table(table)
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    require(survivors.limit(1).count() > 0,
+      s"delete batch covers every id in $table — drop the table instead")
+    Lexical.dropManaged(spark, table)
+    survivors.write.mode("overwrite").bucketBy(buckets, "band", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Probe a persisted signature table with an incoming batch. */
   def minhashAgainstTable(incoming: DataFrame, idCol: String, textCol: String,
                           table: String, k: Int = 64, bands: Int = 8,
