@@ -690,6 +690,66 @@ object Dedup {
     jaccardPairs(df, idCol, textCol, blockCols, minJaccard, parallelBuckets,
       shingleN)
       .write.mode("overwrite").format("parquet").saveAsTable(table)
+    // the token-set sidecar makes the graph APPENDABLE: incremental
+    // maintenance needs the corpus side's exact sets, not its text
+    Lexical.dropManaged(df.sparkSession, s"${table}_toks")
+    pairToks(df, idCol, textCol, blockCols, shingleN)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_toks")
+  }
+
+  private def pairToks(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], shingleN: Int): DataFrame = {
+    val idSet =
+      if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
+      else shingle_id_set(tokenize_ws(col(textCol)), shingleN)
+    df.select(col(idCol).as("id") +: idSet.as("ids") +: blockCols.map(col): _*)
+  }
+
+  /** L66: incremental pair-graph maintenance — extend a persisted pair
+    * table with a NEW batch without re-verifying the corpus against
+    * itself. New pairs decompose exactly: within-batch (the standard
+    * [[jaccardPairs]] self-join on the batch alone) plus batch×corpus
+    * (an exact banded join of the batch's token sets against the
+    * `_toks` sidecar — same block + PPJoin size-band pruning as the
+    * self-join, so the incremental graph is IDENTICAL to a from-scratch
+    * rebuild, not an LSH approximation of it). Daily cost: |batch|²
+    * within + |batch|·corpus-candidates cross; the corpus never
+    * self-joins again. Contract: batch ids are new (same uniqueness
+    * rule as [[appendSignatures]]), and `minJaccard`/`shingleN` match
+    * the build. */
+  def appendToPairTable(batch: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], table: String,
+                        minJaccard: Double, parallelBuckets: Int = 16,
+                        shingleN: Int = 1): Unit = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val spark = batch.sparkSession
+    val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
+    val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
+    def banded(t: DataFrame) = t.withColumn("band",
+      floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR)
+        .cast("int"))
+    // evaluated twice (cross pairs + sidecar append): pin it
+    val bToks = pairToks(batch, idCol, textCol, blockCols, shingleN)
+      .localCheckpoint(true)
+    val a = banded(bToks).as("a")
+    val b = banded(spark.table(s"${table}_toks"))
+      .withColumn("bandm",
+        explode(sequence(col("band") - bandDelta, col("band") + bandDelta)))
+      .as("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val cross = a.join(b, blockEq && col("a.band") === col("b.bandm"))
+      .select(least(col("a.id"), col("b.id")).as("doc_id1"),
+        greatest(col("a.id"), col("b.id")).as("doc_id2"),
+        col("a.ids").as("ids1"), col("b.ids").as("ids2"))
+      .withColumn("jac", jacCol)
+      .filter(col("jac") >= minJaccard)
+      .select("doc_id1", "doc_id2", "jac")
+    val within = jaccardPairs(batch, idCol, textCol, blockCols, minJaccard,
+      parallelBuckets, shingleN)
+    within.unionByName(cross)
+      .write.mode("append").format("parquet").saveAsTable(table)
+    bToks.write.mode("append").format("parquet").saveAsTable(s"${table}_toks")
   }
 
   /** Delete ids from a persisted signature table — the dedup-at-ingest

@@ -424,6 +424,34 @@ class DedupSpec extends SparkSpec {
     assert(k1.getAs[Long]("k") == 1L && k1.getAs[Long]("mink_q") == 10L)
   }
 
+  test("incremental pair graph equals from-scratch rebuild, pairs and clusters") {
+    val docs = table("documents").localCheckpoint(true)
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    Dedup.buildPairTable(corpus, "doc_id", "text", Seq("lang"),
+      "inc_pairs", minJaccard = 0.9, parallelBuckets = 4)
+    Dedup.appendToPairTable(batch, "doc_id", "text", Seq("lang"),
+      "inc_pairs", minJaccard = 0.9, parallelBuckets = 4)
+    Dedup.buildPairTable(docs, "doc_id", "text", Seq("lang"),
+      "inc_pairs_ref", minJaccard = 0.9, parallelBuckets = 4)
+    def pairSet(t: String) = spark.table(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val inc = pairSet("inc_pairs")
+    val ref = pairSet("inc_pairs_ref")
+    assert(inc == ref,
+      s"incremental graph must be EXACT: missing ${ref -- inc take 3}, " +
+        s"extra ${inc -- ref take 3}")
+    assert(inc.exists { case (a, b, _) => a < 400 && b >= 400 },
+      "the planted corpus really has cross-boundary near-dups")
+    // and the graph consumers agree
+    val ci = Dedup.clusters(spark.table("inc_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cr = Dedup.clusters(spark.table("inc_pairs_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ci == cr)
+  }
+
   test("triangle stats: cliques score 1000, chains 0, hubs in between") {
     // 4-clique {1,2,3,4}: every node deg 3, 3 triangles, coeff 1000.
     // path 10-11-12: middle node deg 2, no triangle, coeff 0.
