@@ -200,6 +200,40 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R41: A/B experiment analysis — per-variant conversion rates and
+    // the pooled two-proportion z statistic (the go/no-go readout of
+    // an online experiment). sqrt and IEEE div are correctly rounded
+    // in both engines, so a FIXED expression shape quantizes to the
+    // same integer z; NULLIF guards the degenerate all-convert corpus.
+    // Two user-keyed aggregates; the stats ride a 1-row frame.
+    "q_ab_test" -> { (s, dir) =>
+      // conversion = a heavy purchaser (>= 14 purchase events): the
+      // synthetic corpus gives EVERY user at least one purchase, so a
+      // has-purchased definition would be degenerate (both rates 1000)
+      val per = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      per.agg(
+          max(when(col("variant") === 0, col("n"))).as("n_a"),
+          max(when(col("variant") === 1, col("n"))).as("n_b"),
+          max(when(col("variant") === 0, col("c"))).as("conv_a"),
+          max(when(col("variant") === 1, col("c"))).as("conv_b"))
+        .withColumn("rate_a_pm", expr("conv_a * 1000 div n_a"))
+        .withColumn("rate_b_pm", expr("conv_b * 1000 div n_b"))
+        .withColumn("z_q", expr(
+          """CAST(FLOOR((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+            | / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+            |   * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+            |   * (1.0 / n_a + 1.0 / n_b)), 0.0)
+            | * 10000 + 0.5) AS BIGINT)""".stripMargin))
+        .withColumn("significant", abs(col("z_q")) >= 19600L)
+        .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_pm", "rate_b_pm",
+          "z_q", "significant")
+    },
+
     // R37c: session-scoped funnel — conversion must complete INSIDE
     // one session (view→click→purchase with no 60s silence in
     // between): the composite (user, sess_id) key drops straight into
@@ -1022,6 +1056,36 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
         |ORDER BY stage_idx""".stripMargin,
+
+    // R41: same fixed-shape z expression (sqrt/div correctly rounded
+    // in both engines), NULLIF degenerate guard.
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS variant, user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1, 2),
+        |pv AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |       FROM pu GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+        |  MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+        |  MAX(CASE WHEN variant = 0 THEN c END) AS conv_a,
+        |  MAX(CASE WHEN variant = 1 THEN c END) AS conv_b FROM pv)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a * 1000 // n_a AS BIGINT) AS rate_a_pm,
+        |  CAST(conv_b * 1000 // n_b AS BIGINT) AS rate_b_pm,
+        |  CAST(FLOOR((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+        |    / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / n_a + 1.0 / n_b)), 0.0)
+        |    * 10000 + 0.5) AS BIGINT) AS z_q,
+        |  abs(CAST(FLOOR((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+        |    / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / n_a + 1.0 / n_b)), 0.0)
+        |    * 10000 + 0.5) AS BIGINT)) >= 19600 AS significant
+        |FROM w""".stripMargin,
 
     // R37c twin: the chained-min replay per (user, session) — the
     // session ids come from the shared gap rule.
