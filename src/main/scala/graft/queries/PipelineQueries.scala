@@ -357,6 +357,33 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // L67: embedding outlier audit — each vector's squared distance to
+    // its OWN class centroid, top-5 farthest per label (the mislabeled/
+    // corrupt-embedding sweep before the embeddings feed dedup or
+    // retrieval). Components floor-quantize to integers BEFORE any
+    // cross-row aggregation (float sums re-associate across engines;
+    // integer sums don't), the centroid is a floored integer mean, the
+    // distance a pure integer dot — value-exact end to end. One
+    // (label, dim) shuffle of narrow quantized rows.
+    "q_embed_outliers" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          floor(col("col").cast("double") * 1e6).cast("long").as("vq"))
+      val cent = e.groupBy("label", "pos")
+        .agg(floor(sum("vq").cast("double") / count(lit(1))).cast("long")
+          .as("cq"))
+      val d2 = e.join(cent, Seq("label", "pos"))
+        .withColumn("dq", col("vq") - col("cq"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("dq") * col("dq")).as("d2"))
+      val w = Window.partitionBy("label").orderBy(desc("d2"), col("vec_id"))
+      d2.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("label", "rank", "vec_id", "d2")
+        .orderBy("label", "rank")
+    },
+
     // L63: cross-source duplication matrix — which sources duplicate
     // which (mirror/syndication detection, the report that turns
     // pairwise dedup into crawl policy: a source pair with heavy
@@ -1191,6 +1218,29 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // L67: quantize-then-integer replay — floored component quantors,
+    // floored integer centroid mean, integer squared distance.
+    "q_embed_outliers" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, i AS pos,
+        |    CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+        |  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(FLOOR(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+        |  FROM ev GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT ev.vec_id, ev.label,
+        |    CAST(SUM((vq - cq) * (vq - cq)) AS BIGINT) AS d2
+        |  FROM ev JOIN cent USING (label, pos) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT label, vec_id, d2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank
+        |  FROM d2)
+        |SELECT label, rank, vec_id, d2 FROM rk WHERE rank <= 5
+        |ORDER BY label, rank""".stripMargin,
 
     // L63: the exact pair CTE joined to source metadata twice.
     "q_dup_source_matrix" ->
