@@ -200,6 +200,23 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R42: common-path mining — the top 3-step event-type sequences
+    // (the "what do users actually do" path report; transitions R40
+    // give one hop, paths give the journeys). One user-keyed window,
+    // a (T³)-bounded aggregate, deterministic top-20.
+    "q_event_paths" -> { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("e2", lead("event_type", 1).over(byTime))
+        .withColumn("e3", lead("event_type", 2).over(byTime))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+          col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+        .limit(20)
+    },
+
     // R41: A/B experiment analysis — per-variant conversion rates and
     // the pooled two-proportion z statistic (the go/no-go readout of
     // an online experiment). sqrt and IEEE div are correctly rounded
@@ -1056,6 +1073,19 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
         |ORDER BY stage_idx""".stripMargin,
+
+    // R42: LEAD replay under the shared (ts, event_id) total order.
+    "q_event_paths" ->
+      """WITH seq3 AS (
+        |  SELECT event_type AS s1,
+        |    LEAD(event_type, 1) OVER w AS s2,
+        |    LEAD(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+        |SELECT s1, s2, s3, COUNT(*) AS n
+        |FROM seq3 WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY s1, s2, s3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
 
     // R41: same fixed-shape z expression (sqrt/div correctly rounded
     // in both engines), NULLIF degenerate guard.
