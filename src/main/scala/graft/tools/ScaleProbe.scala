@@ -57,7 +57,12 @@ object ScaleProbe {
     // (linear explode + Zipf-bounded joins); scatter-window distinct
     // (linear ×3 row growth)
     "q_fuzzy_match", "q_concurrency", "q_sessionize_inc", "q_phrase_mine",
-    "q_rolling_distinct")
+    "q_rolling_distinct",
+    // r9 fourth push: trigram explode + vocab-bounded joins (linear);
+    // (label, dim) quantized shuffle (linear in rows·dims); bounded
+    // epoch explode + broadcast alloc (linear); two LEADs under one
+    // user window (linear)
+    "q_lm_trigram", "q_embed_outliers", "q_unimax_apply", "q_event_paths")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -215,4 +215,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_"), s"per-day sketches must partial-agg:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q_embed_outliers: quantized (label,dim) aggregates partial-combine") {
+    val p = plan("q_embed_outliers")
+    assert(p.contains("partial_"), s"integer sums must partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q_lm_trigram: count tables join on token keys, never cartesian") {
+    val p = plan("q_lm_trigram")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_"), s"counts need map-side partials:\n$p")
+  }
+
+  test("q_unimax_apply: the allocation broadcasts, the corpus never shuffles for it") {
+    val p = plan("q_unimax_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the L-row allocation frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
