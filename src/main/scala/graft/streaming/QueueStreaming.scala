@@ -547,6 +547,29 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Compact a [[sessionStoreStream]] store: drop all but the latest
+    * `keep` versions (each version is a full frame-set copy, retained
+    * for replay — once the checkpoint has moved past a batch its
+    * version is dead weight). Never deletes the newest version;
+    * returns the number of versions removed. */
+  def compactSessionStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"must keep at least the latest version, got $keep")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+      .filter(_.isDirectory)
+      .flatMap(s => "batch=(\\d+)".r.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s.getPath)))
+      .sortBy(-_._1)
+    val stale = versions.drop(keep)
+    stale.foreach { case (_, p) => fs.delete(p, true) }
+    // Spark caches per-path file listings; an in-place delete must
+    // invalidate them or the next read chases removed files
+    if (stale.nonEmpty) spark.catalog.refreshByPath(storePath)
+    stale.length
+  }
+
   /** Latest committed session-frame version under `storePath` —
     * the read side of [[sessionStoreStream]]. */
   def latestSessionFrames(spark: org.apache.spark.sql.SparkSession,

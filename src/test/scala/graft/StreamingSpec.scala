@@ -687,6 +687,12 @@ class StreamingSpec extends SparkSpec {
     // {100,150,180} and {500}
     val u1 = streamed.filter(_.head == 1L)
     assert(u1.map(r => r(2)) == Seq(3L, 1L), s"seam merge: $u1")
+
+    // compaction drops stale versions, keeps the newest readable
+    val removed = QueueStreaming.compactSessionStore(spark, store, keep = 1)
+    assert(removed == 1, s"two versions existed, one should go: $removed")
+    val after = fin(QueueStreaming.latestSessionFrames(spark, store))
+    assert(after == batch, "the surviving version is the newest")
   }
 
   test("late-data accounting: dropped-late rows surface per trigger") {
