@@ -732,13 +732,15 @@ object Dedup {
     // evaluated twice (cross pairs + sidecar append): pin it
     val bToks = pairToks(batch, idCol, textCol, blockCols, shingleN)
       .localCheckpoint(true)
-    val a = banded(bToks).as("a")
-    val b = banded(spark.table(s"${table}_toks"))
+    // the BATCH side explodes the ±D band probes (it's the small side;
+    // exploding the corpus would triple the big scan on every append)
+    val a = banded(bToks)
       .withColumn("bandm",
         explode(sequence(col("band") - bandDelta, col("band") + bandDelta)))
-      .as("b")
+      .as("a")
+    val b = banded(spark.table(s"${table}_toks")).as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val cross = a.join(b, blockEq && col("a.band") === col("b.bandm"))
+    val cross = a.join(b, blockEq && col("a.bandm") === col("b.band"))
       .select(least(col("a.id"), col("b.id")).as("doc_id1"),
         greatest(col("a.id"), col("b.id")).as("doc_id2"),
         col("a.ids").as("ids1"), col("b.ids").as("ids2"))
