@@ -200,6 +200,32 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // L68: heavy-tail attribution — which sources send the monster
+    // documents (the p99+ token tail that dominates shuffle and pack
+    // cost). The 99th-percentile threshold comes from a cumulative
+    // count over the VALUE histogram (token counts have a tiny value
+    // domain; no global sort, integer cum·100 ≥ n·99 rank rule), then
+    // one broadcast-threshold pass attributes the tail per source.
+    "q_tail_attribution" -> { (s, dir) =>
+      import graft.functions.token_count
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), token_count(col("text")).as("tk"))
+      val hist = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy("tk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = tok.agg(count(lit(1)).as("n"))
+      val thr = hist.withColumn("cum", sum("cnt").over(cumW))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") * 100 >= col("n") * 99)
+        .agg(min("tk").as("p99_tk"))
+      tok.crossJoin(broadcast(thr))
+        .filter(col("tk") > col("p99_tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tail"), sum("tk").as("tail_tokens"),
+          max("tk").as("max_tk"))
+        .orderBy("source")
+    },
+
     // R42: common-path mining — the top 3-step event-type sequences
     // (the "what do users actually do" path report; transitions R40
     // give one hop, paths give the journeys). One user-keyed window,
@@ -1073,6 +1099,27 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
         |ORDER BY stage_idx""".stripMargin,
+
+    // L68: value-histogram rank rule replayed (cum·100 ≥ n·99).
+    "q_tail_attribution" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS tk
+        |  FROM documents),
+        |hist AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+        |nn AS (SELECT COUNT(*) AS n FROM tok),
+        |thr AS (
+        |  SELECT MIN(tk) AS p99_tk FROM (
+        |    SELECT tk, SUM(cnt) OVER (ORDER BY tk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hist), nn
+        |  WHERE cum * 100 >= n * 99)
+        |SELECT source, COUNT(*) AS n_tail,
+        |  CAST(SUM(tk) AS BIGINT) AS tail_tokens,
+        |  CAST(MAX(tk) AS BIGINT) AS max_tk
+        |FROM tok, thr WHERE tk > p99_tk
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // R42: LEAD replay under the shared (ts, event_id) total order.
     "q_event_paths" ->

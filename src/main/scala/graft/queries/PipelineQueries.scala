@@ -384,6 +384,37 @@ object PipelineQueries {
         .orderBy("label", "rank")
     },
 
+    // L69: dedup threshold-sensitivity curve — pair counts per 0.01
+    // Jaccard bucket from the persisted graph (one narrow scan): the
+    // evidence for CHOOSING a dedup threshold instead of inheriting
+    // 0.9 from a paper — a spike just below the current cut means the
+    // threshold sits on a cliff.
+    "q_dedup_threshold_curve" -> { (s, dir) =>
+      jaccardPairGraph(s, dir)
+        .groupBy(floor(col("jac") * 100).cast("long").as("jac_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("jac_pct")
+    },
+
+    // L69b: dedup savings ranking — the clusters whose collapse saves
+    // the most tokens (total minus the kept max-token member): the
+    // prioritized cleanup report, and the denominator for "dedup saved
+    // X% of the corpus" claims. Cluster labels + token counts join on
+    // well-spread ids; top-10 deterministic.
+    "q_dedup_savings" -> { (s, dir) =>
+      import graft.functions.token_count
+      val cl = Dedup.clusters(jaccardPairGraph(s, dir))
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), token_count(col("text")).as("tk"))
+      cl.join(tk, "id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("total_tokens"),
+          max("tk").as("keep_tokens"))
+        .withColumn("wasted_tokens", col("total_tokens") - col("keep_tokens"))
+        .orderBy(desc("wasted_tokens"), col("cluster"))
+        .limit(10)
+    },
+
     // L63: cross-source duplication matrix — which sources duplicate
     // which (mirror/syndication detection, the report that turns
     // pairwise dedup into crawl policy: a source pair with heavy
@@ -1241,6 +1272,42 @@ object PipelineQueries {
         |  FROM d2)
         |SELECT label, rank, vec_id, d2 FROM rk WHERE rank <= 5
         |ORDER BY label, rank""".stripMargin,
+
+    // L69: the exact pair CTE's quantized jac, floor-bucketed.
+    "q_dedup_threshold_curve" ->
+      s"""${Shared.clusterReachCteSql}
+        |SELECT CAST(FLOOR(jacv * 100) AS BIGINT) AS jac_pct,
+        |  COUNT(*) AS n_pairs
+        |FROM (
+        |  SELECT FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5)
+        |    / 10000 AS jacv
+        |  FROM toksets a JOIN toksets b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5)
+        |    / 10000 >= 0.9)
+        |GROUP BY 1 ORDER BY jac_pct""".stripMargin,
+
+    // L69b: closure clusters + token counts, top-10 by saved mass.
+    "q_dedup_savings" ->
+      s"""${Shared.clusterReachCteSql},
+        |cl AS (
+        |  SELECT e.id, MIN(r.r) AS cluster
+        |  FROM (SELECT DISTINCT src AS id FROM edges) e
+        |  JOIN reach r ON r.id = e.id GROUP BY e.id),
+        |tk AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS tkn
+        |  FROM documents)
+        |SELECT cl.cluster, COUNT(*) AS n_docs,
+        |  CAST(SUM(tk.tkn) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(tk.tkn) AS BIGINT) AS keep_tokens,
+        |  CAST(SUM(tk.tkn) - MAX(tk.tkn) AS BIGINT) AS wasted_tokens
+        |FROM cl JOIN tk USING (id)
+        |GROUP BY cl.cluster
+        |ORDER BY wasted_tokens DESC, cluster LIMIT 10""".stripMargin,
 
     // L63: the exact pair CTE joined to source metadata twice.
     "q_dup_source_matrix" ->
