@@ -200,6 +200,36 @@ object AnalyticsQueries {
         .orderBy("stage_idx")
     },
 
+    // R37d: funnel trend — daily conversion time series (cohorted by
+    // the day the user ENTERED the funnel, so late-period entries
+    // aren't penalized for having had less time only when bounded
+    // variants are used). Rides funnelTimes; one extra tiny rollup.
+    "q_funnel_trend" -> { (s, dir) =>
+      import graft.operators.Sessionize
+      Sessionize.funnelTimes(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .groupBy(expr("stage_1_ts div 86400000000000L").as("day_idx"))
+        .agg(count(lit(1)).as("n_started"),
+          count(col("stage_3_ts")).as("n_full"))
+        .withColumn("conv_per_mille",
+          expr("n_full * 1000 div greatest(n_started, 1L)"))
+        .orderBy("day_idx")
+    },
+
+    // L70: lexical-index integrity audit — the persisted index's
+    // document-frequency PROFILE recomputed from postings and
+    // hash-gated against the corpus truth (the oracle rebuilds df from
+    // raw text): silent index corruption/drift shows up as one
+    // readable diff instead of quietly wrong BM25 scores. One narrow
+    // scan of the postings table.
+    "q_index_stats" -> { (s, dir) =>
+      val idx = lexIndex(s, dir)
+      s.table(s"${idx}_postings")
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_terms"))
+        .orderBy("df")
+    },
+
     // L68: heavy-tail attribution — which sources send the monster
     // documents (the p99+ token tail that dominates shuffle and pack
     // cost). The 99th-percentile threshold comes from a cumulative
@@ -1099,6 +1129,39 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 3, 'purchase', n3, CAST(n3 * 1000 // greatest(n1, 1) AS BIGINT) FROM c)
         |ORDER BY stage_idx""".stripMargin,
+
+    // R37d: the chained-min funnel CTE grouped by entry day.
+    "q_funnel_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(tsn) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(tsn) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tsn > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(tsn) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id)
+        |SELECT s1.t1 // 86400000000000 AS day_idx,
+        |  COUNT(*) AS n_started,
+        |  CAST(COUNT(s3.t3) AS BIGINT) AS n_full,
+        |  CAST(COUNT(s3.t3) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT)
+        |    AS conv_per_mille
+        |FROM s1 LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |GROUP BY 1 ORDER BY day_idx""".stripMargin,
+
+    // L70: df profile recomputed from raw text — the corpus truth the
+    // index must match.
+    "q_index_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS t
+        |  FROM documents),
+        |td AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY term)
+        |SELECT df, COUNT(*) AS n_terms FROM dfs GROUP BY df ORDER BY df""".stripMargin,
 
     // L68: value-histogram rank rule replayed (cum·100 ≥ n·99).
     "q_tail_attribution" ->
