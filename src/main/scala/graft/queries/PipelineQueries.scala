@@ -384,6 +384,20 @@ object PipelineQueries {
         .orderBy("label", "rank")
     },
 
+    // L71: packing efficiency audit — per-shard fill and utilization
+    // of the L20 assignment (padding waste IS wasted training compute;
+    // the report that justifies or indicts a budget/bucketing choice).
+    // One tiny rollup over the assignment frame.
+    "q_pack_efficiency" -> { (s, dir) =>
+      Pack.assignShards(t(s, dir, "documents"), "doc_id",
+          graft.functions.token_count(col("text")),
+          budgetTokens = 4096, buckets = 32)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill_tokens"))
+        .withColumn("util_per_mille", expr("fill_tokens * 1000 div 4096"))
+        .orderBy("shard")
+    },
+
     // L69: dedup threshold-sensitivity curve — pair counts per 0.01
     // Jaccard bucket from the persisted graph (one narrow scan): the
     // evidence for CHOOSING a dedup threshold instead of inheriting
@@ -1272,6 +1286,27 @@ object PipelineQueries {
         |  FROM d2)
         |SELECT label, rank, vec_id, d2 FROM rk WHERE rank <= 5
         |ORDER BY label, rank""".stripMargin,
+
+    // L71: the pack cumsum replay rolled up per shard.
+    "q_pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM t),
+        |sh AS (
+        |  SELECT CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard,
+        |    n_tokens
+        |  FROM c)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+        |  CAST(SUM(n_tokens) * 1000 // 4096 AS BIGINT) AS util_per_mille
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     // L69: the exact pair CTE's quantized jac, floor-bucketed.
     "q_dedup_threshold_curve" ->
