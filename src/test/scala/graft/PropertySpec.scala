@@ -357,4 +357,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("unimax water-fill invariants hold on random size tables") {
+    import graft.operators.Curate
+    val rnd = new Random(7)
+    (1 to 5).foreach { round =>
+      val l = 2 + rnd.nextInt(6)
+      val sizes = (0 until l).map(i => (s"g$i", 1L + rnd.nextInt(1000)))
+      val e = 1L + rnd.nextInt(3)
+      val (bn, bd) = (1L + rnd.nextInt(4), 1L + rnd.nextInt(2))
+      val tot = sizes.map(_._2).sum
+      val bud = tot * bn / bd
+      val got = Curate.unimaxAlloc(sizes.toDF("g", "t_tok"), "g", e, bn, bd)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("t_tok"), r.getAs[Long]("cap"), r.getAs[Long]("alloc")))
+        .toMap
+      val caps = got.values.map(_._2).sum
+      got.foreach { case (g, (t, cap, alloc)) =>
+        assert(cap == t * e, s"round $round $g cap")
+        assert(alloc >= 0 && alloc <= cap,
+          s"round $round $g: alloc $alloc outside [0, $cap] ($sizes e=$e bud=$bud)")
+      }
+      val allocSum = got.values.map(_._3).sum
+      assert(allocSum <= bud,
+        s"round $round overspent: $allocSum > $bud ($sizes)")
+      if (bud >= caps)
+        assert(allocSum == caps, s"round $round: ample budget must cap everyone")
+      else
+        // water-filling leaves at most (uncapped-count - 1) tokens of
+        // floor-division slack unspent
+        assert(bud - allocSum < l.toLong,
+          s"round $round underspent beyond rounding: $allocSum vs $bud ($sizes)")
+    }
+  }
+
+  test("sweep running sum equals a single global window on random deltas") {
+    import graft.operators.Sweep
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(23)
+    (1 to 4).foreach { round =>
+      val n = 5 + rnd.nextInt(60)
+      val rows = (0 until n).map(_ =>
+        (rnd.nextInt(500).toLong, if (rnd.nextBoolean()) 1L else -1L))
+      val df = rows.toDF("ts", "delta")
+      val dist = Sweep.runningSum(df, "ts", "delta", 1L + rnd.nextInt(100))
+      val w = Window.orderBy(col("ts"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = df.withColumn("running", sum("delta").over(w))
+      def key(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy("ts", "delta")
+        .agg(sort_array(collect_list("running")).as("rs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2))
+        .toMap
+      assert(key(dist) == key(ref), s"round $round diverged for $rows")
+    }
+  }
 }
