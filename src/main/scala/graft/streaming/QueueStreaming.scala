@@ -506,6 +506,47 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
+  case class FunnelState(times: Seq[Long])
+  case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)
+
+  /** C13o: streaming funnel — R37's greedy-earliest chained funnel as
+    * a per-user state machine: a stage completes the moment its event
+    * arrives strictly after the previous stage's completion time, and
+    * a progress row (user, stage, stage_ts) is emitted right then —
+    * the real-time conversion feed, hours before a batch funnel job
+    * would report it. State per user = the completed-stage prefix
+    * times (≤ |stages| longs). Contract: per-user event-time-ordered
+    * arrival (the queue-drain shape, same as R20f/C13n) — under it
+    * "first qualifying arrival" IS the chained min, so the stream is
+    * parity-gated against the batch funnelTimes twin. */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct, got $stages")
+    implicit val pEnc = Encoders.product[FunnelProgress]
+    implicit val sEnc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.Buffer.empty[FunnelProgress]
+          rows.toSeq.sortBy(_.ts).foreach { e =>
+            val idx = stages.indexOf(e.event_type)
+            // only the NEXT uncompleted stage can advance, and only
+            // strictly after the previous stage's completion
+            if (idx >= 0 && idx == times.length &&
+                (idx == 0 || e.ts > times(idx - 1))) {
+              times = times :+ e.ts
+              out += FunnelProgress(uid, idx + 1, e.ts)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          out.iterator
+      }
+  }
+
   /** C13n: continuously-maintained session table — the streaming twin
     * of R20f's incremental sessionization. Each trigger merges its
     * batch into the persisted session frames

@@ -695,6 +695,51 @@ class StreamingSpec extends SparkSpec {
     assert(after == batch, "the surviving version is the newest")
   }
 
+  test("streaming funnel: progress rows match the batch chained-min funnel") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sessionize
+    import graft.streaming.QueueStreaming.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[FunnelEvent]
+    val out = QueueStreaming.funnelStream(mem.toDS(), stages)
+    val ckpt = Files.createTempDirectory("funnelstream").toString
+    val q = out.writeStream.format("memory").queryName("funnelprog")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    // trigger 1: user 1 views+clicks; user 2 clicks first (no credit)
+    mem.addData(FunnelEvent(1L, 10L, "view"), FunnelEvent(1L, 20L, "click"),
+      FunnelEvent(2L, 10L, "click"), FunnelEvent(2L, 20L, "view"))
+    q.processAllAvailable()
+    // trigger 2: user 1 purchases (completes ACROSS triggers); user 2
+    // clicks after its view; user 3 appears and fully converts
+    mem.addData(FunnelEvent(1L, 30L, "purchase"), FunnelEvent(2L, 30L, "click"),
+      FunnelEvent(3L, 40L, "view"), FunnelEvent(3L, 50L, "click"),
+      FunnelEvent(3L, 60L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val prog = spark.sql("SELECT * FROM funnelprog")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // batch twin over the union of both triggers
+    val all = Seq((1L, 10L, "view"), (1L, 20L, "click"), (2L, 10L, "click"),
+      (2L, 20L, "view"), (1L, 30L, "purchase"), (2L, 30L, "click"),
+      (3L, 40L, "view"), (3L, 50L, "click"), (3L, 60L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val twin = Sessionize.funnelTimes(all, "user_id", "ts", "event_type", stages)
+      .collect().flatMap { r =>
+        (1 to stages.size).flatMap { i =>
+          val f = s"stage_${i}_ts"
+          if (r.isNullAt(r.fieldIndex(f))) None
+          else Some((r.getAs[Long]("user"), i, r.getAs[Long](f)))
+        }
+      }.toSet
+    assert(prog == twin,
+      s"stream: $prog\nbatch: $twin")
+    // the cross-trigger completion really happened
+    assert(prog.contains((1L, 3, 30L)))
+    // user 2's pre-view click never counted; its post-view click did
+    assert(prog.contains((2L, 2, 30L)) && !prog.contains((2L, 2, 10L)))
+  }
+
   test("late-data accounting: dropped-late rows surface per trigger") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
