@@ -620,6 +620,46 @@ object QueueStreaming {
     all.filter(col("batch").cast("long") === top).drop("batch")
   }
 
+  /** C13p: streaming rolling-actives monitor — the continuous form of
+    * R29c's trailing-window distinct count. Every micro-batch's
+    * per-day HLL partials commit under `sketchPath/batch=N`
+    * (idempotent per-batch overwrite — the drift/quantile monitors'
+    * replay discipline), and the RUNNING trailing-`windowDays` active
+    * estimates derive from unioning all committed partials: HLL
+    * sketches merge by union, so the per-trigger cost follows the
+    * batch plus a days-bounded sketch merge — never the event
+    * history. Output rows (batch_id, w_day, n_users) land under
+    * `outPath/batch=N`, overwrite exactly-once. */
+  def rollingActivesStream(events: DataFrame, tsCol: String, userCol: String,
+                           sketchPath: String, outPath: String,
+                           checkpoint: String, windowDays: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dayNs = 86400000000000L
+        val partial = batch.toDF()
+          .groupBy(expr(s"$tsCol div ${dayNs}L").as("day_idx"))
+          .agg(hll_sketch_agg(col(userCol)).as("sk"))
+          .localCheckpoint(true)
+        partial.write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
+        val daily = spark.read.parquet(sketchPath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .groupBy("day_idx").agg(hll_union_agg(col("sk")).as("sk"))
+        val days = daily.select(col("day_idx").as("w_day")).distinct()
+        daily.select(explode(sequence(col("day_idx"),
+            col("day_idx") + (windowDays - 1))).as("w_day"), col("sk"))
+          .join(days, "w_day")
+          .groupBy("w_day")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users"))
+          .select(lit(batchId).as("batch_id"), col("w_day"), col("n_users"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13m: late-data accounting — the watermark's operational readout.
     * Watermarks DROP late rows silently; at 100 TB of daily events an
     * unmonitored drop rate is how a pipeline loses 1% of its data

@@ -695,6 +695,42 @@ class StreamingSpec extends SparkSpec {
     assert(after == batch, "the surviving version is the newest")
   }
 
+  test("rolling-actives monitor: trailing windows equal the batch exact twin") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, countDistinct, explode, expr, sequence}
+    val mem = MemoryStream[(Long, Long)] // (ts nanos, user_id)
+    val df = mem.toDF().toDF("ts", "user_id")
+    val base = Files.createTempDirectory("actives").toString
+    val q = QueueStreaming.rollingActivesStream(df, "ts", "user_id",
+      s"$base/sk", s"$base/out", s"$base/ck", windowDays = 3)
+    val day = 86400000000000L
+    // trigger 1: day 0 users {1,2}, day 1 user {2}
+    mem.addData((5L, 1L), (10L, 2L), (day + 1L, 2L))
+    q.processAllAvailable()
+    // trigger 2: day 1 gains user 3, day 3 user {4} (day 2 silent)
+    mem.addData((day + 2L, 3L), (3 * day + 1L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 1L)
+      .collect().map(r => r.getAs[Long]("w_day") -> r.getAs[Long]("n_users"))
+      .toMap
+    // exact twin over the union (sketch exact regime at this size)
+    val all = Seq((5L, 1L), (10L, 2L), (day + 1L, 2L), (day + 2L, 3L),
+      (3 * day + 1L, 4L)).toDF("ts", "user_id")
+    val du = all.select(expr("ts div 86400000000000L").as("d"), col("user_id"))
+      .distinct()
+    val days = du.select(col("d").as("w")).distinct()
+    val exact = du.select(explode(sequence(col("d"), col("d") + 2)).as("w"),
+        col("user_id"))
+      .join(days, "w")
+      .groupBy("w").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == exact, s"stream $latest vs exact $exact")
+    // windows genuinely trail: day 1 sees day 0's users, day 3 sees day 1's
+    assert(latest(1L) == 3L && latest(3L) == 3L)
+  }
+
   test("streaming funnel: progress rows match the batch chained-min funnel") {
     implicit val sq = spark.sqlContext
     import graft.operators.Sessionize
