@@ -63,6 +63,18 @@ object Layout {
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
+  /** Morton/Z-value of THREE bucketized dimensions: bit i of x/y/z
+    * lands at z-bit 3i / 3i+1 / 3i+2. Inputs in [0, 2^bits),
+    * bits ≤ 20 (3·bits ≤ 62 keeps the interleave in a long). */
+  def zValue3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits <= 20, s"3-dim interleave overflows a long past 20 bits, got $bits")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 1)) +
+        shiftright(z, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 2))
+    }.reduce(_ + _)
+  }
+
   /** Z-order clustered write. A linear sort on one column gives tight
     * per-file min/max stats for that column only; interleaving the bits
     * of BOTH columns (scaled into 2^bits range buckets from

@@ -52,6 +52,16 @@ object AnalyticsQueries {
         s" + (CAST(FLOOR(($y) / $p) AS BIGINT) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Three-dimensional Morton interleave, same arithmetic-only probes
+    * (bit i of x/y/z at z-bit 3i / 3i+1 / 3i+2). */
+  def zValue3Sql(x: String, y: String, z: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"(CAST(FLOOR(($x) / $p) AS BIGINT) % 2) * ${1L << (3 * i)}" +
+        s" + (CAST(FLOOR(($y) / $p) AS BIGINT) % 2) * ${1L << (3 * i + 1)}" +
+        s" + (CAST(FLOOR(($z) / $p) AS BIGINT) % 2) * ${1L << (3 * i + 2)}"
+    }.mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R25: pivot (crosstab) — status columns per priority. One shuffle,
     // map-side partial agg; the pivoted statuses are an explicit small
@@ -580,6 +590,20 @@ object AnalyticsQueries {
       t(s, dir, "orders")
         .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy",
           s"CAST(${zValueSql(x, y, 8)} AS BIGINT) AS zval")
+        .orderBy("zval", "o_orderkey")
+    },
+
+    // R24d: THREE-dimensional Z-order — bit i of each dim lands at
+    // z-bit 3i/3i+1/3i+2, so per-file ranges of ALL THREE predicate
+    // columns stay bounded (price, customer, AND order date prune);
+    // same arithmetic-only bit probes as R24b, 8 bits × 3 ≤ 62 bits.
+    "q_zorder3" -> { (s, dir) =>
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      val d = "datediff(o_orderdate, DATE'1992-01-01') % 256"
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy", s"$d AS zd",
+          s"CAST(${zValue3Sql(x, y, d, 8)} AS BIGINT) AS zval")
         .orderBy("zval", "o_orderkey")
     },
 
@@ -1513,6 +1537,15 @@ object AnalyticsQueries {
       val y = "o_custkey % 256"
       s"""SELECT o_orderkey, $x AS zx, $y AS zy,
         |  CAST(${zValueSql(x, y, 8)} AS BIGINT) AS zval
+        |FROM orders ORDER BY zval, o_orderkey""".stripMargin
+    },
+
+    "q_zorder3" -> {
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      val d = "datediff('day', DATE '1992-01-01', o_orderdate) % 256"
+      s"""SELECT o_orderkey, $x AS zx, $y AS zy, $d AS zd,
+        |  CAST(${zValue3Sql(x, y, d, 8)} AS BIGINT) AS zval
         |FROM orders ORDER BY zval, o_orderkey""".stripMargin
     }
   )

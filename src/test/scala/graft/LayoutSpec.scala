@@ -61,6 +61,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == o.count())
   }
 
+  test("zValue3 bit interleave equals the arithmetic morton form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map(_ => (rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("x", "y", "z")
+    val arith = graft.queries.AnalyticsQueries.zValue3Sql("x", "y", "z", 8)
+    val got = df.select(
+        graft.operators.Layout.zValue3(col("x"), col("y"), col("z"), 8).as("a"),
+        expr(s"CAST($arith AS BIGINT)").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(got == 0, "bit-op and arithmetic interleaves must agree")
+    // hand-check one value: x=1,y=0,z=0 -> bit0 -> 1; x=0,y=1,z=0 -> 2;
+    // x=0,y=0,z=1 -> 4; x=2,y=0,z=0 -> bit1 of x at z-bit 3 -> 8
+    val hand = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 0L))
+      .toDF("x", "y", "z")
+      .select(graft.operators.Layout.zValue3(col("x"), col("y"), col("z"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hand == Seq(1L, 2L, 4L, 8L))
+  }
+
   test("backfillPartitions replaces only the targeted day, byte-stable elsewhere") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
