@@ -68,6 +68,32 @@ object StreamingDemo {
       "SELECT count(*) n, count(DISTINCT event_id) d FROM deduped")
       .collect().map(r => s"rows=${r.getLong(0)},distinct=${r.getLong(1)}").head)
 
+    // 4. r9: streaming funnel — real-time stage progress off the queue
+    val fev = stream.select(col("user_id"), col("ts_ms").as("ts"),
+        when(col("event_id") % 2 === 0, "view").otherwise("click")
+          .as("event_type"))
+      .as[QueueStreaming.FunnelEvent]
+    val fq = QueueStreaming.funnelStream(fev, Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow()).start()
+    // 5. r9: continuously-maintained session table off the same queue
+    val store = java.nio.file.Files.createTempDirectory("sdemo-store")
+      .toString + "/frames"
+    val sq2 = QueueStreaming.sessionStoreStream(
+      stream.select(col("user_id"), col("event_id"),
+        (col("ts_ms") * 1000000L).as("ts"), col("value")),
+      "user_id", 1000000000L, store, ckpt())
+    Seq(fq, sq2).foreach(_.awaitTermination(180000))
+    println("funnel=" + spark.sql(
+      "SELECT user_id, stage, stage_ts FROM funnel ORDER BY user_id, stage")
+      .collect().map(r => s"u${r.getLong(0)}:s${r.getInt(1)}@${r.getLong(2)}")
+      .mkString(";"))
+    println("session_store=" + graft.operators.Sessionize.finishFrames(
+        QueueStreaming.latestSessionFrames(spark, store), "user_id")
+      .collect().map(r => s"u${r.getLong(0)}#${r.getLong(1)}:n=${r.getLong(2)}")
+      .mkString(";"))
+
     q.dispose()
     spark.stop()
   }
