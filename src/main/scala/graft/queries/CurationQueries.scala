@@ -122,6 +122,29 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L72: per-rule example sampler — three deterministic example docs
+    // for every failing Gopher rule (content-hash order, so the
+    // "show me what this rule kills" review set is stable across
+    // runs/engines/partitionings). Rule flags come from the one fused
+    // gopherFlags pass; the unpivot is rule-count-bounded.
+    "q_rule_examples" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rules = Seq("ok_words", "ok_wordlen", "ok_symbols", "ok_lines",
+        "ok_alpha", "ok_stopwords")
+      val fails = Curate.gopherFlags(d, "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        .select(col("doc_id"), explode(array(rules.map(r =>
+          struct(lit(r).as("rule"), col(r).as("ok"))): _*)).as("rf"))
+        .filter(col("rf.ok") === 0)
+        .select(col("rf.rule").as("rule"), col("doc_id"))
+      val w = Window.partitionBy("rule").orderBy("k", "doc_id")
+      fails.join(d.select(col("doc_id"), md5(col("text")).as("k")), "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("rule", "rank", "doc_id", "k")
+        .orderBy("rule", "rank")
+    },
+
     // L29: Gopher-style repetition signals — the within-document
     // repetition quality filter: duplicate-token fraction, most-frequent
     // -bigram mass, duplicate-trigram fraction, and the keep decision.
@@ -882,6 +905,29 @@ object CurationQueries {
     sb.toString
   }
 
+  /** DuckDB twin of Curate.gopherFlags' fused stat pass (leading WITH
+    * included, ends at the `m` CTE) — shared by q_gopher_rules and the
+    * L72 rule-example sampler. */
+  private val gopherMCteSql: String =
+    """WITH stats AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(w, x -> x = '#')) +
+      |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
+      |    CAST(len(list_filter(['the','a'],
+      |         s -> list_contains(w, s))) AS BIGINT) AS stop,
+      |    CAST(len(lines) AS BIGINT) AS nl,
+      |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
+      |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell
+      |  FROM stats)""".stripMargin
+
   /** DuckDB twin of `Curate.unimaxAlloc` over per-lang token sizes
     * (leading WITH included, ends at the `ua` CTE with
     * (lang, t_tok, cap, alloc)) — parameterized exactly like the
@@ -1119,24 +1165,7 @@ object CurationQueries {
     // Curate.gopherFlags (thresholds 50..100000 words, wordlen 3..10,
     // sym<0.1, bullet<90% & ellipsis<30% lines, alpha>=80%, >=2 stops).
     "q_gopher_rules" ->
-      """WITH stats AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
-        |    CAST(len(list_filter(w, x -> x = '#')) +
-        |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
-        |    CAST(len(list_filter(['the','a'],
-        |         s -> list_contains(w, s))) AS BIGINT) AS stop,
-        |    CAST(len(lines) AS BIGINT) AS nl,
-        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell
-        |  FROM stats)
+      s"""$gopherMCteSql
         |SELECT doc_id, n_words,
         |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_words,
         |  CAST(sumlen >= n_words * 3 AND sumlen <= n_words * 10 AS BIGINT) AS ok_wordlen,
@@ -1151,6 +1180,36 @@ object CurationQueries {
         |    AND alpha * 5 >= n_words * 4
         |    AND stop >= 2 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // L72: rule failures unpivoted from the shared stat CTE, three
+    // md5-ordered examples per rule.
+    "q_rule_examples" ->
+      s"""$gopherMCteSql,
+        |f2 AS (
+        |  SELECT doc_id, 'ok_words' AS rule FROM m
+        |    WHERE NOT (n_words >= 50 AND n_words <= 100000)
+        |  UNION ALL
+        |  SELECT doc_id, 'ok_wordlen' FROM m
+        |    WHERE NOT (sumlen >= n_words * 3 AND sumlen <= n_words * 10)
+        |  UNION ALL
+        |  SELECT doc_id, 'ok_symbols' FROM m WHERE NOT (sym * 10 < n_words)
+        |  UNION ALL
+        |  SELECT doc_id, 'ok_lines' FROM m
+        |    WHERE NOT (bullet * 10 < nl * 9 AND ell * 10 < nl * 3)
+        |  UNION ALL
+        |  SELECT doc_id, 'ok_alpha' FROM m WHERE NOT (alpha * 5 >= n_words * 4)
+        |  UNION ALL
+        |  SELECT doc_id, 'ok_stopwords' FROM m WHERE NOT (stop >= 2)),
+        |ky AS (
+        |  SELECT f2.rule, f2.doc_id, md5(d.text) AS k
+        |  FROM f2 JOIN documents d USING (doc_id)),
+        |rk AS (
+        |  SELECT rule, doc_id, k,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY rule ORDER BY k, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM ky)
+        |SELECT rule, rank, doc_id, k FROM rk WHERE rank <= 3
+        |ORDER BY rule, rank""".stripMargin,
 
     // Blocklist twin: identical token membership counts + integer
     // division, in lockstep with Curate.blocklistFlags' two-term list.

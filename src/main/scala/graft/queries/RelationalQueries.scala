@@ -471,6 +471,23 @@ object RelationalQueries {
         count(lit(1)).as("n_days"))
     },
 
+    // R44: per-user debounce — collapse each burst of events closer
+    // than 10s into its FIRST event (the telemetry noise-gate:
+    // double-clicks, retry storms). True debounce is a sequential
+    // recurrence (kept depends on the previous KEPT event, so a plain
+    // lag filter over-drops chains) — but a burst IS a session with
+    // gap = the debounce window, so the exact semantics fall out of
+    // the sessionize machinery: keep each (user, sess_id)'s first row.
+    "q_debounce" -> { (s, dir) =>
+      // kept events = burst firsts = session count = max(sess_id):
+      // one window pass, one aggregate, no second scan
+      Sessionize.withSessionIds(t(s, dir, "events"), "user_id", 10000000000L)
+        .groupBy("user_id")
+        .agg(max("sess_id").as("n_kept"), count(lit(1)).as("n_raw"))
+        .withColumn("kept_per_mille", expr("n_kept * 1000 div n_raw"))
+        .orderBy("user_id")
+    },
+
     // R29b: trailing 3-day distinct users, EXACT — the sliding
     // distinct-count question (rolling actives). Shape: (day, user)
     // distinct pairs SCATTER to the ≤3 windows they cover (explode of
@@ -710,6 +727,23 @@ object RelationalQueries {
     "q_session_window" -> sessionizeSql("events"),
     // Incremental ≡ full recompute: same oracle as q_sessionize.
     "q_sessionize_inc" -> sessionizeSql("events"),
+
+    // R44: burst = session at gap 10s; kept = one per session.
+    "q_debounce" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 10000000000
+        |           THEN 1
+        |         WHEN LAG(epoch_ns(ts), 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |k AS (SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_kept,
+        |        COUNT(*) AS n_raw
+        |      FROM flagged GROUP BY user_id)
+        |SELECT user_id, n_kept, n_raw,
+        |  CAST(n_kept * 1000 // n_raw AS BIGINT) AS kept_per_mille
+        |FROM k ORDER BY user_id""".stripMargin,
 
     // Shared by q_rolling_distinct (exact) and
     // q_rolling_distinct_sketch (merged per-day HLL partials, exact
