@@ -122,6 +122,33 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // L73: Horvitz–Thompson corpus estimation — full-corpus statistics
+    // from the deterministic content-hash sample, reweighted by the
+    // EXACT inverse inclusion probability (Mix thresholds are k/256
+    // rationals, so est = sampled_sum · 256 div k is integer-exact,
+    // no float reweighting). The "measure 100 TB from the 25% sample
+    // you can afford to scan" move, with the estimation error
+    // reported against truth per language.
+    "q_ht_estimate" -> { (s, dir) =>
+      import graft.operators.Mix
+      val d = t(s, dir, "documents")
+      val sampled = Mix.weightedSample(d, "lang", "text",
+          Map("en" -> 0.5), defaultWeight = 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(token_count(col("text"))).as("s_tok"))
+        .withColumn("k", when(col("lang") === "en", 128L).otherwise(64L))
+        .withColumn("est_tokens", expr("s_tok * 256 div k"))
+      val actual = d.groupBy("lang")
+        .agg(sum(token_count(col("text"))).as("actual_tokens"))
+      sampled.join(actual, "lang")
+        .withColumn("err_per_mille",
+          expr("abs(est_tokens - actual_tokens) * 1000 div actual_tokens"))
+        .select("lang", "n_sampled", "est_tokens", "actual_tokens",
+          "err_per_mille")
+        .orderBy("lang")
+    },
+
     // L72: per-rule example sampler — three deterministic example docs
     // for every failing Gopher rule (content-hash order, so the
     // "show me what this rule kills" review set is stable across
@@ -1180,6 +1207,32 @@ object CurationQueries {
         |    AND alpha * 5 >= n_words * 4
         |    AND stop >= 2 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // L73: the same 2-hex md5 thresholds (Mix.thr: k/256 → "%02x"),
+    // integer inverse-probability reweighting.
+    "q_ht_estimate" ->
+      """WITH toks AS (
+        |  SELECT lang, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sm AS (
+        |  SELECT lang, COUNT(*) AS n_sampled,
+        |    CAST(SUM(n_tok) AS BIGINT) AS s_tok,
+        |    CAST(CASE WHEN lang = 'en' THEN 128 ELSE 64 END AS BIGINT) AS k
+        |  FROM toks
+        |  WHERE substr(md5(text), 1, 2) <
+        |    CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+        |  GROUP BY lang),
+        |act AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS actual_tokens
+        |        FROM toks GROUP BY lang)
+        |SELECT sm.lang, sm.n_sampled,
+        |  CAST(sm.s_tok * 256 // sm.k AS BIGINT) AS est_tokens,
+        |  act.actual_tokens,
+        |  CAST(abs(sm.s_tok * 256 // sm.k - act.actual_tokens) * 1000
+        |    // act.actual_tokens AS BIGINT) AS err_per_mille
+        |FROM sm JOIN act USING (lang)
+        |ORDER BY sm.lang""".stripMargin,
 
     // L72: rule failures unpivoted from the shared stat CTE, three
     // md5-ordered examples per rule.
