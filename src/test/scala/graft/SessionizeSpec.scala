@@ -94,6 +94,24 @@ class SessionizeSpec extends SparkSpec {
     assert(bd == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("debounce keeps chain re-starts a naive lag filter would drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // events at 0, 50, 100 with a 60ns window: a lag filter drops BOTH
+    // 50 and 100 (each within 60 of its predecessor); true debounce
+    // keeps 0 and... the chain extends the burst, so only 0 survives —
+    // while 0, 50, 200 must keep 0 AND 200 (gap 150 > 60 reopens)
+    val ev = Seq(
+      (1L, 1L, 0L, 0.0), (1L, 2L, 50L, 0.0), (1L, 3L, 100L, 0.0),
+      (2L, 4L, 0L, 0.0), (2L, 5L, 50L, 0.0), (2L, 6L, 200L, 0.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val kept = Sessionize.withSessionIds(ev, "user_id", 60L)
+      .groupBy("user_id").agg(max("sess_id").as("n_kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 2L),
+      s"burst chains collapse to one, a true gap reopens: $kept")
+  }
+
   private def incVsFull(ev: DataFrame, cutoff: Long, gap: Long) = {
     val full = rows(Sessionize.plain(ev, "user_id", gap))
     val prior = Sessionize.sessionFrames(
