@@ -59,7 +59,10 @@ object Curate {
     * quantizes to 1/65536). Row growth is exactly the epoch factor —
     * the explode is bounded by maxEpochs+1, never data-dependent
     * unbounded. Output = input rows + an `epoch` copy index; a doc
-    * appears full_ep or full_ep+1 times. */
+    * appears full_ep or full_ep+1 times. NOTE: the join is inner —
+    * a group present in `docs` but absent from `alloc` contributes
+    * NOTHING (allocation zero); compute `alloc` from the same corpus
+    * slice you apply it to. */
   def unimaxApply(docs: DataFrame, contentCol: String, groupCol: String,
                   alloc: DataFrame): DataFrame = {
     val a = alloc.select(col(groupCol), col("t_tok"), col("alloc"))

@@ -133,7 +133,7 @@ object Sessionize {
     * between adjacent events, so incremental ≡ full recompute exactly
     * (hash-gated by q_sessionize_inc against the full-log oracle). */
   def incremental(priorFrames: DataFrame, batch: DataFrame, userCol: String,
-                  gapNs: Long): DataFrame = {
+                  gapNs: Long, validate: Boolean = false): DataFrame = {
     val u = col(userCol)
     val newF = sessionFrames(batch, userCol, gapNs)
 
@@ -150,6 +150,20 @@ object Sessionize {
       // null-safe: a user present on only one side never merges
       .withColumn("__merge", coalesce(
         col("b_start") - col("p_end") <= gapNs, lit(false)))
+    // opt-in contract check (one extra bounded action on the per-user
+    // boundary frame): a batch event BEFORE a user's last prior event
+    // breaks the append-only assumption and would merge WRONG — with
+    // validate the violation fails loudly instead of corrupting state
+    if (validate) {
+      val bad = boundary
+        .filter(col("b_start").isNotNull && col("p_end").isNotNull &&
+          col("b_start") < col("p_end"))
+        .limit(5).select(u).collect().map(_.get(0))
+      require(bad.isEmpty,
+        s"incremental sessionize contract violated: batch contains events " +
+          s"older than the prior frames for users ${bad.mkString(", ")} — " +
+          s"late data must be re-sessionized from source, not merged")
+    }
 
     val mergedF = boundary.filter(col("__merge"))
       .select(u, col("p_start").as("start_ts"), col("b_end").as("end_ts"),

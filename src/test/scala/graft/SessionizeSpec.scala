@@ -172,6 +172,21 @@ class SessionizeSpec extends SparkSpec {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("incremental validate=true rejects an out-of-order batch loudly") {
+    val prior = Sessionize.sessionFrames(
+      Seq((1L, 1L, 1000L, 1.0)).toDF("user_id", "event_id", "ts", "value"),
+      "user_id", 100L)
+    val lateBatch = Seq((1L, 2L, 500L, 2.0)) // BEFORE the prior frame
+      .toDF("user_id", "event_id", "ts", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Sessionize.incremental(prior, lateBatch, "user_id", 100L,
+        validate = true).collect()
+    }
+    assert(ex.getMessage.contains("contract violated"))
+    // same call without validate is the documented caller-beware path
+    Sessionize.incremental(prior, lateBatch, "user_id", 100L).collect()
+  }
+
   test("incremental equals full re-sessionization on the events table") {
     val ev = table("events")
       .select("user_id", "event_id", "ts", "value")
