@@ -292,6 +292,44 @@ object Kernels {
     best
   }
 
+  /** Top-n centroid indices by SQUARED L2 distance (asc, index-asc
+    * ties) — the query-side probe selection of the quantized IVF path.
+    * Over integer-valued doubles every distance is exact (products and
+    * sums of integers < 2^53 are exact in IEEE double), so the probe
+    * ORDER — not just the set — replays bit-identically in any engine:
+    * this is what lets the whole IVF chain carry a hash oracle. */
+  def topCentroidsL2(vec: ArrayData, cents: ArrayData, nProbe: Int): ArrayData = {
+    val n = cents.numElements()
+    val v = vec.toDoubleArray()
+    val ds = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cents.getArray(i)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val x = v(j) - c.getDouble(j); d += x * x; j += 1 }
+      ds(i) = d
+      i += 1
+    }
+    val k = math.min(nProbe, n)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      i = 0
+      while (i < n) {
+        if (!used(i) && (best == -1 || ds(i) < bestD)) { bestD = ds(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ encode: split `vec` into `m = books.numElements()` subspaces of
     * dsub = len/m dims; emit per subspace the index of the L2-nearest
     * row of that subspace's codebook block (a flat ksub×dsub array).
@@ -777,6 +815,21 @@ case class TopCentroids(left: Expression, right: Expression, nProbe: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroids($a, $b, $nProbe)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroids =
+    copy(left = l, right = r)
+}
+
+/** Query-side nProbe cell selection by squared-L2 distance (asc,
+  * index-asc ties) — exact over integer-valued doubles, so the probe
+  * order is engine-replayable (see Kernels.topCentroidsL2). */
+case class TopCentroidsL2(left: Expression, right: Expression, nProbe: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids_l2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.topCentroidsL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroidsL2($a, $b, $nProbe)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroidsL2 =
     copy(left = l, right = r)
 }
 

@@ -61,6 +61,8 @@ package object functions {
     col2(TopCentroids(ex(v), ex(cents), nProbe))
   def nearest_centroid_l2(v: Column, cents: Column): Column =
     col2(NearestCentroidL2(ex(v), ex(cents)))
+  def top_centroids_l2(v: Column, cents: Column, nProbe: Int): Column =
+    col2(TopCentroidsL2(ex(v), ex(cents), nProbe))
   /** PQ code array of `v` against an m-block codebook table (each block
     * a flat ksub×dsub array) — map-side, no shuffle. */
   def pq_encode(v: Column, books: Column): Column = col2(PqEncode(ex(v), ex(books)))

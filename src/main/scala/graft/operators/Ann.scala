@@ -171,6 +171,94 @@ object Ann {
     } finally train.unpersist()
   }
 
+  /** Integer-quantized Lloyd training — the ORACLE-EXACT k-means
+    * variant: inputs are quantized to `floor(x·Q + 0.5)` with Q a
+    * power of two (the scaling is then exact in IEEE double), every
+    * per-iteration quantity (squared-L2 assignment distances, the
+    * `vector_sum` partials, the floor-of-mean centroid update) is an
+    * integer below 2^53 represented in double, so the whole training
+    * run is EXACT integer arithmetic: partitioning-independent on
+    * Spark AND bit-replayable as an unrolled SQL CTE in any engine —
+    * this is what converts the IVF family from rows-only gates to
+    * full hash oracles. Quantization at Q=2^16 moves each coordinate
+    * by <2^-17: geometrically irrelevant for cell assignment (recall
+    * gates unchanged — AnnSpec). The training sample is selected by a
+    * portable md5-prefix threshold (NOT xxhash64, which the oracle
+    * engine lacks): `md5(id)[0:2] < hex(frac·256)`.
+    *
+    * Same scale shape as [[trainCentroids]]: per iteration one
+    * map-side assignment against a literal centroid table + one
+    * C-row `vector_sum` shuffle; the sample is persisted so the
+    * corpus parquet is touched once. */
+  def trainCentroidsIntL2(v: DataFrame, nClusters: Int, iters: Int,
+                          trainFraction: Double): Array[Array[Double]] = {
+    val thr = f"${math.max(1, math.min(256, math.round(trainFraction * 256).toInt))}%02x"
+    val train = v
+      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < thr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seed = train.orderBy("nn_id").limit(nClusters).select("vq").collect()
+      if (seed.length < nClusters)
+        seed = v.orderBy("nn_id").limit(nClusters).select("vq").collect()
+      var cs: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
+      (1 to iters).foreach { _ =>
+        val sums = train
+          .groupBy(nearest_centroid_l2(col("vq"),
+            typedLit(cs.map(_.toSeq).toSeq)).as("cluster"))
+          .agg(vector_sum(col("vq")).as("vsum"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cs.map(_.clone()) // empty cells keep their centroid
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          // floor-of-mean stays integer-valued; floor(double(s/n)) ==
+          // floorDiv exactly while ulp(s/n) < 1/n — holds for every
+          // |s/n| < 2^52/n, far above any quantized coordinate
+          next(c) = s.map(x => math.floor(x / n)).toArray
+        }
+        cs = next
+      }
+      cs
+    } finally train.unpersist()
+  }
+
+  /** Quantization scale for the oracle-exact IVF path: a power of two
+    * so `x · Q` is exact in IEEE double for every float/double x. */
+  val QuantScale = 65536.0
+
+  private[operators] def quantized(vec: Column): Column =
+    transform(as_double_array(vec), x => floor(x * QuantScale + lit(0.5)).cast("double"))
+
+  /** IVF top-k with integer-quantized training and squared-L2 cell
+    * assignment/probe order — identical search shape to [[ivfTopK]]
+    * (map-side cell assignment, broadcast probe join, exact cosine
+    * re-rank over the ORIGINAL vectors) but every nondeterministic or
+    * engine-divergent step is integer-exact, so the full result
+    * carries a hash oracle. See [[trainCentroidsIntL2]]. */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nClusters: Int = 16,
+                       nProbe: Int = 2, iters: Int = 2,
+                       trainFraction: Double = 0.25): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v.withColumn("cluster", nearest_centroid_l2(col("vq"), centsLit))
+    val q = queries.select(col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("q_vec"), quantized(col(vecCol)).as("q_vq"))
+    val probes = q.withColumn("cluster",
+      explode(top_centroids_l2(col("q_vq"), centsLit, nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), "cluster")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 2,
               iters: Int = 2, trainFraction: Double = 0.25): DataFrame = {

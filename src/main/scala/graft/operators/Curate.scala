@@ -169,12 +169,21 @@ object Curate {
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        splits: Seq[(String, Double)],
                        id1Col: String = "doc_id1",
-                       id2Col: String = "doc_id2"): DataFrame = {
+                       id2Col: String = "doc_id2"): DataFrame =
+    leakageSafeSplitLabels(docs, idCol, Dedup.clusters(pairs, id1Col, id2Col),
+      splits)
+
+  /** [[leakageSafeSplit]] over PRECOMPUTED (id, cluster) labels — the
+    * amortized form for pipelines that already ran label propagation
+    * (see [[Dedup.removeNearDupsClusteredLabels]]). */
+  def leakageSafeSplitLabels(docs: DataFrame, idCol: String,
+                             labels: DataFrame,
+                             splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $splits")
     require(!docs.columns.contains("cluster") && !docs.columns.contains("split"),
       "leakageSafeSplit reserves output columns 'cluster' and 'split'")
-    val cl = Dedup.clusters(pairs, id1Col, id2Col)
+    val cl = labels
     val withCl = docs.join(cl, docs(idCol) === cl("id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), docs(idCol)))
       .drop("id")

@@ -551,8 +551,16 @@ object Dedup {
     * stronger than [[removeNearDups]]: transitive duplicates collapse
     * even when their direct pair never passed the threshold. */
   def removeNearDupsClustered(df: DataFrame, idCol: String,
-                              pairs: DataFrame): DataFrame = {
-    val drop = clusters(pairs).filter(col("id") =!= col("cluster"))
+                              pairs: DataFrame): DataFrame =
+    removeNearDupsClusteredLabels(df, idCol, clusters(pairs))
+
+  /** [[removeNearDupsClustered]] over PRECOMPUTED (id, cluster) labels
+    * — the amortized form: label propagation runs once per corpus and
+    * every consumer (apply, best-member apply, savings report) probes
+    * the same small table instead of re-deriving it. */
+  def removeNearDupsClusteredLabels(df: DataFrame, idCol: String,
+                                    labels: DataFrame): DataFrame = {
+    val drop = labels.filter(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
@@ -568,8 +576,14 @@ object Dedup {
     * of `df`. */
   def removeNearDupsClusteredBest(df: DataFrame, idCol: String,
                                   scoreCol: String,
-                                  pairs: DataFrame): DataFrame = {
-    val labels = clusters(pairs)
+                                  pairs: DataFrame): DataFrame =
+    removeNearDupsClusteredBestLabels(df, idCol, scoreCol, clusters(pairs))
+
+  /** [[removeNearDupsClusteredBest]] over precomputed labels — see
+    * [[removeNearDupsClusteredLabels]] for the amortization contract. */
+  def removeNearDupsClusteredBestLabels(df: DataFrame, idCol: String,
+                                        scoreCol: String,
+                                        labels: DataFrame): DataFrame = {
     // survivor per cluster: max score, ties to the lowest id. Two
     // small aggregations over the label-sized frame — type-agnostic
     // (negating the id for a struct-max would null out string ids and

@@ -1366,25 +1366,44 @@ object CurationQueries {
         |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
 
-    // Fertility twin: same pre-tokenizer regex (RE2-and-Java-safe
-    // alternation), same integer µ-unit floor-divs.
+    // Fertility twin. Dialect-portable on purpose (the r9 driver
+    // hash-failed this row on a DuckDB version we cannot test): the
+    // BPE pre-token count is replayed WITHOUT any regex — a per-
+    // codepoint walk (unicode(text[i])) counts letter-run starts,
+    // digit-run starts and other-chars arithmetically — and every
+    // aggregate is CAST to BIGINT before the µ-unit floor-divs so no
+    // HUGEINT (DuckDB's SUM(BIGINT) type) reaches the arithmetic.
     "q_tokenizer_fertility" ->
       """WITH m AS (
-        |  SELECT lang,
+        |  SELECT lang, n_chars,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      x -> len(x) > 0)) AS BIGINT) AS ws,
-        |    CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
-        |    n_chars
+        |    list_transform(range(1, CAST(length(text) AS BIGINT) + 1),
+        |                   i -> unicode(text[i])) AS cps
         |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_chars, ws,
+        |    CAST(len(list_filter(range(1, len(cps) + 1), i ->
+        |      ((cps[i] BETWEEN 65 AND 90) OR (cps[i] BETWEEN 97 AND 122))
+        |      AND NOT COALESCE((cps[i-1] BETWEEN 65 AND 90)
+        |                    OR (cps[i-1] BETWEEN 97 AND 122), FALSE))) AS BIGINT)
+        |    + CAST(len(list_filter(range(1, len(cps) + 1), i ->
+        |      (cps[i] BETWEEN 48 AND 57)
+        |      AND NOT COALESCE(cps[i-1] BETWEEN 48 AND 57, FALSE))) AS BIGINT)
+        |    + CAST(len(list_filter(cps, cp -> NOT ((cp BETWEEN 65 AND 90)
+        |        OR (cp BETWEEN 97 AND 122) OR (cp BETWEEN 48 AND 57)
+        |        OR cp = 32))) AS BIGINT) AS bpe
+        |  FROM m),
         |g AS (
-        |  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
-        |    SUM(bpe) AS bpe_tokens, SUM(n_chars) AS n_chars
-        |  FROM m GROUP BY lang)
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM c GROUP BY lang)
         |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
-        |  CAST(bpe_tokens * 1000000 // greatest(ws_tokens, 1) AS BIGINT)
+        |  CAST(bpe_tokens * 1000000 // greatest(ws_tokens, CAST(1 AS BIGINT)) AS BIGINT)
         |    AS fertility_q,
-        |  CAST(n_chars * 1000000 // greatest(bpe_tokens, 1) AS BIGINT)
+        |  CAST(n_chars * 1000000 // greatest(bpe_tokens, CAST(1 AS BIGINT)) AS BIGINT)
         |    AS chars_per_token_q
         |FROM g ORDER BY lang""".stripMargin,
 

@@ -35,6 +35,18 @@ object PipelineQueries {
     s.table(table)
   }
 
+  /** Shared cluster labels over the persisted pair graph, computed
+    * once per (JVM, corpus dir): label propagation is iterative (the
+    * most expensive consumer of the pair graph), and FOUR queries need
+    * the labels (cluster listing, apply, best-member apply, savings
+    * report) — re-deriving per query repeated the whole propagation.
+    * clusters() returns a localCheckpoint'ed frame, so the memoized
+    * DataFrame is already materialized and re-plans for free. */
+  private val clusterLabelsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsMemo.computeIfAbsent(dir,
+      d => Dedup.clusters(jaccardPairGraph(s, d)))
+
   /** Shared persisted IVF+PQ index, built once per (JVM, corpus dir) —
     * same amortization as the pair graph and the lexical index. */
   private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -168,7 +180,7 @@ object PipelineQueries {
     // The pair graph comes from the persisted build-once table shared
     // with q_dedup_cluster_apply (see jaccardPairGraph).
     "q_dedup_cluster" -> { (s, dir) =>
-      Dedup.clusters(jaccardPairGraph(s, dir))
+      clusterLabels(s, dir)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
@@ -177,8 +189,8 @@ object PipelineQueries {
     // component (transitive dups collapse even when their direct pair
     // missed the threshold; contrast with greedy q_dedup_apply).
     "q_dedup_cluster_apply" -> { (s, dir) =>
-      Dedup.removeNearDupsClustered(t(s, dir, "documents"), "doc_id",
-          jaccardPairGraph(s, dir))
+      Dedup.removeNearDupsClusteredLabels(t(s, dir, "documents"), "doc_id",
+          clusterLabels(s, dir))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
@@ -188,8 +200,8 @@ object PipelineQueries {
     // of an arbitrary min-id representative: the curation-grade apply.
     // Probes the same persisted pair graph as the other cluster twins.
     "q_dedup_cluster_best" -> { (s, dir) =>
-      Dedup.removeNearDupsClusteredBest(t(s, dir, "documents"), "doc_id",
-          "n_chars", jaccardPairGraph(s, dir))
+      Dedup.removeNearDupsClusteredBestLabels(t(s, dir, "documents"),
+          "doc_id", "n_chars", clusterLabels(s, dir))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
@@ -263,10 +275,17 @@ object PipelineQueries {
 
     // L7b: IVF-indexed ANN (k-means coarse quantizer, rows-only;
     // recall vs brute force measured in AnnSpec).
+    // L7: IVF — integer-quantized Lloyd training + squared-L2 cell
+    // assignment/probe order (Ann.ivfTopKQuantized): every training
+    // and routing step is exact integer arithmetic in doubles, so the
+    // FULL chain (2 Lloyd iterations included) replays as an unrolled
+    // CTE in the oracle — a hash gate over a trained index, upgraded
+    // from the r1-r9 rows-only gate.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
-          "embedding", k = 5, nClusters = 16, nProbe = 4)
+      Ann.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", k = 5, nClusters = 16, nProbe = 4, iters = 2,
+          trainFraction = 0.25)
         .orderBy("query_id", "rank")
     },
 
@@ -330,8 +349,8 @@ object PipelineQueries {
     // units, so eval rows never share a near-duplicate with training
     // rows (oracled: cluster CTE + the same md5-threshold CASE).
     "q_split_leakage_safe" -> { (s, dir) =>
-      Curate.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
-          jaccardPairGraph(s, dir),
+      Curate.leakageSafeSplitLabels(t(s, dir, "documents"), "doc_id",
+          clusterLabels(s, dir),
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select("doc_id", "cluster", "split")
         .orderBy("doc_id")
@@ -417,7 +436,7 @@ object PipelineQueries {
     // well-spread ids; top-10 deterministic.
     "q_dedup_savings" -> { (s, dir) =>
       import graft.functions.token_count
-      val cl = Dedup.clusters(jaccardPairGraph(s, dir))
+      val cl = clusterLabels(s, dir)
       val tk = t(s, dir, "documents")
         .select(col("doc_id").as("id"), token_count(col("text")).as("tk"))
       cl.join(tk, "id")
@@ -1256,6 +1275,81 @@ object PipelineQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Full replay of the integer-quantized IVF chain
+    * (Ann.ivfTopKQuantized): quantize → md5-threshold train sample →
+    * seed (lowest-id sampled vectors) → `iters` unrolled Lloyd
+    * iterations (squared-L2 argmin assignment, floor-of-mean update,
+    * empty cells keep their centroid) → cell assignment of the full
+    * corpus → per-query probe ranking → exact-cosine re-rank. Every
+    * pre-cosine quantity is an integer represented in double, so both
+    * engines agree bit-for-bit; the cosine tail is the same
+    * Shared.cosineSimSql as the (passing) brute-force oracle. */
+  private def ivfOracleSql(nClusters: Int, nProbe: Int, k: Int, iters: Int,
+                           maxQueryId: Long, trainThrHex: String): String = {
+    def dist(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, len($v) + 1),
+         |        j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))""".stripMargin
+    def lloydIter(n: Int, prev: String) =
+      s"""a$n AS (
+         |  SELECT nn_id, vq, c FROM (
+         |    SELECT t.nn_id, t.vq, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY t.nn_id
+         |        ORDER BY ${dist("t.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM train t CROSS JOIN $prev s) z WHERE rn = 1),
+         |u$n AS (
+         |  SELECT a.c, d.i, floor(SUM(a.vq[d.i]) / COUNT(*)) AS ci
+         |  FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
+         |c$n AS (
+         |  SELECT s.c, COALESCE(u.cent, s.cent) AS cent
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT c, list(ci ORDER BY i) AS cent FROM u$n GROUP BY c) u
+         |  USING (c))""".stripMargin
+    val iterCtes = (1 to iters)
+      .map(n => lloydIter(n, if (n == 1) "seed" else s"c${n - 1}"))
+      .mkString(",\n")
+    val centsFinal = s"c$iters"
+    s"""WITH v AS (
+       |  SELECT vec_id AS nn_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * 65536 + 0.5)) AS vq
+       |  FROM embeddings),
+       |dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(vq)) FROM v) + 1)) AS i),
+       |train AS (
+       |  SELECT * FROM v
+       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < '$trainThrHex'),
+       |seed AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY nn_id) - 1 AS c, vq AS cent
+       |  FROM (SELECT nn_id, vq FROM train ORDER BY nn_id LIMIT $nClusters) z),
+       |$iterCtes,
+       |idx AS (
+       |  SELECT nn_id, vec, c AS cluster FROM (
+       |    SELECT x.nn_id, x.vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+       |        ORDER BY ${dist("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x CROSS JOIN $centsFinal s) z WHERE rn = 1),
+       |qs AS (SELECT nn_id AS query_id, vec AS q_vec, vq AS q_vq
+       |       FROM v WHERE nn_id < $maxQueryId),
+       |probes AS (
+       |  SELECT query_id, q_vec, c AS cluster FROM (
+       |    SELECT q.query_id, q.q_vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dist("q.q_vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM qs q CROSS JOIN $centsFinal s) z WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, i.nn_id,
+       |    ${Shared.cosineSimSql("p.q_vec", "i.vec")} AS sim
+       |  FROM probes p JOIN idx i USING (cluster)
+       |  WHERE i.nn_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -1433,6 +1527,12 @@ object PipelineQueries {
     // The hyperplane-LSH bucketing replayed bit-exactly (see
     // lshOracleSql) — bits=4, dim=64, queries vec_id < 50, top-5.
     "q_ann_lsh" -> lshOracleSql(bits = 4, dim = 64, maxQueryId = 50L, k = 5),
+
+    // The integer-quantized IVF chain replayed end to end — TRAINING
+    // included (2 unrolled Lloyd iterations); see ivfOracleSql.
+    // trainFraction 0.25 → md5-prefix threshold 0x40.
+    "q_ann_ivf" -> ivfOracleSql(nClusters = 16, nProbe = 4, k = 5,
+      iters = 2, maxQueryId = 50L, trainThrHex = "40"),
 
     // The banded embedding-LSH chain replayed bit-exactly (see
     // embedOracleSql).

@@ -598,6 +598,37 @@ class CurationSpec extends SparkSpec {
     assert(out("plain").getAs[Long]("n_chars") == 37L)
   }
 
+  test("tokenizer fertility: cross-engine planted-row pin (exact values)") {
+    // The SAME five planted rows live in tools/check_oracle.py's
+    // dialect probe, which replays the q_tokenizer_fertility oracle
+    // SQL over them in DuckDB against these SAME expected tuples — so
+    // a dialect divergence (the r9 driver failure mode) fails locally
+    // on punctuation/Unicode-rich input instead of only on the driver.
+    // Keep rows + expectations in LOCKSTEP with the probe.
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Seq(
+      (1L, "hello, world! abc123 x", "en", "a", 22L),
+      (2L, "a1b2c3 ... --- e.g. 42", "en", "a", 22L),
+      (3L, "中文 测试 abc, 中a1", "zh", "a", 14L),
+      (4L, "", "de", "a", 0L),
+      (5L, "  double  spaces  7 ", "fr", "a", 20L),
+      (6L, "😀 ok 😀😀x", "es", "a", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.tokenizerFertility(docs, "text", "lang", "n_chars")
+      .collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("bpe_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("fertility_q"), r.getAs[Long]("chars_per_token_q")))
+      .toMap
+    assert(out("de") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out("en") == ((2L, 9L, 24L, 44L, 2666666L, 1833333L)))
+    assert(out("es") == ((1L, 3L, 5L, 8L, 1666666L, 1600000L)))
+    assert(out("fr") == ((1L, 3L, 3L, 20L, 1000000L, 6666666L)))
+    assert(out("zh") == ((1L, 4L, 9L, 14L, 2250000L, 1555555L)))
+  }
+
   test("scorecard: per-rule counts equal the standalone operators") {
     import graft.operators.Curate
     val d = table("documents")

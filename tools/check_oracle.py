@@ -36,6 +36,60 @@ def table_rows(tbl):
     return cols, [tuple(norm(col[i]) for col in data) for i in range(tbl.num_rows)]
 
 
+# Planted punctuation/Unicode-rich rows for dialect-sensitive oracles.
+# The production documents table is pure [a-z ] text, so those oracles
+# are degenerate at pre-validation time (ws == bpe everywhere); these
+# rows exercise the branches that diverge between DuckDB versions.
+# Rows AND expected tuples are in LOCKSTEP with CurationSpec's
+# "cross-engine planted-row pin" test — change both together.
+PROBE_ROWS = """(VALUES
+  (CAST(1 AS BIGINT), 'hello, world! abc123 x', 'en', 'a', CAST(22 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'a1b2c3 ... --- e.g. 42', 'en', 'a', CAST(22 AS BIGINT)),
+  (CAST(3 AS BIGINT), '中文 测试 abc, 中a1', 'zh', 'a', CAST(14 AS BIGINT)),
+  (CAST(4 AS BIGINT), '', 'de', 'a', CAST(0 AS BIGINT)),
+  (CAST(5 AS BIGINT), '  double  spaces  7 ', 'fr', 'a', CAST(20 AS BIGINT)),
+  (CAST(6 AS BIGINT), '\U0001F600 ok \U0001F600\U0001F600x', 'es', 'a', CAST(8 AS BIGINT))
+) t(doc_id, text, lang, source, n_chars)"""
+
+PROBE_EXPECT = {
+    "q_tokenizer_fertility": [
+        ("de", 1, 0, 0, 0, 0, 0),
+        ("en", 2, 9, 24, 44, 2666666, 1833333),
+        ("es", 1, 3, 5, 8, 1666666, 1600000),
+        ("fr", 1, 3, 3, 20, 1000000, 6666666),
+        ("zh", 1, 4, 9, 14, 2250000, 1555555),
+    ],
+}
+
+
+def dialect_probe(con, oracle, n_ok, n_bad):
+    """Run dialect-sensitive oracle SQL over PROBE_ROWS (not the real
+    tables) and compare to hard-coded expected values computed from the
+    Spark/Java semantics. Catches DuckDB-version drift locally."""
+    for name, expect in PROBE_EXPECT.items():
+        if name not in oracle:
+            print(f"FAIL probe:{name}: oracle entry missing")
+            n_bad += 1
+            continue
+        sql = oracle[name].replace("FROM documents",
+                                   f"FROM {PROBE_ROWS}")
+        try:
+            got = [tuple(r) for r in con.execute(sql).fetchall()]
+        except Exception as e:
+            print(f"FAIL probe:{name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        if got != expect:
+            print(f"FAIL probe:{name}: planted-row mismatch")
+            print(f"  expect: {expect}")
+            print(f"  got   : {got}")
+            n_bad += 1
+        else:
+            print(f"OK   probe:{name}: planted rows exact")
+            n_ok += 1
+    return n_ok, n_bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -61,6 +115,7 @@ def main():
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_ok = n_bad = 0
+    n_ok, n_bad = dialect_probe(con, oracle, n_ok, n_bad)
     # rows-only checks for queries without an oracle
     for p in sorted(Path(out_dir).iterdir()):
         if p.is_dir() and p.name not in oracle:
