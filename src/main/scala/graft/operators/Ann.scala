@@ -192,9 +192,8 @@ object Ann {
     * corpus parquet is touched once. */
   def trainCentroidsIntL2(v: DataFrame, nClusters: Int, iters: Int,
                           trainFraction: Double): Array[Array[Double]] = {
-    val thr = f"${math.max(1, math.min(256, math.round(trainFraction * 256).toInt))}%02x"
     val train = v
-      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < thr)
+      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < md5Thr(trainFraction))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var seed = train.orderBy("nn_id").limit(nClusters).select("vq").collect()
@@ -227,7 +226,16 @@ object Ann {
     * so `x · Q` is exact in IEEE double for every float/double x. */
   val QuantScale = 65536.0
 
-  private[operators] def quantized(vec: Column): Column =
+  /** Portable md5-prefix sampling threshold for `trainFraction`:
+    * 2 lowercase-hex chars, or "g0" (above every hex prefix — sample
+    * everything) when the fraction rounds to 1. Shared verbatim by the
+    * oracle SQL, so keep the rounding rule in lockstep. */
+  def md5Thr(frac: Double): String = {
+    val t = math.round(frac * 256).toInt
+    if (t >= 256) "g0" else f"${math.max(1, t)}%02x"
+  }
+
+  private[graft] def quantized(vec: Column): Column =
     transform(as_double_array(vec), x => floor(x * QuantScale + lit(0.5)).cast("double"))
 
   /** IVF top-k with integer-quantized training and squared-L2 cell
@@ -997,6 +1005,59 @@ object Ann {
     val v = df.select(col(idCol).as("nn_id"), as_double_array(col(vecCol)).as("vec"))
     val cents = trainCentroids(v, nClusters, iters, trainFraction)
     knnGraphSearch(v, cents, k, nAssign)
+  }
+
+  /** [[knnGraph]] on the integer-quantized training/assignment path
+    * (see [[trainCentroidsIntL2]]): multi-assignment cells come from
+    * `top_centroids_l2` over quantized vectors, so candidate
+    * generation — the approximate part — is engine-replayable and the
+    * whole graph carries a hash oracle. Search shape unchanged:
+    * cell-keyed self-join, exact-cosine rank, WindowGroupLimit top-k. */
+  def knnGraphQuantized(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nClusters: Int = 16, iters: Int = 2,
+                        trainFraction: Double = 0.25,
+                        nAssign: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v
+      .withColumn("cluster", explode(top_centroids_l2(col("vq"), centsLit, nAssign)))
+      .select("cluster", "nn_id", "vec")
+    val cand = indexed.as("a").join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.nn_id") =!= col("b.nn_id"))
+      .select(col("a.nn_id").as("id"), col("b.nn_id").as("nb"),
+        round_portable(cosine_sim(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("nb").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk").cast("long").as("rk"), col("nb"), col("cos"))
+  }
+
+  /** [[bulkTopK]] on the integer-quantized path — cluster-keyed
+    * equi-join (neither side broadcasts), hash-oracle-able. */
+  def bulkTopKQuantized(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nClusters: Int = 16,
+                        nProbe: Int = 2, iters: Int = 2,
+                        trainFraction: Double = 0.25): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v.withColumn("cluster", nearest_centroid_l2(col("vq"), centsLit))
+    val probes = queries
+      .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"),
+        quantized(col(vecCol)).as("q_vq"))
+      .withColumn("cluster", explode(top_centroids_l2(col("q_vq"), centsLit, nProbe)))
+      .select("cluster", "query_id", "q_vec")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(probes, "cluster")
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
   }
 
   private def knnGraphSearch(v: DataFrame, cents: Array[Array[Double]],

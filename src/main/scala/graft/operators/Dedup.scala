@@ -288,6 +288,32 @@ object Dedup {
       .distinct()
   }
 
+  /** [[semanticPairs]] on the integer-quantized training/assignment
+    * path ([[Ann.trainCentroidsIntL2]] + `top_centroids_l2` over
+    * quantized vectors): the blocking step — the only probabilistic
+    * part — becomes engine-replayable, so the pair set carries a full
+    * hash oracle. Verification (exact cosine over the ORIGINAL
+    * vectors, portable rounding) is unchanged. */
+  def semanticPairsQuantized(df: DataFrame, idCol: String, vecCol: String,
+                             nClusters: Int = 16, minCosine: Double = 0.95,
+                             iters: Int = 2, trainFraction: Double = 0.25,
+                             nAssign: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"),
+      Ann.quantized(col(vecCol)).as("vq"))
+    val cents = Ann.trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val indexed = v
+      .withColumn("cluster", explode(top_centroids_l2(col("vq"), centsLit, nAssign)))
+      .select("cluster", "nn_id", "vec")
+    indexed.as("a").join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.nn_id") < col("b.nn_id"))
+      .withColumn("cos", round_portable(cosine_sim(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.nn_id").as("id1"), col("b.nn_id").as("id2"), col("cos"))
+      .distinct()
+  }
+
   /** Apply semantic dedup: drop the larger id of every within-cluster
     * cosine duplicate (greedy representative, same policy as
     * [[removeNearDups]]). */

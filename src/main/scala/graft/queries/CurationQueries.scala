@@ -546,10 +546,15 @@ object CurationQueries {
     // via shared quantizer cells (rows-only; recall vs brute force and
     // degree/self-edge contracts gated in AnnSpec). Cell count scales
     // with n like the semantic-dedup queries.
+    // L38: kNN graph on the integer-quantized training path — the
+    // whole candidate generator (trained cells, multi-assignment)
+    // replays in the oracle, upgrading the gate from rows-only to a
+    // full hash (oracle pins the sf0.01 regime: n < 4608 → 8 cells,
+    // n <= 65536 → full-sample train).
     "q_knn_graph" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val n = e.count()
-      Ann.knnGraph(e, "vec_id", "embedding", k = 5,
+      Ann.knnGraphQuantized(e, "vec_id", "embedding", k = 5,
           nClusters = math.max(8L, n / 512).toInt, iters = 2,
           trainFraction = math.min(1.0, 65536.0 / n))
         .orderBy("id", "rk")
@@ -564,7 +569,7 @@ object CurationQueries {
       val qs = e.filter(col("label") === 0)
       val corpus = e.filter(col("label") =!= 0)
       val n = corpus.count()
-      Ann.bulkTopK(qs, corpus, "vec_id", "embedding", k = 5,
+      Ann.bulkTopKQuantized(qs, corpus, "vec_id", "embedding", k = 5,
           nClusters = math.max(8L, n / 512).toInt, nProbe = 3, iters = 2,
           trainFraction = math.min(1.0, 65536.0 / n))
         .orderBy("query_id", "rank")
@@ -749,17 +754,19 @@ object CurationQueries {
     },
 
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
-    // embedding space. Rows-only (the k-means quantizer is engine-
-    // native); precision is exact by construction (every pair is
-    // cosine-verified), recall vs exact all-pairs gated in DedupSpec.
-    // The cell count scales with the corpus (target ~512 vectors/cell):
-    // per-cell all-pairs is the SemDeDup contract, so FIXED C would be
-    // O(n²/C) — quadratic again at 100× the data. Adaptive C keeps the
-    // per-cell work constant (one cheap count job to size it).
+    // embedding space, on the integer-quantized training path: the
+    // blocking step replays in the oracle, so the pair set is a FULL
+    // hash gate (upgraded from rows-only in r10). Precision is exact
+    // by construction (every pair is cosine-verified); recall vs exact
+    // all-pairs gated in DedupSpec. The cell count scales with the
+    // corpus (target ~512 vectors/cell): per-cell all-pairs is the
+    // SemDeDup contract, so FIXED C would be O(n²/C) — quadratic again
+    // at 100× the data. Adaptive C keeps the per-cell work constant
+    // (one cheap count job to size it).
     "q_semantic_dedup" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val n = e.count()
-      Dedup.semanticPairs(e, "vec_id", "embedding",
+      Dedup.semanticPairsQuantized(e, "vec_id", "embedding",
           nClusters = math.max(8L, n / 512).toInt, minCosine = 0.4, iters = 2,
           trainFraction = math.min(1.0, 65536.0 / n))
         .orderBy("id1", "id2")
@@ -767,12 +774,13 @@ object CurationQueries {
 
     // L5c: embedding-FREE semantic dedup — the full native chain
     // text -> hashed_bow vector -> k-means cells -> verified cosine
-    // pairs, no external embedding model anywhere (rows-only; the
-    // featurizer and the cluster machinery carry their own gates).
+    // pairs, no external embedding model anywhere; hash-oracled end to
+    // end (the bow featurizer replays via the shared rolling-hash CTE,
+    // the quantizer via the unrolled Lloyd CTEs).
     "q_semantic_dedup_text" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val n = d.count()
-      Dedup.semanticPairs(
+      Dedup.semanticPairsQuantized(
           d.select(col("doc_id"),
             hashed_bow(tokenize_ws(col("text")), 64).as("v")),
           "doc_id", "v",
@@ -1025,7 +1033,121 @@ object CurationQueries {
       |  SELECT f.doc_id, f.lang, CAST(SUM(f.x * w.wgt) AS BIGINT) AS margin
       |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id, f.lang)""".stripMargin
 
+  /** Shared tail of the SemDeDup oracle replays: multi-assignment
+    * blocking (top-2 cells by quantized L2) + within-cell verified
+    * cosine at `minCos`. The zero-norm guard mirrors the Spark
+    * kernel's `cosine == 0.0 on zero norm` convention (NaN compares
+    * GREATER in some engines, so an unguarded NaN >= threshold would
+    * diverge). Expects the training CTEs (`v` .. `c2`) upstream. */
+  private def semanticDedupTailSql(minCos: Double): String =
+    s"""idxm AS (
+       |  SELECT nn_id, vec, c AS cluster FROM (
+       |    SELECT x.nn_id, x.vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+       |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x CROSS JOIN c2 s) z WHERE rn <= 2),
+       |cand AS (
+       |  SELECT a.nn_id AS id1, b.nn_id AS id2,
+       |    ${Shared.cosineSimSql("a.vec", "b.vec")} AS cos
+       |  FROM idxm a JOIN idxm b
+       |    ON a.cluster = b.cluster AND a.nn_id < b.nn_id
+       |  WHERE list_sum(list_transform(a.vec, x -> x * x)) > 0
+       |    AND list_sum(list_transform(b.vec, x -> x * x)) > 0)
+       |SELECT DISTINCT id1, id2, cos FROM cand WHERE cos >= $minCos
+       |ORDER BY id1, id2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // The quantized SemDeDup chain over embeddings replayed end to end
+    // — training, multi-assign blocking, verified cosine >= 0.4.
+    "q_semantic_dedup" ->
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0")},
+         |${semanticDedupTailSql(0.4)}""".stripMargin,
+
+    // The embedding-free SemDeDup chain: hashed-bow featurizer (shared
+    // rolling-hash CTE) densified to 64 dims, then the same quantized
+    // training + blocking + cosine >= 0.9.
+    "q_semantic_dedup_text" ->
+      s"""WITH ${Shared.hashedBowCteSql("documents", "doc_id", "text", "d")},
+         |buckets AS (SELECT UNNEST(range(0, 64)) AS bucket),
+         |cell AS (
+         |  SELECT doc_id, bucket
+         |  FROM (SELECT DISTINCT doc_id FROM documents) CROSS JOIN buckets),
+         |v AS (
+         |  SELECT nn_id, vec,
+         |    list_transform(vec, x -> floor(x * 65536 + 0.5)) AS vq
+         |  FROM (
+         |    SELECT c.doc_id AS nn_id,
+         |      list(CAST(COALESCE(b.w, 0) AS DOUBLE) ORDER BY c.bucket) AS vec
+         |    FROM cell c LEFT JOIN dbow b
+         |      ON b.doc_id = c.doc_id AND b.bucket = c.bucket
+         |    GROUP BY c.doc_id) z),
+         |${Shared.ivfTrainCoreCtesSql(nClusters = 8, iters = 2,
+             trainThrHex = "g0")},
+         |${semanticDedupTailSql(0.9)}""".stripMargin,
+
+    // The quantized kNN-graph chain replayed end to end (training
+    // included) — nClusters=8 / full-sample train pin the sf0.01
+    // regime of the adaptive formula (n < 4608, n <= 65536).
+    "q_knn_graph" -> {
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0")},
+         |idxm AS (
+         |  SELECT nn_id, vec, c AS cluster FROM (
+         |    SELECT x.nn_id, x.vec, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM v x CROSS JOIN c2 s) z WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.nn_id AS id, b.nn_id AS nb,
+         |    ${Shared.cosineSimSql("a.vec", "b.vec", 6)} AS cos
+         |  FROM idxm a JOIN idxm b
+         |    ON a.cluster = b.cluster AND a.nn_id <> b.nn_id),
+         |ranked AS (
+         |  SELECT id, nb, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY id
+         |                       ORDER BY cos DESC, nb ASC) AS rk
+         |  FROM cand)
+         |SELECT id, rk, nb, cos FROM ranked WHERE rk <= 5
+         |ORDER BY id, rk""".stripMargin
+    },
+
+    // The quantized bulk cross-corpus kNN replayed — corpus is
+    // label<>0 (training side), queries are label=0; same regime pins
+    // as q_knn_graph.
+    "q_bulk_knn" -> {
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0", srcWhere = "WHERE label <> 0")},
+         |idx AS (
+         |  SELECT nn_id, vec, c AS cluster FROM (
+         |    SELECT x.nn_id, x.vec, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM v x CROSS JOIN c2 s) z WHERE rn = 1),
+         |qv AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
+         |    list_transform(embedding,
+         |      x -> floor(CAST(x AS DOUBLE) * 65536 + 0.5)) AS q_vq
+         |  FROM embeddings WHERE label = 0),
+         |probes AS (
+         |  SELECT query_id, q_vec, c AS cluster FROM (
+         |    SELECT q.query_id, q.q_vec, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${Shared.l2qDistSql("q.q_vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM qv q CROSS JOIN c2 s) z WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, i.nn_id,
+         |    ${Shared.cosineSimSql("p.q_vec", "i.vec")} AS sim
+         |  FROM probes p JOIN idx i USING (cluster)),
+         |ranked AS (
+         |  SELECT query_id, nn_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, nn_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // word2phrase replay: same discounted-ratio shape — (cab−5)::d
     // * n_tok, divided by (ca::d * cb), scaled 1e6, floored.
     "q_phrase_mine" ->

@@ -1286,42 +1286,9 @@ object PipelineQueries {
     * Shared.cosineSimSql as the (passing) brute-force oracle. */
   private def ivfOracleSql(nClusters: Int, nProbe: Int, k: Int, iters: Int,
                            maxQueryId: Long, trainThrHex: String): String = {
-    def dist(v: String, c: String) =
-      s"""list_sum(list_transform(range(1, len($v) + 1),
-         |        j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))""".stripMargin
-    def lloydIter(n: Int, prev: String) =
-      s"""a$n AS (
-         |  SELECT nn_id, vq, c FROM (
-         |    SELECT t.nn_id, t.vq, s.c,
-         |      ROW_NUMBER() OVER (PARTITION BY t.nn_id
-         |        ORDER BY ${dist("t.vq", "s.cent")} ASC, s.c ASC) AS rn
-         |    FROM train t CROSS JOIN $prev s) z WHERE rn = 1),
-         |u$n AS (
-         |  SELECT a.c, d.i, floor(SUM(a.vq[d.i]) / COUNT(*)) AS ci
-         |  FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
-         |c$n AS (
-         |  SELECT s.c, COALESCE(u.cent, s.cent) AS cent
-         |  FROM $prev s LEFT JOIN (
-         |    SELECT c, list(ci ORDER BY i) AS cent FROM u$n GROUP BY c) u
-         |  USING (c))""".stripMargin
-    val iterCtes = (1 to iters)
-      .map(n => lloydIter(n, if (n == 1) "seed" else s"c${n - 1}"))
-      .mkString(",\n")
+    def dist(v: String, c: String) = Shared.l2qDistSql(v, c)
     val centsFinal = s"c$iters"
-    s"""WITH v AS (
-       |  SELECT vec_id AS nn_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
-       |    list_transform(embedding,
-       |      x -> floor(CAST(x AS DOUBLE) * 65536 + 0.5)) AS vq
-       |  FROM embeddings),
-       |dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(vq)) FROM v) + 1)) AS i),
-       |train AS (
-       |  SELECT * FROM v
-       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < '$trainThrHex'),
-       |seed AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY nn_id) - 1 AS c, vq AS cent
-       |  FROM (SELECT nn_id, vq FROM train ORDER BY nn_id LIMIT $nClusters) z),
-       |$iterCtes,
+    s"""WITH ${Shared.ivfTrainCtesSql(nClusters, iters, trainThrHex)},
        |idx AS (
        |  SELECT nn_id, vec, c AS cluster FROM (
        |    SELECT x.nn_id, x.vec, s.c,

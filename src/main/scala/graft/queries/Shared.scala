@@ -181,11 +181,74 @@ private[queries] object Shared {
     * replays (floor(x·1e4+0.5)/1e4; never engine ROUND, whose tie
     * behavior differs). Argument order matters only for staying
     * textually in lockstep with the kernel call. */
-  def cosineSimSql(a: String, b: String): String =
+  def cosineSimSql(a: String, b: String): String = cosineSimSql(a, b, 4)
+
+  def cosineSimSql(a: String, b: String, scale: Int): String = {
+    val p = math.pow(10, scale).toLong
     s"""FLOOR((list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
        |          SQRT(list_sum(list_transform($a, x -> x * x)) *
-       |               list_sum(list_transform($b, x -> x * x)))) * 10000 + 0.5)
-       |      / 10000""".stripMargin
+       |               list_sum(list_transform($b, x -> x * x)))) * $p + 0.5)
+       |      / $p""".stripMargin
+  }
+
+  /** Squared-L2 distance between two quantized (integer-valued)
+    * double lists — exact in both engines; the assignment/probe
+    * ordering key of the quantized IVF/k-means oracle replays. */
+  def l2qDistSql(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, len($v) + 1),
+       |        j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))""".stripMargin
+
+  /** Training-CTE prefix of the integer-quantized k-means replay
+    * (Ann.trainCentroidsIntL2): CTEs `v` (nn_id, vec, vq over
+    * `embeddings` filtered by `srcWhere`), `dims`, `train` (md5-prefix
+    * sample at `trainThrHex`), `seed`, and one `a#/u#/c#` triple per
+    * unrolled Lloyd iteration — final centroids in `c<iters>`.
+    * Every quantity is an integer in double, so the trained centroids
+    * are bit-identical to the Spark side. Append query-specific CTEs
+    * after a comma. */
+  def ivfTrainCtesSql(nClusters: Int, iters: Int, trainThrHex: String,
+                      srcWhere: String = ""): String = {
+    s"""v AS (
+       |  SELECT vec_id AS nn_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * 65536 + 0.5)) AS vq
+       |  FROM embeddings $srcWhere),
+       |${ivfTrainCoreCtesSql(nClusters, iters, trainThrHex)}""".stripMargin
+  }
+
+  /** The `dims/train/seed/a#/u#/c#` portion of [[ivfTrainCtesSql]],
+    * for callers that define their own `v` CTE (columns nn_id, vec,
+    * vq — vq integer-valued doubles). */
+  def ivfTrainCoreCtesSql(nClusters: Int, iters: Int,
+                          trainThrHex: String): String = {
+    def lloydIter(n: Int, prev: String) =
+      s"""a$n AS (
+         |  SELECT nn_id, vq, c FROM (
+         |    SELECT t.nn_id, t.vq, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY t.nn_id
+         |        ORDER BY ${l2qDistSql("t.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM train t CROSS JOIN $prev s) z WHERE rn = 1),
+         |u$n AS (
+         |  SELECT a.c, d.i, floor(SUM(a.vq[d.i]) / COUNT(*)) AS ci
+         |  FROM a$n a CROSS JOIN dims d GROUP BY a.c, d.i),
+         |c$n AS (
+         |  SELECT s.c, COALESCE(u.cent, s.cent) AS cent
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT c, list(ci ORDER BY i) AS cent FROM u$n GROUP BY c) u
+         |  USING (c))""".stripMargin
+    val iterCtes = (1 to iters)
+      .map(n => lloydIter(n, if (n == 1) "seed" else s"c${n - 1}"))
+      .mkString(",\n")
+    s"""dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(vq)) FROM v) + 1)) AS i),
+       |train AS (
+       |  SELECT * FROM v
+       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < '$trainThrHex'),
+       |seed AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY nn_id) - 1 AS c, vq AS cent
+       |  FROM (SELECT nn_id, vq FROM train ORDER BY nn_id LIMIT $nClusters) z),
+       |$iterCtes""".stripMargin
+  }
 
   // ---- hashed signed bag-of-words (L34 and the dense side of L41) ----
 

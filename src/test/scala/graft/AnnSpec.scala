@@ -366,6 +366,33 @@ class AnnSpec extends SparkSpec {
     assert(delIds.forall(id => !codesIds.contains(id) && !vecIds.contains(id)))
   }
 
+  test("quantized ivf/knn/bulk: recall gates unchanged, training deterministic") {
+    // the oracle-exact (integer-quantized) variants must hold the SAME
+    // recall floors as their double-path twins, and training must be
+    // partitioning-independent (run twice over different layouts)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = Ann.ivfTopKQuantized(e, q, "vec_id", "embedding", k = 5,
+        nClusters = 8, nProbe = 4, iters = 3, trainFraction = 1.0).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"quantized ivf recall $recall below gate")
+    // determinism across physical layouts: 1-partition vs 32-partition
+    // training must yield identical centroids (exact integer sums)
+    val v1 = e.coalesce(1).select(col("vec_id").as("nn_id"),
+      graft.functions.as_double_array(col("embedding")).as("vec"),
+      col("embedding").as("e0")).withColumn("vq", Ann.quantized(col("e0"))).drop("e0")
+    val v32 = e.repartition(32).select(col("vec_id").as("nn_id"),
+      graft.functions.as_double_array(col("embedding")).as("vec"),
+      col("embedding").as("e0")).withColumn("vq", Ann.quantized(col("e0"))).drop("e0")
+    val c1 = Ann.trainCentroidsIntL2(v1, 8, 2, 0.25)
+    val c32 = Ann.trainCentroidsIntL2(v32, 8, 2, 0.25)
+    assert(c1.length == 8 && c1.zip(c32).forall { case (a, b) => a.sameElements(b) },
+      "quantized training diverged across partitionings")
+  }
+
   test("knn graph: bounded degree, no self edges, recall vs brute force") {
     import graft.functions.{as_double_array, cosine_sim, round_portable}
     import org.apache.spark.sql.expressions.Window
@@ -387,6 +414,12 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (edges & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"knn-graph recall $recall below gate")
+    // oracle-exact variant: same floor
+    val gq = Ann.knnGraphQuantized(e, "vec_id", "embedding", k = 5,
+        nClusters = 8, iters = 2, trainFraction = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallQ = (gq & truth).size.toDouble / truth.size
+    assert(recallQ >= 0.6, s"quantized knn-graph recall $recallQ below gate")
   }
 
   test("bulk cross-corpus knn: recall vs brute force, no id bleed") {
@@ -412,6 +445,14 @@ class AnnSpec extends SparkSpec {
     val edges = got.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (edges & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"bulk-knn recall $recall below gate")
+    // oracle-exact variant: same floor, same corpus-side containment
+    val gotQ = Ann.bulkTopKQuantized(qs, corpus, "vec_id", "embedding", k = 5,
+      nClusters = 8, nProbe = 3, iters = 2, trainFraction = 1.0).collect()
+    assert(gotQ.forall(r => corpusIds.contains(r.getLong(2))),
+      "quantized: a neighbor came from outside the corpus side")
+    val edgesQ = gotQ.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallQ = (edgesQ & truth).size.toDouble / truth.size
+    assert(recallQ >= 0.6, s"quantized bulk-knn recall $recallQ below gate")
   }
 
   test("knn classify: planted clusters vote correctly, ties break low-label") {

@@ -259,6 +259,15 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(truth), "semantic pairs must be true pairs")
     val recall = (truth & found).size.toDouble / truth.size
     assert(recall >= 0.5, s"semantic-dedup recall $recall too low")
+    // oracle-exact (quantized) variant: same precision/recall contract
+    val semQ = Dedup.semanticPairsQuantized(e, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.4, iters = 2, trainFraction = 1.0)
+      .collect()
+    assert(semQ.forall(_.getAs[Double]("cos") >= 0.4))
+    val foundQ = semQ.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foundQ.subsetOf(truth), "quantized semantic pairs must be true pairs")
+    val recallQ = (truth & foundQ).size.toDouble / truth.size
+    assert(recallQ >= 0.5, s"quantized semantic-dedup recall $recallQ too low")
   }
 
   test("semantic removal drops exactly the larger ids of semantic pairs") {
