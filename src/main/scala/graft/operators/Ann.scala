@@ -523,6 +523,83 @@ object Ann {
     } finally train.unpersist()
   }
 
+  /** [[trainGroupedCentroids]] on the integer-quantized path — fully
+    * DataFrame-side (no driver collect: G·C centroid rows stay
+    * distributed), every step exact integer arithmetic in doubles
+    * (see [[trainCentroidsIntL2]]): the per-iteration floor-of-mean
+    * runs as a codegen'd `transform(vsum, x -> floor(x/cnt))`.
+    * `v` must carry (grp, nn_id, vq). Returns (grp, cents). */
+  def trainGroupedCentroidsIntL2(v: DataFrame, nClusters: Int, iters: Int,
+                                 trainFraction: Double): DataFrame = {
+    val train = v
+      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < md5Thr(trainFraction))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wSeed = Window.partitionBy("grp").orderBy("nn_id")
+      var cents = train.withColumn("rn", row_number().over(wSeed) - 1)
+        .filter(col("rn") < nClusters)
+        .groupBy("grp")
+        .agg(array_sort(collect_list(struct(col("rn"), col("vq")))).as("s"))
+        .select(col("grp"), transform(col("s"), x => x("vq")).as("cents"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val updated = train.join(broadcast(cents), "grp")
+          .withColumn("cluster", nearest_centroid_l2(col("vq"), col("cents")))
+          .groupBy("grp", "cluster")
+          .agg(vector_sum(col("vq")).as("vsum"), count(lit(1)).as("cnt"))
+          .select(col("grp"), col("cluster"),
+            transform(col("vsum"),
+              x => floor(x / col("cnt")).cast("double")).as("newc"))
+        val old = cents.select(col("grp"),
+          posexplode(col("cents")).as(Seq("cluster", "oldc")))
+        cents = old.join(updated, Seq("grp", "cluster"), "left")
+          .select(col("grp"), col("cluster"),
+            coalesce(col("newc"), col("oldc")).as("c"))
+          .groupBy("grp")
+          .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("s"))
+          .select(col("grp"), transform(col("s"), x => x("c")).as("cents"))
+          .localCheckpoint(true)
+      }
+      // tenants that missed the hash sample get a 1-cell quantizer
+      // (lowest-id corpus vector) — same fallback as the double path
+      val missing = v.join(cents.select("grp"), Seq("grp"), "left_anti")
+        .groupBy("grp").agg(min_by(col("vq"), col("nn_id")).as("c0"))
+        .select(col("grp"), array(col("c0")).as("cents"))
+      cents.union(missing).localCheckpoint(true)
+    } finally train.unpersist()
+  }
+
+  /** [[groupedIvfTopK]] on the integer-quantized path — per-tenant
+    * trained cells replay in the oracle; search shape unchanged
+    * (broadcast (grp, cents), equi-join on (grp, cluster)). */
+  def groupedIvfTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              groupCol: String, k: Int, nClusters: Int = 8,
+                              nProbe: Int = 2, iters: Int = 2,
+                              trainFraction: Double = 0.25): DataFrame = {
+    val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
+    val cents = trainGroupedCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val indexed = v.join(broadcast(cents), "grp")
+      .withColumn("cluster", nearest_centroid_l2(col("vq"), col("cents")))
+      .select("grp", "cluster", "nn_id", "vec")
+    val probes = queries
+      .select(col(groupCol).as("grp"), col(idCol).as("query_id"),
+        as_double_array(col(vecCol)).as("q_vec"), quantized(col(vecCol)).as("q_vq"))
+      .join(broadcast(cents), "grp")
+      .withColumn("cluster",
+        explode(top_centroids_l2(col("q_vq"), col("cents"), nProbe)))
+      .select("grp", "cluster", "query_id", "q_vec")
+    val w = Window.partitionBy("grp", "query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    indexed.join(broadcast(probes), Seq("grp", "cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "grp", "rank", "nn_id", "sim")
+  }
+
   /** L7c: per-group (tenant) IVF — one coarse quantizer per group, the
     * scale path for multi-tenant similarity search: assignment and
     * probing are map-side against a broadcast (grp, cents) table, the

@@ -312,10 +312,12 @@ object PipelineQueries {
 
     // L7c: per-group IVF — one coarse quantizer per tenant (rows-only;
     // recall vs grouped exact search gated in AnnSpec).
+    // L7c: per-tenant IVF on the integer-quantized path — per-group
+    // trained cells replay in the oracle (upgraded from rows-only).
     "q_ann_grouped_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Ann.groupedIvfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
-          "embedding", "label", k = 5, nClusters = 8, nProbe = 4,
+      Ann.groupedIvfTopKQuantized(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 5, nClusters = 8, nProbe = 4,
           iters = 2, trainFraction = 1.0)
         .orderBy("query_id", "rank")
     },
@@ -1317,7 +1319,84 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Grouped (per-tenant) replay of the quantized IVF chain
+    * (Ann.groupedIvfTopKQuantized): every CTE of ivfOracleSql with the
+    * group key threaded through seed/assignment/update/probe. Pins the
+    * full-sample train regime ('g0'), where the missing-tenant
+    * fallback is provably empty. */
+  private def groupedIvfOracleSql(nClusters: Int, nProbe: Int, k: Int,
+                                  iters: Int, maxQueryId: Long): String = {
+    def dist(v: String, c: String) = Shared.l2qDistSql(v, c)
+    def lloydIter(n: Int, prev: String) =
+      s"""a$n AS (
+         |  SELECT grp, nn_id, vq, c FROM (
+         |    SELECT t.grp, t.nn_id, t.vq, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY t.grp, t.nn_id
+         |        ORDER BY ${dist("t.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM train t JOIN $prev s ON s.grp = t.grp) z WHERE rn = 1),
+         |u$n AS (
+         |  SELECT a.grp, a.c, d.i, floor(SUM(a.vq[d.i]) / COUNT(*)) AS ci
+         |  FROM a$n a CROSS JOIN dims d GROUP BY a.grp, a.c, d.i),
+         |c$n AS (
+         |  SELECT s.grp, s.c, COALESCE(u.cent, s.cent) AS cent
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT grp, c, list(ci ORDER BY i) AS cent
+         |    FROM u$n GROUP BY grp, c) u
+         |  ON u.grp = s.grp AND u.c = s.c)""".stripMargin
+    val iterCtes = (1 to iters)
+      .map(n => lloydIter(n, if (n == 1) "seed" else s"c${n - 1}"))
+      .mkString(",\n")
+    val cf = s"c$iters"
+    s"""WITH v AS (
+       |  SELECT label AS grp, vec_id AS nn_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) * 65536 + 0.5)) AS vq
+       |  FROM embeddings),
+       |dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(vq)) FROM v) + 1)) AS i),
+       |train AS (
+       |  SELECT * FROM v
+       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < 'g0'),
+       |seed AS (
+       |  SELECT grp, rn - 1 AS c, vq AS cent FROM (
+       |    SELECT grp, nn_id, vq,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY nn_id) AS rn
+       |    FROM train) z WHERE rn <= $nClusters),
+       |$iterCtes,
+       |idx AS (
+       |  SELECT grp, nn_id, vec, c AS cluster FROM (
+       |    SELECT x.grp, x.nn_id, x.vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.grp, x.nn_id
+       |        ORDER BY ${dist("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x JOIN $cf s ON s.grp = x.grp) z WHERE rn = 1),
+       |qs AS (SELECT grp, nn_id AS query_id, vec AS q_vec, vq AS q_vq
+       |       FROM v WHERE nn_id < $maxQueryId),
+       |probes AS (
+       |  SELECT grp, query_id, q_vec, c AS cluster FROM (
+       |    SELECT q.grp, q.query_id, q.q_vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY q.grp, q.query_id
+       |        ORDER BY ${dist("q.q_vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM qs q JOIN $cf s ON s.grp = q.grp) z WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, p.grp, i.nn_id,
+       |    ${Shared.cosineSimSql("p.q_vec", "i.vec")} AS sim
+       |  FROM probes p JOIN idx i
+       |    ON i.grp = p.grp AND i.cluster = p.cluster
+       |   AND i.nn_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, grp, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY grp, query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, grp, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The per-tenant quantized IVF chain replayed (training included,
+    // group key threaded through every CTE) — see groupedIvfOracleSql.
+    "q_ann_grouped_ivf" -> groupedIvfOracleSql(nClusters = 8, nProbe = 4,
+      k = 5, iters = 2, maxQueryId = 50L),
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

@@ -108,6 +108,17 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.8, s"grouped-ivf recall $recall below gate")
+    // oracle-exact (quantized) variant: same floor, same containment
+    val ivfQ = Ann.groupedIvfTopKQuantized(e, q, "vec_id", "embedding",
+        "label", k = 5, nClusters = 8, nProbe = 4, iters = 2,
+        trainFraction = 1.0)
+      .collect()
+    ivfQ.foreach(r =>
+      assert(labelOf(r.getAs[Long]("nn_id")) == r.getAs[Int]("grp")))
+    val gotQ = ivfQ
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recallQ = (exact & gotQ).size.toDouble / exact.size
+    assert(recallQ >= 0.8, s"quantized grouped-ivf recall $recallQ below gate")
   }
 
   test("ivf probes beat or match single-bucket lsh recall") {
