@@ -764,6 +764,20 @@ object Dedup {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val spark = batch.sparkSession
+    // reconcile: the pair append commits before the sidecar append, so
+    // a failure between the two leaves pair rows whose token sets never
+    // reached `_toks` — every LATER append would silently miss
+    // batch×corpus pairs against those docs, breaking the documented
+    // "identical to a from-scratch rebuild" guarantee. Detect the
+    // desync here (one narrow anti-join per append) and refuse.
+    val desynced = spark.table(table)
+      .select(explode(array(col("doc_id1"), col("doc_id2"))).as("id"))
+      .distinct()
+      .join(spark.table(s"${table}_toks").select("id"), Seq("id"), "left_anti")
+      .limit(1).count()
+    require(desynced == 0L,
+      s"$table has pair rows missing from ${table}_toks (a prior append " +
+        "failed between its two writes) — rebuild with buildPairTable")
     val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
     val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
     def banded(t: DataFrame) = t.withColumn("band",
@@ -809,12 +823,21 @@ object Dedup {
     val del = ids.select(col(idCol).as("id"))
     val survivors = spark.table(table)
       .join(broadcast(del), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    require(survivors.limit(1).count() > 0,
-      s"delete batch covers every id in $table — drop the table instead")
-    Lexical.dropManaged(spark, table)
+    // write-then-swap: survivors materialize into a sibling table
+    // BEFORE anything is dropped, so a driver/executor loss mid-run
+    // never destroys the only copy of the ingest state (the rename is
+    // a metadata+directory move, not a data rewrite)
+    val tmp = table + "_swap"
+    Lexical.dropManaged(spark, tmp) // stale leftover from a dead run
     survivors.write.mode("overwrite").bucketBy(buckets, "band", "bucket")
-      .format("parquet").saveAsTable(table)
+      .format("parquet").saveAsTable(tmp)
+    if (spark.table(tmp).limit(1).count() == 0L) {
+      Lexical.dropManaged(spark, tmp)
+      throw new IllegalArgumentException(
+        s"delete batch covers every id in $table — drop the table instead")
+    }
+    Lexical.dropManaged(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Probe a persisted signature table with an incoming batch. */

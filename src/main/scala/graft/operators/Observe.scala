@@ -26,6 +26,31 @@ object Observe {
     * global aggregate columns riding the same pass — alias each
     * (`sum(length($"text")).as("bytes")`).
     */
+  /** R41: two-proportion z-statistic from per-variant counts — input
+    * one row per variant in {0, 1} with columns (variant, n, c); output
+    * ONE row (n_a, n_b, conv_a, conv_b, rate_a_pm, rate_b_pm, z_q,
+    * significant). z_q is the z-statistic in 1e-4 units (half-up
+    * floor-quantized, engine-portable); significant at |z| >= 1.96.
+    * Shared by the batch q_ab_test and the streaming A/B monitor so
+    * the two can never drift. */
+  def twoProportionZ(perVariant: DataFrame): DataFrame =
+    perVariant.agg(
+        max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        max(when(col("variant") === 0, col("c"))).as("conv_a"),
+        max(when(col("variant") === 1, col("c"))).as("conv_b"))
+      .withColumn("rate_a_pm", expr("conv_a * 1000 div n_a"))
+      .withColumn("rate_b_pm", expr("conv_b * 1000 div n_b"))
+      .withColumn("z_q", expr(
+        """CAST(FLOOR((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+          | / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+          |   * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+          |   * (1.0 / n_a + 1.0 / n_b)), 0.0)
+          | * 10000 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("significant", abs(col("z_q")) >= 19600L)
+      .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_pm", "rate_b_pm",
+        "z_q", "significant")
+
   def stage(df: DataFrame, name: String, extras: Column*): (DataFrame, Observation) = {
     val obs = Observation(name)
     (df.observe(obs, count(lit(1)).as("rows"), extras: _*), obs)

@@ -299,22 +299,7 @@ object AnalyticsQueries {
           .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
         .groupBy("variant")
         .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      per.agg(
-          max(when(col("variant") === 0, col("n"))).as("n_a"),
-          max(when(col("variant") === 1, col("n"))).as("n_b"),
-          max(when(col("variant") === 0, col("c"))).as("conv_a"),
-          max(when(col("variant") === 1, col("c"))).as("conv_b"))
-        .withColumn("rate_a_pm", expr("conv_a * 1000 div n_a"))
-        .withColumn("rate_b_pm", expr("conv_b * 1000 div n_b"))
-        .withColumn("z_q", expr(
-          """CAST(FLOOR((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
-            | / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-            |   * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-            |   * (1.0 / n_a + 1.0 / n_b)), 0.0)
-            | * 10000 + 0.5) AS BIGINT)""".stripMargin))
-        .withColumn("significant", abs(col("z_q")) >= 19600L)
-        .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_pm", "rate_b_pm",
-          "z_q", "significant")
+      graft.operators.Observe.twoProportionZ(per)
     },
 
     // R37c: session-scoped funnel — conversion must complete INSIDE

@@ -566,8 +566,17 @@ object QueueStreaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Sessionize
         val spark = batch.sparkSession
+        // only STORE-NOT-YET-CREATED degrades to a fresh first-batch
+        // sessionization — a transient read failure must fail the
+        // micro-batch so the checkpoint retries, never silently commit
+        // a truncated merge as the newest version (and compaction plus
+        // a replay of a batch whose prior version was pruned is a
+        // misconfiguration, not a fresh start: keep >= 2 versions)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prior =
-          try {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
             // partition discovery surfaces `batch` as a column; select
             // the frame columns explicitly so the merge's unionByName
             // never sees it
@@ -578,9 +587,15 @@ object QueueStreaming {
             else Some(all.filter(col("batch").cast("long") === head.getLong(0))
               .select(col(userCol), col("start_ts"), col("end_ts"),
                 col("n_events"), col("sum_dec")))
-          } catch { case _: Exception => None }
+          }
         val merged = prior match {
-          case Some(p) => Sessionize.incremental(p, batch.toDF(), userCol, gapNs)
+          // validate = true: the long-running unattended path checks
+          // the append-only contract on the per-user boundary frame
+          // (one bounded action) — an out-of-order batch fails the
+          // trigger instead of silently corrupting persisted frames
+          // and compounding across every later merge
+          case Some(p) => Sessionize.incremental(p, batch.toDF(), userCol,
+            gapNs, validate = true)
           case None => Sessionize.sessionFrames(batch.toDF(), userCol, gapNs)
         }
         merged.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
@@ -659,6 +674,131 @@ object QueueStreaming {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Compact a [[rollingActivesStream]] sketch store: fold every
+    * per-batch delta older than the newest `keep` into ONE
+    * consolidated day-level partial stored at the highest folded
+    * batch id. Unlike the session store's snapshots the partials are
+    * DELTAS, but HLL union is register-max — associative AND
+    * idempotent — so (a) day-merged sketches replace the per-batch
+    * deltas exactly, and (b) a crash between the overwrite and the
+    * stale deletes leaves overlapping partials whose re-union is
+    * STILL exact. Bounds the per-trigger re-union at `keep` deltas +
+    * one consolidated table instead of growing linearly with stream
+    * lifetime. Same caveat as [[compactSessionStore]]: only compact
+    * batches the checkpoint has committed past. Returns versions
+    * removed. */
+  def compactRollingActives(spark: org.apache.spark.sql.SparkSession,
+                            sketchPath: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"must keep at least the latest delta, got $keep")
+    val fs = new org.apache.hadoop.fs.Path(sketchPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(sketchPath))
+      .filter(_.isDirectory)
+      .flatMap(s => "batch=(\\d+)".r.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s.getPath)))
+      .sortBy(-_._1)
+    val stale = versions.drop(keep)
+    if (stale.length <= 1) return 0 // nothing to fold
+    val target = stale.head._1
+    val merged = spark.read
+      .parquet(stale.map(_._2.toString).toIndexedSeq: _*)
+      .groupBy("day_idx").agg(hll_union_agg(col("sk")).as("sk"))
+      .localCheckpoint(true) // materialize BEFORE touching inputs
+    merged.write.mode("overwrite").parquet(s"$sketchPath/batch=$target")
+    stale.tail.foreach { case (_, p) => fs.delete(p, true) }
+    spark.catalog.refreshByPath(sketchPath)
+    stale.length - 1
+  }
+
+  /** C13q: streaming A/B monitor — the continuous form of R41's
+    * two-proportion z-test. Per trigger: the batch's per-user
+    * conversion-event counts merge into a versioned per-user RUNNING
+    * snapshot under `storePath/batch=N` (the session store's
+    * replay-safe discipline: read the latest version BELOW this batch
+    * id, write your own — at-least-once foreachBatch never
+    * double-counts), then the per-variant counts + z derive from the
+    * NEW snapshot via [[graft.operators.Observe.twoProportionZ]] —
+    * the SAME operator the batch query uses, so the streaming readout
+    * can never drift from R41's semantics. Per-trigger cost follows
+    * the batch plus one user-dimension snapshot merge, never the
+    * event history. Conversion = `>= convThreshold` events of
+    * `convEvent`; variant = user_id % 2 (deterministic assignment).
+    * Output one row per trigger under `outPath/batch=N`. */
+  def abMonitorStream(events: DataFrame, userCol: String,
+                      eventTypeCol: String, convEvent: String,
+                      convThreshold: Long, storePath: String,
+                      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.toDF()
+          .groupBy(col(userCol).as("user_id"))
+          .agg(sum(when(col(eventTypeCol) === convEvent, 1L).otherwise(0L))
+            .as("n_conv_events"))
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // path-missing is the only fresh-start case; any other read
+        // failure fails the trigger (the session store's contract)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select(col("user_id"), col("n_conv_events")))
+          }
+        val snap = prior match {
+          case Some(p) => p.unionByName(delta).groupBy("user_id")
+            .agg(sum("n_conv_events").as("n_conv_events"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        val per = spark.read.parquet(s"$storePath/batch=$batchId")
+          .groupBy((col("user_id") % 2).as("variant"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_conv_events") >= convThreshold, 1L).otherwise(0L))
+              .as("c"))
+        graft.operators.Observe.twoProportionZ(per)
+          .select(lit(batchId).as("batch_id"), col("*"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  case class DebouncedEvent(user_id: Long, ts: Long)
+  case class DebounceState(lastTs: Long)
+
+  /** C13r: streaming per-user debounce — the continuous twin of R44.
+    * A kept event is the first of its burst: emitted iff the gap from
+    * the user's PREVIOUS event (kept or not) exceeds `gapNs` — exactly
+    * the gaps-and-islands island-start rule, so the kept set equals
+    * batch sessionization's session starts row for row. State per
+    * user is ONE timestamp (the last seen event), bounded regardless
+    * of stream length. Contract: per-user event-time-ordered arrival
+    * across triggers (the queue-drain shape all sessionize streams
+    * assume); within a trigger rows sort by ts. */
+  def debounceStream(events: Dataset[(Long, Long)], gapNs: Long)
+      : Dataset[DebouncedEvent] = {
+    implicit val outEnc = Encoders.product[DebouncedEvent]
+    implicit val stEnc = Encoders.product[DebounceState]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[DebounceState, DebouncedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[DebounceState]) =>
+          var last = state.getOption.map(_.lastTs)
+          val out = scala.collection.mutable.Buffer.empty[DebouncedEvent]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (last.forall(l => ts - l > gapNs)) out += DebouncedEvent(uid, ts)
+            last = Some(ts)
+          }
+          last.foreach(l => state.update(DebounceState(l)))
+          out.iterator
+      }
+  }
 
   /** C13m: late-data accounting — the watermark's operational readout.
     * Watermarks DROP late rows silently; at 100 TB of daily events an

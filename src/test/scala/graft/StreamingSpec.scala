@@ -776,6 +776,117 @@ class StreamingSpec extends SparkSpec {
     assert(prog.contains((2L, 2, 30L)) && !prog.contains((2L, 2, 10L)))
   }
 
+  test("streaming A/B monitor equals the batch two-proportion z per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Observe
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+    val base = Files.createTempDirectory("abmon").toString
+    val q = QueueStreaming.abMonitorStream(df, "user_id", "event_type",
+      "purchase", convThreshold = 2L, s"$base/store", s"$base/out", s"$base/ck")
+    // trigger 1: user 0 converts (2 purchases); users 1, 2 don't yet
+    val t1 = Seq((0L, "purchase"), (0L, "purchase"), (1L, "purchase"),
+      (2L, "view"), (3L, "view"))
+    mem.addData(t1: _*)
+    q.processAllAvailable()
+    // trigger 2: user 1 converts ACROSS the trigger seam; user 5 joins
+    val t2 = Seq((1L, "purchase"), (2L, "purchase"), (5L, "purchase"),
+      (5L, "purchase"), (4L, "view"))
+    mem.addData(t2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchRow(evts: Seq[(Long, String)]) = {
+      val per = evts.toDF("user_id", "event_type")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 2, 1L).otherwise(0L).as("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      Observe.twoProportionZ(per).collect().head.toSeq
+    }
+    def streamRow(b: Long) = spark.read.parquet(s"$base/out/batch=$b")
+      .drop("batch_id").select("n_a", "n_b", "conv_a", "conv_b",
+        "rate_a_pm", "rate_b_pm", "z_q", "significant")
+      .collect().head.toSeq
+    // every trigger's readout equals the batch operator over the
+    // events streamed SO FAR — cross-seam conversion credited
+    assert(streamRow(0L) == batchRow(t1), "trigger-1 readout diverged")
+    assert(streamRow(1L) == batchRow(t1 ++ t2), "trigger-2 readout diverged")
+  }
+
+  test("streaming debounce equals batch sessionization's burst firsts") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sessionize
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts)
+    val out = QueueStreaming.debounceStream(mem.toDS(), gapNs = 100L)
+    val ckpt = Files.createTempDirectory("debstream").toString
+    val q = out.writeStream.format("memory").queryName("debounced")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    // trigger 1: user 1 bursts at 0 (0,50,90); user 2 single
+    mem.addData((1L, 0L), (1L, 50L), (1L, 90L), (2L, 10L))
+    q.processAllAvailable()
+    // trigger 2: user 1's 150 continues the burst ACROSS the seam
+    // (150-90 <= 100), 400 starts a new one; user 2's 111 is a new
+    // burst (111-10 > 100); user 3 appears
+    mem.addData((1L, 150L), (1L, 400L), (2L, 111L), (3L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT * FROM debounced")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: burst firsts = rows where new_sess = 1
+    val all = Seq((1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 90L), (2L, 4L, 10L),
+      (1L, 5L, 150L), (1L, 6L, 400L), (2L, 7L, 111L), (3L, 8L, 7L))
+      .toDF("user_id", "event_id", "ts")
+    val twin = Sessionize.withSessionIds(all, "user_id", 100L)
+      .filter(col("new_sess") === 1L)
+      .select("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == twin, s"stream: $kept\nbatch: $twin")
+    // the cross-seam suppression really happened
+    assert(!kept.contains((1L, 150L)) && kept.contains((1L, 400L)))
+  }
+
+  test("rolling-actives compaction folds deltas exactly (idempotent union)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(Long, Long)] // (ts nanos, user_id)
+    val df = mem.toDF().toDF("ts", "user_id")
+    val base = Files.createTempDirectory("activescomp").toString
+    val q = QueueStreaming.rollingActivesStream(df, "ts", "user_id",
+      s"$base/sk", s"$base/out", s"$base/ck", windowDays = 2)
+    val day = 86400000000000L
+    mem.addData((5L, 1L), (10L, 2L)); q.processAllAvailable()
+    mem.addData((day + 1L, 3L)); q.processAllAvailable()
+    mem.addData((day + 2L, 1L)); q.processAllAvailable()
+    mem.addData((2 * day + 1L, 4L)); q.processAllAvailable()
+    q.stop()
+    val before = spark.read.parquet(s"$base/out")
+      .filter(col("batch_id") === 3L)
+      .collect().map(r => r.getAs[Long]("w_day") -> r.getAs[Long]("n_users"))
+      .toMap
+    // fold batches 0,1 into one consolidated delta (keep latest 2)
+    val removed = QueueStreaming.compactRollingActives(spark, s"$base/sk",
+      keep = 2)
+    assert(removed == 1, s"expected one folded version, got $removed")
+    // re-derive the batch-3 report from the compacted store: the
+    // trailing-window estimates must be unchanged
+    import org.apache.spark.sql.functions.{explode, hll_sketch_estimate, hll_union_agg, sequence}
+    val daily = spark.read.parquet(s"$base/sk")
+      .groupBy("day_idx")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    val days = daily.select(col("day_idx").as("w_day")).distinct()
+    val after = daily.select(
+        explode(sequence(col("day_idx"), col("day_idx") + 1)).as("w_day"),
+        col("sk"))
+      .join(days, "w_day")
+      .groupBy("w_day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users"))
+      .collect().map(r => r.getAs[Long]("w_day") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(after == before, s"compaction changed estimates: $after vs $before")
+  }
+
   test("late-data accounting: dropped-late rows surface per trigger") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
