@@ -203,6 +203,31 @@ object Kernels {
     best
   }
 
+  /** Hilbert-curve distance of a 2-D cell (the xy2d walk: per-bit
+    * quadrant pick + rotate). Inputs in [0, 2^bits); bits <= 31.
+    * Unlike the Morton interleave, consecutive distances are always
+    * ADJACENT cells, so a range-partitioned sort bounds each file to a
+    * compact blob instead of Z's corner jumps — tighter per-file
+    * min/max on both dimensions at the same file count. The oracle
+    * replays the identical walk as chained per-bit CTEs
+    * (AnalyticsQueries.hilbertCteSql) — keep in LOCKSTEP. */
+  def hilbertD2(x: Long, y: Long, bits: Int): Long = {
+    var xx = x; var yy = y
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((xx & s) > 0) 1L else 0L
+      val ry = if ((yy & s) > 0) 1L else 0L
+      d += s * s * (if (rx == 0) ry else 3L - ry) // (3·rx) xor ry
+      if (ry == 0) {
+        if (rx == 1) { xx = s - 1 - xx; yy = s - 1 - yy }
+        val t = xx; xx = yy; yy = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Index of the max-cosine centroid (ties → lowest index) — the
     * map-side IVF cell assignment: one call per row against a small
     * literal centroid table, zero shuffle. */
@@ -815,6 +840,20 @@ case class TopCentroids(left: Expression, right: Expression, nProbe: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.topCentroids($a, $b, $nProbe)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroids =
+    copy(left = l, right = r)
+}
+
+/** Hilbert-curve distance of two bucketized dimensions — see
+  * Kernels.hilbertD2. */
+case class HilbertD2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_d2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hilbertD2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hilbertD2($a, $b, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertD2 =
     copy(left = l, right = r)
 }
 

@@ -63,6 +63,9 @@ package object functions {
     col2(NearestCentroidL2(ex(v), ex(cents)))
   def top_centroids_l2(v: Column, cents: Column, nProbe: Int): Column =
     col2(TopCentroidsL2(ex(v), ex(cents), nProbe))
+  /** Hilbert-curve distance of two bucketized dims in [0, 2^bits). */
+  def hilbert_d2(x: Column, y: Column, bits: Int): Column =
+    col2(HilbertD2(ex(x), ex(y), bits))
   /** PQ code array of `v` against an m-block codebook table (each block
     * a flat ksub×dsub array) — map-side, no shuffle. */
   def pq_encode(v: Column, books: Column): Column = col2(PqEncode(ex(v), ex(books)))

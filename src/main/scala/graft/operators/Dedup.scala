@@ -58,7 +58,8 @@ object Dedup {
     * block count, result set unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
-                   parallelBuckets: Int = 16, shingleN: Int = 1): DataFrame = {
+                   parallelBuckets: Int = 16, shingleN: Int = 1,
+                   keepBlocks: Boolean = false): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
     val B = parallelBuckets
@@ -94,12 +95,17 @@ object Dedup {
     a.join(b, blockEq && col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
         col("a.band") === col("b.bandm") &&
         (col("a.bu") < col("a.bv") || col("a.id") < col("b.id")))
-      .select(least(col("a.id"), col("b.id")).as("doc_id1"),
+      .select(Seq(least(col("a.id"), col("b.id")).as("doc_id1"),
         greatest(col("a.id"), col("b.id")).as("doc_id2"),
-        col("a.ids").as("ids1"), col("b.ids").as("ids2"))
+        col("a.ids").as("ids1"), col("b.ids").as("ids2")) ++
+        // blocks are EQUAL across the pair (blockEq), so a-side values
+        // are the pair's values — kept for the grouped (multi-tenant)
+        // pair table, where consumers filter per tenant
+        (if (keepBlocks) blockCols.map(c => col(s"a.$c")) else Nil): _*)
       .withColumn("jac", jacCol)
       .filter(col("jac") >= minJaccard)
-      .select("doc_id1", "doc_id2", "jac")
+      .select("doc_id1" +: "doc_id2" +: "jac" +:
+        (if (keepBlocks) blockCols else Nil) map col: _*)
   }
 
   /** L3b: LSH parameter auto-tuner — choose (bands, rowsPerBand) for a
@@ -806,6 +812,100 @@ object Dedup {
     within.unionByName(cross)
       .write.mode("append").format("parquet").saveAsTable(table)
     bToks.write.mode("append").format("parquet").saveAsTable(s"${table}_toks")
+  }
+
+  /** L66b: grouped (multi-tenant) pair graph — [[buildPairTable]] with
+    * the tenant column PERSISTED on every pair row and both tables
+    * `partitionBy(groupCol)`, so per-tenant reads prune to one
+    * partition and a tenant's erasure is a partition drop (the L46b
+    * grouped-model discipline applied to the pair graph). Pairs never
+    * cross tenants (the group is a block column), so each partition IS
+    * that tenant's complete exact graph. */
+  def buildGroupedPairTable(df: DataFrame, idCol: String, textCol: String,
+                            groupCol: String, table: String,
+                            minJaccard: Double, parallelBuckets: Int = 16,
+                            shingleN: Int = 1): Unit = {
+    val spark = df.sparkSession
+    Lexical.dropManaged(spark, table)
+    jaccardPairs(df, idCol, textCol, Seq(groupCol), minJaccard,
+        parallelBuckets, shingleN, keepBlocks = true)
+      .write.mode("overwrite").partitionBy(groupCol)
+      .format("parquet").saveAsTable(table)
+    Lexical.dropManaged(spark, s"${table}_toks")
+    pairToks(df, idCol, textCol, Seq(groupCol), shingleN)
+      .write.mode("overwrite").partitionBy(groupCol)
+      .format("parquet").saveAsTable(s"${table}_toks")
+  }
+
+  /** Incremental maintenance of a [[buildGroupedPairTable]] graph —
+    * [[appendToPairTable]] semantics (within-batch + batch×corpus via
+    * the sidecar, exact-equal to a rebuild) with the tenant threading:
+    * a mixed-tenant batch splits into its partitions on write, and the
+    * cross join's block equality keeps every candidate inside its
+    * tenant. Same reconcile-on-entry desync check. */
+  def appendToGroupedPairTable(batch: DataFrame, idCol: String,
+                               textCol: String, groupCol: String,
+                               table: String, minJaccard: Double,
+                               parallelBuckets: Int = 16,
+                               shingleN: Int = 1): Unit = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val spark = batch.sparkSession
+    val desynced = spark.table(table)
+      .select(explode(array(col("doc_id1"), col("doc_id2"))).as("id"))
+      .distinct()
+      .join(spark.table(s"${table}_toks").select("id"), Seq("id"), "left_anti")
+      .limit(1).count()
+    require(desynced == 0L,
+      s"$table has pair rows missing from ${table}_toks (a prior append " +
+        "failed between its two writes) — rebuild with buildGroupedPairTable")
+    val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
+    val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
+    def banded(t: DataFrame) = t.withColumn("band",
+      floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR)
+        .cast("int"))
+    val bToks = pairToks(batch, idCol, textCol, Seq(groupCol), shingleN)
+      .localCheckpoint(true)
+    val a = banded(bToks)
+      .withColumn("bandm",
+        explode(sequence(col("band") - bandDelta, col("band") + bandDelta)))
+      .as("a")
+    val b = banded(spark.table(s"${table}_toks")).as("b")
+    val cross = a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col("a.bandm") === col("b.band"))
+      .select(least(col("a.id"), col("b.id")).as("doc_id1"),
+        greatest(col("a.id"), col("b.id")).as("doc_id2"),
+        col("a.ids").as("ids1"), col("b.ids").as("ids2"),
+        col(s"a.$groupCol"))
+      .withColumn("jac", jacCol)
+      .filter(col("jac") >= minJaccard)
+      .select("doc_id1", "doc_id2", "jac", groupCol)
+    val within = jaccardPairs(batch, idCol, textCol, Seq(groupCol),
+      minJaccard, parallelBuckets, shingleN, keepBlocks = true)
+    within.unionByName(cross)
+      .write.mode("append").partitionBy(groupCol)
+      .format("parquet").saveAsTable(table)
+    bToks.write.mode("append").partitionBy(groupCol)
+      .format("parquet").saveAsTable(s"${table}_toks")
+  }
+
+  /** One tenant's complete pair graph — a partition-pruned scan. */
+  def tenantPairs(spark: org.apache.spark.sql.SparkSession, table: String,
+                  groupCol: String, tenant: String): DataFrame =
+    spark.table(table).filter(col(groupCol) === tenant)
+      .select("doc_id1", "doc_id2", "jac")
+
+  /** Erase one tenant from a grouped pair graph — a metadata-level
+    * partition drop on BOTH tables (no rewrite of surviving tenants:
+    * the erasure cost is independent of corpus size). */
+  def removeTenantPairs(spark: org.apache.spark.sql.SparkSession,
+                        table: String, groupCol: String,
+                        tenant: String): Unit = {
+    val esc = tenant.replace("'", "''")
+    Seq(table, s"${table}_toks").foreach { t =>
+      spark.sql(
+        s"ALTER TABLE $t DROP IF EXISTS PARTITION ($groupCol = '$esc')")
+    }
   }
 
   /** Delete ids from a persisted signature table — the dedup-at-ingest

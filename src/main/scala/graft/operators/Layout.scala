@@ -85,7 +85,27 @@ object Layout {
     * data-layout move for multi-dimensional scan pruning at 100 TB
     * (one shuffle: the range partition on the z-key). */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    numFiles: Int, bits: Int = 16): Unit = {
+                    numFiles: Int, bits: Int = 16): Unit =
+    writeCurveOrdered(df, path, xCol, yCol, numFiles, bits,
+      (x, y) => zValue(x, y, bits))
+
+  /** R24e: Hilbert-curve clustered write — same contract and cost as
+    * [[writeZOrdered]] (two scalar aggregates + ONE range-partition
+    * shuffle on the curve key) with a better locality constant:
+    * consecutive Hilbert distances are always ADJACENT cells, so each
+    * range-partitioned file covers one compact blob of the (x, y)
+    * plane, where the Z curve's corner jumps let a file's bounding box
+    * span whole quadrants. Same per-file min/max pruning mechanism,
+    * tighter boxes (LayoutSpec measures both). */
+  def writeHilbertOrdered(df: DataFrame, path: String, xCol: String,
+                          yCol: String, numFiles: Int,
+                          bits: Int = 16): Unit =
+    writeCurveOrdered(df, path, xCol, yCol, numFiles, bits,
+      (x, y) => graft.functions.hilbert_d2(x, y, bits))
+
+  private def writeCurveOrdered(df: DataFrame, path: String, xCol: String,
+                                yCol: String, numFiles: Int, bits: Int,
+                                curve: (Column, Column) => Column): Unit = {
     val Seq(xLo, xHi, yLo, yHi) =
       df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
           min(col(yCol)).cast("double"), max(col(yCol)).cast("double"))
@@ -95,7 +115,7 @@ object Layout {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(lit(n), floor((col(c).cast("double") - lo) / span * (n + 1)).cast("long"))
     }
-    df.withColumn("__z", zValue(scaled(xCol, xLo, xHi), scaled(yCol, yLo, yHi), bits))
+    df.withColumn("__z", curve(scaled(xCol, xLo, xHi), scaled(yCol, yLo, yHi)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -592,6 +592,21 @@ object AnalyticsQueries {
         .orderBy("zval", "o_orderkey")
     },
 
+    // R24e: Hilbert-curve ordering key — same bucketization as R24b
+    // but the per-bit quadrant-rotate walk instead of bit interleave:
+    // consecutive keys are always ADJACENT cells, so range-partitioned
+    // files cover compact blobs (tighter min/max boxes than Z at the
+    // same file count — LayoutSpec measures both). Native codegen'd
+    // kernel; oracled via chained per-bit CTEs.
+    "q_hilbert" -> { (s, dir) =>
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy")
+        .withColumn("hval", graft.functions.hilbert_d2(col("zx"), col("zy"), 8))
+        .orderBy("hval", "o_orderkey")
+    },
+
     // R36: time-series densification — resample each user's events to
     // a regular hourly grid between their first and last activity,
     // zero-filling empty buckets (the regular-grid precondition for
@@ -1532,8 +1547,46 @@ object AnalyticsQueries {
       s"""SELECT o_orderkey, $x AS zx, $y AS zy, $d AS zd,
         |  CAST(${zValue3Sql(x, y, d, 8)} AS BIGINT) AS zval
         |FROM orders ORDER BY zval, o_orderkey""".stripMargin
-    }
+    },
+
+    // R24e: the xy2d quadrant-rotate walk replayed as one CTE per bit
+    // (hx/hy/hd thread the rotation state) — in LOCKSTEP with
+    // Kernels.hilbertD2.
+    "q_hilbert" -> hilbertOracleSql(
+      "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)", "o_custkey % 256", 8)
   )
+
+  /** Chained per-bit replay of Kernels.hilbertD2 over `orders`:
+    * h0 carries (hx0, hy0, hd0); step q folds quadrant `s = 2^(B-q)`
+    * into hd and applies the conditional flip+swap rotation. The
+    * d-contribution (3·rx) xor ry is written arithmetically
+    * (rx=0 → ry; rx=1 → 3−ry) so no dialect's xor is involved. */
+  private def hilbertOracleSql(x: String, y: String, bits: Int): String = {
+    val steps = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val p = i; val q = i + 1
+      s"""h$q AS (
+         |  SELECT o_orderkey, zx, zy,
+         |    hd$p + ${s * s} * (CASE WHEN (hx$p & $s) = 0
+         |      THEN (CASE WHEN (hy$p & $s) = 0 THEN 0 ELSE 1 END)
+         |      ELSE (CASE WHEN (hy$p & $s) = 0 THEN 3 ELSE 2 END) END) AS hd$q,
+         |    CASE WHEN (hy$p & $s) = 0 THEN
+         |      (CASE WHEN (hx$p & $s) = 0 THEN hy$p ELSE ${s - 1} - hy$p END)
+         |    ELSE hx$p END AS hx$q,
+         |    CASE WHEN (hy$p & $s) = 0 THEN
+         |      (CASE WHEN (hx$p & $s) = 0 THEN hx$p ELSE ${s - 1} - hx$p END)
+         |    ELSE hy$p END AS hy$q
+         |  FROM h$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT o_orderkey, $x AS zx, $y AS zy,
+       |    CAST($x AS BIGINT) AS hx0, CAST($y AS BIGINT) AS hy0,
+       |    CAST(0 AS BIGINT) AS hd0
+       |  FROM orders),
+       |$steps
+       |SELECT o_orderkey, zx, zy, CAST(hd$bits AS BIGINT) AS hval
+       |FROM h$bits ORDER BY hval, o_orderkey""".stripMargin
+  }
 
   private def eventOracles: Map[String, String] = Map(
     // R39: sweep-line replay over the shared session-frames CTE —

@@ -34,6 +34,57 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("co-located as-of join: zero exchanges, row parity with AsOf.join") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val left = Seq(
+      (1L, 100L, 9L), (1L, 200L, 9L), (1L, 50L, 9L), // 50 precedes all
+      (2L, 150L, 9L), (3L, 100L, 9L) // key 3 has no right rows
+    ).toDF("k", "ts", "tie")
+    val right = Seq(
+      (1L, 90L, 1L, 10.5), (1L, 100L, 2L, 11.5), (1L, 100L, 3L, 12.5), // tie at 100
+      (1L, 199L, 4L, 13.5), (2L, 10L, 5L, 14.5)
+    ).toDF("k", "ts", "tie", "price")
+    CoLocated.writeBucketed(left, "asof_l_bucketed", buckets = 4, key = "k")
+    CoLocated.writeBucketed(right, "asof_r_bucketed", buckets = 4, key = "k")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (tol <- Seq(-1L, 60L)) {
+        val j = CoLocated.asOfJoinBucketed(spark, "asof_l_bucketed",
+          "asof_r_bucketed", Seq("k"), "ts", "ts", "tie",
+          Seq("tie", "price"), tolerance = tol)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"co-located as-of must not shuffle (tol=$tol):\n$plan")
+        val got = j.collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+        val twin = AsOf.join(left, right, Seq("k"), "ts", "ts", "tie",
+            Seq("tie", "price"), tolerance = tol).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+        assert(got == twin, s"tol=$tol\ngot : $got\ntwin: $twin")
+      }
+      // semantics spot-checks ride the unbounded variant
+      val un = CoLocated.asOfJoinBucketed(spark, "asof_l_bucketed",
+          "asof_r_bucketed", Seq("k"), "ts", "ts", "tie",
+          Seq("tie", "price")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(un((1L, 100L)) == Some(3L), "tie at 100 must pick largest tie")
+      assert(un((1L, 50L)).isEmpty, "pre-history left row keeps nulls")
+      assert(un((3L, 100L)).isEmpty, "keyless left row keeps nulls")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS asof_l_bucketed")
+      spark.sql("DROP TABLE IF EXISTS asof_r_bucketed")
+    }
+  }
+
   test("lexical index: probe scans only the query terms' buckets; " +
       "search equals from-scratch BM25") {
     import graft.operators.Lexical

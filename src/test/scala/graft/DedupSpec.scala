@@ -461,6 +461,58 @@ class DedupSpec extends SparkSpec {
     assert(ci == cr)
   }
 
+  test("grouped pair graph: per-tenant build+append equals rebuild, partition-drop erasure") {
+    val docs = table("documents").localCheckpoint(true)
+    val corpus = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    try {
+      Dedup.buildGroupedPairTable(corpus, "doc_id", "text", "lang",
+        "ginc_pairs", minJaccard = 0.9, parallelBuckets = 4)
+      Dedup.appendToGroupedPairTable(batch, "doc_id", "text", "lang",
+        "ginc_pairs", minJaccard = 0.9, parallelBuckets = 4)
+      Dedup.buildGroupedPairTable(docs, "doc_id", "text", "lang",
+        "ginc_pairs_ref", minJaccard = 0.9, parallelBuckets = 4)
+      def pairSet(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getAs[String]("lang"))).toSet
+      val inc = pairSet("ginc_pairs")
+      val ref = pairSet("ginc_pairs_ref")
+      assert(inc == ref, s"grouped incremental graph must be EXACT: " +
+        s"missing ${ref -- inc take 3}, extra ${inc -- ref take 3}")
+      // the persisted tenant column is the docs' true lang of BOTH ids
+      val langOf = docs.select("doc_id", "lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      inc.foreach { case (a, b, _, g) =>
+        assert(langOf(a) == g && langOf(b) == g,
+          s"pair ($a,$b) carries tenant $g but docs are " +
+            s"${langOf(a)}/${langOf(b)}")
+      }
+      // per-tenant read prunes to one partition and matches a filter
+      val en = Dedup.tenantPairs(spark, "ginc_pairs", "lang", "en")
+      val enPlan = en.queryExecution.executedPlan.toString
+      assert(!enPlan.contains("Filter ("),
+        s"tenant read should partition-prune, not filter:\n$enPlan")
+      val enSet = en.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(enSet == inc.filter(_._4 == "en").map(t => (t._1, t._2)))
+      // erasure: dropping one tenant leaves every other tenant's graph
+      // bit-identical and removes the tenant from BOTH tables
+      Dedup.removeTenantPairs(spark, "ginc_pairs", "lang", "en")
+      val after = pairSet("ginc_pairs")
+      assert(after == inc.filterNot(_._4 == "en"), "non-erased tenants changed")
+      assert(spark.table("ginc_pairs_toks")
+        .filter($"lang" === "en").limit(1).count() == 0L,
+        "sidecar still holds the erased tenant")
+      // a post-erasure append still works for surviving tenants
+      assert(spark.table("ginc_pairs_toks").limit(1).count() > 0L)
+    } finally {
+      Seq("ginc_pairs", "ginc_pairs_ref").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_toks")
+      }
+    }
+  }
+
   test("triangle stats: cliques score 1000, chains 0, hubs in between") {
     // 4-clique {1,2,3,4}: every node deg 3, 3 triangles, coeff 1000.
     // path 10-11-12: middle node deg 2, no triangle, coeff 0.
