@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 
-/** L44: distributed classifier TRAINING (SURVEY.md §2) — full-batch
+/** L52: distributed classifier TRAINING (SURVEY.md §2) — full-batch
   * gradient descent for a logistic-shaped linear model over hashed
   * features, where every round is ONE aggregation pass and the model
   * stays a driver-bounded broadcast artifact (dims+1 integer weights

@@ -504,7 +504,7 @@ object CurationQueries {
         .orderBy("bin")
     },
 
-    // L44: distributed classifier TRAINING — 3 rounds of full-batch
+    // L52: distributed classifier TRAINING — 3 rounds of full-batch
     // gradient descent (one vector_sum aggregate per round, model
     // broadcast) for an en-vs-rest logistic-shaped model over
     // hashed_bow features. Oracled — normally impossible for
@@ -707,7 +707,7 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
-    // L52: C4 bad-words blocklist filter — zero-tolerance keep plus
+    // L51: C4 bad-words blocklist filter — zero-tolerance keep plus
     // integer hit accounting (total, distinct, hits-per-mille) so other
     // policies derive without a second pass. The blocklist here is
     // adapted to the synthetic vocabulary ('slow'/'stream' stand in
@@ -751,6 +751,17 @@ object CurationQueries {
           stopWords = Seq("the", "a"), blocklist = Seq("slow", "stream"))
         .withColumnRenamed("grp", "source")
         .orderBy("source")
+    },
+
+    // L74: corpus card — the release document's numeric content
+    // (per-(lang,source) accounting + language mixture + per-source
+    // rule attrition) as ONE long-format integer-exact frame; fully
+    // hash-oracled by composing the already-oracled stats/scorecard
+    // replays. Params in LOCKSTEP with q_curation_scorecard.
+    "q_corpus_card" -> { (s, dir) =>
+      graft.operators.CorpusCard.cardRows(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source",
+        stopWords = Seq("the", "a"), blocklist = Seq("slow", "stream"))
     },
 
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
@@ -1055,6 +1066,60 @@ object CurationQueries {
        |    AND list_sum(list_transform(b.vec, x -> x * x)) > 0)
        |SELECT DISTINCT id1, id2, cos FROM cand WHERE cos >= $minCos
        |ORDER BY id1, id2""".stripMargin
+
+  /** Shared scorecard replay (see the LOCKSTEP note at its map
+    * entry) — also subqueried verbatim by the corpus-card oracle. */
+  private val scorecardOracleSql: String =
+    """WITH stats AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, w,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(w, x -> x = '#')) +
+        |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
+        |    CAST(len(list_filter(['the','a'],
+        |         s -> list_contains(w, s))) AS BIGINT) AS stop,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END AS bgs,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END AS tris
+        |  FROM stats),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    (n_words >= 50 AND n_words <= 100000
+        |     AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+        |     AND sym * 10 < n_words
+        |     AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
+        |     AND alpha * 5 >= n_words * 4
+        |     AND stop >= 2) AS g,
+        |    (FLOOR(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        |        / GREATEST(len(w), 1) * 10000 + 0.5) / 10000 <= 0.65
+        |     AND (CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
+        |       FLOOR(CAST(list_max(list_transform(list_distinct(bgs),
+        |         x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
+        |         / len(bgs) * 10000 + 0.5) / 10000 END) <= 0.08
+        |     AND FLOOR(CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE)
+        |        / GREATEST(len(tris), 1) * 10000 + 0.5) / 10000 <= 0.0) AS r,
+        |    (len(list_filter(w,
+        |       x -> list_contains(['slow','stream'], x))) = 0) AS b
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
+        |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+        |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_blocklist,
+        |  CAST(SUM(CASE WHEN g AND r AND b THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The quantized SemDeDup chain over embeddings replayed end to end
@@ -1409,57 +1474,47 @@ object CurationQueries {
     // Scorecard twin: the gopher + repetition + blocklist per-doc
     // replays (verbatim fragments of their standalone oracles) rolled
     // up per source — in LOCKSTEP with Curate.scorecard's thresholds.
-    "q_curation_scorecard" ->
-      """WITH stats AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, source, w,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
-        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
-        |    CAST(len(list_filter(w, x -> x = '#')) +
-        |         len(list_filter(w, x -> x LIKE '%...')) AS BIGINT) AS sym,
-        |    CAST(len(list_filter(['the','a'],
-        |         s -> list_contains(w, s))) AS BIGINT) AS stop,
-        |    CAST(len(lines) AS BIGINT) AS nl,
-        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell,
-        |    CASE WHEN len(w) >= 2
-        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
-        |      ELSE [] END AS bgs,
-        |    CASE WHEN len(w) >= 3
-        |      THEN list_transform(range(1, len(w) - 1),
-        |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |      ELSE [array_to_string(w, ' ')] END AS tris
-        |  FROM stats),
-        |f AS (
-        |  SELECT doc_id, source,
-        |    (n_words >= 50 AND n_words <= 100000
-        |     AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
-        |     AND sym * 10 < n_words
-        |     AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
-        |     AND alpha * 5 >= n_words * 4
-        |     AND stop >= 2) AS g,
-        |    (FLOOR(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
-        |        / GREATEST(len(w), 1) * 10000 + 0.5) / 10000 <= 0.65
-        |     AND (CASE WHEN len(bgs) = 0 THEN 0.0 ELSE
-        |       FLOOR(CAST(list_max(list_transform(list_distinct(bgs),
-        |         x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE)
-        |         / len(bgs) * 10000 + 0.5) / 10000 END) <= 0.08
-        |     AND FLOOR(CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE)
-        |        / GREATEST(len(tris), 1) * 10000 + 0.5) / 10000 <= 0.0) AS r,
-        |    (len(list_filter(w,
-        |       x -> list_contains(['slow','stream'], x))) = 0) AS b
-        |  FROM m)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
-        |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
-        |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_blocklist,
-        |  CAST(SUM(CASE WHEN g AND r AND b THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q_curation_scorecard" -> scorecardOracleSql,
+
+    // L74: the corpus card composed from the SAME replay fragments —
+    // stats + mixture inline (short), rule attrition by subquerying
+    // the scorecard oracle verbatim, all unpivoted to the long format.
+    "q_corpus_card" ->
+      s"""WITH stq AS (
+        |  SELECT lang AS grp_a, source AS grp_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY lang, source),
+        |statsl AS (
+        |  SELECT 'stats' AS section, grp_a, grp_b,
+        |    'n_docs' AS metric, n_docs AS value FROM stq
+        |  UNION ALL SELECT 'stats', grp_a, grp_b, 'n_distinct', n_distinct FROM stq
+        |  UNION ALL SELECT 'stats', grp_a, grp_b, 'sum_tokens', sum_tokens FROM stq),
+        |mixl AS (
+        |  SELECT 'mix' AS section, pl.grp_a, '' AS grp_b,
+        |    'share_pm' AS metric,
+        |    CAST(pl.tk * 1000 // tt.tot AS BIGINT) AS value
+        |  FROM (SELECT grp_a, CAST(SUM(sum_tokens) AS BIGINT) AS tk
+        |        FROM stq GROUP BY grp_a) pl
+        |  CROSS JOIN (SELECT CAST(SUM(sum_tokens) AS BIGINT) AS tot
+        |              FROM stq) tt),
+        |scq AS (SELECT * FROM ($scorecardOracleSql) z),
+        |rulesl AS (
+        |  SELECT 'rules' AS section, '' AS grp_a, source AS grp_b,
+        |    'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM scq
+        |  UNION ALL SELECT 'rules', '', source, 'pass_gopher', pass_gopher FROM scq
+        |  UNION ALL SELECT 'rules', '', source, 'pass_repetition', pass_repetition FROM scq
+        |  UNION ALL SELECT 'rules', '', source, 'pass_blocklist', pass_blocklist FROM scq
+        |  UNION ALL SELECT 'rules', '', source, 'pass_all', pass_all FROM scq)
+        |SELECT section, grp_a, grp_b, metric, value FROM (
+        |  SELECT * FROM statsl
+        |  UNION ALL SELECT * FROM mixl
+        |  UNION ALL SELECT * FROM rulesl) u
+        |ORDER BY section, grp_a, grp_b, metric""".stripMargin,
+
+    
 
     // Grouped-blocklist twin: the same per-language CASE over token
     // membership counts — in LOCKSTEP with blocklistFlagsByLang's map.

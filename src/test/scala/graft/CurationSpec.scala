@@ -629,6 +629,43 @@ class CurationSpec extends SparkSpec {
     assert(out("zh") == ((1L, 4L, 9L, 14L, 2250000L, 1555555L)))
   }
 
+  test("corpus card: rows consistent with components, markdown renders them") {
+    import graft.operators.{CorpusCard, Curate}
+    val card = run("q_corpus_card").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // stats section totals equal the corpus
+    val d = table("documents")
+    val nDocs = card.filter(t => t._1 == "stats" && t._4 == "n_docs").map(_._5).sum
+    assert(nDocs == d.count(), "stats n_docs must sum to the corpus size")
+    // mixture shares sum to ~1000 per-mille (floor-div loses < nLangs)
+    val shares = card.filter(_._1 == "mix").map(_._5)
+    assert(shares.sum <= 1000L && shares.sum > 1000L - shares.length,
+      s"mixture shares ${shares.sum} not ~1000")
+    // rules section equals the standalone scorecard
+    val sc = Curate.scorecard(d, "doc_id", "text", "source",
+        Seq("the", "a"), Seq("slow", "stream")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("pass_all")).toMap
+    card.filter(t => t._1 == "rules" && t._4 == "pass_all").foreach {
+      case (_, _, src, _, v) => assert(sc(src) == v,
+        s"card pass_all for $src diverges from Curate.scorecard")
+    }
+    // the rendered document carries every group and some real numbers
+    val md = CorpusCard.markdown(
+      graft.queries.CurationQueries.queries("q_corpus_card")(spark, sfDir),
+      "graft-test")
+    assert(md.contains("# Corpus card: graft-test"))
+    Seq("## Composition", "## Language mixture", "## Rule attrition")
+      .foreach(h => assert(md.contains(h), s"missing section $h"))
+    card.filter(_._1 == "mix").map(_._2).foreach(lang =>
+      assert(md.contains(s"| $lang |"), s"lang $lang missing from card"))
+    // a concrete rules row renders with its real number
+    val (_, _, src0, _, nd0) = card
+      .filter(t => t._1 == "rules" && t._4 == "n_docs").head
+    assert(md.contains(s"| $src0 | $nd0 |"),
+      s"rules row for $src0 ($nd0 docs) not rendered")
+  }
+
   test("scorecard: per-rule counts equal the standalone operators") {
     import graft.operators.Curate
     val d = table("documents")
