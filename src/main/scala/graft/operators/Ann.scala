@@ -464,6 +464,66 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** [[pqTopK]] on the integer-quantized path: vectors L2-normalize
+    * per row (a fixed-order chain both engines replay bit-identically)
+    * then quantize, sub-codebooks train via
+    * [[trainGroupedCentroidsIntL2]] with the SUBSPACE as the group, and
+    * encode/dtable/ADC all run over integer-valued doubles — exact, so
+    * the shortlist ORDER (not just the set) replays in the oracle and
+    * the whole compressed-scan chain carries a hash gate. Search shape
+    * identical to [[pqTopK]] (broadcast dtables, codes-only candidate
+    * scan, raw vectors fetched for the shortlist re-rank only). */
+  def pqTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
+                      iters: Int = 2, trainFraction: Double = 1.0,
+                      refine: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("nvq", quantized(normalizedCol(col("vec"))))
+    val d = v.select(size(col("vec"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTopKQuantized: empty vector frame"))
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val subv = v.select(col("nn_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.as("grp"),
+            slice(col("nvq"), s * dsub + 1, lit(dsub)).as("vq")))).as("e"))
+      .select(col("e.grp").as("grp"), col("nn_id"), col("e.vq").as("vq"))
+    val cents = trainGroupedCentroidsIntL2(subv, ksub, iters, trainFraction)
+    val blocks = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[scala.collection.Seq[Double]](1)
+        .flatten.toArray))
+      .sortBy(_._1).map(_._2)
+    require(blocks.length == m, s"expected $m codebooks, got ${blocks.length}")
+    require(blocks.map(_.length).distinct.length == 1,
+      "ragged codebooks: subspaces trained different cell counts")
+    val booksLit = typedLit(blocks.map(_.toSeq).toSeq)
+    val q = queries.select(col(idCol).as("query_id"),
+      as_double_array(col(vecCol)).as("q_vec"))
+    val probes = q.withColumn("dtable",
+      pq_dtable(quantized(normalizedCol(col("q_vec"))), booksLit))
+    val codes = v.select(col("nn_id"), pq_encode(col("nvq"), booksLit).as("codes"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("nn_id").asc)
+    val shortlist = codes
+      .crossJoin(broadcast(probes.select(col("query_id"), col("dtable"))))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc", pq_adc(col("codes"), col("dtable")))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= math.max(k, refine * k))
+      .select("query_id", "nn_id")
+    val wSim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    v.select("nn_id", "vec").join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
+  }
+
   /** Per-group k-means training for [[groupedIvfTopK]]. One persisted
     * hash-sample pass; per Lloyd round a SINGLE (grp, cluster)
     * `vector_sum` shuffle covers every group's update (G·C rows), and
@@ -959,6 +1019,110 @@ object Ann {
       .parquet(s"$path/codes")
     v.select("nn_id", "vec")
       .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** [[buildIvfPqIndex]] on the integer-quantized path: coarse cells
+    * train via [[trainCentroidsIntL2]] over the quantized normalized
+    * vectors, residuals are integer differences (exact), and the
+    * residual sub-codebooks train via [[trainGroupedCentroidsIntL2]]
+    * with the subspace as the group — the ENTIRE two-stage index
+    * (coarse + PQ) becomes engine-replayable, converting the persisted
+    * IVF+PQ search to a full hash oracle. Same on-disk layout as the
+    * double path (centroids / codebooks / cluster-partitioned codes /
+    * raw vectors). */
+  def buildIvfPqIndexQuantized(corpus: DataFrame, idCol: String,
+                               vecCol: String, path: String,
+                               nClusters: Int = 16, m: Int = 16,
+                               ksub: Int = 32, iters: Int = 2,
+                               trainFraction: Double = 0.25): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).as("nn_id"),
+        as_double_array(col(vecCol)).as("vec"))
+      .withColumn("vq", quantized(normalizedCol(col("vec"))))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = v
+      .withColumn("cluster", nearest_centroid_l2(col("vq"), centsLit))
+      .withColumn("resid", zip_with(col("vq"),
+        element_at(centsLit, col("cluster") + 1), (a, b) => a - b))
+    val d = cents.head.length
+    require(d % m == 0, s"vector dim $d must be divisible by m=$m subspaces")
+    val dsub = d / m
+    val subv = assigned.select(col("nn_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.as("grp"),
+            slice(col("resid"), s * dsub + 1, lit(dsub)).as("vq")))).as("e"))
+      .select(col("e.grp").as("grp"), col("nn_id"), col("e.vq").as("vq"))
+    val bookRows = trainGroupedCentroidsIntL2(subv, ksub, iters, trainFraction)
+    val blocks = bookRows.collect()
+      .map(r => (r.getInt(0), r.getSeq[scala.collection.Seq[Double]](1)
+        .flatten.toArray))
+      .sortBy(_._1).map(_._2)
+    require(blocks.length == m && blocks.map(_.length).distinct.length == 1,
+      s"ragged codebooks: expected $m equal blocks")
+    val booksLit = typedLit(blocks.map(_.toSeq).toSeq)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    blocks.zipWithIndex.map { case (b, s) => (s, b.toSeq) }.toSeq
+      .toDF("sub", "block").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    assigned
+      .select(col("nn_id"), col("cluster"),
+        pq_encode(col("resid"), booksLit).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    v.select("nn_id", "vec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Search a [[buildIvfPqIndexQuantized]] index — the quantized twin
+    * of [[searchIvfPqIndex]]: probes and ADC run over integer-valued
+    * doubles (probe order AND shortlist order exact), exact-cosine
+    * re-rank over the raw vectors. */
+  def searchIvfPqIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+                                path: String, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                nProbe: Int = 2, refine: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub").collect().map(_.getSeq[Double](1).toArray)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val booksLit = typedLit(books.map(_.toSeq).toSeq)
+    val q0 = queries
+      .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
+      .withColumn("q_nvq", quantized(normalizedCol(col("q_vec"))))
+      .localCheckpoint(true)
+    val probes = q0
+      .withColumn("cluster",
+        explode(top_centroids_l2(col("q_nvq"), centsLit, nProbe)))
+      .withColumn("dtable", pq_dtable(col("q_nvq"), booksLit))
+      .withColumn("coff",
+        dot_product(col("q_nvq"), element_at(centsLit, col("cluster") + 1)))
+      .select("query_id", "cluster", "dtable", "coff")
+    val cells = probes.select("cluster").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cluster").isin(cells: _*))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("nn_id").asc)
+    val shortlist = codes.join(broadcast(probes), "cluster")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc", col("coff") + pq_adc(col("codes"), col("dtable")))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= math.max(k, refine * k))
+      .select("query_id", "nn_id")
+    val wSim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(shortlist), "nn_id")
+      .join(broadcast(q0.select("query_id", "q_vec")), "query_id")
+      .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "sim")
   }
 
   /** Add-after-train append to a persisted IVF+PQ index: quantizers

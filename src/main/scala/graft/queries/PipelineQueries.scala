@@ -53,7 +53,8 @@ object PipelineQueries {
   private def ivfPqIndex(s: SparkSession, dir: String): String =
     ivfPqMemo.computeIfAbsent(dir, d => {
       val path = "spark-warehouse/graft_ivfpq_" + RelationalQueries.dirKey(d)
-      Ann.buildIvfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding", path,
+      Ann.buildIvfPqIndexQuantized(t(s, d, "embeddings"), "vec_id",
+        "embedding", path,
         nClusters = 16, m = 16, ksub = 32, iters = 2, trainFraction = 1.0)
       path
     })
@@ -327,20 +328,26 @@ object PipelineQueries {
     // (rows-only; recall vs brute force gated in AnnSpec; m=16 because
     // the synthetic near-random embeddings need fine subspaces —
     // dsub=4 — for the ADC ranking to separate a tight sim range).
+    // L7d: PQ on the integer-quantized path — sub-codebook training,
+    // encode, and the ADC shortlist ORDER all replay in the oracle
+    // (upgraded from rows-only in r10).
     "q_ann_pq" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Ann.pqTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+      Ann.pqTopKQuantized(emb, emb.filter(col("vec_id") < 50), "vec_id",
           "embedding", k = 5, m = 16, ksub = 32, iters = 3,
           trainFraction = 1.0, refine = 6)
         .orderBy("query_id", "rank")
     },
 
     // L7e: persisted IVF+PQ search — partition pruning (nProbe cells)
-    // AND compressed candidate scan (residual PQ codes) from one index;
-    // build amortized across calls (rows-only; recall + pruning +
-    // append gated in AnnSpec).
+    // AND compressed candidate scan (residual PQ codes) from one
+    // index; build amortized across calls. On the integer-quantized
+    // path both trainings (coarse + residual PQ) replay in the oracle
+    // — a full hash gate over a persisted two-stage index (upgraded
+    // from rows-only in r10); recall + pruning + append still gated
+    // in AnnSpec.
     "q_ann_ivfpq" -> { (s, dir) =>
-      Ann.searchIvfPqIndex(s, ivfPqIndex(s, dir),
+      Ann.searchIvfPqIndexQuantized(s, ivfPqIndex(s, dir),
           t(s, dir, "embeddings").filter(col("vec_id") < 50),
           "vec_id", "embedding", k = 5, nProbe = 6, refine = 6)
         .orderBy("query_id", "rank")
@@ -1392,11 +1399,235 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Grouped Lloyd iteration CTEs over `train(grp, nn_id, vq)` /
+    * `seed(grp, c, cent)` / `dims(i)` — shared by the grouped-IVF and
+    * PQ (group = subspace) oracle replays. */
+  private def groupedLloydCtesSql(iters: Int, p: String = ""): String = {
+    def lloydIter(n: Int, prev: String) =
+      s"""${p}a$n AS (
+         |  SELECT grp, nn_id, vq, c FROM (
+         |    SELECT t.grp, t.nn_id, t.vq, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY t.grp, t.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("t.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM ${p}train t JOIN $prev s ON s.grp = t.grp) z WHERE rn = 1),
+         |${p}u$n AS (
+         |  SELECT a.grp, a.c, d.i, floor(SUM(a.vq[d.i]) / COUNT(*)) AS ci
+         |  FROM ${p}a$n a CROSS JOIN ${p}dims d GROUP BY a.grp, a.c, d.i),
+         |${p}c$n AS (
+         |  SELECT s.grp, s.c, COALESCE(u.cent, s.cent) AS cent
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT grp, c, list(ci ORDER BY i) AS cent
+         |    FROM ${p}u$n GROUP BY grp, c) u
+         |  ON u.grp = s.grp AND u.c = s.c)""".stripMargin
+    (1 to iters)
+      .map(n => lloydIter(n, if (n == 1) s"${p}seed" else s"${p}c${n - 1}"))
+      .mkString(",\n")
+  }
+
+  /** Full replay of Ann.pqTopKQuantized: per-row L2 normalization +
+    * quantization, per-SUBSPACE grouped Lloyd training (group = the
+    * subspace index — the same CTEs as the grouped IVF replay), encode
+    * (per-subspace argmin), ADC = summed dtable lookups (exact
+    * integers, so the shortlist ORDER replays), exact-cosine re-rank
+    * of the shortlist over the raw vectors. */
+  private def pqOracleSql(dim: Int, m: Int, ksub: Int, k: Int, iters: Int,
+                          refine: Int, maxQueryId: Long,
+                          trainThrHex: String): String = {
+    val dsub = dim / m
+    val short = math.max(k, refine * k)
+    s"""WITH v0 AS (
+       |  SELECT vec_id AS nn_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |nv AS (
+       |  SELECT nn_id, vec,
+       |    list_transform(vec, x -> floor(
+       |      (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 65536 + 0.5)) AS nvq
+       |  FROM (SELECT nn_id, vec,
+       |          sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+       |        FROM v0) z),
+       |grps AS (SELECT UNNEST(range(0, $m)) AS grp),
+       |sub AS (
+       |  SELECT nn_id, grp,
+       |    list_transform(range(1, $dsub + 1), j -> nvq[grp * $dsub + j]) AS vq
+       |  FROM nv CROSS JOIN grps),
+       |dims AS (SELECT UNNEST(range(1, $dsub + 1)) AS i),
+       |train AS (
+       |  SELECT * FROM sub
+       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < '$trainThrHex'),
+       |seed AS (
+       |  SELECT grp, rn - 1 AS c, vq AS cent FROM (
+       |    SELECT grp, nn_id, vq,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY nn_id) AS rn
+       |    FROM train) z WHERE rn <= $ksub),
+       |${groupedLloydCtesSql(iters)},
+       |codes AS (
+       |  SELECT nn_id, grp, c AS code FROM (
+       |    SELECT s2.nn_id, s2.grp, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY s2.grp, s2.nn_id
+       |        ORDER BY ${Shared.l2qDistSql("s2.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM sub s2 JOIN c$iters s ON s.grp = s2.grp) z WHERE rn = 1),
+       |qs AS (SELECT nn_id AS query_id, vec AS q_vec, nvq AS q_nvq
+       |       FROM nv WHERE nn_id < $maxQueryId),
+       |qsub AS (
+       |  SELECT query_id, grp,
+       |    list_transform(range(1, $dsub + 1), j -> q_nvq[grp * $dsub + j]) AS vq
+       |  FROM qs CROSS JOIN grps),
+       |dt AS (
+       |  SELECT q.query_id, q.grp, s.c,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> q.vq[j] * s.cent[j])) AS dot
+       |  FROM qsub q JOIN c$iters s ON s.grp = q.grp),
+       |adcs AS (
+       |  SELECT d.query_id, cd.nn_id, SUM(d.dot) AS adc
+       |  FROM codes cd JOIN dt d ON d.grp = cd.grp AND d.c = cd.code
+       |  WHERE cd.nn_id <> d.query_id
+       |  GROUP BY d.query_id, cd.nn_id),
+       |short AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT query_id, nn_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, nn_id ASC) AS rk
+       |    FROM adcs) z WHERE rk <= $short),
+       |cand AS (
+       |  SELECT s.query_id, s.nn_id,
+       |    ${Shared.cosineSimSql("q.q_vec", "x.vec")} AS sim
+       |  FROM short s
+       |  JOIN nv x ON x.nn_id = s.nn_id
+       |  JOIN qs q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full replay of the persisted quantized IVF+PQ chain
+    * (Ann.buildIvfPqIndexQuantized + searchIvfPqIndexQuantized):
+    * normalize+quantize, coarse Lloyd training (ungrouped CTEs),
+    * integer residuals, per-subspace grouped Lloyd training
+    * (p-prefixed CTEs), encode, probe order, coff + ADC shortlist
+    * order, exact re-rank — every pre-cosine step integer-exact. */
+  private def ivfPqOracleSql(dim: Int, nClusters: Int, m: Int, ksub: Int,
+                             k: Int, iters: Int, nProbe: Int, refine: Int,
+                             maxQueryId: Long, trainThrHex: String): String = {
+    val dsub = dim / m
+    val short = math.max(k, refine * k)
+    val cf = s"c$iters"     // final coarse centroids
+    val pf = s"pc$iters"    // final PQ codebooks
+    s"""WITH v0 AS (
+       |  SELECT vec_id AS nn_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT nn_id, vec,
+       |    list_transform(vec, x -> floor(
+       |      (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 65536 + 0.5)) AS vq
+       |  FROM (SELECT nn_id, vec,
+       |          sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+       |        FROM v0) z),
+       |${Shared.ivfTrainCoreCtesSql(nClusters, iters, trainThrHex)},
+       |assigned AS (
+       |  SELECT nn_id, c AS cluster FROM (
+       |    SELECT x.nn_id, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+       |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x CROSS JOIN $cf s) z WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.nn_id, a.cluster,
+       |    list_transform(range(1, $dim + 1), j -> x.vq[j] - s.cent[j]) AS rv
+       |  FROM assigned a
+       |  JOIN v x ON x.nn_id = a.nn_id
+       |  JOIN $cf s ON s.c = a.cluster),
+       |grps AS (SELECT UNNEST(range(0, $m)) AS grp),
+       |psub AS (
+       |  SELECT nn_id, grp,
+       |    list_transform(range(1, $dsub + 1), j -> rv[grp * $dsub + j]) AS vq
+       |  FROM resid CROSS JOIN grps),
+       |pdims AS (SELECT UNNEST(range(1, $dsub + 1)) AS i),
+       |ptrain AS (
+       |  SELECT * FROM psub
+       |  WHERE substring(md5(CAST(nn_id AS VARCHAR)), 1, 2) < '$trainThrHex'),
+       |pseed AS (
+       |  SELECT grp, rn - 1 AS c, vq AS cent FROM (
+       |    SELECT grp, nn_id, vq,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY nn_id) AS rn
+       |    FROM ptrain) z WHERE rn <= $ksub),
+       |${groupedLloydCtesSql(iters, p = "p")},
+       |codes AS (
+       |  SELECT nn_id, grp, c AS code FROM (
+       |    SELECT s2.nn_id, s2.grp, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY s2.grp, s2.nn_id
+       |        ORDER BY ${Shared.l2qDistSql("s2.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM psub s2 JOIN $pf s ON s.grp = s2.grp) z WHERE rn = 1),
+       |qs AS (SELECT nn_id AS query_id, vec AS q_vec, vq AS q_vq
+       |       FROM v WHERE nn_id < $maxQueryId),
+       |probes AS (
+       |  SELECT query_id, cluster,
+       |    list_sum(list_transform(range(1, $dim + 1),
+       |      j -> q_vq[j] * cent[j])) AS coff
+       |  FROM (
+       |    SELECT q.query_id, q.q_vq, s.c AS cluster, s.cent,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${Shared.l2qDistSql("q.q_vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM qs q CROSS JOIN $cf s) z WHERE rn <= $nProbe),
+       |qsub AS (
+       |  SELECT query_id, grp,
+       |    list_transform(range(1, $dsub + 1), j -> q_vq[grp * $dsub + j]) AS vq
+       |  FROM qs CROSS JOIN grps),
+       |dt AS (
+       |  SELECT q.query_id, q.grp, s.c,
+       |    list_sum(list_transform(range(1, $dsub + 1),
+       |      j -> q.vq[j] * s.cent[j])) AS dot
+       |  FROM qsub q JOIN $pf s ON s.grp = q.grp),
+       |adcs AS (
+       |  SELECT p.query_id, a.nn_id, p.coff + SUM(d.dot) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cluster = p.cluster AND a.nn_id <> p.query_id
+       |  JOIN codes cd ON cd.nn_id = a.nn_id
+       |  JOIN dt d ON d.query_id = p.query_id AND d.grp = cd.grp
+       |           AND d.c = cd.code
+       |  GROUP BY p.query_id, a.nn_id, p.coff),
+       |short AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT query_id, nn_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, nn_id ASC) AS rk
+       |    FROM adcs) z WHERE rk <= $short),
+       |cand AS (
+       |  SELECT s.query_id, s.nn_id,
+       |    ${Shared.cosineSimSql("q.q_vec", "x.vec")} AS sim
+       |  FROM short s
+       |  JOIN v x ON x.nn_id = s.nn_id
+       |  JOIN qs q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The persisted quantized IVF+PQ chain replayed end to end (both
+    // trainings, residual encode, probe + ADC order) — see
+    // ivfPqOracleSql.
+    "q_ann_ivfpq" -> ivfPqOracleSql(dim = 64, nClusters = 16, m = 16,
+      ksub = 32, k = 5, iters = 2, nProbe = 6, refine = 6,
+      maxQueryId = 50L, trainThrHex = "g0"),
+
     // The per-tenant quantized IVF chain replayed (training included,
     // group key threaded through every CTE) — see groupedIvfOracleSql.
     "q_ann_grouped_ivf" -> groupedIvfOracleSql(nClusters = 8, nProbe = 4,
       k = 5, iters = 2, maxQueryId = 50L),
+
+    // The quantized PQ chain replayed end to end — subspace training,
+    // encode, ADC shortlist order, exact re-rank; see pqOracleSql.
+    "q_ann_pq" -> pqOracleSql(dim = 64, m = 16, ksub = 32, k = 5,
+      iters = 3, refine = 6, maxQueryId = 50L, trainThrHex = "g0"),
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

@@ -148,6 +148,13 @@ class AnnSpec extends SparkSpec {
     val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
     val recall = (bf & got).size.toDouble / bf.size
     assert(recall >= 0.8, s"pq recall $recall below gate")
+    // oracle-exact (quantized) variant: same floor
+    val gotQ = Ann.pqTopKQuantized(e, q, "vec_id", "embedding", k = 5,
+        m = 16, ksub = 32, iters = 3, trainFraction = 1.0, refine = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recallQ = (bf & gotQ).size.toDouble / bf.size
+    assert(recallQ >= 0.8, s"quantized pq recall $recallQ below gate")
     // exact re-rank: every returned sim equals the brute-force sim for
     // that pair when brute force kept it
     val bfSim = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
@@ -235,6 +242,16 @@ class AnnSpec extends SparkSpec {
       "appended vectors never surfaced in any top-5")
     val recall = (bf & got).size.toDouble / bf.size
     assert(recall >= 0.8, s"ivfpq recall $recall below gate")
+    // oracle-exact (quantized) build+search: same floor over a full
+    // build (append path stays double — quantizers fixed either way)
+    val pathQ = java.nio.file.Files.createTempDirectory("ivfpqidxq").toString
+    Ann.buildIvfPqIndexQuantized(e, "vec_id", "embedding", pathQ,
+      nClusters = 8, m = 16, ksub = 32, iters = 3, trainFraction = 1.0)
+    val gotQ = Ann.searchIvfPqIndexQuantized(spark, pathQ, q, "vec_id",
+        "embedding", k = 5, nProbe = 6, refine = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recallQ = (bf & gotQ).size.toDouble / bf.size
+    assert(recallQ >= 0.8, s"quantized ivfpq recall $recallQ below gate")
     // exact re-rank parity: returned sims equal brute-force sims
     val bfSim = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id")) ->
