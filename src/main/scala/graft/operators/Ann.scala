@@ -251,6 +251,13 @@ object Ann {
     val v = corpus.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
     val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    ivfSearchQuantized(v, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  private def ivfSearchQuantized(v: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 cents: Array[Array[Double]],
+                                 nProbe: Int): DataFrame = {
     def centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val indexed = v.withColumn("cluster", nearest_centroid_l2(col("vq"), centsLit))
     val q = queries.select(col(idCol).as("query_id"),
@@ -265,6 +272,58 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "sim")
+  }
+
+  /** Probe-depth tuner on the quantized path — [[tuneNProbe]] with
+    * every engine-divergent step made replayable: the held-out sample
+    * orders by the PORTABLE md5 hex (not xxhash64), the home-cell and
+    * probe-order ranks are integer-exact, and the floor compare is
+    * integer per-mille arithmetic (`cum·1000 >= total·floor‰`) so no
+    * floating ratio ever meets a threshold. `v` carries
+    * (nn_id, vec, vq). */
+  def tuneNProbeQuantized(v: DataFrame, k: Int,
+                          cents: Array[Array[Double]],
+                          recallPerMille: Int = 900,
+                          sampleSize: Int = 64): Int = {
+    val nC = cents.length
+    def centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val sampleQ = v
+      .orderBy(md5(col("nn_id").cast("string")), col("nn_id"))
+      .limit(sampleSize)
+      .select(col("nn_id").as("query_id"), col("vec").as("q_vec"),
+        col("vq").as("q_vq"))
+      .localCheckpoint(true)
+    val truth = cosineTopK(v.select(col("nn_id"), col("vec").as("nn_vec")),
+      sampleQ.select("query_id", "q_vec"), k, excludeSameId = true)
+    val cellOf = v.select(col("nn_id"),
+      nearest_centroid_l2(col("vq"), centsLit).as("nn_cell"))
+    val hist = truth.join(cellOf, "nn_id")
+      .join(broadcast(sampleQ.select("query_id", "q_vq")), "query_id")
+      .select(array_position(
+        top_centroids_l2(col("q_vq"), centsLit, nC), col("nn_cell"))
+        .as("probe_rank"))
+      .groupBy("probe_rank").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, hist.values.sum)
+    (1 to nC).find { p =>
+      val cum = (1 to p).map(r => hist.getOrElse(r.toLong, 0L)).sum
+      cum * 1000L >= total * recallPerMille
+    }.getOrElse(nC)
+  }
+
+  /** [[ivfTopKAuto]] on the quantized path — trained cells AND the
+    * measured probe-depth choice both replay in the oracle. */
+  def ivfTopKAutoQuantized(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nClusters: Int = 16, iters: Int = 2,
+                           trainFraction: Double = 0.25,
+                           recallPerMille: Int = 900,
+                           sampleSize: Int = 64): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val nProbe = tuneNProbeQuantized(v, k, cents, recallPerMille, sampleSize)
+    ivfSearchQuantized(v, queries, idCol, vecCol, k, cents, nProbe)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -292,13 +292,16 @@ object PipelineQueries {
 
     // L7h: IVF with the probe depth chosen from a MEASURED recall floor
     // (one exact pass over a hash-held-out sample yields the whole
-    // recall-vs-nProbe curve) instead of a hand-picked constant
-    // (rows-only; curve exactness + recall gated in AnnSpec).
+    // recall-vs-nProbe curve) instead of a hand-picked constant. On
+    // the quantized path even the TUNING DECISION replays in the
+    // oracle (md5-ordered sample, integer probe ranks, per-mille floor
+    // compare) — upgraded from rows-only in r10; curve exactness +
+    // recall still gated in AnnSpec.
     "q_ann_ivf_auto" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      Ann.ivfTopKAuto(emb, emb.filter(col("vec_id") < 50), "vec_id",
-          "embedding", k = 5, nClusters = 16, iters = 2,
-          trainFraction = 0.25, recallFloor = 0.9, sampleSize = 64)
+      Ann.ivfTopKAutoQuantized(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 5, nClusters = 16, iters = 2,
+          trainFraction = 0.25, recallPerMille = 900, sampleSize = 64)
         .orderBy("query_id", "rank")
     },
 
@@ -1611,7 +1614,94 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Replay of Ann.ivfTopKAutoQuantized — the ivfOracleSql chain with
+    * the probe depth DERIVED inside the query: md5-ordered held-out
+    * sample, exact-cosine truth, integer home-cell/probe-rank
+    * histogram, per-mille floor scan for the minimal depth (fallback
+    * = every cell), then the standard probe/search tail reading the
+    * chosen depth via a scalar subquery. */
+  private def ivfAutoOracleSql(nClusters: Int, k: Int, iters: Int,
+                               maxQueryId: Long, trainThrHex: String,
+                               recallPerMille: Int,
+                               sampleSize: Int): String = {
+    def dist(v: String, c: String) = Shared.l2qDistSql(v, c)
+    val cf = s"c$iters"
+    s"""WITH ${Shared.ivfTrainCtesSql(nClusters, iters, trainThrHex)},
+       |samp AS (
+       |  SELECT nn_id AS query_id, vec AS q_vec, vq AS q_vq
+       |  FROM v ORDER BY md5(CAST(nn_id AS VARCHAR)), nn_id
+       |  LIMIT $sampleSize),
+       |truth AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT s.query_id, x.nn_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY ${Shared.cosineSimSql("s.q_vec", "x.vec")} DESC,
+       |                 x.nn_id ASC) AS rk
+       |    FROM samp s CROSS JOIN v x WHERE x.nn_id <> s.query_id) z
+       |  WHERE rk <= $k),
+       |cellof AS (
+       |  SELECT nn_id, c AS nn_cell FROM (
+       |    SELECT x.nn_id, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+       |        ORDER BY ${dist("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x CROSS JOIN $cf s) z WHERE rn = 1),
+       |qrank AS (
+       |  SELECT q.query_id, s.c,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${dist("q.q_vq", "s.cent")} ASC, s.c ASC) AS pr
+       |  FROM samp q CROSS JOIN $cf s),
+       |hist AS (
+       |  SELECT qr.pr AS probe_rank, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM truth t
+       |  JOIN cellof co ON co.nn_id = t.nn_id
+       |  JOIN qrank qr ON qr.query_id = t.query_id AND qr.c = co.nn_cell
+       |  GROUP BY qr.pr),
+       |tot AS (SELECT GREATEST(CAST(COALESCE(SUM(n), 0) AS BIGINT),
+       |                        CAST(1 AS BIGINT)) AS total FROM hist),
+       |npt AS (
+       |  SELECT COALESCE(MIN(p), $nClusters) AS np FROM (
+       |    SELECT ps.p,
+       |      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)
+       |       FROM hist WHERE probe_rank <= ps.p) AS cum
+       |    FROM (SELECT UNNEST(range(1, $nClusters + 1)) AS p) ps) z,
+       |    tot
+       |  WHERE z.cum * 1000 >= tot.total * $recallPerMille),
+       |idx AS (
+       |  SELECT nn_id, vec, c AS cluster FROM (
+       |    SELECT x.nn_id, x.vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+       |        ORDER BY ${dist("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM v x CROSS JOIN $cf s) z WHERE rn = 1),
+       |qs AS (SELECT nn_id AS query_id, vec AS q_vec, vq AS q_vq
+       |       FROM v WHERE nn_id < $maxQueryId),
+       |probes AS (
+       |  SELECT query_id, q_vec, c AS cluster FROM (
+       |    SELECT q.query_id, q.q_vec, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dist("q.q_vq", "s.cent")} ASC, s.c ASC) AS rn
+       |    FROM qs q CROSS JOIN $cf s) z
+       |  WHERE rn <= (SELECT np FROM npt)),
+       |cand AS (
+       |  SELECT p.query_id, i.nn_id,
+       |    ${Shared.cosineSimSql("p.q_vec", "i.vec")} AS sim
+       |  FROM probes p JOIN idx i USING (cluster)
+       |  WHERE i.nn_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, nn_id ASC) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The measured-probe-depth IVF replayed INCLUDING the tuning
+    // decision — see ivfAutoOracleSql.
+    "q_ann_ivf_auto" -> ivfAutoOracleSql(nClusters = 16, k = 5, iters = 2,
+      maxQueryId = 50L, trainThrHex = "40", recallPerMille = 900,
+      sampleSize = 64),
+
     // The persisted quantized IVF+PQ chain replayed end to end (both
     // trainings, residual encode, probe + ADC order) — see
     // ivfPqOracleSql.

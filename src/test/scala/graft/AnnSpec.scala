@@ -655,6 +655,13 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
     val recall = (bf & auto).size.toDouble / bf.size
     assert(recall >= 0.8, s"auto-tuned ivf recall $recall below gate")
+    // oracle-exact variant: same floor, tuner decision deterministic
+    val autoQ = Ann.ivfTopKAutoQuantized(e, q, "vec_id", "embedding", k = 5,
+        nClusters = 8, iters = 3, trainFraction = 1.0,
+        recallPerMille = 900, sampleSize = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recallQ = (bf & autoQ).size.toDouble / bf.size
+    assert(recallQ >= 0.8, s"quantized auto-ivf recall $recallQ below gate")
   }
 
   test("assign recall curve matches knn-graph edge discovery exactly") {
