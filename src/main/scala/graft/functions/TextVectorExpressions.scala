@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -226,6 +226,44 @@ object Kernels {
       s >>= 1
     }
     d
+  }
+
+  /** 3-D Hilbert-curve distance via the Skilling transform (John
+    * Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+    * 2004 — public algorithm): undo-rotation sweep over quadrant
+    * levels, Gray encode, parity correction, then MSB-first bit
+    * interleave of the transposed coordinates. Inputs in [0, 2^bits);
+    * 3·bits <= 62. Same locality contract as [[hilbertD2]] in three
+    * dimensions; the oracle replays the identical XOR/AND walk as
+    * per-level CTEs — keep in LOCKSTEP. */
+  def hilbertD3(x: Long, y: Long, z: Long, bits: Int): Long = {
+    val X = Array(x, y, z)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 3) {
+        if ((X(i) & q) != 0) X(0) ^= p
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    X(1) ^= X(0); X(2) ^= X(1)
+    var t2 = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((X(2) & q) != 0) t2 ^= q - 1; q >>= 1 }
+    var i = 0
+    while (i < 3) { X(i) ^= t2; i += 1 }
+    // interleave MSB-first: bit b of X(i) lands at 3·b + (2 − i)
+    var h = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < 3) { h = (h << 1) | ((X(i) >> b) & 1L); i += 1 }
+      b -= 1
+    }
+    h
   }
 
   /** Index of the max-cosine centroid (ties → lowest index) — the
@@ -855,6 +893,24 @@ case class HilbertD2(left: Expression, right: Expression, bits: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hilbertD2($a, $b, $bits)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertD2 =
     copy(left = l, right = r)
+}
+
+/** 3-D Hilbert-curve distance (Skilling transform) — see
+  * Kernels.hilbertD3. */
+case class HilbertD3(first: Expression, second: Expression,
+                     third: Expression, bits: Int)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_d3"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Kernels.hilbertD3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.Kernels.hilbertD3($a, $b, $c, $bits)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HilbertD3 =
+    copy(first = f, second = s, third = t)
 }
 
 /** Query-side nProbe cell selection by squared-L2 distance (asc,

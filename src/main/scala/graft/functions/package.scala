@@ -66,6 +66,9 @@ package object functions {
   /** Hilbert-curve distance of two bucketized dims in [0, 2^bits). */
   def hilbert_d2(x: Column, y: Column, bits: Int): Column =
     col2(HilbertD2(ex(x), ex(y), bits))
+  /** 3-D Hilbert distance (Skilling transform), 3·bits <= 62. */
+  def hilbert_d3(x: Column, y: Column, z: Column, bits: Int): Column =
+    col2(HilbertD3(ex(x), ex(y), ex(z), bits))
   /** PQ code array of `v` against an m-block codebook table (each block
     * a flat ksub×dsub array) — map-side, no shuffle. */
   def pq_encode(v: Column, books: Column): Column = col2(PqEncode(ex(v), ex(books)))

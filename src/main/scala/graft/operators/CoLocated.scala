@@ -17,12 +17,22 @@ object CoLocated {
 
   /** Persist `df` as a bucketed+sorted catalog table on `key`. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    key: String): Unit = {
+                    key: String): Unit =
+    writeBucketedKeys(df, table, buckets, Seq(key))
+
+  /** Multi-key form of [[writeBucketed]] — the tenant-scoped layout:
+    * bucketing on (tenant, entity) co-locates every tenant's history
+    * with its probes, so [[asOfJoinBucketed]] with composite keys
+    * stays exchange-free per tenant too. */
+  def writeBucketedKeys(df: DataFrame, table: String, buckets: Int,
+                        keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "at least one bucket key")
     // fresh catalog over an old warehouse dir: clear the leftover
     // managed location or this rebuild trips LOCATION_ALREADY_EXISTS
     Lexical.dropManaged(df.sparkSession, table)
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -87,4 +87,22 @@ object CorpusCard {
         s"${v("rules", "", b, "pass_all")} |\n"
     sb.result()
   }
+
+  /** [[markdown]] plus a shard-integrity section from a
+    * [[graft.sources.Manifest]] frame (`(shard, n_rows, key_xor)`) —
+    * the complete release document: composition + mixture + attrition
+    * + the checksums a consumer validates the download against
+    * (`Manifest.validate`). The manifest frame is shard-sized
+    * (driver-safe). */
+  def markdownWithManifest(card: DataFrame, manifest: DataFrame,
+                           title: String): String = {
+    val sb = new StringBuilder(markdown(card, title))
+    sb ++= "\n## Shard manifest (validate with Manifest.validate)\n\n"
+    sb ++= "| shard | rows | key_xor |\n|---|---|---|\n"
+    manifest.orderBy("shard").collect().foreach { r =>
+      sb ++= s"| ${r.getAs[String]("shard")} | ${r.getAs[Long]("n_rows")} | " +
+        f"${r.getAs[Long]("key_xor")}%016x |\n"
+    }
+    sb.result()
+  }
 }

@@ -607,6 +607,22 @@ object AnalyticsQueries {
         .orderBy("hval", "o_orderkey")
     },
 
+    // R24f: THREE-dimensional Hilbert ordering key (Skilling
+    // transform) — the 3-D twin of R24e, vs R24d's Morton interleave:
+    // adjacency holds in all three dims, so per-file boxes of price,
+    // customer AND date stay compact. Oracled via per-level XOR/AND
+    // CTEs replaying the identical walk.
+    "q_hilbert3" -> { (s, dir) =>
+      val x = "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)"
+      val y = "o_custkey % 256"
+      val d = "datediff(o_orderdate, DATE'1992-01-01') % 256"
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", s"$x AS zx", s"$y AS zy", s"$d AS zd")
+        .withColumn("hval",
+          graft.functions.hilbert_d3(col("zx"), col("zy"), col("zd"), 8))
+        .orderBy("hval", "o_orderkey")
+    },
+
     // R36: time-series densification — resample each user's events to
     // a regular hourly grid between their first and last activity,
     // zero-filling empty buckets (the regular-grid precondition for
@@ -1553,8 +1569,71 @@ object AnalyticsQueries {
     // (hx/hy/hd thread the rotation state) — in LOCKSTEP with
     // Kernels.hilbertD2.
     "q_hilbert" -> hilbertOracleSql(
-      "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)", "o_custkey % 256", 8)
+      "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)", "o_custkey % 256", 8),
+
+    // R24f: the Skilling transform replayed — one CTE per (level,
+    // coordinate) undo-rotation sub-step, Gray encode, parity fold,
+    // arithmetic interleave — in LOCKSTEP with Kernels.hilbertD3.
+    "q_hilbert3" -> hilbert3OracleSql(
+      "CAST(FLOOR(o_totalprice / 25000) AS BIGINT)", "o_custkey % 256",
+      "datediff('day', DATE '1992-01-01', o_orderdate) % 256", 8)
   )
+
+  /** Chained replay of Kernels.hilbertD3 over `orders` (see the
+    * kernel's Scaladoc for the algorithm citation): levels walk q =
+    * 2^(bits-1) .. 2 with three XOR/AND sub-steps each (one CTE per
+    * sub-step so expressions never nest exponentially), then the Gray
+    * encode, the parity fold (XOR of q−1 over set top-coordinate
+    * bits), and the MSB-first interleave written arithmetically. */
+  private def hilbert3OracleSql(x: String, y: String, z: String,
+                                bits: Int): String = {
+    val levels = (1 until bits).map(i => 1L << (bits - i)) // 2^(b-1)..2
+    val coords = Seq("hx", "hy", "hz")
+    var n = 0
+    val sb = new StringBuilder
+    def stage(body: String): Unit = {
+      n += 1
+      sb ++= s""",
+        |g$n AS (
+        |  SELECT o_orderkey, zx, zy, zd, $body
+        |  FROM g${n - 1})""".stripMargin
+    }
+    for (q <- levels; i <- 0 until 3) {
+      val p = q - 1
+      val ci = coords(i)
+      val keep = coords.filterNot(c => c == "hx" || c == ci)
+      val body =
+        if (i == 0)
+          s"""CASE WHEN (hx & $q) <> 0 THEN xor(hx, $p) ELSE hx END AS hx,
+             |    hy, hz""".stripMargin
+        else
+          s"""CASE WHEN ($ci & $q) <> 0 THEN xor(hx, $p)
+             |         ELSE xor(hx, xor(hx, $ci) & $p) END AS hx,
+             |    CASE WHEN ($ci & $q) <> 0 THEN $ci
+             |         ELSE xor($ci, xor(hx, $ci) & $p) END AS $ci,
+             |    ${keep.mkString(", ")}""".stripMargin
+      stage(body)
+    }
+    stage("hx, xor(hy, hx) AS hy, hz") // Gray: X1 ^= X0
+    stage("hx, hy, xor(hz, hy) AS hz") // Gray: X2 ^= X1 (updated)
+    val parity = levels
+      .map(q => s"(CASE WHEN (hz & $q) <> 0 THEN ${q - 1} ELSE 0 END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    stage(s"""xor(hx, $parity) AS hx, xor(hy, $parity) AS hy,
+             |    xor(hz, $parity) AS hz""".stripMargin)
+    val interleave = (for (b <- 0 until bits; i <- 0 until 3) yield {
+      val w = 1L << (3 * b + (2 - i))
+      s"((${coords(i)} >> $b) & 1) * ${w}"
+    }).mkString(" + ")
+    s"""WITH g0 AS (
+       |  SELECT o_orderkey, $x AS zx, $y AS zy, $z AS zd,
+       |    CAST($x AS BIGINT) AS hx, CAST($y AS BIGINT) AS hy,
+       |    CAST($z AS BIGINT) AS hz
+       |  FROM orders)${sb.result()}
+       |SELECT o_orderkey, zx, zy, zd,
+       |  CAST($interleave AS BIGINT) AS hval
+       |FROM g$n ORDER BY hval, o_orderkey""".stripMargin
+  }
 
   /** Chained per-bit replay of Kernels.hilbertD2 over `orders`:
     * h0 carries (hx0, hy0, hd0); step q folds quadrant `s = 2^(B-q)`

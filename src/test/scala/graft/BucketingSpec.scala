@@ -85,6 +85,49 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("tenant-scoped co-located as-of: composite keys, zero exchanges, parity") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val left = Seq(
+      ("a", 1L, 100L, 9L), ("a", 1L, 200L, 9L), ("b", 1L, 100L, 9L),
+      ("b", 2L, 150L, 9L)
+    ).toDF("tenant", "k", "ts", "tie")
+    val right = Seq(
+      ("a", 1L, 90L, 1L, 10.5), ("a", 1L, 199L, 2L, 11.5),
+      // same entity id under ANOTHER tenant must never leak across
+      ("b", 1L, 95L, 3L, 12.5), ("b", 2L, 10L, 4L, 14.5)
+    ).toDF("tenant", "k", "ts", "tie", "price")
+    CoLocated.writeBucketedKeys(left, "tasof_l", buckets = 4,
+      keys = Seq("tenant", "k"))
+    CoLocated.writeBucketedKeys(right, "tasof_r", buckets = 4,
+      keys = Seq("tenant", "k"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = CoLocated.asOfJoinBucketed(spark, "tasof_l", "tasof_r",
+        Seq("tenant", "k"), "ts", "ts", "tie", Seq("tie", "price"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"tenant-scoped as-of must not shuffle:\n$plan")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          Option(r.get(4)).map(_.asInstanceOf[Long])
+      val got = j.collect().map(key).toMap
+      val twin = AsOf.join(left, right, Seq("tenant", "k"), "ts", "ts",
+        "tie", Seq("tie", "price")).collect().map(key).toMap
+      assert(got == twin, s"got $got\ntwin $twin")
+      // isolation: tenant a's 100-probe sees a's 90-row, tenant b's
+      // sees b's own 95-row — not the other tenant's closer match
+      assert(got(("a", 1L, 100L)) == Some(1L))
+      assert(got(("b", 1L, 100L)) == Some(3L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS tasof_l")
+      spark.sql("DROP TABLE IF EXISTS tasof_r")
+    }
+  }
+
   test("lexical index: probe scans only the query terms' buckets; " +
       "search equals from-scratch BM25") {
     import graft.operators.Lexical

@@ -664,6 +664,16 @@ class CurationSpec extends SparkSpec {
       .filter(t => t._1 == "rules" && t._4 == "n_docs").head
     assert(md.contains(s"| $src0 | $nd0 |"),
       s"rules row for $src0 ($nd0 docs) not rendered")
+    // the manifest-bearing release document appends shard checksums
+    val manifest = graft.sources.Manifest.build(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+    val full = CorpusCard.markdownWithManifest(
+      graft.queries.CurationQueries.queries("q_corpus_card")(spark, sfDir),
+      manifest, "graft-test")
+    assert(full.startsWith(md.take(40)) && full.contains("## Shard manifest"))
+    val m0 = manifest.orderBy("shard").collect().head
+    assert(full.contains(s"| ${m0.getAs[String]("shard")} | " +
+      s"${m0.getAs[Long]("n_rows")} |"), "manifest shard row not rendered")
   }
 
   test("scorecard: per-rule counts equal the standalone operators") {

@@ -112,6 +112,29 @@ class LayoutSpec extends SparkSpec {
       s"hilbert must cluster both dims, got ($hx, $hy)")
   }
 
+  test("hilbert3: bijective and unit-step adjacent on the full 3-D grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // exhaustive 8x8x8 grid (bits=3): bijection onto [0, 8^bits) and
+    // every consecutive pair of distances is L1-adjacent — the two
+    // properties that pin the Skilling walk's correctness end to end
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z)
+    val mapped = cells.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        graft.functions.hilbert_d3(col("x"), col("y"), col("z"), 3).as("d"))
+      .collect()
+      .map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .sortBy(_._1)
+    assert(mapped.map(_._1).toSeq == (0L until 512L),
+      "hilbert3 must be a bijection onto [0, 8^bits)")
+    mapped.sliding(2).foreach {
+      case Array((_, (x1, y1, z1)), (_, (x2, y2, z2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+          s"consecutive cells ($x1,$y1,$z1) -> ($x2,$y2,$z2) not adjacent")
+    }
+  }
+
   test("zValue3 bit interleave equals the arithmetic morton form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
