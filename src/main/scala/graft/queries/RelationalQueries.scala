@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{AsOf, RangeJoin, Sessionize}
+import graft.operators.{AsOf, CoLocated, RangeJoin, Sessionize}
 
 /** Relational engine surface (SURVEY.md §2 R1-R19). Every query has a
   * DuckDB oracle; see §5 for the determinism rules used throughout:
@@ -48,6 +48,24 @@ object RelationalQueries {
   /** 60 s session gap / 1 h salt bucket (both in event-time nanos). */
   val GapNs = 60000000000L
   val BucketNs = 3600000000000L
+
+  /** Bucketed purchase/click twin tables for the co-located as-of —
+    * written once per (JVM, corpus dir): the write IS the shuffle
+    * budget, every probe after it is exchange-free (the same
+    * amortization contract as the pair table and the lexical index). */
+  private val asofBucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def asofBucketed(s: SparkSession, dir: String): (String, String) =
+    asofBucketedMemo.computeIfAbsent(dir, d => {
+      val ev = t(s, d, "events")
+      val lt = "graft_asofl_" + dirKey(d)
+      val rt = "graft_asofr_" + dirKey(d)
+      CoLocated.writeBucketed(ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value"), lt, 8, "user_id")
+      CoLocated.writeBucketed(ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts", "value"), rt, 8, "user_id")
+      (lt, rt)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: scan + filter + project; filter and pruning reach the parquet
@@ -294,6 +312,20 @@ object RelationalQueries {
         .select("user_id", "event_id", "ts", "value")
       AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", "event_id",
           Seq("event_id", "value"), outPrefix = "match_")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("match_event_id"), col("match_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // R21b: co-located as-of join — the SAME semantics as q_asof_join
+    // over both sides pre-bucketed on user_id (write-once shuffle,
+    // zero-Exchange probes thereafter; the repeated-probe shape at
+    // 100 TB). The oracle is IDENTICAL to q_asof_join's, so the hash
+    // gate proves the physical rewrite is value-transparent.
+    "q_asof_colocated" -> { (s, dir) =>
+      val (lt, rt) = asofBucketed(s, dir)
+      CoLocated.asOfJoinBucketed(s, lt, rt, Seq("user_id"), "ts", "ts",
+          "event_id", Seq("event_id", "value"), outPrefix = "match_")
         .select(col("user_id"), col("event_id"), col("value"),
           col("match_event_id"), col("match_value"))
         .orderBy("user_id", "event_id")
@@ -604,7 +636,32 @@ object RelationalQueries {
        |FROM sessions GROUP BY user_id, sess_id
        |ORDER BY user_id, sess_id""".stripMargin
 
+  /** The union+window as-of replay — shared by q_asof_join (logical
+    * AsOf.join) and q_asof_colocated (the bucketed zero-Exchange
+    * physical plan): SAME semantics, SAME oracle, different plan —
+    * the hash gate proves the physical rewrite changes nothing. */
+  private val asofWindowOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 1 AS side,
+      |         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 0 AS side,
+      |         event_id AS r_event_id, value AS r_value
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT user_id, event_id, value, side,
+      |    LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS match_event_id,
+      |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS match_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, value, match_event_id, match_value
+      |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // R21b: identical oracle as q_asof_join — see asofWindowOracleSql.
+    "q_asof_colocated" -> asofWindowOracleSql,
     // Exact-regime rollup oracle: user cardinality is far below the
     // sketch's list/set→HLL promotion point, so the merged estimate
     // equals the exact distinct count. Day boundaries replay the
@@ -779,24 +836,7 @@ object RelationalQueries {
         |  ON e.user_id = b.user_id AND e.tns BETWEEN b.start_tns AND b.end_tns
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH u AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 1 AS side,
-        |         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS DOUBLE) AS r_value
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, 0 AS side,
-        |         event_id AS r_event_id, value AS r_value
-        |  FROM events WHERE event_type = 'click'),
-        |m AS (
-        |  SELECT user_id, event_id, value, side,
-        |    LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS match_event_id,
-        |    LAST_VALUE(r_value IGNORE NULLS) OVER w AS match_value
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, value, match_event_id, match_value
-        |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
+    "q_asof_join" -> asofWindowOracleSql,
 
     "q_asof_tolerance" ->
       """WITH u AS (
