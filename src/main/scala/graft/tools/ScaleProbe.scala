@@ -62,7 +62,11 @@ object ScaleProbe {
     // (label, dim) quantized shuffle (linear in rows·dims); bounded
     // epoch explode + broadcast alloc (linear); two LEADs under one
     // user window (linear)
-    "q_lm_trigram", "q_embed_outliers", "q_unimax_apply", "q_event_paths")
+    "q_lm_trigram", "q_embed_outliers", "q_unimax_apply", "q_event_paths",
+    // r10 additions: the quantized trained-index chains (training is
+    // one map-side assignment + C-row shuffle per round — linear; the
+    // quantize transform is map-side) and the two-pass corpus card
+    "q_ann_pq", "q_semantic_dedup", "q_corpus_card")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
