@@ -690,6 +690,39 @@ object Curate {
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
   }
 
+  /** L75: preference-pair construction — the RLHF/DPO data-prep
+    * primitive: from a pool of scored candidates per prompt/group,
+    * emit (chosen, rejected) = (argmax score, argmin score) with ties
+    * to the lowest id, kept only when the score margin clears
+    * `minMargin` (near-tied pools make noisy preference labels and
+    * are dropped). One shuffle on the pool key + two same-partition
+    * window ranks; no per-pool collect, no cross join of candidates
+    * (a pairwise-all construction would be O(pool²) — the max/min
+    * pair is the standard margin-filtered DPO shape). Score must be
+    * integer-valued for the exact oracle. */
+  def preferencePairs(df: DataFrame, poolCol: String, idCol: String,
+                      scoreCol: String, minMargin: Long): DataFrame = {
+    val s = df.select(col(poolCol).as("pool"), col(idCol).as("id"),
+      col(scoreCol).cast("long").as("sc"))
+    val wTop = Window.partitionBy("pool").orderBy(col("sc").desc, col("id").asc)
+    val wBot = Window.partitionBy("pool").orderBy(col("sc").asc, col("id").asc)
+    val ranked = s
+      .withColumn("rt", row_number().over(wTop))
+      .withColumn("rb", row_number().over(wBot))
+    val top = ranked.filter(col("rt") === 1)
+      .select(col("pool"), col("id").as("chosen_id"),
+        col("sc").as("chosen_score"))
+    val bot = ranked.filter(col("rb") === 1)
+      .select(col("pool"), col("id").as("rejected_id"),
+        col("sc").as("rejected_score"))
+    top.join(bot, "pool")
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+      .select("pool", "chosen_id", "rejected_id", "chosen_score",
+        "rejected_score", "margin")
+  }
+
   /** L54: per-group tokenizer fertility / compression diagnostics —
     * the multilingual tokenizer-equity report (how many subword
     * pre-tokens a language pays per word, and how many characters each

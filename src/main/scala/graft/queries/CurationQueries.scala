@@ -753,6 +753,19 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // L75: preference pairs — chosen/rejected by token-count margin
+    // within each (lang, source) pool: the DPO-shaped dataset
+    // construction, margin-filtered (>= 10 tokens apart) so near-tied
+    // pools never emit noisy labels. Fully oracled.
+    "q_preference_pairs" -> { (s, dir) =>
+      Curate.preferencePairs(
+          t(s, dir, "documents")
+            .withColumn("pool", concat_ws("|", col("lang"), col("source")))
+            .withColumn("score", token_count(col("text"))),
+          "pool", "doc_id", "score", minMargin = 10L)
+        .orderBy("pool")
+    },
+
     // L74: corpus card — the release document's numeric content
     // (per-(lang,source) accounting + language mixture + per-source
     // rule attrition) as ONE long-format integer-exact frame; fully
@@ -1122,6 +1135,32 @@ object CurationQueries {
         |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // L75: the same two window ranks + margin filter over the
+    // token-count score — in LOCKSTEP with Curate.preferencePairs.
+    "q_preference_pairs" ->
+      """WITH s AS (
+        |  SELECT lang || '|' || source AS pool, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS sc
+        |  FROM documents),
+        |r AS (
+        |  SELECT pool, doc_id, sc,
+        |    ROW_NUMBER() OVER (PARTITION BY pool
+        |                       ORDER BY sc DESC, doc_id ASC) AS rt,
+        |    ROW_NUMBER() OVER (PARTITION BY pool
+        |                       ORDER BY sc ASC, doc_id ASC) AS rb
+        |  FROM s),
+        |t AS (SELECT pool, doc_id AS chosen_id, sc AS chosen_score
+        |      FROM r WHERE rt = 1),
+        |b AS (SELECT pool, doc_id AS rejected_id, sc AS rejected_score
+        |      FROM r WHERE rb = 1)
+        |SELECT t.pool, chosen_id, rejected_id, chosen_score,
+        |  rejected_score, chosen_score - rejected_score AS margin
+        |FROM t JOIN b USING (pool)
+        |WHERE chosen_id <> rejected_id
+        |  AND chosen_score - rejected_score >= 10
+        |ORDER BY pool""".stripMargin,
+
     // The quantized SemDeDup chain over embeddings replayed end to end
     // — training, multi-assign blocking, verified cosine >= 0.4.
     "q_semantic_dedup" ->

@@ -629,6 +629,40 @@ class CurationSpec extends SparkSpec {
     assert(out("zh") == ((1L, 4L, 9L, 14L, 2250000L, 1555555L)))
   }
 
+  test("preference pairs: true extremes, margin gate, tie determinism") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val out = run("q_preference_pairs").collect()
+    assert(out.nonEmpty)
+    // per emitted pool: chosen/rejected are the true score extremes
+    val d = table("documents")
+      .selectExpr("lang || '|' || source AS pool", "doc_id",
+        "CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS LONG) AS sc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val pool = r.getString(0)
+      val cands = d(pool)
+      val maxS = cands.map(_._3).max
+      val minS = cands.map(_._3).min
+      assert(r.getAs[Long]("chosen_score") == maxS)
+      assert(r.getAs[Long]("rejected_score") == minS)
+      assert(r.getAs[Long]("margin") == maxS - minS && maxS - minS >= 10)
+      // ties resolve to the lowest id
+      assert(r.getAs[Long]("chosen_id") ==
+        cands.filter(_._3 == maxS).map(_._2).min)
+      assert(r.getAs[Long]("rejected_id") ==
+        cands.filter(_._3 == minS).map(_._2).min)
+    }
+    // sub-margin and single-candidate pools are absent + same-doc guard
+    val tiny = Seq((1L, "p1", 5L), (2L, "p1", 9L), // margin 4 < 10
+      (3L, "p2", 7L), // singleton
+      (4L, "p3", 0L), (5L, "p3", 40L)).toDF("doc_id", "pool", "score")
+    val pairs = Curate.preferencePairs(tiny, "pool", "doc_id", "score", 10L)
+      .collect()
+    assert(pairs.map(_.getString(0)).toSeq == Seq("p3"))
+  }
+
   test("corpus card: rows consistent with components, markdown renders them") {
     import graft.operators.{CorpusCard, Curate}
     val card = run("q_corpus_card").collect()
