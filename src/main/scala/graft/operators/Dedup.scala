@@ -889,6 +889,39 @@ object Dedup {
       .format("parquet").saveAsTable(s"${table}_toks")
   }
 
+  /** Erase ids from a persisted pair table (+ its `_toks` sidecar):
+    * the pair graph holds DERIVED content of erased docs (their exact
+    * token sets in the sidecar, their similarity relations in the pair
+    * rows), so a takedown that skips it leaks through every dedup
+    * report and through future appends' cross joins. Drops every pair
+    * touching an erased id and the sidecar rows; the same
+    * write-then-swap discipline as [[removeSignatures]] so a failure
+    * mid-erasure never destroys the only copy. The result is exactly
+    * the table a from-scratch build over the survivors would produce
+    * (pairs are per-edge rows — no aggregate to decrement). Works for
+    * plain and grouped tables (extra columns carry through). */
+  def removeFromPairTable(spark: org.apache.spark.sql.SparkSession,
+                          table: String, ids: DataFrame,
+                          idCol: String): Unit = {
+    val del = ids.select(col(idCol).as("__del_id"))
+    def swap(t: String, survivors: DataFrame): Unit = {
+      val tmp = t + "_swap"
+      Lexical.dropManaged(spark, tmp)
+      val part = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .partitionColumnNames
+      val w = survivors.write.mode("overwrite").format("parquet")
+      (if (part.nonEmpty) w.partitionBy(part: _*) else w).saveAsTable(tmp)
+      Lexical.dropManaged(spark, t)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    }
+    swap(table, spark.table(table)
+      .join(broadcast(del), col("doc_id1") === col("__del_id"), "left_anti")
+      .join(broadcast(del), col("doc_id2") === col("__del_id"), "left_anti"))
+    swap(s"${table}_toks", spark.table(s"${table}_toks")
+      .join(broadcast(del), col("id") === col("__del_id"), "left_anti"))
+  }
+
   /** One tenant's complete pair graph — a partition-pruned scan. */
   def tenantPairs(spark: org.apache.spark.sql.SparkSession, table: String,
                   groupCol: String, tenant: String): DataFrame =

@@ -29,7 +29,8 @@ object Erase {
   case class Surfaces(lexIndex: Option[String] = None,
                       ivfIndexPath: Option[String] = None,
                       ivfPqIndexPath: Option[String] = None,
-                      signatureTable: Option[String] = None)
+                      signatureTable: Option[String] = None,
+                      pairTable: Option[String] = None)
 
   /** Erase `ids` from every surface in `s`. Id-keyed surfaces only —
     * DSIR counts need the erased rows' text: call [[eraseDsir]] with
@@ -40,6 +41,9 @@ object Erase {
     s.ivfIndexPath.foreach(p => Ann.deleteFromIvfIndex(spark, p, ids, idCol))
     s.ivfPqIndexPath.foreach(p => Ann.deleteFromIvfPqIndex(spark, p, ids, idCol))
     s.signatureTable.foreach(t => Dedup.removeSignatures(spark, t, ids, idCol))
+    // the pair graph holds DERIVED content (exact token sets + dup
+    // relations) — r10 closes the takedown gap
+    s.pairTable.foreach(t => Dedup.removeFromPairTable(spark, t, ids, idCol))
   }
 
   /** Decrement the DSIR model counts for erased rows (content-keyed:

@@ -769,6 +769,54 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13s: streaming curation scorecard — the continuous form of L55's
+    * per-source rule-attrition report. Every scorecard column is a
+    * COUNT, so the batch partial sums exactly into a RUNNING per-source
+    * snapshot (rule flags are per-row map-side kernels — a row's flags
+    * never depend on other rows, so running totals == the batch
+    * scorecard of everything streamed; parity spec-gated). Versioned
+    * snapshots under `storePath/batch=N` (the session store's
+    * replay-safe read-below-own-id discipline — chosen over per-batch
+    * deltas because SUM, unlike HLL union, is NOT idempotent: a
+    * crash-window double-fold would double-count). Per-trigger cost =
+    * the batch pass + one groups-sized merge, never the doc history. */
+  def scorecardStream(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String, stopWords: Seq[String],
+                      blocklist: Seq[String], storePath: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Curate.scorecard(batch.toDF(), idCol,
+          textCol, groupCol, stopWords, blocklist)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("grp", "n_docs", "pass_gopher", "pass_repetition",
+                "pass_blocklist", "pass_all"))
+          }
+        val snap = prior match {
+          case Some(p) => p.unionByName(delta).groupBy("grp")
+            .agg(sum("n_docs").as("n_docs"),
+              sum("pass_gopher").as("pass_gopher"),
+              sum("pass_repetition").as("pass_repetition"),
+              sum("pass_blocklist").as("pass_blocklist"),
+              sum("pass_all").as("pass_all"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class DebouncedEvent(user_id: Long, ts: Long)
   case class DebounceState(lastTs: Long)
 

@@ -461,6 +461,43 @@ class DedupSpec extends SparkSpec {
     assert(ci == cr)
   }
 
+  test("pair-table erasure equals rebuild-from-survivors; append stays clean") {
+    import spark.implicits._
+    val docs = table("documents").localCheckpoint(true)
+    val erased = docs.filter($"doc_id" % 5 === 0).select("doc_id")
+    val survivors = docs.filter($"doc_id" % 5 =!= 0)
+    try {
+      Dedup.buildPairTable(docs.filter($"doc_id" < 450), "doc_id", "text",
+        Seq("lang"), "erz_pairs", minJaccard = 0.9, parallelBuckets = 4)
+      Dedup.removeFromPairTable(spark, "erz_pairs", erased, "doc_id")
+      Dedup.buildPairTable(
+        docs.filter($"doc_id" < 450 && $"doc_id" % 5 =!= 0), "doc_id",
+        "text", Seq("lang"), "erz_pairs_ref", minJaccard = 0.9,
+        parallelBuckets = 4)
+      def pairSet(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairSet("erz_pairs") == pairSet("erz_pairs_ref"),
+        "post-erasure pairs must equal a survivors-only rebuild")
+      // the sidecar forgot the content too (no erased token sets left)
+      assert(spark.table("erz_pairs_toks")
+        .join(erased.select($"doc_id".as("id")), Seq("id"), "left_semi")
+        .limit(1).count() == 0L)
+      // a later append cannot resurrect relations to erased docs
+      Dedup.appendToPairTable(docs.filter($"doc_id" >= 450 && $"doc_id" % 5 =!= 0),
+        "doc_id", "text", Seq("lang"), "erz_pairs", minJaccard = 0.9,
+        parallelBuckets = 4)
+      val erasedIds = erased.collect().map(_.getLong(0)).toSet
+      assert(pairSet("erz_pairs").forall { case (a, b, _) =>
+        !erasedIds.contains(a) && !erasedIds.contains(b) },
+        "append resurrected an erased id")
+    } finally {
+      Seq("erz_pairs", "erz_pairs_ref").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_toks")
+      }
+    }
+  }
+
   test("grouped pair graph: per-tenant build+append equals rebuild, partition-drop erasure") {
     val docs = table("documents").localCheckpoint(true)
     val corpus = docs.filter($"doc_id" < 400)

@@ -847,6 +847,33 @@ class StreamingSpec extends SparkSpec {
     assert(!kept.contains((1L, 150L)) && kept.contains((1L, 400L)))
   }
 
+  test("streaming scorecard equals the batch scorecard per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Curate
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "source")
+    val base = Files.createTempDirectory("scstream").toString
+    val q = QueueStreaming.scorecardStream(df, "doc_id", "text", "source",
+      Seq("the", "a"), Seq("slow", "stream"), s"$base/store", s"$base/ck")
+    val long = ("the data " * 40).trim // passes the 50-word gopher gate
+    val t1 = Seq((1L, s"$long table", "s1"), (2L, "slow short", "s1"),
+      (3L, s"$long hash", "s2"))
+    val t2 = Seq((4L, s"$long merge", "s1"), (5L, "tiny", "s2"))
+    mem.addData(t1: _*); q.processAllAvailable()
+    mem.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    def batchCard(rows: Seq[(Long, String, String)]) =
+      Curate.scorecard(rows.toDF("doc_id", "text", "source"), "doc_id",
+          "text", "source", Seq("the", "a"), Seq("slow", "stream"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    def streamCard(b: Long) = spark.read.parquet(s"$base/store/batch=$b")
+      .select("grp", "n_docs", "pass_gopher", "pass_repetition",
+        "pass_blocklist", "pass_all")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamCard(0L) == batchCard(t1), "trigger-1 scorecard diverged")
+    assert(streamCard(1L) == batchCard(t1 ++ t2), "running scorecard diverged")
+  }
+
   test("rolling-actives compaction folds deltas exactly (idempotent union)") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
