@@ -583,6 +583,41 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** L76: cluster-purity audit — quantize the embedding space into
+    * `nClusters` cells ([[trainCentroidsIntL2]] — oracle-exact) and
+    * report, per cell, its corpus share and how label-pure it is
+    * (majority label, ties to lowest). The embedding-space QA report:
+    * high-purity cells mean the space separates the label structure
+    * (topic clusters are usable for stratified ops); a low-purity hot
+    * cell is where embedding-based dedup/selection will cross labels.
+    * One training pass + one map-side assignment + two low-cardinality
+    * aggregates. */
+  def clusterPurity(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, nClusters: Int = 8, iters: Int = 2,
+                    trainFraction: Double = 1.0): DataFrame = {
+    val v = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("vec"), quantized(col(vecCol)).as("vq"),
+      col(labelCol).as("label"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val perLab = v
+      .withColumn("cluster", nearest_centroid_l2(col("vq"), centsLit))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+    val perCl = perLab.groupBy("cluster").agg(sum("n").as("n_vecs"))
+    val wTop = Window.partitionBy("cluster")
+      .orderBy(col("n").desc, col("label").asc)
+    val top = perLab.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("label").as("top_label"),
+        col("n").as("n_top"))
+    val total = perCl.agg(sum("n_vecs").as("total"))
+    perCl.join(top, "cluster").crossJoin(broadcast(total))
+      .withColumn("share_pm", expr("n_vecs * 1000 div total"))
+      .withColumn("purity_pm", expr("n_top * 1000 div n_vecs"))
+      .select("cluster", "n_vecs", "share_pm", "top_label", "n_top",
+        "purity_pm")
+  }
+
   /** Per-group k-means training for [[groupedIvfTopK]]. One persisted
     * hash-sample pass; per Lloyd round a SINGLE (grp, cluster)
     * `vector_sum` shuffle covers every group's update (G·C rows), and

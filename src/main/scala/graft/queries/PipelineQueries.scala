@@ -290,6 +290,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L76: cluster-purity audit — quantized cells + per-cell corpus
+    // share and majority-label purity: the embedding-space QA report
+    // (is the space label-separable enough for stratified ops?).
+    // Fully oracled, training included.
+    "q_cluster_purity" -> { (s, dir) =>
+      Ann.clusterPurity(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", nClusters = 8, iters = 2, trainFraction = 1.0)
+        .orderBy("cluster")
+    },
+
     // L7h: IVF with the probe depth chosen from a MEASURED recall floor
     // (one exact pass over a hash-held-out sample yields the whole
     // recall-vs-nProbe curve) instead of a hand-picked constant. On
@@ -1696,6 +1706,44 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // L76: quantized cells + the share/purity aggregates — training
+    // replay via the shared CTEs.
+    "q_cluster_purity" ->
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0")},
+         |lab AS (
+         |  SELECT vec_id AS nn_id, label
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT x.nn_id, l.label, x.c AS cluster FROM (
+         |    SELECT v0.nn_id, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY v0.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("v0.vq", "s.cent")} ASC,
+         |                 s.c ASC) AS rn
+         |    FROM v v0 CROSS JOIN c2 s) x
+         |  JOIN lab l ON l.nn_id = x.nn_id
+         |  WHERE x.rn = 1),
+         |perlab AS (
+         |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM asg GROUP BY cluster, label),
+         |percl AS (
+         |  SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vecs
+         |  FROM perlab GROUP BY cluster),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM percl),
+         |top AS (
+         |  SELECT cluster, label AS top_label, n AS n_top FROM (
+         |    SELECT cluster, label, n,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster
+         |                         ORDER BY n DESC, label ASC) AS rk
+         |    FROM perlab) z WHERE rk = 1)
+         |SELECT p.cluster, p.n_vecs,
+         |  CAST(p.n_vecs * 1000 // t.total AS BIGINT) AS share_pm,
+         |  tp.top_label, tp.n_top,
+         |  CAST(tp.n_top * 1000 // p.n_vecs AS BIGINT) AS purity_pm
+         |FROM percl p JOIN top tp ON tp.cluster = p.cluster
+         |CROSS JOIN tot t
+         |ORDER BY p.cluster""".stripMargin,
+
     // The measured-probe-depth IVF replayed INCLUDING the tuning
     // decision — see ivfAutoOracleSql.
     "q_ann_ivf_auto" -> ivfAutoOracleSql(nClusters = 16, k = 5, iters = 2,

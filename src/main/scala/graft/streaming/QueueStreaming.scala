@@ -724,7 +724,9 @@ object QueueStreaming {
     * the batch plus one user-dimension snapshot merge, never the
     * event history. Conversion = `>= convThreshold` events of
     * `convEvent`; variant = user_id % 2 (deterministic assignment).
-    * Output one row per trigger under `outPath/batch=N`. */
+    * Output one row per trigger under `outPath/batch=N`. The
+    * snapshot store compacts with [[compactSessionStore]] (layout-
+    * generic version pruning). */
   def abMonitorStream(events: DataFrame, userCol: String,
                       eventTypeCol: String, convEvent: String,
                       convThreshold: Long, storePath: String,
@@ -779,7 +781,9 @@ object QueueStreaming {
     * replay-safe read-below-own-id discipline — chosen over per-batch
     * deltas because SUM, unlike HLL union, is NOT idempotent: a
     * crash-window double-fold would double-count). Per-trigger cost =
-    * the batch pass + one groups-sized merge, never the doc history. */
+    * the batch pass + one groups-sized merge, never the doc history.
+    * Old versions compact with [[compactSessionStore]] (it is layout-
+    * generic: snapshots under `batch=N`, newest always kept). */
   def scorecardStream(docs: DataFrame, idCol: String, textCol: String,
                       groupCol: String, stopWords: Seq[String],
                       blocklist: Seq[String], storePath: String,

@@ -664,6 +664,41 @@ class AnnSpec extends SparkSpec {
     assert(recallQ >= 0.8, s"quantized auto-ivf recall $recallQ below gate")
   }
 
+  test("cluster purity: totals, bounds, true majority labels") {
+    val e = table("embeddings")
+    val out = Ann.clusterPurity(e, "vec_id", "embedding", "label",
+      nClusters = 8, iters = 2, trainFraction = 1.0).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == e.count())
+    val shares = out.map(_.getAs[Long]("share_pm"))
+    assert(shares.sum <= 1000L && shares.sum > 1000L - out.length)
+    val nLabels = e.select("label").distinct().count()
+    out.foreach { r =>
+      val p = r.getAs[Long]("purity_pm")
+      // the modal label's share is at least 1/nLabels (pigeonhole)
+      assert(p >= 1000L / nLabels - 1 && p <= 1000L, s"purity $p out of range")
+      assert(r.getAs[Long]("n_top") <= r.getAs[Long]("n_vecs"))
+    }
+    // the reported majority really is the cell's modal label
+    val centsV = e.select(col("vec_id").as("nn_id"),
+      graft.functions.as_double_array(col("embedding")).as("vec"),
+      Ann.quantized(col("embedding")).as("vq"))
+    val cents = Ann.trainCentroidsIntL2(centsV, 8, 2, 1.0)
+    val asg = centsV
+      .withColumn("cluster", graft.functions.nearest_centroid_l2(col("vq"),
+        org.apache.spark.sql.functions.typedLit(cents.map(_.toSeq).toSeq)))
+      .join(e.select(col("vec_id").as("nn_id"), col("label")), "nn_id")
+      .collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Int]("label"))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      val hist = asg(c).groupBy(_._2).view.mapValues(_.size).toMap
+      val best = hist.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getAs[Int]("top_label") == best._1 &&
+        r.getAs[Long]("n_top") == best._2.toLong)
+    }
+  }
+
   test("assign recall curve matches knn-graph edge discovery exactly") {
     val e = table("embeddings")
     val v = e.select(col("vec_id").as("nn_id"),
