@@ -257,6 +257,18 @@ object PipelineDemo {
       remixed.drop("epoch").schema)
     println(f"[pipeline] ${"jsonl release"}%-22s ${back.count()}%7d rows " +
       s"re-read from ${relDir.split('/').last}/ (gzip shards)")
+
+    // r10: the release ships with its corpus card — composition,
+    // mixture, rule attrition, and the shard manifest in one document
+    val card = graft.operators.CorpusCard.cardRows(docsAll, "doc_id",
+      "text", "lang", "source", stopWords = Seq("the", "a"),
+      blocklist = Seq("slow", "stream"))
+    val manifest = graft.sources.Manifest.build(back, "doc_id")
+    val cardMd = graft.operators.CorpusCard.markdownWithManifest(
+      card, manifest, "graft demo release")
+    println(s"[pipeline] corpus card: ${cardMd.linesIterator.size} lines, " +
+      s"${manifest.count()} manifest shards; head:")
+    cardMd.linesIterator.take(6).foreach(l => println(s"[pipeline]   $l"))
     spark.stop()
   }
 }
