@@ -93,6 +93,15 @@ object GraftExtensions {
     fn("top_centroids", "top_centroids(vec, centroids, n) - top-n cell ids by cosine") {
       args => TopCentroids(args.head, args(1), intArg(args(2), "top_centroids"))
     },
+    fn("top_centroids_l2", "top_centroids_l2(vec, centroids, n) - top-n cell ids by squared L2") {
+      args => TopCentroidsL2(args.head, args(1), intArg(args(2), "top_centroids_l2"))
+    },
+    fn("hilbert_d2", "hilbert_d2(x, y, bits) - 2-D Hilbert-curve distance") {
+      args => HilbertD2(args.head, args(1), intArg(args(2), "hilbert_d2"))
+    },
+    fn("hilbert_d3", "hilbert_d3(x, y, z, bits) - 3-D Hilbert-curve distance (Skilling)") {
+      args => HilbertD3(args.head, args(1), args(2), intArg(args(3), "hilbert_d3"))
+    },
     fn("vector_sum", "vector_sum(vec) - elementwise sum aggregate of double arrays") {
       args => VectorSum(args.head).toAggregateExpression()
     },

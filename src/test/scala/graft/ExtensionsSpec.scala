@@ -84,4 +84,22 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.toLowerCase.contains("foldable"))
   }
+
+  test("SQL surface: hilbert_d2 / hilbert_d3 / top_centroids_l2") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    val r = s.sql(
+      """SELECT
+        |  hilbert_d2(3L, 5L, 8) AS h2,
+        |  hilbert_d3(1L, 2L, 3L, 8) AS h3,
+        |  top_centroids_l2(array(0.0d, 0.0d),
+        |    array(array(5.0d, 0.0d), array(1.0d, 0.0d)), 2) AS tc
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("h2") ==
+      graft.functions.Kernels.hilbertD2(3L, 5L, 8))
+    assert(r.getAs[Long]("h3") ==
+      graft.functions.Kernels.hilbertD3(1L, 2L, 3L, 8))
+    // nearest (index 1) first, then index 0
+    assert(r.getAs[scala.collection.Seq[Int]]("tc").toSeq == Seq(1, 0))
+  }
 }
