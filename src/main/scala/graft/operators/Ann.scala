@@ -192,8 +192,9 @@ object Ann {
     * corpus parquet is touched once. */
   def trainCentroidsIntL2(v: DataFrame, nClusters: Int, iters: Int,
                           trainFraction: Double): Array[Array[Double]] = {
-    val train = v
-      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < md5Thr(trainFraction))
+    // persist only (nn_id, vq): the raw vec never enters training, so
+    // caching it would double the pinned volume for nothing
+    val train = md5Sample(v.select("nn_id", "vq"), trainFraction)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var seed = train.orderBy("nn_id").limit(nClusters).select("vq").collect()
@@ -233,6 +234,17 @@ object Ann {
   def md5Thr(frac: Double): String = {
     val t = math.round(frac * 256).toInt
     if (t >= 256) "g0" else f"${math.max(1, t)}%02x"
+  }
+
+  /** The portable training sample. Full-train ("g0" — the threshold
+    * every hex prefix clears) elides the filter entirely: an md5 per
+    * corpus row for an always-true predicate is pure waste, and the
+    * oracle side keeps the WHERE (trivially true there, and the SQL
+    * stays one shape for every fraction). */
+  private def md5Sample(v: DataFrame, trainFraction: Double): DataFrame = {
+    val thr = md5Thr(trainFraction)
+    if (thr == "g0") v
+    else v.filter(substring(md5(col("nn_id").cast("string")), 1, 2) < thr)
   }
 
   private[graft] def quantized(vec: Column): Column =
@@ -685,8 +697,7 @@ object Ann {
     * `v` must carry (grp, nn_id, vq). Returns (grp, cents). */
   def trainGroupedCentroidsIntL2(v: DataFrame, nClusters: Int, iters: Int,
                                  trainFraction: Double): DataFrame = {
-    val train = v
-      .filter(substring(md5(col("nn_id").cast("string")), 1, 2) < md5Thr(trainFraction))
+    val train = md5Sample(v, trainFraction)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val wSeed = Window.partitionBy("grp").orderBy("nn_id")
