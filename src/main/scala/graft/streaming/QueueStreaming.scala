@@ -821,6 +821,103 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13t: streaming corpus card — the release document maintained
+    * continuously. The card's three sections are all mergeable:
+    * composition counts and rule-attrition counts SUM, and the one
+    * non-summable metric (distinct texts) rides a mergeable HLL
+    * sketch of md5(text) (register-max union — exact in list mode at
+    * spec cardinalities, estimate at scale, hence `n_distinct_est`).
+    * One section-tagged versioned snapshot per trigger (the
+    * replay-safe read-below-own-id discipline); read the long-format
+    * card rows back with [[latestCardRows]]. */
+  def cardStream(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String, sourceCol: String,
+                 stopWords: Seq[String], blocklist: Seq[String],
+                 storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val statsDelta = b
+          .groupBy(col(langCol).as("grp_a"), col(sourceCol).as("grp_b"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(graft.functions.token_count(col(textCol))).as("sum_tokens"),
+            hll_sketch_agg(md5(col(textCol))).as("dsk"))
+          .select(lit("stats").as("section"), col("grp_a"), col("grp_b"),
+            col("n_docs"), col("sum_tokens"), col("dsk"),
+            lit(null).cast("long").as("pass_gopher"),
+            lit(null).cast("long").as("pass_repetition"),
+            lit(null).cast("long").as("pass_blocklist"),
+            lit(null).cast("long").as("pass_all"))
+        val rulesDelta = graft.operators.Curate.scorecard(b, idCol, textCol,
+            sourceCol, stopWords, blocklist)
+          .select(lit("rules").as("section"), lit("").as("grp_a"),
+            col("grp").as("grp_b"), col("n_docs"),
+            lit(null).cast("long").as("sum_tokens"),
+            lit(null).cast("binary").as("dsk"),
+            col("pass_gopher"), col("pass_repetition"),
+            col("pass_blocklist"), col("pass_all"))
+        val delta = statsDelta.unionByName(rulesDelta)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .drop("batch"))
+          }
+        val snap = prior match {
+          case Some(p) => p.unionByName(delta)
+            .groupBy("section", "grp_a", "grp_b")
+            .agg(sum("n_docs").as("n_docs"),
+              sum("sum_tokens").as("sum_tokens"),
+              hll_union_agg(col("dsk"), allowDifferentLgConfigK = false)
+                .as("dsk"),
+              sum("pass_gopher").as("pass_gopher"),
+              sum("pass_repetition").as("pass_repetition"),
+              sum("pass_blocklist").as("pass_blocklist"),
+              sum("pass_all").as("pass_all"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Long-format card rows from the latest [[cardStream]] snapshot —
+    * the streaming twin of [[graft.operators.CorpusCard.cardRows]],
+    * with `n_distinct_est` (HLL) in place of the exact distinct. */
+  def latestCardRows(spark: org.apache.spark.sql.SparkSession,
+                     storePath: String): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    val top = all.agg(max(col("batch").cast("long"))).head().getLong(0)
+    val snap = all.filter(col("batch").cast("long") === top).drop("batch")
+    val stats = snap.filter(col("section") === "stats")
+      .select(col("grp_a"), col("grp_b"), col("n_docs"),
+        col("sum_tokens"), hll_sketch_estimate(col("dsk")).as("n_distinct_est"))
+    val statsLong = stats.selectExpr("'stats' AS section", "grp_a", "grp_b",
+      """stack(3, 'n_docs', n_docs, 'n_distinct_est', n_distinct_est,
+        |'sum_tokens', sum_tokens) AS (metric, value)""".stripMargin)
+    val perLang = stats.groupBy("grp_a").agg(sum("sum_tokens").as("tk"))
+    val tot = perLang.agg(sum("tk").as("tot"))
+    val mixLong = perLang.crossJoin(broadcast(tot))
+      .select(lit("mix").as("section"), col("grp_a"), lit("").as("grp_b"),
+        lit("share_pm").as("metric"), expr("tk * 1000 div tot").as("value"))
+    val rulesLong = snap.filter(col("section") === "rules")
+      .selectExpr("'rules' AS section", "'' AS grp_a", "grp_b",
+        """stack(5, 'n_docs', n_docs, 'pass_gopher', pass_gopher,
+          |'pass_repetition', pass_repetition,
+          |'pass_blocklist', pass_blocklist,
+          |'pass_all', pass_all) AS (metric, value)""".stripMargin)
+    statsLong.unionByName(mixLong).unionByName(rulesLong)
+      .orderBy("section", "grp_a", "grp_b", "metric")
+  }
+
   case class DebouncedEvent(user_id: Long, ts: Long)
   case class DebounceState(lastTs: Long)
 

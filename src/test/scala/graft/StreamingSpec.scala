@@ -874,6 +874,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamCard(1L) == batchCard(t1 ++ t2), "running scorecard diverged")
   }
 
+  test("streaming corpus card equals the batch card (exact-regime HLL)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.CorpusCard
+    val mem = MemoryStream[(Long, String, String, String)]
+    val df = mem.toDF().toDF("doc_id", "text", "lang", "source")
+    val base = Files.createTempDirectory("cardstream").toString
+    val q = QueueStreaming.cardStream(df, "doc_id", "text", "lang", "source",
+      Seq("the", "a"), Seq("slow", "stream"), s"$base/store", s"$base/ck")
+    val long = ("the data " * 40).trim
+    val t1 = Seq((1L, s"$long table", "en", "s1"),
+      (2L, "slow short", "en", "s1"), (3L, s"$long hash", "de", "s2"))
+    val t2 = Seq((4L, s"$long merge", "en", "s1"),
+      (5L, s"$long hash", "de", "s2"), // exact dup of doc 3's text
+      (6L, "tiny", "de", "s1"))
+    mem.addData(t1: _*); q.processAllAvailable()
+    mem.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = QueueStreaming.latestCardRows(spark, s"$base/store")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val batch = CorpusCard.cardRows(
+        (t1 ++ t2).toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text", "lang", "source",
+        Seq("the", "a"), Seq("slow", "stream"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        // at spec cardinality the HLL runs in exact list mode, so the
+        // estimate must EQUAL the batch's exact distinct count
+        if (r.getString(3) == "n_distinct") "n_distinct_est" else r.getString(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream: ${streamed -- batch}\nbatch only: ${batch -- streamed}")
+    // the cross-trigger dup really deduplicated in the distinct est
+    assert(streamed.contains(("stats", "de", "s2", "n_distinct_est", 1L)))
+  }
+
   test("rolling-actives compaction folds deltas exactly (idempotent union)") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.col
