@@ -121,4 +121,38 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** THREE-dimensional clustered writes — the write path for the
+    * R24d/R24f ordering keys: per-file min/max of all three predicate
+    * columns stay bounded. `curve` selects the key: `"hilbert"`
+    * (Skilling — adjacency in all dims, tightest boxes) or `"z"`
+    * (Morton interleave). Same cost shape as the 2-D writer: three
+    * scalar aggregates + ONE range-partition shuffle. bits <= 20. */
+  def writeCurve3Ordered(df: DataFrame, path: String, xCol: String,
+                         yCol: String, zCol: String, numFiles: Int,
+                         bits: Int = 8, curve: String = "hilbert"): Unit = {
+    require(curve == "hilbert" || curve == "z", s"unknown curve $curve")
+    require(bits <= 20, s"3-dim keys overflow a long past 20 bits, got $bits")
+    val Seq(xLo, xHi, yLo, yHi, zLo, zHi) =
+      df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+          min(col(yCol)).cast("double"), max(col(yCol)).cast("double"),
+          min(col(zCol)).cast("double"), max(col(zCol)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double])
+    val n = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(n), floor((col(c).cast("double") - lo) / span * (n + 1)).cast("long"))
+    }
+    val sx = scaled(xCol, xLo, xHi)
+    val sy = scaled(yCol, yLo, yHi)
+    val sz = scaled(zCol, zLo, zHi)
+    val key =
+      if (curve == "hilbert") graft.functions.hilbert_d3(sx, sy, sz, bits)
+      else zValue3(sx, sy, sz, bits)
+    df.withColumn("__c", key)
+      .repartitionByRange(numFiles, col("__c"))
+      .sortWithinPartitions("__c")
+      .drop("__c")
+      .write.mode("overwrite").parquet(path)
+  }
 }

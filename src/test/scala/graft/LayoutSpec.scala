@@ -135,6 +135,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("3-D curve writes bound per-file ranges of all three dimensions") {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("d"))
+    val files = 8
+    def avgWidths(dir: String): Seq[Double] = {
+      val Seq(xLo, xHi, yLo, yHi, zLo, zHi) =
+        o.agg(min("o_totalprice").cast("double"), max("o_totalprice").cast("double"),
+            min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+            min("d").cast("double"), max("d").cast("double"))
+          .head().toSeq.map(_.asInstanceOf[Double])
+      val w = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("o_totalprice") - min("o_totalprice")) / (xHi - xLo)).as("wx"),
+          ((max("o_custkey") - min("o_custkey")).cast("double") / (yHi - yLo)).as("wy"),
+          ((max("d") - min("d")).cast("double") / (zHi - zLo)).as("wz"))
+        .agg(avg("wx"), avg("wy"), avg("wz")).head()
+      Seq(w.getDouble(0), w.getDouble(1), w.getDouble(2))
+    }
+    for (curve <- Seq("hilbert", "z")) {
+      val dir = Files.createTempDirectory(s"curve3_$curve").toString
+      Layout.writeCurve3Ordered(o, dir, "o_totalprice", "o_custkey", "d",
+        files, bits = 8, curve = curve)
+      assert(spark.read.parquet(dir).count() == o.count())
+      val ws = avgWidths(dir)
+      // a 1-D sort would leave two dims at ~full width; a 3-D curve
+      // must keep EVERY dim materially clustered
+      assert(ws.forall(_ < 0.9), s"$curve widths $ws: some dim unclustered")
+      assert(ws.sum < 2.0, s"$curve combined widths ${ws.sum} too loose")
+    }
+  }
+
   test("zValue3 bit interleave equals the arithmetic morton form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
