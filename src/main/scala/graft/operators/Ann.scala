@@ -197,9 +197,16 @@ object Ann {
     val train = md5Sample(v.select("nn_id", "vq"), trainFraction)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var seed = train.orderBy("nn_id").limit(nClusters).select("vq").collect()
-      if (seed.length < nClusters)
-        seed = v.orderBy("nn_id").limit(nClusters).select("vq").collect()
+      val seed = train.orderBy("nn_id").limit(nClusters).select("vq").collect()
+      // no silent fallback: the SQL oracle replay (Shared.
+      // ivfTrainCoreCtesSql) seeds ONLY from the md5 sample, so a
+      // re-seed from the full corpus here would hash-diverge without
+      // an error. A regime whose sample can't seed C clusters must
+      // fail loudly (raise trainFraction or lower nClusters).
+      require(seed.length >= nClusters,
+        s"md5 sample yields ${seed.length} rows < nClusters=$nClusters; " +
+          "raise trainFraction or lower nClusters (oracle replay seeds " +
+          "from the sample only)")
       var cs: Array[Array[Double]] = seed.map(_.getSeq[Double](0).toArray)
       (1 to iters).foreach { _ =>
         val sums = train

@@ -91,9 +91,15 @@ object CoLocated {
         col(rightTs).as("__rts"), col(tieCol).as("__rtie")) ++
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
     val keyEq = keys.map(k => l(k) === r(s"__rk_$k")).reduce(_ && _)
+    // tolerance is in the timestamp columns' OWN numeric unit. Both
+    // sides are cast to long before the subtraction so the bound also
+    // analyzes for TimestampType columns (where a raw subtraction
+    // yields an interval, not a number, and comparing it to a Long
+    // fails analysis); for TimestampType the cast is epoch SECONDS.
     val bound: Column =
       if (tolerance < 0) r("__rts") <= l(leftTs)
-      else r("__rts") <= l(leftTs) && l(leftTs) - r("__rts") <= tolerance
+      else r("__rts") <= l(leftTs) &&
+        l(leftTs).cast("long") - r("__rts").cast("long") <= tolerance
     val w = Window
       .partitionBy(keys.map(l(_)) :+ col("__lid"): _*)
       .orderBy(col("__rts").desc_nulls_last, col("__rtie").desc_nulls_last)

@@ -771,7 +771,18 @@ object Curate {
   def scorecard(docs: DataFrame, idCol: String, textCol: String,
                 groupCol: String, stopWords: Seq[String],
                 blocklist: Seq[String],
-                minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    scorecardBy(docs, idCol, textCol, Seq(groupCol), stopWords, blocklist,
+      minWords, maxWords).withColumnRenamed(groupCol, "grp")
+
+  /** [[scorecard]] generalized to a composite grouping key (e.g.
+    * (tenant, lang) for the per-tenant corpus card) — same fused
+    * map-side rule kernels, one shuffle on the full key. Output keeps
+    * the original group column names. */
+  def scorecardBy(docs: DataFrame, idCol: String, textCol: String,
+                  groupCols: Seq[String], stopWords: Seq[String],
+                  blocklist: Seq[String],
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     import graft.functions._
     val textc = coalesce(col(textCol), lit(""))
     val stopArr = array(stopWords.map(lit): _*)
@@ -803,11 +814,11 @@ object Curate {
     val blockKeep =
       element_at(blocklist_stats(textc, blocklist.distinct), 2) === 0
     stats
-      .select(col(groupCol).as("grp"),
+      .select(groupCols.map(col) ++ Seq(
         gopherKeep.cast("long").as("__g"),
         repKeep.cast("long").as("__r"),
-        blockKeep.cast("long").as("__b"))
-      .groupBy("grp")
+        blockKeep.cast("long").as("__b")): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum("__g").as("pass_gopher"),
         sum("__r").as("pass_repetition"),

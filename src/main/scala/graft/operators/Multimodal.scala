@@ -35,6 +35,55 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder via the JDK's own ImageIO (PNG/BMP/GIF/JPEG
+    * readers ship with every JDK — no new dependency). Header-only
+    * cost: `ImageReader.getWidth/getHeight` parse container metadata
+    * without decoding pixel data, so this is O(header) per row like a
+    * production codec, not O(payload). Returns None when no
+    * registered reader recognizes the bytes — callers fall back to
+    * [[StubCodec]] for synthetic payloads, which keeps the byte-walk
+    * oracles (q_multimodal_*) byte-identical. */
+  object ImageIoCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            // allowSearch=false: -1 means "unknown without a full
+            // scan" — treat as single-image (the common still case)
+            val n = try r.getNumImages(false) catch { case _: Exception => -1 }
+            Some((r.getWidth(0), r.getHeight(0), if (n > 0) n else 1))
+          } catch { case _: Exception => None
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /** [[decodeMeta]] with the REAL codec in front: genuine image
+    * payloads (PNG/BMP/GIF/JPEG) decode through [[ImageIoCodec]];
+    * anything unrecognized falls back to the deterministic stub.
+    * Same mapPartitions batch shape — swapping the codec changes
+    * nothing about schema, partitioning, or cost model. The oracled
+    * queries stay on [[decodeMeta]] (all-stub) so their DuckDB
+    * byte-walk replays remain exact. */
+  def decodeMetaReal(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f) = ImageIoCodec.decode(r.payload)
+          .getOrElse(StubCodec.decode(r.payload))
+        MediaMeta(r.doc_id, r.payload.length.toLong, w.toLong, h.toLong,
+          f.toLong, w.toLong * h.toLong * 3L * f.toLong)
+      }
+    }(Encoders.product[MediaMeta])
+  }
+
   /** Decode a binary media column into typed metadata, one partition
     * at a time (batch-friendly: a real codec would reuse a native
     * context across the iterator). */

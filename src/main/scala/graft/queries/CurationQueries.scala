@@ -49,6 +49,27 @@ object CurationQueries {
       .agg(sum(col("x") * col("wgt")).as("margin"))
   }
 
+  /** Frozen merge table for the apply-side BPE hash gate
+    * (q_bpe_apply): rank order = list order, pair key = "a b".
+    * Deliberately includes rank INTERACTIONS — later merges whose
+    * outputs re-enter earlier- and later-rank pairs ((a,n)→an feeds
+    * (an,d) and (an,d</w>); (t,h)/(e,</w>) feed (th,e</w>)) — so the
+    * oracle actually exercises greedy lowest-rank-first semantics,
+    * not just a single left-to-right pass. */
+  val BpeFixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "e" -> "</w>", "th" -> "e</w>", "a" -> "n",
+    "i" -> "n", "o" -> "n", "e" -> "r", "an" -> "d",
+    "d" -> "</w>", "an" -> "d</w>", "s" -> "</w>", "in" -> "g",
+    "ing" -> "</w>", "o" -> "u", "r" -> "e", "t" -> "o",
+    "to" -> "</w>", "o" -> "f", "of" -> "</w>", "e" -> "n",
+    "a" -> "t", "o" -> "r", "s" -> "t", "er" -> "</w>")
+
+  /** DuckDB literal list of the frozen pair keys — 1-based
+    * list_position == merge rank, generated from [[BpeFixedMerges]]
+    * so the two sides cannot drift. */
+  private def bpePairsLit: String =
+    BpeFixedMerges.map { case (a, b) => s"'$a $b'" }.mkString("[", ", ", "]")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L60: collocation / phrase mining (word2phrase) — adjacent-bigram
     // association scored with Mikolov's discounted ratio
@@ -408,6 +429,35 @@ object CurationQueries {
           size(col("bpe")).cast("long").as("n_bpe_tokens"),
           concat_ws(" ", slice(col("bpe"), 1, 12)).as("head_tokens"))
         .orderBy("doc_id")
+    },
+
+    // 11b: BPE APPLY under a FIXED merge table — the deterministic
+    // half of L28 split out so it carries a full hash oracle. Train
+    // stays engine-native (iterative, data-dependent — rows-only via
+    // q_bpe_tokenize, bounds gated in BpeSpec), but with the merge
+    // table FROZEN the greedy lowest-rank-first recurrence of
+    // bpe_encode is a per-word fixpoint DuckDB replays exactly: a
+    // recursive CTE for the fixpoint loop + a list_reduce carry pass
+    // for the left-to-right non-overlapping merge (the L5
+    // ordered-reduce pattern). Runs over the distinct-word vocabulary
+    // (Zipf-bounded), map-side kernel + one distinct shuffle.
+    "q_bpe_apply" -> { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(explode(tokenize_ws(col("text"))).as("word"))
+        // cap + control-char guard: keeps the oracle's recursion
+        // shallow and its per-codepoint regex split ('.' skips \n)
+        // in lockstep with the kernel's codePointAt walk
+        .filter(length(col("word")) <= 20 &&
+          instr(col("word"), "\t") === 0 &&
+          instr(col("word"), "\n") === 0 &&
+          instr(col("word"), "\r") === 0)
+        .distinct()
+      words.select(col("word"),
+          bpe_encode(array(col("word")), BpeFixedMerges).as("segs"))
+        .select(col("word"),
+          concat_ws(" ", col("segs")).as("bpe"),
+          size(col("segs")).cast("long").as("n_segs"))
+        .orderBy("word")
     },
 
     // R17d: mergeable Space-Saving heavy hitters — the fixed-memory
@@ -777,6 +827,15 @@ object CurationQueries {
         stopWords = Seq("the", "a"), blocklist = Seq("slow", "stream"))
     },
 
+    // 11a: the per-tenant corpus card — tenant = source; composition
+    // + mixture within each tenant, rule attrition per (tenant, lang).
+    // Params in LOCKSTEP with q_corpus_card / q_curation_scorecard.
+    "q_corpus_card_grouped" -> { (s, dir) =>
+      graft.operators.CorpusCard.cardRowsGrouped(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source",
+        stopWords = Seq("the", "a"), blocklist = Seq("slow", "stream"))
+    },
+
     // L5b: semantic dedup (SemDeDup) — cluster-then-verify over the
     // embedding space, on the integer-quantized training path: the
     // blocking step replays in the oracle, so the pair set is a FULL
@@ -1081,15 +1140,17 @@ object CurationQueries {
        |ORDER BY id1, id2""".stripMargin
 
   /** Shared scorecard replay (see the LOCKSTEP note at its map
-    * entry) — also subqueried verbatim by the corpus-card oracle. */
-  private val scorecardOracleSql: String =
-    """WITH stats AS (
-        |  SELECT doc_id, source,
+    * entry) — also subqueried verbatim by the corpus-card oracles.
+    * `grpCols` is the comma-joined grouping key (the Spark twin is
+    * Curate.scorecardBy). */
+  private def scorecardOracleSqlBy(grpCols: String): String =
+    s"""WITH stats AS (
+        |  SELECT doc_id, $grpCols,
         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
         |    string_split(text, chr(10)) AS lines
         |  FROM documents),
         |m AS (
-        |  SELECT doc_id, source, w,
+        |  SELECT doc_id, $grpCols, w,
         |    CAST(len(w) AS BIGINT) AS n_words,
         |    CAST(list_sum(list_prepend(0, list_transform(w, x -> len(x)))) AS BIGINT) AS sumlen,
         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
@@ -1109,7 +1170,7 @@ object CurationQueries {
         |      ELSE [array_to_string(w, ' ')] END AS tris
         |  FROM stats),
         |f AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id, $grpCols,
         |    (n_words >= 50 AND n_words <= 100000
         |     AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
         |     AND sym * 10 < n_words
@@ -1127,14 +1188,95 @@ object CurationQueries {
         |    (len(list_filter(w,
         |       x -> list_contains(['slow','stream'], x))) = 0) AS b
         |  FROM m)
-        |SELECT source, COUNT(*) AS n_docs,
+        |SELECT $grpCols, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
         |  CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
         |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS pass_blocklist,
         |  CAST(SUM(CASE WHEN g AND r AND b THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-        |FROM f GROUP BY source ORDER BY source""".stripMargin
+        |FROM f GROUP BY $grpCols ORDER BY $grpCols""".stripMargin
+
+  private val scorecardOracleSql: String = scorecardOracleSqlBy("source")
 
   val oracles: Map[String, String] = Map(
+    // 11b: BPE apply under the frozen merge table. Exact replay of
+    // BpeKernel.encodeWord's greedy loop: the recursive CTE is the
+    // until-no-pair-applies fixpoint; each step finds the lowest-rank
+    // adjacent pair (list_position over the literal pair list — rank
+    // = 1-based position) and merges every occurrence left-to-right
+    // non-overlapping via a list_reduce carry automaton (states: I =
+    // start, C = carry held, M = just merged so the next symbol may
+    // not merge left — the kernel's j += 2). Symbols never contain a
+    // space (words are space-split), so space-joined strings encode
+    // symbol lists losslessly.
+    "q_bpe_apply" ->
+      s"""WITH RECURSIVE
+        |w1 AS (
+        |  SELECT word FROM (
+        |    SELECT DISTINCT UNNEST(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS word
+        |    FROM documents)
+        |  WHERE len(word) <= 20
+        |    AND strpos(word, chr(9)) = 0 AND strpos(word, chr(10)) = 0
+        |    AND strpos(word, chr(13)) = 0),
+        |st AS (
+        |  SELECT word,
+        |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w>' AS sym
+        |  FROM w1
+        |  UNION ALL
+        |  SELECT word,
+        |    CASE WHEN struct_extract(red, 'f') = 'C'
+        |         THEN substr(struct_extract(red, 'o') || ' ' ||
+        |                     struct_extract(red, 'c'), 2)
+        |         ELSE substr(struct_extract(red, 'o'), 2) END AS sym
+        |  FROM (
+        |    SELECT word,
+        |      list_reduce(
+        |        list_prepend(
+        |          struct_pack(f := 'I', o := '', c := ''),
+        |          list_transform(string_split(sym, ' '),
+        |            s -> struct_pack(f := 'S', o := '', c := s))),
+        |        (a, e) -> CASE
+        |          WHEN struct_extract(a, 'f') = 'I'
+        |            THEN struct_pack(f := 'C', o := '',
+        |                   c := struct_extract(e, 'c'))
+        |          WHEN struct_extract(a, 'f') = 'C'
+        |               AND COALESCE(list_position($bpePairsLit,
+        |                     struct_extract(a, 'c') || ' ' ||
+        |                     struct_extract(e, 'c')), 0) = best
+        |            THEN struct_pack(f := 'M',
+        |                   o := struct_extract(a, 'o') || ' ' ||
+        |                        struct_extract(a, 'c') ||
+        |                        struct_extract(e, 'c'),
+        |                   c := '')
+        |          WHEN struct_extract(a, 'f') = 'M'
+        |            THEN struct_pack(f := 'C', o := struct_extract(a, 'o'),
+        |                   c := struct_extract(e, 'c'))
+        |          ELSE struct_pack(f := 'C',
+        |                 o := struct_extract(a, 'o') || ' ' ||
+        |                      struct_extract(a, 'c'),
+        |                 c := struct_extract(e, 'c'))
+        |          END) AS red
+        |    FROM (
+        |      SELECT word, sym,
+        |        list_min(list_filter(
+        |          list_transform(range(1, len(string_split(sym, ' '))),
+        |            i -> COALESCE(list_position($bpePairsLit,
+        |                   string_split(sym, ' ')[i] || ' ' ||
+        |                   string_split(sym, ' ')[i+1]), 0)),
+        |          r -> r > 0)) AS best
+        |      FROM st) b
+        |    WHERE best IS NOT NULL) stepped)
+        |SELECT word, sym AS bpe,
+        |  CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_segs
+        |FROM st
+        |WHERE list_min(list_filter(
+        |        list_transform(range(1, len(string_split(sym, ' '))),
+        |          i -> COALESCE(list_position($bpePairsLit,
+        |                 string_split(sym, ' ')[i] || ' ' ||
+        |                 string_split(sym, ' ')[i+1]), 0)),
+        |        r -> r > 0)) IS NULL
+        |ORDER BY word""".stripMargin,
+
     // L75: the same two window ranks + margin filter over the
     // token-count score — in LOCKSTEP with Curate.preferencePairs.
     "q_preference_pairs" ->
@@ -1581,6 +1723,42 @@ object CurationQueries {
         |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
         |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // 11a: per-tenant card replay — the q_corpus_card oracle with the
+    // tenant (source) threaded through stats/mix and the scorecard
+    // grouped (source, lang).
+    "q_corpus_card_grouped" ->
+      s"""WITH stq AS (
+        |  SELECT source AS tenant, lang AS grp_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0))) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY source, lang),
+        |statsl AS (
+        |  SELECT tenant, 'stats' AS section, grp_a,
+        |    'n_docs' AS metric, n_docs AS value FROM stq
+        |  UNION ALL SELECT tenant, 'stats', grp_a, 'n_distinct', n_distinct FROM stq
+        |  UNION ALL SELECT tenant, 'stats', grp_a, 'sum_tokens', sum_tokens FROM stq),
+        |mixl AS (
+        |  SELECT stq.tenant, 'mix' AS section, grp_a,
+        |    'share_pm' AS metric,
+        |    CAST(stq.sum_tokens * 1000 // tt.tot AS BIGINT) AS value
+        |  FROM stq JOIN (SELECT tenant, CAST(SUM(sum_tokens) AS BIGINT) AS tot
+        |                 FROM stq GROUP BY tenant) tt USING (tenant)),
+        |scq AS (SELECT * FROM (${scorecardOracleSqlBy("source, lang")}) z),
+        |rulesl AS (
+        |  SELECT source AS tenant, 'rules' AS section, lang AS grp_a,
+        |    'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM scq
+        |  UNION ALL SELECT source, 'rules', lang, 'pass_gopher', pass_gopher FROM scq
+        |  UNION ALL SELECT source, 'rules', lang, 'pass_repetition', pass_repetition FROM scq
+        |  UNION ALL SELECT source, 'rules', lang, 'pass_blocklist', pass_blocklist FROM scq
+        |  UNION ALL SELECT source, 'rules', lang, 'pass_all', pass_all FROM scq)
+        |SELECT tenant, section, grp_a, metric, value FROM (
+        |  SELECT * FROM statsl
+        |  UNION ALL SELECT * FROM mixl
+        |  UNION ALL SELECT * FROM rulesl) u
+        |ORDER BY tenant, section, grp_a, metric""".stripMargin,
 
     // Fertility twin. Dialect-portable on purpose (the r9 driver
     // hash-failed this row on a DuckDB version we cannot test): the

@@ -40,12 +40,22 @@ object PipelineQueries {
     * most expensive consumer of the pair graph), and FOUR queries need
     * the labels (cluster listing, apply, best-member apply, savings
     * report) — re-deriving per query repeated the whole propagation.
-    * clusters() returns a localCheckpoint'ed frame, so the memoized
-    * DataFrame is already materialized and re-plans for free. */
-  private val clusterLabelsMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterLabelsMemo.computeIfAbsent(dir,
-      d => Dedup.clusters(jaccardPairGraph(s, d)))
+    * Like the neighboring memos (pair graph, IVF+PQ index) the memo
+    * stores a PATH, not a DataFrame: a cached localCheckpoint'ed frame
+    * is bound to the session/executors that materialized it, so a
+    * recycled session would leave every labels consumer holding
+    * unrecoverable checkpoint blocks. Persisting once and re-reading
+    * per call is session-agnostic and costs one narrow parquet scan. */
+  private val clusterLabelsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = clusterLabelsMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_clusters_" + RelationalQueries.dirKey(d)
+      Dedup.clusters(jaccardPairGraph(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** Shared persisted IVF+PQ index, built once per (JVM, corpus dir) —
     * same amortization as the pair graph and the lexical index. */

@@ -117,8 +117,14 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
-    // R5: star multi-join (region-nation-customer-orders-lineitem);
-    // all dims broadcast, single shuffle on the fact agg.
+    // R5: star multi-join (region-nation-customer-orders-lineitem).
+    // Only the FIXED-cardinality dims (nation=25, region=5 rows at every
+    // scale factor) carry an explicit broadcast hint. customer grows with
+    // SF (150k rows x SF — multi-GB at the 100x contract), so its join
+    // strategy is left to size stats/AQE: broadcast while it fits under
+    // autoBroadcastJoinThreshold, shuffled hash/sort-merge beyond. A
+    // forced broadcast(c) here would be an un-backoutable driver OOM at
+    // scale (same rule as q_join_broadcast's orders side, fixed in r3).
     "q_join_multi" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -126,7 +132,7 @@ object RelationalQueries {
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -479,6 +485,31 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    },
+
+    // R3c (r11): the EXACT-REGIME hash gate for Spark's native
+    // sketches — the R17c trick applied to approx_count_distinct
+    // (HLL++) and percentile_approx (Greenwald-Khanna), closing the
+    // q_approx_sketch rows-only gap as far as it can be closed:
+    // - distinct-count input folded to 32 residue classes: at p=12
+    //   (rsd 0.02, 4096 registers) the 32 fixed hash values land in 32
+    //   DISTINCT registers (measured across sf0.001/0.01/0.1; the
+    //   first collision appears at 64 classes), so linear counting
+    //   returns the true distinct count exactly;
+    // - percentile_approx with accuracy=10000: below the summary's
+    //   compression threshold every sample is retained, so query(0.5)
+    //   is the exact lower-median ELEMENT — DuckDB's quantile_disc.
+    //   Holds while per-group n <= 10k (gate SF: n≈2k; measured).
+    // The approximate regime (full-cardinality HLL++ error bounds)
+    // stays gated in SketchSpec via q_approx_sketch rows-only.
+    "q_approx_sketch_exact" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(pmod(col("user_id"), lit(32L)), 0.02)
+            .as("mod_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("event_type")
     },
@@ -909,6 +940,17 @@ object RelationalQueries {
       """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // R3c: exact-regime replay of the native sketches (see the query's
+    // regime argument). pmod mirrored as ((x % 32) + 32) % 32 in case
+    // of negative ids; quantile_disc = the stored-sample GK median.
+    "q_approx_sketch_exact" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT ((user_id % 32) + 32) % 32) AS BIGINT)
+        |    AS mod_users,
+        |  quantile_disc(value, 0.5) AS p50_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,

@@ -416,7 +416,30 @@ class ParquetQueue(
 
   /** FIFO pop of up to `n` entries: reads only batches past the offset,
     * advances the checkpoint past everything seen (consumed or
-    * expired), returns payload rows in seq order. */
+    * expired), returns payload rows in seq order.
+    *
+    * ==Shared-consumer-name contract==
+    * The reference's 1:1 FileLock made "two subscribers, one name"
+    * impossible; the Spark analog allows it and states the semantics
+    * explicitly:
+    *  - WITHIN one ParquetQueue instance, callers sharing a consumer
+    *    name are competing consumers: the instance mutex makes
+    *    read-offset → pop → commit one atomic step, so every entry is
+    *    delivered to exactly ONE of them (spec: "multi-threaded
+    *    pushers and poppers").
+    *  - ACROSS instances/processes sharing a name, the offset file is
+    *    the only coordination: commits are atomic (tmp + ATOMIC_MOVE,
+    *    never torn) and progress is shared, but the read→commit window
+    *    is NOT cross-process atomic — two concurrent pops may both
+    *    read offset k and deliver overlapping entries. Delivery
+    *    degrades to AT-LEAST-ONCE (each committed offset is 1 + the
+    *    last seq its committer actually delivered, so entries are
+    *    re-delivered, never skipped). Callers needing cross-process
+    *    exactly-once should either give each process its own consumer
+    *    name and partition upstream, or guard pops with an external
+    *    lock the way `exclusiveWriter` guards pushes.
+    *  - DISTINCT consumer names are fully independent cursors
+    *    (fan-out), as in the reference and Kafka groups. */
   def pop(n: Int, consumer: String = "default",
           nowMs: Long = System.currentTimeMillis()): Seq[Row] = mutex.synchronized {
     ensureOpen()

@@ -557,10 +557,17 @@ object QueueStreaming {
     * batch re-reads the latest version BELOW its own id and rewrites
     * its own directory, so at-least-once foreachBatch never
     * double-merges. Contract: per-user event-time-ordered batches (the
-    * queue-drain shape R20f assumes). Old versions are retained for
-    * replay; compact by dropping all but the latest K out-of-band. */
+    * queue-drain shape R20f assumes). Compaction is AUTOMATIC: every
+    * `compactEvery` batches the trigger calls [[compactSessionStore]]
+    * (keep=2 — the just-written version plus the one a replay of this
+    * batch would read below its own id), so an unattended stream's
+    * store stays bounded at ~2 versions with no external operator
+    * action. Safe inside the trigger: compaction is idempotent and a
+    * crash before the checkpoint commit replays against the surviving
+    * prior version. Set compactEvery=0 to manage retention manually. */
   def sessionStoreStream(events: DataFrame, userCol: String, gapNs: Long,
-                         storePath: String, checkpoint: String)
+                         storePath: String, checkpoint: String,
+                         compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -599,6 +606,8 @@ object QueueStreaming {
           case None => Sessionize.sessionFrames(batch.toDF(), userCol, gapNs)
         }
         merged.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -647,7 +656,8 @@ object QueueStreaming {
     * `outPath/batch=N`, overwrite exactly-once. */
   def rollingActivesStream(events: DataFrame, tsCol: String, userCol: String,
                            sketchPath: String, outPath: String,
-                           checkpoint: String, windowDays: Int = 3)
+                           checkpoint: String, windowDays: Int = 3,
+                           compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -671,6 +681,10 @@ object QueueStreaming {
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users"))
           .select(lit(batchId).as("batch_id"), col("w_day"), col("n_users"))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // automatic delta folding: HLL union is idempotent, so the
+        // in-trigger fold is crash-safe (see compactRollingActives)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactRollingActives(spark, sketchPath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -730,7 +744,8 @@ object QueueStreaming {
   def abMonitorStream(events: DataFrame, userCol: String,
                       eventTypeCol: String, convEvent: String,
                       convThreshold: Long, storePath: String,
-                      outPath: String, checkpoint: String)
+                      outPath: String, checkpoint: String,
+                      compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -760,13 +775,18 @@ object QueueStreaming {
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
         val per = spark.read.parquet(s"$storePath/batch=$batchId")
-          .groupBy((col("user_id") % 2).as("variant"))
+          // pmod, not %: Spark's % keeps the dividend's sign, so a
+          // negative user id would land in variant -1 and silently
+          // vanish from twoProportionZ's variant-0/1 pivot
+          .groupBy(pmod(col("user_id"), lit(2)).as("variant"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("n_conv_events") >= convThreshold, 1L).otherwise(0L))
               .as("c"))
         graft.operators.Observe.twoProportionZ(per)
           .select(lit(batchId).as("batch_id"), col("*"))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -787,7 +807,7 @@ object QueueStreaming {
   def scorecardStream(docs: DataFrame, idCol: String, textCol: String,
                       groupCol: String, stopWords: Seq[String],
                       blocklist: Seq[String], storePath: String,
-                      checkpoint: String)
+                      checkpoint: String, compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -817,6 +837,8 @@ object QueueStreaming {
           case None => delta
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -833,7 +855,8 @@ object QueueStreaming {
   def cardStream(docs: DataFrame, idCol: String, textCol: String,
                  langCol: String, sourceCol: String,
                  stopWords: Seq[String], blocklist: Seq[String],
-                 storePath: String, checkpoint: String)
+                 storePath: String, checkpoint: String,
+                 compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -885,6 +908,8 @@ object QueueStreaming {
           case None => delta
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()

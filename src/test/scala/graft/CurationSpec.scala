@@ -710,6 +710,48 @@ class CurationSpec extends SparkSpec {
       s"${m0.getAs[Long]("n_rows")} |"), "manifest shard row not rendered")
   }
 
+  test("grouped corpus card: per-tenant totals, mixture, and render") {
+    import graft.operators.{CorpusCard, Curate}
+    val card = run("q_corpus_card_grouped").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val d = table("documents")
+    // stats n_docs per tenant sums to the tenant's corpus slice
+    val perTenant = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tenants = card.map(_._1).distinct
+    assert(tenants.sorted.toSeq == perTenant.keys.toSeq.sorted,
+      "one card per tenant")
+    tenants.foreach { ten =>
+      val n = card.filter(t => t._1 == ten && t._2 == "stats" &&
+        t._4 == "n_docs").map(_._5).sum
+      assert(n == perTenant(ten), s"tenant $ten stats n_docs != slice size")
+      // mixture shares sum to ~1000 WITHIN the tenant
+      val shares = card.filter(t => t._1 == ten && t._2 == "mix").map(_._5)
+      assert(shares.sum <= 1000L && shares.sum > 1000L - shares.length,
+        s"tenant $ten mixture ${shares.sum} not ~1000")
+    }
+    // rules section equals the standalone composite-key scorecard
+    val sc = Curate.scorecardBy(d, "doc_id", "text", Seq("source", "lang"),
+        Seq("the", "a"), Seq("slow", "stream")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("pass_all"))
+      .toMap
+    card.filter(t => t._2 == "rules" && t._4 == "pass_all").foreach {
+      case (ten, _, lang, _, v) => assert(sc((ten, lang)) == v,
+        s"grouped card pass_all for ($ten,$lang) diverges from scorecardBy")
+    }
+    // render: one section per tenant, a real row present
+    val md = CorpusCard.markdownGrouped(
+      graft.queries.CurationQueries.queries("q_corpus_card_grouped")(spark, sfDir),
+      "graft-test")
+    tenants.foreach(ten => assert(md.contains(s"## Tenant: $ten"),
+      s"tenant $ten section missing"))
+    val (ten0, _, lang0, _, nd0) = card
+      .filter(t => t._2 == "stats" && t._4 == "n_docs").head
+    assert(md.contains(s"| $lang0 | $nd0 |"),
+      s"stats row for $ten0/$lang0 ($nd0 docs) not rendered")
+  }
+
   test("scorecard: per-rule counts equal the standalone operators") {
     import graft.operators.Curate
     val d = table("documents")

@@ -38,6 +38,38 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("real codec: planted PNG/BMP decode via ImageIO, synthetic falls back to stub") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8040) // non-trivial pixel so the file is real
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png", 37, 21)
+    val bmp = encode("bmp", 5, 9)
+    val synthetic = "not an image at all".getBytes("UTF-8")
+    val rows = Seq(MediaRow(1L, png), MediaRow(2L, bmp),
+      MediaRow(3L, synthetic)).toDS()
+    val meta = Multimodal.decodeMetaReal(rows).collect()
+      .map(m => m.doc_id -> m).toMap
+    // genuine payloads: TRUE container dimensions, not stub arithmetic
+    assert(meta(1L).width == 37L && meta(1L).height == 21L &&
+      meta(1L).n_frames == 1L, s"PNG decoded wrong: ${meta(1L)}")
+    assert(meta(2L).width == 5L && meta(2L).height == 9L,
+      s"BMP decoded wrong: ${meta(2L)}")
+    // unrecognized payloads: byte-identical to the stub path (the
+    // oracled q_multimodal_* contract)
+    val stub = Multimodal.decodeMeta(Seq(MediaRow(3L, synthetic)).toDS())
+      .collect().head
+    assert(meta(3L) == stub, "synthetic payload must fall back to the stub")
+    // and the stub path itself never consults ImageIO results
+    assert(Multimodal.ImageIoCodec.decode(synthetic).isEmpty)
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head

@@ -38,6 +38,21 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dim join must not SMJ:\n$p")
   }
 
+  test("q_join_multi forces broadcast only on fixed-size dims (nation, region)") {
+    // Boundary note (mirrors q_join_broadcast): nation (25 rows) and
+    // region (5 rows) are constant at EVERY scale factor, so their
+    // broadcast hints are safe to force. customer grows with SF
+    // (150k × SF — multi-GB at the 100× contract), so its strategy must
+    // stay un-hinted: the optimizer broadcasts it while it fits under
+    // autoBroadcastJoinThreshold and backs off to a shuffled join beyond,
+    // which a forced hint would prevent (driver OOM at scale).
+    val lp = SparkEntry.queries("q_join_multi")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(lp).length
+    assert(hints <= 2,
+      s"only nation and region may carry a forced broadcast hint ($hints found):\n$lp")
+  }
+
   test("q_gopher_rules is map-side: one exchange (the output sort) only") {
     val p = plan("q_gopher_rules")
     assert(!p.contains("Join"), s"rule battery must not join:\n$p")

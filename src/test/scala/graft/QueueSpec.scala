@@ -289,6 +289,30 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("shared consumer name across instances: offset progress shared, no loss") {
+    // the cross-process half of pop's shared-name contract: two OPEN
+    // instances (each with its own mutex — the same isolation two
+    // processes would have) sharing a consumer name coordinate ONLY
+    // through the offset file. Sequentially interleaved pops must
+    // partition the entries (progress is shared, nothing re-delivered
+    // in the absence of a race) and the committed offset must always
+    // equal 1 + the last delivered seq (the no-loss invariant that
+    // bounds the concurrent case to at-least-once).
+    val q1 = fresh()
+    val q2 = new ParquetQueue(spark, q1.root, schema)
+    q1.push((0L until 6L).map(i => (i, s"v$i")).toDF("id", "text"))
+    assert(q1.pop(2, "shared").map(_.getLong(0)) == Seq(0L, 1L))
+    // q2 sees q1's committed progress through the offset file
+    assert(q2.offsetOf("shared") == 2L)
+    assert(q2.pop(2, "shared").map(_.getLong(0)) == Seq(2L, 3L))
+    assert(q1.offsetOf("shared") == 4L)
+    assert(q1.pop(9, "shared").map(_.getLong(0)) == Seq(4L, 5L))
+    // a different name is an independent cursor (fan-out): full replay
+    assert(q2.pop(9, "other").map(_.getLong(0)) == (0L until 6L))
+    q2.close()
+    q1.dispose()
+  }
+
   test("compact reclaims fully-consumed segments, keeps latest and floor") {
     val q = fresh()
     q.push(Seq((1L, "a"), (2L, "b")).toDF("id", "text")) // batch=0: seq 0-1

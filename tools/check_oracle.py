@@ -71,8 +71,17 @@ def dialect_probe(con, oracle, n_ok, n_bad):
             print(f"FAIL probe:{name}: oracle entry missing")
             n_bad += 1
             continue
-        sql = oracle[name].replace("FROM documents",
-                                   f"FROM {PROBE_ROWS}")
+        # anchored, count-asserted rewrite: a blanket str.replace would
+        # silently corrupt oracles that reference `documents` more than
+        # once or embed the substring inside another identifier
+        import re as _re
+        sql, n_sub = _re.subn(r"\bFROM\s+documents\b",
+                              f"FROM {PROBE_ROWS}", oracle[name])
+        if n_sub != 1:
+            print(f"FAIL probe:{name}: expected exactly 1 'FROM documents' "
+                  f"reference to rewrite, found {n_sub}")
+            n_bad += 1
+            continue
         try:
             got = [tuple(r) for r in con.execute(sql).fetchall()]
         except Exception as e:
