@@ -66,7 +66,12 @@ object ScaleProbe {
     // r10 additions: the quantized trained-index chains (training is
     // one map-side assignment + C-row shuffle per round — linear; the
     // quantize transform is map-side) and the two-pass corpus card
-    "q_ann_pq", "q_semantic_dedup", "q_corpus_card")
+    "q_ann_pq", "q_semantic_dedup", "q_corpus_card",
+    // r11: the wedge join (compact-forward orientation bounds
+    // out-degree at O(sqrt m); replicas are disjoint components so
+    // true triangle count scales with the factor — the r10 verdict
+    // asked for scale evidence on exactly this operator)
+    "q_dup_triangles")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -76,6 +81,14 @@ object ScaleProbe {
     val derived = s"${System.getProperty("user.dir")}/spark-warehouse/scaleprobe_x$factor"
 
     buildDerived(spark, base, derived, factor)
+
+    // optional probe subset (SPARK_GRAFT_PROBE_ONLY=q_a,q_b): x100
+    // runs are too heavy for the full battery — the targeted question
+    // ("does THIS operator curve at x100?") needs only its own probes
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val probes = probeOnly.fold(ProbeQueries)(names =>
+      ProbeQueries.filter(names))
 
     def timeQuery(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -88,7 +101,7 @@ object ScaleProbe {
     }
 
     var worst = 0.0
-    val results = ProbeQueries.map { q =>
+    val results = probes.map { q =>
       val tBase = timeQuery(q, base)
       val tBig = timeQuery(q, derived)
       val ratio = tBig / tBase
