@@ -88,6 +88,15 @@ object PipelineQueries {
       p
     })
 
+  /** Shared ORC export — the sink side of the L58c roundtrip. */
+  private val orcMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcExport(s: SparkSession, dir: String): String =
+    orcMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_orc_" + RelationalQueries.dirKey(d)
+      graft.sources.Orc.write(t(s, d, "documents"), p, "zlib", Some(8))
+      p
+    })
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -519,6 +528,24 @@ object PipelineQueries {
     "q_csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       graft.sources.Csv.read(s, csvExport(s, dir), docs.schema)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(md5(col("text"))).as("lo_md5"),
+          max(md5(col("text"))).as("hi_md5"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang", "source")
+    },
+
+    // L58c: ORC sink/source roundtrip — the typed columnar
+    // interchange format (orc-core ships in Spark). Same aggregate +
+    // oracle as the JSONL/CSV roundtrips: a hash match proves the ORC
+    // write/read path is lossless on this corpus, including the
+    // columns' exact bytes (md5 min/max over text).
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.sources.Orc.read(s, orcExport(s, dir), docs.schema)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
@@ -2721,7 +2748,9 @@ object PipelineQueries {
         |  FROM dims)
         |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin) ++
-    // the CSV roundtrip proves the same byte-fidelity claim over the
-    // quoting-sensitive format: one oracle, two sink/source paths
-    Map("q_csv_roundtrip" -> roundtripOracleSql)
+    // the CSV and ORC roundtrips prove the same byte-fidelity claim
+    // over the quoting-sensitive and typed-columnar formats: one
+    // oracle, three sink/source paths
+    Map("q_csv_roundtrip" -> roundtripOracleSql,
+        "q_orc_roundtrip" -> roundtripOracleSql)
 }

@@ -67,6 +67,28 @@ class JsonlSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("orc roundtrip is byte-exact; filters push to the orc scan") {
+    import graft.sources.Orc
+    val docs = table("documents")
+    val path = tmp("orcdocs")
+    Orc.write(docs, path, "zlib", Some(3))
+    val back = Orc.read(spark, path, docs.schema)
+    assert(back.schema == docs.schema, "explicit-schema read keeps types")
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // ORC carries types/statistics: a filtered read must reach the
+    // scan as a pushed filter (the advantage over the text formats)
+    val plan = Orc.read(spark, path, docs.schema)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("doc_id"),
+      s"filter must push into the ORC scan:\n$plan")
+    // shard-count control: the small-files lever works for ORC too
+    val shards = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.endsWith(".orc"))
+    assert(shards.length == 3, s"expected 3 orc shards, got ${shards.toSeq}")
+  }
+
   test("manifest: intact release validates clean; tampering is localized") {
     import graft.sources.{Jsonl, Manifest}
     val docs = table("documents")
