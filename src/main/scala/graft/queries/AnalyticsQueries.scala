@@ -690,6 +690,34 @@ object AnalyticsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // R29d (r11): EWMA — the infinite-memory smoothing recurrence the
+    // ROWS-frame family (R29/rolling_anomaly) can't express: s_t =
+    // s_{t-1} + (x_t - s_{t-1})/8, seeded from the first observation.
+    // Run in integer micro-units (x quantized at 2^20; the update's
+    // floor-div replays identically in any engine while |x-s| < 2^52)
+    // via the codegen'd `aggregate` higher-order function over each
+    // user's (ts, event_id)-sorted history — one user shuffle, no
+    // window state. Per-key memory is the user's OWN history (the
+    // standard bound for sequential per-key kernels here — same as
+    // sessionize; hot-key salting does NOT apply because the
+    // recurrence is order-dependent end-to-end).
+    "q_ewma" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          expr("""aggregate(seq, CAST(-4611686018427387904 AS BIGINT),
+            (acc, e) -> CASE
+              WHEN acc = CAST(-4611686018427387904 AS BIGINT)
+              THEN CAST(FLOOR(e.value * 1048576) AS BIGINT)
+              ELSE acc + CAST(FLOOR((CAST(FLOOR(e.value * 1048576)
+                AS BIGINT) - acc) / CAST(8 AS DOUBLE)) AS BIGINT)
+            END)""").as("ewma_q"))
+        .orderBy("user_id")
+    },
+
     // R34: salted join on a manufactured hot key — the same 50%-hot
     // user remap as q_sessionize_hot, joined against the customer dim.
     // Skew.saltedJoin spreads the hot key over 8 (key, salt) reducers
@@ -906,6 +934,22 @@ object AnalyticsQueries {
       |  GROUP BY i.name)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    // R29d: the same seeded integer EWMA recurrence, replayed with
+    // list_reduce over the ORDER BY-collected per-user history (the
+    // L5 ordered-reduce pattern); sentinel = -2^62, unreachable by
+    // any floor(value * 2^20).
+    "q_ewma" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    list(CAST(FLOOR(value * 1048576) AS BIGINT)
+        |         ORDER BY epoch_ns(ts), event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(-4611686018427387904 AS BIGINT), xs),
+        |    (acc, x) -> CASE WHEN acc = -4611686018427387904 THEN x
+        |      ELSE acc + CAST(FLOOR((x - acc) / 8.0) AS BIGINT) END) AS ewma_q
+        |FROM seqs ORDER BY user_id""".stripMargin,
+
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS total_f,

@@ -141,6 +141,23 @@ object RelationalQueries {
         .orderBy("r_name", "n_name")
     },
 
+    // R6b (r11): LEFT OUTER join with zero-groups (TPC-H Q13 shape) —
+    // the null-semantics gate the inner/semi/anti family doesn't
+    // cover: customers with NO orders must survive the join and count
+    // as 0 (count(col) skips nulls), then the per-customer counts
+    // histogram. Both sides grow with SF → shuffled join on custkey,
+    // NO broadcast hint; the second agg is distribution-sized.
+    "q_join_outer" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy("n_orders")
+    },
+
     // R5b: shipping-priority composite (TPC-H Q3 shape): selective
     // filters on both join sides reach the scans, agg on the join key,
     // global top-10 via TakeOrderedAndProject.
@@ -951,6 +968,14 @@ object RelationalQueries {
         |  quantile_disc(value, 0.5) AS p50_disc,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs FROM (
+        |  SELECT c.c_custkey,
+        |    CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) g
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
