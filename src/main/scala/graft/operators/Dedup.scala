@@ -56,6 +56,61 @@ object Dedup {
     * `parallelBuckets` id-buckets and pairs are generated per
     * bucket-pair cell: parallelism = |blocks| × B(B+1)/2 regardless of
     * block count, result set unchanged. */
+  /** L5c: exact-threshold similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): distinct tokens per doc are globally ordered by
+    * ascending document frequency (ties by token), and any pair with
+    * jaccard ≥ t must share one of each side's first
+    * |x| − ⌈t·|x|⌉ + 1 RAREST tokens — so candidates come from a join
+    * on prefix tokens only. Two properties the LSH/banding path
+    * doesn't have: (1) NO false negatives — exactness is a theorem,
+    * not a recall curve; (2) the frequent-token explosion is avoided
+    * by construction (prefixes live at the rare end of the Zipf
+    * curve, where df is small, so per-token join fan-out is bounded).
+    *
+    * The threshold is a RATIONAL num/den and every bound is integer
+    * arithmetic (⌈n·sz/d⌉ = (n·sz + d − 1) div d; ratio and verify as
+    * cross-multiplies), so the prefix-length theorem holds exactly
+    * and the whole chain replays bit-for-bit in the SQL oracle — a
+    * float ⌈t·sz⌉ could round across the boundary and silently
+    * shorten a prefix.
+    *
+    * Scale: one df aggregate + one per-doc rank window + a prefix
+    * self-join whose fan-out is Σ_prefix-tokens df² over rare tokens
+    * + one verify count per DISTINCT candidate pair over narrow
+    * (id, tok) rows. The size-ratio filter (min ≥ t·max) prunes
+    * inside the join. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         num: Long, den: Long): DataFrame = {
+    require(num > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokenize_ws(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sized = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ordered = toks.join(dfreq, "tok").join(sized, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy("df", "tok")))
+    val prefix = ordered.filter(
+      col("rk") <= col("sz") -
+        expr(s"($num * sz + $den - 1) div $den") + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * den >=
+            greatest(col("a.sz"), col("b.sz")) * num)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("id1"), col("tok")), "id1")
+      .join(toks.select(col("id").as("id2"), col("tok")), Seq("id2", "tok"))
+      .groupBy("id1", "id2", "sz1", "sz2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("id1"), col("id2"),
+        expr("inter * 1000000 div uni").as("jac_micro"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1,

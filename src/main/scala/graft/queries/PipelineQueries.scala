@@ -121,6 +121,19 @@ object PipelineQueries {
         .orderBy("doc_id1", "doc_id2")
     },
 
+    // L5c (r11): exact-threshold similarity join by PREFIX FILTERING
+    // (AllPairs/PPJoin) — the LSH-free exact path: candidates from a
+    // join on each doc's rarest-df prefix tokens, rational 4/5
+    // threshold so every bound is integer arithmetic (theorem-exact,
+    // oracle-exact). Complements q_dedup_jaccard's blocked all-pairs
+    // and q_dedup_minhash's banding: same pair semantics, different
+    // candidate generation with zero false negatives by construction.
+    "q_dedup_prefix" -> { (s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          num = 4L, den = 5L)
+        .orderBy("id1", "id2")
+    },
+
     // L2c: n-gram (3-shingle) Jaccard near-dup — order-sensitive
     // variant of q_dedup_jaccard (reordered text stops matching).
     // parallelBuckets=8: shingle id arrays are ~3x word sets, so halving
@@ -1809,6 +1822,44 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardSqlBase,
+
+    // L5c: the identical prefix-filter chain in SQL — global (df, tok)
+    // order, integer prefix bound (4·sz+4)//5, cross-multiplied ratio
+    // and verify. Bit-for-bit the operator's arithmetic.
+    "q_dedup_prefix" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT id, tok FROM (
+        |    SELECT doc_id AS id,
+        |      UNNEST(list_filter(string_split(text, ' '),
+        |        x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM toks GROUP BY tok),
+        |sized AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM toks GROUP BY id),
+        |ordered AS (
+        |  SELECT t.id, t.tok, s.sz,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk
+        |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
+        |pre AS (
+        |  SELECT id, tok, sz FROM ordered
+        |  WHERE rk <= sz - (4 * sz + 4) // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+        |    a.sz AS sz1, b.sz AS sz2
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+        |  WHERE LEAST(a.sz, b.sz) * 5 >= GREATEST(a.sz, b.sz) * 4),
+        |veri AS (
+        |  SELECT c.id1, c.id2, c.sz1, c.sz2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN toks x ON x.id = c.id1
+        |  JOIN toks y ON y.id = c.id2 AND y.tok = x.tok
+        |  GROUP BY c.id1, c.id2, c.sz1, c.sz2)
+        |SELECT id1, id2,
+        |  CAST(inter * 1000000 // (sz1 + sz2 - inter) AS BIGINT) AS jac_micro
+        |FROM veri
+        |WHERE inter * 5 >= (sz1 + sz2 - inter) * 4
+        |ORDER BY id1, id2""".stripMargin,
 
     // L67: quantize-then-integer replay — floored component quantors,
     // floored integer centroid mean, integer squared distance.

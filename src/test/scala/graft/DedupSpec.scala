@@ -44,6 +44,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"minhash recall $recall too low")
   }
 
+  test("prefix-filter pairs equal unblocked exact all-pairs (no false negatives)") {
+    import org.apache.spark.sql.functions.{array_distinct, col, size => fsize}
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    // ground truth: brute-force exact jaccard >= 4/5 over ALL pairs
+    // (no blocking, no prefix) — integer cross-multiplied like the op
+    val sets = d.select(col("doc_id"),
+        array_distinct(graft.functions.tokenize_ws(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val truth = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      uni = si.size + sj.size - inter
+      if uni > 0 && inter * 5 >= uni * 4
+    } yield (i, j)).toSet
+    val got = Dedup.prefixJaccardPairs(d, "doc_id", "text", 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the theorem: EXACT equality — prefix filtering loses nothing and
+    // the verify step admits nothing below threshold
+    assert(got == truth,
+      s"prefix join must equal brute force: missing ${(truth -- got).take(5)}, " +
+        s"extra ${(got -- truth).take(5)}")
+    assert(truth.nonEmpty, "vacuous corpus: no pairs at 4/5")
+  }
+
   test("simhash finds exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
