@@ -45,6 +45,75 @@ object Ann {
         as_double_array(col(vecCol)).as("q_vec")),
       k, excludeSameId = true)
 
+  /** L6d (r11): MMR diversity rerank (Carbonell & Goldstein, SIGIR
+    * '98 — the standard RAG/context-selection post-step): from each
+    * query's top-`nCandidates` exact-cosine candidates, greedily pick
+    * `k` maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked, so near-duplicate contexts don't crowd the window.
+    *
+    * All scoring is INTEGER: sims quantize to 1e-4 units
+    * (floor(c·10⁴+0.5) — the portable-round kernel), λ = lamNum/
+    * lamDen, score×lamDen = lamNum·rel_q − (lamDen−lamNum)·pen_q,
+    * ties by nn_id — so the k greedy rounds replay as unrolled SQL
+    * CTEs bit-for-bit (the quantized-training trick applied to an
+    * iterative SELECTION instead of k-means).
+    *
+    * Scale: the candidate and pair frames are (queries × C) and
+    * (queries × C²) rows — query-set-bounded by the broadcast-queries
+    * contract, never corpus-sized; both localCheckpoint once and the
+    * k rounds are joins on those small frames (per-round work
+    * independent of the corpus). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCandidates: Int, k: Int,
+                lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && nCandidates >= k, s"need nCandidates >= k >= 1")
+    require(lamNum >= 0 && lamNum <= lamDen, s"lambda must be in [0,1]")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCandidates)
+      .select(col("query_id"), col("nn_id"),
+        floor(col("sim") * 10000 + 0.5).cast("long").as("rel_q"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).as("nn_id"),
+      as_double_array(col(vecCol)).as("v"))
+    val withV = cand.join(vecs, "nn_id")
+    val pair = withV.as("x")
+      .join(withV.select(col("query_id"), col("nn_id").as("other_id"),
+        col("v").as("vo")).as("y"), Seq("query_id"))
+      .filter(col("nn_id") =!= col("other_id"))
+      .select(col("query_id"), col("nn_id"), col("other_id"),
+        floor(cosine_sim(col("v"), col("vo")) * 10000 + 0.5)
+          .cast("long").as("psim_q"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score10_q").desc, col("nn_id").asc)
+    // round 1: pure relevance (no penalty yet)
+    var selected = cand
+      .withColumn("score10_q", col("rel_q") * lamNum)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nn_id"), lit(1).as("mmr_rank"),
+        col("score10_q"))
+    for (r <- 2 to k) {
+      val pen = pair
+        .join(selected.select(col("query_id"), col("nn_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy("query_id", "nn_id")
+        .agg(max(col("psim_q")).as("pen_q"))
+      val pick = cand
+        .join(selected.select("query_id", "nn_id"), Seq("query_id", "nn_id"),
+          "left_anti")
+        .join(pen, Seq("query_id", "nn_id"), "left")
+        .withColumn("score10_q",
+          col("rel_q") * lamNum -
+            coalesce(col("pen_q"), lit(0L)) * (lamDen - lamNum))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("nn_id"), lit(r).as("mmr_rank"),
+          col("score10_q"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** L6b: grouped (per-tenant / per-label) exact top-k — the
     * multi-tenant search shape. The cross join becomes an equi-join on
     * the group column, so each query's scan is bounded by its OWN

@@ -247,6 +247,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L6d (r11): MMR diversity rerank — the RAG context-selection
+    // post-step: greedy λ·rel − (1−λ)·max-sim-to-picked over each
+    // query's top-16 exact candidates, all-integer scoring (sims at
+    // 1e-4 units, λ=7/10 cross-multiplied), so the 5 greedy rounds
+    // replay as unrolled CTEs — the quantized-training trick applied
+    // to iterative SELECTION.
+    "q_retrieval_mmr" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.mmrRerank(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", nCandidates = 16, k = 5)
+        .orderBy("query_id", "mmr_rank")
+    },
+
     // L43: kNN classification — a 5% holdout labeled by majority vote
     // of its 5 nearest labeled neighbors (exact cosine; ties on
     // (votes desc, label asc)). Reported against the true labels.
@@ -1755,7 +1768,73 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** L6d: MMR greedy selection unrolled — k−1 (pen, sel, all) CTE
+    * rounds over the quantized candidate/pair sims. Every score is a
+    * BIGINT cross-multiply, ties on nn_id, so each round's argmax is
+    * the operator's argmax bit-for-bit. */
+  private def mmrOracleSql(maxQ: Int, c: Int, k: Int,
+                           num: Long, den: Long): String = {
+    def cosQ(a: String, b: String) =
+      s"""CAST(FLOOR((list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+         |      SQRT(list_sum(list_transform($a, x -> x * x)) *
+         |           list_sum(list_transform($b, x -> x * x)))) * 10000 + 0.5) AS BIGINT)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < $maxQ),
+      |sims AS (
+      |  SELECT query_id, vec_id AS nn_id, vec,
+      |    ${cosQ("qv", "vec")} AS rel_q
+      |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+      |cand AS (
+      |  SELECT query_id, nn_id, vec, rel_q FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rel_q DESC, nn_id ASC) AS rk FROM sims) z
+      |  WHERE rk <= $c),
+      |pairs AS (
+      |  SELECT a.query_id, a.nn_id, b.nn_id AS other_id,
+      |    ${cosQ("a.vec", "b.vec")} AS psim_q
+      |  FROM cand a JOIN cand b
+      |    ON a.query_id = b.query_id AND a.nn_id <> b.nn_id),
+      |sel1 AS (
+      |  SELECT query_id, nn_id, 1 AS mmr_rank, rel_q * $num AS score10_q
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rel_q DESC, nn_id ASC) AS rk FROM cand) z
+      |  WHERE rk = 1),
+      |all1 AS (SELECT * FROM sel1),
+      |""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s"""pen$r AS (
+        |  SELECT p.query_id, p.nn_id, MAX(p.psim_q) AS pen_q
+        |  FROM pairs p JOIN all${r - 1} s
+        |    ON p.query_id = s.query_id AND p.other_id = s.nn_id
+        |  GROUP BY p.query_id, p.nn_id),
+        |sel$r AS (
+        |  SELECT query_id, nn_id, $r AS mmr_rank, score10_q FROM (
+        |    SELECT c.query_id, c.nn_id,
+        |      c.rel_q * $num - COALESCE(p.pen_q, 0) * ${den - num} AS score10_q,
+        |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |        ORDER BY c.rel_q * $num - COALESCE(p.pen_q, 0) * ${den - num} DESC,
+        |                 c.nn_id ASC) AS rk
+        |    FROM cand c
+        |    LEFT JOIN pen$r p ON p.query_id = c.query_id AND p.nn_id = c.nn_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} s
+        |      WHERE s.query_id = c.query_id AND s.nn_id = c.nn_id)) z
+        |  WHERE rk = 1),
+        |all$r AS (SELECT * FROM all${r - 1} UNION ALL SELECT * FROM sel$r),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= s"\nSELECT query_id, mmr_rank, nn_id, score10_q FROM all$k " +
+      "ORDER BY query_id, mmr_rank"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_retrieval_mmr" -> mmrOracleSql(maxQ = 5, c = 16, k = 5,
+      num = 7L, den = 10L),
+
     // L76: quantized cells + the share/purity aggregates — training
     // replay via the shared CTEs.
     "q_cluster_purity" ->

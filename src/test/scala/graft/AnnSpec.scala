@@ -18,6 +18,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("mmr rerank trades relevance for diversity, greedily and deterministically") {
+    import spark.implicits._
+    // planted geometry: the query (1,1) sits between two clusters —
+    // twins 10/11 near the x-axis (11 slightly more relevant), the
+    // diverse 12 near the y-axis at the SAME relevance as 10. Pure
+    // top-2 takes {11, 10} (the twin edges 12 on the id tiebreak);
+    // MMR must take 11 then SKIP the twin for the diverse 12, because
+    // 10's penalty (≈1.0 sim to the picked 11) dwarfs 12's (≈0.02).
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),          // the query
+      (10L, Array(1.0f, 0.01f)),
+      (11L, Array(1.0f, 0.012f)),       // 10's near-duplicate twin
+      (12L, Array(0.01f, 1.0f)),        // diverse second cluster
+      (13L, Array(-1.0f, -1.0f))        // filler, anti-relevant
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mmrRerank(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", nCandidates = 4, k = 2)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getAs[Int]("mmr_rank"), r.getAs[Long]("nn_id")))
+    assert(out.length == 2)
+    assert(out(0)._2 == 11L, s"round 1 is pure relevance: ${out.toSeq}")
+    assert(out(1)._2 == 12L,
+      s"round 2 must skip the near-duplicate twin (10) for the diverse 12: ${out.toSeq}")
+    // control: plain top-2 DOES take the twin (10 beats 12 on the id
+    // tiebreak at equal relevance)
+    val top2 = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 2).collect().map(_.getAs[Long]("nn_id"))
+    assert(top2.toSet == Set(11L, 10L), s"control: ${top2.toSeq}")
+  }
+
   test("lsh search only compares within buckets and stays exact on hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val bf = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id",
