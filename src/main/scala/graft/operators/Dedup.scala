@@ -90,22 +90,55 @@ object Dedup {
     val ordered = toks.join(dfreq, "tok").join(sized, "id")
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy("df", "tok")))
+    // bucket-salt the prefix join (the jaccardPairs two-sided role
+    // scheme): the raw join key is the TOKEN, and on a small-vocab
+    // corpus one frequent token's df² candidates land in a single
+    // reducer — salting spreads each token over B×(B+1)/2 (bu, bv)
+    // cells while still generating every unordered pair exactly once.
+    // Salting only redistributes work; the pair SET is unchanged, so
+    // the (unsalted) SQL oracle replays the same result.
+    val B = 16
     val prefix = ordered.filter(
-      col("rk") <= col("sz") -
-        expr(s"($num * sz + $den - 1) div $den") + 1)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("rk") <= col("sz") -
+          expr(s"($num * sz + $den - 1) div $den") + 1)
+      .withColumn("bkt", pmod(xxhash64(col("id")), lit(B.toLong)).cast("int"))
+    val a = prefix.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))
+      .withColumnRenamed("bkt", "bu").as("a")
+    val b = prefix.withColumn("bu", explode(sequence(lit(0), col("bkt"))))
+      .withColumnRenamed("bkt", "bv").as("b")
+    // positional filter (PPJoin): a match at prefix positions (pa, pb)
+    // caps the possible overlap at 1 + min(sz1−pa, sz2−pb); jac ≥ t
+    // needs overlap ≥ ⌈t/(1+t)·(sz1+sz2)⌉ — prune occurrences that
+    // can't reach it. Exact (a theorem, like the prefix bound) and the
+    // big candidate cutter on dense corpora where every token is
+    // frequent and the df² fan-out would otherwise dominate.
+    val cand = a.join(b,
+        col("a.tok") === col("b.tok") &&
+          col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
+          (col("a.bu") < col("a.bv") || col("a.id") < col("b.id")) &&
           least(col("a.sz"), col("b.sz")) * den >=
-            greatest(col("a.sz"), col("b.sz")) * num)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+            greatest(col("a.sz"), col("b.sz")) * num &&
+          expr(s"1 + least(a.sz - a.rk, b.sz - b.rk) >= " +
+            s"($num * (a.sz + b.sz) + ${num + den - 1}) div ${num + den}"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        (col("a.sz") + col("b.sz")).as("szsum"))
       .distinct()
+    // verify map-side over compact token-ID sets (the jaccardPairs
+    // kernel): joining candidate pairs back to exploded token ROWS
+    // would shuffle |pairs|·|set| rows (65M at the bench SF); two
+    // joins against the doc-count-sized set table + one
+    // array_intersect per pair shuffles only the pairs. No broadcast
+    // hint — the set table grows with the corpus, so stats/AQE pick
+    // (the q_join_multi rule).
+    val sets = docs.select(col(idCol).as("id"),
+      token_id_set(tokenize_ws(col(textCol))).as("ids"))
     cand
-      .join(toks.select(col("id").as("id1"), col("tok")), "id1")
-      .join(toks.select(col("id").as("id2"), col("tok")), Seq("id2", "tok"))
-      .groupBy("id1", "id2", "sz1", "sz2")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .join(sets.select(col("id").as("id1"), col("ids").as("ids1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("ids").as("ids2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("ids1"), col("ids2"))).cast("long"))
+      .withColumn("uni", col("szsum") - col("inter"))
       .filter(col("inter") * den >= col("uni") * num)
       .select(col("id1"), col("id2"),
         expr("inter * 1000000 div uni").as("jac_micro"))

@@ -123,14 +123,14 @@ object PipelineQueries {
 
     // L5c (r11): exact-threshold similarity join by PREFIX FILTERING
     // (AllPairs/PPJoin) — the LSH-free exact path: candidates from a
-    // join on each doc's rarest-df prefix tokens, rational 4/5
+    // join on each doc's rarest-df prefix tokens, rational 9/10
     // threshold so every bound is integer arithmetic (theorem-exact,
     // oracle-exact). Complements q_dedup_jaccard's blocked all-pairs
     // and q_dedup_minhash's banding: same pair semantics, different
     // candidate generation with zero false negatives by construction.
     "q_dedup_prefix" -> { (s, dir) =>
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          num = 4L, den = 5L)
+          num = 9L, den = 10L)
         .orderBy("id1", "id2")
     },
 
@@ -1903,8 +1903,8 @@ object PipelineQueries {
     "q_dedup_jaccard" -> jaccardSqlBase,
 
     // L5c: the identical prefix-filter chain in SQL — global (df, tok)
-    // order, integer prefix bound (4·sz+4)//5, cross-multiplied ratio
-    // and verify. Bit-for-bit the operator's arithmetic.
+    // order, integer prefix bound (9·sz+9)//10, positional filter, cross-
+    // multiplied ratio and verify. Bit-for-bit the operator's arithmetic.
     "q_dedup_prefix" ->
       """WITH toks AS (
         |  SELECT DISTINCT id, tok FROM (
@@ -1921,13 +1921,15 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk
         |  FROM toks t JOIN dfreq d USING (tok) JOIN sized s USING (id)),
         |pre AS (
-        |  SELECT id, tok, sz FROM ordered
-        |  WHERE rk <= sz - (4 * sz + 4) // 5 + 1),
+        |  SELECT id, tok, sz, rk FROM ordered
+        |  WHERE rk <= sz - (9 * sz + 9) // 10 + 1),
         |cand AS (
         |  SELECT DISTINCT a.id AS id1, b.id AS id2,
         |    a.sz AS sz1, b.sz AS sz2
         |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
-        |  WHERE LEAST(a.sz, b.sz) * 5 >= GREATEST(a.sz, b.sz) * 4),
+        |  WHERE LEAST(a.sz, b.sz) * 10 >= GREATEST(a.sz, b.sz) * 9
+        |    AND 1 + LEAST(a.sz - a.rk, b.sz - b.rk)
+        |        >= (9 * (a.sz + b.sz) + 18) // 19),
         |veri AS (
         |  SELECT c.id1, c.id2, c.sz1, c.sz2, CAST(COUNT(*) AS BIGINT) AS inter
         |  FROM cand c
@@ -1937,7 +1939,7 @@ object PipelineQueries {
         |SELECT id1, id2,
         |  CAST(inter * 1000000 // (sz1 + sz2 - inter) AS BIGINT) AS jac_micro
         |FROM veri
-        |WHERE inter * 5 >= (sz1 + sz2 - inter) * 4
+        |WHERE inter * 10 >= (sz1 + sz2 - inter) * 9
         |ORDER BY id1, id2""".stripMargin,
 
     // L67: quantize-then-integer replay — floored component quantors,
