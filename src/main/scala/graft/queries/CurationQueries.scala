@@ -670,6 +670,18 @@ object CurationQueries {
         .orderBy(col("rank_micro").desc, col("node").asc)
     },
 
+    // L63 (r11): deterministic DeepWalk walks over the purchase graph
+    // — graph-corpus generation for node embeddings. 2 walks × 4
+    // steps from every node; step = rolling_hash(node|walk|step) mod
+    // degree over dst-sorted neighbors, so the full walk table is
+    // reproducible AND hash-oracled (unrolled step CTEs + the
+    // list_reduce hash replay).
+    "q_graph_walks" -> { (s, dir) =>
+      graft.operators.Walk.deterministicWalks(purchaseEdges(s, dir),
+          "src", "dst", nWalks = 2, len = 4)
+        .orderBy("start", "walk", "step")
+    },
+
     // L45b: TrustRank — teleport mass restricted to a trusted seed set
     // (suppliers from the first five nations stand in for a vetted
     // domain allowlist); rank becomes proximity-to-trust, the
@@ -1197,7 +1209,61 @@ object CurationQueries {
 
   private val scorecardOracleSql: String = scorecardOracleSqlBy("source")
 
+  /** L63: the walk chain unrolled — adjacency with dst-sorted ranks,
+    * then `len` step CTEs; the step hash is the rolling-hash kernel
+    * replayed as a codepoint fold (ASCII node names, so the kernel's
+    * byte walk and unicode() agree). */
+  private def graphWalksSql(nWalks: Int, len: Int): String = {
+    def hashSql(keyExpr: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all($keyExpr, '.'),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (x, y) -> (x * 31 + y) % 1000000007)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (
+      |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM pairs
+      |    UNION ALL
+      |    SELECT dst AS src, src AS dst FROM pairs)),
+      |adj AS (
+      |  SELECT src, dst,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+      |         AS BIGINT) AS nrank
+      |  FROM edges),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM adj GROUP BY src),
+      |adjd AS (SELECT a.src, a.dst, a.nrank, d.deg
+      |         FROM adj a JOIN deg d USING (src)),
+      |s0 AS (
+      |  SELECT e.src AS start, CAST(u.w AS BIGINT) AS walk, e.src AS node
+      |  FROM (SELECT DISTINCT src FROM edges) e,
+      |       UNNEST(range(0, $nWalks)) AS u(w)),
+      |""".stripMargin
+    for (r <- 1 to len) {
+      sb ++= s"""s$r AS (
+        |  SELECT f.start, f.walk, a.dst AS node
+        |  FROM s${r - 1} f JOIN adjd a ON f.node = a.src
+        |  WHERE a.nrank = ${hashSql(
+          s"f.node || '|' || CAST(f.walk AS VARCHAR) || '|' || '$r'")} % a.deg),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= "\nSELECT start, walk, step, node FROM (\n"
+    sb ++= (0 to len).map(r =>
+      s"  SELECT start, walk, CAST($r AS BIGINT) AS step, node FROM s$r")
+      .mkString("\n  UNION ALL\n")
+    sb ++= ") u ORDER BY start, walk, step"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
+
     // 11b: BPE apply under the frozen merge table. Exact replay of
     // BpeKernel.encodeWord's greedy loop: the recursive CTE is the
     // until-no-pair-applies fixpoint; each step finds the lowest-rank

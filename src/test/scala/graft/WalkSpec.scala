@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Walk
+
+class WalkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq(
+    ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+    ("c", "a"), ("c", "d") // d is dangling: walks entering d stop
+  ).toDF("src", "dst")
+
+  test("every walk hop is a real edge; walks start at step 0 at the start node") {
+    val w = Walk.deterministicWalks(edges, "src", "dst", nWalks = 3, len = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val edgeSet = edges.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // step 0 = the start node itself, for every (start, walk)
+    w.filter(_._3 == 0L).foreach { case (st, _, _, n) => assert(n == st) }
+    // consecutive steps within a (start, walk) are edges
+    w.groupBy(t => (t._1, t._2)).values.foreach { rows =>
+      val path = rows.sortBy(_._3).map(_._4).toSeq
+      path.sliding(2).foreach { hop =>
+        if (hop.length == 2)
+          assert(edgeSet.contains((hop(0), hop(1))),
+            s"hop ${hop(0)}->${hop(1)} is not an edge (path ${path.mkString("->")})")
+      }
+    }
+    // a dangling end stops the walk instead of erroring: any walk that
+    // reaches d has no further steps
+    w.filter(_._4 == "d").foreach { case (st, wk, stp, _) =>
+      assert(!w.exists(t => t._1 == st && t._2 == wk && t._3 == stp + 1),
+        "walk must stop at the dangling node")
+    }
+  }
+
+  test("walks are invariant to input partitioning (deterministic corpus)") {
+    val w1 = Walk.deterministicWalks(edges, "src", "dst", 2, 4)
+      .orderBy("start", "walk", "step").collect().map(_.toSeq)
+    val w2 = Walk.deterministicWalks(edges.repartition(7), "src", "dst", 2, 4)
+      .orderBy("start", "walk", "step").collect().map(_.toSeq)
+    assert(w1.toSeq == w2.toSeq, "partitioning must not change the walks")
+  }
+}
