@@ -682,6 +682,24 @@ object CurationQueries {
         .orderBy("start", "walk", "step")
     },
 
+    // L63b (r11): skip-gram pair extraction over the walk corpus —
+    // the (center, context) training pairs a word2vec-style node
+    // embedder consumes (window ±2 within each walk). One self-join
+    // on the (start, walk) key + a pair groupBy; completes the
+    // DeepWalk chain walk→pairs entirely hash-oracled.
+    "q_walk_skipgrams" -> { (s, dir) =>
+      val w = graft.operators.Walk.deterministicWalks(
+        purchaseEdges(s, dir), "src", "dst", nWalks = 2, len = 4)
+      w.as("a").join(w.as("b"),
+          col("a.start") === col("b.start") &&
+            col("a.walk") === col("b.walk") &&
+            col("a.step") =!= col("b.step") &&
+            abs(col("a.step") - col("b.step")) <= 2)
+        .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("center", "context")
+    },
+
     // L45b: TrustRank — teleport mass restricted to a trusted seed set
     // (suppliers from the first five nations stand in for a vetted
     // domain allowlist); rank becomes proximity-to-trust, the
@@ -1263,6 +1281,16 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
+
+    "q_walk_skipgrams" ->
+      s"""WITH wtab AS (
+        |${graphWalksSql(2, 4).replace(" ORDER BY start, walk, step", "")})
+        |SELECT a.node AS center, b.node AS context,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM wtab a JOIN wtab b
+        |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |  AND ABS(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // 11b: BPE apply under the frozen merge table. Exact replay of
     // BpeKernel.encodeWord's greedy loop: the recursive CTE is the
