@@ -53,6 +53,39 @@ class PlanContractSpec extends SparkSpec {
       s"only nation and region may carry a forced broadcast hint ($hints found):\n$lp")
   }
 
+  test("q_dedup_prefix: no cartesian, no forced broadcast of the growing set table") {
+    val p = plan("q_dedup_prefix")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix join must stay an equi-join on (tok, bu, bv):\n$p")
+    // the token-ID-set verify table grows with the corpus: its join
+    // must be left to stats/AQE (the q_join_multi rule), never hinted
+    val lp = SparkEntry.queries("q_dedup_prefix")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"),
+      s"no forced broadcasts anywhere in the prefix-join chain:\n$lp")
+  }
+
+  test("mmr candidate generation broadcasts the query set, no cartesian") {
+    // q_retrieval_mmr's own executedPlan is a scan of the checkpointed
+    // selection (the greedy rounds ran at construction), so the
+    // contract is pinned on the candidate STAGE it is built from
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.operators.Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross-shape join is the broadcast query set:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast into candidate scoring:\n$p")
+  }
+
+  test("q_graph_walks: every step is an equi-join, frontier never cross-products") {
+    val p = plan("q_graph_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk steps must be equi-joins on the node key:\n$p")
+  }
+
   test("q_gopher_rules is map-side: one exchange (the output sort) only") {
     val p = plan("q_gopher_rules")
     assert(!p.contains("Join"), s"rule battery must not join:\n$p")
