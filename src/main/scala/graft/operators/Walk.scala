@@ -31,6 +31,89 @@ import graft.functions._
   */
 object Walk {
 
+  /** L63c: node2vec-style BIASED walks (Grover & Leskovec, KDD'16) —
+    * the 2nd-order variant: from `cur` with predecessor `prev`, a
+    * neighbor x is weighted wBack (x == prev: return), wCommon (x
+    * adjacent to prev: BFS-ish stay-local) or wFar (DFS-ish explore)
+    * — integer weights standing in for node2vec's 1/p, 1, 1/q. The
+    * pick is `rolling_hash(cur|prev|walk|step) mod Σweights` resolved
+    * against the dst-ordered cumulative weight windows, so the biased
+    * walk is as deterministic and oracle-replayable as the uniform
+    * one (the bias windows are integer SUM() OVER partitions).
+    *
+    * Step 1 has no predecessor and falls back to the uniform rule.
+    * Cost adds one membership join per step (neighbor-of-prev check
+    * against the edge set) on the frontier×degree rows — still no
+    * cross product and a constant-size frontier. */
+  def node2vecWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                    nWalks: Int, len: Int,
+                    wBack: Long = 1L, wCommon: Long = 6L,
+                    wFar: Long = 3L): DataFrame = {
+    require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")
+    require(wBack >= 0 && wCommon >= 0 && wFar >= 0 &&
+      wBack + wCommon + wFar > 0, "weights must be non-negative, not all 0")
+    val adj = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjd = adj
+      .withColumn("nrank",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long"))
+      .join(deg, "src").localCheckpoint(true)
+    val member = adjd.select(col("src").as("m_src"), col("dst").as("m_dst"),
+      lit(1L).as("m"))
+    var frontier = adjd.select(col("src").as("start")).distinct()
+      .withColumn("walk", explode(sequence(lit(0L), lit(nWalks - 1L))))
+      .withColumn("node", col("start"))
+      .withColumn("prev", lit(null).cast("string"))
+    var out = frontier.select(col("start"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    for (stp <- 1 to len) {
+      val stepped =
+        if (stp == 1)
+          // no predecessor yet: uniform over neighbors (DeepWalk rule)
+          frontier.join(adjd, frontier("node") === adjd("src"))
+            .filter(col("nrank") ===
+              pmod(rolling_hash(concat_ws("|", col("node"), col("walk"),
+                lit(stp.toString))), col("deg")))
+            .select(col("start"), col("walk"), col("dst").as("node"),
+              col("src").as("prev"))
+        else {
+          val wCum = Window.partitionBy("start", "walk").orderBy("dst")
+          val wTot = Window.partitionBy("start", "walk")
+          frontier.join(adjd, frontier("node") === adjd("src"))
+            .join(member,
+              col("dst") === col("m_src") && col("prev") === col("m_dst"),
+              "left")
+            .withColumn("wgt",
+              when(col("dst") === col("prev"), lit(wBack))
+                .when(col("m").isNotNull, lit(wCommon))
+                .otherwise(lit(wFar)))
+            .withColumn("cum", sum(col("wgt")).over(wCum))
+            .withColumn("tot", sum(col("wgt")).over(wTot))
+            // tot = 0 (every neighbor weighted 0 — possible on
+            // directed graphs when the return edge is missing and
+            // wCommon = wFar = 0): no pickable neighbor, the walk
+            // stops — mirror of the dangling-node rule, never an
+            // error. greatest(tot, 1) keeps ANSI mod happy; the rows
+            // then fail `pick < cum` anyway (every cum window is
+            // empty when all weights are 0), so no filter is needed
+            // and Catalyst cannot reorder one past the division.
+            .withColumn("pick",
+              pmod(rolling_hash(concat_ws("|", col("node"), col("prev"),
+                col("walk"), lit(stp.toString))), greatest(col("tot"), lit(1L))))
+            .filter(col("pick") >= col("cum") - col("wgt") &&
+              col("pick") < col("cum"))
+            .select(col("start"), col("walk"), col("dst").as("node"),
+              col("src").as("prev"))
+        }
+      frontier = stepped
+      out = out.unionByName(frontier.select(col("start"), col("walk"),
+        lit(stp.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
                          nWalks: Int, len: Int): DataFrame = {
     require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")

@@ -700,6 +700,17 @@ object CurationQueries {
         .orderBy("center", "context")
     },
 
+    // L63c (r11): node2vec biased walks — the 2nd-order variant:
+    // return/stay-local/explore weights (1/6/3) resolved against
+    // dst-ordered cumulative-weight windows, pick = hash mod total.
+    // As deterministic and oracle-replayable as the uniform walks.
+    "q_node2vec_walks" -> { (s, dir) =>
+      graft.operators.Walk.node2vecWalks(purchaseEdges(s, dir),
+          "src", "dst", nWalks = 2, len = 4,
+          wBack = 1L, wCommon = 6L, wFar = 3L)
+        .orderBy("start", "walk", "step")
+    },
+
     // L45b: TrustRank — teleport mass restricted to a trusted seed set
     // (suppliers from the first five nations stand in for a vetted
     // domain allowlist); rank becomes proximity-to-trust, the
@@ -1279,8 +1290,85 @@ object CurationQueries {
     sb.toString
   }
 
+  /** L63c: the biased-walk chain unrolled — per step a base CTE
+    * (neighbor weights via the prev-membership left join), a window
+    * CTE (cumulative + total integer weights), and the pick filter.
+    * Step 1 is the uniform rule (no predecessor). */
+  private def node2vecWalksSql(nWalks: Int, len: Int, wBack: Long,
+                               wCommon: Long, wFar: Long): String = {
+    def hashSql(keyExpr: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all($keyExpr, '.'),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (x, y) -> (x * 31 + y) % 1000000007)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (
+      |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM pairs
+      |    UNION ALL
+      |    SELECT dst AS src, src AS dst FROM pairs)),
+      |adj AS (
+      |  SELECT src, dst,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+      |         AS BIGINT) AS nrank
+      |  FROM edges),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM adj GROUP BY src),
+      |adjd AS (SELECT a.src, a.dst, a.nrank, d.deg
+      |         FROM adj a JOIN deg d USING (src)),
+      |s0 AS (
+      |  SELECT e.src AS start, CAST(u.w AS BIGINT) AS walk, e.src AS node
+      |  FROM (SELECT DISTINCT src FROM edges) e,
+      |       UNNEST(range(0, $nWalks)) AS u(w)),
+      |s1 AS (
+      |  SELECT f.start, f.walk, a.dst AS node, f.node AS prev
+      |  FROM s0 f JOIN adjd a ON f.node = a.src
+      |  WHERE a.nrank = ${hashSql(
+        "f.node || '|' || CAST(f.walk AS VARCHAR) || '|' || '1'")} % a.deg),
+      |""".stripMargin
+    for (r <- 2 to len) {
+      val h = hashSql(
+        s"cur || '|' || prev || '|' || CAST(walk AS VARCHAR) || '|' || '$r'")
+      sb ++= s"""b$r AS (
+        |  SELECT f.start, f.walk, f.node AS cur, f.prev, a.dst,
+        |    CASE WHEN a.dst = f.prev THEN CAST($wBack AS BIGINT)
+        |         WHEN m.m IS NOT NULL THEN CAST($wCommon AS BIGINT)
+        |         ELSE CAST($wFar AS BIGINT) END AS wgt
+        |  FROM s${r - 1} f
+        |  JOIN adjd a ON f.node = a.src
+        |  LEFT JOIN (SELECT src AS m_src, dst AS m_dst, 1 AS m FROM edges) m
+        |    ON a.dst = m.m_src AND f.prev = m.m_dst),
+        |w$r AS (
+        |  SELECT *,
+        |    SUM(wgt) OVER (PARTITION BY start, walk ORDER BY dst) AS cum,
+        |    SUM(wgt) OVER (PARTITION BY start, walk) AS tot
+        |  FROM b$r),
+        |s$r AS (
+        |  SELECT start, walk, dst AS node, cur AS prev FROM w$r
+        |  WHERE $h % GREATEST(tot, 1) >= cum - wgt
+        |    AND $h % GREATEST(tot, 1) < cum),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= "\nSELECT start, walk, step, node FROM (\n"
+    sb ++= ((0 to len).map { r =>
+      val proj = if (r == 0) "start, walk, node" else "start, walk, node"
+      s"  SELECT $proj, CAST($r AS BIGINT) AS step FROM s$r"
+    }).mkString("\n  UNION ALL\n")
+    sb ++= ") u ORDER BY start, walk, step"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
+
+    "q_node2vec_walks" -> node2vecWalksSql(nWalks = 2, len = 4,
+      wBack = 1L, wCommon = 6L, wFar = 3L),
 
     "q_walk_skipgrams" ->
       s"""WITH wtab AS (

@@ -36,6 +36,42 @@ class WalkSpec extends SparkSpec {
     }
   }
 
+  test("node2vec bias windows: pure-backtrack weights force alternating walks") {
+    // wBack=1, wCommon=0, wFar=0: after the uniform first hop every
+    // step MUST return to the predecessor (only the return edge has
+    // weight, and zero-weight neighbors get an empty cumulative
+    // window) — a crisp closed-form proof the weight windows and the
+    // pick arithmetic implement the bias, not just some valid hop
+    val w = Walk.node2vecWalks(edges, "src", "dst", nWalks = 2, len = 4,
+        wBack = 1L, wCommon = 0L, wFar = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    w.groupBy(t => (t._1, t._2)).values.foreach { rows =>
+      val path = rows.sortBy(_._3).map(_._4).toSeq
+      path.indices.foreach { i =>
+        if (i >= 2) assert(path(i) == path(i - 2),
+          s"pure backtrack must alternate: ${path.mkString("->")}")
+      }
+    }
+    // and the default bias still produces real edges deterministically
+    val b1 = Walk.node2vecWalks(edges, "src", "dst", 2, 4)
+      .orderBy("start", "walk", "step").collect().map(_.toSeq)
+    val b2 = Walk.node2vecWalks(edges.repartition(5), "src", "dst", 2, 4)
+      .orderBy("start", "walk", "step").collect().map(_.toSeq)
+    assert(b1.toSeq == b2.toSeq, "biased walks must be partition-invariant")
+    val edgeSet = edges.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    Walk.node2vecWalks(edges, "src", "dst", 1, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(t => (t._1, t._2)).values.foreach { rows =>
+        val path = rows.sortBy(_._3).map(_._4).toSeq
+        path.sliding(2).foreach { hop =>
+          if (hop.length == 2)
+            assert(edgeSet.contains((hop(0), hop(1))),
+              s"biased hop ${hop(0)}->${hop(1)} not an edge")
+        }
+      }
+  }
+
   test("walks are invariant to input partitioning (deterministic corpus)") {
     val w1 = Walk.deterministicWalks(edges, "src", "dst", 2, 4)
       .orderBy("start", "walk", "step").collect().map(_.toSeq)
