@@ -114,6 +114,52 @@ object Walk {
     out
   }
 
+  /** L63d: deterministic negative sampling for skip-gram training —
+    * word2vec's unigram^(3/4) noise distribution (Mikolov et al.
+    * '13), integer-exact: node weight w = 4·freq^{3/4} computed as
+    * floor(sqrt(floor(sqrt(freq³·256)))). Cross-engine determinism
+    * is guaranteed because BIGINT→DOUBLE casts round-to-nearest and
+    * IEEE sqrt is correctly rounded — every engine computes the SAME
+    * double chain (freq ≤ ~3.3e5 before the BIGINT product would
+    * overflow; ANSI mode fails loudly past that). K negatives per
+    * center are picked by rolling_hash(center|k) mod Σw against the
+    * node-ordered cumulative weight windows.
+    *
+    * The containment lookup (pick ∈ [cum−w, cum−1]) reuses
+    * [[RangeJoin.byBucket]], so the corpus-sized distribution table
+    * joins the picks as a bucketized equi-join — no cross product,
+    * no per-row scan of the distribution. The only driver-side value
+    * is Σw (one scalar aggregate, the bucket-width input). */
+  def negativeSamples(pairs: DataFrame, centerCol: String,
+                      contextCol: String, nPairsCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val wts = pairs.groupBy(col(contextCol).as("node"))
+      .agg(sum(col(nPairsCol)).as("freq"))
+      .withColumn("w", expr(
+        "CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256 " +
+          "AS DOUBLE))))) AS BIGINT)"))
+    // the cumulative window is GLOBAL but over the DISTRIBUTION table
+    // — node-set-sized (a model artifact, like the DSIR bucket table),
+    // never corpus-row-sized, so the single-partition sort is bounded
+    val win = wts
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy("node").rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val tot = win.agg(max(col("cum"))).head().getLong(0)
+    val picks = pairs.select(col(centerCol).as("center")).distinct()
+      .withColumn("k", explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("pick",
+        pmod(rolling_hash(concat_ws("|", col("center"), col("k"))),
+          lit(tot)))
+    RangeJoin.byBucket(picks,
+        win.select(col("node").as("neg_node"),
+          (col("cum") - col("w")).as("lo"), (col("cum") - 1).as("hi")),
+        keys = Seq(), ptCol = "pick", startCol = "lo", endCol = "hi",
+        bucketSize = math.max(1L, tot / 4096))
+      .select(col("center"), col("k"), col("neg_node"))
+  }
+
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
                          nWalks: Int, len: Int): DataFrame = {
     require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")

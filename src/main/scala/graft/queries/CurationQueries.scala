@@ -705,6 +705,25 @@ object CurationQueries {
       n2vTable(s, dir).orderBy("start", "walk", "step")
     },
 
+    // L63d (r11): word2vec-style negative sampling over the walk
+    // skip-grams — K=5 negatives per center from the integer-exact
+    // unigram^(3/4) distribution, picks resolved through the
+    // bucketized range join. Completes the embedding-training data
+    // chain walks → skip-grams → negatives, all hash-oracled.
+    "q_negative_samples" -> { (s, dir) =>
+      val w = walkTable(s, dir)
+      val sg = w.as("a").join(w.as("b"),
+          col("a.start") === col("b.start") &&
+            col("a.walk") === col("b.walk") &&
+            col("a.step") =!= col("b.step") &&
+            abs(col("a.step") - col("b.step")) <= 2)
+        .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+      graft.operators.Walk.negativeSamples(sg, "center", "context",
+          "n_pairs", k = 5)
+        .orderBy("center", "k")
+    },
+
     // L45b: TrustRank — teleport mass restricted to a trusted seed set
     // (suppliers from the first five nations stand in for a vetted
     // domain allowlist); rank becomes proximity-to-trust, the
@@ -1396,6 +1415,48 @@ object CurationQueries {
 
     "q_node2vec_walks" -> node2vecWalksSql(nWalks = 2, len = 4,
       wBack = 1L, wCommon = 6L, wFar = 3L),
+
+    // L63d: skip-grams → unigram^(3/4) weights (the exact double
+    // chain: BIGINT product → round-to-nearest cast → correctly-
+    // rounded sqrt, twice) → global cumulative windows → hash-mod
+    // picks resolved by interval containment (DuckDB's IEJoin handles
+    // the inequality join directly; Spark buckets it).
+    "q_negative_samples" ->
+      s"""WITH wtab AS (
+        |${graphWalksSql(2, 4).replace(" ORDER BY start, walk, step", "")}),
+        |sg AS (
+        |  SELECT a.node AS center, b.node AS context,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM wtab a JOIN wtab b
+        |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |    AND ABS(a.step - b.step) <= 2
+        |  GROUP BY 1, 2),
+        |freq AS (SELECT context AS node, CAST(SUM(n_pairs) AS BIGINT) AS freq
+        |         FROM sg GROUP BY 1),
+        |wts AS (
+        |  SELECT node,
+        |    CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256
+        |      AS DOUBLE))))) AS BIGINT) AS w
+        |  FROM freq),
+        |win AS (
+        |  SELECT node, w,
+        |    SUM(w) OVER (ORDER BY node
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER () AS tot
+        |  FROM wts),
+        |pk AS (
+        |  SELECT c.center, CAST(u.kk AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(
+        |        c.center || '|' || CAST(u.kk AS VARCHAR), '.'),
+        |        ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (x, y) -> (x * 31 + y) % 1000000007) % t.tot AS pick
+        |  FROM (SELECT DISTINCT center FROM sg) c,
+        |       UNNEST(range(1, 6)) AS u(kk),
+        |       (SELECT DISTINCT tot FROM win) t)
+        |SELECT p.center, p.k, w.node AS neg_node
+        |FROM pk p JOIN win w ON p.pick >= w.cum - w.w AND p.pick < w.cum
+        |ORDER BY center, k""".stripMargin,
 
     "q_walk_skipgrams" ->
       s"""WITH wtab AS (

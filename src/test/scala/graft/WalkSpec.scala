@@ -72,6 +72,32 @@ class WalkSpec extends SparkSpec {
       }
   }
 
+  test("negative sampling: exactly one negative per (center, k); bias follows weight") {
+    // skip-gram-shaped pair counts with one dominant context: the
+    // cumulative windows must partition [0, Σw) — every pick lands in
+    // EXACTLY one interval — and the heavy node must absorb most picks
+    val pairs = (Seq.tabulate(40)(i => (s"c$i", "hub", 50L)) ++
+      Seq.tabulate(40)(i => (s"c$i", "rare", 1L)))
+      .toDF("center", "context", "n_pairs")
+    val neg = Walk.negativeSamples(pairs, "center", "context", "n_pairs", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // exactly one negative for every (center, k): windows are disjoint
+    // AND complete (no pick lost at a boundary, none double-matched)
+    assert(neg.length == 40 * 4, s"expected 160 picks, got ${neg.length}")
+    assert(neg.map(t => (t._1, t._2)).distinct.length == 160,
+      "every (center, k) must resolve to exactly one negative")
+    // unigram^(3/4): hub weight ~ (40*50)^(3/4) vs rare ~ 40^(3/4) —
+    // ~19:1, so the hub must dominate the sample
+    val hub = neg.count(_._3 == "hub")
+    assert(hub > 120, s"hub should absorb most picks, got $hub/160")
+    // determinism under repartitioning
+    val n2 = Walk.negativeSamples(pairs.repartition(7), "center", "context",
+        "n_pairs", 4)
+      .orderBy("center", "k").collect().map(_.toSeq)
+    assert(n2.toSeq == Walk.negativeSamples(pairs, "center", "context",
+      "n_pairs", 4).orderBy("center", "k").collect().map(_.toSeq).toSeq)
+  }
+
   test("walks are invariant to input partitioning (deterministic corpus)") {
     val w1 = Walk.deterministicWalks(edges, "src", "dst", 2, 4)
       .orderBy("start", "walk", "step").collect().map(_.toSeq)
