@@ -71,7 +71,14 @@ object ScaleProbe {
     // out-degree at O(sqrt m); replicas are disjoint components so
     // true triangle count scales with the factor — the r10 verdict
     // asked for scale evidence on exactly this operator)
-    "q_dup_triangles")
+    "q_dup_triangles",
+    // r11 late: prefix-filter similarity join (replica-suffixed tokens
+    // multiply the vocab while per-token dfs stay constant, so the df²
+    // candidate volume scales LINEARLY with the factor — the Zipf
+    // assumption the operator banks on, measured); MMR rerank
+    // (candidate generation is a linear corpus scan against the fixed
+    // broadcast query set; the greedy rounds are corpus-independent)
+    "q_dedup_prefix", "q_retrieval_mmr")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
