@@ -602,12 +602,22 @@ object CurationQueries {
     // full hash (oracle pins the sf0.01 regime: n < 4608 → 8 cells,
     // n <= 65536 → full-sample train).
     "q_knn_graph" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val n = e.count()
-      Ann.knnGraphQuantized(e, "vec_id", "embedding", k = 5,
-          nClusters = math.max(8L, n / 512).toInt, iters = 2,
-          trainFraction = math.min(1.0, 65536.0 / n))
-        .orderBy("id", "rk")
+      knnEdges(s, dir).orderBy("id", "rk")
+    },
+
+    // L64 (r11): label spreading over the kNN graph (Zhu & Ghahramani
+    // label propagation, clamped seeds) — semi-supervised labeling:
+    // the 5% seed slice propagates integer 2^20-unit label mass for 3
+    // rounds (sum from neighbors, floor-normalize, re-clamp seeds);
+    // output = per-node argmax label. Fully hash-oracled via unrolled
+    // round CTEs over the same quantized knn-graph replay.
+    "q_label_spread" -> { (s, dir) =>
+      val seeds = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("node"), col("label"))
+      graft.operators.LabelSpread.spread(knnEdges(s, dir), "id", "nb",
+          seeds, "node", "label", iters = 3)
+        .orderBy("node")
     },
 
     // L38c: bulk cross-corpus kNN (semantic bulk join) — every
@@ -1018,6 +1028,25 @@ object CurationQueries {
     s.read.parquet(path)
   }
 
+  /** Memoized quantized kNN graph, persisted to a PATH — the
+    * training is integer-quantized (bit-deterministic), so build-once
+    * is exact; q_knn_graph and q_label_spread share it. */
+  private val knnEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = knnEdgesMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_knn_" + RelationalQueries.dirKey(d)
+      val e = t(s, d, "embeddings")
+      val n = e.count()
+      Ann.knnGraphQuantized(e, "vec_id", "embedding", k = 5,
+          nClusters = math.max(8L, n / 512).toInt, iters = 2,
+          trainFraction = math.min(1.0, 65536.0 / n))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val purchaseEdgesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
@@ -1410,6 +1439,30 @@ object CurationQueries {
     sb.toString
   }
 
+  /** Shared q_knn_graph replay (also embedded by the label-spread oracle). */
+  private val knnGraphOracleSql: String =
+
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0")},
+         |idxm AS (
+         |  SELECT nn_id, vec, c AS cluster FROM (
+         |    SELECT x.nn_id, x.vec, s.c,
+         |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
+         |    FROM v x CROSS JOIN c2 s) z WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.nn_id AS id, b.nn_id AS nb,
+         |    ${Shared.cosineSimSql("a.vec", "b.vec", 6)} AS cos
+         |  FROM idxm a JOIN idxm b
+         |    ON a.cluster = b.cluster AND a.nn_id <> b.nn_id),
+         |ranked AS (
+         |  SELECT id, nb, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY id
+         |                       ORDER BY cos DESC, nb ASC) AS rk
+         |  FROM cand)
+         |SELECT id, rk, nb, cos FROM ranked WHERE rk <= 5
+         |ORDER BY id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
 
@@ -1605,28 +1658,46 @@ object CurationQueries {
     // The quantized kNN-graph chain replayed end to end (training
     // included) — nClusters=8 / full-sample train pin the sf0.01
     // regime of the adaptive formula (n < 4608, n <= 65536).
-    "q_knn_graph" -> {
-      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
-            trainThrHex = "g0")},
-         |idxm AS (
-         |  SELECT nn_id, vec, c AS cluster FROM (
-         |    SELECT x.nn_id, x.vec, s.c,
-         |      ROW_NUMBER() OVER (PARTITION BY x.nn_id
-         |        ORDER BY ${Shared.l2qDistSql("x.vq", "s.cent")} ASC, s.c ASC) AS rn
-         |    FROM v x CROSS JOIN c2 s) z WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT a.nn_id AS id, b.nn_id AS nb,
-         |    ${Shared.cosineSimSql("a.vec", "b.vec", 6)} AS cos
-         |  FROM idxm a JOIN idxm b
-         |    ON a.cluster = b.cluster AND a.nn_id <> b.nn_id),
-         |ranked AS (
-         |  SELECT id, nb, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY id
-         |                       ORDER BY cos DESC, nb ASC) AS rk
-         |  FROM cand)
-         |SELECT id, rk, nb, cos FROM ranked WHERE rk <= 5
-         |ORDER BY id, rk""".stripMargin
+    "q_knn_graph" -> knnGraphOracleSql,
+
+    // L64: the spreading rounds unrolled over the same knn-graph
+    // replay — per round a propagate CTE (edge join + per-(node,
+    // label) sum), a floor-normalize CTE, and the seed re-clamp.
+    "q_label_spread" -> {
+      val rounds = new StringBuilder
+      for (i <- 1 to 3) {
+        rounds ++= s"""p$i AS (
+          |  SELECT e.eid AS pnode, s.label, CAST(SUM(s.score) AS BIGINT) AS raw
+          |  FROM ledges e JOIN r${i - 1} s ON e.enb = s.node
+          |  GROUP BY 1, 2),
+          |n$i AS (
+          |  SELECT p.pnode AS node, p.label,
+          |    CAST(p.raw * 1048576 // t.rs AS BIGINT) AS score
+          |  FROM p$i p JOIN (SELECT pnode, CAST(SUM(raw) AS BIGINT) AS rs
+          |                   FROM p$i GROUP BY 1) t USING (pnode)),
+          |r$i AS (
+          |  SELECT n.node, n.label, n.score FROM n$i n
+          |  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.node = n.node)
+          |  UNION ALL SELECT * FROM seed),
+          |""".stripMargin
+      }
+      s"""WITH eg AS (
+        |${knnGraphOracleSql.replace(" ORDER BY id, rk", "")}),
+        |ledges AS (SELECT id AS eid, nb AS enb FROM eg),
+        |seed AS (
+        |  SELECT vec_id AS node, label, CAST(1048576 AS BIGINT) AS score
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |r0 AS (SELECT * FROM seed),
+        |${rounds.toString.stripSuffix(",\n").stripSuffix(",")}
+        |SELECT node, label AS pred_label, score AS score_q,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM seed s WHERE s.node = z.node)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+        |FROM (SELECT r.*, ROW_NUMBER() OVER (PARTITION BY node
+        |        ORDER BY score DESC, label ASC) AS rk FROM r3 r) z
+        |WHERE rk = 1 ORDER BY node""".stripMargin
     },
+
+
 
     // The quantized bulk cross-corpus kNN replayed — corpus is
     // label<>0 (training side), queries are label=0; same regime pins
