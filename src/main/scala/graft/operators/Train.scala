@@ -83,4 +83,71 @@ object Train {
   def marginMicro(vec: Column, w: Array[Long]): Column =
     dot_product(concat(as_double_array(vec), array(lit(1.0))),
       typedLit(w.map(_.toDouble).toSeq)).cast("long")
+
+  /** L65 (r11): distributed skip-gram-with-negative-sampling
+    * embedding TRAINING (word2vec SGNS, Mikolov et al. '13) — the
+    * model is NODE-COUNT-sized ((node, dim) rows), so unlike
+    * [[logisticGd]] the weights never collect: each full-batch round
+    * is a pair of distributed joins + per-(node, dim) gradient sums,
+    * applied in place. Same determinism contract as the classifier
+    * trainer (integer 2^10-unit vectors, rational fast sigmoid,
+    * floor-quantized per-example gradients summed order-insensitively,
+    * floor damping), so the trained EMBEDDING TABLE itself carries a
+    * hash oracle — full-batch (synchronous) SGD is what makes an
+    * iterative embedding trainer engine-replayable at all.
+    *
+    * Init is hash-seeded (rolling_hash(node|d) mod 513 − 256): no RNG
+    * state, reproducible at any partitioning.
+    *
+    * Scale shape per round: examples×dims join products against the
+    * embedding table (E·D rows), two grad aggregates keyed (node,
+    * dim), one model-sized update join. Rounds localCheckpoint so the
+    * plan stays bounded (the k-means/label-spread discipline). */
+  def skipgramSgd(examples: DataFrame, centerCol: String, otherCol: String,
+                  yCol: String, dims: Int, rounds: Int,
+                  dampDen: Long = 65536L): DataFrame = {
+    require(dims >= 1 && rounds >= 1 && dampDen >= 1, "bad trainer params")
+    val ex = examples.select(col(centerCol).as("center"),
+        col(otherCol).as("x"), col(yCol).cast("double").as("y"))
+      .distinct().localCheckpoint(true)
+    val nodes = ex.select(col("center").as("node"))
+      .unionByName(ex.select(col("x").as("node"))).distinct()
+    var emb = nodes
+      .withColumn("d", explode(sequence(lit(0L), lit(dims - 1L))))
+      .withColumn("v",
+        pmod(rolling_hash(concat_ws("|", col("node"), col("d"))),
+          lit(513L)) - lit(256L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ec = emb.select(col("node").as("cn"), col("d"), col("v").as("cv"))
+      val exv = emb.select(col("node").as("xn"), col("d"), col("v").as("xv"))
+      // dot in 2^20-unit integers (each side 2^10); the natural-unit
+      // double chain below is replayed VERBATIM by the oracle
+      val g = ex
+        .join(ec, col("center") === col("cn"))
+        .join(exv, col("x") === col("xn") && ec("d") === exv("d"))
+        .groupBy("center", "x", "y")
+        .agg(sum(col("cv") * col("xv")).as("m_int"))
+        .withColumn("mnat", col("m_int") / lit(1048576.0))
+        .withColumn("sig", lit(0.5) +
+          col("mnat") / (lit(2.0) * (lit(1.0) + abs(col("mnat")))))
+        .select(col("center"), col("x"),
+          floor((col("y") - col("sig")) * 1024).cast("long").as("g"))
+      val cg = g.join(exv, col("x") === col("xn"))
+        .groupBy(col("center").as("node"), col("d"))
+        .agg(sum(col("g") * col("xv")).as("gs_c"))
+      val xg = g.join(ec, col("center") === col("cn"))
+        .groupBy(col("x").as("node"), col("d"))
+        .agg(sum(col("g") * col("cv")).as("gs_x"))
+      emb = emb
+        .join(cg, Seq("node", "d"), "left")
+        .join(xg, Seq("node", "d"), "left")
+        .select(col("node"), col("d"),
+          (col("v") + floor((coalesce(col("gs_c"), lit(0L)) +
+            coalesce(col("gs_x"), lit(0L))) / lit(dampDen.toDouble))
+            .cast("long")).as("v"))
+        .localCheckpoint(true)
+    }
+    emb
+  }
 }

@@ -734,6 +734,32 @@ object CurationQueries {
         .orderBy("center", "k")
     },
 
+    // L65 (r11): distributed word2vec SGNS embedding TRAINING over
+    // the walk corpus — positives = skip-gram pairs, negatives = the
+    // unigram^(3/4) samples; 8 dims, 2 full-batch rounds. The trained
+    // (node, dim) embedding table IS the hash-gated output: a
+    // node-count-sized model updated by distributed gradient sums
+    // (never collected), deterministic end-to-end (hash-seeded init,
+    // integer vectors, rational sigmoid, floor-quantized gradients).
+    "q_embed_train" -> { (s, dir) =>
+      val w = walkTable(s, dir)
+      val sg = w.as("a").join(w.as("b"),
+          col("a.start") === col("b.start") &&
+            col("a.walk") === col("b.walk") &&
+            col("a.step") =!= col("b.step") &&
+            abs(col("a.step") - col("b.step")) <= 2)
+        .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val pos = sg.select(col("center"), col("context").as("x"),
+        lit(1L).as("y"))
+      val neg = graft.operators.Walk.negativeSamples(sg, "center",
+          "context", "n_pairs", k = 5)
+        .select(col("center"), col("neg_node").as("x"), lit(0L).as("y"))
+      graft.operators.Train.skipgramSgd(pos.unionByName(neg),
+          "center", "x", "y", dims = 8, rounds = 2)
+        .orderBy("node", "d")
+    },
+
     // L45b: TrustRank — teleport mass restricted to a trusted seed set
     // (suppliers from the first five nations stand in for a vetted
     // domain allowlist); rank becomes proximity-to-trust, the
@@ -1463,7 +1489,118 @@ object CurationQueries {
          |SELECT id, rk, nb, cos FROM ranked WHERE rk <= 5
          |ORDER BY id, rk""".stripMargin
 
+  /** L63b skip-gram replay, no ORDER BY — shared with the
+    * negative-sampling and embedding-training oracles. */
+  private val skipgramsOracleSql: String =
+    s"""WITH wtab AS (
+      |${graphWalksSql(2, 4).replace(" ORDER BY start, walk, step", "")})
+      |SELECT a.node AS center, b.node AS context,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM wtab a JOIN wtab b
+      |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+      |  AND ABS(a.step - b.step) <= 2
+      |GROUP BY 1, 2""".stripMargin
+
+  /** L63d negatives replay, no ORDER BY — shared with the
+    * embedding-training oracle. See the map entry for the chain
+    * commentary. */
+  private val negativeSamplesOracleSql: String =
+    s"""WITH sg AS (
+      |  SELECT * FROM (
+      |${skipgramsOracleSql}
+      |  ) zsg),
+      |freq AS (SELECT context AS node, CAST(SUM(n_pairs) AS BIGINT) AS freq
+      |         FROM sg GROUP BY 1),
+      |wts AS (
+      |  SELECT node,
+      |    CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256
+      |      AS DOUBLE))))) AS BIGINT) AS w
+      |  FROM freq),
+      |win AS (
+      |  SELECT node, w,
+      |    SUM(w) OVER (ORDER BY node
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER () AS tot
+      |  FROM wts),
+      |pk AS (
+      |  SELECT c.center, CAST(u.kk AS BIGINT) AS k,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(
+      |        c.center || '|' || CAST(u.kk AS VARCHAR), '.'),
+      |        ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (x, y) -> (x * 31 + y) % 1000000007) % t.tot AS pick
+      |  FROM (SELECT DISTINCT center FROM sg) c,
+      |       UNNEST(range(1, 6)) AS u(kk),
+      |       (SELECT DISTINCT tot FROM win) t)
+      |SELECT p.center, p.k, w.node AS neg_node
+      |FROM pk p JOIN win w ON p.pick >= w.cum - w.w AND p.pick < w.cum""".stripMargin
+
+  /** L65: the SGNS training rounds unrolled — per round a dot CTE
+    * (example join against both embedding sides), the rational-
+    * sigmoid gradient, two per-(node, dim) gradient sums, and the
+    * floor-damped update. Builds on the skip-gram and negatives
+    * replays. */
+  private def embedTrainSql(dims: Int, rounds: Int, dampDen: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH negs AS MATERIALIZED (
+      |  SELECT * FROM (
+      |${negativeSamplesOracleSql}
+      |  ) zn),
+      |sg2 AS MATERIALIZED (
+      |  SELECT * FROM (
+      |${skipgramsOracleSql}
+      |  ) zs),
+      |ex AS MATERIALIZED (
+      |  SELECT center, context AS x, CAST(1 AS DOUBLE) AS y FROM sg2
+      |  UNION
+      |  SELECT center, neg_node AS x, CAST(0 AS DOUBLE) AS y FROM negs),
+      |lnodes AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT center AS node FROM ex UNION ALL SELECT x AS node FROM ex) u),
+      |e0 AS MATERIALIZED (
+      |  SELECT n.node, CAST(u.dd AS BIGINT) AS d,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(
+      |        n.node || '|' || CAST(u.dd AS VARCHAR), '.'),
+      |        ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (x, y) -> (x * 31 + y) % 1000000007) % 513 - 256 AS v
+      |  FROM lnodes n, UNNEST(range(0, $dims)) AS u(dd)),
+      |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s"""m$r AS MATERIALIZED (
+        |  SELECT e.center, e.x, e.y, CAST(SUM(c.v * t.v) AS BIGINT) AS m_int
+        |  FROM ex e
+        |  JOIN e${r - 1} c ON c.node = e.center
+        |  JOIN e${r - 1} t ON t.node = e.x AND t.d = c.d
+        |  GROUP BY 1, 2, 3),
+        |g$r AS MATERIALIZED (
+        |  SELECT center, x,
+        |    CAST(FLOOR((y - (0.5 + (m_int / 1048576.0) /
+        |      (2.0 * (1.0 + ABS(m_int / 1048576.0))))) * 1024) AS BIGINT) AS g
+        |  FROM m$r),
+        |cg$r AS MATERIALIZED (
+        |  SELECT g.center AS node, t.d, CAST(SUM(g.g * t.v) AS BIGINT) AS gs
+        |  FROM g$r g JOIN e${r - 1} t ON t.node = g.x GROUP BY 1, 2),
+        |xg$r AS MATERIALIZED (
+        |  SELECT g.x AS node, c.d, CAST(SUM(g.g * c.v) AS BIGINT) AS gs
+        |  FROM g$r g JOIN e${r - 1} c ON c.node = g.center GROUP BY 1, 2),
+        |e$r AS MATERIALIZED (
+        |  SELECT n.node, n.d,
+        |    n.v + CAST(FLOOR((COALESCE(c.gs, 0) + COALESCE(xx.gs, 0))
+        |      / $dampDen.0) AS BIGINT) AS v
+        |  FROM e${r - 1} n
+        |  LEFT JOIN cg$r c ON c.node = n.node AND c.d = n.d
+        |  LEFT JOIN xg$r xx ON xx.node = n.node AND xx.d = n.d),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= s"\nSELECT node, d, v FROM e$rounds ORDER BY node, d"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embed_train" -> embedTrainSql(dims = 8, rounds = 2, dampDen = 65536L),
+
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
 
     "q_node2vec_walks" -> node2vecWalksSql(nWalks = 2, len = 4,
@@ -1475,51 +1612,9 @@ object CurationQueries {
     // picks resolved by interval containment (DuckDB's IEJoin handles
     // the inequality join directly; Spark buckets it).
     "q_negative_samples" ->
-      s"""WITH wtab AS (
-        |${graphWalksSql(2, 4).replace(" ORDER BY start, walk, step", "")}),
-        |sg AS (
-        |  SELECT a.node AS center, b.node AS context,
-        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |  FROM wtab a JOIN wtab b
-        |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
-        |    AND ABS(a.step - b.step) <= 2
-        |  GROUP BY 1, 2),
-        |freq AS (SELECT context AS node, CAST(SUM(n_pairs) AS BIGINT) AS freq
-        |         FROM sg GROUP BY 1),
-        |wts AS (
-        |  SELECT node,
-        |    CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256
-        |      AS DOUBLE))))) AS BIGINT) AS w
-        |  FROM freq),
-        |win AS (
-        |  SELECT node, w,
-        |    SUM(w) OVER (ORDER BY node
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(w) OVER () AS tot
-        |  FROM wts),
-        |pk AS (
-        |  SELECT c.center, CAST(u.kk AS BIGINT) AS k,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(
-        |        c.center || '|' || CAST(u.kk AS VARCHAR), '.'),
-        |        ch -> CAST(unicode(ch) AS BIGINT))),
-        |      (x, y) -> (x * 31 + y) % 1000000007) % t.tot AS pick
-        |  FROM (SELECT DISTINCT center FROM sg) c,
-        |       UNNEST(range(1, 6)) AS u(kk),
-        |       (SELECT DISTINCT tot FROM win) t)
-        |SELECT p.center, p.k, w.node AS neg_node
-        |FROM pk p JOIN win w ON p.pick >= w.cum - w.w AND p.pick < w.cum
-        |ORDER BY center, k""".stripMargin,
+      (negativeSamplesOracleSql + "\nORDER BY center, k"),
 
-    "q_walk_skipgrams" ->
-      s"""WITH wtab AS (
-        |${graphWalksSql(2, 4).replace(" ORDER BY start, walk, step", "")})
-        |SELECT a.node AS center, b.node AS context,
-        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |FROM wtab a JOIN wtab b
-        |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
-        |  AND ABS(a.step - b.step) <= 2
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_walk_skipgrams" -> (skipgramsOracleSql + "\nORDER BY 1, 2"),
 
     // 11b: BPE apply under the frozen merge table. Exact replay of
     // BpeKernel.encodeWord's greedy loop: the recursive CTE is the

@@ -64,4 +64,36 @@ class TrainSpec extends SparkSpec {
       .toDouble / preds.length
     assert(acc == 1.0, s"separable set not separated, accuracy $acc")
   }
+
+  test("skipgram SGNS: positive pairs end closer than negatives; deterministic") {
+    import spark.implicits._
+    // two 4-cliques wired as positives within, negatives across: the
+    // trained embeddings must score within-clique dots above
+    // cross-clique dots on average (the SGNS learning signal)
+    val nodesA = Seq("a1", "a2", "a3", "a4")
+    val nodesB = Seq("b1", "b2", "b3", "b4")
+    def pairs(ns: Seq[String]) =
+      for (x <- ns; y <- ns if x != y) yield (x, y, 1L)
+    val pos = pairs(nodesA) ++ pairs(nodesB)
+    val neg = for (x <- nodesA; y <- nodesB) yield (x, y, 0L)
+    val ex = (pos ++ neg).toDF("center", "x", "y")
+    val emb = Train.skipgramSgd(ex, "center", "x", "y", dims = 8,
+        rounds = 4, dampDen = 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def dot(u: String, v: String): Double =
+      (0L until 8L).map(d => emb((u, d)).toDouble * emb((v, d))).sum
+    val posAvg = pos.map { case (u, v, _) => dot(u, v) }.sum / pos.size
+    val negAvg = neg.map { case (u, v, _) => dot(u, v) }.sum / neg.size
+    assert(posAvg > negAvg,
+      s"training must pull positives together: pos $posAvg <= neg $negAvg")
+    // determinism: hash-seeded init + full-batch rounds — identical
+    // embeddings at any partitioning
+    val again = Train.skipgramSgd(ex.repartition(7), "center", "x", "y",
+        dims = 8, rounds = 4, dampDen = 4096L)
+      .orderBy("node", "d").collect().map(_.toSeq)
+    val base = Train.skipgramSgd(ex, "center", "x", "y", dims = 8,
+        rounds = 4, dampDen = 4096L)
+      .orderBy("node", "d").collect().map(_.toSeq)
+    assert(again.toSeq == base.toSeq, "SGNS must be partition-invariant")
+  }
 }
