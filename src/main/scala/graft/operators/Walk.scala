@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 import graft.functions._
 
@@ -79,9 +80,7 @@ object Walk {
             .select(col("start"), col("walk"), col("dst").as("node"),
               col("src").as("prev"))
         else {
-          val wCum = Window.partitionBy("start", "walk").orderBy("dst")
-          val wTot = Window.partitionBy("start", "walk")
-          frontier.join(adjd, frontier("node") === adjd("src"))
+          val weighted = frontier.join(adjd, frontier("node") === adjd("src"))
             .join(member,
               col("dst") === col("m_src") && col("prev") === col("m_dst"),
               "left")
@@ -89,8 +88,20 @@ object Walk {
               when(col("dst") === col("prev"), lit(wBack))
                 .when(col("m").isNotNull, lit(wCommon))
                 .otherwise(lit(wFar)))
-            .withColumn("cum", sum(col("wgt")).over(wCum))
-            .withColumn("tot", sum(col("wgt")).over(wTot))
+          // cumulative weights via the keyed two-level prefix sum, not
+          // a per-(start,walk) ORDER BY window: the window partition
+          // there is degree-sized, and a hub node (every walk sitting
+          // on it, neighbor list in the millions) would serialize one
+          // task per walk on the full list. Bucket = nrank scaled into
+          // <=256 cells — order-aligned with dst BY CONSTRUCTION
+          // (nrank IS the dst rank within src), so the cum values are
+          // bit-identical to the one-window formulation the DuckDB
+          // oracle runs; only the plan changes (widest window
+          // partition ~deg/256).
+          PrefixSum.keyed(weighted,
+              partCols = Seq("start", "walk"), orderCols = Seq("nrank"),
+              valueCol = col("wgt"),
+              bucket = expr("(nrank * 256) div deg"))
             // tot = 0 (every neighbor weighted 0 — possible on
             // directed graphs when the return edge is missing and
             // wCommon = wFar = 0): no pickable neighbor, the walk
@@ -139,12 +150,37 @@ object Walk {
       .withColumn("w", expr(
         "CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256 " +
           "AS DOUBLE))))) AS BIGINT)"))
-    // the cumulative window is GLOBAL but over the DISTRIBUTION table
-    // — node-set-sized (a model artifact, like the DSIR bucket table),
-    // never corpus-row-sized, so the single-partition sort is bounded
-    val win = wts
-      .withColumn("cum", sum(col("w")).over(
-        Window.orderBy("node").rowsBetween(Window.unboundedPreceding, 0)))
+    // empty feed: no distribution to sample from — an empty typed
+    // result, never an NPE off the null max(cum) downstream
+    if (wts.isEmpty)
+      return pairs.select(col(centerCol).as("center"), lit(1L).as("k"),
+        col(contextCol).as("neg_node")).limit(0)
+    // the cumulative-weight table is a GLOBAL prefix sum over the
+    // distribution — node-set-sized today, but for graph embeddings
+    // over user/doc graphs the node set GROWS with the corpus, so an
+    // unpartitioned ORDER BY window (one global sort through one
+    // task) is the wrong plan shape. Bucketed two-level prefix sum
+    // instead (widest task = one bucket); cum values are identical,
+    // so the oracle's one-window formulation still hash-matches.
+    val bkt: Column = wts.schema("node").dataType match {
+      case StringType =>
+        // code-point prefix: order-aligned with Spark's binary
+        // UTF8 string comparison (UTF-8 preserves code-point order)
+        substring(col("node"), 1, 2)
+      case ByteType | ShortType | IntegerType | LongType =>
+        val mm = wts.agg(min(col("node").cast("long")),
+          max(col("node").cast("long"))).head()
+        val lo = BigInt(mm.getLong(0))
+        val width = (BigInt(mm.getLong(1)) - lo) / 256 + 1
+        floor((col("node").cast("decimal(38,0)") - lit(BigDecimal(lo))) /
+          lit(BigDecimal(width))).cast("long")
+      case _ =>
+        // no order-aligned bucket without type knowledge: one bucket
+        // (= the old bounded-vocabulary behavior)
+        lit(0L)
+    }
+    val win = PrefixSum.bucketed(wts, orderCols = Seq("node"),
+        valueCol = col("w"), bucket = bkt, outCol = "cum")
       .localCheckpoint(true)
     val tot = win.agg(max(col("cum"))).head().getLong(0)
     val picks = pairs.select(col(centerCol).as("center")).distinct()

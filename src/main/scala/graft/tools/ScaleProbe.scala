@@ -78,7 +78,12 @@ object ScaleProbe {
     // assumption the operator banks on, measured); MMR rerank
     // (candidate generation is a linear corpus scan against the fixed
     // broadcast query set; the greedy rounds are corpus-independent)
-    "q_dedup_prefix", "q_retrieval_mmr")
+    "q_dedup_prefix", "q_retrieval_mmr",
+    // r12: the walk-chain cumulative-weight tables now build via the
+    // bucketed prefix sum — the probe's strided purchase graph grows
+    // the NODE table with the corpus (the exact regime the r11 verdict
+    // flagged the old global ORDER BY window for)
+    "q_negative_samples", "q_node2vec_walks")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
