@@ -80,11 +80,50 @@ object Resolve {
 
   /** Canonical map `(name, canon)` over the whole inventory: `canon`
     * is the lexicographically-smallest member of the name's transitive
-    * fuzzy cluster (min-label propagation via [[Dedup.clusters]]);
-    * names with no fuzzy neighbor map to themselves. */
-  def canonicalize(inv: DataFrame, pairs: DataFrame): DataFrame = {
-    val clustered = Dedup.clusters(pairs, "name_a", "name_b")
-      .select(col("id").as("name"), col("cluster").as("canon"))
+    * fuzzy cluster; names with no fuzzy neighbor map to themselves.
+    *
+    * The fuzzy pair graph is INVENTORY-bounded (vocabulary-scale — a
+    * model artifact, never corpus-row-sized), so the transitive
+    * closure runs as a driver-side union-find over the collected pair
+    * list: one job, zero propagation rounds. Distributed min-label
+    * propagation ([[Dedup.clusters]]) paid ~4 rounds of fixed
+    * job-scheduling cost for a graph that fits driver memory by
+    * construction; it remains the fallback should an inventory ever
+    * outgrow `maxDriverPairs` (the same bounded-artifact contract as
+    * collecting centroids or vocab tables). */
+  def canonicalize(inv: DataFrame, pairs: DataFrame,
+                   maxDriverPairs: Int = 2000000): DataFrame = {
+    val es = pairs.select("name_a", "name_b")
+      .limit(maxDriverPairs + 1).collect()
+    val clustered =
+      if (es.length > maxDriverPairs)
+        Dedup.clusters(pairs, "name_a", "name_b")
+          .select(col("id").as("name"), col("cluster").as("canon"))
+      else {
+        // union-find where the smaller root always wins: each tree's
+        // root is inductively the min member of its component, so
+        // find(x) IS the canonical label — no second pass needed
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        es.foreach { row =>
+          val ra = find(row.getString(0)); val rb = find(row.getString(1))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val names = es.iterator
+          .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+          .distinct.toSeq
+        val sp = inv.sparkSession
+        import sp.implicits._
+        broadcast(names.map(nm => (nm, find(nm))).toDF("name", "canon"))
+      }
     inv.select("name")
       .join(clustered, Seq("name"), "left")
       .select(col("name"), coalesce(col("canon"), col("name")).as("canon"))

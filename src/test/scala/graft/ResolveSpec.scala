@@ -57,6 +57,21 @@ class ResolveSpec extends SparkSpec {
     assert(rolled == Map("acme c0rp" -> 3L, "other co" -> 1L))
   }
 
+  test("driver union-find == distributed propagation on the same pair graph") {
+    // chains, a cycle, singletons — the union-find fast path and the
+    // Dedup.clusters fallback (forced via maxDriverPairs = 0) must
+    // emit the identical canonical map
+    val vals = Seq("aaaa x", "aaab x", "aabb x", "bbbb x", "solo y",
+      "ring a", "ring b", "ring c", "lone z")
+    val i = Resolve.inventory(vals.toDF("v"), "v")
+    val pairs = Resolve.fuzzyPairs(i, 2)
+    val fast = Resolve.canonicalize(i, pairs)
+      .as[(String, String)].collect().toMap
+    val dist = Resolve.canonicalize(i, pairs, maxDriverPairs = 0)
+      .as[(String, String)].collect().toMap
+    assert(fast == dist)
+  }
+
   test("inventory is the only corpus-sized input: pair graph is value-level") {
     // 1000 rows but only 3 distinct values -> at most 3 inventory rows
     // and 1 verified pair, independent of row count.
