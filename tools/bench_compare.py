@@ -41,6 +41,21 @@ def main() -> int:
 
     for q, b, c in regressed:
         print(f"REGRESSED {q}: baseline {b:.2f}s -> current {c:.2f}s ({c / b:.1f}x)")
+
+    # Queries whose reported min came from the third anti-noise sample:
+    # if the symmetric 2-run estimator would have regressed, say so —
+    # the extra sample must not silently hide a borderline regression.
+    try:
+        import os
+        rpath = os.path.join(os.path.dirname(cur_path) or ".", "bench_retries.json")
+        for q, mm in sorted(json.load(open(rpath)).items()):
+            if q in base and mm["min2"] >= factor * base[q] and mm["min2"] >= 0.5 \
+                    and not any(r[0] == q for r in regressed):
+                print(f"RETRY-RESCUED {q}: 2-run min {mm['min2']:.2f}s would regress "
+                      f"(baseline {base[q]:.2f}s), 3-run min {mm['min3']:.2f}s passes "
+                      f"— adjudicate on a quiet box")
+    except FileNotFoundError:
+        pass
     if new:
         print(f"NEW (no baseline yet): {', '.join(new)}")
     if gone:
