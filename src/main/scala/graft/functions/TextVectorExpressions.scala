@@ -111,6 +111,19 @@ object Kernels {
   }
 
   /** Jaccard of two sorted long arrays (single merge pass, no alloc). */
+  def interGeSorted(a: ArrayData, b: ArrayData, minInter: Long): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      if (inter + math.min(n - i, m - j) < minInter) return -1L
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return 1.0
@@ -959,6 +972,30 @@ case class Fnv64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fnv64($c)")
   override protected def withNewChildInternal(c: Expression): Fnv64 = copy(c)
+}
+
+/** Exact intersection size of two SORTED distinct long arrays, with
+  * the PPJoin suffix-style early abort: returns -1 the moment
+  * inter-so-far + min(remaining) drops below `minInter` — the
+  * can't-reach-the-required-overlap bound (Xiao et al. WWW'08) applied
+  * ONLINE during the merge, so sub-threshold pairs (the vast majority
+  * after candidate generation) stop scanning early instead of paying
+  * the full intersect + a post-hoc filter. Callers filter on
+  * `result >= minInter`, so -1 and the true sub-threshold count are
+  * interchangeable; passing pairs get the exact count. */
+case class InterGeSorted(first: Expression, second: Expression,
+                         third: Expression) extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "inter_ge_sorted"
+  override def nullSafeEval(a: Any, b: Any, h: Any): Any =
+    Kernels.interGeSorted(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, h) => s"graft.functions.Kernels.interGeSorted($a, $b, $h)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): InterGeSorted =
+    copy(first = f, second = s, third = t)
 }
 
 /** Jaccard similarity of two SORTED long arrays via a single merge

@@ -22,6 +22,8 @@ package object functions {
   def rolling_hash(text: Column): Column = col2(RollingHash(ex(text)))
   def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
   def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))
+  def inter_ge_sorted(a: Column, b: Column, minInter: Column): Column =
+    col2(InterGeSorted(ex(a), ex(b), ex(minInter)))
 
   /** Distinct sorted FNV-64 token-id set — the cheap join/verify
     * representation of a document's word set. */

@@ -98,6 +98,9 @@ object Dedup {
     // Salting only redistributes work; the pair SET is unchanged, so
     // the (unsalted) SQL oracle replays the same result.
     val B = 16
+    // (measured r12: checkpointing this table for branch reuse LOST
+    // ~25% — the rebuild-per-branch pipelines inside the join stages,
+    // while an eager cut serializes materialize-then-join)
     val prefix = ordered.filter(
         col("rk") <= col("sz") -
           expr(s"($num * sz + $den - 1) div $den") + 1)
@@ -112,6 +115,19 @@ object Dedup {
     // can't reach it. Exact (a theorem, like the prefix bound) and the
     // big candidate cutter on dense corpora where every token is
     // frequent and the df² fan-out would otherwise dominate.
+    // the pair-dedup groupBy (was a distinct()) ALSO aggregates the
+    // evidence the pair-level positional filter needs: c = number of
+    // shared PREFIX tokens, (pamax, pbmax) = componentwise-max match
+    // positions. Both docs' token lists are sorted by the same global
+    // (df, tok) order, so positions are order-homomorphic across the
+    // pair: any shared token at position <= pamax in one doc sits
+    // before the pamax-token's position in the OTHER doc too, hence
+    // inside both prefixes, hence already counted in c. Every shared-
+    // but-uncounted token therefore lies past BOTH maxima, giving the
+    // exact (suffix-side) bound overlap <= c + min(sza−pamax,
+    // szb−pbmax) — the match-count form of PPJoin's positional/suffix
+    // prune, one more exactness-preserving cut before the verify
+    // joins, at zero extra shuffles (the groupBy replaces distinct).
     val cand = a.join(b,
         col("a.tok") === col("b.tok") &&
           col("a.bu") === col("b.bu") && col("a.bv") === col("b.bv") &&
@@ -122,26 +138,38 @@ object Dedup {
             s"($num * (a.sz + b.sz) + ${num + den - 1}) div ${num + den}"))
       .select(least(col("a.id"), col("b.id")).as("id1"),
         greatest(col("a.id"), col("b.id")).as("id2"),
-        (col("a.sz") + col("b.sz")).as("szsum"))
-      .distinct()
+        col("a.sz").as("sza"), col("b.sz").as("szb"),
+        col("a.rk").as("pa"), col("b.rk").as("pb"))
+      .groupBy("id1", "id2")
+      .agg(max(col("sza")).as("sza"), max(col("szb")).as("szb"),
+        count(lit(1)).as("c"),
+        max(col("pa")).as("pamax"), max(col("pb")).as("pbmax"))
+      .filter(expr(s"c + least(sza - pamax, szb - pbmax) >= " +
+        s"($num * (sza + szb) + ${num + den - 1}) div ${num + den}"))
+      .select(col("id1"), col("id2"), (col("sza") + col("szb")).as("szsum"))
     // verify map-side over compact token-ID sets (the jaccardPairs
     // kernel): joining candidate pairs back to exploded token ROWS
     // would shuffle |pairs|·|set| rows (65M at the bench SF); two
-    // joins against the doc-count-sized set table + one
-    // array_intersect per pair shuffles only the pairs. No broadcast
-    // hint — the set table grows with the corpus, so stats/AQE pick
-    // (the q_join_multi rule).
+    // joins against the doc-count-sized set table + ONE early-abort
+    // merge per pair (inter_ge_sorted: stops the moment the required
+    // overlap H is unreachable — the suffix filter's bound applied
+    // online) shuffle only the pairs. jac >= num/den <=> inter >= H =
+    // ceil(num·szsum/(num+den)) (integer cross-multiply), so the
+    // kernel's -1 early exits and true sub-H counts filter
+    // identically. No broadcast hint — the set table grows with the
+    // corpus, so stats/AQE pick (the q_join_multi rule).
     val sets = docs.select(col(idCol).as("id"),
       token_id_set(tokenize_ws(col(textCol))).as("ids"))
     cand
       .join(sets.select(col("id").as("id1"), col("ids").as("ids1")), "id1")
       .join(sets.select(col("id").as("id2"), col("ids").as("ids2")), "id2")
+      .withColumn("minh",
+        expr(s"($num * szsum + ${num + den - 1}) div ${num + den}"))
       .withColumn("inter",
-        size(array_intersect(col("ids1"), col("ids2"))).cast("long"))
-      .withColumn("uni", col("szsum") - col("inter"))
-      .filter(col("inter") * den >= col("uni") * num)
+        inter_ge_sorted(col("ids1"), col("ids2"), col("minh")))
+      .filter(col("inter") >= col("minh"))
       .select(col("id1"), col("id2"),
-        expr("inter * 1000000 div uni").as("jac_micro"))
+        expr("inter * 1000000 div (szsum - inter)").as("jac_micro"))
   }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
