@@ -133,33 +133,137 @@ object Multimodal {
     * division), so the fingerprint is engine-portable and the
     * downstream Hamming dedup ([[Dedup.hammingPairs]]) is oracled.
     * Blocks with no bytes (payload < 64 bytes) contribute 0 bits. */
+  /** The deterministic byte-walk fingerprint shared by
+    * [[perceptualHash]] (always) and [[perceptualHashReal]]'s
+    * unrecognized-payload fallback — one definition so the two paths
+    * can never drift on synthetic corpora. */
+  private[operators] def byteWalkHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    // sums(blk)·n ≤ 255n²/64 must stay inside Long — wraps (wrong
+    // bits, silent oracle divergence) past ~1.5e9 bytes; a payload
+    // that size belongs in chunked storage anyway. Fail loudly.
+    require(n <= 1_000_000_000,
+      s"payload is $n bytes; perceptualHash supports <= 1e9")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = (payload(i) & 0xFF).toLong
+      val blk = ((i.toLong * 64L) / n).toInt
+      sums(blk) += b; cnts(blk) += 1L; total += b
+      i += 1
+    }
+    var fp = 0L
+    var blk = 0
+    while (blk < 64) {
+      if (cnts(blk) > 0L && sums(blk) * n > total * cnts(blk))
+        fp |= (1L << blk)
+      blk += 1
+    }
+    fp
+  }
+
   def perceptualHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
     media.mapPartitions { rows =>
       // real impl: one native decoder context per partition, as above
+      rows.map(r => PHashRow(r.doc_id, byteWalkHash(r.payload)))
+    }(Encoders.product[PHashRow])
+  }
+
+  /** Classic DCT pHash over REAL pixels (the r11 verdict's ask): box-
+    * filter area-average grayscale downscale to 32×32 (own loop, not
+    * AWT scaling — platform-deterministic), 2-D DCT-II, and the 8×8
+    * low-frequency block thresholded against its AC mean. Every step
+    * is the published pHash construction; the decode is the JDK's own
+    * ImageIO (PNG/BMP/GIF/JPEG), so this is a REAL image near-dup
+    * fingerprint with zero new dependencies. */
+  def pixelPHash(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.ofDim[Double](N, N)
+    var by = 0
+    while (by < N) {
+      var bx = 0
+      while (bx < N) {
+        // cell [x0,x1)×[y0,y1): non-empty for any image size (max
+        // guard handles w,h < 32 — cells then overlap-sample pixels)
+        val x0 = (bx.toLong * w / N).toInt
+        val x1 = math.max(x0 + 1, ((bx + 1).toLong * w / N).toInt)
+        val y0 = (by.toLong * h / N).toInt
+        val y1 = math.max(y0 + 1, ((by + 1).toLong * h / N).toInt)
+        var s = 0L; var c = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma ×1000 — exact, portable
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            c += 1; x += 1
+          }
+          y += 1
+        }
+        g(by)(bx) = s.toDouble / c
+        bx += 1
+      }
+      by += 1
+    }
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < N) {
+          var x = 0
+          while (x < N) {
+            s += g(y)(x) *
+              math.cos((2 * y + 1) * u * math.Pi / (2 * N)) *
+              math.cos((2 * x + 1) * v * math.Pi / (2 * N))
+            x += 1
+          }
+          y += 1
+        }
+        dct(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var tot = 0.0
+    var i = 0
+    while (i < 64) {
+      if (i != 0) tot += dct(i / 8)(i % 8) // exclude DC
+      i += 1
+    }
+    val mean = tot / 63.0
+    var fp = 0L
+    i = 0
+    while (i < 64) {
+      if (dct(i / 8)(i % 8) > mean) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** [[perceptualHash]] with the REAL codec in front (the
+    * [[decodeMetaReal]] contract): payloads a registered ImageIO
+    * reader recognizes get full pixel decode + [[pixelPHash]] — true
+    * resize/re-encode-robust image fingerprints; anything
+    * unrecognized falls back to the deterministic byte-walk, so
+    * synthetic corpora and the oracled q_multimodal_phash chain are
+    * untouched. Same mapPartitions batch shape (a production build
+    * swaps ImageIO for a native decoder in the same loop). */
+  def perceptualHashReal(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    val stubHash: Array[Byte] => Long = byteWalkHash
+    media.mapPartitions { rows =>
       rows.map { r =>
-        val n = r.payload.length
-        // sums(blk)·n ≤ 255n²/64 must stay inside Long — wraps (wrong
-        // bits, silent oracle divergence) past ~1.5e9 bytes; a payload
-        // that size belongs in chunked storage anyway. Fail loudly.
-        require(n <= 1_000_000_000,
-          s"payload of ${r.doc_id} is $n bytes; perceptualHash supports <= 1e9")
-        val sums = new Array[Long](64)
-        val cnts = new Array[Long](64)
-        var total = 0L
-        var i = 0
-        while (i < n) {
-          val b = (r.payload(i) & 0xFF).toLong
-          val blk = ((i.toLong * 64L) / n).toInt
-          sums(blk) += b; cnts(blk) += 1L; total += b
-          i += 1
-        }
-        var fp = 0L
-        var blk = 0
-        while (blk < 64) {
-          if (cnts(blk) > 0L && sums(blk) * n > total * cnts(blk))
-            fp |= (1L << blk)
-          blk += 1
-        }
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        val fp = if (img != null) pixelPHash(img) else stubHash(r.payload)
         PHashRow(r.doc_id, fp)
       }
     }(Encoders.product[PHashRow])

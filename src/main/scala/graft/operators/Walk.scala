@@ -196,6 +196,116 @@ object Walk {
       .select(col("center"), col("k"), col("neg_node"))
   }
 
+  /** L63e: grouped (per-tenant) walk corpora — [[deterministicWalks]]
+    * confined to each group's subgraph: adjacency ranks, degrees, and
+    * frontier joins all carry `grpCol`, so a group's walks are
+    * BIT-IDENTICAL to a solo run over that group's edges (the step
+    * hash never sees the group — determinism comes from the per-group
+    * adjacency being equal to the solo adjacency). One corpus pass
+    * serves every tenant; the per-group equivalence is the spec gate
+    * and the DuckDB twin replays the same grouped chain. */
+  def deterministicWalksGrouped(edges: DataFrame, grpCol: String,
+                                srcCol: String, dstCol: String,
+                                nWalks: Int, len: Int): DataFrame = {
+    require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")
+    val adj = edges.select(col(grpCol).as("grp"), col(srcCol).as("src"),
+        col(dstCol).as("dst"))
+      .distinct()
+      .withColumn("nrank",
+        (row_number().over(Window.partitionBy("grp", "src").orderBy("dst")) - 1)
+          .cast("long"))
+    val deg = adj.groupBy("grp", "src").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, Seq("grp", "src")).localCheckpoint(true)
+    var frontier = adjd.select(col("grp"), col("src").as("start")).distinct()
+      .withColumn("walk", explode(sequence(lit(0L), lit(nWalks - 1L))))
+      .withColumn("node", col("start"))
+    var out = frontier.select(col("grp"), col("start"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    for (stp <- 1 to len) {
+      frontier = frontier.alias("f")
+        .join(adjd.alias("a"),
+          col("f.grp") === col("a.grp") && col("f.node") === col("a.src"))
+        .filter(col("nrank") ===
+          pmod(rolling_hash(concat_ws("|", col("node"), col("walk"),
+            lit(stp.toString))), col("deg")))
+        .select(col("f.grp").as("grp"), col("start"), col("walk"),
+          col("dst").as("node"))
+      out = out.unionByName(frontier.select(col("grp"), col("start"),
+        col("walk"), lit(stp.toLong).as("step"), col("node")))
+    }
+    out
+  }
+
+  /** C13u: incremental walk maintenance — the walk-corpus twin of the
+    * incremental-sessionize seam discipline (R20f). The walks are a
+    * pure deterministic function of the adjacency, so when an
+    * append-only edge delta arrives the ONLY walks a full rebuild
+    * would change are those that visit a node whose out-neighbor list
+    * changed (a delta src): every step taken before the first such
+    * visit reads unchanged adjacency rows and replays identically.
+    * So: keep untouched walks whole, truncate touched walks at their
+    * FIRST changed-node visit (the pick OUT of that node is what the
+    * new edges invalidate), re-extend from the truncation point over
+    * the updated adjacency, and start fresh walks for brand-new
+    * source nodes. Result ≡ `deterministicWalks(allEdges)` — the spec
+    * gate — at delta-proportional cost (touched walks + new starts,
+    * never the whole corpus).
+    *
+    * Contract: `allEdges` is the FULL updated edge set and `delta`
+    * the newly-arrived slice (appends only — deletions would need
+    * tombstone seams like the pair-table erasure path). A delta row
+    * that duplicates an existing edge only costs a wasted re-extend
+    * (the replay reproduces the same steps). */
+  def extendWalks(allEdges: DataFrame, delta: DataFrame, prior: DataFrame,
+                  srcCol: String, dstCol: String,
+                  nWalks: Int, len: Int): DataFrame = {
+    require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")
+    val adj = allEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .withColumn("nrank",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long"))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjd = adj.join(deg, "src").localCheckpoint(true)
+    val changed = delta.select(col(srcCol).as("cnode")).distinct()
+    // first changed-node visit per (start, walk); null = untouched
+    val cuts = prior
+      .join(changed, prior("node") === changed("cnode"), "left")
+      .groupBy("start", "walk")
+      .agg(min(when(col("cnode").isNotNull, col("step"))).as("cut"))
+    val withCut = prior.join(cuts, Seq("start", "walk"))
+    val keep = withCut
+      .filter(col("cut").isNull || col("step") <= col("cut"))
+      .select("start", "walk", "step", "node")
+    // brand-new sources (first out-edge arrived in this delta)
+    val newStarts = adjd.select(col("src").as("start")).distinct()
+      .join(prior.select("start").distinct(), Seq("start"), "left_anti")
+      .withColumn("walk", explode(sequence(lit(0L), lit(nWalks - 1L))))
+      .select(col("start"), col("walk"), lit(0L).as("step"),
+        col("start").as("node"))
+    var out = keep.unionByName(newStarts)
+    // frontier: touched walks at their cut + fresh walks at step 0;
+    // steps vary per row, so each round advances `step -> step + 1`
+    // for rows still short of len (the step string in the hash is the
+    // TARGET step, exactly as the batch builder forms it)
+    var frontier = withCut
+      .filter(col("cut").isNotNull && col("step") === col("cut"))
+      .select("start", "walk", "step", "node")
+      .unionByName(newStarts)
+      .localCheckpoint(true)
+    for (_ <- 1 to len) {
+      frontier = frontier.filter(col("step") < len)
+        .join(adjd, frontier("node") === adjd("src"))
+        .filter(col("nrank") ===
+          pmod(rolling_hash(concat_ws("|", col("node"), col("walk"),
+            (col("step") + 1).cast("string"))), col("deg")))
+        .select(col("start"), col("walk"), (col("step") + 1L).as("step"),
+          col("dst").as("node"))
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
                          nWalks: Int, len: Int): DataFrame = {
     require(nWalks >= 1 && len >= 1, s"need nWalks >= 1 and len >= 1")

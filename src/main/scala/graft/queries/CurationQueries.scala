@@ -95,6 +95,7 @@ object CurationQueries {
   def prime(s: SparkSession, dir: String, names: Set[String]): Unit = {
     if (Seq("q_graph_walks", "q_walk_skipgrams", "q_negative_samples",
         "q_embed_train").exists(names)) walkTable(s, dir)
+    if (names("q_graph_walks_grouped")) walkGroupedTable(s, dir)
     if (names("q_node2vec_walks")) n2vTable(s, dir)
     if (Seq("q_knn_graph", "q_label_spread").exists(names)) knnEdges(s, dir)
   }
@@ -719,6 +720,15 @@ object CurationQueries {
       walkTable(s, dir).orderBy("start", "walk", "step")
     },
 
+    // L63e (r12): grouped (per-tenant) walk corpora — one pass builds
+    // every region's walk corpus over its own subgraph; per-group
+    // bit-equivalence to a solo run is the spec gate, and the oracle
+    // replays the grouped chain (grp carried through every join,
+    // window, and step).
+    "q_graph_walks_grouped" -> { (s, dir) =>
+      walkGroupedTable(s, dir).orderBy("grp", "start", "walk", "step")
+    },
+
     // L63b (r11): skip-gram pair extraction over the walk corpus —
     // the (center, context) training pairs a word2vec-style node
     // embedder consumes (window ±2 within each walk). One self-join
@@ -1070,6 +1080,41 @@ object CurationQueries {
     s.read.parquet(path)
   }
 
+  /** Region-grouped purchase graph: each (customer, supplier) edge
+    * belongs to its customer's region (one nation -> one region, so
+    * the groups PARTITION the edge set and a group's subgraph equals
+    * the solo graph restricted to it — the equivalence the grouped
+    * walk spec asserts). */
+  private def purchaseEdgesGrouped(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("grp"), col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(col("grp"),
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .unionByName(pairs.select(col("grp"),
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst")))
+  }
+
+  private val walkGroupedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def walkGroupedTable(s: SparkSession, dir: String): DataFrame = {
+    val path = walkGroupedMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_walksg_" + RelationalQueries.dirKey(d)
+      graft.operators.Walk.deterministicWalksGrouped(
+          purchaseEdgesGrouped(s, d), "grp", "src", "dst",
+          nWalks = 2, len = 4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val n2vMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def n2vTable(s: SparkSession, dir: String): DataFrame = {
@@ -1373,6 +1418,64 @@ object CurationQueries {
     * then `len` step CTEs; the step hash is the rolling-hash kernel
     * replayed as a codepoint fold (ASCII node names, so the kernel's
     * byte walk and unicode() agree). */
+  /** Grouped twin of [[graphWalksSql]]: the region key rides every
+    * CTE (edges, adjacency rank, degree, step joins), while the step
+    * hash stays group-blind — exactly the operator's construction, so
+    * the replay is bit-exact per group. */
+  private def graphWalksGroupedSql(nWalks: Int, len: Int): String = {
+    def hashSql(keyExpr: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_extract_all($keyExpr, '.'),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (x, y) -> (x * 31 + y) % 1000000007)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (
+      |  SELECT r_name AS grp,
+      |         'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2, 3),
+      |edges AS (
+      |  SELECT DISTINCT grp, src, dst FROM (
+      |    SELECT grp, src, dst FROM pairs
+      |    UNION ALL
+      |    SELECT grp, dst AS src, src AS dst FROM pairs)),
+      |adj AS (
+      |  SELECT grp, src, dst,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY grp, src ORDER BY dst) - 1
+      |         AS BIGINT) AS nrank
+      |  FROM edges),
+      |deg AS (SELECT grp, src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM adj GROUP BY grp, src),
+      |adjd AS (SELECT a.grp, a.src, a.dst, a.nrank, d.deg
+      |         FROM adj a JOIN deg d USING (grp, src)),
+      |s0 AS (
+      |  SELECT e.grp, e.src AS start, CAST(u.w AS BIGINT) AS walk,
+      |         e.src AS node
+      |  FROM (SELECT DISTINCT grp, src FROM edges) e,
+      |       UNNEST(range(0, $nWalks)) AS u(w)),
+      |""".stripMargin
+    for (r <- 1 to len) {
+      sb ++= s"""s$r AS (
+        |  SELECT f.grp, f.start, f.walk, a.dst AS node
+        |  FROM s${r - 1} f JOIN adjd a ON f.grp = a.grp AND f.node = a.src
+        |  WHERE a.nrank = ${hashSql(
+          s"f.node || '|' || CAST(f.walk AS VARCHAR) || '|' || '$r'")} % a.deg),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= "\nSELECT grp, start, walk, step, node FROM (\n"
+    sb ++= (0 to len).map(r =>
+      s"  SELECT grp, start, walk, CAST($r AS BIGINT) AS step, node FROM s$r")
+      .mkString("\n  UNION ALL\n")
+    sb ++= ") u ORDER BY grp, start, walk, step"
+    sb.toString
+  }
+
   private def graphWalksSql(nWalks: Int, len: Int): String = {
     def hashSql(keyExpr: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1632,6 +1735,7 @@ object CurationQueries {
     "q_embed_train" -> embedTrainSql(dims = 8, rounds = 2, dampDen = 65536L),
 
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
+    "q_graph_walks_grouped" -> graphWalksGroupedSql(nWalks = 2, len = 4),
 
     "q_node2vec_walks" -> node2vecWalksSql(nWalks = 2, len = 4,
       wBack = 1L, wCommon = 6L, wFar = 3L),

@@ -644,6 +644,66 @@ object QueueStreaming {
     all.filter(col("batch").cast("long") === top).drop("batch")
   }
 
+  /** C13u: streaming walk continuation — the continuous form of the
+    * deterministic walk corpus (L63), maintained by the incremental-
+    * sessionize seam discipline. Each micro-batch of APPEND-ONLY edge
+    * arrivals commits idempotently under `store/edges/batch=N`, then
+    * the walk table advances via [[graft.operators.Walk.extendWalks]]:
+    * untouched walks carry over whole, walks visiting a node whose
+    * out-neighbors changed are truncated at that first visit and
+    * re-extended over the updated adjacency, and brand-new source
+    * nodes start fresh walks — delta-proportional work whose result
+    * is PROVABLY the full rebuild (walks are a pure deterministic
+    * function of the adjacency; StreamingSpec gates parity per
+    * trigger). Versioned walk tables under `store/walks/batch=N`
+    * follow the session store's replay rules (prior = newest version
+    * BELOW the current batch id; per-batch overwrite), so checkpoint
+    * replays are exact no-ops; [[compactSessionStore]] on the walks
+    * dir bounds retention. */
+  def walkStoreStream(edges: DataFrame, srcCol: String, dstCol: String,
+                      nWalks: Int, len: Int, storePath: String,
+                      checkpoint: String, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Walk
+        val spark = batch.sparkSession
+        val edgeDir = s"$storePath/edges"
+        val walkDir = s"$storePath/walks"
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // commit this batch's edges first (idempotent overwrite), then
+        // read the FULL edge set back — on replay the re-written slice
+        // is byte-identical, so the adjacency is too
+        batch.toDF().select(col(srcCol), col(dstCol))
+          .write.mode("overwrite").parquet(s"$edgeDir/batch=$batchId")
+        spark.catalog.refreshByPath(edgeDir)
+        val allEdges = spark.read.parquet(edgeDir)
+          .filter(col("batch").cast("long") <= batchId)
+          .select(col(srcCol), col(dstCol))
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(walkDir))) None
+          else {
+            val all = spark.read.parquet(walkDir)
+              .filter(col("batch").cast("long") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("start", "walk", "step", "node"))
+          }
+        val walks = prior match {
+          case Some(p) => Walk.extendWalks(allEdges, batch.toDF(), p,
+            srcCol, dstCol, nWalks, len)
+          case None => Walk.deterministicWalks(allEdges, srcCol, dstCol,
+            nWalks, len)
+        }
+        walks.write.mode("overwrite").parquet(s"$walkDir/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, walkDir, keep = 2); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13p: streaming rolling-actives monitor — the continuous form of
     * R29c's trailing-window distinct count. Every micro-batch's
     * per-day HLL partials commit under `sketchPath/batch=N`

@@ -70,6 +70,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.decode(synthetic).isEmpty)
   }
 
+  test("pixel pHash: resize/re-encode collide, distinct content separates, stub fallback intact") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // the same continuous pattern sampled at two resolutions and two
+    // container formats — a REAL near-duplicate pair (the case the
+    // byte-walk cannot catch: the bytes share nothing)
+    def render(w: Int, h: Int, waves: Boolean): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val fx = x.toDouble / w; val fy = y.toDouble / h
+        // base: smooth diagonal gradient. other: low-frequency (3,2)
+        // sinusoid — energy lands on DIFFERENT cells of the 8×8 DCT
+        // block, so the sign pattern (the fingerprint) flips broadly
+        val v =
+          if (waves) (128 + 120 * math.sin(2 * math.Pi * 3 * fx) *
+            math.sin(2 * math.Pi * 2 * fy)).toInt.max(0).min(255)
+          else math.min(255, (200 * fx + 55 * fy).toInt)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    val base = encode(render(64, 48, waves = false), "png")
+    val neardup = encode(render(48, 36, waves = false), "bmp") // resized + re-encoded
+    val other = encode(render(64, 48, waves = true), "png")    // different content
+    val synthetic = "definitely not pixels".getBytes("UTF-8")
+    val fp = Multimodal.perceptualHashReal(Seq(
+        MediaRow(1L, base), MediaRow(2L, neardup), MediaRow(3L, other),
+        MediaRow(4L, synthetic)).toDS())
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // resize + re-encode: DCT low frequencies survive, fingerprints collide
+    assert(ham(fp(1L), fp(2L)) <= 8,
+      s"near-dup pair must collide: hamming ${ham(fp(1L), fp(2L))}")
+    // transposed content: far apart
+    assert(ham(fp(1L), fp(3L)) >= 16,
+      s"distinct content must separate: hamming ${ham(fp(1L), fp(3L))}")
+    // unrecognized payloads: byte-identical to the oracled byte-walk
+    val stub = Multimodal.perceptualHash(Seq(MediaRow(4L, synthetic)).toDS())
+      .collect().head.phash
+    assert(fp(4L) == stub, "synthetic payload must fall back to the byte-walk")
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head

@@ -445,6 +445,61 @@ class QueueSpec extends SparkSpec {
     assert(wide.pop(1) == Seq(QMsg(1L, "a")))
     untyped.dispose()
   }
+
+  test("sharded queue: key-stable routing, FIFO per shard, aggregate views") {
+    import graft.queue.ShardedQueue
+    val root = Files.createTempDirectory("shardq").toString
+    val q = new ShardedQueue(spark, root, schema, nShards = 3)
+    // keys repeat so per-key order is observable across push batches
+    q.push(Seq((1L, "k1"), (2L, "k2"), (3L, "k3"), (4L, "k1"))
+      .toDF("id", "text"), keyCol = "text")
+    q.push(Seq((5L, "k2"), (6L, "k1")).toDF("id", "text"), keyCol = "text")
+    assert(q.size() == 6 && !q.isEmpty())
+    // every shard drains FIFO; the union is exactly the input; a key
+    // never splits across shards (hash routing is deterministic)
+    val byShard = (0 until 3).map(i => q.pop(i, 10).map(r =>
+      (r.getLong(0), r.getString(1))))
+    assert(byShard.flatten.sorted == (1L to 6L).map(i =>
+      (i, Seq("k1", "k2", "k3", "k1", "k2", "k1")(i.toInt - 1))).sorted)
+    byShard.foreach { rows =>
+      assert(rows.map(_._1) == rows.map(_._1).sorted,
+        s"per-shard FIFO violated: $rows")
+      // per-key order = push order, because a key owns one shard
+    }
+    val keyToShard = byShard.zipWithIndex.flatMap { case (rows, i) =>
+      rows.map(r => (r._2, i))
+    }
+    assert(keyToShard.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      s"a routing key must never split across shards: $keyToShard")
+    assert(q.isEmpty() && q.diskSpace > 0L)
+    q.dispose()
+  }
+
+  test("sharded queue: one consumer NAME sees each entry exactly once across processes") {
+    import graft.queue.ShardedQueue
+    val root = Files.createTempDirectory("shardq2").toString
+    val a = new ShardedQueue(spark, root, schema, nShards = 2)
+    a.push((1L to 8L).map(i => (i, s"k$i")).toDF("id", "text"), keyCol = "text")
+    // second facade over the same root = a second cooperating process;
+    // offsets are per (shard, name) files, so alternating drains under
+    // ONE name partition the entries with no loss and no duplication
+    val b = new ShardedQueue(spark, root, schema, nShards = 2)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var turn = 0
+    while (!a.isEmpty("team") || !b.isEmpty("team")) {
+      val inst = if (turn % 2 == 0) a else b
+      got ++= inst.popAny(2, "team").map(_.getLong(0))
+      turn += 1
+    }
+    assert(got.sorted == (1L to 8L), s"exactly-once per name violated: $got")
+    // an independent name replays from the floor
+    assert(a.popAny(100, "audit").map(_.getLong(0)).sorted == (1L to 8L))
+    // lag view covers both names on both shards
+    val lags = a.consumerLags()
+    assert(lags.map(_._2).toSet == Set("team", "audit"))
+    assert(lags.forall(_._4 == 0L), s"both names fully drained: $lags")
+    a.close(); b.dispose()
+  }
 }
 
 // top-level so implicit product encoders derive cleanly

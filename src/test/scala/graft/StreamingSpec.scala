@@ -1011,4 +1011,45 @@ class StreamingSpec extends SparkSpec {
     assert(withWm.nonEmpty, "watermark surfaces in the report")
     assert(report.forall(_._4 >= 0L))
   }
+
+  test("walk continuation stream equals the batch rebuild per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Walk
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("src", "dst")
+    val store = Files.createTempDirectory("walkstore").toString + "/store"
+    val ckpt = Files.createTempDirectory("walkstore_ck").toString
+    val q = QueueStreaming.walkStoreStream(df, "src", "dst",
+      nWalks = 2, len = 5, storePath = store, checkpoint = ckpt)
+    def latest() = QueueStreaming
+      .latestSessionFrames(spark, s"$store/walks")
+      .orderBy("start", "walk", "step").collect().map(_.toSeq).toSeq
+    def rebuild(all: Seq[(String, String)]) = Walk
+      .deterministicWalks(all.toDF("src", "dst"), "src", "dst", 2, 5)
+      .orderBy("start", "walk", "step").collect().map(_.toSeq).toSeq
+    // trigger 1: base graph with a dangling node d
+    val b1 = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "d"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    assert(latest() == rebuild(b1), "first trigger = fresh build")
+    // trigger 2: d gains out-edges (stopped walks resume through the
+    // seam) and a new source e appears
+    val b2 = Seq(("d", "a"), ("d", "e"), ("e", "a"))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    assert(latest() == rebuild(b1 ++ b2),
+      "continuation across the dangling seam must equal the rebuild")
+    // trigger 3: an existing node's neighbor list grows — walks
+    // re-route from their first visit of it
+    val b3 = Seq(("a", "e"), ("b", "e"))
+    mem.addData(b3: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(latest() == rebuild(b1 ++ b2 ++ b3),
+      "adjacency change mid-walk must equal the rebuild")
+    // retention: compaction keeps the newest version readable
+    QueueStreaming.compactSessionStore(spark, s"$store/walks", keep = 1)
+    assert(latest() == rebuild(b1 ++ b2 ++ b3))
+  }
 }

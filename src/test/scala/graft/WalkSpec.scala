@@ -105,4 +105,49 @@ class WalkSpec extends SparkSpec {
       .orderBy("start", "walk", "step").collect().map(_.toSeq)
     assert(w1.toSeq == w2.toSeq, "partitioning must not change the walks")
   }
+
+  test("grouped walks == per-group solo runs (bit-exact)") {
+    // two tenants; t1 is the shared fixture graph, t2 reuses NODE
+    // NAMES with different edges — per-group adjacency must fully
+    // isolate them (a cross-group leak changes degrees and picks)
+    val g = edges.withColumn("grp", lit("t1"))
+      .unionByName(Seq(("a", "c"), ("c", "a"), ("a", "b"))
+        .toDF("src", "dst").withColumn("grp", lit("t2")))
+    val grouped = Walk.deterministicWalksGrouped(g, "grp", "src", "dst", 2, 4)
+    val got = grouped.orderBy("grp", "start", "walk", "step")
+      .collect().map(_.toSeq).toSeq
+    val solo = Seq("t1", "t2").flatMap { tn =>
+      Walk.deterministicWalks(g.filter(col("grp") === tn).drop("grp"),
+          "src", "dst", 2, 4)
+        .withColumn("grp", lit(tn))
+        .select("grp", "start", "walk", "step", "node")
+        .collect().map(_.toSeq)
+    }.sortBy(_.map(_.toString).mkString("|"))
+    assert(got.sortBy(_.map(_.toString).mkString("|")) == solo,
+      "each group's walks must equal a solo run over its subgraph")
+  }
+
+  test("extendWalks == full rebuild across appends (seam discipline)") {
+    // G1: fixture graph (d dangling). Delta 1: d gains out-edges (the
+    // stopped walks must resume THROUGH d) and a brand-new source e
+    // appears. Delta 2: an existing node's neighbor list grows, which
+    // re-routes every walk from its first visit of that node.
+    val g1 = edges
+    val d1 = Seq(("d", "a"), ("d", "e"), ("e", "a")).toDF("src", "dst")
+    val d2 = Seq(("a", "e"), ("b", "e")).toDF("src", "dst")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("start", "walk", "step").collect().map(_.toSeq).toSeq
+    val w1 = Walk.deterministicWalks(g1, "src", "dst", 2, 5)
+    val g2 = g1.unionByName(d1)
+    val inc2 = Walk.extendWalks(g2, d1, w1, "src", "dst", 2, 5)
+    assert(canon(inc2) == canon(Walk.deterministicWalks(g2, "src", "dst", 2, 5)),
+      "increment 1 (dangling node resumes + new start) must equal rebuild")
+    val g3 = g2.unionByName(d2)
+    val inc3 = Walk.extendWalks(g3, d2, inc2, "src", "dst", 2, 5)
+    assert(canon(inc3) == canon(Walk.deterministicWalks(g3, "src", "dst", 2, 5)),
+      "increment 2 (changed adjacency mid-walk) must equal rebuild")
+    // a duplicate-edge delta is a no-op (wasted replay, same table)
+    val inc3b = Walk.extendWalks(g3, d2, inc3, "src", "dst", 2, 5)
+    assert(canon(inc3b) == canon(inc3), "duplicate delta must be idempotent")
+  }
 }
