@@ -867,6 +867,31 @@ object Dedup {
     df.select(col(idCol).as("id") +: idSet.as("ids") +: blockCols.map(col): _*)
   }
 
+  /** L19d: incremental connected components — advance a prior label
+    * fixpoint across an APPENDED pair slice without re-propagating
+    * the whole graph. The prior labels are a star compression of the
+    * old components (every node points at its component min), so
+    * feeding them back as edges `(id → cluster)` preserves old
+    * connectivity at diameter ≤ 2; [[clusters]] over stars + the new
+    * pairs then converges in O(diameter of the MERGE graph) rounds —
+    * for a daily delta that is 2-3 rounds, not the full corpus
+    * graph's diameter. Fixpoint equality with a from-scratch rebuild
+    * is exact (same connected components ⇒ same min labels; DedupSpec
+    * chains appends to prove it), which closes the incremental dedup
+    * loop: L66 maintains the pair graph per batch, this maintains the
+    * labels, and the cluster-apply family reads them unchanged. */
+  def clustersIncremental(newPairs: DataFrame, prior: DataFrame,
+                          id1Col: String = "doc_id1",
+                          id2Col: String = "doc_id2",
+                          maxIter: Int = 50): DataFrame = {
+    val stars = prior.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id1Col), col("cluster").as(id2Col))
+    // singleton prior nodes (cluster == id) re-enter only if the new
+    // slice touches them — same visibility rule as clusters() itself
+    clusters(newPairs.select(col(id1Col), col(id2Col)).unionByName(stars),
+      id1Col, id2Col, maxIter)
+  }
+
   /** L66: incremental pair-graph maintenance — extend a persisted pair
     * table with a NEW batch without re-verifying the corpus against
     * itself. New pairs decompose exactly: within-batch (the standard

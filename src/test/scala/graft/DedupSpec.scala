@@ -145,6 +145,29 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("incremental clusters: chained appends equal from-scratch rebuild") {
+    // the path 1-2-...-8 arrives in three slices; each advance must
+    // reproduce the rebuild fixpoint exactly, including the cross-
+    // slice merges (slice 3 fuses the {1..4} and {5..8} components
+    // and re-labels the whole right half to 1)
+    val s1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_id1", "doc_id2")
+    val s2 = Seq((5L, 6L), (6L, 7L), (7L, 8L)).toDF("doc_id1", "doc_id2")
+    val s3 = Seq((4L, 5L), (11L, 12L)).toDF("doc_id1", "doc_id2")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l1 = Dedup.clusters(s1)
+    val l2 = Dedup.clustersIncremental(s2, l1)
+    assert(m(l2) == m(Dedup.clusters(s1.union(s2))),
+      "append of a disjoint component must equal rebuild")
+    val l3 = Dedup.clustersIncremental(s3, l2)
+    assert(m(l3) == m(Dedup.clusters(s1.union(s2).union(s3))),
+      "append that MERGES prior components must equal rebuild")
+    // empty delta: the prior fixpoint is already stable
+    val l4 = Dedup.clustersIncremental(s3.limit(0), l3)
+    assert(m(l4) == m(l3), "empty delta must be a fixpoint no-op")
+  }
+
   test("clusters equals driver-side union-find on real pair data") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9)
