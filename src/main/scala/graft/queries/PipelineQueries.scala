@@ -88,6 +88,25 @@ object PipelineQueries {
       p
     })
 
+  /** Shared fixed-width export — the sink side of the L58d
+    * roundtrip. The long free-text column ships as its fixed-length
+    * md5 surrogate (the format's documented contract: fixed width is
+    * for the structured slice), so the SAME parquet-side oracle
+    * aggregations hold. */
+  private val fwMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val fwLayout: Seq[(String, Int)] = Seq(
+    "doc_id" -> 20, "lang" -> 8, "source" -> 24, "n_chars" -> 10,
+    "text_md5" -> 32)
+  private def fwExport(s: SparkSession, dir: String): String =
+    fwMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_fw_" + RelationalQueries.dirKey(d)
+      graft.sources.FixedWidth.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"), md5(col("text")).as("text_md5")),
+        p, fwLayout, "gzip", Some(8))
+      p
+    })
+
   /** Shared ORC export — the sink side of the L58c roundtrip. */
   private val orcMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def orcExport(s: SparkSession, dir: String): String =
@@ -117,6 +136,7 @@ object PipelineQueries {
     if (names("q_jsonl_roundtrip")) jsonlExport(s, dir)
     if (names("q_csv_roundtrip")) csvExport(s, dir)
     if (names("q_orc_roundtrip")) orcExport(s, dir)
+    if (names("q_fixedwidth_roundtrip")) fwExport(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,6 +603,35 @@ object PipelineQueries {
     // oracle as the JSONL/CSV roundtrips: a hash match proves the ORC
     // write/read path is lossless on this corpus, including the
     // columns' exact bytes (md5 min/max over text).
+    // L58d: fixed-width roundtrip — the layout-file interchange path.
+    // Same parquet-side oracle as CSV/ORC: the re-read export must
+    // reproduce the aggregations bit-for-bit (text rides as its
+    // fixed-length md5 surrogate, so n_texts/lo/hi are computed over
+    // the SAME values both ways).
+    "q_fixedwidth_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text_md5",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.FixedWidth.read(s, fwExport(s, dir), schema, fwLayout)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("text_md5")).as("n_texts"),
+          min(col("text_md5")).as("lo_md5"),
+          max(col("text_md5")).as("hi_md5"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang", "source")
+    },
+
     "q_orc_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       graft.sources.Orc.read(s, orcExport(s, dir), docs.schema)
@@ -2898,5 +2947,6 @@ object PipelineQueries {
     // over the quoting-sensitive and typed-columnar formats: one
     // oracle, three sink/source paths
     Map("q_csv_roundtrip" -> roundtripOracleSql,
-        "q_orc_roundtrip" -> roundtripOracleSql)
+        "q_orc_roundtrip" -> roundtripOracleSql,
+        "q_fixedwidth_roundtrip" -> roundtripOracleSql)
 }

@@ -133,6 +133,36 @@ class JsonlSpec extends SparkSpec {
     assert(missing.length == 1 && missing.head._2 == "missing_shard")
   }
 
+  test("fixed-width roundtrip: typed values survive, padding strips, guards fail loudly") {
+    import graft.sources.FixedWidth
+    val layout = Seq("id" -> 8, "name" -> 10, "score" -> 6)
+    val df = Seq((-42L, "alpha", 17L), (7L, "b c", -3L), (0L, "", 999999L))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("fw").toString
+    val back = FixedWidth.roundtrip(df, dir, layout, compression = "none")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == Seq((-42L, "alpha", 17L), (0L, "", 999999L),
+      (7L, "b c", -3L)),
+      s"negative/empty/inner-space values must survive: ${back.toSeq}")
+    // raw layout really is fixed-width: every line is exactly Σwidths
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.forall(_.length == 24), s"line widths: ${lines.map(_.length).toSeq}")
+    // a value wider than its field fails the WRITE (never truncates)
+    val wide = Seq((1L, "this name is far too long", 0L))
+      .toDF("id", "name", "score")
+    val e1 = intercept[IllegalArgumentException] {
+      FixedWidth.write(wide, dir + "2", layout)
+    }
+    assert(e1.getMessage.contains("never truncates"))
+    // embedded newlines refuse (they would corrupt the record framing)
+    val nl = Seq((1L, "two\nlines", 0L)).toDF("id", "name", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      FixedWidth.write(nl, dir + "3", layout)
+    }
+    assert(e2.getMessage.contains("line-framed"))
+  }
+
   test("corrupt lines surface in _corrupt_record instead of failing the read") {
     val path = tmp("bad")
     Jsonl.write(Seq((1L, "alpha"), (2L, "beta")).toDF("id", "txt"), path, "none")
