@@ -652,10 +652,16 @@ object QueueStreaming {
     * untouched walks carry over whole, walks visiting a node whose
     * out-neighbors changed are truncated at that first visit and
     * re-extended over the updated adjacency, and brand-new source
-    * nodes start fresh walks — delta-proportional work whose result
-    * is PROVABLY the full rebuild (walks are a pure deterministic
-    * function of the adjacency; StreamingSpec gates parity per
-    * trigger). Versioned walk tables under `store/walks/batch=N`
+    * nodes start fresh walks — walk-side work is delta-proportional
+    * (touched walks + new starts, never the whole corpus) and the
+    * result is PROVABLY the full rebuild (walks are a pure
+    * deterministic function of the adjacency; StreamingSpec gates
+    * parity per trigger). The adjacency rank/degree table itself is
+    * re-derived from the committed edge store each trigger — one
+    * linear scan + per-src window, the honest cost of global degree
+    * state; at edge volumes where that scan dominates, maintain the
+    * adjacency as its own bucketed table and feed extendWalks
+    * directly. Versioned walk tables under `store/walks/batch=N`
     * follow the session store's replay rules (prior = newest version
     * BELOW the current batch id; per-batch overwrite), so checkpoint
     * replays are exact no-ops; [[compactSessionStore]] on the walks
