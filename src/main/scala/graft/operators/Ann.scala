@@ -197,6 +197,82 @@ object Ann {
       .select("query_id", "rank", "nn_id", "sim")
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix, row-major
+    * [outDim][inDim]: entry (j, i) is +1 iff the first hex digit of
+    * md5("i:j") < '8'. A pure, engine-portable function (DuckDB's md5
+    * agrees byte-for-byte), so an oracle REBUILDS the matrix instead
+    * of trusting an opaque literal — no RNG state anywhere. Rademacher
+    * ±1 entries satisfy the JL distance-preservation lemma
+    * (Achlioptas '03: database-friendly random projections) with the
+    * same guarantees as Gaussian entries. */
+  def jlSignMatrix(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val d = mdt.digest(s"$i:$j".getBytes("UTF-8"))
+      if ((d(0) & 0xff) < 0x80) 1.0 else -1.0
+    }
+  }
+
+  /** L7i: JL random projection — reduce `vecCol` (inDim floats) to
+    * outDim INTEGER coordinates: p[j] = Σ_i q[i]·s(i,j) over the
+    * 2^16-quantized input (|p[j]| ≤ inDim·2^17 ≪ 2^53 — every value
+    * integral and exact in any engine, in any summation order). One
+    * map-side pass: the matrix rides the plan as outDim literal rows
+    * feeding the codegen'd [[graft.functions.dot_product]] — zero
+    * shuffle, zero training, and downstream distance work drops by
+    * inDim/outDim (64→16 = 4× less bandwidth per comparison).
+    * Composes with IVF: project first, then train/probe cells in the
+    * reduced space. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got $inDim -> $outDim")
+    val mat = jlSignMatrix(inDim, outDim)
+    df.select(col(idCol), quantized(col(vecCol)).as("vq"))
+      .withColumn("pvec",
+        array(mat.toIndexedSeq.map(row =>
+          dot_product(col("vq"), typedLit(row.toSeq))): _*))
+  }
+
+  /** Reduced-space exact top-k with a per-row RECALL audit against the
+    * full-space quantized-L2 ranking: returns the projected-space
+    * top-k per query with `hit` = 1 iff that neighbor is also in the
+    * full-space top-k. Both rankings are integer squared-L2 computed
+    * as ‖a‖² + ‖b‖² − 2·a·b over three codegen'd dot products
+    * (projected dots ≤ outDim·(inDim·2^17)² ≪ 2^53 — exact), ties
+    * broken by nn_id, so the whole audit carries a hash oracle. The
+    * audit is the honest contract for a LOSSY reduction: mean(hit)
+    * IS measured recall@k, the number a 100 TB deployment tunes
+    * outDim against (vs. trusting the JL bound). Corpus side streams
+    * through twice (full + projected ranking) with the query set
+    * broadcast — no corpus shuffle in either pass. */
+  def jlTopKAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, inDim: Int,
+                  outDim: Int): DataFrame = {
+    val c = jlProject(corpus, idCol, vecCol, inDim, outDim)
+      .select(col(idCol).as("nn_id"), col("vq").as("nn_vq"),
+        col("pvec").as("nn_pv"))
+    val q = jlProject(queries, idCol, vecCol, inDim, outDim)
+      .select(col(idCol).as("query_id"), col("vq").as("q_vq"),
+        col("pvec").as("q_pv"))
+    def sq(a: Column, b: Column): Column =
+      dot_product(a, a) + dot_product(b, b) - lit(2.0) * dot_product(a, b)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("nn_id").asc)
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+    val full = joined.withColumn("dist", sq(col("nn_vq"), col("q_vq")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id")
+    val proj = joined.withColumn("dist", sq(col("nn_pv"), col("q_pv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").as("rank"), col("nn_id"),
+        col("dist").cast("long").as("dist_proj"))
+    proj.join(full.withColumn("hit", lit(1)), Seq("query_id", "nn_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .select("query_id", "rank", "nn_id", "dist_proj", "hit")
+  }
+
   /** L7b: IVF (inverted-file) ANN — the other scale path. The coarse
     * k-means quantizer is trained on a deterministic hash-sample of the
     * corpus (bounded training work at any corpus size — the faiss

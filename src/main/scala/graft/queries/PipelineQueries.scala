@@ -281,6 +281,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L7i: Johnson–Lindenstrauss random projection (64 → 16 dims,
+    // md5-derived ±1 matrix) + per-row recall audit vs the full-space
+    // quantized-L2 top-10. All-integer (2^16-quantized inputs, ±1
+    // signs, squared-L2 via three dot products), so the ENTIRE lossy
+    // chain — projection, both rankings, the hit flags — hash-oracles.
+    // mean(hit) is measured recall@10: the number that tunes outDim
+    // at scale, where the 4× bandwidth cut is the win. On THIS
+    // corpus it reads ~0.16 — the synthetic embeddings are isotropic
+    // (distance concentration, the ranking worst case), and honestly
+    // surfacing that is exactly the audit's job: a deployment would
+    // see the number and raise outDim or keep IVF on raw vectors.
+    "q_ann_jl" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.jlTopKAudit(emb, emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", k = 10, inDim = 64, outDim = 16)
+        .orderBy("query_id", "rank")
+    },
+
     // L6d (r11): MMR diversity rerank — the RAG context-selection
     // post-step: greedy λ·rel − (1−λ)·max-sim-to-picked over each
     // query's top-16 exact candidates, all-integer scoring (sims at
@@ -2577,6 +2595,60 @@ object PipelineQueries {
         |  FROM sims)
         |SELECT query_id, rank, nn_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // L7i: the oracle REBUILDS the md5-derived ±1 JL matrix (a pure
+    // function of (i, j) — no opaque literal to trust), projects the
+    // 2^16-quantized vectors, and replays both integer squared-L2
+    // rankings. Every value is an integral double < 2^53, so SUM
+    // order never matters and the lossy chain hash-matches exactly.
+    "q_ann_jl" ->
+      s"""WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> FLOOR(CAST(x AS DOUBLE) * 65536 + 0.5)) AS vq
+        |  FROM embeddings),
+        |mat AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+        |                         CAST(j.j AS VARCHAR)), 1, 1) < '8'
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(16) j(j), range(64) i(i)),
+        |p AS (
+        |  SELECT vec_id, j, SUM(vq[i + 1] * s) AS pj
+        |  FROM v, mat GROUP BY vec_id, j),
+        |pv AS (SELECT vec_id, list(pj ORDER BY j) AS pvec
+        |       FROM p GROUP BY vec_id),
+        |b AS (SELECT v.vec_id, v.vq, pv.pvec FROM v JOIN pv USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, vq AS q_vq, pvec AS q_pv
+        |      FROM b WHERE vec_id < 8),
+        |fulld AS (
+        |  SELECT query_id, b.vec_id AS nn_id,
+        |    list_sum(list_transform(list_zip(q.q_vq, b.vq),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+        |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+        |fullk AS (
+        |  SELECT query_id, nn_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY dist ASC, nn_id ASC) AS rk
+        |  FROM fulld),
+        |projd AS (
+        |  SELECT query_id, b.vec_id AS nn_id,
+        |    list_sum(list_transform(list_zip(q.q_pv, b.pvec),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+        |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+        |projk AS (
+        |  SELECT query_id, nn_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY dist ASC, nn_id ASC) AS rk
+        |  FROM projd),
+        |hits AS (SELECT query_id, nn_id FROM fullk WHERE rk <= 10)
+        |SELECT p.query_id, p.rk AS rank, p.nn_id,
+        |  CAST(FLOOR(p.dist + 0.5) AS BIGINT) AS dist_proj,
+        |  CASE WHEN h.nn_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |FROM projk p LEFT JOIN hits h
+        |  ON p.query_id = h.query_id AND p.nn_id = h.nn_id
+        |WHERE p.rk <= 10
+        |ORDER BY p.query_id, rank""".stripMargin,
 
     // Same exact-cosine chain with the label-exclusion predicate in
     // the cross join — in LOCKSTEP with Ann.hardNegatives.
