@@ -825,4 +825,115 @@ object Curate {
         sum("__b").as("pass_blocklist"),
         sum(col("__g") * col("__r") * col("__b")).as("pass_all"))
   }
+
+  /** L78: k-anonymity generalization ladder — the privacy release
+    * gate. A row is k-anonymous when at least k rows share its
+    * quasi-identifier tuple; the standard fix for a lonely tuple is
+    * LOCAL GENERALIZATION (Sweeney '02): coarsen the identifier along
+    * a fixed ladder (narrow bucket → wide bucket → suppress field →
+    * …) and release each row at the FIRST level whose group already
+    * holds ≥ k rows. `ladder(i)` defines level i as (outName, expr)
+    * pairs — every level must emit the same field names, with
+    * generalized levels substituting wider buckets or an 'ANY'
+    * literal. Rows that stay under k even at the last level come back
+    * `safe = false` (the residual the release review must suppress).
+    *
+    * Scale shape: one narrow projection (quasi columns only — text
+    * never loads), then per level one partial-aggregating groupBy
+    * (group table bounded by distinct keys) joined back on the key —
+    * no windows, no row explosion; levels are independent so AQE
+    * pipelines them. The choice per row is a pure CASE over the
+    * joined counts. */
+  def kAnonymize(docs: DataFrame, idCol: String,
+                 ladder: Seq[Seq[(String, Column)]], k: Long): DataFrame = {
+    require(ladder.nonEmpty && k >= 1, "need a non-empty ladder and k >= 1")
+    val fields = ladder.head.map(_._1)
+    require(ladder.forall(_.map(_._1) == fields),
+      "every ladder level must emit the same field names, in order")
+    var cur = docs.select(col(idCol) +:
+      ladder.zipWithIndex.flatMap { case (lvl, i) =>
+        lvl.map { case (n, c) => c.as(s"__l${i}_$n") } }: _*)
+    ladder.indices.foreach { i =>
+      val keys = fields.map(n => s"__l${i}_$n")
+      val cnt = cur.select(keys.map(col): _*).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"__c$i"))
+      cur = cur.join(cnt, keys)
+    }
+    val lastI = ladder.size - 1
+    val level = ladder.indices.init.foldRight(lit(lastI)) { (i, acc) =>
+      when(col(s"__c$i") >= k, lit(i)).otherwise(acc)
+    }
+    val withLevel = cur.withColumn("level", level)
+    val nGroup = ladder.indices.init.foldRight(col(s"__c$lastI")) { (i, acc) =>
+      when(col("level") === i, col(s"__c$i")).otherwise(acc)
+    }
+    val outFields = fields.map { n =>
+      ladder.indices.init.foldRight(col(s"__l${lastI}_$n")) { (i, acc) =>
+        when(col("level") === i, col(s"__l${i}_$n")).otherwise(acc)
+      }.as(n)
+    }
+    withLevel.select(col(idCol) +: col("level") +: outFields :+
+      nGroup.as("n_group") :+ (nGroup >= k).as("safe"): _*)
+  }
+
+  /** L77: quality-signal rank ensemble (Borda fusion) — the
+    * multi-signal curation cut. Single-signal thresholds (L31's
+    * calibrated cut, L36's classifier margin) each mis-rank where
+    * their signal saturates; production corpus blends (FineWeb-style)
+    * therefore fuse SEVERAL weak signals by RANK, not by score — ranks
+    * need no cross-signal scale calibration (the same argument as
+    * L41's RRF, applied to curation instead of retrieval). Here each
+    * doc gets three map-side integer signals — token count, lexical
+    * diversity (distinct-token ppm), mean token length (milli-chars) —
+    * is ranked per language on each (dense total order, ties by id so
+    * the fusion is deterministic), and the Borda score = sum of
+    * descending ranks picks the per-language top quartile.
+    *
+    * Scale shape: every rank is a [[PrefixSum.keyed]] two-level scan
+    * (value-bucket window + per-group B-row offsets — the widest task
+    * anywhere is one bucket of one language, never a whole language),
+    * so the plan carries NO unpartitioned WindowExec and no
+    * whole-group sort; signals are one map-side pass. The oracle
+    * replays the naive ROW_NUMBER formulation — identical values by
+    * the PrefixSum equivalence. At 100 TB the same code holds: rank
+    * passes shuffle (lang, value-bucket) keys, and a hot language
+    * spreads over ~rows/width tasks. */
+  def bordaQuality(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    import graft.functions._
+    val base = docs.select(col(idCol).as("__id"), col(langCol).as("lang"),
+        tokenize_ws(coalesce(col(textCol), lit(""))).as("__t"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__nc"))
+      .withColumn("s_len", size(col("__t")).cast("long"))
+      .withColumn("s_div",
+        expr("cast(size(array_distinct(__t)) as bigint) * 1000000" +
+          " div greatest(s_len, 1L)"))
+      .withColumn("s_wlen", expr("__nc * 1000 div greatest(s_len, 1L)"))
+      .drop("__t", "__nc")
+    // descending rank per (lang, signal): the keyed prefix-sum of 1
+    // under (signal asc, id asc) is the ascending row number; the
+    // reversed order's row number is tot − asc + 1 (ties land on
+    // id DESC in the descending view — the oracle ranks the same way).
+    def descRank(df: DataFrame, sig: String, width: Long,
+                 out: String): DataFrame =
+      PrefixSum.keyed(df, Seq("lang"), Seq(sig, "__id"), lit(1L),
+          expr(s"$sig div ${width}L"), outCol = "__rn", totCol = "__tot")
+        .withColumn(out, col("__tot") - col("__rn") + lit(1L))
+        .withColumn("n_lang", col("__tot"))
+        .drop("__rn", "__tot")
+    val ranked = descRank(descRank(descRank(base,
+      "s_len", 16L, "d_len"), "s_div", 16384L, "d_div"),
+      "s_wlen", 256L, "d_wlen")
+      .withColumn("borda", col("d_len") + col("d_div") + col("d_wlen"))
+    // final selection rank over the fused score — bucket width scales
+    // with the group (borda ∈ [3, 3n]), so ~64 buckets per language at
+    // any corpus size; keep = per-language top ⌈n/4⌉.
+    PrefixSum.keyed(ranked, Seq("lang"), Seq("borda", "__id"), lit(1L),
+        expr("borda div greatest(1L, (3 * n_lang) div 64)"),
+        outCol = "r_final", totCol = "__tf")
+      .withColumn("keep", col("r_final") <= expr("(n_lang + 3) div 4"))
+      .select(col("__id").as(idCol), col("lang"), col("s_len"),
+        col("s_div"), col("s_wlen"), col("d_len"), col("d_div"),
+        col("d_wlen"), col("borda"), col("r_final"), col("keep"))
+  }
 }

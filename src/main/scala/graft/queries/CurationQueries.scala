@@ -303,6 +303,37 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L77: quality-signal rank ensemble (Borda fusion) — three weak
+    // integer signals (token count, distinct-token ppm, mean token
+    // length) ranked per language and fused by summed descending
+    // ranks; keep = per-language top quartile of the fused score.
+    // Ranks need no cross-signal calibration (the RRF argument applied
+    // to curation), and every rank is a PrefixSum.keyed two-level scan
+    // — no whole-language sort, no unpartitioned WindowExec.
+    "q_quality_blend" -> { (s, dir) =>
+      Curate.bordaQuality(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
+    // L78: k-anonymity generalization ladder — each doc released at
+    // the first level of (lang, source, len-bucket) → (lang, source,
+    // wider bucket) → (lang, source) → (lang) → (all) whose group
+    // holds ≥ 5 docs. Reads ONLY metadata columns (text never loads —
+    // the scan prunes to 4 columns); one bounded groupBy per level.
+    "q_k_anonymity" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val any = lit("ANY")
+      Curate.kAnonymize(d, "doc_id", Seq(
+          Seq("lang" -> col("lang"), "source" -> col("source"),
+            "len_b" -> expr("cast(n_chars div 100 as string)")),
+          Seq("lang" -> col("lang"), "source" -> col("source"),
+            "len_b" -> expr("cast(n_chars div 1000 as string)")),
+          Seq("lang" -> col("lang"), "source" -> col("source"), "len_b" -> any),
+          Seq("lang" -> col("lang"), "source" -> any, "len_b" -> any),
+          Seq("lang" -> any, "source" -> any, "len_b" -> any)), k = 5L)
+        .orderBy("doc_id")
+    },
+
     // L40: compressibility quality signal — gzip bytes / raw bytes, the
     // classic "too compressible = boilerplate/repetition, near-1 =
     // random noise" filter (rows-only: DuckDB has no gzip; determinism
@@ -2491,6 +2522,77 @@ object CurationQueries {
         |  COALESCE(per.n_boiler, 0) >= 5 AS flag
         |FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
         |ORDER BY sh.doc_id""".stripMargin,
+
+    // L78: window counts per ladder level + first-satisfying CASE —
+    // the declarative twin of the groupBy-and-join-back chain.
+    "q_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 100 AS VARCHAR) AS b0,
+        |    CAST(n_chars // 1000 AS VARCHAR) AS b1
+        |  FROM documents),
+        |c AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY lang, source, b0) AS c0,
+        |    COUNT(*) OVER (PARTITION BY lang, source, b1) AS c1,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS c2,
+        |    COUNT(*) OVER (PARTITION BY lang) AS c3,
+        |    COUNT(*) OVER () AS c4
+        |  FROM d),
+        |lv AS (
+        |  SELECT *,
+        |    CASE WHEN c0 >= 5 THEN 0 WHEN c1 >= 5 THEN 1
+        |         WHEN c2 >= 5 THEN 2 WHEN c3 >= 5 THEN 3 ELSE 4 END AS level
+        |  FROM c)
+        |SELECT doc_id, level,
+        |  CASE WHEN level <= 3 THEN lang ELSE 'ANY' END AS lang,
+        |  CASE WHEN level <= 2 THEN source ELSE 'ANY' END AS source,
+        |  CASE WHEN level = 0 THEN b0 WHEN level = 1 THEN b1
+        |       ELSE 'ANY' END AS len_b,
+        |  CASE level WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |             WHEN 3 THEN c3 ELSE c4 END AS n_group,
+        |  (CASE level WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+        |              WHEN 3 THEN c3 ELSE c4 END) >= 5 AS safe
+        |FROM lv ORDER BY doc_id""".stripMargin,
+
+    // L77: the oracle replays the naive ROW_NUMBER formulation — the
+    // PrefixSum.keyed two-level scans produce identical rank values
+    // (PrefixSumSpec pins the equivalence). Descending ranks tie on
+    // doc_id DESC (the reversal of the engine's (sig ASC, id ASC)
+    // scan order); all signals are integer floor-divs.
+    "q_quality_blend" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |                         x -> len(x) > 0))) AS BIGINT) AS n_dist,
+        |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, lang, n_tok AS s_len,
+        |    n_dist * 1000000 // GREATEST(n_tok, 1) AS s_div,
+        |    n_chars * 1000 // GREATEST(n_tok, 1) AS s_wlen,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM base),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY s_len DESC, doc_id DESC) AS d_len,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY s_div DESC, doc_id DESC) AS d_div,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY s_wlen DESC, doc_id DESC) AS d_wlen
+        |  FROM sig),
+        |bd AS (SELECT *, d_len + d_div + d_wlen AS borda FROM rk),
+        |fin AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                               ORDER BY borda ASC, doc_id ASC)
+        |    AS r_final
+        |  FROM bd)
+        |SELECT doc_id, lang, s_len, s_div, s_wlen, d_len, d_div, d_wlen,
+        |  borda, r_final, r_final <= (n_lang + 3) // 4 AS keep
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "q_quality_calibrated" ->
       s"""WITH ${Shared.qualityStatsSql("doc_id, lang")},

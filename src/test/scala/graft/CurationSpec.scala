@@ -898,4 +898,109 @@ class CurationSpec extends SparkSpec {
     assert(scored(("new", "york")) > scored(("the", "cat")) * 3,
       s"collocation must dominate the frequent pair: $scored")
   }
+
+  test("borda blend: quartile keeps, rank shape, partition invariance, no global window") {
+    val out = run("q_quality_blend")
+    // the PrefixSum plan contract: no unpartitioned WindowExec anywhere
+    val globalWins = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWins.isEmpty, "borda blend must not plan a global sort window")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per language: ranks are a dense permutation 1..n on each signal
+    // and the final score; keeps are exactly the top ⌈n/4⌉
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val n = rs.length
+      for (c <- Seq("d_len", "d_div", "d_wlen", "r_final"))
+        assert(rs.map(_.getAs[Long](c)).sorted.toSeq == (1L to n).toSeq,
+          s"$lang/$c must be a dense 1..$n permutation")
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      assert(kept == (n + 3) / 4, s"$lang keeps $kept of $n, want ceil(n/4)")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("borda") ==
+          r.getAs[Long]("d_len") + r.getAs[Long]("d_div") + r.getAs[Long]("d_wlen"))
+        assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("r_final") <= (n + 3) / 4))
+      }
+    }
+    // repartitioning the input must not move a single rank
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.operators.Curate
+      .bordaQuality(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("borda"), r.getAs[Long]("r_final"))).toMap
+    val b = graft.operators.Curate
+      .bordaQuality(docs.repartition(13), "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("borda"), r.getAs[Long]("r_final"))).toMap
+    assert(a == b, "borda ranks must be partition-invariant")
+  }
+
+  test("k-anonymity: released tuples are k-safe, minimal, and never read text") {
+    val out = run("q_k_anonymity")
+    // plan contract: the ladder uses metadata columns only — the scan
+    // must prune `text` (a 4-column read at any corpus size)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), s"no scan section in plan:\n$plan")
+    assert(!plan.contains("text:string"),
+      s"k-anonymity scan must prune the text column:\n$plan")
+    val rows = out.collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    assert(rows.length == docs.length)
+    def matches(lang: String, source: String, lenB: String,
+                d: (Long, String, String, Long)): Boolean =
+      (lang == "ANY" || lang == d._2) &&
+        (source == "ANY" || source == d._3) &&
+        (lenB == "ANY" || lenB == (d._4 / 100).toString ||
+          lenB == (d._4 / 1000).toString)
+    rows.foreach { r =>
+      val (lang, source, lenB) = (r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("len_b"))
+      val lvl = r.getAs[Int]("level")
+      // n_group really is the count of input docs compatible with the
+      // released (wildcarded) tuple — the attacker's anonymity set
+      val widthOk = docs.count { d =>
+        (lang == "ANY" || lang == d._2) && (source == "ANY" || source == d._3) &&
+          (lenB == "ANY" ||
+            (lvl == 0 && lenB == (d._4 / 100).toString) ||
+            (lvl == 1 && lenB == (d._4 / 1000).toString))
+      }
+      assert(widthOk == r.getAs[Long]("n_group"),
+        s"doc ${r.getAs[Long]("doc_id")}: n_group mismatch")
+      assert(r.getAs[Boolean]("safe") == (r.getAs[Long]("n_group") >= 5))
+      assert(matches(lang, source, lenB,
+        docs.find(_._1 == r.getAs[Long]("doc_id")).get),
+        "released tuple must be consistent with the doc's own values")
+    }
+    // minimality: a doc released above level 0 must have FAILED every
+    // finer level (its finer groups were under k)
+    val byKey0 = docs.groupBy(d => (d._2, d._3, (d._4 / 100).toString))
+      .map { case (kk, v) => kk -> v.length }
+    rows.filter(_.getAs[Int]("level") > 0).foreach { r =>
+      val d = docs.find(_._1 == r.getAs[Long]("doc_id")).get
+      assert(byKey0((d._2, d._3, (d._4 / 100).toString)) < 5,
+        s"doc ${d._1} generalized past a level-0 group that was already safe")
+    }
+    // the ladder must actually fire across multiple levels at this SF
+    assert(rows.map(_.getAs[Int]("level")).distinct.length >= 3,
+      "expected a spread of generalization levels on the gate corpus")
+  }
+
+  test("borda blend: a doc dominating every signal is rank 1 with the floor score") {
+    import spark.implicits._
+    // one long, diverse, long-worded doc vs short repetitive ones —
+    // it must win all three signal rankings outright (borda = 3)
+    val champ = (1 to 60).map(i => s"wonderfully$i").mkString(" ")
+    val docs = ((0L, champ) +:
+      (1L to 20L).map(i => (i, "a a b " + ("c " * (i % 3).toInt).trim))).toDF("doc_id", "text")
+    val out = graft.operators.Curate
+      .bordaQuality(docs.withColumn("lang", lit("en")), "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("borda"), r.getAs[Long]("r_final"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L) == ((3L, 1L, true)), s"dominating doc must fuse to 3/rank 1: ${out(0L)}")
+  }
 }
