@@ -694,6 +694,55 @@ object Dedup {
       .select(col("n").as("id"), col("deg"), col("n_tri"), col("clus_per_mille"))
   }
 
+  /** L79: k-core of the duplicate graph — iterative peeling (drop
+    * every node with degree < k, repeat to fixpoint). The k-core is
+    * the standard dense-community extractor: a near-dup cluster that
+    * is a true re-upload clique survives a high k, while chains and
+    * stars that connected-components would happily merge peel away —
+    * so the 3-core is the "template farm / mirror ring" detector that
+    * triangle counting (L61) hints at but doesn't decide. Returns
+    * every surviving node with its IN-CORE degree.
+    *
+    * Scale shape: each round is one map-side-combining degree
+    * aggregate plus two semi-joins on well-spread id keys — no wedge
+    * or pair explosion anywhere, and the edge set only shrinks.
+    * Rounds = peel depth: near-dup graphs are near-cliques (depth a
+    * few), while the pathological O(n)-depth case (a long path) dies
+    * entirely in round one for k >= 2. Each round localCheckpoints so
+    * the plan stays constant-size and the upstream pair generator runs
+    * once; a capped non-converged exit throws loudly rather than
+    * returning a half-peeled core. */
+  def kCore(pairs: DataFrame, k: Long, id1Col: String = "doc_id1",
+            id2Col: String = "doc_id2", maxIter: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+    var e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
+      .localCheckpoint(true)
+    var prev = e.count()
+    var iter = 0
+    var done = prev == 0L
+    while (!done && iter < maxIter) {
+      iter += 1
+      val alive = degrees(e).filter(col("deg") >= k).select("n")
+      val next = e
+        .join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val cnt = next.count()
+      done = cnt == prev || cnt == 0L
+      prev = cnt
+      e = next
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"kCore() did not converge in $maxIter rounds (peel depth " +
+          s"exceeds the cap) — raise maxIter")
+    degrees(e).select(col("n").as("id"), col("deg").as("core_deg"))
+  }
+
   /** Clustered near-dup removal: one survivor per connected component
     * (the minimum id), everything else anti-joined away. Strictly
     * stronger than [[removeNearDups]]: transitive duplicates collapse

@@ -599,6 +599,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L79: 3-core of the dup graph — iterative peeling to fixpoint.
+    // Chains/stars (what CC would still merge) peel away; only the
+    // dense re-upload communities (template farms, mirror rings)
+    // survive with their in-core degree. The oracle unrolls 8 peel
+    // rounds (idempotent at fixpoint, so over-unrolling is safe; the
+    // spec pins convergence within the unroll budget at gate SF).
+    "q_dup_kcore" -> { (s, dir) =>
+      Dedup.kCore(jaccardPairGraph(s, dir), k = 3L)
+        .select(col("id").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    },
+
     // L58b: CSV sink/source roundtrip — same gate as L58 over the
     // quoting/escaping-sensitive format (RFC-4180 doubled quotes); the
     // parquet-side oracle makes a hash match prove the CSV path is
@@ -2121,6 +2133,32 @@ object PipelineQueries {
     // edge reads the canonical id-ordered pair set, matching the
     // Scala wedge check exactly; orientation itself needs no replay
     // (any orientation finds the same triangle set).
+    // L79: 8 unrolled peel rounds over the same pair CTE — each round
+    // keeps edges whose BOTH endpoints still have degree >= 3. Peeling
+    // is idempotent at fixpoint, so unused trailing rounds are no-ops;
+    // DedupSpec pins that the gate graph converges well inside 8.
+    "q_dup_kcore" -> {
+      // each round references its predecessor ~3x, so the CTEs must be
+      // MATERIALIZED — inlined they expand to 3^8 scans of the pair
+      // join and exhaust the engine's file handles
+      val rounds = (1 to 8).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT n FROM (SELECT id1 AS n FROM r${i - 1} UNION ALL
+           |                 SELECT id2 FROM r${i - 1})
+           |  GROUP BY n HAVING COUNT(*) >= 3),
+           |r$i AS MATERIALIZED (
+           |  SELECT id1, id2 FROM r${i - 1}
+           |  WHERE id1 IN (SELECT n FROM n$i)
+           |    AND id2 IN (SELECT n FROM n$i))""".stripMargin
+      }.mkString(",\n")
+      s"""${Shared.clusterReachCteSql},
+        |r0 AS MATERIALIZED (SELECT id1, id2 FROM p),
+        |$rounds
+        |SELECT n AS doc_id, COUNT(*) AS core_deg
+        |FROM (SELECT id1 AS n FROM r8 UNION ALL SELECT id2 FROM r8)
+        |GROUP BY n ORDER BY doc_id""".stripMargin
+    },
+
     "q_dup_triangles" ->
       s"""${Shared.clusterReachCteSql},
         |w AS (SELECT x.id1 AS a, x.id2 AS b, y.id2 AS c

@@ -621,4 +621,34 @@ class DedupSpec extends SparkSpec {
     // hub adds 3 -> total corner count 15
     assert(got.values.map(_._2).sum == 15L)
   }
+
+  test("k-core: cascading peel keeps the clique, drops tails, converges in budget") {
+    // 5-clique {1..5} with a pendant chain 5-10-11-12 and a star
+    // 20-(21,22,23): at k=3 the chain peels CASCADING (12 then 11 then
+    // 10 — three rounds, exercising the fixpoint loop), the star dies
+    // in one round, and exactly the clique survives with core degree 4.
+    val pairs = (
+      (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        Seq((5L, 10L), (10L, 11L), (11L, 12L),
+          (20L, 21L), (20L, 22L), (20L, 23L))
+    ).toDF("doc_id1", "doc_id2")
+    val core3 = Dedup.kCore(pairs, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == (1L to 5L).map(_ -> 4L).toMap,
+      s"3-core must be exactly the 5-clique at degree 4: $core3")
+    // k=2: the chain is still pendant (not a cycle) so it peels too;
+    // the star's spokes are degree 1 so only the clique remains
+    val core2 = Dedup.kCore(pairs, 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == (1L to 5L).map(_ -> 4L).toMap)
+    // k above the max degree: empty core, no exception
+    assert(Dedup.kCore(pairs, 9L).isEmpty)
+    // the gate corpus converges well inside the oracle's 8 unrolled
+    // rounds — run the real graph with maxIter = 8 (throws if not)
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val realPairs = Dedup.jaccardPairs(docsDf, "doc_id", "text",
+      Seq("lang"), 0.9, parallelBuckets = 8)
+    val real = Dedup.kCore(realPairs, 3L, maxIter = 8)
+    assert(real.count() > 0, "sf0.001+ dup graph should have a 3-core")
+  }
 }
