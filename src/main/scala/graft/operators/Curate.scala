@@ -826,6 +826,29 @@ object Curate {
         sum(col("__g") * col("__r") * col("__b")).as("pass_all"))
   }
 
+  /** L26c: split-leakage matrix — counts near-dup pairs whose
+    * endpoints landed in each (group, group) cell of a train/val/test
+    * (or fold) assignment. The off-diagonal mass IS the leakage a
+    * naive per-doc hash split causes when a dup cluster straddles the
+    * boundary (train member ≈ test member ⇒ memorized eval), and the
+    * number [[leakageSafeSplitLabels]] exists to drive to zero — this
+    * audit makes the comparison measurable instead of asserted.
+    * `assign` must carry (id, grp). Scale: two id-keyed hash joins of
+    * the (already-bounded) pair table against the assignment, then a
+    * groupBy onto a groups²-sized matrix — the corpus never moves. */
+  def splitLeakageMatrix(pairs: DataFrame, assign: DataFrame,
+                         id1Col: String = "doc_id1",
+                         id2Col: String = "doc_id2"): DataFrame =
+    pairs
+      .join(assign.select(col("id").as("__i1"), col("grp").as("__g1")),
+        col(id1Col) === col("__i1"))
+      .join(assign.select(col("id").as("__i2"), col("grp").as("__g2")),
+        col(id2Col) === col("__i2"))
+      .select(least(col("__g1"), col("__g2")).as("grp_a"),
+        greatest(col("__g1"), col("__g2")).as("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("grp_a") =!= col("grp_b"))
+
   /** L78: k-anonymity generalization ladder — the privacy release
     * gate. A row is k-anonymous when at least k rows share its
     * quasi-identifier tuple; the standard fix for a lonely tuple is

@@ -475,6 +475,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L26c: split-leakage matrix — the measurable comparison behind
+    // L26b: the naive per-doc md5 fold split scatters dup clusters
+    // across folds (off-diagonal n_pairs > 0 = train/test leakage),
+    // while the cluster-atomic split keeps every near-dup pair on the
+    // diagonal — the hash gate PROVES its cross-split mass is zero.
+    "q_split_leakage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = jaccardPairGraph(s, dir)
+      val naive = docs.select(col("doc_id").as("id"),
+        concat(lit("fold"),
+          ((expr("locate(substring(md5(text), 1, 1), '0123456789abcdef')") - 1)
+            % 4).cast("long").cast("string")).as("grp"))
+      val safe = Curate.leakageSafeSplitLabels(docs, "doc_id",
+          clusterLabels(s, dir),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id").as("id"), col("split").as("grp"))
+      Curate.splitLeakageMatrix(pairs, naive)
+        .withColumn("method", lit("fold_md5"))
+        .unionByName(Curate.splitLeakageMatrix(pairs, safe)
+          .withColumn("method", lit("cluster_atomic")))
+        .select("method", "grp_a", "grp_b", "n_pairs", "is_cross")
+        .orderBy("method", "grp_a", "grp_b")
+    },
+
     // L58: JSONL sink/source roundtrip — the corpus is exported as
     // gzip JSONL shards (the format LLM corpora actually ship in) and
     // read back with an EXPLICIT schema (no inference pass), then
@@ -2560,6 +2584,39 @@ object PipelineQueries {
     // Same component oracle as the cluster twins; the split CASE
     // replays Curate.leakageSafeSplit's thresholds (floor(0.8·65536) =
     // 0xcccc, floor(0.9·65536) = 0xe666) over md5 of the cluster key.
+    // L26c: both assignments replayed against the exact pair CTE —
+    // the cluster-atomic matrix must come back all-diagonal.
+    "q_split_leakage" ->
+      s"""${Shared.clusterReachCteSql},
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |asg_naive AS (
+        |  SELECT doc_id, 'fold' || CAST(
+        |    (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 4
+        |    AS VARCHAR) AS grp
+        |  FROM documents),
+        |asg_safe AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN SUBSTRING(md5(CAST(COALESCE(c.cluster, d.doc_id)
+        |                AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN SUBSTRING(md5(CAST(COALESCE(c.cluster, d.doc_id)
+        |                AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS grp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |m AS (
+        |  SELECT 'fold_md5' AS method,
+        |    LEAST(a.grp, b.grp) AS grp_a, GREATEST(a.grp, b.grp) AS grp_b
+        |  FROM p JOIN asg_naive a ON p.id1 = a.doc_id
+        |         JOIN asg_naive b ON p.id2 = b.doc_id
+        |  UNION ALL
+        |  SELECT 'cluster_atomic',
+        |    LEAST(a.grp, b.grp), GREATEST(a.grp, b.grp)
+        |  FROM p JOIN asg_safe a ON p.id1 = a.doc_id
+        |         JOIN asg_safe b ON p.id2 = b.doc_id)
+        |SELECT method, grp_a, grp_b, COUNT(*) AS n_pairs,
+        |  grp_a <> grp_b AS is_cross
+        |FROM m GROUP BY method, grp_a, grp_b
+        |ORDER BY method, grp_a, grp_b""".stripMargin,
+
     "q_split_leakage_safe" ->
       s"""${Shared.clusterReachCteSql},
         |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),

@@ -990,6 +990,26 @@ class CurationSpec extends SparkSpec {
       "expected a spread of generalization levels on the gate corpus")
   }
 
+  test("split-leakage matrix: cluster-atomic is diagonal, naive leaks, mass conserved") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.queries("q_split_leakage")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_cross") ==
+        (r.getAs[String]("grp_a") != r.getAs[String]("grp_b")))
+    }
+    val byMethod = rows.groupBy(_.getAs[String]("method"))
+    assert(byMethod.keySet == Set("fold_md5", "cluster_atomic"))
+    // the theorem the audit exists to measure: a cluster-atomic split
+    // can NEVER place a near-dup pair across groups
+    assert(byMethod("cluster_atomic").forall(!_.getAs[Boolean]("is_cross")),
+      "cluster-atomic split leaked a pair across groups")
+    // every pair is counted exactly once per method
+    val totals = byMethod.view.mapValues(_.map(_.getAs[Long]("n_pairs")).sum).toMap
+    assert(totals("fold_md5") == totals("cluster_atomic"),
+      s"methods must see the same pair set: $totals")
+  }
+
   test("borda blend: a doc dominating every signal is rank 1 with the floor score") {
     import spark.implicits._
     // one long, diverse, long-worded doc vs short repetitive ones —
