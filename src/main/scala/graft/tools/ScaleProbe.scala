@@ -83,7 +83,15 @@ object ScaleProbe {
     // bucketed prefix sum — the probe's strided purchase graph grows
     // the NODE table with the corpus (the exact regime the r11 verdict
     // flagged the old global ORDER BY window for)
-    "q_negative_samples", "q_node2vec_walks")
+    "q_negative_samples", "q_node2vec_walks",
+    // r12 session additions: PrefixSum-ranked Borda fusion (per-lang
+    // two-level scans — widest task one value-bucket); ladder of
+    // bounded groupBys (k-anonymity); k-core peel over disjoint
+    // replica components (pair table scales with the factor, peel
+    // depth does not); map-side JL projection against a fixed
+    // broadcast query set; pair-table × assignment joins
+    "q_quality_blend", "q_k_anonymity", "q_dup_kcore", "q_ann_jl",
+    "q_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
