@@ -959,4 +959,50 @@ object Curate {
         col("s_div"), col("s_wlen"), col("d_len"), col("d_div"),
         col("d_wlen"), col("borda"), col("r_final"), col("keep"))
   }
+
+  /** L81: cross-source quantile normalization of an integer quality
+    * score — the batch-effect correction standard in expression
+    * analysis (Bolstad et al. '03), applied to corpus curation: when
+    * each source's scorer drifts (different crawls, different judges,
+    * different length profiles), raw-score thresholds over- or
+    * under-select whole sources. Quantile normalization maps every
+    * row to the GLOBAL score distribution's value at the row's
+    * within-source quantile, so "top 20% of each source" and "top 20%
+    * globally" agree by construction.
+    *
+    * All integer: within-source mid-rank position ppm =
+    * (2r−1)·500000 div n_src ∈ [0, 1e6); the normalized score is the
+    * global order statistic at rank 1 + (ppm·N div 1e6). Both rank
+    * tables build via [[PrefixSum]] (keyed for the per-source rank,
+    * bucketed for the global one) — no unpartitioned WindowExec, a
+    * hot source spreads over ~rows/width tasks, and the global
+    * N-row order statistics never sort through one task. The ppm→rank
+    * lookup is a plain equi-join on the integer rank. Ties order by
+    * (score, id) on BOTH sides, so the mapping is a pure function of
+    * the table. N (one scalar) is the only driver-side value. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        scoreCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      col(scoreCol).cast("long").as("__s"))
+    if (base.isEmpty)
+      return base.select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__s").as("score"), lit(0L).as("ppm"), lit(0L).as("norm_score"))
+      .limit(0)
+    // order-aligned score bucket: ~256 range cells over [min, max]
+    val mm = base.agg(min("__s"), max("__s")).head()
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / 256 + 1)
+    val bkt = expr(s"(__s - ${lo}L) div ${width}L")
+    val n = base.count()
+    val perSrc = PrefixSum.keyed(base, Seq("__g"), Seq("__s", "__id"),
+        lit(1L), bkt, outCol = "__r", totCol = "__n")
+      .withColumn("ppm", expr("(2 * __r - 1) * 500000 div __n"))
+      .withColumn("__tr", expr(s"1 + ppm * ${n}L div 1000000"))
+    val global = PrefixSum.bucketed(base, Seq("__s", "__id"), lit(1L),
+        bkt, outCol = "__gr")
+      .select(col("__gr"), col("__s").as("norm_score"))
+    perSrc.join(global, col("__tr") === col("__gr"))
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__s").as("score"), col("ppm"), col("norm_score"))
+  }
 }

@@ -172,6 +172,79 @@ object Dedup {
         expr("inter * 1000000 div (szsum - inter)").as("jac_micro"))
   }
 
+  /** L82: CONTAINMENT (asymmetric) near-dup pairs — flag every
+    * ordered pair where doc A's token set is ≥ num/den inside doc B's
+    * (C(A→B) = |A∩B| / |A|, Broder '97's containment measure). This
+    * is the duplication the symmetric Jaccard family is structurally
+    * blind to: a paragraph quoted whole inside a long page, a feed
+    * item republished inside a digest, a doc re-uploaded with a large
+    * appendix — |A∩B|/|A∪B| vanishes as |B| grows while A is still
+    * 100% duplicated content.
+    *
+    * Same exactness discipline as [[prefixJaccardPairs]]: the
+    * CONTAINED side joins on its |A| − ⌈t·|A|⌉ + 1 rarest tokens
+    * (global (df, tok) order; if |A∩B| ≥ ⌈t·|A|⌉ =: H then some
+    * shared token sits in that prefix — the theorem is one-sided, so
+    * only A is prefixed), the CONTAINER side exposes ALL its tokens
+    * (its overlap bound depends on |A|, which it cannot know — this
+    * is the inverted-index probe shape of set-containment joins).
+    * In-join exact prunes: |B|·den ≥ num·|A| (overlap ≤ |B|) and the
+    * first-shared-occurrence positional bound 1 + |B| − rk_B ≥ H
+    * (both lists share the global order, so the first shared token
+    * minimizes BOTH ranks). Verify = one early-abort merge per
+    * distinct ordered pair over the narrow token-ID-set table.
+    * All bounds are integer cross-multiplies of the rational num/den,
+    * so the chain replays bit-for-bit in the SQL oracle.
+    *
+    * Scale: candidates are spread over `B` cells by CONTAINER id
+    * hash (the contained side's prefix rows replicate ×B — prefix
+    * rows are the rare-token sliver, so the replication is cheap
+    * while a hot token's df·df_prefix fan-out splits across B
+    * reducers). Near-exact-dup pairs qualify in BOTH directions and
+    * emit two rows — direction is information here (who is quotable
+    * from whom), not redundancy. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       num: Long, den: Long): DataFrame = {
+    require(num > 0 && num <= den,
+      s"threshold num/den must be in (0,1], got $num/$den")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokenize_ws(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sized = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ordered = toks.join(dfreq, "tok").join(sized, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy("df", "tok")))
+    val B = 16
+    val a = ordered.filter(
+        col("rk") <= col("sz") -
+          expr(s"($num * sz + $den - 1) div $den") + 1)
+      .withColumn("cell", explode(sequence(lit(0), lit(B - 1))))
+      .as("a")
+    val b = ordered
+      .withColumn("cell", pmod(xxhash64(col("id")), lit(B.toLong)).cast("int"))
+      .as("b")
+    val cand = a.join(b,
+        col("a.tok") === col("b.tok") && col("a.cell") === col("b.cell") &&
+          col("a.id") =!= col("b.id") &&
+          col("b.sz") * den >= col("a.sz") * num &&
+          expr(s"1 + b.sz - b.rk >= ($num * a.sz + $den - 1) div $den"))
+      .select(col("a.id").as("contained_id"),
+        col("b.id").as("container_id"), col("a.sz").as("sza"))
+      .distinct()
+    val sets = docs.select(col(idCol).as("id"),
+      token_id_set(tokenize_ws(col(textCol))).as("ids"))
+    cand
+      .join(sets.select(col("id").as("contained_id"), col("ids").as("ids1")),
+        "contained_id")
+      .join(sets.select(col("id").as("container_id"), col("ids").as("ids2")),
+        "container_id")
+      .withColumn("h", expr(s"($num * sza + $den - 1) div $den"))
+      .withColumn("inter", inter_ge_sorted(col("ids1"), col("ids2"), col("h")))
+      .filter(col("inter") >= col("h"))
+      .select(col("contained_id"), col("container_id"),
+        expr("inter * 1000000 div sza").as("cont_micro"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1,
@@ -741,6 +814,61 @@ object Dedup {
         s"kCore() did not converge in $maxIter rounds (peel depth " +
           s"exceeds the cap) — raise maxIter")
     degrees(e).select(col("n").as("id"), col("deg").as("core_deg"))
+  }
+
+  /** L80: label-propagation communities over the duplicate graph
+    * (Raghavan et al. '07, the synchronous deterministic variant) —
+    * the community detector BETWEEN the two extremes already in the
+    * toolbox: connected components (L19) merge everything reachable
+    * (a single bridge edge fuses two template farms), while k-core
+    * (L79) only keeps the dense interior and discards the fringe.
+    * LPA assigns EVERY node to a community and lets dense regions
+    * outvote bridges.
+    *
+    * Vote rule, fully deterministic: each round, every node adopts
+    * the most frequent label among its neighbors PLUS its own current
+    * label (the self-vote damps the 2-cycle oscillation plain sync
+    * LPA exhibits on bipartite-ish regions), ties broken by the
+    * smallest label. The result is defined as the labels after
+    * EXACTLY `rounds` rounds — no convergence race, no RNG order — so
+    * a second engine replays it bit-for-bit by unrolling the same
+    * number of rounds (the oracle's shape; peeling-style fixpoint
+    * detection would make the round count data-dependent and the SQL
+    * twin unexpressible).
+    *
+    * Scale shape per round: one id-keyed equi-join of the edge list
+    * against the label table (labels are 1 row per node, edges carry
+    * the corpus's pair volume), one (node, label) count aggregate
+    * (map-side combining), and the type-agnostic two-step argmax
+    * (max count per node, then min label at that count — no struct
+    * negation tricks, string ids work too). localCheckpoint per round
+    * keeps the plan constant-size. Rounds is a small constant (4 by
+    * default: near-dup communities are low-diameter), so total cost
+    * is ~4 edge-table joins — same budget as a CC run on the same
+    * graph. */
+  def labelPropagation(pairs: DataFrame, id1Col: String = "doc_id1",
+                       id2Col: String = "doc_id2",
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
+    val edges = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("lab"))
+      val votes = nbr.unionAll(labels.select("id", "lab"))
+        .groupBy("id", "lab").agg(count(lit(1)).as("c"))
+      val cmax = votes.groupBy("id").agg(max(col("c")).as("cmax"))
+      labels = votes.join(cmax, "id")
+        .filter(col("c") === col("cmax"))
+        .groupBy("id").agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lab").as("community"))
   }
 
   /** Clustered near-dup removal: one survivor per connected component

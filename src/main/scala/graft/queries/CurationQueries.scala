@@ -315,6 +315,18 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L81: cross-source quantile normalization — every doc's length
+    // score remapped onto the GLOBAL distribution's value at the
+    // doc's within-source quantile (Bolstad '03 applied to curation:
+    // per-source scorer drift stops biasing global thresholds). Both
+    // rank tables are PrefixSum two-level scans; the quantile lookup
+    // is an integer-rank equi-join.
+    "q_quantile_norm" -> { (s, dir) =>
+      Curate.quantileNormalize(t(s, dir, "documents"), "doc_id",
+          "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // L78: k-anonymity generalization ladder — each doc released at
     // the first level of (lang, source, len-bucket) → (lang, source,
     // wider bucket) → (lang, source) → (lang) → (all) whose group
@@ -2593,6 +2605,32 @@ object CurationQueries {
         |SELECT doc_id, lang, s_len, s_div, s_wlen, d_len, d_div, d_wlen,
         |  borda, r_final, r_final <= (n_lang + 3) // 4 AS keep
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // L81: the oracle replays the naive one-window formulation —
+    // identical values by the PrefixSum equivalence. Mid-rank ppm =
+    // (2r−1)·500000 // n_src; normalized value = the global order
+    // statistic at rank 1 + ppm·N // 1e6 (ties (score, id) ASC on
+    // both sides).
+    "q_quantile_norm" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, s,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY s, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM sc),
+        |gl AS (
+        |  SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS gr FROM sc),
+        |nt AS (SELECT COUNT(*) AS n_total FROM sc),
+        |t AS (
+        |  SELECT doc_id, source, s, (2 * r - 1) * 500000 // n AS ppm
+        |  FROM g)
+        |SELECT t.doc_id, t.source, t.s AS score, t.ppm,
+        |  gl.s AS norm_score
+        |FROM t, nt
+        |JOIN gl ON gl.gr = 1 + t.ppm * nt.n_total // 1000000
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_quality_calibrated" ->
       s"""WITH ${Shared.qualityStatsSql("doc_id, lang")},

@@ -128,7 +128,8 @@ object PipelineQueries {
     * graph, cluster labels, IVF+PQ index, interchange exports. */
   def prime(s: SparkSession, dir: String, names: Set[String]): Unit = {
     if (Seq("q_dedup_threshold_curve", "q_dup_source_matrix",
-        "q_dup_triangles").exists(names)) jaccardPairGraph(s, dir)
+        "q_dup_triangles", "q_dup_kcore",
+        "q_dup_communities").exists(names)) jaccardPairGraph(s, dir)
     if (Seq("q_dedup_cluster", "q_dedup_cluster_apply",
         "q_dedup_cluster_best", "q_split_leakage_safe",
         "q_dedup_savings").exists(names)) clusterLabels(s, dir)
@@ -166,6 +167,20 @@ object PipelineQueries {
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           num = 9L, den = 10L)
         .orderBy("id1", "id2")
+    },
+
+    // L82: containment (asymmetric) dedup — ordered pairs where ≥90%
+    // of the contained doc's token set lives inside the container
+    // (Broder containment). Catches what symmetric Jaccard is blind
+    // to: a short doc quoted whole inside a long one scores
+    // containment 1.0 while its Jaccard vanishes with the container's
+    // size. One-sided prefix filter (contained side only) + inverted
+    // container probe, exact by the same integer-rational discipline
+    // as q_dedup_prefix.
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          num = 9L, den = 10L)
+        .orderBy("contained_id", "container_id")
     },
 
     // L2c: n-gram (3-shingle) Jaccard near-dup — order-sensitive
@@ -635,6 +650,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L80: LPA communities over the dup graph — the detector BETWEEN
+    // CC (merges across any bridge) and k-core (discards the fringe):
+    // every node gets a community, dense regions outvote bridges.
+    // Defined as labels after EXACTLY 4 synchronous self-vote rounds
+    // (min-label ties), so the oracle unrolls the same 4 rounds.
+    "q_dup_communities" -> { (s, dir) =>
+      Dedup.labelPropagation(jaccardPairGraph(s, dir), rounds = 4)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy("doc_id")
+    },
+
     // L58b: CSV sink/source roundtrip — same gate as L58 over the
     // quoting/escaping-sensitive format (RFC-4180 doubled quotes); the
     // parquet-side oracle makes a hash match prove the CSV path is
@@ -928,6 +954,34 @@ object PipelineQueries {
         .groupBy("redacted")
         .agg(count(lit(1)).as("n"))
         .orderBy("redacted")
+    },
+
+    // L13b: Luhn-validated PAN detection — checksum-gated redaction
+    // (flag the digit runs that are REAL card-shaped numbers, not
+    // every long number). The corpus has no 13+-digit runs, so the
+    // payload text is synthesized in deterministic lockstep with the
+    // oracle (16-digit candidate per order; the trailing digit is
+    // o_orderkey mod 10, so ~10% pass Luhn NATURALLY — both branches
+    // of the detector exercised); the DETECTOR (extract distinct
+    // 13-19-digit runs, validate via the right-anchored double-every-
+    // second sum, mask to last4) never sees the synthesis rule.
+    "q_pan_luhn" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("pay card="),
+            expr("lpad(cast(pmod(o_orderkey * 1000003 + o_custkey, " +
+              "1000000000000000) as string), 15, '0')"),
+            expr("cast(pmod(o_orderkey, 10) as string)"),
+            lit(";")).as("ptext"))
+        .withColumn("cand", explode(expr(
+          "array_distinct(regexp_extract_all(ptext, '[0-9]{13,19}', 0))")))
+        .withColumn("luhn_valid", luhn_valid(col("cand")))
+        .withColumn("masked", concat(
+          expr("repeat('*', length(cand) - 4)"),
+          expr("substr(cand, length(cand) - 3, 4)")))
+        .select(col("o_orderkey").as("order_key"), col("masked"),
+          col("luhn_valid"))
+        .orderBy("order_key", "masked")
     },
 
     // L14: bigram-LM scoring ("perplexity-ish"): score each document by
@@ -2059,6 +2113,24 @@ object PipelineQueries {
         |WHERE inter * 10 >= (sz1 + sz2 - inter) * 9
         |ORDER BY id1, id2""".stripMargin,
 
+    // L82: the containment twin — the naive all-ordered-pairs replay
+    // (list_intersect per pair) of the prefix-probed chain; the empty
+    // contained set is excluded on both sides (zero tokens satisfies
+    // any ≥-bound vacuously and divides by zero).
+    "q_dedup_containment" ->
+      """WITH toksets AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(string_split(text, ' ')),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+        |       // len(a.toks) AS BIGINT) AS cont_micro
+        |FROM toksets a JOIN toksets b ON a.doc_id != b.doc_id
+        |WHERE len(a.toks) > 0
+        |  AND len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
+        |ORDER BY contained_id, container_id""".stripMargin,
+
     // L67: quantize-then-integer replay — floored component quantors,
     // floored integer centroid mean, integer squared distance.
     "q_embed_outliers" ->
@@ -2181,6 +2253,35 @@ object PipelineQueries {
         |SELECT n AS doc_id, COUNT(*) AS core_deg
         |FROM (SELECT id1 AS n FROM r8 UNION ALL SELECT id2 FROM r8)
         |GROUP BY n ORDER BY doc_id""".stripMargin
+    },
+
+    // L80: 4 unrolled synchronous LPA rounds over the exact pair CTE.
+    // Each round votes = neighbor labels + the node's own label
+    // (self-vote), winner = max count with min-label ties — the same
+    // two-step argmax the Scala rounds run, expressed as one
+    // ROW_NUMBER pick. MATERIALIZED for the same reason as k-core:
+    // each round references its predecessor twice.
+    "q_dup_communities" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (
+           |  SELECT id, lab, COUNT(*) AS c FROM (
+           |    SELECT e.u AS id, l.lab FROM e JOIN l${i - 1} l ON l.id = e.v
+           |    UNION ALL SELECT id, lab FROM l${i - 1})
+           |  GROUP BY id, lab),
+           |l$i AS MATERIALIZED (
+           |  SELECT id, lab FROM (
+           |    SELECT id, lab,
+           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${Shared.clusterReachCteSql},
+        |e AS MATERIALIZED (
+        |  SELECT id1 AS u, id2 AS v FROM p
+        |  UNION SELECT id2 AS u, id1 AS v FROM p),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM e),
+        |$rounds
+        |SELECT id AS doc_id, lab AS community FROM l4
+        |ORDER BY doc_id""".stripMargin
     },
 
     "q_dup_triangles" ->
@@ -2889,6 +2990,38 @@ object PipelineQueries {
       """SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
         |  COUNT(*) AS n
         |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
+
+    // L13b: synthesis in lockstep with the Spark side (16-digit
+    // candidate per order), then the detector replayed: distinct
+    // 13-19-digit runs, Luhn sum via positional digit unnest (double
+    // every second from the RIGHT, −9 past 9), mask to last4.
+    "q_pan_luhn" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    'pay card=' ||
+        |      lpad(CAST((o_orderkey * 1000003 + o_custkey) %
+        |                1000000000000000 AS VARCHAR), 15, '0') ||
+        |      CAST(o_orderkey % 10 AS VARCHAR) || ';' AS ptext
+        |  FROM orders),
+        |cands AS (
+        |  SELECT o_orderkey, UNNEST(list_distinct(
+        |    regexp_extract_all(ptext, '[0-9]{13,19}'))) AS cand
+        |  FROM src),
+        |dig AS (
+        |  SELECT o_orderkey, cand, len(cand) AS L, i,
+        |    CAST(cand[i] AS BIGINT) AS d
+        |  FROM cands, UNNEST(range(1, len(cand) + 1)) AS u(i)),
+        |lu AS (
+        |  SELECT o_orderkey, cand,
+        |    SUM(CASE WHEN (L - i) % 2 = 1
+        |        THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+        |        ELSE d END) AS s
+        |  FROM dig GROUP BY o_orderkey, cand, L)
+        |SELECT o_orderkey AS order_key,
+        |  repeat('*', len(cand) - 4) || substr(cand, len(cand) - 3, 4)
+        |    AS masked,
+        |  (s % 10 = 0) AS luhn_valid
+        |FROM lu ORDER BY order_key, masked""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -460,6 +460,39 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13v: streaming decontamination gate — each micro-batch of
+    * incoming documents is checked against the FROZEN eval-suite
+    * shingle inventory (L21's broadcast join run per trigger): a doc
+    * with >= `minMatched` distinct matching shingles is flagged. The
+    * batch lands WHOLE with its flags and match counts, so the
+    * consumer routes in one read (publish the clean rows, quarantine
+    * the hits with their evidence) — the same "frozen model, gated
+    * firehose" split as [[curationGateStream]]: the benchmark
+    * inventory is decided once, the stream never re-derives it at
+    * corpus scale (the eval frame is inventory-bounded and broadcast
+    * inside [[graft.operators.Decontaminate.contaminated]]).
+    * Exactly-once: per-batch overwrite, idempotent under
+    * foreachBatch's at-least-once replay. */
+  def decontaminationGateStream(docs: DataFrame, eval: DataFrame,
+                                idCol: String, textCol: String,
+                                outPath: String, checkpoint: String,
+                                shingleN: Int = 3, minMatched: Long = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Decontaminate
+        val b = batch.toDF().localCheckpoint(true)
+        val hits = Decontaminate.contaminated(b, eval, idCol, textCol,
+            shingleN, minMatched)
+          .select(col("id").as(idCol), col("n_matched"))
+        b.join(hits, Seq(idCol), "left")
+          .withColumn("contaminated", col("n_matched").isNotNull)
+          .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13k: streaming drift monitor — every micro-batch's hashed
     * n-gram profile is compared against the RUNNING profile of all
     * previously-seen data (TV distance, [[graft.operators.Curate.profileDrift]]),

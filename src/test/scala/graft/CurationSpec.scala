@@ -1023,4 +1023,87 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("borda"), r.getAs[Long]("r_final"), r.getAs[Boolean]("keep"))).toMap
     assert(out(0L) == ((3L, 1L, true)), s"dominating doc must fuse to 3/rank 1: ${out(0L)}")
   }
+
+  test("luhn_valid accepts the ISO test PANs, rejects corruptions") {
+    import spark.implicits._
+    // standard network test numbers (valid) + single-digit
+    // corruptions, a valid-Luhn-but-too-short run (11 digits — the
+    // PAN length guard must reject what the checksum alone accepts),
+    // and a non-digit string
+    val cases = Seq(
+      ("4111111111111111", true),  // Visa test PAN
+      ("378282246310005", true),   // Amex test PAN (15 digits)
+      ("6011111111111117", true),  // Discover test PAN
+      ("4111111111111112", false), // corrupted check digit
+      ("378282246310006", false),
+      ("79927398713", false),      // valid Luhn sum, not PAN-length
+      ("notdigits1234567", false),
+      ("", false))
+    val got = cases.map(_._1).toDF("cand")
+      .withColumn("v", graft.functions.luhn_valid(col("cand")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (c, want) =>
+      assert(got(c) == want, s"luhn_valid('$c') = ${got(c)}, want $want")
+    }
+    // the query's synthesized corpus exercises BOTH branches (the
+    // trailing digit is o_orderkey mod 10, so ~10% validate) and
+    // masks everything to last4
+    val out = graft.queries.PipelineQueries
+      .queries("q_pan_luhn")(spark, sfDir).collect()
+    assert(out.exists(_.getAs[Boolean]("luhn_valid")) &&
+      out.exists(!_.getAs[Boolean]("luhn_valid")),
+      "planted corpus must exercise both detector branches")
+    assert(out.forall(_.getAs[String]("masked")
+      .matches("[*]{12}[0-9]{4}")), "mask must hide all but last4")
+  }
+
+  test("quantile normalization maps shifted sources onto the global grid") {
+    import spark.implicits._
+    // global scores {10,20,30,40}; source A holds {10,30}, source B
+    // {20,40}. Rank 1 of either source must land on the global value
+    // at ppm 250000 (rank 2 -> 20), rank 2 at ppm 750000 (rank 4 ->
+    // 40): after normalization the two drifted sources agree exactly.
+    val df = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L),
+      (4L, "B", 40L)).toDF("doc_id", "source", "n_chars")
+    val out = graft.operators.Curate
+      .quantileNormalize(df, "doc_id", "source", "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ppm"), r.getAs[Long]("norm_score"))).toMap
+    assert(out == Map(1L -> ((250000L, 20L)), 3L -> ((750000L, 40L)),
+      2L -> ((250000L, 20L)), 4L -> ((750000L, 40L))), s"grid: $out")
+    // single source: the map degenerates to the identity (rank r of n
+    // targets global rank r), for any tie pattern
+    val solo = Seq((1L, "A", 7L), (2L, "A", 7L), (3L, "A", 9L),
+      (4L, "A", 2L)).toDF("doc_id", "source", "n_chars")
+    graft.operators.Curate
+      .quantileNormalize(solo, "doc_id", "source", "n_chars")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("norm_score") == r.getAs[Long]("score"),
+          s"single-source normalization must be the identity: $r")
+      }
+    // real corpus: within a source the map is monotone (quantiles
+    // preserve order), every normalized value is a real global score,
+    // and the result is partition-invariant
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val real = graft.operators.Curate
+      .quantileNormalize(d, "doc_id", "source", "n_chars")
+    val rows = real.collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("score"), r.getAs[Long]("norm_score"))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("score"),
+        r.getAs[Long]("doc_id")))
+      val norms = sorted.map(_.getAs[Long]("norm_score"))
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b },
+        s"non-monotone normalization in source $src")
+    }
+    val allScores = rows.map(_.getAs[Long]("score")).toSet
+    assert(rows.forall(r => allScores(r.getAs[Long]("norm_score"))),
+      "normalized values must be real global order statistics")
+    val reparted = graft.operators.Curate
+      .quantileNormalize(d.repartition(13), "doc_id", "source", "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Long]("norm_score"))).toMap
+    assert(reparted == byId, "partition-variant normalization")
+  }
 }

@@ -651,4 +651,115 @@ class DedupSpec extends SparkSpec {
     val real = Dedup.kCore(realPairs, 3L, maxIter = 8)
     assert(real.count() > 0, "sf0.001+ dup graph should have a 3-core")
   }
+
+  test("containment pairs catch quote-inclusion that Jaccard misses") {
+    // A's 10 tokens all appear inside B's 50 -> C(A->B) = 1.0 but
+    // Jaccard = 10/50 = 0.2: the symmetric detector is blind, the
+    // asymmetric one flags exactly the one direction
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 10).map(i => s"w$i") ++
+      (1 to 40).map(i => s"z$i")).mkString(" ")
+    // boundary doc: exactly 9 of A's 10 tokens -> C = 0.9 (flagged at
+    // 9/10); and an 8-of-10 doc that must NOT flag
+    val nine = ((1 to 9).map(i => s"w$i") :+ "q1").mkString(" ")
+    val eight = ((1 to 8).map(i => s"w$i") ++ Seq("q2", "q3")).mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, nine), (4L, eight))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 9L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1000000L,
+      s"full inclusion must flag at 1.0: $got")
+    assert(!got.contains((2L, 1L)), "containment is directional")
+    assert(got.get((3L, 1L)).contains(900000L) &&
+      got.get((1L, 3L)).contains(900000L),
+      s"9-of-10 overlap flags both directions at the boundary: $got")
+    assert(!got.exists(p => p._1._1 == 4L || p._1._2 == 4L),
+      s"8-of-10 is under threshold: $got")
+    // the symmetric detector really is blind to (1,2)
+    val jac = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 9L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "jaccard 0.2 must not pair 1-2")
+    // exact dups contain each other: both directions emitted
+    val dup = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(dup, "doc_id", "text", 9L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(both == Map((1L, 2L) -> 1000000L, (2L, 1L) -> 1000000L))
+  }
+
+  test("containment pairs equal brute force on real data at 4/5") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(80).localCheckpoint(true)
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sets = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    val want = (for {
+      (ia, sa) <- sets.toSeq; if sa.nonEmpty
+      (ib, sb) <- sets.toSeq; if ia != ib
+      inter = (sa & sb).size.toLong
+      if inter * 5 >= 4 * sa.size
+    } yield (ia, ib) -> inter * 1000000L / sa.size).toMap
+    assert(got == want,
+      s"prefix-probed containment diverged from brute force: " +
+        s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "slice must contain at least one true pair")
+  }
+
+  test("LPA communities: dense regions outvote bridges, CC merges them") {
+    // barbell: two 3-cliques {1,2,3} and {4,5,6} joined by the single
+    // bridge edge (3,4). Connected components fuse all six; LPA's
+    // self-vote majority keeps the cliques apart (the round-2 state
+    // where the bridge endpoints briefly swap labels is outvoted by
+    // each side's clique majority by round 3).
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L))
+      .toDF("doc_id1", "doc_id2")
+    val lpa = Dedup.labelPropagation(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"barbell must split into the two cliques: $lpa")
+    val cc = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size == 1, "contrast: CC merges the barbell")
+    // a clique converges to its min id in one round and stays there
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("doc_id1", "doc_id2")
+    assert(Dedup.labelPropagation(clique, rounds = 1)
+      .collect().forall(_.getLong(1) == 1L))
+    // a single edge: both endpoints land on the min id
+    val edge = Seq((7L, 8L)).toDF("doc_id1", "doc_id2")
+    assert(Dedup.labelPropagation(edge, rounds = 4)
+      .collect().forall(_.getLong(1) == 7L))
+    // partition invariance: the vote is a pure function of the graph
+    val shuffled = Dedup.labelPropagation(pairs.repartition(7), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == lpa)
+  }
+
+  test("LPA communities refine connected components on the real graph") {
+    // labels only travel along edges, so every community must live
+    // INSIDE one CC component — the containment invariant that makes
+    // LPA a refinement, never a re-wiring
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", Seq("lang"), 0.9,
+      parallelBuckets = 8)
+    val lpa = Dedup.labelPropagation(pairs, rounds = 4)
+    val cc = Dedup.clusters(pairs)
+    val nodeClus = cc.withColumnRenamed("id", "node_id")
+      .withColumnRenamed("cluster", "node_cluster")
+    val labClus = cc.withColumnRenamed("id", "lab_id")
+      .withColumnRenamed("cluster", "lab_cluster")
+    val crossed = lpa
+      .join(nodeClus, lpa("id") === nodeClus("node_id"))
+      .join(labClus, lpa("community") === labClus("lab_id"))
+      .filter(col("node_cluster") =!= col("lab_cluster"))
+    assert(crossed.isEmpty, "a community label crossed a CC boundary")
+    val nComm = lpa.select("community").distinct().count()
+    val nComp = cc.select("cluster").distinct().count()
+    assert(nComm >= nComp, s"LPA must refine CC: $nComm < $nComp")
+  }
 }

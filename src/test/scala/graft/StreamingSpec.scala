@@ -658,6 +658,47 @@ class StreamingSpec extends SparkSpec {
       "streamed gate diverged from the batch twin")
   }
 
+  test("streaming decontamination gate flags eval overlap per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Decontaminate
+    val corpus = table("documents")
+    // frozen eval suite: two real corpus docs (their shingles ARE in
+    // the stream when those docs arrive — guaranteed contamination)
+    val eval = corpus.select("doc_id", "text").orderBy("doc_id").limit(2)
+      .localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("decon_out").toString
+    val ckpt = Files.createTempDirectory("decon_ck").toString
+    val q = QueueStreaming.decontaminationGateStream(
+      mem.toDF().toDF("doc_id", "text"), eval, "doc_id", "text",
+      out, ckpt)
+    // 6 stream docs: the 2 eval docs (dirty) + 4 others, split so the
+    // seam separates a dirty doc from its suite-mate
+    val rows = corpus.select("doc_id", "text").orderBy("doc_id").limit(6)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    mem.addData(rows.take(3).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("contaminated"), r.getAs[Long]("n_matched"))).toMap
+    // batch twin: same 6 docs against the same frozen suite
+    val six = corpus.select("doc_id", "text").orderBy("doc_id").limit(6)
+    val hits = Decontaminate.contaminated(six, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_matched"))
+      .toMap
+    assert(streamed.size == 6, s"all docs must land: ${streamed.size}")
+    streamed.foreach { case (id, (flag, n)) =>
+      assert(flag == hits.contains(id) && n == hits.getOrElse(id, 0L),
+        s"doc $id diverged from the batch twin: ($flag, $n) vs ${hits.get(id)}")
+    }
+    // non-vacuous: the eval docs flag, at least one other doc is clean
+    assert(streamed.count(_._2._1) >= 2 && streamed.exists(!_._2._1),
+      s"gate must exercise both routes: $streamed")
+  }
+
   test("session store stream: per-trigger merge equals one-shot sessionization") {
     implicit val sq = spark.sqlContext
     import graft.operators.Sessionize
