@@ -202,13 +202,29 @@ object Dedup {
     * while a hot token's df·df_prefix fan-out splits across B
     * reducers). Near-exact-dup pairs qualify in BOTH directions and
     * emit two rows — direction is information here (who is quotable
-    * from whom), not redundancy. */
+    * from whom), not redundancy.
+    *
+    * `shingleN > 1` runs the join over word n-gram shingles — Broder
+    * '97's actual resemblance/containment universe, and the setting
+    * that matters on dense small-vocabulary corpora: with a 31-word
+    * vocabulary (this testbed at any SF) nearly every WORD set is
+    * ≥90% inside some longer doc by chance (measured 2.7 M set-level
+    * pairs at sf0.1) while 3-shingle containment keeps only genuine
+    * shared-passage inclusions (505 pairs) AND restores the prefix
+    * filter's selectivity (shingle df is small where word df is not).
+    * Docs with zero tokens are excluded on both sides (an empty set
+    * is vacuously contained everywhere — noise, and the SQL twin
+    * would divide by zero). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       num: Long, den: Long): DataFrame = {
+                       num: Long, den: Long, shingleN: Int = 1): DataFrame = {
     require(num > 0 && num <= den,
       s"threshold num/den must be in (0,1], got $num/$den")
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(tokenize_ws(col(textCol)))).as("tok"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+      .filter(size(tokenize_ws(col("__txt"))) > 0)
+    val tokArr =
+      if (shingleN <= 1) array_distinct(tokenize_ws(col("__txt")))
+      else array_distinct(shingles(col("__txt"), shingleN))
+    val toks = base.select(col("id"), explode(tokArr).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sized = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val ordered = toks.join(dfreq, "tok").join(sized, "id")
@@ -231,8 +247,10 @@ object Dedup {
       .select(col("a.id").as("contained_id"),
         col("b.id").as("container_id"), col("a.sz").as("sza"))
       .distinct()
-    val sets = docs.select(col(idCol).as("id"),
-      token_id_set(tokenize_ws(col(textCol))).as("ids"))
+    val setCol =
+      if (shingleN <= 1) token_id_set(tokenize_ws(col("__txt")))
+      else shingle_id_set(tokenize_ws(col("__txt")), shingleN)
+    val sets = base.select(col("id"), setCol.as("ids"))
     cand
       .join(sets.select(col("id").as("contained_id"), col("ids").as("ids1")),
         "contained_id")

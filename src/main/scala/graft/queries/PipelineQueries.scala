@@ -170,16 +170,20 @@ object PipelineQueries {
     },
 
     // L82: containment (asymmetric) dedup — ordered pairs where ≥90%
-    // of the contained doc's token set lives inside the container
-    // (Broder containment). Catches what symmetric Jaccard is blind
-    // to: a short doc quoted whole inside a long one scores
-    // containment 1.0 while its Jaccard vanishes with the container's
-    // size. One-sided prefix filter (contained side only) + inverted
-    // container probe, exact by the same integer-rational discipline
-    // as q_dedup_prefix.
+    // of the contained doc's 3-shingle set lives inside the container
+    // (Broder containment over shingles, his original universe).
+    // Catches what symmetric Jaccard is blind to: a passage quoted
+    // whole inside a long doc scores containment 1.0 while its
+    // Jaccard vanishes with the container's size. Shingles (not word
+    // sets) because the 31-word vocabulary makes word-set containment
+    // generic (2.7 M chance pairs at sf0.1 vs 505 genuine shingle
+    // inclusions) and starves the prefix filter. One-sided prefix +
+    // inverted container probe, exact by the same integer-rational
+    // discipline as q_dedup_prefix. (DuckDB's brute-force twin needs
+    // 583 s at sf0.1 for what the prefix path does in ~2 s.)
     "q_dedup_containment" -> { (s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          num = 9L, den = 10L)
+          num = 9L, den = 10L, shingleN = 3)
         .orderBy("contained_id", "container_id")
     },
 
@@ -2114,21 +2118,28 @@ object PipelineQueries {
         |ORDER BY id1, id2""".stripMargin,
 
     // L82: the containment twin — the naive all-ordered-pairs replay
-    // (list_intersect per pair) of the prefix-probed chain; the empty
-    // contained set is excluded on both sides (zero tokens satisfies
-    // any ≥-bound vacuously and divides by zero).
+    // (3-shingle list_intersect per pair) of the prefix-probed chain;
+    // zero-token docs are excluded on both sides (an empty set
+    // satisfies any ≥-bound vacuously and divides by zero). Shingle
+    // construction matches q_dedup_ngram's: < 3 tokens → the whole
+    // text as one shingle.
     "q_dedup_containment" ->
-      """WITH toksets AS (
+      """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(list_distinct(string_split(text, ' ')),
-        |      x -> len(x) > 0) AS toks
-        |  FROM documents)
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)
+        |      AS toks
+        |  FROM tk WHERE len(t) > 0)
         |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
         |  CAST(len(list_intersect(a.toks, b.toks)) * 1000000
         |       // len(a.toks) AS BIGINT) AS cont_micro
-        |FROM toksets a JOIN toksets b ON a.doc_id != b.doc_id
-        |WHERE len(a.toks) > 0
-        |  AND len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
+        |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
         |ORDER BY contained_id, container_id""".stripMargin,
 
     // L67: quantize-then-integer replay — floored component quantors,

@@ -704,6 +704,28 @@ class DedupSpec extends SparkSpec {
         s"missing=${(want.keySet -- got.keySet).take(5)} " +
         s"extra=${(got.keySet -- want.keySet).take(5)}")
     assert(want.nonEmpty, "slice must contain at least one true pair")
+    // shingle mode (the query's setting): same equality against a
+    // brute force over distinct 3-shingle sets
+    val got3 = Dedup.containmentPairs(d, "doc_id", "text", 4L, 5L,
+        shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets3 = d.collect().map(r => r.getLong(0) -> sh3(r.getString(1)))
+      .filter(_._2 != Set("")).toMap
+    val want3 = (for {
+      (ia, sa) <- sets3.toSeq
+      (ib, sb) <- sets3.toSeq; if ia != ib
+      inter = (sa & sb).size.toLong
+      if inter * 5 >= 4 * sa.size
+    } yield (ia, ib) -> inter * 1000000L / sa.size).toMap
+    assert(got3 == want3,
+      s"shingle containment diverged from brute force: " +
+        s"missing=${(want3.keySet -- got3.keySet).take(5)} " +
+        s"extra=${(got3.keySet -- want3.keySet).take(5)}")
   }
 
   test("LPA communities: dense regions outvote bridges, CC merges them") {
