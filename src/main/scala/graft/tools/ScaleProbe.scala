@@ -91,7 +91,15 @@ object ScaleProbe {
     // depth does not); map-side JL projection against a fixed
     // broadcast query set; pair-table × assignment joins
     "q_quality_blend", "q_k_anonymity", "q_dup_kcore", "q_ann_jl",
-    "q_split_leakage")
+    "q_split_leakage",
+    // r12 session 3: LPA vote rounds over disjoint replica components
+    // (edge table scales with the factor, round count is the
+    // contract); prefix-probed containment over suffixed shingle
+    // vocab (per-shingle dfs constant -> candidate volume linear,
+    // like q_dedup_prefix); two PrefixSum rank scans + integer-rank
+    // equi-join (linear); map-side Luhn over the strided orders
+    "q_dup_communities", "q_dedup_containment", "q_quantile_norm",
+    "q_pan_luhn")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
