@@ -1005,4 +1005,79 @@ object Curate {
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         col("__s").as("score"), col("ppm"), col("norm_score"))
   }
+
+  /** L83: shingle novelty — per doc, the fraction of its distinct
+    * n-gram shingles whose FIRST corpus owner (minimum doc id) is the
+    * doc itself. The signal behind Lee et al.'s dedup-curves applied
+    * row-wise: a doc scoring near 0 is assembled entirely from
+    * passages the corpus already has (mirror, digest, template farm)
+    * even when no single pair-detector threshold fires; near 1e6 is
+    * genuinely new text. Deterministic (min-id attribution, no
+    * ordering dependence), so the whole table hash-oracles.
+    *
+    * Scale: one shingle-keyed map-side-combining groupBy (the owner
+    * table) + one join back on the shingle key + one doc-keyed
+    * aggregate — all linear, no windows, no pair materialization
+    * (this is the novelty question answered WITHOUT building the
+    * quadratic pair graph). */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3): DataFrame = {
+    import graft.functions._
+    val sh = docs
+      .filter(size(tokenize_ws(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+    val own = sh.groupBy("sh").agg(min(col("id")).as("owner"))
+    sh.join(own, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 div n_shingles"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        col("novelty_ppm"))
+  }
+
+  /** L23b: vocabulary coverage curve — for each coverage target (ppm
+    * of all token OCCURRENCES), the minimum number of vocabulary
+    * types (taken in descending frequency order) that reaches it: the
+    * number that sizes a tokenizer's vocab from the corpus instead of
+    * folklore. Ties order (freq DESC, token DESC) on both engines.
+    *
+    * The descending cumulative table derives from ONE ascending
+    * [[PrefixSum]] scan (cum_desc = total − cum_asc + freq, rank_desc
+    * = V − rank_asc + 1 — exact under the shared tie order), so the
+    * type table — which GROWS with the corpus — never sorts through a
+    * single task; targets broadcast as a literal frame. */
+  def vocabCoverageCurve(docs: DataFrame, textCol: String,
+                         targetsPpm: Seq[Long]): DataFrame = {
+    import graft.functions._
+    require(targetsPpm.nonEmpty && targetsPpm.forall(t => t > 0 && t <= 1000000),
+      s"targets must be ppm values in (0, 1e6], got $targetsPpm")
+    val tf = docs.select(explode(tokenize_ws(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    if (tf.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("target_ppm"), lit(0L).as("vocab_needed"))
+        .limit(0)
+    val mm = tf.agg(min("freq"), max("freq"), sum("freq"), count(lit(1))).head()
+    val width = math.max(1L, (mm.getLong(1) - mm.getLong(0)) / 256 + 1)
+    val bkt = expr(s"(freq - ${mm.getLong(0)}L) div ${width}L")
+    val tot = mm.getLong(2)
+    val v = mm.getLong(3)
+    val cum = PrefixSum.bucketed(
+      PrefixSum.bucketed(tf, Seq("freq", "tok"), col("freq"), bkt,
+        outCol = "__cum"),
+      Seq("freq", "tok"), lit(1L), bkt, outCol = "__rk")
+    val curve = cum
+      .withColumn("rk_desc", lit(v) - col("__rk") + 1)
+      .withColumn("cov_ppm",
+        expr(s"(${tot}L - __cum + freq) * 1000000 div ${tot}L"))
+    val targets = docs.sparkSession
+      .createDataFrame(targetsPpm.map(Tuple1(_)))
+      .toDF("target_ppm")
+    curve.join(broadcast(targets), col("cov_ppm") >= col("target_ppm"))
+      .groupBy("target_ppm")
+      .agg(min(col("rk_desc")).as("vocab_needed"))
+  }
 }

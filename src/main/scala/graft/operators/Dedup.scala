@@ -263,6 +263,35 @@ object Dedup {
         expr("inter * 1000000 div sza").as("cont_micro"))
   }
 
+  /** L82b: containment-based removal — drop every doc that is ≥
+    * num/den contained in some OTHER doc, keeping the containers
+    * (subset/quote removal: the digest survives, the items quoted
+    * whole inside it go). Mutual containment (near-exact duplicates —
+    * both directions qualify) keeps the smallest id, the L19 survivor
+    * convention, so an exact-dup pair never double-drops; mutual
+    * CYCLES (all-equal sets) likewise reduce to min-id-survives.
+    * Non-mutual drops are unconditional — "contained in anything
+    * goes" is the standard subset-removal policy (a doc contained in
+    * a doc that itself drops is still redundant WITH the survivor's
+    * container chain). Cost over [[containmentPairs]]: one self-join
+    * of the pair table (mutuality flag) + one anti-join of the
+    * corpus. */
+  def removeContained(df: DataFrame, idCol: String, textCol: String,
+                      num: Long, den: Long, shingleN: Int = 1): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, num, den, shingleN)
+      .localCheckpoint(true)
+    val rev = pairs.select(col("contained_id").as("r_container"),
+      col("container_id").as("r_contained"))
+    val drops = pairs.join(rev,
+        pairs("contained_id") === rev("r_contained") &&
+          pairs("container_id") === rev("r_container"), "left")
+      .filter(col("r_contained").isNull ||
+        col("contained_id") > col("container_id"))
+      .select(col("contained_id").as("__drop_id"))
+      .distinct()
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1,

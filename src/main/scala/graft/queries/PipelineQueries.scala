@@ -260,6 +260,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L82b: containment-based removal — survivors after dropping
+    // every doc ≥90%-contained (3-shingles) in another; mutual
+    // containment keeps the min id so exact dups never double-drop.
+    "q_dedup_contain_apply" -> { (s, dir) =>
+      Dedup.removeContained(t(s, dir, "documents"), "doc_id", "text",
+          num = 9L, den = 10L, shingleN = 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // L83: shingle novelty — the fraction of each doc's distinct
+    // 3-shingles it OWNS (is the min-id first holder of): near-0 docs
+    // are assembled from passages the corpus already has even when no
+    // pair detector fires; the linear (no pair graph) novelty signal.
+    "q_novelty" -> { (s, dir) =>
+      graft.operators.Curate
+        .shingleNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
     // L19: connected-components clustering of the jaccard≥0.9 pair
     // graph — cluster id = min member id (oracled via a DuckDB
     // recursive CTE: min-label propagation equals transitive closure).
@@ -744,6 +764,17 @@ object PipelineQueries {
     // the tokenizer-prep step of a training pipeline. The vocab is
     // driver-bounded and broadcast; the corpus side is one explode +
     // broadcast join + lang-keyed aggregate.
+    // L23b: vocabulary coverage curve — the minimum number of types
+    // (descending frequency) covering each occurrence-ppm target; the
+    // number that sizes a tokenizer vocab. Desc cumulative derived
+    // from one ascending PrefixSum scan (no global sort).
+    "q_vocab_curve" -> { (s, dir) =>
+      graft.operators.Curate
+        .vocabCoverageCurve(t(s, dir, "documents"), "text",
+          Seq(500000L, 900000L, 950000L, 990000L, 1000000L))
+        .orderBy("target_ppm")
+    },
+
     "q_vocab_coverage" -> { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(col("lang"), explode(tokenize_ws(col("text"))).as("tok"))
@@ -2518,6 +2549,76 @@ object PipelineQueries {
         |SELECT doc_id, order_key, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // L82b: pair replay + the same drop rule (non-mutual drops
+    // unconditionally, mutual keeps the min id).
+    "q_dedup_contain_apply" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shg AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)
+        |      AS toks
+        |  FROM tk WHERE len(t) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS c1, b.doc_id AS c2
+        |  FROM shg a JOIN shg b ON a.doc_id != b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)),
+        |drops AS (
+        |  SELECT DISTINCT p.c1 AS drop_id FROM p
+        |  LEFT JOIN p r ON r.c1 = p.c2 AND r.c2 = p.c1
+        |  WHERE r.c1 IS NULL OR p.c1 > p.c2)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+
+    // L83: min-id shingle attribution replay.
+    "q_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shg AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_distinct(
+        |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(list_slice(t, i, i + 2), ' ')) END))
+        |      AS sh
+        |  FROM tk WHERE len(t) > 0),
+        |own AS (SELECT sh, MIN(doc_id) AS owner FROM shg GROUP BY sh)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS novelty_ppm
+        |FROM shg s JOIN own o USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // L23b: desc-cumulative window replay (ties freq DESC, tok DESC —
+    // the order the engine's ascending-scan reversal produces).
+    "q_vocab_curve" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT UNNEST(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS tok
+        |    FROM documents) GROUP BY tok),
+        |r AS (
+        |  SELECT freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, tok DESC) AS rk,
+        |    SUM(freq) OVER (ORDER BY freq DESC, tok DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(freq) OVER () AS tot
+        |  FROM tf),
+        |t(target_ppm) AS (VALUES (CAST(500000 AS BIGINT)), (900000),
+        |  (950000), (990000), (1000000))
+        |SELECT t.target_ppm, MIN(r.rk) AS vocab_needed
+        |FROM r JOIN t ON r.cum * 1000000 // r.tot >= t.target_ppm
+        |GROUP BY t.target_ppm ORDER BY target_ppm""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH toks AS (

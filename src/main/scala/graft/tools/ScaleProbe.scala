@@ -99,7 +99,11 @@ object ScaleProbe {
     // like q_dedup_prefix); two PrefixSum rank scans + integer-rank
     // equi-join (linear); map-side Luhn over the strided orders
     "q_dup_communities", "q_dedup_containment", "q_quantile_norm",
-    "q_pan_luhn")
+    "q_pan_luhn",
+    // r12 session 3 follow-ons: shingle-keyed owner groupBy + join
+    // (linear, no pair graph); desc-cumulative from one ascending
+    // PrefixSum over a type table that grows with the corpus
+    "q_novelty", "q_vocab_curve")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

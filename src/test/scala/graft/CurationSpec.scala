@@ -1024,6 +1024,65 @@ class CurationSpec extends SparkSpec {
     assert(out(0L) == ((3L, 1L, true)), s"dominating doc must fuse to 3/rank 1: ${out(0L)}")
   }
 
+  test("shingle novelty attributes first ownership by min id") {
+    import spark.implicits._
+    // doc 1 owns its 3 shingles; doc 2 repeats doc 1 verbatim (owns
+    // nothing); doc 3 shares one shingle with doc 1, owns its other 2
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "c d e f g"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curate
+      .shingleNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1000000L)), s"first holder owns all: $out")
+    assert(out(2L) == ((3L, 0L, 0L)), "verbatim repeat owns nothing")
+    assert(out(3L) == ((3L, 2L, 666666L)), s"partial overlap: ${out(3L)}")
+    // real corpus: bounded, and at least one doc scores 0 (the corpus
+    // has exact dups) while some doc scores full novelty
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val real = graft.operators.Curate
+      .shingleNovelty(d, "doc_id", "text", 3)
+      .collect().map(_.getAs[Long]("novelty_ppm"))
+    assert(real.forall(p => p >= 0 && p <= 1000000))
+    assert(real.contains(0L) && real.contains(1000000L),
+      "corpus must exercise both ends of the novelty range")
+  }
+
+  test("vocab coverage curve: desc-frequency prefix reaches each target") {
+    import spark.implicits._
+    // freqs: a x6, b x3, c x1 (tot 10) -> desc cum 60% / 90% / 100%
+    val docs = Seq((1L, "a a a b"), (2L, "a a a b b c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curate
+      .vocabCoverageCurve(docs, "text", Seq(500000L, 900000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(500000L -> 1L, 900000L -> 2L, 1000000L -> 3L),
+      s"curve: $out")
+    // tie at freq 3: (freq DESC, tok DESC) puts x before b on both
+    // engines — 90% needs {a, x} = 2 types either way, 95% needs 3
+    val tied = Seq((1L, "a a a a x x x b b b"))
+      .toDF("doc_id", "text")
+    val t2 = graft.operators.Curate
+      .vocabCoverageCurve(tied, "text", Seq(700000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2 == Map(700000L -> 2L, 1000000L -> 3L), s"ties: $t2")
+    // real corpus: monotone in the target, partition invariant
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = Seq(500000L, 900000L, 990000L, 1000000L)
+    val real = graft.operators.Curate
+      .vocabCoverageCurve(d, "text", targets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(targets.map(real).zip(targets.tail.map(real))
+      .forall { case (a, b) => a <= b }, s"monotone: $real")
+    val real2 = graft.operators.Curate
+      .vocabCoverageCurve(d.repartition(9), "text", targets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(real2 == real, "partition-variant curve")
+  }
+
   test("luhn_valid accepts the ISO test PANs, rejects corruptions") {
     import spark.implicits._
     // standard network test numbers (valid) + single-digit

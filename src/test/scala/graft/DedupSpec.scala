@@ -728,6 +728,26 @@ class DedupSpec extends SparkSpec {
         s"extra=${(got3.keySet -- want3.keySet).take(5)}")
   }
 
+  test("containment removal drops quoted docs, keeps containers and min-id dups") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),                       // contained in 2
+      (2L, "w1 w2 w3 w4 w5 z1 z2 z3 z4 z5 z6 z7"),  // container, survives
+      (3L, "q1 q2 q3"),                             // exact dup pair with 4
+      (4L, "q1 q2 q3"),                             //   -> min id 3 survives
+      (5L, "solo only tokens here"))                // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContained(docs, "doc_id", "text", 9L, 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L, 5L), s"survivors: $out")
+    // chain A c B c C: everything contained anywhere drops, the
+    // maximal container survives
+    val chain = Seq((1L, "a1 a2 a3"),
+      (2L, "a1 a2 a3 b1 b2"), (3L, "a1 a2 a3 b1 b2 c1 c2"))
+      .toDF("doc_id", "text")
+    assert(Dedup.removeContained(chain, "doc_id", "text", 9L, 10L)
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("LPA communities: dense regions outvote bridges, CC merges them") {
     // barbell: two 3-cliques {1,2,3} and {4,5,6} joined by the single
     // bridge edge (3,4). Connected components fuse all six; LPA's
