@@ -277,9 +277,18 @@ object Dedup {
     * of the pair table (mutuality flag) + one anti-join of the
     * corpus. */
   def removeContained(df: DataFrame, idCol: String, textCol: String,
-                      num: Long, den: Long, shingleN: Int = 1): DataFrame = {
-    val pairs = containmentPairs(df, idCol, textCol, num, den, shingleN)
-      .localCheckpoint(true)
+                      num: Long, den: Long, shingleN: Int = 1): DataFrame =
+    removeContainedPairs(df, idCol,
+      containmentPairs(df, idCol, textCol, num, den, shingleN)
+        .localCheckpoint(true))
+
+  /** [[removeContained]] over a PRECOMPUTED containment pair table —
+    * the amortized form (the [[removeNearDupsClusteredLabels]]
+    * contract): the prefix-probe join runs once per corpus and every
+    * consumer (pair listing, removal, future survivorship variants)
+    * probes the same narrow table. */
+  def removeContainedPairs(df: DataFrame, idCol: String,
+                           pairs: DataFrame): DataFrame = {
     val rev = pairs.select(col("contained_id").as("r_container"),
       col("container_id").as("r_contained"))
     val drops = pairs.join(rev,

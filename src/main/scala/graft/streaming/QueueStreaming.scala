@@ -493,6 +493,51 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13w: streaming novelty ingest — L83's first-owner attribution
+    * maintained continuously: every micro-batch commits its
+    * batch-level shingle claims (sh → min doc id) to a per-batch
+    * state partition FIRST, then scores each doc against the MIN
+    * owner across all state partitions (own batch included, so the
+    * read never races its own first write and a replay is a pure
+    * overwrite + idempotent min). Output per doc: the same
+    * (n_shingles, n_novel, novelty_ppm) row the batch
+    * [[graft.operators.Curate.shingleNovelty]] emits — and under the
+    * ingest contract (doc ids non-decreasing across triggers, the
+    * queue-drain shape of R20f/C13o) the streamed rows EQUAL the
+    * batch twin over the union corpus, because the earliest batch
+    * holding a shingle also holds its global-min id. Per-trigger cost
+    * follows the batch plus one shingle-keyed min over the
+    * state partitions (narrow (sh, owner) rows, growing with the
+    * DISTINCT shingle inventory, not the corpus). */
+  def noveltyIngestStream(docs: DataFrame, idCol: String, textCol: String,
+                          ownerPath: String, outPath: String,
+                          checkpoint: String, shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.functions._
+        val spark = batch.sparkSession
+        val sh = batch.toDF()
+          .filter(size(tokenize_ws(col(textCol))) > 0)
+          .select(col(idCol).as("id"),
+            explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+          .localCheckpoint(true)
+        sh.groupBy("sh").agg(min(col("id")).as("owner"))
+          .write.mode("overwrite").parquet(s"$ownerPath/batch=$batchId")
+        val owners = spark.read.parquet(ownerPath)
+          .groupBy("sh").agg(min(col("owner")).as("owner"))
+        sh.join(owners, "sh")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("owner") === col("id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+          .withColumnRenamed("id", idCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13k: streaming drift monitor — every micro-batch's hashed
     * n-gram profile is compared against the RUNNING profile of all
     * previously-seen data (TV distance, [[graft.operators.Curate.profileDrift]]),

@@ -65,6 +65,38 @@ class PlanContractSpec extends SparkSpec {
       s"no forced broadcasts anywhere in the prefix-join chain:\n$lp")
   }
 
+  test("session-3 operator plans: no cartesian, no global window") {
+    def globalWindows(p: org.apache.spark.sql.DataFrame) =
+      p.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+    // containment: candidates stay an equi-join on (tok, cell); the
+    // growing set table's verify joins are never hinted
+    val pc = plan("q_dedup_containment")
+    assert(!pc.contains("CartesianProduct"),
+      s"containment probe must stay an equi-join:\n$pc")
+    assert(!SparkEntry.queries("q_dedup_containment")(spark, sfDir)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no forced broadcast of the growing shingle-set table")
+    // quantile normalization + coverage curve: rank tables grow with
+    // the corpus — both must plan via bucketed scans, never one
+    // unpartitioned WindowExec
+    val qn = SparkEntry.queries("q_quantile_norm")(spark, sfDir)
+    assert(globalWindows(qn).isEmpty,
+      s"quantile norm planned a global window:\n${qn.queryExecution.sparkPlan}")
+    val vc = SparkEntry.queries("q_vocab_curve")(spark, sfDir)
+    assert(globalWindows(vc).isEmpty,
+      s"coverage curve planned a global window:\n${vc.queryExecution.sparkPlan}")
+    // LPA vote rounds: id-keyed equi-joins only
+    val lp = plan("q_dup_communities")
+    assert(!lp.contains("CartesianProduct"), s"LPA must equi-join:\n$lp")
+    // novelty: shingle-keyed join, map-side partial aggregation
+    val nv = plan("q_novelty")
+    assert(!nv.contains("CartesianProduct") && nv.contains("partial_"),
+      s"novelty needs partial aggs and no cartesian:\n$nv")
+  }
+
   test("mmr candidate generation broadcasts the query set, no cartesian") {
     // q_retrieval_mmr's own executedPlan is a scan of the checkpointed
     // selection (the greedy rounds ran at construction), so the

@@ -699,6 +699,43 @@ class StreamingSpec extends SparkSpec {
       s"gate must exercise both routes: $streamed")
   }
 
+  test("streaming novelty ingest equals the batch twin under id-ordered arrival") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val owner = Files.createTempDirectory("novel_own").toString
+    val out = Files.createTempDirectory("novel_out").toString
+    val ckpt = Files.createTempDirectory("novel_ck").toString
+    val q = QueueStreaming.noveltyIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      owner, out, ckpt)
+    // trigger 1: an original + its verbatim repeat; trigger 2: a doc
+    // sharing one shingle with doc 1 (cross-trigger attribution) +
+    // a repeat WITHIN the trigger
+    val rows = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "c d e f g"), (4L, "c d e f g"))
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    val batchTwin = graft.operators.Curate
+      .shingleNovelty(rows.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batchTwin,
+      s"streamed novelty diverged from the batch twin:\n" +
+        s"  stream: $streamed\n  batch : $batchTwin")
+    // the cross-trigger attribution really happened: doc 3's "c d e"
+    // shingle is owned by doc 1 from the PREVIOUS trigger
+    assert(streamed(3L) == ((3L, 2L, 666666L)), s"doc 3: ${streamed(3L)}")
+    assert(streamed(4L) == ((3L, 0L, 0L)), "within-trigger repeat owns nothing")
+  }
+
   test("session store stream: per-trigger merge equals one-shot sessionization") {
     implicit val sq = spark.sqlContext
     import graft.operators.Sessionize
