@@ -1355,4 +1355,106 @@ object Dedup {
     probeJoin(bandedSignatures(incoming, idCol, textCol, k, bands),
       corpus, minJaccard)
   }
+
+  // ---- L82c: containment-at-ingest state tables ----
+
+  private def containPostings(docs: DataFrame, idCol: String,
+                              textCol: String, shingleN: Int): DataFrame = {
+    val setCol =
+      if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
+      else shingle_id_set(tokenize_ws(col(textCol)), shingleN)
+    docs.select(col(idCol).as("corpus_id"), setCol.as("ids"))
+      .filter(size(col("ids")) >= 1)
+      .select(col("corpus_id"), explode(col("ids")).as("sid"),
+        size(col("ids")).cast("long").as("csz"))
+  }
+
+  private def containSets(docs: DataFrame, idCol: String,
+                          textCol: String, shingleN: Int): DataFrame = {
+    val setCol =
+      if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
+      else shingle_id_set(tokenize_ws(col(textCol)), shingleN)
+    docs.select(col(idCol).as("corpus_id"), setCol.as("ids"))
+      .filter(size(col("ids")) >= 1)
+  }
+
+  private def writeContainState(docs: DataFrame, idCol: String,
+                                textCol: String, table: String,
+                                shingleN: Int, buckets: Int,
+                                mode: String): Unit = {
+    if (mode == "overwrite") {
+      Lexical.dropManaged(docs.sparkSession, table)
+      Lexical.dropManaged(docs.sparkSession, s"${table}_sets")
+    }
+    containPostings(docs, idCol, textCol, shingleN)
+      .write.mode(mode).bucketBy(buckets, "sid")
+      .format("parquet").saveAsTable(table)
+    containSets(docs, idCol, textCol, shingleN)
+      .write.mode(mode).bucketBy(buckets, "corpus_id")
+      .format("parquet").saveAsTable(s"${table}_sets")
+  }
+
+  /** Persist the corpus's containment-probe state: an inverted
+    * shingle-id postings table `<table>` (sid, corpus_id, csz)
+    * bucketed on the probe key, plus the set sidecar `<table>_sets`
+    * (corpus_id, ids) bucketed on the verify key — the asymmetric
+    * twin of [[buildSignatureTable]]: build once per corpus, every
+    * ingest batch probes with zero corpus recompute and no corpus-
+    * side shuffle. Probes and appends must use the SAME
+    * shingleN/buckets as the build. */
+  def buildContainTable(corpus: DataFrame, idCol: String, textCol: String,
+                        table: String, shingleN: Int = 3,
+                        buckets: Int = 32): Unit =
+    writeContainState(corpus, idCol, textCol, table, shingleN, buckets,
+      "overwrite")
+
+  /** Append accepted rows to the containment state (same layout and
+    * shingleN/buckets as the build). */
+  def appendContainState(docs: DataFrame, idCol: String, textCol: String,
+                         table: String, shingleN: Int = 3,
+                         buckets: Int = 32): Unit =
+    writeContainState(docs, idCol, textCol, table, shingleN, buckets,
+      "append")
+
+  /** L82c: containment probe of an incoming batch against the
+    * persisted state — (incoming_id, corpus_id, cont_micro) for every
+    * incoming doc ≥ num/den contained in a corpus doc. Exactness
+    * does NOT depend on a document-frequency order here: the prefix
+    * theorem only needs SOME |A| − ⌈t·|A|⌉ + 1 of A's shingles probed
+    * (if |A∩B| ≥ H, any subset of A excluding H−1 members intersects
+    * B), so the batch side probes its first prefixLen ids in the
+    * set's ascending-hash order — stable, no corpus df pass, and
+    * pseudo-random (FNV) so prefix shingles spread uniformly over the
+    * postings buckets. Candidates are distinct'd before verify, which
+    * also absorbs duplicate postings from a replayed append. */
+  def containedAgainstTable(incoming: DataFrame, idCol: String,
+                            textCol: String, table: String,
+                            num: Long, den: Long,
+                            shingleN: Int = 3): DataFrame = {
+    require(num > 0 && num <= den,
+      s"threshold num/den must be in (0,1], got $num/$den")
+    val spark = incoming.sparkSession
+    val posts = spark.table(table)
+    val csets = spark.table(s"${table}_sets")
+      .select(col("corpus_id"), col("ids").as("cids"))
+    val bs = containSets(incoming, idCol, textCol, shingleN)
+      .select(col("corpus_id").as("incoming_id"), col("ids"))
+      .withColumn("sz", size(col("ids")).cast("long"))
+    val probe = bs.select(col("incoming_id"), col("sz"),
+        posexplode(col("ids")).as(Seq("pos", "sid")))
+      .filter(col("pos") <
+        col("sz") - expr(s"($num * sz + $den - 1) div $den") + 1)
+    val cand = probe.join(posts, "sid")
+      .filter(col("csz") * den >= col("sz") * num)
+      .select(col("incoming_id"), col("corpus_id"), col("sz"))
+      .distinct()
+    cand
+      .join(bs.select(col("incoming_id"), col("ids")), "incoming_id")
+      .join(csets, "corpus_id")
+      .withColumn("h", expr(s"($num * sz + $den - 1) div $den"))
+      .withColumn("inter", inter_ge_sorted(col("ids"), col("cids"), col("h")))
+      .filter(col("inter") >= col("h"))
+      .select(col("incoming_id"), col("corpus_id"),
+        expr("inter * 1000000 div sz").as("cont_micro"))
+  }
 }

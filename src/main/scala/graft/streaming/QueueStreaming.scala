@@ -1229,4 +1229,45 @@ object QueueStreaming {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** C13x: streaming containment ingest — the asymmetric twin of
+    * [[nearDupIngest]], closing the L82 lifecycle (batch pairs →
+    * removal → novelty → ingest): every micro-batch is (1)
+    * containment-probed against the persisted postings/set state
+    * ([[graft.operators.Dedup.buildContainTable]]) — a new doc ≥ t
+    * contained in ANY accepted doc is redundant even when its Jaccard
+    * against everything is tiny (the digest/quote case MinHash ingest
+    * passes through); (2) containment-deduped within itself (min-id
+    * mutual rule); and the survivors (3) land per-batch and (4)
+    * extend the state. Replay-safe the same way as nearDupIngest:
+    * ids are unique across stream and corpus (queue-seq contract), so
+    * a self-pair from the batch's own earlier append is excluded, and
+    * duplicate postings from a replayed append collapse in the
+    * probe's candidate distinct. */
+  def containmentIngest(incoming: DataFrame, idCol: String, textCol: String,
+                        stateTable: String, outPath: String,
+                        checkpoint: String, num: Long = 9L, den: Long = 10L,
+                        shingleN: Int = 3, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Dedup
+        val b = batch.toDF()
+        val corpusHits = Dedup
+          .containedAgainstTable(b, idCol, textCol, stateTable,
+            num = num, den = den, shingleN = shingleN)
+          .filter(col("incoming_id") =!= col("corpus_id"))
+          .select(col("incoming_id").as("__dup_id")).distinct()
+        val fresh = b.join(corpusHits, b(idCol) === col("__dup_id"),
+          "left_anti")
+        val kept = Dedup.removeContained(fresh, idCol, textCol,
+          num = num, den = den, shingleN = shingleN).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          Dedup.appendContainState(kept, idCol, textCol, stateTable,
+            shingleN = shingleN, buckets = buckets)
+        } finally { kept.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -425,6 +425,44 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_sigs")
   }
 
+  test("containment ingest drops quoted excerpts, keeps supersets") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words("p", 1, 20)),
+      (2L, words("q", 1, 8)))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildContainTable(corpus, "doc_id", "text", "ingest_contain")
+      val mem = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("cingest_out").toString
+      val ckpt = Files.createTempDirectory("cingest_ckpt").toString
+      val q = QueueStreaming.containmentIngest(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "ingest_contain", outDir, ckpt)
+      mem.addData(
+        (10L, words("p", 3, 12)),              // excerpt of corpus 1: drop
+        (11L, words("f", 1, 10)),              // fresh: keep
+        (12L, words("f", 2, 9)),               // excerpt of 11, same trigger: drop
+        (15L, words("q", 1, 8) + " r1 r2 r3")) // SUPERSET of corpus 2: keep
+      q.processAllAvailable()
+      mem.addData(
+        (13L, words("f", 3, 10)),              // excerpt of trigger-1's 11: drop
+        (14L, words("g", 1, 8)))               // fresh: keep
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 14L, 15L),
+        s"corpus/within-batch/cross-trigger excerpts dropped, " +
+          s"supersets kept; got $kept")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_contain")
+      spark.sql("DROP TABLE IF EXISTS ingest_contain_sets")
+    }
+  }
+
   test("streaming pack cuts budget shards that persist across triggers") {
     import graft.streaming.QueueStreaming.{Doc, PackedDoc}
     implicit val sq = spark.sqlContext
