@@ -1015,10 +1015,13 @@ object Curate {
     * genuinely new text. Deterministic (min-id attribution, no
     * ordering dependence), so the whole table hash-oracles.
     *
-    * Scale: one shingle-keyed map-side-combining groupBy (the owner
-    * table) + one join back on the shingle key + one doc-keyed
-    * aggregate — all linear, no windows, no pair materialization
-    * (this is the novelty question answered WITHOUT building the
+    * Scale: NO shingle-keyed join back — a doc's owned count is the
+    * owner table grouped by owner (owner = min id over docs
+    * CONTAINING the shingle, so every shingle a doc owns is one of
+    * its own), and its shingle count is a doc-keyed aggregate; the
+    * two meet in a doc-count-sized join. Two map-side-combining
+    * aggregates over the exploded pairs, no windows, no pair
+    * materialization (the novelty question answered WITHOUT the
     * quadratic pair graph). */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3): DataFrame = {
@@ -1027,11 +1030,11 @@ object Curate {
       .filter(size(tokenize_ws(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    val own = sh.groupBy("sh").agg(min(col("id")).as("owner"))
-    sh.join(own, "sh")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val owned = sh.groupBy("sh").agg(min(col("id")).as("owner"))
+      .groupBy("owner").agg(count(lit(1)).as("__novel"))
+    counts.join(owned, col("id") === col("owner"), "left")
+      .withColumn("n_novel", coalesce(col("__novel"), lit(0L)))
       .withColumn("novelty_ppm",
         expr("n_novel * 1000000 div n_shingles"))
       .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
