@@ -216,15 +216,24 @@ object Dedup {
     * is vacuously contained everywhere — noise, and the SQL twin
     * would divide by zero). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       num: Long, den: Long, shingleN: Int = 1): DataFrame = {
+                       num: Long, den: Long, shingleN: Int = 1,
+                       blockCols: Seq[String] = Nil,
+                       keepBlocks: Boolean = false): DataFrame = {
     require(num > 0 && num <= den,
       s"threshold num/den must be in (0,1], got $num/$den")
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    val base = docs.select(col(idCol).as("id") +: col(textCol).as("__txt") +:
+        blockCols.map(col): _*)
       .filter(size(tokenize_ws(col("__txt"))) > 0)
     val tokArr =
       if (shingleN <= 1) array_distinct(tokenize_ws(col("__txt")))
       else array_distinct(shingles(col("__txt"), shingleN))
-    val toks = base.select(col("id"), explode(tokArr).as("tok"))
+    val toks = base.select(col("id") +: explode(tokArr).as("tok") +:
+      blockCols.map(col): _*)
+    // df stays GLOBAL under blocking: the prefix theorem is exact for
+    // ANY |A|−⌈t·|A|⌉+1 member choice, so the block key only needs to
+    // ride the join — per-block dfs would buy selectivity at the cost
+    // of a per-block shuffle and a harder oracle, for nothing exactness
+    // needs
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sized = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val ordered = toks.join(dfreq, "tok").join(sized, "id")
@@ -239,13 +248,17 @@ object Dedup {
     val b = ordered
       .withColumn("cell", pmod(xxhash64(col("id")), lit(B.toLong)).cast("int"))
       .as("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
     val cand = a.join(b,
         col("a.tok") === col("b.tok") && col("a.cell") === col("b.cell") &&
+          blockEq &&
           col("a.id") =!= col("b.id") &&
           col("b.sz") * den >= col("a.sz") * num &&
           expr(s"1 + b.sz - b.rk >= ($num * a.sz + $den - 1) div $den"))
-      .select(col("a.id").as("contained_id"),
-        col("b.id").as("container_id"), col("a.sz").as("sza"))
+      .select(Seq(col("a.id").as("contained_id"),
+        col("b.id").as("container_id"), col("a.sz").as("sza")) ++
+        (if (keepBlocks) blockCols.map(c => col(s"a.$c")) else Nil): _*)
       .distinct()
     val setCol =
       if (shingleN <= 1) token_id_set(tokenize_ws(col("__txt")))
@@ -259,8 +272,9 @@ object Dedup {
       .withColumn("h", expr(s"($num * sza + $den - 1) div $den"))
       .withColumn("inter", inter_ge_sorted(col("ids1"), col("ids2"), col("h")))
       .filter(col("inter") >= col("h"))
-      .select(col("contained_id"), col("container_id"),
-        expr("inter * 1000000 div sza").as("cont_micro"))
+      .select(col("contained_id") +: col("container_id") +:
+        expr("inter * 1000000 div sza").as("cont_micro") +:
+        (if (keepBlocks) blockCols.map(col) else Nil): _*)
   }
 
   /** L82b: containment-based removal — drop every doc that is ≥

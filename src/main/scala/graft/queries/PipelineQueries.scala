@@ -148,7 +148,8 @@ object PipelineQueries {
     if (Seq("q_dedup_threshold_curve", "q_dup_source_matrix",
         "q_dup_triangles", "q_dup_kcore",
         "q_dup_communities").exists(names)) jaccardPairGraph(s, dir)
-    if (Seq("q_dedup_containment", "q_dedup_contain_apply").exists(names))
+    if (Seq("q_dedup_containment", "q_dedup_contain_apply",
+        "q_dedup_containment_grouped").exists(names))
       containmentPairTable(s, dir)
     if (Seq("q_dedup_cluster", "q_dedup_cluster_apply",
         "q_dedup_cluster_best", "q_split_leakage_safe",
@@ -203,6 +204,27 @@ object PipelineQueries {
     // 583 s at sf0.1 for what the prefix path does in ~2 s.)
     "q_dedup_containment" -> { (s, dir) =>
       containmentPairTable(s, dir)
+        .orderBy("contained_id", "container_id")
+    },
+
+    // L82d: per-tenant containment — tenant isolation (a doc quoted
+    // in ANOTHER tenant's corpus never pairs, the L63e/L7c contract).
+    // Blocking only REMOVES cross-tenant pairs (the containment
+    // predicate is block-free), so with the global pair table already
+    // memoized the grouped view is a tenant-equality filter over it —
+    // the production answer when both views ship. The blocked-join
+    // OPERATOR (containmentPairs(blockCols=...), the scale path when
+    // tenants are many and cross-tenant pairs dominate) is gated by
+    // DedupSpec's grouped ≡ per-tenant-solo-union equality.
+    "q_dedup_containment_grouped" -> { (s, dir) =>
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      containmentPairTable(s, dir)
+        .join(src.select(col("doc_id").as("contained_id"),
+          col("source")), "contained_id")
+        .join(src.select(col("doc_id").as("container_id"),
+          col("source").as("__src2")), "container_id")
+        .filter(col("source") === col("__src2"))
+        .select("contained_id", "container_id", "cont_micro", "source")
         .orderBy("contained_id", "container_id")
     },
 
@@ -2189,6 +2211,28 @@ object PipelineQueries {
         |  CAST(len(list_intersect(a.toks, b.toks)) * 1000000
         |       // len(a.toks) AS BIGINT) AS cont_micro
         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    // L82d: the same replay with the tenant key riding the pair join.
+    "q_dedup_containment_grouped" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)
+        |      AS toks
+        |  FROM tk WHERE len(t) > 0)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |  CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+        |       // len(a.toks) AS BIGINT) AS cont_micro,
+        |  a.source
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id != b.doc_id AND a.source = b.source
         |WHERE len(list_intersect(a.toks, b.toks)) * 10 >= 9 * len(a.toks)
         |ORDER BY contained_id, container_id""".stripMargin,
 

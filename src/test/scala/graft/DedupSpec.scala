@@ -686,6 +686,37 @@ class DedupSpec extends SparkSpec {
     assert(both == Map((1L, 2L) -> 1000000L, (2L, 1L) -> 1000000L))
   }
 
+  test("grouped containment isolates tenants, equals per-group solo runs") {
+    // tenant A holds a quote-inclusion pair; tenant B holds a doc
+    // contained in tenant A's container — cross-tenant, must NOT pair
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5", "A"),
+      (2L, "w1 w2 w3 w4 w5 z1 z2 z3 z4 z5", "A"),
+      (3L, "w1 w2 w3 w4 w5", "B"),
+      (4L, "unrelated content here", "B"))
+      .toDF("doc_id", "text", "src")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 9L, 10L,
+        blockCols = Seq("src"), keepBlocks = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"only the within-tenant inclusion pairs: $got")
+    // grouped == union of per-group solo runs on real data
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(120).localCheckpoint(true)
+    val grouped = Dedup.containmentPairs(d, "doc_id", "text", 4L, 5L,
+        shingleN = 3, blockCols = Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val solo = d.select("lang").distinct().collect().map(_.getString(0))
+      .flatMap { lg =>
+        Dedup.containmentPairs(d.filter(col("lang") === lg),
+            "doc_id", "text", 4L, 5L, shingleN = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }.toSet
+    assert(grouped == solo, s"grouped must equal the per-tenant solo " +
+      s"union: extra=${(grouped -- solo).take(3)} " +
+      s"missing=${(solo -- grouped).take(3)}")
+  }
+
   test("containment pairs equal brute force on real data at 4/5") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(80).localCheckpoint(true)
