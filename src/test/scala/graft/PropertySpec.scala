@@ -161,6 +161,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment invariants on random docs: brute equality, monotone, idempotent") {
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new Random(11)
+    (1 to 5).foreach { round =>
+      val n = 2 + rnd.nextInt(14)
+      val rows = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      def pairsAt(num: Long, den: Long) =
+        Dedup.containmentPairs(df, "doc_id", "text", num, den)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+      val at12 = pairsAt(1L, 2L)
+      val at45 = pairsAt(4L, 5L)
+      // brute force at 1/2
+      val sets = rows.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+      val truth = (for {
+        (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+        if ia != ib && sa.nonEmpty
+        inter = (sa & sb).size.toLong
+        if inter * 2 >= sa.size
+      } yield (ia, ib) -> inter * 1000000L / sa.size).toMap
+      assert(at12 == truth, s"round $round brute: " +
+        s"missed=${(truth.keySet -- at12.keySet).take(3)} " +
+        s"extra=${(at12.keySet -- truth.keySet).take(3)}")
+      // monotone: a stricter threshold can only REMOVE pairs, and the
+      // surviving pairs keep their cont_micro (the measure is
+      // threshold-independent)
+      assert(at45.keySet.subsetOf(at12.keySet), s"round $round monotone")
+      at45.foreach { case (k, v) => assert(at12(k) == v) }
+      // removal is idempotent: survivors contain no further pairs
+      val kept = Dedup.removeContained(df, "doc_id", "text", 1L, 2L)
+        .localCheckpoint(true)
+      val again = Dedup.removeContained(kept, "doc_id", "text", 1L, 2L)
+      assert(again.count() == kept.count(),
+        s"round $round: removal must be a fixpoint")
+    }
+  }
+
   test("space-saving invariants on random skewed streams, random merges") {
     import graft.functions.SpaceSaving
     val rnd = new Random(7)
