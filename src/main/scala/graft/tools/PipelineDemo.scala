@@ -125,8 +125,27 @@ object PipelineDemo {
     val afterNear = Dedup.removeNearDupsClustered(afterExact, "doc_id", pairs)
     stage("near-dup clusters", afterNear.count())
 
+    // asymmetric pass: drop docs >=90% shingle-contained in a
+    // surviving doc (quote/digest redundancy the symmetric pass
+    // keeps). Cut the lineage first: the probe references its input
+    // several times, and each reference would otherwise re-execute
+    // the whole upstream pipeline
+    val nearCut = afterNear.localCheckpoint(true)
+    val afterContain = Dedup.removeContained(nearCut, "doc_id", "text",
+      num = 9L, den = 10L, shingleN = 3).localCheckpoint(true)
+    stage("containment removal", afterContain.count())
+
+    // novelty floor: a doc owning <10% of its shingles is assembled
+    // from passages the survivors already carry
+    val novel = graft.operators.Curate
+      .shingleNovelty(afterContain, "doc_id", "text", 3)
+      .filter(col("novelty_ppm") >= 100000)
+      .select("doc_id")
+    val afterNovel = afterContain.join(novel, "doc_id")
+    stage("novelty floor (10%)", afterNovel.count())
+
     val evalSlice = docs.filter(col("doc_id") % 23 === 0)
-    val clean = Decontaminate.removeContaminated(afterNear, evalSlice,
+    val clean = Decontaminate.removeContaminated(afterNovel, evalSlice,
       "doc_id", "text", shingleN = 3, minMatched = 5)
     stage("decontaminated", clean.count())
 
