@@ -1022,7 +1022,10 @@ object Curate {
     * two meet in a doc-count-sized join. Two map-side-combining
     * aggregates over the exploded pairs, no windows, no pair
     * materialization (the novelty question answered WITHOUT the
-    * quadratic pair graph). */
+    * quadratic pair graph). Both aggregates re-derive the shingle
+    * explode from `docs` (recompute beats materializing a
+    * corpus-sized explode at scale) — pass a table-backed or
+    * checkpointed frame, not a long uncached lineage. */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3): DataFrame = {
     import graft.functions._

@@ -214,7 +214,13 @@ object Dedup {
     * filter's selectivity (shingle df is small where word df is not).
     * Docs with zero tokens are excluded on both sides (an empty set
     * is vacuously contained everywhere — noise, and the SQL twin
-    * would divide by zero). */
+    * would divide by zero).
+    *
+    * The probe references `docs` several times (df table, size table,
+    * rank window, verify sets): pass a table-backed or checkpointed
+    * frame. A long uncached lineage re-executes its whole upstream
+    * per reference — observed wedging a composed pipeline until the
+    * caller cut the lineage. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        num: Long, den: Long, shingleN: Int = 1,
                        blockCols: Seq[String] = Nil,
