@@ -1376,6 +1376,73 @@ object Dedup {
       corpus, minJaccard)
   }
 
+  /** L84: sampled near-dup rate — the dedup QA answer at 100 TB,
+    * where "did the dedup work" cannot be verified exhaustively: draw
+    * a deterministic id-hash sample (inclusion independent of
+    * content, so the per-doc Bernoulli is unbiased for the has-dup
+    * trait), probe ONLY the sampled docs against the whole corpus for
+    * a word-set Jaccard ≥ num/den partner in the same block, and
+    * report the measured rate. Run it on the raw corpus to size the
+    * dedup problem; run it on the deduped output and the rate is the
+    * RESIDUAL — zero by theorem for clustered removal under the same
+    * blocking, which the spec pins.
+    *
+    * The probe is the one-sided prefix filter again (jac ≥ t ⟹
+    * overlap ≥ ⌈t·|A|⌉, so A's |A|−⌈t·|A|⌉+1 rarest tokens must hit
+    * B): sample-side prefixes join ALL corpus tokens — cost follows
+    * the SAMPLE, never sample × corpus — with the two-sided size
+    * ratio pruned in-join and one early-abort merge per distinct
+    * candidate. Returns one row: (n_sampled, n_dup, dup_ppm). */
+  def sampledDupRate(docs: DataFrame, idCol: String, textCol: String,
+                     blockCols: Seq[String], num: Long, den: Long,
+                     sampleHexLt: String = "20"): DataFrame = {
+    require(num > 0 && num <= den,
+      s"threshold num/den must be in (0,1], got $num/$den")
+    val base = docs.select(col(idCol).as("id") +: col(textCol).as("__txt") +:
+        blockCols.map(col): _*)
+      .filter(size(tokenize_ws(col("__txt"))) > 0)
+    val toks = base.select(col("id") +:
+      explode(array_distinct(tokenize_ws(col("__txt")))).as("tok") +:
+      blockCols.map(col): _*)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sized = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ordered = toks.join(dfreq, "tok").join(sized, "id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy("df", "tok")))
+    val inSample = substring(md5(col("id").cast("string")), 1, 2) < sampleHexLt
+    val a = ordered.filter(inSample)
+      .filter(col("rk") <= col("sz") -
+        expr(s"($num * sz + $den - 1) div $den") + 1)
+      .as("a")
+    val b = ordered.as("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val cand = a.join(b,
+        col("a.tok") === col("b.tok") && blockEq &&
+          col("a.id") =!= col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * den >=
+            greatest(col("a.sz"), col("b.sz")) * num)
+      .select(col("a.id").as("sid"), col("b.id").as("cid"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    val sets = base.select(col("id"), token_id_set(tokenize_ws(col("__txt")))
+      .as("ids"))
+    val dups = cand
+      .join(sets.select(col("id").as("sid"), col("ids").as("ids1")), "sid")
+      .join(sets.select(col("id").as("cid"), col("ids").as("ids2")), "cid")
+      .withColumn("h",
+        expr(s"($num * (sza + szb) + ${num + den - 1}) div ${num + den}"))
+      .withColumn("inter", inter_ge_sorted(col("ids1"), col("ids2"), col("h")))
+      .filter(col("inter") * den >= (col("sza") + col("szb") - col("inter")) * num)
+      .select("sid").distinct()
+    val nS = base.filter(inSample).count()
+    val nD = dups.count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nS, nD, if (nS > 0) nD * 1000000L / nS else 0L))
+      .toDF("n_sampled", "n_dup", "dup_ppm")
+  }
+
   // ---- L82c: containment-at-ingest state tables ----
 
   private def containPostings(docs: DataFrame, idCol: String,

@@ -290,6 +290,15 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L84: sampled near-dup rate — dedup QA at scale: a deterministic
+    // 1/8 id-hash sample probed against the whole corpus (one-sided
+    // prefix filter, lang-blocked) for a jaccard>=0.9 partner; the
+    // measured ppm sizes the dedup problem without an all-pairs pass.
+    "q_dup_rate_sampled" -> { (s, dir) =>
+      Dedup.sampledDupRate(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang"), num = 9L, den = 10L)
+    },
+
     // L2b: apply the dedup - survivors after dropping the larger id of
     // every jaccard>=0.9 pair (greedy representative selection).
     "q_dedup_apply" -> { (s, dir) =>
@@ -2188,6 +2197,30 @@ object PipelineQueries {
         |FROM veri
         |WHERE inter * 10 >= (sz1 + sz2 - inter) * 9
         |ORDER BY id1, id2""".stripMargin,
+
+    // L84: the sampled-rate replay — same id-hash sample, exact
+    // cross-multiplied jaccard EXISTS per sampled doc (lang-blocked).
+    "q_dup_rate_sampled" ->
+      """WITH ts AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tnz AS (SELECT * FROM ts WHERE len(toks) > 0),
+        |samp AS (SELECT * FROM tnz
+        |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'),
+        |dup AS (
+        |  SELECT DISTINCT s.doc_id FROM samp s JOIN tnz b
+        |    ON s.lang = b.lang AND s.doc_id != b.doc_id
+        |  WHERE len(list_intersect(s.toks, b.toks)) * 10 >=
+        |    (len(s.toks) + len(b.toks)
+        |       - len(list_intersect(s.toks, b.toks))) * 9)
+        |SELECT (SELECT COUNT(*) FROM samp) AS n_sampled,
+        |  (SELECT COUNT(*) FROM dup) AS n_dup,
+        |  CASE WHEN (SELECT COUNT(*) FROM samp) > 0
+        |       THEN (SELECT COUNT(*) FROM dup) * 1000000
+        |              // (SELECT COUNT(*) FROM samp)
+        |       ELSE CAST(0 AS BIGINT) END AS dup_ppm""".stripMargin,
 
     // L82: the containment twin — the naive all-ordered-pairs replay
     // (3-shingle list_intersect per pair) of the prefix-probed chain;

@@ -103,7 +103,10 @@ object ScaleProbe {
     // r12 session 3 follow-ons: shingle-keyed owner groupBy + join
     // (linear, no pair graph); desc-cumulative from one ascending
     // PrefixSum over a type table that grows with the corpus
-    "q_novelty", "q_vocab_curve")
+    "q_novelty", "q_vocab_curve",
+    // r12 session 3 last: sample-side prefix probe — cost follows the
+    // 1/8 sample, the corpus side joins without an all-pairs pass
+    "q_dup_rate_sampled")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -686,6 +686,34 @@ class DedupSpec extends SparkSpec {
     assert(both == Map((1L, 2L) -> 1000000L, (2L, 1L) -> 1000000L))
   }
 
+  test("sampled dup rate measures the planted rate; zero after clustered removal") {
+    // full sample ("zz" > any hex prefix): 2 of 8 docs have a partner
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "k1 k2 k3"), (4L, "k4 k5 k6"), (5L, "k7 k8 k9"),
+      (6L, "m1 m2 m3"), (7L, "m4 m5 m6"), (8L, "m7 m8 m9"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val r = Dedup.sampledDupRate(docs, "doc_id", "text", Seq("lang"),
+      9L, 10L, sampleHexLt = "zz").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 2L, 250000L)),
+      s"planted rate: $r")
+    // after clustered removal under the same blocking, the residual
+    // rate is zero BY THEOREM (survivors carry no within-block pair)
+    val deduped = Dedup.removeNearDupsClustered(docs, "doc_id",
+      Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.9))
+    val r2 = Dedup.sampledDupRate(deduped, "doc_id", "text", Seq("lang"),
+      9L, 10L, sampleHexLt = "zz").head()
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L,
+      s"post-dedup residual must be zero: $r2")
+    // real corpus, full sample: the raw near-dup rate is materially
+    // nonzero (the corpus plants dup clusters) and bounded
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val real = Dedup.sampledDupRate(d, "doc_id", "text", Seq("lang"),
+      9L, 10L, sampleHexLt = "zz").head()
+    assert(real.getLong(1) > 0 && real.getLong(2) <= 1000000L,
+      s"raw corpus rate: $real")
+  }
+
   test("grouped containment isolates tenants, equals per-group solo runs") {
     // tenant A holds a quote-inclusion pair; tenant B holds a doc
     // contained in tenant A's container — cross-tenant, must NOT pair
