@@ -63,6 +63,9 @@ object GraftExtensions {
     fn("fnv64", "fnv64(text) - FNV-1a 64 hash") {
       args => Fnv64(args.head)
     },
+    fn("luhn_valid", "luhn_valid(digits) - ISO 7812 checksum validity") {
+      args => LuhnValid(args.head)
+    },
     fn("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted long arrays") {
       args => JaccardSorted(args.head, args(1))
     },

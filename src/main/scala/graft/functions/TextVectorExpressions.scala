@@ -110,6 +110,30 @@ object Kernels {
     h
   }
 
+  /** Luhn checksum validity over a PAN-length ASCII digit string
+    * (ISO/IEC 7812): double every second digit from the RIGHT (−9
+    * past 9), valid = sum ≡ 0 (mod 10) and 13–19 digits. Non-digit
+    * bytes or out-of-range length → false, never an error. One byte
+    * pass — the codegen'd replacement for the interpreted
+    * aggregate-over-sequence formulation (150 k rows: ~3 s → ~0.1 s). */
+  def luhnValid(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    val n = b.length
+    if (n < 13 || n > 19) return false
+    var sum = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i) - '0'
+      if (c < 0 || c > 9) return false
+      val d =
+        if (((n - 1 - i) & 1) == 1) { val t = c * 2; if (t > 9) t - 9 else t }
+        else c
+      sum += d
+      i += 1
+    }
+    sum % 10 == 0
+  }
+
   /** Jaccard of two sorted long arrays (single merge pass, no alloc). */
   def interGeSorted(a: ArrayData, b: ArrayData, minInter: Long): Long = {
     val n = a.numElements(); val m = b.numElements()
@@ -706,6 +730,16 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingHash($c)")
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+case class LuhnValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "luhn_valid"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.luhnValid(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.luhnValid($c)")
+  override protected def withNewChildInternal(c: Expression): LuhnValid = copy(c)
 }
 
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
