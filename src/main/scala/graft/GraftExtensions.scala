@@ -66,6 +66,24 @@ object GraftExtensions {
     fn("luhn_valid", "luhn_valid(digits) - ISO 7812 checksum validity") {
       args => LuhnValid(args.head)
     },
+    fn("tokenize_ws", "tokenize_ws(text) - whitespace tokens, empties removed") {
+      args => TokenizeWs(args.head)
+    },
+    fn("token_id_set", "token_id_set(tokens) - sorted distinct fnv64 ids") {
+      args => TokenIdSet(args.head)
+    },
+    fn("quantize_q16", "quantize_q16(vec) - floor(x*65536+0.5) per component") {
+      args => QuantizeQ16(args.head)
+    },
+    fn("as_double_array", "as_double_array(vec) - exact float->double widening") {
+      args => CastDoubleArray(args.head)
+    },
+    fn("l2_norm", "l2_norm(vec) - euclidean norm of a double array") {
+      args => L2Norm(args.head)
+    },
+    fn("shingle_strings", "shingle_strings(tokens, n) - space-joined word n-grams") {
+      args => ShingleStrings(args.head, intArg(args(1), "shingle_strings"))
+    },
     fn("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted long arrays") {
       args => JaccardSorted(args.head, args(1))
     },

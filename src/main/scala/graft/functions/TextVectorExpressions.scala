@@ -110,6 +110,121 @@ object Kernels {
     h
   }
 
+  /** Whitespace tokenization as one byte pass: every maximal run of
+    * non-space bytes (space = 0x20, never part of a UTF-8 multibyte
+    * sequence, so the byte walk is encoding-exact). Byte-identical to
+    * `filter(split(text, " "), len > 0)` — the HOF chain it replaces,
+    * which evaluated as an interpreted CodegenFallback in EVERY text
+    * query's hot path. */
+  def tokenizeWs(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      if (i < n) cnt += 1
+      while (i < n && b(i) != ' ') i += 1
+    }
+    val out = new Array[AnyRef](cnt)
+    var w = 0
+    i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        out(w) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, st, i))
+        w += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct FNV-64 ids of a token array in one fused pass —
+    * replaces `array_sort(array_distinct(transform(toks, fnv64)))`
+    * (three interpreted HOF nodes) with one codegen'd kernel call. */
+  def tokenIdSet(tokens: ArrayData): ArrayData = {
+    val m = tokens.numElements()
+    val ids = new Array[Long](m)
+    var i = 0
+    while (i < m) { ids(i) = fnv64(tokens.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(ids)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (w == 0 || ids(w - 1) != ids(r)) { ids(w) = ids(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ids, w))
+  }
+
+  /** float/double array → q16-quantized double array in one pass:
+    * floor(x · 65536 + 0.5), the ANN family's integer-exact embedding
+    * representation. Replaces the interpreted
+    * transform(as_double_array(v), ...) HOF pair in every ANN query's
+    * per-row path. Arithmetic identical: float→double widening is
+    * exact, then the same double multiply/floor. */
+  def quantizeQ16(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(x * 65536.0 + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** float/double array → double array (exact widening), the codegen'd
+    * replacement for `transform(v, _.cast("double"))`. */
+  def castDoubleArray(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** L2 norm of a double array — replaces the interpreted
+    * aggregate-HOF sum-of-squares. Same left-to-right double
+    * accumulation order as the HOF fold, so values are bit-identical. */
+  def l2Norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Word w-shingles as space-joined strings — one pass over the
+    * token array, byte-identical to the transform/slice/concat_ws HOF
+    * chain (< n tokens → the whole text as one shingle, matching the
+    * SQL twins' CASE). */
+  def shingleStrings(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    if (m < n) {
+      new GenericArrayData(Array[AnyRef](UTF8String.concatWs(sep, toks: _*)))
+    } else {
+      val out = new Array[AnyRef](m - n + 1)
+      var s = 0
+      while (s <= m - n) {
+        out(s) = UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(toks, s, s + n): _*)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Luhn checksum validity over a PAN-length ASCII digit string
     * (ISO/IEC 7812): double every second digit from the RIGHT (−9
     * past 9), valid = sum ≡ 0 (mod 10) and 13–19 digits. Non-digit
@@ -730,6 +845,70 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rollingHash($c)")
   override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+}
+
+case class TokenizeWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_ws"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.tokenizeWs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenizeWs($c)")
+  override protected def withNewChildInternal(c: Expression): TokenizeWs = copy(c)
+}
+
+case class TokenIdSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_id_set"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.tokenIdSet(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenIdSet($c)")
+  override protected def withNewChildInternal(c: Expression): TokenIdSet = copy(c)
+}
+
+case class QuantizeQ16(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_q16"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.quantizeQ16(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.quantizeQ16($c, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): QuantizeQ16 = copy(c)
+}
+
+case class CastDoubleArray(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "as_double_array"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.castDoubleArray(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.castDoubleArray($c, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): CastDoubleArray = copy(c)
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.l2Norm(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.l2Norm($c)")
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
+}
+
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingleStrings(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleStrings($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(child = c)
 }
 
 case class LuhnValid(child: Expression) extends UnaryExpression {

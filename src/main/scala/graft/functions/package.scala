@@ -27,8 +27,7 @@ package object functions {
 
   /** Distinct sorted FNV-64 token-id set — the cheap join/verify
     * representation of a document's word set. */
-  def token_id_set(tokens: Column): Column =
-    array_sort(array_distinct(transform(tokens, t => fnv64(t))))
+  def token_id_set(tokens: Column): Column = col2(TokenIdSet(ex(tokens)))
 
   /** Sorted distinct n-gram shingle ids straight from token hashes —
     * no shingle strings materialized (codegen kernel). */
@@ -103,8 +102,12 @@ package object functions {
       val cell = pmod(xxhash64(term, lit(i)), lit(width.toLong))
       element_at(sketch, (lit(i.toLong * width) + cell + 1L).cast("int"))
     }.reduce(least(_, _))
-  def l2_norm(v: Column): Column = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-  def as_double_array(v: Column): Column = transform(v, _.cast("double"))
+  def l2_norm(v: Column): Column = col2(L2Norm(ex(v)))
+  def as_double_array(v: Column): Column = col2(CastDoubleArray(ex(v)))
+  /** q16 embedding quantization (floor(x·65536 + 0.5) per component),
+    * fused float/double-in double-out — the ANN family's integer-exact
+    * representation as one codegen'd kernel. */
+  def quantize_q16(v: Column): Column = col2(QuantizeQ16(ex(v)))
 
   /** Engine-portable half-up rounding: floor(x*10^s+0.5)/10^s is the
     * same double in every engine, unlike round() (Spark rounds the
@@ -115,9 +118,11 @@ package object functions {
   }
 
   // ---- tokenization (oracle-parity-safe: simple split semantics) ----
-  /** Whitespace tokens, empties removed. */
-  def tokenize_ws(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+  /** Whitespace tokens, empties removed — a codegen'd byte-pass
+    * kernel, byte-identical to `filter(split(text, " "), len > 0)`
+    * (the interpreted HOF chain it replaced sat in every text query's
+    * hot path). */
+  def tokenize_ws(text: Column): Column = col2(TokenizeWs(ex(text)))
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
     * non-space chars (the GPT-2 pre-tokenizer shape, RE2/Java-safe). */
@@ -151,13 +156,11 @@ package object functions {
     })
   }
 
-  /** Word w-shingles (space-joined n-grams of whitespace tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokenize_ws(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  /** Word w-shingles (space-joined n-grams of whitespace tokens) —
+    * one codegen'd pass; < n tokens yield the whole text as a single
+    * shingle (the SQL twins' CASE branch). */
+  def shingles(text: Column, n: Int): Column =
+    col2(ShingleStrings(ex(tokenize_ws(text)), n))
 
   // ---- scrubbing (PII-style masking; RE2/Java-portable patterns) ----
   def redact_numbers(text: Column): Column =

@@ -405,8 +405,7 @@ object Ann {
     else v.filter(substring(md5(col("nn_id").cast("string")), 1, 2) < thr)
   }
 
-  private[graft] def quantized(vec: Column): Column =
-    transform(as_double_array(vec), x => floor(x * QuantScale + lit(0.5)).cast("double"))
+  private[graft] def quantized(vec: Column): Column = quantize_q16(vec)
 
   /** IVF top-k with integer-quantized training and squared-L2 cell
     * assignment/probe order — identical search shape to [[ivfTopK]]
