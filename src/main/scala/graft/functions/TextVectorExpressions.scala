@@ -65,7 +65,10 @@ object Kernels {
     out
   }
 
-  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(minhashSigArr(tokens, k))
+
+  private def minhashSigArr(tokens: ArrayData, k: Int): Array[Long] = {
     val p = 2305843009213693951L // 2^61 - 1 Mersenne prime
     val n = tokens.numElements()
     val hs = new Array[Long](n)
@@ -87,7 +90,37 @@ object Kernels {
       sig(j) = if (n == 0) 0L else mn
       j += 1
     }
-    new GenericArrayData(sig)
+    sig
+  }
+
+  /** Fused LSH band-bucket hashes: the k-perm [[minhashSig]] computed
+    * ONCE, then each of the `bands` signature slices folded through
+    * Spark's own XXH64 long chain (seed 42) — bit-identical to
+    * `xxhash64(slice(minhash_sig(toks), band*rows+1, rows))`, which is
+    * what this kernel replaces. The unfused form referenced `sig` from
+    * `bands` sibling expressions in one projection, and CollapseProject
+    * re-evaluated the whole tokenize→sig chain per band (the r12
+    * q_dedup_minhash 1.85× regression); a single kernel output makes
+    * one-evaluation a structural property instead of an optimizer
+    * accident. Duplicate tokens cannot change a min, so callers may
+    * skip the `array_distinct` the unfused path needed. */
+  def minhashBandHashes(tokens: ArrayData, k: Int, bands: Int): ArrayData = {
+    val sig = minhashSigArr(tokens, k)
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var i = 0
+      while (i < rows) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig(b * rows + i), h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   private def mix(z0: Long): Long = {
@@ -177,6 +210,55 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** md5-derived Rademacher ±1 JL sign matrix (Achlioptas '03) —
+    * a pure constant of (i, j), cached per (inDim, outDim). Shared by
+    * [[graft.operators.Ann.jlSignMatrix]] and the fused projection
+    * kernel below so the oracle-replayable derivation lives in exactly
+    * one place. */
+  private val jlSignCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+
+  def jlSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    jlSignCache.computeIfAbsent((inDim.toLong << 32) | outDim.toLong, _ => {
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(outDim, inDim) { (j, i) =>
+        val d = mdt.digest(s"$i:$j".getBytes("UTF-8"))
+        if ((d(0) & 0xff) < 0x80) 1.0 else -1.0
+      }
+    })
+
+  /** Fused q16-quantize + JL projection: p[j] = Σ_i ⌊v[i]·2^16+0.5⌋ ·
+    * s(i,j) for all outDim rows in ONE kernel pass. Value-identical to
+    * `dot_product(quantize_q16(v), literalRow_j)` per row (all terms
+    * exact integers ≪ 2^53, so summation order is irrelevant); replaces
+    * the outDim-sibling dot_product projection whose shared `vq` input
+    * CollapseProject re-evaluated per sibling (the mechanism behind
+    * r12's q_ann_jl re-pin). */
+  def jlProjectQ16(a: ArrayData, isFloat: Boolean, inDim: Int,
+                   outDim: Int): ArrayData = {
+    val mat = jlSigns(inDim, outDim)
+    val n = a.numElements()
+    val vq = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      vq(i) = math.floor(x * 65536.0 + 0.5)
+      i += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = mat(j)
+      val m = math.min(n, row.length)
+      var s = 0.0
+      var t = 0
+      while (t < m) { s += vq(t) * row(t); t += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** float/double array → double array (exact widening), the codegen'd
     * replacement for `transform(v, _.cast("double"))`. */
   def castDoubleArray(a: ArrayData, isFloat: Boolean): ArrayData = {
@@ -193,11 +275,15 @@ object Kernels {
   /** L2 norm of a double array — replaces the interpreted
     * aggregate-HOF sum-of-squares. Same left-to-right double
     * accumulation order as the HOF fold, so values are bit-identical. */
-  def l2Norm(a: ArrayData): Double = {
+  def l2Norm(a: ArrayData, isFloat: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
     math.sqrt(acc)
   }
 
@@ -838,6 +924,21 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && k % bands == 0,
+    s"minhash_band_hashes: bands ($bands) must divide k ($k)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashBandHashes(v.asInstanceOf[ArrayData], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.minhashBandHashes($c, $k, $bands)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
+    copy(child = c)
+}
+
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
@@ -867,9 +968,8 @@ case class TokenIdSet(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenIdSet = copy(c)
 }
 
-case class QuantizeQ16(child: Expression) extends UnaryExpression {
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+case class QuantizeQ16(child: Expression)
+    extends UnaryExpression with NumericVectorInput {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "quantize_q16"
   override def nullSafeEval(v: Any): Any =
@@ -879,9 +979,46 @@ case class QuantizeQ16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): QuantizeQ16 = copy(c)
 }
 
-case class CastDoubleArray(child: Expression) extends UnaryExpression {
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+/** Analysis-time input guard for kernels that read their array child
+  * through float/double getters: any other element type (array<int>,
+  * array<string>, …) would be read as raw numeric words and silently
+  * return garbage, so it must FAIL ANALYSIS instead. Null elements are
+  * read as 0.0 — accepted (parquet array schemas are element-nullable
+  * by default even when no nulls exist) and documented, not silent. */
+trait NumericVectorInput { self: UnaryExpression =>
+  protected def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got " +
+            other.catalogString)
+    }
+}
+
+case class JlProjectQ16(child: Expression, inDim: Int, outDim: Int)
+    extends UnaryExpression with NumericVectorInput {
+  require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+    s"jl_project_q16 needs 1 <= outDim <= inDim, got $inDim -> $outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project_q16"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.jlProjectQ16(v.asInstanceOf[ArrayData], isFloat, inDim, outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.jlProjectQ16($c, $isFloat, $inDim, $outDim)")
+  override protected def withNewChildInternal(c: Expression): JlProjectQ16 =
+    copy(child = c)
+}
+
+case class CastDoubleArray(child: Expression)
+    extends UnaryExpression with NumericVectorInput {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "as_double_array"
   override def nullSafeEval(v: Any): Any =
@@ -891,13 +1028,14 @@ case class CastDoubleArray(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CastDoubleArray = copy(c)
 }
 
-case class L2Norm(child: Expression) extends UnaryExpression {
+case class L2Norm(child: Expression)
+    extends UnaryExpression with NumericVectorInput {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
   override def nullSafeEval(v: Any): Any =
-    Kernels.l2Norm(v.asInstanceOf[ArrayData])
+    Kernels.l2Norm(v.asInstanceOf[ArrayData], isFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.l2Norm($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.l2Norm($c, $isFloat)")
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
 }
 

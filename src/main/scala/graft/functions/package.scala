@@ -19,6 +19,21 @@ package object functions {
   // ---- hashing / sketches ----
   def simhash64(tokens: Column): Column = col2(SimHash64(ex(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column = col2(MinHashSig(ex(tokens), k))
+
+  /** Per-band LSH bucket hashes of the k-perm MinHash signature in ONE
+    * kernel pass — bit-identical to `xxhash64(slice(minhash_sig(t),
+    * band*k/bands+1, k/bands))` per band, without the CollapseProject
+    * re-evaluation hazard of referencing `sig` from `bands` sibling
+    * expressions. */
+  def minhash_band_hashes(tokens: Column, k: Int, bands: Int): Column =
+    col2(MinHashBandHashes(ex(tokens), k, bands))
+
+  /** Fused q16-quantize + Rademacher JL projection (all outDim
+    * coordinates in one kernel pass) — value-identical to outDim
+    * sibling `dot_product(quantize_q16(v), signRow_j)` columns without
+    * their CollapseProject re-evaluation hazard. */
+  def jl_project_q16(vec: Column, inDim: Int, outDim: Int): Column =
+    col2(JlProjectQ16(ex(vec), inDim, outDim))
   def rolling_hash(text: Column): Column = col2(RollingHash(ex(text)))
   def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
   def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))

@@ -205,13 +205,8 @@ object Ann {
     * ±1 entries satisfy the JL distance-preservation lemma
     * (Achlioptas '03: database-friendly random projections) with the
     * same guarantees as Gaussian entries. */
-  def jlSignMatrix(inDim: Int, outDim: Int): Array[Array[Double]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(outDim, inDim) { (j, i) =>
-      val d = mdt.digest(s"$i:$j".getBytes("UTF-8"))
-      if ((d(0) & 0xff) < 0x80) 1.0 else -1.0
-    }
-  }
+  def jlSignMatrix(inDim: Int, outDim: Int): Array[Array[Double]] =
+    graft.functions.Kernels.jlSigns(inDim, outDim)
 
   /** L7i: JL random projection — reduce `vecCol` (inDim floats) to
     * outDim INTEGER coordinates: p[j] = Σ_i q[i]·s(i,j) over the
@@ -227,11 +222,13 @@ object Ann {
                 inDim: Int, outDim: Int): DataFrame = {
     require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
       s"need 1 <= outDim <= inDim, got $inDim -> $outDim")
-    val mat = jlSignMatrix(inDim, outDim)
-    df.select(col(idCol), quantized(col(vecCol)).as("vq"))
-      .withColumn("pvec",
-        array(mat.toIndexedSeq.map(row =>
-          dot_product(col("vq"), typedLit(row.toSeq))): _*))
+    // One fused kernel for all outDim coordinates: the previous
+    // outDim-sibling dot_product(vq, literalRow) projection shared the
+    // `vq` input, and CollapseProject re-evaluated quantize per sibling
+    // (the r12 q_ann_jl 0.47→0.85 regression that was absorbed by a
+    // re-pin instead of fixed).
+    df.select(col(idCol), quantized(col(vecCol)).as("vq"),
+      jl_project_q16(col(vecCol), inDim, outDim).as("pvec"))
   }
 
   /** Reduced-space exact top-k with a per-row RECALL audit against the

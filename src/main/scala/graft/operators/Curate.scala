@@ -452,7 +452,17 @@ object Curate {
     * broadcast-size job regardless of corpus size — and profiles
     * merge by addition, so drift-over-time needs one stored B-row
     * frame per epoch, never a corpus re-read. */
-  def profileDrift(a: DataFrame, b: DataFrame): DataFrame = {
+  def profileDrift(a0: DataFrame, b0: DataFrame): DataFrame = {
+    // Pin the B-row profiles ONCE: the totals .head() and the
+    // full-outer join below would otherwise each re-execute the
+    // profile lineage — a full corpus pass per re-execution when the
+    // caller hands a fresh corpusProfile (r12's q_corpus_drift ran 8
+    // corpus passes for 4 profiles). coalesce(1) first: B ≤ ~1024
+    // rows don't need 32 cached blocks. (Cluster note: localCheckpoint
+    // blocks die with their executor — see SURVEY §4 iterative-ops
+    // caveat; for B-row frames a recompute-on-loss is a non-event.)
+    val a = a0.coalesce(1).localCheckpoint(true)
+    val b = b0.coalesce(1).localCheckpoint(true)
     val na = a.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val nb = b.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     require(na > 0 && nb > 0,
@@ -1024,11 +1034,14 @@ object Curate {
     * materialization (the novelty question answered WITHOUT the
     * quadratic pair graph). Both aggregates re-derive the shingle
     * explode from `docs` (recompute beats materializing a
-    * corpus-sized explode at scale) — pass a table-backed or
-    * checkpointed frame, not a long uncached lineage. */
-  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+    * corpus-sized explode at scale) — derived inputs are auto-pinned
+    * via [[Lineage.pinDerived]] so a long composed lineage can't
+    * multiply its own upstream cost; scan-shaped inputs pass through
+    * (re-reading a table is the designed cost model). */
+  def shingleNovelty(docs0: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3): DataFrame = {
     import graft.functions._
+    val docs = graft.operators.Lineage.pinDerived(docs0)
     val sh = docs
       .filter(size(tokenize_ws(col(textCol))) > 0)
       .select(col(idCol).as("id"),

@@ -26,9 +26,6 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  private def tokenSet(textCol: String): Column =
-    array_distinct(tokenize_ws(col(textCol)))
-
   /** Sorted FNV-64 token-id set: set size and intersections are
     * identical to the string set (collisions negligible), but the
     * verify kernel is a codegen'd merge pass instead of generic
@@ -217,16 +214,18 @@ object Dedup {
     * would divide by zero).
     *
     * The probe references `docs` several times (df table, size table,
-    * rank window, verify sets): pass a table-backed or checkpointed
-    * frame. A long uncached lineage re-executes its whole upstream
-    * per reference — observed wedging a composed pipeline until the
-    * caller cut the lineage. */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+    * rank window, verify sets): a long uncached lineage re-executes
+    * its whole upstream per reference — observed wedging a composed
+    * pipeline until the caller cut the lineage. Derived inputs are now
+    * auto-pinned via [[Lineage.pinDerived]]; scan-shaped inputs pass
+    * through (re-reading a table is the designed cost model). */
+  def containmentPairs(docs0: DataFrame, idCol: String, textCol: String,
                        num: Long, den: Long, shingleN: Int = 1,
                        blockCols: Seq[String] = Nil,
                        keepBlocks: Boolean = false): DataFrame = {
     require(num > 0 && num <= den,
       s"threshold num/den must be in (0,1], got $num/$den")
+    val docs = Lineage.pinDerived(docs0)
     val base = docs.select(col(idCol).as("id") +: col(textCol).as("__txt") +:
         blockCols.map(col): _*)
       .filter(size(tokenize_ws(col("__txt"))) > 0)
@@ -430,15 +429,16 @@ object Dedup {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k): a remainder would silently " +
         "truncate the signature and change the collision curve")
-    val rows = k / bands
     val rt = math.round(math.max(0.0, minJaccard - 0.001) * 10000)
-    val docs = df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
-      tokenIdSet(textCol).as("ids"))
-    val banded = docs
-      .withColumn("sig", minhash_sig(col("toks"), k))
-      .select(col("id"), size(col("ids")).as("sz"),
-        posexplode(array((0 until bands).map(bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
+    val docs = df.select(col(idCol).as("id"), tokenIdSet(textCol).as("ids"))
+    // minhash_band_hashes fuses sig + per-band bucket hashing into one
+    // kernel call (and a min is duplicate-insensitive, so it runs on
+    // raw tokens — no array_distinct needed); the unfused 8-sibling
+    // xxhash64(slice(sig,…)) form re-evaluated the tokenize→sig chain
+    // per band after CollapseProject (r12's 1.85× regression).
+    val banded = df
+      .select(col(idCol).as("id"), size(tokenIdSet(textCol)).as("sz"),
+        posexplode(minhash_band_hashes(tokenize_ws(col(textCol)), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
@@ -1024,12 +1024,8 @@ object Dedup {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k): a remainder would silently " +
         "truncate the signature and change the collision curve")
-    val rows = k / bands
-    df.select(col(idCol).as("id"), tokenSet(textCol).as("toks"),
-        tokenIdSet(textCol).as("ids"))
-      .withColumn("sig", minhash_sig(col("toks"), k))
-      .select(col("id"), col("ids"), posexplode(array((0 until bands).map(bi =>
-        xxhash64(slice(col("sig"), bi * rows + 1, rows))): _*)))
+    df.select(col(idCol).as("id"), tokenIdSet(textCol).as("ids"),
+        posexplode(minhash_band_hashes(tokenize_ws(col(textCol)), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
@@ -1393,11 +1389,12 @@ object Dedup {
     * the SAMPLE, never sample × corpus — with the two-sided size
     * ratio pruned in-join and one early-abort merge per distinct
     * candidate. Returns one row: (n_sampled, n_dup, dup_ppm). */
-  def sampledDupRate(docs: DataFrame, idCol: String, textCol: String,
+  def sampledDupRate(docs0: DataFrame, idCol: String, textCol: String,
                      blockCols: Seq[String], num: Long, den: Long,
                      sampleHexLt: String = "20"): DataFrame = {
     require(num > 0 && num <= den,
       s"threshold num/den must be in (0,1], got $num/$den")
+    val docs = Lineage.pinDerived(docs0)
     val base = docs.select(col(idCol).as("id") +: col(textCol).as("__txt") +:
         blockCols.map(col): _*)
       .filter(size(tokenize_ws(col("__txt"))) > 0)
@@ -1522,8 +1519,15 @@ object Dedup {
       s"threshold num/den must be in (0,1], got $num/$den")
     val spark = incoming.sparkSession
     val posts = spark.table(table)
+    // A replayed append duplicates sidecar rows; candidate distinct
+    // absorbs the postings side but the verify join would emit one
+    // output row PER sidecar copy. Dedup on read — deterministic
+    // min-pick, and the sidecar is bucketed on corpus_id so the
+    // groupBy rides the bucketing with no shuffle. This makes the
+    // replay-idempotence claim hold for every consumer, not just
+    // containmentIngest (which re-distincts downstream).
     val csets = spark.table(s"${table}_sets")
-      .select(col("corpus_id"), col("ids").as("cids"))
+      .groupBy(col("corpus_id")).agg(min(col("ids")).as("cids"))
     val bs = containSets(incoming, idCol, textCol, shingleN)
       .select(col("corpus_id").as("incoming_id"), col("ids"))
       .withColumn("sz", size(col("ids")).cast("long"))

@@ -122,6 +122,94 @@ object Multimodal {
       (outW * outH * 3L).as("out_bytes"))
   }
 
+  /** The integer-exact output-dimension rule shared by [[resizePlan]]
+    * (SQL form) and [[resizeReal]] (kernel form): longest side capped
+    * at maxDim, aspect preserved via floor(d·maxDim/side), never
+    * upscaled. */
+  private[operators] def outDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val side = math.max(w, h)
+    if (side <= maxDim) (w, h)
+    else ((w.toLong * maxDim / side).toInt, (h.toLong * maxDim / side).toInt)
+  }
+
+  /** Box-filter area-average RGB downscale — own pixel loop (the
+    * [[pixelPHash]] cell geometry per channel, not AWT scaling, so the
+    * result is platform-deterministic). Integer sums per cell; each
+    * output pixel is the exact truncated mean of its source cell. */
+  def boxResize(img: java.awt.image.BufferedImage, outW: Int,
+                outH: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < outH) {
+      var bx = 0
+      while (bx < outW) {
+        val x0 = (bx.toLong * w / outW).toInt
+        val x1 = math.max(x0 + 1, ((bx + 1).toLong * w / outW).toInt)
+        val y0 = (by.toLong * h / outH).toInt
+        val y1 = math.max(y0 + 1, ((by + 1).toLong * h / outH).toInt)
+        var sr = 0L; var sg = 0L; var sb = 0L; var c = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            c += 1; x += 1
+          }
+          y += 1
+        }
+        out.setRGB(bx, by,
+          (((sr / c).toInt & 0xFF) << 16) | (((sg / c).toInt & 0xFF) << 8) |
+            ((sb / c).toInt & 0xFF))
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  case class ResizedRow(doc_id: Long, width: Long, height: Long,
+                        out_w: Long, out_h: Long, out_bytes: Long,
+                        payload: Array[Byte])
+
+  /** [[resizePlan]] with the REAL pixel path in front (the r12
+    * verdict's ask): payloads ImageIO recognizes get a full decode,
+    * the deterministic [[boxResize]] downscale, and a PNG re-encode —
+    * `payload` holds the ACTUAL resized image and `out_bytes` its true
+    * encoded size. Unrecognized payloads fall back to [[StubCodec]]
+    * dims + [[resizePlan]] arithmetic with the payload passed through,
+    * so synthetic corpora flow unchanged and the oracled
+    * q_multimodal_resize chain (all-stub, metadata-only) stays exact.
+    * Same mapPartitions batch shape as every L12 operator — one codec
+    * context per partition. */
+  def resizeReal(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = outDims(w, h, maxDim)
+          val resized = if (ow == w && oh == h) img else boxResize(img, ow, oh)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(resized, "png", baos)
+          val png = baos.toByteArray
+          ResizedRow(r.doc_id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+            png.length.toLong, png)
+        } else {
+          val (w, h, _) = StubCodec.decode(r.payload)
+          val (ow, oh) = outDims(w, h, maxDim)
+          ResizedRow(r.doc_id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+            ow.toLong * oh.toLong * 3L, r.payload)
+        }
+      }
+    }(Encoders.product[ResizedRow])
+  }
+
   case class PHashRow(doc_id: Long, phash: Long)
 
   /** L12e: perceptual hash over the decoded payload — the image

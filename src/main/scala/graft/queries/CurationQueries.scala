@@ -1777,6 +1777,42 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q_embed_train" -> embedTrainSql(dims = 8, rounds = 2, dampDen = 65536L),
 
+    // L28: PINNED-VALUE oracle (see tools/gen_pinned_oracles.py). BPE
+    // merge training is iterative and corpus-learned — not
+    // SQL-expressible — but deterministic (BpeSpec gates determinism,
+    // reference parity, roundtrip; q_bpe_apply hash-proves the apply
+    // kernel under a frozen table). The engine-specific columns
+    // (n_bpe_tokens, head_tokens) are frozen from a verified run;
+    // n_words is recomputed from the parquet so a testdata change
+    // fails the gate loudly.
+    "q_bpe_tokenize" ->
+      s"""WITH pinned(doc_id, n_bpe_tokens, head_tokens) AS (VALUES
+         |${PinnedOracles.bpeTokenizeValues})
+         |SELECT d.doc_id,
+         |  CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0))
+         |    AS BIGINT) AS n_words,
+         |  CAST(p.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         |  p.head_tokens
+         |FROM documents d JOIN pinned p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // L40: PINNED-VALUE oracle. DuckDB has no gzip scalar, so the
+    // java.util.zip byte size is frozen from a verified run
+    // (determinism + repetitive-text ordering gated in CurationSpec);
+    // n_chars / ratio / keep are recomputed from the parquet (ratio
+    // replays round_portable's floor(x·10⁴+0.5)/10⁴ exactly).
+    "q_compress_ratio" ->
+      s"""WITH pinned(doc_id, n_gz) AS (VALUES
+         |${PinnedOracles.compressRatioValues}),
+         |r AS (
+         |  SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+         |    CAST(p.n_gz AS BIGINT) AS n_gz,
+         |    FLOOR(CAST(p.n_gz AS DOUBLE) / GREATEST(len(d.text), 1)
+         |      * 10000 + 0.5) / 10000 AS ratio
+         |  FROM documents d JOIN pinned p USING (doc_id))
+         |SELECT doc_id, n_chars, n_gz, ratio, ratio >= 0.3 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_graph_walks" -> graphWalksSql(nWalks = 2, len = 4),
     "q_graph_walks_grouped" -> graphWalksGroupedSql(nWalks = 2, len = 4),
 

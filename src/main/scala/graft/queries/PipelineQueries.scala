@@ -1257,6 +1257,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L12g (r13): the REAL resize operator over the media column —
+    // decode → deterministic box downscale → PNG re-encode for
+    // ImageIO-recognized payloads (that branch is spec-gated on a
+    // planted PNG: MultimodalSpec); this corpus's synthetic payloads
+    // exercise the stub-fallback branch end-to-end, which is fully
+    // hash-oracled including the passed-through payload bytes.
+    "q_multimodal_resize_real" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.resizeReal(
+          t(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .as[Multimodal.MediaRow], maxDim = 64)
+        .toDF().orderBy("doc_id")
+    },
+
     // L12d: feature extraction (8-bin byte histogram per partition
     // batch). Oracled since r8: the DuckDB side replays the UTF-8 byte
     // walk via the hex-nibble trick (same as the simhash oracle), and
@@ -2690,8 +2705,8 @@ object PipelineQueries {
         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
         |  CAST(SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_novel,
-        |  SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) * 1000000
-        |    // COUNT(*) AS novelty_ppm
+        |  CAST(SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS novelty_ppm
         |FROM shg s JOIN own o USING (sh)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
@@ -3450,7 +3465,35 @@ object PipelineQueries {
         |    END AS out_h
         |  FROM dims)
         |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
-        |FROM scaled ORDER BY doc_id""".stripMargin) ++
+        |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    // L12g: the stub-fallback branch of resizeReal — resizePlan
+    // arithmetic at maxDim 64 plus the passed-through payload bytes
+    // (ENCODE(text) replays the UTF-8 payload exactly).
+    "q_multimodal_resize_real" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+        |    CASE WHEN LENGTH(text) = 0 THEN 0
+        |         ELSE unicode(SUBSTRING(text, 1, 1)) + OCTET_LENGTH(ENCODE(text))
+        |    END AS seed
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, CAST(16 + seed % 625 AS BIGINT) AS width,
+        |         CAST(16 + (seed * 7) % 465 AS BIGINT) AS height
+        |  FROM base),
+        |scaled AS (
+        |  SELECT doc_id, width, height,
+        |    CASE WHEN GREATEST(width, height) <= 64 THEN width
+        |         ELSE CAST(FLOOR(width * 64 / GREATEST(width, height)) AS BIGINT)
+        |    END AS out_w,
+        |    CASE WHEN GREATEST(width, height) <= 64 THEN height
+        |         ELSE CAST(FLOOR(height * 64 / GREATEST(width, height)) AS BIGINT)
+        |    END AS out_h
+        |  FROM dims)
+        |SELECT s.doc_id, s.width, s.height, s.out_w, s.out_h,
+        |  s.out_w * s.out_h * 3 AS out_bytes, ENCODE(b.text) AS payload
+        |FROM scaled s JOIN base b USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin) ++
     // the CSV and ORC roundtrips prove the same byte-fidelity claim
     // over the quoting-sensitive and typed-columnar formats: one
     // oracle, three sink/source paths

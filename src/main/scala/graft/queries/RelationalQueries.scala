@@ -715,6 +715,25 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     // R21b: identical oracle as q_asof_join — see asofWindowOracleSql.
     "q_asof_colocated" -> asofWindowOracleSql,
+    // R3b/R17b: PINNED-VALUE oracle (closes the last relational
+    // no_oracle row). HLL++ and Greenwald-Khanna internals are
+    // engine-specific but deterministic per input, so the sketch
+    // outputs are frozen from a verified run (PinnedOracles, generated
+    // by tools/gen_pinned_oracles.py) while n_rows is recomputed from
+    // the parquet — a testdata change fails rows/hash loudly instead
+    // of silently re-pinning. Error bounds vs exact stay gated in
+    // SketchSpec; the exact regime is hash-proven by
+    // q_approx_sketch_exact.
+    "q_approx_sketch" ->
+      s"""WITH pinned(event_type, approx_users, p50_approx) AS (VALUES
+         |${PinnedOracles.approxSketchValues})
+         |SELECT e.event_type,
+         |  CAST(p.approx_users AS BIGINT) AS approx_users,
+         |  CAST(p.p50_approx AS DOUBLE) AS p50_approx,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM events e JOIN pinned p ON p.event_type = e.event_type
+         |GROUP BY 1, 2, 3
+         |ORDER BY e.event_type""".stripMargin,
     // Exact-regime rollup oracle: user cardinality is far below the
     // sketch's list/set→HLL promotion point, so the merged estimate
     // equals the exact distinct count. Day boundaries replay the

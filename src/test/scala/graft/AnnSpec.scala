@@ -901,4 +901,37 @@ class AnnSpec extends SparkSpec {
     assert(out.head.getAs[Long]("dist_proj") == 0L)
     assert(out.head.getAs[Int]("hit") == 1)
   }
+
+  test("jl_project_q16 is value-identical to per-row quantized dot products") {
+    // The fused kernel replaced outDim sibling dot_product(vq, row_j)
+    // columns (the CollapseProject re-evaluation hazard q_ann_jl's r12
+    // re-pin absorbed); every coordinate is an exact integer, so the
+    // two forms must agree exactly.
+    import graft.functions.{dot_product, jl_project_q16, quantize_q16}
+    import org.apache.spark.sql.functions.typedLit
+    val (inDim, outDim) = (64, 16)
+    val mat = Ann.jlSignMatrix(inDim, outDim)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val both = e.select(
+      jl_project_q16(col("embedding"), inDim, outDim).as("fused"),
+      array(mat.toIndexedSeq.map(row =>
+        dot_product(quantize_q16(col("embedding")), typedLit(row.toSeq))): _*)
+        .as("unfused"))
+    assert(both.filter(col("fused") =!= col("unfused")).isEmpty,
+      "fused JL projection diverged from the unfused form")
+  }
+
+  test("numeric-vector kernels fail analysis on non-float/double arrays") {
+    import spark.implicits._
+    import graft.functions.{as_double_array, l2_norm, quantize_q16}
+    val ints = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
+    Seq(l2_norm(col("v")), quantize_q16(col("v")), as_double_array(col("v")))
+      .foreach { c =>
+        val err = intercept[org.apache.spark.sql.AnalysisException] {
+          ints.select(c).collect()
+        }
+        assert(err.getMessage.contains("array<float> or array<double>"),
+          s"wrong analysis error: ${err.getMessage}")
+      }
+  }
 }

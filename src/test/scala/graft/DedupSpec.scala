@@ -863,4 +863,70 @@ class DedupSpec extends SparkSpec {
     val nComp = cc.select("cluster").distinct().count()
     assert(nComm >= nComp, s"LPA must refine CC: $nComm < $nComp")
   }
+
+  test("containmentPairs/shingleNovelty auto-pin a long derived lineage") {
+    // Derived (join/agg/window-bearing) inputs used to be a documented
+    // footgun — the multi-reference probe re-executed the whole
+    // upstream per reference. Lineage.pinDerived makes the contract
+    // structural: the composed pipeline below (filter → self-join-ish
+    // enrich → window) must produce the same rows as the table-backed
+    // run, through the auto-checkpoint.
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val enriched = d
+      .join(d.groupBy("lang").agg(count(lit(1)).as("n_lang")), "lang")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+      .filter(col("rk") <= 400)
+      .select("doc_id", "text")
+    val viaPin = Dedup.containmentPairs(enriched, "doc_id", "text", 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val table = enriched.localCheckpoint(true)
+    val viaTable = Dedup.containmentPairs(table, "doc_id", "text", 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPin == viaTable, "auto-pinned run diverged from table-backed run")
+    val nov = graft.operators.Curate
+      .shingleNovelty(enriched, "doc_id", "text")
+    assert(nov.count() > 0)
+  }
+
+  test("containedAgainstTable is replay-idempotent (duplicated sidecar rows)") {
+    import spark.implicits._
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((1L, words("p", 1, 20)), (2L, words("q", 1, 8)))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildContainTable(corpus, "doc_id", "text", "replay_contain")
+      // replayed append: state now holds every corpus row TWICE
+      Dedup.appendContainState(corpus, "doc_id", "text", "replay_contain")
+      val out = Dedup.containedAgainstTable(
+        Seq((10L, words("p", 3, 12))).toDF("doc_id", "text"),
+        "doc_id", "text", "replay_contain", 9L, 10L).collect()
+      assert(out.length == 1,
+        s"one (incoming, corpus) pair expected after replay, got " +
+          s"${out.length}: ${out.mkString(", ")}")
+      assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS replay_contain")
+      spark.sql("DROP TABLE IF EXISTS replay_contain_sets")
+    }
+  }
+
+  test("minhash_band_hashes is bit-identical to xxhash64(slice(minhash_sig))") {
+    // The fused kernel replaced the 8-sibling xxhash64(slice(sig,…))
+    // projection (r12's CollapseProject re-evaluation regression); the
+    // bucket values must not move, or every banded candidate set —
+    // and the persisted signature tables — silently change.
+    import graft.functions.{minhash_band_hashes, minhash_sig, tokenize_ws}
+    val (k, bands) = (64, 8)
+    val rows = k / bands
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val both = d.select(
+      minhash_band_hashes(tokenize_ws(col("text")), k, bands).as("fused"),
+      array((0 until bands).map(bi =>
+        xxhash64(slice(minhash_sig(array_distinct(tokenize_ws(col("text"))), k),
+          bi * rows + 1, rows))): _*).as("unfused"))
+    assert(both.filter(col("fused") =!= col("unfused")).isEmpty,
+      "fused band hashes diverged from the unfused form")
+  }
 }

@@ -118,6 +118,45 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(4L) == stub, "synthetic payload must fall back to the byte-walk")
   }
 
+  test("real resize: planted PNG decodes, box-downscales, re-encodes; stub falls back") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    // 64×32 horizontal gradient: after a 4× box downscale each output
+    // pixel is the exact truncated mean of its 4×4 source cell
+    val img = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val v = x * 4 // 0..252
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    val synthetic = "not pixels".getBytes("UTF-8")
+    val out = Multimodal.resizeReal(Seq(
+        MediaRow(1L, bos.toByteArray), MediaRow(2L, synthetic)).toDS(),
+        maxDim = 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    val real = out(1L)
+    assert(real.width == 64L && real.height == 32L &&
+      real.out_w == 16L && real.out_h == 8L,
+      s"dims wrong: $real")
+    // the payload IS a decodable image of the declared output size
+    val back = ImageIO.read(new ByteArrayInputStream(real.payload))
+    assert(back.getWidth == 16 && back.getHeight == 8,
+      "re-encoded payload must decode at the resized dimensions")
+    assert(real.out_bytes == real.payload.length.toLong)
+    // box filter: output pixel (0,0) = mean of x∈[0,4) values {0,4,8,12}=6
+    assert((back.getRGB(0, 0) & 0xFF) == 6,
+      s"area-average wrong: ${back.getRGB(0, 0) & 0xFF}")
+    // stub path: resizePlan arithmetic over StubCodec dims, payload through
+    val stub = out(2L)
+    val (sw, sh, _) = Multimodal.StubCodec.decode(synthetic)
+    val side = math.max(sw, sh)
+    assert(stub.width == sw.toLong && stub.height == sh.toLong &&
+      stub.out_w == (sw.toLong * 16 / side) && stub.out_h == (sh.toLong * 16 / side))
+    assert(stub.payload.sameElements(synthetic))
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head

@@ -314,4 +314,30 @@ class PlanContractSpec extends SparkSpec {
       s"the L-row allocation frame must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("hot kernels evaluate once per plan node (CollapseProject guard)") {
+    // CollapseProject inlines a projected column into every sibling
+    // that references it: a plan node whose string carries N copies of
+    // an expensive kernel runs that kernel N times PER ROW (the r12
+    // q_dedup_minhash 1.85× / q_ann_jl 0.47→0.85 regressions). The
+    // fused kernels make single evaluation structural; this pins it.
+    def maxPerNode(p: String, needle: String): Int =
+      p.linesIterator.map { l =>
+        var (c, i) = (0, l.indexOf(needle))
+        while (i >= 0) { c += 1; i = l.indexOf(needle, i + 1) }
+        c
+      }.foldLeft(0)(math.max)
+    val pm = plan("q_dedup_minhash")
+    assert(!pm.contains("minhash_sig("),
+      s"banding must use the fused band-hash kernel:\n$pm")
+    assert(maxPerNode(pm, "minhash_band_hashes(") <= 1,
+      s"band hashes re-evaluated within one node:\n$pm")
+    assert(maxPerNode(pm, "tokenize_ws(") <= 2, // band-hash + id-set branches
+      s"tokenize chain re-evaluated beyond its two consumers:\n$pm")
+    val pj = plan("q_ann_jl")
+    assert(maxPerNode(pj, "quantize_q16(") <= 1,
+      s"quantize re-evaluated within one node:\n$pj")
+    assert(maxPerNode(pj, "jl_project_q16(") <= 1,
+      s"JL projection re-evaluated within one node:\n$pj")
+  }
 }

@@ -6,10 +6,11 @@ compare row-by-row with columns sorted by name.
 
 Usage: python3 tools/check_oracle.py [sfDir] [outDir] [--skip-spark]
 """
-import json, math, subprocess, sys
+import decimal, json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,6 +22,12 @@ def norm(v):
         if math.isnan(v):
             return "nan"
         return f"{v:.10g}"
+    # The driver hashes TYPED values: DuckDB HUGEINT/uncast SUM arrives as
+    # Decimal and hash-mismatches a Spark BIGINT even when numerically
+    # equal. Tag decimals so the local compare fails the same way the
+    # driver does instead of masking the drift via str().
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -28,6 +35,19 @@ def norm(v):
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{norm(v[k])}" for k in sorted(v)) + "}"
     return str(v)
+
+
+def type_drift(scols, stbl, dtbl):
+    """Columns where one engine produced a decimal and the other an
+    int/float — the exact class of oracle-SQL type bug (uncast HUGEINT)
+    that the driver's typed hasher flags but stringified compare hides."""
+    bad = []
+    for c in scols:
+        st = stbl.schema.field(c).type
+        dt = dtbl.schema.field(c).type
+        if pa.types.is_decimal(st) != pa.types.is_decimal(dt):
+            bad.append(f"{c}: spark={st} duck={dt}")
+    return bad
 
 
 def table_rows(tbl):
@@ -152,6 +172,11 @@ def main():
         dcols, drows = table_rows(dtbl)
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} != {dcols}")
+            n_bad += 1
+            continue
+        drift = type_drift(scols, stbl, dtbl)
+        if drift:
+            print(f"FAIL {name}: decimal/non-decimal type drift: {drift}")
             n_bad += 1
             continue
         if len(srows) != len(drows):
