@@ -593,6 +593,33 @@ object Kernels {
     best
   }
 
+  /** [[nearestCentroidL2]] with the winning DISTANCE alongside:
+    * returns [cluster, dist] as integral doubles (both exact — see
+    * topCentroidsL2's integer-in-double argument). One kernel call
+    * instead of an assignment pass plus per-centroid dot products;
+    * callers referencing both outputs pay ≤ 2 kernel evaluations per
+    * row under CollapseProject — bounded and map-side, unlike the
+    * chain re-evaluation this family of fused kernels exists to
+    * avoid. */
+  def nearestCentroidDistL2(vec: ArrayData, cents: ArrayData): ArrayData = {
+    val n = cents.numElements()
+    val v = vec.toDoubleArray()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      val c = cents.getArray(i)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) {
+        val x = v(j) - c.getDouble(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    new GenericArrayData(Array(best.toDouble, bestD))
+  }
+
   /** Top-n centroid indices by SQUARED L2 distance (asc, index-asc
     * ties) — the query-side probe selection of the quantized IVF path.
     * Over integer-valued doubles every distance is exact (products and
@@ -1189,6 +1216,20 @@ case class NearestCentroidL2(left: Expression, right: Expression) extends Binary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.nearestCentroidL2($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroidL2 =
+    copy(left = l, right = r)
+}
+
+case class NearestCentroidDistL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "nearest_centroid_dist_l2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.nearestCentroidDistL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.nearestCentroidDistL2($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidDistL2 =
     copy(left = l, right = r)
 }
 

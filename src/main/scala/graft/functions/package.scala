@@ -77,6 +77,11 @@ package object functions {
     col2(TopCentroids(ex(v), ex(cents), nProbe))
   def nearest_centroid_l2(v: Column, cents: Column): Column =
     col2(NearestCentroidL2(ex(v), ex(cents)))
+
+  /** [cluster, dist] of the nearest centroid by squared L2 — one fused
+    * kernel call for callers that need the winning distance too. */
+  def nearest_centroid_dist_l2(v: Column, cents: Column): Column =
+    col2(NearestCentroidDistL2(ex(v), ex(cents)))
   def top_centroids_l2(v: Column, cents: Column, nProbe: Int): Column =
     col2(TopCentroidsL2(ex(v), ex(cents), nProbe))
   /** Hilbert-curve distance of two bucketized dims in [0, 2^bits). */

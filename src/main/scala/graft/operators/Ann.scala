@@ -404,6 +404,57 @@ object Ann {
 
   private[graft] def quantized(vec: Column): Column = quantize_q16(vec)
 
+  /** L86: prototypicality curation (the SSL-prototypes / DataComp
+    * cluster-pruning policy — Sorscher et al. '22 "Beyond neural
+    * scaling laws"): every vector is assigned to its nearest trained
+    * centroid by integer squared-L2 and RANKED within its cell by
+    * (distance asc, id) — rank 1 is the cell's prototype. The band
+    * column applies the published keep policy: the closest
+    * `headPermille`/1000 of each cell is `head` (near-duplicates of
+    * the prototype — little marginal information), the farthest
+    * `tailPermille`/1000 is `tail` (outliers/noise), the middle band
+    * is `keep`. Everything is integer (quantized vectors, exact
+    * integral distances, cross-multiplied permille bounds), so the
+    * full output — training included — hash-oracles.
+    *
+    * Scale: one map-side fused assign+dist kernel against the literal
+    * centroid table (zero shuffle), one per-cell ranking window (cell
+    * sizes bounded by the adaptive C ∝ n contract — full ranking is
+    * required, so the bound IS the skew defense), one broadcast C-row
+    * size join. */
+  def prototypicality(df: DataFrame, idCol: String, vecCol: String,
+                      nClusters: Int, iters: Int = 2,
+                      trainFraction: Double = 1.0,
+                      headPermille: Long = 100,
+                      tailPermille: Long = 100): DataFrame = {
+    require(headPermille >= 0 && tailPermille >= 0 &&
+      headPermille + tailPermille < 1000,
+      s"head + tail permille must leave a keep band, got " +
+        s"$headPermille + $tailPermille")
+    val v = df.select(col(idCol).as("nn_id"), quantized(col(vecCol)).as("vq"))
+    val cents = trainCentroidsIntL2(v, nClusters, iters, trainFraction)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = v
+      .select(col("nn_id"),
+        nearest_centroid_dist_l2(col("vq"), centsLit).as("ad"))
+      .select(col("nn_id"),
+        element_at(col("ad"), 1).cast("int").as("cluster"),
+        element_at(col("ad"), 2).cast("long").as("dist_q"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist_q").asc, col("nn_id").asc)
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_cell"))
+    assigned.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), "cluster")
+      .withColumn("band",
+        when(col("rk") * 1000 <= lit(headPermille) * col("n_cell"),
+          lit("head"))
+          .when((col("n_cell") - col("rk")) * 1000 <
+            lit(tailPermille) * col("n_cell"), lit("tail"))
+          .otherwise(lit("keep")))
+      .select(col("nn_id").as(idCol), col("cluster").cast("long").as("cluster"),
+        col("dist_q"), col("rk"), col("n_cell"), col("band"))
+  }
+
   /** IVF top-k with integer-quantized training and squared-L2 cell
     * assignment/probe order — identical search shape to [[ivfTopK]]
     * (map-side cell assignment, broadcast probe join, exact cosine

@@ -1548,4 +1548,98 @@ object Dedup {
       .select(col("incoming_id"), col("corpus_id"),
         expr("inter * 1000000 div sz").as("cont_micro"))
   }
+
+  /** L85: per-group BOTTOM-K sketch of the shingle inventory — the
+    * k smallest signed FNV-64 shingle-string hashes per group
+    * (Broder '97 bottom-k minhash). THE corpus-level overlap state
+    * for 100 TB: S·k rows summarize every source's content universe,
+    * the sketch of a union is the bottom-k of the merged sketches
+    * (so per-source sketches persist and daily deltas fold in without
+    * a corpus rescan), and pairwise resemblance estimation
+    * ([[sketchResemblance]]) never touches the corpus again. One
+    * linear explode + one (grp, sid) distinct shuffle; the per-group
+    * bottom-k rank filter pushes WindowGroupLimit, so a map task
+    * ships ≤ k rows per group. Returns (grp, sid, rk), rk ≤ k,
+    * ascending by sid. */
+  def corpusSketch(docs: DataFrame, textCol: String, groupCol: String,
+                   k: Int, shingleN: Int = 3): DataFrame = {
+    require(k >= 1, s"sketch size k must be >= 1, got $k")
+    val sids = corpusShingleIds(docs, textCol, groupCol, shingleN)
+    val w = Window.partitionBy("grp").orderBy("sid")
+    sids.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Distinct (grp, sid) shingle inventory behind [[corpusSketch]] and
+    * [[corpusResemblanceExact]] — sid is the SIGNED FNV-64 of the
+    * w-shingle string, so the ascending order replays in any engine. */
+  private def corpusShingleIds(docs: DataFrame, textCol: String,
+                               groupCol: String, shingleN: Int): DataFrame =
+    docs.filter(size(tokenize_ws(col(textCol))) > 0)
+      .select(col(groupCol).as("grp"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
+      .select(col("grp"), fnv64(col("sh")).as("sid"))
+      .distinct()
+
+  /** L85: pairwise corpus resemblance from the SKETCHES ALONE — the
+    * Broder bottom-k estimator: for each group pair, take the k
+    * smallest sids of the merged sketches (m = that count, = k once
+    * both sketches are full) and count how many live in BOTH; J ≈
+    * n_common / m. Every frame is sketch-sized (S·k and S²·k rows) —
+    * corpus size is gone from the cost model, which is the whole
+    * point: comparing two 50 TB sources costs a 2k-row merge. When a
+    * group's inventory is ≤ k the sketch is exhaustive and the
+    * estimate is EXACT (DedupSpec pins this). Returns
+    * (g1, g2, m, n_common, j_est_ppm) for every unordered pair. */
+  def sketchResemblance(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"sketch size k must be >= 1, got $k")
+    val sk = sketches.select(col("grp"), col("sid"))
+    val grps = sk.select("grp").distinct()
+    // G² pair frame (G = #groups, driver-bounded): broadcast the
+    // right side so the inequality join is a bounded BNLJ, never a
+    // shuffled cartesian
+    val pairs = grps.select(col("grp").as("g1"))
+      .join(broadcast(grps.select(col("grp").as("g2"))), col("g1") < col("g2"))
+    val tagged = pairs
+      .join(sk.select(col("grp").as("g1"), col("sid")), "g1")
+      .select(col("g1"), col("g2"), col("sid"))
+      .unionByName(pairs
+        .join(sk.select(col("grp").as("g2"), col("sid")), "g2")
+        .select(col("g1"), col("g2"), col("sid")))
+    // per (pair, sid): 2 sides = in both sketches (sids are distinct
+    // within a sketch, so the count can only be 1 or 2)
+    val merged = tagged.groupBy("g1", "g2", "sid")
+      .agg(count(lit(1)).as("n_sides"))
+    val w = Window.partitionBy("g1", "g2").orderBy("sid")
+    merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_common"))
+      .select(col("g1"), col("g2"), col("m"), col("n_common"),
+        expr("n_common * 1000000 div m").as("j_est_ppm"))
+  }
+
+  /** L85 audit twin: EXACT corpus-level Jaccard per group pair over
+    * the full shingle-id inventory — what the sketch estimates. Three
+    * inventory references (sizes + both self-join sides), so the
+    * inventory re-derives per reference; at audit scale that is the
+    * designed recompute-over-materialize trade, and at 100 TB you run
+    * the sketch alone — this exists so the estimator's error is a
+    * MEASURED column, not a trusted bound (the L7i recall-audit
+    * discipline). Pairs sharing nothing are absent (join the
+    * estimator output and coalesce to 0). */
+  def corpusResemblanceExact(docs: DataFrame, textCol: String,
+                             groupCol: String,
+                             shingleN: Int = 3): DataFrame = {
+    val inv = corpusShingleIds(docs, textCol, groupCol, shingleN)
+    val sizes = inv.groupBy("grp").agg(count(lit(1)).as("sz"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.sid") === col("b.sid") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("g1"), col("b.grp").as("g2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("grp").as("g1"), col("sz").as("sz1")), "g1")
+      .join(sizes.select(col("grp").as("g2"), col("sz").as("sz2")), "g2")
+      .select(col("g1"), col("g2"),
+        expr("inter * 1000000 div (sz1 + sz2 - inter)").as("j_exact_ppm"))
+  }
 }

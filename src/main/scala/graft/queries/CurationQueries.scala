@@ -1027,6 +1027,20 @@ object CurationQueries {
         .orderBy("id1", "id2")
     },
 
+    // L86 (r13): prototypicality curation — the SSL-prototypes /
+    // DataComp cluster-pruning policy over the embedding space:
+    // per-cell distance rank to the trained centroid, head band
+    // (near-prototype redundancy) and tail band (outliers) flagged
+    // for removal, middle band kept. nClusters=8 / full-sample train
+    // pin the sf0.01 oracle regime (the q_semantic_dedup convention);
+    // production uses the adaptive C ∝ n sizing.
+    "q_prototypicality" -> { (s, dir) =>
+      graft.operators.Ann.prototypicality(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nClusters = 8, iters = 2,
+          trainFraction = 1.0, headPermille = 100, tailPermille = 100)
+        .orderBy("cluster", "rk")
+    },
+
     // L5c: embedding-FREE semantic dedup — the full native chain
     // text -> hashed_bow vector -> k-means cells -> verified cosine
     // pairs, no external embedding model anywhere; hash-oracled end to
@@ -1933,6 +1947,33 @@ object CurationQueries {
         |WHERE chosen_id <> rejected_id
         |  AND chosen_score - rejected_score >= 10
         |ORDER BY pool""".stripMargin,
+
+    // L86: the full prototypicality replay — quantized Lloyd training
+    // (shared CTEs), exact integral assignment distances, per-cell
+    // (dist, id) ranks, cross-multiplied permille bands.
+    "q_prototypicality" ->
+      s"""WITH ${Shared.ivfTrainCtesSql(nClusters = 8, iters = 2,
+            trainThrHex = "g0")},
+         |asn AS (
+         |  SELECT nn_id, c AS cluster, dist FROM (
+         |    SELECT t.nn_id, s.c,
+         |      ${Shared.l2qDistSql("t.vq", "s.cent")} AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY t.nn_id
+         |        ORDER BY ${Shared.l2qDistSql("t.vq", "s.cent")} ASC,
+         |          s.c ASC) AS rn
+         |    FROM v t CROSS JOIN c2 s) z WHERE rn = 1),
+         |rks AS (
+         |  SELECT nn_id, cluster, CAST(dist AS BIGINT) AS dist_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY dist, nn_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cell
+         |  FROM asn)
+         |SELECT nn_id AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |  dist_q, rk, n_cell,
+         |  CASE WHEN rk * 1000 <= 100 * n_cell THEN 'head'
+         |       WHEN (n_cell - rk) * 1000 < 100 * n_cell THEN 'tail'
+         |       ELSE 'keep' END AS band
+         |FROM rks ORDER BY cluster, rk""".stripMargin,
 
     // The quantized SemDeDup chain over embeddings replayed end to end
     // — training, multi-assign blocking, verified cosine >= 0.4.

@@ -699,6 +699,25 @@ object PipelineQueries {
         .orderBy("source_a", "source_b")
     },
 
+    // L85 (r13): corpus-level resemblance matrix from bottom-64
+    // minhash sketches (k=256) — the S·k-state answer to "how much do two
+    // sources overlap" (L63 counts near-dup PAIRS, this measures
+    // content-universe Jaccard without any pair graph). The exact
+    // audit twin rides along so j_est vs j_exact is a measured error
+    // column per pair — at 100 TB only the sketch path runs.
+    "q_corpus_resemblance" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val k = 256 // ~6% rel. std-err at J~2.5%; state stays S·k
+      val est = Dedup.sketchResemblance(
+        Dedup.corpusSketch(d, "text", "source", k), k)
+      val exact = Dedup.corpusResemblanceExact(d, "text", "source")
+      est.join(exact, Seq("g1", "g2"), "left")
+        .select(col("g1").as("src1"), col("g2").as("src2"),
+          col("m"), col("n_common"), col("j_est_ppm"),
+          coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"))
+        .orderBy("src1", "src2")
+    },
+
     // L61: dup-graph triangle audit — per-node triangle counts +
     // clustering coefficient over the persisted jaccard pair graph
     // (compact-forward degree orientation: out-degree bounded O(√m),
@@ -2376,6 +2395,78 @@ object PipelineQueries {
         |SELECT source_a, source_b, COUNT(*) AS n_pairs
         |FROM sm GROUP BY source_a, source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // L85: full bottom-k sketch replay — 3-shingle strings (the
+    // q_novelty construction), FNV-1a 64 byte walk per DISTINCT
+    // (source, shingle) in HUGEINT (the minhash oracle's machinery),
+    // wrap to signed BIGINT so the ascending sid order matches
+    // Spark's Long order, per-group bottom-64 via ROW_NUMBER, merged
+    // pair rank for the estimator, and the exact inventory Jaccard
+    // for the audit column.
+    "q_corpus_resemblance" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(string_split(text, ' '),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |shd AS (
+        |  SELECT DISTINCT source AS grp, sh FROM (
+        |    SELECT source,
+        |      UNNEST(list_distinct(
+        |        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |             ELSE list_transform(range(1, len(t) - 1),
+        |                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+        |        END)) AS sh
+        |    FROM tk WHERE len(t) > 0)),
+        |hs AS (
+        |  SELECT grp, CAST(list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(octet_length(encode(sh))),
+        |        i -> (strpos('0123456789ABCDEF', hex(encode(sh))[2*i+1]) * 16
+        |            + strpos('0123456789ABCDEF', hex(encode(sh))[2*i+2]) - 17)::HUGEINT)),
+        |    (acc, b) -> ((acc // 256) * 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |                * 1099511628211 % 18446744073709551616::HUGEINT) AS HUGEINT) AS hu
+        |  FROM shd),
+        |sidt AS (
+        |  SELECT DISTINCT grp,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS sid
+        |  FROM hs),
+        |sk AS (SELECT grp, sid FROM (
+        |    SELECT grp, sid,
+        |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY sid) AS rk
+        |    FROM sidt) WHERE rk <= 256),
+        |gs AS (SELECT DISTINCT grp FROM sk),
+        |prs AS (SELECT a.grp AS g1, b.grp AS g2
+        |        FROM gs a JOIN gs b ON a.grp < b.grp),
+        |tag AS (
+        |  SELECT p.g1, p.g2, s.sid FROM prs p JOIN sk s ON s.grp = p.g1
+        |  UNION ALL
+        |  SELECT p.g1, p.g2, s.sid FROM prs p JOIN sk s ON s.grp = p.g2),
+        |mg AS (SELECT g1, g2, sid, COUNT(*) AS n_sides
+        |       FROM tag GROUP BY 1, 2, 3),
+        |mr AS (SELECT g1, g2, n_sides,
+        |         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY sid) AS rk
+        |       FROM mg),
+        |est AS (
+        |  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_common
+        |  FROM mr WHERE rk <= 256 GROUP BY g1, g2),
+        |szs AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS sz
+        |        FROM sidt GROUP BY grp),
+        |itr AS (SELECT a.grp AS g1, b.grp AS g2,
+        |          CAST(COUNT(*) AS BIGINT) AS inter
+        |        FROM sidt a JOIN sidt b ON a.sid = b.sid AND a.grp < b.grp
+        |        GROUP BY 1, 2)
+        |SELECT e.g1 AS src1, e.g2 AS src2, e.m, e.n_common,
+        |  CAST(e.n_common * 1000000 // e.m AS BIGINT) AS j_est_ppm,
+        |  CAST(COALESCE(i.inter * 1000000 // (sa.sz + sb.sz - i.inter), 0)
+        |    AS BIGINT) AS j_exact_ppm
+        |FROM est e
+        |JOIN szs sa ON sa.grp = e.g1
+        |JOIN szs sb ON sb.grp = e.g2
+        |LEFT JOIN itr i ON i.g1 = e.g1 AND i.g2 = e.g2
+        |ORDER BY src1, src2""".stripMargin,
 
     // L61: triangle replay over the exact pair CTE (reach is an unused
     // CTE here — DuckDB only evaluates referenced CTEs). The closing

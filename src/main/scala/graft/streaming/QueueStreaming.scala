@@ -584,6 +584,48 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13y: streaming corpus-sketch maintenance — the L85b bottom-k
+    * resemblance state kept current per trigger. Each micro-batch's
+    * per-group sketch commits to its OWN partition
+    * (`sketchPath/batch=N`, idempotent overwrite — the
+    * driftMonitorStream replay discipline), the RUNNING sketch is the
+    * bottom-k of the union of partitions ≤ the current batch
+    * (mergeability is a theorem for bottom-k: sketch of a union =
+    * bottom-k of merged sketches, pinned in DedupSpec), and the
+    * pairwise resemblance estimate over the running sketches lands in
+    * `outPath/batch=N`. State read per trigger is S·k·batches NARROW
+    * rows — never a corpus re-read; a compaction pass may fold old
+    * partitions into one at any time without changing the union.
+    * Parity-gated against the batch twin in StreamingSpec. */
+  def sketchMonitorStream(docs: DataFrame, textCol: String,
+                          groupCol: String, k: Int, sketchPath: String,
+                          outPath: String, checkpoint: String,
+                          shingleN: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        Dedup.corpusSketch(batch.toDF(), textCol, groupCol, k, shingleN)
+          .write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
+        // union of partitions <= this batch: replays reconverge on the
+        // same running state instead of seeing later batches
+        val w = Window.partitionBy("grp").orderBy("sid")
+        val running = spark.read.parquet(sketchPath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .select("grp", "sid").distinct()
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .localCheckpoint(true) // referenced twice by the estimator
+        Dedup.sketchResemblance(running, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
   case class FunnelState(times: Seq[Long])
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)

@@ -106,7 +106,17 @@ object ScaleProbe {
     "q_novelty", "q_vocab_curve",
     // r12 session 3 last: sample-side prefix probe — cost follows the
     // 1/8 sample, the corpus side joins without an all-pairs pass
-    "q_dup_rate_sampled")
+    "q_dup_rate_sampled",
+    // r13: bottom-k corpus sketches (S·k state; the estimator never
+    // touches the corpus) + the exact audit twin's sid-keyed
+    // inventory self-join (per-sid fan-out bounded by the group
+    // count, replicas add disjoint vocab → linear)
+    "q_corpus_resemblance",
+    // r13: map-side fused assign+dist kernel + per-cell ranking
+    // window (cell sizes bounded by the adaptive-C contract at
+    // production sizing; the probe's fixed C=8 regime is the oracle
+    // pin and grows cells linearly — the window stays per-cell)
+    "q_prototypicality")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

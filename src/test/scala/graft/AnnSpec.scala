@@ -921,6 +921,33 @@ class AnnSpec extends SparkSpec {
       "fused JL projection diverged from the unfused form")
   }
 
+  test("prototypicality: outlier lands in tail, ranks follow distance, bands partition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextFloat() * 0.1f)
+    // 20 near-copies of a prototype + 1 far outlier, one cell
+    val rows = (0L until 20L).map { i =>
+      (i, base.zipWithIndex.map { case (x, j) =>
+        x + (if (j == (i % 16).toInt) 0.001f * (i + 1) else 0f) })
+    } :+ ((99L, Array.fill(16)(0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Ann.prototypicality(df, "vec_id", "embedding",
+        nClusters = 1, iters = 1, headPermille = 100, tailPermille = 100)
+      .orderBy("rk").collect()
+    assert(out.length == 21)
+    // ranks are 1..n and dist_q is nondecreasing along them
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to 21L))
+    val dists = out.map(_.getAs[Long]("dist_q"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    // the planted outlier is the farthest row and lands in the tail band
+    assert(out.last.getAs[Long]("vec_id") == 99L)
+    assert(out.last.getAs[String]("band") == "tail")
+    // band sizes: head = floor-bound 2, tail = 3, keep = the rest
+    val bands = out.groupBy(_.getAs[String]("band")).view.mapValues(_.length).toMap
+    assert(bands("head") == 2 && bands("tail") == 3 && bands("keep") == 16,
+      s"band partition wrong: $bands")
+  }
+
   test("numeric-vector kernels fail analysis on non-float/double arrays") {
     import spark.implicits._
     import graft.functions.{as_double_array, l2_norm, quantize_q16}

@@ -912,6 +912,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus sketch: exhaustive k is exact; sketches merge; estimator sane") {
+    import spark.implicits._
+    def mk(src: String, texts: Seq[String]) =
+      texts.zipWithIndex.map { case (t, i) => (s"$src-$i", t, src) }
+    val d = (mk("a", Seq("w1 w2 w3 w4 w5", "w3 w4 w5 w6 w7")) ++
+      mk("b", Seq("w3 w4 w5 w6 w7", "x1 x2 x3 x4")) ++
+      mk("c", Seq("y1 y2 y3 y4 y5")))
+      .toDF("doc_id", "text", "source")
+    // k far above every inventory: sketches are exhaustive, so the
+    // bottom-k estimator must equal the exact inventory Jaccard
+    val k = 1000
+    val est = Dedup.sketchResemblance(
+      Dedup.corpusSketch(d, "text", "source", k), k)
+    val exact = Dedup.corpusResemblanceExact(d, "text", "source")
+    val joined = est.join(exact, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"), col("j_est_ppm"),
+        coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"))
+      .collect()
+    assert(joined.length == 3) // (a,b) (a,c) (b,c)
+    joined.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"exhaustive-k estimate must be exact: $r")
+    }
+    // disjoint-vocab pair reads 0; overlapping pair reads > 0
+    val m = joined.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("a", "c")) == 0L && m(("b", "c")) == 0L && m(("a", "b")) > 0L)
+
+    // mergeability: the sketch of a merged group equals the bottom-k
+    // of the two groups' sketch ROWS (what lets per-source sketches
+    // persist and fold daily deltas without a corpus rescan)
+    val k2 = 4
+    val skAB = Dedup.corpusSketch(
+      d.filter(col("source") =!= "c").withColumn("source", lit("ab")),
+      "text", "source", k2)
+      .select("sid").collect().map(_.getLong(0)).toSet
+    val mergedRows = Dedup.corpusSketch(d.filter(col("source") =!= "c"),
+        "text", "source", k2)
+      .select("sid").distinct()
+      .orderBy("sid").limit(k2)
+      .collect().map(_.getLong(0)).toSet
+    assert(skAB == mergedRows,
+      s"sketch-of-union must equal bottom-k of merged sketches: " +
+        s"$skAB vs $mergedRows")
+  }
+
   test("minhash_band_hashes is bit-identical to xxhash64(slice(minhash_sig))") {
     // The fused kernel replaced the 8-sibling xxhash64(slice(sig,…))
     // projection (r12's CollapseProject re-evaluation regression); the

@@ -568,6 +568,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 3L), s"expected ads 1 and 3 attributed, got $got")
   }
 
+  test("streaming sketch monitor: running state equals the batch twin per trigger") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    import spark.implicits._
+    val corpus = table("documents")
+    val rows = corpus.select("doc_id", "text", "source").orderBy("doc_id")
+      .limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val out = Files.createTempDirectory("sk_out").toString
+    val ckpt = Files.createTempDirectory("sk_ck").toString
+    val sketches = Files.createTempDirectory("sk_state").toString
+    val k = 8
+    val q = QueueStreaming.sketchMonitorStream(
+      mem.toDF().toDF("doc_id", "text", "source"), "text", "source",
+      k, sketches, out, ckpt)
+    mem.addData(rows.take(20).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(20).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def df(rs: Seq[(Long, String, String)]) = rs.toDF("doc_id", "text", "source")
+    // after trigger 1 the reported matrix equals the batch twin over
+    // ALL streamed rows (bottom-k mergeability end-to-end)
+    val streamed = spark.read.parquet(s"$out/batch=1")
+      .select("g1", "g2", "m", "n_common", "j_est_ppm")
+      .collect().map(_.toSeq).toSet
+    val twin = Dedup.sketchResemblance(
+        Dedup.corpusSketch(df(rows.toSeq), "text", "source", k), k)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == twin,
+      s"streamed matrix diverged from the batch twin")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming drift monitor: first batch zero, history folds exactly") {
     implicit val sq = spark.sqlContext
     import graft.operators.Curate
