@@ -1601,21 +1601,32 @@ object Dedup {
       .join(broadcast(grps.select(col("grp").as("g2"))), col("g1") < col("g2"))
     val tagged = pairs
       .join(sk.select(col("grp").as("g1"), col("sid")), "g1")
-      .select(col("g1"), col("g2"), col("sid"))
+      .select(col("g1"), col("g2"), col("sid"),
+        lit(1L).as("in1"), lit(0L).as("in2"))
       .unionByName(pairs
         .join(sk.select(col("grp").as("g2"), col("sid")), "g2")
-        .select(col("g1"), col("g2"), col("sid")))
-    // per (pair, sid): 2 sides = in both sketches (sids are distinct
-    // within a sketch, so the count can only be 1 or 2)
+        .select(col("g1"), col("g2"), col("sid"),
+          lit(0L).as("in1"), lit(1L).as("in2")))
+    // per (pair, sid): side membership flags (sids are distinct within
+    // a sketch, so max is exact)
     val merged = tagged.groupBy("g1", "g2", "sid")
-      .agg(count(lit(1)).as("n_sides"))
+      .agg(max("in1").as("in1"), max("in2").as("in2"))
     val w = Window.partitionBy("g1", "g2").orderBy("sid")
     merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .groupBy("g1", "g2")
       .agg(count(lit(1)).as("m"),
-        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_common"))
+        sum(col("in1") * col("in2")).as("n_common"),
+        sum(col("in1")).as("n_a"), sum(col("in2")).as("n_b"))
+      // containment estimators (Broder's conditional form over the
+      // merged bottom-k X): |X∩A∩B| / |X∩A| ≈ |A∩B|/|A|. A side can
+      // be absent from X entirely (all its hashes above the other
+      // side's k-th) — the estimate is undefined there; report 0.
       .select(col("g1"), col("g2"), col("m"), col("n_common"),
-        expr("n_common * 1000000 div m").as("j_est_ppm"))
+        expr("n_common * 1000000 div m").as("j_est_ppm"),
+        when(col("n_a") > 0, expr("n_common * 1000000 div n_a"))
+          .otherwise(0L).as("c_ab_est_ppm"),
+        when(col("n_b") > 0, expr("n_common * 1000000 div n_b"))
+          .otherwise(0L).as("c_ba_est_ppm"))
   }
 
   /** L85 audit twin: EXACT corpus-level Jaccard per group pair over
@@ -1640,6 +1651,8 @@ object Dedup {
       .join(sizes.select(col("grp").as("g1"), col("sz").as("sz1")), "g1")
       .join(sizes.select(col("grp").as("g2"), col("sz").as("sz2")), "g2")
       .select(col("g1"), col("g2"),
-        expr("inter * 1000000 div (sz1 + sz2 - inter)").as("j_exact_ppm"))
+        expr("inter * 1000000 div (sz1 + sz2 - inter)").as("j_exact_ppm"),
+        expr("inter * 1000000 div sz1").as("c_ab_exact_ppm"),
+        expr("inter * 1000000 div sz2").as("c_ba_exact_ppm"))
   }
 }

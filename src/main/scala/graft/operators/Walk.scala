@@ -141,10 +141,14 @@ object Walk {
     * joins the picks as a bucketized equi-join — no cross product,
     * no per-row scan of the distribution. The only driver-side value
     * is Σw (one scalar aggregate, the bucket-width input). */
-  def negativeSamples(pairs: DataFrame, centerCol: String,
+  def negativeSamples(pairs0: DataFrame, centerCol: String,
                       contextCol: String, nPairsCol: String,
                       k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
+    // three references below (distribution groupBy, empty-feed probe,
+    // distinct centers): a derived input — the usual skip-gram
+    // self-join — would re-execute per reference without the pin
+    val pairs = Lineage.pinDerived(pairs0)
     val wts = pairs.groupBy(col(contextCol).as("node"))
       .agg(sum(col(nPairsCol)).as("freq"))
       .withColumn("w", expr(

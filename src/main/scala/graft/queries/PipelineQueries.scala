@@ -714,7 +714,11 @@ object PipelineQueries {
       est.join(exact, Seq("g1", "g2"), "left")
         .select(col("g1").as("src1"), col("g2").as("src2"),
           col("m"), col("n_common"), col("j_est_ppm"),
-          coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"))
+          coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"),
+          col("c_ab_est_ppm"),
+          coalesce(col("c_ab_exact_ppm"), lit(0L)).as("c_ab_exact_ppm"),
+          col("c_ba_est_ppm"),
+          coalesce(col("c_ba_exact_ppm"), lit(0L)).as("c_ba_exact_ppm"))
         .orderBy("src1", "src2")
     },
 
@@ -2439,18 +2443,21 @@ object PipelineQueries {
         |prs AS (SELECT a.grp AS g1, b.grp AS g2
         |        FROM gs a JOIN gs b ON a.grp < b.grp),
         |tag AS (
-        |  SELECT p.g1, p.g2, s.sid FROM prs p JOIN sk s ON s.grp = p.g1
+        |  SELECT p.g1, p.g2, s.sid, 1 AS in1, 0 AS in2
+        |  FROM prs p JOIN sk s ON s.grp = p.g1
         |  UNION ALL
-        |  SELECT p.g1, p.g2, s.sid FROM prs p JOIN sk s ON s.grp = p.g2),
-        |mg AS (SELECT g1, g2, sid, COUNT(*) AS n_sides
+        |  SELECT p.g1, p.g2, s.sid, 0 AS in1, 1 AS in2
+        |  FROM prs p JOIN sk s ON s.grp = p.g2),
+        |mg AS (SELECT g1, g2, sid, MAX(in1) AS in1, MAX(in2) AS in2
         |       FROM tag GROUP BY 1, 2, 3),
-        |mr AS (SELECT g1, g2, n_sides,
+        |mr AS (SELECT g1, g2, in1, in2,
         |         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY sid) AS rk
         |       FROM mg),
         |est AS (
         |  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS m,
-        |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_common
+        |    CAST(SUM(in1 * in2) AS BIGINT) AS n_common,
+        |    CAST(SUM(in1) AS BIGINT) AS n_a,
+        |    CAST(SUM(in2) AS BIGINT) AS n_b
         |  FROM mr WHERE rk <= 256 GROUP BY g1, g2),
         |szs AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS sz
         |        FROM sidt GROUP BY grp),
@@ -2461,7 +2468,15 @@ object PipelineQueries {
         |SELECT e.g1 AS src1, e.g2 AS src2, e.m, e.n_common,
         |  CAST(e.n_common * 1000000 // e.m AS BIGINT) AS j_est_ppm,
         |  CAST(COALESCE(i.inter * 1000000 // (sa.sz + sb.sz - i.inter), 0)
-        |    AS BIGINT) AS j_exact_ppm
+        |    AS BIGINT) AS j_exact_ppm,
+        |  CAST(CASE WHEN e.n_a > 0 THEN e.n_common * 1000000 // e.n_a
+        |       ELSE 0 END AS BIGINT) AS c_ab_est_ppm,
+        |  CAST(COALESCE(i.inter * 1000000 // sa.sz, 0) AS BIGINT)
+        |    AS c_ab_exact_ppm,
+        |  CAST(CASE WHEN e.n_b > 0 THEN e.n_common * 1000000 // e.n_b
+        |       ELSE 0 END AS BIGINT) AS c_ba_est_ppm,
+        |  CAST(COALESCE(i.inter * 1000000 // sb.sz, 0) AS BIGINT)
+        |    AS c_ba_exact_ppm
         |FROM est e
         |JOIN szs sa ON sa.grp = e.g1
         |JOIN szs sb ON sb.grp = e.g2

@@ -928,12 +928,18 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.corpusResemblanceExact(d, "text", "source")
     val joined = est.join(exact, Seq("g1", "g2"), "left")
       .select(col("g1"), col("g2"), col("j_est_ppm"),
-        coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"))
+        coalesce(col("j_exact_ppm"), lit(0L)).as("j_exact_ppm"),
+        col("c_ab_est_ppm"),
+        coalesce(col("c_ab_exact_ppm"), lit(0L)).as("c_ab_exact_ppm"),
+        col("c_ba_est_ppm"),
+        coalesce(col("c_ba_exact_ppm"), lit(0L)).as("c_ba_exact_ppm"))
       .collect()
     assert(joined.length == 3) // (a,b) (a,c) (b,c)
     joined.foreach { r =>
       assert(r.getLong(2) == r.getLong(3),
-        s"exhaustive-k estimate must be exact: $r")
+        s"exhaustive-k Jaccard estimate must be exact: $r")
+      assert(r.getLong(4) == r.getLong(5) && r.getLong(6) == r.getLong(7),
+        s"exhaustive-k containment estimates must be exact: $r")
     }
     // disjoint-vocab pair reads 0; overlapping pair reads > 0
     val m = joined.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -592,11 +592,14 @@ class StreamingSpec extends SparkSpec {
     def df(rs: Seq[(Long, String, String)]) = rs.toDF("doc_id", "text", "source")
     // after trigger 1 the reported matrix equals the batch twin over
     // ALL streamed rows (bottom-k mergeability end-to-end)
+    val cols = Seq("g1", "g2", "m", "n_common", "j_est_ppm",
+      "c_ab_est_ppm", "c_ba_est_ppm")
     val streamed = spark.read.parquet(s"$out/batch=1")
-      .select("g1", "g2", "m", "n_common", "j_est_ppm")
+      .select(cols.map(col): _*)
       .collect().map(_.toSeq).toSet
     val twin = Dedup.sketchResemblance(
         Dedup.corpusSketch(df(rows.toSeq), "text", "source", k), k)
+      .select(cols.map(col): _*)
       .collect().map(_.toSeq).toSet
     assert(streamed == twin,
       s"streamed matrix diverged from the batch twin")
