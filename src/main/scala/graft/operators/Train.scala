@@ -133,19 +133,27 @@ object Train {
           col("mnat") / (lit(2.0) * (lit(1.0) + abs(col("mnat")))))
         .select(col("center"), col("x"),
           floor((col("y") - col("sig")) * 1024).cast("long").as("g"))
-      val cg = g.join(exv, col("x") === col("xn"))
-        .groupBy(col("center").as("node"), col("d"))
-        .agg(sum(col("g") * col("xv")).as("gs_c"))
-      val xg = g.join(ec, col("center") === col("cn"))
-        .groupBy(col("x").as("node"), col("d"))
-        .agg(sum(col("g") * col("cv")).as("gs_x"))
+        // both per-side gradient branches read g: without the pin the
+        // E·D example×embedding double join above runs twice per round
+        .localCheckpoint(true)
+      // one gradient aggregation for BOTH sides: the update only ever
+      // uses gs_c + gs_x, and integer sums re-associate freely, so
+      // summing the unioned per-side contributions is value-identical
+      // to the two separate aggregates the oracle replays — at half
+      // the jobs (one join+agg+model-join instead of two of each)
+      val gs = g.join(exv, col("x") === col("xn"))
+        .select(col("center").as("node"), col("d"),
+          (col("g") * col("xv")).as("contrib"))
+        .unionByName(g.join(ec, col("center") === col("cn"))
+          .select(col("x").as("node"), col("d"),
+            (col("g") * col("cv")).as("contrib")))
+        .groupBy("node", "d")
+        .agg(sum(col("contrib")).as("gs"))
       emb = emb
-        .join(cg, Seq("node", "d"), "left")
-        .join(xg, Seq("node", "d"), "left")
+        .join(gs, Seq("node", "d"), "left")
         .select(col("node"), col("d"),
-          (col("v") + floor((coalesce(col("gs_c"), lit(0L)) +
-            coalesce(col("gs_x"), lit(0L))) / lit(dampDen.toDouble))
-            .cast("long")).as("v"))
+          (col("v") + floor(coalesce(col("gs"), lit(0L)) /
+            lit(dampDen.toDouble)).cast("long")).as("v"))
         .localCheckpoint(true)
     }
     emb

@@ -825,6 +825,7 @@ object CurationQueries {
     // integer vectors, rational sigmoid, floor-quantized gradients).
     "q_embed_train" -> { (s, dir) =>
       val w = walkTable(s, dir)
+      // pinned once: the pos branch AND negativeSamples both read it
       val sg = w.as("a").join(w.as("b"),
           col("a.start") === col("b.start") &&
             col("a.walk") === col("b.walk") &&
@@ -832,6 +833,7 @@ object CurationQueries {
             abs(col("a.step") - col("b.step")) <= 2)
         .groupBy(col("a.node").as("center"), col("b.node").as("context"))
         .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
       val pos = sg.select(col("center"), col("context").as("x"),
         lit(1L).as("y"))
       val neg = graft.operators.Walk.negativeSamples(sg, "center",
