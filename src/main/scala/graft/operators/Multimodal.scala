@@ -106,6 +106,60 @@ object Multimodal {
     meta.toDF().select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, width: Long,
+                      height: Long, payload: Array[Byte])
+
+  /** [[sampleFrames]] with the REAL codec in front: payloads whose
+    * ImageIO reader reports multiple images (animated GIF — the one
+    * multi-frame container the JDK decodes natively) get every
+    * `stride`-th frame DECODED and re-encoded as its own PNG payload —
+    * the genuine "explode a video into frame rows" path, frame count
+    * from the container, pixels real. Single-image payloads emit
+    * frame 0; unrecognized payloads fall back to [[StubCodec]]
+    * metadata with the payload passed through per sampled index, so
+    * the synthetic corpus flows end-to-end and oracles exactly. Row
+    * count multiplies by frames/stride — the same fan-out shape as
+    * the plan-only twin; partitioning by doc_id keeps a document's
+    * frames co-located. */
+  def sampleFramesReal(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val decoded: Option[Seq[FrameRow]] =
+          if (iis == null) None
+          else try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                // allowSearch=true: we decode the frames anyway, so a
+                // full scan for the true count is already paid for
+                val n = math.max(1,
+                  try rd.getNumImages(true) catch { case _: Exception => 1 })
+                Some((0 until n by stride).map { i =>
+                  val img = rd.read(i)
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", baos)
+                  FrameRow(r.doc_id, i.toLong, img.getWidth.toLong,
+                    img.getHeight.toLong, baos.toByteArray)
+                })
+              } catch { case _: Exception => None
+              } finally rd.dispose()
+            }
+          } finally iis.close()
+        decoded.getOrElse {
+          val (w, h, f) = StubCodec.decode(r.payload)
+          (0 until f by stride).map(i =>
+            FrameRow(r.doc_id, i.toLong, w.toLong, h.toLong, r.payload))
+        }
+      }
+    }(Encoders.product[FrameRow])
+  }
+
   /** Resize plan: longest side capped at `maxDim`, aspect preserved,
     * never upscaled. Integer-exact arithmetic (floor((w*maxDim)/side))
     * so the plan is engine-portable; a real impl would hand (payload,

@@ -1280,6 +1280,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L12h (r13): the REAL frame-sampling operator — animated GIFs
+    // decode to per-frame PNG rows (spec-gated on a planted 6-frame
+    // GIF: MultimodalSpec); this corpus's synthetic payloads exercise
+    // the stub-fallback branch end-to-end, fully hash-oracled
+    // including the passed-through payload bytes.
+    "q_multimodal_frames_real" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.sampleFramesReal(
+          t(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .as[Multimodal.MediaRow], stride = 7)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+
     // L12g (r13): the REAL resize operator over the media column —
     // decode → deterministic box downscale → PNG re-encode for
     // ImageIO-recognized payloads (that branch is spec-gated on a
@@ -3572,6 +3586,26 @@ object PipelineQueries {
         |  FROM dims)
         |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    // L12h: the stub-fallback branch of sampleFramesReal — StubCodec
+    // dims/frame-count arithmetic, stride-7 frame indices via a
+    // stepped range, payload passthrough.
+    "q_multimodal_frames_real" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+        |    CASE WHEN LENGTH(text) = 0 THEN 0
+        |         ELSE unicode(SUBSTRING(text, 1, 1)) + OCTET_LENGTH(ENCODE(text))
+        |    END AS seed
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, text, CAST(16 + seed % 625 AS BIGINT) AS width,
+        |         CAST(16 + (seed * 7) % 465 AS BIGINT) AS height,
+        |         CAST(1 + n % 24 AS BIGINT) AS n_frames
+        |  FROM base)
+        |SELECT doc_id, CAST(UNNEST(range(0, n_frames, 7)) AS BIGINT)
+        |    AS frame_idx,
+        |  width, height, ENCODE(text) AS payload
+        |FROM dims ORDER BY doc_id, frame_idx""".stripMargin,
 
     // L12g: the stub-fallback branch of resizeReal — resizePlan
     // arithmetic at maxDim 64 plus the passed-through payload bytes

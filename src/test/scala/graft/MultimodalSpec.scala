@@ -157,6 +157,54 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.payload.sameElements(synthetic))
   }
 
+  test("real frame sampling: planted animated GIF explodes to decoded frames") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    // 6-frame 10×8 animated GIF, each frame a distinct solid gray
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 6) {
+      val img = new BufferedImage(10, 8, BufferedImage.TYPE_INT_RGB)
+      val v = 40 * f
+      for (y <- 0 until 8; x <- 0 until 10)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), null)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val gif = baos.toByteArray
+    val synthetic = "not a container".getBytes("UTF-8")
+    val out = Multimodal.sampleFramesReal(Seq(
+        MediaRow(1L, gif), MediaRow(2L, synthetic)).toDS(), stride = 2)
+      .collect().groupBy(_.doc_id)
+    // frames 0, 2, 4 decoded at true dims, each payload a real PNG
+    val frames = out(1L).sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L),
+      s"stride-2 over 6 frames: ${frames.map(_.frame_idx).toSeq}")
+    frames.foreach { f =>
+      assert(f.width == 10L && f.height == 8L)
+      val img = ImageIO.read(new ByteArrayInputStream(f.payload))
+      assert(img.getWidth == 10 && img.getHeight == 8,
+        "frame payload must decode at the container dimensions")
+    }
+    // GIF palettes may quantize, but frame ORDER must survive: the
+    // sampled grays are strictly increasing (frames 0 < 2 < 4)
+    val grays = frames.map(f => ImageIO
+      .read(new ByteArrayInputStream(f.payload)).getRGB(0, 0) & 0xFF)
+    assert(grays(0) < grays(1) && grays(1) < grays(2),
+      s"frame order lost: ${grays.toSeq}")
+    // stub fallback: StubCodec frame count, payload passthrough
+    val stub = out(2L)
+    val (_, _, nf) = Multimodal.StubCodec.decode(synthetic)
+    assert(stub.length == (0 until nf by 2).length)
+    assert(stub.forall(_.payload.sameElements(synthetic)))
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head
