@@ -259,16 +259,19 @@ object Curate {
     require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
     val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"))
       .join(dsirFeatures(docs, idCol, textCol, buckets), Seq("doc_id"))
+    // pinned B-row counts: the totals below are Σ over the counts, so
+    // deriving them from cnt instead of feats costs a B-row re-read —
+    // the unpinned form ran the corpus feature explode TWICE (counts
+    // pass + totals pass)
     val cnt = feats.groupBy("f").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .coalesce(1).localCheckpoint(true)
     // totals land driver-side: two scalars become plan literals (no
     // 1-row cross join in every downstream plan), and an importance
     // model with an EMPTY target can fail loudly instead of silently
     // scoring every feature neutral
-    val tot = feats.agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr")).head()
+    val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr")).head()
     val (nt, nr) = (Option(tot.get(0)).fold(0L)(_ => tot.getLong(0)),
       tot.getLong(1))
     require(nt > 0, "dsirModel: target set selects no feature mass " +
@@ -496,12 +499,15 @@ object Curate {
       col(groupCol).as("grp"), isTarget.as("is_t"))
     val feats = base.join(dsirFeatures(docs, idCol, textCol, buckets),
       Seq("doc_id"))
+    // pinned G·B-row counts; per-group totals are Σ over them, so the
+    // corpus feature explode runs ONCE (it used to run for the counts
+    // AND again for the totals, plus the empty-group probe)
     val cnt = feats.groupBy("grp", "f").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val tot = feats.groupBy("grp").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr"))
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .localCheckpoint(true)
+    val tot = cnt.groupBy("grp").agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val empty = tot.filter(col("nt") === 0).select("grp")
       .collect().map(_.get(0).toString).sorted
     require(empty.isEmpty,
