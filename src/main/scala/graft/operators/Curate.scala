@@ -998,8 +998,12 @@ object Curate {
     * the table. N (one scalar) is the only driver-side value. */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
                         scoreCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
-      col(scoreCol).cast("long").as("__s"))
+    // five references below (empty probe, min/max, count, both
+    // PrefixSum scans) — scan-shaped inputs re-read by design, derived
+    // inputs auto-pinned
+    val base = Lineage.pinDerived(
+      df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        col(scoreCol).cast("long").as("__s")))
     if (base.isEmpty)
       return base.select(col("__id").as(idCol), col("__g").as(groupCol),
         col("__s").as("score"), lit(0L).as("ppm"), lit(0L).as("norm_score"))
@@ -1079,8 +1083,13 @@ object Curate {
     import graft.functions._
     require(targetsPpm.nonEmpty && targetsPpm.forall(t => t > 0 && t <= 1000000),
       s"targets must be ppm values in (0, 1e6], got $targetsPpm")
-    val tf = docs.select(explode(tokenize_ws(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // pinned once: the empty probe, the min/max/total aggregate, and
+    // the two stacked PrefixSum passes (each referencing its input
+    // twice) would otherwise re-run the corpus explode up to ~6×; the
+    // pinned frame is vocabulary-sized, not corpus-sized
+    val tf = Lineage.pinDerived(
+      docs.select(explode(tokenize_ws(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq")))
     if (tf.isEmpty)
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("target_ppm"), lit(0L).as("vocab_needed"))
