@@ -455,4 +455,57 @@ class PropertySpec extends SparkSpec {
       assert(key(dist) == key(ref), s"round $round diverged for $rows")
     }
   }
+
+  test("fused kernels equal their unfused forms on random inputs (pure JVM)") {
+    // kernel-level (no Spark jobs): the r13 fused kernels vs the
+    // expression chains they replaced, over adversarial random inputs
+    // incl. empty arrays, single tokens, duplicates, unicode
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Kernels
+    val rnd = new Random(77)
+    val vocab = Array("a", "bb", "ccc", "道", "x1", "", "zz", "🙂")
+    (1 to 50).foreach { round =>
+      val n = rnd.nextInt(30)
+      val toks = new GenericArrayData(
+        Array.fill[AnyRef](n)(UTF8String.fromString(
+          vocab(rnd.nextInt(vocab.length)))))
+      val (k, bands) = (64, 8)
+      // band hashes == xxhash64 chain over sig slices
+      val sig = Kernels.minhashSig(toks, k).toLongArray()
+      val fused = Kernels.minhashBandHashes(toks, k, bands).toLongArray()
+      val expect = (0 until bands).map { b =>
+        var h = 42L
+        (0 until k / bands).foreach(i => h = XXH64.hashLong(sig(b * 8 + i), h))
+        h
+      }
+      assert(fused.toSeq == expect, s"round $round band hashes diverged")
+      // minhash over a multiset equals minhash over the set (the
+      // array_distinct elision's correctness argument)
+      val distinct = new GenericArrayData(
+        toks.toObjectArray(org.apache.spark.sql.types.StringType).distinct)
+      assert(Kernels.minhashSig(distinct, k).toLongArray().toSeq == sig.toSeq,
+        s"round $round dup-insensitivity broke")
+      // JL projection == quantize + per-row dots
+      val dim = 16
+      val vec = new GenericArrayData(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val jl = Kernels.jlProjectQ16(vec, isFloat = false, dim, 4).toDoubleArray()
+      val vq = Kernels.quantizeQ16(vec, isFloat = false)
+      val mat = Kernels.jlSigns(dim, 4)
+      val jlExpect = mat.map(row => Kernels.dot(vq, new GenericArrayData(row)))
+      assert(jl.toSeq == jlExpect.toSeq, s"round $round JL diverged")
+      // fused assign+dist == (nearestCentroidL2, its distance)
+      val cents = new GenericArrayData(Array.tabulate[AnyRef](4)(_ =>
+        new GenericArrayData(Array.fill(dim)(
+          math.floor(rnd.nextDouble() * 100)))))
+      val ad = Kernels.nearestCentroidDistL2(vq, cents).toDoubleArray()
+      val cl = Kernels.nearestCentroidL2(vq, cents)
+      assert(ad(0) == cl.toDouble, s"round $round cluster diverged")
+      val c = cents.getArray(cl).toDoubleArray()
+      val vqd = vq.toDoubleArray()
+      val d2 = vqd.indices.map(j => (vqd(j) - c(j)) * (vqd(j) - c(j))).sum
+      assert(ad(1) == d2, s"round $round distance diverged")
+    }
+  }
 }
