@@ -77,9 +77,13 @@ object Dedup {
     * + one verify count per DISTINCT candidate pair over narrow
     * (id, tok) rows. The size-ratio filter (min ≥ t·max) prunes
     * inside the join. */
-  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+  def prefixJaccardPairs(docs0: DataFrame, idCol: String, textCol: String,
                          num: Long, den: Long): DataFrame = {
     require(num > 0 && num <= den, s"threshold num/den must be in (0,1], got $num/$den")
+    // input-level lineage guard only (scan-shaped inputs pass through;
+    // the INTERNAL ordered table measurably prefers branch rebuild
+    // over an eager cut — see the r12 note below)
+    val docs = Lineage.pinDerived(docs0)
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(tokenize_ws(col(textCol)))).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -320,12 +324,13 @@ object Dedup {
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def jaccardPairs(df0: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], minJaccard: Double,
                    parallelBuckets: Int = 16, shingleN: Int = 1,
                    keepBlocks: Boolean = false): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
+    val df = Lineage.pinDerived(df0)
     val B = parallelBuckets
     val idSet =
       if (shingleN <= 1) token_id_set(tokenize_ws(col(textCol)))
