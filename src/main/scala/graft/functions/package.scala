@@ -70,6 +70,13 @@ package object functions {
     col2(GopherStats(ex(text), ex(stops)))
   def blocklist_stats(text: Column, terms: Seq[String]): Column =
     col2(BlocklistStats(ex(text), terms))
+
+  /** Aho–Corasick multi-pattern SUBSTRING scan in one codegen'd pass:
+    * `[n_matches, n_distinct_patterns, c_0, …, c_{P-1}]` with counts
+    * index-aligned to `patterns` — O(len + matches) per row at any
+    * pattern count (vs one `contains` scan per pattern). */
+  def ac_match_stats(text: Column, patterns: Seq[String]): Column =
+    col2(AcMatchStats(ex(text), patterns))
   def nfc_normalize(text: Column): Column = col2(NfcNormalize(ex(text)))
   def nearest_centroid(v: Column, cents: Column): Column =
     col2(NearestCentroid(ex(v), ex(cents)))

@@ -706,6 +706,97 @@ object Curate {
       .withColumn("keep", (col("n_hits") === 0).cast("long"))
   }
 
+  /** L87: SUBSTRING blocklist via Aho–Corasick (Aho & Corasick, CACM
+    * 1975) — what [[blocklistFlags]] (whole-token equality) cannot
+    * express: published unsafe-content lists are largely multi-word
+    * PHRASES and sub-token strings ("how to build a …", leetspeak
+    * fragments), and the naive per-pattern `contains` costs
+    * O(len · Σ|pattern|) per row — real CPU at 10³ patterns × 100 TB.
+    * The plan-embedded automaton ([[graft.functions.ac_match_stats]])
+    * matches every pattern in ONE O(len + matches) pass; matches are
+    * counted at every end position (overlapping + nested all count),
+    * which an engine-neutral SQL replay reproduces as "count of start
+    * offsets i with substring(text, i, |p|) = p".
+    *
+    * Map-side, zero shuffles; all outputs integer. Returns (doc_id,
+    * n_chars, n_matches, n_patterns, matches_per_10k, keep) with
+    * keep = 1 iff no match (the C4 zero-tolerance rule). */
+  def substringBlocklist(docs: DataFrame, idCol: String, textCol: String,
+                         patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "substringBlocklist needs >= 1 pattern")
+    docs
+      .withColumn("__as", graft.functions.ac_match_stats(
+        coalesce(col(textCol), lit("")), patterns.distinct))
+      .select(col(idCol).as("doc_id"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
+        element_at(col("__as"), 1).as("n_matches"),
+        element_at(col("__as"), 2).as("n_patterns"))
+      .withColumn("matches_per_10k",
+        expr("n_matches * 10000L div greatest(n_chars, 1L)"))
+      .withColumn("keep", (col("n_matches") === 0).cast("long"))
+  }
+
+  /** L87 attribution twin: per-PATTERN corpus accounting from the same
+    * single scan — which blocklist entries actually fire, on how many
+    * docs, how often (the evidence that keeps a 10³-entry list
+    * maintained instead of cargo-culted). One generator over the
+    * kernel's count slice (the array is produced once per row — the
+    * posexplode child is a single kernel reference, no CollapseProject
+    * re-evaluation), then a patterns-bounded aggregate: the shuffle
+    * carries ≤ P rows per map task after partial agg, never the
+    * corpus. Returns (pid, pattern, n_docs, n_matches) for every
+    * pattern, zero-hit entries included. */
+  def substringMatchProfile(docs: DataFrame, textCol: String,
+                            patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "substringMatchProfile needs >= 1 pattern")
+    val pats = patterns.distinct
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(slice(graft.functions.ac_match_stats(
+        coalesce(col(textCol), lit("")), pats), 3, pats.length).as("__cs"))
+      .select(posexplode(col("__cs")).as(Seq("pid", "c")))
+      .groupBy("pid")
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("c")).as("n_matches"))
+    import spark.implicits._
+    val names = pats.zipWithIndex
+      .map { case (p, i) => (i, p) }.toDF("pid", "pattern")
+    names.join(counts, Seq("pid"), "left")
+      .select(col("pid").cast("long").as("pid"), col("pattern"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
+  /** L91: n-gram diversity audit — per-group distinct/total n-gram
+    * ratios for n = 1..maxN, the MODE-COLLAPSE signal for
+    * synthetic-data pipelines (the corpus-level cousin of Self-BLEU,
+    * Zhu et al. '18): a source whose distinct-trigram ratio collapses
+    * between releases is a generator repeating itself, invisible to
+    * per-doc repetition rules (L29) because each DOCUMENT still looks
+    * fine. Shingle semantics follow the engine-wide rule (< n tokens
+    * → the whole text as one shingle, the q_novelty CASE), so every
+    * oracle replays verbatim.
+    *
+    * One explode + one (grp, shingle)-keyed count per n — map-side
+    * partial agg absorbs hot shingles; nothing corpus-sized collects.
+    * Returns (grp, n, n_total, n_distinct, diversity_ppm). */
+  def ngramDiversity(docs: DataFrame, textCol: String, groupCol: String,
+                     maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"need 1 <= maxN <= 8, got $maxN")
+    val textc = coalesce(col(textCol), lit(""))
+    (1 to maxN).map { n =>
+      docs.select(col(groupCol).as("grp"),
+          explode(graft.functions.shingles(textc, n)).as("sh"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_total"),
+          count_distinct(col("sh")).as("n_distinct"))
+        .select(col("grp"), lit(n.toLong).as("n"), col("n_total"),
+          col("n_distinct"),
+          expr("n_distinct * 1000000L div greatest(n_total, 1L)")
+            .as("diversity_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** L75: preference-pair construction — the RLHF/DPO data-prep
     * primitive: from a pool of scored candidates per prompt/group,
     * emit (chosen, rejected) = (argmax score, argmin score) with ties

@@ -271,4 +271,45 @@ object Lexical {
     }
     cur.select(col("doc_id"), size(col("pos")).cast("long").as("n_matches"))
   }
+
+  /** L90: KWIC concordance (keyword-in-context) — the corpus
+    * inspection tool behind every blocklist/quality-rule decision:
+    * "show me how this term is actually used" with ±`width` tokens of
+    * context. Occurrences come from the positional POSTINGS (inverted
+    * probe — the corpus is never scanned for the terms); the per-term
+    * top-`perTerm` cap rides WindowGroupLimit in deterministic
+    * (doc_id, pos) order, and ONLY the matched documents join back
+    * (broadcast of the ≤ terms·perTerm hit list) to tokenize and
+    * slice context — at 100 TB the text pass follows the hits, not
+    * the corpus. Returns (term, rk, doc_id, pos, context), pos
+    * 1-based in tokens. */
+  def concordance(docs: DataFrame, idCol: String, textCol: String,
+                  table: String, terms: Seq[String], width: Int = 3,
+                  perTerm: Int = 5): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(width >= 0, s"width must be >= 0, got $width")
+    require(perTerm >= 1, s"perTerm must be >= 1, got $perTerm")
+    val spark = docs.sparkSession
+    val occ = spark.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id", "pos")
+    val top = occ.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perTerm)
+      .localCheckpoint() // ≤ terms·perTerm rows, referenced twice below
+    val hitDocs = top.select("doc_id").distinct()
+    val toks = docs
+      .join(broadcast(hitDocs), docs(idCol) === hitDocs("doc_id"))
+      .select(docs(idCol).as("doc_id"),
+        graft.functions.tokenize_ws(col(textCol)).as("__t"))
+    val start = greatest(lit(1), col("pos") - width)
+    val stop = least(size(col("__t")), col("pos") + width)
+    top.join(toks, Seq("doc_id"))
+      .select(col("term"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("__t"), start.cast("int"),
+          (stop - start + 1).cast("int"))).as("context"))
+  }
 }

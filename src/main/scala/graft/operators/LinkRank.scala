@@ -76,6 +76,94 @@ object LinkRank {
     ranked(edges, srcCol, dstCol, weightCol, Some((seeds, seedCol)), iters,
       dampNum, dampDen, scale, assumeSummed)
 
+  /** L89: HITS hubs & authorities (Kleinberg, "Authoritative Sources
+    * in a Hyperlinked Environment", JACM 1999) — the second classic
+    * link-quality signal, orthogonal to [[pageRank]]: a HUB is a page
+    * whose out-links concentrate on good authorities (curated link
+    * lists, survey pages), an AUTHORITY is a page good hubs point at.
+    * Corpus curation uses the pair to find seed lists (high-hub) and
+    * canonical sources (high-authority) that raw centrality conflates.
+    *
+    * Same integer-exact discipline as [[pageRank]] so the iterative
+    * algorithm carries a DuckDB hash oracle (unrolled CTEs): scores in
+    * fixed-point `scale` units; each round computes
+    * `authRaw(i) = Σ_{j→i} hub(j)·w` then L1-renormalizes to
+    * `auth(i) = floor(authRaw(i) · scale / Σ authRaw)` (products
+    * widened through decimal(38,0) — hub ≤ scale=10¹², edge sums
+    * bounded well inside 38 digits), then the mirror-image hub
+    * update off the fresh authorities. Floors of non-negative integer
+    * ratios plus order-insensitive integer sums: bit-identical on any
+    * engine/partitioning.
+    *
+    * Shape at scale: the (pre-summed) edge list materializes once and
+    * each round is TWO n-row-frame joins against it plus two partial-
+    * agg integer sums; the L1 normalizer is a 1-row aggregate
+    * collected per half-round (2·iters driver scalars — the price of
+    * normalized HITS; PageRank's damping avoids it, HITS's spectral
+    * form requires it). Score frames localCheckpoint per round
+    * (constant plan size; see the cluster caveat in SURVEY §4).
+    *
+    * Returns (node, hub_micro, auth_micro) for EVERY node (0 where a
+    * node has no out-/in-edges). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iters: Int = 4,
+           scale: Long = 1000000000000L,
+           assumeSummed: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
+    require(scale >= 1000000L, s"scale too coarse for stable scores: $scale")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+    val e = (if (assumeSummed) raw
+             else raw.groupBy("src", "dst").agg(sum("w").as("w")))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits on an empty edge list")
+    val small = n <= 1000000L
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // L1-renormalize a raw (node, v) frame to sum exactly ~scale.
+    // Pin the RAW frame first, THEN read its total off the pinned
+    // blocks: summing the lazy frame and then checkpointing it would
+    // execute the edge join twice per half-round (measured 6.7 s vs
+    // 3.4 s for 3 rounds at sf0.1). The renormed projection itself
+    // stays lazy — it is n-row work riding the next round's join.
+    def renorm(rawScores: DataFrame): DataFrame = {
+      val pinned = rawScores.localCheckpoint()
+      val d = pinned.agg(sum(col("v").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      require(d != null && d.signum() > 0,
+        "hits: a round produced zero total mass (all edge weights 0?)")
+      val total = d.toBigInteger.toString
+      pinned.select(col("node"),
+        expr(s"CAST(v AS DECIMAL(38,0)) * ${scale}L div " +
+          s"CAST('$total' AS DECIMAL(38,0))").as("v"))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("v"))
+    var auth = nodes.select(col("node"), lit(0L).as("v"))
+    for (_ <- 1 to iters) {
+      val ar = e.join(hinted(hub), col("src") === hub("node"))
+        .select(col("dst"), expr("CAST(v AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy("dst").agg(sum("c").cast("decimal(38,0)").as("v"))
+        .select(col("dst").as("node"), col("v"))
+      auth = renorm(ar)
+      val hr = e.join(hinted(auth), col("dst") === auth("node"))
+        .select(col("src"), expr("CAST(v AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy("src").agg(sum("c").cast("decimal(38,0)").as("v"))
+        .select(col("src").as("node"), col("v"))
+      hub = renorm(hr)
+    }
+    nodes
+      .join(hinted(hub.withColumnRenamed("v", "hub_micro")), Seq("node"), "left")
+      .join(hinted(auth.withColumnRenamed("v", "auth_micro")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_micro"), lit(0L)).cast("long").as("hub_micro"),
+        coalesce(col("auth_micro"), lit(0L)).cast("long").as("auth_micro"))
+  }
+
   private def ranked(edges: DataFrame, srcCol: String, dstCol: String,
                      weightCol: String, seeds: Option[(DataFrame, String)],
                      iters: Int, dampNum: Long, dampDen: Long,

@@ -29,4 +29,32 @@ object Mix {
       }
     df.filter(substring(md5(col(contentCol)), 1, 2) < threshold)
   }
+
+  /** R46: COORDINATED (join-consistent) sampling — the correlated-
+    * sampling / join-synopsis rule (Vengerov et al., "Join Size
+    * Estimation Subject to Filter Conditions", VLDB'15 lineage; also
+    * the min-wise "coordinated samples" literature): sample every
+    * table of a star ON THE SAME KEY HASH, and the join of the samples
+    * IS the sample of the join. Independent per-table sampling breaks
+    * this — P(both sides keep a key) = f², so a 1% dev slice of a
+    * 100 TB fact⋈dim pipeline built naively retains 0.01% of joined
+    * rows and silently skews every downstream statistic. Here each
+    * table keeps a row iff `md5(key) < threshold(fraction)` — same
+    * membership decision on every table, every engine, every re-run;
+    * a key survives everywhere or nowhere, so referential integrity
+    * within the sampled slice is total.
+    *
+    * Map-side filter, zero shuffles, pushdown-friendly. `fraction`
+    * quantizes to k/256 (the [[weightedSample]] grid). Returns the
+    * filtered frames in input order. */
+  def coordinatedSample(fraction: Double,
+                        tables: Seq[(DataFrame, String)]): Seq[DataFrame] = {
+    require(tables.nonEmpty, "coordinatedSample needs >= 1 (table, key)")
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val t = thr(fraction)
+    tables.map { case (df, keyCol) =>
+      df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < t)
+    }
+  }
 }

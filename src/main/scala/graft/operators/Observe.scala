@@ -95,4 +95,140 @@ object Observe {
     }
     rows.toDF("stage_idx", "stage", "rows_out")
   }
+
+  /** Portable min/max rendering for [[profileTable]]: integers and
+    * strings as-is, doubles micro-quantized (floor(x·10⁶ + 0.5) —
+    * raw double→string differs across engines), timestamps as epoch
+    * micros. Lossless enough for profiling, bit-identical on any
+    * engine. */
+  private def repr(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (dt == org.apache.spark.sql.types.StringType) c
+    else reprNum(c, dt).cast("string")
+
+  /** R45: one-pass column profiler — the table-level data-quality
+    * sweep (Deequ/Great-Expectations territory) every ingest runs
+    * before a 100 TB table joins the corpus: per column the null
+    * count, distinct count, and portable min/max rendering, ALL
+    * columns in one job. This is the audit/exact twin: multi-column
+    * `count_distinct` plans through one Expand (shuffle volume ×
+    * (cols+1) of the PROJECTED columns, not the table) — right for
+    * gate-scale audits and for oracling. The 100 TB daily path is
+    * [[profileTableApprox]]: HLL NDVs, single pass, no Expand.
+    *
+    * Returns one row per column: (column_name, n_rows, n_null,
+    * n_distinct, min_repr, max_repr), long-form so a fleet of tables
+    * lands in ONE profile store regardless of schema. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
+    profiled(df, cols, c => count_distinct(c))
+
+  /** The 100 TB profiler: same contract as [[profileTable]] but NDV
+    * via HLL (`approx_count_distinct`) — every statistic is then a
+    * plain partial aggregate, so the whole profile is ONE map-side
+    * combined pass with no Expand and B-bounded shuffle rows. rsd
+    * defaults to Spark's 5%. Gated against the exact twin in
+    * ObserveSpec (the R3c exact-regime discipline). */
+  def profileTableApprox(df: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.05): DataFrame =
+    profiled(df, cols, c => approx_count_distinct(c, rsd))
+
+  /** R45b: MERGEABLE profile store — the R17c mergeable-rollup
+    * discipline applied to profiling. [[profileTable]] answers "what
+    * does this table look like today" with a full pass; a 100 TB
+    * table ingested daily needs "what does it look like over ANY
+    * grain" without rescanning: per-partition profile rows whose NDV
+    * state is a DataSketches HLL sketch (binary, union-able) and
+    * whose min/max live in TYPED slots (numeric-μ/string — merging
+    * the rendered strings would order "9" > "10"). Per-day profiles
+    * persist; [[mergeProfiles]] folds any subset to one profile with
+    * sums + sketch unions + slot min/max — delta-priced forever.
+    *
+    * Sketch input is the value cast to string (injective per type, so
+    * string-NDV = value-NDV; double→string is injective in the JVM).
+    * Returns (part, column_name, n_rows, n_null, ndv_sketch,
+    * mn_num, mx_num, mn_str, mx_str). */
+  def profileByPartition(df: DataFrame, partCol: Column,
+                         cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileByPartition needs >= 1 column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val dt = df.schema(c).dataType
+      val isStr = dt == org.apache.spark.sql.types.StringType
+      val (mnN, mxN) =
+        if (isStr) (lit(null).cast("long"), lit(null).cast("long"))
+        else (reprNum(min(col(c)), dt), reprNum(max(col(c)), dt))
+      val (mnS, mxS) =
+        if (isStr) (min(col(c)), max(col(c)))
+        else (lit(null).cast("string"), lit(null).cast("string"))
+      Seq(count(col(c)).as(s"__nn_$c"),
+        hll_sketch_agg(col(c).cast("string")).as(s"__sk_$c"),
+        mnN.as(s"__mnn_$c"), mxN.as(s"__mxn_$c"),
+        mnS.as(s"__mns_$c"), mxS.as(s"__mxs_$c"))
+    }
+    val wide = df.groupBy(partCol.as("part")).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `__nn_$c`, `__sk_$c`, `__mnn_$c`, `__mxn_$c`, " +
+        s"`__mns_$c`, `__mxs_$c`")
+      .mkString(", ")
+    wide.selectExpr("part", "__rows",
+        s"stack(${cols.length}, $stacked) AS " +
+          "(column_name, __nn, ndv_sketch, mn_num, mx_num, mn_str, mx_str)")
+      .select(col("part"), col("column_name"),
+        col("__rows").as("n_rows"), (col("__rows") - col("__nn")).as("n_null"),
+        col("ndv_sketch"), col("mn_num"), col("mx_num"),
+        col("mn_str"), col("mx_str"))
+  }
+
+  /** Fold [[profileByPartition]] rows (any subset of partitions, any
+    * number of appended delta batches) into one profile per column —
+    * same output contract as [[profileTable]]. Counts sum, sketches
+    * union, typed slots min/max; the portable repr re-renders from
+    * whichever slot the column's type populated. Never touches the
+    * base table. */
+  def mergeProfiles(profiles: DataFrame): DataFrame =
+    profiles.groupBy("column_name")
+      .agg(sum("n_rows").as("n_rows"), sum("n_null").as("n_null"),
+        hll_sketch_estimate(hll_union_agg(col("ndv_sketch")))
+          .as("n_distinct"),
+        min("mn_num").as("mn_num"), max("mx_num").as("mx_num"),
+        min("mn_str").as("mn_str"), max("mx_str").as("mx_str"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"),
+        coalesce(col("mn_num").cast("string"), col("mn_str")).as("min_repr"),
+        coalesce(col("mx_num").cast("string"), col("mx_str")).as("max_repr"))
+
+  /** The numeric slot of the portable rendering (see [[repr]]):
+    * integers verbatim, doubles micro-quantized, timestamps
+    * epoch-micros — all as comparable longs so min/max MERGE
+    * correctly across partition profiles. */
+  private def reprNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        floor(c * 1e6 + 0.5).cast("long")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+
+  private def profiled(df: DataFrame, cols: Seq[String],
+                       ndv: Column => Column): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs >= 1 column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val dt = df.schema(c).dataType
+      Seq(count(col(c)).as(s"__nn_$c"),
+        ndv(col(c)).as(s"__nd_$c"),
+        repr(min(col(c)), dt).as(s"__mn_$c"),
+        repr(max(col(c)), dt).as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
+      .mkString(", ")
+    wide.selectExpr("__rows",
+        s"stack(${cols.length}, $stacked) AS " +
+          "(column_name, __nn, n_distinct, min_repr, max_repr)")
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col("__nn")).as("n_null"), col("n_distinct"),
+        col("min_repr"), col("max_repr"))
+  }
 }

@@ -66,7 +66,8 @@ object AnalyticsQueries {
     * persisted lexical index. */
   def prime(s: SparkSession, dir: String, names: Set[String]): Unit =
     if (Seq("q_index_stats", "q_bm25_indexed", "q_bm25_batch",
-        "q_hybrid_retrieval", "q_phrase_search").exists(names))
+        "q_hybrid_retrieval", "q_phrase_search", "q_concordance")
+        .exists(names))
       lexIndex(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,6 +506,17 @@ object AnalyticsQueries {
       graft.operators.Lexical.searchPhrase(s, lexIndex(s, dir),
           Seq("table", "hash"))
         .orderBy("doc_id")
+    },
+
+    // L90: KWIC concordance — per-term top-5 occurrences with ±3
+    // tokens of context, straight off the positional postings (the
+    // corpus never scans for the terms; only matched docs tokenize).
+    // Oracled against a direct token-position replay of the text.
+    "q_concordance" -> { (s, dir) =>
+      graft.operators.Lexical.concordance(t(s, dir, "documents"),
+          "doc_id", "text", lexIndex(s, dir),
+          terms = Seq("spark", "table", "window"), width = 3, perTerm = 5)
+        .orderBy("term", "rk")
     },
 
     // L25: text normalization — lowercase, strip non-alphanumerics,
@@ -1586,6 +1598,32 @@ object AnalyticsQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bg ASC) AS rn
         |  FROM counted)
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    // L90 twin: occurrences replayed from token positions (1-based,
+    // the postings convention), same (doc_id, pos) rank order, same
+    // clamped ±3 context window.
+    "q_concordance" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, t,
+        |    UNNEST(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(pos := i, tok := t[i]))) AS u
+        |  FROM tk),
+        |occ AS (
+        |  SELECT u.tok AS term, doc_id, u.pos AS pos, t FROM ex
+        |  WHERE u.tok IN ('spark', 'table', 'window')),
+        |rk AS (
+        |  SELECT term, doc_id, pos, t,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id, pos) AS rk
+        |  FROM occ)
+        |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(list_slice(t, greatest(1, pos - 3),
+        |    least(len(t), pos + 3)), ' ') AS context
+        |FROM rk WHERE rk <= 5 ORDER BY term, rk""".stripMargin,
 
     "q_phrase_search" ->
       """WITH toks AS (

@@ -88,6 +88,67 @@ object CurationQueries {
   private def bpePairsLit: String =
     BpeFixedMerges.map { case (a, b) => s"'$a $b'" }.mkString("[", ", ", "]")
 
+  /** L87 substring-blocklist pattern set, shared by the Spark query
+    * and the oracle literal so the two sides cannot drift. Chosen to
+    * exercise the Aho–Corasick corner cases on the synthetic
+    * vocabulary: multi-word phrases, a SELF-OVERLAPPING phrase
+    * ("table table table" contains "table table" twice), a short
+    * overlapping pattern ("a a a" → 2), a pattern NESTED inside a
+    * longer token ("tab" fires inside every "table"), one that crosses
+    * a word boundary mid-token, and a zero-hit control the attribution
+    * twin must still report. */
+  val SubstringPatterns: Seq[String] = Seq(
+    "fast table", "table table", "scan slow", "a a",
+    "value", "tab", "le t", "zzz never")
+
+  private def acPatsLit: String = SubstringPatterns.zipWithIndex
+    .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+
+  /** Unrolled-CTE DuckDB replay of [[LinkRank.hits]] (the linkRankSql
+    * discipline): HUGEINT mirrors the operator's decimal(38,0)
+    * widening, `//` its `div`, per-round L1 renormalization via a
+    * scalar-subquery SUM. Directed customer→supplier purchase pairs
+    * (no reversal — HITS needs the digraph; hubs = customers,
+    * authorities = suppliers). */
+  private def hitsSql(iters: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pairs AS (
+              |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+              |         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+              |         CAST(COUNT(*) AS BIGINT) AS w
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |nodes AS (
+              |  SELECT src AS node FROM pairs
+              |  UNION SELECT dst AS node FROM pairs),
+              |h0 AS (SELECT node, CAST($scale AS HUGEINT) AS v FROM nodes),
+              |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""ar$r AS (
+                |  SELECT p.dst AS node, SUM(CAST(h.v AS HUGEINT) * p.w) AS v
+                |  FROM pairs p JOIN h${r - 1} h ON p.src = h.node
+                |  GROUP BY p.dst),
+                |a$r AS (SELECT node,
+                |  v * $scale // (SELECT SUM(v) FROM ar$r) AS v FROM ar$r),
+                |hr$r AS (
+                |  SELECT p.src AS node, SUM(CAST(a.v AS HUGEINT) * p.w) AS v
+                |  FROM pairs p JOIN a$r a ON p.dst = a.node
+                |  GROUP BY p.src),
+                |h$r AS (SELECT node,
+                |  v * $scale // (SELECT SUM(v) FROM hr$r) AS v FROM hr$r),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT 1 AS one)
+              |SELECT n.node,
+              |  CAST(COALESCE(h.v, 0) AS BIGINT) AS hub_micro,
+              |  CAST(COALESCE(a.v, 0) AS BIGINT) AS auth_micro
+              |FROM nodes n
+              |LEFT JOIN h$iters h ON n.node = h.node
+              |LEFT JOIN a$iters a ON n.node = a.node
+              |ORDER BY n.node""".stripMargin
+    sb.toString
+  }
+
   /** Untimed memo warm-up: build the persisted shared artifacts the
     * named queries consume (walk corpora, kNN graph). Bench calls this
     * before timing so a cold subset run measures the QUERY, not the
@@ -955,6 +1016,50 @@ object CurationQueries {
             "de" -> Seq("window")),
           default = Seq("stream"))
         .orderBy("doc_id")
+    },
+
+    // L87: SUBSTRING blocklist (Aho–Corasick) — phrases and sub-token
+    // strings the whole-token L51 filter cannot see, every pattern in
+    // ONE O(len + matches) codegen'd pass. Map-side, zero shuffles,
+    // fully oracled (the SQL replay counts match start offsets).
+    "q_substring_blocklist" -> { (s, dir) =>
+      Curate.substringBlocklist(t(s, dir, "documents"), "doc_id", "text",
+          SubstringPatterns)
+        .orderBy("doc_id")
+    },
+
+    // L87 attribution twin: which blocklist entries fire, on how many
+    // docs, how often — from the same single scan; the shuffle carries
+    // <= P rows per map task (partial agg over pid), never the corpus.
+    "q_substring_attr" -> { (s, dir) =>
+      Curate.substringMatchProfile(t(s, dir, "documents"), "text",
+          SubstringPatterns)
+        .orderBy("pid")
+    },
+
+    // L89: HITS hubs & authorities over the directed customer→supplier
+    // purchase graph (3 rounds, integer fixed-point, per-round L1
+    // renorm) — fully hash-oracled via unrolled CTEs (hitsSql).
+    "q_hits" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+      LinkRank.hits(pairs, "src", "dst", "w", iters = 3, assumeSummed = true)
+        .orderBy("node")
+    },
+
+    // L91: n-gram diversity audit — per-source distinct/total n-gram
+    // ratios (n = 1..3), the synthetic-data mode-collapse signal
+    // per-doc repetition rules can't see. One explode + one
+    // (grp, shingle) count per n; fully oracled.
+    "q_ngram_diversity" -> { (s, dir) =>
+      Curate.ngramDiversity(t(s, dir, "documents"), "text", "source",
+          maxN = 3)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "n")
     },
 
     // L54: tokenizer fertility per language — pre-tokens/word and
@@ -2343,6 +2448,62 @@ object CurationQueries {
         |  CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT) AS hits_per_mille,
         |  CAST(n_hits = 0 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // L87 twin: Aho–Corasick counts every (pattern, end-position)
+    // match — in SQL that is exactly "start offsets i where
+    // substring(text, i, |p|) = p", overlaps and nested matches
+    // included. Same pattern literals via acPatsLit (no drift).
+    "q_substring_blocklist" ->
+      s"""WITH pats(pid, p) AS (VALUES $acPatsLit),
+        |hit AS (
+        |  SELECT d.doc_id, len(d.text) AS n_chars, pt.pid,
+        |    CAST(len(list_filter(range(1, len(d.text) - len(pt.p) + 2),
+        |      i -> substring(d.text, i, len(pt.p)) = pt.p)) AS BIGINT) AS c
+        |  FROM documents d CROSS JOIN pats pt)
+        |SELECT doc_id, CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(c) AS BIGINT) AS n_matches,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns,
+        |  CAST(SUM(c) * 10000 // GREATEST(MAX(n_chars), 1) AS BIGINT)
+        |    AS matches_per_10k,
+        |  CAST(CASE WHEN SUM(c) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substring_attr" ->
+      s"""WITH pats(pid, p) AS (VALUES $acPatsLit),
+        |hit AS (
+        |  SELECT pt.pid, pt.p,
+        |    CAST(len(list_filter(range(1, len(d.text) - len(pt.p) + 2),
+        |      i -> substring(d.text, i, len(pt.p)) = pt.p)) AS BIGINT) AS c
+        |  FROM documents d CROSS JOIN pats pt)
+        |SELECT CAST(pid AS BIGINT) AS pid, p AS pattern,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(SUM(c) AS BIGINT) AS n_matches
+        |FROM hit GROUP BY pid, p ORDER BY pid""".stripMargin,
+
+    // L89 twin: the unrolled-CTE HITS replay (3 rounds, scale 10¹²).
+    "q_hits" -> hitsSql(iters = 3, scale = 1000000000000L),
+
+    // L91 twin: the engine's shingle rule (< n tokens → whole text as
+    // one shingle — the q_novelty CASE) replayed per n, counted per
+    // source.
+    "q_ngram_diversity" -> (1 to 3).map { n =>
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+        |  CAST(COUNT(DISTINCT sh) * 1000000
+        |    // GREATEST(COUNT(*), 1) AS BIGINT) AS diversity_ppm
+        |FROM (
+        |  SELECT source, UNNEST(
+        |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - $n + 2),
+        |                i -> array_to_string(list_slice(t, i, i + $n - 1), ' '))
+        |    END) AS sh
+        |  FROM (SELECT source,
+        |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |        FROM documents))
+        |GROUP BY source""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY source, n"),
 
     // Scorecard twin: the gopher + repetition + blocklist per-doc
     // replays (verbatim fragments of their standalone oracles) rolled

@@ -229,6 +229,54 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    // R45: one-pass column profiler (Observe.profileTable) — per
+    // column null count, exact NDV, portable min/max rendering, all
+    // columns of `orders` in ONE job (multi-count-distinct via one
+    // Expand). The 100 TB daily path is the HLL twin
+    // profileTableApprox (no Expand), gated against this exact run in
+    // ObserveSpec. Mixed types exercised: bigint, string, double
+    // (micro-quantized repr), timestamp (epoch-micros repr).
+    "q_profile" -> { (s, dir) =>
+      graft.operators.Observe.profileTable(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("column_name")
+    },
+
+    // R45b: mergeable profile store — per-month profile rows (counts
+    // + HLL NDV sketch + typed min/max slots) folded back to one
+    // profile WITHOUT rescanning the table (the R17c mergeable-rollup
+    // discipline applied to profiling). Oracled on columns whose NDV
+    // sits in the sketch-exact regime (the q_sketch_rollup rule);
+    // numeric slots + estimate tolerance are gated in ObserveSpec.
+    "q_profile_merged" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val parts = graft.operators.Observe.profileByPartition(l,
+        date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM"),
+        Seq("l_returnflag", "l_linenumber", "l_quantity"))
+      graft.operators.Observe.mergeProfiles(parts)
+        .orderBy("column_name")
+    },
+
+    // R46: coordinated (join-consistent) sampling — orders and
+    // lineitem sampled on the SAME md5(orderkey) decision, so the
+    // join of the samples IS the sample of the join (independent
+    // sampling keeps f² of joined rows). Aggregate over the sampled
+    // join proves referential integrity survived: every sampled order
+    // keeps ALL its lineitems.
+    "q_sample_coordinated" -> { (s, dir) =>
+      val Seq(so, sl) = graft.operators.Mix.coordinatedSample(0.25,
+        Seq(t(s, dir, "orders") -> "o_orderkey",
+          t(s, dir, "lineitem") -> "l_orderkey"))
+      so.join(sl, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count_distinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(38,4)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+
     // R9: ranked window, top-3 per partition.
     "q_window_rank" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
@@ -762,6 +810,82 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1995-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // R45 twin: same one-pass aggregates, unpivoted with UNION ALL.
+    // Portable min/max reprs in lockstep with Observe.repr: integers/
+    // strings as-is, doubles micro-quantized, timestamps epoch-micros.
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        |      CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+        |      CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+        |      CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+        |      CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |    COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+        |      MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |    COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+        |      CAST(CAST(FLOOR(MIN(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |        AS VARCHAR) AS mn4,
+        |      CAST(CAST(FLOOR(MAX(o_totalprice) * 1000000 + 0.5) AS BIGINT)
+        |        AS VARCHAR) AS mx4,
+        |    COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+        |      CAST(epoch_us(MIN(o_orderdate)) AS VARCHAR) AS mn5,
+        |      CAST(epoch_us(MAX(o_orderdate)) AS VARCHAR) AS mx5,
+        |    COUNT(o_orderpriority) AS nn6,
+        |      COUNT(DISTINCT o_orderpriority) AS nd6,
+        |      MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, n_rows, n_rows - nn1 AS n_null,
+        |    nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM p
+        |  UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM p
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM p
+        |  UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM p
+        |  UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM p
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM p)
+        |ORDER BY column_name""".stripMargin,
+
+    // R45b twin: merged per-month profiles must equal a direct
+    // whole-table computation — counts/min/max are exact merges, and
+    // the chosen columns' NDVs (3/7/50) sit in the HLL sketch-exact
+    // coupon regime (the q_sketch_rollup rule), so plain COUNT
+    // DISTINCT replays the estimate.
+    "q_profile_merged" ->
+      """WITH p AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(l_returnflag) AS nn1, COUNT(DISTINCT l_returnflag) AS nd1,
+        |      MIN(l_returnflag) AS mn1, MAX(l_returnflag) AS mx1,
+        |    COUNT(l_linenumber) AS nn2, COUNT(DISTINCT l_linenumber) AS nd2,
+        |      CAST(CAST(MIN(l_linenumber) AS BIGINT) AS VARCHAR) AS mn2,
+        |      CAST(CAST(MAX(l_linenumber) AS BIGINT) AS VARCHAR) AS mx2,
+        |    COUNT(l_quantity) AS nn3, COUNT(DISTINCT l_quantity) AS nd3,
+        |      CAST(CAST(FLOOR(MIN(l_quantity) * 1000000 + 0.5) AS BIGINT)
+        |        AS VARCHAR) AS mn3,
+        |      CAST(CAST(FLOOR(MAX(l_quantity) * 1000000 + 0.5) AS BIGINT)
+        |        AS VARCHAR) AS mx3
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_returnflag' AS column_name, n_rows, n_rows - nn1 AS n_null,
+        |    nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM p
+        |  UNION ALL SELECT 'l_linenumber', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM p
+        |  UNION ALL SELECT 'l_quantity', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM p)
+        |ORDER BY column_name""".stripMargin,
+
+    // R46 twin: the same md5(key) membership decision on both tables
+    // (thr(0.25) = 64/256 = hex '40'), then the joined aggregate.
+    "q_sample_coordinated" ->
+      """WITH so AS (SELECT * FROM orders
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'),
+        |sl AS (SELECT * FROM lineitem
+        |  WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '40')
+        |SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM so JOIN sl ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,

@@ -626,6 +626,42 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13z: streaming profile maintenance — the R45b mergeable profile
+    * store kept current per trigger: the continuous "what does this
+    * table look like NOW" view a 100 TB ingest needs without ever
+    * rescanning yesterday. Each micro-batch's per-column profile rows
+    * (counts + HLL NDV sketch + typed min/max slots) commit to their
+    * OWN partition (`profilePath/batch=N`, idempotent overwrite — the
+    * driftMonitorStream replay discipline: a replayed batch rewrites
+    * itself instead of double-counting a mutable running table); the
+    * RUNNING profile is [[graft.operators.Observe.mergeProfiles]] over
+    * the partitions ≤ the current batch (sums + sketch unions + slot
+    * min/max), landing in `outPath/batch=N`. Per-trigger state read is
+    * batches × columns NARROW rows. Parity-gated against the batch
+    * twin in StreamingSpec. */
+  def profileMonitorStream(rows: DataFrame, cols: Seq[String],
+                           profilePath: String, outPath: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Observe
+        val spark = batch.sparkSession
+        Observe.profileByPartition(batch.toDF(),
+            lit(batchId.toString), cols)
+          .write.mode("overwrite").parquet(s"$profilePath/batch=$batchId")
+        val upTo = spark.read.parquet(profilePath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .drop("__b")
+        Observe.mergeProfiles(upTo)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
   case class FunnelState(times: Seq[Long])
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)

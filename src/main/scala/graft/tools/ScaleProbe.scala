@@ -116,7 +116,24 @@ object ScaleProbe {
     // window (cell sizes bounded by the adaptive-C contract at
     // production sizing; the probe's fixed C=8 regime is the oracle
     // pin and grows cells linearly — the window stays per-cell)
-    "q_prototypicality")
+    "q_prototypicality",
+    // r13 session 2: Aho–Corasick substring scan (map-side, O(len)
+    // per row regardless of pattern count; attribution shuffles <= P
+    // rows per task); one-pass profiler (Expand ships cols+1 copies
+    // of the projected columns — linear); coordinated sampling
+    // (map-side md5 filter, join follows the 25% slice); HITS rounds
+    // are edge joins against n-row frames (linear in edges; the
+    // strided replicas keep the round count fixed)
+    "q_substring_blocklist", "q_substring_attr", "q_profile",
+    "q_sample_coordinated", "q_hits",
+    // r13 session 2: per-partition profile rows + sketch-union merge
+    // (the merge reads profile ROWS — partitions × columns — never
+    // the table; the by-partition pass is one groupBy)
+    "q_profile_merged",
+    // r13 session 2: postings-probed KWIC (text pass follows the
+    // bounded hit list, not the corpus); per-n (grp, shingle) counts
+    // (linear explodes, partial agg absorbs hot shingles)
+    "q_concordance", "q_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -268,4 +268,36 @@ class BucketingSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS lexidx_ph_spec_$s"))
     }
   }
+
+  test("concordance: positions, rank cap, and edge-clamped context windows") {
+    import graft.operators.Lexical
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    try {
+      Lexical.buildIndex(d, "doc_id", "text", "lexidx_kwic_spec", buckets = 16)
+      val terms = Seq("table", "nosuchword")
+      val got = Lexical.concordance(d, "doc_id", "text", "lexidx_kwic_spec",
+        terms, width = 2, perTerm = 4).collect()
+      // driver-side truth: first 4 occurrences of 'table' in
+      // (doc_id, pos) order with the clamped +/-2-token window
+      val occ = d.select("doc_id", "text").collect().flatMap { r =>
+        val t = r.getString(1).split(" ").filter(_.nonEmpty)
+        t.zipWithIndex.collect { case ("table", i) =>
+          val p = i + 1 // postings are 1-based
+          val lo = math.max(1, p - 2); val hi = math.min(t.length, p + 2)
+          (r.getLong(0), p.toLong, t.slice(lo - 1, hi).mkString(" "))
+        }
+      }.sortBy(x => (x._1, x._2)).take(4)
+      val gotTable = got.filter(_.getString(0) == "table")
+        .sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+      assert(gotTable.toSeq === occ.toSeq)
+      assert(got.filter(_.getString(0) == "table").map(_.getLong(1)).sorted
+        === Array(1L, 2L, 3L, 4L), "ranks are 1..perTerm")
+      assert(!got.exists(_.getString(0) == "nosuchword"),
+        "absent terms yield no rows, not errors")
+    } finally {
+      Seq("postings", "doclen", "termdf", "stats").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS lexidx_kwic_spec_$s"))
+    }
+  }
 }

@@ -1165,4 +1165,112 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("score"), r.getAs[Long]("norm_score"))).toMap
     assert(reparted == byId, "partition-variant normalization")
   }
+
+  test("ac_match_stats: overlapping, nested, boundary-crossing matches") {
+    import spark.implicits._
+    // "aaa ab": 'aa' at offsets 0,1 (overlap), 'ab' once, rest zero
+    val pats = Seq("aa", "ab", "ba", "zz")
+    val out = Seq("aaa ab", "").toDF("text")
+      .select(graft.functions.ac_match_stats(col("text"), pats).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0) === Seq(3L, 2L, 2L, 1L, 0L, 0L))
+    assert(out(1) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    // nested patterns: every 'table' also fires 'tab' and 'able'
+    val out2 = Seq("table table").toDF("text")
+      .select(graft.functions.ac_match_stats(col("text"),
+        Seq("tab", "able", "table", "table table")).as("s"))
+      .head.getSeq[Long](0)
+    assert(out2 === Seq(7L, 4L, 2L, 2L, 2L, 1L))
+  }
+
+  test("ac automaton parity with a naive scan on generated word salad") {
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast",
+      "table", "a", "the", "tab")
+    val pats = Seq("fast table", "table table", "a a", "tab", "le t",
+      "scan slow", "zzz")
+    val ac = new graft.functions.AcAutomaton(pats.toArray)
+    def naive(text: String, p: String): Long = {
+      var c = 0L; var i = 0
+      while (i + p.length <= text.length) {
+        if (text.regionMatches(i, p, 0, p.length)) c += 1
+        i += 1
+      }
+      c
+    }
+    var seed = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (_ <- 1 to 200) {
+      val n = nextInt(40)
+      val text = Seq.fill(n)(vocab(nextInt(vocab.length))).mkString(" ")
+      val got = ac.matchStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val want = pats.map(naive(text, _))
+      val gotCounts = (0 until pats.length).map(i => got.getLong(i + 2))
+      assert(gotCounts === want, s"mismatch on: '$text'")
+      assert(got.getLong(0) === want.sum)
+      assert(got.getLong(1) === want.count(_ > 0).toLong)
+    }
+  }
+
+  test("ac_match_stats rejects non-string input at analysis; bad patterns at build") {
+    import spark.implicits._
+    val d = Seq(1L).toDF("x")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(graft.functions.ac_match_stats(col("x"), Seq("p"))).collect()
+    }
+    intercept[IllegalArgumentException](
+      new graft.functions.AcAutomaton(Array.empty[String]))
+    intercept[IllegalArgumentException](
+      new graft.functions.AcAutomaton(Array("a", "")))
+    intercept[IllegalArgumentException](
+      new graft.functions.AcAutomaton(Array("a", "a")))
+  }
+
+  test("ngram diversity: collapsed generator scores far below varied text") {
+    import spark.implicits._
+    // 'gen' repeats one sentence 20x; 'var' has 20 distinct sentences
+    val rep = (1 to 20).map(i => (i.toLong, "the cat sat on the mat", "gen"))
+    val varied = (1 to 20).map(i =>
+      (100L + i, s"doc $i has unique words w${i}a w${i}b w${i}c", "var"))
+    val d = (rep ++ varied).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curate.ngramDiversity(d, "text", "source", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // per-doc 6 tokens -> unigram totals 120; trigram totals 4*20=80
+    assert(out(("gen", 1L))._1 === 120L && out(("gen", 3L))._1 === 80L)
+    // the generator's distinct trigrams don't grow with the corpus
+    assert(out(("gen", 3L))._2 === 4L)
+    assert(out(("var", 3L))._3 > 10 * out(("gen", 3L))._3,
+      "mode collapse must crater diversity_ppm vs the varied source")
+    // short-doc rule: < n tokens yield ONE whole-text shingle
+    val tiny = Seq((1L, "ab", "t")).toDF("doc_id", "text", "source")
+    val t3 = graft.operators.Curate.ngramDiversity(tiny, "text", "source", 3)
+      .filter(col("n") === 3).head()
+    assert(t3.getAs[Long]("n_total") === 1L &&
+      t3.getAs[Long]("n_distinct") === 1L)
+  }
+
+  test("substringBlocklist + substringMatchProfile contracts") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pats = CurationQueries.SubstringPatterns
+    val flags = graft.operators.Curate
+      .substringBlocklist(d, "doc_id", "text", pats).collect()
+    assert(flags.length === d.count())
+    flags.foreach { r =>
+      assert((r.getAs[Long]("keep") == 1L) == (r.getAs[Long]("n_matches") == 0L))
+      assert(r.getAs[Long]("n_patterns") <= pats.length.toLong)
+      assert(r.getAs[Long]("n_patterns") <= r.getAs[Long]("n_matches"))
+    }
+    val prof = graft.operators.Curate
+      .substringMatchProfile(d, "text", pats)
+      .collect().map(r => r.getAs[String]("pattern") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_matches"))).toMap
+    assert(prof.keySet === pats.toSet, "every pattern listed, hits or not")
+    assert(prof("zzz never") === ((0L, 0L)), "zero-hit control present with zeros")
+    // cross-check totals against the per-doc flags
+    assert(prof.values.map(_._2).sum === flags.map(_.getAs[Long]("n_matches")).sum)
+  }
 }

@@ -142,4 +142,67 @@ class LinkRankSpec extends SparkSpec {
       "sink holds base + damped inflow from a's floor")
     assert(r === refRank(Seq(("a", "b", 1L)), 3))
   }
+
+  /** Sequential replay of the HITS integer arithmetic (BigInt —
+    * mirrors the operator's decimal(38,0) widening). */
+  private def refHits(edges: Seq[(String, String, Long)], iters: Int,
+                      scale: Long = Scale): Map[String, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> BigInt(scale)).toMap
+    var auth = Map.empty[String, BigInt]
+    for (_ <- 1 to iters) {
+      val ar = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub.getOrElse(e._1, BigInt(0)) * e._3).sum
+      }
+      val asum = ar.values.sum
+      auth = ar.map { case (n, v) => n -> v * scale / asum }
+      val hr = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => auth.getOrElse(e._2, BigInt(0)) * e._3).sum
+      }
+      val hsum = hr.values.sum
+      hub = hr.map { case (n, v) => n -> v * scale / hsum }
+    }
+    nodes.map(n => n -> (
+      hub.getOrElse(n, BigInt(0)).toLong,
+      auth.getOrElse(n, BigInt(0)).toLong)).toMap
+  }
+
+  test("hits: planted bipartite star ranks hubs and authorities; parity with reference") {
+    // h1 links to 3 authorities, h2 to one; a1 has both hubs' mass
+    val edges = Seq(("h1", "a1", 1L), ("h1", "a2", 1L), ("h1", "a3", 1L),
+      ("h2", "a1", 1L))
+    val r = LinkRank.hits(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters = 3, assumeSummed = true)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(r === refHits(edges, 3), "bit-parity with the sequential replay")
+    assert(r("h1")._1 > r("h2")._1, "the broad linker is the better hub")
+    assert(r("a1")._2 > r("a2")._2, "the doubly-cited page is the top authority")
+    assert(r("a2")._2 === r("a3")._2, "symmetric authorities tie exactly")
+    assert(r("a1")._1 === 0L && r("h1")._2 === 0L,
+      "pure authorities carry no hub mass and vice versa")
+    // per-round L1 renorm: each score family sums to scale minus floors
+    val hsum = r.values.map(_._1).sum
+    val asum = r.values.map(_._2).sum
+    assert(hsum <= Scale && hsum > Scale - 10)
+    assert(asum <= Scale && asum > Scale - 10)
+  }
+
+  test("hits: determinism under repartitioning and parallel-edge pre-summing") {
+    val edges = Seq(("x", "y", 1L), ("x", "y", 1L), ("x", "z", 3L),
+      ("w", "y", 2L), ("z", "w", 1L))
+    val base = LinkRank.hits(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val reparted = LinkRank.hits(edges.toDF("src", "dst", "w").repartition(7),
+        "src", "dst", "w", iters = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base === reparted)
+    // parallel edges pre-sum: duplicating (x,y,1)+(x,y,1) as (x,y,2)
+    val summed = Seq(("x", "y", 2L), ("x", "z", 3L), ("w", "y", 2L), ("z", "w", 1L))
+    val s = LinkRank.hits(summed.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 2, assumeSummed = true)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base === s)
+  }
 }

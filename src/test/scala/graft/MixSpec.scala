@@ -31,4 +31,41 @@ class MixSpec extends SparkSpec {
     assert(bySrc("src0").subsetOf(kept))
     assert((bySrc("src2") & kept).isEmpty)
   }
+
+  test("coordinatedSample: join of samples equals sample of the join") {
+    val o = table("orders")
+    val l = table("lineitem")
+    val Seq(so, sl) = Mix.coordinatedSample(0.25,
+      Seq(o -> "o_orderkey", l -> "l_orderkey"))
+    val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val sampleOfJoin = Mix.coordinatedSample(0.25,
+      Seq(joined -> "o_orderkey")).head
+    val joinOfSamples = so.join(sl, col("o_orderkey") === col("l_orderkey"))
+    // the defining property: identical row sets, not just counts
+    assert(joinOfSamples.select("o_orderkey", "l_linenumber")
+      .exceptAll(sampleOfJoin.select("o_orderkey", "l_linenumber"))
+      .isEmpty)
+    assert(joinOfSamples.count() === sampleOfJoin.count())
+    assert(joinOfSamples.count() > 0, "degenerate: empty sampled join")
+  }
+
+  test("coordinatedSample: referential integrity is total within the slice") {
+    val o = table("orders")
+    val l = table("lineitem")
+    val Seq(so, sl) = Mix.coordinatedSample(0.25,
+      Seq(o -> "o_orderkey", l -> "l_orderkey"))
+    // every sampled order keeps ALL its lineitems...
+    val fullCounts = l.groupBy("l_orderkey").count().withColumnRenamed("count", "full")
+    val lost = so.join(sl.groupBy("l_orderkey").count(),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .join(fullCounts, Seq("l_orderkey"))
+      .filter(col("count") =!= col("full"))
+    assert(lost.isEmpty, "a sampled order lost lineitems")
+    // ...and no orphan lineitems enter the slice
+    assert(sl.join(so, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .isEmpty, "sampled lineitem without its sampled order")
+    // fraction lands near 64/256 of keys
+    val f = so.count().toDouble / o.count().toDouble
+    assert(f > 0.15 && f < 0.35, s"keep rate $f far from 0.25")
+  }
 }

@@ -57,4 +57,99 @@ class ObserveSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Observe.funnel(d, Seq("dup" -> identity, "dup" -> identity)))
   }
+
+  test("profileTable: nulls, exact NDV, portable min/max reprs") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, "b", null), (2L, null, 2.25), (3L, "a", -0.5))
+      .toDF("k", "s", "x")
+    val p = Observe.profileTable(d, Seq("k", "s", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("k", "s", "x"))
+    val k = p("k")
+    assert(k.getLong(1) === 4L && k.getLong(2) === 0L && k.getLong(3) === 3L)
+    assert(k.getString(4) === "1" && k.getString(5) === "3")
+    val s = p("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.getString(4) === "a" && s.getString(5) === "b")
+    val x = p("x") // doubles render micro-quantized: floor(v*1e6 + 0.5)
+    assert(x.getLong(2) === 1L && x.getLong(3) === 3L)
+    assert(x.getString(4) === "-500000" && x.getString(5) === "2250000")
+  }
+
+  test("profileTableApprox: exact-regime parity, single pass, no Expand") {
+    val o = table("orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val exact = Observe.profileTable(o, cols).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // Spark's HLL++ has no sparse-exact mode (unlike DataSketches), so
+    // even 1500 distincts estimate with noise: gate NDV at ±2% and
+    // everything else (counts, nulls, reprs) exactly.
+    val approx = Observe.profileTableApprox(o, cols, rsd = 0.005)
+    val ap = approx.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    cols.foreach { c =>
+      val e = exact(c); val a = ap(c)
+      assert(a.updated(3, e(3)) === e, s"non-NDV fields must be exact: $c")
+      val (en, an) = (e(3).asInstanceOf[Long], a(3).asInstanceOf[Long])
+      assert(math.abs(an - en) <= math.max(1L, en / 50),
+        s"NDV estimate for $c off by >2%: $an vs $en")
+    }
+    // the scale contract: the approx profile plans without Expand
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "approx profiler must be a single pass with no Expand")
+  }
+
+  test("mergeable profiles: merged partitions equal the direct profile") {
+    val o = table("orders")
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val exact = Observe.profileTable(o, cols).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    val parts = Observe.profileByPartition(o,
+      date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM"), cols)
+    val merged = Observe.mergeProfiles(parts).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(merged.keySet === exact.keySet)
+    cols.foreach { c =>
+      val e = exact(c); val m = merged(c)
+      // counts/nulls/min/max merge EXACTLY; NDV is the HLL estimate
+      assert(m.updated(3, e(3)) === e, s"non-NDV merge must be exact: $c")
+      val (en, mn) = (e(3).asInstanceOf[Long], m(3).asInstanceOf[Long])
+      assert(math.abs(mn - en) <= math.max(1L, en / 50),
+        s"merged NDV for $c off by >2%: $mn vs $en")
+    }
+    // low-cardinality NDV sits in the sketch-exact coupon regime —
+    // the property the q_profile_merged oracle banks on
+    assert(merged("o_orderstatus")(3) === exact("o_orderstatus")(3))
+  }
+
+  test("mergeable profiles: delta batches fold in without a rescan") {
+    val o = table("orders")
+    val cols = Seq("o_orderstatus", "o_totalprice")
+    val part = date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM")
+    val whole = Observe.mergeProfiles(
+        Observe.profileByPartition(o, part, cols))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // profile two disjoint slices independently (yesterday's store +
+    // today's delta), merge the UNION of the profile rows
+    val a = Observe.profileByPartition(
+      o.filter(col("o_orderkey") % 2 === 0), part, cols)
+    val b = Observe.profileByPartition(
+      o.filter(col("o_orderkey") % 2 === 1), part, cols)
+    val folded = Observe.mergeProfiles(a.unionByName(b))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // counts/min/max fold EXACTLY; HLL NDV is estimate-stable only in
+    // the coupon regime (split sketches promote LIST->SET->HLL at
+    // different points, so dense estimates can drift by ~1 in 1500)
+    cols.foreach { c =>
+      val w = whole(c); val f = folded(c)
+      assert(f.updated(3, w(3)) === w,
+        s"non-NDV delta fold must be exact: $c")
+      val (wn, fn) = (w(3).asInstanceOf[Long], f(3).asInstanceOf[Long])
+      assert(math.abs(fn - wn) <= math.max(1L, wn / 50),
+        s"folded NDV for $c off by >2%: $fn vs $wn")
+    }
+    assert(folded("o_orderstatus")(3) === whole("o_orderstatus")(3),
+      "coupon-regime NDV folds exactly")
+  }
 }

@@ -606,6 +606,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming profile monitor: running profile equals the batch twin") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Observe
+    import spark.implicits._
+    val src = table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val out = Files.createTempDirectory("prof_out").toString
+    val ckpt = Files.createTempDirectory("prof_ck").toString
+    val state = Files.createTempDirectory("prof_state").toString
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val q = QueueStreaming.profileMonitorStream(
+      mem.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice"),
+      cols, state, out, ckpt)
+    mem.addData(src.take(30).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(src.drop(30).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def df(rs: Seq[(Long, String, Double)]) =
+      rs.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    // after trigger 1 the running profile equals the batch twin built
+    // from the SAME per-batch partitioning (sketch states identical)
+    val twin = Observe.mergeProfiles(
+        Observe.profileByPartition(df(src.take(30).toSeq), lit("0"), cols)
+          .unionByName(
+            Observe.profileByPartition(df(src.drop(30).toSeq), lit("1"), cols)))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val got = spark.read.parquet(s"$out/batch=1").drop("batch_id")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(got === twin, "streamed running profile diverged from batch twin")
+    // counts/min/max are exact vs a direct profile of all streamed rows
+    val direct = Observe.profileTable(df(src.toSeq), cols).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    cols.foreach { c =>
+      assert(got(c).updated(3, direct(c)(3)) === direct(c),
+        s"streamed non-NDV fields must equal the direct profile: $c")
+    }
+    // replay safety: rewriting a batch's own partition leaves the
+    // running profile unchanged
+    Observe.profileByPartition(df(src.drop(30).toSeq), lit("1"), cols)
+      .write.mode("overwrite").parquet(s"$state/batch=1")
+    val replayed = Observe.mergeProfiles(spark.read.parquet(state))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(replayed === twin, "a replayed batch must not double-count")
+  }
+
   test("streaming drift monitor: first batch zero, history folds exactly") {
     implicit val sq = spark.sqlContext
     import graft.operators.Curate
