@@ -797,6 +797,62 @@ object Curate {
     }.reduce(_.unionByName(_))
   }
 
+  /** L92: intra-document language-mixture audit (code-switching
+    * detection) — page-level lang-id (L8) mislabels MIXED documents:
+    * an en page with a zh block gets one label, the zh block either
+    * pollutes the en corpus or vanishes. Chunk the text into fixed
+    * token windows, lang-id each chunk with the L8 marker scorer
+    * ('und' when no markers hit — unlike the doc-level argmax, a
+    * zero-evidence chunk must not default to a language), and roll up
+    * per doc: chunk counts, distinct detected languages, the dominant
+    * language and its share. `mixed = n_langs >= 2` is the routing
+    * flag (split / dual-label / drop).
+    *
+    * One explode + two doc-keyed aggregations; the per-(doc, lang)
+    * rank rides WindowGroupLimit shapes (row_number per doc over a
+    * ≤ |langs|+1-row group). All integer; oracle replays the chunk
+    * grid, marker counts, and tie rules verbatim.
+    *
+    * Returns (doc_id, n_chunks, n_langs, dom_lang, dom_chunks,
+    * dom_share_pm, mixed). */
+  def langMixture(docs: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    import graft.functions.LangMarkers
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.chunk_windows(
+          coalesce(col(textCol), lit("")), chunkTokens, 0)).as("c"))
+      .select(col("doc_id"), col("c.chunk_text").as("__txt"))
+    val scores = LangMarkers.toSeq.sortBy(_._1)
+    val counted = scores.foldLeft(chunks) { case (df, (lang, markers)) =>
+      df.withColumn(s"c_$lang",
+        size(filter(graft.functions.tokenize_ws(col("__txt")),
+          x => x.isin(markers.map(lit(_)): _*))).cast("long"))
+    }
+    val m = greatest(scores.map { case (l, _) => col(s"c_$l") }: _*)
+    val argmax = scores.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"c_$lang") === m, lit(lang)).otherwise(acc)
+    }
+    val pred = counted.select(col("doc_id"),
+      when(m === 0, lit("und")).otherwise(argmax).as("pred"))
+    val perLang = pred.groupBy("doc_id", "pred")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("pred").asc)
+    perLang
+      .withColumn("n_chunks", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+      .withColumn("n_langs", sum(when(col("pred") =!= "und", 1L).otherwise(0L))
+        .over(Window.partitionBy("doc_id")))
+      .filter(col("pred") =!= "und" ||
+        col("n_langs") === 0) // keep one 'und' row only for all-und docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("pred").as("dom_lang"), col("cnt").as("dom_chunks"),
+        expr("cnt * 1000000L div n_chunks").as("dom_share_pm"),
+        (col("n_langs") >= 2).as("mixed"))
+  }
+
   /** L75: preference-pair construction — the RLHF/DPO data-prep
     * primitive: from a pool of scored candidates per prompt/group,
     * emit (chosen, rejected) = (argmax score, argmin score) with ties

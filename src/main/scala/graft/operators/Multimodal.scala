@@ -442,6 +442,58 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, histogram: Array[Double], mean_byte: Double)
 
+  /** [[extractFeatures]] with the REAL pixel path in front (the
+    * perceptualHashReal discipline): payloads ImageIO decodes get an
+    * 8-bin LUMINANCE histogram + mean luminance computed from actual
+    * pixels — content statistics invariant to the container encoding
+    * (the byte-histogram stub changes when the same image is
+    * re-encoded; the pixel histogram does not, which is the property
+    * a dedup/quality signal needs). Luminance is the integer ITU-R
+    * BT.601 weighting (299 r + 587 g + 114 b) / 1000 — all-integer,
+    * deterministic. Unrecognized payloads keep the stub byte
+    * features, so the oracled synthetic chain (text payloads) is
+    * bit-untouched; MultimodalSpec pins codec-invariance on a planted
+    * image delivered as both PNG and BMP. */
+  def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val counts = new Array[Double](8)
+          var sum = 0.0
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              counts(lum * 8 / 256) += 1
+              sum += lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1, w.toLong * h)
+          MediaFeatures(r.doc_id, counts.map(_ / n), sum / n)
+        } else {
+          val counts = new Array[Double](8)
+          var sum = 0.0
+          r.payload.foreach { b =>
+            val v = b & 0xFF
+            counts(v % 8) += 1
+            sum += v
+          }
+          val n = math.max(1, r.payload.length)
+          MediaFeatures(r.doc_id, counts.map(_ / n), sum / n)
+        }
+      }
+    }(Encoders.product[MediaFeatures])
+  }
+
   /** Feature extraction stub: 8-bin byte-value histogram (normalized)
     * + mean byte — the per-partition batch shape of a real embedding
     * model (load weights once per partition, run the batch through). */

@@ -104,6 +104,65 @@ object CurationQueries {
   private def acPatsLit: String = SubstringPatterns.zipWithIndex
     .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
 
+  /** DuckDB replay of [[Curate.langMixture]]: the chunk grid
+    * (ceil(n/16) windows, min 1 — the chunk_windows arithmetic),
+    * per-chunk marker counts with the L8 alphabetical-argmax tie rule
+    * plus the 'und' zero-evidence branch, and the per-doc dominant
+    * rollup with its (cnt DESC, pred ASC) rank. */
+  private def langMixtureSql(chunkTokens: Int): String = {
+    val langs = graft.functions.LangMarkers.keys.toSeq.sorted
+    val counts = graft.functions.LangMarkers.toSeq.sortBy(_._1)
+      .map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(ct, x -> list_contains($lst, x))) AS c_$l"
+      }.mkString(",\n    ")
+    val m = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
+    val argmax = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN c_$l = $m THEN '$l' ELSE $acc END"
+    }
+    val k = chunkTokens
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |grid AS (
+       |  SELECT doc_id, t,
+       |    UNNEST(range(0, GREATEST(1,
+       |      CAST(CEIL(len(t) / $k.0) AS BIGINT)))) AS ci
+       |  FROM tk),
+       |ch AS (
+       |  SELECT doc_id, list_slice(t, ci * $k + 1, ci * $k + $k) AS ct
+       |  FROM grid),
+       |counted AS (
+       |  SELECT doc_id,
+       |    $counts
+       |  FROM ch),
+       |pred AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $m = 0 THEN 'und' ELSE $argmax END AS pred
+       |  FROM counted),
+       |perlang AS (
+       |  SELECT doc_id, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM pred GROUP BY doc_id, pred),
+       |tot AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN pred != 'und' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_langs
+       |  FROM perlang GROUP BY doc_id),
+       |kept AS (
+       |  SELECT p.doc_id, p.pred, p.cnt, t.n_chunks, t.n_langs
+       |  FROM perlang p JOIN tot t USING (doc_id)
+       |  WHERE p.pred != 'und' OR t.n_langs = 0),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, pred ASC) AS rk FROM kept)
+       |SELECT doc_id, n_chunks, n_langs, pred AS dom_lang,
+       |  cnt AS dom_chunks,
+       |  CAST(cnt * 1000000 // n_chunks AS BIGINT) AS dom_share_pm,
+       |  (n_langs >= 2) AS mixed
+       |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Unrolled-CTE DuckDB replay of [[LinkRank.hits]] (the linkRankSql
     * discipline): HUGEINT mirrors the operator's decimal(38,0)
     * widening, `//` its `div`, per-round L1 renormalization via a
@@ -1049,6 +1108,16 @@ object CurationQueries {
           concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
       LinkRank.hits(pairs, "src", "dst", "w", iters = 3, assumeSummed = true)
         .orderBy("node")
+    },
+
+    // L92: intra-document language-mixture audit — 16-token chunks
+    // lang-id'd with the L8 marker scorer ('und' on zero evidence),
+    // per-doc dominant language + share + mixed flag. One explode +
+    // doc-keyed rollups; fully oracled.
+    "q_lang_mixture" -> { (s, dir) =>
+      Curate.langMixture(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 16)
+        .orderBy("doc_id")
     },
 
     // L91: n-gram diversity audit — per-source distinct/total n-gram
@@ -2482,6 +2551,9 @@ object CurationQueries {
 
     // L89 twin: the unrolled-CTE HITS replay (3 rounds, scale 10¹²).
     "q_hits" -> hitsSql(iters = 3, scale = 1000000000000L),
+
+    // L92 twin: chunk-grid + marker-argmax + dominant-rollup replay.
+    "q_lang_mixture" -> langMixtureSql(chunkTokens = 16),
 
     // L91 twin: the engine's shingle rule (< n tokens → whole text as
     // one shingle — the q_novelty CASE) replayed per n, counted per

@@ -1309,6 +1309,25 @@ object PipelineQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // L12i (r13): the REAL feature extractor — decoded-pixel
+    // luminance histogram + mean for ImageIO-recognized payloads
+    // (codec-invariance spec-gated on a planted flat image delivered
+    // as PNG and BMP); this corpus's synthetic payloads exercise the
+    // stub-fallback branch end-to-end, which shares the
+    // q_multimodal_features oracle bit-for-bit.
+    "q_multimodal_features_real" -> { (s, dir) =>
+      import s.implicits._
+      val feats = Multimodal.extractFeaturesReal(
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[Multimodal.MediaRow])
+        .toDF()
+      val bins = (0 until 8).map(i =>
+        element_at(col("histogram"), i + 1).as(s"h$i"))
+      feats.select(col("doc_id") +: bins :+ col("mean_byte"): _*)
+        .orderBy("doc_id")
+    },
+
     // L12d: feature extraction (8-bin byte histogram per partition
     // batch). Oracled since r8: the DuckDB side replays the UTF-8 byte
     // walk via the hex-nibble trick (same as the simhash oracle), and
@@ -2139,7 +2158,15 @@ object PipelineQueries {
     sb.toString
   }
 
-  val oracles: Map[String, String] = Map(
+  // L12i shares L12d's oracle verbatim: the synthetic corpus is not
+  // decodable imagery, so the real extractor's stub fallback must be
+  // BIT-identical to the stub extractor — one oracle gates both.
+  // (lazy: baseOracles is declared below; object-init order would
+  // otherwise read it as null)
+  lazy val oracles: Map[String, String] = baseOracles +
+    ("q_multimodal_features_real" -> baseOracles("q_multimodal_features"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_retrieval_mmr" -> mmrOracleSql(maxQ = 5, c = 16, k = 5,
       num = 7L, den = 10L),
 

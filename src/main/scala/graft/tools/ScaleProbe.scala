@@ -132,8 +132,9 @@ object ScaleProbe {
     "q_profile_merged",
     // r13 session 2: postings-probed KWIC (text pass follows the
     // bounded hit list, not the corpus); per-n (grp, shingle) counts
-    // (linear explodes, partial agg absorbs hot shingles)
-    "q_concordance", "q_ngram_diversity")
+    // (linear explodes, partial agg absorbs hot shingles); chunk
+    // explode + doc-keyed rollups with a <=|langs|+1-row rank window
+    "q_concordance", "q_ngram_diversity", "q_lang_mixture")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -220,22 +221,22 @@ object ScaleProbe {
     // Purchase-graph tables for the link-rank probe: key strides make
     // each replica a disjoint graph component, so nodes, edges, and
     // total rank mass all scale exactly by the factor.
+    // Full schemas (keys stride, payload columns shared): the r13
+    // profiler / coordinated-sampling / merged-profile probes read
+    // every orders and lineitem column, not just the graph keys.
     val li = spark.read.parquet(s"$base/lineitem.parquet")
-      .select("l_orderkey", "l_suppkey")
     val ord = spark.read.parquet(s"$base/orders.parquet")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
     val ordStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val custStride = ord.agg(max("o_custkey")).head().getLong(0) + 1
     val suppStride = li.agg(max("l_suppkey")).head().getLong(0) + 1
     (0 until factor).map { i =>
-      li.select((col("l_orderkey") + lit(i.toLong * ordStride)).as("l_orderkey"),
-        (col("l_suppkey") + lit(i.toLong * suppStride)).as("l_suppkey"))
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * ordStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * suppStride))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     (0 until factor).map { i =>
-      ord.select((col("o_orderkey") + lit(i.toLong * ordStride)).as("o_orderkey"),
-        (col("o_custkey") + lit(i.toLong * custStride)).as("o_custkey"),
-        col("o_totalprice"))
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * ordStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * custStride))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 

@@ -1253,6 +1253,33 @@ class CurationSpec extends SparkSpec {
       t3.getAs[Long]("n_distinct") === 1L)
   }
 
+  test("language mixture: code-switched doc flags mixed, ties and und handled") {
+    import spark.implicits._
+    val enChunk = ("the" +: Seq.fill(15)("x")).mkString(" ")   // 16 tokens
+    val deChunk = ("der" +: Seq.fill(15)("y")).mkString(" ")
+    val d = Seq(
+      (1L, s"$enChunk $deChunk"),   // one en chunk + one de chunk
+      (2L, enChunk),                // pure en
+      (3L, "x y z")                 // no markers anywhere
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curate.langMixture(d, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m1 = out(1L)
+    assert(m1.getAs[Long]("n_chunks") === 2L &&
+      m1.getAs[Long]("n_langs") === 2L && m1.getAs[Boolean]("mixed"))
+    // 1-1 tie between de and en resolves alphabetically (the L8 rule)
+    assert(m1.getAs[String]("dom_lang") === "de" &&
+      m1.getAs[Long]("dom_share_pm") === 500000L)
+    val m2 = out(2L)
+    assert(m2.getAs[String]("dom_lang") === "en" &&
+      m2.getAs[Long]("n_langs") === 1L && !m2.getAs[Boolean]("mixed") &&
+      m2.getAs[Long]("dom_share_pm") === 1000000L)
+    // zero marker evidence must NOT default to a language
+    val m3 = out(3L)
+    assert(m3.getAs[String]("dom_lang") === "und" &&
+      m3.getAs[Long]("n_langs") === 0L && !m3.getAs[Boolean]("mixed"))
+  }
+
   test("substringBlocklist + substringMatchProfile contracts") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val pats = CurationQueries.SubstringPatterns

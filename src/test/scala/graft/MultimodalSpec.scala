@@ -118,6 +118,50 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(4L) == stub, "synthetic payload must fall back to the byte-walk")
   }
 
+  test("real pixel features: codec-invariant luminance stats, exact on flat image, stub fallback") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def flat(v: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    val img = flat(100, 16, 8) // gray 100 -> luminance exactly 100
+    val asPng = encode(img, "png")
+    val asBmp = encode(img, "bmp")
+    val synthetic = "not an image at all".getBytes("UTF-8")
+    val feats = Multimodal.extractFeaturesReal(Seq(
+        MediaRow(1L, asPng), MediaRow(2L, asBmp), MediaRow(3L, synthetic))
+        .toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    // exact stats on the flat image: every pixel has luminance 100 ->
+    // bin 100*8/256 = 3 holds all mass, mean is exactly 100
+    assert(feats(1L).mean_byte === 100.0)
+    assert(feats(1L).histogram.toSeq === Seq(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    // codec invariance — the property the byte stub CANNOT have: the
+    // same pixels through png and bmp yield identical pixel features
+    // but different byte-level features
+    assert(feats(1L).histogram.toSeq === feats(2L).histogram.toSeq &&
+      feats(1L).mean_byte === feats(2L).mean_byte)
+    val stubFeats = Multimodal.extractFeatures(Seq(
+        MediaRow(1L, asPng), MediaRow(2L, asBmp)).toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(stubFeats(1L).mean_byte !== stubFeats(2L).mean_byte,
+      "byte features must differ across containers (that's the stub's flaw)")
+    // unrecognized payloads fall back byte-identically to the stub
+    val stub3 = Multimodal.extractFeatures(Seq(MediaRow(3L, synthetic)).toDS())
+      .collect().head
+    assert(feats(3L).histogram.toSeq === stub3.histogram.toSeq &&
+      feats(3L).mean_byte === stub3.mean_byte)
+  }
+
   test("real resize: planted PNG decodes, box-downscales, re-encodes; stub falls back") {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
