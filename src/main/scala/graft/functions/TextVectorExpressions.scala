@@ -872,6 +872,125 @@ object Kernels {
     new GenericArrayData(Array(nTok, nHits, nd))
   }
 
+  /** Fused multi-list marker counting in ONE pass over the text:
+    * counts(k) = number of whitespace tokens contained in list k.
+    * The codegen replacement for the per-list
+    * `size(filter(tokenize_ws(text), isin(...)))` HOF chain, which is
+    * CodegenFallback AND O(tokens · Σ|list|) with per-element boxing —
+    * it sat in every lang-id, stopword-ratio and quality-score hot
+    * path. One token walk, ONE hash probe per token against a
+    * token→list-bitmask map (built once per executor). Token
+    * semantics replicate `tokenize_ws` (split on ' ', empties
+    * dropped); membership is exact string equality — values are
+    * bit-identical to the HOF chain, so every downstream oracle is
+    * untouched. */
+  def markerCounts(text: UTF8String,
+                   masks: java.util.HashMap[String, java.lang.Long],
+                   nLists: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val counts = new Array[Long](nLists)
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val mask = masks.get(s.substring(i, j))
+        if (mask != null) {
+          var b = mask.longValue()
+          var k = 0
+          while (b != 0L) {
+            if ((b & 1L) == 1L) counts(k) += 1
+            b >>>= 1
+            k += 1
+          }
+        }
+      }
+      i = j + 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Fused overlapping token-window chunking in ONE pass: windows of
+    * `chunkTokens` tokens every `chunkTokens - overlap` tokens, each
+    * emitted as (chunk_idx, chunk_text, n_chunk_tokens). Replicates
+    * the composed-builtins formula exactly — nChunks =
+    * max(1, ceil((nTok - overlap) / stride)), final short window kept
+    * — so swapping it in changes no query value; the HOF composition
+    * (transform over sequence with a slice + concat_ws per element)
+    * is CodegenFallback and re-walks the token array per chunk. */
+  def chunkWindows(text: UTF8String, chunkTokens: Int,
+                   overlap: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    // token boundaries (split on ' ', empties dropped)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) { starts.add(i); ends.add(j) }
+      i = j + 1
+    }
+    val nTok = starts.size
+    val stride = chunkTokens - overlap
+    val nChunks = math.max(1L,
+      math.floor((nTok - overlap + stride - 1).toDouble / stride).toLong)
+    val out = new Array[AnyRef](nChunks.toInt)
+    var c = 0
+    while (c < nChunks) {
+      val from = c * stride
+      val until = math.min(nTok, from + chunkTokens)
+      val sb = new java.lang.StringBuilder()
+      var t = from
+      while (t < until) {
+        if (t > from) sb.append(' ')
+        sb.append(s, starts.get(t), ends.get(t))
+        t += 1
+      }
+      val len = math.max(0, until - from).toLong
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(
+        c.toLong, UTF8String.fromString(sb.toString), len)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Seeded deterministic word dropout in ONE pass: the 1-based
+    * token at position p of the document keyed `key` drops iff
+    * rollingHash("key:p:seed") mod 1000 < dropPm. A pure function of
+    * (key, position, seed): re-runs, task retries and engines agree
+    * on every view, and epoch-varying views come from varying seed —
+    * rand()-based augmentation breaks all three. Returns
+    * (aug_text, n_tokens, n_dropped). */
+  def dropoutTokens(text: UTF8String, key: UTF8String, dropPm: Int,
+                    seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val k = key.toString
+    val sb = new java.lang.StringBuilder()
+    var nTok = 0L
+    var nDrop = 0L
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        nTok += 1
+        val h = rollingHash(UTF8String.fromString(k + ":" + nTok + ":" + seed))
+        if (h % 1000 < dropPm) nDrop += 1
+        else {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(s, i, j)
+        }
+      }
+      i = j + 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), nTok, nDrop)
+  }
+
   /** Unicode NFC normalization (canonical composition) — the
     * pre-hashing step every dedup/fingerprint pipeline needs: "é" as
     * U+00E9 and as e+U+0301 are the same text but different bytes, so
@@ -1164,6 +1283,89 @@ case class BlocklistStats(child: Expression, terms: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.blocklistStats($c, $setRef)")
   }
   override protected def withNewChildInternal(c: Expression): BlocklistStats =
+    copy(child = c)
+}
+
+/** Fused multi-list marker counts with a plan-embedded
+  * token→list-bitmask map (built once per executor, one probe per
+  * token) — see Kernels.markerCounts. Bounded at 64 lists by the
+  * bitmask width. */
+case class MarkerCounts(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(lists.nonEmpty && lists.size <= 64,
+    s"marker_counts needs 1..64 lists, got ${lists.size}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "marker_counts"
+  @transient private lazy val masks: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    lists.zipWithIndex.foreach { case (terms, k) =>
+      terms.foreach { t =>
+        val prev = m.get(t)
+        m.put(t, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue()) | (1L << k)))
+      }
+    }
+    m
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.markerCounts(v.asInstanceOf[UTF8String], masks, lists.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: the codegen backend (Janino) does not parse generics
+    val mref = ctx.addReferenceObj("markerMasks", masks, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.markerCounts($c, $mref, ${lists.size})")
+  }
+  override protected def withNewChildInternal(c: Expression): MarkerCounts =
+    copy(child = c)
+}
+
+/** Seeded deterministic word dropout — see Kernels.dropoutTokens. */
+case class DropoutTokens(left: Expression, right: Expression,
+                         dropPm: Int, seed: Long)
+    extends BinaryExpression {
+  require(dropPm >= 0 && dropPm <= 1000,
+    s"dropout_tokens needs 0 <= dropPm <= 1000, got $dropPm")
+  override def dataType: DataType = StructType(Seq(
+    StructField("aug_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false)))
+  override def prettyName: String = "dropout_tokens"
+  override def nullSafeEval(t: Any, k: Any): Any =
+    Kernels.dropoutTokens(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[UTF8String], dropPm, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.functions.Kernels.dropoutTokens($t, $k, $dropPm, ${seed}L)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DropoutTokens =
+    copy(left = l, right = r)
+}
+
+/** Fused token-window chunking — see Kernels.chunkWindows. */
+case class ChunkWindows(child: Expression, chunkTokens: Int, overlap: Int)
+    extends UnaryExpression {
+  require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+    s"chunk_windows needs 0 <= overlap < chunkTokens, got $chunkTokens/$overlap")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("n_chunk_tokens", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_windows"
+  override def nullSafeEval(v: Any): Any =
+    Kernels.chunkWindows(v.asInstanceOf[UTF8String], chunkTokens, overlap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.chunkWindows($c, $chunkTokens, $overlap)")
+  override protected def withNewChildInternal(c: Expression): ChunkWindows =
     copy(child = c)
 }
 

@@ -167,21 +167,20 @@ package object functions {
     * every `chunkTokens - overlap` tokens (the embedding/training
     * chunking shape). Returns array<struct<chunk_idx, chunk_text,
     * n_chunk_tokens>>; explode it for one row per chunk. Integer-exact
-    * index math — engine-portable. */
-  def chunk_windows(text: Column, chunkTokens: Int, overlap: Int): Column = {
-    require(overlap < chunkTokens, "overlap must be < chunkTokens")
-    val stride = chunkTokens - overlap
-    val toks = tokenize_ws(text)
-    val n = size(toks)
-    val nChunks = greatest(lit(1L),
-      floor((n - overlap + stride - 1).cast("double") / stride).cast("long"))
-    transform(sequence(lit(0L), nChunks - 1), i => {
-      val piece = slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens))
-      struct(i.as("chunk_idx"),
-        concat_ws(" ", piece).as("chunk_text"),
-        size(piece).cast("long").as("n_chunk_tokens"))
-    })
-  }
+    * index math — engine-portable. One codegen'd kernel pass
+    * (value-identical to the transform-over-sequence HOF composition
+    * it replaced, which evaluated interpreted — parity spec-gated). */
+  def chunk_windows(text: Column, chunkTokens: Int, overlap: Int): Column =
+    col2(ChunkWindows(ex(text), chunkTokens, overlap))
+
+  /** Seeded deterministic word dropout: token p of the doc keyed
+    * `key` drops iff rolling_hash("key:p:seed") mod 1000 < dropPm —
+    * a pure function of (key, position, seed), so every view is
+    * reproducible across re-runs/retries/engines and epoch views come
+    * from varying `seed`. Returns struct(aug_text, n_tokens,
+    * n_dropped). */
+  def dropout_tokens(text: Column, key: Column, dropPm: Int, seed: Long): Column =
+    col2(DropoutTokens(ex(text), ex(key.cast("string")), dropPm, seed))
 
   /** Word w-shingles (space-joined n-grams of whitespace tokens) —
     * one codegen'd pass; < n tokens yield the whole text as a single
@@ -210,8 +209,17 @@ package object functions {
   def punct_count(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
+  /** Tokens contained in `stopwords` — one fused [[marker_counts]]
+    * pass (the HOF filter chain it replaced is CodegenFallback and
+    * sat in every quality-score hot path). */
   def stopword_count(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokenize_ws(text), t => t.isin(stopwords.map(lit(_)): _*)))
+    element_at(marker_counts(text, Seq(stopwords)), 1).cast("int")
+
+  /** Per-list token-membership counts in ONE codegen'd pass: counts(k)
+    * = tokens of `text` contained in `lists(k)` — bit-identical to the
+    * per-list `size(filter(tokenize_ws(text), isin(...)))` chain. */
+  def marker_counts(text: Column, lists: Seq[Seq[String]]): Column =
+    col2(MarkerCounts(ex(text), lists))
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -246,9 +254,10 @@ package object functions {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
   def lang_scores(text: Column): Column = {
-    val toks = tokenize_ws(text)
-    struct(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).as(lang)
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val counts = marker_counts(text, langs.map(_._2))
+    struct(langs.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(counts, i + 1).cast("int").as(lang)
     }: _*)
   }
 }

@@ -824,10 +824,12 @@ object Curate {
           coalesce(col(textCol), lit("")), chunkTokens, 0)).as("c"))
       .select(col("doc_id"), col("c.chunk_text").as("__txt"))
     val scores = LangMarkers.toSeq.sortBy(_._1)
-    val counted = scores.foldLeft(chunks) { case (df, (lang, markers)) =>
-      df.withColumn(s"c_$lang",
-        size(filter(graft.functions.tokenize_ws(col("__txt")),
-          x => x.isin(markers.map(lit(_)): _*))).cast("long"))
+    // all lists in ONE fused marker_counts pass per chunk (the
+    // per-list HOF filters are CodegenFallback, interpreted per row)
+    val mc = graft.functions.marker_counts(col("__txt"), scores.map(_._2))
+    val counted = scores.zipWithIndex.foldLeft(chunks) {
+      case (df, ((lang, _), i)) =>
+        df.withColumn(s"c_$lang", element_at(mc, i + 1))
     }
     val m = greatest(scores.map { case (l, _) => col(s"c_$l") }: _*)
     val argmax = scores.foldRight(lit("und")) { case ((lang, _), acc) =>
@@ -852,6 +854,27 @@ object Curate {
         expr("cnt * 1000000L div n_chunks").as("dom_share_pm"),
         (col("n_langs") >= 2).as("mixed"))
   }
+
+  /** L93: deterministic text augmentation — seeded word dropout, the
+    * denoising / contrastive-views data op (BART-style corruption,
+    * SimCSE-style views) at corpus scale. Every kept/dropped decision
+    * is a pure function of (doc key, token position, seed)
+    * ([[graft.functions.dropout_tokens]]): task retries can't skew
+    * the corpus, a re-run reproduces the exact epoch views, and a
+    * second engine replays them (hash-oracled). Map-side single
+    * kernel pass, zero shuffles. Returns (doc_id, aug_text, n_tokens,
+    * n_dropped, drop_pm_actual). */
+  def augmentDropout(docs: DataFrame, idCol: String, textCol: String,
+                     dropPm: Int, seed: Long): DataFrame =
+    docs
+      .withColumn("__d", graft.functions.dropout_tokens(
+        coalesce(col(textCol), lit("")), col(idCol), dropPm, seed))
+      .select(col(idCol).as("doc_id"),
+        col("__d.aug_text").as("aug_text"),
+        col("__d.n_tokens").as("n_tokens"),
+        col("__d.n_dropped").as("n_dropped"))
+      .withColumn("drop_pm_actual",
+        expr("n_dropped * 1000L div greatest(n_tokens, 1L)"))
 
   /** L75: preference-pair construction — the RLHF/DPO data-prep
     * primitive: from a pool of scored candidates per prompt/group,

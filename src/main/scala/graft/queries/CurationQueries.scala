@@ -1110,6 +1110,15 @@ object CurationQueries {
         .orderBy("node")
     },
 
+    // L93: deterministic word-dropout augmentation — 150‰ dropout,
+    // seed 7; every decision a pure function of (doc_id, pos, seed),
+    // fully hash-oracled including the augmented text.
+    "q_augment_dropout" -> { (s, dir) =>
+      Curate.augmentDropout(t(s, dir, "documents"), "doc_id", "text",
+          dropPm = 150, seed = 7L)
+        .orderBy("doc_id")
+    },
+
     // L92: intra-document language-mixture audit — 16-token chunks
     // lang-id'd with the L8 marker scorer ('und' on zero evidence),
     // per-doc dominant language + share + mixed flag. One explode +
@@ -2554,6 +2563,46 @@ object CurationQueries {
 
     // L92 twin: chunk-grid + marker-argmax + dominant-rollup replay.
     "q_lang_mixture" -> langMixtureSql(chunkTokens = 16),
+
+    // L93 twin: the rolling-hash (poly-31 mod 1e9+7 over ASCII bytes)
+    // of 'doc_id:pos:seed' replayed per token via list_reduce, same
+    // keep rule, kept tokens re-joined in position order.
+    "q_augment_dropout" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+        |    SELECT doc_id, UNNEST(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(p := i, tok := t[i]))) AS u
+        |    FROM tk)),
+        |hs AS (
+        |  SELECT doc_id, p, tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(s) + 1),
+        |        i -> CAST(ascii(s[i]) AS BIGINT))),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, p, tok,
+        |          CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)
+        |            || ':7' AS s
+        |        FROM tok)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY p)
+        |      FILTER (h % 1000 >= 150), ' ') AS aug_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN h % 1000 < 150 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped
+        |  FROM hs GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.aug_text, '') AS aug_text,
+        |  COALESCE(a.n_tokens, 0) AS n_tokens,
+        |  COALESCE(a.n_dropped, 0) AS n_dropped,
+        |  CAST(COALESCE(a.n_dropped, 0) * 1000
+        |    // GREATEST(COALESCE(a.n_tokens, 0), 1) AS BIGINT)
+        |    AS drop_pm_actual
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // L91 twin: the engine's shingle rule (< n tokens → whole text as
     // one shingle — the q_novelty CASE) replayed per n, counted per

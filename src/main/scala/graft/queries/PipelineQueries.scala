@@ -1015,14 +1015,15 @@ object PipelineQueries {
     },
 
     // L8: language ID by marker-stopword scoring, argmax with
-    // alphabetical tie-break.
+    // alphabetical tie-break. All five marker lists count in ONE
+    // fused marker_counts pass (r13 — the per-list HOF filters were
+    // CodegenFallback, interpreted per row).
     "q_lang_id" -> { (s, dir) =>
       val scores = LangMarkers.toSeq.sortBy(_._1)
-      val withCounts = scores.foldLeft(t(s, dir, "documents")) {
-        case (df, (lang, markers)) =>
-          df.withColumn(s"c_$lang",
-            size(filter(tokenize_ws(col("text")),
-              x => x.isin(markers.map(lit(_)): _*))).cast("long"))
+      val counts = marker_counts(col("text"), scores.map(_._2))
+      val withCounts = scores.zipWithIndex.foldLeft(t(s, dir, "documents")) {
+        case (df, ((lang, _), i)) =>
+          df.withColumn(s"c_$lang", element_at(counts, i + 1))
       }
       val m = greatest(scores.map { case (l, _) => col(s"c_$l") }: _*)
       val pred = scores.foldRight(lit("und")) { case ((lang, _), acc) =>

@@ -134,7 +134,9 @@ object ScaleProbe {
     // bounded hit list, not the corpus); per-n (grp, shingle) counts
     // (linear explodes, partial agg absorbs hot shingles); chunk
     // explode + doc-keyed rollups with a <=|langs|+1-row rank window
-    "q_concordance", "q_ngram_diversity", "q_lang_mixture")
+    "q_concordance", "q_ngram_diversity", "q_lang_mixture",
+    // r13 session 3: map-side seeded-dropout kernel (one pass per row)
+    "q_augment_dropout")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

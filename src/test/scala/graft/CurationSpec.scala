@@ -528,6 +528,75 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("marker_counts kernel matches the per-list higher-order composition") {
+    import spark.implicits._
+    import graft.functions.{marker_counts, tokenize_ws}
+    // overlapping lists (one token in two lists exercises the bitmask),
+    // empties, non-ascii, exact-match-only semantics
+    val lists = Seq(Seq("the", "and", "shared"), Seq("der", "und", "shared"),
+      Seq("naïve"))
+    val docs = Seq(
+      (1L, "the and the shared x"),
+      (2L, "der und  shared"),
+      (3L, ""), (4L, "   "),
+      (5L, "naïve the-prefix und ands"),
+      (6L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val toks = tokenize_ws(col("text"))
+    val hof = lists.map(l =>
+      size(filter(toks, t => t.isin(l.map(lit(_)): _*))).cast("long"))
+    val both = docs.select(col("doc_id"),
+        marker_counts(col("text"), lists).as("k"),
+        array(hof: _*).as("b"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kernel/builtin divergence on doc ${r.getLong(0)}")
+    }
+    // plan honesty: the kernel path carries no interpreted HOF
+    val plan = docs.select(marker_counts(col("text"), lists))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      "marker_counts must not plan through interpreted lambdas")
+  }
+
+  test("chunk_windows kernel matches the transform-over-sequence composition") {
+    import spark.implicits._
+    import graft.functions.{chunk_windows, tokenize_ws}
+    // the old HOF formulation, verbatim, as the reference
+    def hofChunks(text: org.apache.spark.sql.Column, chunkTokens: Int,
+                  overlap: Int): org.apache.spark.sql.Column = {
+      val stride = chunkTokens - overlap
+      val toks = tokenize_ws(text)
+      val n = size(toks)
+      val nChunks = greatest(lit(1L),
+        floor((n - overlap + stride - 1).cast("double") / stride).cast("long"))
+      transform(sequence(lit(0L), nChunks - 1), i => {
+        val piece = slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens))
+        struct(i.as("chunk_idx"),
+          concat_ws(" ", piece).as("chunk_text"),
+          size(piece).cast("long").as("n_chunk_tokens"))
+      })
+    }
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 10 tokens
+      (2L, "one two three"),        // shorter than a chunk
+      (3L, ""), (4L, "   "),        // empty / whitespace-only
+      (5L, (1 to 97).map(i => s"t$i").mkString(" ")) // ragged tail
+    ).toDF("doc_id", "text")
+    for ((ct, ov) <- Seq((4, 0), (4, 2), (32, 8), (1, 0))) {
+      val rows = docs.select(col("doc_id"),
+          chunk_windows(col("text"), ct, ov).as("k"),
+          hofChunks(col("text"), ct, ov).as("b"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[org.apache.spark.sql.Row](1) ===
+          r.getSeq[org.apache.spark.sql.Row](2),
+          s"kernel/builtin divergence on doc ${r.getLong(0)} ($ct, $ov)")
+      }
+    }
+  }
+
   test("blocklist_stats kernel matches the higher-order builtin composition") {
     import spark.implicits._
     import graft.functions.{blocklist_stats, tokenize_ws}
@@ -1278,6 +1347,53 @@ class CurationSpec extends SparkSpec {
     val m3 = out(3L)
     assert(m3.getAs[String]("dom_lang") === "und" &&
       m3.getAs[Long]("n_langs") === 0L && !m3.getAs[Boolean]("mixed"))
+  }
+
+  test("dropout augmentation: deterministic views, subsequence, rate, edges") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(pm: Int, seed: Long) =
+      graft.operators.Curate.augmentDropout(d, "doc_id", "text", pm, seed)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val a = run(150, 7L)
+    // same (pm, seed) is bit-identical; a different seed is a
+    // DIFFERENT view over the same token counts
+    assert(a === run(150, 7L))
+    val b = run(150, 8L)
+    assert(a.keySet === b.keySet)
+    assert(a.forall { case (id, (_, n, _)) => b(id)._2 == n })
+    assert(a.exists { case (id, (txt, _, _)) => b(id)._1 != txt },
+      "different seeds must give different views")
+    // kept text is a positional subsequence of the original tokens
+    val orig = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, (txt, n, drop)) =>
+      val ot = orig(id).split(" ").filter(_.nonEmpty)
+      val at = txt.split(" ").filter(_.nonEmpty)
+      assert(ot.length.toLong == n && at.length.toLong == n - drop)
+      // subsequence check
+      var i = 0
+      at.foreach { w =>
+        while (i < ot.length && ot(i) != w) i += 1
+        assert(i < ot.length, s"doc $id: '$w' out of order vs original")
+        i += 1
+      }
+    }
+    // corpus-level rate lands near 150 per mille
+    val tot = a.values.map(_._2).sum.toDouble
+    val dropped = a.values.map(_._3).sum.toDouble
+    assert(dropped / tot > 0.10 && dropped / tot < 0.20,
+      s"drop rate ${dropped / tot} far from 0.15")
+    // edges: 0 is the identity on tokenized text, 1000 drops all
+    val z = run(0, 7L)
+    z.foreach { case (id, (txt, _, drop)) =>
+      assert(drop == 0L &&
+        txt == orig(id).split(" ").filter(_.nonEmpty).mkString(" "))
+    }
+    val full = run(1000, 7L)
+    full.foreach { case (_, (txt, n, drop)) =>
+      assert(txt == "" && drop == n)
+    }
   }
 
   test("substringBlocklist + substringMatchProfile contracts") {
