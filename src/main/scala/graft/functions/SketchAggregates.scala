@@ -6,7 +6,8 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -256,4 +257,186 @@ case class CountMinAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
     copy(child = newChild)
+}
+
+/** `kll_agg(expr, k)`: mergeable KLL quantile sketch (Karnin, Lang &
+  * Liberty, FOCS 2016 — the DataSketches implementation Spark already
+  * ships for HLL's sibling problem) over a double column. The R17c/R45b
+  * mergeable-store discipline extended to ORDER STATISTICS: per-day
+  * sketches persist as binary columns, union to any grain, and answer
+  * any quantile — the profile piece min/max/NDV can't cover (median,
+  * p95 latency, quantile drift). Rank error is ~1.65/√k with k=200
+  * default upstream; we default HIGH (k = 65535, the format max, ~2 MB
+  * worst case per sketch) because profile rows are per-(partition,
+  * column) — thousands, not billions — and it buys the EXACT regime:
+  * a KLL sketch that has absorbed ≤ k values retains all of them, so
+  * gate-scale sketches reproduce exact order statistics and the whole
+  * chain hash-oracles (the R3c exact-regime trick); at 100 TB the same
+  * code degrades gracefully to the published 0.01% rank error. */
+case class KllAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(k >= 8 && k <= 65535, s"kll_agg needs 8 <= k <= 65535, got $k")
+
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(DoubleType)
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: org.apache.datasketches.kll.KllDoublesSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(b1: org.apache.datasketches.kll.KllDoublesSketch,
+                     b2: org.apache.datasketches.kll.KllDoublesSketch): org.apache.datasketches.kll.KllDoublesSketch = {
+    b1.merge(b2)
+    b1
+  }
+
+  override def eval(buffer: org.apache.datasketches.kll.KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.kll.KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllAgg =
+    copy(child = newChild)
+}
+
+/** `kll_union_agg(sketch, k)`: fold serialized [[KllAgg]] sketches into
+  * one — the rollup side of the mergeable quantile store (any subset of
+  * per-partition sketch rows + appended delta batches → one sketch,
+  * never rescanning the base table). */
+case class KllUnionAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(k >= 8 && k <= 65535, s"kll_union_agg needs 8 <= k <= 65535, got $k")
+
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(BinaryType)
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: org.apache.datasketches.kll.KllDoublesSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(
+      org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(b1: org.apache.datasketches.kll.KllDoublesSketch,
+                     b2: org.apache.datasketches.kll.KllDoublesSketch): org.apache.datasketches.kll.KllDoublesSketch = {
+    b1.merge(b2)
+    b1
+  }
+
+  override def eval(buffer: org.apache.datasketches.kll.KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.kll.KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_union_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllUnionAgg =
+    copy(child = newChild)
+}
+
+/** Static helpers for the KLL scalar readers (one static call per row
+  * from generated code — the Kernels discipline). */
+object KllKernels {
+  def quantiles(sketch: Array[Byte], probsPpm: Array[Long]): ArrayData = {
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(sketch))
+    // empty sketch → empty array (defineCodeGen cannot surface a null
+    // result from the static helper)
+    if (sk.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](probsPpm.length)
+    var i = 0
+    while (i < probsPpm.length) {
+      out(i) = sk.getQuantile(probsPpm(i).toDouble / 1e6,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def n(sketch: Array[Byte]): Long =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(sketch)).getN
+}
+
+/** `kll_quantiles(sketch, probsPpm)`: read INCLUSIVE-rank quantiles out
+  * of a serialized KLL sketch — in the exact regime (absorbed n ≤ k)
+  * this is the order statistic at 1-based position ceil(p·n), which is
+  * what the DuckDB oracle replays. Probabilities ride as integer ppm
+  * (the engine's portability rule — 0.95 is not exactly representable,
+  * 950000 is). An empty sketch yields an empty array. */
+case class KllQuantiles(child: Expression, probsPpm: Seq[Long])
+    extends UnaryExpression {
+  require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0 && p <= 1000000),
+    s"kll_quantiles needs ppm ranks in [0, 1000000], got $probsPpm")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "kll_quantiles"
+  @transient private lazy val probsArr: Array[Long] = probsPpm.toArray
+  override def nullSafeEval(v: Any): Any =
+    KllKernels.quantiles(v.asInstanceOf[Array[Byte]], probsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pref = ctx.addReferenceObj("kllProbs", probsArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.KllKernels.quantiles($c, $pref)")
+  }
+  override protected def withNewChildInternal(c: Expression): KllQuantiles =
+    copy(child = c)
+}
+
+/** `kll_n(sketch)`: the absorbed-value count of a serialized KLL
+  * sketch — the exact-regime witness (n ≤ k ⇒ quantiles are exact
+  * order statistics). */
+case class KllN(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kll_n"
+  override def nullSafeEval(v: Any): Any =
+    KllKernels.n(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KllKernels.n($c)")
+  override protected def withNewChildInternal(c: Expression): KllN =
+    copy(child = c)
 }

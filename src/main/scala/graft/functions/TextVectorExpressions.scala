@@ -768,6 +768,56 @@ object Kernels {
     out
   }
 
+  /** Fused character-distribution statistics in ONE pass over the
+    * text's Unicode CODE POINTS (the engine's portable character rule
+    * — UTF-16 `length()` diverges from DuckDB's codepoint semantics
+    * on astral-plane text, the L54 lesson): returns
+    * [n_cp, n_distinct_cp, sum_sq(Σ count²), max_count].
+    * Σ count² is the unnormalized collision mass behind the Simpson
+    * index — the RATIONAL concentration surrogate for character
+    * entropy (Rényi order 2), chosen because Shannon entropy needs a
+    * libm log that no cross-engine oracle can replay exactly while
+    * floor(Σc²·10⁶/n²) is pure integer arithmetic. High concentration
+    * = single-character floods / binary-noise runs; near-uniform =
+    * healthy prose. ASCII counts land in a flat 128-slot array (the
+    * common corpus allocates no map); non-ASCII spills to a boxed map
+    * only when present. */
+  def charDistStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val ascii = new Array[Long](128)
+    var wide: java.util.HashMap[Integer, Array[Long]] = null
+    var nCp = 0L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      nCp += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Array[Long]]()
+        val k = Integer.valueOf(cp)
+        val slot = wide.get(k)
+        if (slot == null) wide.put(k, Array(1L)) else slot(0) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var nd = 0L; var ss = 0L; var mx = 0L
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) { nd += 1; ss += k * k; if (k > mx) mx = k }
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()(0)
+        nd += 1; ss += k * k; if (k > mx) mx = k
+      }
+    }
+    new GenericArrayData(Array(nCp, nd, ss, mx))
+  }
+
   /** Fused Gopher-rule statistics in ONE pass over the text — the
     * codegen replacement for eight interpreted higher-order passes
     * (filter/transform/aggregate lambdas are CodegenFallback in
@@ -1260,6 +1310,28 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfcNormalize($c)")
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(c)
+}
+
+/** Fused one-pass character-distribution statistics — see
+  * Kernels.charDistStats. */
+case class CharDistStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_dist_stats"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.charDistStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charDistStats($c)")
+  override protected def withNewChildInternal(c: Expression): CharDistStats =
     copy(c)
 }
 

@@ -120,6 +120,24 @@ package object functions {
   def count_min_agg(c: Column, depth: Int, width: Int): Column =
     col2(CountMinAgg(ex(c), depth, width).toAggregateExpression())
 
+  /** Mergeable KLL quantile sketch over a double column (serialized
+    * binary — persist per partition, [[kll_union_agg]] to any grain).
+    * n ≤ k ⇒ exact order statistics (the oracle regime). */
+  def kll_agg(c: Column, k: Int = 65535): Column =
+    col2(KllAgg(ex(c), k).toAggregateExpression())
+
+  /** Fold serialized [[kll_agg]] sketches into one. */
+  def kll_union_agg(c: Column, k: Int = 65535): Column =
+    col2(KllUnionAgg(ex(c), k).toAggregateExpression())
+
+  /** INCLUSIVE-rank quantiles (integer-ppm ranks) from a serialized
+    * KLL sketch; exact order statistic ceil(p·n) when n ≤ k. */
+  def kll_quantiles(sketch: Column, probsPpm: Seq[Long]): Column =
+    col2(KllQuantiles(ex(sketch), probsPpm))
+
+  /** Absorbed-value count of a serialized KLL sketch. */
+  def kll_n(sketch: Column): Column = col2(KllN(ex(sketch)))
+
   /** Point-frequency estimate from a [[count_min_agg]] sketch — min
     * over the depth rows of the probed cells. Pure composed built-ins
     * unrolled over depth (the cell hash is Spark's own seeded
@@ -220,6 +238,12 @@ package object functions {
     * per-list `size(filter(tokenize_ws(text), isin(...)))` chain. */
   def marker_counts(text: Column, lists: Seq[Seq[String]]): Column =
     col2(MarkerCounts(ex(text), lists))
+
+  /** Character-distribution statistics over code points in ONE
+    * codegen'd pass: [n_cp, n_distinct_cp, sum_sq, max_count] — the
+    * integer collision-mass inputs of the Simpson concentration index
+    * (see [[Kernels.charDistStats]]). */
+  def char_dist_stats(text: Column): Column = col2(CharDistStats(ex(text)))
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

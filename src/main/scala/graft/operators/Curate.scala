@@ -855,6 +855,43 @@ object Curate {
         (col("n_langs") >= 2).as("mixed"))
   }
 
+  /** L94: character-distribution concentration — the gibberish /
+    * binary-noise filter (C4-adjacent: single-character floods,
+    * decode-garbage runs and base64/hex blobs all concentrate or
+    * flatten their CHARACTER distribution in ways token-level rules
+    * (L9 quality, L29 repetition) never see, because the offending
+    * rows often tokenize into one huge "word"). Concentration is the
+    * Simpson collision index floor(Σc²·10⁶/n²) over code points — the
+    * RATIONAL entropy surrogate (Rényi order 2): Shannon entropy
+    * needs a libm log no cross-engine oracle replays exactly, while
+    * this is pure integer arithmetic, widened through decimal(38,0)
+    * so documents up to 10⁹ chars can't overflow. One fused
+    * [[graft.functions.char_dist_stats]] kernel pass, map-side, zero
+    * shuffles. keep = concentration ≤ `maxSimpsonPpm` AND distinct
+    * code points ≥ `minDistinctCp` (flat floors of junk: "aaaa…" has
+    * simpson 10⁶; binary noise has huge distinct counts but healthy
+    * prose sits near 10⁶/alphabet with 20-60 distinct chars). */
+  def charConcentration(docs: DataFrame, idCol: String, textCol: String,
+                        maxSimpsonPpm: Long, minDistinctCp: Long): DataFrame =
+    docs
+      .withColumn("__c", graft.functions.char_dist_stats(
+        coalesce(col(textCol), lit(""))))
+      .select(col(idCol).as("doc_id"),
+        col("__c")(0).as("n_cp"),
+        col("__c")(1).as("n_distinct_cp"),
+        col("__c")(2).as("sum_sq"),
+        col("__c")(3).as("max_count"))
+      .withColumn("simpson_ppm",
+        expr("""cast(cast(sum_sq as decimal(38,0)) * 1000000
+               |  div greatest(cast(n_cp as decimal(38,0)) * n_cp, 1)
+               |  as bigint)""".stripMargin))
+      .withColumn("top_char_pm",
+        expr("cast(max_count * 1000 div greatest(n_cp, 1L) as bigint)"))
+      .withColumn("keep",
+        col("simpson_ppm") <= maxSimpsonPpm &&
+          col("n_distinct_cp") >= minDistinctCp)
+      .drop("sum_sq", "max_count")
+
   /** L93: deterministic text augmentation — seeded word dropout, the
     * denoising / contrastive-views data op (BART-style corruption,
     * SimCSE-style views) at corpus scale. Every kept/dropped decision

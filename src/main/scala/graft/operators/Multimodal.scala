@@ -494,6 +494,132 @@ object Multimodal {
     }(Encoders.product[MediaFeatures])
   }
 
+  case class AudioFeatures(doc_id: Long, real: Boolean, sample_rate: Long,
+                           channels: Long, n_frames: Long, mean_square: Long,
+                           zero_crossings: Long, peak_abs: Long)
+
+  /** L12j: REAL audio feature extraction — the audio leg of the
+    * real-media discipline (pHash/resize/frames/features all decode
+    * actual pixels; this decodes actual PCM samples). Payloads
+    * `javax.sound.sampled` recognizes (WAV/AIFF/AU — the JDK's native
+    * audio containers, no external lib) are decoded to PCM and get
+    * ALL-INTEGER content statistics: mean square energy
+    * floor(Σs²/count) (the RMS surrogate without a libm sqrt — the
+    * loudness/silence gate), zero crossings on channel 0 (the classic
+    * voiced/unvoiced & noise discriminator), and peak amplitude (the
+    * clipping detector). Integer stats are the portability rule: a
+    * second engine or a replay re-derives them bit-exactly, no float
+    * accumulation order to disagree on. Unrecognized payloads fall
+    * back to a deterministic signed-8-bit interpretation of the raw
+    * bytes with `real = false` and `sample_rate = 0` — SQL-replayable
+    * byte arithmetic, so the synthetic corpus chain stays fully
+    * hash-oracled while MultimodalSpec pins the real branch on a
+    * planted WAV (square wave → exact ZCR, constant tone → exact
+    * mean square). Same `mapPartitions` batch shape as the other
+    * codecs (a production build loads its decoder context once per
+    * partition here); map-side, zero shuffles. */
+  def extractAudioReal(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodePcm(r.payload) match {
+          case Some((rate, ch, samples)) =>
+            var ss = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            val n = samples.length
+            while (i < n) {
+              val s = samples(i).toLong
+              ss += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            // zero crossings on channel 0 (frame stride = channels)
+            var prevNeg = n > 0 && samples(0) < 0
+            i = ch
+            while (i < n) {
+              val neg = samples(i) < 0
+              if (neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += ch
+            }
+            val frames = if (ch > 0) n / ch else 0
+            AudioFeatures(r.doc_id, real = true, rate.toLong, ch.toLong,
+              frames.toLong, if (n > 0) ss / n else 0L, zc, peak)
+          case None =>
+            // deterministic fallback: raw bytes as signed 8-bit mono
+            val b = r.payload
+            var ss = 0L; var peak = 0L; var zc = 0L
+            var prevNeg = b.nonEmpty && b(0) < 0
+            var i = 0
+            while (i < b.length) {
+              val s = b(i).toLong
+              ss += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              if (i > 0) {
+                val neg = b(i) < 0
+                if (neg != prevNeg) zc += 1
+                prevNeg = neg
+              }
+              i += 1
+            }
+            AudioFeatures(r.doc_id, real = false, 0L, 1L, b.length.toLong,
+              if (b.nonEmpty) ss / b.length else 0L, zc, peak)
+        }
+      }
+    }(Encoders.product[AudioFeatures])
+  }
+
+  /** PCM decode via the JDK audio stack: Some((rate, channels,
+    * interleaved samples)) for recognized PCM containers (8/16-bit,
+    * signed/unsigned, either endianness), None otherwise. 16-bit
+    * samples keep their full range; 8-bit unsigned recenters at 128
+    * (the WAV convention) so silence is 0 in every branch. */
+  private[operators] def decodePcm(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if (!ok) None
+        else {
+          val raw = in.readAllBytes()
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          val out =
+            if (bits == 8) {
+              val a = new Array[Int](raw.length)
+              var i = 0
+              while (i < raw.length) {
+                a(i) = if (signed) raw(i).toInt else (raw(i) & 0xFF) - 128
+                i += 1
+              }
+              a
+            } else {
+              val n = raw.length / 2
+              val a = new Array[Int](n)
+              val be = f.isBigEndian
+              var i = 0
+              while (i < n) {
+                val lo = raw(2 * i + (if (be) 1 else 0)) & 0xFF
+                val hi = raw(2 * i + (if (be) 0 else 1)) & 0xFF
+                val u = (hi << 8) | lo
+                a(i) = if (signed) u.toShort.toInt else u - 32768
+                i += 1
+              }
+              a
+            }
+          Some((f.getSampleRate.toInt, f.getChannels, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Feature extraction stub: 8-bin byte-value histogram (normalized)
     * + mean byte — the per-partition batch shape of a real embedding
     * model (load weights once per partition, run the batch through). */

@@ -195,6 +195,55 @@ object Observe {
         coalesce(col("mn_num").cast("string"), col("mn_str")).as("min_repr"),
         coalesce(col("mx_num").cast("string"), col("mx_str")).as("max_repr"))
 
+  /** R45c: mergeable QUANTILE profile store — the R45b discipline
+    * extended to order statistics, the profile piece min/max/NDV
+    * cannot cover (median, p95, quantile drift between releases).
+    * Per-(partition, column) rows carry a serialized KLL doubles
+    * sketch ([[graft.functions.kll_agg]]); any subset of partitions +
+    * appended delta batches folds with [[mergeQuantileProfiles]] —
+    * sums and sketch unions, never rescanning the base table. One
+    * map-side-combined pass builds every column's sketch (plain
+    * partial aggregates, no Expand).
+    *
+    * k defaults to the KLL format max (65535): profile rows are
+    * per-(partition, column) — thousands, not billions — and a sketch
+    * that has absorbed n ≤ k values retains ALL of them, so
+    * gate-scale chains reproduce exact order statistics and
+    * hash-oracle (the R3c exact-regime trick); at 100 TB the same
+    * code degrades gracefully to ~0.01% rank error. Columns cast to
+    * double (the sketch's value domain — integer columns below 2⁵³
+    * are exact). */
+  def quantilesByPartition(df: DataFrame, partCol: Column,
+                           cols: Seq[String], k: Int = 65535): DataFrame = {
+    require(cols.nonEmpty, "quantilesByPartition needs >= 1 column")
+    val aggs = cols.map(c =>
+      graft.functions.kll_agg(col(c).cast("double"), k).as(s"__q_$c"))
+    val wide = df.groupBy(partCol.as("part")).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', `__q_$c`").mkString(", ")
+    wide.selectExpr("part",
+      s"stack(${cols.length}, $stacked) AS (column_name, qsketch)")
+  }
+
+  /** Fold [[quantilesByPartition]] rows into per-column quantiles at
+    * the requested integer-ppm ranks (portability rule: 0.95 is not
+    * exactly representable, 950000 is) — long-form (column_name,
+    * p_ppm, q, n) so any rank set lands in one store. INCLUSIVE rank:
+    * in the exact regime the answer is the order statistic at 1-based
+    * position ceil(p·n), which is what the oracle replays. */
+  def mergeQuantileProfiles(profiles: DataFrame, probsPpm: Seq[Long],
+                            k: Int = 65535): DataFrame = {
+    val merged = profiles.groupBy("column_name")
+      .agg(graft.functions.kll_union_agg(col("qsketch"), k).as("sk"))
+      .withColumn("n", graft.functions.kll_n(col("sk")))
+      .withColumn("qs", graft.functions.kll_quantiles(col("sk"),
+        probsPpm))
+    merged.select(col("column_name"), col("n"),
+        posexplode(col("qs")).as(Seq("i", "q")))
+      .select(col("column_name"),
+        element_at(typedLit(probsPpm), col("i") + 1).as("p_ppm"),
+        col("q"), col("n"))
+  }
+
   /** The numeric slot of the portable rendering (see [[repr]]):
     * integers verbatim, doubles micro-quantized, timestamps
     * epoch-micros — all as comparable longs so min/max MERGE

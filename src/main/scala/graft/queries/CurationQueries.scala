@@ -1119,6 +1119,18 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L94: character-distribution concentration — the gibberish /
+    // binary-noise filter via the integer Simpson collision index
+    // (rational Rényi-2 entropy surrogate, no libm). Thresholds sit
+    // inside the corpus distribution (median simpson ≈ 75.8k ppm) so
+    // the keep flag discriminates at gate SF. Map-side kernel, zero
+    // shuffles; fully hash-oracled.
+    "q_char_concentration" -> { (s, dir) =>
+      Curate.charConcentration(t(s, dir, "documents"), "doc_id", "text",
+          maxSimpsonPpm = 78000L, minDistinctCp = 20L)
+        .orderBy("doc_id")
+    },
+
     // L92: intra-document language-mixture audit — 16-token chunks
     // lang-id'd with the L8 marker scorer ('und' on zero evidence),
     // per-doc dominant language + share + mixed flag. One explode +
@@ -2602,6 +2614,32 @@ object CurationQueries {
         |    // GREATEST(COALESCE(a.n_tokens, 0), 1) AS BIGINT)
         |    AS drop_pm_actual
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // L94 twin: per-codepoint counts (DuckDB string indexing is
+    // codepoint-based, matching the kernel's codePointAt walk), Σk²
+    // through HUGEINT, floor-div micro units, same keep rule.
+    "q_char_concentration" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(range(1, length(text) + 1),
+        |      i -> text[i])) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+        |st AS (
+        |  SELECT doc_id, SUM(k) AS n, COUNT(*) AS nd, SUM(k * k) AS ss,
+        |    MAX(k) AS mx
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(st.n, 0) AS BIGINT) AS n_cp,
+        |  CAST(COALESCE(st.nd, 0) AS BIGINT) AS n_distinct_cp,
+        |  CAST(COALESCE(st.ss * 1000000
+        |    // GREATEST(st.n * st.n, 1), 0) AS BIGINT) AS simpson_ppm,
+        |  CAST(COALESCE(st.mx * 1000 // GREATEST(st.n, 1), 0) AS BIGINT)
+        |    AS top_char_pm,
+        |  (COALESCE(st.ss * 1000000 // GREATEST(st.n * st.n, 1), 0) <= 78000
+        |    AND COALESCE(st.nd, 0) >= 20) AS keep
+        |FROM documents d LEFT JOIN st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // L91 twin: the engine's shingle rule (< n tokens → whole text as

@@ -1329,6 +1329,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L12j (r13): REAL audio feature extraction — PCM decode via the
+    // JDK audio stack with all-integer content stats (mean-square
+    // energy, zero crossings, peak). The real branch is spec-gated on
+    // planted WAVs (square wave → exact ZCR, constant tone → exact
+    // energy); this corpus's synthetic payloads exercise the
+    // signed-8-bit fallback branch end-to-end, fully hash-oracled.
+    "q_multimodal_audio" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.extractAudioReal(
+          t(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+            .as[Multimodal.MediaRow])
+        .toDF().orderBy("doc_id")
+    },
+
     // L12d: feature extraction (8-bin byte histogram per partition
     // batch). Oracled since r8: the DuckDB side replays the UTF-8 byte
     // walk via the hex-nibble trick (same as the simhash oracle), and
@@ -3568,6 +3583,41 @@ object PipelineQueries {
         |  CAST(COALESCE(a.c7, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS h7,
         |  CAST(COALESCE(a.s, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS mean_byte
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // L12j twin: the fallback branch's signed-8-bit byte walk — hex
+    // nibbles → byte → two's-complement reinterpretation, Σs²
+    // floor-div, LAG-based sign-transition count, max |s|.
+    "q_multimodal_audio" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, i,
+        |    strpos('0123456789ABCDEF', h[2*i+1]) * 16
+        |      + strpos('0123456789ABCDEF', h[2*i+2]) - 17 AS b
+        |  FROM hx, UNNEST(range(n)) t(i)),
+        |sgn AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN b >= 128 THEN b - 256 ELSE b END AS s
+        |  FROM bytes),
+        |lg AS (
+        |  SELECT doc_id, n, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        |  FROM sgn),
+        |agg AS (
+        |  SELECT doc_id, ANY_VALUE(n) AS n, SUM(s * s) AS ss,
+        |    MAX(ABS(s)) AS pk,
+        |    COUNT(*) FILTER (ps IS NOT NULL AND (s < 0) != (ps < 0)) AS z
+        |  FROM lg GROUP BY doc_id)
+        |SELECT d.doc_id, FALSE AS real, CAST(0 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(a.ss // GREATEST(a.n, 1), 0) AS BIGINT) AS mean_square,
+        |  CAST(COALESCE(a.z, 0) AS BIGINT) AS zero_crossings,
+        |  CAST(COALESCE(a.pk, 0) AS BIGINT) AS peak_abs
+        |FROM documents d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->

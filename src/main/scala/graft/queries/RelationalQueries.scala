@@ -258,6 +258,23 @@ object RelationalQueries {
         .orderBy("column_name")
     },
 
+    // R45c: mergeable QUANTILE profile store — per-month KLL sketch
+    // rows folded to whole-table order statistics WITHOUT rescanning
+    // (the R45b discipline extended to quantiles). Gate-SF row counts
+    // (60k) sit under the sketch's k=65535 exact regime, so the whole
+    // chain — per-partition sketch build, binary serialization, union
+    // merge, INCLUSIVE-rank read — reproduces exact order statistics
+    // and hash-oracles; at 100 TB the same code is ~0.01% rank error.
+    "q_quantile_profile" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val parts = graft.operators.Observe.quantilesByPartition(l,
+        date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      graft.operators.Observe.mergeQuantileProfiles(parts,
+          Seq(250000L, 500000L, 750000L, 950000L))
+        .orderBy("column_name", "p_ppm")
+    },
+
     // R46: coordinated (join-consistent) sampling — orders and
     // lineitem sampled on the SAME md5(orderkey) decision, so the
     // join of the samples IS the sample of the join (independent
@@ -872,6 +889,28 @@ object RelationalQueries {
         |  UNION ALL SELECT 'l_linenumber', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM p
         |  UNION ALL SELECT 'l_quantity', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM p)
         |ORDER BY column_name""".stripMargin,
+
+    // R45c twin: in the exact regime the INCLUSIVE-rank quantile is
+    // the order statistic at 1-based position ceil(p·n) — replayed
+    // with integer ceiling arithmetic over a ROW_NUMBER ranking.
+    "q_quantile_profile" ->
+      """WITH src AS (
+        |  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+        |    FROM lineitem),
+        |r AS (
+        |  SELECT column_name, v,
+        |    ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY column_name) AS n
+        |  FROM src WHERE v IS NOT NULL),
+        |p AS (SELECT UNNEST([250000, 500000, 750000, 950000]) AS p_ppm)
+        |SELECT r.column_name, CAST(p.p_ppm AS BIGINT) AS p_ppm, r.v AS q,
+        |  CAST(r.n AS BIGINT) AS n
+        |FROM r JOIN p ON r.rn = (p.p_ppm * r.n + 999999) // 1000000
+        |ORDER BY column_name, p_ppm""".stripMargin,
 
     // R46 twin: the same md5(key) membership decision on both tables
     // (thr(0.25) = 64/256 = hex '40'), then the joined aggregate.

@@ -1349,6 +1349,73 @@ class CurationSpec extends SparkSpec {
       m3.getAs[Long]("n_langs") === 0L && !m3.getAs[Boolean]("mixed"))
   }
 
+  test("charConcentration: planted extremes, codepoint rule, keep conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaaaaaa"),                        // single-char flood
+      (1L, "abcdefghijklmnopqrst"),            // 20 distinct, uniform
+      (2L, ""),                                // empty
+      (3L, "the quick brown fox jumps over it"),
+      (4L, "😀😀a")        // astral: 2 cp of 😀 + a
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curate
+      .charConcentration(docs, "doc_id", "text",
+        maxSimpsonPpm = 500000L, minDistinctCp = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // flood: one char, simpson exactly 10^6, fails both gates
+    assert(out(0L).getAs[Long]("n_cp") == 8L &&
+      out(0L).getAs[Long]("n_distinct_cp") == 1L &&
+      out(0L).getAs[Long]("simpson_ppm") == 1000000L &&
+      out(0L).getAs[Long]("top_char_pm") == 1000L &&
+      !out(0L).getAs[Boolean]("keep"))
+    // uniform: simpson exactly 10^6/20 = 50000, keeps
+    assert(out(1L).getAs[Long]("n_distinct_cp") == 20L &&
+      out(1L).getAs[Long]("simpson_ppm") == 50000L &&
+      out(1L).getAs[Boolean]("keep"))
+    // empty: all zeros, fails the distinct floor
+    assert(out(2L).getAs[Long]("n_cp") == 0L &&
+      out(2L).getAs[Long]("simpson_ppm") == 0L &&
+      !out(2L).getAs[Boolean]("keep"))
+    // astral plane counts CODE POINTS (UTF-16 length would read 5):
+    // n=3, counts {😀:2, a:1} → ss=5 → floor(5e6/9)=555555
+    assert(out(4L).getAs[Long]("n_cp") == 3L &&
+      out(4L).getAs[Long]("n_distinct_cp") == 2L &&
+      out(4L).getAs[Long]("simpson_ppm") == 555555L)
+    // keep is exactly the threshold conjunction on the full corpus
+    val corpus = run("q_char_concentration").collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("simpson_ppm") <= 78000L &&
+          r.getAs[Long]("n_distinct_cp") >= 20L))
+    }
+    assert(corpus.exists(_.getAs[Boolean]("keep")) &&
+      corpus.exists(!_.getAs[Boolean]("keep")),
+      "gate-SF thresholds must discriminate")
+    // kernel parity with the exploded-grouping recomputation
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val kernel = graft.operators.Curate
+      .charConcentration(d, "doc_id", "text", 78000L, 20L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cp"), r.getAs[Long]("n_distinct_cp"),
+          r.getAs[Long]("simpson_ppm"))).toMap
+    d.select("doc_id", "text").collect().foreach { r =>
+      val cps = r.getString(1).codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = cps.length.toLong
+      val ss = counts.values.map(k => k * k).sum
+      val expect = (n, counts.size.toLong,
+        if (n == 0) 0L else ss * 1000000L / (n * n))
+      assert(kernel(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+    // partitioning invariance (map-side op — trivially, but pin it)
+    val rep = graft.operators.Curate
+      .charConcentration(d.repartition(7), "doc_id", "text", 78000L, 20L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("simpson_ppm")).toMap
+    kernel.foreach { case (id, (_, _, s)) => assert(rep(id) == s) }
+  }
+
   test("dropout augmentation: deterministic views, subsequence, rate, edges") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     def run(pm: Int, seed: Long) =

@@ -162,6 +162,71 @@ class MultimodalSpec extends SparkSpec {
       feats(3L).mean_byte === stub3.mean_byte)
   }
 
+  test("real audio: planted WAVs decode to exact integer PCM stats, text falls back") {
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], channels: Int, rate: Float,
+            bigEndian: Boolean = false): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        channels, 2 * channels, rate, bigEndian)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) {
+          bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte
+        } else {
+          bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte
+        }
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length / channels)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // constant tone: every sample 1000 -> mean_square exactly 10^6,
+    // zero crossings 0, peak 1000
+    val tone = wav(Array.fill(200)(1000.toShort), 1, 8000f)
+    // square wave alternating ±2000 -> a crossing at EVERY step
+    val square = wav(Array.tabulate(100)(i =>
+      (if (i % 2 == 0) 2000 else -2000).toShort), 1, 16000f)
+    // stereo: channel 0 alternates ±500 (99 crossings), channel 1
+    // constant 3000 (the peak) — ZCR must follow channel 0 only
+    val stereo = wav(Array.tabulate(200)(i =>
+      (if (i % 2 == 0) { if ((i / 2) % 2 == 0) 500 else -500 } else 3000)
+        .toShort), 2, 44100f)
+    val text = "not audio".getBytes("UTF-8")
+    val out = Multimodal.extractAudioReal(Seq(
+        MediaRow(1L, tone), MediaRow(2L, square), MediaRow(3L, stereo),
+        MediaRow(4L, text)).toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    val t = out(1L)
+    assert(t.real && t.sample_rate == 8000L && t.channels == 1L &&
+      t.n_frames == 200L && t.mean_square == 1000000L &&
+      t.zero_crossings == 0L && t.peak_abs == 1000L)
+    val q = out(2L)
+    assert(q.real && q.sample_rate == 16000L && q.n_frames == 100L &&
+      q.mean_square == 4000000L && q.zero_crossings == 99L &&
+      q.peak_abs == 2000L)
+    val st = out(3L)
+    assert(st.real && st.channels == 2L && st.n_frames == 100L &&
+      st.zero_crossings == 99L && st.peak_abs == 3000L &&
+      // interleaved energy: (500² + 3000²) / 2 = 4625000
+      st.mean_square == 4625000L)
+    // unrecognized payload: deterministic signed-8-bit fallback
+    val f = out(4L)
+    val sb = text.map(_.toLong)
+    assert(!f.real && f.sample_rate == 0L && f.channels == 1L &&
+      f.n_frames == text.length.toLong &&
+      f.mean_square == sb.map(s => s * s).sum / text.length &&
+      f.peak_abs == sb.map(math.abs).max && f.zero_crossings == 0L)
+    // endianness: the same samples big-endian decode to the same stats
+    val toneBe = wav(Array.fill(200)(1000.toShort), 1, 8000f, bigEndian = true)
+    val be = Multimodal.extractAudioReal(Seq(MediaRow(9L, toneBe)).toDS())
+      .collect().head
+    assert(be.real && be.mean_square == 1000000L && be.peak_abs == 1000L)
+  }
+
   test("real resize: planted PNG decodes, box-downscales, re-encodes; stub falls back") {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}

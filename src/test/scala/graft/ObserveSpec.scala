@@ -152,4 +152,52 @@ class ObserveSpec extends SparkSpec {
     assert(folded("o_orderstatus")(3) === whole("o_orderstatus")(3),
       "coupon-regime NDV folds exactly")
   }
+
+  test("quantile store: exact regime reproduces order statistics through the merge") {
+    val o = table("orders")
+    val cols = Seq("o_totalprice", "o_custkey")
+    val probs = Seq(250000L, 500000L, 750000L, 950000L)
+    val parts = Observe.quantilesByPartition(o,
+      date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM"), cols)
+    val merged = Observe.mergeQuantileProfiles(parts, probs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // independent truth: sorted order statistic at position ceil(p·n)
+    cols.foreach { c =>
+      val vs = o.select(col(c).cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      val n = vs.length.toLong
+      probs.foreach { p =>
+        val pos = ((p * n + 999999L) / 1000000L).toInt // 1-based
+        val (q, qn) = merged((c, p))
+        assert(qn == n, s"$c n")
+        assert(q == vs(pos - 1),
+          s"$c p=$p: sketch ${q} vs exact ${vs(pos - 1)}")
+      }
+    }
+    // delta fold: disjoint slices' sketch rows union to the same
+    // answers (exact regime: merged n still <= k)
+    val part = date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM")
+    val a = Observe.quantilesByPartition(
+      o.filter(col("o_orderkey") % 2 === 0), part, cols)
+    val b = Observe.quantilesByPartition(
+      o.filter(col("o_orderkey") % 2 === 1), part, cols)
+    val folded = Observe.mergeQuantileProfiles(a.unionByName(b), probs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(folded === merged, "delta fold must reproduce the store")
+    // approximate regime stays honest: k=64 over 15k rows answers
+    // within the published ~1.65/sqrt(k) normalized-rank error
+    val small = Observe.mergeQuantileProfiles(
+      Observe.quantilesByPartition(o, part, Seq("o_totalprice"), k = 64),
+      Seq(500000L), k = 64).collect().head
+    val vs = o.select(col("o_totalprice").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val approxMedian = small.getDouble(2)
+    val rank = vs.count(_ <= approxMedian).toDouble / vs.length
+    assert(math.abs(rank - 0.5) < 0.25,
+      s"k=64 median rank $rank out of tolerance")
+  }
 }
