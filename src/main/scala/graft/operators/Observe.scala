@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row}
 import org.apache.spark.sql.functions._
 
 /** L44: single-action pipeline observability. A curation funnel needs
@@ -242,6 +242,64 @@ object Observe {
       .select(col("column_name"),
         element_at(typedLit(probsPpm), col("i") + 1).as("p_ppm"),
         col("q"), col("n"))
+  }
+
+  /** R47: two-sample Kolmogorov–Smirnov drift — the statistically
+    * sharp "did this column's DISTRIBUTION move between corpus
+    * releases / sources" gate. Profile stores (R45*) compare summary
+    * points; KS is the sup-norm distance between the two empirical
+    * CDFs, D = max over v of |F_a(v) − F_b(v)| — it sees a
+    * mid-distribution shift that leaves min/max/median untouched.
+    * Computed EXACTLY and all-integer: with cumulative counts ca, cb
+    * and totals na, nb, D·(na·nb) = max |ca·nb − cb·na| over the
+    * merged support, so d_ppm = floor(max|ca·nb − cb·na|·10⁶/(na·nb))
+    * replays bit-exactly in any engine (decimal(38,0)-widened — no
+    * float CDFs to disagree on).
+    *
+    * Scale shape: one (value) groupBy over both inputs (map-side
+    * combined), then TWO [[PrefixSum.bucketed]] scans over the
+    * DISTINCT-value frame — the sup over a total order is the exact
+    * regime an unpartitioned ORDER BY window would serialize, and the
+    * two-level scan spreads it over ~|V|/B tasks (B = `buckets`
+    * range cells from a 1-row min/max frame). Final max is a plain
+    * aggregate; ties on the max break to the SMALLEST attaining value
+    * (deterministic `at_value`). Returns one row:
+    * (n_a, n_b, d_ppm, at_value). */
+  def ksDrift(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+              buckets: Int = 256): DataFrame = {
+    val va = a.select(col(aCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("da"), lit(0L).as("db"))
+    val vb = b.select(col(bCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("da"), lit(1L).as("db"))
+    // pinned: min/max, both PrefixSum scans and the totals each act on
+    // this frame — unpinned, every action re-runs the corpus groupBy
+    // (the profileDrift redundant-pass lesson); pinned, the corpus is
+    // read once and the narrow (v, da, db) support replays from blocks
+    val support = Lineage.pinDerived(va.unionByName(vb)
+      .groupBy("v").agg(sum("da").as("da"), sum("db").as("db")))
+    // order-aligned range cells for the two-level scans (1-row frame;
+    // the cell ids never reach the result — only the prefix sums do)
+    val Row(mn: Double, mx: Double) =
+      support.agg(min("v"), max("v")).head()
+    val w = if (mx > mn) (mx - mn) / buckets else 1.0
+    def cell = least(floor((col("v") - lit(mn)) / lit(w)),
+      lit(buckets - 1).cast("double")).cast("long")
+    val cumA = PrefixSum.bucketed(support, Seq("v"), col("da"), cell, "ca")
+    val cum = PrefixSum.bucketed(cumA, Seq("v"), col("db"), cell, "cb")
+    val Row(na: Long, nb: Long) =
+      support.agg(sum("da"), sum("db")).head()
+    require(na > 0 && nb > 0,
+      s"ksDrift needs non-empty sides, got n_a=$na n_b=$nb")
+    val diff = cum.withColumn("__d",
+      abs(col("ca").cast("decimal(38,0)") * nb -
+        col("cb").cast("decimal(38,0)") * na))
+    diff.orderBy(col("__d").desc, col("v").asc).limit(1)
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        expr(s"cast(__d * 1000000 div " +
+          s"(cast($na as decimal(38,0)) * $nb) as long)").as("d_ppm"),
+        col("v").as("at_value"))
   }
 
   /** The numeric slot of the portable rendering (see [[repr]]):

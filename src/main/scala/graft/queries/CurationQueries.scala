@@ -1038,6 +1038,30 @@ object CurationQueries {
       parity.unionByName(langs).orderBy("split")
     },
 
+    // R47: two-sample Kolmogorov–Smirnov drift — exact sup-norm CDF
+    // distance in integer ppm (no float CDFs), the
+    // mid-distribution-shift gate the profile stores can't see.
+    // Distributed via two PrefixSum scans over the distinct-value
+    // frame; fully hash-oracled. Probed on the returned-vs-normal
+    // price distributions plus a same-distribution control (parity
+    // halves of the same flag — near-zero D).
+    "q_ks_drift" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val rn = graft.operators.Observe.ksDrift(
+          l.filter(col("l_returnflag") === "R"), "l_extendedprice",
+          l.filter(col("l_returnflag") === "N"), "l_extendedprice")
+        .select(lit("r_vs_n").as("split"), col("n_a"), col("n_b"),
+          col("d_ppm"), col("at_value"))
+      val par = graft.operators.Observe.ksDrift(
+          l.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0),
+          "l_extendedprice",
+          l.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 1),
+          "l_extendedprice")
+        .select(lit("parity").as("split"), col("n_a"), col("n_b"),
+          col("d_ppm"), col("at_value"))
+      rn.unionByName(par).orderBy("split")
+    },
+
     // L47: Gopher quality rules — the published web-corpus pre-filter
     // battery, one audit flag per rule + the keep conjunction; every
     // threshold a cross-multiplied integer comparison (engine-exact,
@@ -2391,6 +2415,44 @@ object CurationQueries {
         |SELECT rank, r.doc_id, d.lang, n_feats, score_q
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // R47 twin: the exact KS replay — cumulative counts over the
+    // merged support (one window; graft's PrefixSum form is provably
+    // the same values), cross-multiplied HUGEINT sup, ties on the max
+    // to the smallest attaining value.
+    "q_ks_drift" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS flag, l_orderkey % 2 AS par,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'r_vs_n' AS split, v,
+        |    SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS da,
+        |    SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS db
+        |  FROM src WHERE flag IN ('R', 'N') GROUP BY v
+        |  UNION ALL
+        |  SELECT 'parity', v,
+        |    SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+        |  FROM src WHERE flag = 'R' GROUP BY v),
+        |c AS (
+        |  SELECT split, v,
+        |    SUM(da) OVER (PARTITION BY split ORDER BY v) AS ca,
+        |    SUM(db) OVER (PARTITION BY split ORDER BY v) AS cb,
+        |    SUM(da) OVER (PARTITION BY split) AS na,
+        |    SUM(db) OVER (PARTITION BY split) AS nb
+        |  FROM u),
+        |d AS (
+        |  SELECT split, v, na, nb,
+        |    ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS dd,
+        |    ROW_NUMBER() OVER (PARTITION BY split
+        |      ORDER BY ABS(CAST(ca AS HUGEINT) * nb
+        |        - CAST(cb AS HUGEINT) * na) DESC, v ASC) AS rk
+        |  FROM c)
+        |SELECT split, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(dd * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm,
+        |  v AS at_value
+        |FROM d WHERE rk = 1 ORDER BY split""".stripMargin,
 
     // Drift twin: same feature stream, per-split bucket counts, exact
     // |ca·NB − cb·NA| terms through HUGEINT, one division at the end —

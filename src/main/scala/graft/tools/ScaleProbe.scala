@@ -136,7 +136,18 @@ object ScaleProbe {
     // explode + doc-keyed rollups with a <=|langs|+1-row rank window
     "q_concordance", "q_ngram_diversity", "q_lang_mixture",
     // r13 session 3: map-side seeded-dropout kernel (one pass per row)
-    "q_augment_dropout")
+    "q_augment_dropout",
+    // r13 session 4: map-side char-distribution kernel (one codepoint
+    // walk per row); map-side PCM/byte-walk audio stats (mapPartitions
+    // batch); per-partition KLL sketch build (one groupBy pass) +
+    // merge over profile ROWS (partitions × columns, corpus-free) —
+    // the ×10 run crosses into the approximate regime (n > k), which
+    // is the production path
+    "q_char_concentration", "q_multimodal_audio", "q_quantile_profile",
+    // r13 session 4: KS sup via two PrefixSum scans over the
+    // distinct-value frame (support grows with the corpus; widest
+    // window task = one range cell)
+    "q_ks_drift")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

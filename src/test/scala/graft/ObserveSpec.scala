@@ -153,6 +153,38 @@ class ObserveSpec extends SparkSpec {
       "coupon-regime NDV folds exactly")
   }
 
+  test("ksDrift: hand-computed sup, disjoint ranges, tie rule, partition invariance") {
+    import spark.implicits._
+    // A={1,2,3,4}, B={3,4,5,6}: |ca·nb − cb·na| over the support is
+    // 4,8,8,8,4,0 → sup 8/16 = 0.5, first attained at v=2 (tie rule)
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("y")
+    val r = Observe.ksDrift(a, "x", b, "y").collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("d_ppm") == 500000L)
+    assert(r.getAs[Double]("at_value") == 2.0)
+    // disjoint ranges: D = 1 exactly
+    val hi = Seq(11.0, 12.0, 13.0).toDF("y")
+    val full = Observe.ksDrift(a, "x", hi, "y").collect().head
+    assert(full.getAs[Long]("d_ppm") == 1000000L)
+    // identical inputs: D = 0
+    val same = Observe.ksDrift(a, "x", a, "x").collect().head
+    assert(same.getAs[Long]("d_ppm") == 0L)
+    // partitioning must not change the sup or its arg
+    val o = table("orders")
+    val d1 = Observe.ksDrift(
+      o.filter(col("o_orderkey") % 2 === 0), "o_totalprice",
+      o.filter(col("o_orderkey") % 2 === 1), "o_totalprice").collect().head
+    val d2 = Observe.ksDrift(
+      o.filter(col("o_orderkey") % 2 === 0).repartition(13), "o_totalprice",
+      o.filter(col("o_orderkey") % 2 === 1).repartition(7), "o_totalprice")
+      .collect().head
+    assert(d1.toSeq === d2.toSeq)
+    // same-distribution halves: small D (DKW-ish sanity, not a proof)
+    assert(d1.getAs[Long]("d_ppm") < 100000L,
+      s"parity halves drifted ${d1.getAs[Long]("d_ppm")} ppm")
+  }
+
   test("quantile store: exact regime reproduces order statistics through the merge") {
     val o = table("orders")
     val cols = Seq("o_totalprice", "o_custkey")
