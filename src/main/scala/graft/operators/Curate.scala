@@ -767,6 +767,53 @@ object Curate {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
 
+  /** L96: memorization-canary injection (Carlini et al., "The Secret
+    * Sharer", USENIX Security 2019) — plant known-synthetic sequences
+    * at CONTROLLED frequencies so post-training extraction probes
+    * measure memorization against a ground truth ("the canary that
+    * appeared 13 times extracts, the 1-timer doesn't"). Selection is a
+    * pure function of the doc key — `doc_id mod (everyN·|canaries|)`
+    * picks slot i·everyN for canary i — so task retries can't skew the
+    * plant rate, a re-run reproduces the exact corpus, and a second
+    * engine replays it (hash-oracled). Map-side, zero shuffles.
+    * Returns (doc_id, text [canary appended], canary_id, -1 = none). */
+  def injectCanaries(docs: DataFrame, idCol: String, textCol: String,
+                     canaries: Seq[String], everyN: Long): DataFrame = {
+    require(canaries.nonEmpty && everyN >= 1,
+      s"injectCanaries needs canaries and everyN >= 1, got " +
+        s"${canaries.size}/$everyN")
+    val k = canaries.size
+    val slot = pmod(col(idCol), lit(everyN * k))
+    val cid = when(slot % everyN === 0, (slot / everyN).cast("long"))
+      .otherwise(lit(-1L))
+    docs
+      .withColumn("canary_id", cid)
+      .withColumn("__t", coalesce(col(textCol), lit("")))
+      .withColumn(textCol,
+        when(col("canary_id") >= 0,
+          concat(col("__t"), lit(" "),
+            element_at(typedLit(canaries), col("canary_id").cast("int") + 1)))
+          .otherwise(col("__t")))
+      .drop("__t")
+  }
+
+  /** L96 audit twin: per-canary corpus accounting from ONE
+    * Aho–Corasick scan ([[substringMatchProfile]] — the L87
+    * machinery pointed at the canary inventory): how many documents
+    * carry each canary and how often, as planted-rate evidence on the
+    * release corpus and as the ZERO-LEAK gate on a corpus that claims
+    * to be canary-free (the decontamination direction). Returns
+    * (canary_id, canary, n_docs, n_matches, docs_ppm, clean). */
+  def canaryAudit(docs: DataFrame, textCol: String,
+                  canaries: Seq[String]): DataFrame = {
+    val total = math.max(1L, docs.count())
+    substringMatchProfile(docs, textCol, canaries)
+      .select(col("pid").as("canary_id"), col("pattern").as("canary"),
+        col("n_docs"), col("n_matches"),
+        expr(s"n_docs * 1000000L div ${total}L").as("docs_ppm"),
+        (col("n_matches") === 0).as("clean"))
+  }
+
   /** L91: n-gram diversity audit — per-group distinct/total n-gram
     * ratios for n = 1..maxN, the MODE-COLLAPSE signal for
     * synthetic-data pipelines (the corpus-level cousin of Self-BLEU,

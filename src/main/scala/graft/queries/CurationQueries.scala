@@ -1062,6 +1062,25 @@ object CurationQueries {
       rn.unionByName(par).orderBy("split")
     },
 
+    // L96: memorization-canary roundtrip — deterministic injection
+    // (doc_id slot rule, every 10th doc per canary) + one-AC-scan
+    // audit on BOTH the injected corpus (planted rates land) and the
+    // clean corpus (zero-leak gate). Fully hash-oracled: DuckDB
+    // replays the injection rule and the substring detection.
+    "q_canary_audit" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val canaries = Seq(
+        "canary 7f3q9z alpha", "canary 2k8x1v beta",
+        "canary 9p4m6w gamma", "canary 5d0n2r delta")
+      val injected = Curate.injectCanaries(d, "doc_id", "text",
+        canaries, everyN = 10L)
+      val inj = Curate.canaryAudit(injected, "text", canaries)
+        .withColumn("stage", lit("injected"))
+      val clean = Curate.canaryAudit(d, "text", canaries)
+        .withColumn("stage", lit("clean"))
+      clean.unionByName(inj).orderBy("stage", "canary_id")
+    },
+
     // L47: Gopher quality rules — the published web-corpus pre-filter
     // battery, one audit flag per rule + the keep conjunction; every
     // threshold a cross-multiplied integer comparison (engine-exact,
@@ -2416,6 +2435,38 @@ object CurationQueries {
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
 
+    // L96 twin: injection replayed from the doc_id slot rule, then
+    // HONEST substring detection on both stages (non-overlapping
+    // REPLACE count ≡ the AC end-position count here — an
+    // appended-once canary cannot self-overlap; strpos gates n_docs).
+    "q_canary_audit" ->
+      """WITH c AS (SELECT * FROM (VALUES
+        |    (0, 'canary 7f3q9z alpha'), (1, 'canary 2k8x1v beta'),
+        |    (2, 'canary 9p4m6w gamma'), (3, 'canary 5d0n2r delta'))
+        |  t(cid, canary)),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |corpora AS (
+        |  SELECT 'clean' AS stage, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'injected', d.doc_id,
+        |    CASE WHEN d.doc_id % 40 % 10 = 0
+        |      THEN d.text || ' ' ||
+        |        (SELECT canary FROM c WHERE cid = (d.doc_id % 40) // 10)
+        |      ELSE d.text END
+        |  FROM documents d),
+        |hits AS (
+        |  SELECT s.stage, c.cid, c.canary,
+        |    COUNT(*) FILTER (strpos(s.text, c.canary) > 0) AS n_docs,
+        |    CAST(SUM((LENGTH(s.text) - LENGTH(REPLACE(s.text, c.canary, '')))
+        |      // LENGTH(c.canary)) AS BIGINT) AS n_matches
+        |  FROM corpora s, c GROUP BY s.stage, c.cid, c.canary)
+        |SELECT CAST(h.cid AS BIGINT) AS canary_id, h.canary,
+        |  CAST(h.n_docs AS BIGINT) AS n_docs, h.n_matches,
+        |  CAST(h.n_docs * 1000000 // tot.n AS BIGINT) AS docs_ppm,
+        |  h.n_matches = 0 AS clean, h.stage
+        |FROM hits h, tot
+        |ORDER BY h.stage, canary_id""".stripMargin,
+
     // R47 twin: the exact KS replay — cumulative counts over the
     // merged support (one window; graft's PrefixSum form is provably
     // the same values), cross-multiplied HUGEINT sup, ties on the max
@@ -2682,11 +2733,12 @@ object CurationQueries {
     // codepoint-based, matching the kernel's codePointAt walk), Σk²
     // through HUGEINT, floor-div micro units, same keep rule.
     "q_char_concentration" ->
-      """WITH ch AS (
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
         |  SELECT doc_id,
         |    UNNEST(list_transform(range(1, length(text) + 1),
         |      i -> text[i])) AS c
-        |  FROM documents WHERE length(text) > 0),
+        |  FROM base WHERE length(text) > 0),
         |cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
         |st AS (
         |  SELECT doc_id, SUM(k) AS n, COUNT(*) AS nd, SUM(k * k) AS ss,
@@ -2701,7 +2753,7 @@ object CurationQueries {
         |    AS top_char_pm,
         |  (COALESCE(st.ss * 1000000 // GREATEST(st.n * st.n, 1), 0) <= 78000
         |    AND COALESCE(st.nd, 0) >= 20) AS keep
-        |FROM documents d LEFT JOIN st USING (doc_id)
+        |FROM base d LEFT JOIN st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // L91 twin: the engine's shingle rule (< n tokens → whole text as

@@ -662,6 +662,44 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13aa: streaming KLL-store maintenance — the R45c mergeable KLL
+    * quantile store kept current per trigger: the continuous "where
+    * is this column's p50/p95 NOW" view at ARBITRARY rank precision
+    * (C13l's log-histogram twin answers within bucket resolution;
+    * this one is exact in the n ≤ k regime and ~0.01%-rank at 100 TB,
+    * which is what a release gate thresholds on). Same replay
+    * discipline as C13z: each micro-batch's per-column sketch rows
+    * commit to their OWN idempotent partition
+    * (`sketchPath/batch=N`); the running answer is
+    * [[graft.operators.Observe.mergeQuantileProfiles]] over the
+    * partitions ≤ the current batch (sketch unions over state rows,
+    * never raw history), landing in `outPath/batch=N`. Per-trigger
+    * state read is batches × columns sketch rows. Parity-gated
+    * against whole-corpus order statistics in StreamingSpec. */
+  def kllMonitorStream(rows: DataFrame, cols: Seq[String],
+                       probsPpm: Seq[Long], sketchPath: String,
+                       outPath: String, checkpoint: String,
+                       k: Int = 65535)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Observe
+        val spark = batch.sparkSession
+        Observe.quantilesByPartition(batch.toDF(),
+            lit(batchId.toString), cols, k)
+          .write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
+        val upTo = spark.read.parquet(sketchPath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .drop("__b")
+        Observe.mergeQuantileProfiles(upTo, probsPpm, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
   case class FunnelState(times: Seq[Long])
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)

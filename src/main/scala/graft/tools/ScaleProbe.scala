@@ -146,8 +146,9 @@ object ScaleProbe {
     "q_char_concentration", "q_multimodal_audio", "q_quantile_profile",
     // r13 session 4: KS sup via two PrefixSum scans over the
     // distinct-value frame (support grows with the corpus; widest
-    // window task = one range cell)
-    "q_ks_drift")
+    // window task = one range cell); canary roundtrip = two map-side
+    // AC scans + a patterns-bounded aggregate (linear)
+    "q_ks_drift", "q_canary_audit")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

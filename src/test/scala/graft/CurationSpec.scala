@@ -698,6 +698,36 @@ class CurationSpec extends SparkSpec {
     assert(out("zh") == ((1L, 4L, 9L, 14L, 2250000L, 1555555L)))
   }
 
+  test("char concentration: cross-engine planted-row pin (exact values)") {
+    // SAME rows + tuples as tools/check_oracle.py's dialect probe
+    // (q_char_concentration entry) — keep in LOCKSTEP. Pins the
+    // codepoint rule on astral-plane text (row 6: 8 code points, not
+    // 11 UTF-16 units) against both engines.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello, world! abc123 x"),
+      (2L, "a1b2c3 ... --- e.g. 42"),
+      (3L, "中文 测试 abc, 中a1"),
+      (4L, ""),
+      (5L, "  double  spaces  7 "),
+      (6L, "😀 ok 😀😀x")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curate
+      .charConcentration(docs, "doc_id", "text", 78000L, 20L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cp"), r.getAs[Long]("n_distinct_cp"),
+          r.getAs[Long]("simpson_ppm"), r.getAs[Long]("top_char_pm"),
+          r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out(1L) == ((22L, 17L, 74380L, 136L, false)))
+    assert(out(2L) == ((22L, 12L, 128099L, 227L, false)))
+    assert(out(3L) == ((14L, 10L, 122448L, 214L, false)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, false)))
+    assert(out(5L) == ((20L, 12L, 165000L, 350L, false)))
+    assert(out(6L) == ((8L, 5L, 250000L, 375L, false)))
+  }
+
   test("preference pairs: true extremes, margin gate, tie determinism") {
     import spark.implicits._
     import graft.operators.Curate
@@ -1347,6 +1377,49 @@ class CurationSpec extends SparkSpec {
     val m3 = out(3L)
     assert(m3.getAs[String]("dom_lang") === "und" &&
       m3.getAs[Long]("n_langs") === 0L && !m3.getAs[Boolean]("mixed"))
+  }
+
+  test("canary roundtrip: slot rule, detection matches injection, clean corpus is clean") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val canaries = Seq("canary one 0x1", "canary two 0x2", "canary three 0x3")
+    val inj = graft.operators.Curate
+      .injectCanaries(d, "doc_id", "text", canaries, everyN = 5L)
+    val rows = inj.select("doc_id", "text", "canary_id").collect()
+    // the slot rule: doc_id % 15 ∈ {0,5,10} → canary 0/1/2, else -1
+    rows.foreach { r =>
+      val id = r.getLong(0); val cid = r.getLong(2)
+      val slot = id % 15
+      val expect = if (slot % 5 == 0) slot / 5 else -1L
+      assert(cid == expect, s"doc $id slot rule")
+      // the text carries exactly its own canary, and only then
+      canaries.zipWithIndex.foreach { case (c, i) =>
+        assert(r.getString(1).contains(c) == (cid == i), s"doc $id vs $c")
+      }
+    }
+    // audit on the injected corpus reproduces the selection counts
+    val audit = graft.operators.Curate.canaryAudit(inj, "text", canaries)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n = d.count()
+    canaries.indices.foreach { i =>
+      val planted = rows.count(_.getLong(2) == i).toLong
+      val a = audit(i.toLong)
+      assert(a.getAs[Long]("n_docs") == planted &&
+        a.getAs[Long]("n_matches") == planted &&
+        !a.getAs[Boolean]("clean"))
+      assert(a.getAs[Long]("docs_ppm") == planted * 1000000L / n)
+    }
+    // zero-leak direction: the pristine corpus audits clean
+    val cleanAudit = graft.operators.Curate.canaryAudit(d, "text", canaries)
+      .collect()
+    assert(cleanAudit.length == canaries.size &&
+      cleanAudit.forall(r => r.getAs[Boolean]("clean") &&
+        r.getAs[Long]("n_docs") == 0L))
+    // determinism: re-running injection is bit-identical
+    val again = graft.operators.Curate
+      .injectCanaries(d, "doc_id", "text", canaries, everyN = 5L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
 
   test("charConcentration: planted extremes, codepoint rule, keep conjunction") {

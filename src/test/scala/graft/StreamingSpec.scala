@@ -655,6 +655,55 @@ class StreamingSpec extends SparkSpec {
     assert(replayed === twin, "a replayed batch must not double-count")
   }
 
+  test("streaming quantile monitor: running quantiles equal whole-corpus order statistics") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Observe
+    import spark.implicits._
+    val src = table("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey").limit(80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mem = MemoryStream[(Long, Double)]
+    val out = Files.createTempDirectory("qprof_out").toString
+    val ckpt = Files.createTempDirectory("qprof_ck").toString
+    val state = Files.createTempDirectory("qprof_state").toString
+    val cols = Seq("o_totalprice")
+    val probs = Seq(250000L, 500000L, 950000L)
+    val q = QueueStreaming.kllMonitorStream(
+      mem.toDF().toDF("o_orderkey", "o_totalprice"),
+      cols, probs, state, out, ckpt)
+    mem.addData(src.take(50).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(src.drop(50).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // exact regime (80 values << k): trigger-2 running quantiles are
+    // the order statistics of EVERYTHING streamed so far
+    val got = spark.read.parquet(s"$out/batch=1")
+      .collect().map(r => r.getAs[Long]("p_ppm") ->
+        (r.getAs[Double]("q"), r.getAs[Long]("n"))).toMap
+    val vs = src.map(_._2).sorted
+    probs.foreach { p =>
+      val pos = ((p * vs.length + 999999L) / 1000000L).toInt
+      assert(got(p) == ((vs(pos - 1), vs.length.toLong)),
+        s"p=$p: streamed ${got(p)} vs exact ${vs(pos - 1)}")
+    }
+    // trigger-1 output only saw the first 50 (no retro-contamination)
+    val t1 = spark.read.parquet(s"$out/batch=0")
+      .collect().map(r => r.getAs[Long]("p_ppm") -> r.getAs[Long]("n")).toMap
+    assert(t1.values.forall(_ == 50L))
+    // replay safety: rewriting batch 1's own partition changes nothing
+    Observe.quantilesByPartition(
+        src.drop(50).toSeq.toDF("o_orderkey", "o_totalprice"),
+        lit("1"), cols)
+      .write.mode("overwrite").parquet(s"$state/batch=1")
+    val replayed = Observe.mergeQuantileProfiles(
+        spark.read.parquet(state), probs)
+      .collect().map(r => r.getAs[Long]("p_ppm") -> r.getAs[Double]("q")).toMap
+    probs.foreach(p => assert(replayed(p) == got(p)._1,
+      "a replayed batch must not perturb the running quantiles"))
+  }
+
   test("streaming drift monitor: first batch zero, history folds exactly") {
     implicit val sq = spark.sqlContext
     import graft.operators.Curate

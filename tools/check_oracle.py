@@ -79,6 +79,17 @@ PROBE_EXPECT = {
         ("fr", 1, 3, 3, 20, 1000000, 6666666),
         ("zh", 1, 4, 9, 14, 2250000, 1555555),
     ],
+    # codepoint-indexing probe: row 6's astral-plane emoji reads 8
+    # code points (UTF-16 length would say 11) — pins DuckDB's
+    # character indexing against the kernel's codePointAt walk
+    "q_char_concentration": [
+        (1, 22, 17, 74380, 136, False),
+        (2, 22, 12, 128099, 227, False),
+        (3, 14, 10, 122448, 214, False),
+        (4, 0, 0, 0, 0, False),
+        (5, 20, 12, 165000, 350, False),
+        (6, 8, 5, 250000, 375, False),
+    ],
 }
 
 
