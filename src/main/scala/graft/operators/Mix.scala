@@ -57,4 +57,52 @@ object Mix {
       df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < t)
     }
   }
+
+  /** L98: priority sampling (Duffield, Lund & Thorup, JACM 2007) — a
+    * BOUNDED-size weighted sample with unbiased subset-sum estimators,
+    * the piece [[weightedSample]] (per-row Bernoulli, size varies) and
+    * plain top-k-by-weight (deterministic, biased) both lack: draw
+    * priority q_i = w_i / u_i, keep the k largest, and estimate any
+    * subset sum by Σ max(w_i, τ) over sample members (τ = the
+    * (k+1)-th priority). E[estimate] is exactly the true subset sum —
+    * the foundation for "audit a 100 TB corpus through a 10⁵-row
+    * sample with calibrated weights".
+    *
+    * u_i derives from md5(key) (first 8 hex nibbles + 1, i.e. u ∈
+    * (0, 1] on a 2³² grid) — deterministic, so re-runs/engines
+    * reproduce the exact sample (the engine's standing no-rand rule)
+    * and the whole chain hash-oracles; priority = w · 2³² / h is one
+    * IEEE double division of exact integers, bit-identical on any
+    * engine. The global top-(k+1) is TakeOrdered (per-partition
+    * top-k, then merge — never a global sort); the (k+1)-row frame is
+    * pinned and the rank window runs on those k+1 rows only. Returns
+    * (key, w, priority, rk ≤ k, est = max(w, τ)).
+    *
+    * Exact regime (the oracle trick): k ≥ n ⇒ the sample is the
+    * corpus, τ = 0, est ≡ w. */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"prioritySample needs k >= 1, got $k")
+    val base = df
+      .select(col(keyCol).as("key"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__h",
+        expr("conv(substring(md5(cast(key as string)), 1, 8), 16, 10)")
+          .cast("long") + 1)
+      .withColumn("priority",
+        col("w").cast("double") * 4294967296.0 / col("__h"))
+    val top = base
+      .orderBy(col("priority").desc, col("key").asc).limit(k + 1)
+      .localCheckpoint(true) // k+1 rows; referenced by rank AND tau
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("key").asc)
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val tau = ranked.filter(col("rk") === k + 1)
+      .select("priority").collect()
+      .headOption.map(_.getDouble(0)).getOrElse(0.0)
+    ranked.filter(col("rk") <= k)
+      .select(col("key"), col("w"), col("priority"),
+        col("rk").cast("long").as("rk"),
+        greatest(col("w").cast("double"), lit(tau)).as("est"))
+  }
 }

@@ -1237,6 +1237,17 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // L98: priority sampling — bounded-size weighted sample with
+    // unbiased subset-sum estimators (Duffield–Lund–Thorup); u from
+    // md5(doc_id), so the sample AND the calibrated weights replay
+    // exactly. k=100 over 500 docs weighted by n_chars.
+    "q_priority_sample" -> { (s, dir) =>
+      graft.operators.Mix.prioritySample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .withColumnRenamed("key", "doc_id")
+        .orderBy("rk")
+    },
+
     // L11: document fingerprint (polynomial rolling hash, codegen'd).
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -3433,6 +3444,34 @@ object PipelineQueries {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
         |       ELSE '40' END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // L98 twin: the md5 nibble fold rebuilds h, one IEEE double
+    // division rebuilds the priority, the same (priority DESC, key)
+    // rank keeps k, and τ = rank k+1 calibrates the estimates.
+    "q_priority_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+        |          AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) + 1 AS h
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    CAST(w AS DOUBLE) * 4294967296.0 / h AS priority
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, w, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rk
+        |  FROM p),
+        |tau AS (
+        |  SELECT COALESCE(MAX(CASE WHEN rk = 101 THEN priority END), 0.0) AS t
+        |  FROM r WHERE rk <= 101)
+        |SELECT r.doc_id, r.w, r.priority, CAST(r.rk AS BIGINT) AS rk,
+        |  GREATEST(CAST(r.w AS DOUBLE), tau.t) AS est
+        |FROM r, tau WHERE r.rk <= 100 ORDER BY rk""".stripMargin,
 
     "q_sample_det" ->
       """SELECT lang, COUNT(*) AS n_docs,

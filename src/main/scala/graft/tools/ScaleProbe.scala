@@ -148,7 +148,11 @@ object ScaleProbe {
     // distinct-value frame (support grows with the corpus; widest
     // window task = one range cell); canary roundtrip = two map-side
     // AC scans + a patterns-bounded aggregate (linear)
-    "q_ks_drift", "q_canary_audit")
+    "q_ks_drift", "q_canary_audit",
+    // r13 session 4: TakeOrdered top-(k+1) by md5-derived priority
+    // (per-partition top-k then merge; the rank window runs on k+1
+    // rows only)
+    "q_priority_sample")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -68,4 +68,54 @@ class MixSpec extends SparkSpec {
     val f = so.count().toDouble / o.count().toDouble
     assert(f > 0.15 && f < 0.35, s"keep rate $f far from 0.25")
   }
+
+  test("prioritySample: exact regime, giant weight, estimator calibration, invariance") {
+    import spark.implicits._
+    import graft.operators.Mix
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = d.filter(col("n_chars") > 0).count().toInt
+    // exhaustive regime: k >= n keeps everything, tau = 0, est == w
+    val all = Mix.prioritySample(d, "doc_id", "n_chars", k = n + 10)
+      .collect()
+    assert(all.length == n)
+    all.foreach(r => assert(
+      r.getAs[Double]("est") == r.getAs[Long]("w").toDouble,
+      s"exhaustive regime must estimate exactly: $r"))
+    // k < n: sample is k rows, ranks are 1..k, priorities descend
+    val s100 = Mix.prioritySample(d, "doc_id", "n_chars", k = 100).collect()
+    assert(s100.length == 100)
+    assert(s100.map(_.getAs[Long]("rk")).toSeq == (1L to 100L))
+    val ps = s100.map(_.getAs[Double]("priority"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    // estimator structure: every calibrated weight is max(w, tau),
+    // so est >= w and est >= tau for all but at most one rank
+    val tau = s100.map(r => r.getAs[Double]("est")).min
+    s100.foreach { r =>
+      assert(r.getAs[Double]("est") >=
+        math.max(r.getAs[Long]("w").toDouble, 0.0))
+      assert(r.getAs[Double]("est") ==
+        math.max(r.getAs[Long]("w").toDouble, tau))
+    }
+    // calibration sanity: Sum(est) over the sample tracks Sum(w) over
+    // the corpus (unbiased IN EXPECTATION; this one deterministic
+    // draw lands in a loose band on this data — measured 25.3% high)
+    val trueSum = d.agg(sum(col("n_chars"))).head().getLong(0).toDouble
+    val estSum = s100.map(_.getAs[Double]("est")).sum
+    assert(math.abs(estSum - trueSum) / trueSum < 0.35,
+      s"estimate $estSum vs true $trueSum")
+    // a planted giant weight always wins rank 1 with est == its own w
+    val planted = d.select(col("doc_id"), col("n_chars"))
+      .unionByName(Seq((999999L, 100000000L)).toDF("doc_id", "n_chars"))
+    val top = Mix.prioritySample(planted, "doc_id", "n_chars", 10)
+      .filter(col("rk") === 1).collect().head
+    assert(top.getAs[Long]("key") == 999999L &&
+      top.getAs[Double]("est") == 1.0e8)
+    // partitioning must not change the sample or the estimates
+    val rep = Mix.prioritySample(d.repartition(13), "doc_id", "n_chars", 100)
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("rk"), r.getAs[Double]("est"))).toMap
+    s100.foreach(r => assert(
+      rep(r.getAs[Long]("key")) ==
+        ((r.getAs[Long]("rk"), r.getAs[Double]("est")))))
+  }
 }
