@@ -62,4 +62,77 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "rrf_score")
   }
+
+  /** L97: Rocchio pseudo-relevance feedback (Rocchio 1971; the PRF
+    * formulation of Salton & Buckley '90) — automatic query expansion,
+    * the classical fix for vocabulary mismatch: score the original
+    * query, take the top-`fbK` documents as pseudo-relevant, pick the
+    * `expandK` terms that best characterize that feedback set
+    * (tf-in-feedback × corpus idf, the Rocchio centroid under the
+    * BM25 idf), and re-score with the expanded query. Every step is
+    * the engine's rational-idf BM25 arithmetic (one IEEE double chain
+    * + floor-quantization — the q_bm25 recipe that hash-oracles), and
+    * every selection breaks ties deterministically (score desc, then
+    * id/term asc), so the WHOLE two-round chain replays in SQL.
+    *
+    * Scale shape: term frames are query-bounded (feedback docs ≤ fbK,
+    * candidate vocabulary ≤ the feedback docs' tokens); the corpus is
+    * tokenized per round straight off the scan — at 100 TB route the
+    * tf/df lookups through the persisted inverted index
+    * ([[Lexical.searchBm25]]) instead; driver state is fbK ids +
+    * expandK terms, both parameters. Returns the expanded-query
+    * top-`k` as (doc_id, score_q, n_terms). */
+  def prfSearch(raw: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], fbK: Int, expandK: Int,
+                k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && fbK >= 1 && expandK >= 1 && k >= 1,
+      s"prfSearch needs terms/fbK/expandK/k >= 1")
+    val docs = raw.select(col(idCol).as("doc_id"),
+      tokenize_ws(coalesce(col(textCol), lit(""))).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+
+    def bm25(terms: Seq[String]): DataFrame = {
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(dfT), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        .withColumn("tfn",
+          col("tf") * 2.2 / (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        .withColumn("contrib",
+          floor(col("idf") * col("tfn") * 1e6 + 0.5).cast("long"))
+        .groupBy("doc_id").agg(sum("contrib").as("score_q"),
+          count(lit(1)).as("n_terms"))
+    }
+
+    // round 1 → pseudo-relevant set (fbK ids; driver-bounded)
+    val fbIds = bm25(queryTerms)
+      .orderBy(col("score_q").desc, col("doc_id")).limit(fbK)
+      .select("doc_id").collect().map(_.get(0)).toSeq
+    // candidate terms = the feedback docs' vocabulary minus the query
+    val cand = toks.filter(col("doc_id").isin(fbIds: _*))
+      .filter(!col("tok").isin(queryTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("tf_fb"))
+    // corpus df for the candidates (broadcast term probe — the corpus
+    // never shuffles against the candidate set)
+    val dfc = toks.join(broadcast(cand.select("tok")), Seq("tok"))
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val expansion = cand.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("escore",
+        floor(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf_fb") * 1e6 + 0.5).cast("long"))
+      .orderBy(col("escore").desc, col("tok").asc).limit(expandK)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    // round 2: the expanded query
+    bm25(queryTerms ++ expansion)
+      .orderBy(col("score_q").desc, col("doc_id")).limit(k)
+  }
 }

@@ -449,6 +449,19 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // L97: Rocchio PRF query expansion — two-term seed query, top-10
+    // pseudo-relevant docs, 5 expansion terms by tf-in-feedback ×
+    // corpus idf, re-scored top-20. The oracle replays the ENTIRE
+    // two-round chain (no expansion-term literals — DuckDB derives
+    // them itself), so the hash gate proves both rounds AND the
+    // selection rules.
+    "q_prf_search" -> { (s, dir) =>
+      graft.operators.Retrieval.prfSearch(
+          t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "join"), fbK = 10, expandK = 5, k = 20)
+        .orderBy(col("score_q").desc, col("doc_id"))
+    },
+
     // L24b: the same BM25 top-20, served from the persisted inverted
     // index (build + probe in one query so the gate covers both):
     // postings bucketed+sorted by term (probe scans only the query
@@ -1493,6 +1506,67 @@ object AnalyticsQueries {
         |    CROSS JOIN stats)
         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q, COUNT(*) AS n_terms
         |FROM scored GROUP BY doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    // L97 twin: the full two-round replay — round-1 BM25, rk<=10
+    // feedback set, candidate tf_fb × corpus-idf expansion with the
+    // same (escore DESC, tok) tie rule, round-2 BM25 over the derived
+    // expanded term set. No expansion literals anywhere.
+    "q_prf_search" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM docs),
+        |tf1 AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+        |  WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok),
+        |dft1 AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf1 GROUP BY tok),
+        |s1 AS (
+        |  SELECT tf1.doc_id, CAST(SUM(CAST(FLOOR(
+        |      ((n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+        |  FROM tf1 JOIN dft1 ON tf1.tok = dft1.tok
+        |    JOIN dl ON tf1.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY tf1.doc_id),
+        |fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rk
+        |    FROM s1) WHERE rk <= 10),
+        |cand AS (
+        |  SELECT tok, COUNT(*) AS tf_fb FROM tk JOIN fb USING (doc_id)
+        |  WHERE tok NOT IN ('spark', 'join') GROUP BY tok),
+        |dfc AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk
+        |  WHERE tok IN (SELECT tok FROM cand) GROUP BY tok),
+        |exp AS (
+        |  SELECT c.tok, CAST(FLOOR(
+        |      ((n_docs - df + 0.5) / (df + 0.5)) * tf_fb * 1e6 + 0.5)
+        |    AS BIGINT) AS escore
+        |  FROM cand c JOIN dfc ON c.tok = dfc.tok CROSS JOIN stats),
+        |sel AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, ROW_NUMBER() OVER (ORDER BY escore DESC, tok) AS rk
+        |    FROM exp) WHERE rk <= 5),
+        |terms2 AS (
+        |  SELECT tok FROM sel
+        |  UNION ALL SELECT UNNEST(['spark', 'join'])),
+        |tf2 AS (
+        |  SELECT doc_id, tk.tok, COUNT(*) AS tf FROM tk JOIN terms2 ON tk.tok = terms2.tok
+        |  GROUP BY doc_id, tk.tok),
+        |dft2 AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf2 GROUP BY tok),
+        |s2 AS (
+        |  SELECT tf2.doc_id, CAST(SUM(CAST(FLOOR(
+        |      ((n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+        |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_q,
+        |    COUNT(*) AS n_terms
+        |  FROM tf2 JOIN dft2 ON tf2.tok = dft2.tok
+        |    JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY tf2.doc_id)
+        |SELECT doc_id, score_q, n_terms FROM s2
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
 
     // Per-query from-scratch BM25 over a VALUES queries table — the

@@ -152,7 +152,11 @@ object ScaleProbe {
     // r13 session 4: TakeOrdered top-(k+1) by md5-derived priority
     // (per-partition top-k then merge; the rank window runs on k+1
     // rows only)
-    "q_priority_sample")
+    "q_priority_sample",
+    // r13 session 4: two BM25 rounds + a feedback-bounded candidate
+    // aggregate (term frames query-bounded; corpus tokenized per
+    // round off the scan — the indexed path is the 100 TB route)
+    "q_prf_search")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -62,6 +62,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("sim")).toSeq == Seq(1.0, 0.7071, 0.0))
   }
 
+  test("prfSearch: expansion recalls vocabulary-mismatched docs, pure query unchanged") {
+    // planted corpus: the seed query is "alpha"; docs about the same
+    // topic consistently co-mention "beta" (the expansion signal);
+    // doc 30 NEVER says "alpha" — only expansion can reach it
+    val topic = (0L to 9L).map(i =>
+      (i, "alpha beta beta filler" + (" pad" * i.toInt)))
+    val mismatched = Seq((30L, "beta beta beta lonely"))
+    val noise = (40L to 49L).map(i => (i, "filler filler pad pad"))
+    val docs = (topic ++ mismatched ++ noise).toDF("doc_id", "text")
+    val out = Retrieval.prfSearch(docs, "doc_id", "text",
+        Seq("alpha"), fbK = 5, expandK = 1, k = 20)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(out.contains(30L),
+      "expansion must recall the doc that never says 'alpha'")
+    assert(!out.exists(id => id >= 40L),
+      "docs with neither seed nor expansion terms must not score")
+    // with expandK terms absent from feedback... degenerate corpus:
+    // a query whose feedback docs contain ONLY query terms expands to
+    // nothing new and reduces to plain BM25
+    val pure = Seq((1L, "solo"), (2L, "solo solo"), (3L, "unrelated"))
+      .toDF("doc_id", "text")
+    val reduced = Retrieval.prfSearch(pure, "doc_id", "text",
+        Seq("solo"), fbK = 2, expandK = 3, k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reduced == Set(1L, 2L))
+    // determinism: repartitioned corpus gives the identical ranking
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(frame: org.apache.spark.sql.DataFrame) =
+      Retrieval.prfSearch(frame, "doc_id", "text",
+          Seq("spark", "join"), 10, 5, 20)
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("score_q"))).toSeq
+    assert(run(d) == run(d.repartition(11)))
+  }
+
   test("hybrid query fuses exactly the per-side top-10 lists") {
     val out = graft.queries.AnalyticsQueries
       .queries("q_hybrid_retrieval")(spark, sfDir).collect()
