@@ -116,6 +116,22 @@ object PipelineQueries {
       p
     })
 
+  /** Shared two-era evolved export (R48): era 1 = the first half of
+    * documents WITHOUT source/n_chars (the day-one schema), era 2 =
+    * the rest with the full schema. */
+  private val evolveMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolveExport(s: SparkSession, dir: String): String =
+    evolveMemo.computeIfAbsent(dir, d => {
+      val p = "spark-warehouse/graft_evolve_" + RelationalQueries.dirKey(d)
+      val docs = t(s, d, "documents")
+      graft.sources.Evolve.writeEra(
+        docs.filter(col("doc_id") < 250)
+          .select("doc_id", "text", "lang"), p, era = 1, Some(4))
+      graft.sources.Evolve.writeEra(
+        docs.filter(col("doc_id") >= 250), p, era = 2, Some(4))
+      p
+    })
+
   private def mediaMeta(s: SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.decodeMeta(
@@ -159,6 +175,7 @@ object PipelineQueries {
     if (names("q_csv_roundtrip")) csvExport(s, dir)
     if (names("q_orc_roundtrip")) orcExport(s, dir)
     if (names("q_fixedwidth_roundtrip")) fwExport(s, dir)
+    if (names("q_schema_evolution")) evolveExport(s, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -807,6 +824,23 @@ object PipelineQueries {
           max(col("text_md5")).as("hi_md5"),
           sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang", "source")
+    },
+
+    // R48: schema-evolution-tolerant read — two physical eras (the
+    // day-one one missing source/n_chars entirely) read back as ONE
+    // frame via mergeSchema, defaults backfilled in the plan; the
+    // per-era aggregate replays exactly from the source-of-truth
+    // table with the same split rule and CASE defaults.
+    "q_schema_evolution" -> { (s, dir) =>
+      graft.sources.Evolve.readEvolved(s, evolveExport(s, dir),
+          Map("source" -> lit("legacy"), "n_chars" -> lit(-1L)))
+        .groupBy("era", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          min(col("lang")).as("lo_lang"))
+        .withColumn("era", col("era").cast("long"))
+        .orderBy("era", "source")
     },
 
     "q_orc_roundtrip" -> { (s, dir) =>
@@ -3623,6 +3657,25 @@ object PipelineQueries {
         |  CAST(COALESCE(a.s, 0) AS DOUBLE) / GREATEST(COALESCE(a.n, 0), 1) AS mean_byte
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // R48 twin: the evolved read replays from the source-of-truth
+    // table — same doc_id split rule, same CASE defaults for the
+    // columns the day-one era physically lacks.
+    "q_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id < 250 THEN 'legacy' ELSE source END AS source,
+        |    CASE WHEN doc_id < 250 THEN CAST(-1 AS BIGINT)
+        |         ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+        |    CASE WHEN doc_id < 250 THEN 1 ELSE 2 END AS era
+        |  FROM documents)
+        |SELECT CAST(era AS BIGINT) AS era, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+        |  MIN(lang) AS lo_lang
+        |FROM evolved GROUP BY era, source
+        |ORDER BY era, source""".stripMargin,
 
     // L12j twin: the fallback branch's signed-8-bit byte walk — hex
     // nibbles → byte → two's-complement reinterpretation, Σs²
