@@ -440,3 +440,158 @@ case class KllN(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): KllN =
     copy(child = c)
 }
+
+/** `theta_agg(expr, lgK)`: mergeable Theta sketch (Dasgupta et al.,
+  * the DataSketches KMV-style theta family) over a string column —
+  * the distinct-count sketch that, unlike HLL, supports SET
+  * OPERATIONS: intersections and differences of sketches estimate
+  * |A∩B| and |A\B| without ever joining the underlying sets. That is
+  * the corpus-release question HLL structurally cannot answer ("how
+  * many documents/tokens do releases A and B share; how many are
+  * new"). Below 2^lgK distinct values the sketch retains every hash
+  * (θ = 1) and all estimates are EXACT — the oracle regime; beyond,
+  * the published ~1/√(2^lgK) relative error applies. */
+case class ThetaAgg(
+    child: Expression,
+    lgK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(lgK >= 4 && lgK <= 26, s"theta_agg needs 4 <= lgK <= 26, got $lgK")
+
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(StringType)
+
+  private def newUnion(): org.apache.datasketches.theta.Union =
+    org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+    newUnion()
+
+  override def update(buffer: org.apache.datasketches.theta.Union,
+                      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(b1: org.apache.datasketches.theta.Union,
+                     b2: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+    b1.union(b2.getResult)
+    b1
+  }
+
+  override def eval(buffer: org.apache.datasketches.theta.Union): Any =
+    buffer.getResult.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.theta.Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = newUnion()
+    u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaAgg =
+    copy(child = newChild)
+}
+
+/** Static helpers for the Theta scalar readers. */
+object ThetaKernels {
+  private def wrap(b: Array[Byte]) =
+    org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** Rounded estimate — exact-integer in the θ = 1 regime. */
+  def estimate(sketch: Array[Byte]): Long =
+    Math.round(wrap(sketch).getEstimate)
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val i = org.apache.datasketches.theta.SetOperation.builder()
+      .buildIntersection()
+    i.intersect(wrap(a))
+    i.intersect(wrap(b))
+    i.getResult.toByteArray
+  }
+
+  def aNotB(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val d = org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+    d.setA(wrap(a))
+    d.notB(wrap(b))
+    d.getResult(true, null, true).toByteArray
+  }
+
+  def union2(a: Array[Byte], b: Array[Byte], lgK: Int): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+    u.union(wrap(a))
+    u.union(wrap(b))
+    u.getResult.toByteArray
+  }
+}
+
+/** `theta_estimate(sketch)`: rounded distinct estimate. */
+case class ThetaEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "theta_estimate"
+  override def nullSafeEval(v: Any): Any =
+    ThetaKernels.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ThetaKernels.estimate($c)")
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(c)
+}
+
+/** `theta_intersect(a, b)`: sketch of A ∩ B. */
+case class ThetaIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.intersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaKernels.intersect($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaIntersect =
+    copy(left = l, right = r)
+}
+
+/** `theta_anotb(a, b)`: sketch of A \ B. */
+case class ThetaANotB(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_anotb"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.aNotB(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaKernels.aNotB($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaANotB =
+    copy(left = l, right = r)
+}
+
+/** `theta_union2(a, b, lgK)`: sketch of A ∪ B. */
+case class ThetaUnion2(left: Expression, right: Expression, lgK: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaKernels.union2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], lgK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaKernels.union2($a, $b, $lgK)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaUnion2 =
+    copy(left = l, right = r)
+}

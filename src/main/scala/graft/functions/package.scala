@@ -138,6 +138,27 @@ package object functions {
   /** Absorbed-value count of a serialized KLL sketch. */
   def kll_n(sketch: Column): Column = col2(KllN(ex(sketch)))
 
+  /** Mergeable Theta sketch over a string column — the distinct-count
+    * sketch that supports SET OPERATIONS (intersection, difference) on
+    * sketches; exact below 2^lgK distinct values. */
+  def theta_agg(c: Column, lgK: Int = 14): Column =
+    col2(ThetaAgg(ex(c), lgK).toAggregateExpression())
+
+  /** Rounded distinct estimate of a Theta sketch (exact in θ=1). */
+  def theta_estimate(sk: Column): Column = col2(ThetaEstimate(ex(sk)))
+
+  /** Sketch of A ∩ B from two Theta sketches. */
+  def theta_intersect(a: Column, b: Column): Column =
+    col2(ThetaIntersect(ex(a), ex(b)))
+
+  /** Sketch of A \ B from two Theta sketches. */
+  def theta_anotb(a: Column, b: Column): Column =
+    col2(ThetaANotB(ex(a), ex(b)))
+
+  /** Sketch of A ∪ B from two Theta sketches. */
+  def theta_union2(a: Column, b: Column, lgK: Int = 14): Column =
+    col2(ThetaUnion2(ex(a), ex(b), lgK))
+
   /** Point-frequency estimate from a [[count_min_agg]] sketch — min
     * over the depth rows of the probed cells. Pure composed built-ins
     * unrolled over depth (the cell hash is Spark's own seeded

@@ -120,4 +120,41 @@ object Sketch {
         when(col("bucket") >= 63, lit(Long.MaxValue))
           .otherwise(expr("shiftleft(1L, cast(bucket as int)) - 1L")).as("hi"))
   }
+
+  /** R49: corpus-overlap matrix via Theta set-operation sketches —
+    * the release-to-release question HLL structurally cannot answer:
+    * |A ∩ B| ("how much do releases/sources share"), |A \ B| ("how
+    * much is new"), and the Jaccard they imply, WITHOUT ever joining
+    * the underlying sets. One corpus pass builds a sketch per group
+    * (map-side combined partial aggregation); everything after —
+    * pairwise intersections, differences, unions — happens on the
+    * S-row sketch frame (S² pairs of kilobyte sketches; corpus size
+    * is GONE from the cost model, the L85b discipline with exact-set
+    * semantics instead of shingle resemblance). Sketches persist and
+    * merge, so per-day sketches answer any release pair forever.
+    *
+    * Exact regime (the oracle trick): per-group distinct keys ≤ 2^lgK
+    * keeps θ = 1 — every estimate is the exact cardinality and the
+    * whole matrix hash-oracles; at 100 TB the same code degrades to
+    * the published ~1/√(2^lgK) relative error. */
+  def overlapMatrix(df: DataFrame, grpCol: String, keyCol: String,
+                    lgK: Int = 14): DataFrame = {
+    import graft.functions._
+    val sk = df.groupBy(col(grpCol).as("grp"))
+      .agg(theta_agg(col(keyCol).cast("string"), lgK).as("sk"))
+    val a = sk.select(col("grp").as("grp_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("grp").as("grp_b"), col("sk").as("sk_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        theta_estimate(col("sk_a")).as("n_a"),
+        theta_estimate(col("sk_b")).as("n_b"),
+        theta_estimate(theta_union2(col("sk_a"), col("sk_b"), lgK))
+          .as("n_union"),
+        theta_estimate(theta_intersect(col("sk_a"), col("sk_b")))
+          .as("n_inter"),
+        theta_estimate(theta_anotb(col("sk_a"), col("sk_b")))
+          .as("n_a_not_b"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000L div greatest(n_union, 1L)"))
+  }
 }

@@ -1062,6 +1062,22 @@ object CurationQueries {
       rn.unionByName(par).orderBy("split")
     },
 
+    // R49: Theta-sketch overlap matrix — |A∩B| / |A\B| / Jaccard for
+    // every source pair from one corpus pass + S-row sketch algebra
+    // (the set-operation question HLL cannot answer). Keys are
+    // 3-token shingles (source jaccards 0.01–0.08 at gate SF — the
+    // flat word vocabulary is shared across every source and would be
+    // degenerate); ~1300 shingles per source sit far under 2^14, so
+    // θ = 1 and every estimate is the exact cardinality — fully
+    // hash-oracled against DuckDB's literal set arithmetic.
+    "q_theta_overlap" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.shingles(col("text"), 3)).as("sh"))
+      graft.operators.Sketch.overlapMatrix(sh, "source", "sh", lgK = 14)
+        .orderBy("grp_a", "grp_b")
+    },
+
     // L96: memorization-canary roundtrip — deterministic injection
     // (doc_id slot rule, every 10th doc per canary) + one-AC-scan
     // audit on BOTH the injected corpus (planted rates land) and the
@@ -2434,6 +2450,42 @@ object CurationQueries {
         |SELECT rank, r.doc_id, d.lang, n_feats, score_q
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // R49 twin: literal set arithmetic over distinct (source, shingle)
+    // pairs — the θ=1 regime makes the sketch matrix exactly this.
+    // Shingle rule shared with q_novelty (< 3 tokens → whole text).
+    "q_theta_overlap" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT source AS g, tok FROM (
+        |    SELECT source,
+        |      UNNEST(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |        ELSE list_transform(range(1, len(t) - 1),
+        |          i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)
+        |        AS tok
+        |    FROM (SELECT source,
+        |            list_filter(string_split(text, ' '),
+        |              x -> len(x) > 0) AS t
+        |          FROM documents) WHERE len(t) > 0)),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY g),
+        |inter AS (
+        |  SELECT x.g AS ga, y.g AS gb, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.g < y.g
+        |  GROUP BY x.g, y.g),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb FROM sizes a JOIN sizes b ON a.g < b.g)
+        |SELECT p.ga AS grp_a, p.gb AS grp_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  sa.n + sb.n - COALESCE(i.ni, 0) AS n_union,
+        |  COALESCE(i.ni, 0) AS n_inter,
+        |  sa.n - COALESCE(i.ni, 0) AS n_a_not_b,
+        |  CAST(COALESCE(i.ni, 0) * 1000000
+        |    // GREATEST(sa.n + sb.n - COALESCE(i.ni, 0), 1) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pairs p
+        |JOIN sizes sa ON p.ga = sa.g
+        |JOIN sizes sb ON p.gb = sb.g
+        |LEFT JOIN inter i ON p.ga = i.ga AND p.gb = i.gb
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     // L96 twin: injection replayed from the doc_id slot rule, then
     // HONEST substring detection on both stages (non-overlapping

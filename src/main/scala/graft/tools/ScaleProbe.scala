@@ -156,7 +156,11 @@ object ScaleProbe {
     // r13 session 4: two BM25 rounds + a feedback-bounded candidate
     // aggregate (term frames query-bounded; corpus tokenized per
     // round off the scan — the indexed path is the 100 TB route)
-    "q_prf_search")
+    "q_prf_search",
+    // r13 session 4: one sketch-building corpus pass + S-row sketch
+    // algebra (suffixed replica shingles multiply per-source sets;
+    // the pairwise stage is corpus-free)
+    "q_theta_overlap")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -294,4 +294,52 @@ class SketchSpec extends SparkSpec {
     // day 2 has no row (not in the day domain)
     assert(got == Map(0L -> 2L, 1L -> 2L, 3L -> 2L))
   }
+
+  test("theta overlap: exact-regime set algebra, partition invariance, approx error") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // planted groups with known overlaps: A = 0..99, B = 50..149,
+    // C = 200..299 (disjoint from both)
+    val rows = (0 to 99).map(i => ("A", s"k$i")) ++
+      (50 to 149).map(i => ("B", s"k$i")) ++
+      (200 to 299).map(i => ("C", s"k$i"))
+    val df = rows.toDF("g", "k")
+    val m = Sketch.overlapMatrix(df, "g", "k", lgK = 12)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = m(("A", "B"))
+    assert(ab.getAs[Long]("n_a") == 100L && ab.getAs[Long]("n_b") == 100L)
+    assert(ab.getAs[Long]("n_inter") == 50L &&
+      ab.getAs[Long]("n_union") == 150L &&
+      ab.getAs[Long]("n_a_not_b") == 50L)
+    assert(ab.getAs[Long]("jaccard_ppm") == 50L * 1000000L / 150L)
+    // disjoint pair: zero intersection, A\B = A
+    val ac = m(("A", "C"))
+    assert(ac.getAs[Long]("n_inter") == 0L &&
+      ac.getAs[Long]("n_a_not_b") == 100L &&
+      ac.getAs[Long]("jaccard_ppm") == 0L)
+    // set algebra holds exactly in the theta=1 regime:
+    // |A∩B| + |A\B| = |A| and |A|+|B|-|A∩B| = |A∪B| on every pair
+    m.values.foreach { r =>
+      assert(r.getAs[Long]("n_inter") + r.getAs[Long]("n_a_not_b") ==
+        r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+        r.getAs[Long]("n_inter") == r.getAs[Long]("n_union"))
+    }
+    // duplicates and partitioning change nothing (sketches are sets)
+    val dup = Sketch.overlapMatrix(
+        df.unionByName(df).repartition(7), "g", "k", lgK = 12)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    m.foreach { case (k, r) => assert(dup(k) == r.toSeq) }
+    // approximate regime stays honest: lgK=4 (16 nominal entries)
+    // over 20k distinct values lands within a loose multiple of the
+    // published ~1/sqrt(2^lgK) relative standard error
+    val big = (0 until 20000).map(i => ("X", s"v$i")) ++
+      (10000 until 30000).map(i => ("Y", s"v$i"))
+    val bm = Sketch.overlapMatrix(big.toDF("g", "k"), "g", "k", lgK = 4)
+      .collect().head
+    val estA = bm.getAs[Long]("n_a").toDouble
+    assert(math.abs(estA - 20000.0) / 20000.0 < 1.0,
+      s"lgK=4 estimate $estA wildly off 20000")
+  }
 }
