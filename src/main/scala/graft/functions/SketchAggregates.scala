@@ -595,3 +595,44 @@ case class ThetaUnion2(left: Expression, right: Expression, lgK: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaUnion2 =
     copy(left = l, right = r)
 }
+
+/** `cm_inner_product(a, b, depth, width)`: join-size estimate from two
+  * [[CountMinAgg]] sketches — min over hash rows of the cellwise
+  * inner product Σ_j a[i][j]·b[i][j], the classic AGMS/count-min
+  * result: an UPPER bound on Σ_k f_a(k)·f_b(k) = |A ⋈ B| within
+  * ε·N_a·N_b (ε = e/width), exact when at least one hash row maps the
+  * two key multisets collision-free. Pre-flight join sizing from
+  * persistable, mergeable per-table sketches: no data joins, no scan
+  * at decision time. */
+case class CmInnerProduct(left: Expression, right: Expression,
+                          depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  // CodegenFallback: evaluated once per (pair of 1-row sketch frames)
+  // — a cold-path scalar, never in a per-row hot loop
+  require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_inner_product"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    require(av.numElements() == depth * width &&
+      bv.numElements() == depth * width,
+      s"cm_inner_product expects $depth*$width cells")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) {
+        s += av.getLong(i * width + j) * bv.getLong(i * width + j)
+        j += 1
+      }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmInnerProduct =
+    copy(left = l, right = r)
+}

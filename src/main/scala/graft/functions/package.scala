@@ -159,6 +159,11 @@ package object functions {
   def theta_union2(a: Column, b: Column, lgK: Int = 14): Column =
     col2(ThetaUnion2(ex(a), ex(b), lgK))
 
+  /** Join-size estimate (upper bound; exact when a hash row is
+    * collision-free) from two [[count_min_agg]] sketches. */
+  def cm_inner_product(a: Column, b: Column, depth: Int, width: Int): Column =
+    col2(CmInnerProduct(ex(a), ex(b), depth, width))
+
   /** Point-frequency estimate from a [[count_min_agg]] sketch — min
     * over the depth rows of the probed cells. Pure composed built-ins
     * unrolled over depth (the cell hash is Spark's own seeded

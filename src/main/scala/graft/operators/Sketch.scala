@@ -137,6 +137,32 @@ object Sketch {
     * keeps θ = 1 — every estimate is the exact cardinality and the
     * whole matrix hash-oracles; at 100 TB the same code degrades to
     * the published ~1/√(2^lgK) relative error. */
+  /** R50: pre-flight join-size estimation from count-min sketches —
+    * |A ⋈_k B| = Σ_k f_A(k)·f_B(k) estimated as the min-over-rows
+    * cellwise inner product of the two tables' CM sketches (AGMS /
+    * Cormode-Muthukrishnan): an upper bound within ε·N_A·N_B, EXACT
+    * whenever one hash row maps both key multisets collision-free.
+    * The sizing answer an optimizer (or a human gating a 100 TB
+    * join) needs BEFORE running it, from persistable mergeable
+    * per-table sketches — per-day sketches vector_sum to any grain,
+    * no data joins, no scan at decision time. One map-side-combined
+    * pass per table; the product runs on two 1-row sketch frames. */
+  def joinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame,
+                       keyB: String, depth: Int = 5,
+                       width: Int = 2048): DataFrame = {
+    import graft.functions._
+    val sa = a.agg(
+      count_min_agg(col(keyA).cast("string"), depth, width).as("ska"),
+      count(col(keyA)).as("n_a"))
+    val sb = b.agg(
+      count_min_agg(col(keyB).cast("string"), depth, width).as("skb"),
+      count(col(keyB)).as("n_b"))
+    sa.crossJoin(sb)
+      .select(col("n_a"), col("n_b"),
+        cm_inner_product(col("ska"), col("skb"), depth, width)
+          .as("est_join_rows"))
+  }
+
   def overlapMatrix(df: DataFrame, grpCol: String, keyCol: String,
                     lgK: Int = 14): DataFrame = {
     import graft.functions._

@@ -1062,6 +1062,19 @@ object CurationQueries {
       rn.unionByName(par).orderBy("split")
     },
 
+    // R50: pre-flight join-size estimation from CM sketches — the
+    // sizing answer an optimizer needs BEFORE running a 100 TB join,
+    // from two persistable 1-row sketches. Exact-regime gate (the
+    // q_count_min rule): 25 nation keys vs width 2048 leave at least
+    // one collision-free hash row, so the min-row inner product
+    // EQUALS the true join size and the DuckDB exact-Σ(fa·fb) replay
+    // hash-proves the estimator end to end.
+    "q_join_size_est" -> { (s, dir) =>
+      graft.operators.Sketch.joinSizeEstimate(
+        t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "supplier"), "s_nationkey", depth = 5, width = 2048)
+    },
+
     // R49: Theta-sketch overlap matrix — |A∩B| / |A\B| / Jaccard for
     // every source pair from one corpus pass + S-row sketch algebra
     // (the set-operation question HLL cannot answer). Keys are
@@ -2450,6 +2463,19 @@ object CurationQueries {
         |SELECT rank, r.doc_id, d.lang, n_feats, score_q
         |FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
         |WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // R50 twin: the exact join size Σ fa·fb — what the collision-free
+    // min-row inner product equals in the exact regime.
+    "q_join_size_est" ->
+      """WITH ca AS (
+        |  SELECT c_nationkey AS k, COUNT(*) AS fa FROM customer GROUP BY 1),
+        |sb AS (
+        |  SELECT s_nationkey AS k, COUNT(*) AS fb FROM supplier GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(COUNT(c_nationkey) AS BIGINT) FROM customer) AS n_a,
+        |  (SELECT CAST(COUNT(s_nationkey) AS BIGINT) FROM supplier) AS n_b,
+        |  CAST(SUM(fa * fb) AS BIGINT) AS est_join_rows
+        |FROM ca JOIN sb USING (k)""".stripMargin,
 
     // R49 twin: literal set arithmetic over distinct (source, shingle)
     // pairs — the θ=1 regime makes the sketch matrix exactly this.

@@ -295,6 +295,33 @@ class SketchSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 2L, 3L -> 2L))
   }
 
+  test("joinSizeEstimate: exact on clean rows, never undercounts, delta-mergeable") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // planted multisets with a known join size:
+    // A = {x:3, y:2, z:1}, B = {x:2, z:5, w:4} -> 3*2 + 1*5 = 11
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(5)("z") ++ Seq.fill(4)("w")).toDF("k")
+    val r = Sketch.joinSizeEstimate(a, "k", b, "k", depth = 5, width = 64)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 6L && r.getAs[Long]("n_b") == 11L)
+    assert(r.getAs[Long]("est_join_rows") == 11L)
+    // the CM inner product NEVER undercounts under forced collisions
+    // (width 2 over 4 distinct keys: rows collide; the bound holds)
+    val crushed = Sketch.joinSizeEstimate(a, "k", b, "k", depth = 2, width = 2)
+      .collect().head
+    assert(crushed.getAs[Long]("est_join_rows") >= 11L &&
+      crushed.getAs[Long]("est_join_rows") <= 66L)
+    // disjoint keys estimate 0 in the clean regime
+    val c = Seq("p", "q").toDF("k")
+    assert(Sketch.joinSizeEstimate(a, "k", c, "k", 5, 64)
+      .collect().head.getAs[Long]("est_join_rows") == 0L)
+    // partition invariance (deterministic hashes)
+    val rep = Sketch.joinSizeEstimate(a.repartition(5), "k",
+      b.repartition(3), "k", 5, 64).collect().head
+    assert(rep.toSeq == r.toSeq)
+  }
+
   test("theta overlap: exact-regime set algebra, partition invariance, approx error") {
     import spark.implicits._
     import graft.operators.Sketch
