@@ -636,3 +636,65 @@ case class CmInnerProduct(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmInnerProduct =
     copy(left = l, right = r)
 }
+
+/** `theta_union_agg(sketch, lgK)`: fold serialized [[ThetaAgg]]
+  * sketches into one — the rollup side of the mergeable theta store
+  * (per-day sketches union to any grain without rescanning keys). */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(lgK >= 4 && lgK <= 26, s"theta_union_agg needs 4 <= lgK <= 26, got $lgK")
+
+  // return type inferred: AbstractDataType is private[sql]
+  override def inputTypes = Seq(BinaryType)
+
+  private def newUnion(): org.apache.datasketches.theta.Union =
+    org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+    newUnion()
+
+  override def update(buffer: org.apache.datasketches.theta.Union,
+                      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) buffer.union(
+      org.apache.datasketches.theta.Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(b1: org.apache.datasketches.theta.Union,
+                     b2: org.apache.datasketches.theta.Union): org.apache.datasketches.theta.Union = {
+    b1.union(b2.getResult)
+    b1
+  }
+
+  override def eval(buffer: org.apache.datasketches.theta.Union): Any =
+    buffer.getResult.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.theta.Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = newUnion()
+    u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}

@@ -164,6 +164,10 @@ package object functions {
   def cm_inner_product(a: Column, b: Column, depth: Int, width: Int): Column =
     col2(CmInnerProduct(ex(a), ex(b), depth, width))
 
+  /** Fold serialized [[theta_agg]] sketches into one. */
+  def theta_union_agg(c: Column, lgK: Int = 14): Column =
+    col2(ThetaUnionAgg(ex(c), lgK).toAggregateExpression())
+
   /** Point-frequency estimate from a [[count_min_agg]] sketch — min
     * over the depth rows of the probed cells. Pure composed built-ins
     * unrolled over depth (the cell hash is Spark's own seeded

@@ -700,6 +700,55 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13ab: streaming Theta-store maintenance — the R49 overlap
+    * matrix kept current per trigger: "how much do the sources we're
+    * ingesting RIGHT NOW share" without rescanning history. Same
+    * replay discipline as C13y/z/aa: each micro-batch's per-group
+    * Theta sketches commit to their own idempotent partition
+    * (`sketchPath/batch=N`); the running per-group sketch is
+    * `theta_agg`-of-unions over partitions ≤ the batch (a set-union
+    * theorem — DedupSpec-style mergeability is the Theta contract),
+    * and the pairwise overlap matrix lands per trigger. Per-trigger
+    * state read is groups × batches sketch rows, never raw keys. */
+  def thetaMonitorStream(rows: DataFrame, grpCol: String, keyCol: String,
+                         sketchPath: String, outPath: String,
+                         checkpoint: String, lgK: Int = 14)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Sketch
+        val spark = batch.sparkSession
+        batch.toDF()
+          .groupBy(col(grpCol).as("grp"))
+          .agg(graft.functions.theta_agg(col(keyCol).cast("string"), lgK)
+            .as("sk"))
+          .write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
+        val upTo = spark.read.parquet(sketchPath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+        // fold each group's per-batch sketches, then expose the
+        // matrix through the same pairwise algebra as the batch twin
+        val folded = upTo.groupBy("grp")
+          .agg(graft.functions.theta_union_agg(col("sk"), lgK).as("sk"))
+        val a = folded.select(col("grp").as("grp_a"), col("sk").as("sk_a"))
+        val b = folded.select(col("grp").as("grp_b"), col("sk").as("sk_b"))
+        a.join(b, col("grp_a") < col("grp_b"))
+          .select(col("grp_a"), col("grp_b"),
+            graft.functions.theta_estimate(col("sk_a")).as("n_a"),
+            graft.functions.theta_estimate(col("sk_b")).as("n_b"),
+            graft.functions.theta_estimate(
+              graft.functions.theta_union2(col("sk_a"), col("sk_b"), lgK))
+              .as("n_union"),
+            graft.functions.theta_estimate(
+              graft.functions.theta_intersect(col("sk_a"), col("sk_b")))
+              .as("n_inter"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
   case class FunnelState(times: Seq[Long])
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)

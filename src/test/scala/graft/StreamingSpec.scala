@@ -655,6 +655,56 @@ class StreamingSpec extends SparkSpec {
     assert(replayed === twin, "a replayed batch must not double-count")
   }
 
+  test("streaming theta monitor: running overlap matrix equals the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = table("documents")
+      .select(col("source"),
+        explode(graft.functions.shingles(col("text"), 3)).as("sh"))
+    val rows = Seq("src0", "src1", "src2").flatMap { src =>
+      base.filter(col("source") === src).orderBy("sh").limit(100)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }.toArray
+    val mem = MemoryStream[(String, String)]
+    val out = Files.createTempDirectory("theta_out").toString
+    val ckpt = Files.createTempDirectory("theta_ck").toString
+    val state = Files.createTempDirectory("theta_state").toString
+    val q = QueueStreaming.thetaMonitorStream(
+      mem.toDF().toDF("source", "sh"), "source", "sh", state, out, ckpt)
+    mem.addData(rows.take(150).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(150).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // trigger-2 running matrix = the batch twin over the union corpus
+    // (exact regime: distinct shingles << 2^14)
+    val got = spark.read.parquet(s"$out/batch=1").drop("batch_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_union"), r.getAs[Long]("n_inter"))).toMap
+    val twin = graft.operators.Sketch.overlapMatrix(
+        rows.toSeq.toDF("source", "sh"), "source", "sh")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_union"), r.getAs[Long]("n_inter"))).toMap
+    assert(got == twin, "streamed matrix diverged from the batch twin")
+    assert(got.nonEmpty)
+    // replay safety: rewriting batch 1's own partition changes nothing
+    rows.drop(150).toSeq.toDF("source", "sh")
+      .groupBy(col("source").as("grp"))
+      .agg(graft.functions.theta_agg(col("sh").cast("string"), 14).as("sk"))
+      .write.mode("overwrite").parquet(s"$state/batch=1")
+    val refolded = spark.read.parquet(state)
+      .groupBy("grp")
+      .agg(graft.functions.theta_union_agg(col("sk"), 14).as("sk"))
+      .select(col("grp"), graft.functions.theta_estimate(col("sk")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case ((ga, _), (na, _, _, _)) =>
+      assert(refolded(ga) == na, s"replayed fold changed $ga") }
+  }
+
   test("streaming quantile monitor: running quantiles equal whole-corpus order statistics") {
     implicit val sq = spark.sqlContext
     import graft.operators.Observe
