@@ -340,4 +340,35 @@ class PlanContractSpec extends SparkSpec {
     assert(maxPerNode(pj, "jl_project_q16(") <= 1,
       s"JL projection re-evaluated within one node:\n$pj")
   }
+
+  test("r13 session-4 plans: TakeOrdered sampling, partitioned KS windows, no cartesians") {
+    // priority sampling: the global top-(k+1) must plan as TakeOrdered
+    // (per-partition top-k then merge), never a global Sort of the
+    // corpus feeding a Limit
+    val ps = plan("q_priority_sample")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"priority sample must TakeOrdered, not global-sort:\n$ps")
+    // KS drift: the PrefixSum claim — every corpus-sized window is
+    // partitioned (the k+1-row rank windows of OTHER ops are exempt;
+    // this plan has none). An unpartitioned 'Window [' with an empty
+    // partition spec prints as 'windowspecdefinition(' without a
+    // leading partition column list — assert via the WindowExec form.
+    val ks = SparkEntry.queries("q_ks_drift")(spark, sfDir)
+      .queryExecution.executedPlan
+    val badWindows = ks.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty,
+      s"KS sup must ride bucketed prefix sums, not a global window:\n$ks")
+    // theta overlap / join-size / PRF: no cartesian products anywhere
+    // (their crossJoins are 1-row broadcast stats frames, which plan
+    // as BroadcastNestedLoopJoin)
+    Seq("q_theta_overlap", "q_join_size_est", "q_prf_search",
+        "q_canary_audit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian:\n$p")
+    }
+  }
 }
