@@ -58,4 +58,42 @@ object AsOf {
     matched.select(left.columns.toIndexedSeq.map(col) ++
       payloadCols.map(c => col(s"__m.$c").as(s"$outPrefix$c")): _*)
   }
+
+  /** R51: point-in-time dimension join — every fact row joined to the
+    * dimension VERSION that was valid at the fact's timestamp (the
+    * feature-store / data-warehouse classic over an SCD2 history:
+    * valid_from ≤ t < valid_to, open current version = null
+    * valid_to). Train/serve skew in feature pipelines is exactly a
+    * botched PIT join (joining today's dim values onto yesterday's
+    * facts), so the operator exists as a NAMED primitive instead of a
+    * hand-rolled range join.
+    *
+    * Implementation is the [[join]] union+window as-of shape — one
+    * shuffle on the keys, no interval cross-join: the as-of match on
+    * `validFrom` picks the version with the latest start ≤ t, which
+    * for a TILED history (SCD2: next valid_from = previous valid_to,
+    * the R32 builder's shape) IS the containing version; the
+    * `validTo` gap filter then nulls out matches that fall in HOLES
+    * of a non-tiled history instead of silently attributing them to
+    * the previous version. Left-outer: facts before the first
+    * version (or in a hole) keep null payloads. Contract: (keys,
+    * validFrom) unique — the R32 builder guarantees strictly
+    * increasing starts per key. */
+  def pointInTime(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+                  factTs: String, validFrom: String, validTo: String,
+                  payloadCols: Seq[String],
+                  outPrefix: String = "pit_"): DataFrame = {
+    require(!payloadCols.contains(validTo),
+      s"payloadCols must not include $validTo (carried internally)")
+    val f2 = facts.withColumn("__pit_tie", col(factTs))
+    val d2 = dims.withColumn("__pit_tie", col(validFrom))
+    val j = join(f2, d2, keys, factTs, validFrom, "__pit_tie",
+      payloadCols :+ validTo, outPrefix)
+    val ok = col(s"$outPrefix$validTo").isNull ||
+      col(factTs) < col(s"$outPrefix$validTo")
+    payloadCols.foldLeft(j) { (d, c) =>
+        d.withColumn(s"$outPrefix$c", when(ok, col(s"$outPrefix$c")))
+      }
+      .drop(s"$outPrefix$validTo", "__pit_tie")
+  }
 }

@@ -831,6 +831,34 @@ object AnalyticsQueries {
         .orderBy("user_id", "version")
     },
 
+    // R51: point-in-time dimension join — each purchase joined to the
+    // SCD2 version (the R32 regimes) valid at its timestamp; the
+    // feature-store primitive whose absence is train/serve skew. One
+    // as-of shuffle on user_id, no interval cross-join; fully
+    // hash-oracled (argmax-validFrom + validTo replay, LEFT-joined so
+    // unmatched facts survive with nulls on both engines).
+    "q_pit_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = ev
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("chg", when(lag("event_type", 1).over(w).isNull ||
+          col("event_type") =!= lag("event_type", 1).over(w), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(w))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("event_type"),
+          min(expr("ts div 1000")).as("valid_from"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      val scd = runs
+        .withColumn("valid_to", lead("valid_from", 1).over(wv))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t"))
+      graft.operators.AsOf.pointInTime(facts, scd, Seq("user_id"), "t",
+          "valid_from", "valid_to", Seq("version", "event_type"))
+        .orderBy("user_id", "event_id")
+    },
+
     // R33: bloom-pruned join — a selective dim (p_size = 1, ~2% of
     // parts) joins the lineitem fact; the fact side is prefiltered
     // MAP-SIDE by a bloom filter of the dim keys before paying the join
@@ -1097,6 +1125,52 @@ object AnalyticsQueries {
         |FROM runs
         |WINDOW wv AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+
+    // R51 twin: argmax valid_from ≤ t per fact, the half-open validTo
+    // rule, LEFT-joined so unmatched facts survive with nulls.
+    "q_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, tns,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |              OR event_type <> LAG(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, tns,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |      AS BIGINT) AS version
+        |  FROM m),
+        |runs AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |    MIN(tns // 1000) AS valid_from
+        |  FROM v GROUP BY user_id, version),
+        |scd AS (
+        |  SELECT user_id, version, event_type, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |      AS valid_to
+        |  FROM runs),
+        |f AS (
+        |  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |best AS (
+        |  SELECT user_id, event_id, t, version, event_type, valid_to FROM (
+        |    SELECT f.user_id, f.event_id, f.t, s.version, s.event_type,
+        |      s.valid_to,
+        |      ROW_NUMBER() OVER (PARTITION BY f.user_id, f.event_id
+        |        ORDER BY s.valid_from DESC) AS rk
+        |    FROM f JOIN scd s
+        |      ON f.user_id = s.user_id AND s.valid_from <= f.t)
+        |  WHERE rk = 1)
+        |SELECT f.user_id, f.event_id, f.t,
+        |  CASE WHEN b.valid_to IS NULL OR f.t < b.valid_to
+        |       THEN b.version END AS pit_version,
+        |  CASE WHEN b.valid_to IS NULL OR f.t < b.valid_to
+        |       THEN b.event_type END AS pit_event_type
+        |FROM f LEFT JOIN best b
+        |  ON f.user_id = b.user_id AND f.event_id = b.event_id
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT p.p_brand, COUNT(*) AS n_items,

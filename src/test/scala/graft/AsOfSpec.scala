@@ -35,4 +35,47 @@ class AsOfSpec extends SparkSpec {
       (10L, Some(2L)), // ts 100 - 98 = 2 <= 5: kept
       (11L, None)))    // ts 50 - 40 = 10 > 5: expired
   }
+
+  test("pointInTime: half-open validity, holes null out, before-first null") {
+    // dim history for key 1: v1 [10, 20), v2 [20, 30), HOLE [30, 50),
+    // v3 [50, null) — a deliberately non-tiled history
+    val dims = Seq(
+      (1L, 1L, "a", 10L, Some(20L)),
+      (1L, 2L, "b", 20L, Some(30L)),
+      (1L, 3L, "c", 50L, None: Option[Long])
+    ).toDF("k", "version", "attr", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, 100L, 5L),   // before first version -> null
+      (1L, 101L, 10L),  // == v1.valid_from -> v1 (inclusive start)
+      (1L, 102L, 19L),  // inside v1
+      (1L, 103L, 20L),  // == v1.valid_to -> v2 (exclusive end)
+      (1L, 104L, 35L),  // in the HOLE -> null, not v2
+      (1L, 105L, 50L),  // v3 start
+      (1L, 106L, 999L), // open current version
+      (2L, 107L, 15L)   // key with no history -> null
+    ).toDF("k", "fid", "t")
+    val out = AsOf.pointInTime(facts, dims, Seq("k"), "t",
+        "valid_from", "valid_to", Seq("version", "attr"))
+      .collect()
+      .map(r => r.getAs[Long]("fid") ->
+        Option(r.getAs[java.lang.Long]("pit_version")).map(_.toLong)).toMap
+    assert(out == Map(
+      100L -> None, 101L -> Some(1L), 102L -> Some(1L), 103L -> Some(2L),
+      104L -> None, 105L -> Some(3L), 106L -> Some(3L), 107L -> None))
+    // attr payload nulls in lockstep with version
+    val attrs = AsOf.pointInTime(facts, dims, Seq("k"), "t",
+        "valid_from", "valid_to", Seq("version", "attr"))
+      .collect()
+      .map(r => r.getAs[Long]("fid") ->
+        Option(r.getAs[String]("pit_attr"))).toMap
+    assert(attrs(104L).isEmpty && attrs(103L).contains("b") &&
+      attrs(106L).contains("c"))
+    // partition invariance
+    val rep = AsOf.pointInTime(facts.repartition(5), dims.repartition(3),
+        Seq("k"), "t", "valid_from", "valid_to", Seq("version", "attr"))
+      .collect()
+      .map(r => r.getAs[Long]("fid") ->
+        Option(r.getAs[java.lang.Long]("pit_version")).map(_.toLong)).toMap
+    assert(rep == out)
+  }
 }
