@@ -749,6 +749,44 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13ac: streaming priority-sample maintenance — a BOUNDED
+    * calibrated sample (L98) of an UNBOUNDED ingest, kept current per
+    * trigger: the streaming answer to "hold a 10⁵-row weighted sample
+    * of everything we have ever ingested" that reservoir schemes give
+    * up exactness for. Mergeability is the priority-sampling theorem:
+    * any globally-top-(k+1)-priority item is in its own batch's
+    * top-(k+1), so per-batch top-(k+1) CANDIDATE rows (key, w — the
+    * md5-derived priorities are re-derived on fold, deterministic)
+    * committed to idempotent partitions (the C13k replay discipline)
+    * are a sufficient state, and the running sample is
+    * [[graft.operators.Mix.prioritySample]] over their union.
+    * Per-trigger state read is batches × (k+1) narrow rows, never the
+    * ingest history. Contract: keys unique across the stream (a
+    * replayed batch rewrites its own partition; the fold also dedups
+    * (key, w) defensively). */
+  def prioritySampleStream(rows: DataFrame, keyCol: String,
+                           weightCol: String, k: Int, samplePath: String,
+                           outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Mix
+        val spark = batch.sparkSession
+        Mix.prioritySample(batch.toDF(), keyCol, weightCol, k + 1)
+          .select(col("key"), col("w"))
+          .write.mode("overwrite").parquet(s"$samplePath/batch=$batchId")
+        val upTo = spark.read.parquet(samplePath)
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "batch=(\\d+)", 1).cast("long"))
+          .filter(col("__b") <= batchId)
+          .select("key", "w").distinct()
+        Mix.prioritySample(upTo, "key", "w", k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
   case class FunnelState(times: Seq[Long])
   case class FunnelProgress(user_id: Long, stage: Int, stage_ts: Long)

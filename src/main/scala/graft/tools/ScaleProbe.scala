@@ -160,7 +160,10 @@ object ScaleProbe {
     // r13 session 4: one sketch-building corpus pass + S-row sketch
     // algebra (suffixed replica shingles multiply per-source sets;
     // the pairwise stage is corpus-free)
-    "q_theta_overlap")
+    "q_theta_overlap",
+    // r13 session 4: SCD2 build (user-keyed windows — users scale
+    // with the corpus, per-user history constant) + one as-of shuffle
+    "q_pit_join")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -655,6 +655,45 @@ class StreamingSpec extends SparkSpec {
     assert(replayed === twin, "a replayed batch must not double-count")
   }
 
+  test("streaming priority sample: running sample equals the batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val src = table("documents")
+      .select("doc_id", "n_chars").orderBy("doc_id").limit(200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val out = Files.createTempDirectory("psamp_out").toString
+    val ckpt = Files.createTempDirectory("psamp_ck").toString
+    val state = Files.createTempDirectory("psamp_state").toString
+    val q = QueueStreaming.prioritySampleStream(
+      mem.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars",
+      k = 30, state, out, ckpt)
+    mem.addData(src.take(120).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(src.drop(120).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // trigger-2 running sample = the batch twin over everything
+    // streamed (priorities are deterministic functions of the key)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("rk"), r.getAs[Double]("est"))).toMap
+    val got = asMap(spark.read.parquet(s"$out/batch=1")
+      .drop("batch_id").collect())
+    val twin = asMap(graft.operators.Mix.prioritySample(
+      src.toSeq.toDF("doc_id", "n_chars"), "doc_id", "n_chars", 30)
+      .collect())
+    assert(got == twin, "streamed sample diverged from the batch twin")
+    assert(got.size == 30)
+    // trigger-1 output only saw the first batch
+    val t1 = asMap(spark.read.parquet(s"$out/batch=0")
+      .drop("batch_id").collect())
+    val twin1 = asMap(graft.operators.Mix.prioritySample(
+      src.take(120).toSeq.toDF("doc_id", "n_chars"), "doc_id", "n_chars", 30)
+      .collect())
+    assert(t1 == twin1)
+  }
+
   test("streaming theta monitor: running overlap matrix equals the batch twin") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
