@@ -349,6 +349,84 @@ object Kernels {
     inter
   }
 
+  /** L99: winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03 — the MOSS local fingerprinting scheme). One pass:
+    * (1) polynomial rolling hash of every character k-gram over
+    * Unicode CODE POINTS, base 31 mod 1e9+7 — the L11/q_fingerprint
+    * scheme, so the SQL twin replays each gram with the same
+    * list_reduce; (2) sliding-window minima of width w via a
+    * monotonic deque (O(n), not O(n·w)); (3) the distinct minima,
+    * sorted ascending. Guarantee: any substring match of length
+    * ≥ w + k − 1 contributes at least one whole window to both
+    * sides, so the docs share that window's minimum VALUE — the
+    * fingerprint set detects it (no hash collisions assumed beyond
+    * the rolling hash itself). Texts shorter than k hash whole
+    * (1 gram); fewer than w grams form one window; empty text → [].
+    * Ties inside a window pick the same VALUE regardless of
+    * position, so the positional "rightmost-min" rule of the paper
+    * (which only de-duplicates positions) is irrelevant to the
+    * value-set this returns. */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val sl = s.length
+    var nCp = 0
+    var ci = 0
+    while (ci < sl) { nCp += 1; ci += Character.charCount(s.codePointAt(ci)) }
+    if (nCp == 0) return new GenericArrayData(Array.empty[Long])
+    val cps = new Array[Int](nCp)
+    ci = 0; var cj = 0
+    while (ci < sl) {
+      val cp = s.codePointAt(ci); cps(cj) = cp; cj += 1
+      ci += Character.charCount(cp)
+    }
+    val M = 1000000007L
+    val grams: Array[Long] =
+      if (nCp < k) {
+        var h = 0L; var p = 0
+        while (p < nCp) { h = (h * 31 + cps(p)) % M; p += 1 }
+        Array(h)
+      } else {
+        val g = new Array[Long](nCp - k + 1)
+        var pw = 1L; var t = 0
+        while (t < k - 1) { pw = pw * 31 % M; t += 1 }
+        var h = 0L; var p = 0
+        while (p < k) { h = (h * 31 + cps(p)) % M; p += 1 }
+        g(0) = h
+        var q = k
+        while (q < nCp) {
+          h = (((h - cps(q - k) * pw % M + M) % M) * 31 + cps(q)) % M
+          g(q - k + 1) = h
+          q += 1
+        }
+        g
+      }
+    val ng = grams.length
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (ng <= w) {
+      var mn = grams(0); var p = 1
+      while (p < ng) { if (grams(p) < mn) mn = grams(p); p += 1 }
+      set.add(mn)
+    } else {
+      // monotonic deque of indices, values increasing front→back
+      val dq = new Array[Int](ng)
+      var head = 0; var tail = 0 // [head, tail)
+      var p = 0
+      while (p < ng) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        if (dq(head) <= p - w) head += 1
+        if (p >= w - 1) set.add(grams(dq(head)))
+        p += 1
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return 1.0
@@ -1662,6 +1740,31 @@ case class InterGeSorted(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): InterGeSorted =
     copy(first = f, second = s, third = t)
+}
+
+/** Winnowing fingerprint set (sorted distinct window-min k-gram
+  * hashes) — see [[Kernels.winnowFps]]. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1,
+    s"winnow_fps needs k >= 1 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.winnowFps(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
 }
 
 /** Jaccard similarity of two SORTED long arrays via a single merge

@@ -35,6 +35,12 @@ package object functions {
   def jl_project_q16(vec: Column, inDim: Int, outDim: Int): Column =
     col2(JlProjectQ16(ex(vec), inDim, outDim))
   def rolling_hash(text: Column): Column = col2(RollingHash(ex(text)))
+
+  /** Winnowing fingerprint set (Schleimer et al. '03): sorted distinct
+    * window-min character-k-gram rolling hashes; any substring match of
+    * length >= w + k - 1 shares a fingerprint. */
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    col2(WinnowFps(ex(text), k, w))
   def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
   def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))
   def inter_ge_sorted(a: Column, b: Column, minInter: Column): Column =

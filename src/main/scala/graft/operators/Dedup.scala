@@ -462,6 +462,71 @@ object Dedup {
       .select("doc_id1", "doc_id2", "jac")
   }
 
+  /** L99: winnowed-fingerprint overlap pairs — the MOSS matcher
+    * (Schleimer, Wilkerson & Aiken, SIGMOD '03), the LOCAL-match
+    * member of the dedup family: MinHash/SimHash see whole-document
+    * resemblance and containment sees set inclusion, but none of them
+    * guarantees detection of a shared PASSAGE inside two otherwise
+    * different documents. Winnowing does: each doc keeps the distinct
+    * window-min character-k-gram hashes ([[graft.functions.winnow_fps]],
+    * one codegen kernel pass), and any substring match of length
+    * ≥ w + k − 1 forces a shared fingerprint — a positive detection
+    * guarantee with density ~2/(w+1) of the gram count (the paper's
+    * bound), independent of document length ratio.
+    *
+    * Two phases, the house candidate/verify split: candidates come
+    * from the inverted fingerprint postings SELF-JOIN restricted to
+    * fingerprints with df ≤ `maxDf` (a fingerprint shared by half the
+    * corpus is boilerplate — a header, a license block — and its df²
+    * fan-out is exactly the pair blow-up the cap exists to stop; MOSS
+    * drops over-common fingerprints for the same reason). Verify then
+    * counts the EXACT shared-fingerprint total over the full sorted
+    * sets with the early-abort merge kernel — so reported counts are
+    * maxDf-independent; the cap only gates which pairs are surfaced
+    * (pairs whose every shared fingerprint is corpus-boilerplate stay
+    * below the radar BY DESIGN). Returns (id1 < id2, n_shared,
+    * overlap_pm = n_shared·10⁶ div min(|fps1|,|fps2|)).
+    *
+    * Scale: postings are (doc, fp) distinct rows (fingerprint density
+    * ~2/(w+1) per gram keeps them a small fraction of text size); the
+    * df table folds with map-side partials; the self-join cost is
+    * Σ_rare df² — bounded by maxDf² per fingerprint; the verify joins
+    * are narrow sorted-long-array lookups. No all-pairs path at any
+    * corpus size. */
+  def winnowedPairs(docs0: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 16, minShared: Long = 2,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow needs k,w >= 1, got k=$k w=$w")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val docs = Lineage.pinDerived(docs0)
+    // no size() filter on the kernel output: explode drops empty
+    // arrays by itself, and a pushed-down filter would re-evaluate the
+    // kernel inside the Filter condition (predicate pushdown
+    // substitutes through the producing Project)
+    val fps = docs.select(col(idCol).as("id"),
+        winnow_fps(coalesce(col(textCol), lit("")), k, w).as("fps"))
+    val posts = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val dfreq = posts.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val kept = posts.join(dfreq, "fp")
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(fps.select(col("id").as("id1"), col("fps").as("fps1"),
+        size(col("fps")).as("n1")), "id1")
+      .join(fps.select(col("id").as("id2"), col("fps").as("fps2"),
+        size(col("fps")).as("n2")), "id2")
+      .withColumn("n_shared",
+        inter_ge_sorted(col("fps1"), col("fps2"), lit(minShared)))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id1"), col("id2"), col("n_shared"),
+        expr("n_shared * 1000000 div least(n1, n2)").as("overlap_pm"))
+  }
+
   /** L4: SimHash near-dup. The 64-bit fingerprint splits into
     * `maxHamming + 1` bands (pigeonhole: ≤ maxHamming differing bits
     * leave at least one band untouched), so the band join is a

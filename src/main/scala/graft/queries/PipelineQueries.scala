@@ -307,6 +307,42 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L99: winnowing fingerprints (MOSS, Schleimer et al. '03) — the
+    // per-doc profile: distinct window-min 8-gram hashes at w=16, so
+    // any 23-char substring match is guaranteed a shared fingerprint.
+    // Kernel pass is map-side; the profile columns hash-oracle the
+    // whole gram→window-min→distinct chain.
+    "q_winnow" -> { (s, dir) =>
+      // no filter on the kernel output: predicate pushdown substitutes
+      // a filtered alias through the producing Project and re-evaluates
+      // the kernel in the Filter condition (the r12 CollapseProject
+      // lesson's pushdown twin) — empty docs instead surface as
+      // n_fps = 0 rows with null profile slots (lazy CASE WHEN guards
+      // keep ANSI element_at off empty arrays)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          winnow_fps(coalesce(col("text"), lit("")), 8, 16).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"),
+          when(size(col("fps")) > 0,
+            element_at(col("fps"), size(col("fps")))).as("fp_max"),
+          when(size(col("fps")) > 0,
+            aggregate(col("fps"), lit(0L), (a, x) => a + x)).as("fp_sum"))
+        .orderBy("doc_id")
+    },
+
+    // L99b: winnowed-overlap pairs — the MOSS matcher: candidates from
+    // rare-fingerprint postings (df ≤ 8 — boilerplate fingerprints are
+    // excluded from matching by design), verify = exact shared count
+    // over the full sorted sets. Detects shared PASSAGES resemblance
+    // and containment both miss.
+    "q_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 16, minShared = 8L, maxDf = 8L)
+        .orderBy("id1", "id2")
+    },
+
     // L84: sampled near-dup rate — dedup QA at scale: a deterministic
     // 1/8 id-hash sample probed against the whole corpus (one-sided
     // prefix filter, lang-blocked) for a jaccard>=0.9 partner; the
@@ -2336,6 +2372,41 @@ object PipelineQueries {
         |  CAST(inter * 1000000 // (sz1 + sz2 - inter) AS BIGINT) AS jac_micro
         |FROM veri
         |WHERE inter * 10 >= (sz1 + sz2 - inter) * 9
+        |ORDER BY id1, id2""".stripMargin,
+
+    // L99: winnow profile replay — per-position 8-gram rolling hashes
+    // (the L11 base-31 scheme), width-16 window minima, distinct set;
+    // the profile columns pin the whole chain.
+    "q_winnow" ->
+      s"""WITH ${Shared.winnowCteSql}
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  fps[1] AS fp_min, fps[len(fps)] AS fp_max,
+        |  CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // L99b: the MOSS matcher replay — rare-fingerprint postings
+    // (2 <= df <= 8) self-join for candidates, exact shared count over
+    // the full distinct sets for verify.
+    "q_winnow_pairs" ->
+      s"""WITH ${Shared.winnowCteSql},
+        |posts AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+        |dfreq AS (
+        |  SELECT fp FROM posts GROUP BY fp
+        |  HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM posts a JOIN dfreq USING (fp)
+        |  JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id1, c.id2,
+        |    CAST(len(list_intersect(f1.fps, f2.fps)) AS BIGINT) AS n_shared,
+        |    CAST(LEAST(len(f1.fps), len(f2.fps)) AS BIGINT) AS nmin
+        |  FROM cand c
+        |  JOIN f f1 ON f1.doc_id = c.id1
+        |  JOIN f f2 ON f2.doc_id = c.id2)
+        |SELECT id1, id2, n_shared,
+        |  CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
+        |FROM ver WHERE n_shared >= 8
         |ORDER BY id1, id2""".stripMargin,
 
     // L84: the sampled-rate replay — same id-hash sample, exact

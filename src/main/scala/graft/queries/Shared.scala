@@ -63,6 +63,38 @@ private[queries] object Shared {
       |bc AS (SELECT prev, cur, COUNT(*) AS cpc FROM pairs GROUP BY prev, cur),
       |pc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev)""".stripMargin
 
+  /** DuckDB twin of [[graft.functions.Kernels.winnowFps]] at k=8,
+    * w=16 over `documents`: codepoint list → per-position 8-gram
+    * rolling hashes (base 31 mod 1e9+7, the L11 scheme) → width-16
+    * window minima → sorted distinct fingerprint set. CTE prefix
+    * ending in `f(doc_id, fps)` (no leading WITH). */
+  val winnowCteSql: String =
+    """wcp AS (
+      |  SELECT doc_id, list_transform(regexp_extract_all(text, '.'),
+      |    c -> CAST(unicode(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |wg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(cps) = 0 THEN []
+      |         WHEN len(cps) < 8 THEN [list_reduce(
+      |            list_prepend(CAST(0 AS BIGINT), cps),
+      |            (a, b) -> (a * 31 + b) % 1000000007)]
+      |         ELSE list_transform(range(1, len(cps) - 8 + 2),
+      |            i -> list_reduce(
+      |              list_prepend(CAST(0 AS BIGINT), list_slice(cps, i, i + 7)),
+      |              (a, b) -> (a * 31 + b) % 1000000007)) END AS grams
+      |  FROM wcp),
+      |wm AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN []
+      |         WHEN len(grams) <= 16 THEN [list_aggregate(grams, 'min')]
+      |         ELSE list_transform(range(1, len(grams) - 16 + 2),
+      |            j -> list_aggregate(list_slice(grams, j, j + 15), 'min'))
+      |         END AS wins
+      |  FROM wg),
+      |f AS (
+      |  SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM wm)""".stripMargin
+
   /** DuckDB twin of [[bigramScored]]: adds the per-row quantized-q CTE. */
   val bigramScoredCteSql: String = bigramCteSql + """,
       |scored AS (

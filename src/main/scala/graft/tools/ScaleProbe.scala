@@ -163,7 +163,11 @@ object ScaleProbe {
     "q_theta_overlap",
     // r13 session 4: SCD2 build (user-keyed windows — users scale
     // with the corpus, per-user history constant) + one as-of shuffle
-    "q_pit_join")
+    "q_pit_join",
+    // r13 session 5: map-side winnow kernel → postings (density
+    // ~2/(w+1) of gram count) → df-capped self-join (Σ_rare df² ≤
+    // maxDf² per fp) → sorted-set merge verify; no all-pairs path
+    "q_winnow", "q_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

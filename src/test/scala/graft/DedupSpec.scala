@@ -980,4 +980,85 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(col("fused") =!= col("unfused")).isEmpty,
       "fused band hashes diverged from the unfused form")
   }
+
+  // --- L99 winnowing ------------------------------------------------
+
+  /** Straightforward O(n·k + n·w) reference of Kernels.winnowFps. */
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val M = 1000000007L
+    if (cps.isEmpty) return Seq.empty
+    val grams: Array[Long] =
+      if (cps.length < k) Array(cps.foldLeft(0L)((a, c) => (a * 31 + c) % M))
+      else (0 to cps.length - k).map(i =>
+        (i until i + k).foldLeft(0L)((a, j) => (a * 31 + cps(j)) % M)).toArray
+    val nw = math.max(1, grams.length - w + 1)
+    (0 until nw).map(j => grams.slice(j, math.min(grams.length, j + w)).min)
+      .distinct.sorted
+  }
+
+  test("winnow: kernel parity, guarantee at w+k-1, short-text fallback") {
+    import graft.functions.winnow_fps
+    val passage = "0123456789abcdefghijklm" // 23 chars = w + k - 1 at (8,16)
+    val a = "AAAA BBBB CCCC DDDD EEEE FFFF GGGG " + passage + " HHHH IIII"
+    val b = "zzzz yyyy xxxx wwww " + passage + " vvvv uuuu tttt ssss rrrr"
+    val c = "%%%% ^^^^ &&&& **** (((( )))) ==== ++++ [[[[ ]]]] {{{{ }}}}"
+    val rows = Seq((1L, a), (2L, b), (3L, c), (4L, "abc"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"), winnow_fps(col("text"), 8, 16).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // kernel == naive reference on every row
+    Seq(1L -> a, 2L -> b, 3L -> c, 4L -> "abc", 5L -> "").foreach {
+      case (id, s) => assert(got(id) == naiveWinnow(s, 8, 16), s"doc $id")
+    }
+    assert(got(4L).length == 1, "sub-k text must hash whole as one gram")
+    assert(got(5L).isEmpty)
+    // the winnowing guarantee: a shared substring of length w+k-1
+    // forces a shared fingerprint VALUE
+    assert(got(1L).toSet.intersect(got(2L).toSet).nonEmpty,
+      "planted 23-char passage must share a fingerprint")
+    assert(got(1L).toSet.intersect(got(3L).toSet).isEmpty,
+      "disjoint alphabets must not collide")
+    // sorted distinct contract (the verify kernel requires it)
+    assert(got(1L) == got(1L).distinct.sorted)
+  }
+
+  test("winnowed pairs: maxDf hides boilerplate-only pairs, verify counts all") {
+    val boiler = "shared boilerplate header passage common to all docs"
+    val rare = "the rare quoted passage only two documents carry along"
+    def pad(seed: Char) = (0 until 6).map(i => s"$seed$i$seed$i").mkString(" ")
+    val d = Seq(
+      (1L, s"${pad('a')} $boiler ${pad('b')} $rare"),
+      (2L, s"${pad('c')} $boiler ${pad('d')} $rare"),
+      (3L, s"${pad('e')} $boiler ${pad('f')}"),
+      (4L, s"${pad('g')} $boiler ${pad('h')}"),
+      (5L, s"${pad('i')} $boiler ${pad('j')}"))
+      .toDF("doc_id", "text")
+    // boilerplate fps have df=5 > maxDf=3: pairs sharing ONLY those
+    // stay hidden; (1,2) also share the rare passage (df=2) → surfaced
+    val out = Dedup.winnowedPairs(d, "doc_id", "text", k = 8, w = 16,
+        minShared = 1L, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L)),
+      s"expected only the rare-passage pair, got ${out.keySet}")
+    // verify counts the FULL shared set (boilerplate fps included),
+    // equal to the naive intersection — maxDf gates surfacing only
+    val naive = Seq(1L, 2L).map(id =>
+      naiveWinnow(d.filter(col("doc_id") === id).head().getString(1), 8, 16)
+        .toSet)
+    assert(out((1L, 2L)) == naive(0).intersect(naive(1)).size.toLong)
+  }
+
+  test("winnowed pairs are invariant to input partitioning (real corpus)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowedPairs(df, "doc_id", "text", k = 8, w = 16,
+          minShared = 8L, maxDf = 8L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val base = run(d)
+    assert(base.nonEmpty, "real corpus should surface winnow pairs")
+    assert(run(d.repartition(7)) == base)
+  }
 }

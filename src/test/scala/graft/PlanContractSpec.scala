@@ -371,4 +371,29 @@ class PlanContractSpec extends SparkSpec {
         s"$q must not plan a cartesian:\n$p")
     }
   }
+
+  test("winnow plans: kernel once per plan (pushdown guard), no cartesian") {
+    // a filter on the kernel's output gets substituted through the
+    // producing Project by predicate pushdown and re-evaluates the
+    // kernel inside the Filter condition — the winnow queries avoid
+    // filters on kernel outputs entirely, so the WHOLE PLAN carries
+    // exactly one winnow_fps call
+    def maxPerNode(p: String): Int =
+      p.linesIterator.map { l =>
+        var (c, i) = (0, l.indexOf("winnow_fps("))
+        while (i >= 0) { c += 1; i = l.indexOf("winnow_fps(", i + 1) }
+        c
+      }.foldLeft(0)(math.max)
+    val pw = plan("q_winnow")
+    assert("winnow_fps\\(".r.findAllIn(pw).length == 1,
+      s"q_winnow must run the kernel once per row:\n$pw")
+    // the pair plan's DAG branches (postings self-join sides, set
+    // sides) each legitimately carry one kernel call off the pinned
+    // input; the regression class is N calls WITHIN one node
+    val pp = plan("q_winnow_pairs")
+    assert(maxPerNode(pp) <= 1,
+      s"winnow kernel re-evaluated within one node:\n$pp")
+    assert(!pp.contains("CartesianProduct"),
+      s"winnow pair join must stay an equi-join on fp:\n$pp")
+  }
 }
