@@ -105,4 +105,59 @@ object Mix {
         col("rk").cast("long").as("rk"),
         greatest(col("w").cast("double"), lit(tau)).as("est"))
   }
+
+  /** L100: iterative domain-mixture reweighting — the DoReMi move
+    * (Xie et al., NeurIPS 2023) on a fixed per-domain loss signal:
+    * repeatedly upweight domains whose loss EXCEEDS the current
+    * mixture's weighted-average loss, the multiplicative-weights /
+    * Group-DRO update (Sagawa et al., ICLR 2020) that closes the
+    * mixing family — [[weightedSample]] applies given weights, L33
+    * matches a target, L33b temperature-flattens, L33c water-fills a
+    * budget; this one DERIVES the weights from a loss signal.
+    *
+    * Each round, all integer (IEEE-free, so a second engine replays
+    * bit-for-bit): A = Σ(w·loss) div Σ(w); ex_d = max(0, loss_d − A);
+    * m = max_d ex_d; w' = w·(10⁶ + ex·5·10⁵ div m) div 10⁶ — the
+    * round's worst excess domain gains ×1.5, others proportionally
+    * (normalizing by m is the Group-DRO step-size choice; the raw
+    * excess scale is signal-dependent and either stalls or explodes).
+    * m = 0 (all loss ≤ A, only possible when all losses are equal)
+    * is a fixed point and short-circuits to unchanged weights.
+    * Overflow audit: w ≤ 10⁶·1.5^rounds (rounds ≤ 16 ⇒ w ≤ 6.6·10⁸);
+    * w·loss ≤ 6.6·10⁸·10⁸ < 2⁶³ for q8-scaled losses.
+    *
+    * The domain table is D rows (domains, not documents) — per-round
+    * cost is two D-row aggregates + one broadcast projection, pinned
+    * with localCheckpoint so round t+1 never re-executes round t
+    * (the iterative-operator discipline; see the [[Lineage]] cluster
+    * caveat on reliable checkpoints). Returns
+    * (domain, loss, w_raw, w_ppm = w·10⁶ div Σw). */
+  def mixtureReweight(domLoss: DataFrame, domainCol: String,
+                      lossCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    var cur = domLoss
+      .select(col(domainCol).as("domain"),
+        col(lossCol).cast("long").as("loss"), lit(1000000L).as("w"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val stats = cur.agg(
+        expr("cast(sum(w * loss) as bigint)").as("wl"),
+        expr("cast(sum(w) as bigint)").as("sw"))
+      val ex = cur.crossJoin(broadcast(stats))
+        .withColumn("ex", greatest(lit(0L), col("loss") - expr("wl div sw")))
+      val mx = ex.agg(max("ex").as("m"))
+      cur = ex.crossJoin(broadcast(mx))
+        .select(col("domain"), col("loss"),
+          when(col("m") === 0L, col("w"))
+            .otherwise(
+              expr("(w * (1000000L + (ex * 500000L) div m)) div 1000000L"))
+            .as("w"))
+        .localCheckpoint(true)
+    }
+    val tot = cur.agg(expr("cast(sum(w) as bigint)").as("swf"))
+    cur.crossJoin(broadcast(tot))
+      .select(col("domain"), col("loss"), col("w").as("w_raw"),
+        expr("w * 1000000L div swf").as("w_ppm"))
+  }
 }

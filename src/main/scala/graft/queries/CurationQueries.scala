@@ -169,6 +169,28 @@ object CurationQueries {
     * scalar-subquery SUM. Directed customer→supplier purchase pairs
     * (no reversal — HITS needs the digraph; hubs = customers,
     * authorities = suppliers). */
+  /** L100 oracle scaffold: `rounds` unrolled normalized-MW updates,
+    * r0 → r`rounds`, replaying [[graft.operators.Mix.mixtureReweight]]
+    * integer-for-integer (A = Σwl div Σw, ex = max(0, loss−A),
+    * w' = w·(10⁶ + ex·5·10⁵ div max ex) div 10⁶; max ex = 0 keeps w).
+    * MATERIALIZED per round: each round references its predecessor 3×
+    * and plain CTE inlining would expand the chain 3^rounds-fold. */
+  private def mwRoundsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT domain, loss, w,
+         |    GREATEST(0, loss - (SELECT CAST(SUM(w * loss) AS BIGINT)
+         |      // CAST(SUM(w) AS BIGINT) FROM r${i - 1})) AS ex
+         |  FROM r${i - 1}),
+         |r$i AS MATERIALIZED (
+         |  SELECT domain, loss,
+         |    CASE WHEN (SELECT MAX(ex) FROM e$i) = 0 THEN w
+         |         ELSE (w * (1000000 + (ex * 500000)
+         |           // (SELECT CAST(MAX(ex) AS BIGINT) FROM e$i))) // 1000000
+         |         END AS w
+         |  FROM e$i)""".stripMargin
+    }.mkString(",\n")
+
   private def hitsSql(iters: Int, scale: Long): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pairs AS (
@@ -561,6 +583,30 @@ object CurationQueries {
           sum(when(substring(md5(col("text")), 1, 4) < col("thr"), 1L)
             .otherwise(0L)).as("n_kept"))
         .orderBy("lang")
+    },
+
+    // L100: DoReMi-flavored mixture reweighting — derives per-source
+    // weights from the corpus itself: loss = q8-scaled average bigram
+    // surprisal proxy (1e8 − mean quantized cond. probability), then
+    // 6 normalized multiplicative-weights rounds upweight
+    // above-average-loss sources (×1.5/round at the max excess). All
+    // integer, so the round-by-round trajectory hash-oracles.
+    "q_mix_reweight" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val perDoc = Shared.bigramScored(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(sum("q").as("sq"), count(lit(1)).as("nb"))
+      val domLoss = perDoc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(sum("sq").as("sq"), sum("nb").as("n_bigrams"))
+        .select(col("source"), col("n_bigrams"),
+          expr("100000000L - sq div n_bigrams").as("loss"))
+      graft.operators.Mix.mixtureReweight(domLoss, "source", "loss", rounds = 6)
+        .withColumnRenamed("domain", "source")
+        .join(domLoss.select("source", "n_bigrams"), "source")
+        .select(col("source"), col("n_bigrams"),
+          col("loss").as("loss_q8"), col("w_raw"), col("w_ppm"))
+        .orderBy("source")
     },
 
     // L29b: duplicated n-gram coverage (Gopher/MassiveText dup-ngram
@@ -3491,6 +3537,31 @@ object CurationQueries {
         |    // COUNT(*) AS BIGINT) AS dup_frac_micro
         |FROM sh s JOIN dfreq ON s.sh = dfreq.sh
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // L100: the reweighting replay — same per-source q8 loss off the
+    // shared bigram CTEs, then 6 unrolled integer MW rounds. Each
+    // round's CTEs are MATERIALIZED: inlining would expand the
+    // 3-reference-per-round chain 3^6-fold (the SQL twin of why the
+    // Spark side localCheckpoints each round).
+    "q_mix_reweight" ->
+      s"""WITH ${Shared.bigramScoredCteSql},
+        |ds AS (
+        |  SELECT doc_id, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS nb
+        |  FROM scored GROUP BY doc_id),
+        |dl AS MATERIALIZED (
+        |  SELECT d.source, CAST(SUM(ds.nb) AS BIGINT) AS n_bigrams,
+        |    100000000 - CAST(SUM(ds.sq) AS BIGINT)
+        |      // CAST(SUM(ds.nb) AS BIGINT) AS loss
+        |  FROM ds JOIN documents d USING (doc_id) GROUP BY d.source),
+        |r0 AS (
+        |  SELECT source AS domain, loss, CAST(1000000 AS BIGINT) AS w
+        |  FROM dl),
+        |${mwRoundsSql(6)},
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS swf FROM r6)
+        |SELECT r.domain AS source, dl.n_bigrams, r.loss AS loss_q8,
+        |  r.w AS w_raw, r.w * 1000000 // tot.swf AS w_ppm
+        |FROM r6 r JOIN dl ON dl.source = r.domain, tot
+        |ORDER BY source""".stripMargin,
 
     "q_mix_target" ->
       """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),

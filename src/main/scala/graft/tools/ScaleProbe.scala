@@ -167,7 +167,10 @@ object ScaleProbe {
     // r13 session 5: map-side winnow kernel → postings (density
     // ~2/(w+1) of gram count) → df-capped self-join (Σ_rare df² ≤
     // maxDf² per fp) → sorted-set merge verify; no all-pairs path
-    "q_winnow", "q_winnow_pairs")
+    "q_winnow", "q_winnow_pairs",
+    // r13 session 5: one corpus pass builds the D-row loss table;
+    // the MW rounds are D-row aggregates (corpus-free)
+    "q_mix_reweight")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -118,4 +118,50 @@ class MixSpec extends SparkSpec {
       rep(r.getAs[Long]("key")) ==
         ((r.getAs[Long]("rk"), r.getAs[Double]("est")))))
   }
+
+  // --- L100 mixture reweighting ------------------------------------
+
+  /** Sequential integer replay of Mix.mixtureReweight. */
+  private def naiveReweight(loss: Seq[Long], rounds: Int): Seq[Long] = {
+    var w = Seq.fill(loss.length)(1000000L)
+    (1 to rounds).foreach { _ =>
+      val a = w.zip(loss).map { case (x, l) => x * l }.sum / w.sum
+      val ex = loss.map(l => math.max(0L, l - a))
+      val m = ex.max
+      if (m != 0)
+        w = w.zip(ex).map { case (x, e) =>
+          (x * (1000000L + (e * 500000L) / m)) / 1000000L }
+    }
+    w
+  }
+
+  test("mixtureReweight: fixed point, DRO monotonicity, naive parity, invariance") {
+    import spark.implicits._
+    // equal losses: A == loss everywhere, max excess 0 → exact fixed
+    // point, equal final shares
+    val eq = Seq(("a", 500L), ("b", 500L), ("c", 500L))
+      .toDF("domain", "loss")
+    val eqOut = Mix.mixtureReweight(eq, "domain", "loss", rounds = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(eqOut.values.forall(_ == ((1000000L, 333333L))), s"$eqOut")
+    // skewed losses: weights must be monotone in loss, the max-loss
+    // domain strictly dominant, and every weight == the sequential
+    // integer replay
+    val loss = Seq(90000000L, 95000000L, 96000000L, 99000000L)
+    val doms = Seq("d0", "d1", "d2", "d3")
+    val sk = doms.zip(loss).toDF("domain", "loss")
+    val out = Mix.mixtureReweight(sk, "domain", "loss", rounds = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val expect = naiveReweight(loss, 6)
+    doms.zip(expect).foreach { case (d, e) =>
+      assert(out(d)._1 == e, s"$d: ${out(d)._1} != naive $e") }
+    assert(out("d3")._1 > out("d2")._1 && out("d2")._1 > out("d1")._1)
+    // d1 (95M) sits exactly at the round-1 weighted average: zero
+    // excess, like d0 — at-or-below-average domains never upweight
+    assert(out("d1")._1 == 1000000L && out("d0")._1 == 1000000L)
+    // partition invariance
+    val rep = Mix.mixtureReweight(sk.repartition(5), "domain", "loss", 6)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    doms.foreach(d => assert(rep(d) == out(d)._1))
+  }
 }
