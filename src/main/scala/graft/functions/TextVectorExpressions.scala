@@ -349,6 +349,66 @@ object Kernels {
     inter
   }
 
+  /** L101: fused secret/credential scan — ONE pass over the text's
+    * whitespace tokens (tokenize_ws semantics: split on ' ', empties
+    * dropped). A token is credential-shaped iff ALL of:
+    * (1) codepoint length ≥ minLen (keys are long; prose words are
+    * not), (2) it mixes an ASCII digit [0-9] AND an ASCII letter
+    * [a-zA-Z] (the explicit ASCII classes so the SQL twin replays via
+    * two regexes — non-ASCII letters count toward length and
+    * concentration but not the mix rule, documented), (3) its Simpson
+    * character concentration floor(Σc²·10⁶/n²) ≤ maxSimpsonPpm — the
+    * L94 rational entropy surrogate at TOKEN level: random
+    * base16/base36/base64 material is near-uniform over its alphabet
+    * (md5 hex ≈ 62 500 ppm) while natural-language tokens concentrate.
+    * Flagged tokens redact to "[SECRET]"; the rebuilt text joins
+    * tokens with single spaces (the tokenizer's view of the doc —
+    * run-of-spaces structure is not preserved, documented). Returns
+    * (n_tokens, n_secrets, n_masked_cp, redacted). */
+  def secretScan(text: UTF8String, minLen: Int,
+                 maxSimpsonPpm: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder()
+    var nTok = 0L; var nSec = 0L; var nMasked = 0L
+    var i = 0
+    val L = s.length
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    while (i < L) {
+      while (i < L && s.charAt(i) == ' ') i += 1
+      if (i < L) {
+        val start = i
+        while (i < L && s.charAt(i) != ' ') i += 1
+        nTok += 1
+        // one codepoint walk: length, class mix, char histogram
+        counts.clear()
+        var nCp = 0L; var hasDigit = false; var hasLetter = false
+        var j = start
+        while (j < i) {
+          val cp = s.codePointAt(j)
+          nCp += 1
+          if (cp >= '0' && cp <= '9') hasDigit = true
+          if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z'))
+            hasLetter = true
+          val k = Integer.valueOf(cp)
+          val slot = counts.get(k)
+          if (slot == null) counts.put(k, Array(1L)) else slot(0) += 1
+          j += Character.charCount(cp)
+        }
+        var ss = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next()(0); ss += c * c }
+        val simpson = ss * 1000000L / (nCp * nCp)
+        val flagged = nCp >= minLen && hasDigit && hasLetter &&
+          simpson <= maxSimpsonPpm
+        if (sb.length() > 0) sb.append(' ')
+        if (flagged) { nSec += 1; nMasked += nCp; sb.append("[SECRET]") }
+        else sb.append(s, start, i)
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTok, nSec, nMasked, UTF8String.fromString(sb.toString))
+  }
+
   /** L99: winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD '03 — the MOSS local fingerprinting scheme). One pass:
     * (1) polynomial rolling hash of every character k-gram over
@@ -1740,6 +1800,37 @@ case class InterGeSorted(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): InterGeSorted =
     copy(first = f, second = s, third = t)
+}
+
+/** Fused one-pass secret/credential token scan — see
+  * [[Kernels.secretScan]]. */
+case class SecretScan(child: Expression, minLen: Int, maxSimpsonPpm: Long)
+    extends UnaryExpression {
+  require(minLen >= 1 && maxSimpsonPpm >= 1 && maxSimpsonPpm <= 1000000L,
+    s"secret_scan needs minLen >= 1 and maxSimpsonPpm in [1, 1e6], " +
+      s"got $minLen/$maxSimpsonPpm")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_secrets", LongType, nullable = false),
+    StructField("n_masked_cp", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def prettyName: String = "secret_scan"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.secretScan(v.asInstanceOf[UTF8String], minLen, maxSimpsonPpm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.secretScan($c, $minLen, ${maxSimpsonPpm}L)")
+  override protected def withNewChildInternal(c: Expression): SecretScan =
+    copy(child = c)
 }
 
 /** Winnowing fingerprint set (sorted distinct window-min k-gram

@@ -41,6 +41,12 @@ package object functions {
     * length >= w + k - 1 shares a fingerprint. */
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     col2(WinnowFps(ex(text), k, w))
+
+  /** One-pass secret/credential token scan: flag + redact tokens that
+    * are long, digit+letter mixed, and near-uniform over their alphabet
+    * (token-level Simpson concentration <= cap). */
+  def secret_scan(text: Column, minLen: Int, maxSimpsonPpm: Long): Column =
+    col2(SecretScan(ex(text), minLen, maxSimpsonPpm))
   def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
   def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))
   def inter_ge_sorted(a: Column, b: Column, minInter: Column): Column =

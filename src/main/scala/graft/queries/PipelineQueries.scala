@@ -1144,6 +1144,39 @@ object PipelineQueries {
     // of the detector exercised); the DETECTOR (extract distinct
     // 13-19-digit runs, validate via the right-anchored double-every-
     // second sum, mask to last4) never sees the synthesis rule.
+    // L101: secret/credential scan — the PII family's patternless
+    // member: API keys/tokens have no regex, but they are LONG,
+    // digit+letter MIXED and near-uniform over their alphabet (token
+    // Simpson concentration <= 250000 = >= 4 effective symbols; random
+    // hex sits near 92000, prose concentrates higher and fails the
+    // length gate anyway). Synthetic config-dump lines derive from
+    // orders (the q_pan_luhn precedent — the [a-z ] documents corpus
+    // carries no credentials): every order has one md5 "token", every
+    // 4th a second "backup" key (n_secrets=2), every 5th a planted
+    // LOW-entropy 20-char negative control that must NOT flag.
+    "q_secret_scan" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("auth user"), col("o_custkey").cast("string"),
+            lit(" token "), md5(col("o_orderkey").cast("string")),
+            when(col("o_orderkey") % 4 === 0,
+              concat(lit(" backup "), md5(col("o_custkey").cast("string"))))
+              .otherwise(lit("")),
+            when(col("o_orderkey") % 5 === 0,
+              concat(lit(" ref "), lit("x" * 18), lit("99")))
+              .otherwise(lit("")),
+            lit(" amount "), (col("o_orderkey") % 997).cast("string"),
+            lit(" status ok")).as("ptext"))
+        .select(col("o_orderkey").as("order_key"),
+          secret_scan(col("ptext"), 20, 250000L).as("__s"))
+        .select(col("order_key"),
+          col("__s.n_tokens").as("n_tokens"),
+          col("__s.n_secrets").as("n_secrets"),
+          col("__s.n_masked_cp").as("n_masked_cp"),
+          col("__s.redacted").as("redacted"))
+        .orderBy("order_key")
+    },
+
     "q_pan_luhn" -> { (s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -3494,6 +3527,56 @@ object PipelineQueries {
         |FROM events GROUP BY redacted ORDER BY redacted""".stripMargin,
 
     // L13b: synthesis in lockstep with the Spark side (16-digit
+    // L101: the secret-scan replay — same synthetic config lines, then
+    // per token: codepoint length, digit/letter regex classes, Simpson
+    // Σc² via nested list lambdas, the flag rule, and the redacted
+    // rebuild via an i-ordered list aggregate.
+    "q_secret_scan" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS order_key,
+        |    'auth user' || CAST(o_custkey AS VARCHAR) || ' token ' ||
+        |    md5(CAST(o_orderkey AS VARCHAR)) ||
+        |    CASE WHEN o_orderkey % 4 = 0
+        |         THEN ' backup ' || md5(CAST(o_custkey AS VARCHAR))
+        |         ELSE '' END ||
+        |    CASE WHEN o_orderkey % 5 = 0
+        |         THEN ' ref ' || repeat('x', 18) || '99' ELSE '' END ||
+        |    ' amount ' || CAST(o_orderkey % 997 AS VARCHAR) ||
+        |    ' status ok' AS ptext
+        |  FROM orders),
+        |tl AS (
+        |  SELECT order_key,
+        |    list_filter(string_split(ptext, ' '), x -> len(x) > 0) AS toks
+        |  FROM p),
+        |tk AS (
+        |  SELECT order_key, i, toks[i] AS t
+        |  FROM tl, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |fl AS (
+        |  SELECT order_key, i, t, length(t) AS n,
+        |    CAST(list_aggregate(list_transform(
+        |      list_distinct(regexp_extract_all(t, '.')),
+        |      c -> CAST(len(list_filter(regexp_extract_all(t, '.'),
+        |             x -> x = c)) AS BIGINT)
+        |           * len(list_filter(regexp_extract_all(t, '.'),
+        |             x -> x = c))), 'sum') AS BIGINT) AS ss,
+        |    regexp_matches(t, '[0-9]') AS hd,
+        |    regexp_matches(t, '[a-zA-Z]') AS hl
+        |  FROM tk),
+        |fg AS (
+        |  SELECT order_key, i, t, n,
+        |    (n >= 20 AND hd AND hl
+        |      AND ss * 1000000 // (n * n) <= 250000) AS flagged
+        |  FROM fl)
+        |SELECT order_key, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_secrets,
+        |  CAST(SUM(CASE WHEN flagged THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_masked_cp,
+        |  array_to_string(
+        |    list(CASE WHEN flagged THEN '[SECRET]' ELSE t END ORDER BY i),
+        |    ' ') AS redacted
+        |FROM fg GROUP BY order_key ORDER BY order_key""".stripMargin,
+
     // candidate per order), then the detector replayed: distinct
     // 13-19-digit runs, Luhn sum via positional digit unnest (double
     // every second from the RIGHT, −9 past 9), mask to last4.

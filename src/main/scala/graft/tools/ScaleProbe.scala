@@ -170,7 +170,9 @@ object ScaleProbe {
     "q_winnow", "q_winnow_pairs",
     // r13 session 5: one corpus pass builds the D-row loss table;
     // the MW rounds are D-row aggregates (corpus-free)
-    "q_mix_reweight")
+    "q_mix_reweight",
+    // r13 session 5: map-side fused token scan, zero shuffles
+    "q_secret_scan")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1556,4 +1556,34 @@ class CurationSpec extends SparkSpec {
     // cross-check totals against the per-doc flags
     assert(prof.values.map(_._2).sum === flags.map(_.getAs[Long]("n_matches")).sum)
   }
+
+  test("secretScan: flag rule on planted tokens, redaction, edges") {
+    import spark.implicits._
+    import graft.functions.secret_scan
+    val hexKey = "a1b2c3d4e5f6a7b8c9d0a1b2c3d4e5f6" // 32 cp, mixed, uniform-ish
+    val lowEntropy = "x" * 18 + "99"                // 20 cp, mixed, concentrated
+    val longLetters = "abcdefghijklmnopqrstuvwxyz"  // no digit
+    val longDigits = "12345678901234567890123"      // no letter
+    val shortMixed = "abc123"                       // under minLen
+    val rows = Seq(
+      (1L, s"key $hexKey end"),
+      (2L, s"ref $lowEntropy mid $longLetters also $longDigits and $shortMixed"),
+      (3L, ""),
+      (4L, s"$hexKey $hexKey"), // two secrets, doubled accounting
+      (5L, "  double  spaced  words  ")) // redaction is the tokenizer's view
+      .toDF("id", "text")
+    val out = rows
+      .select(col("id"), secret_scan(col("text"), 20, 250000L).as("s"))
+      .select(col("id"), col("s.n_tokens"), col("s.n_secrets"),
+        col("s.n_masked_cp"), col("s.redacted"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 1L, 32L, "key [SECRET] end")))
+    // every control evades a different clause of the conjunction
+    assert(out(2L) == ((8L, 0L, 0L,
+      s"ref $lowEntropy mid $longLetters also $longDigits and $shortMixed")))
+    assert(out(3L) == ((0L, 0L, 0L, "")))
+    assert(out(4L) == ((2L, 2L, 64L, "[SECRET] [SECRET]")))
+    assert(out(5L) == ((3L, 0L, 0L, "double spaced words")))
+  }
 }
