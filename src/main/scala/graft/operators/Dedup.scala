@@ -1619,6 +1619,92 @@ object Dedup {
         expr("inter * 1000000 div sz").as("cont_micro"))
   }
 
+  // --- L99c winnow fingerprint state (streaming ingest probe) -------
+
+  private def winnowSets(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      winnow_fps(coalesce(col(textCol), lit("")), k, w).as("fps"))
+
+  private def writeWinnowState(docs: DataFrame, idCol: String,
+                               textCol: String, table: String, k: Int,
+                               w: Int, buckets: Int, mode: String): Unit = {
+    if (mode == "overwrite") {
+      Lexical.dropManaged(docs.sparkSession, table)
+      Lexical.dropManaged(docs.sparkSession, s"${table}_sets")
+    }
+    val sets = winnowSets(docs, idCol, textCol, k, w)
+    sets.select(col("doc_id").as("corpus_id"), explode(col("fps")).as("fp"))
+      .write.mode(mode).bucketBy(buckets, "fp")
+      .format("parquet").saveAsTable(table)
+    sets.select(col("doc_id").as("corpus_id"), col("fps"))
+      .write.mode(mode).bucketBy(buckets, "corpus_id")
+      .format("parquet").saveAsTable(s"${table}_sets")
+  }
+
+  /** Persist the corpus's winnow-probe state: an inverted fingerprint
+    * postings table `<table>` (fp, corpus_id) bucketed on the probe
+    * key, plus the full-set sidecar `<table>_sets` (corpus_id, fps)
+    * bucketed on the verify key — the local-match sibling of
+    * [[buildSignatureTable]]/[[buildContainTable]]: build once, every
+    * ingest batch probes with zero corpus recompute. Probes and
+    * appends must use the SAME k/w/buckets as the build. */
+  def buildWinnowTable(corpus: DataFrame, idCol: String, textCol: String,
+                       table: String, k: Int = 8, w: Int = 16,
+                       buckets: Int = 32): Unit =
+    writeWinnowState(corpus, idCol, textCol, table, k, w, buckets,
+      "overwrite")
+
+  /** Append accepted rows to the winnow state (same layout and
+    * k/w/buckets as the build). */
+  def appendWinnowState(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, k: Int = 8, w: Int = 16,
+                        buckets: Int = 32): Unit =
+    writeWinnowState(docs, idCol, textCol, table, k, w, buckets, "append")
+
+  /** L99c: winnow probe of an incoming batch against the persisted
+    * state — (incoming_id, corpus_id, n_shared, overlap_pm) for every
+    * incoming doc sharing ≥ minShared fingerprints with a corpus doc.
+    * Candidates come from the postings join with the df cap computed
+    * over the MATCHED slice on distinct corpus ids (batch-bounded;
+    * duplicate postings from a replayed append can't inflate it, so
+    * replay-idempotence holds structurally — the containment-family
+    * lesson); verify is the exact merge over min-picked sidecar sets,
+    * maxDf-independent like the batch matcher. */
+  def winnowAgainstTable(incoming: DataFrame, idCol: String,
+                         textCol: String, table: String, k: Int = 8,
+                         w: Int = 16, minShared: Long = 8L,
+                         maxDf: Long = 64L): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1,
+      s"minShared/maxDf must be >= 1, got $minShared/$maxDf")
+    val spark = incoming.sparkSession
+    val posts = spark.table(table)
+    val bs = winnowSets(incoming, idCol, textCol, k, w)
+    val iposts = bs.select(col("doc_id").as("incoming_id"),
+      explode(col("fps")).as("fp"))
+    val cand0 = iposts.join(posts, "fp")
+      .select(col("incoming_id"), col("corpus_id"), col("fp"))
+      .distinct()
+    val dfreq = cand0.groupBy("fp")
+      .agg(countDistinct("corpus_id").as("df"))
+      .filter(col("df") <= maxDf)
+    val cand = cand0.join(dfreq.select("fp"), "fp")
+      .select("incoming_id", "corpus_id").distinct()
+    val csets = spark.table(s"${table}_sets")
+      .groupBy(col("corpus_id")).agg(min(col("fps")).as("cfps"))
+    cand
+      .join(bs.select(col("doc_id").as("incoming_id"),
+        col("fps").as("ifps"), size(col("fps")).cast("long").as("ni")),
+        "incoming_id")
+      .join(csets, "corpus_id")
+      .withColumn("n_shared",
+        inter_ge_sorted(col("ifps"), col("cfps"), lit(minShared)))
+      .filter(col("n_shared") >= minShared)
+      .select(col("incoming_id"), col("corpus_id"), col("n_shared"),
+        expr("n_shared * 1000000 div least(ni, cast(size(cfps) as bigint))")
+          .as("overlap_pm"))
+  }
+
   /** L85: per-group BOTTOM-K sketch of the shingle inventory — the
     * k smallest signed FNV-64 shingle-string hashes per group
     * (Broder '97 bottom-k minhash). THE corpus-level overlap state

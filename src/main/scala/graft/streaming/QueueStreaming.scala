@@ -1473,4 +1473,50 @@ object QueueStreaming {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** C13ad: streaming winnow ingest — the LOCAL-match member of the
+    * ingest family ([[nearDupIngest]] = resemblance,
+    * [[containmentIngest]] = set inclusion; this one = shared
+    * passages): every micro-batch is (1) probed against the persisted
+    * fingerprint postings state
+    * ([[graft.operators.Dedup.buildWinnowTable]]) — an incoming doc
+    * sharing ≥ minShared winnow fingerprints with ANY accepted doc
+    * carries a duplicated passage even when its Jaccard and
+    * containment against everything are tiny (a stitched-together
+    * compilation of known paragraphs passes BOTH other gates); (2)
+    * winnow-deduped within itself (larger id drops); survivors (3)
+    * land per-batch and (4) extend the state. Replay-safe like its
+    * siblings: ids unique across stream+corpus (queue-seq contract)
+    * exclude self-pairs, and duplicated postings from a replayed
+    * append are absorbed by the probe's distinct-corpus-id df and
+    * the sidecar min-pick. k/w/minShared/maxDf must match the batch
+    * matcher's calibration; buckets the build's. */
+  def winnowIngest(incoming: DataFrame, idCol: String, textCol: String,
+                   stateTable: String, outPath: String, checkpoint: String,
+                   k: Int = 8, w: Int = 16, minShared: Long = 8L,
+                   maxDf: Long = 64L, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Dedup
+        val b = batch.toDF()
+        val corpusHits = Dedup
+          .winnowAgainstTable(b, idCol, textCol, stateTable,
+            k = k, w = w, minShared = minShared, maxDf = maxDf)
+          .filter(col("incoming_id") =!= col("corpus_id"))
+          .select(col("incoming_id").as("__dup_id")).distinct()
+        val fresh = b.join(corpusHits, b(idCol) === col("__dup_id"),
+          "left_anti")
+        val withinPairs = Dedup.winnowedPairs(fresh, idCol, textCol,
+            k = k, w = w, minShared = minShared, maxDf = maxDf)
+          .withColumnRenamed("id2", "doc_id2")
+        val kept = Dedup.removeNearDups(fresh, idCol, withinPairs).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          Dedup.appendWinnowState(kept, idCol, textCol, stateTable,
+            k = k, w = w, buckets = buckets)
+        } finally { kept.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -1050,6 +1050,35 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == naive(0).intersect(naive(1)).size.toLong)
   }
 
+  test("winnowAgainstTable: exact probe, replay-idempotent state") {
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words("a", 1, 12) + " " + words("s", 1, 30)),
+      (2L, words("b", 1, 12) + " " + words("t", 1, 30)))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, words("c", 1, 12) + " " + words("s", 3, 28)), // quotes 1
+      (11L, words("d", 1, 12) + " " + words("u", 1, 30))) // fresh
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildWinnowTable(corpus, "doc_id", "text", "winnow_probe_t")
+      def probe() = Dedup.winnowAgainstTable(incoming, "doc_id", "text",
+          "winnow_probe_t", minShared = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val base = probe()
+      assert(base.map(t => (t._1, t._2)) == Set((10L, 1L)),
+        s"only the quoting doc may hit, got $base")
+      // a replayed append duplicates postings AND sidecar rows; the
+      // distinct-corpus-id df and the sidecar min-pick must absorb it
+      Dedup.appendWinnowState(corpus, "doc_id", "text", "winnow_probe_t")
+      assert(probe() == base, "replayed append changed probe results")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS winnow_probe_t")
+      spark.sql("DROP TABLE IF EXISTS winnow_probe_t_sets")
+    }
+  }
+
   test("winnowed pairs are invariant to input partitioning (real corpus)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

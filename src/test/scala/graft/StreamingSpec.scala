@@ -463,6 +463,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("winnow ingest drops shared-passage dups across corpus, batch, triggers") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // corpus doc 1 carries passage P; an incoming doc that QUOTES P
+    // inside otherwise-fresh text is neither a resemblance dup nor
+    // contained — the winnow gate still drops it
+    val corpus = Seq((1L, words("a", 1, 12) + " " + words("s", 1, 30)))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.buildWinnowTable(corpus, "doc_id", "text", "ingest_winnow")
+      val mem = MemoryStream[(Long, String)]
+      val outDir = Files.createTempDirectory("wingest_out").toString
+      val ckpt = Files.createTempDirectory("wingest_ckpt").toString
+      val q = QueueStreaming.winnowIngest(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "ingest_winnow", outDir, ckpt, minShared = 4L)
+      mem.addData(
+        (10L, words("b", 1, 12) + " " + words("s", 1, 30)), // quotes P: drop
+        (11L, words("c", 1, 12) + " " + words("f", 1, 30)), // fresh: keep
+        (12L, words("d", 1, 12) + " " + words("f", 5, 25))) // quotes 11, same trigger: drop
+      q.processAllAvailable()
+      mem.addData(
+        (13L, words("e", 1, 12) + " " + words("f", 3, 28)), // quotes trigger-1's 11: drop
+        (14L, words("g", 1, 12) + " " + words("h", 1, 30))) // fresh: keep
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 14L),
+        s"corpus/within-batch/cross-trigger passage dups dropped, got $kept")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_winnow")
+      spark.sql("DROP TABLE IF EXISTS ingest_winnow_sets")
+    }
+  }
+
   test("streaming pack cuts budget shards that persist across triggers") {
     import graft.streaming.QueueStreaming.{Doc, PackedDoc}
     implicit val sq = spark.sqlContext
