@@ -939,6 +939,43 @@ object Curate {
           col("n_distinct_cp") >= minDistinctCp)
       .drop("sum_sq", "max_count")
 
+  /** L102: readability scoring — Flesch–Kincaid grade and Flesch
+    * reading ease in exact integer milli-units. Syllables use the
+    * vowel-run heuristic: runs of [aeiouy] per token, floored at 1
+    * per token — and "Σ_w max(1, runs_w) = total runs + vowel-free
+    * tokens" turns the per-word floor into three corpus-wide regex
+    * counts (no per-word explode). Sentences = [.!?]+ runs floored at
+    * 1 (a no-punctuation doc is one long sentence — on such corpora
+    * FK is dominated by the words/sentence term, which is the honest
+    * reading). Both formulas are rational in (w, sy, s), so the
+    * integer-div milli rendering replays bit-for-bit cross-engine;
+    * all counting is codegen'd builtin regex, map-side, zero
+    * shuffles. Returns (doc_id, n_words, n_syllables, n_sentences,
+    * fk_milli, ease_milli) — milli formulas: fk = 0.39·w/s +
+    * 11.8·sy/w − 15.59, ease = 206.835 − 1.015·w/s − 84.6·sy/w. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.token_count(col(textCol)).as("w"),
+        size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("runs"),
+        size(regexp_extract_all(col(textCol), lit("[^ ]*[aeiouy][^ ]*"),
+          lit(0))).cast("long").as("wv"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("sents"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        (col("runs") + (col("w") - col("wv"))).as("n_syllables"),
+        col("sents").as("n_sentences"))
+      .withColumn("fk_milli",
+        when(col("n_words") > 0,
+          expr("(390 * n_words) div n_sentences" +
+            " + (11800 * n_syllables) div n_words - 15590")))
+      .withColumn("ease_milli",
+        when(col("n_words") > 0,
+          expr("206835 - (10150 * n_words) div n_sentences" +
+            " - (84600 * n_syllables) div n_words")))
+
   /** L93: deterministic text augmentation — seeded word dropout, the
     * denoising / contrastive-views data op (BART-style corruption,
     * SimCSE-style views) at corpus scale. Every kept/dropped decision

@@ -141,13 +141,17 @@ object Mix {
         col(lossCol).cast("long").as("loss"), lit(1000000L).as("w"))
       .localCheckpoint(true)
     (1 to rounds).foreach { _ =>
+      // one aggregate per round: the max EXCESS max_d(max(0, loss−A))
+      // equals max(loss) − A (the max loss is never below the weighted
+      // average), so the step-size normalizer needs no second pass
       val stats = cur.agg(
         expr("cast(sum(w * loss) as bigint)").as("wl"),
-        expr("cast(sum(w) as bigint)").as("sw"))
-      val ex = cur.crossJoin(broadcast(stats))
-        .withColumn("ex", greatest(lit(0L), col("loss") - expr("wl div sw")))
-      val mx = ex.agg(max("ex").as("m"))
-      cur = ex.crossJoin(broadcast(mx))
+        expr("cast(sum(w) as bigint)").as("sw"),
+        max("loss").as("ml"))
+      cur = cur.crossJoin(broadcast(stats))
+        .withColumn("a", expr("wl div sw"))
+        .withColumn("ex", greatest(lit(0L), col("loss") - col("a")))
+        .withColumn("m", col("ml") - col("a"))
         .select(col("domain"), col("loss"),
           when(col("m") === 0L, col("w"))
             .otherwise(

@@ -173,22 +173,22 @@ object CurationQueries {
     * r0 → r`rounds`, replaying [[graft.operators.Mix.mixtureReweight]]
     * integer-for-integer (A = Σwl div Σw, ex = max(0, loss−A),
     * w' = w·(10⁶ + ex·5·10⁵ div max ex) div 10⁶; max ex = 0 keeps w).
-    * MATERIALIZED per round: each round references its predecessor 3×
-    * and plain CTE inlining would expand the chain 3^rounds-fold. */
+    * MATERIALIZED per round: each round references its predecessor
+    * twice and plain CTE inlining would expand the chain 2^rounds-fold. */
   private def mwRoundsSql(rounds: Int): String =
     (1 to rounds).map { i =>
-      s"""e$i AS MATERIALIZED (
-         |  SELECT domain, loss, w,
-         |    GREATEST(0, loss - (SELECT CAST(SUM(w * loss) AS BIGINT)
-         |      // CAST(SUM(w) AS BIGINT) FROM r${i - 1})) AS ex
+      s"""a$i AS MATERIALIZED (
+         |  SELECT CAST(SUM(w * loss) AS BIGINT)
+         |    // CAST(SUM(w) AS BIGINT) AS a,
+         |    CAST(MAX(loss) AS BIGINT) AS ml
          |  FROM r${i - 1}),
          |r$i AS MATERIALIZED (
          |  SELECT domain, loss,
-         |    CASE WHEN (SELECT MAX(ex) FROM e$i) = 0 THEN w
-         |         ELSE (w * (1000000 + (ex * 500000)
-         |           // (SELECT CAST(MAX(ex) AS BIGINT) FROM e$i))) // 1000000
+         |    CASE WHEN a$i.ml - a$i.a = 0 THEN w
+         |         ELSE (w * (1000000 + (GREATEST(0, loss - a$i.a) * 500000)
+         |           // (a$i.ml - a$i.a))) // 1000000
          |         END AS w
-         |  FROM e$i)""".stripMargin
+         |  FROM r${i - 1}, a$i)""".stripMargin
     }.mkString(",\n")
 
   private def hitsSql(iters: Int, scale: Long): String = {
@@ -3541,7 +3541,7 @@ object CurationQueries {
     // L100: the reweighting replay — same per-source q8 loss off the
     // shared bigram CTEs, then 6 unrolled integer MW rounds. Each
     // round's CTEs are MATERIALIZED: inlining would expand the
-    // 3-reference-per-round chain 3^6-fold (the SQL twin of why the
+    // 2-reference-per-round chain 2^6-fold (the SQL twin of why the
     // Spark side localCheckpoints each round).
     "q_mix_reweight" ->
       s"""WITH ${Shared.bigramScoredCteSql},

@@ -1115,6 +1115,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L102: readability scoring — Flesch–Kincaid grade and Flesch
+    // reading ease in exact integer milli-units: syllables via the
+    // vowel-run heuristic (runs of [aeiouy] per token, floor 1 —
+    // "words = vowel-containing tokens + vowel-free tokens" turns the
+    // per-word max(1, runs) into three corpus-wide regex counts, no
+    // per-word explode), sentences = [.!?]+ runs floored at 1. Both
+    // formulas are rational in (w, sy, s) so the integer-div milli
+    // rendering replays bit-for-bit; all counting is codegen'd
+    // builtin regex, map-side, zero shuffles.
+    "q_readability" -> { (s, dir) =>
+      Curate.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // L10: token counting — whitespace and BPE-ish pre-tokenizer.
     "q_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -3520,6 +3534,34 @@ object PipelineQueries {
         |  ${Shared.qualityDoubleSql} AS quality,
         |  (${Shared.qualityDoubleSql} >= 0.5) AS keep
         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    // L102: readability replay — same three regex counts (vowel runs,
+    // vowel-bearing tokens, sentence-terminator runs) and the same
+    // integer-div milli rendering of the two Flesch formulas.
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |      AS runs,
+        |    CAST(len(regexp_extract_all(text, '[^ ]*[aeiouy][^ ]*'))
+        |      AS BIGINT) AS wv,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words, runs + (n_words - wv) AS n_syllables,
+        |    n_sentences
+        |  FROM c)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  CASE WHEN n_words > 0 THEN
+        |    (390 * n_words) // n_sentences
+        |      + (11800 * n_syllables) // n_words - 15590 END AS fk_milli,
+        |  CASE WHEN n_words > 0 THEN
+        |    206835 - (10150 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words END AS ease_milli
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,

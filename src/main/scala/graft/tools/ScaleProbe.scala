@@ -172,7 +172,9 @@ object ScaleProbe {
     // the MW rounds are D-row aggregates (corpus-free)
     "q_mix_reweight",
     // r13 session 5: map-side fused token scan, zero shuffles
-    "q_secret_scan")
+    "q_secret_scan",
+    // r13 session 5: three map-side regex counts, zero shuffles
+    "q_readability")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1586,4 +1586,28 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, 64L, "[SECRET] [SECRET]")))
     assert(out(5L) == ((3L, 0L, 0L, "double spaced words")))
   }
+
+  test("readability: textbook Flesch values on planted sentences, edges") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat."),       // 3 words, 3 syllables, 1 sentence
+      (2L, "xyz 42"),             // y is a vowel run; 42 takes the floor-1
+      (3L, "a b. c d! e f?"),     // 3 sentences
+      (4L, ""))                   // null scores, zero counts
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curate.readability(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 3L, 1L)))
+    // fk = 390*3/1 + 11800*3/3 - 15590 = -2620 (below grade 0: trivial)
+    // ease = 206835 - 10150*3 - 84600*3/3 = 91785 ("very easy" band)
+    assert(r1.getLong(4) == -2620L && r1.getLong(5) == 91785L)
+    val r2 = out(2L)
+    assert((r2.getLong(1), r2.getLong(2)) == ((2L, 2L)),
+      "y counts as a vowel; a vowel-free token floors at 1 syllable")
+    assert(out(3L).getLong(3) == 3L, "terminator runs count sentences")
+    val r4 = out(4L)
+    assert((r4.getLong(1), r4.getLong(2)) == ((0L, 0L)) &&
+      r4.isNullAt(4) && r4.isNullAt(5), "empty text scores null")
+  }
 }
