@@ -338,4 +338,55 @@ object Observe {
         (col("__rows") - col("__nn")).as("n_null"), col("n_distinct"),
         col("min_repr"), col("max_repr"))
   }
+
+  // --- R52: partition-incremental aggregate table -------------------
+
+  /** Partial decomposable aggregates of one fact slice, keyed by
+    * (partition value, key columns): cnt/sum/mn/mx — the algebra that
+    * merges by (sum, sum, min, max). Averages are NEVER stored
+    * (stored averages don't merge); [[readAggTable]] derives them at
+    * read time. */
+  private def aggPartials(slice: DataFrame, partCol: Column,
+                          keyCols: Seq[String], valCol: String): DataFrame =
+    slice.groupBy(partCol.as("part") +: keyCols.map(col): _*)
+      .agg(count(col(valCol)).as("cnt"), sum(col(valCol)).as("sum"),
+        min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+
+  /** R52: build the partition-incremental aggregate table — the
+    * delta-priced rollup-maintenance pattern: a 100 TB fact table's
+    * daily rollup must never be recomputed whole because one day
+    * arrived late or was fixed. State = a parquet table PARTITIONED BY
+    * the partition value, holding per-(part, keys) partials. The state
+    * is rollup-sized (parts x keys), not fact-sized. */
+  def buildAggTable(facts: DataFrame, path: String, partCol: Column,
+                    keyCols: Seq[String], valCol: String): Unit =
+    aggPartials(facts, partCol, keyCols, valCol)
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+
+  /** R52: refresh ONLY the partitions present in `slice` — recompute
+    * their partials and splice via dynamic partition overwrite (the
+    * R24c backfill move): other partitions' files are untouched, and
+    * re-running the same refresh rewrites the same directories to the
+    * same content (idempotent). `slice` must be the COMPLETE fact data
+    * for the partitions it covers — partials replace, they never
+    * accumulate (accumulating on replay would double-count; replace
+    * semantics make retries safe). */
+  def refreshAggPartitions(slice: DataFrame, path: String, partCol: Column,
+                           keyCols: Seq[String], valCol: String): Unit =
+    aggPartials(slice, partCol, keyCols, valCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(path)
+
+  /** R52: fold the stored partials to the rollup at any grouping that
+    * keeps `keyCols` (partition pruning applies when a part filter is
+    * pushed by the caller): sum-of-sums / min-of-mins, with the
+    * average DERIVED from (sum, cnt). One scan of the rollup-sized
+    * table; the fact table is out of the cost model entirely. */
+  def readAggTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("cnt").as("n_rows"), sum("sum").as("sum_val"),
+        min("mn").as("min_val"), max("mx").as("max_val"))
 }

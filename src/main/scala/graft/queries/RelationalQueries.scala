@@ -258,6 +258,38 @@ object RelationalQueries {
         .orderBy("column_name")
     },
 
+    // R52: partition-incremental aggregate table — the delta-priced
+    // rollup-maintenance pattern: build the standing rollup from every
+    // month but the last, then the last month "arrives" and refreshes
+    // ONLY its partition (twice — a replayed retry must be a no-op:
+    // partials REPLACE, never accumulate), and the merged read equals
+    // a from-scratch aggregation of the whole fact table (the oracle).
+    // State is rollup-sized (months x flag x status); the fact table
+    // leaves the cost model after its one build/refresh pass.
+    "q_agg_incremental" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val p = "spark-warehouse/graft_aggincr_" + dirKey(dir)
+      val lastMonth = li.agg(max(part)).head().getString(0)
+      graft.operators.Observe.buildAggTable(
+        li.filter(part < lastMonth), p, part, keys, "l_quantity")
+      val slice = li.filter(part === lastMonth)
+      graft.operators.Observe.refreshAggPartitions(
+        slice, p, part, keys, "l_quantity")
+      graft.operators.Observe.refreshAggPartitions(
+        slice, p, part, keys, "l_quantity")
+      graft.operators.Observe.readAggTable(s, p, keys)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n_rows"),
+          col("sum_val").cast("long").as("sum_qty"),
+          col("min_val").cast("long").as("min_qty"),
+          col("max_val").cast("long").as("max_qty"),
+          expr("cast(sum_val * 1000000 as bigint) div n_rows")
+            .as("avg_qty_micro"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // R45c: mergeable QUANTILE profile store — per-month KLL sketch
     // rows folded to whole-table order statistics WITHOUT rescanning
     // (the R45b discipline extended to quantiles). Gate-SF row counts
@@ -869,6 +901,22 @@ object RelationalQueries {
     // the chosen columns' NDVs (3/7/50) sit in the HLL sketch-exact
     // coupon regime (the q_sketch_rollup rule), so plain COUNT
     // DISTINCT replays the estimate.
+    // R52: the incremental rollup's merged read must equal aggregating
+    // the whole fact table from scratch — the oracle IS that
+    // from-scratch aggregation (build-below-cutoff + double partition
+    // refresh + partial fold on the Spark side).
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(MAX(l_quantity) AS BIGINT) AS max_qty,
+        |  CAST(SUM(l_quantity) * 1000000 AS BIGINT)
+        |    // CAST(COUNT(l_quantity) AS BIGINT) AS avg_qty_micro
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_profile_merged" ->
       """WITH p AS (
         |  SELECT COUNT(*) AS n_rows,

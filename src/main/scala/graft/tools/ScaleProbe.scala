@@ -174,7 +174,11 @@ object ScaleProbe {
     // r13 session 5: map-side fused token scan, zero shuffles
     "q_secret_scan",
     // r13 session 5: three map-side regex counts, zero shuffles
-    "q_readability")
+    "q_readability",
+    // r13 session 5: one fact pass builds rollup-sized partials;
+    // refresh cost is the changed partitions' slice, read is
+    // rollup-sized
+    "q_agg_incremental")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -232,4 +232,44 @@ class ObserveSpec extends SparkSpec {
     assert(math.abs(rank - 0.5) < 0.25,
       s"k=64 median rank $rank out of tolerance")
   }
+
+  test("incremental agg table: partition splice, replace semantics, untouched siblings") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("aggincr").toString + "/t"
+    def facts(rows: Seq[(String, String, Long)]) =
+      rows.toDF("day", "k", "v")
+    val base = facts(Seq(
+      ("d1", "a", 10L), ("d1", "a", 20L), ("d1", "b", 5L),
+      ("d2", "a", 7L), ("d2", "b", 9L)))
+    Observe.buildAggTable(base, dir, col("day"), Seq("k"), "v")
+    def snapshot(part: String): Map[String, Long] = {
+      val p = Paths.get(dir, s"part=$part")
+      Files.list(p).iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }
+    val d1Before = snapshot("d1")
+    // day 3 arrives; refresh twice (replayed retry must be a no-op)
+    val d3 = facts(Seq(("d3", "a", 100L), ("d3", "b", 1L)))
+    Observe.refreshAggPartitions(d3, dir, col("day"), Seq("k"), "v")
+    Observe.refreshAggPartitions(d3, dir, col("day"), Seq("k"), "v")
+    def read() = Observe.readAggTable(spark, dir, Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val merged = read()
+    // merged read == from-scratch aggregation over base + d3
+    assert(merged("a") == ((4L, 137L, 7L, 100L)), s"got ${merged("a")}")
+    assert(merged("b") == ((3L, 15L, 1L, 9L)), s"got ${merged("b")}")
+    // untouched sibling partitions keep their exact files
+    assert(snapshot("d1") == d1Before,
+      "refreshing d3 must not rewrite d1's files")
+    // a FIXED day-2 replaces its partials (never accumulates)
+    Observe.refreshAggPartitions(
+      facts(Seq(("d2", "a", 70L))), dir, col("day"), Seq("k"), "v")
+    val fixed = read()
+    assert(fixed("a") == ((4L, 200L, 10L, 100L)), s"got ${fixed("a")}")
+    assert(fixed("b") == ((2L, 6L, 1L, 5L)), "d2's old b-partial must be gone")
+  }
 }
