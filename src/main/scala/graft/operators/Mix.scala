@@ -106,6 +106,59 @@ object Mix {
         greatest(col("w").cast("double"), lit(tau)).as("est"))
   }
 
+  /** C13ae support: freeze a bigram LM as a (prev, cur, q) parquet
+    * table from a reference corpus — q the integer-quantized
+    * conditional probability floor(p(cur|prev)·10⁸ + 0.5), the engine's
+    * L14 scheme. Vocab²-bounded. Frozen because the STREAMING loss must
+    * be additive across triggers: scoring against a model that itself
+    * moves with the stream would make early batches' stats
+    * incomparable with late ones (and non-replayable). */
+  def freezeBigramModel(docs: DataFrame, textCol: String,
+                        path: String): Unit = {
+    val pairs = bigramPairs(docs, textCol, Nil)
+    val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+    val pc = pairs.groupBy("prev").agg(count(lit(1)).as("cp"))
+    bc.join(pc, "prev")
+      .select(col("prev"), col("cur"),
+        floor(col("cpc").cast("double") / col("cp") * 1e8 + 0.5)
+          .cast("long").as("q"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def bigramPairs(docs: DataFrame, textCol: String,
+                          carry: Seq[String]): DataFrame = {
+    val toks = docs.select(
+      graft.functions.tokenize_ws(col(textCol)).as("t") +: carry.map(col): _*)
+      .filter(size(col("t")) >= 2)
+    toks.select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("prev"),
+          element_at(col("t"), i + 1).as("cur")))).as("bg") +:
+        carry.map(col): _*)
+      .select(col("bg.prev") +: col("bg.cur") +: carry.map(col): _*)
+  }
+
+  /** C13ae support: per-domain ADDITIVE loss sufficient statistics
+    * (sq = Σ q of scored bigrams, nb = their count) against a frozen
+    * model — sums fold across any batch split, so the streaming store
+    * accumulates them exactly. Bigrams absent from the model are
+    * excluded (the L14 inner-join semantic). Loss derives as
+    * 10⁸ − sq div nb ([[domainLossFromStats]]). */
+  def domainLossStats(docs: DataFrame, textCol: String, domainCol: String,
+                      modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val model = spark.read.parquet(modelPath)
+    bigramPairs(docs, textCol, Seq(domainCol))
+      .join(model, Seq("prev", "cur"))
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum("q").as("sq"), count(lit(1)).as("nb"))
+  }
+
+  /** (domain, loss) from folded sufficient stats; domains with zero
+    * scored bigrams carry no loss signal and are excluded. */
+  def domainLossFromStats(stats: DataFrame): DataFrame =
+    stats.filter(col("nb") > 0)
+      .select(col("domain"), expr("100000000L - sq div nb").as("loss"))
+
   /** L100: iterative domain-mixture reweighting — the DoReMi move
     * (Xie et al., NeurIPS 2023) on a fixed per-domain loss signal:
     * repeatedly upweight domains whose loss EXCEEDS the current

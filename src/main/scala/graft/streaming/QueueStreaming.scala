@@ -1474,6 +1474,60 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13ae: streaming mixture-reweight maintenance — the L100 twin:
+    * per-trigger, score the batch against a FROZEN bigram model
+    * ([[graft.operators.Mix.freezeBigramModel]] — a model that moved
+    * with the stream would make early stats incomparable with late
+    * ones), fold the ADDITIVE per-domain sufficient statistics
+    * (Σq, n) into the snapshot chain (read-below-own-id, replay-safe
+    * like [[scorecardStream]]), and derive the current mixture weights
+    * any time via [[reweightFromStore]]. Per-trigger state read is one
+    * D-row snapshot, never the stream history; the MW rounds run on
+    * the D-row loss table ([[graft.operators.Mix.mixtureReweight]]). */
+  def mixtureReweightStream(docs: DataFrame, textCol: String,
+                            domainCol: String, modelPath: String,
+                            storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Mix.domainLossStats(batch.toDF(),
+          textCol, domainCol, modelPath)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("domain", "sq", "nb"))
+          }
+        val snap = prior match {
+          case Some(p) => p.unionByName(delta).groupBy("domain")
+            .agg(sum("sq").as("sq"), sum("nb").as("nb"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Current mixture weights off the latest stats snapshot: fold →
+    * loss → the L100 MW rounds. */
+  def reweightFromStore(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, rounds: Int): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    val head = all.agg(max(col("batch").cast("long"))).head()
+    val latest = all.filter(col("batch").cast("long") === head.getLong(0))
+      .select("domain", "sq", "nb")
+    graft.operators.Mix.mixtureReweight(
+      graft.operators.Mix.domainLossFromStats(latest), "domain", "loss",
+      rounds)
+  }
+
   /** C13ad: streaming winnow ingest — the LOCAL-match member of the
     * ingest family ([[nearDupIngest]] = resemblance,
     * [[containmentIngest]] = set inclusion; this one = shared

@@ -463,6 +463,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming mixture reweight folds stats exactly; weights match batch twin") {
+    import graft.operators.Mix
+    implicit val sq = spark.sqlContext
+    val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+    val modelPath = Files.createTempDirectory("mw_model").toString + "/m"
+    Mix.freezeBigramModel(ref, "text", modelPath)
+    val half = ref.select("text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val (b1, b2) = half.splitAt(half.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val store = Files.createTempDirectory("mw_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("mw_ckpt").toString
+    val q = QueueStreaming.mixtureReweightStream(
+      mem.toDF().toDF("text", "source"), "text", "source", modelPath,
+      store, ckpt)
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // trigger-1 isolation: snapshot 0 covers only the first batch
+    val snap0 = spark.read.parquet(s"$store/batch=0")
+      .agg(sum("nb")).head().getLong(0)
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchStats = Mix.domainLossStats(ref, "text", "source", modelPath)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(snap0 < batchStats.values.map(_._2).sum,
+      "snapshot 0 must cover only trigger 1")
+    // folded streaming stats == one-shot batch stats (additivity)
+    val folded = spark.read.parquet(s"$store/batch=1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(folded == batchStats, "streamed sufficient stats diverged")
+    // derived weights == the L100 batch operator on the same loss
+    val streamW = QueueStreaming.reweightFromStore(spark, store, rounds = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val batchW = Mix.mixtureReweight(
+        Mix.domainLossFromStats(Mix.domainLossStats(ref, "text", "source",
+          modelPath)), "domain", "loss", rounds = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamW == batchW, "streaming weights diverged from batch twin")
+  }
+
   test("winnow ingest drops shared-passage dups across corpus, batch, triggers") {
     import graft.operators.Dedup
     implicit val sq = spark.sqlContext
