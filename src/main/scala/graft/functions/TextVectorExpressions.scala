@@ -487,6 +487,81 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** L99d: POSITIONAL winnowing — the [[winnowFps]] selection with the
+    * paper's rightmost-min tie rule, recording (fp, pos) anchors
+    * (pos = 0-based codepoint index of the selected gram's start).
+    * Consecutive windows re-selecting the same anchor collapse (the
+    * standard de-dup), then distinct anchors sort by (pos, fp). The
+    * rightmost rule matters HERE (it de-duplicates positions within
+    * equal runs); the value-set of [[winnowFps]] is tie-rule-
+    * independent by construction. Returns a flat [fp0, pos0, fp1,
+    * pos1, …] long array (pair-struct arrays cost a codegen'd
+    * object per element). */
+  def winnowSpans(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val sl = s.length
+    var nCp = 0
+    var ci = 0
+    while (ci < sl) { nCp += 1; ci += Character.charCount(s.codePointAt(ci)) }
+    if (nCp == 0) return new GenericArrayData(Array.empty[Long])
+    val cps = new Array[Int](nCp)
+    ci = 0; var cj = 0
+    while (ci < sl) {
+      val cp = s.codePointAt(ci); cps(cj) = cp; cj += 1
+      ci += Character.charCount(cp)
+    }
+    val M = 1000000007L
+    val grams: Array[Long] =
+      if (nCp < k) {
+        var h = 0L; var p = 0
+        while (p < nCp) { h = (h * 31 + cps(p)) % M; p += 1 }
+        Array(h)
+      } else {
+        val g = new Array[Long](nCp - k + 1)
+        var pw = 1L; var t = 0
+        while (t < k - 1) { pw = pw * 31 % M; t += 1 }
+        var h = 0L; var p = 0
+        while (p < k) { h = (h * 31 + cps(p)) % M; p += 1 }
+        g(0) = h
+        var q = k
+        while (q < nCp) {
+          h = (((h - cps(q - k) * pw % M + M) % M) * 31 + cps(q)) % M
+          g(q - k + 1) = h
+          q += 1
+        }
+        g
+      }
+    val ng = grams.length
+    // (fp, pos) pairs packed as longs, distinct via a set keyed on pos
+    // (a position selects exactly one fp)
+    val sel = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    if (ng <= w) {
+      var mn = grams(0); var mi = 0; var p = 1
+      while (p < ng) { if (grams(p) <= mn) { mn = grams(p); mi = p }; p += 1 }
+      sel.put(mi.toLong, mn)
+    } else {
+      val dq = new Array[Int](ng)
+      var head = 0; var tail = 0
+      var p = 0
+      while (p < ng) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        if (dq(head) <= p - w) head += 1
+        if (p >= w - 1) sel.put(dq(head).toLong, grams(dq(head)))
+        p += 1
+      }
+    }
+    val out = new Array[Long](sel.size() * 2)
+    val it = sel.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = e.getValue; out(o + 1) = e.getKey
+      o += 2
+    }
+    new GenericArrayData(out)
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 && m == 0) return 1.0
@@ -1855,6 +1930,32 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowFps($c, $k, $w)")
   override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+}
+
+/** Positional winnowing anchors, flat [fp, pos, …] longs — see
+  * [[Kernels.winnowSpans]]. */
+case class WinnowSpans(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1,
+    s"winnow_spans needs k >= 1 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_spans"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.winnowSpans(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.winnowSpans($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowSpans =
     copy(child = c)
 }
 

@@ -42,6 +42,12 @@ package object functions {
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     col2(WinnowFps(ex(text), k, w))
 
+  /** Positional winnowing anchors (rightmost-min tie rule), flat
+    * [fp, pos, ...] longs — the localization companion of
+    * [[winnow_fps]]. */
+  def winnow_spans(text: Column, k: Int, w: Int): Column =
+    col2(WinnowSpans(ex(text), k, w))
+
   /** One-pass secret/credential token scan: flag + redact tokens that
     * are long, digit+letter mixed, and near-uniform over their alphabet
     * (token-level Simpson concentration <= cap). */

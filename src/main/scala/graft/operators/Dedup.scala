@@ -1619,6 +1619,47 @@ object Dedup {
         expr("inter * 1000000 div sz").as("cont_micro"))
   }
 
+  /** L99d: span localization for winnowed pairs — WHERE the shared
+    * material sits. [[winnowedPairs]] says two docs share passages;
+    * this joins their POSITIONAL anchors ([[graft.functions
+    * .winnow_spans]], the paper's rightmost-min selection with
+    * per-position de-dup) on fingerprint value and reports, per pair,
+    * the matched-anchor count and the anchor extent in each document
+    * (from/to codepoint positions, extent = to − from + k). The
+    * audit/attribution layer of the MOSS pipeline: "doc B duplicates
+    * doc A's chars ~120–300", which drives span-level removal (L35c)
+    * or quotation whitelisting without re-scanning text. Cost: the
+    * verified pair table × shared-fp anchors — pair-bounded, never
+    * corpus². */
+  def winnowedSpanPairs(docs0: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 16, minShared: Long = 2,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val docs = Lineage.pinDerived(docs0)
+    val pairs = winnowedPairs(docs, idCol, textCol, k, w, minShared, maxDf)
+    val emptyA = "cast(array() as array<struct<fp:bigint,pos:bigint>>)"
+    val spans = docs.select(col(idCol).as("id"),
+        winnow_spans(coalesce(col(textCol), lit("")), k, w).as("sp"))
+      .select(col("id"), explode(coalesce(
+        when(size(col("sp")) >= 2, expr(
+          "transform(sequence(0, size(sp) div 2 - 1)," +
+            " i -> struct(sp[i*2] as fp, sp[i*2+1] as pos))")),
+        expr(emptyA))).as("a"))
+      .select(col("id"), col("a.fp").as("fp"), col("a.pos").as("pos"))
+    val s1 = spans.select(col("id").as("id1"), col("fp"),
+      col("pos").as("pos1"))
+    val s2 = spans.select(col("id").as("id2"), col("fp"),
+      col("pos").as("pos2"))
+    pairs.join(s1, "id1").join(s2, Seq("id2", "fp"))
+      .groupBy("id1", "id2", "n_shared", "overlap_pm")
+      .agg(count(lit(1)).as("n_anchor_pairs"),
+        min("pos1").as("from1"), max("pos1").as("to1"),
+        min("pos2").as("from2"), max("pos2").as("to2"))
+      .select(col("id1"), col("id2"), col("n_shared"), col("overlap_pm"),
+        col("n_anchor_pairs"),
+        col("from1"), (col("to1") - col("from1") + k).as("extent1"),
+        col("from2"), (col("to2") - col("from2") + k).as("extent2"))
+  }
+
   // --- L99c winnow fingerprint state (streaming ingest probe) -------
 
   private def winnowSets(docs: DataFrame, idCol: String, textCol: String,

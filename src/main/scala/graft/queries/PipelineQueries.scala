@@ -343,6 +343,15 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L99d: span localization — WHERE each winnowed pair's shared
+    // material sits: matched positional anchors aggregated to per-pair
+    // from/extent in both docs (the MOSS attribution report).
+    "q_winnow_spans" -> { (s, dir) =>
+      Dedup.winnowedSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 16, minShared = 8L, maxDf = 8L)
+        .orderBy("id1", "id2")
+    },
+
     // L84: sampled near-dup rate — dedup QA at scale: a deterministic
     // 1/8 id-hash sample probed against the whole corpus (one-sided
     // prefix filter, lang-blocked) for a jaccard>=0.9 partner; the
@@ -2455,6 +2464,41 @@ object PipelineQueries {
         |  CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
         |FROM ver WHERE n_shared >= 8
         |ORDER BY id1, id2""".stripMargin,
+
+    // L99d: the localization replay — the q_winnow_pairs chain for the
+    // verified pairs, plus the positional-anchor CTE joined on fp for
+    // both sides and folded to per-pair extents.
+    "q_winnow_spans" ->
+      s"""WITH ${Shared.winnowCteSql},
+        |${Shared.winnowSpansCteSql},
+        |posts AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+        |dfreq AS (
+        |  SELECT fp FROM posts GROUP BY fp
+        |  HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM posts a JOIN dfreq USING (fp)
+        |  JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id1, c.id2,
+        |    CAST(len(list_intersect(f1.fps, f2.fps)) AS BIGINT) AS n_shared,
+        |    CAST(LEAST(len(f1.fps), len(f2.fps)) AS BIGINT) AS nmin
+        |  FROM cand c
+        |  JOIN f f1 ON f1.doc_id = c.id1
+        |  JOIN f f2 ON f2.doc_id = c.id2),
+        |pairs AS (
+        |  SELECT id1, id2, n_shared,
+        |    CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
+        |  FROM ver WHERE n_shared >= 8)
+        |SELECT p.id1, p.id2, p.n_shared, p.overlap_pm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_anchor_pairs,
+        |  MIN(s1.pos) AS from1, MAX(s1.pos) - MIN(s1.pos) + 8 AS extent1,
+        |  MIN(s2.pos) AS from2, MAX(s2.pos) - MIN(s2.pos) + 8 AS extent2
+        |FROM pairs p
+        |JOIN sp s1 ON s1.doc_id = p.id1
+        |JOIN sp s2 ON s2.doc_id = p.id2 AND s2.fp = s1.fp
+        |GROUP BY p.id1, p.id2, p.n_shared, p.overlap_pm
+        |ORDER BY p.id1, p.id2""".stripMargin,
 
     // L84: the sampled-rate replay — same id-hash sample, exact
     // cross-multiplied jaccard EXISTS per sampled doc (lang-blocked).

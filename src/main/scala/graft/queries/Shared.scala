@@ -95,6 +95,30 @@ private[queries] object Shared {
       |f AS (
       |  SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM wm)""".stripMargin
 
+  /** DuckDB twin of [[graft.functions.Kernels.winnowSpans]] — append
+    * AFTER [[winnowCteSql]] (uses its `wg`): per-window rightmost-min
+    * anchors (fp, pos), de-duplicated at row level (a position selects
+    * exactly one fp, and DuckDB's list_distinct can't take structs).
+    * Ends in `sp(doc_id, fp, pos)`. */
+  val winnowSpansCteSql: String =
+    """sels AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) <= 16 THEN
+      |      [struct_pack(m := list_aggregate(grams, 'min'),
+      |        p := len(grams) - list_position(list_reverse(grams),
+      |          list_aggregate(grams, 'min')))]
+      |    ELSE list_transform(range(1, len(grams) - 16 + 2),
+      |      j -> struct_pack(
+      |        m := list_aggregate(list_slice(grams, j, j + 15), 'min'),
+      |        p := (j - 1) + (16 - list_position(
+      |          list_reverse(list_slice(grams, j, j + 15)),
+      |          list_aggregate(list_slice(grams, j, j + 15), 'min')))))
+      |    END AS sel
+      |  FROM wg WHERE len(grams) > 0),
+      |sp AS (
+      |  SELECT DISTINCT doc_id, u.s.m AS fp, u.s.p AS pos
+      |  FROM sels, UNNEST(sel) AS u(s))""".stripMargin
+
   /** DuckDB twin of [[bigramScored]]: adds the per-row quantized-q CTE. */
   val bigramScoredCteSql: String = bigramCteSql + """,
       |scored AS (

@@ -178,7 +178,10 @@ object ScaleProbe {
     // r13 session 5: one fact pass builds rollup-sized partials;
     // refresh cost is the changed partitions' slice, read is
     // rollup-sized
-    "q_agg_incremental")
+    "q_agg_incremental",
+    // r13 session 5: verified-pair-bounded anchor join off the
+    // df-capped postings chain (no corpus² path)
+    "q_winnow_spans")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1050,6 +1050,30 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == naive(0).intersect(naive(1)).size.toLong)
   }
 
+  test("winnow spans localize the shared passage inside both docs") {
+    val pad1 = "AAAA BBBB CCCC DDDD EEEE FFFF GGGG HHHH " // 40 cp
+    val pad2 = "zzzz yyyy xxxx "                           // 15 cp
+    val passage = "0123456789abcdefghijklmnopqrstuvwxyz0123456789" // 46 cp
+    val d = Seq((1L, pad1 + passage), (2L, pad2 + passage + " wwww vvvv"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedSpanPairs(d, "doc_id", "text", k = 8, w = 16,
+      minShared = 1L, maxDf = 10L).collect()
+    assert(out.length == 1, s"exactly the planted pair, got ${out.length}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // disjoint pad alphabets: every shared gram lies INSIDE the
+    // passage occurrence, so the reported anchors must too
+    val (from1, ext1) = (r.getLong(5), r.getLong(6))
+    val (from2, ext2) = (r.getLong(7), r.getLong(8))
+    assert(from1 >= 40 && from1 + ext1 <= 40 + 46,
+      s"doc1 anchors outside the passage: from $from1 extent $ext1")
+    assert(from2 >= 15 && from2 + ext2 <= 15 + 46,
+      s"doc2 anchors outside the passage: from $from2 extent $ext2")
+    // every shared fingerprint has an anchor on both sides
+    assert(r.getLong(4) >= r.getLong(2),
+      "anchor pairs must cover the shared fingerprint set")
+  }
+
   test("winnowAgainstTable: exact probe, replay-idempotent state") {
     def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
     val corpus = Seq(
