@@ -939,6 +939,73 @@ object Curate {
           col("n_distinct_cp") >= minDistinctCp)
       .drop("sum_sq", "max_count")
 
+  /** L103: exact AUC (Mann–Whitney with tie correction) — the
+    * threshold-free quality number for any gating classifier, computed
+    * WITHOUT a global sort: scores collapse to the distinct-value
+    * count table, the cumulative count rides a bucketed PrefixSum
+    * (range cells off one broadcast bounds frame), and tied scores
+    * take their average rank via the grouped closed form
+    * Σ p·(2F + c + 1) = 2·ΣR⁺ (F = count below the tie group, c its
+    * size). AUC = (2ΣR⁺ − P(P+1)) / (2PN), emitted in integer
+    * micro-units through decimal(38,0) widening (2PN·10⁶ overflows
+    * a BIGINT past ~2M rows — the L94 overflow discipline). Exact,
+    * so it doubles as the oracle for any sampled/approximate AUC. */
+  def aucExact(scored: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("mv"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
+    val bounds = g.agg(min("mv").as("mn"), max("mv").as("mx"))
+    val cells = g.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr("(mv - mn) * 64 div (mx - mn + 1)"))
+      .drop("mn", "mx")
+    val cum = PrefixSum.bucketed(cells, Seq("mv"), col("c"), col("cell"),
+      "cumc")
+    cum.agg(
+        sum("p").as("n_pos"),
+        sum(expr("c - p")).as("n_neg"),
+        sum(expr("p * (2 * (cumc - c) + c + 1)")).as("s2r"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("cast(cast(s2r - n_pos * (n_pos + 1) as decimal(38,0))" +
+          " * 1000000 div (cast(n_pos as decimal(38,0)) * 2 * n_neg)" +
+          " as bigint)").as("auc_micro"))
+  }
+
+  /** L103b: precision/recall curve at rank-decile cutoffs — the
+    * "what does gating at the top X% cost" table. Global rank without
+    * a global sort (bucketed PrefixSum under (score DESC, id) — the
+    * id tiebreak makes decile boundaries deterministic across ties),
+    * deciles fold to a `buckets`-row frame (pinned, then the
+    * cumulative window runs on those rows only — the prioritySample
+    * discipline). Returns (decile, cum_n, cum_pos, precision_ppm,
+    * recall_ppm). */
+  def prCurve(scored: DataFrame, idCol: String, scoreCol: String,
+              labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    val s0 = scored.select(col(idCol).as("id"), col(scoreCol).as("mv"),
+      when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val bounds = s0.agg(min("mv").as("mn"), max("mv").as("mx"),
+      count(lit(1)).as("n"), sum("y").as("np"))
+    val cells = s0.crossJoin(broadcast(bounds))
+      .withColumn("negm", -col("mv"))
+      .withColumn("cell", expr("(mx - mv) * 64 div (mx - mn + 1)"))
+    val rk = PrefixSum.bucketed(cells, Seq("negm", "id"), lit(1L),
+      col("cell"), "rk")
+    val dec = rk.withColumn("decile", expr(s"(rk - 1) * $buckets div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_bucket"), sum("y").as("pos_bucket"),
+        max("n").as("n"), max("np").as("np"))
+      .localCheckpoint(true) // <= buckets rows; the window runs on these
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_n", sum("n_bucket").over(w))
+      .withColumn("cum_pos", sum("pos_bucket").over(w))
+      .select(col("decile"), col("cum_n"), col("cum_pos"),
+        expr("cum_pos * 1000000 div cum_n").as("precision_ppm"),
+        expr("cum_pos * 1000000 div np").as("recall_ppm"))
+  }
+
   /** L102: readability scoring — Flesch–Kincaid grade and Flesch
     * reading ease in exact integer milli-units. Syllables use the
     * vowel-run heuristic: runs of [aeiouy] per token, floored at 1

@@ -793,6 +793,26 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // L103: exact AUC of the hashed-feature classifier (en vs rest) —
+    // Mann–Whitney with tie correction via the grouped average-rank
+    // closed form; no global sort (bucketed PrefixSum), decimal-
+    // widened micro-units. The threshold-free twin of q_calibration.
+    "q_classifier_auc" -> { (s, dir) =>
+      Curate.aucExact(
+        classifierMargin(s, dir).withColumn("is_en", col("lang") === "en"),
+        "margin", "is_en")
+    },
+
+    // L103b: precision/recall at rank-decile cutoffs — what gating the
+    // corpus at the top X% of classifier score costs; deterministic
+    // decile boundaries via the (score DESC, doc_id) tiebreak.
+    "q_classifier_pr" -> { (s, dir) =>
+      Curate.prCurve(
+          classifierMargin(s, dir).withColumn("is_en", col("lang") === "en"),
+          "doc_id", "margin", "is_en", buckets = 10)
+        .orderBy("decile")
+    },
+
     // L52: distributed classifier TRAINING — 3 rounds of full-batch
     // gradient descent (one vector_sum aggregate per round, model
     // broadcast) for an en-vs-rest logistic-shaped model over
@@ -3480,6 +3500,53 @@ object CurationQueries {
 
     // L44c: fixed-width value bins off the global margin bounds —
     // integer arithmetic in lockstep with the Spark expression.
+    // L103: the AUC replay — grouped tie form, cumulative count
+    // window, HUGEINT-widened micro division.
+    "q_classifier_auc" ->
+      s"""$classifierMarginCteSql,
+        |g AS (
+        |  SELECT margin AS mv, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM m GROUP BY margin),
+        |cg AS (SELECT mv, c, p, SUM(c) OVER (ORDER BY mv) AS cumc FROM g),
+        |st AS (
+        |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c - p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2 * (cumc - c) + c + 1)) AS HUGEINT) AS s2r
+        |  FROM cg)
+        |SELECT n_pos, n_neg,
+        |  CAST((s2r - n_pos * (n_pos + 1)) * 1000000
+        |    // (CAST(n_pos AS HUGEINT) * 2 * n_neg) AS BIGINT) AS auc_micro
+        |FROM st""".stripMargin,
+
+    // L103b: the PR-curve replay — ROW_NUMBER under the same
+    // (margin DESC, doc_id) tiebreak, decile fold, cumulative window.
+    "q_classifier_pr" ->
+      s"""$classifierMarginCteSql,
+        |b AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id ASC) AS rk
+        |  FROM m),
+        |d AS (
+        |  SELECT (rk - 1) * 10 // (SELECT n FROM b) AS decile,
+        |    COUNT(*) AS n_bucket, CAST(SUM(y) AS BIGINT) AS pos_bucket
+        |  FROM r GROUP BY 1),
+        |cw AS (
+        |  SELECT decile,
+        |    SUM(n_bucket) OVER (ORDER BY decile) AS cum_n,
+        |    SUM(pos_bucket) OVER (ORDER BY decile) AS cum_pos
+        |  FROM d)
+        |SELECT decile, CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CAST(cum_pos * 1000000 // cum_n AS BIGINT) AS precision_ppm,
+        |  CAST(cum_pos * 1000000 // (SELECT np FROM b) AS BIGINT)
+        |    AS recall_ppm
+        |FROM cw ORDER BY decile""".stripMargin,
+
     "q_calibration" ->
       s"""$classifierMarginCteSql,
         |bounds AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),

@@ -181,7 +181,10 @@ object ScaleProbe {
     "q_agg_incremental",
     // r13 session 5: verified-pair-bounded anchor join off the
     // df-capped postings chain (no corpus² path)
-    "q_winnow_spans")
+    "q_winnow_spans",
+    // r13 session 5: distinct-score count table + bucketed PrefixSum
+    // (no global sort); decile fold to a B-row frame
+    "q_classifier_auc", "q_classifier_pr")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

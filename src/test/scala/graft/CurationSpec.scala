@@ -1610,4 +1610,32 @@ class CurationSpec extends SparkSpec {
     assert((r4.getLong(1), r4.getLong(2)) == ((0L, 0L)) &&
       r4.isNullAt(4) && r4.isNullAt(5), "empty text scores null")
   }
+
+  test("aucExact and prCurve: textbook values, ties, perfect separation") {
+    import spark.implicits._
+    import graft.operators.Curate
+    def auc(rows: Seq[(Long, Long, Boolean)]): Long =
+      Curate.aucExact(rows.toDF("id", "sc", "lab"), "sc", "lab")
+        .head().getAs[Long]("auc_micro")
+    // perfect separation -> 1.0; inverted -> 0.0
+    val sep = (1L to 6L).map(i => (i, i * 10, i > 3))
+    assert(auc(sep) == 1000000L)
+    assert(auc(sep.map { case (i, s, l) => (i, s, !l) }) == 0L)
+    // all-tied scores -> exactly 0.5 via average ranks
+    assert(auc(Seq((1L, 7L, true), (2L, 7L, false), (3L, 7L, true),
+      (4L, 7L, false))) == 500000L)
+    // hand case: scores 3,2,1 labels T,F,T -> AUC 0.5
+    assert(auc(Seq((1L, 3L, true), (2L, 2L, false), (3L, 1L, true)))
+      == 500000L)
+    // PR at 2 buckets over 4 rows ranked desc: [T, F | F, T]
+    val pr = Curate.prCurve(
+        Seq((1L, 40L, true), (2L, 30L, false), (3L, 20L, false),
+          (4L, 10L, true)).toDF("id", "sc", "lab"),
+        "id", "sc", "lab", buckets = 2)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(pr.toSeq == Seq((0L, 2L, 1L, 500000L, 500000L),
+      (1L, 4L, 2L, 500000L, 1000000L)), s"got ${pr.toSeq}")
+  }
 }
