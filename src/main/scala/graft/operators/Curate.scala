@@ -951,10 +951,21 @@ object Curate {
     * a BIGINT past ~2M rows — the L94 overflow discipline). Exact,
     * so it doubles as the oracle for any sampled/approximate AUC. */
   def aucExact(scored: DataFrame, scoreCol: String,
-               labelCol: String): DataFrame = {
-    val g = scored.groupBy(col(scoreCol).as("mv"))
+               labelCol: String): DataFrame =
+    aucFromScoreCounts(scoreCounts(scored, scoreCol, labelCol))
+
+  /** The ADDITIVE sufficient statistic behind [[aucExact]]: per
+    * distinct score value, (total count, positive count). Tables from
+    * disjoint batches fold by (mv, sum, sum) — which is what lets a
+    * STREAMING monitor (C13af) maintain exact AUC incrementally. */
+  def scoreCounts(scored: DataFrame, scoreCol: String,
+                  labelCol: String): DataFrame =
+    scored.groupBy(col(scoreCol).as("mv"))
       .agg(count(lit(1)).as("c"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
+
+  /** Exact tie-corrected AUC from a (mv, c, p) count table. */
+  def aucFromScoreCounts(g: DataFrame): DataFrame = {
     val bounds = g.agg(min("mv").as("mn"), max("mv").as("mx"))
     val cells = g.crossJoin(broadcast(bounds))
       .withColumn("cell", expr("(mv - mn) * 64 div (mx - mn + 1)"))

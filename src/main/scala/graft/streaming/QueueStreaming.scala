@@ -1528,6 +1528,58 @@ object QueueStreaming {
       rounds)
   }
 
+  /** C13af: streaming exact-AUC monitor — classifier quality on live
+    * scored-and-labeled traffic (human QA verdicts, weak-supervision
+    * labels riding the stream) with NO approximation: the AUC
+    * sufficient statistic is the per-distinct-score (count, positives)
+    * table, which is ADDITIVE across batches
+    * ([[graft.operators.Curate.scoreCounts]]), so each trigger folds
+    * its delta into the snapshot chain (read-below-own-id, replay-
+    * safe) and [[aucFromStore]] replays the grouped tie-corrected
+    * Mann–Whitney form over the distinct-score-bounded state — never
+    * the event history. A dropping live AUC is the earliest signal a
+    * gating classifier has drifted off its training distribution. */
+  def aucMonitorStream(scored: DataFrame, scoreCol: String,
+                       labelCol: String, storePath: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scored.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Curate.scoreCounts(batch.toDF(),
+          scoreCol, labelCol)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("mv", "c", "p"))
+          }
+        val snap = prior match {
+          case Some(pr) => pr.unionByName(delta).groupBy("mv")
+            .agg(sum("c").as("c"), sum("p").as("p"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Exact AUC off the latest score-count snapshot. */
+  def aucFromStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    val head = all.agg(max(col("batch").cast("long"))).head()
+    graft.operators.Curate.aucFromScoreCounts(
+      all.filter(col("batch").cast("long") === head.getLong(0))
+        .select("mv", "c", "p"))
+  }
+
   /** C13ad: streaming winnow ingest — the LOCAL-match member of the
     * ingest family ([[nearDupIngest]] = resemblance,
     * [[containmentIngest]] = set inclusion; this one = shared

@@ -463,6 +463,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming AUC monitor equals batch AUC after every trigger") {
+    import graft.operators.Curate
+    implicit val sq = spark.sqlContext
+    // scores with cross-batch TIES (both batches contribute to the
+    // same mv rows) — the fold must merge, not append
+    val b1 = Seq((10L, true), (20L, false), (30L, true), (20L, true))
+    val b2 = Seq((20L, false), (30L, false), (40L, true), (10L, false))
+    val mem = MemoryStream[(Long, Boolean)]
+    val store = Files.createTempDirectory("auc_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("auc_ckpt").toString
+    val q = QueueStreaming.aucMonitorStream(
+      mem.toDF().toDF("sc", "lab"), "sc", "lab", store, ckpt)
+    def batchAuc(rows: Seq[(Long, Boolean)]): Long =
+      Curate.aucExact(rows.zipWithIndex
+          .map { case ((s, l), i) => (i.toLong, s, l) }
+          .toDF("id", "sc", "lab"), "sc", "lab")
+        .head().getAs[Long]("auc_micro")
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val auc1 = QueueStreaming.aucFromStore(spark, store)
+      .head().getAs[Long]("auc_micro")
+    assert(auc1 == batchAuc(b1), "trigger-1 AUC diverged")
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val auc2 = QueueStreaming.aucFromStore(spark, store)
+      .head().getAs[Long]("auc_micro")
+    assert(auc2 == batchAuc(b1 ++ b2), "folded AUC diverged from batch")
+    // the state is score-distinct-bounded, not event-bounded
+    val state = spark.read.parquet(s"$store/batch=1")
+    assert(state.count() == 4, "state must be one row per distinct score")
+  }
+
   test("streaming mixture reweight folds stats exactly; weights match batch twin") {
     import graft.operators.Mix
     implicit val sq = spark.sqlContext
