@@ -982,6 +982,35 @@ object Curate {
           " as bigint)").as("auc_micro"))
   }
 
+  /** L104: per-group exact AUC — the grouped twin of [[aucExact]]
+    * (the engine's multi-tenant discipline: one call, per-group
+    * results identical to per-group solo runs). Same grouped
+    * average-rank tie form; the cumulative count rides
+    * [[PrefixSum.keyed]] (fully distributed, no driver collect, the
+    * widest window = one range cell of one group). Groups that are
+    * all-positive or all-negative have no ranking to score and emit a
+    * null auc_micro (the degenerate-denominator guard). */
+  def aucExactGrouped(scored: DataFrame, groupCol: String, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(groupCol).as("grp"), col(scoreCol).as("mv"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
+    val bounds = g.groupBy("grp").agg(min("mv").as("mn"), max("mv").as("mx"))
+    val cells = g.join(bounds, "grp")
+      .withColumn("cell", expr("(mv - mn) * 64 div (mx - mn + 1)"))
+      .drop("mn", "mx")
+    val cum = PrefixSum.keyed(cells, Seq("grp"), Seq("mv"), col("c"),
+      col("cell"), "cumc")
+    cum.groupBy("grp")
+      .agg(sum("p").as("n_pos"), sum(expr("c - p")).as("n_neg"),
+        sum(expr("p * (2 * (cumc - c) + c + 1)")).as("s2r"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("cast(cast(s2r - n_pos * (n_pos + 1) as decimal(38,0))" +
+            " * 1000000 div (cast(n_pos as decimal(38,0)) * 2 * n_neg)" +
+            " as bigint)")).as("auc_micro"))
+  }
+
   /** L103b: precision/recall curve at rank-decile cutoffs — the
     * "what does gating at the top X% cost" table. Global rank without
     * a global sort (bucketed PrefixSum under (score DESC, id) — the

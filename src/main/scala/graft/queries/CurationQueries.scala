@@ -803,6 +803,19 @@ object CurationQueries {
         "margin", "is_en")
     },
 
+    // L104: per-SOURCE exact AUC — does the gating classifier rank
+    // equally well on every ingest source, or does one source's
+    // content defeat it? Labels vary within each source (is_en), so
+    // every group carries a real ranking problem.
+    "q_classifier_auc_grouped" -> { (s, dir) =>
+      val scored = classifierMargin(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .withColumn("is_en", col("lang") === "en")
+      Curate.aucExactGrouped(scored, "source", "margin", "is_en")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+
     // L103b: precision/recall at rank-decile cutoffs — what gating the
     // corpus at the top X% of classifier score costs; deterministic
     // decile boundaries via the (score DESC, doc_id) tiebreak.
@@ -3518,6 +3531,32 @@ object CurationQueries {
         |  CAST((s2r - n_pos * (n_pos + 1)) * 1000000
         |    // (CAST(n_pos AS HUGEINT) * 2 * n_neg) AS BIGINT) AS auc_micro
         |FROM st""".stripMargin,
+
+    // L104: the grouped-AUC replay — same tie form per source with a
+    // per-group cumulative window; degenerate groups yield NULL.
+    "q_classifier_auc_grouped" ->
+      s"""$classifierMarginCteSql,
+        |g AS (
+        |  SELECT d.source AS grp, m.margin AS mv, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p
+        |  FROM m JOIN documents d USING (doc_id)
+        |  GROUP BY d.source, m.margin),
+        |cg AS (
+        |  SELECT grp, mv, c, p,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY mv) AS cumc
+        |  FROM g),
+        |st AS (
+        |  SELECT grp, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c - p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2 * (cumc - c) + c + 1)) AS HUGEINT) AS s2r
+        |  FROM cg GROUP BY grp)
+        |SELECT grp AS source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((s2r - n_pos * (n_pos + 1)) * 1000000
+        |      // (CAST(n_pos AS HUGEINT) * 2 * n_neg) AS BIGINT) END
+        |    AS auc_micro
+        |FROM st ORDER BY source""".stripMargin,
 
     // L103b: the PR-curve replay — ROW_NUMBER under the same
     // (margin DESC, doc_id) tiebreak, decile fold, cumulative window.

@@ -183,8 +183,9 @@ object ScaleProbe {
     // df-capped postings chain (no corpus² path)
     "q_winnow_spans",
     // r13 session 5: distinct-score count table + bucketed PrefixSum
-    // (no global sort); decile fold to a B-row frame
-    "q_classifier_auc", "q_classifier_pr")
+    // (no global sort); decile fold to a B-row frame; grouped twin
+    // rides PrefixSum.keyed
+    "q_classifier_auc", "q_classifier_pr", "q_classifier_auc_grouped")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

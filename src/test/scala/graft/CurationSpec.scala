@@ -1638,4 +1638,24 @@ class CurationSpec extends SparkSpec {
     assert(pr.toSeq == Seq((0L, 2L, 1L, 500000L, 500000L),
       (1L, 4L, 2L, 500000L, 1000000L)), s"got ${pr.toSeq}")
   }
+
+  test("grouped AUC equals per-group solo runs; degenerate groups are null") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val rows = Seq(
+      ("a", 1L, 10L, true), ("a", 2L, 20L, false), ("a", 3L, 30L, true),
+      ("a", 4L, 20L, true),
+      ("b", 5L, 5L, false), ("b", 6L, 9L, true), ("b", 7L, 7L, false),
+      ("c", 8L, 1L, true), ("c", 9L, 2L, true)) // all-positive: no ranking
+      .toDF("grp", "id", "sc", "lab")
+    val grouped = Curate.aucExactGrouped(rows, "grp", "sc", "lab")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    Seq("a", "b").foreach { g =>
+      val solo = Curate.aucExact(rows.filter(col("grp") === g), "sc", "lab")
+        .head().getAs[Long]("auc_micro")
+      assert(grouped(g).contains(solo), s"group $g diverged from solo")
+    }
+    assert(grouped("c").isEmpty, "all-positive group must score null")
+  }
 }
