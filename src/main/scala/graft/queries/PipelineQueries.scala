@@ -352,6 +352,21 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L99e: winnow-based dedup APPLY — survivors after dropping the
+    // larger id of every winnowed pair (the greedy min-id-survives
+    // convention every pair family's apply member uses): removes docs
+    // whose PASSAGE overlap with a kept doc clears the gate even when
+    // resemblance and containment both pass them.
+    "q_winnow_apply" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.removeNearDups(d, "doc_id",
+          Dedup.winnowedPairs(d, "doc_id", "text", k = 8, w = 16,
+              minShared = 8L, maxDf = 8L)
+            .withColumnRenamed("id2", "doc_id2"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // L84: sampled near-dup rate — dedup QA at scale: a deterministic
     // 1/8 id-hash sample probed against the whole corpus (one-sided
     // prefix filter, lang-blocked) for a jaccard>=0.9 partner; the
@@ -2499,6 +2514,28 @@ object PipelineQueries {
         |JOIN sp s2 ON s2.doc_id = p.id2 AND s2.fp = s1.fp
         |GROUP BY p.id1, p.id2, p.n_shared, p.overlap_pm
         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // L99e: the apply replay — drop side = distinct id2 of the pairs
+    // chain, survivors via anti-join.
+    "q_winnow_apply" ->
+      s"""WITH ${Shared.winnowCteSql},
+        |posts AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+        |dfreq AS (
+        |  SELECT fp FROM posts GROUP BY fp
+        |  HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM posts a JOIN dfreq USING (fp)
+        |  JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |drops AS (
+        |  SELECT DISTINCT c.id2 AS drop_id
+        |  FROM cand c
+        |  JOIN f f1 ON f1.doc_id = c.id1
+        |  JOIN f f2 ON f2.doc_id = c.id2
+        |  WHERE len(list_intersect(f1.fps, f2.fps)) >= 8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     // L84: the sampled-rate replay — same id-hash sample, exact
     // cross-multiplied jaccard EXISTS per sampled doc (lang-blocked).

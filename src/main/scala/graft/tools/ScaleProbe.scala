@@ -185,7 +185,9 @@ object ScaleProbe {
     // r13 session 5: distinct-score count table + bucketed PrefixSum
     // (no global sort); decile fold to a B-row frame; grouped twin
     // rides PrefixSum.keyed
-    "q_classifier_auc", "q_classifier_pr", "q_classifier_auc_grouped")
+    "q_classifier_auc", "q_classifier_pr", "q_classifier_auc_grouped",
+    // r13 session 5: the winnow pairs chain + one anti-join
+    "q_winnow_apply")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
