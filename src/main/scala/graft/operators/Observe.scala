@@ -389,4 +389,18 @@ object Observe {
       .groupBy(keyCols.map(col): _*)
       .agg(sum("cnt").as("n_rows"), sum("sum").as("sum_val"),
         min("mn").as("min_val"), max("mx").as("max_val"))
+
+  /** R52b: fold the stored partials at a COARSER grain than the
+    * partition value (month partials → quarter/year rollups) — the
+    * whole point of storing decomposable partials rather than
+    * finished aggregates: any grain at or above the partition grain
+    * reads rollup-sized data, the fact table never re-scans.
+    * `grainCol` must be a function of the `part` column (e.g.
+    * substring(part, 1, 4) for year-of-month). */
+  def readAggTableAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                     grainCol: Column, keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(grainCol.as("grain") +: keyCols.map(col): _*)
+      .agg(sum("cnt").as("n_rows"), sum("sum").as("sum_val"),
+        min("mn").as("min_val"), max("mx").as("max_val"))
 }

@@ -290,6 +290,26 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // R52b: coarser-grain read off the SAME month partials — year
+    // rollups without touching the fact table (the decomposable-
+    // partials payoff: any grain at or above the partition grain is
+    // a rollup-sized fold). Oracle = from-scratch year aggregation.
+    "q_agg_rollup_read" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM")
+      val p = "spark-warehouse/graft_aggroll_" + dirKey(dir)
+      graft.operators.Observe.buildAggTable(
+        li, p, part, Seq("l_returnflag"), "l_quantity")
+      graft.operators.Observe.readAggTableAt(s, p,
+          substring(col("part"), 1, 4), Seq("l_returnflag"))
+        .select(col("grain").as("ship_year"), col("l_returnflag"),
+          col("n_rows"),
+          col("sum_val").cast("long").as("sum_qty"),
+          col("min_val").cast("long").as("min_qty"),
+          col("max_val").cast("long").as("max_qty"))
+        .orderBy("ship_year", "l_returnflag")
+    },
+
     // R45c: mergeable QUANTILE profile store — per-month KLL sketch
     // rows folded to whole-table order statistics WITHOUT rescanning
     // (the R45b discipline extended to quantiles). Gate-SF row counts
@@ -916,6 +936,17 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // R52b: the year-grain replay — direct aggregation at year grain.
+    "q_agg_rollup_read" ->
+      """SELECT strftime(l_shipdate, '%Y') AS ship_year, l_returnflag,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem
+        |GROUP BY ship_year, l_returnflag
+        |ORDER BY ship_year, l_returnflag""".stripMargin,
 
     "q_profile_merged" ->
       """WITH p AS (

@@ -187,7 +187,9 @@ object ScaleProbe {
     // rides PrefixSum.keyed
     "q_classifier_auc", "q_classifier_pr", "q_classifier_auc_grouped",
     // r13 session 5: the winnow pairs chain + one anti-join
-    "q_winnow_apply")
+    "q_winnow_apply",
+    // r13 session 5: rollup-sized fold at any grain over stored partials
+    "q_agg_rollup_read")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -272,4 +272,23 @@ class ObserveSpec extends SparkSpec {
     assert(fixed("a") == ((4L, 200L, 10L, 100L)), s"got ${fixed("a")}")
     assert(fixed("b") == ((2L, 6L, 1L, 5L)), "d2's old b-partial must be gone")
   }
+
+  test("coarse-grain rollup read equals direct aggregation (partials payoff)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("aggroll").toString + "/t"
+    val facts = Seq(
+      ("2024-01", "a", 10L), ("2024-02", "a", 20L), ("2024-02", "b", 5L),
+      ("2025-01", "a", 7L), ("2025-03", "b", 9L), ("2025-03", "b", 1L))
+      .toDF("day", "k", "v")
+    Observe.buildAggTable(facts, dir, col("day"), Seq("k"), "v")
+    val got = Observe.readAggTableAt(spark, dir,
+        substring(col("part"), 1, 4), Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("2024", "a")) == ((2L, 30L, 10L, 20L)))
+    assert(got(("2024", "b")) == ((1L, 5L, 5L, 5L)))
+    assert(got(("2025", "b")) == ((2L, 10L, 1L, 9L)))
+    assert(got.size == 4)
+  }
 }
