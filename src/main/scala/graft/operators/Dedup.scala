@@ -1660,6 +1660,50 @@ object Dedup {
         col("from2"), (col("to2") - col("from2") + k).as("extent2"))
   }
 
+  /** L105: cross-table winnow probe — winnow decontamination: flag
+    * every doc sharing ≥ minShared fingerprints with a reference
+    * (benchmark) document. The GUARANTEED member of the
+    * decontamination family: the n-gram (L21) and semantic (L21b)
+    * modes sample or embed, while winnowing certifies that any
+    * verbatim overlap of length ≥ w + k − 1 contributes a shared
+    * fingerprint — a contaminated doc cannot hide a long quoted
+    * passage from this gate. Candidates join the TRAIN-side postings
+    * (df ≤ maxDf: corpus-boilerplate fingerprints are excluded from
+    * matching, which also bounds the join) against the full reference
+    * postings (the suite is bounded by construction); verify is the
+    * exact merge over both fingerprint sets — counts maxDf-
+    * independent, the L99b discipline. Returns (id, ref_id, n_shared,
+    * overlap_pm). */
+  def winnowedAgainst(docs0: DataFrame, idCol: String, textCol: String,
+                      ref0: DataFrame, refIdCol: String, refTextCol: String,
+                      k: Int = 8, w: Int = 16, minShared: Long = 8L,
+                      maxDf: Long = 16L): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1,
+      s"minShared/maxDf must be >= 1, got $minShared/$maxDf")
+    val docs = Lineage.pinDerived(docs0)
+    val ref = Lineage.pinDerived(ref0)
+    val a = docs.select(col(idCol).as("id"),
+      winnow_fps(coalesce(col(textCol), lit("")), k, w).as("fps"))
+    val b = ref.select(col(refIdCol).as("ref_id"),
+      winnow_fps(coalesce(col(refTextCol), lit("")), k, w).as("rfps"))
+    val pa = a.select(col("id"), explode(col("fps")).as("fp"))
+    val pb = b.select(col("ref_id"), explode(col("rfps")).as("fp"))
+    val dfa = pa.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val cand = pa.join(dfa, "fp").join(pb, "fp")
+      .select("id", "ref_id").distinct()
+    cand
+      .join(a.select(col("id"), col("fps"),
+        size(col("fps")).cast("long").as("na")), "id")
+      .join(b.select(col("ref_id"), col("rfps"),
+        size(col("rfps")).cast("long").as("nb")), "ref_id")
+      .withColumn("n_shared",
+        inter_ge_sorted(col("fps"), col("rfps"), lit(minShared)))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id"), col("ref_id"), col("n_shared"),
+        expr("n_shared * 1000000 div least(na, nb)").as("overlap_pm"))
+  }
+
   // --- L99c winnow fingerprint state (streaming ingest probe) -------
 
   private def winnowSets(docs: DataFrame, idCol: String, textCol: String,

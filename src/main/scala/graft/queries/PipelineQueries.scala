@@ -1037,6 +1037,23 @@ object PipelineQueries {
         .orderBy("doc_id", "suite")
     },
 
+    // L105: winnow decontamination — the GUARANTEED mode next to the
+    // n-gram (sampled) and semantic (embedded) gates: any verbatim
+    // overlap of >= 23 chars with an eval doc contributes a shared
+    // fingerprint, so a long quoted benchmark passage cannot hide.
+    // Same %23 suite split as q_decontaminate; train-side df cap
+    // excludes corpus-boilerplate fingerprints from matching.
+    "q_decontaminate_winnow" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.winnowedAgainst(
+          d.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+          k = 8, w = 16, minShared = 8L, maxDf = 16L)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("ref_id", "eval_id")
+        .orderBy("doc_id", "eval_id")
+    },
+
     // L48: Min-K% membership audit — the suspect list: documents whose
     // k=20% least-likely bigrams still score high under the corpus LM
     // (memorization/duplication leaves no low-probability tail). Rides
@@ -2514,6 +2531,31 @@ object PipelineQueries {
         |JOIN sp s2 ON s2.doc_id = p.id2 AND s2.fp = s1.fp
         |GROUP BY p.id1, p.id2, p.n_shared, p.overlap_pm
         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // L105: the winnow-decontamination replay — train/eval split,
+    // train-side df cap, cross join on fp, exact intersect verify.
+    "q_decontaminate_winnow" ->
+      s"""WITH ${Shared.winnowCteSql},
+        |tr AS (SELECT doc_id, fps FROM f WHERE doc_id % 23 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, fps AS efps FROM f
+        |       WHERE doc_id % 23 = 0),
+        |pa AS (SELECT doc_id, UNNEST(fps) AS fp FROM tr),
+        |pb AS (SELECT eval_id, UNNEST(efps) AS fp FROM ev),
+        |dfa AS (SELECT fp FROM pa GROUP BY fp HAVING COUNT(*) <= 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id, b.eval_id
+        |  FROM pa a JOIN dfa USING (fp) JOIN pb b ON a.fp = b.fp),
+        |ver AS (
+        |  SELECT c.doc_id, c.eval_id,
+        |    CAST(len(list_intersect(t.fps, e.efps)) AS BIGINT) AS n_shared,
+        |    CAST(LEAST(len(t.fps), len(e.efps)) AS BIGINT) AS nmin
+        |  FROM cand c
+        |  JOIN tr t ON t.doc_id = c.doc_id
+        |  JOIN ev e ON e.eval_id = c.eval_id)
+        |SELECT doc_id, eval_id, n_shared,
+        |  CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
+        |FROM ver WHERE n_shared >= 8
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     // L99e: the apply replay — drop side = distinct id2 of the pairs
     // chain, survivors via anti-join.

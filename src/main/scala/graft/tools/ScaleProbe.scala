@@ -189,7 +189,9 @@ object ScaleProbe {
     // r13 session 5: the winnow pairs chain + one anti-join
     "q_winnow_apply",
     // r13 session 5: rollup-sized fold at any grain over stored partials
-    "q_agg_rollup_read")
+    "q_agg_rollup_read",
+    // r13 session 5: train-df-capped cross probe against a bounded suite
+    "q_decontaminate_winnow")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1114,4 +1114,20 @@ class DedupSpec extends SparkSpec {
     assert(base.nonEmpty, "real corpus should surface winnow pairs")
     assert(run(d.repartition(7)) == base)
   }
+
+  test("winnowedAgainst: the verbatim-overlap guarantee vs a reference suite") {
+    val evalPassage = "0123456789abcdefghijklm" // exactly w + k - 1 chars
+    val ref = Seq((100L, "EVAL SET " + evalPassage + " QUESTION ANSWER"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "pppp qqqq rrrr " + evalPassage + " ssss tttt"), // quotes: flag
+      (2L, "uuuu vvvv wwww xxxx yyyy zzzz aaaa bbbb cccc")) // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedAgainst(train, "doc_id", "text",
+        ref, "doc_id", "text", k = 8, w = 16, minShared = 1L, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guarantee: a verbatim overlap of exactly w+k-1 chars MUST
+    // share a fingerprint; the clean doc must not
+    assert(out == Set((1L, 100L)), s"got $out")
+  }
 }
