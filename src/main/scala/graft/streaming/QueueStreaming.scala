@@ -493,6 +493,43 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13ag: streaming WINNOW decontamination gate — the L105
+    * guaranteed verbatim-overlap mode at ingest time, beside the
+    * n-gram gate ([[decontaminationGateStream]]): each micro-batch is
+    * winnow-probed against the frozen benchmark suite
+    * ([[graft.operators.Dedup.winnowedAgainst]]) and lands with a
+    * per-doc contamination verdict + the strongest match's shared
+    * count and eval attribution. The guarantee rides through: a
+    * streamed doc quoting ≥ w+k−1 verbatim chars of any eval doc
+    * CANNOT land unflagged. The eval frame is fixed per gate (frozen
+    * suite — the decontamination contract); per-trigger cost is the
+    * batch-vs-suite probe, state-free and replay-idempotent
+    * (per-batch output dirs overwrite). */
+  def winnowDecontaminationGateStream(docs: DataFrame, eval: DataFrame,
+                                      idCol: String, textCol: String,
+                                      outPath: String, checkpoint: String,
+                                      k: Int = 8, w: Int = 16,
+                                      minShared: Long = 8L,
+                                      maxDf: Long = 16L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Dedup
+        val b = batch.toDF().localCheckpoint(true)
+        val hits = Dedup.winnowedAgainst(b, idCol, textCol,
+            eval, idCol, textCol, k, w, minShared, maxDf)
+          .groupBy(col("id").as(idCol))
+          .agg(max(struct(col("n_shared"), col("ref_id"))).as("top"))
+          .select(col(idCol), col("top.n_shared").as("n_shared"),
+            col("top.ref_id").as("eval_id"))
+        b.join(hits, Seq(idCol), "left")
+          .withColumn("contaminated", col("n_shared").isNotNull)
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13w: streaming novelty ingest — L83's first-owner attribution
     * maintained continuously: every micro-batch commits its
     * batch-level shingle claims (sh → min doc id) to a per-batch

@@ -463,6 +463,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming winnow gate flags verbatim eval quotes across triggers") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val passage = "0123456789abcdefghijklm" // w + k - 1
+    val eval = Seq((100L, s"EVAL $passage MORE EVAL TEXT HERE"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val outDir = Files.createTempDirectory("wdg_out").toString
+    val ckpt = Files.createTempDirectory("wdg_ckpt").toString
+    val q = QueueStreaming.winnowDecontaminationGateStream(
+      mem.toDF().toDF("doc_id", "text"), eval, "doc_id", "text",
+      outDir, ckpt, minShared = 1L, maxDf = 100L)
+    mem.addData(
+      (1L, s"pppp qqqq $passage rrrr ssss"), // quotes: must flag
+      (2L, "uuuu vvvv wwww xxxx yyyy zzzz"))
+    q.processAllAvailable()
+    mem.addData((3L, s"aaaa bbbb cccc $passage dddd"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "contaminated", "n_shared")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._1 && got(1L)._2 >= 1L, "trigger-1 quote must flag")
+    assert(!got(2L)._1 && got(2L)._2 == 0L, "clean doc must land unflagged")
+    assert(got(3L)._1, "the guarantee must hold on every trigger")
+    // streamed verdicts equal the batch L105 probe over the union
+    val union = Seq((1L, s"pppp qqqq $passage rrrr ssss"),
+      (2L, "uuuu vvvv wwww xxxx yyyy zzzz"),
+      (3L, s"aaaa bbbb cccc $passage dddd")).toDF("doc_id", "text")
+    val batchFlagged = Dedup.winnowedAgainst(union, "doc_id", "text",
+        eval, "doc_id", "text", minShared = 1L, maxDf = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2._1).keySet == batchFlagged)
+  }
+
   test("streaming AUC monitor equals batch AUC after every trigger") {
     import graft.operators.Curate
     implicit val sq = spark.sqlContext
