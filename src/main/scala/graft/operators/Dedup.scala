@@ -1704,6 +1704,39 @@ object Dedup {
         expr("n_shared * 1000000 div least(na, nb)").as("overlap_pm"))
   }
 
+  /** L106: content-level release diff — what CONTENT changed between
+    * two corpus releases, independent of how documents were re-split:
+    * the row-level diff (R30 snapshot CDC) reports a re-chunked
+    * release as 100% changed while the actual text is identical; the
+    * winnow fingerprint INVENTORY is chunking-robust (re-splitting a
+    * doc loses only the ~w+k−1 boundary-straddling grams per cut).
+    * Per group (e.g. source), the distinct fingerprint inventories of
+    * both releases full-outer-join and fold to (n_a, n_b, n_common,
+    * added_pm, removed_pm, jaccard_pm) — integer per-mille-of-union
+    * rates. Inventory size is distinct-fingerprint-bounded (~2/(w+1)
+    * of the gram count); the diff never reads text twice. */
+  def contentDiff(relA: DataFrame, relB: DataFrame, idCol: String,
+                  textCol: String, groupCol: String,
+                  k: Int = 8, w: Int = 16): DataFrame = {
+    def inv(df: DataFrame) = df
+      .select(col(groupCol).as("grp"),
+        explode(winnow_fps(coalesce(col(textCol), lit("")), k, w)).as("fp"))
+      .distinct()
+    val a = inv(relA).withColumn("in_a", lit(1L))
+    val b = inv(relB).withColumn("in_b", lit(1L))
+    a.join(b, Seq("grp", "fp"), "full_outer")
+      .groupBy("grp")
+      .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+        sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_b - n_common) * 1000000 div n_union").as("added_pm"),
+        expr("(n_a - n_common) * 1000000 div n_union").as("removed_pm"),
+        expr("n_common * 1000000 div n_union").as("jaccard_pm"))
+  }
+
   // --- L99c winnow fingerprint state (streaming ingest probe) -------
 
   private def winnowSets(docs: DataFrame, idCol: String, textCol: String,

@@ -147,6 +147,38 @@ object PipelineQueries {
     * Path-memoized for the same session-agnostic reason as the
     * cluster labels. */
   private val containPairsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** L106 oracle scaffold: the winnow fingerprint INVENTORY of a
+    * release relation — distinct (source, fp) rows via the same
+    * gram → window-min chain as [[Shared.winnowCteSql]], parameterized
+    * over the release's FROM expression and a CTE-name prefix so both
+    * releases coexist in one statement. */
+  private def winnowInvCteSql(relExpr: String, p: String): String =
+    s"""${p}g AS (
+       |  SELECT source,
+       |    CASE WHEN len(cps) = 0 THEN []
+       |         WHEN len(cps) < 8 THEN [list_reduce(
+       |            list_prepend(CAST(0 AS BIGINT), cps),
+       |            (a, b) -> (a * 31 + b) % 1000000007)]
+       |         ELSE list_transform(range(1, len(cps) - 8 + 2),
+       |            i -> list_reduce(
+       |              list_prepend(CAST(0 AS BIGINT),
+       |                list_slice(cps, i, i + 7)),
+       |              (a, b) -> (a * 31 + b) % 1000000007)) END AS grams
+       |  FROM (
+       |    SELECT source, list_transform(regexp_extract_all(text, '.'),
+       |      c -> CAST(unicode(c) AS BIGINT)) AS cps
+       |    FROM $relExpr)),
+       |${p}i AS (
+       |  SELECT DISTINCT source AS grp, u.fp
+       |  FROM (
+       |    SELECT source,
+       |      CASE WHEN len(grams) = 0 THEN []
+       |           WHEN len(grams) <= 16 THEN [list_aggregate(grams, 'min')]
+       |           ELSE list_transform(range(1, len(grams) - 16 + 2),
+       |              j -> list_aggregate(list_slice(grams, j, j + 15),
+       |                'min')) END AS wins
+       |    FROM ${p}g), UNNEST(wins) AS u(fp))""".stripMargin
+
   private def containmentPairTable(s: SparkSession, dir: String): DataFrame = {
     val path = containPairsMemo.computeIfAbsent(dir, d => {
       val p = "spark-warehouse/graft_contain_" + RelationalQueries.dirKey(d)
@@ -1052,6 +1084,22 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .withColumnRenamed("ref_id", "eval_id")
         .orderBy("doc_id", "eval_id")
+    },
+
+    // L106: content-level release diff — chunking-robust corpus diff:
+    // release B drops every 5th doc and edits every 7th; the
+    // fingerprint-inventory diff reports per-source added/removed/
+    // common content in per-mille-of-union, where row-level CDC (R30)
+    // would also fire on any re-chunking.
+    "q_content_diff" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val relB = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" amended release note appended here")))
+          .otherwise(col("text")))
+      Dedup.contentDiff(d, relB, "doc_id", "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
     },
 
     // L48: Min-K% membership audit — the suspect list: documents whose
@@ -2531,6 +2579,31 @@ object PipelineQueries {
         |JOIN sp s2 ON s2.doc_id = p.id2 AND s2.fp = s1.fp
         |GROUP BY p.id1, p.id2, p.n_shared, p.overlap_pm
         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // L106: the content-diff replay — both releases' inventories in
+    // one statement via the parameterized scaffold, full-outer fold.
+    "q_content_diff" ->
+      s"""WITH ${winnowInvCteSql("documents", "ra")},
+        |${winnowInvCteSql(
+          "(SELECT source, CASE WHEN doc_id % 7 = 0 THEN text || " +
+            "' amended release note appended here' ELSE text END AS text " +
+            "FROM documents WHERE doc_id % 5 <> 0)", "rb")},
+        |j AS (
+        |  SELECT COALESCE(a.grp, b.grp) AS grp,
+        |    CASE WHEN a.fp IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM rai a FULL OUTER JOIN rbi b
+        |    ON a.grp = b.grp AND a.fp = b.fp),
+        |g AS (
+        |  SELECT grp AS source, CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(in_b) AS BIGINT) AS n_b,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+        |  FROM j GROUP BY grp)
+        |SELECT source, n_a, n_b, n_common,
+        |  (n_b - n_common) * 1000000 // (n_a + n_b - n_common) AS added_pm,
+        |  (n_a - n_common) * 1000000 // (n_a + n_b - n_common) AS removed_pm,
+        |  n_common * 1000000 // (n_a + n_b - n_common) AS jaccard_pm
+        |FROM g ORDER BY source""".stripMargin,
 
     // L105: the winnow-decontamination replay — train/eval split,
     // train-side df cap, cross join on fp, exact intersect verify.

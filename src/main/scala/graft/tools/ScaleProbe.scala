@@ -191,7 +191,9 @@ object ScaleProbe {
     // r13 session 5: rollup-sized fold at any grain over stored partials
     "q_agg_rollup_read",
     // r13 session 5: train-df-capped cross probe against a bounded suite
-    "q_decontaminate_winnow")
+    "q_decontaminate_winnow",
+    // r13 session 5: two inventory explodes + one fp-keyed outer join
+    "q_content_diff")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1130,4 +1130,25 @@ class DedupSpec extends SparkSpec {
     // share a fingerprint; the clean doc must not
     assert(out == Set((1L, 100L)), s"got $out")
   }
+
+  test("content diff is chunking-robust: re-splitting is near-zero change") {
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ") // ~400 cp
+    val rel1 = Seq((1L, words, "s")).toDF("doc_id", "text", "src")
+    // same CONTENT split into two docs at a word boundary — row-level
+    // CDC calls this 100% changed; the fingerprint inventory must not
+    val (h1, h2) = words.splitAt(words.length / 2 -
+      words.substring(0, words.length / 2).reverse.indexOf(' '))
+    val rel2 = Seq((10L, h1.trim, "s"), (11L, h2.trim, "s"))
+      .toDF("doc_id", "text", "src")
+    val d = Dedup.contentDiff(rel1, rel2, "doc_id", "text", "src").head()
+    assert(d.getAs[Long]("jaccard_pm") >= 800000L,
+      s"re-chunking must read as near-identical content: $d")
+    // a REAL addition shows up as added content
+    val rel3 = Seq((20L, words + " entirely new appended paragraph of text", "s"))
+      .toDF("doc_id", "text", "src")
+    val d2 = Dedup.contentDiff(rel1, rel3, "doc_id", "text", "src").head()
+    assert(d2.getAs[Long]("added_pm") > 0L &&
+      d2.getAs[Long]("removed_pm") <= 100000L,
+      s"appended content must read as added, not churn: $d2")
+  }
 }
