@@ -396,4 +396,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!pp.contains("CartesianProduct"),
       s"winnow pair join must stay an equi-join on fp:\n$pp")
   }
+
+  test("r13 session-5 plans: every winnow/eval join is an equi-join") {
+    // all of these fan out over fingerprint or score keys; a planner
+    // fallback to CartesianProduct would be the corpus² failure the
+    // designs exist to avoid
+    Seq("q_winnow_spans", "q_winnow_apply", "q_decontaminate_winnow",
+        "q_content_diff", "q_classifier_auc", "q_classifier_pr",
+        "q_classifier_auc_grouped", "q_mix_reweight").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian:\n$p")
+    }
+  }
 }
