@@ -397,7 +397,12 @@ object Kernels {
         var ss = 0L
         val it = counts.values().iterator()
         while (it.hasNext) { val c = it.next()(0); ss += c * c }
-        val simpson = ss * 1000000L / (nCp * nCp)
+        // ss·10⁶ overflows a long past ~3M-codepoint tokens — and a
+        // spaceless junk doc IS one giant token (the L94 lesson); the
+        // BigInt path keeps parity with the oracle's HUGEINT exactly
+        val simpson =
+          if (nCp <= 1000000L) ss * 1000000L / (nCp * nCp)
+          else (BigInt(ss) * 1000000 / (BigInt(nCp) * nCp)).toLong
         val flagged = nCp >= minLen && hasDigit && hasLetter &&
           simpson <= maxSimpsonPpm
         if (sb.length() > 0) sb.append(' ')
