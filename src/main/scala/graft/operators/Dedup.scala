@@ -1717,13 +1717,24 @@ object Dedup {
     * of the gram count); the diff never reads text twice. */
   def contentDiff(relA: DataFrame, relB: DataFrame, idCol: String,
                   textCol: String, groupCol: String,
-                  k: Int = 8, w: Int = 16): DataFrame = {
-    def inv(df: DataFrame) = df
-      .select(col(groupCol).as("grp"),
+                  k: Int = 8, w: Int = 16): DataFrame =
+    inventoryDiff(contentInventory(relA, textCol, groupCol, k, w),
+      contentInventory(relB, textCol, groupCol, k, w))
+
+  /** The distinct (grp, fp) winnow inventory of a release — the
+    * DISTINCT union is idempotent and mergeable, which is what lets
+    * the streaming monitor (C13ah) accumulate it per trigger. */
+  def contentInventory(rel: DataFrame, textCol: String, groupCol: String,
+                       k: Int = 8, w: Int = 16): DataFrame =
+    rel.select(col(groupCol).as("grp"),
         explode(winnow_fps(coalesce(col(textCol), lit("")), k, w)).as("fp"))
       .distinct()
-    val a = inv(relA).withColumn("in_a", lit(1L))
-    val b = inv(relB).withColumn("in_b", lit(1L))
+
+  /** Fold two (grp, fp) inventories to the per-group diff — see
+    * [[contentDiff]] for the semantics. */
+  def inventoryDiff(aInv: DataFrame, bInv: DataFrame): DataFrame = {
+    val a = aInv.withColumn("in_a", lit(1L))
+    val b = bInv.withColumn("in_b", lit(1L))
     a.join(b, Seq("grp", "fp"), "full_outer")
       .groupBy("grp")
       .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),

@@ -1565,6 +1565,60 @@ object QueueStreaming {
       rounds)
   }
 
+  /** C13ah: streaming content-drift monitor — the L106 content-level
+    * diff maintained continuously against a FROZEN baseline release
+    * inventory: each trigger folds its batch's distinct (grp, fp)
+    * winnow inventory into the snapshot chain (DISTINCT union is
+    * idempotent and mergeable — a replayed batch adds nothing), and
+    * [[contentDriftFromStore]] diffs the accumulated stream inventory
+    * against the baseline at any time: per-source added/removed/
+    * common CONTENT in per-mille-of-union, robust to the stream
+    * re-chunking documents the baseline carried whole. State is
+    * inventory-bounded (distinct fingerprints), never the stream
+    * history. */
+  def contentDriftStream(docs: DataFrame, textCol: String,
+                         groupCol: String, storePath: String,
+                         checkpoint: String, k: Int = 8, w: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Dedup.contentInventory(batch.toDF(),
+          textCol, groupCol, k, w)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("grp", "fp"))
+          }
+        val snap = prior match {
+          case Some(p) => p.unionByName(delta).distinct()
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Per-source content drift of the accumulated stream inventory vs
+    * a frozen baseline inventory (same columns as [[graft.operators
+    * .Dedup.contentDiff]]). */
+  def contentDriftFromStore(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String,
+                            baseline: DataFrame): DataFrame = {
+    val all = spark.read.parquet(storePath)
+    val head = all.agg(max(col("batch").cast("long"))).head()
+    graft.operators.Dedup.inventoryDiff(baseline,
+      all.filter(col("batch").cast("long") === head.getLong(0))
+        .select("grp", "fp"))
+  }
+
   /** C13af: streaming exact-AUC monitor — classifier quality on live
     * scored-and-labeled traffic (human QA verdicts, weak-supervision
     * labels riding the stream) with NO approximation: the AUC

@@ -499,6 +499,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2._1).keySet == batchFlagged)
   }
 
+  test("streaming content drift equals the batch diff; replay adds nothing") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseline = Dedup.contentInventory(base, "text", "source")
+      .localCheckpoint(true)
+    // the "next release" arrives as a stream: half the docs, in two
+    // triggers, some edited
+    val rows = base.filter(col("doc_id") % 2 === 0)
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" new release content"))).otherwise(col("text")))
+      .select("text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(String, String)]
+    val store = Files.createTempDirectory("cds_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("cds_ckpt").toString
+    val q = QueueStreaming.contentDriftStream(
+      mem.toDF().toDF("text", "source"), "text", "source", store, ckpt)
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // a REPLAYED batch must add nothing to the inventory
+    val n1 = spark.read.parquet(s"$store/batch=0").count()
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$store/batch=1").count() == n1,
+      "replaying trigger-1's rows must not grow the inventory")
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = QueueStreaming.contentDriftFromStore(spark, store, baseline)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val relB = b1.concat(b2).toSeq.zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val batch = Dedup.contentDiff(base, relB, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed == batch, "streamed drift diverged from the batch diff")
+  }
+
   test("streaming AUC monitor equals batch AUC after every trigger") {
     import graft.operators.Curate
     implicit val sq = spark.sqlContext
