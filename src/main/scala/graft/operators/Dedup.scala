@@ -495,7 +495,8 @@ object Dedup {
     * corpus size. */
   def winnowedPairs(docs0: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, w: Int = 16, minShared: Long = 2,
-                    maxDf: Long = Long.MaxValue): DataFrame = {
+                    maxDf: Long = Long.MaxValue,
+                    blockCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow needs k,w >= 1, got k=$k w=$w")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
@@ -504,15 +505,22 @@ object Dedup {
     // arrays by itself, and a pushed-down filter would re-evaluate the
     // kernel inside the Filter condition (predicate pushdown
     // substitutes through the producing Project)
-    val fps = docs.select(col(idCol).as("id"),
-        winnow_fps(coalesce(col(textCol), lit("")), k, w).as("fps"))
-    val posts = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val fps = docs.select(col(idCol).as("id") +:
+        winnow_fps(coalesce(col(textCol), lit("")), k, w).as("fps") +:
+        blockCols.map(col): _*)
+    val posts = fps.select(col("id") +: explode(col("fps")).as("fp") +:
+      blockCols.map(col): _*)
+    // df stays GLOBAL under blocking (the L82d rule: the cap's job —
+    // bounding fan-out and hiding boilerplate — is corpus-wide; the
+    // block key only rides the candidate join for free selectivity)
     val dfreq = posts.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val kept = posts.join(dfreq, "fp")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(lit(true))(_ && _)
     val cand = kept.as("a")
       .join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        col("a.fp") === col("b.fp") && blockEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand

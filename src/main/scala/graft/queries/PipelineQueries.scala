@@ -384,6 +384,17 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // L99f: lang-blocked winnow matching — the blocking discipline
+    // (L2/L82d) applied to the passage matcher: candidates restricted
+    // to same-language pairs (cross-language byte-identical passages
+    // are code/boilerplate, handled by the unblocked gate), cutting
+    // candidate volume by the language mix while df stays global.
+    "q_winnow_pairs_blocked" -> { (s, dir) =>
+      Dedup.winnowedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 16, minShared = 8L, maxDf = 8L, blockCols = Seq("lang"))
+        .orderBy("id1", "id2")
+    },
+
     // L99e: winnow-based dedup APPLY — survivors after dropping the
     // larger id of every winnowed pair (the greedy min-id-survives
     // convention every pair family's apply member uses): removes docs
@@ -2629,6 +2640,34 @@ object PipelineQueries {
         |  CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
         |FROM ver WHERE n_shared >= 8
         |ORDER BY doc_id, eval_id""".stripMargin,
+
+    // L99f: the blocked-matcher replay — same chain with the lang
+    // equality riding the candidate join (df global, the L82d rule).
+    "q_winnow_pairs_blocked" ->
+      s"""WITH ${Shared.winnowCteSql},
+        |dl AS (SELECT doc_id, lang FROM documents),
+        |posts AS (
+        |  SELECT f.doc_id, dl.lang, UNNEST(f.fps) AS fp
+        |  FROM f JOIN dl USING (doc_id)),
+        |dfreq AS (
+        |  SELECT fp FROM posts GROUP BY fp
+        |  HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM posts a JOIN dfreq USING (fp)
+        |  JOIN posts b ON a.fp = b.fp AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.id1, c.id2,
+        |    CAST(len(list_intersect(f1.fps, f2.fps)) AS BIGINT) AS n_shared,
+        |    CAST(LEAST(len(f1.fps), len(f2.fps)) AS BIGINT) AS nmin
+        |  FROM cand c
+        |  JOIN f f1 ON f1.doc_id = c.id1
+        |  JOIN f f2 ON f2.doc_id = c.id2)
+        |SELECT id1, id2, n_shared,
+        |  CAST(n_shared * 1000000 // nmin AS BIGINT) AS overlap_pm
+        |FROM ver WHERE n_shared >= 8
+        |ORDER BY id1, id2""".stripMargin,
 
     // L99e: the apply replay — drop side = distinct id2 of the pairs
     // chain, survivors via anti-join.

@@ -193,7 +193,9 @@ object ScaleProbe {
     // r13 session 5: train-df-capped cross probe against a bounded suite
     "q_decontaminate_winnow",
     // r13 session 5: two inventory explodes + one fp-keyed outer join
-    "q_content_diff")
+    "q_content_diff",
+    // r13 session 5: same chain with block equality riding the join
+    "q_winnow_pairs_blocked")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

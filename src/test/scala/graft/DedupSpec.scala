@@ -1151,4 +1151,26 @@ class DedupSpec extends SparkSpec {
       d2.getAs[Long]("removed_pm") <= 100000L,
       s"appended content must read as added, not churn: $d2")
   }
+
+  test("blocked winnow pairs equal per-language solo runs") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val blocked = Dedup.winnowedPairs(d, "doc_id", "text", k = 8, w = 16,
+        minShared = 8L, maxDf = 8L, blockCols = Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // one call == the union of per-language solo runs... with GLOBAL
+    // df (the L82d rule), so solo runs must share the corpus-wide cap:
+    // equivalently, blocked == unblocked restricted to same-lang pairs
+    val langOf = d.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val restricted = Dedup.winnowedPairs(d, "doc_id", "text", k = 8,
+        w = 16, minShared = 8L, maxDf = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => langOf(a) == langOf(b) }.toSet
+    assert(blocked == restricted,
+      "blocking must equal the same-lang restriction of the global run")
+    assert(blocked.nonEmpty && blocked.size <
+      Dedup.winnowedPairs(d, "doc_id", "text", 8, 16, 8L, 8L)
+        .count(),
+      "blocking must cut candidate volume on the mixed-language corpus")
+  }
 }
