@@ -350,8 +350,12 @@ object Kernels {
   }
 
   /** L101: fused secret/credential scan — ONE pass over the text's
-    * whitespace tokens (tokenize_ws semantics: split on ' ', empties
-    * dropped). A token is credential-shaped iff ALL of:
+    * whitespace tokens (split on ANY ASCII whitespace — space, tab,
+    * LF, CR, FF, VT — empties dropped; config dumps are newline/tab
+    * delimited, and a space-only split would glue a credential to its
+    * neighbors into one token whose Simpson concentration clears the
+    * cap, a false NEGATIVE for a redaction feature). A token is
+    * credential-shaped iff ALL of:
     * (1) codepoint length ≥ minLen (keys are long; prose words are
     * not), (2) it mixes an ASCII digit [0-9] AND an ASCII letter
     * [a-zA-Z] (the explicit ASCII classes so the SQL twin replays via
@@ -363,8 +367,12 @@ object Kernels {
     * (md5 hex ≈ 62 500 ppm) while natural-language tokens concentrate.
     * Flagged tokens redact to "[SECRET]"; the rebuilt text joins
     * tokens with single spaces (the tokenizer's view of the doc —
-    * run-of-spaces structure is not preserved, documented). Returns
-    * (n_tokens, n_secrets, n_masked_cp, redacted). */
+    * whitespace structure, including newlines, is not preserved).
+    * Returns (n_tokens, n_secrets, n_masked_cp, redacted). */
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == '\u000B'
+
   def secretScan(text: UTF8String, minLen: Int,
                  maxSimpsonPpm: Long): org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
@@ -374,10 +382,10 @@ object Kernels {
     val L = s.length
     val counts = new java.util.HashMap[Integer, Array[Long]]()
     while (i < L) {
-      while (i < L && s.charAt(i) == ' ') i += 1
+      while (i < L && isAsciiWs(s.charAt(i))) i += 1
       if (i < L) {
         val start = i
-        while (i < L && s.charAt(i) != ' ') i += 1
+        while (i < L && !isAsciiWs(s.charAt(i))) i += 1
         nTok += 1
         // one codepoint walk: length, class mix, char histogram
         counts.clear()

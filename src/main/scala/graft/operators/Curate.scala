@@ -975,9 +975,15 @@ object Curate {
     cum.agg(
         sum("p").as("n_pos"),
         sum(expr("c - p")).as("n_neg"),
-        sum(expr("p * (2 * (cumc - c) + c + 1)")).as("s2r"))
+        // s2r is summed in decimal(38,0): the per-term product stays
+        // under 2^63 (audited), but the SUM across distinct scores
+        // passes ~2^63 near 3e9 rows and a BIGINT sum would wrap
+        // silently while the DuckDB twin sums in HUGEINT — the exact
+        // oracle must widen where the oracle widens.
+        sum(expr("cast(p as decimal(38,0)) * (2 * (cumc - c) + c + 1)"))
+          .as("s2r"))
       .select(col("n_pos"), col("n_neg"),
-        expr("cast(cast(s2r - n_pos * (n_pos + 1) as decimal(38,0))" +
+        expr("cast((s2r - cast(n_pos as decimal(38,0)) * (n_pos + 1))" +
           " * 1000000 div (cast(n_pos as decimal(38,0)) * 2 * n_neg)" +
           " as bigint)").as("auc_micro"))
   }
@@ -1003,10 +1009,13 @@ object Curate {
       col("cell"), "cumc")
     cum.groupBy("grp")
       .agg(sum("p").as("n_pos"), sum(expr("c - p")).as("n_neg"),
-        sum(expr("p * (2 * (cumc - c) + c + 1)")).as("s2r"))
+        // decimal(38,0) sum — same HUGEINT-parity widening as
+        // [[aucFromScoreCounts]].
+        sum(expr("cast(p as decimal(38,0)) * (2 * (cumc - c) + c + 1)"))
+          .as("s2r"))
       .select(col("grp"), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("cast(cast(s2r - n_pos * (n_pos + 1) as decimal(38,0))" +
+          expr("cast((s2r - cast(n_pos as decimal(38,0)) * (n_pos + 1))" +
             " * 1000000 div (cast(n_pos as decimal(38,0)) * 2 * n_neg)" +
             " as bigint)")).as("auc_micro"))
   }
@@ -1048,7 +1057,8 @@ object Curate {
 
   /** L102: readability scoring — Flesch–Kincaid grade and Flesch
     * reading ease in exact integer milli-units. Syllables use the
-    * vowel-run heuristic: runs of [aeiouy] per token, floored at 1
+    * vowel-run heuristic: runs of [aeiouy] per lowercased token
+    * (case-insensitive — 'Every' counts its capital E), floored at 1
     * per token — and "Σ_w max(1, runs_w) = total runs + vowel-free
     * tokens" turns the per-word floor into three corpus-wide regex
     * counts (no per-word explode). Sentences = [.!?]+ runs floored at
@@ -1064,10 +1074,10 @@ object Curate {
     docs
       .select(col(idCol).as("doc_id"),
         graft.functions.token_count(col(textCol)).as("w"),
-        size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0)))
-          .cast("long").as("runs"),
-        size(regexp_extract_all(col(textCol), lit("[^ ]*[aeiouy][^ ]*"),
-          lit(0))).cast("long").as("wv"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("runs"),
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[^ ]*[aeiouy][^ ]*"), lit(0))).cast("long").as("wv"),
         greatest(lit(1L),
           size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
             .cast("long")).as("sents"))

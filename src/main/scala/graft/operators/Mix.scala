@@ -177,7 +177,10 @@ object Mix {
     * m = 0 (all loss ≤ A, only possible when all losses are equal)
     * is a fixed point and short-circuits to unchanged weights.
     * Overflow audit: w ≤ 10⁶·1.5^rounds (rounds ≤ 16 ⇒ w ≤ 6.6·10⁸);
-    * w·loss ≤ 6.6·10⁸·10⁸ < 2⁶³ for q8-scaled losses.
+    * w·loss ≤ 6.6·10⁸·10⁸ < 2⁶³ per term for q8-scaled losses, and
+    * the cross-domain sums Σ(w·loss), Σw run in decimal(38,0) — the
+    * per-term bound says nothing about the sum once the domain count
+    * grows, and the DuckDB twin sums in HUGEINT.
     *
     * The domain table is D rows (domains, not documents) — per-round
     * cost is two D-row aggregates + one broadcast projection, pinned
@@ -197,12 +200,17 @@ object Mix {
       // one aggregate per round: the max EXCESS max_d(max(0, loss−A))
       // equals max(loss) − A (the max loss is never below the weighted
       // average), so the step-size normalizer needs no second pass
+      // the per-term audit (w·loss < 2^63) doesn't bound the SUM:
+      // ~140 domains near max weight overflow a BIGINT Σ(w·loss)
+      // while the DuckDB twin sums in HUGEINT — widen both sums to
+      // decimal(38,0) and land only the bounded average A in BIGINT
+      // (A ≤ max(loss) ≤ 1e8 by construction)
       val stats = cur.agg(
-        expr("cast(sum(w * loss) as bigint)").as("wl"),
-        expr("cast(sum(w) as bigint)").as("sw"),
+        expr("sum(cast(w as decimal(38,0)) * loss)").as("wl"),
+        expr("sum(cast(w as decimal(38,0)))").as("sw"),
         max("loss").as("ml"))
       cur = cur.crossJoin(broadcast(stats))
-        .withColumn("a", expr("wl div sw"))
+        .withColumn("a", expr("cast(wl div sw as bigint)"))
         .withColumn("ex", greatest(lit(0L), col("loss") - col("a")))
         .withColumn("m", col("ml") - col("a"))
         .select(col("domain"), col("loss"),
@@ -212,9 +220,11 @@ object Mix {
             .as("w"))
         .localCheckpoint(true)
     }
-    val tot = cur.agg(expr("cast(sum(w) as bigint)").as("swf"))
+    val tot = cur.agg(
+      expr("sum(cast(w as decimal(38,0)))").as("swf"))
     cur.crossJoin(broadcast(tot))
       .select(col("domain"), col("loss"), col("w").as("w_raw"),
-        expr("w * 1000000L div swf").as("w_ppm"))
+        expr("cast(cast(w as decimal(38,0)) * 1000000 div swf as bigint)")
+          .as("w_ppm"))
   }
 }

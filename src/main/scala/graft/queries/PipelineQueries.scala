@@ -1516,11 +1516,17 @@ object PipelineQueries {
     // including the passed-through payload bytes.
     "q_multimodal_frames_real" -> { (s, dir) =>
       import s.implicits._
+      // Byte-exactness is still asserted — via sha2(payload) rather
+      // than the raw bytes, because the driver comparator cannot sort
+      // binary columns (pandas bytearray is unhashable).
       Multimodal.sampleFramesReal(
           t(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
             .as[Multimodal.MediaRow], stride = 7)
-        .toDF().orderBy("doc_id", "frame_idx")
+        .toDF()
+        .withColumn("payload_sha", sha2(col("payload"), 256))
+        .drop("payload")
+        .orderBy("doc_id", "frame_idx")
     },
 
     // L12g (r13): the REAL resize operator over the media column —
@@ -1531,11 +1537,15 @@ object PipelineQueries {
     // hash-oracled including the passed-through payload bytes.
     "q_multimodal_resize_real" -> { (s, dir) =>
       import s.implicits._
+      // sha2 digest instead of raw bytes — see q_multimodal_frames_real.
       Multimodal.resizeReal(
           t(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
             .as[Multimodal.MediaRow], maxDim = 64)
-        .toDF().orderBy("doc_id")
+        .toDF()
+        .withColumn("payload_sha", sha2(col("payload"), 256))
+        .drop("payload")
+        .orderBy("doc_id")
     },
 
     // L12i (r13): the REAL feature extractor — decoded-pixel
@@ -3778,10 +3788,10 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      x -> len(x) > 0)) AS BIGINT) AS n_words,
-        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
-        |      AS runs,
-        |    CAST(len(regexp_extract_all(text, '[^ ]*[aeiouy][^ ]*'))
-        |      AS BIGINT) AS wv,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS runs,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[^ ]*[aeiouy][^ ]*')) AS BIGINT) AS wv,
         |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
         |      AS BIGINT)) AS n_sentences
         |  FROM documents),
@@ -3823,7 +3833,8 @@ object PipelineQueries {
         |  FROM orders),
         |tl AS (
         |  SELECT order_key,
-        |    list_filter(string_split(ptext, ' '), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(ptext, '[ \t\n\r\f\x0B]'),
+        |      x -> len(x) > 0) AS toks
         |  FROM p),
         |tk AS (
         |  SELECT order_key, i, toks[i] AS t
@@ -4205,7 +4216,7 @@ object PipelineQueries {
         |  FROM base)
         |SELECT doc_id, CAST(UNNEST(range(0, n_frames, 7)) AS BIGINT)
         |    AS frame_idx,
-        |  width, height, ENCODE(text) AS payload
+        |  width, height, SHA256(text) AS payload_sha
         |FROM dims ORDER BY doc_id, frame_idx""".stripMargin,
 
     // L12g: the stub-fallback branch of resizeReal — resizePlan
@@ -4232,7 +4243,8 @@ object PipelineQueries {
         |    END AS out_h
         |  FROM dims)
         |SELECT s.doc_id, s.width, s.height, s.out_w, s.out_h,
-        |  s.out_w * s.out_h * 3 AS out_bytes, ENCODE(b.text) AS payload
+        |  s.out_w * s.out_h * 3 AS out_bytes,
+        |  SHA256(b.text) AS payload_sha
         |FROM scaled s JOIN base b USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin) ++
     // the CSV and ORC roundtrips prove the same byte-fidelity claim

@@ -953,13 +953,35 @@ object QueueStreaming {
     stale.length
   }
 
+  /** Latest snapshot batch id of a snapshot-chain store, with a
+    * descriptive error when the store is missing or empty — the raw
+    * `max(batch).head().getLong(0)` pattern NPEs on a store the
+    * stream hasn't written yet, which reads as an engine bug instead
+    * of an operations fact. */
+  private def latestStoreBatch(spark: org.apache.spark.sql.SparkSession,
+                               storePath: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+      throw new IllegalStateException(
+        s"snapshot store $storePath does not exist yet — the stream has " +
+          "not committed its first batch (or the path is wrong)")
+    val head = spark.read.parquet(storePath)
+      .agg(max(col("batch").cast("long"))).head()
+    if (head.isNullAt(0))
+      throw new IllegalStateException(
+        s"snapshot store $storePath holds no snapshot rows yet — the " +
+          "stream has not committed its first batch")
+    head.getLong(0)
+  }
+
   /** Latest committed session-frame version under `storePath` —
     * the read side of [[sessionStoreStream]]. */
   def latestSessionFrames(spark: org.apache.spark.sql.SparkSession,
                           storePath: String): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    val top = all.agg(max(col("batch").cast("long"))).head().getLong(0)
-    all.filter(col("batch").cast("long") === top).drop("batch")
+    val top = latestStoreBatch(spark, storePath)
+    spark.read.parquet(storePath)
+      .filter(col("batch").cast("long") === top).drop("batch")
   }
 
   /** C13u: streaming walk continuation — the continuous form of the
@@ -1303,9 +1325,9 @@ object QueueStreaming {
     * with `n_distinct_est` (HLL) in place of the exact distinct. */
   def latestCardRows(spark: org.apache.spark.sql.SparkSession,
                      storePath: String): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    val top = all.agg(max(col("batch").cast("long"))).head().getLong(0)
-    val snap = all.filter(col("batch").cast("long") === top).drop("batch")
+    val top = latestStoreBatch(spark, storePath)
+    val snap = spark.read.parquet(storePath)
+      .filter(col("batch").cast("long") === top).drop("batch")
     val stats = snap.filter(col("section") === "stats")
       .select(col("grp_a"), col("grp_b"), col("n_docs"),
         col("sum_tokens"), hll_sketch_estimate(col("dsk")).as("n_distinct_est"))
@@ -1523,7 +1545,8 @@ object QueueStreaming {
     * the D-row loss table ([[graft.operators.Mix.mixtureReweight]]). */
   def mixtureReweightStream(docs: DataFrame, textCol: String,
                             domainCol: String, modelPath: String,
-                            storePath: String, checkpoint: String)
+                            storePath: String, checkpoint: String,
+                            compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1548,6 +1571,8 @@ object QueueStreaming {
           case None => delta
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -1556,9 +1581,9 @@ object QueueStreaming {
     * loss → the L100 MW rounds. */
   def reweightFromStore(spark: org.apache.spark.sql.SparkSession,
                         storePath: String, rounds: Int): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    val head = all.agg(max(col("batch").cast("long"))).head()
-    val latest = all.filter(col("batch").cast("long") === head.getLong(0))
+    val top = latestStoreBatch(spark, storePath)
+    val latest = spark.read.parquet(storePath)
+      .filter(col("batch").cast("long") === top)
       .select("domain", "sq", "nb")
     graft.operators.Mix.mixtureReweight(
       graft.operators.Mix.domainLossFromStats(latest), "domain", "loss",
@@ -1578,7 +1603,8 @@ object QueueStreaming {
     * history. */
   def contentDriftStream(docs: DataFrame, textCol: String,
                          groupCol: String, storePath: String,
-                         checkpoint: String, k: Int = 8, w: Int = 16)
+                         checkpoint: String, k: Int = 8, w: Int = 16,
+                         compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1602,6 +1628,8 @@ object QueueStreaming {
           case None => delta
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -1612,10 +1640,10 @@ object QueueStreaming {
   def contentDriftFromStore(spark: org.apache.spark.sql.SparkSession,
                             storePath: String,
                             baseline: DataFrame): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    val head = all.agg(max(col("batch").cast("long"))).head()
+    val top = latestStoreBatch(spark, storePath)
     graft.operators.Dedup.inventoryDiff(baseline,
-      all.filter(col("batch").cast("long") === head.getLong(0))
+      spark.read.parquet(storePath)
+        .filter(col("batch").cast("long") === top)
         .select("grp", "fp"))
   }
 
@@ -1632,7 +1660,7 @@ object QueueStreaming {
     * gating classifier has drifted off its training distribution. */
   def aucMonitorStream(scored: DataFrame, scoreCol: String,
                        labelCol: String, storePath: String,
-                       checkpoint: String)
+                       checkpoint: String, compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     scored.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1657,6 +1685,8 @@ object QueueStreaming {
           case None => delta
         }
         snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -1664,10 +1694,10 @@ object QueueStreaming {
   /** Exact AUC off the latest score-count snapshot. */
   def aucFromStore(spark: org.apache.spark.sql.SparkSession,
                    storePath: String): DataFrame = {
-    val all = spark.read.parquet(storePath)
-    val head = all.agg(max(col("batch").cast("long"))).head()
+    val top = latestStoreBatch(spark, storePath)
     graft.operators.Curate.aucFromScoreCounts(
-      all.filter(col("batch").cast("long") === head.getLong(0))
+      spark.read.parquet(storePath)
+        .filter(col("batch").cast("long") === top)
         .select("mv", "c", "p"))
   }
 

@@ -367,6 +367,33 @@ class QueueSpec extends SparkSpec {
     q2.dispose()
   }
 
+  test("writer lock is enforced across OS processes (reference filelockj shape)") {
+    // the reference ships bin/filelockj + lockf.c precisely because a
+    // same-JVM tryLock proves nothing about a SECOND process: NIO
+    // surfaces intra-JVM conflicts as OverlappingFileLockException
+    // before the OS is even asked. Fork a bare JVM (LockProbe is
+    // Spark-free) against the held lock file and assert both phases.
+    import scala.sys.process._
+    val root = Files.createTempDirectory("qlockx").toString
+    val q1 = new ParquetQueue(spark, root, schema, exclusiveWriter = true)
+    val lockFile = s"$root/_meta/writer.lock"
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def probe(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq(java, "-cp", cp, "graft.tools.LockProbe",
+        lockFile)).!(ProcessLogger(l => { out.append(l); () }))
+      (code, out.toString)
+    }
+    val (c1, o1) = probe()
+    assert(c1 == 3 && o1.contains("HELD"),
+      s"second process must be refused while writer holds: ($c1, $o1)")
+    q1.close()
+    val (c2, o2) = probe()
+    assert(c2 == 0 && o2.contains("ACQUIRED"),
+      s"close() must release the OS lock for a successor: ($c2, $o2)")
+  }
+
   test("pushAll accepts up to capacity in order, reports the count") {
     val q = fresh(capacity = 3)
     val n1 = q.pushAll(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
