@@ -71,7 +71,7 @@ object Ann {
     val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCandidates)
       .select(col("query_id"), col("nn_id"),
         floor(col("sim") * 10000 + 0.5).cast("long").as("rel_q"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val vecs = corpus.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("v"))
     val withV = cand.join(vecs, "nn_id")
@@ -82,7 +82,7 @@ object Ann {
       .select(col("query_id"), col("nn_id"), col("other_id"),
         floor(cosine_sim(col("v"), col("vo")) * 10000 + 0.5)
           .cast("long").as("psim_q"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score10_q").desc, col("nn_id").asc)
     // round 1: pure relevance (no penalty yet). Ranked by rel_q, NOT
@@ -115,7 +115,7 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("nn_id"), lit(r).as("mmr_rank"),
           col("score10_q"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).transform(graft.operators.Lineage.pin)
     }
     selected
   }
@@ -509,7 +509,7 @@ object Ann {
       .limit(sampleSize)
       .select(col("nn_id").as("query_id"), col("vec").as("q_vec"),
         col("vq").as("q_vq"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val truth = cosineTopK(v.select(col("nn_id"), col("vec").as("nn_vec")),
       sampleQ.select("query_id", "q_vec"), k, excludeSameId = true)
     val cellOf = v.select(col("nn_id"),
@@ -863,7 +863,7 @@ object Ann {
         .groupBy("grp")
         .agg(array_sort(collect_list(struct(col("rn"), col("vec")))).as("s"))
         .select(col("grp"), transform(col("s"), x => x("vec")).as("cents"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       (1 to iters).foreach { _ =>
         val updated = train.join(broadcast(cents), "grp")
           .withColumn("cluster", assign(col("vec"), col("cents")))
@@ -880,7 +880,7 @@ object Ann {
           .groupBy("grp")
           .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("s"))
           .select(col("grp"), transform(col("s"), x => x("c")).as("cents"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
       }
       // a group can miss the hash-sample entirely (tiny tenants):
       // give it its lowest-id corpus vector as a 1-cell quantizer so
@@ -890,7 +890,7 @@ object Ann {
       val missing = v.join(cents.select("grp"), Seq("grp"), "left_anti")
         .groupBy("grp").agg(min_by(col("vec"), col("nn_id")).as("c0"))
         .select(col("grp"), array(col("c0")).as("cents"))
-      cents.union(missing).localCheckpoint(true)
+      cents.union(missing).transform(graft.operators.Lineage.pin)
     } finally train.unpersist()
   }
 
@@ -911,7 +911,7 @@ object Ann {
         .groupBy("grp")
         .agg(array_sort(collect_list(struct(col("rn"), col("vq")))).as("s"))
         .select(col("grp"), transform(col("s"), x => x("vq")).as("cents"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       (1 to iters).foreach { _ =>
         val updated = train.join(broadcast(cents), "grp")
           .withColumn("cluster", nearest_centroid_l2(col("vq"), col("cents")))
@@ -928,14 +928,14 @@ object Ann {
           .groupBy("grp")
           .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("s"))
           .select(col("grp"), transform(col("s"), x => x("c")).as("cents"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
       }
       // tenants that missed the hash sample get a 1-cell quantizer
       // (lowest-id corpus vector) — same fallback as the double path
       val missing = v.join(cents.select("grp"), Seq("grp"), "left_anti")
         .groupBy("grp").agg(min_by(col("vq"), col("nn_id")).as("c0"))
         .select(col("grp"), array(col("c0")).as("cents"))
-      cents.union(missing).localCheckpoint(true)
+      cents.union(missing).transform(graft.operators.Lineage.pin)
     } finally train.unpersist()
   }
 
@@ -1073,7 +1073,7 @@ object Ann {
       .withColumn("cluster",
         explode(top_centroids(col("q_vec"), col("cents"), nProbe)))
       .drop("cents")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val cells = probes.select("grp", "cluster").distinct().collect()
     // empty query frame (or none of its groups indexed) is a normal
     // empty result, matching searchIvfIndex
@@ -1180,7 +1180,7 @@ object Ann {
     // materialize survivors BEFORE overwriting their source partitions
     val survivors = asg.where(col("cluster").isin(cells: _*))
       .join(broadcast(del), Seq("nn_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val kept = survivors.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSet
     withDynamicOverwrite(spark) {
@@ -1215,7 +1215,7 @@ object Ann {
     if (cells.nonEmpty) {
       val survivors = codes.where(col("cluster").isin(cells: _*))
         .join(broadcast(del), Seq("nn_id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       val kept = survivors.select("cluster").distinct()
         .collect().map(_.getInt(0)).toSet
       withDynamicOverwrite(spark) {
@@ -1226,7 +1226,7 @@ object Ann {
     }
     if (vecsHit) {
       val v2 = vecs.join(broadcast(del), Seq("nn_id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       v2.write.mode("overwrite").parquet(s"$path/vectors")
     }
   }
@@ -1271,7 +1271,7 @@ object Ann {
     val probes = queries
       .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
       .withColumn("cluster", explode(top_centroids(col("q_vec"), centsLit, nProbe)))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val cells = probes.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     val indexed = spark.read.parquet(s"$path/assignments")
       .where(col("cluster").isin(cells: _*))
@@ -1404,7 +1404,7 @@ object Ann {
     val q0 = queries
       .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
       .withColumn("q_nvq", quantized(normalizedCol(col("q_vec"))))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val probes = q0
       .withColumn("cluster",
         explode(top_centroids_l2(col("q_nvq"), centsLit, nProbe)))
@@ -1479,7 +1479,7 @@ object Ann {
     val q0 = queries
       .select(col(idCol).as("query_id"), as_double_array(col(vecCol)).as("q_vec"))
       .withColumn("q_nvec", normalizedCol(col("q_vec")))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val probes = q0
       .withColumn("cluster",
         explode(top_centroids(col("q_nvec"), centsLit, nProbe)))

@@ -266,7 +266,7 @@ object Curate {
     val cnt = feats.groupBy("f").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(1).transform(graft.operators.Lineage.pin)
     // totals land driver-side: two scalars become plan literals (no
     // 1-row cross join in every downstream plan), and an importance
     // model with an EMPTY target can fail loudly instead of silently
@@ -362,14 +362,14 @@ object Curate {
       .select(col("f"),
         (coalesce(col("ct0"), lit(0L)) + coalesce(col("ct1"), lit(0L))).as("ct"),
         (coalesce(col("cr0"), lit(0L)) + coalesce(col("cr1"), lit(0L))).as("cr"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     Lexical.dropManaged(spark, s"${table}_dsir_counts")
     merged.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_dsir_counts")
     val tot = spark.table(s"${table}_dsir_counts")
       .agg(coalesce(sum("ct"), lit(0L)).as("nt"),
         coalesce(sum("cr"), lit(0L)).as("nr"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     Lexical.dropManaged(spark, s"${table}_dsir_totals")
     tot.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_dsir_totals")
@@ -400,19 +400,19 @@ object Curate {
       .select(col("f"),
         (coalesce(col("ct0"), lit(0L)) - coalesce(col("ct1"), lit(0L))).as("ct"),
         (coalesce(col("cr0"), lit(0L)) - coalesce(col("cr1"), lit(0L))).as("cr"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val bad = merged.filter(col("ct") < 0 || col("cr") < 0).count()
     require(bad == 0,
       s"$table: removing a batch that exceeds the committed counts " +
         s"($bad buckets would go negative) — was this batch ever added?")
-    val survivors = merged.filter(col("cr") > 0).localCheckpoint(true)
+    val survivors = merged.filter(col("cr") > 0).transform(graft.operators.Lineage.pin)
     Lexical.dropManaged(spark, s"${table}_dsir_counts")
     survivors.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_dsir_counts")
     val tot = spark.table(s"${table}_dsir_counts")
       .agg(coalesce(sum("ct"), lit(0L)).as("nt"),
         coalesce(sum("cr"), lit(0L)).as("nr"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     Lexical.dropManaged(spark, s"${table}_dsir_totals")
     tot.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_dsir_totals")
@@ -464,8 +464,8 @@ object Curate {
     // rows don't need 32 cached blocks. (Cluster note: localCheckpoint
     // blocks die with their executor — see SURVEY §4 iterative-ops
     // caveat; for B-row frames a recompute-on-loss is a non-event.)
-    val a = a0.coalesce(1).localCheckpoint(true)
-    val b = b0.coalesce(1).localCheckpoint(true)
+    val a = a0.coalesce(1).transform(graft.operators.Lineage.pin)
+    val b = b0.coalesce(1).transform(graft.operators.Lineage.pin)
     val na = a.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val nb = b.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     require(na > 0 && nb > 0,
@@ -505,7 +505,7 @@ object Curate {
     val cnt = feats.groupBy("grp", "f").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val tot = cnt.groupBy("grp").agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val empty = tot.filter(col("nt") === 0).select("grp")
@@ -1045,7 +1045,7 @@ object Curate {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_bucket"), sum("y").as("pos_bucket"),
         max("n").as("n"), max("np").as("np"))
-      .localCheckpoint(true) // <= buckets rows; the window runs on these
+      .transform(graft.operators.Lineage.pin) // <= buckets rows; the window runs on these
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dec.withColumn("cum_n", sum("n_bucket").over(w))
@@ -1053,6 +1053,145 @@ object Curate {
       .select(col("decile"), col("cum_n"), col("cum_pos"),
         expr("cum_pos * 1000000 div cum_n").as("precision_ppm"),
         expr("cum_pos * 1000000 div np").as("recall_ppm"))
+  }
+
+  /** L107: calibration audit — the reliability diagram behind every
+    * "gate the corpus at classifier score p" decision: a classifier
+    * can RANK perfectly (AUC 1) while its scores are meaningless as
+    * probabilities, and a pipeline that thresholds on score value
+    * (not rank) inherits exactly that gap. Input scores are
+    * probabilities in ppm (micro-units, [0, 10⁶]); B fixed-width bins
+    * bin = min(B−1, p·B div 10⁶) (the standard equal-width ECE
+    * binning, Naeini et al. AAAI'15 / Guo et al. ICML'17). Per bin:
+    * count, positives, observed rate obs_ppm = pos·10⁶ div n,
+    * mean predicted pred_ppm = Σp div n, gap_ppm = |obs − pred|.
+    * ONE groupBy over ≤ B keys (map-side partials absorb the corpus),
+    * Σp widened to decimal(38,0) (10⁶ · 3e12 rows passes 2⁶³). All
+    * integer-exact → hash-oracled. */
+  def calibrationBins(scored: DataFrame, scorePpmCol: String,
+                      labelCol: String, buckets: Int = 10): DataFrame =
+    calibrationFromStats(
+      calibrationStats(scored, scorePpmCol, labelCol, buckets))
+
+  /** The ADDITIVE sufficient statistic behind [[calibrationBins]]:
+    * per bin (count, positives, Σp). Tables from disjoint batches
+    * fold by (sum, sum, sum) — what lets a STREAMING monitor (C13ai)
+    * maintain the reliability diagram incrementally, the
+    * [[scoreCounts]] discipline. */
+  def calibrationStats(scored: DataFrame, scorePpmCol: String,
+                       labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    scored
+      .select(col(scorePpmCol).cast("long").as("p"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .withColumn("bin",
+        least(lit(buckets - 1L), expr(s"p * $buckets div 1000000")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(expr("cast(p as decimal(38,0))")).as("sp"))
+  }
+
+  /** Reliability rows from a (bin, n, n_pos, sp) stats table. */
+  def calibrationFromStats(stats: DataFrame): DataFrame =
+    stats
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("obs_ppm"),
+        expr("cast(sp div n as bigint)").as("pred_ppm"))
+      .withColumn("gap_ppm",
+        abs(col("obs_ppm") - col("pred_ppm")))
+
+  /** Expected calibration error (ppm) + sharpness summary off the
+    * [[calibrationBins]] table: ECE = Σ n_b·gap_b div N — the single
+    * number a drifting classifier moves first. B-row aggregate. */
+  def calibrationSummary(bins: DataFrame): DataFrame =
+    bins.agg(
+        sum("n").as("n"),
+        expr("sum(cast(n as decimal(38,0)) * gap_ppm)").as("__g"))
+      .select(col("n"),
+        expr("cast(__g div n as bigint)").as("ece_ppm"))
+
+  /** L108: inter-annotator agreement (Cohen's κ, Cohen 1960) — the
+    * label-QA primitive for any human-labeled or weak-supervision
+    * corpus: raw percent agreement rewards raters who spam the
+    * majority class; κ subtracts the agreement their marginal label
+    * rates would produce by chance. Input is the long (item, rater,
+    * label) shape; the two raters' labels join on item (items missing
+    * either rater drop — the standard pairwise-complete rule).
+    * po = agreements/n, pe = Σ_k rateA_k·rateB_k, κ = (po − pe)/(1 −
+    * pe), all in exact micro-units: pe's Σ cA_k·cB_k and the n²
+    * denominator widen through decimal(38,0) (n ≥ 3e9 wraps BIGINT),
+    * κ_micro = (po_ppm − pe_ppm)·10⁶ div (10⁶ − pe_ppm), null when
+    * pe = 1 (degenerate single-label marginals — κ undefined).
+    * Cost: one item-keyed equi-join + a ≤|labels|-row marginal
+    * aggregate; no corpus² anywhere. Returns 1 row
+    * (n_items, po_ppm, pe_ppm, kappa_micro). */
+  def annotatorAgreement(labels: DataFrame, itemCol: String,
+                         raterCol: String, labelCol: String,
+                         raterA: String, raterB: String): DataFrame = {
+    val a = labels.filter(col(raterCol) === raterA)
+      .select(col(itemCol).as("item"), col(labelCol).as("la"))
+    val b = labels.filter(col(raterCol) === raterB)
+      .select(col(itemCol).as("item"), col(labelCol).as("lb"))
+    val j = a.join(b, "item")
+    val marg = j.groupBy("la", "lb").agg(count(lit(1)).as("c"))
+      .transform(Lineage.pin) // ≤ |labels|² rows; referenced 3× below
+    val n = marg.agg(sum("c").as("n"),
+      sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("agree"))
+    val ca = marg.groupBy("la").agg(sum("c").as("ca"))
+    val cb = marg.groupBy("lb").agg(sum("c").as("cb"))
+    val pe = ca.join(cb, col("la") === col("lb"))
+      .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).as("__pe_raw"))
+    n.crossJoin(pe)
+      .select(col("n").as("n_items"),
+        expr("agree * 1000000 div n").as("po_ppm"),
+        expr("cast(coalesce(__pe_raw, 0) * 1000000" +
+          " div (cast(n as decimal(38,0)) * n) as bigint)").as("pe_ppm"))
+      .withColumn("kappa_micro",
+        // κ can be negative (worse-than-chance raters); divide the
+        // ABSOLUTE numerator and re-apply the sign so Spark's
+        // toward-zero `div` and DuckDB's flooring `//` agree
+        when(col("pe_ppm") < 1000000L,
+          when(col("po_ppm") >= col("pe_ppm"), 1L).otherwise(-1L) *
+            expr("abs(po_ppm - pe_ppm) * 1000000" +
+              " div (1000000 - pe_ppm)")))
+  }
+
+  /** L109: exact stratified split — the train/val/test assignment
+    * that holds the requested proportions EXACTLY within every
+    * stratum (language, source, quality tier…), not just in
+    * expectation: hash-threshold splits ([[leakageSafeSplit]]'s rule)
+    * are unbiased but binomially noisy per stratum, and a rare
+    * stratum (200 docs of a low-resource language) can easily land
+    * 0 validation docs. Here each stratum's rows take a deterministic
+    * total order (md5(id), id — engine-replayable, no rand()), rank
+    * via [[PrefixSum.keyed]] (two-level scan: the widest window task
+    * is one 256-cell slice of one stratum — a 10⁹-row stratum never
+    * serializes), and split on exact rank boundaries:
+    * train = rk ≤ ⌊tot·trainPm/1000⌋, val = next ⌊tot·valPm/1000⌋,
+    * test = rest. Deterministic, partition-invariant, exact to ±1
+    * per stratum, and the md5 order makes each prefix itself an
+    * unbiased sample. Returns (id, stratum, rk, tot, split). */
+  def stratifiedSplit(docs: DataFrame, idCol: String, stratumCol: String,
+                      trainPm: Int, valPm: Int): DataFrame = {
+    require(trainPm >= 0 && valPm >= 0 && trainPm + valPm <= 1000,
+      s"per-mille fractions must satisfy 0 <= train+val <= 1000, " +
+        s"got $trainPm + $valPm")
+    val keyed = docs.select(col(idCol).as("id"),
+        col(stratumCol).as("stratum"))
+      .withColumn("__h", md5(col("id").cast("string")))
+      // 256 order-aligned cells: the bucket is the md5 string's first
+      // byte, so cell order == order-column order (the keyed scan's
+      // alignment requirement)
+      .withColumn("__cell", expr("conv(substring(__h, 1, 2), 16, 10)")
+        .cast("int"))
+    PrefixSum.keyed(keyed, Seq("stratum"), Seq("__h", "id"), lit(1L),
+        col("__cell"), "rk", "tot")
+      .select(col("id"), col("stratum"), col("rk"), col("tot"),
+        when(col("rk") <= expr(s"tot * $trainPm div 1000"), "train")
+          .when(col("rk") <= expr(s"tot * ${trainPm + valPm} div 1000"),
+            "val")
+          .otherwise("test").as("split"))
   }
 
   /** L102: readability scoring — Flesch–Kincaid grade and Flesch

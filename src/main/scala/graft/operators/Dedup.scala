@@ -310,7 +310,7 @@ object Dedup {
                       num: Long, den: Long, shingleN: Int = 1): DataFrame =
     removeContainedPairs(df, idCol,
       containmentPairs(df, idCol, textCol, num, den, shingleN)
-        .localCheckpoint(true))
+        .transform(graft.operators.Lineage.pin))
 
   /** [[removeContained]] over a PRECOMPUTED containment pair table —
     * the amortized form (the [[removeNearDupsClusteredLabels]]
@@ -844,7 +844,7 @@ object Dedup {
       // label(v) starts at min(v, neighbors(v)) — one hop for free
       var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       var iter = 0
       var converged = labels.isEmpty
       // superseded rounds' checkpoint blocks are reclaimed by the
@@ -863,7 +863,7 @@ object Dedup {
           .select(labels("id"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
             (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("__moved"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
         val moved = next.filter(col("__moved")).limit(1).count()
         labels = next.drop("__moved")
         converged = moved == 0L
@@ -953,7 +953,7 @@ object Dedup {
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
     var e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     var prev = e.count()
     var iter = 0
     var done = prev == 0L
@@ -964,7 +964,7 @@ object Dedup {
         .join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       val cnt = next.count()
       done = cnt == prev || cnt == 0L
       prev = cnt
@@ -1013,10 +1013,10 @@ object Dedup {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
     val edges = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.operators.Lineage.pin)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     for (_ <- 1 to rounds) {
       val nbr = edges
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
@@ -1027,7 +1027,7 @@ object Dedup {
       labels = votes.join(cmax, "id")
         .filter(col("c") === col("cmax"))
         .groupBy("id").agg(min(col("lab")).as("lab"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
     }
     labels.select(col("id"), col("lab").as("community"))
   }
@@ -1266,7 +1266,7 @@ object Dedup {
         .cast("int"))
     // evaluated twice (cross pairs + sidecar append): pin it
     val bToks = pairToks(batch, idCol, textCol, blockCols, shingleN)
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     // the BATCH side explodes the ±D band probes (it's the small side;
     // exploding the corpus would triple the big scan on every append)
     val a = banded(bToks)
@@ -1340,7 +1340,7 @@ object Dedup {
       floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR)
         .cast("int"))
     val bToks = pairToks(batch, idCol, textCol, Seq(groupCol), shingleN)
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val a = banded(bToks)
       .withColumn("bandm",
         explode(sequence(col("band") - bandDelta, col("band") + bandDelta)))

@@ -36,10 +36,10 @@ object LabelSpread {
              iters: Int): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     val e = edges.select(col(idCol).as("eid"), col(nbCol).as("enb"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val seed = seeds.select(col(nodeCol).as("node"),
       col(labelCol).as("label"), lit(1048576L).as("score"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     var scores = seed
     for (_ <- 1 to iters) {
       val prop = e.join(scores, e("enb") === scores("node"))
@@ -52,7 +52,7 @@ object LabelSpread {
       scores = norm
         .join(seed.select("node"), Seq("node"), "left_anti")
         .unionByName(seed)
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
     }
     val w = Window.partitionBy("node")
       .orderBy(col("score").desc, col("label").asc)

@@ -104,12 +104,12 @@ object Lexical {
     // next appendDocs/buildIndex recomputes from the postings
     val df2 = spark.table(s"${table}_postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     dropManaged(spark, s"${table}_termdf")
     df2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
     val st2 = spark.table(s"${table}_doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     dropManaged(spark, s"${table}_stats")
     st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
@@ -145,10 +145,10 @@ object Lexical {
     // (never read-while-overwrite — same discipline as appendDocs)
     val p2 = spark.table(s"${table}_postings")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val d2 = spark.table(s"${table}_doclen")
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     dropManaged(spark, s"${table}_postings")
     p2.write.mode("overwrite").bucketBy(pBuckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
@@ -157,12 +157,12 @@ object Lexical {
       .format("parquet").saveAsTable(s"${table}_doclen")
     val df2 = spark.table(s"${table}_postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     dropManaged(spark, s"${table}_termdf")
     df2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_termdf")
     val st2 = spark.table(s"${table}_doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     dropManaged(spark, s"${table}_stats")
     st2.write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
@@ -226,7 +226,7 @@ object Lexical {
     // same hazard Ann.searchIvfIndex guards its probes against
     val qTerms = queries.select(col(idCol).as("query_id"),
         explode(array_distinct(tokenize_ws(col(textCol)))).as("term"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val terms = qTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     // empty batch vocabulary: same shape (column order AND types) as
@@ -298,7 +298,7 @@ object Lexical {
       .partitionBy("term").orderBy("doc_id", "pos")
     val top = occ.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perTerm)
-      .localCheckpoint() // ≤ terms·perTerm rows, referenced twice below
+      .transform(graft.operators.Lineage.pin) // ≤ terms·perTerm rows, referenced twice below
     val hitDocs = top.select("doc_id").distinct()
     val toks = docs
       .join(broadcast(hitDocs), docs(idCol) === hitDocs("doc_id"))

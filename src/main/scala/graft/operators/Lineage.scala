@@ -31,8 +31,31 @@ object Lineage {
 
   /** Opt-in: route [[pinDerived]] through reliable `checkpoint()`
     * instead of `localCheckpoint()` (set once at app start; requires a
-    * checkpoint dir). */
+    * checkpoint dir). Equivalent to the session conf knob
+    * `graft.checkpoint.reliable=true`. */
   @volatile var useReliableCheckpoint: Boolean = false
+
+  /** Round pin for the engine's iterative operators (LPA, k-core,
+    * Lloyd, SGNS, PageRank, MW reweight, greedy packing…): cut
+    * lineage eagerly so round t+1 never re-executes round t. Honors
+    * `graft.checkpoint.reliable`: when the session conf sets it true
+    * (or [[useReliableCheckpoint]] is set) rounds checkpoint RELIABLY
+    * to the configured checkpoint dir, so on a real cluster an
+    * executor loss recomputes the round from storage instead of
+    * failing the job — localCheckpoint blocks live on executors and
+    * die with them. local[*] keeps the localCheckpoint default (no
+    * executor loss, no distributed-FS round-trip per round). */
+  def pin(df: DataFrame): DataFrame = {
+    val reliable = useReliableCheckpoint ||
+      df.sparkSession.conf.getOption("graft.checkpoint.reliable")
+        .exists(_.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "graft.checkpoint.reliable=true requires " +
+          "sparkContext.setCheckpointDir(<reliable storage path>)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
 
   private def scanShaped(p: LogicalPlan): Boolean = p match {
     case _: LeafNode => true
@@ -48,6 +71,5 @@ object Lineage {
     * (a checkpointed frame is a leaf). */
   def pinDerived(df: DataFrame): DataFrame =
     if (scanShaped(df.queryExecution.analyzed)) df
-    else if (useReliableCheckpoint) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    else pin(df)
 }

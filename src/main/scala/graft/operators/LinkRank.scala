@@ -117,10 +117,10 @@ object LinkRank {
         col(weightCol).cast("long").as("w"))
     val e = (if (assumeSummed) raw
              else raw.groupBy("src", "dst").agg(sum("w").as("w")))
-      .localCheckpoint()
+      .transform(graft.operators.Lineage.pin)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.operators.Lineage.pin)
     val n = nodes.count()
     require(n > 0, "hits on an empty edge list")
     val small = n <= 1000000L
@@ -132,7 +132,7 @@ object LinkRank {
     // 3.4 s for 3 rounds at sf0.1). The renormed projection itself
     // stays lazy — it is n-row work riding the next round's join.
     def renorm(rawScores: DataFrame): DataFrame = {
-      val pinned = rawScores.localCheckpoint()
+      val pinned = rawScores.transform(graft.operators.Lineage.pin)
       val d = pinned.agg(sum(col("v").cast("decimal(38,0)")))
         .head().getDecimal(0)
       require(d != null && d.signum() > 0,
@@ -185,7 +185,7 @@ object LinkRank {
       // upstream graph construction — at web scale a multi-TB join —
       // must not replay under nodes/outw/every round's lineage). It is
       // the only edge-sized materialization in the operator.
-      .localCheckpoint()
+      .transform(graft.operators.Lineage.pin)
     val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -198,7 +198,7 @@ object LinkRank {
           .distinct().withColumn("seed", lit(1))
         allNodes.join(s, Seq("node"), "left")
           .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
-    }).localCheckpoint()
+    }).transform(graft.operators.Lineage.pin)
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge list")
     val nTeleport =
@@ -217,8 +217,8 @@ object LinkRank {
     val small = n <= 1000000L
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val ew: DataFrame =
-      if (small) e.join(broadcast(outw.localCheckpoint()), "src")
-      else e.join(outw, "src").localCheckpoint()
+      if (small) e.join(broadcast(outw.transform(graft.operators.Lineage.pin)), "src")
+      else e.join(outw, "src").transform(graft.operators.Lineage.pin)
     val base = (scale * (dampDen - dampNum)) / (dampDen * nTeleport)
     def baseCol = when(nodes("seed") === 1, lit(base)).otherwise(lit(0L))
     var r = nodes.select(col("node"),
@@ -234,7 +234,7 @@ object LinkRank {
           (baseCol +
             expr(s"${dampNum}L * coalesce(inm, 0L) div ${dampDen}L"))
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.operators.Lineage.pin)
     }
     r.select(col("node"), col("rank").as("rank_micro"))
   }

@@ -93,7 +93,7 @@ object Mix {
         col("w").cast("double") * 4294967296.0 / col("__h"))
     val top = base
       .orderBy(col("priority").desc, col("key").asc).limit(k + 1)
-      .localCheckpoint(true) // k+1 rows; referenced by rank AND tau
+      .transform(graft.operators.Lineage.pin) // k+1 rows; referenced by rank AND tau
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("priority").desc, col("key").asc)
     val ranked = top.withColumn("rk", row_number().over(w))
@@ -195,7 +195,7 @@ object Mix {
     var cur = domLoss
       .select(col(domainCol).as("domain"),
         col(lossCol).cast("long").as("loss"), lit(1000000L).as("w"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     (1 to rounds).foreach { _ =>
       // one aggregate per round: the max EXCESS max_d(max(0, loss−A))
       // equals max(loss) − A (the max loss is never below the weighted
@@ -218,7 +218,7 @@ object Mix {
             .otherwise(
               expr("(w * (1000000L + (ex * 500000L) div m)) div 1000000L"))
             .as("w"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
     }
     val tot = cur.agg(
       expr("sum(cast(w as decimal(38,0)))").as("swf"))

@@ -639,4 +639,99 @@ object Multimodal {
       }
     }(Encoders.product[MediaFeatures])
   }
+
+  /** L12k (r14): deterministic REAL-media planting — the query-scale
+    * driver for the ImageIO branches. The r13 `*_real` operators'
+    * decode paths were only exercised at spec scale (planted payloads
+    * in MultimodalSpec); a synthetic-text corpus routes every query
+    * row down the stub fallback, so a user pointing graft at actual
+    * images runs code volume never sees. This closes that: each id
+    * becomes a GENUINE PNG (solid RGB, dims and color pure integer
+    * functions of the id) that `ImageIO.read` must decode — and
+    * because the pixels are a known constant, the DuckDB oracle
+    * re-derives the decoded luminance statistics and resize dims from
+    * the same arithmetic, making the real decode→process→re-encode
+    * chain hash-oracled END TO END at corpus scale.
+    *
+    * dims: w = 8 + id mod 33, h = 8 + (7·id) mod 29 (small on purpose
+    * — the point is branch coverage per row, not pixel volume);
+    * color: (id, 3·id, 5·id) mod 256. Map-side mapPartitions, one
+    * encoder context per partition, zero shuffles. */
+  private[graft] def plantDims(id: Long): (Int, Int) =
+    ((8 + id % 33).toInt, (8 + (id * 7) % 29).toInt)
+
+  private[graft] def plantColor(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, ((id * 3) % 256).toInt, ((id * 5) % 256).toInt)
+
+  def plantRealPngs(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = plantDims(id)
+        val (r, g, b) = plantColor(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRow(id, baos.toByteArray)
+      }
+    }(Encoders.product[MediaRow])
+  }
+
+  /** The multi-frame twin of [[plantRealPngs]]: ids where
+    * id mod `every` == 0 become genuine ANIMATED GIFs with
+    * nf = 2 + id mod 5 solid-gray frames at [[plantDims]] dims — the
+    * one multi-frame container the JDK decodes — so
+    * [[sampleFramesReal]]'s container loop (getNumImages, per-frame
+    * read) runs at query scale with an oracle-predictable frame
+    * count. Gray level 32 + 24·f per frame (GIF palettes quantize
+    * color, never dims/count — the oracled columns). */
+  def plantRealGifs(docs: DataFrame, idCol: String,
+                    every: Int): Dataset[MediaRow] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .filter((id: Long) => id % every == 0)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = plantDims(id)
+          val nf = (2 + id % 5).toInt
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val v = 32 + 24 * f
+            val rgb = (v << 16) | (v << 8) | v
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val meta = writer.getDefaultImageMetadata(
+              javax.imageio.ImageTypeSpecifier
+                .createFromRenderedImage(img), null)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, meta), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          MediaRow(id, baos.toByteArray)
+        }
+      }(Encoders.product[MediaRow])
+  }
 }

@@ -49,7 +49,7 @@ object Train {
     val x = feats.select(
         concat(as_double_array(col(vecCol)), array(lit(1.0))).as("x"),
         col(labelCol).cast("double").as("y"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val w = Array.fill(dims + 1)(0L)
     var r = 0
     while (r < rounds) {
@@ -109,7 +109,7 @@ object Train {
     require(dims >= 1 && rounds >= 1 && dampDen >= 1, "bad trainer params")
     val ex = examples.select(col(centerCol).as("center"),
         col(otherCol).as("x"), col(yCol).cast("double").as("y"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.operators.Lineage.pin)
     val nodes = ex.select(col("center").as("node"))
       .unionByName(ex.select(col("x").as("node"))).distinct()
     var emb = nodes
@@ -117,7 +117,7 @@ object Train {
       .withColumn("v",
         pmod(rolling_hash(concat_ws("|", col("node"), col("d"))),
           lit(513L)) - lit(256L))
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     for (_ <- 1 to rounds) {
       val ec = emb.select(col("node").as("cn"), col("d"), col("v").as("cv"))
       val exv = emb.select(col("node").as("xn"), col("d"), col("v").as("xv"))
@@ -135,7 +135,7 @@ object Train {
           floor((col("y") - col("sig")) * 1024).cast("long").as("g"))
         // both per-side gradient branches read g: without the pin the
         // E·D example×embedding double join above runs twice per round
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       // one gradient aggregation for BOTH sides: the update only ever
       // uses gs_c + gs_x, and integer sums re-associate freely, so
       // summing the unioned per-side contributions is value-identical
@@ -154,7 +154,7 @@ object Train {
         .select(col("node"), col("d"),
           (col("v") + floor(coalesce(col("gs"), lit(0L)) /
             lit(dampDen.toDouble)).cast("long")).as("v"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
     }
     emb
   }

@@ -60,7 +60,7 @@ object Walk {
       .withColumn("nrank",
         (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
           .cast("long"))
-      .join(deg, "src").localCheckpoint(true)
+      .join(deg, "src").transform(graft.operators.Lineage.pin)
     val member = adjd.select(col("src").as("m_src"), col("dst").as("m_dst"),
       lit(1L).as("m"))
     var frontier = adjd.select(col("src").as("start")).distinct()
@@ -185,7 +185,7 @@ object Walk {
     }
     val win = PrefixSum.bucketed(wts, orderCols = Seq("node"),
         valueCol = col("w"), bucket = bkt, outCol = "cum")
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     val tot = win.agg(max(col("cum"))).head().getLong(0)
     val picks = pairs.select(col(centerCol).as("center")).distinct()
       .withColumn("k", explode(sequence(lit(1L), lit(k.toLong))))
@@ -219,7 +219,7 @@ object Walk {
         (row_number().over(Window.partitionBy("grp", "src").orderBy("dst")) - 1)
           .cast("long"))
     val deg = adj.groupBy("grp", "src").agg(count(lit(1)).as("deg"))
-    val adjd = adj.join(deg, Seq("grp", "src")).localCheckpoint(true)
+    val adjd = adj.join(deg, Seq("grp", "src")).transform(graft.operators.Lineage.pin)
     var frontier = adjd.select(col("grp"), col("src").as("start")).distinct()
       .withColumn("walk", explode(sequence(lit(0L), lit(nWalks - 1L))))
       .withColumn("node", col("start"))
@@ -270,7 +270,7 @@ object Walk {
         (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
           .cast("long"))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adjd = adj.join(deg, "src").localCheckpoint(true)
+    val adjd = adj.join(deg, "src").transform(graft.operators.Lineage.pin)
     val changed = delta.select(col(srcCol).as("cnode")).distinct()
     // first changed-node visit per (start, walk); null = untouched
     val cuts = prior
@@ -296,7 +296,7 @@ object Walk {
       .filter(col("cut").isNotNull && col("step") === col("cut"))
       .select("start", "walk", "step", "node")
       .unionByName(newStarts)
-      .localCheckpoint(true)
+      .transform(graft.operators.Lineage.pin)
     for (_ <- 1 to len) {
       frontier = frontier.filter(col("step") < len)
         .join(adjd, frontier("node") === adjd("src"))
@@ -319,7 +319,7 @@ object Walk {
         (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
           .cast("long"))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adjd = adj.join(deg, "src").localCheckpoint(true)
+    val adjd = adj.join(deg, "src").transform(graft.operators.Lineage.pin)
     var frontier = adjd.select(col("src").as("start")).distinct()
       .withColumn("walk", explode(sequence(lit(0L), lit(nWalks - 1L))))
       .withColumn("node", col("start"))

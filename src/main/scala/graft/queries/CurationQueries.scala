@@ -43,6 +43,19 @@ object CurationQueries {
     * calibration audit. Hashed-sign features per doc, class-balanced
     * integer weights, margin = Σ x·w — every step integer, so the
     * DuckDB replay is value-exact. */
+  /** L107 input: classifier margin min-max normalized into a ppm
+    * pseudo-probability (margin = mx → exactly 10⁶, capped into the
+    * last bin by calibrationBins), with the is_en label. */
+  private def calibrationScored(s: SparkSession, dir: String): DataFrame = {
+    val scored = classifierMargin(s, dir)
+      .withColumn("is_en", col("lang") === "en")
+    val bounds = scored.agg(min("margin").as("mn"), max("margin").as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("p_ppm",
+        expr("cast(cast(margin - mn as decimal(38,0)) * 1000000" +
+          " div greatest(mx - mn, 1) as bigint)"))
+  }
+
   private def classifierMargin(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val feats = d
@@ -826,6 +839,38 @@ object CurationQueries {
         .orderBy("decile")
     },
 
+    // L107 (r14): reliability diagram with PREDICTED-vs-observed
+    // gaps — the L44c calibration audit gives per-bin observed rates;
+    // this adds the predicted mean per bin and the |obs − pred| gap
+    // (the quantity ECE weights), over the margin min-max normalized
+    // to a ppm pseudo-probability (one broadcast bounds frame). AUC
+    // says the ranking is good; THIS says whether the score VALUES
+    // can be thresholded as probabilities.
+    "q_reliability" -> { (s, dir) =>
+      Curate.calibrationBins(calibrationScored(s, dir), "p_ppm", "is_en",
+          buckets = 10)
+        .orderBy("bin")
+    },
+
+    // L107b (r14): the one-number form — expected calibration error
+    // in ppm off the same bins (B-row aggregate).
+    "q_calibration_ece" -> { (s, dir) =>
+      Curate.calibrationSummary(
+        Curate.calibrationBins(calibrationScored(s, dir), "p_ppm", "is_en",
+          buckets = 10))
+    },
+
+    // L109 (r14): exact stratified split — per-language train/val/
+    // test at exact 80/10/10 within EVERY stratum (hash-threshold
+    // splits are binomially noisy per stratum; a rare language can
+    // land zero validation docs). Deterministic md5 order, ranked by
+    // the keyed two-level prefix scan — no per-stratum global sort.
+    "q_split_stratified" -> { (s, dir) =>
+      Curate.stratifiedSplit(t(s, dir, "documents"), "doc_id", "lang",
+          trainPm = 800, valPm = 100)
+        .orderBy("id")
+    },
+
     // L52: distributed classifier TRAINING — 3 rounds of full-batch
     // gradient descent (one vector_sum aggregate per round, model
     // broadcast) for an en-vs-rest logistic-shaped model over
@@ -1032,7 +1077,7 @@ object CurationQueries {
             abs(col("a.step") - col("b.step")) <= 2)
         .groupBy(col("a.node").as("center"), col("b.node").as("context"))
         .agg(count(lit(1)).as("n_pairs"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Lineage.pin)
       val pos = sg.select(col("center"), col("context").as("x"),
         lit(1L).as("y"))
       val neg = graft.operators.Walk.negativeSamples(sg, "center",
@@ -1568,7 +1613,7 @@ object CurationQueries {
           .unionByName(pairs.select(
             concat(lit("s"), col("l_suppkey")).as("src"),
             concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
       })
 
   /** DuckDB replay of [[graft.operators.LinkRank.pageRank]] with the
@@ -3598,6 +3643,70 @@ object CurationQueries {
         |    AS BIGINT) AS en_per_mille,
         |  MIN(margin) AS lo_margin, MAX(margin) AS hi_margin
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // L107: the reliability replay — same ppm normalization (HUGEINT
+    // widening ≡ Spark's decimal(38,0)), equal-width ECE bins with
+    // the last-bin cap, per-bin observed/predicted/gap.
+    "q_reliability" ->
+      s"""$classifierMarginCteSql,
+        |bd AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |pp AS (
+        |  SELECT CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(CAST(m.margin - bd.mn AS HUGEINT) * 1000000
+        |      // GREATEST(bd.mx - bd.mn, 1) AS BIGINT) AS p
+        |  FROM m, bd),
+        |b AS (
+        |  SELECT LEAST(9, p * 10 // 1000000) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(p AS HUGEINT)) AS sp
+        |  FROM pp GROUP BY 1),
+        |o AS (
+        |  SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |    CAST(n_pos * 1000000 // n AS BIGINT) AS obs_ppm,
+        |    CAST(sp // n AS BIGINT) AS pred_ppm
+        |  FROM b)
+        |SELECT bin, n, n_pos, obs_ppm, pred_ppm,
+        |  ABS(obs_ppm - pred_ppm) AS gap_ppm
+        |FROM o ORDER BY bin""".stripMargin,
+
+    // L107b: ECE — the n-weighted mean gap over the same bins.
+    "q_calibration_ece" ->
+      s"""$classifierMarginCteSql,
+        |bd AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |pp AS (
+        |  SELECT CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(CAST(m.margin - bd.mn AS HUGEINT) * 1000000
+        |      // GREATEST(bd.mx - bd.mn, 1) AS BIGINT) AS p
+        |  FROM m, bd),
+        |b AS (
+        |  SELECT LEAST(9, p * 10 // 1000000) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(p AS HUGEINT)) AS sp
+        |  FROM pp GROUP BY 1),
+        |g AS (
+        |  SELECT n, ABS(CAST(n_pos * 1000000 // n AS BIGINT)
+        |    - CAST(sp // n AS BIGINT)) AS gap_ppm
+        |  FROM b)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(n AS HUGEINT) * gap_ppm)
+        |    // SUM(n) AS BIGINT) AS ece_ppm
+        |FROM g""".stripMargin,
+
+    // L109: the stratified-split replay — ROW_NUMBER under the same
+    // (md5(id), id) order per stratum, exact per-mille boundaries.
+    "q_split_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id, lang AS stratum,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS tot
+        |  FROM documents)
+        |SELECT id, stratum, CAST(rk AS BIGINT) AS rk,
+        |  CAST(tot AS BIGINT) AS tot,
+        |  CASE WHEN rk <= tot * 800 // 1000 THEN 'train'
+        |       WHEN rk <= tot * 900 // 1000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY id""".stripMargin,
 
     // Temperature thresholds replayed with the same quantization:
     // sqrt correctly rounded in both engines, weights floor-quantized

@@ -1206,6 +1206,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // L108 (r14): inter-annotator agreement — Cohen's κ between the
+    // corpus's DECLARED language labels and the L8 detector's
+    // verdicts, the label-QA number that subtracts majority-class
+    // luck from raw percent agreement. The two "raters" union into
+    // the long (item, rater, label) shape the operator contracts on.
+    "q_label_agreement" -> { (s, dir) =>
+      val scores = LangMarkers.toSeq.sortBy(_._1)
+      val counts = marker_counts(col("text"), scores.map(_._2))
+      val d = t(s, dir, "documents")
+      val withCounts = scores.zipWithIndex.foldLeft(d) {
+        case (df, ((lang, _), i)) =>
+          df.withColumn(s"c_$lang", element_at(counts, i + 1))
+      }
+      val m = greatest(scores.map { case (l, _) => col(s"c_$l") }: _*)
+      val pred = scores.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"c_$lang") === m, lit(lang)).otherwise(acc)
+      }
+      val labels = d.select(col("doc_id").as("item"),
+          lit("declared").as("rater"), col("lang").as("label"))
+        .unionByName(withCounts.select(col("doc_id").as("item"),
+          lit("detected").as("rater"), pred.as("label")))
+      Curate.annotatorAgreement(labels, "item", "rater", "label",
+        "declared", "detected")
+    },
+
     // L9: quality scoring + keep decision.
     "q_text_quality" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -1546,6 +1571,59 @@ object PipelineQueries {
         .withColumn("payload_sha", sha2(col("payload"), 256))
         .drop("payload")
         .orderBy("doc_id")
+    },
+
+    // L12k (r14): REAL pixel decode at QUERY scale — every row's
+    // payload is a genuine planted PNG (plantRealPngs), so
+    // ImageIO.read must succeed on every row (no stub fallback), and
+    // because the pixels are a known solid color the decoded
+    // luminance histogram + mean replay exactly in SQL. This is the
+    // row the r13 *_real family lacked: the decode branch driven by
+    // the corpus, not just by spec plants.
+    "q_multimodal_real_pixels" -> { (s, dir) =>
+      val feats = Multimodal.extractFeaturesReal(
+        Multimodal.plantRealPngs(t(s, dir, "documents"), "doc_id")).toDF()
+      val bins = (0 until 8).map(i =>
+        element_at(col("histogram"), i + 1).as(s"h$i"))
+      feats.select(col("doc_id") +: bins :+ col("mean_byte"): _*)
+        .orderBy("doc_id")
+    },
+
+    // L12k (r14): the full encode→decode→boxResize→PNG-re-encode→
+    // re-decode chain at query scale: resize real planted PNGs, then
+    // DECODE THE RESIZED OUTPUT and assert its content — a solid
+    // color is invariant under the exact box average, so the
+    // re-decoded mean luminance must equal the planted one while the
+    // dims follow the floor arithmetic. Pin the resized frame: it
+    // feeds both the dims projection and the re-decode, and an
+    // unpinned lineage would run the ImageIO chain twice.
+    "q_multimodal_resize_decoded" -> { (s, dir) =>
+      import s.implicits._
+      val resized = Multimodal.resizeReal(
+          Multimodal.plantRealPngs(t(s, dir, "documents"), "doc_id"),
+          maxDim = 16)
+        .toDF().transform(graft.operators.Lineage.pin)
+      val feats = Multimodal.extractFeaturesReal(
+          resized.select(col("doc_id"), col("payload"))
+            .as[Multimodal.MediaRow])
+        .toDF().select(col("doc_id"), col("mean_byte"))
+      resized.select("doc_id", "width", "height", "out_w", "out_h")
+        .join(feats, "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // L12k (r14): the GIF container loop at query scale — ids
+    // divisible by 7 (coprime with the frame-count modulus, so nf
+    // actually sweeps 2..6) become genuine animated GIFs with an
+    // id-derived frame count; sampleFramesReal must run
+    // getNumImages + per-frame decode (not the stub), and the frame
+    // grid replays in SQL.
+    "q_multimodal_frames_decoded" -> { (s, dir) =>
+      Multimodal.sampleFramesReal(
+          Multimodal.plantRealGifs(t(s, dir, "documents"), "doc_id",
+            every = 7), stride = 2)
+        .toDF().select("doc_id", "frame_idx", "width", "height")
+        .orderBy("doc_id", "frame_idx")
     },
 
     // L12i (r13): the REAL feature extractor — decoded-pixel
@@ -1907,16 +1985,13 @@ object PipelineQueries {
       |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9
       |ORDER BY doc_id1, doc_id2""".stripMargin
 
-  private val langMarkerSql: String = {
+  /** Shared lang-marker CTE chain: toksets → counted (per-language
+    * marker counts; reused by the L8 replay and the L108 κ oracle). */
+  private val langCountedCteSql: String = {
     val counts = LangMarkers.toSeq.sortBy(_._1).map { case (l, ms) =>
       val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
       s"len(list_filter(toks, x -> list_contains($lst, x))) AS c_$l"
     }.mkString(",\n    ")
-    val langs = LangMarkers.keys.toSeq.sorted
-    val m = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
-    val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
-      s"CASE WHEN c_$l = $m THEN '$l' ELSE $acc END"
-    }
     s"""WITH toksets AS (
        |  SELECT doc_id, lang AS actual_lang,
        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
@@ -1924,11 +1999,59 @@ object PipelineQueries {
        |counted AS (
        |  SELECT doc_id, actual_lang,
        |    $counts
-       |  FROM toksets)
+       |  FROM toksets)""".stripMargin
+  }
+
+  /** The argmax-with-alphabetical-tie-break CASE over counted. */
+  private val langPredCaseSql: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val m = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
+    langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN c_$l = $m THEN '$l' ELSE $acc END"
+    }
+  }
+
+  private val langMarkerSql: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    s"""$langCountedCteSql
        |SELECT doc_id, actual_lang, ${langs.map(l => s"c_$l").mkString(", ")},
-       |  $pred AS pred_lang
+       |  $langPredCaseSql AS pred_lang
        |FROM counted ORDER BY doc_id""".stripMargin
   }
+
+  /** L108: κ replay — predicted labels from the shared CTE, the
+    * |labels|²-bounded confusion marginals, pe in HUGEINT, and the
+    * sign-split division matching the Spark side. */
+  private val labelAgreementSql: String =
+    s"""$langCountedCteSql,
+       |pred AS (
+       |  SELECT doc_id, actual_lang, $langPredCaseSql AS pred_lang
+       |  FROM counted),
+       |marg AS (
+       |  SELECT actual_lang AS la, pred_lang AS lb, COUNT(*) AS c
+       |  FROM pred GROUP BY 1, 2),
+       |nn AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+       |      AS agree
+       |  FROM marg),
+       |ca AS (SELECT la, CAST(SUM(c) AS BIGINT) AS ca FROM marg GROUP BY la),
+       |cb AS (SELECT lb, CAST(SUM(c) AS BIGINT) AS cb FROM marg GROUP BY lb),
+       |pe AS (
+       |  SELECT SUM(CAST(ca.ca AS HUGEINT) * cb.cb) AS pe_raw
+       |  FROM ca JOIN cb ON ca.la = cb.lb),
+       |st AS (
+       |  SELECT n AS n_items,
+       |    agree * 1000000 // n AS po_ppm,
+       |    CAST(COALESCE(pe_raw, 0) * 1000000
+       |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+       |  FROM nn, pe)
+       |SELECT n_items, po_ppm, pe_ppm,
+       |  CASE WHEN pe_ppm < 1000000 THEN
+       |    (CASE WHEN po_ppm >= pe_ppm THEN 1 ELSE -1 END)
+       |      * (ABS(po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm))
+       |  END AS kappa_micro
+       |FROM st""".stripMargin
 
   /** Shared sink-roundtrip oracle (computed from the PARQUET table —
     * the roundtrip queries read the JSONL/CSV exports, so a hash
@@ -3772,6 +3895,7 @@ object PipelineQueries {
         |ORDER BY r.query_id, r.rank""".stripMargin,
 
     "q_lang_id" -> langMarkerSql,
+    "q_label_agreement" -> labelAgreementSql,
 
     "q_text_quality" ->
       s"""WITH ${Shared.qualityStatsSql("doc_id")}
@@ -4198,6 +4322,59 @@ object PipelineQueries {
         |  FROM dims)
         |SELECT doc_id, width, height, out_w, out_h, out_w * out_h * 3 AS out_bytes
         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    // L12k: the REAL-decode replay — the planted PNG is a solid
+    // (id, 3id, 5id) mod 256 color at known dims, so the DECODED
+    // luminance statistics are pure integer functions of doc_id.
+    "q_multimodal_real_pixels" ->
+      ("""WITH lum AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 256) * 299 + ((doc_id * 3) % 256) * 587
+        |      + ((doc_id * 5) % 256) * 114) // 1000 AS lum
+        |  FROM documents)
+        |SELECT doc_id,
+        |""".stripMargin +
+        (0 until 8).map(i =>
+          s"  CAST(CASE WHEN lum * 8 // 256 = $i THEN 1 ELSE 0 END" +
+            s" AS DOUBLE) AS h$i,").mkString("\n") + """
+        |  CAST(lum AS DOUBLE) AS mean_byte
+        |FROM lum ORDER BY doc_id""".stripMargin),
+
+    // L12k: resize-then-re-decode replay — out dims follow the floor
+    // rule from the planted dims; the re-decoded mean luminance is
+    // the planted one (solid color ≡ its own box average, and PNG is
+    // lossless both directions).
+    "q_multimodal_resize_decoded" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 33 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 7) % 29 AS BIGINT) AS height,
+        |    ((doc_id % 256) * 299 + ((doc_id * 3) % 256) * 587
+        |      + ((doc_id * 5) % 256) * 114) // 1000 AS lum
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN GREATEST(width, height) <= 16 THEN width
+        |       ELSE CAST(FLOOR(width * 16 / GREATEST(width, height))
+        |         AS BIGINT) END AS out_w,
+        |  CASE WHEN GREATEST(width, height) <= 16 THEN height
+        |       ELSE CAST(FLOOR(height * 16 / GREATEST(width, height))
+        |         AS BIGINT) END AS out_h,
+        |  CAST(lum AS DOUBLE) AS mean_byte
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // L12k: the GIF frame grid — frame count 2 + id mod 5, stride 2,
+    // dims from the planted arithmetic.
+    "q_multimodal_frames_decoded" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 33 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 7) % 29 AS BIGINT) AS height,
+        |    2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, CAST(UNNEST(range(0, nf, 2)) AS BIGINT)
+        |    AS frame_idx,
+        |  width, height
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
 
     // L12h: the stub-fallback branch of sampleFramesReal — StubCodec
     // dims/frame-count arithmetic, stride-7 frame indices via a

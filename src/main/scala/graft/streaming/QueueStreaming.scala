@@ -412,7 +412,7 @@ object QueueStreaming {
         import graft.functions.{hashed_bow, tokenize_ws}
         import graft.operators.{Ann, Lexical, Retrieval}
         // both probes must see the same rows
-        val b = batch.toDF().localCheckpoint(true)
+        val b = batch.toDF().transform(graft.operators.Lineage.pin)
         val lex = Lexical.searchBm25Batch(b, idCol, textCol, lexTable, k)
         val dense = Ann.searchIvfIndex(b.sparkSession, ivfPath,
             b.select(col(idCol),
@@ -451,7 +451,7 @@ object QueueStreaming {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Curate
-        val b = batch.toDF().localCheckpoint(true)
+        val b = batch.toDF().transform(graft.operators.Lineage.pin)
         Curate.gopherFlags(b, idCol, textCol, stopWords = stopWords)
           .join(Curate.dsirApply(b, idCol, textCol, model, buckets),
             Seq("doc_id"), "left")
@@ -481,7 +481,7 @@ object QueueStreaming {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Decontaminate
-        val b = batch.toDF().localCheckpoint(true)
+        val b = batch.toDF().transform(graft.operators.Lineage.pin)
         val hits = Decontaminate.contaminated(b, eval, idCol, textCol,
             shingleN, minMatched)
           .select(col("id").as(idCol), col("n_matched"))
@@ -515,7 +515,7 @@ object QueueStreaming {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Dedup
-        val b = batch.toDF().localCheckpoint(true)
+        val b = batch.toDF().transform(graft.operators.Lineage.pin)
         val hits = Dedup.winnowedAgainst(b, idCol, textCol,
             eval, idCol, textCol, k, w, minShared, maxDf)
           .groupBy(col("id").as(idCol))
@@ -558,7 +558,7 @@ object QueueStreaming {
           .filter(size(tokenize_ws(col(textCol))) > 0)
           .select(col(idCol).as("id"),
             explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
         sh.groupBy("sh").agg(min(col("id")).as("owner"))
           .write.mode("overwrite").parquet(s"$ownerPath/batch=$batchId")
         val owners = spark.read.parquet(ownerPath)
@@ -601,7 +601,7 @@ object QueueStreaming {
         import graft.operators.Curate
         val spark = batch.sparkSession
         val bp = Curate.corpusProfile(batch.toDF(), idCol, textCol, buckets)
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
         // commit this batch's profile FIRST (idempotent per-partition
         // overwrite), then derive the history excluding it — a replay
         // that died between the two writes reconverges on rerun
@@ -655,7 +655,7 @@ object QueueStreaming {
           .filter(col("__b") <= batchId)
           .select("grp", "sid").distinct()
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-          .localCheckpoint(true) // referenced twice by the estimator
+          .transform(graft.operators.Lineage.pin) // referenced twice by the estimator
         Dedup.sketchResemblance(running, k)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -1072,7 +1072,7 @@ object QueueStreaming {
         val partial = batch.toDF()
           .groupBy(expr(s"$tsCol div ${dayNs}L").as("day_idx"))
           .agg(hll_sketch_agg(col(userCol)).as("sk"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
         partial.write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
         val daily = spark.read.parquet(sketchPath)
           .withColumn("__b",
@@ -1124,7 +1124,7 @@ object QueueStreaming {
     val merged = spark.read
       .parquet(stale.map(_._2.toString).toIndexedSeq: _*)
       .groupBy("day_idx").agg(hll_union_agg(col("sk")).as("sk"))
-      .localCheckpoint(true) // materialize BEFORE touching inputs
+      .transform(graft.operators.Lineage.pin) // materialize BEFORE touching inputs
     merged.write.mode("overwrite").parquet(s"$sketchPath/batch=$target")
     stale.tail.foreach { case (_, p) => fs.delete(p, true) }
     spark.catalog.refreshByPath(sketchPath)
@@ -1424,7 +1424,7 @@ object QueueStreaming {
         import graft.operators.Sketch
         val spark = batch.sparkSession
         val bh = Sketch.logHistogramBy(batch.toDF(), keyCol, valueCol)
-          .localCheckpoint(true)
+          .transform(graft.operators.Lineage.pin)
         bh.write.mode("overwrite").parquet(s"$sketchPath/batch=$batchId")
         val upTo = spark.read.parquet(sketchPath)
           .withColumn("__b",
@@ -1690,6 +1690,63 @@ object QueueStreaming {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** C13ai: streaming calibration monitor — the L107 reliability
+    * diagram maintained on live scored-and-labeled traffic, the
+    * calibration twin of [[aucMonitorStream]]: AUC drift says the
+    * RANKING degraded; calibration drift says the score VALUES
+    * stopped meaning what the gating threshold assumes — the failure
+    * a fixed gate-at-p≥0.9 pipeline hits first. The per-bin
+    * (count, positives, Σp) statistic is ADDITIVE
+    * ([[graft.operators.Curate.calibrationStats]]), so each trigger
+    * folds its delta into the snapshot chain (read-below-own-id,
+    * replay-safe) and [[calibrationFromStore]] renders the diagram /
+    * ECE off the ≤B-row state — never the event history. */
+  def calibrationMonitorStream(scored: DataFrame, scorePpmCol: String,
+                               labelCol: String, storePath: String,
+                               checkpoint: String, buckets: Int = 10,
+                               compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scored.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Curate.calibrationStats(batch.toDF(),
+          scorePpmCol, labelCol, buckets)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("bin", "n", "n_pos", "sp"))
+          }
+        val snap = prior match {
+          case Some(pr) => pr.unionByName(delta).groupBy("bin")
+            .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+              sum("sp").cast("decimal(38,0)").as("sp"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Reliability diagram off the latest calibration snapshot; feed
+    * to [[graft.operators.Curate.calibrationSummary]] for ECE. */
+  def calibrationFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String): DataFrame = {
+    val top = latestStoreBatch(spark, storePath)
+    graft.operators.Curate.calibrationFromStats(
+      spark.read.parquet(storePath)
+        .filter(col("batch").cast("long") === top)
+        .select("bin", "n", "n_pos", "sp"))
+  }
 
   /** Exact AUC off the latest score-count snapshot. */
   def aucFromStore(spark: org.apache.spark.sql.SparkSession,

@@ -130,9 +130,9 @@ object PipelineDemo {
     // keeps). Cut the lineage first: the probe references its input
     // several times, and each reference would otherwise re-execute
     // the whole upstream pipeline
-    val nearCut = afterNear.localCheckpoint(true)
+    val nearCut = afterNear.transform(graft.operators.Lineage.pin)
     val afterContain = Dedup.removeContained(nearCut, "doc_id", "text",
-      num = 9L, den = 10L, shingleN = 3).localCheckpoint(true)
+      num = 9L, den = 10L, shingleN = 3).transform(graft.operators.Lineage.pin)
     stage("containment removal", afterContain.count())
 
     // novelty floor: a doc owning <10% of its shingles is assembled

@@ -195,7 +195,17 @@ object ScaleProbe {
     // r13 session 5: two inventory explodes + one fp-keyed outer join
     "q_content_diff",
     // r13 session 5: same chain with block equality riding the join
-    "q_winnow_pairs_blocked")
+    "q_winnow_pairs_blocked",
+    // r14: plant→decode→process mapPartitions kernels, zero shuffles
+    // (the pinned resize chain decodes twice per row by design)
+    "q_multimodal_real_pixels", "q_multimodal_resize_decoded",
+    "q_multimodal_frames_decoded",
+    // r14 eval family: one ≤B-key groupBy off the margin chain
+    // (bins/ECE); item-keyed join + |labels|²-row marginals (κ);
+    // keyed two-level rank scan, widest task one 256-cell stratum
+    // slice (stratified split)
+    "q_reliability", "q_calibration_ece", "q_label_agreement",
+    "q_split_stratified")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

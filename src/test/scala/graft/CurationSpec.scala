@@ -1658,4 +1658,90 @@ class CurationSpec extends SparkSpec {
     }
     assert(grouped("c").isEmpty, "all-positive group must score null")
   }
+
+  test("calibration bins + ECE: planted exact values") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Curate
+    // bin 1 (p in [100000, 200000)): 4 rows at p=150000, 1 positive →
+    // obs 250000, pred 150000, gap 100000
+    // bin 9 (p=1000000 capped): 2 rows, 2 positive → obs 1e6, pred
+    // 1e6, gap 0
+    val rows = (Seq.fill(3)((150000L, false)) :+ ((150000L, true)) :+
+      ((1000000L, true)) :+ ((1000000L, true)))
+      .map { case (p, y) => (p, y) }.toDF("p", "y")
+    val bins = Curate.calibrationBins(rows, "p", "y", buckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Long]("obs_ppm"),
+          r.getAs[Long]("pred_ppm"), r.getAs[Long]("gap_ppm"))).toMap
+    assert(bins(1L) == ((4L, 1L, 250000L, 150000L, 100000L)))
+    assert(bins(9L) == ((2L, 2L, 1000000L, 1000000L, 0L)))
+    // ECE = (4·100000 + 2·0) / 6 = 66666
+    val ece = Curate.calibrationSummary(
+      Curate.calibrationBins(rows, "p", "y", buckets = 10)).head()
+    assert(ece.getLong(0) == 6L && ece.getLong(1) == 66666L)
+    // partition invariance
+    val ece5 = Curate.calibrationSummary(
+      Curate.calibrationBins(rows.repartition(5), "p", "y", 10)).head()
+    assert(ece5.getLong(1) == 66666L)
+  }
+
+  test("annotator agreement: Cohen 1960 textbook kappa") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Curate
+    // confusion: yes/yes 20, yes/no 5, no/yes 10, no/no 15 (n=50)
+    // po = 35/50 = 0.7; pA(yes)=25/50, pB(yes)=30/50;
+    // pe = 0.5·0.6 + 0.5·0.4 = 0.5; κ = (0.7−0.5)/(1−0.5) = 0.4
+    val cells = Seq(("yes", "yes", 20), ("yes", "no", 5),
+      ("no", "yes", 10), ("no", "no", 15))
+    val long = cells.flatMap { case (la, lb, n) =>
+      (0 until n).map(k => (s"$la-$lb-$k", la, lb))
+    }
+    val labels = long.flatMap { case (item, la, lb) =>
+      Seq((item, "declared", la), (item, "detected", lb))
+    }.toDF("item", "rater", "label")
+    val out = Curate.annotatorAgreement(labels, "item", "rater", "label",
+      "declared", "detected").head()
+    assert(out.getLong(0) == 50L)
+    assert(out.getAs[Long]("po_ppm") == 700000L)
+    assert(out.getAs[Long]("pe_ppm") == 500000L)
+    assert(out.getAs[Long]("kappa_micro") == 400000L)
+    // items missing one rater drop (pairwise-complete)
+    val extra = labels.unionByName(
+      Seq(("orphan", "declared", "yes")).toDF("item", "rater", "label"))
+    assert(Curate.annotatorAgreement(extra, "item", "rater", "label",
+      "declared", "detected").head().getLong(0) == 50L)
+    // degenerate single-label marginals → κ null
+    val degen = Seq(("i1", "declared", "x"), ("i1", "detected", "x"),
+      ("i2", "declared", "x"), ("i2", "detected", "x"))
+      .toDF("item", "rater", "label")
+    val d = Curate.annotatorAgreement(degen, "item", "rater", "label",
+      "declared", "detected").head()
+    assert(d.isNullAt(d.fieldIndex("kappa_micro")))
+  }
+
+  test("stratified split: exact per-stratum proportions, deterministic") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Curate
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 105).map(i => (i.toLong, "small"))).toDF("id", "lang")
+    val out = Curate.stratifiedSplit(docs, "id", "lang", 800, 100)
+      .collect()
+    val byStratum = out.groupBy(_.getString(1))
+    // big (100): exactly 80/10/10; small (5): 4 train, 0 val, 1 test
+    def counts(s: String) = byStratum(s).groupBy(_.getString(4))
+      .view.mapValues(_.length).toMap.withDefaultValue(0)
+    assert(counts("big") == Map("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(counts("small")("train") == 4 && counts("small")("val") == 0 &&
+      counts("small")("test") == 1)
+    // ranks are a permutation of 1..tot within each stratum
+    assert(byStratum("big").map(_.getLong(2)).sorted.toSeq ==
+      (1L to 100L).toSeq)
+    // deterministic + partition invariant
+    val again = Curate.stratifiedSplit(docs.repartition(7), "id", "lang",
+      800, 100).collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getString(4)))
+  }
 }

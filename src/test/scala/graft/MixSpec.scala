@@ -164,4 +164,42 @@ class MixSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     doms.foreach(d => assert(rep(d) == out(d)._1))
   }
+
+  test("graft.checkpoint.reliable routes round pins through checkpoint()") {
+    // an isolated child session: the knob is session-conf-scoped, so
+    // the shared suite session never sees it (suites run concurrently)
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = Seq(("a", 100000000L), ("b", 50000000L), ("c", 99000000L))
+      .toDF("domain", "loss")
+    s2.conf.set("graft.checkpoint.reliable", "true")
+    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+      // knob without a checkpoint dir must fail with guidance, not NPE
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Lineage.pin(df.groupBy("domain")
+          .agg(sum("loss").as("loss"))))
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    s2.sparkContext.setCheckpointDir(dir.toString)
+    // an iterative op (every round pins via Lineage.pin) both runs AND
+    // materializes reliable checkpoint files under the dir
+    val out = Mix.mixtureReweight(df, "domain", "loss", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    val wrote = java.nio.file.Files.walk(dir)
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(wrote > 0, "reliable checkpoint left no rdd-* dirs")
+    // same values as the localCheckpoint default (the knob changes
+    // fault tolerance, never results) — base runs on the PARENT
+    // session, where the knob is unset
+    val sp = spark; import sp.implicits.{localSeqToDatasetHolder => _, _}
+    val baseDf = sp.createDataFrame(
+      Seq(("a", 100000000L), ("b", 50000000L), ("c", 99000000L)))
+      .toDF("domain", "loss")
+    val base = Mix.mixtureReweight(baseDf, "domain", "loss", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(base == out)
+  }
 }

@@ -314,6 +314,48 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.forall(_.payload.sameElements(synthetic)))
   }
 
+  test("plantRealPngs drives the REAL decode branch with oracle-exact stats") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val sp = spark
+    import sp.implicits._
+    val ids = Seq(0L, 7L, 200L, 499L)
+    val docs = ids.toDF("doc_id")
+    val media = Multimodal.plantRealPngs(docs, "doc_id").collect()
+    media.foreach { m =>
+      val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+      val (w, h) = Multimodal.plantDims(m.doc_id)
+      assert(img != null, s"planted payload for ${m.doc_id} must be a real PNG")
+      assert(img.getWidth == w && img.getHeight == h)
+      val (r, g, b) = Multimodal.plantColor(m.doc_id)
+      assert((img.getRGB(0, 0) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+    }
+    // decoded stats equal the planted-color arithmetic — the REAL
+    // branch's answer; the byte-histogram fallback on a PNG byte
+    // stream could not produce a single-bin histogram
+    val feats = Multimodal.extractFeaturesReal(
+        Multimodal.plantRealPngs(docs, "doc_id"))
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val (r, g, b) = Multimodal.plantColor(id)
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      assert(feats(id).mean_byte == lum.toDouble)
+      assert(feats(id).histogram(lum * 8 / 256) == 1.0)
+    }
+    // GIF twin: frame count + dims survive the container round-trip
+    val gifs = Multimodal.plantRealGifs(Seq(14L, 23L, 21L).toDF("doc_id"),
+      "doc_id", every = 7)
+    val frames = Multimodal.sampleFramesReal(gifs, stride = 1)
+      .collect().groupBy(_.doc_id)
+    assert(!frames.contains(23L), "23 % 7 != 0 — must not plant")
+    Seq(14L, 21L).foreach { id =>
+      val (w, h) = Multimodal.plantDims(id)
+      val nf = (2 + id % 5).toInt
+      assert(frames(id).length == nf, s"gif $id frame count")
+      assert(frames(id).forall(f => f.width == w && f.height == h))
+    }
+  }
+
   test("feature extraction: deterministic byte histogram and mean") {
     val rows = Seq(MediaRow(9L, "abc".getBytes("UTF-8"))).toDS()
     val f: MediaFeatures = Multimodal.extractFeatures(rows).collect().head

@@ -572,6 +572,45 @@ class StreamingSpec extends SparkSpec {
     assert(state.count() == 4, "state must be one row per distinct score")
   }
 
+  test("streaming calibration monitor equals batch reliability after every trigger") {
+    import graft.operators.Curate
+    implicit val sq = spark.sqlContext
+    // scores spread over bins, with cross-batch contributions to the
+    // SAME bins (the fold must merge n/n_pos/Σp, not append rows)
+    val b1 = Seq((150000L, false), (150000L, true), (950000L, true),
+      (1000000L, true))
+    val b2 = Seq((180000L, false), (990000L, true), (1000000L, false))
+    val mem = MemoryStream[(Long, Boolean)]
+    val store = Files.createTempDirectory("cal_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("cal_ckpt").toString
+    val q = QueueStreaming.calibrationMonitorStream(
+      mem.toDF().toDF("p", "y"), "p", "y", store, ckpt)
+    def batchBins(rows: Seq[(Long, Boolean)]): Map[Long, Seq[Any]] =
+      Curate.calibrationBins(rows.toDF("p", "y"), "p", "y")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val s1 = QueueStreaming.calibrationFromStore(spark, store)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(s1 == batchBins(b1), "trigger-1 diagram diverged")
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val s2 = QueueStreaming.calibrationFromStore(spark, store)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(s2 == batchBins(b1 ++ b2), "folded diagram diverged from batch")
+    // ECE derives off the same store rows
+    val ece = Curate.calibrationSummary(
+      spark.read.parquet(s"$store/batch=1")
+        .select("bin", "n", "n_pos", "sp")
+        .transform(Curate.calibrationFromStats)).head()
+    val eceB = Curate.calibrationSummary(
+      Curate.calibrationBins((b1 ++ b2).toDF("p", "y"), "p", "y")).head()
+    assert(ece.getLong(1) == eceB.getLong(1), "streamed ECE diverged")
+    // state is bin-bounded, never event-bounded
+    assert(spark.read.parquet(s"$store/batch=1").count() <= 10)
+  }
+
   test("streaming mixture reweight folds stats exactly; weights match batch twin") {
     import graft.operators.Mix
     implicit val sq = spark.sqlContext
