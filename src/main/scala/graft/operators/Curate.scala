@@ -1194,6 +1194,39 @@ object Curate {
           .otherwise("test").as("split"))
   }
 
+  /** L110 (r14): structured-PII scan — the pattern-shaped complement
+    * of the entropy-shaped L101 secret scan and the L66 PAN/Luhn
+    * detector: emails, dotted-quad IPv4s, and E.164-style +phones,
+    * counted and redacted in three SEQUENTIAL stages (emails first,
+    * then IPs on the email-redacted text, then phones) so counts are
+    * consistent with the redacted output even when patterns nest (a
+    * +digits run inside an email local part is the email's, not a
+    * phone). All three passes are codegen'd builtin regex — the
+    * character classes are chosen to mean the same thing in Java
+    * regex and RE2, so the SQL twin replays verbatim. Map-side, zero
+    * shuffles. Returns (doc_id, n_email, n_ip, n_phone, redacted). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe: String = "\\+[0-9]{7,15}"
+
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t0"))
+      .withColumn("n_email",
+        size(regexp_extract_all(col("__t0"), lit(EmailRe), lit(0)))
+          .cast("long"))
+      .withColumn("__t1", regexp_replace(col("__t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(col("__t1"), lit(Ipv4Re), lit(0)))
+          .cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0)))
+          .cast("long"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("redacted"))
+
   /** L102: readability scoring — Flesch–Kincaid grade and Flesch
     * reading ease in exact integer milli-units. Syllables use the
     * vowel-run heuristic: runs of [aeiouy] per lowercased token

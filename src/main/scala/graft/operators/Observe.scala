@@ -403,4 +403,43 @@ object Observe {
       .groupBy(grainCol.as("grain") +: keyCols.map(col): _*)
       .agg(sum("cnt").as("n_rows"), sum("sum").as("sum_val"),
         min("mn").as("min_val"), max("mx").as("max_val"))
+
+  /** R53 (r14): grouped EXACT median + MAD (median absolute
+    * deviation) — the robust center/spread pair that a mean/stddev
+    * profile (R45) misreports on heavy-tailed pipeline metrics (doc
+    * lengths, prices, latencies), and the basis of the standard
+    * "|x − median| > k·MAD" robust outlier rule (Hampel). Exact and
+    * integer-only, so it hash-oracles: per (group, value) counts,
+    * rank via TWO [[PrefixSum.keyed]] passes (value pass, then
+    * |v − median| deviation pass) — the widest window task anywhere
+    * is one 64-cell slice of one group, never a per-group global
+    * sort. Even group sizes take the LOWER median (rank ⌊(n+1)/2⌋ —
+    * keeps the statistic a corpus value and avoids the .5 average;
+    * documented, and the SQL twin replays the same rank). Returns
+    * (grp, n, median, mad). */
+  def groupedMedianMad(df: DataFrame, grpCol: String,
+                       valCol: String): DataFrame = {
+    def lowerMedian(values: DataFrame, out: String): DataFrame = {
+      // values: (grp, v); exact k-th order statistic from the
+      // count-table rank: the row where cum first reaches k
+      val g = values.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
+      val cells = g.join(bounds, "grp")
+        .withColumn("cell",
+          expr("cast(cast(v - mn as decimal(38,0)) * 64 div (mx - mn + 1) as bigint)"))
+        .drop("mn", "mx")
+      PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),
+          "cum", "tot")
+        .withColumn("k", expr("(tot + 1) div 2"))
+        .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+        .select(col("grp"), col("tot").as("n"), col("v").as(out))
+    }
+    val vals = df.select(col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val med = lowerMedian(vals, "median")
+    val dev = vals.join(med.select("grp", "median"), "grp")
+      .select(col("grp"), abs(col("v") - col("median")).as("v"))
+    val mad = lowerMedian(dev, "mad").select("grp", "mad")
+    med.join(mad, "grp").select("grp", "n", "median", "mad")
+  }
 }

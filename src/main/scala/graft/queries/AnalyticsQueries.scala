@@ -392,6 +392,21 @@ object AnalyticsQueries {
         .orderBy("change_type", "o_orderkey")
     },
 
+    // R53 (r14): grouped EXACT median + MAD — robust center/spread
+    // per order priority over cents-quantized totalprice (the
+    // R45 profiler's mean/stddev misreport heavy tails; MAD anchors
+    // the Hampel outlier rule). Two keyed two-level rank scans, no
+    // per-group global sort; LOWER median on even groups (the SQL
+    // twin replays the same rank).
+    "q_median_mad" -> { (s, dir) =>
+      graft.operators.Observe.groupedMedianMad(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            expr("cast(floor(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderpriority", "cents")
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority")
+    },
+
     // R31: data-quality audit (expectations) — one summary row of
     // constraint counters: volume, distribution flags, referential
     // orphans, key-uniqueness violations. Each counter is an
@@ -1539,6 +1554,37 @@ object AnalyticsQueries {
         |WHERE key_a IS NULL OR key_b IS NULL
         |   OR price_a <> price_b OR status_a <> status_b
         |ORDER BY change_type, o_orderkey""".stripMargin,
+
+    // R53: the median/MAD replay — ROW_NUMBER rank ⌊(n+1)/2⌋ per
+    // group on the value pass, then again on the deviation pass.
+    "q_median_mad" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS tot
+        |  FROM v),
+        |med AS (
+        |  SELECT grp, CAST(MAX(tot) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rk = (tot + 1) // 2 THEN v END) AS median
+        |  FROM r GROUP BY grp),
+        |d AS (
+        |  SELECT v.grp, ABS(v.v - m.median) AS v
+        |  FROM v JOIN med m ON v.grp = m.grp),
+        |r2 AS (
+        |  SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS tot
+        |  FROM d),
+        |mad AS (
+        |  SELECT grp, MAX(CASE WHEN rk = (tot + 1) // 2 THEN v END) AS mad
+        |  FROM r2 GROUP BY grp)
+        |SELECT med.grp AS o_orderpriority, med.n, med.median, mad.mad
+        |FROM med JOIN mad ON med.grp = mad.grp
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_data_audit" ->
       """SELECT

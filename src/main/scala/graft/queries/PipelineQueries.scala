@@ -1335,6 +1335,33 @@ object PipelineQueries {
         .orderBy("order_key", "masked")
     },
 
+    // L110 (r14): structured-PII scan — email/IPv4/+phone counted and
+    // redacted in sequential stages over synthesized contact lines
+    // (planted from order keys, like the L101/L66 hygiene family);
+    // every fourth line carries a +phone, every line an email and an
+    // IP, so all three patterns and the nesting rule are exercised.
+    "q_pii_scan" -> { (s, dir) =>
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").as("order_key"),
+        concat(
+          lit("contact user"), col("o_custkey").cast("string"),
+          lit("@example."),
+          element_at(array(lit("com"), lit("org"), lit("net")),
+            (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")),
+          lit(" from 10."), pmod(col("o_orderkey"), lit(256)).cast("string"),
+          lit("."), pmod(col("o_custkey"), lit(256)).cast("string"),
+          lit("."), pmod(col("o_orderkey"), lit(100)).cast("string"),
+          when(pmod(col("o_orderkey"), lit(4)) === 0,
+            concat(lit(" call +"),
+              (pmod(col("o_orderkey"), lit(900000000L)) + 100000000L)
+                .cast("string"))).otherwise(lit("")),
+          lit(" amount "), pmod(col("o_orderkey"), lit(997)).cast("string"),
+          lit(" ok")).as("ptext"))
+      graft.operators.Curate.piiScan(src, "order_key", "ptext")
+        .withColumnRenamed("doc_id", "order_key")
+        .orderBy("order_key")
+    },
+
     // L14: bigram-LM scoring ("perplexity-ish"): score each document by
     // the mean conditional probability p(cur|prev) of its bigrams under
     // a model trained on the corpus itself. Rare/garbled word sequences
@@ -3896,6 +3923,49 @@ object PipelineQueries {
 
     "q_lang_id" -> langMarkerSql,
     "q_label_agreement" -> labelAgreementSql,
+
+    // L110: the PII replay — same synthesis, same three regexes in
+    // the same sequential count-then-redact order (RE2 reads the
+    // classes identically to Java regex).
+    "q_pii_scan" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS order_key,
+        |    'contact user' || CAST(o_custkey AS VARCHAR) || '@example.' ||
+        |    CASE o_orderkey % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         ELSE 'net' END ||
+        |    ' from 10.' || CAST(o_orderkey % 256 AS VARCHAR) || '.' ||
+        |    CAST(o_custkey % 256 AS VARCHAR) || '.' ||
+        |    CAST(o_orderkey % 100 AS VARCHAR) ||
+        |    CASE WHEN o_orderkey % 4 = 0
+        |         THEN ' call +' ||
+        |           CAST(o_orderkey % 900000000 + 100000000 AS VARCHAR)
+        |         ELSE '' END ||
+        |    ' amount ' || CAST(o_orderkey % 997 AS VARCHAR) || ' ok'
+        |      AS ptext
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT order_key,
+        |    CAST(len(regexp_extract_all(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    regexp_replace(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (
+        |  SELECT order_key, n_email,
+        |    CAST(len(regexp_extract_all(t1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |      AS BIGINT) AS n_ip,
+        |    regexp_replace(t1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT order_key, n_email, n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\+[0-9]{7,15}')) AS BIGINT)
+        |    AS n_phone,
+        |  regexp_replace(t2, '\+[0-9]{7,15}', '<PHONE>', 'g') AS redacted
+        |FROM s2 ORDER BY order_key""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH ${Shared.qualityStatsSql("doc_id")}

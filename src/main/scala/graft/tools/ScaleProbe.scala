@@ -205,7 +205,10 @@ object ScaleProbe {
     // keyed two-level rank scan, widest task one 256-cell stratum
     // slice (stratified split)
     "q_reliability", "q_calibration_ece", "q_label_agreement",
-    "q_split_stratified")
+    "q_split_stratified",
+    // r14: three map-side regex passes (PII); two keyed rank scans,
+    // widest task one 64-cell group slice (median/MAD)
+    "q_pii_scan", "q_median_mad")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

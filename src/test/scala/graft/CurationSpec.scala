@@ -1721,6 +1721,27 @@ class CurationSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("kappa_micro")))
   }
 
+  test("pii scan: sequential count-then-redact, nesting resolved to the outer pattern") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Curate
+    val rows = Seq(
+      // a +digits run inside the email local part is the EMAIL's:
+      // the phone count must be 0 after the email redacts
+      (1L, "mail a+4915551234567@x.de now"),
+      (2L, "host 10.1.2.3 and 192.168.0.254 up"),
+      (3L, "call +4930123456 or mail bob@example.org from 8.8.8.8"),
+      (4L, "nothing sensitive 12345 here")).toDF("id", "t")
+    val out = Curate.piiScan(rows, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, 0L, "host <IP> and <IP> up")))
+    assert(out(3L) ==
+      ((1L, 1L, 1L, "call <PHONE> or mail <EMAIL> from <IP>")))
+    assert(out(4L) == ((0L, 0L, 0L, "nothing sensitive 12345 here")))
+  }
+
   test("stratified split: exact per-stratum proportions, deterministic") {
     val sp = spark
     import sp.implicits._

@@ -291,4 +291,32 @@ class ObserveSpec extends SparkSpec {
     assert(got(("2025", "b")) == ((2L, 10L, 1L, 9L)))
     assert(got.size == 4)
   }
+
+  test("grouped median + MAD: exact lower-median semantics") {
+    val sp = spark
+    import sp.implicits._
+    // odd group: median of (1,3,9) = 3; deviations (2,0,6) -> MAD 2
+    // even group: (10,20,30,40) lower median = 20; devs (10,0,10,20)
+    //   -> lower median of sorted (0,10,10,20) at rank 2 = 10
+    // constant group: median 7, MAD 0
+    val rows = Seq(("odd", 1L), ("odd", 3L), ("odd", 9L),
+      ("even", 10L), ("even", 20L), ("even", 30L), ("even", 40L),
+      ("const", 7L), ("const", 7L)).toDF("g", "v")
+    val out = Observe.groupedMedianMad(rows, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("odd") == ((3L, 3L, 2L)))
+    assert(out("even") == ((4L, 20L, 10L)))
+    assert(out("const") == ((2L, 7L, 0L)))
+    // duplicate values across the median boundary: (5,5,5,8,9) ->
+    // median 5 (rank 3 inside the 5-run), devs (0,0,0,3,4) -> MAD 0
+    val dup = Seq.fill(3)(("d", 5L)).concat(Seq(("d", 8L), ("d", 9L)))
+      .toDF("g", "v")
+    val od = Observe.groupedMedianMad(dup, "g", "v").head()
+    assert(od.getLong(2) == 5L && od.getLong(3) == 0L)
+    // partition invariance
+    val rep = Observe.groupedMedianMad(rows.repartition(5), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep == out.view.mapValues(_._2).toMap)
+  }
 }
