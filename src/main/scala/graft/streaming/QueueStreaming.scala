@@ -1748,6 +1748,71 @@ object QueueStreaming {
         .select("bin", "n", "n_pos", "sp"))
   }
 
+  /** C13aj: streaming PII-rate monitor — the L110 scan on live
+    * ingest, folded per SOURCE: a feed that starts leaking emails/
+    * IPs/phones (an upstream scraper change, a new partner dump) is
+    * an ops event long before any batch re-scan would notice. The
+    * per-source statistic (n_docs, n_email, n_ip, n_phone) is
+    * ADDITIVE, so each trigger folds its delta into the snapshot
+    * chain (read-below-own-id, replay-safe); [[piiRatesFromStore]]
+    * renders per-mille rates off the source-bounded state, never the
+    * doc history. Redaction itself stays a per-row map on the main
+    * pipeline — this is the monitoring sidecar. */
+  def piiMonitorStream(docs: DataFrame, sourceCol: String,
+                       textCol: String, storePath: String,
+                       checkpoint: String, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+          .withColumn("__src", col(sourceCol))
+          .withColumn("__id", monotonically_increasing_id())
+        val delta = graft.operators.Curate.piiScan(b, "__id", textCol)
+          .join(b.select(col("__id").as("doc_id"), col("__src")), "doc_id")
+          .groupBy(col("__src").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_email").as("n_email"), sum("n_ip").as("n_ip"),
+            sum("n_phone").as("n_phone"))
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("source", "n_docs", "n_email", "n_ip", "n_phone"))
+          }
+        val snap = prior match {
+          case Some(pr) => pr.unionByName(delta).groupBy("source")
+            .agg(sum("n_docs").as("n_docs"), sum("n_email").as("n_email"),
+              sum("n_ip").as("n_ip"), sum("n_phone").as("n_phone"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Per-source PII rates (per-mille of docs) off the latest
+    * snapshot. */
+  def piiRatesFromStore(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): DataFrame = {
+    val top = latestStoreBatch(spark, storePath)
+    spark.read.parquet(storePath)
+      .filter(col("batch").cast("long") === top)
+      .select(col("source"), col("n_docs"), col("n_email"), col("n_ip"),
+        col("n_phone"),
+        expr("n_email * 1000 div n_docs").as("email_pm"),
+        expr("n_ip * 1000 div n_docs").as("ip_pm"),
+        expr("n_phone * 1000 div n_docs").as("phone_pm"))
+  }
+
   /** Exact AUC off the latest score-count snapshot. */
   def aucFromStore(spark: org.apache.spark.sql.SparkSession,
                    storePath: String): DataFrame = {

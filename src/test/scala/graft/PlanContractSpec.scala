@@ -409,4 +409,28 @@ class PlanContractSpec extends SparkSpec {
         s"$q must not plan a cartesian:\n$p")
     }
   }
+
+  test("q_pii_scan is a pure map: no joins, at most the output-sort exchange") {
+    val p = plan("q_pii_scan")
+    assert(!p.contains("Join"), s"pii scan must not join:\n$p")
+    assert(exchanges(p) <= 1,
+      s"three regex stages must stay map-side:\n$p")
+  }
+
+  test("r14 rank-scan plans: no unpartitioned windows, no cartesians") {
+    // median/MAD and the stratified split rank via the keyed two-level
+    // scan; a planner regression to one global WindowExec would
+    // serialize the biggest group/stratum onto one task
+    Seq("q_median_mad", "q_split_stratified", "q_reliability",
+        "q_calibration_ece", "q_label_agreement").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian (1-row stat riders broadcast):\n$p")
+      // the keyed scans partition every window by (group, bucket); an
+      // unpartitioned WindowExec (the serialize-the-stratum failure)
+      // renders as an empty windowspecdefinition partition list
+      assert(!p.contains("windowspecdefinition()"),
+        s"$q must not run an unpartitioned window:\n$p")
+    }
+  }
 }

@@ -611,6 +611,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/batch=1").count() <= 10)
   }
 
+  test("streaming PII monitor folds per-source counts exactly") {
+    import graft.operators.Curate
+    implicit val sq = spark.sqlContext
+    val b1 = Seq(("a", "mail x@y.de now"), ("a", "clean text"),
+      ("b", "host 10.1.2.3 up"))
+    val b2 = Seq(("a", "call +4930123456"), ("b", "from 8.8.8.8 and 9.9.9.9"),
+      ("b", "mail z@w.org"))
+    val mem = MemoryStream[(String, String)]
+    val store = Files.createTempDirectory("pii_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("pii_ckpt").toString
+    val q = QueueStreaming.piiMonitorStream(
+      mem.toDF().toDF("source", "text"), "source", "text", store, ckpt)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = QueueStreaming.piiRatesFromStore(spark, store)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // batch twin over the union
+    val all = (b1 ++ b2).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }.toDF("id", "source", "text")
+    val batch = Curate.piiScan(all, "id", "text")
+      .join(all.select(col("id").as("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_email").as("e"),
+        sum("n_ip").as("i"), sum("n_phone").as("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == batch, s"streamed $got diverged from batch $batch")
+    // rates render off the folded state
+    val rates = QueueStreaming.piiRatesFromStore(spark, store)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("email_pm")).toMap
+    assert(rates("a") == 333L, s"a: 1 email / 3 docs -> 333 pm, got $rates")
+  }
+
   test("streaming mixture reweight folds stats exactly; weights match batch twin") {
     import graft.operators.Mix
     implicit val sq = spark.sqlContext
