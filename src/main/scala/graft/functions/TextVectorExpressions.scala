@@ -422,6 +422,157 @@ object Kernels {
       nTok, nSec, nMasked, UTF8String.fromString(sb.toString))
   }
 
+  /** L110: fused structured-PII scan — the three sequential
+    * regex stages of [[graft.operators.Curate]]'s PII contract
+    * (emails, then IPv4s on the email-redacted text, then +phones)
+    * in three LINEAR hand scans instead of six backtracking regex
+    * passes (measured 5.3 s → the kernel's single job at bench SF).
+    * Each matcher replicates the leftmost non-overlapping semantics
+    * of its pattern exactly (proofs inline at the skip points):
+    * email `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`,
+    * IPv4 `\b\d{1,3}(\.\d{1,3}){3}\b`, phone `\+[0-9]{7,15}`.
+    * A kernel≡regex parity spec (CurationSpec) pins the equivalence
+    * on planted pathological inputs and a corpus sample. Returns
+    * (n_email, n_ip, n_phone, redacted). */
+  @inline private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  @inline private def isAlnum(c: Char): Boolean = isAlpha(c) || isDigit(c)
+  @inline private def isLocalC(c: Char): Boolean =
+    isAlnum(c) || c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  @inline private def isHostC(c: Char): Boolean =
+    isAlnum(c) || c == '.' || c == '-'
+  @inline private def isWordC(c: Char): Boolean = isAlnum(c) || c == '_'
+
+  private[functions] def piiEmailPass(s: String): (String, Long) = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var n = 0L; var i = 0; val L = s.length
+    while (i < L) {
+      if (isLocalC(s.charAt(i))) {
+        var j = i
+        while (j < L && isLocalC(s.charAt(j))) j += 1
+        // '@' is not in the local class, so the greedy local part
+        // never backtracks: a match starting anywhere in [i, j)
+        // exists iff the run ends exactly at an '@' — one check
+        // covers every start in the run (the skip's exactness)
+        if (j < L && s.charAt(j) == '@') {
+          val hs = j + 1
+          var he = hs
+          while (he < L && isHostC(s.charAt(he))) he += 1
+          // greedy-host backtracking picks the LAST dot (index > hs,
+          // so >=1 host char precedes) followed by >=2 alphas; the
+          // {2,} tail then extends greedily along the alpha run
+          var d = -1
+          var k = he - 1
+          while (k > hs && d < 0) {
+            if (s.charAt(k) == '.' && k + 2 < L &&
+                isAlpha(s.charAt(k + 1)) && isAlpha(s.charAt(k + 2)))
+              d = k
+            k -= 1
+          }
+          if (d >= 0) {
+            var e = d + 1
+            while (e < L && isAlpha(s.charAt(e))) e += 1
+            sb.append("<EMAIL>")
+            n += 1
+            i = e
+          } else {
+            // host failed for every start inside the run (same '@',
+            // same host run) — copy through the '@' and rescan from
+            // the host region (its chars are not all local-class)
+            sb.append(s, i, j + 1)
+            i = j + 1
+          }
+        } else {
+          sb.append(s, i, j)
+          i = j
+        }
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    (sb.toString, n)
+  }
+
+  private[functions] def piiIpPass(s: String): (String, Long) = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var n = 0L; var i = 0; val L = s.length
+    while (i < L) {
+      val c = s.charAt(i)
+      if (isDigit(c) && (i == 0 || !isWordC(s.charAt(i - 1)))) {
+        // attempt: 4 maximal digit runs of length 1-3 joined by '.',
+        // then a right word-boundary. '.' never sits inside a digit
+        // run, so octet backtracking can never succeed when the full
+        // run fails — taking the whole run is exact
+        var ok = true; var p = i; var oct = 0
+        while (ok && oct < 4) {
+          var q = p
+          while (q < L && isDigit(s.charAt(q))) q += 1
+          if (q - p < 1 || q - p > 3) ok = false
+          else {
+            p = q
+            if (oct < 3) {
+              if (p < L && s.charAt(p) == '.') p += 1 else ok = false
+            }
+          }
+          oct += 1
+        }
+        if (ok && (p >= L || !isWordC(s.charAt(p)))) {
+          sb.append("<IP>")
+          n += 1
+          i = p
+        } else {
+          // starts inside the first digit run all fail \b — skip it
+          var q = i
+          while (q < L && isDigit(s.charAt(q))) q += 1
+          sb.append(s, i, q)
+          i = q
+        }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    (sb.toString, n)
+  }
+
+  private[functions] def piiPhonePass(s: String): (String, Long) = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var n = 0L; var i = 0; val L = s.length
+    while (i < L) {
+      val c = s.charAt(i)
+      if (c == '+') {
+        var q = i + 1
+        while (q < L && isDigit(s.charAt(q))) q += 1
+        val run = q - (i + 1)
+        if (run >= 7) {
+          // no boundary in the pattern: greedy {7,15} takes
+          // min(run, 15) digits and the match simply ends there
+          val take = math.min(run, 15)
+          sb.append("<PHONE>")
+          n += 1
+          i = i + 1 + take
+        } else {
+          sb.append(c)
+          i += 1
+        }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    (sb.toString, n)
+  }
+
+  def piiScan(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (t1, nEmail) = piiEmailPass(text.toString)
+    val (t2, nIp) = piiIpPass(t1)
+    val (t3, nPhone) = piiPhonePass(t2)
+    org.apache.spark.sql.catalyst.InternalRow(
+      nEmail, nIp, nPhone, UTF8String.fromString(t3))
+  }
+
   /** L99: winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD '03 — the MOSS local fingerprinting scheme). One pass:
     * (1) polynomial rolling hash of every character k-gram over
@@ -1918,6 +2069,31 @@ case class SecretScan(child: Expression, minLen: Int, maxSimpsonPpm: Long)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Kernels.secretScan($c, $minLen, ${maxSimpsonPpm}L)")
   override protected def withNewChildInternal(c: Expression): SecretScan =
+    copy(child = c)
+}
+
+/** Fused three-stage structured-PII scan — see [[Kernels.piiScan]]. */
+case class PiiScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_email", LongType, nullable = false),
+    StructField("n_ip", LongType, nullable = false),
+    StructField("n_phone", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def prettyName: String = "pii_scan"
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.catalogString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Kernels.piiScan(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.piiScan($c)")
+  override protected def withNewChildInternal(c: Expression): PiiScan =
     copy(child = c)
 }
 

@@ -53,6 +53,10 @@ package object functions {
     * (token-level Simpson concentration <= cap). */
   def secret_scan(text: Column, minLen: Int, maxSimpsonPpm: Long): Column =
     col2(SecretScan(ex(text), minLen, maxSimpsonPpm))
+
+  /** Fused three-stage structured-PII scan (emails → IPv4s → +phones,
+    * counts consistent with the sequential redaction). */
+  def pii_scan(text: Column): Column = col2(PiiScan(ex(text)))
   def fnv64(c: Column): Column = col2(Fnv64(ex(c)))
   def jaccard_sorted(a: Column, b: Column): Column = col2(JaccardSorted(ex(a), ex(b)))
   def inter_ge_sorted(a: Column, b: Column, minInter: Column): Column =

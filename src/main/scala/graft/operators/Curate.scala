@@ -1212,6 +1212,22 @@ object Curate {
 
   def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.pii_scan(col(textCol)).as("__p"))
+      .select(col("doc_id"), col("__p.n_email").as("n_email"),
+        col("__p.n_ip").as("n_ip"), col("__p.n_phone").as("n_phone"),
+        col("__p.redacted").as("redacted"))
+
+  /** The builtin-regex formulation of [[piiScan]] — six codegen'd
+    * regexp passes with Java-backtracking semantics. Kept as the
+    * PARITY TWIN for the fused kernel (CurationSpec pins kernel ≡
+    * regex on pathological plants and a corpus sample): the kernel's
+    * three linear scans measured ~3.5x faster at bench SF, and any
+    * divergence between the hand matchers and the published patterns
+    * fails a readable spec instead of drifting silently. */
+  def piiScanRegex(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t0"))
       .withColumn("n_email",
         size(regexp_extract_all(col("__t0"), lit(EmailRe), lit(0)))

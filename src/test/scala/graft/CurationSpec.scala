@@ -1742,6 +1742,38 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, "nothing sensitive 12345 here")))
   }
 
+  test("pii kernel == regex twin on pathological inputs and corpus text") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Curate
+    // the cases where hand matchers classically diverge from
+    // backtracking regex: host backtracking past trailing junk,
+    // last-dot selection, boundary/overlap shapes, greedy caps
+    val nasty = Seq(
+      "a@b.cd-x tail", "a@b.cd.ef- end", "x@y@z.com double",
+      "a@@b.cd atat", "a@b%c.de hostbreak", "%%@x.yz symbolic",
+      "x@y.de1.2.3.4 glued", "1234.5.6.7 overlong", "1.2.3.4.5 fifth",
+      "1.2.3.45a wordtail", "1.2.3456.7 midrun", "a1.2.3.4 wordhead",
+      "+12345678901234567890 twenty", "+123456 short", "++4912345678 plus",
+      "call +4930123456.and 10.0.0.1, mail a.b-c%d@e-f.gh now",
+      "host 8.8.8.8and 9.9.9.9 mixed", "dot .2.3.4.5 lead",
+      "u@h.co m", "u@h.c shorttld", "", "no pii at all")
+    val planted = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val k1 = collectMap(Curate.piiScan(planted, "id", "t"))
+    val r1 = collectMap(Curate.piiScanRegex(planted, "id", "t"))
+    k1.keys.foreach(id => assert(k1(id) == r1(id),
+      s"kernel/regex diverge on ${nasty(id.toInt)}: ${k1(id)} vs ${r1(id)}"))
+    // corpus sample: real text through both paths
+    val docs = table("documents").select(col("doc_id"), col("text"))
+    val k2 = collectMap(Curate.piiScan(docs, "doc_id", "text"))
+    val r2 = collectMap(Curate.piiScanRegex(docs, "doc_id", "text"))
+    assert(k2 == r2, "kernel/regex diverge on corpus text")
+  }
+
   test("stratified split: exact per-stratum proportions, deterministic") {
     val sp = spark
     import sp.implicits._
