@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Locale-pinned JSON number: the default-locale `f` interpolator
+    * writes comma decimals on comma-decimal locales, which corrupts
+    * every machine-parsed artifact this main emits (r14 ADVICE via
+    * QueueBench — same pattern here). */
+  private def num(v: Double, digits: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f",
+      java.lang.Double.valueOf(v))
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,7 +116,7 @@ object Bench {
     // r1-r5). So the stdout line carries the slowest queries only, as
     // many as fit a hard character budget; the full per-query map goes to
     // a sidecar file + stderr where size doesn't matter.
-    val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + num(v) }
     // sidecar write must never abort the run: the stdout metric line below
     // is the primary artifact and has to print even if the cwd is read-only.
     // Skipped for SPARK_GRAFT_ONLY subset runs — a local iteration must not
@@ -122,7 +129,7 @@ object Bench {
         // third-sample audit trail: {"name":{"min2":x,"min3":y}} —
         // overwritten every full run (an empty run clears stale data)
         val retJson = retried.map { case (n, m2, m3) =>
-          f""""$n":{"min2":$m2%.3f,"min3":$m3%.3f}"""
+          s""""$n":{"min2":${num(m2)},"min3":${num(m3)}}"""
         }.mkString("{", ",", "}")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_retries.json"),
@@ -133,7 +140,7 @@ object Bench {
     // cap it so a mass-failure round can't push the JSON head out of the
     // driver's ~2000-char stdout-tail window
     val budget = 1500 - failedJson.length // chars for the queries map; total line stays < 1.7 kB
-    val bySlowest = ok.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val bySlowest = ok.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + num(v) }
     // strict take-while: stop at the first entry that doesn't fit, so the
     // kept set is exactly the slowest prefix and "omitted_fastest" is honest
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -144,7 +151,7 @@ object Bench {
     }
     val omitted = ok.size - kept.size
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","prime_sec":$primeSec%.2f,"n_queries":${ok.size},"omitted_fastest":$omitted,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","prime_sec":${num(primeSec, 2)},"n_queries":${ok.size},"omitted_fastest":$omitted,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

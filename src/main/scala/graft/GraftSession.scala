@@ -15,6 +15,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reliable-checkpoint retention (r14 ADVICE): with
+      // graft.checkpoint.reliable=true every iterative round pin
+      // (PageRank/LPA/Lloyd/MW) writes a reliable checkpoint; the
+      // ContextCleaner only deletes those files when this flag is on,
+      // so long iterative jobs would otherwise accumulate unbounded
+      // checkpoint-dir storage. localCheckpoint blocks (the default
+      // mode) are reclaimed either way. Must be set before the
+      // context starts — it is read at ContextCleaner construction.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // event time: the canonical in-engine `ts` is Long nanos; the
       // shared loader (queries.RelationalQueries.t) normalizes whatever
       // parquet timestamp unit the testdata carries. No legacy configs —

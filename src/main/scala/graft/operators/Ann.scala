@@ -856,7 +856,9 @@ object Ann {
     try {
       // seed: each group's nClusters lowest-id sampled vectors.
       // superseded rounds' checkpoint blocks are reclaimed by the
-      // ContextCleaner when the driver reference drops (weak-ref GC)
+      // ContextCleaner when the driver reference drops (weak-ref GC);
+      // reliable-mode checkpoint FILES need cleanCheckpoints=true
+      // (GraftSession sets it)
       val wSeed = Window.partitionBy("grp").orderBy("nn_id")
       var cents = train.withColumn("rn", row_number().over(wSeed) - 1)
         .filter(col("rn") < nClusters)

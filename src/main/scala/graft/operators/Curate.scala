@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Pin a B-row bucket table without funneling a wide profile into a
+    * single task: at the default B ≤ 1024 the table collapses to one
+    * block (cheapest to cache and re-read), wider profiles keep
+    * ~1024 rows per task — a 100×-wider bucket schema degrades to
+    * more small tasks instead of serializing one (r14 verdict item:
+    * the old unconditional `coalesce(1)` was a hidden width ceiling).
+    * Package-visible so the spec can plan-assert the partition scaling
+    * directly. */
+  private[graft] def pinBuckets(df: DataFrame, buckets: Int): DataFrame =
+    df.coalesce(math.max(1, buckets / 1024))
+      .transform(graft.operators.Lineage.pin)
+
   /** L33c: UniMax water-filling budget allocation (Chung et al. 2023)
     * over a per-group token-size table `(groupCol, t_tok)`. Each group
     * is capped at `maxEpochs` passes over its own tokens; the budget
@@ -263,10 +275,9 @@ object Curate {
     // deriving them from cnt instead of feats costs a B-row re-read —
     // the unpinned form ran the corpus feature explode TWICE (counts
     // pass + totals pass)
-    val cnt = feats.groupBy("f").agg(
+    val cnt = pinBuckets(feats.groupBy("f").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
-      .coalesce(1).transform(graft.operators.Lineage.pin)
+        count(lit(1)).as("cr")), buckets)
     // totals land driver-side: two scalars become plan literals (no
     // 1-row cross join in every downstream plan), and an importance
     // model with an EMPTY target can fail loudly instead of silently
@@ -455,17 +466,21 @@ object Curate {
     * broadcast-size job regardless of corpus size — and profiles
     * merge by addition, so drift-over-time needs one stored B-row
     * frame per epoch, never a corpus re-read. */
-  def profileDrift(a0: DataFrame, b0: DataFrame): DataFrame = {
+  def profileDrift(a0: DataFrame, b0: DataFrame,
+                   widthHint: Int = 1024): DataFrame = {
     // Pin the B-row profiles ONCE: the totals .head() and the
     // full-outer join below would otherwise each re-execute the
     // profile lineage — a full corpus pass per re-execution when the
     // caller hands a fresh corpusProfile (r12's q_corpus_drift ran 8
-    // corpus passes for 4 profiles). coalesce(1) first: B ≤ ~1024
-    // rows don't need 32 cached blocks. (Cluster note: localCheckpoint
-    // blocks die with their executor — see SURVEY §4 iterative-ops
-    // caveat; for B-row frames a recompute-on-loss is a non-event.)
-    val a = a0.coalesce(1).transform(graft.operators.Lineage.pin)
-    val b = b0.coalesce(1).transform(graft.operators.Lineage.pin)
+    // corpus passes for 4 profiles). Width-scaled coalesce first
+    // (pinBuckets): profiles at the default B ≤ 1024 collapse to one
+    // block, wider ones keep ~1024 rows/task — pass the profile's
+    // bucket count as widthHint when it exceeds the default.
+    // (Cluster note: localCheckpoint blocks die with their executor —
+    // see SURVEY §4 iterative-ops caveat; for B-row frames a
+    // recompute-on-loss is a non-event.)
+    val a = pinBuckets(a0, widthHint)
+    val b = pinBuckets(b0, widthHint)
     val na = a.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val nb = b.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     require(na > 0 && nb > 0,
@@ -968,7 +983,7 @@ object Curate {
   def aucFromScoreCounts(g: DataFrame): DataFrame = {
     val bounds = g.agg(min("mv").as("mn"), max("mv").as("mx"))
     val cells = g.crossJoin(broadcast(bounds))
-      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (mx - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
       .drop("mn", "mx")
     val cum = PrefixSum.bucketed(cells, Seq("mv"), col("c"), col("cell"),
       "cumc")
@@ -1003,7 +1018,7 @@ object Curate {
         sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
     val bounds = g.groupBy("grp").agg(min("mv").as("mn"), max("mv").as("mx"))
     val cells = g.join(bounds, "grp")
-      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (mx - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
       .drop("mn", "mx")
     val cum = PrefixSum.keyed(cells, Seq("grp"), Seq("mv"), col("c"),
       col("cell"), "cumc")
@@ -1038,7 +1053,7 @@ object Curate {
       count(lit(1)).as("n"), sum("y").as("np"))
     val cells = s0.crossJoin(broadcast(bounds))
       .withColumn("negm", -col("mv"))
-      .withColumn("cell", expr("cast(cast(mx - mv as decimal(38,0)) * 64 div (mx - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast(cast(mx - mv as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
     val rk = PrefixSum.bucketed(cells, Seq("negm", "id"), lit(1L),
       col("cell"), "rk")
     val dec = rk.withColumn("decile", expr(s"(rk - 1) * $buckets div n"))

@@ -849,6 +849,8 @@ object Dedup {
       var converged = labels.isEmpty
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the driver reference drops (weak-ref GC);
+      // localCheckpoint blocks unconditionally, reliable checkpoint
+      // FILES only under cleanCheckpoints=true (GraftSession sets it);
       // only the final (small) label table stays resident
       while (!converged && iter < maxIter) {
         iter += 1

@@ -53,6 +53,19 @@ object Lineage {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "graft.checkpoint.reliable=true requires " +
           "sparkContext.setCheckpointDir(<reliable storage path>)")
+      // Retention: superseded round checkpoints are reclaimed by the
+      // ContextCleaner once the round's RDD is unreachable — but ONLY
+      // under spark.cleaner.referenceTracking.cleanCheckpoints=true
+      // (GraftSession sets it; it must be set before the context
+      // starts). Warn loudly when a foreign session forgot it, since
+      // a long iterative job then accumulates one checkpoint dir per
+      // round forever (r14 ADVICE).
+      if (!df.sparkSession.sparkContext.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "reliable round pins without spark.cleaner.referenceTracking." +
+            "cleanCheckpoints=true: superseded round checkpoints are " +
+            "never deleted — set it before the SparkContext starts")
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
   }

@@ -426,7 +426,11 @@ object Observe {
       val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
       val cells = g.join(bounds, "grp")
         .withColumn("cell",
-          expr("cast(cast(v - mn as decimal(38,0)) * 64 div (mx - mn + 1) as bigint)"))
+          // widen the divisor too: a group spanning more than
+          // Long.MaxValue (values near both extremes) would wrap
+          // (mx - mn + 1) negative in BIGINT (r14 ADVICE)
+          expr("cast(cast(v - mn as decimal(38,0)) * 64 div " +
+            "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
         .drop("mn", "mx")
       PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),
           "cum", "tot")

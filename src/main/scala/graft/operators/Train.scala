@@ -84,7 +84,7 @@ object Train {
     dot_product(concat(as_double_array(vec), array(lit(1.0))),
       typedLit(w.map(_.toDouble).toSeq)).cast("long")
 
-  /** L65 (r11): distributed skip-gram-with-negative-sampling
+  /** L63f (r11, renamed from the duplicate id L65 in r15): distributed skip-gram-with-negative-sampling
     * embedding TRAINING (word2vec SGNS, Mikolov et al. '13) — the
     * model is NODE-COUNT-sized ((node, dim) rows), so unlike
     * [[logisticGd]] the weights never collect: each full-batch round

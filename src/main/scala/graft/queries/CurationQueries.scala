@@ -1060,7 +1060,7 @@ object CurationQueries {
         .orderBy("center", "k")
     },
 
-    // L65 (r11): distributed word2vec SGNS embedding TRAINING over
+    // L63f (r11): distributed word2vec SGNS embedding TRAINING over
     // the walk corpus — positives = skip-gram pairs, negatives = the
     // unigram^(3/4) samples; 8 dims, 2 full-batch rounds. The trained
     // (node, dim) embedding table IS the hash-gated output: a
@@ -2118,7 +2118,7 @@ object CurationQueries {
       |SELECT p.center, p.k, w.node AS neg_node
       |FROM pk p JOIN win w ON p.pick >= w.cum - w.w AND p.pick < w.cum""".stripMargin
 
-  /** L65: the SGNS training rounds unrolled — per round a dot CTE
+  /** L63f: the SGNS training rounds unrolled — per round a dot CTE
     * (example join against both embedding sides), the rational-
     * sigmoid gradient, two per-(node, dim) gradient sums, and the
     * floor-damped update. Builds on the skip-gram and negatives

@@ -1765,15 +1765,19 @@ object QueueStreaming {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.toDF()
-          .withColumn("__src", col(sourceCol))
-          .withColumn("__id", monotonically_increasing_id())
-        val delta = graft.operators.Curate.piiScan(b, "__id", textCol)
-          .join(b.select(col("__id").as("doc_id"), col("__src")), "doc_id")
-          .groupBy(col("__src").as("source"))
+        // One scan, no row ids: the kernel output is aggregated per
+        // source directly, so the micro-batch source is evaluated
+        // exactly once (r14 ADVICE: the previous shape self-joined
+        // two evaluations of the unpinned batch on
+        // monotonically_increasing_id — nondeterministic under
+        // re-partitioned replay).
+        val delta = batch.toDF()
+          .select(col(sourceCol).as("source"),
+            graft.functions.pii_scan(col(textCol)).as("__p"))
+          .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum("n_email").as("n_email"), sum("n_ip").as("n_ip"),
-            sum("n_phone").as("n_phone"))
+            sum("__p.n_email").as("n_email"), sum("__p.n_ip").as("n_ip"),
+            sum("__p.n_phone").as("n_phone"))
         val fs = new org.apache.hadoop.fs.Path(storePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prior =

@@ -78,7 +78,12 @@ object QueueBench {
       s"queue_popwait_1x${rows}" -> popWaitSec,
       "queue_size" -> sizeSec,
       "queue_reopen" -> reopenSec)
-    val sidecar = metrics.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    // Locale.ROOT: the default-locale formatter writes comma decimals
+    // on e.g. de_DE, which breaks the JSON sidecar (r14 ADVICE)
+    def num(v: Double, digits: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        java.lang.Double.valueOf(v))
+    val sidecar = metrics.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
     Files.write(java.nio.file.Paths.get("queue_bench.json"),
       sidecar.getBytes("UTF-8"))
@@ -87,10 +92,10 @@ object QueueBench {
     val popMsPerItem = popSec * 1000.0 / (nBatches * rows)
     // one JSON line, the Bench contract
     println(s"""{"metric":"queue_ops","unit":"sec",""" +
-      metrics.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+      metrics.map { case (k, v) => s""""$k":${num(v)}""" }
         .mkString("", ",", ",") +
-      f""""push_ms_per_item":$pushMsPerItem%.4f,""" +
-      f""""pop_ms_per_item":$popMsPerItem%.4f,""" +
+      s""""push_ms_per_item":${num(pushMsPerItem, 4)},""" +
+      s""""pop_ms_per_item":${num(popMsPerItem, 4)},""" +
       s""""items":${(nBatches + 1) * rows},"payload_bytes":1024}""")
     spark.stop()
   }

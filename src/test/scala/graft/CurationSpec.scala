@@ -264,6 +264,40 @@ class CurationSpec extends SparkSpec {
     assert(nm == Set(1L), "null-text docs drop out of scoring without error")
   }
 
+  test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // r14 verdict item 7: an unconditional coalesce(1) on the pinned
+    // bucket table was a hidden width ceiling — a 2048-bucket build
+    // must run >1 task, while the default 1024 keeps the one-block
+    // cheap path. pinBuckets is the shared pin for dsirModel and
+    // profileDrift; assert its partition scaling directly.
+    val b = Seq.tabulate(4096)(i => (i.toLong % 2048, 1L)).toDF("f", "cnt")
+    assert(Curate.pinBuckets(b, 1024).rdd.getNumPartitions == 1,
+      "default-width profiles still collapse to one block")
+    assert(Curate.pinBuckets(b, 2048).rdd.getNumPartitions == 2,
+      "a 2x-wider profile must not serialize into one task")
+    // coalesce only lowers parallelism — on an upstream shuffle (the
+    // real groupBy("f") shape) a 100x width keeps all its tasks
+    assert(Curate.pinBuckets(b.repartition(64, col("f")), 1024 * 100)
+        .rdd.getNumPartitions >= 32,
+      "a 100x-wider profile scales out")
+    // end-to-end: a 2048-bucket model trains and scores; the model is
+    // invariant to input partitioning at the wide width too
+    val docs = table("documents").limit(500)
+    val m1 = Curate.dsirModel(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val m2 = Curate.dsirModel(docs.repartition(7), "doc_id", "text",
+        col("lang") === "en", buckets = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(m1 == m2 && m1.nonEmpty, "wide model not partition-invariant")
+    // profileDrift at the wide width: identity drift stays zero
+    val prof = Curate.corpusProfile(docs, "doc_id", "text", buckets = 2048)
+    val d = Curate.profileDrift(prof, prof, widthHint = 2048).head()
+    assert(d.getAs[Long]("tv_q") == 0L, "identity drift must be zero")
+  }
+
   test("grouped dsir: each tenant's model equals a solo model on its slice") {
     import graft.operators.Curate
     val docs = table("documents")

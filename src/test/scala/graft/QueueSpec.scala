@@ -527,6 +527,200 @@ class QueueSpec extends SparkSpec {
     assert(lags.forall(_._4 == 0L), s"both names fully drained: $lags")
     a.close(); b.dispose()
   }
+
+  // ---- C15: quebic on-disk journal import bridge ----------------------
+  // The fixture is written HERE from the documented byte format (big-
+  // endian: magic 0x5142, header-size short, current-items long, last-
+  // position long, packed 4-bit schema ids; 32-byte '@' entry frames
+  // with previous/created/expires/errors/length/codec; varint+double
+  // field stream, PLAIN/GZIP codecs) — independent of both the bridge
+  // decoder and the reference implementation, so the round-trip proves
+  // the format, not the code against itself.
+  private object fx {
+    import java.nio.ByteBuffer
+    def varint(v: Long): Array[Byte] =
+      if (v >= 0 && v <= 252) Array(v.toByte)
+      else if (v >= 0 && v <= 0xFFFF)
+        ByteBuffer.allocate(3).put(253.toByte).putShort(v.toShort).array()
+      else if (v >= 0 && v <= 0xFFFFFFFFL)
+        ByteBuffer.allocate(5).put(254.toByte).putInt(v.toInt).array()
+      else ByteBuffer.allocate(9).put(255.toByte).putLong(v).array()
+    def text(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8"); varint(b.length) ++ b
+    }
+    def real(d: Double): Array[Byte] =
+      ByteBuffer.allocate(8).putDouble(d).array()
+    def binary(b: Array[Byte]): Array[Byte] = varint(b.length) ++ b
+    def tensor(shape: Seq[Int], values: Seq[Double]): Array[Byte] =
+      varint(shape.length) ++ shape.flatMap(varint(_)).toArray ++
+        values.flatMap(real).toArray
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.finish(); g.close(); bo.toByteArray
+    }
+    /** entries = (createdAt, expiresAt, codecId, dataBytes), written in
+      * PUSH order with the chain hanging newest-first off last-position
+      * (the push-journal shape). Returns (bytes, entryOffsets). */
+    def journal(typeIds: Seq[Byte],
+                entries: Seq[(Long, Long, Byte, Array[Byte])])
+        : (Array[Byte], Seq[Long]) = {
+      val count = typeIds.length
+      val packedLen = (count + (count % 2)) / 2
+      val headerSize = 20 + 1 + packedLen
+      val total = headerSize +
+        entries.map(e => 32 + e._4.length).sum
+      val buf = ByteBuffer.allocate(total)
+      buf.putShort(0x5142.toShort)
+      buf.putShort(headerSize.toShort)
+      buf.putLong(entries.length.toLong)
+      buf.putLong(-1L) // patched below
+      buf.put(count.toByte)
+      typeIds.padTo(count + (count % 2), 0.toByte).grouped(2).foreach {
+        case Seq(hi, lo) => buf.put((((hi & 0x0F) << 4) | (lo & 0x0F)).toByte)
+      }
+      var prev = -1L
+      val offsets = entries.map { case (created, expires, codec, data) =>
+        val at = buf.position().toLong
+        buf.put('@'.toByte).putLong(prev).putLong(created).putLong(expires)
+          .putShort(0.toShort).putInt(data.length).put(codec).put(data)
+        prev = at
+        at
+      }
+      buf.putLong(12, prev) // last-position -> newest entry
+      (buf.array(), offsets)
+    }
+    def write(path: java.nio.file.Path, bytes: Array[Byte]): String = {
+      java.nio.file.Files.write(path, bytes); path.toString
+    }
+  }
+
+  test("quebic import: decodes all 5 types, both codecs, FIFO + ts preserved") {
+    import graft.sources.QuebicJournal
+    val dir = Files.createTempDirectory("qbj")
+    // schema [int, text, real, binary, tensor] — odd count exercises
+    // the 4-bit padding; varint widths 1/3/5/9 all exercised via ids
+    val mk = (id: Long, s: String, d: Double) =>
+      fx.varint(id) ++ fx.text(s) ++ fx.real(d) ++
+        fx.binary(Array[Byte](1, 2, id.toByte)) ++
+        fx.tensor(Seq(2), Seq(d, -d))
+    val plain = mk(7L, "first", 1.5)
+    val zipped = fx.gzip(mk(70000L, "zweite — ünïcode", -2.25))
+    val big = mk(5000000000L, "third", 0.0)
+    val (bytes, _) = fx.journal(Seq(0, 2, 1, 3, 4),
+      Seq((1000L, -1L, 0.toByte, plain),
+        (2000L, 902000L, 1.toByte, zipped),
+        (3000L, -1L, 0.toByte, big)))
+    val path = fx.write(dir.resolve("q.qbj"), bytes)
+    val df = QuebicJournal.readJournal(spark, path).collect()
+    assert(df.length == 3, "all three frames decode")
+    // FIFO: push order, seq from 0; created/expires preserved exactly
+    assert(df.map(_.getAs[Long]("src_seq")).toSeq == Seq(0L, 1L, 2L))
+    assert(df.map(_.getAs[Long]("created_at_ms")).toSeq ==
+      Seq(1000L, 2000L, 3000L))
+    assert(df.map(_.getAs[Long]("expires_at_ms")).toSeq ==
+      Seq(-1L, 902000L, -1L))
+    assert(df.map(_.getAs[Long]("f0")).toSeq == Seq(7L, 70000L, 5000000000L))
+    assert(df(1).getAs[String]("f1") == "zweite — ünïcode",
+      "gzip + utf-8 survive")
+    assert(df.map(_.getAs[Double]("f2")).toSeq == Seq(1.5, -2.25, 0.0))
+    assert(df(2).getAs[Array[Byte]]("f3").toSeq ==
+      Seq[Byte](1, 2, 5000000000L.toByte))
+    val t = df(0).getAs[org.apache.spark.sql.Row]("f4")
+    assert(t.getSeq[Int](0) == Seq(2) && t.getSeq[Double](1) == Seq(1.5, -1.5))
+  }
+
+  test("quebic import: torn tail ignored, payload-corrupt frame skipped, broken chain loud") {
+    import graft.sources.QuebicJournal
+    val dir = Files.createTempDirectory("qbj2")
+    val mk = (id: Long, s: String) => fx.varint(id) ++ fx.text(s)
+    val (bytes, offsets) = fx.journal(Seq(0, 2),
+      Seq((1L, -1L, 0.toByte, mk(1, "a")), (2L, -1L, 0.toByte, mk(2, "b")),
+        (3L, -1L, 0.toByte, mk(3, "c"))))
+    // torn tail: a crash mid-push leaves garbage PAST the committed
+    // chain (data+entry land before the header commit) — must be inert
+    val torn = fx.write(dir.resolve("torn.qbj"),
+      bytes ++ Array.fill[Byte](40)(0x55))
+    val d1 = QuebicJournal.readFrames(torn)
+    assert(d1.frames.length == 3 && d1.skippedBroken == 0,
+      "torn tail must not affect the committed chain")
+    // payload corruption inside one frame: skipped with accounting,
+    // the rest of the chain still imports (the reference's error-
+    // discard semantics)
+    val corrupt = bytes.clone()
+    corrupt(offsets(1).toInt + 32) = 255.toByte // varint promises 8 bytes, frame has 4
+    val cpath = fx.write(dir.resolve("corrupt.qbj"), corrupt)
+    val d2 = QuebicJournal.readFrames(cpath)
+    assert(d2.skippedBroken == 1 &&
+      d2.frames.map(_.values.head) == Vector(3L, 1L),
+      s"frame 2 skipped, 1+3 survive: $d2")
+    // structural corruption (bad signature mid-chain) fails loudly —
+    // silently importing half a queue would be data loss
+    val badsig = bytes.clone()
+    badsig(offsets(1).toInt) = '#'.toByte
+    val bpath = fx.write(dir.resolve("badsig.qbj"), badsig)
+    val err = intercept[IllegalStateException] {
+      QuebicJournal.readFrames(bpath)
+    }
+    assert(err.getMessage.contains("signature"))
+  }
+
+  test("quebic import: journal -> ParquetQueue round-trip preserves order, ts, TTL") {
+    import graft.sources.QuebicJournal
+    val dir = Files.createTempDirectory("qbj3")
+    val mk = (id: Long, s: String) => fx.varint(id) ++ fx.text(s)
+    val now = System.currentTimeMillis()
+    val (bytes, _) = fx.journal(Seq(0, 2), Seq(
+      (now - 5000, -1L, 0.toByte, mk(10, "ten")),
+      (now - 4000, now - 3000, 0.toByte, mk(11, "expired")), // TTL passed
+      (now - 2000, now + 3600000, 1.toByte, fx.gzip(mk(12, "live-ttl"))),
+      (now - 2000, now + 3600000, 0.toByte, mk(13, "same-run"))))
+    val path = fx.write(dir.resolve("q.qbj"), bytes)
+    val decoded = QuebicJournal.readFrames(path)
+    val q = new ParquetQueue(spark,
+      Files.createTempDirectory("qimp").toString, decoded.schema)
+    val n = QuebicJournal.importJournal(spark, path, q)
+    assert(n == 4, "all four frames import (expiry is read-side)")
+    // FIFO + TTL: the expired entry is skipped at pop exactly as the
+    // reference skips it at consume; the live-TTL entries deliver
+    assert(q.pop(10).map(_.getLong(0)) == Seq(10L, 12L, 13L))
+    // ts preservation: enq_ts in the parquet envelope IS the original
+    // created-at (not import time), so TTL wall-clock carries over
+    val env = spark.read.parquet(s"${q.root}/data")
+      .orderBy("seq").collect()
+    assert(env.map(_.getAs[Long]("enq_ts")).toSeq ==
+      Seq(now - 5000, now - 4000, now - 2000, now - 2000))
+    assert(env.map(_.getAs[Long]("lifetime_ms")).toSeq ==
+      Seq(-1L, 1000L, 3602000L, 3602000L))
+    q.dispose()
+  }
+
+  test("quebic import: double-stack queue+journal pair composes reference FIFO") {
+    import graft.sources.QuebicJournal
+    val dir = Files.createTempDirectory("qbj4")
+    val mk = (id: Long) => fx.varint(id) ++ fx.text(s"d$id")
+    // migrated QUEUE file: chain head (last-position) = next-to-pop =
+    // OLDEST; build by pushing in REVERSE age order so the chain walks
+    // oldest -> newest, the migrateTo layout
+    val (qbytes, _) = fx.journal(Seq(0, 2),
+      Seq((300L, -1L, 0.toByte, mk(3)), (200L, -1L, 0.toByte, mk(2)),
+        (100L, -1L, 0.toByte, mk(1))))
+    // push JOURNAL: natural push order, chain head = newest
+    val (jbytes, _) = fx.journal(Seq(0, 2),
+      Seq((400L, -1L, 0.toByte, mk(4)), (500L, -1L, 0.toByte, mk(5))))
+    fx.write(dir.resolve("q.qbq"), qbytes)
+    fx.write(dir.resolve("q.qbj"), jbytes)
+    val schema = QuebicJournal.readFrames(dir.resolve("q.qbq").toString).schema
+    val q = new ParquetQueue(spark,
+      Files.createTempDirectory("qimp2").toString, schema)
+    val n = QuebicJournal.importQueue(spark,
+      dir.resolve("q.qbq").toString, q)
+    assert(n == 5)
+    // exactly the order a reference consumer would see: queue chain
+    // (1,2,3) then journal pushes oldest-first (4,5)
+    assert(q.pop(10).map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L, 5L))
+    q.dispose()
+  }
 }
 
 // top-level so implicit product encoders derive cleanly
