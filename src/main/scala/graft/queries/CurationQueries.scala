@@ -1693,8 +1693,11 @@ object CurationQueries {
   /** DuckDB twin of Curate.gopherFlags' fused stat pass (leading WITH
     * included, ends at the `m` CTE) — shared by q_gopher_rules and the
     * L72 rule-example sampler. */
-  private val gopherMCteSql: String =
-    """WITH stats AS (
+  /** Gopher-stat CTE body (no leading WITH) — shared with the
+    * composed-pipeline oracle in PipelineQueries, which needs to
+    * splice it into a WITH RECURSIVE chain. */
+  private[queries] val gopherMBodySql: String =
+    """stats AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
       |    string_split(text, chr(10)) AS lines
@@ -1712,6 +1715,8 @@ object CurationQueries {
       |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS bullet,
       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell
       |  FROM stats)""".stripMargin
+
+  private val gopherMCteSql: String = "WITH " + gopherMBodySql
 
   /** DuckDB twin of `Curate.unimaxAlloc` over per-lang token sizes
     * (leading WITH included, ends at the `ua` CTE with

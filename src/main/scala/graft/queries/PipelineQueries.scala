@@ -1038,6 +1038,84 @@ object PipelineQueries {
       graft.operators.Observe.report(s, obs).orderBy("stage_idx")
     },
 
+    // L111 (r15): the COMPOSED end-to-end curation pipeline — the r14
+    // verdict's item 2. Each stage below is individually green; this
+    // gate oracles their COMPOSITION, the surface a real user actually
+    // runs: ingest → Gopher rule battery → clustered near-dup removal
+    // (connected components over the persisted jaccard≥0.9 pair graph
+    // RESTRICTED to the survivors — pairwise predicates commute with
+    // upstream filters, so the build-once table serves any stage
+    // position) → winnow decontamination against the eval suite
+    // (doc_id % 23 = 0 of the raw corpus — the benchmark is external,
+    // never pipeline-filtered) → target-mix resampling (per-lang
+    // md5-threshold keep) → greedy shard packing. Output is the
+    // per-stage funnel: (stage, docs, tokens) + the pack row's shard
+    // count and max shard load, every number integer-exact and
+    // replayed stage-by-stage by one DuckDB chain. Stage frames pin
+    // (Lineage) so each feeds both its statistics row and the next
+    // stage from one materialization — at 100 TB these pins are the
+    // stage tables a production pipeline persists anyway.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      import graft.operators.Lineage
+      val d = t(s, dir, "documents")
+      def stageRow(i: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(token_count(col("text"))), lit(0L)).as("n_tokens"))
+          .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"), lit(0L).as("n_shards"),
+            lit(0L).as("max_shard_tokens"))
+      // stage 1: Gopher battery (corpus-adapted stop list, the
+      // q_gopher_rules configuration)
+      val keep = Curate.gopherFlags(d, "doc_id", "text",
+          stopWords = Seq("the", "a"))
+        .filter(col("keep") === 1).select("doc_id")
+      val s1 = Lineage.pin(d.join(keep, "doc_id")
+        .select("doc_id", "lang", "text"))
+      // stage 2: clustered dedup over survivors — the persisted pair
+      // graph restricted to pairs whose BOTH endpoints survived
+      val pairs = jaccardPairGraph(s, dir)
+        .join(s1.select(col("doc_id").as("doc_id1")), "doc_id1")
+        .join(s1.select(col("doc_id").as("doc_id2")), "doc_id2")
+      val s2 = Lineage.pin(Dedup.removeNearDupsClusteredLabels(
+        s1, "doc_id", Dedup.clusters(pairs)))
+      // stage 3: winnow decontamination — drop eval members and any
+      // survivor sharing >= 8 winnow fingerprints with an eval doc
+      val eval = d.filter(col("doc_id") % 23 === 0)
+      val train = s2.filter(col("doc_id") % 23 =!= 0)
+      val flagged = Dedup.winnowedAgainst(train, "doc_id", "text",
+          eval, "doc_id", "text", k = 8, w = 16,
+          minShared = 8L, maxDf = 16L)
+        .select(col("id").as("doc_id")).distinct()
+      val s3 = Lineage.pin(train.join(flagged, Seq("doc_id"), "left_anti"))
+      // stage 4: target-mix resampling (en 0.4 / rest 0.15, rates
+      // computed over THIS stage's input — the L33 discipline)
+      val rates = Curate.mixThresholds(s3, "lang",
+        when(col("lang") === "en", lit(0.4)).otherwise(lit(0.15)))
+      val s4 = Lineage.pin(s3.join(broadcast(rates), "lang")
+        .filter(substring(md5(col("text")), 1, 4) < col("thr"))
+        .select("doc_id", "lang", "text"))
+      // stage 5: greedy shard packing of the final corpus
+      val perShard = Pack.assignShards(s4, "doc_id",
+          token_count(col("text")), budgetTokens = 4096, buckets = 32)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("sc"), sum("n_tokens").as("st"))
+      val packRow = perShard
+        .agg(coalesce(sum("sc"), lit(0L)).as("n_docs"),
+          coalesce(sum("st"), lit(0L)).as("n_tokens"),
+          count(lit(1)).as("n_shards"),
+          coalesce(max("st"), lit(0L)).as("max_shard_tokens"))
+        .select(lit(5L).as("stage_idx"), lit("pack").as("stage"),
+          col("n_docs"), col("n_tokens"), col("n_shards"),
+          col("max_shard_tokens"))
+      stageRow(0, "ingest", d)
+        .unionByName(stageRow(1, "gopher", s1))
+        .unionByName(stageRow(2, "dedup_cluster", s2))
+        .unionByName(stageRow(3, "decontam_winnow", s3))
+        .unionByName(stageRow(4, "mix_target", s4))
+        .unionByName(packRow)
+        .orderBy("stage_idx")
+    },
+
     // L20c: curriculum packing — shards cut along descending quality
     // (order key = 10000 - quantized score, ascending), so early
     // shards hold the cleanest documents. Same distributed prefix sum.
@@ -3471,6 +3549,117 @@ object PipelineQueries {
 
     // q_pipeline_funnel oracle: each observe point's count replayed as
     // a CTE chain — the declarative twin of the accumulator funnel.
+    // The composed chain replayed stage by stage: gopher flags ->
+    // survivor jaccard components (recursive reach) -> winnow overlap
+    // vs the eval slice -> per-lang mix thresholds -> prefix-sum shard
+    // packing. Stage CTEs referenced more than once are MATERIALIZED
+    // (un-hinted inlining re-evaluates the whole upstream chain per
+    // reference).
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE ${CurationQueries.gopherMBodySql},
+        |gop AS MATERIALIZED (
+        |  SELECT doc_id FROM m
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+        |    AND sym * 10 < n_words
+        |    AND bullet * 10 < nl * 9 AND ell * 10 < nl * 3
+        |    AND alpha * 5 >= n_words * 4
+        |    AND stop >= 2),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s1 AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN gop USING (doc_id)),
+        |toksets AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_distinct(string_split(text, ' ')), x -> len(x) > 0) AS toks
+        |  FROM s1),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE FLOOR(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) * 10000 + 0.5) / 10000 >= 0.9),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM p
+        |  UNION
+        |  SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |s2 AS MATERIALIZED (
+        |  SELECT * FROM s1
+        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)),
+        |${Shared.winnowCteSql},
+        |tr AS MATERIALIZED (
+        |  SELECT f.doc_id, f.fps FROM f JOIN s2 USING (doc_id)
+        |  WHERE f.doc_id % 23 <> 0),
+        |ev AS MATERIALIZED (
+        |  SELECT doc_id AS eval_id, fps AS efps FROM f WHERE doc_id % 23 = 0),
+        |pa AS (SELECT doc_id, UNNEST(fps) AS fp FROM tr),
+        |pb AS (SELECT eval_id, UNNEST(efps) AS fp FROM ev),
+        |dfa AS (SELECT fp FROM pa GROUP BY fp HAVING COUNT(*) <= 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id, b.eval_id
+        |  FROM pa a JOIN dfa USING (fp) JOIN pb b ON a.fp = b.fp),
+        |flagged AS MATERIALIZED (
+        |  SELECT DISTINCT c.doc_id FROM cand c
+        |  JOIN tr t ON t.doc_id = c.doc_id
+        |  JOIN ev e ON e.eval_id = c.eval_id
+        |  WHERE len(list_intersect(t.fps, e.efps)) >= 8),
+        |s3 AS MATERIALIZED (
+        |  SELECT * FROM s2
+        |  WHERE doc_id % 23 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |nl AS (SELECT lang, COUNT(*) AS nlc FROM s3 GROUP BY lang),
+        |ttc AS (SELECT COUNT(*) AS tt FROM s3),
+        |thr AS (
+        |  SELECT lang,
+        |    CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(FLOOR(rate * 65536) AS INT)) END AS h
+        |  FROM (SELECT lang,
+        |          LEAST(1.0, (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END)
+        |            * tt / nlc) AS rate
+        |        FROM nl, ttc)),
+        |s4 AS MATERIALIZED (
+        |  SELECT s3.doc_id FROM s3 JOIN thr ON s3.lang = thr.lang
+        |  WHERE SUBSTRING(md5(s3.text), 1, 4) < thr.h),
+        |pc AS (
+        |  SELECT s4.doc_id, tok.n_tok,
+        |    CAST(SUM(tok.n_tok) OVER (ORDER BY s4.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM s4 JOIN tok USING (doc_id)),
+        |pershard AS MATERIALIZED (
+        |  SELECT CAST(FLOOR((cum - n_tok) / 4096.0) AS BIGINT) AS shard,
+        |    COUNT(*) AS sc, CAST(SUM(n_tok) AS BIGINT) AS st
+        |  FROM pc GROUP BY 1)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_shards AS BIGINT) AS n_shards,
+        |  CAST(max_shard_tokens AS BIGINT) AS max_shard_tokens
+        |FROM (VALUES
+        |  (0, 'ingest', (SELECT COUNT(*) FROM documents),
+        |     (SELECT COALESCE(SUM(n_tok), 0) FROM tok), 0, 0),
+        |  (1, 'gopher', (SELECT COUNT(*) FROM s1),
+        |     (SELECT COALESCE(SUM(n_tok), 0) FROM s1 JOIN tok USING (doc_id)), 0, 0),
+        |  (2, 'dedup_cluster', (SELECT COUNT(*) FROM s2),
+        |     (SELECT COALESCE(SUM(n_tok), 0) FROM s2 JOIN tok USING (doc_id)), 0, 0),
+        |  (3, 'decontam_winnow', (SELECT COUNT(*) FROM s3),
+        |     (SELECT COALESCE(SUM(n_tok), 0) FROM s3 JOIN tok USING (doc_id)), 0, 0),
+        |  (4, 'mix_target', (SELECT COUNT(*) FROM s4),
+        |     (SELECT COALESCE(SUM(n_tok), 0) FROM s4 JOIN tok USING (doc_id)), 0, 0),
+        |  (5, 'pack', (SELECT COALESCE(SUM(sc), 0) FROM pershard),
+        |     (SELECT COALESCE(SUM(st), 0) FROM pershard),
+        |     (SELECT COUNT(*) FROM pershard),
+        |     (SELECT COALESCE(MAX(st), 0) FROM pershard))
+        |) AS v(stage_idx, stage, n_docs, n_tokens, n_shards, max_shard_tokens)
+        |ORDER BY stage_idx""".stripMargin,
+
     "q_pipeline_funnel" ->
       """WITH lang_en AS (SELECT * FROM documents WHERE lang = 'en'),
         |min_len AS (SELECT * FROM lang_en WHERE len(text) >= 200),

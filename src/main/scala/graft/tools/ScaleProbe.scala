@@ -208,7 +208,12 @@ object ScaleProbe {
     "q_split_stratified",
     // r14: three map-side regex passes (PII); two keyed rank scans,
     // widest task one 64-cell group slice (median/MAD)
-    "q_pii_scan", "q_median_mad")
+    "q_pii_scan", "q_median_mad",
+    // r15: the composed pipeline — every stage individually probed
+    // (gopher map-side, cluster LPA over disjoint replica comps,
+    // winnow df-capped cross probe, mix one agg, pack prefix sums);
+    // the composition adds only the pinned stage handoffs
+    "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
