@@ -195,7 +195,8 @@ object PipelineQueries {
   def prime(s: SparkSession, dir: String, names: Set[String]): Unit = {
     if (Seq("q_dedup_threshold_curve", "q_dup_source_matrix",
         "q_dup_triangles", "q_dup_kcore",
-        "q_dup_communities").exists(names)) jaccardPairGraph(s, dir)
+        "q_dup_communities", "q_pipeline_e2e").exists(names))
+      jaccardPairGraph(s, dir)
     if (Seq("q_dedup_containment", "q_dedup_contain_apply",
         "q_dedup_containment_grouped").exists(names))
       containmentPairTable(s, dir)

@@ -1492,6 +1492,86 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13ak: streaming COMPOSED curation pipeline — the L111 batch
+    * composition's ingest form. Each micro-batch runs the per-doc
+    * stage chain in pipeline order: (1) Gopher rule battery
+    * (map-side, the [[curationGateStream]] stage); (2) near-dup
+    * ingest against the persisted MinHash signature state + greedy
+    * within-batch dedup (the [[nearDupIngest]] discipline — ids
+    * non-decreasing across triggers, so streamed greedy keep equals
+    * the batch twin); (3) winnow decontamination against the FROZEN
+    * eval suite (the [[winnowDecontaminationGateStream]] guarantee
+    * rides through the composition). Survivors land whole per batch
+    * under `outPath/data/batch=N` and ONLY THEY extend the signature
+    * state — a doc rejected by a later stage never claims signatures,
+    * so acceptance order can't depend on rejected rows. A per-batch
+    * funnel frame (stage_idx, stage, n_docs) commits beside the data
+    * (`outPath/funnel/batch=N`) — the L111 observability contract,
+    * summable across batches because every stage statistic is a
+    * plain count. Replay-safe: both outputs are own-partition
+    * overwrites; a replayed signature append collapses in the probe's
+    * candidate distinct. Mixture weights and packing stay downstream
+    * consumers ([[mixtureReweightStream]], [[packStream]]) — they are
+    * corpus-global decisions, not per-doc gates. */
+  def pipelineStream(docs: DataFrame, idCol: String, textCol: String,
+                     eval: DataFrame, sigTable: String, outPath: String,
+                     checkpoint: String,
+                     stopWords: Seq[String] =
+                       Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                     minJaccard: Double = 0.9, k: Int = 64, bands: Int = 8,
+                     buckets: Int = 32, winK: Int = 8, winW: Int = 16,
+                     minShared: Long = 8L, maxDf: Long = 16L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{Curate, Dedup}
+        val spark = batch.sparkSession
+        val b = batch.toDF().transform(graft.operators.Lineage.pin)
+        // stage 1: Gopher battery
+        val keep = Curate.gopherFlags(b, idCol, textCol,
+            stopWords = stopWords)
+          .filter(col("keep") === 1).select(col("doc_id").as(idCol))
+        val g = b.join(keep, Seq(idCol))
+          .transform(graft.operators.Lineage.pin)
+        // stage 2: near-dup ingest (corpus state probe + within-batch)
+        val corpusDups = Dedup
+          .minhashAgainstTable(g, idCol, textCol, sigTable,
+            k = k, bands = bands, minJaccard = minJaccard)
+          .filter(col("incoming_id") =!= col("corpus_id"))
+          .select(col("incoming_id").as("__dup_id")).distinct()
+        val fresh = g.join(corpusDups, g(idCol) === col("__dup_id"),
+          "left_anti")
+        val deduped = Dedup.removeNearDups(fresh, idCol,
+            Dedup.minhashPairs(fresh, idCol, textCol,
+              k = k, bands = bands, minJaccard = minJaccard))
+          .transform(graft.operators.Lineage.pin)
+        // stage 3: winnow decontamination vs the frozen suite
+        val flagged = Dedup.winnowedAgainst(deduped, idCol, textCol,
+            eval, idCol, textCol, winK, winW, minShared, maxDf)
+          .select(col("id").as("__c_id")).distinct()
+        val kept = deduped
+          .join(flagged, deduped(idCol) === col("__c_id"), "left_anti")
+          .persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/data/batch=$batchId")
+          Dedup.appendSignatures(kept, idCol, textCol, sigTable,
+            k = k, bands = bands, buckets = buckets)
+          // funnel accounting: one bounded action over the pinned
+          // stage frames (each already materialized above)
+          val counts = Seq(
+            (0L, "ingest", b.count()), (1L, "gopher", g.count()),
+            (2L, "dedup_ingest", deduped.count()),
+            (3L, "decontam_winnow", kept.count()))
+          import spark.implicits._
+          counts.toDF("stage_idx", "stage", "n_docs")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/funnel/batch=$batchId")
+        } finally { kept.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** C13x: streaming containment ingest — the asymmetric twin of
     * [[nearDupIngest]], closing the L82 lifecycle (batch pairs →
     * removal → novelty → ingest): every micro-batch is (1)

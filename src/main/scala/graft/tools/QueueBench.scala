@@ -72,12 +72,39 @@ object QueueBench {
     }
     q.dispose()
 
+    // ---- payload-size sweep (r14 verdict item 9): the reference's
+    // Performance.scala matrix shape — per-item latency as a function
+    // of payload size, 1 B → 1 MiB, so the per-item-rate comparison
+    // is curve-backed instead of pinned at one batch shape. Row
+    // counts scale down with payload so each cell moves a bounded
+    // ~4-64 MB total; 4 batches per cell amortize fixed per-push
+    // costs the same way at every size.
+    val sweep: Seq[(Int, Int)] = Seq( // (payloadBytes, rowsPerBatch)
+      1 -> 1000, 64 -> 1000, 1024 -> 1000, 65536 -> 128, 1048576 -> 16)
+    val sweepMetrics = sweep.flatMap { case (bytes, n) =>
+      val pl = "x" * bytes
+      val sdir = Files.createTempDirectory(s"graft-qbench-p$bytes").toString
+      val sq = new ParquetQueue(spark, sdir, schema)
+      def sbatch(b: Int) = Seq.tabulate(n)(i =>
+        ((b.toLong * n + i), pl)).toDF("id", "text")
+      val push = time { (0 until 4).foreach(b => sq.push(sbatch(b))) }
+      val pop = time {
+        var got = 0L
+        (0 until 4).foreach(_ => got += sq.pop(n).length)
+        assert(got == 4L * n)
+      }
+      sq.dispose()
+      Seq(s"queue_push_p$bytes" -> push, s"queue_pop_p$bytes" -> pop,
+        s"queue_push_ms_item_p$bytes" -> (push * 1000.0 / (4 * n)),
+        s"queue_pop_ms_item_p$bytes" -> (pop * 1000.0 / (4 * n)))
+    }
+
     val metrics = Seq(
       s"queue_push_${nBatches}x${rows}" -> pushSec,
       s"queue_pop_${nBatches}x${rows}" -> popSec,
       s"queue_popwait_1x${rows}" -> popWaitSec,
       "queue_size" -> sizeSec,
-      "queue_reopen" -> reopenSec)
+      "queue_reopen" -> reopenSec) ++ sweepMetrics
     // Locale.ROOT: the default-locale formatter writes comma decimals
     // on e.g. de_DE, which breaks the JSON sidecar (r14 ADVICE)
     def num(v: Double, digits: Int = 3): String =

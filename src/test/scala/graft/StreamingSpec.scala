@@ -425,6 +425,68 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_sigs")
   }
 
+  test("composed pipeline stream: gopher -> dedup ingest -> winnow gate, funnel accounted") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    // gopher-passing filler: 60 distinct 5-8 char words incl. both
+    // stop words; per-prefix vocab so no accidental near-dups
+    def gopherOk(p: String): String =
+      (s"the a" +: (1 to 58).map(i => s"${p}w$i")).mkString(" ")
+    val evalPassage = (1 to 40).map(i => s"evalpass$i").mkString(" ")
+    val aText = gopherOk("alpha")
+    val corpus = Seq((1L, gopherOk("corp"))).toDF("doc_id", "text")
+    try {
+      Dedup.buildSignatureTable(corpus, "doc_id", "text", "pipe_sigs")
+      val eval = Seq((9001L, evalPassage)).toDF("doc_id", "text")
+      val mem = MemoryStream[(Long, String)]
+      val out = Files.createTempDirectory("pipe_out").toString
+      val ckpt = Files.createTempDirectory("pipe_ckpt").toString
+      val q = QueueStreaming.pipelineStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", eval,
+        "pipe_sigs", out, ckpt, stopWords = Seq("the", "a"))
+      mem.addData(
+        (10L, aText),                 // clean: survives all stages
+        (11L, "too short"),           // gopher-fail (< 50 words)
+        (12L, aText),                 // within-batch dup of 10
+        (13L, gopherOk("corp")))      // dup of the accepted corpus
+      q.processAllAvailable()
+      mem.addData(
+        (20L, aText),                 // cross-trigger dup of 10
+        // gopher-passing text QUOTING the eval passage verbatim:
+        // the winnow gate must flag it even though it near-dups
+        // nothing (shared-passage, not resemblance)
+        (21L, gopherOk("quoter").split(" ").take(30).mkString(" ") +
+          " " + evalPassage + " the a tailword1 tailword2"),
+        (22L, gopherOk("fresh")))     // clean: survives
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(s"$out/data")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L, 22L),
+        s"composed gates: expected {10, 22}, got $kept")
+      // funnel accounting per trigger: every stage statistic a count
+      val funnel = spark.read.parquet(s"$out/funnel")
+        .select(col("batch").cast("int").as("b"), col("stage"), col("n_docs"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(funnel((0, "ingest")) == 4 && funnel((0, "gopher")) == 3 &&
+        funnel((0, "dedup_ingest")) == 1 &&
+        funnel((0, "decontam_winnow")) == 1,
+        s"trigger-1 funnel: $funnel")
+      assert(funnel((1, "ingest")) == 3 && funnel((1, "gopher")) == 3 &&
+        funnel((1, "dedup_ingest")) == 2 &&
+        funnel((1, "decontam_winnow")) == 1,
+        s"trigger-2 funnel: $funnel")
+      // the winnow-rejected doc must NOT have claimed signatures: a
+      // later redelivery of its content still reaches the winnow
+      // stage (drops there), never the dedup stage
+      val sigIds = spark.table("pipe_sigs")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!sigIds.contains(21L),
+        "rejected docs must not extend the signature state")
+    } finally spark.sql("DROP TABLE IF EXISTS pipe_sigs")
+  }
+
   test("containment ingest drops quoted excerpts, keeps supersets") {
     import graft.operators.Dedup
     implicit val sq = spark.sqlContext
