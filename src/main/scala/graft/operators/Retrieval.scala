@@ -22,6 +22,66 @@ import graft.functions._
   */
 object Retrieval {
 
+  /** nDCG discount weights, parts-per-billion: w(r) = ⌊1e9 / log2(r+1)⌋
+    * for ranks 1..k. Computed ONCE here and embedded as literals in
+    * both engines (the Bm25Batch lockstep pattern) — log2 itself is
+    * libm-dependent, but a pinned integer table of its values is
+    * engine-portable by construction. */
+  def ndcgWeightsPpb(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** L112: exact ranking-evaluation metrics — recall@k, MRR@k and
+    * nDCG@k (binary relevance) per query, the retrieval-QA report
+    * every search/RAG pipeline gates releases on. All three are
+    * integer-exact: recall and MRR are rational (ppm via integer
+    * division), DCG/IDCG sum the pinned [[ndcgWeightsPpb]] table, so
+    * the whole report hash-oracles in a second engine.
+    *
+    * `results` carries the SYSTEM ranking (query, doc, 1-based rank);
+    * `truth` the relevant (query, doc) pairs. Queries present in
+    * `truth` but absent from `results` (or with no hits in the top k)
+    * report zeros rather than dropping — a silent drop would inflate
+    * averages exactly when the system fails hardest.
+    *
+    * Scale shape: both inputs are eval-set-bounded (queries × k and
+    * the relevance inventory); the corpus never enters — joins are
+    * against the broadcast k-row weight table and the hit set. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+                     queryCol: String, docCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = results.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(ndcgWeightsPpb(k).zipWithIndex
+      .map { case (w, i) => (i + 1L, w) }.toDF("__r", "__w"))
+    val res = results.select(col(queryCol).as("query_id"),
+        col(docCol).as("doc_id"), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+    val tr = truth.select(col(queryCol).as("query_id"),
+      col(docCol).as("doc_id")).distinct()
+    val nrel = tr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(tr, Seq("query_id", "doc_id"))
+      .join(wdf, Seq("__r"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min("__r").as("__first"),
+        sum("__w").as("__dcg"))
+    // ideal DCG: the weight-table prefix up to min(n_rel, k)
+    val idcg = nrel
+      .select(col("query_id"), least(col("n_rel"), lit(k.toLong)).as("__m"))
+      .join(wdf, col("__r") <= col("__m"))
+      .groupBy("query_id").agg(sum("__w").as("__idcg"))
+    nrel.join(idcg, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 1000000 div n_rel").as("recall_ppm"),
+        expr("case when __first is null then 0L " +
+          "else 1000000 div __first end").as("mrr_ppm"),
+        expr("case when __dcg is null then 0L " +
+          "else __dcg * 1000000 div __idcg end").as("ndcg_ppm"))
+  }
+
   /** Dense side of hybrid retrieval: exact cosine top-k of a broadcast
     * query-vector set against a featurized corpus. Unlike
     * [[Ann.bruteForceTopK]] there is NO self-id filter — query ids and

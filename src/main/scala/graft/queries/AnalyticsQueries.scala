@@ -501,6 +501,37 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L112 (r15): ranking-evaluation metrics — recall@10 / MRR@10 /
+    // nDCG@10 of the batched BM25 system against an exact AND-match
+    // relevance oracle (docs containing EVERY query token): the
+    // retrieval-QA report a search pipeline gates releases on.
+    // Binary-relevance nDCG uses the pinned integer discount table
+    // (Retrieval.ndcgWeightsPpb — same literals in both engines), so
+    // all three metrics are integer-exact and hash-oracled. Inputs
+    // are eval-bounded (queries × k + the relevance inventory); the
+    // only corpus pass is the truth derivation's token explode.
+    "q_ranking_eval" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.tokenize_ws
+      val q = Bm25Batch.toDF("query_id", "qtext")
+      val sys = graft.operators.Lexical.searchBm25Batch(
+        q, "query_id", "qtext", lexIndex(s, dir), k = 10)
+      val qtok = q.select(col("query_id"),
+        explode(array_distinct(tokenize_ws(col("qtext")))).as("tok"))
+      val nq = qtok.groupBy("query_id").agg(count(lit(1)).as("nq"))
+      val truth = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokenize_ws(col("text")))).as("tok"))
+        .join(broadcast(qtok), Seq("tok"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nm"))
+        .join(broadcast(nq), Seq("query_id"))
+        .filter(col("nm") === col("nq"))
+        .select("query_id", "doc_id")
+      graft.operators.Retrieval.rankingMetrics(sys, truth,
+          "query_id", "doc_id", "rank", k = 10)
+        .orderBy("query_id")
+    },
+
     // L41: hybrid retrieval — the BM25 batch (L24e, probing the shared
     // persisted index) and an exact dense side (cosine over the native
     // hashed_bow featurizer, L34) fused by reciprocal rank fusion.
@@ -1702,6 +1733,50 @@ object AnalyticsQueries {
         |  FROM agg)
         |SELECT query_id, rank, doc_id, score_q FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // L112 replay: same BM25-batch ranking, AND-match truth, and the
+    // SAME pinned discount literals (generated from the one Scala
+    // table — the Bm25Batch lockstep pattern).
+    "q_ranking_eval" ->
+      s"""WITH ${Shared.bm25BatchAggCteSql},
+        |res AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS r
+        |  FROM agg QUALIFY r <= 10),
+        |wt(r, w) AS (VALUES
+        |  ${graft.operators.Retrieval.ndcgWeightsPpb(10).zipWithIndex
+            .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")}),
+        |nq AS (SELECT query_id, COUNT(*) AS nq FROM qterms GROUP BY query_id),
+        |truth AS (
+        |  SELECT q.query_id, d.doc_id
+        |  FROM (SELECT doc_id, UNNEST(list_distinct(toks)) AS tok FROM docs) d
+        |  JOIN qterms q ON d.tok = q.tok
+        |  GROUP BY q.query_id, d.doc_id
+        |  HAVING COUNT(*) = (SELECT nq FROM nq WHERE nq.query_id = q.query_id)),
+        |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY query_id),
+        |hits AS (
+        |  SELECT res.query_id, COUNT(*) AS n_hits, MIN(res.r) AS first_r,
+        |    CAST(SUM(wt.w) AS BIGINT) AS dcg
+        |  FROM res JOIN truth ON res.query_id = truth.query_id
+        |    AND res.doc_id = truth.doc_id
+        |  JOIN wt ON wt.r = res.r
+        |  GROUP BY res.query_id),
+        |idcg AS (
+        |  SELECT nrel.query_id, CAST(SUM(wt.w) AS BIGINT) AS idcg
+        |  FROM nrel JOIN wt ON wt.r <= LEAST(nrel.n_rel, 10)
+        |  GROUP BY nrel.query_id)
+        |SELECT nrel.query_id, nrel.n_rel,
+        |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(hits.n_hits, 0) * 1000000 // nrel.n_rel AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(CASE WHEN hits.first_r IS NULL THEN 0
+        |    ELSE 1000000 // hits.first_r END AS BIGINT) AS mrr_ppm,
+        |  CAST(CASE WHEN hits.dcg IS NULL THEN 0
+        |    ELSE hits.dcg * 1000000 // idcg.idcg END AS BIGINT) AS ndcg_ppm
+        |FROM nrel JOIN idcg ON nrel.query_id = idcg.query_id
+        |LEFT JOIN hits ON nrel.query_id = hits.query_id
+        |ORDER BY nrel.query_id""".stripMargin,
 
     // Hybrid fusion replay: the shared BM25-batch CTE ranks the
     // lexical side; the shared hashed-bow CTE (docs and queries)

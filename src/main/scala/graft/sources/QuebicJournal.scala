@@ -300,6 +300,99 @@ object QuebicJournal {
     importFrames(spark, dq.schema, fifo, queue, preserveTimestamps)
   }
 
+  // ---- export: graft -> quebic bytes (C15b) -------------------------
+
+  private def writeVarint(out: java.io.DataOutputStream, v: Long): Unit =
+    if (v >= 0 && v <= 252) out.write(v.toInt)
+    else if (v >= 0 && v <= 0xFFFF) { out.write(253); out.writeShort(v.toInt) }
+    else if (v >= 0 && v <= 0xFFFFFFFFL) { out.write(254); out.writeInt(v.toInt) }
+    else { out.write(255); out.writeLong(v) }
+
+  private def encodeField(out: java.io.DataOutputStream, t: GraftType,
+                          v: Any): Unit = (t, v) match {
+    case (GraftType.INTEGER, x: Number) => writeVarint(out, x.longValue())
+    case (GraftType.REAL, x: Number) => out.writeDouble(x.doubleValue())
+    case (GraftType.TEXT, s: String) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      writeVarint(out, b.length); out.write(b)
+    case (GraftType.BINARY, b: Array[Byte]) =>
+      writeVarint(out, b.length); out.write(b)
+    case (GraftType.TENSOR, r: Row) =>
+      val shape = r.getSeq[Int](0)
+      val values = r.getSeq[Double](1)
+      writeVarint(out, shape.length)
+      shape.foreach(d => writeVarint(out, d.toLong))
+      values.foreach(out.writeDouble)
+    case (tt, other) => throw new IllegalArgumentException(
+      s"cannot encode ${Option(other).map(_.getClass.getName).orNull} as ${tt.name}")
+  }
+
+  private def encodeSchema(schema: GraftSchema): Array[Byte] = {
+    val ids = schema.fields.map(_._2.id)
+    val count = ids.length
+    val padded = ids.padTo(count + (count % 2), 0.toByte)
+    (count.toByte +: padded.grouped(2).map { case Seq(hi, lo) =>
+      (((hi & 0x0F) << 4) | (lo & 0x0F)).toByte }.toSeq).toArray
+  }
+
+  /** Export a payload DataFrame to a quebic journal file a REFERENCE
+    * consumer can pop — the reverse bridge of [[importJournal]], so
+    * migration works in both directions (a graft pipeline can hand
+    * results back to a legacy quebic reader). Rows are written in
+    * `orderCol` ascending order as a PUSH journal: the chain hangs
+    * newest-first off last-position, exactly the layout the
+    * reference's push loop produces (JournaledFile.scala:120-139), so
+    * a reference queue pops them FIFO after migration. Encoding is a
+    * bounded driver-side sequential write (one file = one machine's
+    * queue, the reference's own contract); payload schema must match
+    * `schema` positionally. `createdAtMs` stamps every entry
+    * (defaults to now); TTL-free (expires -1) like the reference's
+    * default push. Returns rows written. */
+  def exportJournal(df: DataFrame, schema: GraftSchema, orderCol: String,
+                    path: String,
+                    codec: Byte = 0,
+                    createdAtMs: Long = System.currentTimeMillis()): Long = {
+    require(codec == 0 || codec == 1, s"codec must be 0 (plain) or 1 (gzip)")
+    val schemaBin = encodeSchema(schema)
+    val headerSize = off.Schema + schemaBin.length
+    val rows = df.orderBy(orderCol).collect()
+    val fc = FileChannel.open(Paths.get(path),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val head = ByteBuffer.allocate(headerSize)
+      head.putShort(MagicNumber).putShort(headerSize.toShort)
+        .putLong(rows.length.toLong).putLong(-1L).put(schemaBin)
+      head.flip(); fc.write(head, 0)
+      var prev = -1L
+      var at = headerSize.toLong
+      rows.foreach { row =>
+        val bo = new java.io.ByteArrayOutputStream()
+        val dout = new java.io.DataOutputStream(bo)
+        schema.fields.zipWithIndex.foreach { case ((_, t), i) =>
+          encodeField(dout, t, row.get(i)) }
+        dout.close()
+        val plain = bo.toByteArray
+        val data = if (codec == 0) plain else {
+          val zo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(zo)
+          g.write(plain); g.finish(); g.close(); zo.toByteArray
+        }
+        val eb = ByteBuffer.allocate(EntrySize + data.length)
+        eb.put(EntrySignature).putLong(prev).putLong(createdAtMs)
+          .putLong(-1L).putShort(0.toShort).putInt(data.length)
+          .put(codec).put(data)
+        eb.flip(); fc.write(eb, at)
+        prev = at
+        at += EntrySize + data.length
+      }
+      val lp = ByteBuffer.allocate(8)
+      lp.putLong(prev); lp.flip()
+      fc.write(lp, off.LastPosition)
+      rows.length.toLong
+    } finally fc.close()
+  }
+
   private def importFrames(spark: SparkSession, schema: GraftSchema,
                            fifo: Seq[Frame],
                            queue: graft.queue.ParquetQueue,

@@ -695,6 +695,41 @@ class QueueSpec extends SparkSpec {
     q.dispose()
   }
 
+  test("quebic export: byte-identical to the independent fixture encoder; round-trips") {
+    import graft.sources.QuebicJournal
+    import graft.schema.{GraftSchema => GS, GraftType => GT}
+    val s2 = GS(Seq("f0" -> GT.INTEGER, "f1" -> GT.TEXT))
+    val df = Seq((7L, "first"), (70000L, "second"), (5000000000L, "third"))
+      .toDF("f0", "f1")
+    val dir = Files.createTempDirectory("qbjx")
+    val out = dir.resolve("exp.qbj").toString
+    assert(QuebicJournal.exportJournal(df, s2, "f0", out,
+      codec = 0, createdAtMs = 1234L) == 3L)
+    // the TEST's fixture writer is a second, independent encoder of
+    // the documented format — main's exporter must agree byte-for-byte
+    val mk = (id: Long, s: String) => fx.varint(id) ++ fx.text(s)
+    val (expected, _) = fx.journal(Seq(0, 2), Seq(
+      (1234L, -1L, 0.toByte, mk(7L, "first")),
+      (1234L, -1L, 0.toByte, mk(70000L, "second")),
+      (1234L, -1L, 0.toByte, mk(5000000000L, "third"))))
+    val got = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out))
+    assert(got.toSeq == expected.toSeq,
+      "export bytes must match the independent encoder exactly")
+    // decode round-trip preserves FIFO order + payload
+    val back = QuebicJournal.readJournal(spark, out).collect()
+    assert(back.map(_.getAs[Long]("f0")).toSeq ==
+      Seq(7L, 70000L, 5000000000L))
+    assert(back.map(_.getAs[Long]("created_at_ms")).distinct.toSeq == Seq(1234L))
+    // gzip path round-trips through the decoder too
+    val outZ = dir.resolve("expz.qbj").toString
+    QuebicJournal.exportJournal(df, s2, "f0", outZ, codec = 1,
+      createdAtMs = 5L)
+    val backZ = QuebicJournal.readJournal(spark, outZ).collect()
+    assert(backZ.map(_.getAs[String]("f1")).toSeq ==
+      Seq("first", "second", "third"))
+  }
+
   test("quebic import: double-stack queue+journal pair composes reference FIFO") {
     import graft.sources.QuebicJournal
     val dir = Files.createTempDirectory("qbj4")

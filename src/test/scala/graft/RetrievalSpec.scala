@@ -112,4 +112,41 @@ class RetrievalSpec extends SparkSpec {
       assert(scores.head <= 2 * (1000000L / 61))
     }
   }
+
+  test("rankingMetrics: textbook values, zero rows for total misses, dedup'd truth") {
+    import graft.operators.Retrieval
+    val w = Retrieval.ndcgWeightsPpb(4)
+    // q1: truth {1,2,3}; system top-4 = [9, 1, 5, 2] -> hits at ranks
+    // 2 and 4. recall = 2/3; MRR = 1/2; DCG = w(2)+w(4),
+    // IDCG = w(1)+w(2)+w(3) (min(n_rel, k) = 3).
+    // q2: truth {7}; system returns nothing relevant -> all zeros.
+    // q3: truth {8} (duplicated rows must count once); absent from
+    // results entirely -> zeros row still emitted.
+    val results = Seq(
+      (1L, 9L, 1), (1L, 1L, 2), (1L, 5L, 3), (1L, 2L, 4),
+      (2L, 9L, 1), (2L, 5L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 7L),
+      (3L, 8L), (3L, 8L)).toDF("query_id", "doc_id")
+    val m = Retrieval.rankingMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m(1L) == ((3L, 2L, 666666L, 500000L,
+      (w(1) + w(3)) * 1000000L / (w(0) + w(1) + w(2)))),
+      s"q1 metrics: ${m(1L)}")
+    assert(m(2L) == ((1L, 0L, 0L, 0L, 0L)), s"q2 must be zeros: ${m(2L)}")
+    assert(m(3L) == ((1L, 0L, 0L, 0L, 0L)),
+      s"q3 absent from results must still report zeros: ${m(3L)}")
+    // perfect ranking: every metric pins 1e6 exactly
+    val perfect = Retrieval.rankingMetrics(
+        Seq((5L, 1L, 1), (5L, 2L, 2)).toDF("query_id", "doc_id", "rank"),
+        Seq((5L, 1L), (5L, 2L)).toDF("query_id", "doc_id"),
+        "query_id", "doc_id", "rank", k = 4)
+      .head()
+    assert(perfect.getLong(3) == 1000000L && perfect.getLong(4) == 1000000L
+      && perfect.getLong(5) == 1000000L, s"perfect run: $perfect")
+    // weight table itself: monotone decreasing, w(1) = 1e9 exactly
+    assert(w.head == 1000000000L && w == w.sorted.reverse)
+  }
 }
