@@ -1067,6 +1067,20 @@ object CurationQueries {
     // node-count-sized model updated by distributed gradient sums
     // (never collected), deterministic end-to-end (hash-seeded init,
     // integer vectors, rational sigmoid, floor-quantized gradients).
+    // L113 (r15): "all-but-the-top" embedding post-processing (Mu &
+    // Viswanath '18) — mean-center + remove the top principal
+    // direction, the standard anisotropy fix before cosine dedup/ANN.
+    // Integer-quantized synchronous power iteration (3 rounds), model
+    // state = two d-vectors on the driver, one aggregate per round;
+    // every trunc-division sign-split so both engines agree on
+    // negatives. Output is the full processed table (hash-oracled).
+    "q_embed_whiten" -> { (s, dir) =>
+      graft.operators.Whiten.allButTheTop(
+          t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+
     "q_embed_train" -> { (s, dir) =>
       val w = walkTable(s, dir)
       // pinned once: the pos branch AND negativeSamples both read it
@@ -2128,6 +2142,70 @@ object CurationQueries {
     * sigmoid gradient, two per-(node, dim) gradient sums, and the
     * floor-damped update. Builds on the skip-gram and negatives
     * replays. */
+  /** DuckDB twin of `Whiten.allButTheTop`: quantize -> trunc-mean ->
+    * `rounds` unrolled power iterations (integer dot, sign-split
+    * trunc-divisions, fixed-order double normalization fold) -> sign
+    * convention -> per-row projection removal. Kept in LOCKSTEP with
+    * operators/Whiten.scala — the constants (2^20 scale, e1 seed,
+    * round count) and the exact op order are the contract. */
+  private def whitenSql(rounds: Int, d: Int): String = {
+    def tdiv(a: String, b: String): String =
+      s"CASE WHEN ($a) < 0 THEN -((-($a)) // $b) ELSE ($a) // $b END"
+    val seed = (1 to d).map(j => if (j == 1) "1048576" else "0")
+      .mkString(", ")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+        |  SELECT vec_id, xc,
+        |    CAST(list_aggregate(list_transform(range(1, ${d + 1}),
+        |      j -> xc[j] * vl[j]), 'sum') AS BIGINT) AS s
+        |  FROM xc, vl${r - 1}),
+        |u$r AS (
+        |  SELECT j, CAST(SUM((${tdiv("s", "1048576")}) * xc[j]) AS BIGINT) AS u
+        |  FROM s$r, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
+        |usl$r AS (SELECT list(${tdiv("u", "1048576")} ORDER BY j) AS usl
+        |  FROM u$r),
+        |nrm$r AS (
+        |  SELECT sqrt(list_reduce(list_transform(usl,
+        |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) AS nrm
+        |  FROM usl$r),
+        |vl$r AS MATERIALIZED (
+        |  SELECT list_transform(usl,
+        |    x -> CAST(FLOOR(x * (1048576.0 / nrm) + 0.5) AS BIGINT)) AS vl
+        |  FROM usl$r, nrm$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xq AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM xq),
+      |musum AS (
+      |  SELECT j, CAST(SUM(xq[j]) AS BIGINT) AS sx
+      |  FROM xq, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
+      |mu AS (SELECT j, ${tdiv("sx", "n")} AS m FROM musum, nn),
+      |mul AS MATERIALIZED (SELECT list(m ORDER BY j) AS ml FROM mu),
+      |xc AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(range(1, ${d + 1}),
+      |    j -> xq[j] - ml[j]) AS xc
+      |  FROM xq, mul),
+      |vl0 AS (SELECT [$seed]::BIGINT[] AS vl),
+      |$roundCtes,
+      |vsgn AS MATERIALIZED (
+      |  SELECT CASE WHEN (list_filter(vl, x -> x <> 0))[1] < 0
+      |    THEN list_transform(vl, x -> -x) ELSE vl END AS vl
+      |  FROM vl$rounds),
+      |sf AS (
+      |  SELECT vec_id, xc,
+      |    CAST(list_aggregate(list_transform(range(1, ${d + 1}),
+      |      j -> xc[j] * vl[j]), 'sum') AS BIGINT) AS s
+      |  FROM xc, vsgn),
+      |proj AS (SELECT vec_id, xc, ${tdiv("s", "1048576")} AS proj_q FROM sf)
+      |SELECT p.vec_id,
+      |  list_transform(range(1, ${d + 1}),
+      |    j -> p.xc[j] - (${tdiv("p.proj_q * vl[j]", "1048576")})) AS processed,
+      |  CAST(p.proj_q AS BIGINT) AS proj_q
+      |FROM proj p, vsgn ORDER BY p.vec_id""".stripMargin
+  }
+
   private def embedTrainSql(dims: Int, rounds: Int, dampDen: Long): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH negs AS MATERIALIZED (
@@ -2187,6 +2265,8 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_whiten" -> whitenSql(rounds = 3, d = 64),
+
     "q_embed_train" -> embedTrainSql(dims = 8, rounds = 2, dampDen = 65536L),
 
     // L28: PINNED-VALUE oracle (see tools/gen_pinned_oracles.py). BPE

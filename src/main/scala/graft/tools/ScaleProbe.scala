@@ -213,7 +213,10 @@ object ScaleProbe {
     // (gopher map-side, cluster LPA over disjoint replica comps,
     // winnow df-capped cross probe, mix one agg, pack prefix sums);
     // the composition adds only the pinned stage handoffs
-    "q_pipeline_e2e")
+    "q_pipeline_e2e",
+    // r15: fixed round count of single d-vector aggregates over the
+    // quantized table (linear in rows x dims; model state d longs)
+    "q_embed_whiten")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
