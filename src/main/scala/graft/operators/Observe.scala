@@ -417,6 +417,47 @@ object Observe {
     * keeps the statistic a corpus value and avoids the .5 average;
     * documented, and the SQL twin replays the same rank). Returns
     * (grp, n, median, mad). */
+  /** R54 (r15): grouped EXACT winsorization — clip each group's values
+    * at its own ⌈n·lo⌉-th / ⌈n·hi⌉-th order statistics (ppm ranks),
+    * the robust-preprocessing step that bounds heavy-tail influence
+    * before means/regressions without dropping rows. Exact and
+    * integer-only like R53: per-(group, value) counts ranked via
+    * [[PrefixSum.keyed]] — the widest window task anywhere is one
+    * 64-cell slice of one group, never a per-group global sort; the
+    * G-row bounds table broadcasts back onto the rows. Returns
+    * (grp, v, lo, hi, v_clip). Rank k = max(1, ⌈n·ppm/10⁶⌉) — the
+    * same lower-order-statistic convention as R53's median (k at
+    * 500000 ppm IS that median). */
+  def groupedWinsorize(df: DataFrame, grpCol: String, valCol: String,
+                       loPpm: Long, hiPpm: Long): DataFrame = {
+    require(0L <= loPpm && loPpm < hiPpm && hiPpm <= 1000000L,
+      s"need 0 <= loPpm < hiPpm <= 1e6, got ($loPpm, $hiPpm)")
+    val vals = df.select(col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    def orderStat(ppm: Long, out: String): DataFrame = {
+      val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
+      val cells = g.join(bounds, "grp")
+        .withColumn("cell",
+          expr("cast(cast(v - mn as decimal(38,0)) * 64 div " +
+            "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+        .drop("mn", "mx")
+      PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),
+          "cum", "tot")
+        .withColumn("k", greatest(lit(1L),
+          expr(s"(tot * ${ppm}L + 999999) div 1000000")))
+        .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+        .select(col("grp"), col("v").as(out))
+    }
+    val b = orderStat(loPpm, "lo").join(orderStat(hiPpm, "hi"), "grp")
+    vals.join(broadcast(b), "grp")
+      .withColumn("v_clip",
+        when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v")))
+      .select("grp", "v", "lo", "hi", "v_clip")
+  }
+
   def groupedMedianMad(df: DataFrame, grpCol: String,
                        valCol: String): DataFrame = {
     def lowerMedian(values: DataFrame, out: String): DataFrame = {

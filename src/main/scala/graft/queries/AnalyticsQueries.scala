@@ -407,6 +407,24 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // R54 (r15): grouped exact winsorization — per-priority p1/p99
+    // order-statistic bounds + clip accounting: the robust-
+    // preprocessing twin of R53 (same PrefixSum rank machinery, same
+    // lower-order-statistic convention). The summary gates BOTH the
+    // bounds and the clipping arithmetic.
+    "q_winsorize" -> { (s, dir) =>
+      graft.operators.Observe.groupedWinsorize(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            expr("cast(floor(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderpriority", "cents", loPpm = 10000L, hiPpm = 990000L)
+        .groupBy(col("grp").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max("lo").as("lo"), max("hi").as("hi"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum("v_clip").as("sum_clip"))
+        .orderBy("o_orderpriority")
+    },
+
     // R31: data-quality audit (expectations) — one summary row of
     // constraint counters: volume, distribution flags, referential
     // orphans, key-uniqueness violations. Each counter is an
@@ -1588,6 +1606,32 @@ object AnalyticsQueries {
 
     // R53: the median/MAD replay — ROW_NUMBER rank ⌊(n+1)/2⌋ per
     // group on the value pass, then again on the deviation pass.
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS tot
+        |  FROM v),
+        |b AS (
+        |  SELECT grp, CAST(MAX(tot) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rk = GREATEST(1, (tot * 10000 + 999999) // 1000000)
+        |      THEN v END) AS lo,
+        |    MAX(CASE WHEN rk = GREATEST(1, (tot * 990000 + 999999) // 1000000)
+        |      THEN v END) AS hi
+        |  FROM r GROUP BY grp)
+        |SELECT b.grp AS o_orderpriority, b.n, b.lo, b.hi,
+        |  CAST(SUM(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(CASE WHEN v.v < b.lo THEN b.lo
+        |    WHEN v.v > b.hi THEN b.hi ELSE v.v END) AS BIGINT) AS sum_clip
+        |FROM v JOIN b ON v.grp = b.grp
+        |GROUP BY b.grp, b.n, b.lo, b.hi
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_median_mad" ->
       """WITH v AS (
         |  SELECT o_orderpriority AS grp,

@@ -319,4 +319,41 @@ class ObserveSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rep == out.view.mapValues(_._2).toMap)
   }
+
+  test("grouped winsorize: exact ppm order-statistic bounds + clip") {
+    val sp = spark
+    import sp.implicits._
+    // group a: 1..100 -> p5 rank ceil(5) = 5 (lo=5), p95 rank 95
+    // (hi=95); 4 values clip up, 5 clip down
+    // group b: all equal -> lo = hi = 7, nothing clips
+    val rows = ((1 to 100).map(i => ("a", i.toLong)) ++
+      Seq.fill(10)(("b", 7L))).toDF("g", "v")
+    val w = Observe.groupedWinsorize(rows, "g", "v", 50000L, 950000L)
+    val sum = w.groupBy("grp").agg(
+        max("lo").as("lo"), max("hi").as("hi"),
+        org.apache.spark.sql.functions.sum(
+          when(col("v") =!= col("v_clip"), 1L).otherwise(0L)).as("nc"),
+        org.apache.spark.sql.functions.sum("v_clip").as("sc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // clipped sum for a: Σ1..100 = 5050, minus (1+2+3+4)=10 plus 4·5,
+    // minus (96..100)=490 plus 5·95 -> 5050 - 10 + 20 - 490 + 475 = 5045
+    assert(sum("a") == ((5L, 95L, 9L, 5045L)), s"group a: ${sum("a")}")
+    assert(sum("b") == ((7L, 7L, 0L, 70L)), s"group b: ${sum("b")}")
+    // rank-1 floor: loPpm so small every group keeps its min as lo
+    val tiny = Observe.groupedWinsorize(rows, "g", "v", 1L, 999999L)
+      .filter(col("grp") === "a")
+      .agg(max("lo"), max("hi")).head()
+    assert(tiny.getLong(0) == 1L && tiny.getLong(1) == 100L)
+    // partition invariance
+    val rep = Observe.groupedWinsorize(rows.repartition(7), "g", "v",
+        50000L, 950000L)
+      .groupBy("grp").agg(org.apache.spark.sql.functions.sum("v_clip").as("sc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("a") == 5045L && rep("b") == 70L)
+    // misuse is loud
+    intercept[IllegalArgumentException] {
+      Observe.groupedWinsorize(rows, "g", "v", 990000L, 10000L)
+    }
+  }
 }
