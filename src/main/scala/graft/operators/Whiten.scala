@@ -101,6 +101,74 @@ object Whiten {
     (n, mu, v)
   }
 
+  /** Quantized second-moment sufficient statistics of an embedding
+    * frame — the EXACTLY-ADDITIVE state behind the whitening model:
+    * rows (i, j, v) with (-2,-2) = n, (-1, j) = Σ xq_j and
+    * (i, j) i ≤ j = Σ xq_i·xq_j, all decimal(38,0) so shard/batch
+    * folds are plain sums at any scale. d(d+1)/2 + d + 1 rows total
+    * (d=64 → 2 145) — bounded model state, never row data. The
+    * streaming twin folds these per trigger; [[modelFromMoments]]
+    * derives (μ, v) off the state alone. */
+  def momentStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xq = quantized(df, idCol, vecCol)
+    val pairs = xq.select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
+      .select(col("i"), col("xi"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("v"))
+    val sums = xq.select(posexplode(col("xq")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("v"))
+      .select(lit(-1).as("i"), col("j"), col("v"))
+    val n = xq.agg(count(lit(1)).cast("decimal(38,0)").as("v"))
+      .select(lit(-2).as("i"), lit(-2).as("j"), col("v"))
+    pairs.select("i", "j", "v").unionByName(sums).unionByName(n)
+  }
+
+  /** Derive the whitening model (n, μq, vq) from folded moment rows —
+    * a DRIVER-side power iteration on the d×d centered second-moment
+    * matrix (bounded: d² longs), so the streaming path never replays
+    * row history. Deterministic: the matrix entries are exact
+    * integers, iteration order is fixed. Direction quality matches
+    * the batch [[fit]] (same operator, same seed, same rounds — the
+    * spec gates alignment); bit-level equality is NOT promised: fit
+    * truncates per-row projections, this iterates on exact moments. */
+  def modelFromMoments(moments: Seq[(Int, Int, BigDecimal)],
+                       rounds: Int = 3): (Long, Array[Long], Array[Long]) = {
+    val n = moments.collectFirst { case (-2, -2, v) => v.toLongExact }
+      .getOrElse(throw new IllegalArgumentException("missing n row (-2,-2)"))
+    require(n > 0, "empty moment state")
+    val d = moments.collect { case (-1, j, _) => j }.max + 1
+    val sx = Array.ofDim[Long](d)
+    moments.foreach { case (-1, j, v) => sx(j) = v.toLongExact; case _ => }
+    val sxx = Array.ofDim[BigDecimal](d, d)
+    for (i <- 0 until d; j <- 0 until d) sxx(i)(j) = BigDecimal(0)
+    moments.foreach {
+      case (i, j, v) if i >= 0 => sxx(i)(j) = v; sxx(j)(i) = v
+      case _ =>
+    }
+    val mu = Array.tabulate(d)(j => tdiv(sx(j), n))
+    // centered moment matrix (integer-exact): C_ij = Σ(x_i x_j)
+    //   − μ_i Σx_j − μ_j Σx_i + n μ_i μ_j
+    val c = Array.tabulate(d, d) { (i, j) =>
+      (sxx(i)(j) - BigDecimal(mu(i)) * sx(j) - BigDecimal(mu(j)) * sx(i)
+        + BigDecimal(n) * mu(i) * mu(j)).toDouble
+    }
+    var v = Array.tabulate(d)(j => if (j == 0) 1.0 else 0.0)
+    for (_ <- 1 to rounds) {
+      val u = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).reduceLeft(_ + _))
+      val norm = math.sqrt(u.map(x => x * x).reduceLeft(_ + _))
+      require(norm > 0, "power iteration collapsed to the zero vector " +
+        "(degenerate state: all rows equal the mean)")
+      v = u.map(_ / norm)
+    }
+    var vq = v.map(x => math.floor(x * Scale + 0.5).toLong)
+    val j0 = vq.indexWhere(_ != 0L)
+    if (j0 >= 0 && vq(j0) < 0L) vq = vq.map(x => -x)
+    (n, mu, vq)
+  }
+
   /** The processed table: out_i = (xq_i − μ) − ⌊s'_i·v / 2^20⌋ with
     * s'_i the quantized projection of the centered row on the top
     * direction — integer end to end, so the output hash-oracles.

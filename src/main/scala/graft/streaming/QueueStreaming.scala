@@ -1883,6 +1883,62 @@ object QueueStreaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** C13al: streaming embedding-moment maintenance — the L113
+    * whitening model's sufficient statistics (n, Σx, Σxxᵀ — rows
+    * (i, j, v), EXACTLY additive in decimal(38,0)) folded into the
+    * snapshot chain per trigger, so the current anisotropy model
+    * (mean + top principal direction) derives at any time from the
+    * d(d+1)/2-row state via [[whitenModelFromStore]] — a bounded
+    * driver-side power iteration, never a row-history replay. Same
+    * read-below-own-id replay discipline and compactEvery retention
+    * as the other additive monitors. */
+  def embedMomentStream(vecs: DataFrame, idCol: String, vecCol: String,
+                        storePath: String, checkpoint: String,
+                        compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.Whiten.momentStats(batch.toDF(),
+          idCol, vecCol)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("i", "j", "v"))
+          }
+        val snap = prior match {
+          case Some(pr) => pr.unionByName(delta).groupBy("i", "j")
+            .agg(sum("v").cast("decimal(38,0)").as("v"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Current whitening model (n, μq, vq) off the latest moment
+    * snapshot — see [[graft.operators.Whiten.modelFromMoments]]. */
+  def whitenModelFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String, rounds: Int = 3)
+      : (Long, Array[Long], Array[Long]) = {
+    val top = latestStoreBatch(spark, storePath)
+    val rows = spark.read.parquet(storePath)
+      .filter(col("batch").cast("long") === top)
+      .select("i", "j", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+      .toSeq
+    graft.operators.Whiten.modelFromMoments(rows, rounds)
+  }
+
   /** Per-source PII rates (per-mille of docs) off the latest
     * snapshot. */
   def piiRatesFromStore(spark: org.apache.spark.sql.SparkSession,

@@ -752,6 +752,53 @@ class StreamingSpec extends SparkSpec {
     assert(rates("a") == 333L, s"a: 1 email / 3 docs -> 333 pm, got $rates")
   }
 
+  test("streaming embedding moments fold exactly; derived model aligns with batch fit") {
+    import graft.operators.Whiten
+    implicit val sq = spark.sqlContext
+    // planted dominant direction u = (0.6, 0.8, 0, 0) — same corpus
+    // shape as WhitenSpec, split across two triggers
+    def vec(i: Int): (Long, Seq[Float]) = {
+      val a = (i - 20.5) / 20.0
+      (i.toLong, Seq(a * 0.6 + 0.001 * (i % 3), a * 0.8 - 0.001 * (i % 2),
+        0.002, -0.002).map(_.toFloat))
+    }
+    val all = (1 to 40).map(vec)
+    val (b1, b2) = all.splitAt(20)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val store = Files.createTempDirectory("mom_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("mom_ckpt").toString
+    val q = QueueStreaming.embedMomentStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      store, ckpt)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // folded state == one-shot batch moments, EXACTLY (additivity)
+    val batchDf = all.toDF("vec_id", "embedding")
+    val folded = spark.read.parquet(s"$store/batch=1")
+      .select("i", "j", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    val direct = Whiten.momentStats(batchDf, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    assert(folded == direct, "streamed moment state diverged from batch")
+    // derived model: mean exact vs batch fit, direction aligned
+    val (n, muS, vS) = QueueStreaming.whitenModelFromStore(spark, store,
+      rounds = 4)
+    val (nB, muB, vB) = Whiten.fit(batchDf, "vec_id", "embedding",
+      rounds = 4)
+    assert(n == nB && muS.toSeq == muB.toSeq, "mean must match exactly")
+    val dot = vS.zip(vB).map { case (a, b) => a.toDouble * b }.sum
+    val cos = dot / (math.sqrt(vS.map(x => x.toDouble * x).sum) *
+      math.sqrt(vB.map(x => x.toDouble * x).sum))
+    assert(cos > 0.999,
+      s"store-derived direction off batch fit: cos=$cos")
+  }
+
   test("streaming mixture reweight folds stats exactly; weights match batch twin") {
     import graft.operators.Mix
     implicit val sq = spark.sqlContext
