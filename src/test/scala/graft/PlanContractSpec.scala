@@ -433,4 +433,26 @@ class PlanContractSpec extends SparkSpec {
         s"$q must not run an unpartitioned window:\n$p")
     }
   }
+
+  test("r15 plans: composed pipeline, whitening, ranking eval, winsorize — no cartesians") {
+    // q_pipeline_e2e composes five stage frames; a cartesian anywhere
+    // in the chain (a lost join key in the survivor handoffs, the mix
+    // threshold join degrading) is the corpus² failure at 100 TB.
+    // q_embed_whiten's corpus side is map+aggregate only; the model
+    // rides as plan literals, so no join at all should survive
+    // optimization on the processed-output plan's corpus path.
+    // q_winsorize's G-row bounds must come back as a broadcast join,
+    // q_ranking_eval's weight/truth joins are eval-bounded equi-joins.
+    Seq("q_pipeline_e2e", "q_embed_whiten", "q_ranking_eval",
+        "q_winsorize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian:\n$p")
+      assert(!p.contains("windowspecdefinition()"),
+        s"$q must not run an unpartitioned window:\n$p")
+    }
+    val pw = plan("q_winsorize")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"winsorize bounds must broadcast back onto the rows:\n$pw")
+  }
 }
