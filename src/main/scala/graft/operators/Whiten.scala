@@ -101,6 +101,29 @@ object Whiten {
     (n, mu, v)
   }
 
+  /** L113b: remove the top `components` principal directions by
+    * DEFLATION — the full "all-but-the-top" prescription (the paper
+    * removes the top D≈d/100 directions, not just one): each pass
+    * fits the current residual table's top direction and projects it
+    * out; the de-quantize → re-quantize handoff between passes is
+    * EXACT (÷2^20 then ⌊·2^20⌋ is lossless on binary powers), so the
+    * composition stays integer-deterministic end to end. Cost is
+    * `components` × the single-pass cost — each a handful of d-vector
+    * aggregates. Returns (id, processed: array<long>). */
+  def removeTopComponents(df: DataFrame, idCol: String, vecCol: String,
+                          components: Int, rounds: Int = 3): DataFrame = {
+    require(components >= 1, s"need >= 1 component, got $components")
+    var cur = df.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> CAST(e AS DOUBLE))").as("vec"))
+    for (_ <- 1 to components) {
+      cur = allButTheTop(cur, "id", "vec", rounds)
+        .selectExpr("id",
+          s"transform(processed, x -> CAST(x AS DOUBLE) / ${Scale}L) AS vec")
+    }
+    cur.selectExpr("id",
+      s"transform(vec, x -> CAST(FLOOR(x * ${Scale}L) AS BIGINT)) AS processed")
+  }
+
   /** Quantized second-moment sufficient statistics of an embedding
     * frame — the EXACTLY-ADDITIVE state behind the whitening model:
     * rows (i, j, v) with (-2,-2) = n, (-1, j) = Σ xq_j and

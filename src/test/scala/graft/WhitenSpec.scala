@@ -69,6 +69,38 @@ class WhitenSpec extends SparkSpec {
       s"processed mean too far from zero: $meanAbs")
   }
 
+  test("deflation removes two planted directions; handoff is lossless") {
+    // two dominant directions: u1 = (0.6, 0.8, 0, 0) strong,
+    // u2 = (0, 0, 1, 0) weaker; after removing 2 components the
+    // residual projections on BOTH must be quantization-small
+    val data = (1 to 40).map { i =>
+      val a = (i - 20.5) / 10.0
+      val b = (if (i % 2 == 0) 1.0 else -1.0) * (i % 7) / 14.0
+      (i.toLong, Seq(a * 0.6, a * 0.8, b, 0.003 * (i % 5)).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out2 = Whiten.removeTopComponents(data, "vec_id", "embedding",
+      components = 2, rounds = 4)
+    // residual energy along the planted directions, in raw units
+    val res = out2.selectExpr(
+        "CAST(abs(processed[0] * 6 + processed[1] * 8) AS DOUBLE) / 10.0 AS r1",
+        "abs(processed[2]) AS r2")
+      .agg(max("r1").as("m1"), max("r2").as("m2")).head()
+    // original projections were ~a·2^20 (up to ~2e6 units); residuals
+    // must be orders smaller (quantization + convergence slack)
+    assert(res.getDouble(0) < 20000,
+      s"direction-1 residual too large: ${res.getDouble(0)}")
+    assert(res.getLong(1) < 20000,
+      s"direction-2 residual too large: ${res.getLong(1)}")
+    // the de-quantize -> re-quantize handoff is exact: removing ONE
+    // component via the multi API equals the single-pass operator
+    val one = Whiten.removeTopComponents(data, "vec_id", "embedding",
+        components = 1, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val direct = Whiten.allButTheTop(data, "vec_id", "embedding", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(one == direct, "1-component deflation must equal the single pass")
+  }
+
   test("partition invariance and degenerate-input guard") {
     val a = Whiten.allButTheTop(planted(), "vec_id", "embedding", rounds = 3)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
