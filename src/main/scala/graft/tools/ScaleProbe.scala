@@ -216,7 +216,11 @@ object ScaleProbe {
     "q_pipeline_e2e",
     // r15: fixed round count of single d-vector aggregates over the
     // quantized table (linear in rows x dims; model state d longs)
-    "q_embed_whiten")
+    "q_embed_whiten",
+    // r15: R53's keyed rank machinery at two ppm ranks + broadcast
+    // bounds join (linear); eval-bounded metric joins over one
+    // corpus tokenize pass (the truth derivation)
+    "q_winsorize", "q_ranking_eval")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
