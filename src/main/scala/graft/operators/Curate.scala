@@ -1107,6 +1107,69 @@ object Curate {
         sum(expr("cast(p as decimal(38,0))")).as("sp"))
   }
 
+  /** L114 (r15): isotonic calibration fit — the PAV (pool-adjacent-
+    * violators) monotone regression of observed positive rates on
+    * score bins, computed via the exact CLOSED FORM
+    * iso(i) = max_{j≤i} min_{k≥i} rate(j..k) (equivalent to PAV —
+    * Barlow et al. '72), which replays in plain SQL where the
+    * sequential pooling loop would not. Rates are ppm-quantized
+    * BEFORE the max/min (identical quantization in both engines
+    * preserves the argmax and keeps the fit monotone: the j-range
+    * grows and the k-range shrinks with i for ANY fixed q(j,k)).
+    * Distributed shape: ONE corpus aggregate to B-bin sufficient
+    * stats, then the O(B³) max-min on the driver over bounded rows
+    * (B ≤ 64 — the Lloyd-centroid state discipline). Returns
+    * (bin, n, n_pos, raw_ppm, iso_ppm), iso_ppm monotone
+    * non-decreasing in bin. */
+  def isotonicCalibrate(scored: DataFrame, scorePpmCol: String,
+                        labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 64,
+      s"isotonic fit wants 2..64 bins (driver O(B^3) closed form), got $buckets")
+    val spark = scored.sparkSession
+    val stats = calibrationStats(scored, scorePpmCol, labelCol, buckets)
+      .select("bin", "n", "n_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val fit = isotonicFit(stats.toIndexedSeq)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      fit.map { case (bin, n, npos, raw, iso) =>
+        org.apache.spark.sql.Row(bin, n, npos, raw, iso) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("raw_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("iso_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The pure max-min isotonic fit over (bin, n, n_pos) rows (sorted
+    * ascending, n > 0): per bin the quantized pooled rate
+    * floor(ΣP·10⁶ / ΣN) maximin'd over covering ranges. Exposed for
+    * direct textbook specs. */
+  def isotonicFit(bins: IndexedSeq[(Long, Long, Long)])
+      : IndexedSeq[(Long, Long, Long, Long, Long)] = {
+    val b = bins.length
+    require(b > 0 && bins.forall(_._2 > 0), "bins must be non-empty with n > 0")
+    val w = bins.map(_._2)
+    val p = bins.map(_._3)
+    val cw = w.scanLeft(0L)(_ + _) // cw(i) = Σ w before index i
+    val cp = p.scanLeft(0L)(_ + _)
+    def q(j: Int, k: Int): Long = // pooled ppm rate over bins j..k
+      (cp(k + 1) - cp(j)) * 1000000L / (cw(k + 1) - cw(j))
+    bins.indices.map { i =>
+      val iso = (0 to i).map { j =>
+        (i until b).map(k => q(j, k)).min
+      }.max
+      (bins(i)._1, bins(i)._2, bins(i)._3, q(i, i), iso)
+    }
+  }
+
   /** Reliability rows from a (bin, n, n_pos, sp) stats table. */
   def calibrationFromStats(stats: DataFrame): DataFrame =
     stats

@@ -852,6 +852,18 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // L114 (r15): isotonic calibration — the PAV monotone fit of
+    // observed rates on the same score bins, via the exact max-min
+    // closed form (SQL-replayable where sequential pooling is not);
+    // the CALIBRATOR member of the eval family (L107 diagnoses,
+    // this fixes). One corpus aggregate to B bins, O(B^3) driver
+    // closed form on bounded rows.
+    "q_calibration_isotonic" -> { (s, dir) =>
+      Curate.isotonicCalibrate(calibrationScored(s, dir), "p_ppm",
+          "is_en", buckets = 10)
+        .orderBy("bin")
+    },
+
     // L107b (r14): the one-number form — expected calibration error
     // in ppm off the same bins (B-row aggregate).
     "q_calibration_ece" -> { (s, dir) =>
@@ -3753,6 +3765,41 @@ object CurationQueries {
         |SELECT bin, n, n_pos, obs_ppm, pred_ppm,
         |  ABS(obs_ppm - pred_ppm) AS gap_ppm
         |FROM o ORDER BY bin""".stripMargin,
+
+    // L114: the max-min closed form over cumulative bin stats —
+    // pooled rate of j..k from prefix sums, quantized to ppm BEFORE
+    // the min/max (both engines quantize identically).
+    "q_calibration_isotonic" ->
+      s"""$classifierMarginCteSql,
+        |bd AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |pp AS (
+        |  SELECT CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(CAST(m.margin - bd.mn AS HUGEINT) * 1000000
+        |      // GREATEST(bd.mx - bd.mn, 1) AS BIGINT) AS p
+        |  FROM m, bd),
+        |c AS (
+        |  SELECT LEAST(9, p * 10 // 1000000) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM pp GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS w,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS s
+        |  FROM c),
+        |pairs AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |    CAST((k.s - j.s + j.n_pos) * 1000000
+        |      // (k.w - j.w + j.n) AS BIGINT) AS q
+        |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+        |inner_min AS (
+        |  SELECT i.bin, p.jb, MIN(p.q) AS mn
+        |  FROM cum i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+        |  GROUP BY i.bin, p.jb),
+        |iso AS (SELECT bin, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+        |  FROM inner_min GROUP BY bin)
+        |SELECT CAST(c.bin AS BIGINT) AS bin, c.n, c.n_pos,
+        |  CAST(c.n_pos * 1000000 // c.n AS BIGINT) AS raw_ppm, iso.iso_ppm
+        |FROM c JOIN iso USING (bin) ORDER BY bin""".stripMargin,
 
     // L107b: ECE — the n-weighted mean gap over the same bins.
     "q_calibration_ece" ->

@@ -220,7 +220,10 @@ object ScaleProbe {
     // r15: R53's keyed rank machinery at two ppm ranks + broadcast
     // bounds join (linear); eval-bounded metric joins over one
     // corpus tokenize pass (the truth derivation)
-    "q_winsorize", "q_ranking_eval")
+    "q_winsorize", "q_ranking_eval",
+    // r15: one B-bin corpus aggregate + O(B^3) driver closed form on
+    // bounded rows (corpus cost is the margin chain, linear)
+    "q_calibration_isotonic")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -264,6 +264,38 @@ class CurationSpec extends SparkSpec {
     assert(nm == Set(1L), "null-text docs drop out of scoring without error")
   }
 
+  test("isotonic fit: textbook PAV pooling, weighted pools, monotone identity") {
+    import graft.operators.Curate
+    // violator pair pools: rates (0.3, 0.1, 0.4) with equal weight 10
+    // -> PAV pools bins 0-1 to 0.2, leaves 0.4
+    val f1 = Curate.isotonicFit(IndexedSeq(
+      (0L, 10L, 3L), (1L, 10L, 1L), (2L, 10L, 4L)))
+    assert(f1.map(_._5) == IndexedSeq(200000L, 200000L, 400000L), s"$f1")
+    assert(f1.map(_._4) == IndexedSeq(300000L, 100000L, 400000L))
+    // weighted pooling: (0.5 w=1, 0.0 w=3) pools to 1 pos / 4 = 0.25
+    val f2 = Curate.isotonicFit(IndexedSeq((0L, 1L, 1L), (1L, 3L, 0L)))
+    assert(f2.map(_._5) == IndexedSeq(250000L, 250000L), s"$f2")
+    // already-monotone input is a fixed point
+    val mono = IndexedSeq((0L, 5L, 1L), (1L, 5L, 2L), (2L, 5L, 4L))
+    val f3 = Curate.isotonicFit(mono)
+    assert(f3.map(_._5) == f3.map(_._4), s"monotone input must not move: $f3")
+    // cascade: strictly decreasing rates pool into ONE block at the
+    // global rate
+    val f4 = Curate.isotonicFit(IndexedSeq(
+      (0L, 10L, 9L), (1L, 10L, 5L), (2L, 10L, 1L)))
+    assert(f4.map(_._5).distinct == IndexedSeq(500000L), s"$f4")
+    // the end-to-end fit is monotone and pools the corpus's violators
+    val scored = table("documents")
+      .select(abs(xxhash64(col("text")) % 1000000).cast("long").as("p"),
+        (col("lang") === "en").as("y"))
+    val fit = Curate.isotonicCalibrate(scored, "p", "y", buckets = 8)
+      .orderBy("bin").collect().map(_.getLong(4)).toSeq
+    assert(fit == fit.sorted, s"iso_ppm must be monotone: $fit")
+    intercept[IllegalArgumentException] {
+      Curate.isotonicCalibrate(scored, "p", "y", buckets = 100)
+    }
+  }
+
   test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
     import spark.implicits._
     import graft.operators.Curate
