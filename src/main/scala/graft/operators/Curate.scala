@@ -983,7 +983,7 @@ object Curate {
   def aucFromScoreCounts(g: DataFrame): DataFrame = {
     val bounds = g.agg(min("mv").as("mn"), max("mv").as("mx"))
     val cells = g.crossJoin(broadcast(bounds))
-      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast((cast(mv as decimal(38,0)) - mn) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
       .drop("mn", "mx")
     val cum = PrefixSum.bucketed(cells, Seq("mv"), col("c"), col("cell"),
       "cumc")
@@ -1018,7 +1018,7 @@ object Curate {
         sum(when(col(labelCol), 1L).otherwise(0L)).as("p"))
     val bounds = g.groupBy("grp").agg(min("mv").as("mn"), max("mv").as("mx"))
     val cells = g.join(bounds, "grp")
-      .withColumn("cell", expr("cast(cast(mv - mn as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast((cast(mv as decimal(38,0)) - mn) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
       .drop("mn", "mx")
     val cum = PrefixSum.keyed(cells, Seq("grp"), Seq("mv"), col("c"),
       col("cell"), "cumc")
@@ -1053,7 +1053,7 @@ object Curate {
       count(lit(1)).as("n"), sum("y").as("np"))
     val cells = s0.crossJoin(broadcast(bounds))
       .withColumn("negm", -col("mv"))
-      .withColumn("cell", expr("cast(cast(mx - mv as decimal(38,0)) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .withColumn("cell", expr("cast((cast(mx as decimal(38,0)) - mv) * 64 div (cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
     val rk = PrefixSum.bucketed(cells, Seq("negm", "id"), lit(1L),
       col("cell"), "rk")
     val dec = rk.withColumn("decile", expr(s"(rk - 1) * $buckets div n"))

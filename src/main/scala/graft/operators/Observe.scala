@@ -434,21 +434,25 @@ object Observe {
       s"need 0 <= loPpm < hiPpm <= 1e6, got ($loPpm, $hiPpm)")
     val vals = df.select(col(grpCol).as("grp"),
       col(valCol).cast("long").as("v"))
-    def orderStat(ppm: Long, out: String): DataFrame = {
-      val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
-      val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
-      val cells = g.join(bounds, "grp")
-        .withColumn("cell",
-          expr("cast(cast(v - mn as decimal(38,0)) * 64 div " +
-            "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
-        .drop("mn", "mx")
-      PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),
-          "cum", "tot")
+    // ONE count-table build + ONE PrefixSum pass, pinned; both ppm
+    // ranks are then cheap filters over the pinned ranked frame
+    // (pin-once discipline — the two-orderStat form re-executed the
+    // whole input lineage and the groupBy twice, r15 ADVICE).
+    val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
+    val cells = g.join(bounds, "grp")
+      .withColumn("cell",
+        expr("cast((cast(v as decimal(38,0)) - mn) * 64 div " +
+          "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .drop("mn", "mx")
+    val ranked = Lineage.pin(PrefixSum.keyed(cells, Seq("grp"), Seq("v"),
+      col("c"), col("cell"), "cum", "tot"))
+    def orderStat(ppm: Long, out: String): DataFrame =
+      ranked
         .withColumn("k", greatest(lit(1L),
           expr(s"(tot * ${ppm}L + 999999) div 1000000")))
         .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
         .select(col("grp"), col("v").as(out))
-    }
     val b = orderStat(loPpm, "lo").join(orderStat(hiPpm, "hi"), "grp")
     vals.join(broadcast(b), "grp")
       .withColumn("v_clip",
@@ -470,7 +474,7 @@ object Observe {
           // widen the divisor too: a group spanning more than
           // Long.MaxValue (values near both extremes) would wrap
           // (mx - mn + 1) negative in BIGINT (r14 ADVICE)
-          expr("cast(cast(v - mn as decimal(38,0)) * 64 div " +
+          expr("cast((cast(v as decimal(38,0)) - mn) * 64 div " +
             "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
         .drop("mn", "mx")
       PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),

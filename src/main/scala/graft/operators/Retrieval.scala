@@ -58,6 +58,11 @@ object Retrieval {
     val res = results.select(col(queryCol).as("query_id"),
         col(docCol).as("doc_id"), col(rankCol).cast("long").as("__r"))
       .filter(col("__r") <= k)
+      // malformed system output can repeat a (query, doc) inside the
+      // top k; without this min-rank dedup the duplicates double-count
+      // n_hits and DCG, silently pushing recall/ndcg past 10^6 (r15
+      // ADVICE). Truth is dedup'd below for the same reason.
+      .groupBy("query_id", "doc_id").agg(min("__r").as("__r"))
     val tr = truth.select(col(queryCol).as("query_id"),
       col(docCol).as("doc_id")).distinct()
     val nrel = tr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))

@@ -1085,12 +1085,51 @@ object CurationQueries {
     // Integer-quantized synchronous power iteration (3 rounds), model
     // state = two d-vectors on the driver, one aggregate per round;
     // every trunc-division sign-split so both engines agree on
-    // negatives. Output is the full processed table (hash-oracled).
+    // negatives. Output is the full processed table (hash-oracled),
+    // posexploded to the LONG form (vec_id, j, v) — the driver's
+    // comparator sorts columns with pandas and cannot sort array
+    // cells (the r15 red), and long-form is the q_embed_train shape.
     "q_embed_whiten" -> { (s, dir) =>
       graft.operators.Whiten.allButTheTop(
           t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 3)
         .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")
+        .select(col("vec_id"),
+          posexplode(col("processed")).as(Seq("j", "v")), col("proj_q"))
+        .orderBy("vec_id", "j")
+    },
+
+    // L113b (r16): the paper's FULL prescription — remove the top D
+    // principal directions by deflation (here D=2); each pass fits the
+    // residual table's top direction and projects it out, the
+    // dequantize→requantize handoff between passes lossless on binary
+    // powers, so the composition hash-oracles (pass b of the SQL twin
+    // reads pass a's integer output directly).
+    "q_embed_whiten2" -> { (s, dir) =>
+      graft.operators.Whiten.removeTopComponents(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          components = 2, rounds = 3)
+        .withColumnRenamed("id", "vec_id")
+        .select(col("vec_id"), posexplode(col("processed")).as(Seq("j", "v")))
+        .orderBy("vec_id", "j")
+    },
+
+    // C13al batch twin (r16): the whitening model DERIVED FROM THE
+    // MOMENT STORE — momentStats (exactly-additive d(d+1)/2+d+1-row
+    // state, the per-trigger streaming fold) → modelFromMoments
+    // (driver-side power iteration on the exact centered second-moment
+    // matrix, d² doubles, fixed-order folds). Hash-oracled: DuckDB
+    // replays the HUGEINT moment arithmetic and the IEEE fold order.
+    "q_whiten_model" -> { (s, dir) =>
+      import s.implicits._
+      val stats = graft.operators.Whiten.momentStats(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          BigDecimal(r.getDecimal(2)))).toSeq
+      val (_, mu, v) =
+        graft.operators.Whiten.modelFromMoments(stats, rounds = 3)
+      mu.indices.map(j => (j, mu(j), v(j))).toDF("j", "mu", "v")
+        .orderBy("j")
     },
 
     "q_embed_train" -> { (s, dir) =>
@@ -2160,62 +2199,147 @@ object CurationQueries {
     * convention -> per-row projection removal. Kept in LOCKSTEP with
     * operators/Whiten.scala — the constants (2^20 scale, e1 seed,
     * round count) and the exact op order are the contract. */
-  private def whitenSql(rounds: Int, d: Int): String = {
-    def tdiv(a: String, b: String): String =
-      s"CASE WHEN ($a) < 0 THEN -((-($a)) // $b) ELSE ($a) // $b END"
+  private def wtdiv(a: String, b: String): String =
+    s"CASE WHEN ($a) < 0 THEN -((-($a)) // $b) ELSE ($a) // $b END"
+
+  /** One "all-but-the-top" pass as a CTE chain over `$src(vec_id, xq)`:
+    * emits `${p}proj` (vec_id, xc, proj_q), `${p}vsgn` (vl) and
+    * `${p}out` (vec_id, xq = the processed integers) — composable for
+    * the L113b deflation twin (the ÷2^20 / ⌊·2^20⌋ handoff between
+    * Spark passes is lossless on binary powers, so pass k+1's input
+    * IS pass k's integer output). */
+  private def whitenPassSql(p: String, src: String, rounds: Int,
+                            d: Int): String = {
     val seed = (1 to d).map(j => if (j == 1) "1048576" else "0")
       .mkString(", ")
     val roundCtes = (1 to rounds).map { r =>
-      s"""s$r AS (
+      s"""${p}s$r AS (
         |  SELECT vec_id, xc,
         |    CAST(list_aggregate(list_transform(range(1, ${d + 1}),
         |      j -> xc[j] * vl[j]), 'sum') AS BIGINT) AS s
-        |  FROM xc, vl${r - 1}),
-        |u$r AS (
-        |  SELECT j, CAST(SUM((${tdiv("s", "1048576")}) * xc[j]) AS BIGINT) AS u
-        |  FROM s$r, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
-        |usl$r AS (SELECT list(${tdiv("u", "1048576")} ORDER BY j) AS usl
-        |  FROM u$r),
-        |nrm$r AS (
+        |  FROM ${p}xc, ${p}vl${r - 1}),
+        |${p}u$r AS (
+        |  SELECT j, CAST(SUM((${wtdiv("s", "1048576")}) * xc[j]) AS BIGINT) AS u
+        |  FROM ${p}s$r, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
+        |${p}usl$r AS (SELECT list(${wtdiv("u", "1048576")} ORDER BY j) AS usl
+        |  FROM ${p}u$r),
+        |${p}nrm$r AS (
         |  SELECT sqrt(list_reduce(list_transform(usl,
         |    x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) AS nrm
-        |  FROM usl$r),
-        |vl$r AS MATERIALIZED (
+        |  FROM ${p}usl$r),
+        |${p}vl$r AS MATERIALIZED (
         |  SELECT list_transform(usl,
         |    x -> CAST(FLOOR(x * (1048576.0 / nrm) + 0.5) AS BIGINT)) AS vl
-        |  FROM usl$r, nrm$r)""".stripMargin
+        |  FROM ${p}usl$r, ${p}nrm$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xq AS MATERIALIZED (
-      |  SELECT vec_id, list_transform(embedding,
-      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT)) AS xq
-      |  FROM embeddings),
-      |nn AS (SELECT COUNT(*) AS n FROM xq),
-      |musum AS (
+    s"""${p}nn AS (SELECT COUNT(*) AS n FROM $src),
+      |${p}musum AS (
       |  SELECT j, CAST(SUM(xq[j]) AS BIGINT) AS sx
-      |  FROM xq, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
-      |mu AS (SELECT j, ${tdiv("sx", "n")} AS m FROM musum, nn),
-      |mul AS MATERIALIZED (SELECT list(m ORDER BY j) AS ml FROM mu),
-      |xc AS MATERIALIZED (
+      |  FROM $src, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
+      |${p}mu AS (SELECT j, ${wtdiv("sx", "n")} AS m FROM ${p}musum, ${p}nn),
+      |${p}mul AS MATERIALIZED (SELECT list(m ORDER BY j) AS ml FROM ${p}mu),
+      |${p}xc AS MATERIALIZED (
       |  SELECT vec_id, list_transform(range(1, ${d + 1}),
       |    j -> xq[j] - ml[j]) AS xc
-      |  FROM xq, mul),
-      |vl0 AS (SELECT [$seed]::BIGINT[] AS vl),
+      |  FROM $src, ${p}mul),
+      |${p}vl0 AS (SELECT [$seed]::BIGINT[] AS vl),
       |$roundCtes,
-      |vsgn AS MATERIALIZED (
+      |${p}vsgn AS MATERIALIZED (
       |  SELECT CASE WHEN (list_filter(vl, x -> x <> 0))[1] < 0
       |    THEN list_transform(vl, x -> -x) ELSE vl END AS vl
-      |  FROM vl$rounds),
-      |sf AS (
+      |  FROM ${p}vl$rounds),
+      |${p}sf AS (
       |  SELECT vec_id, xc,
       |    CAST(list_aggregate(list_transform(range(1, ${d + 1}),
       |      j -> xc[j] * vl[j]), 'sum') AS BIGINT) AS s
-      |  FROM xc, vsgn),
-      |proj AS (SELECT vec_id, xc, ${tdiv("s", "1048576")} AS proj_q FROM sf)
-      |SELECT p.vec_id,
-      |  list_transform(range(1, ${d + 1}),
-      |    j -> p.xc[j] - (${tdiv("p.proj_q * vl[j]", "1048576")})) AS processed,
+      |  FROM ${p}xc, ${p}vsgn),
+      |${p}proj AS (SELECT vec_id, xc, ${wtdiv("s", "1048576")} AS proj_q
+      |  FROM ${p}sf),
+      |${p}out AS MATERIALIZED (
+      |  SELECT p.vec_id, list_transform(range(1, ${d + 1}),
+      |    j -> p.xc[j] - (${wtdiv("p.proj_q * vl[j]", "1048576")})) AS xq
+      |  FROM ${p}proj p, ${p}vsgn)""".stripMargin
+  }
+
+  private val whitenQuantizeSql: String =
+    """xq0 AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+      |  FROM embeddings)""".stripMargin
+
+  private def whitenSql(rounds: Int, d: Int): String = {
+    s"""WITH $whitenQuantizeSql,
+      |${whitenPassSql("a", "xq0", rounds, d)}
+      |SELECT p.vec_id, CAST(j - 1 AS INT) AS j,
+      |  CAST(p.xc[j] - (${wtdiv("p.proj_q * vl[j]", "1048576")}) AS BIGINT) AS v,
       |  CAST(p.proj_q AS BIGINT) AS proj_q
-      |FROM proj p, vsgn ORDER BY p.vec_id""".stripMargin
+      |FROM aproj p, avsgn, UNNEST(range(1, ${d + 1})) AS t(j)
+      |ORDER BY p.vec_id, j""".stripMargin
+  }
+
+  /** C13al twin: replay Whiten.momentStats → modelFromMoments — the
+    * exactly-additive second-moment state and the DRIVER-side double
+    * power iteration it feeds. The moment/centered-matrix arithmetic
+    * is HUGEINT-exact with ONE cast to double per matrix cell
+    * (mirroring BigDecimal.toDouble); the iteration replays Scala's
+    * fixed-order reduceLeft folds via list_reduce over lists ordered
+    * by dim (the q_embed_train precedent). Output: the derived model
+    * (j, mu, v) — 64 rows, hash-exact. */
+  private def whitenModelSql(rounds: Int, d: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""w$r AS (
+        |  SELECT c.i, list_reduce(list(c.c * v.v ORDER BY c.j),
+        |    (a, b) -> a + b) AS u
+        |  FROM cmat c JOIN v${r - 1} v ON v.j = c.j GROUP BY c.i),
+        |n$r AS (SELECT sqrt(list_reduce(list(u * u ORDER BY i),
+        |  (a, b) -> a + b)) AS nm FROM w$r),
+        |v$r AS MATERIALIZED (SELECT i AS j, u / nm AS v FROM w$r, n$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $whitenQuantizeSql,
+      |cnt AS (SELECT COUNT(*) AS n FROM xq0),
+      |sx AS MATERIALIZED (
+      |  SELECT j, CAST(SUM(xq[j]) AS BIGINT) AS sx
+      |  FROM xq0, UNNEST(range(1, ${d + 1})) AS t(j) GROUP BY j),
+      |mu AS MATERIALIZED (SELECT j, ${wtdiv("sx", "n")} AS m FROM sx, cnt),
+      |sxx AS MATERIALIZED (
+      |  SELECT i, j, SUM(CAST(xq[i] AS HUGEINT) * xq[j]) AS v
+      |  FROM xq0, UNNEST(range(1, ${d + 1})) AS ti(i),
+      |    UNNEST(range(1, ${d + 1})) AS tj(j)
+      |  WHERE i <= j GROUP BY i, j),
+      |sxxf AS (SELECT i, j, v FROM sxx
+      |  UNION ALL SELECT j AS i, i AS j, v FROM sxx WHERE i < j),
+      |cmat AS MATERIALIZED (
+      |  SELECT s.i, s.j, CAST(s.v
+      |    - CAST(m1.m AS HUGEINT) * x2.sx
+      |    - CAST(m2.m AS HUGEINT) * x1.sx
+      |    + CAST(cnt.n AS HUGEINT) * m1.m * m2.m AS DOUBLE) AS c
+      |  FROM sxxf s
+      |  JOIN mu m1 ON m1.j = s.i JOIN mu m2 ON m2.j = s.j
+      |  JOIN sx x1 ON x1.j = s.i JOIN sx x2 ON x2.j = s.j, cnt),
+      |v0 AS (SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS v
+      |  FROM UNNEST(range(1, ${d + 1})) AS t(j)),
+      |$roundCtes,
+      |vq AS MATERIALIZED (
+      |  SELECT j, CAST(FLOOR(v * 1048576.0 + 0.5) AS BIGINT) AS vq
+      |  FROM v$rounds),
+      |sg AS (SELECT CASE WHEN (SELECT vq FROM vq WHERE vq <> 0
+      |  ORDER BY j LIMIT 1) < 0 THEN -1 ELSE 1 END AS sg)
+      |SELECT CAST(m.j - 1 AS INT) AS j, CAST(m.m AS BIGINT) AS mu,
+      |  CAST(sg.sg * q.vq AS BIGINT) AS v
+      |FROM mu m JOIN vq q ON q.j = m.j, sg ORDER BY j""".stripMargin
+  }
+
+  /** L113b twin: two deflation passes; pass b reads pass a's integer
+    * output exactly as Whiten.removeTopComponents re-quantizes it. */
+  private def whiten2Sql(rounds: Int, d: Int): String = {
+    s"""WITH $whitenQuantizeSql,
+      |${whitenPassSql("a", "xq0", rounds, d)},
+      |${whitenPassSql("b", "aout", rounds, d)}
+      |SELECT o.vec_id, CAST(j - 1 AS INT) AS j,
+      |  CAST(o.xq[j] AS BIGINT) AS v
+      |FROM bout o, UNNEST(range(1, ${d + 1})) AS t(j)
+      |ORDER BY o.vec_id, j""".stripMargin
   }
 
   private def embedTrainSql(dims: Int, rounds: Int, dampDen: Long): String = {
@@ -2278,6 +2402,8 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_embed_whiten" -> whitenSql(rounds = 3, d = 64),
+    "q_embed_whiten2" -> whiten2Sql(rounds = 3, d = 64),
+    "q_whiten_model" -> whitenModelSql(rounds = 3, d = 64),
 
     "q_embed_train" -> embedTrainSql(dims = 8, rounds = 2, dampDen = 65536L),
 

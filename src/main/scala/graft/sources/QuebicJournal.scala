@@ -121,21 +121,43 @@ object QuebicJournal {
       case _ => in.readLong()
     }
 
+  /** Field-length varint, validated against the decompressed payload's
+    * remaining bytes BEFORE allocation: a corrupt length (negative
+    * after .toInt, or just under 2^31) must land in the documented
+    * skip path (IllegalStateException is in readFrames' catch list),
+    * not escape as NegativeArraySizeException / a 2 GB allocation. */
+  private def readLen(in: DataInputStream, what: String): Int = {
+    val n = readVarint(in)
+    if (n < 0 || n > in.available())
+      throw new IllegalStateException(
+        s"$what length $n exceeds remaining payload (${in.available()}B) " +
+          "— corrupt frame")
+    n.toInt
+  }
+
   private def readField(in: DataInputStream, t: GraftType): Any = t match {
     case GraftType.INTEGER => readVarint(in)
     case GraftType.REAL => in.readDouble()
     case GraftType.TEXT =>
-      val n = readVarint(in).toInt
+      val n = readLen(in, "text")
       val b = new Array[Byte](n); in.readFully(b)
       new String(b, StandardCharsets.UTF_8)
     case GraftType.BINARY =>
-      val n = readVarint(in).toInt
+      val n = readLen(in, "binary")
       val b = new Array[Byte](n); in.readFully(b)
       b
     case GraftType.TENSOR =>
-      val rank = readVarint(in).toInt
-      val shape = Seq.fill(rank)(readVarint(in).toInt)
-      val values = Seq.fill(shape.product)(in.readDouble())
+      val rank = readLen(in, "tensor rank") // each dim needs >= 1 byte
+      val shape = Seq.fill(rank)(readLen(in, "tensor dim"))
+      // overflow-safe product: dims are each <= available (~2^31) and
+      // the running product is capped before it can reach 2^63
+      val count = shape.foldLeft(1L)((a, b) =>
+        if (a > Int.MaxValue.toLong) a else a * b)
+      if (count < 0 || count > in.available() / 8)
+        throw new IllegalStateException(
+          s"tensor of ${count} doubles exceeds remaining payload " +
+            s"(${in.available()}B) — corrupt frame")
+      val values = Seq.fill(count.toInt)(in.readDouble())
       Row(shape, values)
   }
 

@@ -223,7 +223,11 @@ object ScaleProbe {
     "q_winsorize", "q_ranking_eval",
     // r15: one B-bin corpus aggregate + O(B^3) driver closed form on
     // bounded rows (corpus cost is the margin chain, linear)
-    "q_calibration_isotonic")
+    "q_calibration_isotonic",
+    // r16: 2x the single-pass whiten cost (deflation is pass-composed);
+    // moment model is one d²-cell corpus aggregate + driver-side
+    // O(d²·rounds) on the bounded state
+    "q_embed_whiten2", "q_whiten_model")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -665,6 +665,33 @@ class QueueSpec extends SparkSpec {
     assert(err.getMessage.contains("signature"))
   }
 
+  test("quebic import: garbage field lengths land in the skip path, not OOM/crash") {
+    import graft.sources.QuebicJournal
+    val dir = Files.createTempDirectory("qbj3")
+    val mk = (id: Long, s: String) => fx.varint(id) ++ fx.text(s)
+    // frame 2's text length varint decodes to 2^32-1: .toInt is -1,
+    // which used to escape as NegativeArraySizeException (aborting the
+    // whole import); a length just under 2^31 used to attempt a 2 GB
+    // allocation. Both must now be validated against the remaining
+    // payload bytes and SKIPPED (r15 ADVICE).
+    val huge = fx.varint(9L) ++
+      Array[Byte](254.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xFF.toByte) // text length 4294967295
+    val big31 = fx.varint(8L) ++
+      Array[Byte](254.toByte, 0x7F.toByte, 0xFF.toByte, 0xFF.toByte,
+        0xF0.toByte) // text length 2147483632: positive, allocation bomb
+    val (bytes, _) = fx.journal(Seq(0, 2),
+      Seq((1L, -1L, 0.toByte, mk(1, "a")),
+        (2L, -1L, 0.toByte, huge),
+        (3L, -1L, 0.toByte, big31),
+        (4L, -1L, 0.toByte, mk(4, "d"))))
+    val path = fx.write(dir.resolve("len.qbj"), bytes)
+    val d = QuebicJournal.readFrames(path)
+    assert(d.skippedBroken == 2 &&
+      d.frames.map(_.values.head) == Vector(4L, 1L),
+      s"both garbage-length frames skipped, 1+4 survive: $d")
+  }
+
   test("quebic import: journal -> ParquetQueue round-trip preserves order, ts, TTL") {
     import graft.sources.QuebicJournal
     val dir = Files.createTempDirectory("qbj3")

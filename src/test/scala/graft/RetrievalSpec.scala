@@ -149,4 +149,22 @@ class RetrievalSpec extends SparkSpec {
     // weight table itself: monotone decreasing, w(1) = 1e9 exactly
     assert(w.head == 1000000000L && w == w.sorted.reverse)
   }
+
+  test("rankingMetrics: duplicate (query, doc) results count once at min rank") {
+    import graft.operators.Retrieval
+    val w = Retrieval.ndcgWeightsPpb(4)
+    // doc 1 relevant, repeated at ranks 1 AND 3 by a malformed system:
+    // must count as ONE hit at rank 1 — not two hits (which would push
+    // recall to 2e6/2 = 1e6 despite doc 2 missing, and double-count DCG)
+    val m = Retrieval.rankingMetrics(
+        Seq((1L, 1L, 1), (1L, 1L, 3), (1L, 9L, 2)).toDF("query_id", "doc_id", "rank"),
+        Seq((1L, 1L), (1L, 2L)).toDF("query_id", "doc_id"),
+        "query_id", "doc_id", "rank", k = 4)
+      .head()
+    assert(m.getLong(2) == 1L, s"n_hits must dedup to 1: $m")
+    assert(m.getLong(3) == 500000L, s"recall 1/2: $m")
+    assert(m.getLong(4) == 1000000L, s"mrr at min rank 1: $m")
+    assert(m.getLong(5) == w(0) * 1000000L / (w(0) + w(1)),
+      s"dcg counts the dup once at rank 1: $m")
+  }
 }

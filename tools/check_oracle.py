@@ -130,9 +130,27 @@ def dialect_probe(con, oracle, n_ok, n_bad):
     return n_ok, n_bad
 
 
+def shape_violations(tbl):
+    """Columns the DRIVER's comparator cannot sort (pandas sort_values
+    on ndarray/dict/bytes cells raises) — the r15 q_embed_whiten red.
+    Registered queries must emit flat scalar-sortable columns only;
+    vector-valued results go out in long form (id, j, v)."""
+    bad = []
+    for f in tbl.schema:
+        t = f.type
+        if (pa.types.is_nested(t) or pa.types.is_binary(t)
+                or pa.types.is_large_binary(t)):
+            bad.append(f"{f.name}: {t}")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    only = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = set(x for x in a[len("--only="):].split(",") if x)
     if "--skip-spark" not in sys.argv:
         r = subprocess.run(
             ["sbt", f'runMain graft.Verify {sf_dir} {out_dir}'],
@@ -159,7 +177,16 @@ def main():
     # rows-only checks for queries without an oracle
     for p in sorted(Path(out_dir).iterdir()):
         if p.is_dir() and p.name not in oracle:
-            n = pq.read_table(p).num_rows
+            if only is not None and p.name not in only:
+                continue
+            rt = pq.read_table(p)
+            shape = shape_violations(rt)
+            if shape:
+                print(f"FAIL {p.name}: driver-unsortable output columns: "
+                      f"{shape}")
+                n_bad += 1
+                continue
+            n = rt.num_rows
             if n > 0:
                 print(f"OK   {p.name}: {n} rows (rows-only)")
                 n_ok += 1
@@ -167,12 +194,19 @@ def main():
                 print(f"FAIL {p.name}: 0 rows (rows-only)")
                 n_bad += 1
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         spark_path = Path(out_dir) / name
         if not spark_path.exists():
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
         stbl = pq.read_table(spark_path)
+        shape = shape_violations(stbl)
+        if shape:
+            print(f"FAIL {name}: driver-unsortable output columns: {shape}")
+            n_bad += 1
+            continue
         try:
             dtbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
