@@ -1089,10 +1089,16 @@ object CurationQueries {
     // posexploded to the LONG form (vec_id, j, v) — the driver's
     // comparator sorts columns with pandas and cannot sort array
     // cells (the r15 red), and long-form is the q_embed_train shape.
+    // The wide frame is PINNED before the explode: posexplode over the
+    // unpinned model-literal projection forces the 64-literal zip_with
+    // chain out of the fast path and the sort's sampling pass then
+    // executes it twice — measured 10.0 s vs 0.36 s pinned at sf0.1
+    // (the explode+sort re-reads 2 narrow columns from the checkpoint
+    // instead).
     "q_embed_whiten" -> { (s, dir) =>
-      graft.operators.Whiten.allButTheTop(
+      graft.operators.Lineage.pin(graft.operators.Whiten.allButTheTop(
           t(s, dir, "embeddings"), "vec_id", "embedding", rounds = 3)
-        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("id", "vec_id"))
         .select(col("vec_id"),
           posexplode(col("processed")).as(Seq("j", "v")), col("proj_q"))
         .orderBy("vec_id", "j")
@@ -1105,10 +1111,10 @@ object CurationQueries {
     // powers, so the composition hash-oracles (pass b of the SQL twin
     // reads pass a's integer output directly).
     "q_embed_whiten2" -> { (s, dir) =>
-      graft.operators.Whiten.removeTopComponents(
+      graft.operators.Lineage.pin(graft.operators.Whiten.removeTopComponents(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           components = 2, rounds = 3)
-        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("id", "vec_id"))
         .select(col("vec_id"), posexplode(col("processed")).as(Seq("j", "v")))
         .orderBy("vec_id", "j")
     },
