@@ -1170,6 +1170,46 @@ object Curate {
     }
   }
 
+  /** L114b: serve-time isotonic APPLY — the surface a production gate
+    * actually consumes: map each row's ppm score through the fitted
+    * (bin → iso_ppm) step function. The fit table is bounded (B ≤ 64
+    * rows, already driver-sized by [[isotonicCalibrate]]), so the
+    * lookup DENSIFIES driver-side — a score landing in a bin the
+    * calibration fold never populated takes the nearest FITTED bin
+    * below (step functions extend right), and scores below the first
+    * fitted bin take the first fitted value — then broadcasts the
+    * B-row dense table back onto the rows as a map-side equi-join.
+    * Cost: one broadcast of ≤64 rows; no shuffle of the scored table.
+    * Returns the input plus (bin, cal_ppm); cal_ppm is monotone in
+    * the score by the fit's monotonicity. */
+  def isotonicApply(scored: DataFrame, scorePpmCol: String,
+                    fit: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 64,
+      s"isotonic apply wants 2..64 bins, got $buckets")
+    val spark = scored.sparkSession
+    val fitted = fit.select("bin", "iso_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    require(fitted.nonEmpty, "empty isotonic fit table")
+    val first = fitted.head._2
+    val dense = Array.ofDim[Long](buckets)
+    var cur = first
+    var fi = 0
+    for (b <- 0 until buckets) {
+      while (fi < fitted.length && fitted(fi)._1 <= b) {
+        cur = fitted(fi)._2; fi += 1
+      }
+      dense(b) = cur
+    }
+    import spark.implicits._
+    val lookup = dense.zipWithIndex
+      .map { case (iso, b) => (b.toLong, iso) }.toSeq
+      .toDF("bin", "cal_ppm")
+    scored
+      .withColumn("bin",
+        least(lit(buckets - 1L), expr(s"$scorePpmCol * $buckets div 1000000")))
+      .join(broadcast(lookup), "bin")
+  }
+
   /** Reliability rows from a (bin, n, n_pos, sp) stats table. */
   def calibrationFromStats(stats: DataFrame): DataFrame =
     stats

@@ -864,6 +864,21 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // L114b (r16): isotonic APPLY — the serve-time surface: every
+    // row's ppm score mapped through the fitted step function
+    // (driver-densified ≤64-row lookup, broadcast back map-side).
+    // The scored frame is pinned once: the fit collects B-bin stats
+    // from it and the apply re-reads it — unpinned, the margin
+    // pipeline would execute twice.
+    "q_calibration_apply" -> { (s, dir) =>
+      val scored = graft.operators.Lineage.pin(calibrationScored(s, dir))
+      val fit = Curate.isotonicCalibrate(scored, "p_ppm", "is_en",
+        buckets = 10)
+      Curate.isotonicApply(scored, "p_ppm", fit, buckets = 10)
+        .select(col("doc_id"), col("p_ppm"), col("cal_ppm"))
+        .orderBy("doc_id")
+    },
+
     // L107b (r14): the one-number form — expected calibration error
     // in ppm off the same bins (B-row aggregate).
     "q_calibration_ece" -> { (s, dir) =>
@@ -3932,6 +3947,48 @@ object CurationQueries {
         |SELECT CAST(c.bin AS BIGINT) AS bin, c.n, c.n_pos,
         |  CAST(c.n_pos * 1000000 // c.n AS BIGINT) AS raw_ppm, iso.iso_ppm
         |FROM c JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+
+    // L114b: the apply replay — same maximin iso CTEs, densified to
+    // every bin via a correlated nearest-fitted-bin-below lookup
+    // (10 rows), then the per-row bin join. pp feeds both the bin
+    // stats and the final apply → MATERIALIZED.
+    "q_calibration_apply" ->
+      s"""$classifierMarginCteSql,
+        |bd AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |pp AS MATERIALIZED (
+        |  SELECT m.doc_id, CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(CAST(m.margin - bd.mn AS HUGEINT) * 1000000
+        |      // GREATEST(bd.mx - bd.mn, 1) AS BIGINT) AS p
+        |  FROM m, bd),
+        |c AS (
+        |  SELECT LEAST(9, p * 10 // 1000000) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM pp GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS w,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS s
+        |  FROM c),
+        |pairs AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |    CAST((k.s - j.s + j.n_pos) * 1000000
+        |      // (k.w - j.w + j.n) AS BIGINT) AS q
+        |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+        |inner_min AS (
+        |  SELECT i.bin, p.jb, MIN(p.q) AS mn
+        |  FROM cum i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+        |  GROUP BY i.bin, p.jb),
+        |iso AS MATERIALIZED (SELECT bin, CAST(MAX(mn) AS BIGINT) AS iso_ppm
+        |  FROM inner_min GROUP BY bin),
+        |dense AS (
+        |  SELECT g.b AS bin, COALESCE(
+        |    (SELECT i.iso_ppm FROM iso i WHERE i.bin <= g.b
+        |       ORDER BY i.bin DESC LIMIT 1),
+        |    (SELECT i.iso_ppm FROM iso i ORDER BY i.bin LIMIT 1)) AS cal_ppm
+        |  FROM generate_series(0, 9) g(b))
+        |SELECT pp.doc_id, pp.p AS p_ppm, d.cal_ppm
+        |FROM pp JOIN dense d ON d.bin = LEAST(9, pp.p * 10 // 1000000)
+        |ORDER BY doc_id""".stripMargin,
 
     // L107b: ECE — the n-weighted mean gap over the same bins.
     "q_calibration_ece" ->

@@ -227,7 +227,10 @@ object ScaleProbe {
     // r16: 2x the single-pass whiten cost (deflation is pass-composed);
     // moment model is one d²-cell corpus aggregate + driver-side
     // O(d²·rounds) on the bounded state
-    "q_embed_whiten2", "q_whiten_model")
+    "q_embed_whiten2", "q_whiten_model",
+    // r16: serve-time isotonic apply — the margin chain (linear) +
+    // one B-bin fit aggregate + a ≤64-row broadcast back onto rows
+    "q_calibration_apply")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -296,6 +296,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("isotonic apply: step lookup, empty-bin densification, monotone serve") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // a fit with HOLES: bins 1 and 3 of 5 were never populated on the
+    // calibration fold — scores landing there must take the nearest
+    // fitted bin BELOW (step functions extend right), scores below
+    // the first fitted bin take the first fitted value
+    val fit = Seq((0L, 10L, 1L, 100000L, 100000L),
+        (2L, 10L, 3L, 300000L, 300000L),
+        (4L, 10L, 8L, 800000L, 800000L))
+      .toDF("bin", "n", "n_pos", "raw_ppm", "iso_ppm")
+    // one score per serve bin: 0..4 (bin = p*5 div 1e6)
+    val scored = Seq((1L, 100000L), (2L, 300000L), (3L, 500000L),
+        (4L, 700000L), (5L, 900000L)).toDF("id", "p")
+    val out = Curate.isotonicApply(scored, "p", fit, buckets = 5)
+      .select("id", "cal_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 100000L, 2L -> 100000L, 3L -> 300000L,
+      4L -> 300000L, 5L -> 800000L),
+      s"step lookup with holes: $out")
+    // no rows dropped (the empty-bin inner-join failure mode) and the
+    // served value is monotone in the score
+    assert(out.size == 5, "apply must keep every scored row")
+    val served = scored.orderBy("p").collect().map(_.getLong(1))
+      .map(p => out(scored.filter(col("p") === p).head().getLong(0)))
+    assert(served.toSeq == served.toSeq.sorted, "serve must stay monotone")
+    // p = exactly 1e6 caps into the last bin, never a lost row
+    val cap = Curate.isotonicApply(Seq((9L, 1000000L)).toDF("id", "p"),
+      "p", fit, buckets = 5).select("cal_ppm").head().getLong(0)
+    assert(cap == 800000L, s"score 1e6 must cap into the last bin: $cap")
+  }
+
   test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
     import spark.implicits._
     import graft.operators.Curate

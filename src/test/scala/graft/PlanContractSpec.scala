@@ -455,4 +455,29 @@ class PlanContractSpec extends SparkSpec {
     assert(pw.contains("BroadcastHashJoin"),
       s"winsorize bounds must broadcast back onto the rows:\n$pw")
   }
+
+  test("every registered query emits flat scalar-sortable columns only") {
+    // The driver's oracle harness sorts result columns with pandas:
+    // array/struct/map cells arrive as numpy arrays / dicts and throw
+    // `unhashable type` (the r15 q_embed_whiten red), and raw binary
+    // arrives as unhashable bytearray. This is the output-shape
+    // contract r15's verdict asked to enforce mechanically: vector-
+    // valued results must be posexploded to long form (the
+    // q_embed_train `(node, d, v)` shape) and payload bytes projected
+    // through sha2 before registration. check_oracle.py enforces the
+    // same rule at the gate; this case makes `sbt test` red without a
+    // verify run.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      f(spark, sfDir).schema.fields.collect {
+        case fld if fld.dataType.isInstanceOf[ArrayType] ||
+          fld.dataType.isInstanceOf[MapType] ||
+          fld.dataType.isInstanceOf[StructType] ||
+          fld.dataType == BinaryType =>
+          s"$name.${fld.name}: ${fld.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"registered queries with driver-unsortable output columns:\n${bad.mkString("\n")}")
+  }
 }

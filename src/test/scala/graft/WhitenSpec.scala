@@ -101,6 +101,31 @@ class WhitenSpec extends SparkSpec {
     assert(one == direct, "1-component deflation must equal the single pass")
   }
 
+  test("moment-derived model aligns with the batch fit (C13al parity pin)") {
+    // modelFromMoments documents "bit-equality NOT promised" vs fit
+    // (fit truncates per-row projections; the moment path iterates on
+    // exact centered moments). This pins the parity that IS promised,
+    // so silent divergence between the streaming-maintained model and
+    // the batch model is caught: μ must be IDENTICAL (both are the
+    // trunc-mean of the same quantized table) and the directions must
+    // align to cos ≥ 0.999 on the planted corpus.
+    val (nF, muF, vF) = Whiten.fit(planted(), "vec_id", "embedding", rounds = 4)
+    val moments = Whiten.momentStats(planted(), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        BigDecimal(r.getDecimal(2)))).toSeq
+    val (nM, muM, vM) = Whiten.modelFromMoments(moments, rounds = 4)
+    assert(nM == nF, s"row counts diverge: $nM vs $nF")
+    assert(muM.toSeq == muF.toSeq,
+      s"trunc-means must be identical: ${muM.toSeq} vs ${muF.toSeq}")
+    val dot = vF.zip(vM).map { case (a, b) => a.toDouble * b }.sum
+    val cos = dot / (math.sqrt(vF.map(x => x.toDouble * x).sum) *
+      math.sqrt(vM.map(x => x.toDouble * x).sum))
+    assert(cos > 0.999,
+      s"moment-path direction off the batch fit: cos=$cos " +
+        s"fit=${vF.toSeq} moments=${vM.toSeq}")
+  }
+
   test("partition invariance and degenerate-input guard") {
     val a = Whiten.allButTheTop(planted(), "vec_id", "embedding", rounds = 3)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
