@@ -1210,6 +1210,84 @@ object Curate {
       .join(broadcast(lookup), "bin")
   }
 
+  /** L115 (r16): split-conformal calibration audit (Vovk et al.;
+    * Mondrian / class-conditional form) — the distribution-free
+    * coverage guarantee a production gate wants on top of the L114
+    * calibrator: from a held-out CALIBRATION fold, the per-class
+    * nonconformity threshold t_y = the k-th smallest nonconformity
+    * among calibration rows of class y, k = ⌈(n_y+1)(1−α)⌉; on the
+    * TEST fold, the prediction set of a row includes class y iff its
+    * nonconformity for y is ≤ t_y, and marginal class-conditional
+    * coverage ≥ 1−α holds by exchangeability alone — no calibration
+    * assumption at all. Nonconformity here is the ppm complement of
+    * the class pseudo-probability: s_en = 10⁶ − p_ppm, s_other =
+    * p_ppm — all-integer, so every threshold and count replays.
+    *
+    * Scale shape: the k-th order statistic per class comes from the
+    * (cls, s) COUNT table + a [[PrefixSum.keyed]] two-level scan
+    * (never a per-class global sort); thresholds are a ≤2·|alphas|
+    * row frame broadcast onto the test fold; coverage is one grouped
+    * aggregate. k > n_y (tiny class) yields threshold 10⁶+1 =
+    * include-always, the conservative conformal convention.
+    *
+    * Returns one row per (alpha_pm, cls): (alpha_pm, cls, n_cal,
+    * thresh_ppm, n_test, n_cov, coverage_ppm, n_incl) where n_incl
+    * counts ALL test rows whose set includes cls — Σ_cls n_incl /
+    * n_test is the mean prediction-set size (the efficiency metric
+    * paired with the coverage guarantee). */
+  def conformalAudit(scored: DataFrame, scorePpmCol: String,
+                     labelCol: String, calFold: Column,
+                     alphasPm: Seq[Int] = Seq(100, 200)): DataFrame = {
+    require(alphasPm.nonEmpty && alphasPm.forall(a => a > 0 && a < 1000),
+      s"alphas are per-mille in (0, 1000), got $alphasPm")
+    val base = Lineage.pin(scored.select(
+      col(scorePpmCol).cast("long").as("p"),
+      when(col(labelCol), lit("pos")).otherwise(lit("neg")).as("y"),
+      calFold.as("cal")))
+    // calibration nonconformity of the TRUE class, per class
+    val cal = base.filter(col("cal"))
+      .select(col("y").as("cls"),
+        when(col("y") === "pos", lit(1000000L) - col("p"))
+          .otherwise(col("p")).as("s"))
+    val counts = cal.groupBy("cls", "s").agg(count(lit(1)).as("c"))
+    val cum = PrefixSum.keyed(counts, Seq("cls"), Seq("s"), col("c"),
+      expr("s div 16384"), "cum", "n_cal")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val alphas = alphasPm.map(_.toLong).toDF("alpha_pm")
+    // k = ceil((n+1)(1000-alpha)/1000), positive → (x+999) div 1000
+    val thrs = cum.crossJoin(broadcast(alphas))
+      .withColumn("k",
+        expr("((n_cal + 1) * (1000 - alpha_pm) + 999) div 1000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("alpha_pm", "cls")
+      .agg(min("s").as("thresh_ppm"), first("n_cal").as("n_cal"))
+    // every (alpha, cls) must emit a row even when k > n_cal: rebuild
+    // the full grid off the bounded per-class totals and left-join
+    val grid = cal.groupBy("cls").agg(count(lit(1)).as("n_cal"))
+      .crossJoin(broadcast(alphas))
+    val thrFull = grid.join(thrs.drop("n_cal"), Seq("alpha_pm", "cls"), "left")
+      .withColumn("thresh_ppm", coalesce(col("thresh_ppm"), lit(1000001L)))
+    // test fold: both-class nonconformities against the broadcast grid
+    val test = base.filter(!col("cal"))
+    val joined = test.crossJoin(broadcast(thrFull))
+      .withColumn("s_cls",
+        when(col("cls") === "pos", lit(1000000L) - col("p"))
+          .otherwise(col("p")))
+      .withColumn("incl", col("s_cls") <= col("thresh_ppm"))
+    joined.groupBy("alpha_pm", "cls")
+      .agg(first("n_cal").as("n_cal"),
+        first("thresh_ppm").as("thresh_ppm"),
+        sum(when(col("y") === col("cls"), 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("y") === col("cls") && col("incl"), 1L).otherwise(0L))
+          .as("n_cov"),
+        sum(when(col("incl"), 1L).otherwise(0L)).as("n_incl"))
+      .withColumn("coverage_ppm",
+        expr("n_cov * 1000000 div greatest(n_test, 1)"))
+      .select("alpha_pm", "cls", "n_cal", "thresh_ppm", "n_test",
+        "n_cov", "coverage_ppm", "n_incl")
+  }
+
   /** Reliability rows from a (bin, n, n_pos, sp) stats table. */
   def calibrationFromStats(stats: DataFrame): DataFrame =
     stats

@@ -302,6 +302,135 @@ object Observe {
         col("v").as("at_value"))
   }
 
+  /** L115: Mann–Whitney rank-sum drift — the LOCATION-shift companion
+    * to [[ksDrift]]: KS's sup-norm sees any CDF gap, the rank-sum
+    * statistic is the sharpest nonparametric test for "did this
+    * column's values systematically move up/down between releases /
+    * sources", and its normalized form U/(n_a·n_b) IS the
+    * common-language effect size P(a > b) + ½P(a = b) — the same AUC
+    * semantics the L103 eval family speaks.
+    *
+    * All-integer via the DOUBLED-midrank trick: with per-value counts
+    * (da, db, t = da+db) and the inclusive cumulative count c over the
+    * value order, the tie block at v occupies positions (c−t+1)..c, so
+    * twice its midrank is 2(c−t) + t + 1 — an integer where the
+    * midrank itself is not. Then 2R_a = Σ da·(2(c−t)+t+1),
+    * U2 = 2U_a = 2R_a − n_a(n_a+1), auc_ppm = ⌊U2·5·10⁵/(n_a·n_b)⌋,
+    * and the tie-corrected null variance reported PER PAIR (×10⁶):
+    * varpp_micro = ⌊10⁶·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1))⌋,
+    * so Var(U) = varpp·n_a·n_b/10⁶ — the n_a·n_b factor is divided
+    * OUT before widening precisely so the worst term is 10⁶·n³
+    * (decimal(38,0)-safe to n ≈ 3·10¹⁰ rows, where the naïve
+    * n_a·n_b·n³ product blows 38 digits at n ≈ 3·10⁶). All terms
+    * non-negative, so trunc-div needs no sign split. E[U2] = n_a·n_b,
+    * so the z-score is (u2 − n_a·n_b)/(2·sqrt(varpp·n_a·n_b/10⁶))
+    * for any consumer with a sqrt.
+    *
+    * Scale shape (the ksDrift recipe): one (value) groupBy over both
+    * inputs → the pinned distinct-value support, ONE
+    * [[PrefixSum.bucketed]] two-level scan (KS needs two), and a
+    * 1-row final aggregate. Returns one row:
+    * (n_a, n_b, u2, auc_ppm, varpp_micro). */
+  def rankSumDrift(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                   buckets: Int = 256): DataFrame = {
+    val va = a.select(col(aCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("da"), lit(0L).as("db"))
+    val vb = b.select(col(bCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("da"), lit(1L).as("db"))
+    val support = Lineage.pinDerived(va.unionByName(vb)
+      .groupBy("v").agg(sum("da").as("da"), sum("db").as("db")))
+    val Row(mn: Double, mx: Double) =
+      support.agg(min("v"), max("v")).head()
+    val w = if (mx > mn) (mx - mn) / buckets else 1.0
+    val cell = least(floor((col("v") - lit(mn)) / lit(w)),
+      lit(buckets - 1).cast("double")).cast("long")
+    val cum = PrefixSum.bucketed(support, Seq("v"),
+      col("da") + col("db"), cell, "c")
+    val Row(na: Long, nb: Long) =
+      support.agg(sum("da"), sum("db")).head()
+    require(na > 0 && nb > 0,
+      s"rankSumDrift needs non-empty sides, got n_a=$na n_b=$nb")
+    val n = na + nb
+    cum
+      .withColumn("t", col("da") + col("db"))
+      .agg(
+        sum((col("da").cast("decimal(38,0)") *
+          (lit(2L) * (col("c") - col("t")) + col("t") + 1L)).cast("decimal(38,0)"))
+          .as("__r2a"),
+        sum((col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("__ties"))
+      .select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        expr(s"cast(__r2a - cast($na as decimal(38,0)) * ${na + 1}L as long)")
+          .as("u2"),
+        expr(s"cast((__r2a - cast($na as decimal(38,0)) * ${na + 1}L) " +
+          s"* 500000 div (cast($na as decimal(38,0)) * $nb) as long)")
+          .as("auc_ppm"),
+        expr(s"cast(cast(1000000 as decimal(38,0)) " +
+          s"* (cast(${n + 1} as decimal(38,0)) * $n * ${n - 1} - __ties) " +
+          s"div (cast(12 as decimal(38,0)) * $n * ${n - 1}) as long)")
+          .as("varpp_micro"))
+  }
+
+  /** R56: two-sample chi-square drift over a CATEGORICAL column — the
+    * member of the drift family ([[ksDrift]] / [[rankSumDrift]] cover
+    * ordered values) for lang / source / status distributions, where
+    * CDFs don't exist. The 2×C homogeneity statistic in the
+    * cross-multiplied form that needs no expected-count division:
+    * chi² = Σ_c (o_ac·N_b − o_bc·N_a)² / (N_a·N_b·(o_ac+o_bc))
+    * (the (O−E)²/E sum over both rows collapses to this — no expected
+    * counts, no leading N),
+    * emitted per category (×10⁶, the attribution a drift alarm needs:
+    * WHICH category moved) plus a `__total` row carrying (N_a, N_b)
+    * and the summed statistic — the total is the sum of the QUANTIZED
+    * per-category contributions (well-defined and replayable; dof is
+    * the per-category row count minus one).
+    *
+    * All-integer (decimal(38,0) widened; every numerator non-negative
+    * after the square, so div needs no sign split). Width: the
+    * per-category numerator is 10⁶·(o_a·N_b − o_b·N_a)² ≤ 10⁶·N⁴/16
+    * worst-case (a fully one-sided category) — safe to N ≈ 2·10⁸
+    * rows adversarially;
+    * beyond that, pre-scale the COUNTS, not the rows: the (category,
+    * o_a, o_b) state is exactly additive across shards/batches, so
+    * the corpus pass is one mergeable C-row groupBy and only the
+    * bounded C-row tail arithmetic carries the width at all.
+    *
+    * Scale shape: one (category) groupBy over both inputs (map-side
+    * combined) → C bounded rows; totals ride a 1-row head() like
+    * ksDrift; the contribution math and total fold never touch the
+    * corpus again. Returns (category, o_a, o_b, contrib_micro) rows
+    * ordered by category, then ('__total', N_a, N_b, chi2_micro). */
+  def chiSquareDrift(a: DataFrame, aCol: String,
+                     b: DataFrame, bCol: String): DataFrame = {
+    val va = a.select(col(aCol).cast("string").as("category"))
+      .filter(col("category").isNotNull)
+      .select(col("category"), lit(1L).as("da"), lit(0L).as("db"))
+    val vb = b.select(col(bCol).cast("string").as("category"))
+      .filter(col("category").isNotNull)
+      .select(col("category"), lit(0L).as("da"), lit(1L).as("db"))
+    val counts = Lineage.pinDerived(va.unionByName(vb)
+      .groupBy("category").agg(sum("da").as("o_a"), sum("db").as("o_b")))
+    val Row(na: Long, nb: Long) =
+      counts.agg(sum("o_a"), sum("o_b")).head()
+    require(na > 0 && nb > 0,
+      s"chiSquareDrift needs non-empty sides, got n_a=$na n_b=$nb")
+    val n = na + nb
+    val per = counts.select(col("category"), col("o_a"), col("o_b"),
+      expr(s"cast(cast(1000000 as decimal(38,0)) " +
+        s"* (cast(o_a as decimal(38,0)) * $nb - cast(o_b as decimal(38,0)) * $na) " +
+        s"* (cast(o_a as decimal(38,0)) * $nb - cast(o_b as decimal(38,0)) * $na) " +
+        s"div (cast($na as decimal(38,0)) * $nb * (o_a + o_b)) as long)")
+        .as("contrib_micro"))
+    val total = per.agg(
+        count(lit(1)).as("__c"), sum("contrib_micro").as("__chi2"))
+      .select(lit("__total").as("category"), lit(na).as("o_a"),
+        lit(nb).as("o_b"), col("__chi2").cast("long").as("contrib_micro"))
+    per.orderBy("category").unionByName(total)
+  }
+
   /** The numeric slot of the portable rendering (see [[repr]]):
     * integers verbatim, doubles micro-quantized, timestamps
     * epoch-micros — all as comparable longs so min/max MERGE

@@ -879,6 +879,16 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L115 (r16): split-conformal calibration audit — per-class
+    // thresholds from a deterministic calibration fold (doc_id
+    // parity), distribution-free coverage + mean-set-size efficiency
+    // on the test fold, at alpha = 10% and 20%.
+    "q_conformal" -> { (s, dir) =>
+      Curate.conformalAudit(calibrationScored(s, dir), "p_ppm", "is_en",
+          col("doc_id") % 2 === 0, alphasPm = Seq(100, 200))
+        .orderBy("alpha_pm", "cls")
+    },
+
     // L107b (r14): the one-number form — expected calibration error
     // in ppm off the same bins (B-row aggregate).
     "q_calibration_ece" -> { (s, dir) =>
@@ -1270,6 +1280,52 @@ object CurationQueries {
         .select(lit("parity").as("split"), col("n_a"), col("n_b"),
           col("d_ppm"), col("at_value"))
       rn.unionByName(par).orderBy("split")
+    },
+
+    // R55 (r16): Mann–Whitney rank-sum drift — the location-shift
+    // companion to R47's KS on the same two splits (R-vs-N prices:
+    // real shift question; parity halves: null control whose auc_ppm
+    // must sit near 500000). One support groupBy + ONE two-level
+    // prefix scan + a 1-row aggregate per split; the doubled-midrank
+    // trick keeps ties integer-exact.
+    "q_rank_sum" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val rn = graft.operators.Observe.rankSumDrift(
+          l.filter(col("l_returnflag") === "R"), "l_extendedprice",
+          l.filter(col("l_returnflag") === "N"), "l_extendedprice")
+        .select(lit("r_vs_n").as("split"), col("n_a"), col("n_b"),
+          col("u2"), col("auc_ppm"), col("varpp_micro"))
+      val par = graft.operators.Observe.rankSumDrift(
+          l.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0),
+          "l_extendedprice",
+          l.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 1),
+          "l_extendedprice")
+        .select(lit("parity").as("split"), col("n_a"), col("n_b"),
+          col("u2"), col("auc_ppm"), col("varpp_micro"))
+      rn.unionByName(par).orderBy("split")
+    },
+
+    // R56 (r16): chi-square categorical drift — the drift-family
+    // member for distributions with no order (lang shares): release
+    // halves src0-9 vs src10-19 (the real question) + doc_id parity
+    // (null control), per-lang contributions + the __total row. One
+    // C-row groupBy per split; the bounded tail math carries all the
+    // width.
+    "q_chi2_drift" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("__srcnum",
+          expr("cast(substr(source, 4) as int)"))
+      val halves = graft.operators.Observe.chiSquareDrift(
+          d.filter(col("__srcnum") < 10), "lang",
+          d.filter(col("__srcnum") >= 10), "lang")
+        .select(lit("halves").as("split"), col("category"),
+          col("o_a"), col("o_b"), col("contrib_micro"))
+      val par = graft.operators.Observe.chiSquareDrift(
+          d.filter(col("doc_id") % 2 === 0), "lang",
+          d.filter(col("doc_id") % 2 === 1), "lang")
+        .select(lit("parity").as("split"), col("category"),
+          col("o_a"), col("o_b"), col("contrib_micro"))
+      halves.unionByName(par).orderBy("split", "category")
     },
 
     // R50: pre-flight join-size estimation from CM sketches — the
@@ -2951,6 +3007,82 @@ object CurationQueries {
         |  v AS at_value
         |FROM d WHERE rk = 1 ORDER BY split""".stripMargin,
 
+    // R56: the chi-square replay — per-split category counts, the
+    // cross-multiplied 2xC statistic through HUGEINT, per-category
+    // rows + the __total fold of the QUANTIZED contributions.
+    "q_chi2_drift" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id % 2 AS par,
+        |    CAST(SUBSTR(source, 4) AS INT) AS srcnum
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'halves' AS split, lang AS category,
+        |    SUM(CASE WHEN srcnum < 10 THEN 1 ELSE 0 END) AS o_a,
+        |    SUM(CASE WHEN srcnum >= 10 THEN 1 ELSE 0 END) AS o_b
+        |  FROM d GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'parity', lang,
+        |    SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+        |  FROM d GROUP BY lang),
+        |tot AS (
+        |  SELECT split, SUM(o_a) AS na, SUM(o_b) AS nb
+        |  FROM u GROUP BY split),
+        |per AS MATERIALIZED (
+        |  SELECT u.split, u.category,
+        |    CAST(u.o_a AS BIGINT) AS o_a, CAST(u.o_b AS BIGINT) AS o_b,
+        |    CAST(CAST(1000000 AS HUGEINT)
+        |      * (CAST(u.o_a AS HUGEINT) * t.nb - CAST(u.o_b AS HUGEINT) * t.na)
+        |      * (CAST(u.o_a AS HUGEINT) * t.nb - CAST(u.o_b AS HUGEINT) * t.na)
+        |      // (CAST(t.na AS HUGEINT) * t.nb * (u.o_a + u.o_b))
+        |      AS BIGINT) AS contrib_micro
+        |  FROM u JOIN tot t USING (split))
+        |SELECT split, category, o_a, o_b, contrib_micro FROM per
+        |UNION ALL
+        |SELECT p.split, '__total', CAST(t.na AS BIGINT), CAST(t.nb AS BIGINT),
+        |  CAST(SUM(p.contrib_micro) AS BIGINT)
+        |FROM per p JOIN tot t USING (split)
+        |GROUP BY p.split, t.na, t.nb
+        |ORDER BY split, category""".stripMargin,
+
+    // R55: the rank-sum replay — per-value counts, one cumulative
+    // window, doubled midranks 2(c−t)+t+1, HUGEINT throughout; all
+    // numerators non-negative so // and Spark's div agree.
+    "q_rank_sum" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS flag, l_orderkey % 2 AS par,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'r_vs_n' AS split, v,
+        |    SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS da,
+        |    SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS db
+        |  FROM src WHERE flag IN ('R', 'N') GROUP BY v
+        |  UNION ALL
+        |  SELECT 'parity', v,
+        |    SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+        |  FROM src WHERE flag = 'R' GROUP BY v),
+        |c AS (
+        |  SELECT split, v, da, db, da + db AS t,
+        |    SUM(da + db) OVER (PARTITION BY split ORDER BY v) AS c,
+        |    SUM(da) OVER (PARTITION BY split) AS na,
+        |    SUM(db) OVER (PARTITION BY split) AS nb
+        |  FROM u),
+        |g AS (
+        |  SELECT split, MAX(na) AS na, MAX(nb) AS nb, MAX(na + nb) AS n,
+        |    SUM(CAST(da AS HUGEINT) * (2 * (c - t) + t + 1)) AS r2a,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |  FROM c GROUP BY split)
+        |SELECT split, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+        |  CAST((r2a - CAST(na AS HUGEINT) * (na + 1)) * 500000
+        |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS auc_ppm,
+        |  CAST(CAST(1000000 AS HUGEINT)
+        |    * (CAST(n + 1 AS HUGEINT) * n * (n - 1) - ties)
+        |    // (CAST(12 AS HUGEINT) * n * (n - 1)) AS BIGINT) AS varpp_micro
+        |FROM g ORDER BY split""".stripMargin,
+
     // Drift twin: same feature stream, per-split bucket counts, exact
     // |ca·NB − cb·NA| terms through HUGEINT, one division at the end —
     // in LOCKSTEP with Curate.profileDrift's decimal(38,0).
@@ -3989,6 +4121,53 @@ object CurationQueries {
         |SELECT pp.doc_id, pp.p AS p_ppm, d.cal_ppm
         |FROM pp JOIN dense d ON d.bin = LEAST(9, pp.p * 10 // 1000000)
         |ORDER BY doc_id""".stripMargin,
+
+    // L115: the conformal replay — k-th smallest calibration
+    // nonconformity per class via ROW_NUMBER (== the Spark min-s-with-
+    // cum>=k two-level scan), ceil-div k, include-always 1000001
+    // fallback, then the 4-row threshold grid against the test fold.
+    "q_conformal" ->
+      s"""$classifierMarginCteSql,
+        |bd AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        |pp AS MATERIALIZED (
+        |  SELECT m.doc_id,
+        |    CASE WHEN m.lang = 'en' THEN 'pos' ELSE 'neg' END AS y,
+        |    CAST(CAST(m.margin - bd.mn AS HUGEINT) * 1000000
+        |      // GREATEST(bd.mx - bd.mn, 1) AS BIGINT) AS p
+        |  FROM m, bd),
+        |cal AS MATERIALIZED (
+        |  SELECT y AS cls,
+        |    CASE WHEN y = 'pos' THEN 1000000 - p ELSE p END AS s
+        |  FROM pp WHERE doc_id % 2 = 0),
+        |nc AS (SELECT cls, COUNT(*) AS n_cal FROM cal GROUP BY cls),
+        |al AS (SELECT UNNEST([100, 200]) AS alpha_pm),
+        |ranked AS MATERIALIZED (
+        |  SELECT cls, s, ROW_NUMBER() OVER (PARTITION BY cls ORDER BY s)
+        |    AS rk
+        |  FROM cal),
+        |thr AS (
+        |  SELECT CAST(a.alpha_pm AS BIGINT) AS alpha_pm, n.cls,
+        |    CAST(n.n_cal AS BIGINT) AS n_cal,
+        |    COALESCE((SELECT MIN(r.s) FROM ranked r WHERE r.cls = n.cls
+        |      AND r.rk >= ((n.n_cal + 1) * (1000 - a.alpha_pm) + 999)
+        |        // 1000), 1000001) AS thresh_ppm
+        |  FROM nc n, al a),
+        |j AS (
+        |  SELECT t.alpha_pm, t.cls, t.n_cal, t.thresh_ppm, te.y,
+        |    (CASE WHEN t.cls = 'pos' THEN 1000000 - te.p ELSE te.p END)
+        |      <= t.thresh_ppm AS incl
+        |  FROM thr t, (SELECT y, p FROM pp WHERE doc_id % 2 = 1) te)
+        |SELECT alpha_pm, cls, n_cal, thresh_ppm,
+        |  CAST(SUM(CASE WHEN y = cls THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  CAST(SUM(CASE WHEN y = cls AND incl THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cov,
+        |  CAST(SUM(CASE WHEN y = cls AND incl THEN 1 ELSE 0 END) * 1000000
+        |    // GREATEST(SUM(CASE WHEN y = cls THEN 1 ELSE 0 END), 1)
+        |    AS BIGINT) AS coverage_ppm,
+        |  CAST(SUM(CASE WHEN incl THEN 1 ELSE 0 END) AS BIGINT) AS n_incl
+        |FROM j GROUP BY alpha_pm, cls, n_cal, thresh_ppm
+        |ORDER BY alpha_pm, cls""".stripMargin,
 
     // L107b: ECE — the n-weighted mean gap over the same bins.
     "q_calibration_ece" ->

@@ -230,7 +230,16 @@ object ScaleProbe {
     "q_embed_whiten2", "q_whiten_model",
     // r16: serve-time isotonic apply — the margin chain (linear) +
     // one B-bin fit aggregate + a ≤64-row broadcast back onto rows
-    "q_calibration_apply")
+    "q_calibration_apply",
+    // r16: one support groupBy + one two-level prefix scan + 1-row
+    // aggregate per split (the q_ks_drift shape, one scan fewer)
+    "q_rank_sum",
+    // r16: one mergeable C-row category groupBy per split; all the
+    // width lives in the bounded tail arithmetic
+    "q_chi2_drift",
+    // r16: margin chain (linear) + (cls,s) count table + keyed
+    // two-level scan + 4-row broadcast grid onto the test fold
+    "q_conformal")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

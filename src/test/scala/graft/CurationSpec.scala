@@ -328,6 +328,48 @@ class CurationSpec extends SparkSpec {
     assert(cap == 800000L, s"score 1e6 must cap into the last bin: $cap")
   }
 
+  test("conformal audit: hand-computed thresholds, ceil-div k, include-always fallback") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // calibration (id even): pos p = {9,8,7,6,5}·10⁵ → s_pos =
+    // {1,2,3,4,5}·10⁵ (n=5); neg p = {1,2}·10⁵ → s_neg = {1,2}·10⁵
+    // (n=2). test (id odd): pos p = {8.5, 3.5}·10⁵, neg p = {1.5,
+    // 4.5}·10⁵.
+    val rows = Seq(
+      (2L, 900000L, true), (4L, 800000L, true), (6L, 700000L, true),
+      (8L, 600000L, true), (10L, 500000L, true),
+      (12L, 100000L, false), (14L, 200000L, false),
+      (1L, 850000L, true), (3L, 350000L, true),
+      (5L, 150000L, false), (7L, 450000L, false))
+      .toDF("id", "p_ppm", "is_en")
+    val out = Curate.conformalAudit(rows, "p_ppm", "is_en",
+        col("id") % 2 === 0, alphasPm = Seq(100, 400))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.toSeq).toMap
+    // α=40%: k_pos = ⌈6·0.6⌉ = 4 → t = 400000; k_neg = ⌈3·0.6⌉ = 2
+    // → t = 200000. Each class covers 1 of its 2 test rows; exactly
+    // one of the 4 test rows lands in each class's set.
+    assert(out((400L, "pos")) ==
+      Seq(400L, "pos", 5L, 400000L, 2L, 1L, 500000L, 1L),
+      s"${out((400L, "pos"))}")
+    assert(out((400L, "neg")) ==
+      Seq(400L, "neg", 2L, 200000L, 2L, 1L, 500000L, 1L),
+      s"${out((400L, "neg"))}")
+    // α=10%: k_pos = ⌈6·0.9⌉ = 6 > 5 and k_neg = 3 > 2 → both
+    // thresholds go include-always (10⁶+1): full coverage, set size 2
+    assert(out((100L, "pos")) ==
+      Seq(100L, "pos", 5L, 1000001L, 2L, 2L, 1000000L, 4L),
+      s"${out((100L, "pos"))}")
+    assert(out((100L, "neg")) ==
+      Seq(100L, "neg", 2L, 1000001L, 2L, 2L, 1000000L, 4L),
+      s"${out((100L, "neg"))}")
+    // partition invariance
+    val a = Curate.conformalAudit(rows, "p_ppm", "is_en",
+      col("id") % 2 === 0).orderBy("alpha_pm", "cls").collect().map(_.toSeq)
+    val b = Curate.conformalAudit(rows.repartition(7), "p_ppm", "is_en",
+      col("id") % 2 === 0).orderBy("alpha_pm", "cls").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "conformal audit changed under repartitioning")
+  }
+
   test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
     import spark.implicits._
     import graft.operators.Curate

@@ -185,6 +185,78 @@ class ObserveSpec extends SparkSpec {
       s"parity halves drifted ${d1.getAs[Long]("d_ppm")} ppm")
   }
 
+  test("rankSumDrift: textbook U with ties, symmetry, null control, partition invariance") {
+    import spark.implicits._
+    // a={1,2,2}, b={2,3}: midranks 1, 3, 3 → R_a = 7, U_a = 1 → u2 = 2;
+    // auc = 1/6 → 166666 ppm; ties Σ(t³−t) = 24, per-pair var =
+    // (6·5·4−24)/(12·5·4) = 0.4 → 400 000 micro (Var(U) = 0.4·6 = 2.4)
+    val a = Seq(1.0, 2.0, 2.0).toDF("x")
+    val b = Seq(2.0, 3.0).toDF("y")
+    val r = Observe.rankSumDrift(a, "x", b, "y").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2") == 2L, s"u2=${r.getAs[Long]("u2")}")
+    assert(r.getAs[Long]("auc_ppm") == 166666L)
+    assert(r.getAs[Long]("varpp_micro") == 400000L)
+    // symmetry: U_a + U_b = n_a·n_b, so swapping sides gives 2·3·2 − 2
+    val sw = Observe.rankSumDrift(b, "y", a, "x").collect().head
+    assert(sw.getAs[Long]("u2") == 10L, s"u2'=${sw.getAs[Long]("u2")}")
+    // total dominance: every b above every a → auc exactly 0 / 10⁶
+    val hi = Seq(11.0, 12.0).toDF("y")
+    assert(Observe.rankSumDrift(a, "x", hi, "y").collect().head
+      .getAs[Long]("auc_ppm") == 0L)
+    assert(Observe.rankSumDrift(hi, "y", a, "x").collect().head
+      .getAs[Long]("auc_ppm") == 1000000L)
+    // identical inputs: exact coin-flip AUC (ties contribute ½ each)
+    assert(Observe.rankSumDrift(a, "x", a, "x").collect().head
+      .getAs[Long]("auc_ppm") == 500000L)
+    // partition invariance + null control on real data
+    val o = table("orders")
+    val d1 = Observe.rankSumDrift(
+      o.filter(col("o_orderkey") % 2 === 0), "o_totalprice",
+      o.filter(col("o_orderkey") % 2 === 1), "o_totalprice").collect().head
+    val d2 = Observe.rankSumDrift(
+      o.filter(col("o_orderkey") % 2 === 0).repartition(13), "o_totalprice",
+      o.filter(col("o_orderkey") % 2 === 1).repartition(7), "o_totalprice")
+      .collect().head
+    assert(d1.toSeq === d2.toSeq)
+    assert(math.abs(d1.getAs[Long]("auc_ppm") - 500000L) < 50000L,
+      s"parity halves should sit near the coin flip: ${d1.toSeq}")
+  }
+
+  test("chiSquareDrift: textbook 2x2, identical-input zero, partition invariance") {
+    import spark.implicits._
+    // a: X=10 Y=10, b: X=5 Y=15 — the classic 2x2: chi2 =
+    // 40·(10·15 − 10·5)²/(20·20·15·25) = 8/3; per-category D = ±100:
+    // X: 100²/(400·15) = 5/3 → 1666666 micro, Y: 100²/(400·25) = 1
+    // → 1000000 micro; total 2666666
+    val a = (Seq.fill(10)("X") ++ Seq.fill(10)("Y")).toDF("c")
+    val b = (Seq.fill(5)("X") ++ Seq.fill(15)("Y")).toDF("c")
+    val r = Observe.chiSquareDrift(a, "c", b, "c").collect()
+      .map(x => x.getString(0) -> x.toSeq).toMap
+    assert(r("X") == Seq("X", 10L, 5L, 1666666L), s"${r("X")}")
+    assert(r("Y") == Seq("Y", 10L, 15L, 1000000L), s"${r("Y")}")
+    assert(r("__total") == Seq("__total", 20L, 20L, 2666666L),
+      s"${r("__total")}")
+    // identical inputs: every contribution exactly zero
+    val z = Observe.chiSquareDrift(a, "c", a, "c").collect()
+    assert(z.forall(_.getLong(3) == 0L), z.mkString(";"))
+    // a category present on one side only still contributes (D = o·N)
+    val c1 = Seq("X", "X", "Z").toDF("c")
+    val only = Observe.chiSquareDrift(c1, "c", a.limit(4), "c").collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(only("Z") > 0L, s"one-sided category must contribute: $only")
+    // partition invariance on real data
+    val d = table("documents")
+    val p1 = Observe.chiSquareDrift(
+      d.filter(col("doc_id") % 2 === 0), "lang",
+      d.filter(col("doc_id") % 2 === 1), "lang").collect().map(_.toSeq)
+    val p2 = Observe.chiSquareDrift(
+      d.filter(col("doc_id") % 2 === 0).repartition(13), "lang",
+      d.filter(col("doc_id") % 2 === 1).repartition(7), "lang")
+      .collect().map(_.toSeq)
+    assert(p1.toSeq == p2.toSeq, "chi2 changed under repartitioning")
+  }
+
   test("quantile store: exact regime reproduces order statistics through the merge") {
     val o = table("orders")
     val cols = Seq("o_totalprice", "o_custkey")
