@@ -1035,6 +1035,50 @@ object Curate {
             " as bigint)")).as("auc_micro"))
   }
 
+  /** L116 (r16): K-fold cross-validated AUC with jackknife spread —
+    * one AUC number (L103) says nothing about its stability; the
+    * standard answer is K-fold CV: score each fold as a held-out
+    * set, report the fold AUCs, their mean, and a dispersion. All
+    * integer: per-fold AUCs come from [[aucExactGrouped]] with the
+    * fold id as the group (ONE keyed pass over the corpus, never K
+    * passes), and the spread is the SCALED squared deviation
+    * dev2_q(i) = (K·auc_i − S)² with S = Σ auc_i — integer where
+    * (auc_i − mean)² is not; Var(auc) = Σ dev2_q / (K²(K−1)) and the
+    * jackknife SE of the mean is sqrt(Var/K) for any consumer with a
+    * sqrt (dev2_q ≤ K·10¹² · K — long-safe for K ≤ 1000).
+    *
+    * Scale shape: the corpus cost IS aucExactGrouped's (one (fold,
+    * score) count table + keyed two-level scan); everything after
+    * operates on the K bounded fold rows (pinned). Degenerate folds
+    * (single-class) make AUC undefined — rejected loudly.
+    *
+    * Returns K rows (fold, n_pos, n_neg, auc_micro, dev2_q) plus a
+    * summary row (-1, Σpos, Σneg, ⌊S/K⌋, Σ dev2_q). */
+  def aucCrossValidated(scored: DataFrame, scoreCol: String,
+                        labelCol: String, foldCol: Column): DataFrame = {
+    val perFold = Lineage.pin(
+      aucExactGrouped(scored.withColumn("__fold", foldCol),
+        "__fold", scoreCol, labelCol)
+        .withColumnRenamed("grp", "fold"))
+    require(perFold.filter(col("auc_micro").isNull).isEmpty,
+      "every CV fold needs both classes (degenerate fold found)")
+    val tot = perFold.agg(count(lit(1)).as("__k"),
+      sum("auc_micro").as("__s"))
+    val dev = perFold.crossJoin(broadcast(tot))
+      .withColumn("dev2_q",
+        (col("__k") * col("auc_micro") - col("__s")) *
+          (col("__k") * col("auc_micro") - col("__s")))
+    val summary = dev.groupBy()
+      .agg(first("__k").as("k"), sum("n_pos").as("n_pos"),
+        sum("n_neg").as("n_neg"), first("__s").as("s"),
+        sum("dev2_q").as("dev2_q"))
+      .select(lit(-1L).as("fold"), col("n_pos"), col("n_neg"),
+        expr("s div k").as("auc_micro"), col("dev2_q"))
+    dev.select(col("fold").cast("long").as("fold"), col("n_pos"),
+        col("n_neg"), col("auc_micro"), col("dev2_q"))
+      .unionByName(summary)
+  }
+
   /** L103b: precision/recall curve at rank-decile cutoffs — the
     * "what does gating at the top X% cost" table. Global rank without
     * a global sort (bucketed PrefixSum under (score DESC, id) — the

@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object LabelSpread {
 
+  /** L117 (r16): kNN label-noise audit (confident-learning lite,
+    * Northcutt et al. flavor) — flag examples whose OWN label
+    * disagrees with the majority label of their k nearest neighbors:
+    * the standard first-pass sweep for mislabeled rows before a
+    * labeled set trains a filter model. Majority = the neighbor
+    * label with the highest vote, ties broken to the SMALLEST label
+    * (deterministic); `flagged` = majority ≠ own.
+    *
+    * Scale shape: one equi-join of the k·N edge list with the label
+    * table on the neighbor key, one (id, label) groupBy, and a
+    * per-id window over ≤ |labels| vote rows (bounded partitions —
+    * never a global window). No broadcasts of corpus-sized tables.
+    *
+    * Returns (id, label, maj_label, n_nb, n_maj, n_agree, flagged)
+    * for every node with ≥ 1 labeled neighbor. */
+  def labelNoiseAudit(edges: DataFrame, idCol: String, nbCol: String,
+                      labels: DataFrame, nodeCol: String,
+                      labelCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).cast("long").as("__l"))
+    val votes = edges.select(col(idCol).as("id"), col(nbCol).as("nb"))
+      .join(lab.select(col("__n").as("nb"), col("__l").as("nb_label")), "nb")
+      .groupBy("id", "nb_label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("c").desc, col("nb_label").asc)
+    val maj = votes
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_nb", sum("c").over(Window.partitionBy("id")))
+    val top = maj.filter(col("__rk") === 1)
+      .select(col("id"), col("nb_label").as("maj_label"),
+        col("c").as("n_maj"), col("n_nb"))
+    val own = lab.select(col("__n").as("id"), col("__l").as("label"))
+    val agree = votes.select(col("id"),
+      col("nb_label").as("label"), col("c").as("n_agree"))
+    top.join(own, "id")
+      .join(agree, Seq("id", "label"), "left")
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .withColumn("flagged", col("maj_label") =!= col("label"))
+      .select("id", "label", "maj_label", "n_nb", "n_maj", "n_agree",
+        "flagged")
+  }
+
   /** @param edges  (idCol, nbCol) neighbor pairs — info flows FROM nb
     *               INTO id (a kNN edge list works as-is)
     * @param seeds  (nodeCol, labelCol) trusted labels, clamped every

@@ -591,6 +591,56 @@ object Observe {
       .select("grp", "v", "lo", "hi", "v_clip")
   }
 
+  /** R57 (r16): grouped EQUI-DEPTH histogram — R28's fixed-width bins
+    * answer "how many rows per value range"; the optimizer/skew
+    * question is the transpose: "which value ranges hold equal row
+    * mass" (DB2/Postgres-style depth-bounded histograms, the
+    * boundary table a range-partitioner or a skew diagnosis reads).
+    * Row r (1-based, per group, values ascending) belongs to bucket
+    * (r−1)·B div n — the portable spelling (NTILE's remainder
+    * distribution differs across engines); a hot value's rank span
+    * may straddle buckets, so each (grp, v) count row SPLITS across
+    * the ≤ B buckets it overlaps with exact interval arithmetic
+    * (bucket b covers ranks ⌈b·n/B⌉+1 .. ⌈(b+1)·n/B⌉).
+    *
+    * Scale shape: the R53/R54 machinery — (grp, v) count table +
+    * ONE [[PrefixSum.keyed]] two-level scan, then a bounded
+    * explode (≤ B rows per distinct value, only for straddlers) and
+    * a (grp, bucket) groupBy. Never a per-group global sort; widest
+    * window task = one 64-cell slice of one group.
+    *
+    * Returns (grp, bucket, n_rows, lo, hi): per-bucket row mass and
+    * inclusive value bounds; Σ n_rows = n per group exactly. */
+  def groupedEquiDepth(df: DataFrame, grpCol: String, valCol: String,
+                       buckets: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"equi-depth wants 2..1000 buckets, got $buckets")
+    val vals = df.select(col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
+    val cells = g.join(bounds, "grp")
+      .withColumn("cell",
+        expr("cast((cast(v as decimal(38,0)) - mn) * 64 div " +
+          "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .drop("mn", "mx")
+    val ranked = PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"),
+      col("cell"), "cum", "tot")
+    ranked
+      .withColumn("b1", expr(s"(cum - c) * $buckets div tot"))
+      .withColumn("b2", expr(s"(cum - 1) * $buckets div tot"))
+      .withColumn("bucket", explode(sequence(col("b1"), col("b2"))))
+      .withColumn("__lo_r",
+        expr(s"(bucket * tot + ${buckets - 1}) div $buckets + 1"))
+      .withColumn("__hi_r",
+        expr(s"((bucket + 1) * tot + ${buckets - 1}) div $buckets"))
+      .withColumn("__rows",
+        least(col("cum"), col("__hi_r")) -
+          greatest(col("cum") - col("c") + 1, col("__lo_r")) + 1)
+      .groupBy("grp", "bucket")
+      .agg(sum("__rows").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+  }
+
   def groupedMedianMad(df: DataFrame, grpCol: String,
                        valCol: String): DataFrame = {
     def lowerMedian(values: DataFrame, out: String): DataFrame = {

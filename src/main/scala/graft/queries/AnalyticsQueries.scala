@@ -425,6 +425,20 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // R57 (r16): grouped equi-depth histogram — the boundary table a
+    // range partitioner / skew diagnosis reads: per priority, 8
+    // buckets of equal row mass with inclusive value bounds. Same
+    // PrefixSum rank machinery as R53/R54; hot values split across
+    // straddled buckets with exact interval arithmetic.
+    "q_histogram_eqdepth" -> { (s, dir) =>
+      graft.operators.Observe.groupedEquiDepth(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            expr("cast(floor(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderpriority", "cents", buckets = 8)
+        .withColumnRenamed("grp", "o_orderpriority")
+        .orderBy("o_orderpriority", "bucket")
+    },
+
     // R31: data-quality audit (expectations) — one summary row of
     // constraint counters: volume, distribution flags, referential
     // orphans, key-uniqueness violations. Each counter is an
@@ -1660,6 +1674,26 @@ object AnalyticsQueries {
         |SELECT med.grp AS o_orderpriority, med.n, med.median, mad.mad
         |FROM med JOIN mad ON med.grp = mad.grp
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // R57: the equi-depth replay — per-row bucket (rk-1)*8 // n (the
+    // portable spelling; NTILE's remainder rule differs), grouped
+    // bounds. The Spark side's straddle-split arithmetic must land on
+    // exactly these per-bucket masses.
+    "q_histogram_eqdepth" ->
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM vals)
+        |SELECT grp AS o_orderpriority,
+        |  CAST((rk - 1) * 8 // n AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY grp, (rk - 1) * 8 // n
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
 
     "q_data_audit" ->
       """SELECT

@@ -829,6 +829,17 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // L116 (r16): 5-fold cross-validated AUC + jackknife spread —
+    // the stability answer on top of L103's point estimate; one
+    // keyed pass scores all folds, the K bounded rows carry the
+    // scaled squared deviations and the -1 summary row.
+    "q_classifier_cv" -> { (s, dir) =>
+      Curate.aucCrossValidated(
+          classifierMargin(s, dir).withColumn("is_en", col("lang") === "en"),
+          "margin", "is_en", pmod(col("doc_id"), lit(5L)))
+        .orderBy("fold")
+    },
+
     // L103b: precision/recall at rank-decile cutoffs — what gating the
     // corpus at the top X% of classifier score costs; deterministic
     // decile boundaries via the (score DESC, doc_id) tiebreak.
@@ -972,6 +983,17 @@ object CurationQueries {
       graft.operators.LabelSpread.spread(knnEdges(s, dir), "id", "nb",
           seeds, "node", "label", iters = 3)
         .orderBy("node")
+    },
+
+    // L117 (r16): kNN label-noise audit — flag vectors whose label
+    // disagrees with their 5-NN majority vote (the confident-learning
+    // first pass before labels train anything). Reuses the memoized
+    // kNN graph; one label join + bounded per-id vote windows.
+    "q_label_noise" -> { (s, dir) =>
+      graft.operators.LabelSpread.labelNoiseAudit(
+          knnEdges(s, dir), "id", "nb",
+          t(s, dir, "embeddings"), "vec_id", "label")
+        .orderBy("id")
     },
 
     // L38c: bulk cross-corpus kNN (semantic bulk join) — every
@@ -2741,6 +2763,34 @@ object CurationQueries {
 
 
 
+    // L117: the vote replay over the same knn-graph CTEs — per-id
+    // neighbor-label counts, majority via (c DESC, label ASC)
+    // ROW_NUMBER, left-joined own-label agreement.
+    "q_label_noise" ->
+      s"""WITH eg AS (
+        |${knnGraphOracleSql.replace(" ORDER BY id, rk", "")}),
+        |lab AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lab
+        |        FROM embeddings),
+        |votes AS MATERIALIZED (
+        |  SELECT e.id, l.lab AS nb_label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM eg e JOIN lab l ON e.nb = l.node
+        |  GROUP BY e.id, l.lab),
+        |nn AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_nb
+        |       FROM votes GROUP BY id),
+        |maj AS (
+        |  SELECT id, nb_label AS maj_label, c AS n_maj FROM (
+        |    SELECT id, nb_label, c, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY c DESC, nb_label ASC) AS rn
+        |    FROM votes) z WHERE rn = 1)
+        |SELECT m.id, o.lab AS label, m.maj_label, nn.n_nb, m.n_maj,
+        |  COALESCE(v.c, 0) AS n_agree,
+        |  m.maj_label <> o.lab AS flagged
+        |FROM maj m
+        |JOIN lab o ON o.node = m.id
+        |JOIN nn ON nn.id = m.id
+        |LEFT JOIN votes v ON v.id = m.id AND v.nb_label = o.lab
+        |ORDER BY m.id""".stripMargin,
+
     // The quantized bulk cross-corpus kNN replayed — corpus is
     // label<>0 (training side), queries are label=0; same regime pins
     // as q_knn_graph.
@@ -3978,6 +4028,47 @@ object CurationQueries {
         |      // (CAST(n_pos AS HUGEINT) * 2 * n_neg) AS BIGINT) END
         |    AS auc_micro
         |FROM st ORDER BY source""".stripMargin,
+
+    // L116: the CV replay — the grouped-AUC CTEs with fold = doc_id %
+    // 5, then the K-row jackknife arithmetic and the -1 summary fold.
+    "q_classifier_cv" ->
+      s"""$classifierMarginCteSql,
+        |g AS (
+        |  SELECT m.doc_id % 5 AS fold, m.margin AS mv, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN m.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p
+        |  FROM m GROUP BY m.doc_id % 5, m.margin),
+        |cg AS (
+        |  SELECT fold, mv, c, p,
+        |    SUM(c) OVER (PARTITION BY fold ORDER BY mv) AS cumc
+        |  FROM g),
+        |st AS (
+        |  SELECT fold, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c - p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2 * (cumc - c) + c + 1)) AS HUGEINT) AS s2r
+        |  FROM cg GROUP BY fold),
+        |pf AS MATERIALIZED (
+        |  SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+        |    CAST((s2r - n_pos * (n_pos + 1)) * 1000000
+        |      // (CAST(n_pos AS HUGEINT) * 2 * n_neg) AS BIGINT)
+        |      AS auc_micro
+        |  FROM st),
+        |t AS (SELECT COUNT(*) AS k, SUM(auc_micro) AS s FROM pf),
+        |dev AS MATERIALIZED (
+        |  SELECT pf.fold, pf.n_pos, pf.n_neg, pf.auc_micro,
+        |    (t.k * pf.auc_micro - t.s) * (t.k * pf.auc_micro - t.s)
+        |      AS dev2_q
+        |  FROM pf, t)
+        |SELECT fold, n_pos, n_neg, auc_micro,
+        |  CAST(dev2_q AS BIGINT) AS dev2_q
+        |FROM dev
+        |UNION ALL
+        |SELECT -1, CAST(SUM(d.n_pos) AS BIGINT),
+        |  CAST(SUM(d.n_neg) AS BIGINT),
+        |  CAST(MAX(t.s) // MAX(t.k) AS BIGINT),
+        |  CAST(SUM(d.dev2_q) AS BIGINT)
+        |FROM dev d, t
+        |ORDER BY fold""".stripMargin,
 
     // L103b: the PR-curve replay — ROW_NUMBER under the same
     // (margin DESC, doc_id) tiebreak, decile fold, cumulative window.

@@ -239,7 +239,16 @@ object ScaleProbe {
     "q_chi2_drift",
     // r16: margin chain (linear) + (cls,s) count table + keyed
     // two-level scan + 4-row broadcast grid onto the test fold
-    "q_conformal")
+    "q_conformal",
+    // r16: one (fold, score) keyed pass (the grouped-AUC shape);
+    // jackknife math on K bounded rows
+    "q_classifier_cv",
+    // r16: memoized kNN graph + one label equi-join + bounded per-id
+    // vote windows
+    "q_label_noise",
+    // r16: the R53/R54 keyed rank machinery + bounded straddle
+    // explode — widest task one 64-cell slice of one group
+    "q_histogram_eqdepth")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -370,6 +370,37 @@ class CurationSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "conformal audit changed under repartitioning")
   }
 
+  test("CV AUC: hand-computed folds, jackknife deviations, degenerate-fold guard") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // fold 0: perfect ranking (AUC 1), fold 1: perfectly inverted
+    // (AUC 0) → S = 10⁶, mean 500000, dev2 = (2·auc − S)² = 10¹² each
+    val rows = Seq(
+      (0L, 3L, true), (0L, 4L, true), (0L, 1L, false), (0L, 2L, false),
+      (1L, 1L, true), (1L, 2L, true), (1L, 3L, false), (1L, 4L, false))
+      .toDF("f", "score", "y")
+    val out = Curate.aucCrossValidated(rows, "score", "y", col("f"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out(0L) == Seq(0L, 2L, 2L, 1000000L, 1000000000000L), s"${out(0L)}")
+    assert(out(1L) == Seq(1L, 2L, 2L, 0L, 1000000000000L), s"${out(1L)}")
+    assert(out(-1L) == Seq(-1L, 4L, 4L, 500000L, 2000000000000L),
+      s"${out(-1L)}")
+    // identical folds: zero deviation everywhere
+    val same = Seq(
+      (0L, 2L, true), (0L, 1L, false), (1L, 2L, true), (1L, 1L, false))
+      .toDF("f", "score", "y")
+    val so = Curate.aucCrossValidated(same, "score", "y", col("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(so.values.forall(_ == 0L), s"$so")
+    // a fold with one class only must fail loudly, not emit null
+    val degen = Seq((0L, 2L, true), (0L, 1L, false), (1L, 2L, true))
+      .toDF("f", "score", "y")
+    val err = intercept[IllegalArgumentException] {
+      Curate.aucCrossValidated(degen, "score", "y", col("f")).collect()
+    }
+    assert(err.getMessage.contains("degenerate"))
+  }
+
   test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
     import spark.implicits._
     import graft.operators.Curate

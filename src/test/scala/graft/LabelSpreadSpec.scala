@@ -33,6 +33,34 @@ class LabelSpreadSpec extends SparkSpec {
     assert(again.toSeq == base.toSeq)
   }
 
+
+  test("label-noise audit: majority flags, low-tie rule, agreement counts") {
+    // labels: 1→0, 2→0, 3→0, 4→1, 5→1; planted disagreements:
+    // node 4's neighbors are all label 0 (flagged), node 5 ties 1-1
+    // (majority breaks LOW → 0, flagged), node 1 agrees (0,0,1 → 0)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L),
+      (4L, 1L), (4L, 2L),
+      (5L, 1L), (5L, 4L)).toDF("id", "nb")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("node", "label")
+    val out = LabelSpread.labelNoiseAudit(edges, "id", "nb",
+        labels, "node", "label")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out(1L) == Seq(1L, 0L, 0L, 3L, 2L, 2L, false), s"${out(1L)}")
+    assert(out(4L) == Seq(4L, 1L, 0L, 2L, 2L, 0L, true), s"${out(4L)}")
+    assert(out(5L) == Seq(5L, 1L, 0L, 2L, 1L, 1L, true), s"${out(5L)}")
+    // only nodes WITH edges appear
+    assert(out.keySet == Set(1L, 4L, 5L))
+    // partition invariance
+    val a = LabelSpread.labelNoiseAudit(edges.repartition(5), "id", "nb",
+        labels.repartition(3), "node", "label")
+      .orderBy("id").collect().map(_.toSeq)
+    val b = LabelSpread.labelNoiseAudit(edges, "id", "nb",
+        labels, "node", "label").orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("conflicting neighborhoods: argmax follows the heavier label, ties break low") {
     // node 9 hears label 10 from two neighbors and label 20 from one
     val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("id", "nb")

@@ -257,6 +257,49 @@ class ObserveSpec extends SparkSpec {
     assert(p1.toSeq == p2.toSeq, "chi2 changed under repartitioning")
   }
 
+  test("equi-depth histogram: straddling hot values split exactly, masses sum to n") {
+    import spark.implicits._
+    import graft.operators.Observe
+    // 1..10, B=2: clean halves
+    val d = (1 to 10).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val h = Observe.groupedEquiDepth(d, "grp", "v", buckets = 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(h == Map(0L -> (5L, 1L, 5L), 1L -> (5L, 6L, 10L)), s"$h")
+    // hot values straddle: {1,1,1,2,2,2}, B=3 → row buckets 0,0,1,1,2,2
+    // so v=1 splits 2+1 and v=2 splits 1+2
+    val hot = Seq(1L, 1L, 1L, 2L, 2L, 2L).map(("g", _)).toDF("grp", "v")
+    val hh = Observe.groupedEquiDepth(hot, "grp", "v", buckets = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(hh == Map(0L -> (2L, 1L, 1L), 1L -> (2L, 1L, 2L),
+      2L -> (2L, 2L, 2L)), s"$hh")
+    // real data: per-group masses sum to the group size and equal the
+    // one-window reference; deterministic under repartitioning
+    val o = table("orders").select(col("o_orderpriority").as("grp"),
+      expr("cast(floor(o_totalprice * 100) as bigint)").as("v"))
+    val eq = Observe.groupedEquiDepth(o, "grp", "v", buckets = 8)
+    val masses = eq.groupBy("grp").agg(sum("n_rows").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = o.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(masses == sizes, s"bucket masses must sum to group sizes")
+    val w = org.apache.spark.sql.expressions.Window
+    val ref = o.withColumn("rk", row_number().over(
+        w.partitionBy("grp").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("grp")))
+      .withColumn("bucket", expr("(rk - 1) * 8 div n"))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("grp", "bucket").collect().map(_.toSeq)
+    assert(eq.orderBy("grp", "bucket").collect().map(_.toSeq).toSeq ==
+      ref.toSeq, "split arithmetic must equal the one-window reference")
+    val rep = Observe.groupedEquiDepth(o.repartition(13), "grp", "v",
+        buckets = 8).orderBy("grp", "bucket").collect().map(_.toSeq)
+    assert(rep.toSeq == eq.orderBy("grp", "bucket").collect()
+      .map(_.toSeq).toSeq)
+  }
+
   test("quantile store: exact regime reproduces order statistics through the merge") {
     val o = table("orders")
     val cols = Seq("o_totalprice", "o_custkey")
