@@ -1169,11 +1169,22 @@ object Curate {
                         labelCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 64,
       s"isotonic fit wants 2..64 bins (driver O(B^3) closed form), got $buckets")
-    val spark = scored.sparkSession
-    val stats = calibrationStats(scored, scorePpmCol, labelCol, buckets)
+    isotonicFromStats(
+      calibrationStats(scored, scorePpmCol, labelCol, buckets))
+  }
+
+  /** The fit off an already-aggregated (bin, n, n_pos) stats frame —
+    * the entry the C13am streaming calibrator uses: the bin store is
+    * additive state, so the PAV fit derives any time from the ≤B-row
+    * snapshot without replaying scored traffic. */
+  def isotonicFromStats(statsDf: DataFrame): DataFrame = {
+    val spark = statsDf.sparkSession
+    val stats = statsDf
       .select("bin", "n", "n_pos").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    require(stats.length <= 64,
+      s"isotonic fit wants <= 64 bins, got ${stats.length}")
     val fit = isotonicFit(stats.toIndexedSeq)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
@@ -1294,24 +1305,7 @@ object Curate {
         when(col("y") === "pos", lit(1000000L) - col("p"))
           .otherwise(col("p")).as("s"))
     val counts = cal.groupBy("cls", "s").agg(count(lit(1)).as("c"))
-    val cum = PrefixSum.keyed(counts, Seq("cls"), Seq("s"), col("c"),
-      expr("s div 16384"), "cum", "n_cal")
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val alphas = alphasPm.map(_.toLong).toDF("alpha_pm")
-    // k = ceil((n+1)(1000-alpha)/1000), positive → (x+999) div 1000
-    val thrs = cum.crossJoin(broadcast(alphas))
-      .withColumn("k",
-        expr("((n_cal + 1) * (1000 - alpha_pm) + 999) div 1000"))
-      .filter(col("cum") >= col("k"))
-      .groupBy("alpha_pm", "cls")
-      .agg(min("s").as("thresh_ppm"), first("n_cal").as("n_cal"))
-    // every (alpha, cls) must emit a row even when k > n_cal: rebuild
-    // the full grid off the bounded per-class totals and left-join
-    val grid = cal.groupBy("cls").agg(count(lit(1)).as("n_cal"))
-      .crossJoin(broadcast(alphas))
-    val thrFull = grid.join(thrs.drop("n_cal"), Seq("alpha_pm", "cls"), "left")
-      .withColumn("thresh_ppm", coalesce(col("thresh_ppm"), lit(1000001L)))
+    val thrFull = conformalThresholdsFromCounts(counts, alphasPm)
     // test fold: both-class nonconformities against the broadcast grid
     val test = base.filter(!col("cal"))
     val joined = test.crossJoin(broadcast(thrFull))
@@ -1330,6 +1324,38 @@ object Curate {
         expr("n_cov * 1000000 div greatest(n_test, 1)"))
       .select("alpha_pm", "cls", "n_cal", "thresh_ppm", "n_test",
         "n_cov", "coverage_ppm", "n_incl")
+  }
+
+  /** Conformal thresholds off an ADDITIVE (cls, s, c) nonconformity
+    * count frame — the shared core of [[conformalAudit]] and the
+    * C13an streaming store (per-class counts fold across
+    * shards/triggers, so thresholds derive any time from the
+    * value-bounded state). k = ⌈(n+1)(1000−α)/1000⌉ via exact
+    * ceil-div; k > n yields the include-always 10⁶+1. Returns
+    * (alpha_pm, cls, n_cal, thresh_ppm). */
+  def conformalThresholdsFromCounts(counts: DataFrame,
+                                    alphasPm: Seq[Int]): DataFrame = {
+    require(alphasPm.nonEmpty && alphasPm.forall(a => a > 0 && a < 1000),
+      s"alphas are per-mille in (0, 1000), got $alphasPm")
+    val cum = PrefixSum.keyed(counts, Seq("cls"), Seq("s"), col("c"),
+      expr("s div 16384"), "cum", "n_cal")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val alphas = alphasPm.map(_.toLong).toDF("alpha_pm")
+    // k = ceil((n+1)(1000-alpha)/1000), positive → (x+999) div 1000
+    val thrs = cum.crossJoin(broadcast(alphas))
+      .withColumn("k",
+        expr("((n_cal + 1) * (1000 - alpha_pm) + 999) div 1000"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("alpha_pm", "cls")
+      .agg(min("s").as("thresh_ppm"))
+    // every (alpha, cls) must emit a row even when k > n_cal: rebuild
+    // the full grid off the bounded per-class totals and left-join
+    val grid = counts.groupBy("cls").agg(sum("c").as("n_cal"))
+      .crossJoin(broadcast(alphas))
+    grid.join(thrs, Seq("alpha_pm", "cls"), "left")
+      .withColumn("thresh_ppm", coalesce(col("thresh_ppm"), lit(1000001L)))
+      .select("alpha_pm", "cls", "n_cal", "thresh_ppm")
   }
 
   /** Reliability rows from a (bin, n, n_pos, sp) stats table. */

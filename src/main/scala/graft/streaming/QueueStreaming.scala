@@ -1828,6 +1828,85 @@ object QueueStreaming {
         .select("bin", "n", "n_pos", "sp"))
   }
 
+  /** C13am (r16): streaming isotonic calibrator — the L114/L114b
+    * serve path closed over live traffic: the C13ai bin store is
+    * additive sufficient state for the PAV fit, so the CURRENT
+    * monotone calibrator (and, through
+    * [[graft.operators.Curate.isotonicApply]], the serve-time step
+    * lookup) derives any time from the ≤B-row snapshot — never a
+    * replay of scored history. A gate that thresholds calibrated
+    * probabilities keeps its calibrator fresh per trigger for the
+    * cost of one B-row read + the O(B³) driver closed form. */
+  def isotonicFromStore(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): DataFrame = {
+    val top = latestStoreBatch(spark, storePath)
+    graft.operators.Curate.isotonicFromStats(
+      spark.read.parquet(storePath)
+        .filter(col("batch").cast("long") === top)
+        .select("bin", "n", "n_pos"))
+  }
+
+  /** C13an (r16): streaming conformal calibrator — L115's
+    * distribution-free coverage machinery maintained on live labeled
+    * traffic: the per-class nonconformity COUNT table (cls, s, c) is
+    * exactly additive, so each trigger folds its delta into the
+    * snapshot chain (read-below-own-id, replay-safe) and the current
+    * per-class thresholds derive any time via
+    * [[graft.operators.Curate.conformalThresholdsFromCounts]] — the
+    * state is value-bounded (≤ 10⁶ ppm rows per class, the C13af
+    * score-count discipline), never event-bounded. A serving gate
+    * reads the 2·|alphas|-row threshold frame per trigger and keeps
+    * its conformal guarantee fresh as the score distribution
+    * drifts. */
+  def conformalStream(scored: DataFrame, scorePpmCol: String,
+                      labelCol: String, storePath: String,
+                      checkpoint: String, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scored.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.toDF()
+          .select(
+            when(col(labelCol), lit("pos")).otherwise(lit("neg")).as("cls"),
+            when(col(labelCol), lit(1000000L) - col(scorePpmCol))
+              .otherwise(col(scorePpmCol)).cast("long").as("s"))
+          .groupBy("cls", "s").agg(count(lit(1)).as("c"))
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) None
+          else {
+            val all = spark.read.parquet(storePath)
+              .filter(col("batch") < batchId)
+            val head = all.agg(max(col("batch").cast("long"))).head()
+            if (head.isNullAt(0)) None
+            else Some(all.filter(col("batch").cast("long") === head.getLong(0))
+              .select("cls", "s", "c"))
+          }
+        val snap = prior match {
+          case Some(pr) => pr.unionByName(delta).groupBy("cls", "s")
+            .agg(sum("c").as("c"))
+          case None => delta
+        }
+        snap.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          { compactSessionStore(spark, storePath, keep = 2); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Current conformal thresholds off the latest count snapshot. */
+  def conformalFromStore(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String,
+                         alphasPm: Seq[Int] = Seq(100, 200)): DataFrame = {
+    val top = latestStoreBatch(spark, storePath)
+    graft.operators.Curate.conformalThresholdsFromCounts(
+      spark.read.parquet(storePath)
+        .filter(col("batch").cast("long") === top)
+        .select("cls", "s", "c"),
+      alphasPm)
+  }
+
   /** C13aj: streaming PII-rate monitor — the L110 scan on live
     * ingest, folded per SOURCE: a feed that starts leaking emails/
     * IPs/phones (an upstream scraper change, a new partner dump) is

@@ -715,6 +715,90 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/batch=1").count() <= 10)
   }
 
+  test("streaming isotonic calibrator: store-derived fit + apply equal the batch twins") {
+    import graft.operators.Curate
+    implicit val sq = spark.sqlContext
+    // violator-rich scores so the PAV fit actually pools across bins,
+    // with both triggers contributing to shared bins
+    val b1 = Seq((50000L, true), (150000L, false), (250000L, true),
+      (350000L, false), (650000L, true), (950000L, true))
+    val b2 = Seq((80000L, false), (320000L, true), (680000L, false),
+      (980000L, true), (990000L, true))
+    val mem = MemoryStream[(Long, Boolean)]
+    val store = Files.createTempDirectory("iso_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("iso_ckpt").toString
+    val q = QueueStreaming.calibrationMonitorStream(
+      mem.toDF().toDF("p", "y"), "p", "y", store, ckpt)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the store-derived PAV fit equals the batch fit on ALL traffic
+    val fromStore = QueueStreaming.isotonicFromStore(spark, store)
+      .orderBy("bin").collect().map(_.toSeq)
+    val batch = Curate.isotonicCalibrate((b1 ++ b2).toDF("p", "y"),
+        "p", "y").orderBy("bin").collect().map(_.toSeq)
+    assert(fromStore.toSeq == batch.toSeq,
+      "store-derived isotonic fit diverged from the batch twin")
+    // ...and the serve-time apply through the store fit matches the
+    // batch-fit apply row for row
+    val serve = Seq((1L, 120000L), (2L, 480000L), (3L, 870000L))
+      .toDF("id", "p")
+    val aStore = Curate.isotonicApply(serve, "p",
+        QueueStreaming.isotonicFromStore(spark, store))
+      .orderBy("id").collect().map(_.toSeq)
+    val aBatch = Curate.isotonicApply(serve, "p",
+        Curate.isotonicCalibrate((b1 ++ b2).toDF("p", "y"), "p", "y"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(aStore.toSeq == aBatch.toSeq,
+      "store-derived serve apply diverged from the batch twin")
+  }
+
+  test("streaming conformal calibrator: store thresholds equal the batch scan") {
+    import graft.operators.Curate
+    implicit val sq = spark.sqlContext
+    // both triggers hit shared nonconformity values (the fold must
+    // merge counts) and leave class sizes where alpha=400 has a real
+    // threshold while alpha=100's k exceeds the neg class
+    val b1 = Seq((900000L, true), (800000L, true), (700000L, true),
+      (100000L, false), (200000L, false))
+    val b2 = Seq((600000L, true), (500000L, true), (100000L, false))
+    val mem = MemoryStream[(Long, Boolean)]
+    val store = Files.createTempDirectory("conf_store").toString + "/s"
+    val ckpt = Files.createTempDirectory("conf_ckpt").toString
+    val q = QueueStreaming.conformalStream(
+      mem.toDF().toDF("p", "y"), "p", "y", store, ckpt)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // store-derived thresholds == the batch count-table scan on ALL
+    // calibration traffic
+    val all = (b1 ++ b2).toDF("p", "y")
+    val batchCounts = all.select(
+        when(col("y"), lit("pos")).otherwise(lit("neg")).as("cls"),
+        when(col("y"), lit(1000000L) - col("p")).otherwise(col("p"))
+          .cast("long").as("s"))
+      .groupBy("cls", "s").agg(count(lit(1)).as("c"))
+    val batch = Curate.conformalThresholdsFromCounts(batchCounts,
+        Seq(100, 400)).orderBy("alpha_pm", "cls").collect().map(_.toSeq)
+    val stream = QueueStreaming.conformalFromStore(spark, store,
+        Seq(100, 400)).orderBy("alpha_pm", "cls").collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq,
+      "store-derived conformal thresholds diverged from the batch twin")
+    // hand value: neg class n=3, alpha=400 → k = ceil(4·0.6) = 3 →
+    // threshold = 3rd smallest neg nonconformity = 200000; alpha=100
+    // → k = 4 > 3 → include-always
+    val m = stream.map(r => (r(0), r(1)) -> r(3)).toMap
+    assert(m((400L, "neg")) == 200000L, s"$m")
+    assert(m((100L, "neg")) == 1000001L, s"$m")
+    // state is value-bounded: counts merged, not appended
+    val st = spark.read.parquet(s"$store/batch=1")
+    assert(st.count() == st.select("cls", "s").distinct().count())
+  }
+
   test("streaming PII monitor folds per-source counts exactly") {
     import graft.operators.Curate
     implicit val sq = spark.sqlContext

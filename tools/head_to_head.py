@@ -26,10 +26,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/h2h/oracle_sql.json"
-    bench_path = sys.argv[3] if len(sys.argv) > 3 else "bench_queries.json"
-    cap = float(sys.argv[4]) if len(sys.argv) > 4 else 1200.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        # --only=q_a,q_b: time just these statements and MERGE them into
+        # the existing h2h_queries.json (the seal path for a round that
+        # registers a handful of new queries: refresh the new rows
+        # without re-running the 2h+ full sweep).
+        if a.startswith("--only="):
+            only = set(x for x in a[len("--only="):].split(",") if x)
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    oracle_path = args[1] if len(args) > 1 else "/tmp/h2h/oracle_sql.json"
+    bench_path = args[2] if len(args) > 2 else "bench_queries.json"
+    cap = float(args[3]) if len(args) > 3 else 1200.0
 
     oracle = json.loads(Path(oracle_path).read_text())
     try:
@@ -45,8 +54,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     out = {}
+    if only is not None:
+        try:
+            out = json.load(open("h2h_queries.json"))
+        except FileNotFoundError:
+            pass
     total = 0.0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             con.execute(f"SET statement_timeout='{int(cap * 1000)}ms'")
