@@ -59,6 +59,62 @@ object AsOf {
       payloadCols.map(c => col(s"__m.$c").as(s"$outPrefix$c")): _*)
   }
 
+  /** R58 (r16): first/last-touch conversion attribution — for every
+    * conversion, the first and last touch event of the same key
+    * inside the trailing lookback window (cts − W, cts], plus the
+    * touch count: the marketing/growth question ("which click gets
+    * credit") and, in pipeline terms, the windowed generalization of
+    * the plain as-of join ([[join]] answers only last-touch,
+    * unbounded or toleranced — attribution needs first AND count).
+    *
+    * Scale shape: candidates come from [[RangeJoin.byBucket]] with
+    * bucketSize = lookback, so each conversion interval explodes to
+    * ≤ 2 bucket rows and the join is a pure (keys, bucket)
+    * equi-join — never a per-user cross join. First/last resolve via
+    * ROW_NUMBER windows partitioned by conversion id (bounded: the
+    * touches of ONE key inside ONE lookback window), ties on equal
+    * ts to the smallest touch id for first / largest for last.
+    * Left-outer: unattributed conversions keep n_touches = 0 and −1
+    * ids/timestamps.
+    *
+    * Returns (keys..., conv_id, conv_ts, n_touches, first_touch_id,
+    * first_ts, last_touch_id, last_ts). */
+  def attribution(conversions: DataFrame, touches: DataFrame,
+                  keys: Seq[String], convTsCol: String, convIdCol: String,
+                  touchTsCol: String, touchIdCol: String,
+                  lookback: Long): DataFrame = {
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    val convs = conversions.select(
+      keys.map(col) ++ Seq(col(convIdCol).as("conv_id"),
+        col(convTsCol).cast("long").as("conv_ts")): _*)
+    val tchs = touches.select(
+      keys.map(col) ++ Seq(col(touchIdCol).as("touch_id"),
+        col(touchTsCol).cast("long").as("tts")): _*)
+    val iv = convs.withColumn("__s", col("conv_ts") - lookback + 1L)
+    val cand = RangeJoin.byBucket(tchs, iv, keys, "tts", "__s", "conv_ts",
+      bucketSize = lookback)
+    val wF = Window.partitionBy("conv_id")
+      .orderBy(col("tts").asc, col("touch_id").asc)
+    val wL = Window.partitionBy("conv_id")
+      .orderBy(col("tts").desc, col("touch_id").desc)
+    val att = cand
+      .withColumn("__rf", row_number().over(wF))
+      .withColumn("__rl", row_number().over(wL))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"),
+        max(when(col("__rf") === 1, col("touch_id"))).as("first_touch_id"),
+        max(when(col("__rf") === 1, col("tts"))).as("first_ts"),
+        max(when(col("__rl") === 1, col("touch_id"))).as("last_touch_id"),
+        max(when(col("__rl") === 1, col("tts"))).as("last_ts"))
+    convs.join(att, Seq("conv_id"), "left")
+      .select(keys.map(col) ++ Seq(col("conv_id"), col("conv_ts"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("first_touch_id"), lit(-1L)).as("first_touch_id"),
+        coalesce(col("first_ts"), lit(-1L)).as("first_ts"),
+        coalesce(col("last_touch_id"), lit(-1L)).as("last_touch_id"),
+        coalesce(col("last_ts"), lit(-1L)).as("last_ts")): _*)
+  }
+
   /** R51: point-in-time dimension join — every fact row joined to the
     * dimension VERSION that was valid at the fact's timestamp (the
     * feature-store / data-warehouse classic over an SCD2 history:

@@ -1358,6 +1358,38 @@ object Curate {
       .select("alpha_pm", "cls", "n_cal", "thresh_ppm")
   }
 
+  /** L118 (r16): vocabulary completeness — "how much of this corpus
+    * slice's vocabulary have we actually seen?", the coverage
+    * question behind tokenizer training and corpus-size planning.
+    * Two closed forms off the frequency-of-frequencies alone:
+    * Good–Turing unseen probability mass P₀ = f₁/N (the chance the
+    * NEXT token is a new type — Gale & Sampson's missing-mass
+    * estimator) and the bias-corrected Chao1 richness floor
+    * V + f₁(f₁−1)/(2(f₂+1)) (Chao '84/'87: a lower bound on the true
+    * type count; always defined — no f₂ = 0 special case). Both
+    * integer-exact: ppm floor-div for the mass, exact div for the
+    * estimator.
+    *
+    * Scale shape: one (grp, token) count pass (map-side combined),
+    * one vocab-bounded (grp) fold — the f₁/f₂/V/N statistics are
+    * plain conditional sums, additive across shards. Returns one row
+    * per group: (grp, n_tokens, vocab, f1, f2, unseen_ppm,
+    * chao1_vocab). */
+  def vocabCompleteness(docs: DataFrame, grpCol: String,
+                        textCol: String): DataFrame =
+    docs
+      .select(col(grpCol).as("grp"),
+        explode(graft.functions.tokenize_ws(
+          coalesce(col(textCol), lit("")))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("unseen_ppm", expr("f1 * 1000000 div n_tokens"))
+      .withColumn("chao1_vocab",
+        expr("vocab + f1 * (f1 - 1) div (2 * (f2 + 1))"))
+
   /** Reliability rows from a (bin, n, n_pos, sp) stats table. */
   def calibrationFromStats(stats: DataFrame): DataFrame =
     stats

@@ -890,6 +890,16 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // L118 (r16): per-language vocabulary completeness — Good–Turing
+    // unseen mass + bias-corrected Chao1 richness floor off the
+    // frequency-of-frequencies; the corpus-size-planning companion
+    // to L23's OOV coverage.
+    "q_vocab_chao" -> { (s, dir) =>
+      Curate.vocabCompleteness(t(s, dir, "documents"), "lang", "text")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    },
+
     // L115 (r16): split-conformal calibration audit — per-class
     // thresholds from a deterministic calibration fold (doc_id
     // parity), distribution-free coverage + mean-set-size efficiency
@@ -4212,6 +4222,27 @@ object CurationQueries {
         |SELECT pp.doc_id, pp.p AS p_ppm, d.cal_ppm
         |FROM pp JOIN dense d ON d.bin = LEAST(9, pp.p * 10 // 1000000)
         |ORDER BY doc_id""".stripMargin,
+
+    // L118: the completeness replay — token frequency table, then
+    // conditional sums; unseen mass and Chao1 through exact //.
+    "q_vocab_chao" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    UNNEST(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS tok
+        |  FROM documents),
+        |f AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // SUM(c) AS BIGINT) AS unseen_ppm,
+        |  CAST(COUNT(*) + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+        |    // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+        |    AS BIGINT) AS chao1_vocab
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // L115: the conformal replay — k-th smallest calibration
     // nonconformity per class via ROW_NUMBER (== the Spark min-s-with-

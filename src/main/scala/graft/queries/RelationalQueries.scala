@@ -462,6 +462,21 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // R58 (r16): first/last-touch attribution — every purchase gets
+    // the first and last click of the same user inside a trailing
+    // 24h window, plus the touch count; candidates via the R23
+    // bucketed range join (lookback-sized buckets → ≤2 rows per
+    // conversion interval), never a per-user cross join.
+    "q_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.attribution(purchases, clicks, Seq("user_id"),
+          "ts", "event_id", "ts", "event_id",
+          lookback = 86400L * 1000000000L)
+        .orderBy("user_id", "conv_id")
+    },
+
     // R21b: co-located as-of join — the SAME semantics as q_asof_join
     // over both sides pre-bucketed on user_id (write-once shuffle,
     // zero-Exchange probes thereafter; the repeated-probe shape at
@@ -830,6 +845,45 @@ object RelationalQueries {
       |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // R58: the attribution replay — candidate pairs via the window
+    // predicate directly (DuckDB's optimizer handles the small gate
+    // corpus; the Spark side's bucketed equi-join must land on the
+    // same pairs), first/last via the same (ts, id) rank tiebreaks.
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS touch_id, epoch_ns(ts) AS tts
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.user_id, p.conv_id, p.conv_ts, c.touch_id, c.tts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.tts >= p.conv_ts - 86400000000000 + 1
+        |    AND c.tts <= p.conv_ts),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY tts ASC, touch_id ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY tts DESC, touch_id DESC) AS rl
+        |  FROM cand),
+        |att AS (
+        |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |    MAX(CASE WHEN rf = 1 THEN touch_id END) AS first_touch_id,
+        |    MAX(CASE WHEN rf = 1 THEN tts END) AS first_ts,
+        |    MAX(CASE WHEN rl = 1 THEN touch_id END) AS last_touch_id,
+        |    MAX(CASE WHEN rl = 1 THEN tts END) AS last_ts
+        |  FROM rk GROUP BY conv_id)
+        |SELECT p.user_id, p.conv_id, p.conv_ts,
+        |  COALESCE(a.n_touches, 0) AS n_touches,
+        |  COALESCE(a.first_touch_id, -1) AS first_touch_id,
+        |  COALESCE(a.first_ts, -1) AS first_ts,
+        |  COALESCE(a.last_touch_id, -1) AS last_touch_id,
+        |  COALESCE(a.last_ts, -1) AS last_ts
+        |FROM p LEFT JOIN att a USING (conv_id)
+        |ORDER BY user_id, conv_id""".stripMargin,
+
     // R21b: identical oracle as q_asof_join — see asofWindowOracleSql.
     "q_asof_colocated" -> asofWindowOracleSql,
     // R3b/R17b: PINNED-VALUE oracle (closes the last relational

@@ -248,7 +248,12 @@ object ScaleProbe {
     "q_label_noise",
     // r16: the R53/R54 keyed rank machinery + bounded straddle
     // explode — widest task one 64-cell slice of one group
-    "q_histogram_eqdepth")
+    "q_histogram_eqdepth",
+    // r16: one token-count pass + vocab-bounded conditional sums
+    "q_vocab_chao",
+    // r16: bucketed range join (<=2 bucket rows per conversion) +
+    // per-conversion bounded rank windows
+    "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

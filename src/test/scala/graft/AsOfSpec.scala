@@ -78,4 +78,41 @@ class AsOfSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("pit_version")).map(_.toLong)).toMap
     assert(rep == out)
   }
+
+  test("attribution: window bounds, tie rule, unattributed fallback") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val clicks = Seq((1L, 101L, 10L), (1L, 102L, 20L), (1L, 103L, 30L),
+      (1L, 107L, 40L), (1L, 108L, 40L), (2L, 201L, 100L))
+      .toDF("u", "id", "ts")
+    val purchases = Seq((1L, 901L, 25L), (1L, 902L, 35L), (1L, 903L, 5L),
+      (1L, 904L, 41L), (2L, 905L, 90L)).toDF("u", "id", "ts")
+    val out = AsOf.attribution(purchases, clicks, Seq("u"),
+        "ts", "id", "ts", "id", lookback = 15L)
+      .collect().map(r => r.getLong(1) -> r.toSeq.drop(3)).toMap
+    // 901 @25, window [11,25]: click 20 only
+    assert(out(901L) == Seq(1L, 102L, 20L, 102L, 20L), s"${out(901L)}")
+    // 902 @35, window [21,35]: click 30 only (20 fell out)
+    assert(out(902L) == Seq(1L, 103L, 30L, 103L, 30L), s"${out(902L)}")
+    // 903 @5: nothing before it → zero-touch fallback
+    assert(out(903L) == Seq(0L, -1L, -1L, -1L, -1L), s"${out(903L)}")
+    // 904 @41, window [27,41]: clicks 30, and the 40/40 tie — first
+    // is the earliest ts (30), last breaks the equal-ts tie HIGH (108)
+    assert(out(904L) == Seq(3L, 103L, 30L, 108L, 40L), s"${out(904L)}")
+    // keys separate users; user 2's click at 100 is in 905's future
+    assert(out(905L) == Seq(0L, -1L, -1L, -1L, -1L), s"${out(905L)}")
+    // a wider lookback picks up the full history (first = 10)
+    val wide = AsOf.attribution(purchases, clicks, Seq("u"),
+        "ts", "id", "ts", "id", lookback = 30L)
+      .collect().map(r => r.getLong(1) -> r.toSeq.drop(3)).toMap
+    assert(wide(902L) == Seq(3L, 101L, 10L, 103L, 30L), s"${wide(902L)}")
+    // partition invariance
+    val a = AsOf.attribution(purchases.repartition(5), clicks.repartition(3),
+        Seq("u"), "ts", "id", "ts", "id", lookback = 15L)
+      .orderBy("conv_id").collect().map(_.toSeq)
+    val b = AsOf.attribution(purchases, clicks, Seq("u"),
+        "ts", "id", "ts", "id", lookback = 15L)
+      .orderBy("conv_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -401,6 +401,30 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("degenerate"))
   }
 
+  test("vocabulary completeness: textbook Good-Turing and Chao1 values") {
+    import spark.implicits._
+    import graft.operators.Curate
+    // "a a b": N=3, V=2, f1=1, f2=1 → unseen 333333 ppm, chao1 = 2
+    // (f1(f1−1) = 0); "x y z": all singletons → unseen = 10⁶,
+    // chao1 = 3 + 3·2/(2·1) = 6 (the f2 = 0 case stays defined)
+    val docs = Seq(("g1", "a a b"), ("g2", "x y z"),
+      ("g3", null.asInstanceOf[String]), ("g3", "k k"))
+      .toDF("grp", "text")
+    val out = Curate.vocabCompleteness(docs, "grp", "text")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("g1") == Seq(3L, 2L, 1L, 1L, 333333L, 2L), s"${out("g1")}")
+    assert(out("g2") == Seq(3L, 3L, 3L, 0L, 1000000L, 6L), s"${out("g2")}")
+    // null text contributes nothing; the doubleton-only group has
+    // zero unseen mass and chao1 = V
+    assert(out("g3") == Seq(2L, 1L, 0L, 1L, 0L, 1L), s"${out("g3")}")
+    // statistics are additive: repartitioning never moves them
+    val a = Curate.vocabCompleteness(docs.repartition(7), "grp", "text")
+      .orderBy("grp").collect().map(_.toSeq)
+    val b = Curate.vocabCompleteness(docs, "grp", "text")
+      .orderBy("grp").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("wide bucket tables avoid the single-task funnel (plan-asserted)") {
     import spark.implicits._
     import graft.operators.Curate
