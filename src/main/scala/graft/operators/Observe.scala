@@ -641,6 +641,37 @@ object Observe {
       .agg(sum("__rows").as("n_rows"), min("v").as("lo"), max("v").as("hi"))
   }
 
+  /** R59 (r16): grouped WEIGHTED median — the R53 lower-median
+    * semantics with per-row weights: the smallest value whose
+    * cumulative weight reaches ⌈(W+1)/2⌉ (integer weights; with all
+    * weights 1 this IS R53's median, asserted in the spec). The
+    * weighted median is the robust center under importance — "the
+    * price half the QUANTITY trades at or below", "the quality score
+    * half the TOKENS sit under" — the question a row-median answers
+    * wrongly whenever rows carry unequal mass.
+    *
+    * Scale shape: identical to R53 — (grp, v) weight-sum table + ONE
+    * [[PrefixSum.keyed]] two-level scan; widest window task = one
+    * 64-cell slice of one group. Returns (grp, w_total, wmedian). */
+  def groupedWeightedMedian(df: DataFrame, grpCol: String, valCol: String,
+                            weightCol: String): DataFrame = {
+    val vals = df.select(col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+    val g = vals.groupBy("grp", "v").agg(sum("w").as("c"))
+    val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
+    val cells = g.join(bounds, "grp")
+      .withColumn("cell",
+        expr("cast((cast(v as decimal(38,0)) - mn) * 64 div " +
+          "(cast(mx as decimal(38,0)) - mn + 1) as bigint)"))
+      .drop("mn", "mx")
+    PrefixSum.keyed(cells, Seq("grp"), Seq("v"), col("c"), col("cell"),
+        "cum", "tot")
+      .withColumn("k", expr("(tot + 1) div 2"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("grp"), col("tot").as("w_total"), col("v").as("wmedian"))
+  }
+
   def groupedMedianMad(df: DataFrame, grpCol: String,
                        valCol: String): DataFrame = {
     def lowerMedian(values: DataFrame, out: String): DataFrame = {

@@ -94,6 +94,28 @@ object Retrieval {
     * a corpus row), so equal ids must not suppress a hit. Sim is
     * round-quantized to 4 decimals (engine-portable ordering; ties
     * break on doc id). */
+  /** L119 (r16): token-budgeted context packing — the serving step
+    * between retrieval and the prompt: fill the context window with
+    * top-ranked hits IN RANK ORDER until the token budget is spent.
+    * Prefix rule: the first hit whose tokens would overflow the
+    * budget truncates the list (no skip-and-continue — a context
+    * builder that reorders or gaps the ranking changes what the
+    * model sees, so the deterministic prefix is the contract).
+    *
+    * Scale shape: one cumulative-sum window per query, bounded by
+    * the retrieval k (never corpus-sized); the token counts ride the
+    * hits frame, so packing adds zero extra scans. Keeps the input
+    * columns and adds `cum_tokens`. */
+  def packContext(hits: DataFrame, queryCol: String, rankCol: String,
+                  tokenCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"token budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy(queryCol).orderBy(col(rankCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   def denseTopK(corpus: DataFrame, queries: DataFrame, docIdCol: String,
                 queryIdCol: String, vecCol: String, queryVecCol: String,
                 k: Int): DataFrame =

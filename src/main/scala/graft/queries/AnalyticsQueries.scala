@@ -425,6 +425,19 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // R59 (r16): grouped weighted median — the price half the traded
+    // QUANTITY sits at or below, per return flag; the R53 rank
+    // machinery with weight mass instead of row counts.
+    "q_weighted_median" -> { (s, dir) =>
+      graft.operators.Observe.groupedWeightedMedian(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            expr("cast(floor(l_extendedprice * 100) as bigint)").as("cents"),
+            expr("cast(l_quantity as bigint)").as("qty")),
+          "l_returnflag", "cents", "qty")
+        .withColumnRenamed("grp", "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+
     // R57 (r16): grouped equi-depth histogram — the boundary table a
     // range partitioner / skew diagnosis reads: per priority, 8
     // buckets of equal row mass with inclusive value bounds. Same
@@ -1674,6 +1687,26 @@ object AnalyticsQueries {
         |SELECT med.grp AS o_orderpriority, med.n, med.median, mad.mad
         |FROM med JOIN mad ON med.grp = mad.grp
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // R59: the weighted-median replay — cumulative weight under the
+    // value order, first value reaching the half-mass rank.
+    "q_weighted_median" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS c
+        |      FROM v GROUP BY grp, v),
+        |r AS (
+        |  SELECT grp, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT grp AS l_returnflag, tot AS w_total, v AS wmedian
+        |FROM r
+        |WHERE cum >= (tot + 1) // 2 AND cum - c < (tot + 1) // 2
+        |ORDER BY l_returnflag""".stripMargin,
 
     // R57: the equi-depth replay — per-row bucket (rk-1)*8 // n (the
     // portable spelling; NTILE's remainder rule differs), grouped

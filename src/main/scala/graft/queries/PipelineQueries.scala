@@ -1263,6 +1263,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // L119 (r16): token-budgeted context packing — the RAG serving
+    // step after retrieval: top-10 hits per query, kept in rank
+    // order until the 300-token budget is spent (prefix rule: first
+    // overflow truncates). One per-query cumulative window bounded
+    // by k.
+    "q_retrieval_pack" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val hits = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(tokenize_ws(col("text"))).cast("long").as("tokens"))
+      graft.operators.Retrieval.packContext(
+          hits.join(toks, col("nn_id") === col("doc_id")).drop("doc_id"),
+          "query_id", "rank", "tokens", budgetTokens = 300L)
+        .select("query_id", "rank", "nn_id", "tokens", "cum_tokens")
+        .orderBy("query_id", "rank")
+    },
+
     // L8: language ID by marker-stopword scoring, argmax with
     // alphabetical tie-break. All five marker lists count in ONE
     // fused marker_counts pass (r13 — the per-list HOF filters were
@@ -4110,6 +4128,42 @@ object PipelineQueries {
         |FROM ranked r JOIN documents d ON r.nn_id = d.doc_id
         |WHERE r.rank <= 3
         |ORDER BY r.query_id, r.rank""".stripMargin,
+
+    // L119: the packing replay — same brute-force ranking to k=10,
+    // whitespace token counts, per-query cumulative window, prefix
+    // filter at 300.
+    "q_retrieval_pack" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, vec_id AS nn_id,
+        |    ${Shared.cosineSimSql("qv", "vec")} AS sim
+        |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, nn_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM sims),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS tokens
+        |  FROM documents),
+        |hits AS (
+        |  SELECT r.query_id, r.rank, r.nn_id,
+        |    t.tokens
+        |  FROM ranked r JOIN toks t ON r.nn_id = t.doc_id
+        |  WHERE r.rank <= 10),
+        |cum AS (
+        |  SELECT query_id, rank, nn_id, tokens,
+        |    CAST(SUM(tokens) OVER (PARTITION BY query_id ORDER BY rank)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM hits)
+        |SELECT query_id, rank, nn_id, tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 300
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_lang_id" -> langMarkerSql,
     "q_label_agreement" -> labelAgreementSql,

@@ -754,6 +754,26 @@ object RelationalQueries {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_active_cust"))
         .orderBy("c_nationkey")
+    },
+
+    // R19b (r16): correlated-AGGREGATE filter (TPC-H Q17 shape) —
+    // small-order revenue: lines whose quantity sits under 20% of
+    // their part's average. The correlated avg decorrelates to ONE
+    // per-part aggregate + an equi-join on partkey (never a per-row
+    // subquery), and the 20%-of-avg predicate cross-multiplies to
+    // integers (5·qty·cnt < sum_qty) so the filter is exact — no
+    // float avg to disagree on. Revenue in cents, decimal-widened.
+    "q_small_orders" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem").select(col("l_partkey"),
+        expr("cast(l_quantity as bigint)").as("qty"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("cents"))
+      val perPart = l.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      l.join(perPart, "l_partkey")
+        .filter(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long")
+            .as("lost_cents"))
     })
 
   /** flagged/sessions/sframes CTE body (no leading WITH) producing the
@@ -883,6 +903,22 @@ object RelationalQueries {
         |  COALESCE(a.last_ts, -1) AS last_ts
         |FROM p LEFT JOIN att a USING (conv_id)
         |ORDER BY user_id, conv_id""".stripMargin,
+
+    // R19b: the Q17-shape replay — same decorrelated per-part
+    // aggregate and the cross-multiplied integer predicate.
+    "q_small_orders" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY l_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l.cents AS HUGEINT)) AS BIGINT) AS lost_cents
+        |FROM l JOIN p USING (l_partkey)
+        |WHERE 5 * l.qty * p.cnt < p.sum_qty""".stripMargin,
 
     // R21b: identical oracle as q_asof_join — see asofWindowOracleSql.
     "q_asof_colocated" -> asofWindowOracleSql,

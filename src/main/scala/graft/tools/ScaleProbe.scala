@@ -253,7 +253,14 @@ object ScaleProbe {
     "q_vocab_chao",
     // r16: bucketed range join (<=2 bucket rows per conversion) +
     // per-conversion bounded rank windows
-    "q_attribution")
+    "q_attribution",
+    // r16: the R53 keyed rank scan with weight mass
+    "q_weighted_median",
+    // r16: fixed broadcast query set vs a x-factor corpus (linear
+    // scan); packing windows bounded by k
+    "q_retrieval_pack",
+    // r16: one per-part aggregate + partkey equi-join (linear)
+    "q_small_orders")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -300,6 +300,35 @@ class ObserveSpec extends SparkSpec {
       .map(_.toSeq).toSeq)
   }
 
+  test("weighted median: textbook mass, unit-weight degeneracy, invariance") {
+    import spark.implicits._
+    import graft.operators.Observe
+    // values (1,w5), (2,w1), (3,w1), (10,w1): W=8, k=4 → cum at v=1
+    // is 5 ≥ 4 → weighted median 1 (the ROW median would be 2.5-ish)
+    val d = Seq(("g", 1L, 5L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 10L, 1L))
+      .toDF("grp", "v", "w")
+    val r = Observe.groupedWeightedMedian(d, "grp", "v", "w").head()
+    assert(r.getLong(1) == 8L && r.getLong(2) == 1L, s"${r.toSeq}")
+    // unit weights degrade to the R53 lower median exactly
+    val o = table("orders").select(col("o_orderpriority"),
+      expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    val unit = Observe.groupedWeightedMedian(
+        o.withColumn("one", lit(1L)), "o_orderpriority", "cents", "one")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    val plain = Observe.groupedMedianMad(o, "o_orderpriority", "cents")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(unit == plain, "unit-weight median must equal R53's")
+    // partition invariance
+    val l = table("lineitem").select(col("l_returnflag"),
+      expr("cast(floor(l_extendedprice * 100) as bigint)").as("c"),
+      expr("cast(l_quantity as bigint)").as("q"))
+    val a = Observe.groupedWeightedMedian(l, "l_returnflag", "c", "q")
+      .orderBy("grp").collect().map(_.toSeq)
+    val b = Observe.groupedWeightedMedian(l.repartition(13),
+        "l_returnflag", "c", "q").orderBy("grp").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("quantile store: exact regime reproduces order statistics through the merge") {
     val o = table("orders")
     val cols = Seq("o_totalprice", "o_custkey")

@@ -11,6 +11,34 @@ import graft.operators.{Dedup, Sessionize}
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("Q17 cross-multiplied predicate equals exact rational avg on random lines") {
+    // 5·qty·cnt < sum_qty must select exactly the rows with
+    // qty < sum/(5·cnt) under EXACT arithmetic — the integer form is
+    // the decorrelated q_small_orders filter; the reference here
+    // recomputes per-part sums driver-side with BigInt rationals
+    val rnd = new Random(16)
+    val rows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong + 1L, i.toLong))
+    val df = rows.toDF("part", "qty", "id")
+    val per = df.groupBy("part")
+      .agg(org.apache.spark.sql.functions.sum("qty").as("sum_qty"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val got = df.join(per, "part")
+      .filter(org.apache.spark.sql.functions.lit(5L) *
+        org.apache.spark.sql.functions.col("qty") *
+        org.apache.spark.sql.functions.col("cnt") <
+        org.apache.spark.sql.functions.col("sum_qty"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val sums = rows.groupBy(_._1).map { case (p, rs) =>
+      p -> (rs.map(_._2).sum, rs.length.toLong) }
+    val want = rows.filter { case (p, q, _) =>
+      val (s, c) = sums(p)
+      BigInt(5) * q * c < BigInt(s)
+    }.map(_._3).toSet
+    assert(got == want, s"predicate drift: ${got.diff(want)} ${want.diff(got)}")
+  }
+
   test("salted sessionize equals plain on random event sets") {
     val rnd = new Random(42)
     (1 to 5).foreach { round =>

@@ -167,4 +167,27 @@ class RetrievalSpec extends SparkSpec {
     assert(m.getLong(5) == w(0) * 1000000L / (w(0) + w(1)),
       s"dcg counts the dup once at rank 1: $m")
   }
+
+  test("packContext: prefix rule truncates at first overflow, queries independent") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // q1 tokens by rank: 100, 150, 200, 50 — budget 300 keeps ranks
+    // 1-2 (cum 100, 250); rank 3 overflows (450) and rank 4 must NOT
+    // sneak back in even though 50 alone would fit (prefix rule)
+    val hits = Seq((1L, 1, 11L, 100L), (1L, 2, 12L, 150L),
+      (1L, 3, 13L, 200L), (1L, 4, 14L, 50L),
+      (2L, 1, 21L, 280L), (2L, 2, 22L, 30L)).toDF("q", "rank", "doc", "tok")
+    val out = Retrieval.packContext(hits, "q", "rank", "tok", 300L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    assert(out.keySet == Set((1L, 1), (1L, 2), (2L, 1)), s"$out")
+    assert(out((1L, 2)) == 250L && out((2L, 1)) == 280L, s"$out")
+    // a first hit larger than the budget empties that query's context
+    val big = Retrieval.packContext(
+      Seq((9L, 1, 91L, 999L)).toDF("q", "rank", "doc", "tok"),
+      "q", "rank", "tok", 300L)
+    assert(big.isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.packContext(hits, "q", "rank", "tok", 0L)
+    }
+  }
 }
