@@ -22,7 +22,10 @@ object Ann {
                                     excludeSameId: Boolean): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nn_id").asc)
-    val joined = c.crossJoin(broadcast(q))
+    // fan the STREAM side: a corpus that fits one scan split would
+    // push every (query, vector) kernel through one core; no-op at
+    // production scan parallelism (guide §8.3)
+    val joined = Scale.fan(c).crossJoin(broadcast(q))
     (if (excludeSameId) joined.filter(col("nn_id") =!= col("query_id"))
      else joined)
       .withColumn("sim",
@@ -256,7 +259,10 @@ object Ann {
       dot_product(a, a) + dot_product(b, b) - lit(2.0) * dot_product(a, b)
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("nn_id").asc)
-    val joined = c.crossJoin(broadcast(q))
+    // fan the STREAM side: a corpus that fits one scan split would
+    // push every (query, vector) kernel through one core; no-op at
+    // production scan parallelism (guide §8.3)
+    val joined = Scale.fan(c).crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
     val full = joined.withColumn("dist", sq(col("nn_vq"), col("q_vq")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -1719,7 +1725,7 @@ object Ann {
       as_double_array(col(vecCol)).as("q_vec"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neg_id").asc)
-    c.crossJoin(broadcast(q))
+    Scale.fan(c).crossJoin(broadcast(q)) // fan: see cosineTopK
       .filter(col("neg_label") =!= col("q_label"))
       .withColumn("sim", round_portable(cosine_sim(col("q_vec"), col("nn_vec")), 4))
       .withColumn("rank", row_number().over(w))

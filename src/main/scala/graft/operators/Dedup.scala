@@ -654,9 +654,15 @@ object Dedup {
                              nClusters: Int = 16, minCosine: Double = 0.95,
                              iters: Int = 2, trainFraction: Double = 0.25,
                              nAssign: Int = 2): DataFrame = {
-    val v = df.select(col(idCol).as("nn_id"),
+    // pin once: the featurized frame is re-read by every Lloyd pass
+    // plus BOTH sides of the verify self-join, and when vecCol is a
+    // computed feature (hashed_bow over text) each re-read re-runs the
+    // kernel (r16: q_semantic_dedup_text measured 3.7 s of single-task
+    // kernel time across the re-reads). Callers with a computed vecCol
+    // over a one-split corpus should Scale.fan BELOW the kernel.
+    val v = Lineage.pin(df.select(col(idCol).as("nn_id"),
       as_double_array(col(vecCol)).as("vec"),
-      Ann.quantized(col(vecCol)).as("vq"))
+      Ann.quantized(col(vecCol)).as("vq")))
     val cents = Ann.trainCentroidsIntL2(v, nClusters, iters, trainFraction)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val indexed = v
@@ -909,7 +915,13 @@ object Dedup {
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
       when(uFirst, col("v")).otherwise(col("u")).as("d"))
-    val wedges = oriented.as("x")
+    // fan the PROBE side only: the wedge probe is CPU-dense per edge
+    // row, and a pair table that fits one scan split would stream all
+    // wedges through one core. The BUILD side stays the raw (stats-
+    // carrying) frame so the planner's broadcast-vs-SMJ choice is
+    // unchanged at any scale (fanning both sides measurably forced the
+    // join off the broadcast fast path: 5.8 -> 9.2 s).
+    val wedges = Scale.fan(oriented).as("x")
       .join(oriented.as("y"),
         col("x.s") === col("y.s") && col("x.d") < col("y.d"))
       .select(col("x.s").as("apex"), col("x.d").as("d1"), col("y.d").as("d2"))

@@ -182,49 +182,59 @@ object Mix {
     * per-term bound says nothing about the sum once the domain count
     * grows, and the DuckDB twin sums in HUGEINT.
     *
-    * The domain table is D rows (domains, not documents) — per-round
-    * cost is two D-row aggregates + one broadcast projection, pinned
-    * with localCheckpoint so round t+1 never re-executes round t
-    * (the iterative-operator discipline; see the [[Lineage]] cluster
-    * caveat on reliable checkpoints). Returns
-    * (domain, loss, w_raw, w_ppm = w·10⁶ div Σw). */
+    * The domain table is D rows (domains, not documents — DoReMi
+    * mixes tens of domains), i.e. MODEL-sized state: the rounds are a
+    * driver fold over one collected copy, exactly the
+    * [[Train.logisticGd]] regime (bounded weight vector on the
+    * driver), not a distributed iteration. r16: the former
+    * one-localCheckpoint-per-round distributed form spent ~15 jobs of
+    * pure scheduling latency on a 5-row table; the fold is ONE
+    * collect. Arithmetic is replayed exactly: BigInt reproduces the
+    * decimal(38,0) sums (both truncate toward zero on division, and
+    * every quantity here is non-negative), Long the per-row q8 chain.
+    * Returns (domain, loss, w_raw, w_ppm = w·10⁶ div Σw). */
   def mixtureReweight(domLoss: DataFrame, domainCol: String,
                       lossCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16], got $rounds")
-    var cur = domLoss
-      .select(col(domainCol).as("domain"),
-        col(lossCol).cast("long").as("loss"), lit(1000000L).as("w"))
-      .transform(graft.operators.Lineage.pin)
-    (1 to rounds).foreach { _ =>
-      // one aggregate per round: the max EXCESS max_d(max(0, loss−A))
-      // equals max(loss) − A (the max loss is never below the weighted
-      // average), so the step-size normalizer needs no second pass
-      // the per-term audit (w·loss < 2^63) doesn't bound the SUM:
-      // ~140 domains near max weight overflow a BIGINT Σ(w·loss)
-      // while the DuckDB twin sums in HUGEINT — widen both sums to
-      // decimal(38,0) and land only the bounded average A in BIGINT
-      // (A ≤ max(loss) ≤ 1e8 by construction)
-      val stats = cur.agg(
-        expr("sum(cast(w as decimal(38,0)) * loss)").as("wl"),
-        expr("sum(cast(w as decimal(38,0)))").as("sw"),
-        max("loss").as("ml"))
-      cur = cur.crossJoin(broadcast(stats))
-        .withColumn("a", expr("cast(wl div sw as bigint)"))
-        .withColumn("ex", greatest(lit(0L), col("loss") - col("a")))
-        .withColumn("m", col("ml") - col("a"))
-        .select(col("domain"), col("loss"),
-          when(col("m") === 0L, col("w"))
-            .otherwise(
-              expr("(w * (1000000L + (ex * 500000L) div m)) div 1000000L"))
-            .as("w"))
-        .transform(graft.operators.Lineage.pin)
+    val spark = domLoss.sparkSession
+    val in = domLoss.select(col(domainCol).as("domain"),
+      col(lossCol).cast("long").as("loss"))
+    val rows = in.collect()
+    val loss = rows.map(r => BigInt(r.getLong(1)))
+    var w = Array.fill(rows.length)(BigInt(1000000L))
+    for (_ <- 1 to rounds if rows.nonEmpty) {
+      // one pass per round: the max EXCESS max_d(max(0, loss−A))
+      // equals max(loss) − A (the max loss is never below the
+      // weighted average), so the step-size normalizer needs no
+      // second pass. Sums in BigInt = the old decimal(38,0) widening
+      // (~140 domains near max weight overflow a BIGINT Σ(w·loss)).
+      val wl = w.indices.map(i => w(i) * loss(i)).sum
+      val sw = w.sum
+      val a = wl / sw // non-negative: BigInt / == decimal div
+      val ml = loss.max
+      val m = ml - a
+      if (m != 0)
+        w = Array.tabulate(w.length) { i =>
+          val ex = (loss(i) - a).max(BigInt(0))
+          w(i) * (1000000 + (ex * 500000) / m) / 1000000
+        }
     }
-    val tot = cur.agg(
-      expr("sum(cast(w as decimal(38,0)))").as("swf"))
-    cur.crossJoin(broadcast(tot))
-      .select(col("domain"), col("loss"), col("w").as("w_raw"),
-        expr("cast(cast(w as decimal(38,0)) * 1000000 div swf as bigint)")
-          .as("w_ppm"))
+    val swf = w.sum
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1),
+        w(i).toLong, (w(i) * 1000000 / swf).toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema("domain"),
+      org.apache.spark.sql.types.StructField("loss",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w_raw",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)), schema)
   }
 }

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-cached image streams: every
+  // createImageInputStream/read/write spins up a temp FILE under a
+  // registry lock, which serializes (and thrashes the filesystem) the
+  // moment decode tasks run in parallel inside one JVM — measured 32
+  // concurrent decode tasks burning ~30x the single-task CPU time on
+  // lock/IO spin. All payloads here are in-memory byte arrays;
+  // memory-cached streams are strictly better at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                        n_frames: Long, est_raw_bytes: Long)
@@ -121,9 +130,13 @@ object Multimodal {
     * count multiplies by frames/stride — the same fan-out shape as
     * the plan-only twin; partitioning by doc_id keeps a document's
     * frames co-located. */
-  def sampleFramesReal(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+  def sampleFramesReal(media0: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // decode is the per-row CPU wall (guide §8.3); a corpus small
+    // enough to scan as one split must not decode on one core
+    val media = Scale.fan(media0)
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
       rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -238,9 +251,11 @@ object Multimodal {
     * q_multimodal_resize chain (all-stub, metadata-only) stays exact.
     * Same mapPartitions batch shape as every L12 operator — one codec
     * context per partition. */
-  def resizeReal(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
+  def resizeReal(media0: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
     require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    val media = Scale.fan(media0) // decode wall: see sampleFramesReal
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -398,9 +413,11 @@ object Multimodal {
     * synthetic corpora and the oracled q_multimodal_phash chain are
     * untouched. Same mapPartitions batch shape (a production build
     * swaps ImageIO for a native decoder in the same loop). */
-  def perceptualHashReal(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+  def perceptualHashReal(media0: Dataset[MediaRow]): Dataset[PHashRow] = {
     val stubHash: Array[Byte] => Long = byteWalkHash
+    val media = Scale.fan(media0) // decode wall: see sampleFramesReal
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -454,8 +471,10 @@ object Multimodal {
     * features, so the oracled synthetic chain (text payloads) is
     * bit-untouched; MultimodalSpec pins codec-invariance on a planted
     * image delivered as both PNG and BMP. */
-  def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeaturesReal(media0: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val media = Scale.fan(media0) // decode wall: see sampleFramesReal
     media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -519,6 +538,10 @@ object Multimodal {
     * codecs (a production build loads its decoder context once per
     * partition here); map-side, zero shuffles. */
   def extractAudioReal(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    // NOT fanned (unlike the image decoders): javax.sound's provider
+    // lookup serializes on a static registry lock, so parallel decode
+    // tasks in one JVM burn more time spinning than the serial pass
+    // costs (measured 0.95 s serial vs 3.05 s fanned at the bench SF)
     media.mapPartitions { rows =>
       rows.map { r =>
         decodePcm(r.payload) match {

@@ -456,7 +456,13 @@ object Observe {
         repr(min(col(c)), dt).as(s"__mn_$c"),
         repr(max(col(c)), dt).as(s"__mx_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // project to the profiled columns, then fan: the Expand multiplies
+    // every input row ×(cols+1) BEFORE the partial aggregate, so a
+    // table that fits one scan split would push the whole multiplied
+    // stream through one core (guide §2.3 project-early + §8.3);
+    // Scale.fan is a no-op once the scan itself supplies parallelism
+    val wide = Scale.fan(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val stacked = cols
       .map(c => s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
       .mkString(", ")

@@ -112,50 +112,77 @@ object Train {
       .distinct().transform(graft.operators.Lineage.pin)
     val nodes = ex.select(col("center").as("node"))
       .unionByName(ex.select(col("x").as("node"))).distinct()
-    var emb = nodes
-      .withColumn("d", explode(sequence(lit(0L), lit(dims - 1L))))
-      .withColumn("v",
-        pmod(rolling_hash(concat_ws("|", col("node"), col("d"))),
-          lit(513L)) - lit(256L))
+      .transform(graft.operators.Lineage.pin)
+    // r16 shape rewrite, value-identical by integer re-association:
+    // the model rides as ONE (node, vs: array[dims]) row instead of
+    // dims (node, d, v) rows, so each round joins E example rows (not
+    // E·dims), the per-example dot is a zip_with/aggregate over longs
+    // (the same dims products and the same long sum the old
+    // groupBy(center,x,y) computed), and the gradient step reuses the
+    // forward pass's arrays instead of re-joining the model — two
+    // model joins per round instead of four and one groupBy(node)
+    // instead of groupBy over E·dims rows. Overflow contract (same
+    // role as logisticGd's): |g·v| ≤ 2^10·|v|max per element and the
+    // per-node contribution sum must stay < 2^53 for the exact-double
+    // vector aggregate — bow-scale corpora sit orders of magnitude
+    // inside it.
+    // Pinned frames carry no stats, which forced every round's model
+    // join onto sort-merge; the model is node-count-sized, so size it
+    // once and broadcast under the LinkRank threshold (n ≤ 10^6).
+    val n = nodes.count()
+    val small = n <= 1000000L
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var emb = nodes.select(col("node"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          d => pmod(rolling_hash(concat_ws("|", col("node"), d)),
+            lit(513L)) - lit(256L)).as("vs"))
       .transform(graft.operators.Lineage.pin)
     for (_ <- 1 to rounds) {
-      val ec = emb.select(col("node").as("cn"), col("d"), col("v").as("cv"))
-      val exv = emb.select(col("node").as("xn"), col("d"), col("v").as("xv"))
+      val ec = emb.select(col("node").as("cn"), col("vs").as("cvs"))
+      val exv = emb.select(col("node").as("xn"), col("vs").as("xvs"))
       // dot in 2^20-unit integers (each side 2^10); the natural-unit
       // double chain below is replayed VERBATIM by the oracle
       val g = ex
-        .join(ec, col("center") === col("cn"))
-        .join(exv, col("x") === col("xn") && ec("d") === exv("d"))
-        .groupBy("center", "x", "y")
-        .agg(sum(col("cv") * col("xv")).as("m_int"))
+        .join(hinted(ec), col("center") === col("cn"))
+        .join(hinted(exv), col("x") === col("xn"))
+        .withColumn("m_int", aggregate(
+          zip_with(col("cvs"), col("xvs"), (a, b) => a * b),
+          lit(0L), (acc, e) => acc + e))
         .withColumn("mnat", col("m_int") / lit(1048576.0))
         .withColumn("sig", lit(0.5) +
           col("mnat") / (lit(2.0) * (lit(1.0) + abs(col("mnat")))))
-        .select(col("center"), col("x"),
+        .select(col("center"), col("x"), col("cvs"), col("xvs"),
           floor((col("y") - col("sig")) * 1024).cast("long").as("g"))
-        // both per-side gradient branches read g: without the pin the
-        // E·D example×embedding double join above runs twice per round
-        .transform(graft.operators.Lineage.pin)
+      // NOT pinned: both gradient branches re-run the forward pass,
+      // but it is two broadcast map-side joins over the pinned ex —
+      // strictly cheaper than materializing E rows × two dims-arrays
+      // per round (the old E·dims SMJ plan did need the pin)
       // one gradient aggregation for BOTH sides: the update only ever
       // uses gs_c + gs_x, and integer sums re-associate freely, so
       // summing the unioned per-side contributions is value-identical
-      // to the two separate aggregates the oracle replays — at half
-      // the jobs (one join+agg+model-join instead of two of each)
-      val gs = g.join(exv, col("x") === col("xn"))
-        .select(col("center").as("node"), col("d"),
-          (col("g") * col("xv")).as("contrib"))
-        .unionByName(g.join(ec, col("center") === col("cn"))
-          .select(col("x").as("node"), col("d"),
-            (col("g") * col("cv")).as("contrib")))
-        .groupBy("node", "d")
-        .agg(sum(col("contrib")).as("gs"))
+      // to the two separate aggregates the oracle replays
+      val gs = g.select(explode(array(
+          struct(col("center").as("node"),
+            transform(col("xvs"), e => (col("g") * e).cast("double"))
+              .as("contrib")),
+          struct(col("x").as("node"),
+            transform(col("cvs"), e => (col("g") * e).cast("double"))
+              .as("contrib")))).as("s"))
+        .select(col("s.node").as("node"), col("s.contrib").as("contrib"))
+        .groupBy("node")
+        .agg(vector_sum(col("contrib")).as("gs"))
       emb = emb
-        .join(gs, Seq("node", "d"), "left")
-        .select(col("node"), col("d"),
-          (col("v") + floor(coalesce(col("gs"), lit(0L)) /
-            lit(dampDen.toDouble)).cast("long")).as("v"))
+        .join(hinted(gs), Seq("node"), "left")
+        .select(col("node"),
+          zip_with(col("vs"),
+            coalesce(col("gs"), array_repeat(lit(0.0), dims)),
+            (v, b) => v + floor(b / lit(dampDen.toDouble)).cast("long"))
+            .as("vs"))
         .transform(graft.operators.Lineage.pin)
     }
-    emb
+    // long form (node, d, v) — the operator's output contract
+    emb.select(col("node"), posexplode(col("vs")))
+      .select(col("node"), col("pos").cast("long").as("d"),
+        col("col").as("v"))
   }
 }

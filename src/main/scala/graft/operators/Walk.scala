@@ -149,11 +149,15 @@ object Walk {
     // distinct centers): a derived input — the usual skip-gram
     // self-join — would re-execute per reference without the pin
     val pairs = Lineage.pinDerived(pairs0)
-    val wts = pairs.groupBy(col(contextCol).as("node"))
+    // pinned: node-set-sized, and read by FOUR downstream consumers
+    // (emptiness probe, numeric min/max bucketing, the prefix sum, and
+    // the interval table) — unpinned it re-ran the groupBy per
+    // consumer (r16: 3 rebuilds measured inside q_embed_train)
+    val wts = Lineage.pin(pairs.groupBy(col(contextCol).as("node"))
       .agg(sum(col(nPairsCol)).as("freq"))
       .withColumn("w", expr(
         "CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256 " +
-          "AS DOUBLE))))) AS BIGINT)"))
+          "AS DOUBLE))))) AS BIGINT)")))
     // empty feed: no distribution to sample from — an empty typed
     // result, never an NPE off the null max(cum) downstream
     if (wts.isEmpty)

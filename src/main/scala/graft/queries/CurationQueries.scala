@@ -1618,8 +1618,9 @@ object CurationQueries {
       val n = d.count()
       val (cells, frac) = adaptiveCells(n)
       Dedup.semanticPairsQuantized(
-          d.select(col("doc_id"),
-            hashed_bow(tokenize_ws(col("text")), 64).as("v")),
+          graft.operators.Scale.fan(d.select("doc_id", "text"))
+            .select(col("doc_id"),
+              hashed_bow(tokenize_ws(col("text")), 64).as("v")),
           "doc_id", "v",
           nClusters = cells, minCosine = 0.9, iters = 2,
           trainFraction = frac)

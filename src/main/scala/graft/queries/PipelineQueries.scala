@@ -235,8 +235,14 @@ object PipelineQueries {
     // and q_dedup_minhash's banding: same pair semantics, different
     // candidate generation with zero false negatives by construction.
     "q_dedup_prefix" -> { (s, dir) =>
-      Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          num = 9L, den = 10L)
+      // CPU-dense low-byte plan (prefix-salted join + early-abort merge
+      // verify): under the default AQE floor its verify stages coalesce
+      // to single reducers and serialize seconds of kernel time —
+      // measured 7.2 s -> 2.1 s with the scoped floor (Scale.cpuDense;
+      // inert at production shuffle volumes).
+      Dedup.prefixJaccardPairs(
+          t(graft.operators.Scale.cpuDense(s), dir, "documents"),
+          "doc_id", "text", num = 9L, den = 10L)
         .orderBy("id1", "id2")
     },
 
@@ -850,7 +856,12 @@ object PipelineQueries {
     // low values mark chain components where transitive collapse is
     // merging docs that never directly matched.
     "q_dup_triangles" -> { (s, dir) =>
-      Dedup.triangleStats(jaccardPairGraph(s, dir))
+      // CPU-dense low-byte wedge plan: scoped AQE floor keeps the
+      // wedge/closing stages off a single reducer (Scale.cpuDense —
+      // a fanned-edge-list variant measured WORSE, 5.8 -> 9.2 s: the
+      // explicit exchange broke the broadcast probe pipeline).
+      Dedup.triangleStats(jaccardPairGraph(
+          graft.operators.Scale.cpuDense(s), dir))
         .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
           col("clus_per_mille"))
         .orderBy("doc_id")

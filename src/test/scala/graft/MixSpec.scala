@@ -182,18 +182,22 @@ class MixSpec extends SparkSpec {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     s2.sparkContext.setCheckpointDir(dir.toString)
-    // an iterative op (every round pins via Lineage.pin) both runs AND
-    // materializes reliable checkpoint files under the dir
-    val out = Mix.mixtureReweight(df, "domain", "loss", rounds = 2)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(out.keySet == Set("a", "b", "c"))
+    // a round pin under the knob materializes reliable checkpoint
+    // files under the dir (exercised directly since r16:
+    // mixtureReweight folds its D-row rounds on the driver and no
+    // longer pins — Dedup.clusters/LinkRank/Train still do)
+    val pinned = graft.operators.Lineage.pin(
+      df.groupBy("domain").agg(sum("loss").as("loss")))
+    assert(pinned.count() == 3)
     val wrote = java.nio.file.Files.walk(dir)
       .filter(p => p.getFileName.toString.startsWith("rdd-"))
       .count()
     assert(wrote > 0, "reliable checkpoint left no rdd-* dirs")
-    // same values as the localCheckpoint default (the knob changes
-    // fault tolerance, never results) — base runs on the PARENT
-    // session, where the knob is unset
+    val out = Mix.mixtureReweight(df, "domain", "loss", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    // same values on any session (the knob changes fault tolerance,
+    // never results) — base runs on the PARENT session, knob unset
     val sp = spark; import sp.implicits.{localSeqToDatasetHolder => _, _}
     val baseDf = sp.createDataFrame(
       Seq(("a", 100000000L), ("b", 50000000L), ("c", 99000000L)))
