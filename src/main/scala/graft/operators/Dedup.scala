@@ -351,13 +351,17 @@ object Dedup {
     // covers the ratio bound (D grows instead of pairs being dropped).
     val logR = math.log(1.0 / math.max(0.05, minJaccard - 0.001))
     val bandDelta = math.floor(math.log(1.0 / minJaccard) / logR).toInt + 1
-    val toks = df.select(col(idCol).as("id") +:
-      idSet.as("ids") +: blockCols.map(col): _*)
+    // fan below the set kernel (serial on a one-split corpus), and pin
+    // the featurized frame: BOTH salted roles below re-execute this
+    // subtree, so unpinned the shingle/token kernel ran twice (r16)
+    val toks = Lineage.pin(Scale.fan(df)
+      .select(col(idCol).as("id") +:
+        idSet.as("ids") +: blockCols.map(col): _*)
       // hash-salt (not pmod on the raw id): works for ANY id type —
       // pmod on a string id nulls out and silently drops every row
       .withColumn("bkt", pmod(xxhash64(col("id")), lit(B.toLong)).cast("int"))
       .withColumn("band",
-        floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR).cast("int"))
+        floor(log(greatest(size(col("ids")), lit(1)).cast("double")) / logR).cast("int")))
     // role by bucket: the smaller-bucket doc is "a"; ties broken by id
     val a = toks.withColumn("bv", explode(sequence(col("bkt"), lit(B - 1))))
       .withColumnRenamed("bkt", "bu").as("a")
@@ -442,16 +446,19 @@ object Dedup {
       s"bands ($bands) must divide k ($k): a remainder would silently " +
         "truncate the signature and change the collision curve")
     val rt = math.round(math.max(0.0, minJaccard - 0.001) * 10000)
-    val docs = df.select(col(idCol).as("id"), tokenIdSet(textCol).as("ids"))
+    // fan below both kernels (serial on a one-split corpus); pin the
+    // banded frame — the a/b candidate roles re-execute its subtree
+    val docs = Scale.fan(df).select(col(idCol).as("id"),
+      tokenIdSet(textCol).as("ids"))
     // minhash_band_hashes fuses sig + per-band bucket hashing into one
     // kernel call (and a min is duplicate-insensitive, so it runs on
     // raw tokens — no array_distinct needed); the unfused 8-sibling
     // xxhash64(slice(sig,…)) form re-evaluated the tokenize→sig chain
     // per band after CollapseProject (r12's 1.85× regression).
-    val banded = df
+    val banded = Lineage.pin(Scale.fan(df)
       .select(col(idCol).as("id"), size(tokenIdSet(textCol)).as("sz"),
         posexplode(minhash_band_hashes(tokenize_ws(col(textCol)), k, bands)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
@@ -771,7 +778,11 @@ object Dedup {
                  spanTokens: Int = 8): DataFrame = {
     val L = spanTokens
     require(L >= 2, s"need spanTokens >= 2, got $L")
-    val toks = df
+    // fan below the tokenize kernel (serial on a one-split corpus).
+    // NOT pinned: a stats-free pinned leaf forced the gram/first join
+    // off the broadcast fast path (measured 2.9 -> 5.7 s); re-running
+    // tokenize per reference at fanned parallelism is the cheaper arm
+    val toks = Scale.fan(df)
       .select(col(idCol).as("id"), tokenize_ws(col(textCol)).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
     // one (id, pos, h) row per sliding window; docs with n < L emit none
@@ -852,7 +863,14 @@ object Dedup {
         .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
         .transform(graft.operators.Lineage.pin)
       var iter = 0
-      var converged = labels.isEmpty
+      val nNodes = labels.count()
+      var converged = nNodes == 0L
+      // pinned label frames carry no stats, so every round's two joins
+      // planned as sort-merge (4 exchanges/round of pure latency on a
+      // node-sized table). Size once and broadcast under the LinkRank
+      // threshold; past it the rounds keep the shuffle plan.
+      val small = nNodes <= 1000000L
+      def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the driver reference drops (weak-ref GC);
       // localCheckpoint blocks unconditionally, reliable checkpoint
@@ -861,13 +879,13 @@ object Dedup {
       while (!converged && iter < maxIter) {
         iter += 1
         // pull the smallest label visible through one edge hop
-        val pulled = edges.join(labels, edges("dst") === labels("id"))
+        val pulled = edges.join(hinted(labels), edges("dst") === labels("id"))
           .groupBy("src").agg(min(col("lbl")).as("plbl"))
         // the changed flag rides the round's frame, so the fixpoint
         // check is an exact count over the checkpointed result — works
         // for ANY orderable id type (a numeric label-sum detector would
         // silently mis-converge on string ids)
-        val next = labels.join(pulled, labels("id") === pulled("src"), "left")
+        val next = labels.join(hinted(pulled), labels("id") === pulled("src"), "left")
           .select(labels("id"),
             least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
             (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("__moved"))
@@ -1123,7 +1141,8 @@ object Dedup {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k): a remainder would silently " +
         "truncate the signature and change the collision curve")
-    df.select(col(idCol).as("id"), tokenIdSet(textCol).as("ids"),
+    // fan below the signature kernel (serial on a one-split corpus)
+    Scale.fan(df).select(col(idCol).as("id"), tokenIdSet(textCol).as("ids"),
         posexplode(minhash_band_hashes(tokenize_ws(col(textCol)), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }

@@ -131,6 +131,11 @@ object LinkRank {
     // execute the edge join twice per half-round (measured 6.7 s vs
     // 3.4 s for 3 rounds at sf0.1). The renormed projection itself
     // stays lazy — it is n-row work riding the next round's join.
+    // (r16: a broadcast-1-row-aggregate formulation of this total —
+    // no driver head() per half-round — measured consistently WORSE,
+    // 2.8 -> ~4 s: every reference to the renormed frame re-executes
+    // the agg+crossJoin, and the extra broadcast exchanges cost more
+    // than the driver sync they replaced. The head() stays.)
     def renorm(rawScores: DataFrame): DataFrame = {
       val pinned = rawScores.transform(graft.operators.Lineage.pin)
       val d = pinned.agg(sum(col("v").cast("decimal(38,0)")))
@@ -199,10 +204,11 @@ object LinkRank {
         allNodes.join(s, Seq("node"), "left")
           .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
     }).transform(graft.operators.Lineage.pin)
-    val n = nodes.count()
+    // one aggregate for both setup scalars (was two driver actions)
+    val cnts = nodes.agg(count(lit(1)), sum("seed")).head()
+    val n = cnts.getLong(0)
     require(n > 0, "pageRank on an empty edge list")
-    val nTeleport =
-      if (seeds.isEmpty) n else nodes.filter(col("seed") === 1).count()
+    val nTeleport = if (seeds.isEmpty) n else cnts.getLong(1)
     require(nTeleport > 0, "no seed node present in the graph")
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
     // Size-statistics decisions the planner can't make itself

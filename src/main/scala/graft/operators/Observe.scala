@@ -280,18 +280,19 @@ object Observe {
     val support = Lineage.pinDerived(va.unionByName(vb)
       .groupBy("v").agg(sum("da").as("da"), sum("db").as("db")))
     // order-aligned range cells for the two-level scans (1-row frame;
-    // the cell ids never reach the result — only the prefix sums do)
-    val Row(mn: Double, mx: Double) =
-      support.agg(min("v"), max("v")).head()
+    // the cell ids never reach the result — only the prefix sums do).
+    // One head() for all four setup scalars, one two-sided prefix pass
+    // (r16: the former min/max + totals + 2 single-value scans paid
+    // five driver actions and two window ladders per call).
+    val Row(mn: Double, mx: Double, na: Long, nb: Long) =
+      support.agg(min("v"), max("v"), sum("da"), sum("db")).head()
+    require(na > 0 && nb > 0,
+      s"ksDrift needs non-empty sides, got n_a=$na n_b=$nb")
     val w = if (mx > mn) (mx - mn) / buckets else 1.0
     def cell = least(floor((col("v") - lit(mn)) / lit(w)),
       lit(buckets - 1).cast("double")).cast("long")
-    val cumA = PrefixSum.bucketed(support, Seq("v"), col("da"), cell, "ca")
-    val cum = PrefixSum.bucketed(cumA, Seq("v"), col("db"), cell, "cb")
-    val Row(na: Long, nb: Long) =
-      support.agg(sum("da"), sum("db")).head()
-    require(na > 0 && nb > 0,
-      s"ksDrift needs non-empty sides, got n_a=$na n_b=$nb")
+    val cum = PrefixSum.bucketed2(support, Seq("v"),
+      col("da"), "ca", col("db"), "cb", cell)
     val diff = cum.withColumn("__d",
       abs(col("ca").cast("decimal(38,0)") * nb -
         col("cb").cast("decimal(38,0)") * na))
@@ -341,17 +342,16 @@ object Observe {
       .select(col("v"), lit(0L).as("da"), lit(1L).as("db"))
     val support = Lineage.pinDerived(va.unionByName(vb)
       .groupBy("v").agg(sum("da").as("da"), sum("db").as("db")))
-    val Row(mn: Double, mx: Double) =
-      support.agg(min("v"), max("v")).head()
+    // one head() for all four setup scalars (the ksDrift r16 trim)
+    val Row(mn: Double, mx: Double, na: Long, nb: Long) =
+      support.agg(min("v"), max("v"), sum("da"), sum("db")).head()
+    require(na > 0 && nb > 0,
+      s"rankSumDrift needs non-empty sides, got n_a=$na n_b=$nb")
     val w = if (mx > mn) (mx - mn) / buckets else 1.0
     val cell = least(floor((col("v") - lit(mn)) / lit(w)),
       lit(buckets - 1).cast("double")).cast("long")
     val cum = PrefixSum.bucketed(support, Seq("v"),
       col("da") + col("db"), cell, "c")
-    val Row(na: Long, nb: Long) =
-      support.agg(sum("da"), sum("db")).head()
-    require(na > 0 && nb > 0,
-      s"rankSumDrift needs non-empty sides, got n_a=$na n_b=$nb")
     val n = na + nb
     cum
       .withColumn("t", col("da") + col("db"))

@@ -65,6 +65,47 @@ object PrefixSum {
       .drop("__ps_v", "__ps_bkt", "__ps_in", "__ps_off")
   }
 
+  /** [[bucketed]] for TWO value columns in one pass: one within-bucket
+    * window scan, one B-row totals collect, one broadcast join — the
+    * two-sided CDF shape (ksDrift/rankSumDrift) previously paid the
+    * whole ladder twice. Values identical to two bucketed() calls. */
+  def bucketed2(df: DataFrame, orderCols: Seq[String],
+                v1: Column, out1: String, v2: Column, out2: String,
+                bucket: Column): DataFrame = {
+    val b = df.withColumn("__ps_v1", v1.cast("long"))
+      .withColumn("__ps_v2", v2.cast("long"))
+      .withColumn("__ps_bkt", bucket)
+    val wIn = Window.partitionBy("__ps_bkt")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = b
+      .withColumn("__ps_in1", sum(col("__ps_v1")).over(wIn))
+      .withColumn("__ps_in2", sum(col("__ps_v2")).over(wIn))
+    val tots = b.groupBy("__ps_bkt")
+      .agg(sum(col("__ps_v1")).as("__ps_t1"), sum(col("__ps_v2")).as("__ps_t2"))
+      .orderBy("__ps_bkt").collect()
+    var acc1 = 0L; var acc2 = 0L
+    val offRows: Seq[Row] = tots.toSeq.map { r =>
+      require(!r.isNullAt(0),
+        "prefix-sum bucket must be non-null (null keys would drop " +
+          "rows at the offsets join)")
+      val out = Row(r.get(0), acc1, acc2)
+      acc1 += r.getLong(1); acc2 += r.getLong(2); out
+    }
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      cumIn.schema("__ps_bkt").copy(nullable = false),
+      StructField("__ps_off1", LongType, nullable = false),
+      StructField("__ps_off2", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offs = spark.createDataFrame(offRows.asJava, schema)
+    cumIn.join(broadcast(offs), Seq("__ps_bkt"))
+      .withColumn(out1, col("__ps_off1") + col("__ps_in1"))
+      .withColumn(out2, col("__ps_off2") + col("__ps_in2"))
+      .drop("__ps_v1", "__ps_v2", "__ps_bkt",
+        "__ps_in1", "__ps_in2", "__ps_off1", "__ps_off2")
+  }
+
   /** PER-GROUP inclusive prefix sum: cum of `valueCol` within each
     * `partCols` group under `orderCols`, as `outCol`; also emits the
     * group total as `totCol` (both sides of the pick-containment test

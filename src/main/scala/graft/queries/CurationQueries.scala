@@ -675,7 +675,10 @@ object CurationQueries {
     "q_bpe_tokenize" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val merges = Bpe.train(d, "text", nMerges = 1000, maxWords = 10000)
-      d.select(col("doc_id"), token_count(col("text")).as("n_words"),
+      // fan below the greedy-merge encode kernel (serial on a
+      // one-split corpus; no-op at production scan parallelism)
+      graft.operators.Scale.fan(d.select("doc_id", "text"))
+        .select(col("doc_id"), token_count(col("text")).as("n_words"),
           bpe_encode(tokenize_ws(col("text")), merges).as("bpe"))
         .select(col("doc_id"), col("n_words"),
           size(col("bpe")).cast("long").as("n_bpe_tokens"),
@@ -1382,7 +1385,8 @@ object CurationQueries {
     // θ = 1 and every estimate is the exact cardinality — fully
     // hash-oracled against DuckDB's literal set arithmetic.
     "q_theta_overlap" -> { (s, dir) =>
-      val sh = t(s, dir, "documents")
+      val sh = graft.operators.Scale.fan(
+          t(s, dir, "documents").select("source", "text"))
         .select(col("source"),
           explode(graft.functions.shingles(col("text"), 3)).as("sh"))
       graft.operators.Sketch.overlapMatrix(sh, "source", "sh", lgK = 14)

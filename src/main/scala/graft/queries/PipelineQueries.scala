@@ -1402,7 +1402,9 @@ object PipelineQueries {
     // 4th a second "backup" key (n_secrets=2), every 5th a planted
     // LOW-entropy 20-char negative control that must NOT flag.
     "q_secret_scan" -> { (s, dir) =>
-      t(s, dir, "orders")
+      // fan below the entropy-scan kernel (serial on a one-split scan)
+      graft.operators.Scale.fan(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey"))
         .select(col("o_orderkey"),
           concat(lit("auth user"), col("o_custkey").cast("string"),
             lit(" token "), md5(col("o_orderkey").cast("string")),
