@@ -1216,13 +1216,22 @@ object Dedup {
     // a fresh session over an old warehouse dir must not trip
     // LOCATION_ALREADY_EXISTS on the leftover managed location
     Lexical.dropManaged(df.sparkSession, table)
+    // REBALANCE before the write (guide §6 output sizing): the pair
+    // frame's final stage inherits the salted join's partitioning —
+    // r16's fanned kernel left a 1 MB table in 15 shards, and every
+    // pinned-edge consumer (kCore's 8 peel rounds especially) then
+    // inherited that fragmentation in every round frame. AQE sizes the
+    // rebalanced output to advisoryPartitionSizeInBytes, so the same
+    // line writes few-hundred-MB shards at production volume.
     jaccardPairs(df, idCol, textCol, blockCols, minJaccard, parallelBuckets,
       shingleN)
+      .hint("rebalance")
       .write.mode("overwrite").format("parquet").saveAsTable(table)
     // the token-set sidecar makes the graph APPENDABLE: incremental
     // maintenance needs the corpus side's exact sets, not its text
     Lexical.dropManaged(df.sparkSession, s"${table}_toks")
     pairToks(df, idCol, textCol, blockCols, shingleN)
+      .hint("rebalance")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_toks")
   }
 
