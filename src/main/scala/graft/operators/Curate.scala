@@ -1834,26 +1834,37 @@ object Curate {
   def bordaQuality(docs: DataFrame, idCol: String, textCol: String,
                    langCol: String): DataFrame = {
     import graft.functions._
-    val base = docs.select(col(idCol).as("__id"), col(langCol).as("lang"),
-        tokenize_ws(coalesce(col(textCol), lit(""))).as("__t"),
-        length(coalesce(col(textCol), lit(""))).cast("long").as("__nc"))
-      .withColumn("s_len", size(col("__t")).cast("long"))
-      .withColumn("s_div",
-        expr("cast(size(array_distinct(__t)) as bigint) * 1000000" +
-          " div greatest(s_len, 1L)"))
-      .withColumn("s_wlen", expr("__nc * 1000 div greatest(s_len, 1L)"))
-      .drop("__t", "__nc")
+    // r17: pinned — the signal frame feeds a 4-level PrefixSum.keyed
+    // ladder and keyed references its input twice (window pass +
+    // offsets aggregate), so the lazy form re-ran the tokenize kernel
+    // up to 2⁴ times (§2.4; the before-plan is 1349 lines of
+    // duplicated subtrees). Narrow per-doc metadata — the same class
+    // of pin as winsorize's ranked frame.
+    val base = Lineage.pin(
+      docs.select(col(idCol).as("__id"), col(langCol).as("lang"),
+          tokenize_ws(coalesce(col(textCol), lit(""))).as("__t"),
+          length(coalesce(col(textCol), lit(""))).cast("long").as("__nc"))
+        .withColumn("s_len", size(col("__t")).cast("long"))
+        .withColumn("s_div",
+          expr("cast(size(array_distinct(__t)) as bigint) * 1000000" +
+            " div greatest(s_len, 1L)"))
+        .withColumn("s_wlen", expr("__nc * 1000 div greatest(s_len, 1L)"))
+        .drop("__t", "__nc"))
     // descending rank per (lang, signal): the keyed prefix-sum of 1
     // under (signal asc, id asc) is the ascending row number; the
     // reversed order's row number is tot − asc + 1 (ties land on
     // id DESC in the descending view — the oracle ranks the same way).
+    // each level pins (r17): level i's output is level i+1's
+    // double-referenced keyed input — without the pin the ladder's
+    // plan doubles per level
     def descRank(df: DataFrame, sig: String, width: Long,
                  out: String): DataFrame =
-      PrefixSum.keyed(df, Seq("lang"), Seq(sig, "__id"), lit(1L),
-          expr(s"$sig div ${width}L"), outCol = "__rn", totCol = "__tot")
-        .withColumn(out, col("__tot") - col("__rn") + lit(1L))
-        .withColumn("n_lang", col("__tot"))
-        .drop("__rn", "__tot")
+      Lineage.pin(
+        PrefixSum.keyed(df, Seq("lang"), Seq(sig, "__id"), lit(1L),
+            expr(s"$sig div ${width}L"), outCol = "__rn", totCol = "__tot")
+          .withColumn(out, col("__tot") - col("__rn") + lit(1L))
+          .withColumn("n_lang", col("__tot"))
+          .drop("__rn", "__tot"))
     val ranked = descRank(descRank(descRank(base,
       "s_len", 16L, "d_len"), "s_div", 16384L, "d_div"),
       "s_wlen", 256L, "d_wlen")

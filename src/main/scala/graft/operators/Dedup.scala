@@ -853,22 +853,36 @@ object Dedup {
     * the result is materialized small (one row per clustered doc). */
   def clusters(pairs: DataFrame, id1Col: String = "doc_id1",
                id2Col: String = "doc_id2", maxIter: Int = 50): DataFrame = {
-    val e = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-    val edges = e.union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
-      .distinct()
+    // r17 (§2.4 remove shuffles + §2.3 fewer bytes): the round is ONE
+    // edge join + ONE groupBy — the node's own previous label rides a
+    // UNION branch of the (pinned, node-sized) label table, so the old
+    // second join (labels left-join pulled, for the min/moved flags)
+    // and its exchanges are gone. Both edge orientations come out of
+    // one explode pass over `pairs` (the upstream is often an
+    // expensive verify join) with NO distinct: min-aggregation is
+    // duplicate-insensitive, so deduplicating the edge list bought
+    // nothing but a full shuffle of it (measured 1.6 s of the old
+    // setup at sf0.1). The persist is a map-only pass.
+    val edges = pairs.select(explode(array(
+        struct(col(id1Col).as("src"), col(id2Col).as("dst")),
+        struct(col(id2Col).as("src"), col(id1Col).as("dst")))).as("r"))
+      .select(col("r.src"), col("r.dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // label(v) starts at min(v, neighbors(v)) — one hop for free
-      var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
-        .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
-        .transform(graft.operators.Lineage.pin)
+      // label(v) starts at min(v, neighbors(v)) — one hop for free;
+      // the node count rides the init pin's own action (pinAgg)
+      val (labels0, initVals) = graft.operators.Lineage.pinAgg(
+        edges.groupBy("src").agg(min(col("dst")).as("m"))
+          .select(col("src").as("id"), least(col("src"), col("m")).as("lbl")),
+        ("__n", count(lit(1))))
+      var labels = labels0
       var iter = 0
-      val nNodes = labels.count()
+      val nNodes = initVals("__n").asInstanceOf[Long]
       var converged = nNodes == 0L
-      // pinned label frames carry no stats, so every round's two joins
-      // planned as sort-merge (4 exchanges/round of pure latency on a
-      // node-sized table). Size once and broadcast under the LinkRank
-      // threshold; past it the rounds keep the shuffle plan.
+      // pinned label frames carry no stats, so the round's join would
+      // plan sort-merge (exchanges of pure latency on a node-sized
+      // table). Size once and broadcast under the LinkRank threshold;
+      // past it the rounds keep the shuffle plan.
       val small = nNodes <= 1000000L
       def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       // superseded rounds' checkpoint blocks are reclaimed by the
@@ -878,21 +892,40 @@ object Dedup {
       // only the final (small) label table stays resident
       while (!converged && iter < maxIter) {
         iter += 1
-        // pull the smallest label visible through one edge hop
-        val pulled = edges.join(hinted(labels), edges("dst") === labels("id"))
-          .groupBy("src").agg(min(col("lbl")).as("plbl"))
-        // the changed flag rides the round's frame, so the fixpoint
-        // check is an exact count over the checkpointed result — works
-        // for ANY orderable id type (a numeric label-sum detector would
-        // silently mis-converge on string ids)
-        val next = labels.join(hinted(pulled), labels("id") === pulled("src"), "left")
-          .select(labels("id"),
-            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
-            (coalesce(col("plbl"), col("lbl")) < col("lbl")).as("__moved"))
-          .transform(graft.operators.Lineage.pin)
-        val moved = next.filter(col("__moved")).limit(1).count()
+        // one hop: min label over neighbors ∪ self = the new label;
+        // the self vote (the node's own previous label, which is also
+        // the moved-flag reference) arrives through the union branch
+        // of the pinned label table — no second edge-table join, no
+        // synthetic self-loop rows inflating the edge list.
+        val cand = edges.join(hinted(labels), edges("dst") === labels("id"))
+          .select(col("src"), col("lbl"), lit(false).as("__self"))
+          .unionAll(labels.select(col("id").as("src"), col("lbl"),
+            lit(true).as("__self")))
+          .groupBy("src").agg(min(col("lbl")).as("nlbl"),
+            min(when(col("__self"), col("lbl"))).as("olbl"))
+        // pointer compression (the halving half of large-star/small-
+        // star): chase the pulled label one more step through the SAME
+        // pinned round table — lbl(nlbl) rides a second reference to
+        // the already-built broadcast (exchange reuse), so a round
+        // covers two hops for one extra node-sized join and ZERO extra
+        // actions. Converges in O(log diameter) rounds; the fixpoint
+        // (component min) is unchanged, and so is the exact-count
+        // convergence rule.
+        val lbl2 = labels.select(col("id").as("__cid"), col("lbl").as("__clbl"))
+        // the changed flag is an exact per-row comparison (works for
+        // ANY orderable id type — a numeric label-sum detector would
+        // silently mis-converge on string ids), and its max rides the
+        // round pin's own action (pinAgg) instead of a trailing
+        // count job
+        val (next, roundVals) = graft.operators.Lineage.pinAgg(
+          cand.join(hinted(lbl2), cand("nlbl") === lbl2("__cid"), "left")
+            .select(col("src").as("id"),
+              least(col("nlbl"), coalesce(col("__clbl"), col("nlbl"))).as("lbl"),
+              (least(col("nlbl"), coalesce(col("__clbl"), col("nlbl")))
+                < col("olbl")).as("__moved")),
+          ("__mv", coalesce(max(col("__moved")), lit(false))))
         labels = next.drop("__moved")
-        converged = moved == 0L
+        converged = !roundVals("__mv").asInstanceOf[Boolean]
       }
       // an iteration-capped exit means labels are mid-propagation —
       // returning them would split components silently
@@ -984,20 +1017,25 @@ object Dedup {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-    var e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
-      .transform(graft.operators.Lineage.pin)
-    var prev = e.count()
+    // r17: the per-round edge count (the peel-fixpoint detector) rides
+    // each pin's own action via Lineage.pinAgg — one job per round
+    // instead of two
+    val (e0, v0) = graft.operators.Lineage.pinAgg(
+      pairs.select(col(id1Col).as("u"), col(id2Col).as("v")),
+      ("__n", count(lit(1))))
+    var e = e0
+    var prev = v0("__n").asInstanceOf[Long]
     var iter = 0
     var done = prev == 0L
     while (!done && iter < maxIter) {
       iter += 1
       val alive = degrees(e).filter(col("deg") >= k).select("n")
-      val next = e
-        .join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .transform(graft.operators.Lineage.pin)
-      val cnt = next.count()
+      val (next, vr) = graft.operators.Lineage.pinAgg(
+        e.join(alive.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select("u", "v"),
+        ("__n", count(lit(1))))
+      val cnt = vr("__n").asInstanceOf[Long]
       done = cnt == prev || cnt == 0L
       prev = cnt
       e = next
@@ -1044,19 +1082,33 @@ object Dedup {
                        rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = pairs.select(col(id1Col).as("u"), col(id2Col).as("v"))
+    // distinct is REQUIRED here, unlike clusters(): vote multiplicity
+    // is the semantics, so duplicate edge rows would change counts
     val edges = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().transform(graft.operators.Lineage.pin)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("lab", col("id"))
-      .transform(graft.operators.Lineage.pin)
+    // node count rides the init pin (r17) and gates the broadcast
+    // hints — pinned frames carry no stats, so the per-round label
+    // join otherwise planned sort-merge on a node-sized table
+    val (labels0, lv) = graft.operators.Lineage.pinAgg(
+      edges.select(col("u").as("id")).distinct().withColumn("lab", col("id")),
+      ("__n", count(lit(1))))
+    var labels = labels0
+    val small = lv("__n").asInstanceOf[Long] <= 1000000L
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     for (_ <- 1 to rounds) {
       val nbr = edges
-        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .join(hinted(labels.withColumnRenamed("id", "v")), Seq("v"))
         .select(col("u").as("id"), col("lab"))
       val votes = nbr.unionAll(labels.select("id", "lab"))
         .groupBy("id", "lab").agg(count(lit(1)).as("c"))
-      val cmax = votes.groupBy("id").agg(max(col("c")).as("cmax"))
-      labels = votes.join(cmax, "id")
+      // r17 (§2.4): the two-step argmax ran as a votes self-reference
+      // (groupBy cmax + join back) — the votes subtree, including the
+      // edge join, executed TWICE per round. A max window over the
+      // (id, lab) vote table computes the same cmax in one chain; the
+      // trailing per-id min reuses the window's id partitioning.
+      val wMax = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      labels = votes
+        .withColumn("cmax", max(col("c")).over(wMax))
         .filter(col("c") === col("cmax"))
         .groupBy("id").agg(min(col("lab")).as("lab"))
         .transform(graft.operators.Lineage.pin)

@@ -70,6 +70,39 @@ object Lineage {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** r17: pin + read GLOBAL aggregates of the SAME materialization.
+    * The engine's iterative loops all follow "pin the round, then run
+    * one scalar action over the pinned blocks" (convergence count,
+    * renormalizer total, setup cardinality); that trailing action is
+    * a whole extra job of pure scheduler latency per round (~0.2-0.35
+    * s measured locally). `Dataset.observe` computes the aggregates
+    * DURING the pin's own action, so the scalar is free. Aggregates
+    * must be aliased, global and distinct-free (the observe
+    * contract). Falls back to an explicit aggregate over the pinned
+    * frame if metric delivery ever fails (defensive: delivery rides
+    * an async listener; verified on localCheckpoint and reliable
+    * checkpoint paths for this Spark, but a pinned-frame aggregate is
+    * always correct). */
+  def pinAgg(df: DataFrame,
+             aggs: (String, org.apache.spark.sql.Column)*): (DataFrame, Map[String, Any]) = {
+    require(aggs.nonEmpty, "pinAgg needs >= 1 aggregate")
+    val names = aggs.map(_._1)
+    val aliased = aggs.map { case (n, c) => c.as(n) }
+    val obs = org.apache.spark.sql.Observation()
+    val pinned = pin(df.observe(obs, aliased.head, aliased.tail: _*))
+    val vals: Map[String, Any] =
+      try {
+        scala.concurrent.Await.ready(obs.future,
+          scala.concurrent.duration.Duration(60, "s"))
+        names.map(n => (n, obs.get(n))).toMap
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val r = pinned.agg(aliased.head, aliased.tail: _*).head()
+          names.zipWithIndex.map { case (n, i) => (n, r.get(i)) }.toMap
+      }
+    (pinned, vals)
+  }
+
   private def scanShaped(p: LogicalPlan): Boolean = p match {
     case _: LeafNode => true
     case Project(_, c)        => scanShaped(c)

@@ -115,13 +115,29 @@ object LinkRank {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("long").as("w"))
-    val e = (if (assumeSummed) raw
-             else raw.groupBy("src", "dst").agg(sum("w").as("w")))
-      .transform(graft.operators.Lineage.pin)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().transform(graft.operators.Lineage.pin)
-    val n = nodes.count()
+    // max(w) rides the edge pin and gates the same narrow-arithmetic
+    // fast path as [[ranked]] (r17): scores are renormalized to
+    // ≤ scale every half-round, so the per-edge product score·w runs
+    // in LONG when scale·max(w) fits — value-identical to the
+    // decimal(38,0) product (exact integers either way); only the
+    // cross-edge SUM stays decimal, because in-degree × scale·w is
+    // not mass-bounded before renormalization.
+    val (e, ev) = graft.operators.Lineage.pinAgg(
+      if (assumeSummed) raw
+      else raw.groupBy("src", "dst").agg(sum("w").as("w")),
+      ("__wmax", max("w")))
+    val wMax = Option(ev("__wmax")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val longSafe = wMax >= 0 &&
+      BigInt(scale) * BigInt(math.max(wMax, 1L)) <= BigInt(Long.MaxValue)
+    val prodExpr =
+      if (longSafe) "v * w" else "CAST(v AS DECIMAL(38,0)) * w"
+    // node count rides the node-table pin (Lineage.pinAgg, r17)
+    val (nodes, nv) = graft.operators.Lineage.pinAgg(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct(),
+      ("__n", count(lit(1))))
+    val n = nv("__n").asInstanceOf[Long]
     require(n > 0, "hits on an empty edge list")
     val small = n <= 1000000L
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -137,9 +153,13 @@ object LinkRank {
     // the agg+crossJoin, and the extra broadcast exchanges cost more
     // than the driver sync they replaced. The head() stays.)
     def renorm(rawScores: DataFrame): DataFrame = {
-      val pinned = rawScores.transform(graft.operators.Lineage.pin)
-      val d = pinned.agg(sum(col("v").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      // r17: the L1 total rides the pin's own action (Lineage.pinAgg)
+      // — the separate per-half-round aggregate job is gone, while
+      // the pin-then-read-total structure (measured optimal in r16
+      // against the no-sync broadcast form) is unchanged.
+      val (pinned, tv) = graft.operators.Lineage.pinAgg(rawScores,
+        ("__t", sum(col("v").cast("decimal(38,0)"))))
+      val d = tv("__t").asInstanceOf[java.math.BigDecimal]
       require(d != null && d.signum() > 0,
         "hits: a round produced zero total mass (all edge weights 0?)")
       val total = d.toBigInteger.toString
@@ -151,13 +171,15 @@ object LinkRank {
     var auth = nodes.select(col("node"), lit(0L).as("v"))
     for (_ <- 1 to iters) {
       val ar = e.join(hinted(hub), col("src") === hub("node"))
-        .select(col("dst"), expr("CAST(v AS DECIMAL(38,0)) * w").as("c"))
-        .groupBy("dst").agg(sum("c").cast("decimal(38,0)").as("v"))
+        .select(col("dst"), expr(prodExpr).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c").cast("decimal(38,0)")).cast("decimal(38,0)").as("v"))
         .select(col("dst").as("node"), col("v"))
       auth = renorm(ar)
       val hr = e.join(hinted(auth), col("dst") === auth("node"))
-        .select(col("src"), expr("CAST(v AS DECIMAL(38,0)) * w").as("c"))
-        .groupBy("src").agg(sum("c").cast("decimal(38,0)").as("v"))
+        .select(col("src"), expr(prodExpr).as("c"))
+        .groupBy("src")
+        .agg(sum(col("c").cast("decimal(38,0)")).cast("decimal(38,0)").as("v"))
         .select(col("src").as("node"), col("v"))
       hub = renorm(hr)
     }
@@ -184,31 +206,53 @@ object LinkRank {
     // `assumeSummed` lets a caller whose graph construction already
     // ends in a groupBy(src, dst) skip a redundant full re-shuffle of
     // the edge list; the fixpoint is identical either way.
-    val e = (if (assumeSummed) raw
-             else raw.groupBy("src", "dst").agg(sum("w").as("w")))
-      // the edge list is the reused big table: materialize it ONCE (the
-      // upstream graph construction — at web scale a multi-TB join —
-      // must not replay under nodes/outw/every round's lineage). It is
-      // the only edge-sized materialization in the operator.
-      .transform(graft.operators.Lineage.pin)
+    // the edge list is the reused big table: materialize it ONCE (the
+    // upstream graph construction — at web scale a multi-TB join —
+    // must not replay under nodes/outw/every round's lineage). It is
+    // the only edge-sized materialization in the operator. max(w)
+    // rides the pin action and gates the narrow-arithmetic fast path
+    // below (r17).
+    val (e, ev) = graft.operators.Lineage.pinAgg(
+      if (assumeSummed) raw
+      else raw.groupBy("src", "dst").agg(sum("w").as("w")),
+      ("__wmax", max("w")))
+    val wMax = Option(ev("__wmax")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // r17 (§1.2 per-task work): the per-edge contribution
+    // floor(rank·w/outw) ran as DECIMAL(38,0) multiply+divide — a
+    // BigDecimal op per edge per round that dominated task time
+    // (q_link_rank: ~16 s of task time at sf0.1, nearly all here).
+    // rank ≤ scale by mass conservation (sink loss only shrinks it),
+    // so when scale·max(w) fits a long the same floor-division runs in
+    // LONG arithmetic — truncating non-negative integer division is
+    // value-identical, only representation changes; the inflow sum is
+    // bounded by total mass ≤ scale, so it stays long too. Graphs with
+    // weights past the bound keep the widened decimal path.
+    val longSafe = wMax >= 0 &&
+      BigInt(scale) * BigInt(math.max(wMax, 1L)) <= BigInt(Long.MaxValue) &&
+      BigInt(dampNum) * BigInt(scale) <= BigInt(Long.MaxValue)
+    val contribExpr =
+      if (longSafe) "rank * w div outw"
+      else "CAST(rank AS DECIMAL(38,0)) * w div outw"
     val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
     // `seed` rides the checkpointed node frame: 1 = receives teleport
     // mass (every node for PageRank, the trusted set for TrustRank).
-    val nodes = (seeds match {
-      case None => allNodes.withColumn("seed", lit(1))
-      case Some((sdf, scol)) =>
-        val s = sdf.select(col(scol).cast("string").as("node"))
-          .distinct().withColumn("seed", lit(1))
-        allNodes.join(s, Seq("node"), "left")
-          .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
-    }).transform(graft.operators.Lineage.pin)
-    // one aggregate for both setup scalars (was two driver actions)
-    val cnts = nodes.agg(count(lit(1)), sum("seed")).head()
-    val n = cnts.getLong(0)
+    // both setup scalars ride the node-table pin (Lineage.pinAgg,
+    // r17 — was one aggregate action, before that two)
+    val (nodes, nv) = graft.operators.Lineage.pinAgg(
+      seeds match {
+        case None => allNodes.withColumn("seed", lit(1))
+        case Some((sdf, scol)) =>
+          val s = sdf.select(col(scol).cast("string").as("node"))
+            .distinct().withColumn("seed", lit(1))
+          allNodes.join(s, Seq("node"), "left")
+            .select(col("node"), coalesce(col("seed"), lit(0)).as("seed"))
+      },
+      ("__n", count(lit(1))), ("__ns", sum("seed")))
+    val n = nv("__n").asInstanceOf[Long]
     require(n > 0, "pageRank on an empty edge list")
-    val nTeleport = if (seeds.isEmpty) n else cnts.getLong(1)
+    val nTeleport = if (seeds.isEmpty) n else nv("__ns").asInstanceOf[Long]
     require(nTeleport > 0, "no seed node present in the graph")
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
     // Size-statistics decisions the planner can't make itself
@@ -232,8 +276,7 @@ object LinkRank {
         .as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ew.join(hinted(r), col("src") === r("node"))
-        .select(col("dst"),
-          expr("CAST(rank AS DECIMAL(38,0)) * w div outw").as("c"))
+        .select(col("dst"), expr(contribExpr).as("c"))
       val in = contrib.groupBy("dst").agg(sum("c").as("inm"))
       r = nodes.join(hinted(in), nodes("node") === in("dst"), "left")
         .select(nodes("node"),

@@ -495,6 +495,13 @@ object Observe {
     * is rollup-sized (parts x keys), not fact-sized. */
   def buildAggTable(facts: DataFrame, path: String, partCol: Column,
                     keyCols: Seq[String], valCol: String): Unit =
+    // File sizing audited r17 (guide §6): a REBALANCE-by-part hint was
+    // tried and REVERTED — AQE already coalesces the rollup-sized
+    // aggregate output (one file per month dir locally, byte-sized
+    // reducers at volume), so the hint only added an exchange per
+    // write (+0.6 s over the query's three writes, no file-count
+    // change). The remaining cost of this operator is the dynamic-
+    // partition commit protocol itself, which is the contract.
     aggPartials(facts, partCol, keyCols, valCol)
       .write.mode("overwrite").partitionBy("part").parquet(path)
 
@@ -572,8 +579,10 @@ object Observe {
     // ONE count-table build + ONE PrefixSum pass, pinned; both ppm
     // ranks are then cheap filters over the pinned ranked frame
     // (pin-once discipline — the two-orderStat form re-executed the
-    // whole input lineage and the groupBy twice, r15 ADVICE).
-    val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    // whole input lineage and the groupBy twice, r15 ADVICE). r17:
+    // the count table itself also pins — bounds + keyed's two
+    // references re-executed the fact scan + aggregate per reference.
+    val g = Lineage.pin(vals.groupBy("grp", "v").agg(count(lit(1)).as("c")))
     val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
     val cells = g.join(bounds, "grp")
       .withColumn("cell",
@@ -623,7 +632,10 @@ object Observe {
       s"equi-depth wants 2..1000 buckets, got $buckets")
     val vals = df.select(col(grpCol).as("grp"),
       col(valCol).cast("long").as("v"))
-    val g = vals.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    // r17: pin-once — same §2.4 rationale as the median/winsorize
+    // count tables (bounds + keyed's two references re-executed the
+    // fact scan + aggregate per reference)
+    val g = Lineage.pin(vals.groupBy("grp", "v").agg(count(lit(1)).as("c")))
     val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
     val cells = g.join(bounds, "grp")
       .withColumn("cell",
@@ -664,7 +676,10 @@ object Observe {
     val vals = df.select(col(grpCol).as("grp"),
       col(valCol).cast("long").as("v"),
       col(weightCol).cast("long").as("w"))
-    val g = vals.groupBy("grp", "v").agg(sum("w").as("c"))
+    // r17: pinned once — the count table is referenced by bounds AND
+    // both sides of PrefixSum.keyed, which re-executed the fact scan +
+    // weight aggregate per reference (§2.4). Count-table-sized state.
+    val g = Lineage.pin(vals.groupBy("grp", "v").agg(sum("w").as("c")))
     val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
     val cells = g.join(bounds, "grp")
       .withColumn("cell",
@@ -680,10 +695,16 @@ object Observe {
 
   def groupedMedianMad(df: DataFrame, grpCol: String,
                        valCol: String): DataFrame = {
-    def lowerMedian(values: DataFrame, out: String): DataFrame = {
-      // values: (grp, v); exact k-th order statistic from the
+    // r17 (§2.3/§2.4): ONE fact scan builds the (grp, v) count table;
+    // the deviation pass re-aggregates THAT table (counts of
+    // |v − median| are sums of the value counts), so the fact input is
+    // never scanned a second time and the rank ladders run over
+    // count-table-sized frames. Both the count table and the median
+    // row are multi-referenced, so they pin (the old lazy form
+    // re-executed the fact groupBy per reference).
+    def lowerMedianCounts(g: DataFrame, out: String): DataFrame = {
+      // g: (grp, v, c); exact k-th order statistic from the
       // count-table rank: the row where cum first reaches k
-      val g = values.groupBy("grp", "v").agg(count(lit(1)).as("c"))
       val bounds = g.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"))
       val cells = g.join(bounds, "grp")
         .withColumn("cell",
@@ -701,10 +722,18 @@ object Observe {
     }
     val vals = df.select(col(grpCol).as("grp"),
       col(valCol).cast("long").as("v"))
-    val med = lowerMedian(vals, "median")
-    val dev = vals.join(med.select("grp", "median"), "grp")
-      .select(col("grp"), abs(col("v") - col("median")).as("v"))
-    val mad = lowerMedian(dev, "mad").select("grp", "mad")
-    med.join(mad, "grp").select("grp", "n", "median", "mad")
+    val g = Lineage.pin(vals.groupBy("grp", "v").agg(count(lit(1)).as("c")))
+    // median table is group-sized; broadcast under the engine's
+    // n ≤ 10⁶ discipline (pinned frames carry no stats and would
+    // plan SMJ). The cardinality rides the pin action (pinAgg).
+    val (med, mv) = Lineage.pinAgg(lowerMedianCounts(g, "median"),
+      ("__n", count(lit(1))))
+    val medHinted =
+      if (mv("__n").asInstanceOf[Long] <= 1000000L) broadcast(med) else med
+    val devCounts = g.join(medHinted.select("grp", "median"), "grp")
+      .groupBy(col("grp"), abs(col("v") - col("median")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = lowerMedianCounts(devCounts, "mad").select("grp", "mad")
+    mad.join(medHinted, "grp").select("grp", "n", "median", "mad")
   }
 }

@@ -35,12 +35,14 @@ object Sessionize {
       .orderBy(userCol, "sess_id")
   }
 
-  /** Events + assigned `sess_id` (textbook lag + running-sum shape) —
-    * the reusable core of [[plain]]; also feeds interval derivations
-    * like per-session bounds (see q_range_join). */
-  def withSessionIds(events: DataFrame, userCol: String, gapNs: Long): DataFrame = {
-    val byTime = Window.partitionBy(userCol).orderBy("ts", "event_id")
-    val run = Window.partitionBy(userCol).orderBy("ts", "event_id")
+  /** [[withSessionIds]] generalized to a composite partition key —
+    * the r17 one-pass split form: sessionizing inside (user, half)
+    * with a per-user time-boundary split equals sessionizing each
+    * half alone, at one scan and one window shuffle instead of two. */
+  private def withSessionIdsKeys(events: DataFrame, keys: Seq[String],
+                                 gapNs: Long): DataFrame = {
+    val byTime = Window.partitionBy(keys.map(col): _*).orderBy("ts", "event_id")
+    val run = Window.partitionBy(keys.map(col): _*).orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .withColumn("new_sess",
@@ -48,6 +50,12 @@ object Sessionize {
           .when(lag("ts", 1).over(byTime).isNull, 1L).otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(run))
   }
+
+  /** Events + assigned `sess_id` (textbook lag + running-sum shape) —
+    * the reusable core of [[plain]]; also feeds interval derivations
+    * like per-session bounds (see q_range_join). */
+  def withSessionIds(events: DataFrame, userCol: String, gapNs: Long): DataFrame =
+    withSessionIdsKeys(events, Seq(userCol), gapNs)
 
   /** Textbook formulation: lag + running sum over a per-user window. */
   def plain(events: DataFrame, userCol: String, gapNs: Long): DataFrame =
@@ -108,8 +116,29 @@ object Sessionize {
     * ≡-full-recompute hash gate); [[finishFrames]] casts once at the
     * end, exactly like `dsum`. */
   def sessionFrames(events: DataFrame, userCol: String, gapNs: Long): DataFrame =
-    withSessionIds(events, userCol, gapNs)
+    withSessionIdsKeys(events, Seq(userCol), gapNs)
       .groupBy(col(userCol), col("sess_id"))
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).as("sum_dec"))
+      .drop("sess_id")
+
+  /** r17 (§2.4 one pass instead of two): session frames for BOTH
+    * halves of a time-split log from ONE scan and ONE window shuffle.
+    * `batchSide` marks the batch half and must split at a per-user
+    * time boundary (every batch event at-or-after every prior event
+    * of the same user — q_sessionize_inc's cutoff contract), so
+    * windowing inside (user, half) equals sessionizing each filtered
+    * half alone: no session of one half can span the split within
+    * that half's own sessionization. Returns the union of the two
+    * halves' frames with `__side` = the batchSide value; filter and
+    * drop it to recover each half (pin first — the two consumers
+    * would otherwise re-run the pass). */
+  def sessionFramesSplit(events: DataFrame, userCol: String, gapNs: Long,
+                         batchSide: Column): DataFrame =
+    withSessionIdsKeys(events.withColumn("__side", batchSide),
+        Seq(userCol, "__side"), gapNs)
+      .groupBy(col(userCol), col("__side"), col("sess_id"))
       .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(38,4)")).as("sum_dec"))
@@ -133,9 +162,18 @@ object Sessionize {
     * between adjacent events, so incremental ≡ full recompute exactly
     * (hash-gated by q_sessionize_inc against the full-log oracle). */
   def incremental(priorFrames: DataFrame, batch: DataFrame, userCol: String,
-                  gapNs: Long, validate: Boolean = false): DataFrame = {
+                  gapNs: Long, validate: Boolean = false): DataFrame =
+    incrementalFrames(priorFrames, sessionFrames(batch, userCol, gapNs),
+      userCol, gapNs, validate)
+
+  /** [[incremental]] with the batch's session frames PRECOMPUTED —
+    * the entry point for callers that already built both halves'
+    * frames in one pass ([[sessionFramesSplit]]); the merge logic is
+    * identical. */
+  def incrementalFrames(priorFrames: DataFrame, newF: DataFrame,
+                        userCol: String, gapNs: Long,
+                        validate: Boolean = false): DataFrame = {
     val u = col(userCol)
-    val newF = sessionFrames(batch, userCol, gapNs)
 
     val lastW = Window.partitionBy(u).orderBy(col("start_ts").desc)
     val priorT = priorFrames.withColumn("__last", row_number().over(lastW) === 1)

@@ -110,9 +110,11 @@ object Train {
     val ex = examples.select(col(centerCol).as("center"),
         col(otherCol).as("x"), col(yCol).cast("double").as("y"))
       .distinct().transform(graft.operators.Lineage.pin)
-    val nodes = ex.select(col("center").as("node"))
-      .unionByName(ex.select(col("x").as("node"))).distinct()
-      .transform(graft.operators.Lineage.pin)
+    // node count rides the node-table pin (Lineage.pinAgg, r17)
+    val (nodes, nodesV) = graft.operators.Lineage.pinAgg(
+      ex.select(col("center").as("node"))
+        .unionByName(ex.select(col("x").as("node"))).distinct(),
+      ("__n", count(lit(1))))
     // r16 shape rewrite, value-identical by integer re-association:
     // the model rides as ONE (node, vs: array[dims]) row instead of
     // dims (node, d, v) rows, so each round joins E example rows (not
@@ -129,7 +131,7 @@ object Train {
     // Pinned frames carry no stats, which forced every round's model
     // join onto sort-merge; the model is node-count-sized, so size it
     // once and broadcast under the LinkRank threshold (n ≤ 10^6).
-    val n = nodes.count()
+    val n = nodesV("__n").asInstanceOf[Long]
     val small = n <= 1000000L
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var emb = nodes.select(col("node"),

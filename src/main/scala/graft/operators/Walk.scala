@@ -152,15 +152,27 @@ object Walk {
     // pinned: node-set-sized, and read by FOUR downstream consumers
     // (emptiness probe, numeric min/max bucketing, the prefix sum, and
     // the interval table) — unpinned it re-ran the groupBy per
-    // consumer (r16: 3 rebuilds measured inside q_embed_train)
-    val wts = Lineage.pin(pairs.groupBy(col(contextCol).as("node"))
+    // consumer (r16: 3 rebuilds measured inside q_embed_train).
+    // r17: the emptiness probe AND the numeric min/max ride the pin's
+    // own action (Lineage.pinAgg) — two whole jobs gone per call.
+    val wts0 = pairs.groupBy(col(contextCol).as("node"))
       .agg(sum(col(nPairsCol)).as("freq"))
       .withColumn("w", expr(
         "CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(freq * freq * freq * 256 " +
-          "AS DOUBLE))))) AS BIGINT)")))
+          "AS DOUBLE))))) AS BIGINT)"))
+    val numericNode = wts0.schema("node").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val aggs: Seq[(String, Column)] =
+      ("__n", count(lit(1))) +: (if (numericNode)
+        Seq(("__lo", min(col("node").cast("long"))),
+          ("__hi", max(col("node").cast("long"))))
+      else Nil)
+    val (wts, wv) = Lineage.pinAgg(wts0, aggs: _*)
     // empty feed: no distribution to sample from — an empty typed
     // result, never an NPE off the null max(cum) downstream
-    if (wts.isEmpty)
+    if (wv("__n").asInstanceOf[Long] == 0L)
       return pairs.select(col(centerCol).as("center"), lit(1L).as("k"),
         col(contextCol).as("neg_node")).limit(0)
     // the cumulative-weight table is a GLOBAL prefix sum over the
@@ -176,10 +188,8 @@ object Walk {
         // UTF8 string comparison (UTF-8 preserves code-point order)
         substring(col("node"), 1, 2)
       case ByteType | ShortType | IntegerType | LongType =>
-        val mm = wts.agg(min(col("node").cast("long")),
-          max(col("node").cast("long"))).head()
-        val lo = BigInt(mm.getLong(0))
-        val width = (BigInt(mm.getLong(1)) - lo) / 256 + 1
+        val lo = BigInt(wv("__lo").asInstanceOf[Long])
+        val width = (BigInt(wv("__hi").asInstanceOf[Long]) - lo) / 256 + 1
         floor((col("node").cast("decimal(38,0)") - lit(BigDecimal(lo))) /
           lit(BigDecimal(width))).cast("long")
       case _ =>
@@ -187,10 +197,12 @@ object Walk {
         // (= the old bounded-vocabulary behavior)
         lit(0L)
     }
-    val win = PrefixSum.bucketed(wts, orderCols = Seq("node"),
-        valueCol = col("w"), bucket = bkt, outCol = "cum")
-      .transform(graft.operators.Lineage.pin)
-    val tot = win.agg(max(col("cum"))).head().getLong(0)
+    // the L1 total rides the prefix-sum pin the same way
+    val (win, winV) = Lineage.pinAgg(
+      PrefixSum.bucketed(wts, orderCols = Seq("node"),
+        valueCol = col("w"), bucket = bkt, outCol = "cum"),
+      ("__tot", max(col("cum"))))
+    val tot = winV("__tot").asInstanceOf[Long]
     val picks = pairs.select(col(centerCol).as("center")).distinct()
       .withColumn("k", explode(sequence(lit(1L), lit(k.toLong))))
       .withColumn("pick",

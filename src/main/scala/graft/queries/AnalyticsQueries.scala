@@ -752,19 +752,31 @@ object AnalyticsQueries {
     // windowed models / charting). The grid explode is bounded per key
     // by its own span; one (user, bucket) join, no global calendar
     // table.
+    // r17 (§2.4 remove shuffles): the grid build + (user, bucket)
+    // left join collapse into one lead() window over the hourly rows —
+    // each observed bucket emits itself plus the empty buckets up to
+    // the next observation (the last observed bucket is b1, so the
+    // span union is identical to the min..max grid). One groupBy
+    // shuffle + one same-key window instead of two aggregates and a
+    // join.
     "q_gap_fill" -> { (s, dir) =>
       val hourly = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 3600000000000").as("bucket"),
           col("value"))
         .groupBy("user_id", "bucket")
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      val grid = hourly.groupBy("user_id")
-        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-      grid.join(hourly, Seq("user_id", "bucket"), "left")
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+      hourly
+        .withColumn("next_b",
+          coalesce(lead("bucket", 1).over(w) - 1, col("bucket")))
+        .select(col("user_id"), col("bucket").as("obs_bucket"),
+          col("n_events"), col("sum_value"),
+          explode(sequence(col("bucket"), col("next_b"))).as("bucket"))
         .select(col("user_id"), col("bucket"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          when(col("bucket") === col("obs_bucket"), col("n_events"))
+            .otherwise(lit(0L)).as("n_events"),
+          when(col("bucket") === col("obs_bucket"), col("sum_value"))
+            .otherwise(lit(0.0)).as("sum_value"))
         .orderBy("user_id", "bucket")
     },
 
@@ -775,21 +787,25 @@ object AnalyticsQueries {
     // grid's (user, bucket) sort; the first bucket always has data
     // (the span starts at each key's first observation), so the fill
     // is total.
+    // r17 (§2.4): same lead() rewrite as q_gap_fill — and LOCF gets
+    // the fill for free: every empty bucket emitted by an observation
+    // row carries THAT observation's sum (it is the most recent one by
+    // construction), so the last(ignoreNulls) window disappears too.
     "q_gap_fill_locf" -> { (s, dir) =>
       val hourly = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 3600000000000").as("bucket"),
           col("value"))
         .groupBy("user_id", "bucket")
         .agg(dsum(col("value")).as("sv"))
-      val grid = hourly.groupBy("user_id")
-        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
       val w = Window.partitionBy("user_id").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      grid.join(hourly, Seq("user_id", "bucket"), "left")
-        .withColumn("filled_value", last(col("sv"), ignoreNulls = true).over(w))
-        .withColumn("observed", col("sv").isNotNull)
-        .select("user_id", "bucket", "filled_value", "observed")
+      hourly
+        .withColumn("next_b",
+          coalesce(lead("bucket", 1).over(w) - 1, col("bucket")))
+        .select(col("user_id"), col("bucket").as("obs_bucket"), col("sv"),
+          explode(sequence(col("bucket"), col("next_b"))).as("bucket"))
+        .select(col("user_id"), col("bucket"),
+          col("sv").as("filled_value"),
+          (col("bucket") === col("obs_bucket")).as("observed"))
         .orderBy("user_id", "bucket")
     },
 

@@ -609,11 +609,16 @@ object CurationQueries {
       val perDoc = Shared.bigramScored(d, "doc_id", "text")
         .groupBy("doc_id")
         .agg(sum("q").as("sq"), count(lit(1)).as("nb"))
-      val domLoss = perDoc.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(sum("sq").as("sq"), sum("nb").as("n_bigrams"))
-        .select(col("source"), col("n_bigrams"),
-          expr("100000000L - sq div n_bigrams").as("loss"))
+      // r17: pinned once — both the MW fold's collect and the final
+      // n_bigrams join read this frame, and its upstream is the full
+      // bigram-scoring pass over the corpus (was re-executed per
+      // reference). The pinned frame is source-grained (tiny).
+      val domLoss = graft.operators.Lineage.pin(
+        perDoc.join(d.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(sum("sq").as("sq"), sum("nb").as("n_bigrams"))
+          .select(col("source"), col("n_bigrams"),
+            expr("100000000L - sq div n_bigrams").as("loss")))
       graft.operators.Mix.mixtureReweight(domLoss, "source", "loss", rounds = 6)
         .withColumnRenamed("domain", "source")
         .join(domLoss.select("source", "n_bigrams"), "source")

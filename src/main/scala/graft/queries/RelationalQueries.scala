@@ -425,10 +425,18 @@ object RelationalQueries {
       val bounds = ev.agg(min("ts"), max("ts")).head
       val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
       val cutoff = mn + (mx - mn) / 5L * 4L
-      val prior = Sessionize.sessionFrames(
-        ev.filter(col("ts") < cutoff), "user_id", GapNs)
+      // r17 (§2.4): both halves' frames from ONE event scan + ONE
+      // window pass (was two filtered scans, each with its own window
+      // ladder); the global ts cutoff is a per-user time boundary, so
+      // the split frames equal the per-half sessionFrames exactly.
+      // Pinned once — prior and batch slices both read the frames.
+      val framed = graft.operators.Lineage.pin(
+        Sessionize.sessionFramesSplit(ev, "user_id", GapNs,
+          col("ts") >= cutoff))
       Sessionize.finishFrames(
-        Sessionize.incremental(prior, ev.filter(col("ts") >= cutoff),
+        Sessionize.incrementalFrames(
+          framed.filter(!col("__side")).drop("__side"),
+          framed.filter(col("__side")).drop("__side"),
           "user_id", GapNs), "user_id")
     },
 

@@ -199,4 +199,27 @@ class SessionizeSpec extends SparkSpec {
       assert(inc.nonEmpty && inc == full, s"cutoff at $frac/5")
     }
   }
+
+  test("sessionFramesSplit equals per-half sessionFrames (r17 one-pass form)") {
+    import org.apache.spark.sql.functions._
+    val ev = table("events").select("user_id", "event_id", "ts", "value")
+    val b = ev.agg(min("ts"), max("ts")).head
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 5L * 4L
+    val gap = 60000000000L
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).toPlainString)
+    val split = Sessionize.sessionFramesSplit(ev, "user_id", gap,
+      col("ts") >= cutoff)
+    val gotPrior = split.filter(!col("__side")).drop("__side")
+      .collect().map(key).toSet
+    val gotBatch = split.filter(col("__side")).drop("__side")
+      .collect().map(key).toSet
+    val wantPrior = Sessionize.sessionFrames(
+      ev.filter(col("ts") < cutoff), "user_id", gap).collect().map(key).toSet
+    val wantBatch = Sessionize.sessionFrames(
+      ev.filter(col("ts") >= cutoff), "user_id", gap).collect().map(key).toSet
+    assert(gotPrior.nonEmpty && gotPrior == wantPrior)
+    assert(gotBatch.nonEmpty && gotBatch == wantBatch)
+  }
 }
